@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture-table access (TESTDATA.md). One parquet per table under the
+  * given scale-factor dir. Loads are plain `spark.read.parquet` so
+  * Catalyst pushes filters/projections into the scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects; read nanos as long and floor to microseconds
+      // (integer division — a double division would lose precision at
+      // 1e18 nanos).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Load and register as a temp view (for spark.sql-based queries). */
+  def view(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = load(spark, dir, name)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(view(spark, dir, _))
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora (training-data
+  * pipeline extensions beyond DriftDB parity — SURVEY §7.2 step 7).
+  *
+  * Scale design notes (100 TB corpus):
+  *  - exact dedup is one hash-shuffle on the digest — no driver state;
+  *  - MinHash/LSH turns the O(n²) pair space into per-band buckets:
+  *    the only shuffles are (doc -> band bucket) and the bucket self
+  *    join, whose fan-out is bounded by bucket size; skewed buckets
+  *    (boilerplate docs) should be salted or capped upstream;
+  *  - SimHash pairs are generated within LSH-style prefix buckets too
+  *    (here: full pair join bounded by caller-side filters at test SF).
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content digest over a normalized key.
+    * One shuffle; digest-keyed so 100 TB dedups with bounded memory. */
+  def exactGroups(docs: DataFrame, key: Column): DataFrame =
+    docs.groupBy(md5(key).as("dup_key"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("first_id"))
+
+  /** Tokenize into a deduplicated word array. */
+  def wordSet(text: Column): Column = array_distinct(split(text, " "))
+
+  /** Pairwise n-gram (word-set) Jaccard similarity over candidate docs.
+    * Computed by exploding word sets and self-joining on the word —
+    * i.e. an inverted index join, not a cartesian product; the group-by
+    * computes |A∩B| and set sizes give the union. All-integer ratios
+    * keep results engine-exact. */
+  def jaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(wordSet(col("text"))).as("word"))
+    val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = words.as("a")
+    val b = words.as("b")
+    val inter = a.join(b,
+        col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .withColumn("jacc",
+        (col("i").cast("double") / (col("n1") + col("n2") - col("i"))).cast("double"))
+      .where(col("jacc") >= minJaccard)
+      .select("d1", "d2", "jacc")
+  }
+
+  /** MinHash signatures: `perms` permutations approximated by seeded
+    * xxhash64 (codegen'd, no UDF); signature[i] = min over words of
+    * hash(i, word). */
+  def minHashSignatures(docs: DataFrame, perms: Int): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(wordSet(col("text"))).as("word"))
+    val sigCols = (0 until perms).map(i =>
+      min(xxhash64(lit(i), col("word"))).as(s"h$i"))
+    words.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** MinHash + LSH candidate pairs: split the signature into bands of
+    * `rowsPerBand`, hash each band, and self-join per (band, hash)
+    * bucket. Returns (d1, d2, n_bands) — pairs colliding in >= 1 band. */
+  def minHashCandidates(docs: DataFrame, perms: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = minHashSignatures(docs, perms)
+    val nBands = perms / rowsPerBand
+    val banded = (0 until nBands).map { bnd =>
+      val cols = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+        .map(i => col(s"h$i"))
+      sigs.select(col("doc_id"), lit(bnd).as("band"),
+        xxhash64(cols: _*).as("bucket"))
+    }.reduce(_ union _)
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") &&
+        col("l.bucket") === col("r.bucket") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** 64-bit SimHash per document: each word votes its hash bits up or
+    * down; the sign vector is packed back into a long. Pure
+    * `functions._` — stays inside whole-stage codegen. */
+  def simHash(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(wordSet(col("text"))).as("word"))
+      .withColumn("h", xxhash64(col("word")))
+    val bits = words.select(col("doc_id"),
+      explode(sequence(lit(0), lit(63))).as("i"),
+      col("h"))
+      .withColumn("vote",
+        when(expr("shiftright(h, i) & 1") === 1, 1).otherwise(-1))
+      .groupBy("doc_id", "i")
+      .agg(sum(col("vote")).as("v"))
+    bits.groupBy("doc_id")
+      .agg(sum(when(col("v") > 0, expr("shiftleft(cast(1 as bigint), i)"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** Near-duplicate pairs by SimHash Hamming distance <= maxDist.
+    * Candidate generation at scale should bucket on bit-prefixes; the
+    * test-SF form joins the (caller-bounded) candidate set directly. */
+  def simHashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
+    val s = simHash(docs)
+    val l = s.select(col("doc_id").as("d1"), col("simhash").as("s1"))
+    val r = s.select(col("doc_id").as("d2"), col("simhash").as("s2"))
+    l.join(r, col("d1") < col("d2"))
+      .withColumn("dist", bit_count(col("s1").bitwiseXOR(col("s2"))))
+      .where(col("dist") <= maxDist)
+      .select("d1", "d2", "dist")
+  }
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Semi-naive recursive-CTE evaluation (SURVEY §2.8 / §4.4#3).
+  *
+  * The reference iterates the recursive term against the previous
+  * iteration's working set, deduplicating against accumulated results
+  * for UNION and skipping dedup for UNION ALL, with an iteration cap
+  * (sql_bridge.rs:785-904). This is the same fixpoint loop expressed
+  * over DataFrames: each step feeds only the *delta* (new rows) back
+  * into the recursive term, which is the semi-naive optimization — at
+  * scale the per-iteration work is proportional to the frontier, not
+  * the accumulated result.
+  *
+  * Scale notes: `localCheckpoint` truncates the lineage each iteration
+  * so the plan does not grow exponentially; on a real cluster use a
+  * reliable checkpoint dir instead (`df.checkpoint()`).
+  */
+object RecursiveCTE {
+
+  /** @param anchor    non-recursive seed rows
+    * @param step      recursive term: frontier => next rows
+    * @param distinct  true = UNION semantics (dedup against accumulated
+    *                  set, termination on empty delta); false = UNION ALL
+    *                  (terminate when the step yields no rows)
+    * @param maxIter   safety cap, mirroring the reference's 1000
+    */
+  def run(
+      anchor: DataFrame,
+      step: DataFrame => DataFrame,
+      distinct: Boolean = true,
+      maxIter: Int = 1000): DataFrame = {
+    var acc = (if (distinct) anchor.distinct() else anchor).localCheckpoint()
+    var frontier = acc
+    var i = 0
+    while (i < maxIter && !frontier.isEmpty) {
+      val produced = step(frontier)
+      val delta =
+        (if (distinct) produced.distinct().except(acc) else produced)
+          .localCheckpoint()
+      acc = acc.union(delta).localCheckpoint()
+      frontier = delta
+      i += 1
+    }
+    acc
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (Array[Float]) — training-data pipeline extension.
+  *
+  * Scale design: brute force is the correctness baseline (queries ×
+  * corpus is a broadcast-joinable product when the query set is small);
+  * the scale path is random-hyperplane LSH bucketing, which prunes the
+  * candidate set to same-bucket vectors before exact re-scoring. An IVF
+  * variant would replace the hash bucketing with k-means coarse
+  * centroids; the plumbing (bucket -> join -> rescore) is identical.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double
+    * with a single left-to-right fold (zip_with + aggregate — both
+    * codegen-friendly, no UDF). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Brute-force top-k cosine neighbors for each query vector.
+    * Query set is broadcast; ranking is deterministic (rounded score,
+    * then id). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(cosine(col("qv"), col("cv")), 5).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "cid", "rank", "sim")
+  }
+
+  /** Random-hyperplane LSH bucket id: `bits` pseudo-random hyperplanes,
+    * plane j's component i derived from xxhash64(j, i) mapped to ±1 —
+    * data-independent and deterministic, no stored model. The bucket is
+    * the packed sign pattern of the `bits` projections. */
+  def lshBucket(embedding: Column, bits: Int): Column = {
+    val projections = (0 until bits).map { j =>
+      // sum_i emb[i] * sign(hash(j, i))
+      val prods = aggregate(
+        zip_with(embedding, sequence(lit(0), size(embedding) - 1),
+          (v, i) => v.cast("double") *
+            when(pmod(xxhash64(lit(j), i), lit(2)) === 0, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, v) => acc + v)
+      when(prods >= 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }
+    projections.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: exact cosine re-scoring within same-bucket
+    * candidates only. Recall < 1 by construction; at scale the bucket
+    * join replaces the quadratic cross product. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      lshBucket(col("embedding"), bits).as("bucket"))
+    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+      lshBucket(col("embedding"), bits).as("bucket"))
+    val scored = c.join(broadcast(q), "bucket")
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(cosine(col("qv"), col("cv")), 5).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "cid", "rank", "sim")
+  }
+}

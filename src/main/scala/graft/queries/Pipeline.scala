@@ -1,0 +1,294 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.H._
+
+/** Training-data pipeline operators (dedup / similarity / text
+  * analysis / multimodal) over the documents + embeddings fixtures,
+  * and stream-shaped analytics over the events fixture. Hash-based
+  * operators (MinHash/SimHash/LSH) are rows-only checks — their
+  * engine hash functions are not SQL-portable — but every derivable
+  * statistic has a DuckDB oracle.
+  */
+object Pipeline {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ----------------------------------------------------------- dedup
+
+  /** Exact dedup groups on a normalized key (first 10 tokens). */
+  val qDedupExact = Q(
+    "q_dedup_exact",
+    """SELECT md5(array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')) AS dup_key,
+      |       COUNT(*) AS n_dups, MIN(doc_id) AS first_id
+      |FROM documents
+      |GROUP BY dup_key
+      |ORDER BY first_id""".stripMargin) { (s, dir) =>
+    Dedup.exactGroups(t(s, dir, "documents"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 10)))
+      .orderBy("first_id")
+  }
+
+  /** Word-set Jaccard near-dup pairs via inverted-index join. */
+  val qJaccardPairs = Q(
+    "q_jaccard_pairs",
+    """WITH w AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents WHERE doc_id < 150),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |  FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT d1, d2,
+      |       CAST(CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS DOUBLE) AS jacc
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = d1
+      |JOIN sizes sb ON sb.doc_id = d2
+      |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    Dedup.jaccardPairs(t(s, dir, "documents").where(col("doc_id") < 150), 0.8)
+      .orderBy("d1", "d2")
+  }
+
+  /** MinHash(16) + LSH(4 bands) candidate pairs — rows-only (hash
+    * functions are engine-specific). */
+  val qMinHashLsh = Q.rowsOnly("q_minhash_lsh") { (s, dir) =>
+    Dedup.minHashCandidates(
+        t(s, dir, "documents").where(col("doc_id") < 300), 16, 4)
+      .orderBy("d1", "d2")
+  }
+
+  /** SimHash near-dup pairs (Hamming <= 10) — rows-only. */
+  val qSimHash = Q.rowsOnly("q_simhash") { (s, dir) =>
+    Dedup.simHashPairs(t(s, dir, "documents").where(col("doc_id") < 150), 10)
+      .orderBy("d1", "d2")
+  }
+
+  // ------------------------------------------------------ similarity
+
+  /** Brute-force cosine top-5 neighbors for 10 query vectors. */
+  val qAnnCosine = Q(
+    "q_ann_cosine",
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      |scored AS (
+      |  SELECT qid, cid, ROUND(list_cosine_similarity(qv, cv), 5) AS sim
+      |  FROM c CROSS JOIN q WHERE qid <> cid),
+      |ranked AS (
+      |  SELECT qid, cid, sim,
+      |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+      |  FROM scored)
+      |SELECT qid, cid, rank, sim FROM ranked WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb.where(col("vec_id") < 10), emb, 5)
+      .orderBy("qid", "rank")
+  }
+
+  /** LSH-bucketed ANN (scale path; recall < 1) — rows-only. */
+  val qAnnLsh = Q.rowsOnly("q_ann_lsh") { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb.where(col("vec_id") < 10), emb, 5, 8)
+      .orderBy("qid", "rank")
+  }
+
+  // --------------------------------------------------- text analysis
+
+  /** Token/quality metrics per document — all engine-exact ratios. */
+  val qTextQuality = Q(
+    "q_text_quality",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |  CAST(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |       / len(string_split(text, ' ')) AS DOUBLE) AS ttr,
+      |  CAST(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+      |       / len(string_split(text, ' ')) AS DOUBLE) AS avg_tok_len,
+      |  CAST(CAST(len(list_filter(string_split(text, ' '),
+      |                 x -> x = 'the' OR x = 'a')) AS DOUBLE)
+      |       / len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.qualityMetrics(t(s, dir, "documents"), Seq("the", "a"))
+      .orderBy("doc_id")
+  }
+
+  /** Marker-scored language-ID heuristic vs the labeled lang column. */
+  val qLangId = Q(
+    "q_lang_id",
+    """WITH scored AS (
+      |  SELECT lang,
+      |    len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS s_en,
+      |    len(list_filter(string_split(text, ' '), x -> x = 'data' OR x = 'value')) AS s_es,
+      |    len(list_filter(string_split(text, ' '), x -> x = 'spark' OR x = 'table')) AS s_de
+      |  FROM documents),
+      |pred AS (
+      |  SELECT lang,
+      |         CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+      |              WHEN s_es >= s_de THEN 'es'
+      |              ELSE 'de' END AS pred
+      |  FROM scored)
+      |SELECT pred, lang, COUNT(*) AS n
+      |FROM pred GROUP BY pred, lang
+      |ORDER BY pred, lang""".stripMargin) { (s, dir) =>
+    TextAnalysis.langId(t(s, dir, "documents"), Seq(
+        "en" -> Seq("the", "a"),
+        "es" -> Seq("data", "value"),
+        "de" -> Seq("spark", "table")))
+      .groupBy("pred", "lang").agg(count(lit(1)).as("n"))
+      .orderBy("pred", "lang")
+  }
+
+  /** Global token frequency top-30. */
+  val qTokenStats = Q(
+    "q_token_stats",
+    """SELECT word, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY word
+      |ORDER BY n DESC, word
+      |LIMIT 30""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(30)
+  }
+
+  /** Normalized fingerprint uniqueness per source. */
+  val qFingerprint = Q(
+    "q_fingerprint",
+    """SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')))) AS n_unique
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("source"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_unique"))
+      .orderBy("source")
+  }
+
+  // ------------------------------------------------------ multimodal
+
+  /** Binary payload + stub-decoded metadata, aggregated per source. */
+  val qMultimodalMeta = Q(
+    "q_multimodal_meta",
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      |  CAST(MAX(octet_length(encode(text)) % 640 + 1) AS INT) AS max_width
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    Multimodal.withBinaryPayload(t(s, dir, "documents"), col("text"), "text")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("meta.byte_len")).cast("long").as("total_bytes"),
+        max(col("meta.width")).cast("int").as("max_width"))
+      .orderBy("source")
+  }
+
+  /** Frame-sampling slices over binary payloads (video-style access
+    * pattern; offsets from the stub metadata). */
+  val qFrameSample = Q(
+    "q_frame_sample",
+    """SELECT doc_id, i AS frame_idx,
+      |  CAST(octet_length(encode(text)) * i // 4 AS BIGINT) AS frame_offset,
+      |  CAST(octet_length(encode(text)) // 4 AS BIGINT) AS frame_len
+      |FROM documents CROSS JOIN (SELECT unnest(range(4)) AS i)
+      |WHERE doc_id < 25
+      |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+    Multimodal.sampleFrames(
+        Multimodal.withBinaryPayload(
+          t(s, dir, "documents").where(col("doc_id") < 25), col("text"), "text"), 4)
+      .select(col("doc_id"), col("frame_idx"), col("frame_offset"), col("frame_len"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  // ------------------------------------------------- events analytics
+
+  /** Tumbling-window (hourly) aggregation over the event stream shape. */
+  val qEventsHourly = Q(
+    "q_events_hourly",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+      |       event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |WHERE ts < TIMESTAMP '2024-01-08'
+      |GROUP BY hour, event_type
+      |ORDER BY hour, event_type""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .where(col("ts") < lit("2024-01-08").cast("timestamp"))
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00")
+        .as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** Sessionization: gap > 30 min starts a new session; session ids by
+    * cumulative sum over the per-user timeline (lag + window — the
+    * batch equivalent of stateful streaming sessionization). */
+  val qEventsSessions = Q(
+    "q_events_sessions",
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+      |                (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events WHERE user_id < 20),
+      |s AS (
+      |  SELECT user_id, event_id,
+      |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |       COUNT(*) AS n_events,
+      |       MIN(event_id) AS first_event, MAX(event_id) AS last_event
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .where(col("user_id") < 20)
+      .withColumn("new_s",
+        when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+          > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(wRun).cast("long"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** JSON property extraction from the props column. */
+  val qEventsJson = Q(
+    "q_events_json",
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY k_mod
+      |ORDER BY k_mod""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .withColumn("k_mod",
+        get_json_object(col("props"), "$.k").cast("long") % 10)
+      .groupBy("k_mod")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("k_mod")
+  }
+
+  val all: Seq[Q] = Seq(
+    qDedupExact, qJaccardPairs, qMinHashLsh, qSimHash,
+    qAnnCosine, qAnnLsh,
+    qTextQuality, qLangId, qTokenStats, qFingerprint,
+    qMultimodalMeta, qFrameSample,
+    qEventsHourly, qEventsSessions, qEventsJson)
+}
