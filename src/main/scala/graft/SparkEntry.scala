@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Analytic, Pipeline, Q, Relational, Temporal}
+import graft.queries.{Analytic, EngineSql, Pipeline, Q, Relational, Temporal}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def allQueries: Seq[Q] =
-    Relational.all ++ Analytic.all ++ Temporal.all ++ Pipeline.all
+    Relational.all ++ Analytic.all ++ Temporal.all ++ Pipeline.all ++
+      EngineSql.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -12,13 +12,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session confs every entry point (Verify, Bench, tests) must set at
+    * build time. nanosAsLong: events.parquet carries TIMESTAMP(NANOS),
+    * which Spark's vectorized reader rejects; read nanos as long and
+    * floor to microseconds in `load`. Set once per session — setting it
+    * inside `load` would mutate shared session state per call. */
+  val sessionConfs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC")
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read nanos as long and floor to microseconds
-      // (integer division — a double division would lose precision at
-      // 1e18 nanos).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // nanos floored to micros with integer division — a double
+      // division would lose precision at 1e18 nanos.
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")

@@ -1,0 +1,223 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.collection.mutable
+
+/** One column of a graft table.
+  *
+  * `logical` is the name SQL sees; `physical` is the field name inside
+  * the persisted event payload struct. ALTER RENAME COLUMN updates only
+  * the logical name — the event log is immutable, so renames are
+  * column-mapping metadata, never data rewrites (the reference rewrites
+  * in-memory state, engine.rs:1826-1971; at 100 TB a rewrite is not an
+  * option, so we use the Delta-style column-mapping trick instead).
+  */
+final case class ColumnDef(logical: String, physical: String, dataType: DataType)
+
+/** Table metadata: single-column primary key (mandatory, as in the
+  * reference — schema.rs:56-79) plus the column mapping. */
+final case class TableDef(
+    name: String,
+    pk: String, // logical name
+    columns: Seq[ColumnDef],
+    attached: Option[DataFrame] = None) { // in-memory event log (tests/fixtures)
+
+  def pkPhysical: String =
+    columns.find(_.logical == pk)
+      .getOrElse(throw new IllegalStateException(s"pk $pk not in $name"))
+      .physical
+
+  /** Physical payload struct (what event parquet stores). */
+  def payloadSchema: StructType =
+    StructType(columns.map(c => StructField(c.physical, c.dataType)))
+}
+
+/** Catalog of tables / views / indexes for one engine instance —
+  * the analogue of the reference's per-table `schema.yaml` + engine
+  * registry (schema.rs:45-54, engine.rs:132). Metadata persists as a
+  * small line-based file under the engine base dir via the Hadoop
+  * FileSystem API, so the same code path works on local disk and HDFS/
+  * object stores; in a production deployment this would live in a
+  * metastore, but the on-disk contract (event-log parquet + snapshot
+  * parquet + descriptor) is the part that matters at 100 TB.
+  */
+final class TableCatalog(spark: SparkSession, val baseDir: String) {
+
+  private val tables = mutable.LinkedHashMap.empty[String, TableDef]
+  private val views = mutable.LinkedHashMap.empty[String, String] // name -> SQL
+  private val indexes = mutable.LinkedHashMap.empty[String, (String, String)] // idx -> (table, col)
+  private val nextSeqs = mutable.HashMap.empty[String, Long] // last assigned sequence
+  val stats = mutable.HashMap.empty[String, Map[String, String]] // ANALYZE output
+
+  load()
+
+  // ------------------------------------------------------------ paths
+
+  def logPath(table: String): String = s"$baseDir/tables/$table/log"
+  def snapshotPath(table: String): String = s"$baseDir/tables/$table/snapshots"
+  private def metaPath = new Path(s"$baseDir/catalog.meta")
+
+  private def fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---------------------------------------------------------- tables
+
+  def tableNames: Seq[String] = tables.keys.toSeq
+  def viewNames: Seq[String] = views.keys.toSeq
+  def get(name: String): Option[TableDef] = tables.get(name)
+  def getView(name: String): Option[String] = views.get(name)
+
+  def require(name: String): TableDef =
+    tables.getOrElse(name,
+      throw new IllegalArgumentException(s"table not found: $name"))
+
+  def createTable(name: String, pk: String, cols: Seq[(String, DataType)]): Unit = {
+    if (tables.contains(name) || views.contains(name))
+      throw new IllegalArgumentException(s"table or view already exists: $name")
+    if (!cols.exists(_._1 == pk))
+      throw new IllegalArgumentException(s"primary key $pk not among columns")
+    tables(name) = TableDef(name, pk, cols.map { case (c, t) => ColumnDef(c, c, t) })
+    nextSeqs(name) = 0L
+    save()
+  }
+
+  /** Register an in-memory event log (sequence/ts/event_type/pk/payload
+    * frame) as a queryable table — used by fixtures and tests; not
+    * persisted. */
+  def attachEventLog(name: String, pk: String, log: DataFrame): Unit = {
+    val payload = log.schema("payload").dataType.asInstanceOf[StructType]
+    tables(name) = TableDef(name, pk,
+      payload.fields.toSeq.map(f => ColumnDef(f.name, f.name, f.dataType)),
+      attached = Some(log))
+  }
+
+  def dropTable(name: String, ifExists: Boolean = false): Unit = {
+    if (tables.remove(name).isEmpty && !ifExists)
+      throw new IllegalArgumentException(s"table not found: $name")
+    nextSeqs.remove(name)
+    save()
+  }
+
+  def addColumn(table: String, colName: String, dt: DataType): Unit = {
+    val t = require(table)
+    if (t.columns.exists(_.logical == colName))
+      throw new IllegalArgumentException(s"column exists: $colName")
+    // the physical name gets a unique suffix so a drop+re-add of the
+    // same name never collides with historic payload fields
+    val phys = s"${colName}_c${t.columns.size}"
+    tables(table) = t.copy(columns = t.columns :+ ColumnDef(colName, phys, dt))
+    save()
+  }
+
+  def renameColumn(table: String, from: String, to: String): Unit = {
+    val t = require(table)
+    if (!t.columns.exists(_.logical == from))
+      throw new IllegalArgumentException(s"column not found: $from")
+    if (t.columns.exists(_.logical == to))
+      throw new IllegalArgumentException(s"column exists: $to")
+    tables(table) = t.copy(
+      pk = if (t.pk == from) to else t.pk,
+      columns = t.columns.map(c =>
+        if (c.logical == from) c.copy(logical = to) else c))
+    save()
+  }
+
+  def dropColumn(table: String, colName: String): Unit = {
+    val t = require(table)
+    if (t.pk == colName)
+      throw new IllegalArgumentException("cannot drop the primary key")
+    if (!t.columns.exists(_.logical == colName))
+      throw new IllegalArgumentException(s"column not found: $colName")
+    tables(table) = t.copy(columns = t.columns.filterNot(_.logical == colName))
+    save()
+  }
+
+  // ------------------------------------------------------- sequences
+
+  /** Last assigned sequence for a table (0 = empty log). Mirrors the
+    * reference's per-table monotonic counter (table_storage.rs:212);
+    * the writer is driver-serialized, as in the reference (process
+    * write lock, index.rs:22-26). */
+  def lastSeq(table: String): Long = nextSeqs.getOrElse(table, 0L)
+
+  def commitSeq(table: String, upTo: Long): Unit = {
+    nextSeqs(table) = upTo
+    save()
+  }
+
+  // ----------------------------------------------------------- views
+
+  def createView(name: String, sql: String): Unit = {
+    if (tables.contains(name))
+      throw new IllegalArgumentException(s"table already exists: $name")
+    views(name) = sql
+    save()
+  }
+
+  def dropView(name: String, ifExists: Boolean = false): Unit = {
+    if (views.remove(name).isEmpty && !ifExists)
+      throw new IllegalArgumentException(s"view not found: $name")
+    save()
+  }
+
+  // --------------------------------------------------------- indexes
+
+  /** CREATE INDEX records metadata only: parquet min/max pruning and
+    * predicate pushdown subsume the reference's BTreeMap secondary
+    * indexes (index.rs:9-36) — SURVEY §1.4. */
+  def createIndex(idx: String, table: String, column: String): Unit = {
+    require(table)
+    indexes(idx) = (table, column)
+    save()
+  }
+
+  def indexNames: Seq[String] = indexes.keys.toSeq
+
+  // ----------------------------------------------------- persistence
+
+  private def enc(s: String) = URLEncoder.encode(s, UTF_8)
+  private def dec(s: String) = URLDecoder.decode(s, UTF_8)
+
+  private def save(): Unit = {
+    val sb = new StringBuilder
+    for ((name, t) <- tables if t.attached.isEmpty) {
+      sb.append(s"table\t${enc(name)}\t${enc(t.pk)}\t${nextSeqs.getOrElse(name, 0L)}\n")
+      for (c <- t.columns)
+        sb.append(s"col\t${enc(name)}\t${enc(c.logical)}\t${enc(c.physical)}\t${enc(c.dataType.json)}\n")
+    }
+    for ((name, sql) <- views)
+      sb.append(s"view\t${enc(name)}\t${enc(sql)}\n")
+    for ((idx, (t, c)) <- indexes)
+      sb.append(s"index\t${enc(idx)}\t${enc(t)}\t${enc(c)}\n")
+    val out = fs.create(metaPath, true)
+    try out.write(sb.toString.getBytes(UTF_8)) finally out.close()
+  }
+
+  private def load(): Unit = {
+    if (!fs.exists(metaPath)) return
+    val in = fs.open(metaPath)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val cols = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[ColumnDef]]
+    val heads = mutable.LinkedHashMap.empty[String, (String, Long)]
+    for (line <- text.split("\n") if line.nonEmpty) line.split("\t") match {
+      case Array("table", n, pk, seq) => heads(dec(n)) = (dec(pk), seq.toLong)
+      case Array("col", n, lo, ph, dt) =>
+        cols.getOrElseUpdate(dec(n), mutable.ArrayBuffer.empty) +=
+          ColumnDef(dec(lo), dec(ph), DataType.fromJson(dec(dt)))
+      case Array("view", n, sql) => views(dec(n)) = dec(sql)
+      case Array("index", i, t, c) => indexes(dec(i)) = (dec(t), dec(c))
+      case other =>
+        throw new IllegalStateException(s"corrupt catalog line: ${other.mkString("\t")}")
+    }
+    for ((n, (pk, seq)) <- heads) {
+      tables(n) = TableDef(n, pk, cols.getOrElse(n, mutable.ArrayBuffer.empty).toSeq)
+      nextSeqs(n) = seq
+    }
+  }
+}

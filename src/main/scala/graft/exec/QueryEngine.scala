@@ -1,0 +1,375 @@
+package graft.exec
+
+import graft.catalog.{ColumnDef, TableCatalog, TableDef}
+import graft.log.EventLog
+import graft.sql.{Statement, StatementRouter, SystemTime, TemporalPre}
+import graft.state.{Snapshots, StateView}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** The engine shell: `engine.sql(query): DataFrame` — the single entry
+  * point the reference exposes as `execute_sql` (sql_bridge.rs:234-237).
+  *
+  * Lifecycle of a statement (mirrors execute_sql_inner,
+  * sql_bridge.rs:274-757, re-expressed Spark-first — SURVEY §3.3):
+  *   1. StatementRouter classifies DDL / DML / utility / query.
+  *   2. Queries: TemporalPre strips `FOR SYSTEM_TIME ...` at string
+  *      level (sql_bridge.rs:304-320); every referenced engine table is
+  *      registered as a temp view resolved at that point in time
+  *      (state collapse, history, or change range); stored views are
+  *      expanded recursively (sql_bridge.rs:1203-1259); the cleaned
+  *      text is delegated to `spark.sql` — Catalyst owns parsing,
+  *      optimization, and execution from there.
+  *   3. DML: INSERT / UPDATE / DELETE / TRUNCATE become Insert / Patch
+  *      / SoftDelete event appends with monotonic sequence assignment
+  *      and parquet persistence (sql_bridge.rs:3505-3663, 5473-5668,
+  *      5981-6088; table_storage.rs:212). UPDATE emits full-row
+  *      patches, exactly like the reference's SQL layer
+  *      (sql_bridge.rs:5534-5537, 5637-5649).
+  *
+  * Every statement returns a DataFrame (DML returns an affected-rows
+  * summary), so the surface is uniform and lazy where possible.
+  */
+final class QueryEngine(val spark: SparkSession, val baseDir: String) {
+
+  val catalog = new TableCatalog(spark, baseDir)
+
+  /** PK-uniqueness enforcement on INSERT, as in the reference
+    * (sql_bridge.rs:3543-3570). Two extra jobs per insert — switch off
+    * for bulk ingestion where the source is known-unique. */
+  var enforcePkUniqueness: Boolean = true
+
+  // ================================================================ sql
+
+  def sql(statement: String): DataFrame = StatementRouter.parse(statement) match {
+    case Statement.CreateTable(name, cols, pk) =>
+      catalog.createTable(name, pk,
+        cols.map { case (c, ddl) => (c, DataType.fromDDL(ddl)) })
+      summary("created", 0L, catalog.lastSeq(name))
+    case Statement.CreateIndex(idx, table, colName) =>
+      // metadata only: pushdown + parquet min/max subsume secondary
+      // indexes (SURVEY §1.4)
+      catalog.createIndex(idx, table, colName)
+      summary("indexed", 0L, catalog.lastSeq(table))
+    case Statement.CreateView(name, viewSql) =>
+      catalog.createView(name, viewSql)
+      summary("view_created", 0L, 0L)
+    case Statement.DropTable(name, ifEx) =>
+      catalog.dropTable(name, ifEx)
+      // the select path registers session temp views lazily; drop any
+      // stale one so the name stops resolving immediately
+      spark.catalog.dropTempView(name)
+      summary("dropped", 0L, 0L)
+    case Statement.DropView(name, ifEx) =>
+      catalog.dropView(name, ifEx)
+      spark.catalog.dropTempView(name)
+      summary("dropped", 0L, 0L)
+    case Statement.Truncate(table) => truncate(table)
+    case Statement.AlterAdd(table, c, ddl) =>
+      catalog.addColumn(table, c, DataType.fromDDL(ddl))
+      summary("altered", 0L, catalog.lastSeq(table))
+    case Statement.AlterRename(table, from, to) =>
+      catalog.renameColumn(table, from, to)
+      summary("altered", 0L, catalog.lastSeq(table))
+    case Statement.AlterDrop(table, c) =>
+      catalog.dropColumn(table, c)
+      summary("altered", 0L, catalog.lastSeq(table))
+    case Statement.InsertValues(table, cols, valuesSql) =>
+      insertFrom(table, cols, spark.sql(s"SELECT * FROM $valuesSql"))
+    case Statement.InsertSelect(table, cols, sel) =>
+      insertFrom(table, cols, select(sel))
+    case Statement.Update(table, assigns, where) => update(table, assigns, where)
+    case Statement.Delete(table, where) => delete(table, where)
+    case Statement.Snapshot(table) => snapshot(table)
+    case Statement.Explain(inner, _) => explain(inner)
+    case Statement.Analyze(table) => analyze(table)
+    case Statement.ShowTables => showTables()
+    case Statement.Describe(table) => describe(table)
+    case Statement.CopyFrom(table, path) => ingestJsonl(table, path)
+    case Statement.Select(q) => select(q)
+  }
+
+  // ========================================================== read path
+
+  def select(sqlText: String): DataFrame = {
+    val (clean, st) = TemporalPre.extract(sqlText)
+    registerReferenced(clean, st, depth = 0)
+    spark.sql(clean)
+  }
+
+  /** Register each referenced engine table (resolved at the temporal
+    * spec) and each referenced stored view (expanded recursively) as a
+    * session temp view, then let spark.sql resolve names normally. */
+  private def registerReferenced(clean: String, st: SystemTime, depth: Int): Unit = {
+    if (depth > 10)
+      throw new IllegalStateException("view expansion depth > 10 (cycle?)")
+    for (t <- catalog.tableNames if referencesWord(clean, t))
+      resolve(t, st).createOrReplaceTempView(t)
+    for (v <- catalog.viewNames if referencesWord(clean, v)) {
+      val (vClean, vSt) = TemporalPre.extract(catalog.getView(v).get)
+      registerReferenced(vClean, vSt, depth + 1)
+      spark.sql(vClean).createOrReplaceTempView(v)
+    }
+  }
+
+  private def referencesWord(sqlText: String, name: String): Boolean =
+    ("""(?i)\b""" + java.util.regex.Pattern.quote(name) + """\b""").r
+      .findFirstIn(sqlText).isDefined
+
+  /** A table at a point in (system) time, with logical column names. */
+  def resolve(table: String, st: SystemTime): DataFrame = {
+    val t = catalog.require(table)
+    st match {
+      case SystemTime.Current => stateAt(table, None)
+      case SystemTime.AsOfSeq(s) => stateAt(table, Some(s))
+      case SystemTime.AsOfTs(ts) =>
+        val maxSeq = events(t)
+          .where(col("ts") <= to_timestamp(lit(ts)))
+          .agg(max("sequence")).head()
+        if (maxSeq.isNullAt(0)) stateAt(table, Some(-1L))
+        else stateAt(table, Some(maxSeq.getLong(0)))
+      case SystemTime.All =>
+        frameWithLogicalPayload(t, StateView.history(events(t)))
+      case SystemTime.Between(a, b) =>
+        frameWithLogicalPayload(t, StateView.changesBetween(events(t), a, b))
+    }
+  }
+
+  /** Flatten an event frame to (sequence, ts, event_type, pk, cols...)
+    * with logical column names — the FOR SYSTEM_TIME ALL row shape
+    * (Query::ShowDrift, query/executor.rs:327-354). */
+  private def frameWithLogicalPayload(t: TableDef, frame: DataFrame): DataFrame = {
+    val have = frame.schema("payload").dataType
+      .asInstanceOf[StructType].fieldNames.toSet
+    frame.select(
+      Seq(col("sequence"), col("ts"), col("event_type"), col("pk")) ++
+        t.columns.map(c =>
+          (if (have(c.physical)) col(s"payload.${c.physical}")
+           else lit(null).cast(c.dataType)).as(c.logical)): _*)
+  }
+
+  /** Raw event log of a table: attached in-memory frame, or the
+    * persisted parquet log (mergeSchema absorbs payload-struct widening
+    * from ALTER ADD COLUMN). Missing/empty log → empty typed frame. */
+  def events(t: TableDef): DataFrame = t.attached.getOrElse {
+    val p = new Path(logDir(t.name))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+      spark.read.option("mergeSchema", "true").parquet(p.toString)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        EventLog.schema(t.payloadSchema))
+  }
+
+  private def logDir(table: String) = catalog.logPath(table)
+
+  /** State at a sequence, snapshot-accelerated: replay starts from the
+    * nearest checkpoint <= target instead of sequence 0
+    * (optimizer.rs:296-307). */
+  def stateAt(table: String, asOf: Option[Long]): DataFrame = {
+    val t = catalog.require(table)
+    val ev = events(t)
+    val base = Snapshots.nearest(spark, catalog.snapshotPath(table), asOf)
+    val collapsed = base match {
+      case Some(snapSeq) =>
+        val tail = asOf.fold(ev.where(col("sequence") > snapSeq))(s =>
+          ev.where(col("sequence") > snapSeq && col("sequence") <= s))
+        val snap = Snapshots.read(spark, catalog.snapshotPath(table), snapSeq)
+        StateView.stateAt(snap.unionByName(tail, allowMissingColumns = true), None)
+      case None => StateView.stateAt(ev, asOf)
+    }
+    // column mapping: physical payload fields -> logical names; a
+    // column added by ALTER before any event carries it reads as NULL
+    val have = collapsed.columns.toSet
+    collapsed.select(t.columns.map(c =>
+      (if (have(c.physical)) col(c.physical)
+       else lit(null).cast(c.dataType)).as(c.logical)): _*)
+  }
+
+  // ========================================================= write path
+
+  /** Append one batch of payload rows (logical columns) as events.
+    * Returns the last assigned sequence. */
+  private def append(t: TableDef, rowsLogical: DataFrame, eventType: String): (Long, Long) = {
+    if (t.attached.isDefined)
+      throw new UnsupportedOperationException(
+        s"table ${t.name} is an attached read-only event log")
+    // logical -> physical payload, cast to declared types (loose-schema
+    // writes are a [REF-GAP] we do NOT replicate: our tables are typed)
+    val physical = rowsLogical.select(t.columns.map(c =>
+      col(c.logical).cast(c.dataType).as(c.physical)): _*)
+    val base = catalog.lastSeq(t.name)
+    // pin the batch before counting + writing: the source reads the very
+    // log we append to, and zipWithIndex must not be recomputed between
+    // the two actions
+    val withSeq = EventLog.assignSequences(physical, base).localCheckpoint()
+    val n = withSeq.count()
+    if (n > 0) {
+      val ev = withSeq.select(
+        col("sequence"),
+        timestamp_seconds(lit(EventLog.ClockEpoch) + col("sequence")).as("ts"),
+        lit(eventType).as("event_type"),
+        col(t.pkPhysical).cast("string").as("pk"),
+        struct(t.columns.map(c => col(c.physical)): _*).as("payload"))
+      ev.write.mode("append").parquet(logDir(t.name))
+      catalog.commitSeq(t.name, base + n)
+    }
+    (n, base + n)
+  }
+
+  private def summary(op: String, n: Long, lastSeq: Long): DataFrame =
+    spark.range(1).select(lit(op).as("op"), lit(n).as("n_affected"),
+      lit(lastSeq).as("last_sequence"))
+
+  /** INSERT (VALUES or SELECT): align source columns to the target
+    * column list (by position, like the reference — sql_bridge.rs:
+    * 3505-3663), unnamed columns default to NULL, enforce PK
+    * uniqueness against current state and within the batch. */
+  private def insertFrom(table: String, cols: Option[Seq[String]], src: DataFrame): DataFrame = {
+    val t = catalog.require(table)
+    val target = cols.getOrElse(t.columns.map(_.logical))
+    require(src.columns.length == target.length,
+      s"INSERT column count ${target.length} != SELECT/VALUES arity ${src.columns.length}")
+    val unknown = target.filterNot(c => t.columns.exists(_.logical == c))
+    require(unknown.isEmpty, s"unknown INSERT columns: ${unknown.mkString(",")}")
+    val positioned = src.toDF(target: _*)
+    val full = positioned.select(t.columns.map(c =>
+      if (target.contains(c.logical)) col(c.logical).cast(c.dataType).as(c.logical)
+      else lit(null).cast(c.dataType).as(c.logical)): _*)
+    if (enforcePkUniqueness) {
+      val pk = t.pk
+      val dupIn = full.groupBy(col(pk)).count().where(col("count") > 1).limit(1).count()
+      require(dupIn == 0, s"duplicate primary key within INSERT batch on $table")
+      val clash = full.join(stateAt(table, None).select(col(pk)), Seq(pk), "left_semi")
+        .limit(1).count()
+      require(clash == 0, s"primary key already exists in $table")
+    }
+    val (n, last) = append(t, full, EventLog.INSERT)
+    summary("insert", n, last)
+  }
+
+  /** UPDATE: fetch matching current-state rows, apply assignments (RHS
+    * may reference old row values — Catalyst `expr`), emit full-row
+    * PATCH events; a PK-changing update is SoftDelete + Insert (PG
+    * semantics, sql_bridge.rs:5473-5668). */
+  def update(table: String, assigns: Seq[(String, String)], where: Option[String]): DataFrame = {
+    val t = catalog.require(table)
+    val bad = assigns.map(_._1).filterNot(a => t.columns.exists(_.logical == a))
+    require(bad.isEmpty, s"unknown UPDATE columns: ${bad.mkString(",")}")
+    val state = stateAt(table, None)
+    val matching = where.fold(state)(w => state.where(expr(w)))
+    val updated = matching.select(t.columns.map { c =>
+      assigns.find(_._1 == c.logical) match {
+        case Some((_, e)) => expr(e).cast(c.dataType).as(c.logical)
+        case None => col(c.logical)
+      }
+    }: _*)
+    if (assigns.exists(_._1 == t.pk)) {
+      val (nd, _) = append(t, matching, EventLog.SOFT_DELETE)
+      val (_, last) = append(t, updated, EventLog.INSERT)
+      summary("update", nd, last)
+    } else {
+      val (n, last) = append(t, updated, EventLog.PATCH)
+      summary("update", n, last)
+    }
+  }
+
+  /** DELETE: matching current-state rows become SoftDelete tombstones
+    * (payload keeps the last row image, like the drift history shows). */
+  def delete(table: String, where: Option[String]): DataFrame = {
+    val t = catalog.require(table)
+    val state = stateAt(table, None)
+    val matching = where.fold(state)(w => state.where(expr(w)))
+    val (n, last) = append(t, matching, EventLog.SOFT_DELETE)
+    summary("delete", n, last)
+  }
+
+  /** TRUNCATE = soft-delete every current row (sql_bridge.rs:701-750). */
+  def truncate(table: String): DataFrame = delete(table, None)
+
+  /** SNAPSHOT/VACUUM/CHECKPOINT TABLE: materialize collapsed state at
+    * the current sequence (engine.rs:739-845). */
+  def snapshot(table: String, atSeq: Option[Long] = None): DataFrame = {
+    val t = catalog.require(table)
+    val seq = atSeq.getOrElse(catalog.lastSeq(t.name))
+    Snapshots.write(events(t), catalog.snapshotPath(table), seq)
+    summary("snapshot", 0L, seq)
+  }
+
+  /** JSONL bulk ingest (driftdb-cli main.rs:40-50): columns matched by
+    * name, missing ones NULL. */
+  def ingestJsonl(table: String, path: String): DataFrame = {
+    val t = catalog.require(table)
+    val raw = spark.read.json(path)
+    val full = raw.select(t.columns.map(c =>
+      if (raw.columns.contains(c.logical)) col(c.logical).cast(c.dataType).as(c.logical)
+      else lit(null).cast(c.dataType).as(c.logical)): _*)
+    val (n, last) = append(t, full, EventLog.INSERT)
+    summary("ingest", n, last)
+  }
+
+  // ========================================================== utilities
+
+  /** EXPLAIN <query>: the formatted Catalyst plan (sql_bridge.rs:
+    * 580-670 renders its own plan tree; ours is the real physical
+    * plan, PushedFilters and all). */
+  def explain(inner: String): DataFrame = {
+    val df = select(inner)
+    val text = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    spark.range(1).select(lit(text).as("plan"))
+  }
+
+  /** ANALYZE TABLE: row count + per-column ndv/min/max, stored for
+    * inspection (sql_bridge.rs:671-700; engine.rs:1422). In a cluster
+    * deployment these land in the metastore for CBO; here they feed
+    * the catalog's stats map. */
+  def analyze(table: String): DataFrame = {
+    val t = catalog.require(table)
+    val state = stateAt(table, None)
+    val aggs = t.columns.flatMap(c => Seq(
+      approx_count_distinct(col(c.logical)).as(s"ndv_${c.logical}"),
+      min(col(c.logical)).cast("string").as(s"min_${c.logical}"),
+      max(col(c.logical)).cast("string").as(s"max_${c.logical}")))
+    val row = state.agg(count(lit(1)).as("n_rows"), aggs: _*).head()
+    catalog.stats(table) = row.schema.fieldNames
+      .map(f => f -> Option(row.getAs[Any](f)).map(_.toString).orNull).toMap
+    spark.range(1).select(lit(table).as("table"),
+      lit(row.getAs[Long]("n_rows")).as("n_rows"))
+  }
+
+  def showTables(): DataFrame = {
+    import spark.implicits._
+    catalog.tableNames.map(n => (n, "table")).toDF("name", "kind")
+      .unionByName(catalog.viewNames.map(n => (n, "view")).toDF("name", "kind"))
+  }
+
+  def describe(table: String): DataFrame = {
+    import spark.implicits._
+    val t = catalog.require(table)
+    t.columns.map(c => (c.logical, c.dataType.sql, c.logical == t.pk))
+      .toDF("column", "type", "primary_key")
+  }
+
+  // ======================================================== attachments
+
+  /** Expose a fixture parquet as a read-only base table (state-only —
+    * no event history). */
+  def attachExternal(name: String, path: String): Unit = {
+    spark.read.parquet(path).createOrReplaceTempView(name)
+  }
+
+  /** Expose an in-memory event log as a temporal table. */
+  def attachEventLog(name: String, pk: String, log: DataFrame): Unit =
+    catalog.attachEventLog(name, pk, log)
+}
+
+object QueryEngine {
+  /** Engine over a fresh scratch dir (tests, per-query fixtures). */
+  def scratch(spark: SparkSession): QueryEngine = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-engine-")
+    new QueryEngine(spark, dir.toString)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.log
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -22,6 +22,14 @@ import org.apache.spark.sql.types._
   * per committed batch (see graft.exec.QueryEngine).
   */
 object EventLog {
+
+  /** Epoch for the deterministic logical event clock: event ts =
+    * 2020-01-01T00:00:00Z + sequence seconds. The reference stamps wall
+    * clock (events.rs:12-20); a sequence-derived clock keeps ts
+    * monotonic with sequence (which wall clock also guarantees under
+    * the reference's single writer) while making AS-OF-timestamp reads
+    * reproducible. */
+  val ClockEpoch: Long = 1577836800L
   val INSERT = "INSERT"
   val PATCH = "PATCH"
   val SOFT_DELETE = "SOFT_DELETE"
@@ -53,5 +61,22 @@ object EventLog {
       lit(eventType).as("event_type"),
       col(pkCol).cast("string").as("pk"),
       payload.as("payload"))
+  }
+
+  /** Assign contiguous sequences base+1 .. base+count to a batch,
+    * distributed: zipWithIndex computes per-partition offsets in one
+    * extra pass instead of collapsing to a single partition (a
+    * window-based row_number would). Returns the frame with a new
+    * `sequence` column. The write path is driver-serialized — same
+    * single-writer discipline as the reference (index.rs:22-26) — so
+    * contiguity per batch is safe. */
+  def assignSequences(batch: DataFrame, base: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val out = StructType(batch.schema.fields :+
+      StructField("sequence", LongType, nullable = false))
+    val rdd = batch.rdd.zipWithIndex.map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ (base + 1 + i))
+    }
+    spark.createDataFrame(rdd, out)
   }
 }

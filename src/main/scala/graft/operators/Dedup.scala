@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale design notes (100 TB corpus):
   *  - exact dedup is one hash-shuffle on the digest — no driver state;
-  *  - MinHash/LSH turns the O(n²) pair space into per-band buckets:
-  *    the only shuffles are (doc -> band bucket) and the bucket self
-  *    join, whose fan-out is bounded by bucket size; skewed buckets
-  *    (boilerplate docs) should be salted or capped upstream;
-  *  - SimHash pairs are generated within LSH-style prefix buckets too
-  *    (here: full pair join bounded by caller-side filters at test SF).
+  *  - the Jaccard inverted-index join caps token document frequency
+  *    first: one boilerplate token shared by f docs creates an f²
+  *    bucket, so hot tokens are dropped from the vocabulary before the
+  *    join (standard stopword df-cap);
+  *  - MinHash/LSH turns the O(n²) pair space into per-band buckets;
+  *  - SimHash candidates come from bit-block buckets (pigeonhole: two
+  *    64-bit hashes within Hamming distance d share at least one of b
+  *    blocks whenever d < b), never from an all-pairs product.
   */
 object Dedup {
 
@@ -26,14 +28,26 @@ object Dedup {
   /** Tokenize into a deduplicated word array. */
   def wordSet(text: Column): Column = array_distinct(split(text, " "))
 
-  /** Pairwise n-gram (word-set) Jaccard similarity over candidate docs.
-    * Computed by exploding word sets and self-joining on the word —
-    * i.e. an inverted index join, not a cartesian product; the group-by
-    * computes |A∩B| and set sizes give the union. All-integer ratios
-    * keep results engine-exact. */
-  def jaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val words = docs
+  /** Pairwise word-set Jaccard similarity over candidate docs via an
+    * inverted-index join (not a cartesian product). Tokens whose
+    * document frequency exceeds `maxDfFrac` of the corpus are dropped
+    * from the vocabulary first — an unbounded hot token (stopword,
+    * boilerplate) would otherwise create a quadratic bucket in the
+    * self-join. Set sizes and intersections are both computed over the
+    * capped vocabulary, so the ratio stays a true Jaccard of the
+    * filtered sets; all-integer ratios keep results engine-exact. */
+  def jaccardPairs(
+      docs: DataFrame,
+      minJaccard: Double,
+      maxDfFrac: Double = 0.8): DataFrame = {
+    val words0 = docs
       .select(col("doc_id"), explode(wordSet(col("text"))).as("word"))
+    val nDocs = docs.agg(count(lit(1)).as("_ndocs"))
+    val vocab = words0.groupBy("word").agg(count(lit(1)).as("_df"))
+      .crossJoin(broadcast(nDocs))
+      .where(col("_df") <= lit(maxDfFrac) * col("_ndocs"))
+      .select("word")
+    val words = words0.join(vocab, "word")
     val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = words.as("a")
     val b = words.as("b")
@@ -63,7 +77,10 @@ object Dedup {
 
   /** MinHash + LSH candidate pairs: split the signature into bands of
     * `rowsPerBand`, hash each band, and self-join per (band, hash)
-    * bucket. Returns (d1, d2, n_bands) — pairs colliding in >= 1 band. */
+    * bucket. Returns (d1, d2, n_bands) — pairs colliding in >= 1 band.
+    * Two docs with identical word sets have identical signatures and
+    * therefore collide in every band — guaranteed candidates (the
+    * invariant q_minhash_superset verifies). */
   def minHashCandidates(docs: DataFrame, perms: Int, rowsPerBand: Int): DataFrame = {
     val sigs = minHashSignatures(docs, perms)
     val nBands = perms / rowsPerBand
@@ -102,13 +119,31 @@ object Dedup {
   }
 
   /** Near-duplicate pairs by SimHash Hamming distance <= maxDist.
-    * Candidate generation at scale should bucket on bit-prefixes; the
-    * test-SF form joins the (caller-bounded) candidate set directly. */
-  def simHashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
+    * Candidate generation is a bit-block bucket self-join: the 64-bit
+    * hash splits into `blocks` equal blocks; by pigeonhole any pair
+    * within distance < `blocks` matches exactly on at least one
+    * (block-index, block-value) key, so the equi-join recalls every
+    * qualifying pair without an all-pairs product. Exact
+    * bit_count(xor) re-scoring then drops false candidates — the
+    * result set is identical to the quadratic form. */
+  def simHashPairs(docs: DataFrame, maxDist: Int, blocks: Int = 16): DataFrame = {
+    require(maxDist < blocks,
+      s"recall guarantee needs maxDist < blocks ($maxDist >= $blocks)")
+    require(64 % blocks == 0, s"blocks must divide 64 (got $blocks)")
+    val width = 64 / blocks
+    val mask = (1L << width) - 1
     val s = simHash(docs)
-    val l = s.select(col("doc_id").as("d1"), col("simhash").as("s1"))
-    val r = s.select(col("doc_id").as("d2"), col("simhash").as("s2"))
-    l.join(r, col("d1") < col("d2"))
+    val banded = s.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(blocks - 1))).as("blk"))
+      .withColumn("blkval",
+        expr(s"shiftrightunsigned(simhash, blk * $width) & $mask"))
+    val l = banded.select(col("blk"), col("blkval"),
+      col("doc_id").as("d1"), col("simhash").as("s1"))
+    val r = banded.select(col("blk"), col("blkval"),
+      col("doc_id").as("d2"), col("simhash").as("s2"))
+    l.join(r, Seq("blk", "blkval"))
+      .where(col("d1") < col("d2"))
+      .select("d1", "d2", "s1", "s2").distinct()
       .withColumn("dist", bit_count(col("s1").bitwiseXOR(col("s2"))))
       .where(col("dist") <= maxDist)
       .select("d1", "d2", "dist")

@@ -1,0 +1,204 @@
+package graft.queries
+
+import graft.exec.QueryEngine
+import org.apache.spark.sql.SparkSession
+
+/** Correctness queries that exercise the ENGINE SHELL — every one of
+  * these routes through `engine.sql(<string>)`: the statement router,
+  * the FOR SYSTEM_TIME string preprocessor, catalog-resolved temp
+  * views, DML-as-event-appends with sequence assignment, and snapshot-
+  * accelerated time travel. The oracles recompute the same semantics
+  * algebraically over the fixture parquet (the q_state_* pattern in
+  * Temporal.scala), so a regression anywhere in the shell shows up as
+  * a hash mismatch.
+  */
+object EngineSql {
+
+  /** Engine with the deterministic synthetic orders event log attached
+    * (same log as Temporal.ordersEventLog, so the same oracles apply). */
+  private def evtEngine(s: SparkSession, dir: String): QueryEngine = {
+    val e = QueryEngine.scratch(s)
+    e.attachEventLog("orders_evt", "o_orderkey", Temporal.ordersEventLog(s, dir))
+    e
+  }
+
+  /** FOR SYSTEM_TIME AS OF @SEQ:N through the SQL string path
+    * (sql_bridge.rs:304-320 + 47-78). */
+  val qSqlAsOfSeq = Q(
+    "q_sql_asof_seq",
+    """SELECT o_orderkey,
+      |       CASE WHEN o_orderkey % 7 = 0 AND o_orderkey * 3 + 1 <= 22501
+      |            THEN 'R' ELSE o_orderstatus END AS status,
+      |       CAST(o_totalprice AS DOUBLE) AS total
+      |FROM orders
+      |WHERE o_orderkey * 3 <= 22501
+      |  AND NOT (o_orderkey % 11 = 0 AND o_orderkey * 3 + 2 <= 22501)
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    evtEngine(s, dir).sql(
+      """SELECT o_orderkey, o_orderstatus AS status,
+        |       CAST(o_totalprice AS DOUBLE) AS total
+        |FROM orders_evt FOR SYSTEM_TIME AS OF @SEQ:22501
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** FOR SYSTEM_TIME AS OF '<timestamp>' through the SQL string path —
+    * resolved to the max sequence with event ts <= cutoff
+    * (engine.rs:2010); the synthetic log has ts = 2020-01-01 + seq
+    * seconds, so the cutoff below equals seq <= 30000. */
+  val qSqlAsOfTs = Q(
+    "q_sql_asof_ts",
+    """SELECT o_orderkey,
+      |       CASE WHEN o_orderkey % 7 = 0 AND o_orderkey * 3 + 1 <= 30000
+      |            THEN 'R' ELSE o_orderstatus END AS status
+      |FROM orders
+      |WHERE o_orderkey * 3 <= 30000
+      |  AND NOT (o_orderkey % 11 = 0 AND o_orderkey * 3 + 2 <= 30000)
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    evtEngine(s, dir).sql(
+      """SELECT o_orderkey, o_orderstatus AS status
+        |FROM orders_evt FOR SYSTEM_TIME AS OF '2020-01-01 08:20:00'
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** FOR SYSTEM_TIME ALL — full drift history through the SQL path
+    * (sql_bridge.rs:6494-6556). */
+  val qSqlSystemAll = Q(
+    "q_sql_system_all",
+    """WITH ev AS (
+      |  SELECT o_orderkey * 3 AS sequence, o_orderkey, 'INSERT' AS event_type,
+      |         o_orderstatus AS status
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey * 3 + 1, o_orderkey, 'PATCH', 'R'
+      |  FROM orders WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey * 3 + 2, o_orderkey, 'SOFT_DELETE', o_orderstatus
+      |  FROM orders WHERE o_orderkey % 11 = 0)
+      |SELECT sequence, o_orderkey AS pk_key, event_type, status
+      |FROM ev WHERE o_orderkey % 100 = 0
+      |ORDER BY pk_key, sequence""".stripMargin) { (s, dir) =>
+    evtEngine(s, dir).sql(
+      """SELECT sequence, o_orderkey AS pk_key, event_type,
+        |       o_orderstatus AS status
+        |FROM orders_evt FOR SYSTEM_TIME ALL
+        |WHERE o_orderkey % 100 = 0
+        |ORDER BY pk_key, sequence""".stripMargin)
+  }
+
+  /** FOR SYSTEM_TIME BETWEEN a AND b — sequence-range change stream
+    * (superset; the reference parses-then-errors, README.md:94-96). */
+  val qSqlBetween = Q(
+    "q_sql_between",
+    """WITH ev AS (
+      |  SELECT o_orderkey * 3 AS sequence, o_orderkey, 'INSERT' AS event_type
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey * 3 + 1, o_orderkey, 'PATCH'
+      |  FROM orders WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey * 3 + 2, o_orderkey, 'SOFT_DELETE'
+      |  FROM orders WHERE o_orderkey % 11 = 0)
+      |SELECT sequence, o_orderkey AS pk_key, event_type
+      |FROM ev WHERE sequence BETWEEN 3000 AND 4500
+      |ORDER BY sequence, event_type""".stripMargin) { (s, dir) =>
+    evtEngine(s, dir).sql(
+      """SELECT sequence, o_orderkey AS pk_key, event_type
+        |FROM orders_evt FOR SYSTEM_TIME BETWEEN 3000 AND 4500
+        |ORDER BY sequence, event_type""".stripMargin)
+  }
+
+  /** Snapshot-accelerated time travel: checkpoint the state at 15000,
+    * then read AS OF 22501 — replay covers only (15000, 22501], and the
+    * result must hash-match the full-replay oracle exactly. */
+  val qSqlSnapshot = Q(
+    "q_sql_snapshot",
+    """SELECT o_orderkey,
+      |       CASE WHEN o_orderkey % 7 = 0 AND o_orderkey * 3 + 1 <= 22501
+      |            THEN 'R' ELSE o_orderstatus END AS status
+      |FROM orders
+      |WHERE o_orderkey * 3 <= 22501
+      |  AND NOT (o_orderkey % 11 = 0 AND o_orderkey * 3 + 2 <= 22501)
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val e = evtEngine(s, dir)
+    e.snapshot("orders_evt", atSeq = Some(15000L))
+    e.sql(
+      """SELECT o_orderkey, o_orderstatus AS status
+        |FROM orders_evt FOR SYSTEM_TIME AS OF @SEQ:22501
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Full DML lifecycle through SQL strings: CREATE TABLE → INSERT ...
+    * SELECT → UPDATE → DELETE → SELECT current state. Every write is an
+    * event append with monotonic sequences on a persistent parquet log;
+    * the oracle simulates the same fold over the base fixture. */
+  private def lifecycleEngine(s: SparkSession, dir: String): QueryEngine = {
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.sql("CREATE TABLE acct (k BIGINT PRIMARY KEY, bal DOUBLE, status STRING)")
+    e.sql("""INSERT INTO acct
+            |SELECT c_custkey, c_acctbal, 'new' FROM customer
+            |WHERE c_custkey < 500""".stripMargin)
+    e.sql("UPDATE acct SET status = 'vip' WHERE bal > 5000")
+    e.sql("DELETE FROM acct WHERE k % 10 = 0")
+    e
+  }
+
+  val qLifecycleCurrent = Q(
+    "q_lifecycle_current",
+    """SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal,
+      |       CASE WHEN c_acctbal > 5000 THEN 'vip' ELSE 'new' END AS status
+      |FROM customer
+      |WHERE c_custkey < 500 AND c_custkey % 10 <> 0
+      |ORDER BY k""".stripMargin) { (s, dir) =>
+    lifecycleEngine(s, dir)
+      .sql("SELECT k, CAST(bal AS DOUBLE) AS bal, status FROM acct ORDER BY k")
+  }
+
+  /** Time travel to the post-INSERT batch boundary (sequence 500):
+    * updates and deletes are not yet visible. */
+  val qLifecycleAsOf = Q(
+    "q_lifecycle_asof",
+    """SELECT c_custkey AS k, 'new' AS status
+      |FROM customer WHERE c_custkey < 500
+      |ORDER BY k""".stripMargin) { (s, dir) =>
+    lifecycleEngine(s, dir)
+      .sql("""SELECT k, status FROM acct FOR SYSTEM_TIME AS OF @SEQ:500
+             |ORDER BY k""".stripMargin)
+  }
+
+  /** Plain relational passthrough through engine.sql over external
+    * tables — identical ANSI text runs in the oracle. */
+  private val passthroughSql =
+    """SELECT n_name, COUNT(*) AS n_cust,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  val qSqlPassthrough = Q("q_sql_passthrough", passthroughSql) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.attachExternal("nation", s"$dir/nation.parquet")
+    e.sql(passthroughSql)
+  }
+
+  /** CREATE VIEW + query-through-view (views.rs:1-30; expansion
+    * sql_bridge.rs:1203-1259). */
+  val qSqlView = Q(
+    "q_sql_view",
+    """SELECT c_mktsegment, COUNT(*) AS n
+      |FROM (SELECT * FROM customer WHERE c_acctbal > 7000) rich
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.sql("CREATE VIEW rich AS SELECT * FROM customer WHERE c_acctbal > 7000")
+    e.sql(
+      """SELECT c_mktsegment, COUNT(*) AS n
+        |FROM rich GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(
+    qSqlAsOfSeq, qSqlAsOfTs, qSqlSystemAll, qSqlBetween, qSqlSnapshot,
+    qLifecycleCurrent, qLifecycleAsOf, qSqlPassthrough, qSqlView)
+}

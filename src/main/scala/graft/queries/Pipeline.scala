@@ -34,12 +34,19 @@ object Pipeline {
       .orderBy("first_id")
   }
 
-  /** Word-set Jaccard near-dup pairs via inverted-index join. */
+  /** Word-set Jaccard near-dup pairs via inverted-index join with a
+    * hot-token df-cap (tokens in > 80% of docs are dropped from the
+    * vocabulary before the self-join — the quadratic-bucket guard).
+    * The oracle applies the identical cap. */
   val qJaccardPairs = Q(
     "q_jaccard_pairs",
-    """WITH w AS (
+    """WITH w0 AS (
       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
       |  FROM documents WHERE doc_id < 150),
+      |vocab AS (
+      |  SELECT word FROM (SELECT word, COUNT(*) AS df FROM w0 GROUP BY word)
+      |  WHERE df <= 0.8 * (SELECT COUNT(*) FROM documents WHERE doc_id < 150)),
+      |w AS (SELECT doc_id, word FROM w0 WHERE word IN (SELECT word FROM vocab)),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
@@ -52,21 +59,70 @@ object Pipeline {
       |JOIN sizes sb ON sb.doc_id = d2
       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
-    Dedup.jaccardPairs(t(s, dir, "documents").where(col("doc_id") < 150), 0.8)
+    Dedup.jaccardPairs(t(s, dir, "documents").where(col("doc_id") < 150),
+        0.8, maxDfFrac = 0.8)
       .orderBy("d1", "d2")
   }
 
-  /** MinHash(16) + LSH(4 bands) candidate pairs — rows-only (hash
-    * functions are engine-specific). */
+  /** MinHash(16) + LSH(4 bands) candidate pairs — rows-only (the hash
+    * functions are engine-specific); q_minhash_superset carries the
+    * oracle-checked invariant for this operator. */
   val qMinHashLsh = Q.rowsOnly("q_minhash_lsh") { (s, dir) =>
     Dedup.minHashCandidates(
         t(s, dir, "documents").where(col("doc_id") < 300), 16, 4)
       .orderBy("d1", "d2")
   }
 
-  /** SimHash near-dup pairs (Hamming <= 10) — rows-only. */
+  /** Identical-word-set doc pairs within doc_id < 300, ordered by key. */
+  private def wordSetTwins(s: SparkSession, dir: String, maxId: Int): DataFrame = {
+    val k = t(s, dir, "documents").where(col("doc_id") < maxId)
+      .select(col("doc_id"),
+        concat_ws("\u001f", array_sort(Dedup.wordSet(col("text")))).as("wkey"))
+    k.as("x").join(k.as("y"),
+        col("x.wkey") === col("y.wkey") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+  }
+
+  private def wordSetTwinsSql(maxId: Int): String =
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |         array_to_string(list_sort(list_distinct(string_split(text, ' '))), chr(31)) AS wkey
+       |  FROM documents WHERE doc_id < $maxId)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2
+       |FROM k a JOIN k b ON a.wkey = b.wkey AND a.doc_id < b.doc_id
+       |ORDER BY d1, d2""".stripMargin
+
+  /** LSH recall invariant with a real oracle: docs with identical word
+    * sets have identical MinHash signatures, so they collide in every
+    * band — semi-joining the SQL-expressible ground-truth twin pairs
+    * against the LSH candidates must return exactly the twin pairs
+    * (165 at sf0.01). A broken banding/hashing drops rows here. */
+  val qMinHashSuperset = Q(
+    "q_minhash_superset", wordSetTwinsSql(300)) { (s, dir) =>
+    val cands = Dedup.minHashCandidates(
+      t(s, dir, "documents").where(col("doc_id") < 300), 16, 4)
+    wordSetTwins(s, dir, 300)
+      .join(cands.select("d1", "d2"), Seq("d1", "d2"), "left_semi")
+      .orderBy("d1", "d2")
+  }
+
+  /** SimHash near-dup pairs (Hamming <= 10) via bit-block bucketing —
+    * rows-only; q_simhash_superset carries the oracle-checked
+    * invariant. */
   val qSimHash = Q.rowsOnly("q_simhash") { (s, dir) =>
     Dedup.simHashPairs(t(s, dir, "documents").where(col("doc_id") < 150), 10)
+      .orderBy("d1", "d2")
+  }
+
+  /** SimHash invariant with a real oracle: identical word sets hash to
+    * identical SimHash values (distance 0), so every ground-truth twin
+    * pair must survive the bit-block candidate join + rescore. */
+  val qSimHashSuperset = Q(
+    "q_simhash_superset", wordSetTwinsSql(150)) { (s, dir) =>
+    val pairs = Dedup.simHashPairs(
+      t(s, dir, "documents").where(col("doc_id") < 150), 10)
+    wordSetTwins(s, dir, 150)
+      .join(pairs.select("d1", "d2"), Seq("d1", "d2"), "left_semi")
       .orderBy("d1", "d2")
   }
 
@@ -195,6 +251,26 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Per-partition feature extraction over binary payloads — the
+    * mapPartitions execution shape a real decoder needs (codec opened
+    * once per partition). The stub features (first/last byte) are
+    * SQL-expressible over ASCII text, so this carries a real oracle. */
+  val qMmFeatures = Q(
+    "q_mm_features",
+    """SELECT doc_id,
+      |       ascii(substr(text, 1, 1)) AS feat_first,
+      |       ascii(substr(text, length(text), 1)) AS feat_last,
+      |       octet_length(encode(text)) AS byte_len
+      |FROM documents WHERE doc_id < 50
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Multimodal.extractFeatures(
+        Multimodal.withBinaryPayload(
+          t(s, dir, "documents").where(col("doc_id") < 50), col("text"), "text"))
+      .select(col("doc_id"), col("feat_first"), col("feat_last"),
+        col("meta.byte_len").as("byte_len"))
+      .orderBy("doc_id")
+  }
+
   /** Frame-sampling slices over binary payloads (video-style access
     * pattern; offsets from the stub metadata). */
   val qFrameSample = Q(
@@ -286,9 +362,10 @@ object Pipeline {
   }
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qJaccardPairs, qMinHashLsh, qSimHash,
+    qDedupExact, qJaccardPairs, qMinHashLsh, qMinHashSuperset,
+    qSimHash, qSimHashSuperset,
     qAnnCosine, qAnnLsh,
     qTextQuality, qLangId, qTokenStats, qFingerprint,
-    qMultimodalMeta, qFrameSample,
+    qMultimodalMeta, qMmFeatures, qFrameSample,
     qEventsHourly, qEventsSessions, qEventsJson)
 }

@@ -28,13 +28,13 @@ object Relational {
       |       strftime(l_shipdate, '%Y-%m-%d') AS ship_day
       |FROM lineitem
       |WHERE l_returnflag = 'R' AND l_quantity < 5
-      |  AND l_shipdate >= TIMESTAMP '1994-01-01'
-      |  AND l_shipdate <  TIMESTAMP '1995-01-01'
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01'
       |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
     t(s, dir, "lineitem")
       .where(col("l_returnflag") === "R" && col("l_quantity") < 5 &&
-        col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1995-01-01").cast("timestamp"))
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
       .orderBy("l_orderkey", "l_linenumber")
@@ -59,15 +59,19 @@ object Relational {
   }
 
   /** IS NULL semantics via outer join (fixtures are NULL-free; the
-    * reference treats missing keys as NULL — predicate.rs:42-48). */
+    * reference treats missing keys as NULL — predicate.rs:42-48). The
+    * orders side is restricted to big orders so some customers genuinely
+    * lack a match — every customer has at least one order at sf0.01,
+    * which made the unrestricted form verify on 0 rows. */
   val qPredNull = Q(
     "q_pred_null",
     """SELECT c.c_custkey, c.c_mktsegment
-      |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |FROM customer c LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+      |  ON c.c_custkey = o.o_custkey
       |WHERE o.o_orderkey IS NULL
       |ORDER BY c.c_custkey""".stripMargin) { (s, dir) =>
     val c = t(s, dir, "customer")
-    val o = t(s, dir, "orders")
+    val o = t(s, dir, "orders").where(col("o_totalprice") > 400000)
     c.join(o, c("c_custkey") === o("o_custkey"), "left")
       .where(col("o_orderkey").isNull)
       .select("c_custkey", "c_mktsegment")
@@ -340,15 +344,18 @@ object Relational {
       .orderBy("c_custkey")
   }
 
-  /** Anti join (NOT EXISTS pattern — sql_bridge.rs:4218) via left_anti. */
+  /** Anti join (NOT EXISTS pattern — sql_bridge.rs:4218) via left_anti.
+    * Restricted to big orders so the anti side is non-empty at sf0.01
+    * (202 customers lack a >400k order; none lack an order outright). */
   val qAntiJoin = Q(
     "q_anti_join",
     """SELECT c_custkey, c_mktsegment
       |FROM customer c
-      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
       |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
     val c = t(s, dir, "customer")
-    val o = t(s, dir, "orders")
+    val o = t(s, dir, "orders").where(col("o_totalprice") > 400000)
     c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_mktsegment")
       .orderBy("c_custkey")
@@ -383,8 +390,8 @@ object Relational {
       |JOIN customer ON c_nationkey = n_nationkey
       |JOIN orders   ON o_custkey = c_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
-      |WHERE o_orderdate >= TIMESTAMP '1994-01-01'
-      |  AND o_orderdate <  TIMESTAMP '1995-01-01'
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01'
       |GROUP BY r_name, n_name
       |ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
     val one4 = lit(1).cast("decimal(8,4)")
@@ -392,8 +399,8 @@ object Relational {
     val n = t(s, dir, "nation")
     val c = t(s, dir, "customer")
     val o = t(s, dir, "orders")
-      .where(col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
-        col("o_orderdate") < lit("1995-01-01").cast("timestamp"))
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
     val l = t(s, dir, "lineitem")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))

@@ -87,8 +87,10 @@ object Temporal {
       |WHERE o_orderkey * 3 <= 30000
       |  AND NOT (o_orderkey % 11 = 0 AND o_orderkey * 3 + 2 <= 30000)
       |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
-    // 2020-01-01 00:00:00 UTC + 30000s
-    StateView.stateAsOfTimestamp(ordersEventLog(s, dir), "2020-01-01 08:20:00")
+    // 2020-01-01 00:00:00 UTC + 30000s — built from the epoch second so
+    // the cutoff is independent of spark.sql.session.timeZone.
+    StateView.stateAsOfTimestamp(ordersEventLog(s, dir),
+      timestamp_seconds(lit(1577836800L + 30000L)))
       .select(col("o_orderkey"), col("o_orderstatus").as("status"))
       .orderBy("o_orderkey")
   }

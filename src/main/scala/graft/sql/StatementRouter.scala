@@ -1,0 +1,180 @@
+package graft.sql
+
+/** Statement classification — the analogue of `execute_sql_inner`'s
+  * dispatch on the parsed statement variant (sql_bridge.rs:274-757).
+  *
+  * Only the statement SHELL is parsed here (kind, table, column list,
+  * assignments, WHERE text); every value expression inside it —
+  * literals, arithmetic, functions, predicates — is handed verbatim to
+  * Spark (`expr(...)` / `spark.sql`), so the full Catalyst expression
+  * library is available in DML, a strict superset of the reference's
+  * evaluator ([REF-GAP] SURVEY §2.2: the reference has no scalar
+  * function library at all).
+  */
+sealed trait Statement
+object Statement {
+  final case class CreateTable(name: String, cols: Seq[(String, String)], pk: String) extends Statement
+  final case class CreateIndex(index: String, table: String, column: String) extends Statement
+  final case class CreateView(name: String, sql: String) extends Statement
+  final case class DropTable(name: String, ifExists: Boolean) extends Statement
+  final case class DropView(name: String, ifExists: Boolean) extends Statement
+  final case class Truncate(table: String) extends Statement
+  final case class AlterAdd(table: String, column: String, typeDdl: String) extends Statement
+  final case class AlterRename(table: String, from: String, to: String) extends Statement
+  final case class AlterDrop(table: String, column: String) extends Statement
+  final case class InsertValues(table: String, cols: Option[Seq[String]], valuesSql: String) extends Statement
+  final case class InsertSelect(table: String, cols: Option[Seq[String]], select: String) extends Statement
+  final case class Update(table: String, assignments: Seq[(String, String)], where: Option[String]) extends Statement
+  final case class Delete(table: String, where: Option[String]) extends Statement
+  /** VACUUM t / CHECKPOINT TABLE t / SNAPSHOT t (sql_bridge.rs:278-302). */
+  final case class Snapshot(table: String) extends Statement
+  final case class Explain(inner: String, analyze: Boolean) extends Statement
+  final case class Analyze(table: String) extends Statement
+  case object ShowTables extends Statement
+  final case class Describe(table: String) extends Statement
+  /** COPY t FROM 'path' — JSONL bulk ingest (driftdb-cli main.rs:40-50). */
+  final case class CopyFrom(table: String, path: String) extends Statement
+  final case class Select(sql: String) extends Statement
+}
+
+object StatementRouter {
+  import Statement._
+
+  /** Split at top-level commas: commas inside (...) or '...' don't
+    * count (DECIMAL(12,2), string literals). */
+  def splitTopLevel(s: String, sep: Char = ','): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        cur += c
+        if (c == '\'') {
+          // '' is an escaped quote inside a string literal
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { cur += '\''; i += 1 }
+          else inStr = false
+        }
+      } else c match {
+        case '\'' => inStr = true; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case `sep` if depth == 0 => out += cur.toString.trim; cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    val last = cur.toString.trim
+    if (last.nonEmpty) out += last
+    out.result()
+  }
+
+  private val CreateTableR =
+    """(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)\)\s*$""".r
+  private val CreateIndexR =
+    """(?is)^CREATE\s+(?:UNIQUE\s+)?INDEX\s+(\w+)\s+ON\s+([\w.]+)\s*\(\s*(\w+)\s*\)\s*$""".r
+  private val CreateViewR =
+    """(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?(?:MATERIALIZED\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)$""".r
+  private val DropTableR = """(?is)^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
+  private val DropViewR = """(?is)^DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
+  private val TruncateR = """(?is)^TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*$""".r
+  private val AlterAddR =
+    """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+(.+?)\s*$""".r
+  private val AlterRenameR =
+    """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+(?:COLUMN\s+)?(\w+)\s+TO\s+(\w+)\s*$""".r
+  private val AlterDropR =
+    """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*$""".r
+  private val InsertR =
+    """(?is)^INSERT\s+INTO\s+([\w.]+)\s*(\(([^)]*)\))?\s*(VALUES\s*.+|SELECT\s+.+|WITH\s+.+)$""".r
+  private val UpdateR =
+    """(?is)^UPDATE\s+([\w.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?\s*$""".r
+  private val DeleteR =
+    """(?is)^DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+))?\s*$""".r
+  private val SnapshotR =
+    """(?is)^(?:VACUUM|SNAPSHOT|CHECKPOINT\s+TABLE)\s+([\w.]+)\s*$""".r
+  private val ExplainR = """(?is)^EXPLAIN\s+(ANALYZE\s+)?(.+)$""".r
+  private val AnalyzeR = """(?is)^ANALYZE\s+(?:TABLE\s+)?([\w.]+)\s*$""".r
+  private val ShowTablesR = """(?is)^SHOW\s+TABLES\s*$""".r
+  private val DescribeR = """(?is)^(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.]+)\s*$""".r
+  private val CopyR =
+    """(?is)^COPY\s+([\w.]+)\s+FROM\s+'([^']+)'\s*(?:\(.*\))?\s*$""".r
+
+  def parse(raw: String): Statement = {
+    val stmt = raw.trim.stripSuffix(";").trim
+    stmt match {
+      case CreateTableR(name, body) =>
+        val (cols, pk) = parseCreateBody(body)
+        CreateTable(name, cols, pk)
+      case CreateIndexR(idx, table, colName) => CreateIndex(idx, table, colName)
+      case CreateViewR(name, sql) => CreateView(name, sql.trim)
+      case DropTableR(ifEx, name) => DropTable(name, ifEx != null)
+      case DropViewR(ifEx, name) => DropView(name, ifEx != null)
+      case TruncateR(name) => Truncate(name)
+      case AlterRenameR(t, from, to) => AlterRename(t, from, to)
+      case AlterAddR(t, c, ddl) => AlterAdd(t, c, ddl.trim)
+      case AlterDropR(t, c) => AlterDrop(t, c)
+      case InsertR(table, _, colList, body) =>
+        val cols = Option(colList).map(splitTopLevel(_).map(_.trim))
+        if (body.trim.toUpperCase.startsWith("VALUES"))
+          InsertValues(table, cols, body.trim)
+        else InsertSelect(table, cols, body.trim)
+      case UpdateR(table, setPart, where) =>
+        val assigns = splitTopLevel(setPart).map { a =>
+          val eq = topLevelIndexOf(a, '=')
+          if (eq < 0) throw new IllegalArgumentException(s"bad assignment: $a")
+          (a.substring(0, eq).trim, a.substring(eq + 1).trim)
+        }
+        Update(table, assigns, Option(where).map(_.trim))
+      case DeleteR(table, where) => Delete(table, Option(where).map(_.trim))
+      case SnapshotR(table) => Snapshot(table)
+      case AnalyzeR(table) => Analyze(table)
+      case ExplainR(an, inner) => Explain(inner.trim, an != null)
+      case ShowTablesR() => ShowTables
+      case DescribeR(table) => Describe(table)
+      case CopyR(table, path) => CopyFrom(table, path)
+      case _ => Select(stmt)
+    }
+  }
+
+  private def topLevelIndexOf(s: String, c: Char): Int = {
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false }
+      else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case `c` if depth == 0 => return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** CREATE TABLE body: column defs with inline or trailing PRIMARY KEY
+    * (both reference forms — sql_bridge.rs:5724-5949). Types are DDL
+    * strings handed to Spark's `DataType.fromDDL`. */
+  private def parseCreateBody(body: String): (Seq[(String, String)], String) = {
+    val parts = splitTopLevel(body)
+    var pk: Option[String] = None
+    val cols = Vector.newBuilder[(String, String)]
+    val PkConstraint = """(?is)^PRIMARY\s+KEY\s*\(\s*(\w+)\s*\)$""".r
+    val ColDef = """(?is)^(\w+)\s+(.+?)(\s+PRIMARY\s+KEY)?$""".r
+    for (p <- parts) p match {
+      case PkConstraint(k) => pk = Some(k)
+      case ColDef(name, typeDdl, inlinePk) =>
+        cols += ((name, typeDdl.trim))
+        if (inlinePk != null) pk = Some(name)
+      case other => throw new IllegalArgumentException(s"bad column def: $other")
+    }
+    val result = cols.result()
+    (result, pk.getOrElse(throw new IllegalArgumentException(
+      "CREATE TABLE requires a PRIMARY KEY (single column, as in the reference)")))
+  }
+}

@@ -1,0 +1,45 @@
+package graft.sql
+
+/** SQL:2011 temporal clause, resolved before parsing.
+  *
+  * Mirrors the reference's approach exactly (sql_bridge.rs:304-320,
+  * 47-78): `FOR SYSTEM_TIME ...` is extracted at STRING level before
+  * the statement reaches the SQL parser (sqlparser there, Catalyst
+  * here — neither accepts the clause), and the extracted spec applies
+  * to every event-sourced table referenced by the statement.
+  */
+sealed trait SystemTime
+object SystemTime {
+  case object Current extends SystemTime
+  final case class AsOfSeq(seq: Long) extends SystemTime
+  final case class AsOfTs(ts: String) extends SystemTime
+  case object All extends SystemTime
+  final case class Between(from: Long, to: Long) extends SystemTime
+}
+
+object TemporalPre {
+  private val AsOfSeqR = """(?i)FOR\s+SYSTEM_TIME\s+AS\s+OF\s+@SEQ:(\d+)""".r
+  private val AsOfTsR = """(?i)FOR\s+SYSTEM_TIME\s+AS\s+OF\s+'([^']+)'""".r
+  private val AllR = """(?i)FOR\s+SYSTEM_TIME\s+ALL""".r
+  private val BetweenR = """(?i)FOR\s+SYSTEM_TIME\s+BETWEEN\s+(\d+)\s+AND\s+(\d+)""".r
+  private val FromToR = """(?i)FOR\s+SYSTEM_TIME\s+FROM\s+(\d+)\s+TO\s+(\d+)""".r
+
+  /** Extract the temporal clause (first match wins, every occurrence is
+    * stripped) and return the cleaned SQL plus the spec. BETWEEN and
+    * FROM..TO are sequence ranges — a superset of the reference, which
+    * parses them but errors (README.md:94-96). */
+  def extract(sql: String): (String, SystemTime) = {
+    def strip(r: scala.util.matching.Regex) = r.replaceAllIn(sql, " ")
+    AsOfSeqR.findFirstMatchIn(sql).map(m =>
+      (strip(AsOfSeqR), SystemTime.AsOfSeq(m.group(1).toLong): SystemTime))
+      .orElse(AsOfTsR.findFirstMatchIn(sql).map(m =>
+        (strip(AsOfTsR), SystemTime.AsOfTs(m.group(1)): SystemTime)))
+      .orElse(BetweenR.findFirstMatchIn(sql).map(m =>
+        (strip(BetweenR), SystemTime.Between(m.group(1).toLong, m.group(2).toLong): SystemTime)))
+      .orElse(FromToR.findFirstMatchIn(sql).map(m =>
+        (strip(FromToR), SystemTime.Between(m.group(1).toLong, m.group(2).toLong): SystemTime)))
+      .orElse(AllR.findFirstMatchIn(sql).map(_ =>
+        (strip(AllR), SystemTime.All: SystemTime)))
+      .getOrElse((sql, SystemTime.Current))
+  }
+}

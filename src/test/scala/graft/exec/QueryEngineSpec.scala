@@ -1,0 +1,183 @@
+package graft.exec
+
+import graft.TestSpark
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end engine-shell tests: every statement enters through
+  * `engine.sql(<string>)`, exactly as a reference user would drive
+  * `execute_sql` (sql_bridge.rs:234-237). Covers the DDL/DML lifecycle,
+  * temporal reads, schema evolution, views, snapshots, JSONL ingest,
+  * and catalog persistence across engine restarts.
+  */
+class QueryEngineSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def fresh(): QueryEngine = QueryEngine.scratch(spark)
+
+  private def seeded(): QueryEngine = {
+    val e = fresh()
+    e.sql("CREATE TABLE t (id BIGINT PRIMARY KEY, name STRING, val DOUBLE)")
+    e.sql("INSERT INTO t VALUES (1, 'a', 1.5), (2, 'b', 2.5), (3, 'c', 3.5)")
+    e
+  }
+
+  private def rows(e: QueryEngine, q: String): Seq[Row] =
+    e.sql(q).collect().toSeq
+
+  test("create / insert values / select") {
+    val e = seeded()
+    val got = rows(e, "SELECT id, name, val FROM t ORDER BY id")
+    assert(got === Seq(Row(1L, "a", 1.5), Row(2L, "b", 2.5), Row(3L, "c", 3.5)))
+  }
+
+  test("insert enforces pk uniqueness, within batch and against state") {
+    val e = seeded()
+    intercept[IllegalArgumentException] {
+      e.sql("INSERT INTO t VALUES (1, 'dup', 0.0)")
+    }
+    intercept[IllegalArgumentException] {
+      e.sql("INSERT INTO t VALUES (9, 'x', 0.0), (9, 'y', 0.0)")
+    }
+    // failed inserts must not leave partial state behind
+    assert(rows(e, "SELECT COUNT(*) AS n FROM t") === Seq(Row(3L)))
+  }
+
+  test("insert with explicit column list fills the rest with NULL") {
+    val e = seeded()
+    e.sql("INSERT INTO t (id, name) VALUES (4, 'd')")
+    assert(rows(e, "SELECT id, name, val FROM t WHERE id = 4")
+      === Seq(Row(4L, "d", null)))
+  }
+
+  test("update emits full-row patches; where + expression RHS") {
+    val e = seeded()
+    e.sql("UPDATE t SET val = val * 10, name = upper(name) WHERE id >= 2")
+    val got = rows(e, "SELECT id, name, val FROM t ORDER BY id")
+    assert(got === Seq(Row(1L, "a", 1.5), Row(2L, "B", 25.0), Row(3L, "C", 35.0)))
+  }
+
+  test("pk-changing update is soft-delete + insert (PG semantics)") {
+    val e = seeded()
+    e.sql("UPDATE t SET id = id + 100 WHERE id = 1")
+    val got = rows(e, "SELECT id, name FROM t ORDER BY id")
+    assert(got === Seq(Row(2L, "b"), Row(3L, "c"), Row(101L, "a")))
+    // the old pk's history shows the tombstone
+    val hist = rows(e,
+      "SELECT event_type FROM t FOR SYSTEM_TIME ALL WHERE id = 1 ORDER BY sequence")
+    assert(hist.map(_.getString(0)) === Seq("INSERT", "SOFT_DELETE"))
+  }
+
+  test("delete, truncate, and as-of reads across the lifecycle") {
+    val e = seeded() // sequences 1..3 = inserts
+    e.sql("DELETE FROM t WHERE id = 2") // seq 4
+    assert(rows(e, "SELECT COUNT(*) AS n FROM t") === Seq(Row(2L)))
+    assert(rows(e, "SELECT COUNT(*) AS n FROM t FOR SYSTEM_TIME AS OF @SEQ:3")
+      === Seq(Row(3L)))
+    e.sql("TRUNCATE t")
+    assert(rows(e, "SELECT COUNT(*) AS n FROM t") === Seq(Row(0L)))
+    // history intact after truncate
+    assert(rows(e, "SELECT COUNT(*) AS n FROM t FOR SYSTEM_TIME AS OF @SEQ:3")
+      === Seq(Row(3L)))
+  }
+
+  test("insert-select from another table") {
+    val e = seeded()
+    e.sql("CREATE TABLE t2 (id BIGINT PRIMARY KEY, name STRING)")
+    e.sql("INSERT INTO t2 SELECT id, name FROM t WHERE id <= 2")
+    assert(rows(e, "SELECT id, name FROM t2 ORDER BY id")
+      === Seq(Row(1L, "a"), Row(2L, "b")))
+  }
+
+  test("alter table add / rename / drop column with history-safe reads") {
+    val e = seeded()
+    e.sql("ALTER TABLE t ADD COLUMN tag STRING")
+    // pre-ALTER rows read NULL for the new column
+    assert(rows(e, "SELECT tag FROM t WHERE id = 1") === Seq(Row(null)))
+    e.sql("INSERT INTO t VALUES (4, 'd', 4.5, 'new')")
+    assert(rows(e, "SELECT tag FROM t WHERE id = 4") === Seq(Row("new")))
+    e.sql("ALTER TABLE t RENAME COLUMN tag TO label")
+    // rename is metadata-only: old data still readable under new name
+    assert(rows(e, "SELECT label FROM t WHERE id = 4") === Seq(Row("new")))
+    e.sql("ALTER TABLE t DROP COLUMN label")
+    assert(!e.sql("SELECT * FROM t").columns.contains("label"))
+    // drop + re-add of the same name must not resurrect old values
+    e.sql("ALTER TABLE t ADD COLUMN label STRING")
+    assert(rows(e, "SELECT label FROM t WHERE id = 4") === Seq(Row(null)))
+  }
+
+  test("snapshot-accelerated time travel matches full replay") {
+    val e = seeded()
+    e.sql("UPDATE t SET val = 0 WHERE id = 1") // seq 4
+    e.sql("SNAPSHOT t")
+    e.sql("INSERT INTO t VALUES (5, 'e', 5.5)") // seq 5
+    val got = rows(e, "SELECT id, val FROM t ORDER BY id")
+    assert(got === Seq(Row(1L, 0.0), Row(2L, 2.5), Row(3L, 3.5), Row(5L, 5.5)))
+    // as-of before the snapshot still answers correctly
+    assert(rows(e, "SELECT val FROM t FOR SYSTEM_TIME AS OF @SEQ:3 WHERE id = 1")
+      === Seq(Row(1.5)))
+  }
+
+  test("views expand recursively through the catalog") {
+    val e = seeded()
+    e.sql("CREATE VIEW big AS SELECT * FROM t WHERE val > 2")
+    e.sql("CREATE VIEW bigger AS SELECT id FROM big WHERE val > 3")
+    assert(rows(e, "SELECT id FROM bigger ORDER BY id") === Seq(Row(3L)))
+    e.sql("DROP VIEW bigger")
+    intercept[Exception](e.sql("SELECT * FROM nosuchview WHERE false").collect())
+  }
+
+  test("catalog and event log persist across engine restart") {
+    val e = seeded()
+    e.sql("UPDATE t SET name = 'z' WHERE id = 3")
+    val dir = e.baseDir
+    val e2 = new QueryEngine(spark, dir)
+    assert(rows(e2, "SELECT name FROM t WHERE id = 3") === Seq(Row("z")))
+    // sequence counter restored: next insert continues, no collision
+    e2.sql("INSERT INTO t VALUES (4, 'd', 4.5)")
+    assert(rows(e2, "SELECT COUNT(*) AS n FROM t FOR SYSTEM_TIME ALL")
+      === Seq(Row(5L)))
+  }
+
+  test("copy from jsonl ingests by column name") {
+    val e = seeded()
+    val f = java.nio.file.Files.createTempFile("graft-ingest", ".jsonl")
+    java.nio.file.Files.writeString(f,
+      """{"id": 10, "name": "j1", "val": 0.5}
+        |{"id": 11, "name": "j2"}
+        |""".stripMargin)
+    e.sql(s"COPY t FROM '${f.toString}'")
+    assert(rows(e, "SELECT id, name, val FROM t WHERE id >= 10 ORDER BY id")
+      === Seq(Row(10L, "j1", 0.5), Row(11L, "j2", null)))
+  }
+
+  test("explain / analyze / show tables / describe") {
+    val e = seeded()
+    val plan = rows(e, "EXPLAIN SELECT * FROM t WHERE id = 1").head.getString(0)
+    assert(plan.contains("Physical Plan"))
+    assert(rows(e, "ANALYZE TABLE t").head.getAs[Long]("n_rows") === 3L)
+    assert(rows(e, "SHOW TABLES").map(_.getString(0)).contains("t"))
+    val desc = rows(e, "DESCRIBE t")
+    assert(desc.map(_.getString(0)) === Seq("id", "name", "val"))
+    assert(desc.find(_.getString(0) == "id").get.getBoolean(2))
+  }
+
+  test("create index records metadata; drop table removes it from catalog") {
+    val e = seeded()
+    e.sql("CREATE INDEX idx_name ON t (name)")
+    assert(e.catalog.indexNames.contains("idx_name"))
+    e.sql("DROP TABLE t")
+    // the name must stop resolving entirely (catalog + stale temp view)
+    intercept[Exception](e.sql("SELECT * FROM t").collect())
+  }
+
+  test("for system_time between returns the change stream") {
+    val e = seeded()
+    e.sql("UPDATE t SET val = 9 WHERE id = 1") // seq 4
+    e.sql("DELETE FROM t WHERE id = 2") // seq 5
+    val got = rows(e,
+      "SELECT sequence, event_type FROM t FOR SYSTEM_TIME BETWEEN 4 AND 5 ORDER BY sequence")
+    assert(got === Seq(Row(4L, "PATCH"), Row(5L, "SOFT_DELETE")))
+  }
+}
