@@ -52,6 +52,7 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   private val views = mutable.LinkedHashMap.empty[String, String] // name -> SQL
   private val indexes = mutable.LinkedHashMap.empty[String, (String, String)] // idx -> (table, col)
   private val nextSeqs = mutable.HashMap.empty[String, Long] // last assigned sequence
+  private val nextColIds = mutable.HashMap.empty[String, Long] // ALTER ADD physical-name counter
   val stats = mutable.HashMap.empty[String, Map[String, String]] // ANALYZE output
 
   load()
@@ -82,6 +83,7 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       throw new IllegalArgumentException(s"primary key $pk not among columns")
     tables(name) = TableDef(name, pk, cols.map { case (c, t) => ColumnDef(c, c, t) })
     nextSeqs(name) = 0L
+    nextColIds(name) = cols.size.toLong
     save()
   }
 
@@ -96,9 +98,21 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   }
 
   def dropTable(name: String, ifExists: Boolean = false): Unit = {
-    if (tables.remove(name).isEmpty && !ifExists)
+    val removed = tables.remove(name)
+    if (removed.isEmpty && !ifExists)
       throw new IllegalArgumentException(s"table not found: $name")
     nextSeqs.remove(name)
+    nextColIds.remove(name)
+    indexes.filterInPlace { case (_, (t, _)) => t != name }
+    // delete the table's storage (event log + snapshots) so a CREATE
+    // TABLE under the same name starts empty — leaving the log behind
+    // would resurrect the dropped data and collide restarted sequences
+    // with historic events (the reference deletes table storage on DROP,
+    // sql_bridge.rs:5708-5722)
+    if (removed.exists(_.attached.isEmpty)) {
+      val p = new Path(s"$baseDir/tables/$name")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     save()
   }
 
@@ -106,9 +120,13 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
     val t = require(table)
     if (t.columns.exists(_.logical == colName))
       throw new IllegalArgumentException(s"column exists: $colName")
-    // the physical name gets a unique suffix so a drop+re-add of the
-    // same name never collides with historic payload fields
-    val phys = s"${colName}_c${t.columns.size}"
+    // the physical name gets a suffix from a persisted monotonic
+    // counter: columns.size would repeat after a DROP COLUMN, and a
+    // reused physical field resurrects dropped payload values from
+    // historic events
+    val id = nextColIds.getOrElse(table, t.columns.size.toLong)
+    val phys = s"${colName}_c$id"
+    nextColIds(table) = id + 1
     tables(table) = t.copy(columns = t.columns :+ ColumnDef(colName, phys, dt))
     save()
   }
@@ -185,7 +203,7 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   private def save(): Unit = {
     val sb = new StringBuilder
     for ((name, t) <- tables if t.attached.isEmpty) {
-      sb.append(s"table\t${enc(name)}\t${enc(t.pk)}\t${nextSeqs.getOrElse(name, 0L)}\n")
+      sb.append(s"table\t${enc(name)}\t${enc(t.pk)}\t${nextSeqs.getOrElse(name, 0L)}\t${nextColIds.getOrElse(name, t.columns.size.toLong)}\n")
       for (c <- t.columns)
         sb.append(s"col\t${enc(name)}\t${enc(c.logical)}\t${enc(c.physical)}\t${enc(c.dataType.json)}\n")
     }
@@ -204,9 +222,11 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val cols = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[ColumnDef]]
-    val heads = mutable.LinkedHashMap.empty[String, (String, Long)]
+    val heads = mutable.LinkedHashMap.empty[String, (String, Long, Option[Long])]
     for (line <- text.split("\n") if line.nonEmpty) line.split("\t") match {
-      case Array("table", n, pk, seq) => heads(dec(n)) = (dec(pk), seq.toLong)
+      case Array("table", n, pk, seq) => heads(dec(n)) = (dec(pk), seq.toLong, None)
+      case Array("table", n, pk, seq, colId) =>
+        heads(dec(n)) = (dec(pk), seq.toLong, Some(colId.toLong))
       case Array("col", n, lo, ph, dt) =>
         cols.getOrElseUpdate(dec(n), mutable.ArrayBuffer.empty) +=
           ColumnDef(dec(lo), dec(ph), DataType.fromJson(dec(dt)))
@@ -215,9 +235,22 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       case other =>
         throw new IllegalStateException(s"corrupt catalog line: ${other.mkString("\t")}")
     }
-    for ((n, (pk, seq)) <- heads) {
-      tables(n) = TableDef(n, pk, cols.getOrElse(n, mutable.ArrayBuffer.empty).toSeq)
+    for ((n, (pk, seq, colId)) <- heads) {
+      val cs = cols.getOrElse(n, mutable.ArrayBuffer.empty).toSeq
+      tables(n) = TableDef(n, pk, cs)
       nextSeqs(n) = seq
+      // legacy meta without a counter: resume past the highest suffix
+      // already minted so re-adds never reuse a historic physical name
+      nextColIds(n) = colId.getOrElse {
+        val suffixes = cs.map(_.physical).collect {
+          case p if p.lastIndexOf("_c") >= 0 =>
+            p.substring(p.lastIndexOf("_c") + 2) match {
+              case s if s.nonEmpty && s.forall(_.isDigit) => s.toLong + 1
+              case _ => 0L
+            }
+        }
+        (cs.size.toLong +: suffixes).max
+      }
     }
   }
 }

@@ -84,7 +84,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Statement.Update(table, assigns, where) => update(table, assigns, where)
     case Statement.Delete(table, where) => delete(table, where)
     case Statement.Snapshot(table) => snapshot(table)
-    case Statement.Explain(inner, _) => explain(inner)
+    case Statement.Explain(inner, analyze) => explain(inner, analyze)
     case Statement.Analyze(table) => analyze(table)
     case Statement.ShowTables => showTables()
     case Statement.Describe(table) => describe(table)
@@ -96,21 +96,37 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
 
   def select(sqlText: String): DataFrame = {
     val (clean, st) = TemporalPre.extract(sqlText)
-    registerReferenced(clean, st, depth = 0)
+    registerReferenced(clean, st, depth = 0, scala.collection.mutable.Set.empty)
     spark.sql(clean)
   }
 
   /** Register each referenced engine table (resolved at the temporal
     * spec) and each referenced stored view (expanded recursively) as a
-    * session temp view, then let spark.sql resolve names normally. */
-  private def registerReferenced(clean: String, st: SystemTime, depth: Int): Unit = {
+    * session temp view, then let spark.sql resolve names normally.
+    *
+    * `done` guards against expansion clobbering the statement's
+    * temporal spec: a table the statement resolved at its own
+    * SystemTime is never re-registered by a view that also mentions it.
+    * Views are SQL macros — one without its own temporal clause reads
+    * at the statement's SystemTime (the reference threads the statement
+    * spec through expansion, sql_bridge.rs:309-320, 1203-1259); a view
+    * that names its own spec keeps it. */
+  private def registerReferenced(clean: String, st: SystemTime, depth: Int,
+      done: scala.collection.mutable.Set[String]): Unit = {
     if (depth > 10)
       throw new IllegalStateException("view expansion depth > 10 (cycle?)")
-    for (t <- catalog.tableNames if referencesWord(clean, t))
+    for (t <- catalog.tableNames if referencesWord(clean, t) && !done(t)) {
+      done += t
       resolve(t, st).createOrReplaceTempView(t)
-    for (v <- catalog.viewNames if referencesWord(clean, v)) {
+    }
+    for (v <- catalog.viewNames if referencesWord(clean, v) && !done(v)) {
+      done += v
       val (vClean, vSt) = TemporalPre.extract(catalog.getView(v).get)
-      registerReferenced(vClean, vSt, depth + 1)
+      val effSt = vSt match {
+        case SystemTime.Current => st
+        case explicit => explicit
+      }
+      registerReferenced(vClean, effSt, depth + 1, done)
       spark.sql(vClean).createOrReplaceTempView(v)
     }
   }
@@ -260,19 +276,36 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     val bad = assigns.map(_._1).filterNot(a => t.columns.exists(_.logical == a))
     require(bad.isEmpty, s"unknown UPDATE columns: ${bad.mkString(",")}")
     val state = stateAt(table, None)
-    val matching = where.fold(state)(w => state.where(expr(w)))
-    val updated = matching.select(t.columns.map { c =>
+    val matching0 = where.fold(state)(w => state.where(expr(w)))
+    def applyAssigns(src: DataFrame): DataFrame = src.select(t.columns.map { c =>
       assigns.find(_._1 == c.logical) match {
         case Some((_, e)) => expr(e).cast(c.dataType).as(c.logical)
         case None => col(c.logical)
       }
     }: _*)
     if (assigns.exists(_._1 == t.pk)) {
+      // pin the matched batch first: the tombstone append below mutates
+      // the very log this lineage reads, so the second (INSERT) append
+      // must work from a materialized copy, not a log re-scan
+      val matching = matching0.localCheckpoint()
+      val updated = applyAssigns(matching)
+      if (enforcePkUniqueness) {
+        val pk = t.pk
+        val dupIn = updated.groupBy(col(pk)).count()
+          .where(col("count") > 1).limit(1).count()
+        require(dupIn == 0, s"UPDATE produces duplicate primary keys on $table")
+        // PG duplicate-key semantics (sql_bridge.rs:5473-5668): a new pk
+        // may not collide with any row that survives this statement
+        val survivors = state.join(matching.select(col(pk)), Seq(pk), "left_anti")
+        val clash = updated.join(survivors.select(col(pk)), Seq(pk), "left_semi")
+          .limit(1).count()
+        require(clash == 0, s"primary key already exists in $table")
+      }
       val (nd, _) = append(t, matching, EventLog.SOFT_DELETE)
       val (_, last) = append(t, updated, EventLog.INSERT)
       summary("update", nd, last)
     } else {
-      val (n, last) = append(t, updated, EventLog.PATCH)
+      val (n, last) = append(t, applyAssigns(matching0), EventLog.PATCH)
       summary("update", n, last)
     }
   }
@@ -315,11 +348,19 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
 
   /** EXPLAIN <query>: the formatted Catalyst plan (sql_bridge.rs:
     * 580-670 renders its own plan tree; ours is the real physical
-    * plan, PushedFilters and all). */
-  def explain(inner: String): DataFrame = {
+    * plan, PushedFilters and all). EXPLAIN ANALYZE additionally
+    * executes the query and reports wall time and row count, like the
+    * reference's timed variant (explain.rs, sql_bridge.rs:580-670). */
+  def explain(inner: String, analyze: Boolean = false): DataFrame = {
     val df = select(inner)
     val text = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
-    spark.range(1).select(lit(text).as("plan"))
+    if (analyze) {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      spark.range(1).select(lit(text).as("plan"), lit(n).as("n_rows"),
+        lit(elapsedMs).as("elapsed_ms"))
+    } else spark.range(1).select(lit(text).as("plan"))
   }
 
   /** ANALYZE TABLE: row count + per-column ndv/min/max, stored for

@@ -33,19 +33,26 @@ object Dedup {
     * document frequency exceeds `maxDfFrac` of the corpus are dropped
     * from the vocabulary first — an unbounded hot token (stopword,
     * boilerplate) would otherwise create a quadratic bucket in the
-    * self-join. Set sizes and intersections are both computed over the
-    * capped vocabulary, so the ratio stays a true Jaccard of the
-    * filtered sets; all-integer ratios keep results engine-exact. */
+    * self-join. The fractional cap alone is not scale-safe: a token in
+    * 79% of 10⁹ docs still passes `maxDfFrac = 0.8` and makes its
+    * bucket ~0.6·n² pairs, so an ABSOLUTE cap `maxDf` bounds every
+    * bucket to maxDf² regardless of corpus size (docs sharing only
+    * ultra-hot tokens belong on the MinHash path instead). Set sizes
+    * and intersections are both computed over the capped vocabulary, so
+    * the ratio stays a true Jaccard of the filtered sets; all-integer
+    * ratios keep results engine-exact. */
   def jaccardPairs(
       docs: DataFrame,
       minJaccard: Double,
-      maxDfFrac: Double = 0.8): DataFrame = {
+      maxDfFrac: Double = 0.8,
+      maxDf: Long = 10000L): DataFrame = {
     val words0 = docs
       .select(col("doc_id"), explode(wordSet(col("text"))).as("word"))
     val nDocs = docs.agg(count(lit(1)).as("_ndocs"))
     val vocab = words0.groupBy("word").agg(count(lit(1)).as("_df"))
       .crossJoin(broadcast(nDocs))
-      .where(col("_df") <= lit(maxDfFrac) * col("_ndocs"))
+      .where(col("_df") <= lit(maxDfFrac) * col("_ndocs") &&
+        col("_df") <= lit(maxDf))
       .select("word")
     val words = words0.join(vocab, "word")
     val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("n"))

@@ -13,9 +13,12 @@ import org.apache.spark.sql.DataFrame
   * scale the per-iteration work is proportional to the frontier, not
   * the accumulated result.
   *
-  * Scale notes: `localCheckpoint` truncates the lineage each iteration
-  * so the plan does not grow exponentially; on a real cluster use a
-  * reliable checkpoint dir instead (`df.checkpoint()`).
+  * Scale notes: only the per-iteration DELTA is checkpointed — the
+  * accumulated result stays a lazy union of already-materialized delta
+  * blocks, so lineage depth is O(1) per leaf and nothing re-writes the
+  * full accumulated set each iteration (that would be O(iters·|acc|)
+  * memory traffic at depth). On a real cluster use a reliable
+  * checkpoint dir instead (`df.checkpoint()`).
   */
 object RecursiveCTE {
 
@@ -39,7 +42,7 @@ object RecursiveCTE {
       val delta =
         (if (distinct) produced.distinct().except(acc) else produced)
           .localCheckpoint()
-      acc = acc.union(delta).localCheckpoint()
+      acc = acc.union(delta) // lazy: both sides are pinned already
       frontier = delta
       i += 1
     }

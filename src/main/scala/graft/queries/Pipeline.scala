@@ -34,10 +34,10 @@ object Pipeline {
       .orderBy("first_id")
   }
 
-  /** Word-set Jaccard near-dup pairs via inverted-index join with a
-    * hot-token df-cap (tokens in > 80% of docs are dropped from the
-    * vocabulary before the self-join — the quadratic-bucket guard).
-    * The oracle applies the identical cap. */
+  /** Word-set Jaccard near-dup pairs via inverted-index join with BOTH
+    * hot-token df-caps (relative: tokens in > 80% of docs; absolute:
+    * df > 100 — the quadratic-bucket guard that still binds when the
+    * corpus is huge). The oracle applies the identical caps. */
   val qJaccardPairs = Q(
     "q_jaccard_pairs",
     """WITH w0 AS (
@@ -45,7 +45,8 @@ object Pipeline {
       |  FROM documents WHERE doc_id < 150),
       |vocab AS (
       |  SELECT word FROM (SELECT word, COUNT(*) AS df FROM w0 GROUP BY word)
-      |  WHERE df <= 0.8 * (SELECT COUNT(*) FROM documents WHERE doc_id < 150)),
+      |  WHERE df <= 0.8 * (SELECT COUNT(*) FROM documents WHERE doc_id < 150)
+      |    AND df <= 100),
       |w AS (SELECT doc_id, word FROM w0 WHERE word IN (SELECT word FROM vocab)),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
       |inter AS (
@@ -60,7 +61,7 @@ object Pipeline {
       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
     Dedup.jaccardPairs(t(s, dir, "documents").where(col("doc_id") < 150),
-        0.8, maxDfFrac = 0.8)
+        0.8, maxDfFrac = 0.8, maxDf = 100L)
       .orderBy("d1", "d2")
   }
 

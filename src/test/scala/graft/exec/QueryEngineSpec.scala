@@ -172,6 +172,71 @@ class QueryEngineSpec extends AnyFunSuite {
     intercept[Exception](e.sql("SELECT * FROM t").collect())
   }
 
+  test("drop table deletes storage: recreate starts empty, sequences restart") {
+    val e = seeded() // seq 1..3
+    e.sql("SNAPSHOT t") // a stale checkpoint must not resurrect either
+    e.sql("DROP TABLE t")
+    e.sql("CREATE TABLE t (id BIGINT PRIMARY KEY, name STRING, val DOUBLE)")
+    assert(rows(e, "SELECT COUNT(*) AS n FROM t") === Seq(Row(0L)))
+    assert(rows(e, "SELECT COUNT(*) AS n FROM t FOR SYSTEM_TIME ALL")
+      === Seq(Row(0L)))
+    e.sql("INSERT INTO t VALUES (7, 'x', 0.5)")
+    // the new log starts at sequence 1 and contains only the new row
+    assert(rows(e, "SELECT sequence, id FROM t FOR SYSTEM_TIME ALL")
+      === Seq(Row(1L, 7L)))
+    assert(rows(e, "SELECT id, name FROM t") === Seq(Row(7L, "x")))
+  }
+
+  test("pk-changing update to a live key raises; state is untouched") {
+    val e = seeded()
+    intercept[IllegalArgumentException] {
+      e.sql("UPDATE t SET id = 2 WHERE id = 1")
+    }
+    assert(rows(e, "SELECT id FROM t ORDER BY id")
+      === Seq(Row(1L), Row(2L), Row(3L)))
+    // keys vacated by the same statement are fair game (2->3 while 3->4)
+    e.sql("UPDATE t SET id = id + 1 WHERE id >= 2")
+    assert(rows(e, "SELECT id, name FROM t ORDER BY id")
+      === Seq(Row(1L, "a"), Row(3L, "b"), Row(4L, "c")))
+  }
+
+  test("add/drop/re-add of the same column name never resurrects data") {
+    val e = seeded()
+    e.sql("ALTER TABLE t ADD COLUMN tag STRING")
+    e.sql("INSERT INTO t VALUES (4, 'd', 4.5, 'secret')")
+    e.sql("ALTER TABLE t DROP COLUMN tag")
+    e.sql("ALTER TABLE t ADD COLUMN tag STRING")
+    assert(rows(e, "SELECT tag FROM t WHERE id = 4") === Seq(Row(null)))
+    // the column counter persists across engine restart
+    val e2 = new QueryEngine(spark, e.baseDir)
+    e2.sql("ALTER TABLE t DROP COLUMN tag")
+    e2.sql("ALTER TABLE t ADD COLUMN tag STRING")
+    assert(rows(e2, "SELECT tag FROM t WHERE id = 4") === Seq(Row(null)))
+  }
+
+  test("as-of read is not clobbered by a stored view on the same table") {
+    val e = seeded() // seq 1..3
+    e.sql("CREATE VIEW tcount AS SELECT COUNT(*) AS n FROM t")
+    e.sql("INSERT INTO t VALUES (4, 'd', 4.5)") // seq 4
+    // the statement references both t (AS OF) and the view; expansion
+    // must not re-register t at current state, and the view (a SQL
+    // macro with no spec of its own) reads at the statement's AS OF
+    val got = rows(e,
+      """SELECT (SELECT n FROM tcount) AS vn, COUNT(*) AS tn
+        |FROM t FOR SYSTEM_TIME AS OF @SEQ:3""".stripMargin)
+    assert(got === Seq(Row(3L, 3L)))
+    // without a temporal clause both read current state
+    assert(rows(e, "SELECT n FROM tcount") === Seq(Row(4L)))
+  }
+
+  test("explain analyze executes and reports timing + row count") {
+    val e = seeded()
+    val r = rows(e, "EXPLAIN ANALYZE SELECT * FROM t WHERE id >= 2").head
+    assert(r.getAs[String]("plan").contains("Physical Plan"))
+    assert(r.getAs[Long]("n_rows") === 2L)
+    assert(r.getAs[Double]("elapsed_ms") >= 0.0)
+  }
+
   test("for system_time between returns the change stream") {
     val e = seeded()
     e.sql("UPDATE t SET val = 9 WHERE id = 1") // seq 4
