@@ -42,9 +42,124 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * for bulk ingestion where the source is known-unique. */
   var enforcePkUniqueness: Boolean = true
 
+  // ======================================================= transactions
+
+  /** A buffered multi-statement transaction (sql_bridge.rs:453-568,
+    * transaction.rs). DML inside BEGIN...COMMIT appends pinned event
+    * batches to this buffer instead of the parquet log; reads union
+    * the buffer back in (read-your-writes); COMMIT flushes the batches
+    * in order, ROLLBACK discards them. Catalog DDL stays immediate
+    * (non-transactional), like most engines.
+    *
+    * Scale note: the buffer holds `localCheckpoint`-pinned DataFrames
+    * (executor block storage, not driver heap), so a large transaction
+    * costs the same memory as the same statements outside one. */
+  private final class Txn {
+    val pending = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
+    val seqs = scala.collection.mutable.HashMap.empty[String, Long]
+    // (name, pending length, seq snapshot); later entries shadow earlier
+    val savepoints =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Int, Map[String, Long])]
+    /** PG-style abort: any failed statement inside the transaction
+      * blocks everything except COMMIT (treated as ROLLBACK), ROLLBACK,
+      * and ROLLBACK TO SAVEPOINT (sql_bridge.rs:330-345). */
+    var aborted = false
+
+    def restore(len: Int, seqSnap: Map[String, Long]): Unit = {
+      pending.dropRightInPlace(pending.length - len)
+      seqs.clear(); seqs ++= seqSnap
+    }
+  }
+  private var txn: Option[Txn] = None
+
+  def inTransaction: Boolean = txn.isDefined
+
+  private def begin(): DataFrame = {
+    // idempotent, like the reference (sql_bridge.rs:454-460)
+    if (txn.isEmpty) txn = Some(new Txn)
+    summary("begin", 0L, 0L)
+  }
+
+  private def commitTxn(): DataFrame = txn match {
+    case None => summary("commit", 0L, 0L) // PG: COMMIT outside txn is a no-op
+    case Some(tx) =>
+      txn = None
+      if (tx.aborted) summary("rollback", 0L, 0L) // PG: COMMIT of aborted = ROLLBACK
+      else {
+        // flush in statement order so per-table sequences land monotonic
+        for ((table, ev) <- tx.pending)
+          ev.write.mode("append").parquet(logDir(table))
+        for ((table, s) <- tx.seqs) catalog.commitSeq(table, s)
+        summary("commit", tx.pending.length.toLong, 0L)
+      }
+  }
+
+  private def rollbackTxn(toSavepoint: Option[String]): DataFrame = {
+    val tx = txn.getOrElse(throw new IllegalStateException(
+      "no active transaction to rollback"))
+    toSavepoint match {
+      case None =>
+        txn = None
+        summary("rollback", 0L, 0L)
+      case Some(name) =>
+        val i = tx.savepoints.lastIndexWhere(_._1 == name)
+        if (i < 0) throw new IllegalArgumentException(s"savepoint not found: $name")
+        val (_, len, seqSnap) = tx.savepoints(i)
+        tx.restore(len, seqSnap)
+        // keep the savepoint itself (PG: you can roll back to it again)
+        tx.savepoints.dropRightInPlace(tx.savepoints.length - (i + 1))
+        tx.aborted = false // PG: ROLLBACK TO clears the abort state
+        summary("rollback_to_savepoint", 0L, 0L)
+    }
+  }
+
+  private def savepoint(name: String): DataFrame = {
+    val tx = txn.getOrElse(throw new IllegalStateException(
+      "SAVEPOINT can only be used in transaction blocks"))
+    tx.savepoints += ((name, tx.pending.length, tx.seqs.toMap))
+    summary("savepoint", 0L, 0L)
+  }
+
+  private def releaseSavepoint(name: String): DataFrame = {
+    val tx = txn.getOrElse(throw new IllegalStateException(
+      "RELEASE SAVEPOINT can only be used in transaction blocks"))
+    val i = tx.savepoints.lastIndexWhere(_._1 == name)
+    if (i < 0) throw new IllegalArgumentException(s"savepoint not found: $name")
+    // PG: releases this savepoint and all later ones; writes are kept
+    tx.savepoints.dropRightInPlace(tx.savepoints.length - i)
+    summary("release", 0L, 0L)
+  }
+
   // ================================================================ sql
 
   def sql(statement: String): DataFrame = StatementRouter.parse(statement) match {
+    case Statement.Begin => begin()
+    case Statement.Commit => commitTxn()
+    case Statement.Rollback(sp) => rollbackTxn(sp)
+    case Statement.Savepoint(name) => savepoint(name)
+    case Statement.ReleaseSavepoint(name) => releaseSavepoint(name)
+    case st =>
+      txn match {
+        case Some(tx) if tx.aborted =>
+          throw new IllegalStateException(
+            "current transaction is aborted, commands ignored until end of transaction block")
+        case Some(tx) =>
+          // statement-level atomicity inside the transaction: a failed
+          // statement leaves no partial batches behind, then aborts the
+          // transaction (PG semantics, sql_bridge.rs:251-264)
+          val (len, seqSnap) = (tx.pending.length, tx.seqs.toMap)
+          try dispatch(st)
+          catch {
+            case e: Throwable =>
+              tx.restore(len, seqSnap)
+              tx.aborted = true
+              throw e
+          }
+        case None => dispatch(st)
+      }
+  }
+
+  private def dispatch(statement: Statement): DataFrame = statement match {
     case Statement.CreateTable(name, cols, pk) =>
       catalog.createTable(name, pk,
         cols.map { case (c, ddl) => (c, DataType.fromDDL(ddl)) })
@@ -58,6 +173,10 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       catalog.createView(name, viewSql)
       summary("view_created", 0L, 0L)
     case Statement.DropTable(name, ifEx) =>
+      // dropping a table with buffered writes would orphan them, and the
+      // storage delete cannot be rolled back — keep DROP out of txns
+      if (txn.isDefined)
+        throw new IllegalStateException("DROP TABLE cannot run inside a transaction")
       catalog.dropTable(name, ifEx)
       // the select path registers session temp views lazily; drop any
       // stale one so the name stops resolving immediately
@@ -83,13 +202,21 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       insertFrom(table, cols, select(sel))
     case Statement.Update(table, assigns, where) => update(table, assigns, where)
     case Statement.Delete(table, where) => delete(table, where)
-    case Statement.Snapshot(table) => snapshot(table)
+    case Statement.Snapshot(table) =>
+      // a snapshot reads events() which includes buffered uncommitted
+      // writes — persisting those would leak rolled-back data
+      if (txn.isDefined)
+        throw new IllegalStateException("SNAPSHOT cannot run inside a transaction")
+      snapshot(table)
     case Statement.Explain(inner, analyze) => explain(inner, analyze)
     case Statement.Analyze(table) => analyze(table)
     case Statement.ShowTables => showTables()
     case Statement.Describe(table) => describe(table)
     case Statement.CopyFrom(table, path) => ingestJsonl(table, path)
     case Statement.Select(q) => select(q)
+    case Statement.Begin | Statement.Commit | _: Statement.Rollback |
+        _: Statement.Savepoint | _: Statement.ReleaseSavepoint =>
+      throw new IllegalStateException("unreachable: txn control is handled in sql()")
   }
 
   // ========================================================== read path
@@ -169,15 +296,24 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
 
   /** Raw event log of a table: attached in-memory frame, or the
     * persisted parquet log (mergeSchema absorbs payload-struct widening
-    * from ALTER ADD COLUMN). Missing/empty log → empty typed frame. */
-  def events(t: TableDef): DataFrame = t.attached.getOrElse {
-    val p = new Path(logDir(t.name))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-      spark.read.option("mergeSchema", "true").parquet(p.toString)
-    else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        EventLog.schema(t.payloadSchema))
+    * from ALTER ADD COLUMN), plus any event batches buffered by an open
+    * transaction (read-your-writes — the reference reads through its
+    * txn write set too, transaction.rs). Missing/empty log → empty
+    * typed frame. */
+  def events(t: TableDef): DataFrame = {
+    val base = t.attached.getOrElse {
+      val p = new Path(logDir(t.name))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+        spark.read.option("mergeSchema", "true").parquet(p.toString)
+      else
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          EventLog.schema(t.payloadSchema))
+    }
+    txn.fold(base) { tx =>
+      tx.pending.iterator.collect { case (n, ev) if n == t.name => ev }
+        .foldLeft(base)(_.unionByName(_, allowMissingColumns = true))
+    }
   }
 
   private def logDir(table: String) = catalog.logPath(table)
@@ -217,7 +353,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // writes are a [REF-GAP] we do NOT replicate: our tables are typed)
     val physical = rowsLogical.select(t.columns.map(c =>
       col(c.logical).cast(c.dataType).as(c.physical)): _*)
-    val base = catalog.lastSeq(t.name)
+    // inside a transaction, sequences continue from the buffered tail
+    val base = txn.flatMap(_.seqs.get(t.name)).getOrElse(catalog.lastSeq(t.name))
     // pin the batch before counting + writing: the source reads the very
     // log we append to, and zipWithIndex must not be recomputed between
     // the two actions
@@ -230,8 +367,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         lit(eventType).as("event_type"),
         col(t.pkPhysical).cast("string").as("pk"),
         struct(t.columns.map(c => col(c.physical)): _*).as("payload"))
-      ev.write.mode("append").parquet(logDir(t.name))
-      catalog.commitSeq(t.name, base + n)
+      txn match {
+        case Some(tx) => // buffer; flushed at COMMIT, dropped at ROLLBACK
+          tx.pending += ((t.name, ev))
+          tx.seqs(t.name) = base + n
+        case None =>
+          ev.write.mode("append").parquet(logDir(t.name))
+          catalog.commitSeq(t.name, base + n)
+      }
     }
     (n, base + n)
   }

@@ -166,6 +166,39 @@ object EngineSql {
              |ORDER BY k""".stripMargin)
   }
 
+  /** Buffered transactions through SQL strings (sql_bridge.rs:453-568):
+    * a rolled-back transaction leaves no trace (neither its UPDATE nor
+    * its DELETE), and a committed one applies exactly the statements
+    * that survived its savepoint rollback — the DELETE between SAVEPOINT
+    * and ROLLBACK TO vanishes, the DELETE after it lands. The oracle
+    * recomputes the surviving statements algebraically. */
+  val qTxnLifecycle = Q(
+    "q_txn_lifecycle",
+    """SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal,
+      |       CASE WHEN c_acctbal > 5000 THEN 'vip' ELSE 'new' END AS status
+      |FROM customer
+      |WHERE c_custkey < 400 AND c_custkey % 10 <> 0
+      |ORDER BY k""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.sql("CREATE TABLE acct (k BIGINT PRIMARY KEY, bal DOUBLE, status STRING)")
+    e.sql("""INSERT INTO acct
+            |SELECT c_custkey, c_acctbal, 'new' FROM customer
+            |WHERE c_custkey < 400""".stripMargin)
+    e.sql("BEGIN")
+    e.sql("UPDATE acct SET status = 'phantom'")
+    e.sql("DELETE FROM acct WHERE k < 100")
+    e.sql("ROLLBACK") // none of the above survives
+    e.sql("BEGIN")
+    e.sql("UPDATE acct SET status = 'vip' WHERE bal > 5000")
+    e.sql("SAVEPOINT sp1")
+    e.sql("DELETE FROM acct WHERE k % 2 = 0")
+    e.sql("ROLLBACK TO SAVEPOINT sp1") // the % 2 delete vanishes
+    e.sql("DELETE FROM acct WHERE k % 10 = 0")
+    e.sql("COMMIT")
+    e.sql("SELECT k, CAST(bal AS DOUBLE) AS bal, status FROM acct ORDER BY k")
+  }
+
   /** Plain relational passthrough through engine.sql over external
     * tables — identical ANSI text runs in the oracle. */
   private val passthroughSql =
@@ -200,5 +233,5 @@ object EngineSql {
 
   val all: Seq[Q] = Seq(
     qSqlAsOfSeq, qSqlAsOfTs, qSqlSystemAll, qSqlBetween, qSqlSnapshot,
-    qLifecycleCurrent, qLifecycleAsOf, qSqlPassthrough, qSqlView)
+    qLifecycleCurrent, qLifecycleAsOf, qTxnLifecycle, qSqlPassthrough, qSqlView)
 }

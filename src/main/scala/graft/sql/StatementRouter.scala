@@ -34,6 +34,14 @@ object Statement {
   final case class Describe(table: String) extends Statement
   /** COPY t FROM 'path' — JSONL bulk ingest (driftdb-cli main.rs:40-50). */
   final case class CopyFrom(table: String, path: String) extends Statement
+  // Transaction control (sql_bridge.rs:453-568): BEGIN buffers event
+  // appends in the engine; COMMIT flushes them; ROLLBACK discards.
+  case object Begin extends Statement
+  case object Commit extends Statement
+  /** ROLLBACK (end txn) or ROLLBACK TO [SAVEPOINT] name (partial). */
+  final case class Rollback(toSavepoint: Option[String]) extends Statement
+  final case class Savepoint(name: String) extends Statement
+  final case class ReleaseSavepoint(name: String) extends Statement
   final case class Select(sql: String) extends Statement
 }
 
@@ -100,6 +108,13 @@ object StatementRouter {
   private val DescribeR = """(?is)^(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.]+)\s*$""".r
   private val CopyR =
     """(?is)^COPY\s+([\w.]+)\s+FROM\s+'([^']+)'\s*(?:\(.*\))?\s*$""".r
+  private val BeginR =
+    """(?is)^(?:BEGIN(?:\s+(?:WORK|TRANSACTION))?|START\s+TRANSACTION)(?:\s+ISOLATION\s+LEVEL\s+[\w\s]+)?\s*$""".r
+  private val CommitR = """(?is)^(?:COMMIT|END)(?:\s+(?:WORK|TRANSACTION))?\s*$""".r
+  private val RollbackR =
+    """(?is)^ROLLBACK(?:\s+(?:WORK|TRANSACTION))?(?:\s+TO\s+(?:SAVEPOINT\s+)?(\w+))?\s*$""".r
+  private val SavepointR = """(?is)^SAVEPOINT\s+(\w+)\s*$""".r
+  private val ReleaseR = """(?is)^RELEASE\s+(?:SAVEPOINT\s+)?(\w+)\s*$""".r
 
   def parse(raw: String): Statement = {
     val stmt = raw.trim.stripSuffix(";").trim
@@ -134,6 +149,11 @@ object StatementRouter {
       case ShowTablesR() => ShowTables
       case DescribeR(table) => Describe(table)
       case CopyR(table, path) => CopyFrom(table, path)
+      case BeginR() => Begin
+      case CommitR() => Commit
+      case RollbackR(sp) => Rollback(Option(sp))
+      case SavepointR(name) => Savepoint(name)
+      case ReleaseR(name) => ReleaseSavepoint(name)
       case _ => Select(stmt)
     }
   }

@@ -237,6 +237,91 @@ class QueryEngineSpec extends AnyFunSuite {
     assert(r.getAs[Double]("elapsed_ms") >= 0.0)
   }
 
+  test("rollback leaves state and history untouched") {
+    val e = seeded() // seq 1..3
+    e.sql("BEGIN")
+    e.sql("INSERT INTO t VALUES (4, 'd', 4.5)")
+    e.sql("UPDATE t SET val = 0 WHERE id = 1")
+    e.sql("DELETE FROM t WHERE id = 2")
+    // read-your-writes inside the transaction
+    assert(rows(e, "SELECT id FROM t ORDER BY id")
+      === Seq(Row(1L), Row(3L), Row(4L)))
+    e.sql("ROLLBACK")
+    assert(rows(e, "SELECT id, val FROM t ORDER BY id")
+      === Seq(Row(1L, 1.5), Row(2L, 2.5), Row(3L, 3.5)))
+    assert(rows(e, "SELECT COUNT(*) AS n FROM t FOR SYSTEM_TIME ALL")
+      === Seq(Row(3L)))
+    // sequences did not advance for the discarded writes
+    e.sql("INSERT INTO t VALUES (9, 'z', 9.9)")
+    assert(rows(e, "SELECT MAX(sequence) AS s FROM t FOR SYSTEM_TIME ALL")
+      === Seq(Row(4L)))
+  }
+
+  test("commit flushes buffered writes atomically") {
+    val e = seeded()
+    e.sql("BEGIN")
+    e.sql("INSERT INTO t VALUES (4, 'd', 4.5)")
+    e.sql("UPDATE t SET name = upper(name) WHERE id <= 2")
+    // a second engine over the same dir must not see uncommitted writes
+    val peek = new QueryEngine(spark, e.baseDir)
+    assert(rows(peek, "SELECT COUNT(*) AS n FROM t") === Seq(Row(3L)))
+    e.sql("COMMIT")
+    assert(rows(e, "SELECT id, name FROM t ORDER BY id")
+      === Seq(Row(1L, "A"), Row(2L, "B"), Row(3L, "c"), Row(4L, "d")))
+    // BEGIN is idempotent; COMMIT outside a txn is a no-op (PG)
+    e.sql("BEGIN"); e.sql("BEGIN"); e.sql("COMMIT"); e.sql("COMMIT")
+  }
+
+  test("savepoint partial rollback keeps earlier writes") {
+    val e = seeded()
+    e.sql("BEGIN")
+    e.sql("UPDATE t SET name = 'kept' WHERE id = 1")
+    e.sql("SAVEPOINT sp1")
+    e.sql("DELETE FROM t WHERE id >= 2")
+    assert(rows(e, "SELECT COUNT(*) AS n FROM t") === Seq(Row(1L)))
+    e.sql("ROLLBACK TO SAVEPOINT sp1")
+    assert(rows(e, "SELECT COUNT(*) AS n FROM t") === Seq(Row(3L)))
+    e.sql("COMMIT")
+    assert(rows(e, "SELECT name FROM t WHERE id = 1") === Seq(Row("kept")))
+    assert(rows(e, "SELECT COUNT(*) AS n FROM t") === Seq(Row(3L)))
+  }
+
+  test("failed statement aborts the transaction until rollback") {
+    val e = seeded()
+    e.sql("BEGIN")
+    e.sql("UPDATE t SET name = 'x' WHERE id = 1")
+    intercept[IllegalArgumentException] { // duplicate pk
+      e.sql("INSERT INTO t VALUES (2, 'dup', 0.0)")
+    }
+    val ex = intercept[IllegalStateException] {
+      e.sql("SELECT * FROM t")
+    }
+    assert(ex.getMessage.contains("aborted"))
+    // COMMIT of an aborted transaction rolls back (PG)
+    e.sql("COMMIT")
+    assert(rows(e, "SELECT name FROM t WHERE id = 1") === Seq(Row("a")))
+    // ROLLBACK TO SAVEPOINT clears the abort and the txn continues
+    e.sql("BEGIN")
+    e.sql("SAVEPOINT s")
+    intercept[IllegalArgumentException](e.sql("INSERT INTO t VALUES (1, 'd', 0.0)"))
+    e.sql("ROLLBACK TO SAVEPOINT s")
+    e.sql("UPDATE t SET name = 'ok' WHERE id = 3")
+    e.sql("COMMIT")
+    assert(rows(e, "SELECT name FROM t WHERE id = 3") === Seq(Row("ok")))
+  }
+
+  test("transaction guards: rollback outside txn, drop/snapshot inside") {
+    val e = seeded()
+    intercept[IllegalStateException](e.sql("ROLLBACK"))
+    intercept[IllegalStateException](e.sql("SAVEPOINT s"))
+    e.sql("BEGIN")
+    intercept[IllegalStateException](e.sql("DROP TABLE t"))
+    intercept[IllegalStateException](e.sql("SNAPSHOT t"))
+    intercept[IllegalArgumentException](e.sql("ROLLBACK TO SAVEPOINT nope"))
+    e.sql("ROLLBACK")
+    assert(rows(e, "SELECT COUNT(*) AS n FROM t") === Seq(Row(3L)))
+  }
+
   test("for system_time between returns the change stream") {
     val e = seeded()
     e.sql("UPDATE t SET val = 9 WHERE id = 1") // seq 4
