@@ -53,6 +53,9 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   private val indexes = mutable.LinkedHashMap.empty[String, (String, String)] // idx -> (table, col)
   private val nextSeqs = mutable.HashMap.empty[String, Long] // last assigned sequence
   private val nextColIds = mutable.HashMap.empty[String, Long] // ALTER ADD physical-name counter
+  // child table -> (child col, parent table, parent col); the analogue of
+  // the reference's FK registry (fk.rs:44-66), persisted with the catalog
+  private val fks = mutable.LinkedHashMap.empty[String, Seq[(String, String, String)]]
   val stats = mutable.HashMap.empty[String, Map[String, String]] // ANALYZE output
 
   load()
@@ -103,6 +106,7 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       throw new IllegalArgumentException(s"table not found: $name")
     nextSeqs.remove(name)
     nextColIds.remove(name)
+    fks.remove(name) // the reference forgets the dropped child's FKs (fk.rs:68-71)
     indexes.filterInPlace { case (_, (t, _)) => t != name }
     // delete the table's storage (event log + snapshots) so a CREATE
     // TABLE under the same name starts empty — leaving the log behind
@@ -153,6 +157,25 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
     tables(table) = t.copy(columns = t.columns.filterNot(_.logical == colName))
     save()
   }
+
+  // ---------------------------------------------------- foreign keys
+
+  /** Register the FKs declared on a child table (replaces any previous
+    * set, as in the reference — fk.rs:55-63). */
+  def setForeignKeys(table: String, list: Seq[(String, String, String)]): Unit = {
+    if (list.isEmpty) fks.remove(table) else fks(table) = list
+    save()
+  }
+
+  /** Outgoing FKs of a child table: (child col, parent table, parent col). */
+  def foreignKeysOf(table: String): Seq[(String, String, String)] =
+    fks.getOrElse(table, Nil)
+
+  /** Incoming FKs: every (child table, child col) referencing `parent`. */
+  def referencingFks(parent: String): Seq[(String, String, String)] =
+    fks.iterator.flatMap { case (child, list) =>
+      list.collect { case (c, rt, rc) if rt == parent => (child, c, rc) }
+    }.toSeq
 
   // ------------------------------------------------------- sequences
 
@@ -207,6 +230,8 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       for (c <- t.columns)
         sb.append(s"col\t${enc(name)}\t${enc(c.logical)}\t${enc(c.physical)}\t${enc(c.dataType.json)}\n")
     }
+    for ((name, list) <- fks; (c, rt, rc) <- list)
+      sb.append(s"fk\t${enc(name)}\t${enc(c)}\t${enc(rt)}\t${enc(rc)}\n")
     for ((name, sql) <- views)
       sb.append(s"view\t${enc(name)}\t${enc(sql)}\n")
     for ((idx, (t, c)) <- indexes)
@@ -230,6 +255,8 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       case Array("col", n, lo, ph, dt) =>
         cols.getOrElseUpdate(dec(n), mutable.ArrayBuffer.empty) +=
           ColumnDef(dec(lo), dec(ph), DataType.fromJson(dec(dt)))
+      case Array("fk", n, c, rt, rc) =>
+        fks(dec(n)) = fks.getOrElse(dec(n), Nil) :+ ((dec(c), dec(rt), dec(rc)))
       case Array("view", n, sql) => views(dec(n)) = dec(sql)
       case Array("index", i, t, c) => indexes(dec(i)) = (dec(t), dec(c))
       case other =>

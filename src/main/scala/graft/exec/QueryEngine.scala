@@ -160,9 +160,24 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   }
 
   private def dispatch(statement: Statement): DataFrame = statement match {
-    case Statement.CreateTable(name, cols, pk) =>
+    case Statement.CreateTable(name, cols, pk, fkDefs) =>
+      // FK declarations are validated up front: child column must be
+      // declared, parent table (self-reference allowed) and parent
+      // column must exist (fk.rs:44-66; inline form sql_bridge.rs:5738)
+      for (fk <- fkDefs) {
+        require(cols.exists(_._1 == fk.column),
+          s"foreign key column not declared: ${fk.column}")
+        val parentCols =
+          if (fk.refTable == name) cols.map(_._1)
+          else catalog.get(fk.refTable).getOrElse(throw new IllegalArgumentException(
+            s"referenced table not found: ${fk.refTable}")).columns.map(_.logical)
+        require(parentCols.contains(fk.refColumn),
+          s"referenced column not found: ${fk.refTable}.${fk.refColumn}")
+      }
       catalog.createTable(name, pk,
         cols.map { case (c, ddl) => (c, DataType.fromDDL(ddl)) })
+      if (fkDefs.nonEmpty)
+        catalog.setForeignKeys(name, fkDefs.map(f => (f.column, f.refTable, f.refColumn)))
       summary("created", 0L, catalog.lastSeq(name))
     case Statement.CreateIndex(idx, table, colName) =>
       // metadata only: pushdown + parquet min/max subsume secondary
@@ -383,6 +398,46 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     spark.range(1).select(lit(op).as("op"), lit(n).as("n_affected"),
       lit(lastSeq).as("last_sequence"))
 
+  // ------------------------------------------------------ foreign keys
+
+  /** Rows about to land in `t` must reference existing parent keys; a
+    * NULL FK value passes (MATCH SIMPLE, the PG default — fk.rs:73-77).
+    * Set-based: one left-anti join per FK instead of the reference's
+    * per-row parent scan (fk.rs:92-101) — the scale-correct shape, and
+    * AQE broadcasts the parent key set when it is small. A self-
+    * referencing FK also sees keys from the batch itself (a row may
+    * reference a sibling inserted by the same statement). */
+  private def validateFkOutgoing(t: TableDef, rowsLogical: DataFrame): Unit =
+    for ((c, rt, rc) <- catalog.foreignKeysOf(t.name)) {
+      val parent0 = stateAt(rt, None).select(col(rc).as("_fk_parent"))
+      val parent = if (rt == t.name)
+        parent0.unionByName(rowsLogical.select(col(rc).as("_fk_parent")))
+      else parent0
+      val orphan = rowsLogical.where(col(c).isNotNull)
+        .join(parent, col(c) === col("_fk_parent"), "left_anti")
+        .limit(1).count()
+      require(orphan == 0,
+        s"foreign key violation: ${t.name}.$c references missing key in $rt.$rc")
+    }
+
+  /** RESTRICT on delete, like the reference (fk.rs:20-23, 113-147): a
+    * parent row cannot go away while any child row references it. Rows
+    * removed by this same statement do not block it (self-FK chains
+    * delete together). */
+  private def validateFkIncoming(t: TableDef, deleted: DataFrame): Unit =
+    for ((child, childCol, parentCol) <- catalog.referencingFks(t.name)) {
+      val childState0 = stateAt(child, None)
+      val childState = if (child == t.name)
+        childState0.join(deleted.select(col(t.pk)), Seq(t.pk), "left_anti")
+      else childState0
+      val blocked = childState.where(col(childCol).isNotNull)
+        .join(deleted.select(col(parentCol).as("_fk_key")),
+          col(childCol) === col("_fk_key"), "left_semi")
+        .limit(1).count()
+      require(blocked == 0,
+        s"foreign key violation: cannot delete from ${t.name} — $child.$childCol references it")
+    }
+
   /** INSERT (VALUES or SELECT): align source columns to the target
     * column list (by position, like the reference — sql_bridge.rs:
     * 3505-3663), unnamed columns default to NULL, enforce PK
@@ -406,6 +461,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         .limit(1).count()
       require(clash == 0, s"primary key already exists in $table")
     }
+    validateFkOutgoing(t, full)
     val (n, last) = append(t, full, EventLog.INSERT)
     summary("insert", n, last)
   }
@@ -444,12 +500,31 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           .limit(1).count()
         require(clash == 0, s"primary key already exists in $table")
       }
+      validateFkChanged(t, assigns, updated)
       val (nd, _) = append(t, matching, EventLog.SOFT_DELETE)
       val (_, last) = append(t, updated, EventLog.INSERT)
       summary("update", nd, last)
     } else {
-      val (n, last) = append(t, applyAssigns(matching0), EventLog.PATCH)
+      val updated = applyAssigns(matching0)
+      validateFkChanged(t, assigns, updated)
+      val (n, last) = append(t, updated, EventLog.PATCH)
       summary("update", n, last)
+    }
+  }
+
+  /** UPDATE re-validates only FK columns the SET list touches — an
+    * update that leaves an FK column alone doesn't re-check the parent
+    * (PG behavior, fk.rs:150-181). */
+  private def validateFkChanged(t: TableDef, assigns: Seq[(String, String)],
+      updated: DataFrame): Unit = {
+    val touched = assigns.map(_._1).toSet
+    for ((c, rt, rc) <- catalog.foreignKeysOf(t.name) if touched(c)) {
+      val parent = stateAt(rt, None).select(col(rc).as("_fk_parent"))
+      val orphan = updated.where(col(c).isNotNull)
+        .join(parent, col(c) === col("_fk_parent"), "left_anti")
+        .limit(1).count()
+      require(orphan == 0,
+        s"foreign key violation: ${t.name}.$c references missing key in $rt.$rc")
     }
   }
 
@@ -459,6 +534,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     val t = catalog.require(table)
     val state = stateAt(table, None)
     val matching = where.fold(state)(w => state.where(expr(w)))
+    validateFkIncoming(t, matching)
     val (n, last) = append(t, matching, EventLog.SOFT_DELETE)
     summary("delete", n, last)
   }
@@ -483,6 +559,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     val full = raw.select(t.columns.map(c =>
       if (raw.columns.contains(c.logical)) col(c.logical).cast(c.dataType).as(c.logical)
       else lit(null).cast(c.dataType).as(c.logical)): _*)
+    validateFkOutgoing(t, full)
     val (n, last) = append(t, full, EventLog.INSERT)
     summary("ingest", n, last)
   }

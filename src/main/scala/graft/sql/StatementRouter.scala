@@ -13,7 +13,10 @@ package graft.sql
   */
 sealed trait Statement
 object Statement {
-  final case class CreateTable(name: String, cols: Seq[(String, String)], pk: String) extends Statement
+  /** One declared foreign key: child column → parent table(column). */
+  final case class FkDef(column: String, refTable: String, refColumn: String)
+  final case class CreateTable(name: String, cols: Seq[(String, String)], pk: String,
+      fks: Seq[FkDef] = Nil) extends Statement
   final case class CreateIndex(index: String, table: String, column: String) extends Statement
   final case class CreateView(name: String, sql: String) extends Statement
   final case class DropTable(name: String, ifExists: Boolean) extends Statement
@@ -120,8 +123,8 @@ object StatementRouter {
     val stmt = raw.trim.stripSuffix(";").trim
     stmt match {
       case CreateTableR(name, body) =>
-        val (cols, pk) = parseCreateBody(body)
-        CreateTable(name, cols, pk)
+        val (cols, pk, fks) = parseCreateBody(body)
+        CreateTable(name, cols, pk, fks)
       case CreateIndexR(idx, table, colName) => CreateIndex(idx, table, colName)
       case CreateViewR(name, sql) => CreateView(name, sql.trim)
       case DropTableR(ifEx, name) => DropTable(name, ifEx != null)
@@ -178,23 +181,47 @@ object StatementRouter {
   }
 
   /** CREATE TABLE body: column defs with inline or trailing PRIMARY KEY
-    * (both reference forms — sql_bridge.rs:5724-5949). Types are DDL
-    * strings handed to Spark's `DataType.fromDDL`. */
-  private def parseCreateBody(body: String): (Seq[(String, String)], String) = {
+    * (both reference forms — sql_bridge.rs:5724-5949) and foreign keys
+    * in both forms too — inline `col T REFERENCES t(c)`
+    * (sql_bridge.rs:5738-5785) and table-level `FOREIGN KEY (col)
+    * REFERENCES t(c)` (sql_bridge.rs:5799-5840). FK clauses are
+    * stripped before the type DDL reaches Spark's `DataType.fromDDL`.
+    * ON DELETE/UPDATE actions parse but act as RESTRICT, exactly like
+    * the reference (fk.rs:20-23). */
+  private def parseCreateBody(body: String): (Seq[(String, String)], String, Seq[FkDef]) = {
     val parts = splitTopLevel(body)
     var pk: Option[String] = None
     val cols = Vector.newBuilder[(String, String)]
+    val fks = Vector.newBuilder[FkDef]
     val PkConstraint = """(?is)^PRIMARY\s+KEY\s*\(\s*(\w+)\s*\)$""".r
+    val FkConstraint =
+      """(?is)^(?:CONSTRAINT\s+\w+\s+)?FOREIGN\s+KEY\s*\(\s*(\w+)\s*\)\s+REFERENCES\s+([\w.]+)\s*\(\s*(\w+)\s*\)(?:\s+ON\s+(?:DELETE|UPDATE)\s+[\w\s]+)*$""".r
+    val InlineFk =
+      """(?is)\s+REFERENCES\s+([\w.]+)\s*\(\s*(\w+)\s*\)(\s+ON\s+(?:DELETE|UPDATE)\s+(?:CASCADE|RESTRICT|SET\s+NULL|SET\s+DEFAULT|NO\s+ACTION))*""".r
     val ColDef = """(?is)^(\w+)\s+(.+?)(\s+PRIMARY\s+KEY)?$""".r
     for (p <- parts) p match {
       case PkConstraint(k) => pk = Some(k)
-      case ColDef(name, typeDdl, inlinePk) =>
-        cols += ((name, typeDdl.trim))
+      case FkConstraint(c, rt, rc) => fks += FkDef(c, rt, rc)
+      case ColDef(name, typeDdl0, inlinePk) =>
+        var typeDdl = typeDdl0.trim
+        for (m <- InlineFk.findFirstMatchIn(typeDdl)) {
+          fks += FkDef(name, m.group(1), m.group(2))
+          typeDdl = InlineFk.replaceAllIn(typeDdl, "").trim
+        }
+        // `col T PRIMARY KEY REFERENCES t(c)`: the PK marker only
+        // surfaces at the end of the def, so re-check after FK-stripping
+        val TrailingPk = """(?is)(.+?)\s+PRIMARY\s+KEY$""".r
+        typeDdl match {
+          case TrailingPk(ddl) => typeDdl = ddl.trim; pk = Some(name)
+          case _ =>
+        }
+        cols += ((name, typeDdl))
         if (inlinePk != null) pk = Some(name)
       case other => throw new IllegalArgumentException(s"bad column def: $other")
     }
     val result = cols.result()
     (result, pk.getOrElse(throw new IllegalArgumentException(
-      "CREATE TABLE requires a PRIMARY KEY (single column, as in the reference)")))
+      "CREATE TABLE requires a PRIMARY KEY (single column, as in the reference)")),
+      fks.result())
   }
 }

@@ -322,6 +322,60 @@ class QueryEngineSpec extends AnyFunSuite {
     assert(rows(e, "SELECT COUNT(*) AS n FROM t") === Seq(Row(3L)))
   }
 
+  test("foreign keys: inline + constraint forms parse and enforce") {
+    val e = fresh()
+    e.sql("CREATE TABLE dept (id BIGINT PRIMARY KEY, dname STRING)")
+    e.sql("INSERT INTO dept VALUES (1, 'eng'), (2, 'ops')")
+    // inline REFERENCES used to throw inside DataType.fromDDL
+    e.sql("""CREATE TABLE emp (eid BIGINT PRIMARY KEY, ename STRING,
+            |  dept_id BIGINT REFERENCES dept(id))""".stripMargin)
+    e.sql("INSERT INTO emp VALUES (10, 'ann', 1), (11, 'bob', NULL)")
+    // orphan insert raises; NULL passed above (MATCH SIMPLE)
+    intercept[IllegalArgumentException] {
+      e.sql("INSERT INTO emp VALUES (12, 'eve', 99)")
+    }
+    // UPDATE to a missing parent raises; to a live one succeeds
+    intercept[IllegalArgumentException] {
+      e.sql("UPDATE emp SET dept_id = 42 WHERE eid = 10")
+    }
+    e.sql("UPDATE emp SET dept_id = 2 WHERE eid = 10")
+    // RESTRICT: referenced parent cannot be deleted, unreferenced can
+    intercept[IllegalArgumentException] {
+      e.sql("DELETE FROM dept WHERE id = 2")
+    }
+    e.sql("DELETE FROM dept WHERE id = 1")
+    assert(rows(e, "SELECT id FROM dept") === Seq(Row(2L)))
+    // table-level FOREIGN KEY (...) REFERENCES form
+    e.sql("""CREATE TABLE task (tid BIGINT PRIMARY KEY, eid BIGINT,
+            |  FOREIGN KEY (eid) REFERENCES emp(eid))""".stripMargin)
+    intercept[IllegalArgumentException] {
+      e.sql("INSERT INTO task VALUES (1, 999)")
+    }
+    e.sql("INSERT INTO task VALUES (1, 10)")
+    // FK registry survives engine restart
+    val e2 = new QueryEngine(spark, e.baseDir)
+    intercept[IllegalArgumentException] {
+      e2.sql("INSERT INTO task VALUES (2, 999)")
+    }
+  }
+
+  test("self-referencing foreign key: batch siblings and chain deletes") {
+    val e = fresh()
+    e.sql("""CREATE TABLE emp (eid BIGINT PRIMARY KEY, mgr BIGINT,
+            |  FOREIGN KEY (mgr) REFERENCES emp(eid))""".stripMargin)
+    // 20 reports to 10, inserted in the same statement
+    e.sql("INSERT INTO emp VALUES (10, NULL), (20, 10)")
+    intercept[IllegalArgumentException] {
+      e.sql("INSERT INTO emp VALUES (30, 99)")
+    }
+    // deleting only the manager is blocked; deleting the chain is fine
+    intercept[IllegalArgumentException] {
+      e.sql("DELETE FROM emp WHERE eid = 10")
+    }
+    e.sql("DELETE FROM emp WHERE eid IN (10, 20)")
+    assert(rows(e, "SELECT COUNT(*) AS n FROM emp") === Seq(Row(0L)))
+  }
+
   test("for system_time between returns the change stream") {
     val e = seeded()
     e.sql("UPDATE t SET val = 9 WHERE id = 1") // seq 4
