@@ -32,6 +32,16 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * Every statement returns a DataFrame (DML returns an affected-rows
   * summary), so the surface is uniform and lazy where possible.
+  *
+  * Name scoping: engine tables resolve through session temp views that
+  * are (re-)registered by every statement before it runs, so multiple
+  * engines over different base dirs can share one SparkSession with
+  * SERIAL use — each statement re-resolves its own names even if
+  * another engine registered the same name in between (covered by the
+  * two-engines test in QueryEngineSpec). Concurrent statements from two
+  * engines sharing a session are not supported — same discipline as the
+  * reference's process-global write lock (index.rs:22-26); use one
+  * SparkSession per concurrent engine.
   */
 final class QueryEngine(val spark: SparkSession, val baseDir: String) {
 
@@ -131,6 +141,13 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   }
 
   // ================================================================ sql
+
+  /** Parameterized statement: `$1 $2 ...` placeholders bound to
+    * `params` as SQL literals before routing (the reference's
+    * `execute_sql_with_params`, sql_bridge.rs:183-226 — ours covers
+    * every statement kind, not just SELECT/CREATE). */
+  def sql(statement: String, params: Seq[Any]): DataFrame =
+    sql(graft.sql.Params.bind(statement, params))
 
   def sql(statement: String): DataFrame = StatementRouter.parse(statement) match {
     case Statement.Begin => begin()

@@ -1,0 +1,60 @@
+package graft.sql
+
+/** `$1 $2 ...` parameter binding for engine statements — the analogue
+  * of the reference's `execute_sql_with_params` (sql_bridge.rs:183-226),
+  * which binds a JSON param array into the statement before execution.
+  * Binding happens at the statement-string level (values render as SQL
+  * literals with proper quoting), so every statement kind the router
+  * understands is parameterizable — a superset of the reference, which
+  * supports only SELECT and CREATE TABLE with params.
+  */
+object Params {
+
+  /** Replace each `$N` placeholder outside string literals with the
+    * rendered `params(N-1)`. Placeholders inside '...' literals are
+    * left alone, as a SQL parser would. */
+  def bind(sql: String, params: Seq[Any]): String = {
+    val out = new StringBuilder
+    var inStr = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) {
+        out += c
+        if (c == '\'') {
+          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') { out += '\''; i += 1 }
+          else inStr = false
+        }
+      } else if (c == '\'') { inStr = true; out += c }
+      else if (c == '$' && i + 1 < sql.length && sql.charAt(i + 1).isDigit) {
+        var j = i + 1
+        while (j < sql.length && sql.charAt(j).isDigit) j += 1
+        val n = sql.substring(i + 1, j).toInt
+        if (n < 1 || n > params.length)
+          throw new IllegalArgumentException(
+            s"parameter $$$n out of range (${params.length} provided)")
+        out ++= render(params(n - 1))
+        i = j - 1
+      } else out += c
+      i += 1
+    }
+    if (inStr) throw new IllegalArgumentException("unterminated string literal")
+    out.toString
+  }
+
+  /** A parameter value as a SQL literal. */
+  def render(v: Any): String = v match {
+    case null => "NULL"
+    case None => "NULL"
+    case Some(x) => render(x)
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case b: Boolean => if (b) "TRUE" else "FALSE"
+    case t: java.sql.Timestamp => s"TIMESTAMP '${t.toString}'"
+    case d: java.sql.Date => s"DATE '${d.toString}'"
+    case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) => n.toString
+    case n: BigDecimal => n.toString
+    case n: java.math.BigDecimal => n.toString
+    case other => throw new IllegalArgumentException(
+      s"unsupported parameter type: ${other.getClass.getName}")
+  }
+}

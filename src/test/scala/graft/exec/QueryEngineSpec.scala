@@ -376,6 +376,39 @@ class QueryEngineSpec extends AnyFunSuite {
     assert(rows(e, "SELECT COUNT(*) AS n FROM emp") === Seq(Row(0L)))
   }
 
+  test("parameterized statements bind $N placeholders as literals") {
+    val e = seeded()
+    assert(rows(e, "SELECT id, name FROM t WHERE id = 2").nonEmpty)
+    val got = e.sql("SELECT id, name FROM t WHERE id >= $1 AND name <> $2 ORDER BY id",
+      Seq(2, "b")).collect().toSeq
+    assert(got === Seq(Row(3L, "c")))
+    // DML with params; $ inside a string literal is not a placeholder
+    e.sql("INSERT INTO t VALUES ($1, $2, $3)", Seq(4, "has $1 inside", 4.5))
+    assert(rows(e, "SELECT name FROM t WHERE id = 4") === Seq(Row("has $1 inside")))
+    // NULL, repeated use, out-of-range
+    e.sql("UPDATE t SET val = $1 WHERE id = $2 OR id = $2 + 2", Seq(null, 1))
+    assert(rows(e, "SELECT val FROM t WHERE id = 1") === Seq(Row(null)))
+    intercept[IllegalArgumentException](e.sql("SELECT $3", Seq(1)))
+  }
+
+  test("two engines over different dirs share one session serially") {
+    val e1 = fresh()
+    val e2 = fresh()
+    e1.sql("CREATE TABLE shared (id BIGINT PRIMARY KEY, src STRING)")
+    e2.sql("CREATE TABLE shared (id BIGINT PRIMARY KEY, src STRING)")
+    e1.sql("INSERT INTO shared VALUES (1, 'one')")
+    e2.sql("INSERT INTO shared VALUES (2, 'two')")
+    // every statement re-resolves its own names, so interleaved serial
+    // use never reads the other engine's registration
+    assert(rows(e1, "SELECT id, src FROM shared") === Seq(Row(1L, "one")))
+    assert(rows(e2, "SELECT id, src FROM shared") === Seq(Row(2L, "two")))
+    e1.sql("UPDATE shared SET src = 'ONE' WHERE id = 1")
+    assert(rows(e2, "SELECT src FROM shared") === Seq(Row("two")))
+    assert(rows(e1, "SELECT src FROM shared") === Seq(Row("ONE")))
+    e1.sql("DROP TABLE shared")
+    assert(rows(e2, "SELECT COUNT(*) AS n FROM shared") === Seq(Row(1L)))
+  }
+
   test("for system_time between returns the change stream") {
     val e = seeded()
     e.sql("UPDATE t SET val = 9 WHERE id = 1") // seq 4
