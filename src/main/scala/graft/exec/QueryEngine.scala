@@ -581,6 +581,20 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     summary("ingest", n, last)
   }
 
+  /** One micro-batch from a streaming source (graft.streaming
+    * .StreamIngest): columns matched by name like JSONL ingest, missing
+    * ones NULL, appended as INSERT events. PK/FK guards are skipped —
+    * a stream is bulk ingestion (see enforcePkUniqueness) and guard
+    * jobs per micro-batch would double its latency. */
+  private[graft] def ingestStream(table: String, batch: DataFrame): Unit = {
+    val t = catalog.require(table)
+    val full = batch.select(t.columns.map(c =>
+      if (batch.columns.contains(c.logical)) col(c.logical).cast(c.dataType).as(c.logical)
+      else lit(null).cast(c.dataType).as(c.logical)): _*)
+    append(t, full, EventLog.INSERT)
+    ()
+  }
+
   // ========================================================== utilities
 
   /** EXPLAIN <query>: the formatted Catalyst plan (sql_bridge.rs:
