@@ -209,6 +209,17 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       // storage delete cannot be rolled back — keep DROP out of txns
       if (txn.isDefined)
         throw new IllegalStateException("DROP TABLE cannot run inside a transaction")
+      // RESTRICT, like FK deletes: dropping a parent would leave child
+      // FKs pointing at a vanished table (a dangling-registry state the
+      // reference tolerates — fk.rs:68-71 forgets only the child side)
+      if (catalog.get(name).isDefined) {
+        val children = catalog.referencingFks(name).collect {
+          case (child, c, _) if child != name => s"$child.$c"
+        }
+        if (children.nonEmpty)
+          throw new IllegalStateException(
+            s"cannot drop $name: referenced by ${children.mkString(", ")}")
+      }
       catalog.dropTable(name, ifEx)
       // the select path registers session temp views lazily; drop any
       // stale one so the name stops resolving immediately
@@ -290,9 +301,34 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     }
   }
 
+  /** Does the statement text reference `name` as a word? String
+    * literals and `--` comments are masked first so a table name inside
+    * a quoted value or comment doesn't trigger a spurious registration. */
   private def referencesWord(sqlText: String, name: String): Boolean =
     ("""(?i)\b""" + java.util.regex.Pattern.quote(name) + """\b""").r
-      .findFirstIn(sqlText).isDefined
+      .findFirstIn(maskNonCode(sqlText)).isDefined
+
+  private def maskNonCode(sqlText: String): String = {
+    val out = new StringBuilder(sqlText.length)
+    var i = 0
+    var inStr = false
+    while (i < sqlText.length) {
+      val c = sqlText.charAt(i)
+      if (inStr) {
+        if (c == '\'') {
+          if (i + 1 < sqlText.length && sqlText.charAt(i + 1) == '\'') { out += ' '; i += 1 }
+          else inStr = false
+        }
+        out += ' '
+      } else if (c == '\'') { inStr = true; out += ' ' }
+      else if (c == '-' && i + 1 < sqlText.length && sqlText.charAt(i + 1) == '-') {
+        while (i < sqlText.length && sqlText.charAt(i) != '\n') { out += ' '; i += 1 }
+        i -= 1
+      } else out += c
+      i += 1
+    }
+    out.toString
+  }
 
   /** A table at a point in (system) time, with logical column names. */
   def resolve(table: String, st: SystemTime): DataFrame = {

@@ -409,6 +409,30 @@ class QueryEngineSpec extends AnyFunSuite {
     assert(rows(e2, "SELECT COUNT(*) AS n FROM shared") === Seq(Row(1L)))
   }
 
+  test("table names in string literals and comments are not references") {
+    val e = seeded()
+    // a second table whose name appears only inside a literal + comment
+    e.sql("CREATE TABLE audit (id BIGINT PRIMARY KEY, note STRING)")
+    e.sql("INSERT INTO audit VALUES (1, 'about t and more')")
+    val got = rows(e,
+      """SELECT id, 'audit says t is fine' AS note -- audit trail for t
+        |FROM t WHERE id = 1""".stripMargin)
+    assert(got === Seq(Row(1L, "audit says t is fine")))
+  }
+
+  test("dropping a parent table referenced by a child is blocked") {
+    val e = fresh()
+    e.sql("CREATE TABLE p (id BIGINT PRIMARY KEY)")
+    e.sql("CREATE TABLE c (id BIGINT PRIMARY KEY, pid BIGINT REFERENCES p(id))")
+    val ex = intercept[IllegalStateException](e.sql("DROP TABLE p"))
+    assert(ex.getMessage.contains("c.pid"))
+    e.sql("DROP TABLE c")
+    e.sql("DROP TABLE p") // child gone, parent drops fine
+    // a self-referencing table can always drop itself
+    e.sql("CREATE TABLE s (id BIGINT PRIMARY KEY, m BIGINT REFERENCES s(id))")
+    e.sql("DROP TABLE s")
+  }
+
   test("for system_time between returns the change stream") {
     val e = seeded()
     e.sql("UPDATE t SET val = 9 WHERE id = 1") // seq 4
