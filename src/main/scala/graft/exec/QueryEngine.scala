@@ -507,12 +507,15 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       if (target.contains(c.logical)) col(c.logical).cast(c.dataType).as(c.logical)
       else lit(null).cast(c.dataType).as(c.logical)): _*)
     if (enforcePkUniqueness) {
+      // both guards in ONE Spark job: batch-internal duplicates and
+      // state collisions union into a single limit-1 probe
       val pk = t.pk
-      val dupIn = full.groupBy(col(pk)).count().where(col("count") > 1).limit(1).count()
-      require(dupIn == 0, s"duplicate primary key within INSERT batch on $table")
+      val dups = full.groupBy(col(pk)).count().where(col("count") > 1)
+        .select(lit(s"duplicate primary key within INSERT batch on $table").as("_err"))
       val clash = full.join(stateAt(table, None).select(col(pk)), Seq(pk), "left_semi")
-        .limit(1).count()
-      require(clash == 0, s"primary key already exists in $table")
+        .select(lit(s"primary key already exists in $table").as("_err"))
+      val bad = dups.unionByName(clash).limit(1).collect()
+      if (bad.nonEmpty) throw new IllegalArgumentException(bad(0).getString(0))
     }
     validateFkOutgoing(t, full)
     val (n, last) = append(t, full, EventLog.INSERT)
@@ -542,16 +545,17 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       val matching = matching0.localCheckpoint()
       val updated = applyAssigns(matching)
       if (enforcePkUniqueness) {
+        // both guards in one job, as in insertFrom. PG duplicate-key
+        // semantics (sql_bridge.rs:5473-5668): a new pk may not collide
+        // with any row that survives this statement
         val pk = t.pk
-        val dupIn = updated.groupBy(col(pk)).count()
-          .where(col("count") > 1).limit(1).count()
-        require(dupIn == 0, s"UPDATE produces duplicate primary keys on $table")
-        // PG duplicate-key semantics (sql_bridge.rs:5473-5668): a new pk
-        // may not collide with any row that survives this statement
+        val dups = updated.groupBy(col(pk)).count().where(col("count") > 1)
+          .select(lit(s"UPDATE produces duplicate primary keys on $table").as("_err"))
         val survivors = state.join(matching.select(col(pk)), Seq(pk), "left_anti")
         val clash = updated.join(survivors.select(col(pk)), Seq(pk), "left_semi")
-          .limit(1).count()
-        require(clash == 0, s"primary key already exists in $table")
+          .select(lit(s"primary key already exists in $table").as("_err"))
+        val bad = dups.unionByName(clash).limit(1).collect()
+        if (bad.nonEmpty) throw new IllegalArgumentException(bad(0).getString(0))
       }
       validateFkChanged(t, assigns, updated)
       val (nd, _) = append(t, matching, EventLog.SOFT_DELETE)

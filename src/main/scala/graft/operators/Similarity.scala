@@ -59,6 +59,61 @@ object Similarity {
     projections.reduce(_ + _)
   }
 
+  /** IVF-style ANN: a coarse quantizer partitions the corpus into
+    * `nlist` disjoint cells (every vector assigned to its most-similar
+    * centroid); a query probes only its `nprobe` nearest cells and
+    * re-scores exactly inside them, so candidate volume scales by
+    * ~nprobe/nlist instead of the full corpus — the classic IVF shape
+    * (billion-scale ANN surveys; same plumbing as lshTopK with learned
+    * cells instead of hashed ones).
+    *
+    * The quantizer is deterministic and model-free — the `nlist`
+    * lowest-id corpus vectors serve as centroids — so results are
+    * reproducible for the oracle hash-compare without a stored k-means
+    * model. With nprobe = nlist the search visits every cell and each
+    * (query, corpus) pair is scored exactly once (cells are disjoint),
+    * so the result must EQUAL brute force — the oracle-checked
+    * invariant; nprobe << nlist is the production configuration.
+    *
+    * Scale notes: centroid assignment is one broadcast of nlist
+    * vectors + a map-side `max_by` aggregation (no window sort over
+    * the corpus); the probe join shuffles only same-cell candidates. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int, nprobe: Int): DataFrame = {
+    val cent = corpus.orderBy("vec_id").limit(nlist)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    // corpus -> cell: argmax centroid similarity (ties impossible: the
+    // struct comparison falls back to the distinct centroid id)
+    val assigned = corpus
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .crossJoin(broadcast(cent))
+      .groupBy("cid")
+      .agg(
+        max_by(col("cent_id"),
+          struct(round(cosine(col("cv"), col("cent")), 9).as("s"),
+            (-col("cent_id")).as("tie"))).as("cell"),
+        first(col("cv")).as("cv"))
+    // query -> its nprobe nearest cells
+    val qw = Window.partitionBy("qid")
+      .orderBy(col("psim").desc, col("cent_id"))
+    val probes = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cent))
+      .select(col("qid"), col("qv"), col("cent_id"),
+        round(cosine(col("qv"), col("cent")), 9).as("psim"))
+      .withColumn("pr", row_number().over(qw))
+      .where(col("pr") <= nprobe)
+      .select(col("qid"), col("qv"), col("cent_id").as("cell"))
+    val scored = assigned.join(broadcast(probes), "cell")
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(cosine(col("qv"), col("cv")), 5).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "cid", "rank", "sim")
+  }
+
   /** LSH-bucketed ANN: exact cosine re-scoring within same-bucket
     * candidates only. Recall < 1 by construction; at scale the bucket
     * join replaces the quadratic cross product. */

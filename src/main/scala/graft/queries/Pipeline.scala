@@ -156,6 +156,39 @@ object Pipeline {
       .orderBy("qid", "rank")
   }
 
+  /** IVF ANN with every cell probed (nprobe = nlist): disjoint cells
+    * mean each pair is scored exactly once, so the result must equal
+    * exact brute force — the oracle proves the whole quantize → probe →
+    * re-score machinery loses nothing. */
+  val qAnnIvfFull = Q(
+    "q_ann_ivf_full",
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id >= 10 AND vec_id < 20),
+      |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      |scored AS (
+      |  SELECT qid, cid, ROUND(list_cosine_similarity(qv, cv), 5) AS sim
+      |  FROM c CROSS JOIN q WHERE qid <> cid),
+      |ranked AS (
+      |  SELECT qid, cid, sim,
+      |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+      |  FROM scored)
+      |SELECT qid, cid, rank, sim FROM ranked WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb.where(col("vec_id") >= 10 && col("vec_id") < 20),
+        emb, 5, nlist = 16, nprobe = 16)
+      .orderBy("qid", "rank")
+  }
+
+  /** IVF ANN in production shape (nprobe = 2 of 16 cells): candidate
+    * volume ~1/8th of brute force; recall < 1 by construction. */
+  val qAnnIvf = Q.rowsOnly("q_ann_ivf") { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb.where(col("vec_id") >= 10 && col("vec_id") < 20),
+        emb, 5, nlist = 16, nprobe = 2)
+      .orderBy("qid", "rank")
+  }
+
   // --------------------------------------------------- text analysis
 
   /** Token/quality metrics per document — all engine-exact ratios. */
@@ -365,7 +398,7 @@ object Pipeline {
   val all: Seq[Q] = Seq(
     qDedupExact, qJaccardPairs, qMinHashLsh, qMinHashSuperset,
     qSimHash, qSimHashSuperset,
-    qAnnCosine, qAnnLsh,
+    qAnnCosine, qAnnLsh, qAnnIvfFull, qAnnIvf,
     qTextQuality, qLangId, qTokenStats, qFingerprint,
     qMultimodalMeta, qMmFeatures, qFrameSample,
     qEventsHourly, qEventsSessions, qEventsJson)
