@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.types.DecimalType
+
+/** Per-user running total emitted by the stateful operator below. */
+final case class UserRunningCount(user_id: Long, n_events: Long)
+
+/** Streaming analytics over an event stream — the Structured Streaming
+  * counterparts of the batch pipeline queries (Pipeline.qEventsHourly /
+  * qEventsSessions). The reference has no streaming surface (SURVEY
+  * §2.11); these are the engine-native stream shapes for the same
+  * computations, built on watermarked windowed aggregation and
+  * `mapGroupsWithState`.
+  *
+  * Scale notes: a watermarked tumbling window keeps state bounded —
+  * Spark drops window state once the watermark passes the window end,
+  * so state size is O(active windows × groups), not O(stream length).
+  * The stateful running count keeps one Long per user; state store
+  * partitioning follows the groupBy key, same shuffle shape as the
+  * batch aggregation. */
+object StreamWindows {
+
+  /** Tumbling-hour counts and exact-decimal value sums with a
+    * watermark — the streaming twin of qEventsHourly. In append output
+    * mode a window emits exactly once, when the watermark passes its
+    * end; rows later than `watermark` are dropped. */
+  def hourlyCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Per-user running event count via `mapGroupsWithState` — custom
+    * keyed state beyond what windowed aggregation expresses (the
+    * mapGroupsWithState bullet of the engine's streaming surface).
+    * Emits the updated total for each user seen in a micro-batch. */
+  def runningCounts(events: DataFrame): Dataset[UserRunningCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long").as[Long])
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, UserRunningCount](GroupStateTimeout.NoTimeout) {
+        (user, batchRows, state) =>
+          val total = state.getOption.getOrElse(0L) + batchRows.size
+          state.update(total)
+          UserRunningCount(user, total)
+      }
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class StreamWindowsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def ts(h: Int, m: Int = 0) =
+    Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  test("watermarked tumbling windows finalize once the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamWindows.hourlyCounts(
+      mem.toDF.toDF("ts", "event_type", "value"), watermark = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(0, 10), "click", 1.0), (ts(0, 40), "click", 2.0),
+        (ts(1, 5), "view", 5.0))
+      q.processAllAvailable()
+      // watermark = 01:05 - 1h = 00:05 — no window end (01:00) passed yet
+      assert(spark.table("hourly").count() === 0)
+      mem.addData((ts(3, 0), "click", 1.0))
+      q.processAllAvailable()
+      // watermark = 02:00: hour-0 and hour-1 windows are final
+      val out = spark.table("hourly")
+        .select("hour_start", "event_type", "n", "total_value")
+        .collect().toSet
+      assert(out === Set(
+        Row(ts(0), "click", 2L, 3.0),
+        Row(ts(1), "view", 1L, 5.0)))
+      // a late row behind the watermark is dropped, not re-opened
+      mem.addData((ts(0, 55), "click", 9.0))
+      mem.addData((ts(5, 0), "view", 1.0))
+      q.processAllAvailable()
+      val hour0 = spark.table("hourly").where("hour_start = timestamp'2024-01-01 00:00:00'")
+        .collect().toSeq
+      assert(hour0 === Seq(Row(ts(0), "click", 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps a running per-user count across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val counts = StreamWindows.runningCounts(mem.toDF.toDF("user_id"))
+    val q = counts.writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    try {
+      mem.addData(1L, 1L, 1L, 2L)
+      q.processAllAvailable()
+      mem.addData(1L, 2L, 2L)
+      q.processAllAvailable()
+      val rows = spark.table("running").as[UserRunningCount].collect().toSet
+      // batch 1 emits (1,3),(2,1); batch 2 emits the updated (1,4),(2,3)
+      assert(rows === Set(UserRunningCount(1L, 3L), UserRunningCount(2L, 1L),
+        UserRunningCount(1L, 4L), UserRunningCount(2L, 3L)))
+    } finally q.stop()
+  }
+}
