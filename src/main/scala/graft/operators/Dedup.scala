@@ -45,21 +45,56 @@ object Dedup {
       docs: DataFrame,
       minJaccard: Double,
       maxDfFrac: Double = 0.8,
-      maxDf: Long = 10000L): DataFrame = {
-    val words0 = docs
-      .select(col("doc_id"), explode(wordSet(col("text"))).as("word"))
+      maxDf: Long = 10000L): DataFrame =
+    tokenJaccardPairs(
+      docs.select(col("doc_id"), explode(wordSet(col("text"))).as("tok")),
+      docs, minJaccard, maxDfFrac, maxDf)
+
+  /** Distinct word n-gram (shingle) array — `n` consecutive words
+    * joined with '_'. Shingles see word ORDER, so reordered docs that
+    * share a word set stop matching: the standard upgrade from set
+    * Jaccard for near-dup detection. Documents shorter than n words
+    * have no shingles. */
+  def shingleSet(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    when(size(words) >= n,
+      array_distinct(transform(sequence(lit(1), size(words) - (n - 1)),
+        i => concat_ws("_", slice(words, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** n-gram Jaccard near-dup pairs: jaccardPairs over shingles instead
+    * of single words, same df-caps and inverted-index join shape. */
+  def shingleJaccardPairs(
+      docs: DataFrame,
+      n: Int,
+      minJaccard: Double,
+      maxDfFrac: Double = 0.8,
+      maxDf: Long = 10000L): DataFrame =
+    tokenJaccardPairs(
+      docs.select(col("doc_id"), explode(shingleSet(col("text"), n)).as("tok")),
+      docs, minJaccard, maxDfFrac, maxDf)
+
+  /** Shared inverted-index Jaccard machinery over a (doc_id, tok)
+    * frame; see jaccardPairs for the df-cap scale rationale. */
+  private def tokenJaccardPairs(
+      tokens0: DataFrame,
+      docs: DataFrame,
+      minJaccard: Double,
+      maxDfFrac: Double,
+      maxDf: Long): DataFrame = {
     val nDocs = docs.agg(count(lit(1)).as("_ndocs"))
-    val vocab = words0.groupBy("word").agg(count(lit(1)).as("_df"))
+    val vocab = tokens0.groupBy("tok").agg(count(lit(1)).as("_df"))
       .crossJoin(broadcast(nDocs))
       .where(col("_df") <= lit(maxDfFrac) * col("_ndocs") &&
         col("_df") <= lit(maxDf))
-      .select("word")
-    val words = words0.join(vocab, "word")
-    val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = words.as("a")
-    val b = words.as("b")
+      .select("tok")
+    val tokens = tokens0.join(vocab, "tok")
+    val sizes = tokens.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = tokens.as("a")
+    val b = tokens.as("b")
     val inter = a.join(b,
-        col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("i"))
     inter
@@ -69,6 +104,30 @@ object Dedup {
         (col("i").cast("double") / (col("n1") + col("n2") - col("i"))).cast("double"))
       .where(col("jacc") >= minJaccard)
       .select("d1", "d2", "jacc")
+  }
+
+  /** Embedding-cosine near-duplicate pairs. `lshBits = 0` scores every
+    * pair exactly (correctness baseline; quadratic — subset your
+    * corpus); `lshBits > 0` prefilters candidates to same-LSH-bucket
+    * vectors before exact re-scoring, the 100 TB shape (recall < 1 by
+    * construction, like every LSH method). Scores are exact cosine
+    * either way — bucketing prunes candidates, never changes scores. */
+  def cosineNearDupPairs(
+      embeddings: DataFrame,
+      minSim: Double,
+      lshBits: Int = 0): DataFrame = {
+    val l = embeddings.select(col("vec_id").as("d1"), col("embedding").as("e1"))
+    val r = embeddings.select(col("vec_id").as("d2"), col("embedding").as("e2"))
+    val cand =
+      if (lshBits <= 0) l.join(r, col("d1") < col("d2"))
+      else l.withColumn("bucket", Similarity.lshBucket(col("e1"), lshBits))
+        .join(r.withColumn("bucket", Similarity.lshBucket(col("e2"), lshBits)),
+          "bucket")
+        .where(col("d1") < col("d2"))
+    cand
+      .withColumn("sim", round(Similarity.cosine(col("e1"), col("e2")), 5))
+      .where(col("sim") >= minSim)
+      .select("d1", "d2", "sim")
   }
 
   /** MinHash signatures: `perms` permutations approximated by seeded

@@ -156,6 +156,61 @@ object Pipeline {
       .orderBy("qid", "rank")
   }
 
+  /** n-gram (3-word shingle) Jaccard near-dups over the full corpus —
+    * shingles see word order, the standard upgrade from set Jaccard.
+    * Same inverted-index join and df-caps; the oracle builds identical
+    * '_'-joined shingles with list_transform. */
+  val qShingleJaccard = Q(
+    "q_shingle_jaccard",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(w) - 2),
+      |    i -> array_to_string(w[i:i+2], '_')))) AS tok
+      |  FROM d),
+      |nd AS (SELECT COUNT(*) AS n FROM d),
+      |vocab AS (
+      |  SELECT tok FROM (SELECT tok, COUNT(*) AS df FROM sh GROUP BY tok)
+      |  WHERE df <= 0.8 * (SELECT n FROM nd) AND df <= 100),
+      |t AS (SELECT doc_id, tok FROM sh WHERE tok IN (SELECT tok FROM vocab)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2,
+      |       CAST(CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS DOUBLE) AS jacc
+      |FROM inter JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+      |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    Dedup.shingleJaccardPairs(t(s, dir, "documents"), 3, 0.5,
+        maxDfFrac = 0.8, maxDf = 100L)
+      .orderBy("d1", "d2")
+  }
+
+  /** Embedding-cosine near-dup pairs, exact baseline (oracle-checked
+    * bit-exact against DuckDB's cosine). */
+  val qEmbedNearDup = Q(
+    "q_embed_neardup",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings WHERE vec_id < 200)
+      |SELECT a.vec_id AS d1, b.vec_id AS d2,
+      |       ROUND(list_cosine_similarity(a.v, b.v), 5) AS sim
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE ROUND(list_cosine_similarity(a.v, b.v), 5) >= 0.33
+      |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    Dedup.cosineNearDupPairs(
+        t(s, dir, "embeddings").where(col("vec_id") < 200), 0.33)
+      .orderBy("d1", "d2")
+  }
+
+  /** LSH-prefiltered cosine near-dups (scale path; recall < 1) —
+    * rows-only. */
+  val qEmbedNearDupLsh = Q.rowsOnly("q_embed_neardup_lsh") { (s, dir) =>
+    Dedup.cosineNearDupPairs(t(s, dir, "embeddings"), 0.3, lshBits = 6)
+      .orderBy("d1", "d2")
+  }
+
   /** IVF ANN with every cell probed (nprobe = nlist): disjoint cells
     * mean each pair is scored exactly once, so the result must equal
     * exact brute force — the oracle proves the whole quantize → probe →
@@ -396,8 +451,8 @@ object Pipeline {
   }
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qJaccardPairs, qMinHashLsh, qMinHashSuperset,
-    qSimHash, qSimHashSuperset,
+    qDedupExact, qJaccardPairs, qShingleJaccard, qMinHashLsh, qMinHashSuperset,
+    qSimHash, qSimHashSuperset, qEmbedNearDup, qEmbedNearDupLsh,
     qAnnCosine, qAnnLsh, qAnnIvfFull, qAnnIvf,
     qTextQuality, qLangId, qTokenStats, qFingerprint,
     qMultimodalMeta, qMmFeatures, qFrameSample,
