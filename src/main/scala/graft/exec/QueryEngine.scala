@@ -59,14 +59,22 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * batches to this buffer instead of the parquet log; reads union
     * the buffer back in (read-your-writes); COMMIT flushes the batches
     * in order, ROLLBACK discards them. Catalog DDL stays immediate
-    * (non-transactional), like most engines.
+    * (non-transactional), like most engines. Buffered sequence numbers
+    * are PROVISIONAL: if a concurrent direct writer (streaming ingest)
+    * advances the log while the transaction is open, COMMIT shifts each
+    * batch by the table's offset so flushed sequences stay unique and
+    * contiguous.
     *
     * Scale note: the buffer holds `localCheckpoint`-pinned DataFrames
     * (executor block storage, not driver heap), so a large transaction
     * costs the same memory as the same statements outside one. */
   private final class Txn {
-    val pending = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
+    // (table, pinned event frame, last provisional sequence in batch)
+    val pending = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame, Long)]
     val seqs = scala.collection.mutable.HashMap.empty[String, Long]
+    // catalog.lastSeq at the first buffered append per table — the
+    // anchor for the commit-time re-sequencing offset
+    val baseSeqs = scala.collection.mutable.HashMap.empty[String, Long]
     // (name, pending length, seq snapshot); later entries shadow earlier
     val savepoints =
       scala.collection.mutable.ArrayBuffer.empty[(String, Int, Map[String, Long])]
@@ -82,6 +90,13 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   }
   private var txn: Option[Txn] = None
 
+  /** Serializes every state-changing entry point — SQL statements and
+    * streaming micro-batches — the same single-writer discipline the
+    * reference enforces with its process write lock (index.rs:22-26).
+    * Without it a micro-batch and a statement could read the same
+    * lastSeq and assign duplicate sequences. */
+  private val writeLock = new Object
+
   def inTransaction: Boolean = txn.isDefined
 
   private def begin(): DataFrame = {
@@ -92,15 +107,42 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
 
   private def commitTxn(): DataFrame = txn match {
     case None => summary("commit", 0L, 0L) // PG: COMMIT outside txn is a no-op
-    case Some(tx) =>
+    case Some(tx) if tx.aborted =>
       txn = None
-      if (tx.aborted) summary("rollback", 0L, 0L) // PG: COMMIT of aborted = ROLLBACK
-      else {
-        // flush in statement order so per-table sequences land monotonic
-        for ((table, ev) <- tx.pending)
-          ev.write.mode("append").parquet(logDir(table))
-        for ((table, s) <- tx.seqs) catalog.commitSeq(table, s)
-        summary("commit", tx.pending.length.toLong, 0L)
+      summary("rollback", 0L, 0L) // PG: COMMIT of aborted = ROLLBACK
+    case Some(tx) =>
+      try {
+        // per-table shift for concurrent direct appends (streaming
+        // ingest) that advanced the log past this txn's provisional
+        // sequences; 0 when nothing interleaved
+        val offsets = tx.baseSeqs.map { case (tbl, base) =>
+          tbl -> (catalog.lastSeq(tbl) - base)
+        }
+        // flush in statement order so per-table sequences land
+        // monotonic; the counter commits after EVERY batch, so a
+        // failure mid-flush leaves the already-written prefix fully
+        // consistent (no duplicate sequences on the next append)
+        for ((table, ev, lastSeq) <- tx.pending) {
+          val off = offsets.getOrElse(table, 0L)
+          val shifted =
+            if (off == 0L) ev
+            else ev.withColumn("sequence", col("sequence") + off)
+              .withColumn("ts",
+                timestamp_seconds(lit(EventLog.ClockEpoch) + col("sequence")))
+          shifted.write.mode("append").parquet(logDir(table))
+          catalog.commitSeq(table, lastSeq + off)
+        }
+        val n = tx.pending.length.toLong
+        txn = None // cleared only after a complete flush
+        summary("commit", n, 0L)
+      } catch {
+        case e: Throwable =>
+          // what flushed is durable and counter-consistent; the rest is
+          // gone — surface the partial commit instead of masking it
+          txn = None
+          throw new IllegalStateException(
+            s"COMMIT failed mid-flush; already-flushed statements are kept, " +
+              s"the remainder was discarded: ${e.getMessage}", e)
       }
   }
 
@@ -149,7 +191,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   def sql(statement: String, params: Seq[Any]): DataFrame =
     sql(graft.sql.Params.bind(statement, params))
 
-  def sql(statement: String): DataFrame = StatementRouter.parse(statement) match {
+  def sql(statement: String): DataFrame = writeLock.synchronized {
+    StatementRouter.parse(statement) match {
     case Statement.Begin => begin()
     case Statement.Commit => commitTxn()
     case Statement.Rollback(sp) => rollbackTxn(sp)
@@ -174,6 +217,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           }
         case None => dispatch(st)
       }
+    }
   }
 
   private def dispatch(statement: Statement): DataFrame = statement match {
@@ -266,47 +310,69 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
 
   def select(sqlText: String): DataFrame = {
     val (clean, st) = TemporalPre.extract(sqlText)
-    registerReferenced(clean, st, depth = 0, scala.collection.mutable.Set.empty)
+    val cache = scala.collection.mutable.Map.empty[(String, SystemTime), DataFrame]
+    registerViews(clean, st, depth = 0, scala.collection.mutable.Set.empty, cache)
+    // statement-referenced tables are registered LAST, at the
+    // statement's spec: views above already captured their own
+    // resolutions, so this overwrites nothing they depend on
+    val masked = maskNonCode(clean)
+    for (t <- catalog.tableNames if referencesWord(masked, t))
+      resolveCached(t, st, cache).createOrReplaceTempView(t)
     spark.sql(clean)
   }
 
-  /** Register each referenced engine table (resolved at the temporal
-    * spec) and each referenced stored view (expanded recursively) as a
-    * session temp view, then let spark.sql resolve names normally.
+  /** Depth-first stored-view expansion into session temp views.
     *
-    * `done` guards against expansion clobbering the statement's
-    * temporal spec: a table the statement resolved at its own
-    * SystemTime is never re-registered by a view that also mentions it.
-    * Views are SQL macros — one without its own temporal clause reads
-    * at the statement's SystemTime (the reference threads the statement
-    * spec through expansion, sql_bridge.rs:309-320, 1203-1259); a view
-    * that names its own spec keeps it. */
-  private def registerReferenced(clean: String, st: SystemTime, depth: Int,
-      done: scala.collection.mutable.Set[String]): Unit = {
+    * `spark.sql` analyzes eagerly, so creating a view's temp view
+    * CAPTURES the logical plans of whatever the names it references
+    * resolve to at that moment — re-registering a base table afterward
+    * does not rebind an already-created view. That capture property
+    * makes temporal precedence work in a single namespace:
+    *   1. sub-views expand first (each capturing its own resolution);
+    *   2. the view's base tables register at the view's effective
+    *      spec — its own FOR SYSTEM_TIME clause if it names one, else
+    *      the spec inherited from its consumer (the reference threads
+    *      the statement spec through expansion the same way,
+    *      sql_bridge.rs:309-320, 1203-1259);
+    *   3. the view's temp view is created, freezing those choices;
+    * and select() then re-registers the statement's own tables at the
+    * statement spec. A view with an explicit AS OF keeps it even when
+    * the statement reads the same table at another time, and vice
+    * versa. */
+  private def registerViews(text: String, st: SystemTime, depth: Int,
+      expanded: scala.collection.mutable.Set[String],
+      cache: scala.collection.mutable.Map[(String, SystemTime), DataFrame]): Unit = {
     if (depth > 10)
       throw new IllegalStateException("view expansion depth > 10 (cycle?)")
-    for (t <- catalog.tableNames if referencesWord(clean, t) && !done(t)) {
-      done += t
-      resolve(t, st).createOrReplaceTempView(t)
-    }
-    for (v <- catalog.viewNames if referencesWord(clean, v) && !done(v)) {
-      done += v
+    val masked = maskNonCode(text)
+    for (v <- catalog.viewNames if referencesWord(masked, v) && !expanded(v)) {
+      expanded += v
       val (vClean, vSt) = TemporalPre.extract(catalog.getView(v).get)
       val effSt = vSt match {
         case SystemTime.Current => st
         case explicit => explicit
       }
-      registerReferenced(vClean, effSt, depth + 1, done)
+      registerViews(vClean, effSt, depth + 1, expanded, cache)
+      val vMasked = maskNonCode(vClean)
+      for (t <- catalog.tableNames if referencesWord(vMasked, t))
+        resolveCached(t, effSt, cache).createOrReplaceTempView(t)
       spark.sql(vClean).createOrReplaceTempView(v)
     }
   }
 
-  /** Does the statement text reference `name` as a word? String
-    * literals and `--` comments are masked first so a table name inside
-    * a quoted value or comment doesn't trigger a spurious registration. */
-  private def referencesWord(sqlText: String, name: String): Boolean =
+  /** resolve() memoized per statement — AS-OF-timestamp resolution
+    * runs a bounds job, which shouldn't repeat per referencing view. */
+  private def resolveCached(table: String, st: SystemTime,
+      cache: scala.collection.mutable.Map[(String, SystemTime), DataFrame]): DataFrame =
+    cache.getOrElseUpdate((table, st), resolve(table, st))
+
+  /** Does the (pre-masked) statement text reference `name` as a word?
+    * Callers mask string literals and `--` comments out of the text
+    * once via maskNonCode, so a table name inside a quoted value or
+    * comment doesn't trigger a spurious registration. */
+  private def referencesWord(maskedSql: String, name: String): Boolean =
     ("""(?i)\b""" + java.util.regex.Pattern.quote(name) + """\b""").r
-      .findFirstIn(maskNonCode(sqlText)).isDefined
+      .findFirstIn(maskedSql).isDefined
 
   private def maskNonCode(sqlText: String): String = {
     val out = new StringBuilder(sqlText.length)
@@ -379,7 +445,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           EventLog.schema(t.payloadSchema))
     }
     txn.fold(base) { tx =>
-      tx.pending.iterator.collect { case (n, ev) if n == t.name => ev }
+      tx.pending.iterator.collect { case (n, ev, _) if n == t.name => ev }
         .foldLeft(base)(_.unionByName(_, allowMissingColumns = true))
     }
   }
@@ -412,8 +478,12 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   // ========================================================= write path
 
   /** Append one batch of payload rows (logical columns) as events.
-    * Returns the last assigned sequence. */
-  private def append(t: TableDef, rowsLogical: DataFrame, eventType: String): (Long, Long) = {
+    * Returns the last assigned sequence. `direct = true` (streaming
+    * micro-batches) always writes storage, bypassing any open
+    * transaction's buffer — the stream's rows must not be captured by
+    * (and dropped with) a user transaction. */
+  private def append(t: TableDef, rowsLogical: DataFrame, eventType: String,
+      direct: Boolean = false): (Long, Long) = {
     if (t.attached.isDefined)
       throw new UnsupportedOperationException(
         s"table ${t.name} is an attached read-only event log")
@@ -421,8 +491,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // writes are a [REF-GAP] we do NOT replicate: our tables are typed)
     val physical = rowsLogical.select(t.columns.map(c =>
       col(c.logical).cast(c.dataType).as(c.physical)): _*)
+    val viaTxn = if (direct) None else txn
     // inside a transaction, sequences continue from the buffered tail
-    val base = txn.flatMap(_.seqs.get(t.name)).getOrElse(catalog.lastSeq(t.name))
+    val base = viaTxn.flatMap(_.seqs.get(t.name)).getOrElse(catalog.lastSeq(t.name))
     // pin the batch before counting + writing: the source reads the very
     // log we append to, and zipWithIndex must not be recomputed between
     // the two actions
@@ -435,9 +506,10 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         lit(eventType).as("event_type"),
         col(t.pkPhysical).cast("string").as("pk"),
         struct(t.columns.map(c => col(c.physical)): _*).as("payload"))
-      txn match {
+      viaTxn match {
         case Some(tx) => // buffer; flushed at COMMIT, dropped at ROLLBACK
-          tx.pending += ((t.name, ev))
+          tx.baseSeqs.getOrElseUpdate(t.name, catalog.lastSeq(t.name))
+          tx.pending += ((t.name, ev, base + n))
           tx.seqs(t.name) = base + n
         case None =>
           ev.write.mode("append").parquet(logDir(t.name))
@@ -558,12 +630,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         if (bad.nonEmpty) throw new IllegalArgumentException(bad(0).getString(0))
       }
       validateFkChanged(t, assigns, updated)
+      validateFkIncomingOnUpdate(t, assigns, state, matching, updated)
       val (nd, _) = append(t, matching, EventLog.SOFT_DELETE)
       val (_, last) = append(t, updated, EventLog.INSERT)
       summary("update", nd, last)
     } else {
       val updated = applyAssigns(matching0)
       validateFkChanged(t, assigns, updated)
+      validateFkIncomingOnUpdate(t, assigns, state, matching0, updated)
       val (n, last) = append(t, updated, EventLog.PATCH)
       summary("update", n, last)
     }
@@ -582,6 +656,35 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         .limit(1).count()
       require(orphan == 0,
         s"foreign key violation: ${t.name}.$c references missing key in $rt.$rc")
+    }
+  }
+
+  /** RESTRICT for the parent side of an UPDATE, mirroring the DELETE
+    * guard: rewriting a column other tables reference must not orphan
+    * their rows (ON UPDATE actions parse but act as RESTRICT). A key
+    * counts as removed when it exists before the statement but is held
+    * by no row after it — matched rows carry their new values, rows the
+    * WHERE didn't touch keep their old ones. */
+  private def validateFkIncomingOnUpdate(t: TableDef, assigns: Seq[(String, String)],
+      state: DataFrame, matching: DataFrame, updated: DataFrame): Unit = {
+    val touched = assigns.map(_._1).toSet
+    val incoming = catalog.referencingFks(t.name).filter(f => touched(f._3))
+    if (incoming.nonEmpty) {
+      val pk = t.pk
+      val untouchedRows = state.join(matching.select(col(pk)), Seq(pk), "left_anti")
+      for ((child, childCol, parentCol) <- incoming) {
+        val after = untouchedRows.select(col(parentCol).as("_fk_key"))
+          .unionByName(updated.select(col(parentCol).as("_fk_key")))
+        val removed = matching.select(col(parentCol).as("_fk_key")).except(after)
+        // a self-referencing child is judged on its own post-update rows
+        val childRows = if (child == t.name) untouchedRows.unionByName(updated)
+          else stateAt(child, None)
+        val blocked = childRows.where(col(childCol).isNotNull)
+          .join(removed, col(childCol) === col("_fk_key"), "left_semi")
+          .limit(1).count()
+        require(blocked == 0,
+          s"foreign key violation: cannot change ${t.name}.$parentCol — $child.$childCol references it")
+      }
     }
   }
 
@@ -625,15 +728,20 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * .StreamIngest): columns matched by name like JSONL ingest, missing
     * ones NULL, appended as INSERT events. PK/FK guards are skipped —
     * a stream is bulk ingestion (see enforcePkUniqueness) and guard
-    * jobs per micro-batch would double its latency. */
-  private[graft] def ingestStream(table: String, batch: DataFrame): Unit = {
-    val t = catalog.require(table)
-    val full = batch.select(t.columns.map(c =>
-      if (batch.columns.contains(c.logical)) col(c.logical).cast(c.dataType).as(c.logical)
-      else lit(null).cast(c.dataType).as(c.logical)): _*)
-    append(t, full, EventLog.INSERT)
-    ()
-  }
+    * jobs per micro-batch would double its latency. Runs on the
+    * streaming thread: the write lock serializes it against SQL
+    * statements, and `direct = true` keeps the batch out of any open
+    * transaction's buffer (a ROLLBACK must never drop streamed rows —
+    * the txn's provisional sequences re-shift at COMMIT instead). */
+  private[graft] def ingestStream(table: String, batch: DataFrame): Unit =
+    writeLock.synchronized {
+      val t = catalog.require(table)
+      val full = batch.select(t.columns.map(c =>
+        if (batch.columns.contains(c.logical)) col(c.logical).cast(c.dataType).as(c.logical)
+        else lit(null).cast(c.dataType).as(c.logical)): _*)
+      append(t, full, EventLog.INSERT, direct = true)
+      ()
+    }
 
   // ========================================================== utilities
 
@@ -646,8 +754,12 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     val df = select(inner)
     val text = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     if (analyze) {
+      // execute the PLAN BEING SHOWN: df.count() would let Catalyst
+      // prune projections/sorts and time a cheaper query than the one
+      // printed; running the compiled physical plan's RDD keeps them
+      // identical
       val t0 = System.nanoTime()
-      val n = df.count()
+      val n = df.queryExecution.executedPlan.execute().count()
       val elapsedMs = (System.nanoTime() - t0) / 1e6
       spark.range(1).select(lit(text).as("plan"), lit(n).as("n_rows"),
         lit(elapsedMs).as("elapsed_ms"))

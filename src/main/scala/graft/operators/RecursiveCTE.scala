@@ -15,9 +15,14 @@ import org.apache.spark.sql.DataFrame
   *
   * Scale notes: only the per-iteration DELTA is checkpointed — the
   * accumulated result stays a lazy union of already-materialized delta
-  * blocks, so lineage depth is O(1) per leaf and nothing re-writes the
-  * full accumulated set each iteration (that would be O(iters·|acc|)
-  * memory traffic at depth). On a real cluster use a reliable
+  * blocks, so nothing re-writes the full accumulated set each
+  * iteration (that would be O(iters·|acc|) memory traffic at depth).
+  * The union tree is re-pinned every `repinEvery` iterations: a
+  * never-pinned left-deep union of hundreds of leaves makes each
+  * `except(acc)` pay Catalyst analysis over the whole tree (O(iters²)
+  * planning) and risks TreeNode stack overflow near the iteration cap,
+  * while re-pinning every K bounds plan depth at K leaves for one
+  * O(|acc|) rewrite per K iterations. On a real cluster use a reliable
   * checkpoint dir instead (`df.checkpoint()`).
   */
 object RecursiveCTE {
@@ -33,7 +38,8 @@ object RecursiveCTE {
       anchor: DataFrame,
       step: DataFrame => DataFrame,
       distinct: Boolean = true,
-      maxIter: Int = 1000): DataFrame = {
+      maxIter: Int = 1000,
+      repinEvery: Int = 16): DataFrame = {
     var acc = (if (distinct) anchor.distinct() else anchor).localCheckpoint()
     var frontier = acc
     var i = 0
@@ -43,8 +49,9 @@ object RecursiveCTE {
         (if (distinct) produced.distinct().except(acc) else produced)
           .localCheckpoint()
       acc = acc.union(delta) // lazy: both sides are pinned already
-      frontier = delta
       i += 1
+      if (i % repinEvery == 0) acc = acc.localCheckpoint()
+      frontier = delta
     }
     acc
   }

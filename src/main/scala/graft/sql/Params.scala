@@ -42,12 +42,18 @@ object Params {
     out.toString
   }
 
-  /** A parameter value as a SQL literal. */
+  /** A parameter value as a SQL literal. Strings escape BOTH quote
+    * forms: '' doubling for the quote itself and \\ doubling for
+    * backslashes — Spark's default parser treats backslash as an
+    * escape character inside string literals
+    * (spark.sql.parser.escapedStringLiterals=false), so an unescaped
+    * trailing backslash would swallow the closing quote and a crafted
+    * value could break out of the literal entirely. */
   def render(v: Any): String = v match {
     case null => "NULL"
     case None => "NULL"
     case Some(x) => render(x)
-    case s: String => "'" + s.replace("'", "''") + "'"
+    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
     case b: Boolean => if (b) "TRUE" else "FALSE"
     case t: java.sql.Timestamp => s"TIMESTAMP '${t.toString}'"
     case d: java.sql.Date => s"DATE '${d.toString}'"

@@ -433,6 +433,82 @@ class QueryEngineSpec extends AnyFunSuite {
     e.sql("DROP TABLE s")
   }
 
+  test("string params with backslashes and quotes stay inside the literal") {
+    val e = seeded()
+    // a crafted value must not break out of the literal (backslash
+    // would swallow the closing quote under Spark's escape parsing)
+    val evil = "x\\' OR '1'='1"
+    e.sql("INSERT INTO t VALUES ($1, $2, $3)", Seq(7, evil, 0.0))
+    assert(rows(e, "SELECT name FROM t WHERE id = 7") === Seq(Row(evil)))
+    assert(e.sql("SELECT id FROM t WHERE name = $1", Seq(evil)).count() === 1)
+    val trailing = "ends with backslash\\"
+    e.sql("UPDATE t SET name = $1 WHERE id = $2", Seq(trailing, 7))
+    assert(rows(e, "SELECT name FROM t WHERE id = 7") === Seq(Row(trailing)))
+  }
+
+  test("update that rewrites a referenced parent key is restricted") {
+    val e = fresh()
+    e.sql("CREATE TABLE dept (id BIGINT PRIMARY KEY, dname STRING)")
+    e.sql("INSERT INTO dept VALUES (1, 'eng'), (2, 'ops'), (3, 'hr')")
+    e.sql("""CREATE TABLE emp (eid BIGINT PRIMARY KEY,
+            |  dept_id BIGINT REFERENCES dept(id))""".stripMargin)
+    e.sql("INSERT INTO emp VALUES (10, 1)")
+    // rewriting the referenced key orphans emp.dept_id=1 -> blocked
+    intercept[IllegalArgumentException] {
+      e.sql("UPDATE dept SET id = 99 WHERE id = 1")
+    }
+    // unreferenced keys may move; a no-op rewrite of a referenced key
+    // (id stays in the after-image) is fine too
+    e.sql("UPDATE dept SET id = id + 100 WHERE id >= 2")
+    e.sql("UPDATE dept SET dname = 'eng2' WHERE id = 1")
+    assert(rows(e, "SELECT id FROM dept ORDER BY id")
+      === Seq(Row(1L), Row(102L), Row(103L)))
+  }
+
+  test("a view with its own AS OF keeps it when the statement reads current") {
+    val e = seeded() // seq 1..3
+    e.sql("CREATE VIEW t_at2 AS SELECT COUNT(*) AS n FROM t FOR SYSTEM_TIME AS OF @SEQ:2")
+    e.sql("INSERT INTO t VALUES (4, 'd', 4.5)") // seq 4
+    // statement references t directly (current) AND the pinned view:
+    // each keeps its own resolution
+    val got = rows(e,
+      "SELECT (SELECT n FROM t_at2) AS pinned, COUNT(*) AS cur FROM t")
+    assert(got === Seq(Row(2L, 4L)))
+    // inverse direction (statement pinned, view unpinned) still holds
+    e.sql("CREATE VIEW tcount AS SELECT COUNT(*) AS n FROM t")
+    val got2 = rows(e,
+      """SELECT (SELECT n FROM tcount) AS vn, COUNT(*) AS tn
+        |FROM t FOR SYSTEM_TIME AS OF @SEQ:3""".stripMargin)
+    assert(got2 === Seq(Row(3L, 3L)))
+  }
+
+  test("streamed batches bypass an open transaction and commit re-sequences") {
+    val e = seeded() // seq 1..3
+    e.sql("BEGIN")
+    e.sql("INSERT INTO t VALUES (10, 'txn', 1.0)") // provisional seq 4
+    // a streaming micro-batch lands mid-transaction, straight to storage
+    import spark.implicits._
+    e.ingestStream("t", Seq((20L, "stream", 2.0)).toDF("id", "name", "val"))
+    e.sql("COMMIT")
+    // both rows live; sequences are unique and contiguous 1..5
+    assert(rows(e, "SELECT id FROM t ORDER BY id")
+      === Seq(Row(1L), Row(2L), Row(3L), Row(10L), Row(20L)))
+    assert(rows(e, "SELECT sequence FROM t FOR SYSTEM_TIME ALL ORDER BY sequence")
+      .map(_.getLong(0)) === (1L to 5L))
+    // the stream batch kept its pre-commit sequence; the txn shifted
+    assert(rows(e, "SELECT sequence FROM t FOR SYSTEM_TIME ALL WHERE id = 20")
+      === Seq(Row(4L)))
+    assert(rows(e, "SELECT sequence FROM t FOR SYSTEM_TIME ALL WHERE id = 10")
+      === Seq(Row(5L)))
+    // and a rollback never touches streamed rows
+    e.sql("BEGIN")
+    e.sql("DELETE FROM t WHERE id = 10")
+    e.ingestStream("t", Seq((30L, "s2", 3.0)).toDF("id", "name", "val"))
+    e.sql("ROLLBACK")
+    assert(rows(e, "SELECT id FROM t ORDER BY id")
+      === Seq(Row(1L), Row(2L), Row(3L), Row(10L), Row(20L), Row(30L)))
+  }
+
   test("for system_time between returns the change stream") {
     val e = seeded()
     e.sql("UPDATE t SET val = 9 WHERE id = 1") // seq 4
