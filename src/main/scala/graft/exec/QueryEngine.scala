@@ -154,7 +154,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         txn = None
         summary("rollback", 0L, 0L)
       case Some(name) =>
-        val i = tx.savepoints.lastIndexWhere(_._1 == name)
+        val i = tx.savepoints.lastIndexWhere(_._1 == name.toLowerCase)
         if (i < 0) throw new IllegalArgumentException(s"savepoint not found: $name")
         val (_, len, seqSnap) = tx.savepoints(i)
         tx.restore(len, seqSnap)
@@ -168,14 +168,15 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   private def savepoint(name: String): DataFrame = {
     val tx = txn.getOrElse(throw new IllegalStateException(
       "SAVEPOINT can only be used in transaction blocks"))
-    tx.savepoints += ((name, tx.pending.length, tx.seqs.toMap))
+    // unquoted identifiers fold case, as in PG
+    tx.savepoints += ((name.toLowerCase, tx.pending.length, tx.seqs.toMap))
     summary("savepoint", 0L, 0L)
   }
 
   private def releaseSavepoint(name: String): DataFrame = {
     val tx = txn.getOrElse(throw new IllegalStateException(
       "RELEASE SAVEPOINT can only be used in transaction blocks"))
-    val i = tx.savepoints.lastIndexWhere(_._1 == name)
+    val i = tx.savepoints.lastIndexWhere(_._1 == name.toLowerCase)
     if (i < 0) throw new IllegalArgumentException(s"savepoint not found: $name")
     // PG: releases this savepoint and all later ones; writes are kept
     tx.savepoints.dropRightInPlace(tx.savepoints.length - i)
@@ -190,6 +191,16 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * every statement kind, not just SELECT/CREATE). */
   def sql(statement: String, params: Seq[Any]): DataFrame =
     sql(graft.sql.Params.bind(statement, params))
+
+  /** A `;`-separated script, statement by statement (the reference
+    * CLI's script mode, driftdb-cli main.rs). Statements run in order
+    * — including transaction control — and the LAST statement's result
+    * is returned. Semicolons inside string literals don't split. */
+  def sqlScript(script: String): DataFrame = {
+    val stmts = StatementRouter.splitTopLevel(script, ';').filter(_.nonEmpty)
+    require(stmts.nonEmpty, "empty script")
+    stmts.map(sql).last
+  }
 
   def sql(statement: String): DataFrame = writeLock.synchronized {
     StatementRouter.parse(statement) match {
@@ -390,6 +401,13 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       else if (c == '-' && i + 1 < sqlText.length && sqlText.charAt(i + 1) == '-') {
         while (i < sqlText.length && sqlText.charAt(i) != '\n') { out += ' '; i += 1 }
         i -= 1
+      } else if (c == '/' && i + 1 < sqlText.length && sqlText.charAt(i + 1) == '*') {
+        out += ' '; out += ' '; i += 2
+        while (i < sqlText.length &&
+            !(sqlText.charAt(i) == '*' && i + 1 < sqlText.length && sqlText.charAt(i + 1) == '/')) {
+          out += (if (sqlText.charAt(i) == '\n') '\n' else ' '); i += 1
+        }
+        if (i < sqlText.length) { out += ' '; out += ' '; i += 1 }
       } else out += c
       i += 1
     }

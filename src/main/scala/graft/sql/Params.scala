@@ -57,6 +57,9 @@ object Params {
     case b: Boolean => if (b) "TRUE" else "FALSE"
     case t: java.sql.Timestamp => s"TIMESTAMP '${t.toString}'"
     case d: java.sql.Date => s"DATE '${d.toString}'"
+    // non-finite doubles have no bare-literal form in SQL
+    case d: Double if d.isNaN || d.isInfinite => s"CAST('$d' AS DOUBLE)"
+    case f: Float if f.isNaN || f.isInfinite => s"CAST('$f' AS FLOAT)"
     case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) => n.toString
     case n: BigDecimal => n.toString
     case n: java.math.BigDecimal => n.toString

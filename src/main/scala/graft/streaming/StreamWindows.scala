@@ -36,6 +36,24 @@ object StreamWindows {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Gap-based sessionization on a stream — the streaming twin of the
+    * batch lag+cumsum sessionizer (Pipeline.qEventsSessions): events of
+    * one user closer together than `gap` merge into one session window;
+    * a session emits once, when the watermark passes its close. Native
+    * `session_window` keeps the merge logic in Spark's state store with
+    * watermark-bounded state. */
+  def sessions(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("first_event"), col("last_event"))
+
   /** Per-user running event count via `mapGroupsWithState` — custom
     * keyed state beyond what windowed aggregation expresses (the
     * mapGroupsWithState bullet of the engine's streaming surface).

@@ -509,6 +509,26 @@ class QueryEngineSpec extends AnyFunSuite {
       === Seq(Row(1L), Row(2L), Row(3L), Row(10L), Row(20L), Row(30L)))
   }
 
+  test("sqlScript runs ;-separated statements, returns the last result") {
+    val e = fresh()
+    val got = e.sqlScript(
+      """CREATE TABLE s (id BIGINT PRIMARY KEY, v STRING);
+        |INSERT INTO s VALUES (1, 'a; b'), (2, 'c');
+        |BEGIN;
+        |UPDATE s SET v = upper(v) WHERE id = 1;
+        |COMMIT;
+        |SELECT id, v FROM s ORDER BY id;""".stripMargin).collect().toSeq
+    assert(got === Seq(Row(1L, "A; B"), Row(2L, "c")))
+    // block comments and savepoint case-folding
+    assert(rows(e, "SELECT /* s the table */ COUNT(*) AS n FROM s")
+      === Seq(Row(2L)))
+    e.sql("BEGIN"); e.sql("SAVEPOINT SpOne")
+    e.sql("DELETE FROM s WHERE id = 1")
+    e.sql("ROLLBACK TO SAVEPOINT spone")
+    e.sql("COMMIT")
+    assert(rows(e, "SELECT COUNT(*) AS n FROM s") === Seq(Row(2L)))
+  }
+
   test("for system_time between returns the change stream") {
     val e = seeded()
     e.sql("UPDATE t SET val = 9 WHERE id = 1") // seq 4

@@ -47,6 +47,29 @@ class StreamWindowsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows merge gap-close events and emit after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Long)]
+    val agg = StreamWindows.sessions(
+      mem.toDF.toDF("ts", "user_id", "event_id"),
+      gap = "30 minutes", watermark = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then one 2h
+      // later (a second session)
+      mem.addData((ts(0, 0), 1L, 100L), (ts(0, 10), 1L, 101L), (ts(2, 0), 1L, 102L))
+      q.processAllAvailable()
+      mem.addData((ts(6, 0), 2L, 200L)) // watermark -> 05:00, all user-1 sessions close
+      q.processAllAvailable()
+      val out = spark.table("sessions")
+        .select("user_id", "n_events", "first_event", "last_event")
+        .collect().toSet
+      assert(out === Set(Row(1L, 2L, 100L, 101L), Row(1L, 1L, 102L, 102L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps a running per-user count across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
