@@ -2,7 +2,7 @@ package graft.exec
 
 import graft.catalog.{ColumnDef, TableCatalog, TableDef}
 import graft.log.EventLog
-import graft.sql.{Statement, StatementRouter, SystemTime, TemporalPre}
+import graft.sql.{SqlText, Statement, StatementRouter, SystemTime, TemporalPre}
 import graft.state.{Snapshots, StateView}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -86,6 +86,10 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     def restore(len: Int, seqSnap: Map[String, Long]): Unit = {
       pending.dropRightInPlace(pending.length - len)
       seqs.clear(); seqs ++= seqSnap
+      // a table whose every batch was rolled away must re-anchor on its
+      // next append — a stale anchor would over-shift the new batches
+      // at COMMIT and leave a permanent sequence gap
+      baseSeqs.filterInPlace { case (tbl, _) => pending.exists(_._1 == tbl) }
     }
   }
   private var txn: Option[Txn] = None
@@ -124,12 +128,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         // consistent (no duplicate sequences on the next append)
         for ((table, ev, lastSeq) <- tx.pending) {
           val off = offsets.getOrElse(table, 0L)
-          val shifted =
-            if (off == 0L) ev
-            else ev.withColumn("sequence", col("sequence") + off)
-              .withColumn("ts",
-                timestamp_seconds(lit(EventLog.ClockEpoch) + col("sequence")))
-          shifted.write.mode("append").parquet(logDir(table))
+          shiftSequences(ev, off).write.mode("append").parquet(logDir(table))
           catalog.commitSeq(table, lastSeq + off)
         }
         val n = tx.pending.length.toLong
@@ -197,7 +196,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * — including transaction control — and the LAST statement's result
     * is returned. Semicolons inside string literals don't split. */
   def sqlScript(script: String): DataFrame = {
-    val stmts = StatementRouter.splitTopLevel(script, ';').filter(_.nonEmpty)
+    val stmts = StatementRouter.splitTopLevel(script, ';')
+      .filter(s => SqlText.maskNonCode(s).trim.nonEmpty) // drop comment-only tails
     require(stmts.nonEmpty, "empty script")
     stmts.map(sql).last
   }
@@ -322,7 +322,18 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   def select(sqlText: String): DataFrame = {
     val (clean, st) = TemporalPre.extract(sqlText)
     val cache = scala.collection.mutable.Map.empty[(String, SystemTime), DataFrame]
-    registerViews(clean, st, depth = 0, scala.collection.mutable.Set.empty, cache)
+    val bound = scala.collection.mutable.Map.empty[String, SystemTime]
+    // fixpoint over view registration: a pinned view's subtree can
+    // rebind a shared sub-view away from the spec the statement (or an
+    // earlier sibling) needs; each pass re-expands only mis-bound
+    // views, so it converges within the view-nesting depth
+    var pass = 0
+    var again = true
+    while (again && pass < 10) {
+      registerViews(clean, st, depth = 0, bound, cache)
+      again = directViewsMisbound(clean, st, bound)
+      pass += 1
+    }
     // statement-referenced tables are registered LAST, at the
     // statement's spec: views above already captured their own
     // resolutions, so this overwrites nothing they depend on
@@ -330,6 +341,20 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     for (t <- catalog.tableNames if referencesWord(masked, t))
       resolveCached(t, st, cache).createOrReplaceTempView(t)
     spark.sql(clean)
+  }
+
+  /** Is any view the statement references directly still bound at a
+    * spec other than its statement-effective one? */
+  private def directViewsMisbound(clean: String, st: SystemTime,
+      bound: scala.collection.mutable.Map[String, SystemTime]): Boolean = {
+    val masked = maskNonCode(clean)
+    catalog.viewNames.exists { v =>
+      referencesWord(masked, v) && {
+        val (_, vSt) = TemporalPre.extract(catalog.getView(v).get)
+        val eff = if (vSt == SystemTime.Current) st else vSt
+        !bound.get(v).contains(eff)
+      }
+    }
   }
 
   /** Depth-first stored-view expansion into session temp views.
@@ -351,23 +376,29 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * the statement reads the same table at another time, and vice
     * versa. */
   private def registerViews(text: String, st: SystemTime, depth: Int,
-      expanded: scala.collection.mutable.Set[String],
+      bound: scala.collection.mutable.Map[String, SystemTime],
       cache: scala.collection.mutable.Map[(String, SystemTime), DataFrame]): Unit = {
     if (depth > 10)
       throw new IllegalStateException("view expansion depth > 10 (cycle?)")
     val masked = maskNonCode(text)
-    for (v <- catalog.viewNames if referencesWord(masked, v) && !expanded(v)) {
-      expanded += v
+    for (v <- catalog.viewNames if referencesWord(masked, v)) {
       val (vClean, vSt) = TemporalPre.extract(catalog.getView(v).get)
       val effSt = vSt match {
         case SystemTime.Current => st
         case explicit => explicit
       }
-      registerViews(vClean, effSt, depth + 1, expanded, cache)
-      val vMasked = maskNonCode(vClean)
-      for (t <- catalog.tableNames if referencesWord(vMasked, t))
-        resolveCached(t, effSt, cache).createOrReplaceTempView(t)
-      spark.sql(vClean).createOrReplaceTempView(v)
+      // re-expand whenever the current temp-view binding is at a
+      // different spec than this consumer needs — already-created
+      // consumers are immune (they captured), and the select()-level
+      // fixpoint restores the statement's own bindings afterward
+      if (!bound.get(v).contains(effSt)) {
+        bound(v) = effSt // before recursion: breaks self-reference loops
+        registerViews(vClean, effSt, depth + 1, bound, cache)
+        val vMasked = maskNonCode(vClean)
+        for (t <- catalog.tableNames if referencesWord(vMasked, t))
+          resolveCached(t, effSt, cache).createOrReplaceTempView(t)
+        spark.sql(vClean).createOrReplaceTempView(v)
+      }
     }
   }
 
@@ -385,34 +416,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     ("""(?i)\b""" + java.util.regex.Pattern.quote(name) + """\b""").r
       .findFirstIn(maskedSql).isDefined
 
-  private def maskNonCode(sqlText: String): String = {
-    val out = new StringBuilder(sqlText.length)
-    var i = 0
-    var inStr = false
-    while (i < sqlText.length) {
-      val c = sqlText.charAt(i)
-      if (inStr) {
-        if (c == '\'') {
-          if (i + 1 < sqlText.length && sqlText.charAt(i + 1) == '\'') { out += ' '; i += 1 }
-          else inStr = false
-        }
-        out += ' '
-      } else if (c == '\'') { inStr = true; out += ' ' }
-      else if (c == '-' && i + 1 < sqlText.length && sqlText.charAt(i + 1) == '-') {
-        while (i < sqlText.length && sqlText.charAt(i) != '\n') { out += ' '; i += 1 }
-        i -= 1
-      } else if (c == '/' && i + 1 < sqlText.length && sqlText.charAt(i + 1) == '*') {
-        out += ' '; out += ' '; i += 2
-        while (i < sqlText.length &&
-            !(sqlText.charAt(i) == '*' && i + 1 < sqlText.length && sqlText.charAt(i + 1) == '/')) {
-          out += (if (sqlText.charAt(i) == '\n') '\n' else ' '); i += 1
-        }
-        if (i < sqlText.length) { out += ' '; out += ' '; i += 1 }
-      } else out += c
-      i += 1
-    }
-    out.toString
-  }
+  private def maskNonCode(sqlText: String): String = SqlText.maskNonCode(sqlText)
 
   /** A table at a point in (system) time, with logical column names. */
   def resolve(table: String, st: SystemTime): DataFrame = {
@@ -463,10 +467,25 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           EventLog.schema(t.payloadSchema))
     }
     txn.fold(base) { tx =>
+      // buffered events are read back SHIFTED by the same offset COMMIT
+      // will apply — if a concurrent direct append (streaming ingest)
+      // took the buffered batch's provisional sequences, mid-txn reads
+      // must not show two events on one sequence or an AS OF view that
+      // contradicts post-commit history
+      val off = tx.baseSeqs.get(t.name)
+        .map(b => catalog.lastSeq(t.name) - b).getOrElse(0L)
       tx.pending.iterator.collect { case (n, ev, _) if n == t.name => ev }
-        .foldLeft(base)(_.unionByName(_, allowMissingColumns = true))
+        .foldLeft(base)((acc, ev) =>
+          acc.unionByName(shiftSequences(ev, off), allowMissingColumns = true))
     }
   }
+
+  /** Shift an event frame's sequences (and the sequence-derived clock)
+    * by `off` — identity when nothing interleaved. */
+  private def shiftSequences(ev: DataFrame, off: Long): DataFrame =
+    if (off == 0L) ev
+    else ev.withColumn("sequence", col("sequence") + off)
+      .withColumn("ts", timestamp_seconds(lit(EventLog.ClockEpoch) + col("sequence")))
 
   private def logDir(table: String) = catalog.logPath(table)
 

@@ -40,6 +40,7 @@ object RecursiveCTE {
       distinct: Boolean = true,
       maxIter: Int = 1000,
       repinEvery: Int = 16): DataFrame = {
+    require(repinEvery > 0, s"repinEvery must be positive (got $repinEvery)")
     var acc = (if (distinct) anchor.distinct() else anchor).localCheckpoint()
     var frontier = acc
     var i = 0

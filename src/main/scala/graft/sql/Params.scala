@@ -12,7 +12,9 @@ object Params {
 
   /** Replace each `$N` placeholder outside string literals with the
     * rendered `params(N-1)`. Placeholders inside '...' literals are
-    * left alone, as a SQL parser would. */
+    * left alone, as a SQL parser would; both `''` doubling and
+    * backslash escapes are honored inside literals (matching Spark's
+    * parser — see graft.sql.SqlText). */
   def bind(sql: String, params: Seq[Any]): String = {
     val out = new StringBuilder
     var inStr = false
@@ -21,7 +23,8 @@ object Params {
       val c = sql.charAt(i)
       if (inStr) {
         out += c
-        if (c == '\'') {
+        if (c == '\\' && i + 1 < sql.length) { out += sql.charAt(i + 1); i += 1 }
+        else if (c == '\'') {
           if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') { out += '\''; i += 1 }
           else inStr = false
         }

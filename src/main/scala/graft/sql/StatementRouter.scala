@@ -51,36 +51,11 @@ object Statement {
 object StatementRouter {
   import Statement._
 
-  /** Split at top-level commas: commas inside (...) or '...' don't
-    * count (DECIMAL(12,2), string literals). */
-  def splitTopLevel(s: String, sep: Char = ','): Seq[String] = {
-    val out = Vector.newBuilder[String]
-    val cur = new StringBuilder
-    var depth = 0
-    var inStr = false
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (inStr) {
-        cur += c
-        if (c == '\'') {
-          // '' is an escaped quote inside a string literal
-          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { cur += '\''; i += 1 }
-          else inStr = false
-        }
-      } else c match {
-        case '\'' => inStr = true; cur += c
-        case '(' => depth += 1; cur += c
-        case ')' => depth -= 1; cur += c
-        case `sep` if depth == 0 => out += cur.toString.trim; cur.clear()
-        case _ => cur += c
-      }
-      i += 1
-    }
-    val last = cur.toString.trim
-    if (last.nonEmpty) out += last
-    out.result()
-  }
+  /** Split at top-level separators: separators inside (...) nesting,
+    * string literals (both '' and backslash escapes), or comments
+    * don't count. Delegates to the shared SqlText scanner. */
+  def splitTopLevel(s: String, sep: Char = ','): Seq[String] =
+    SqlText.splitTopLevel(s, sep)
 
   private val CreateTableR =
     """(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)\)\s*$""".r
@@ -120,7 +95,7 @@ object StatementRouter {
   private val ReleaseR = """(?is)^RELEASE\s+(?:SAVEPOINT\s+)?(\w+)\s*$""".r
 
   def parse(raw: String): Statement = {
-    val stmt = raw.trim.stripSuffix(";").trim
+    val stmt = SqlText.stripLeadingComments(raw).trim.stripSuffix(";").trim
     stmt match {
       case CreateTableR(name, body) =>
         val (cols, pk, fks) = parseCreateBody(body)
@@ -161,24 +136,8 @@ object StatementRouter {
     }
   }
 
-  private def topLevelIndexOf(s: String, c: Char): Int = {
-    var depth = 0
-    var inStr = false
-    var i = 0
-    while (i < s.length) {
-      val ch = s.charAt(i)
-      if (inStr) { if (ch == '\'') inStr = false }
-      else ch match {
-        case '\'' => inStr = true
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case `c` if depth == 0 => return i
-        case _ =>
-      }
-      i += 1
-    }
-    -1
-  }
+  private def topLevelIndexOf(s: String, c: Char): Int =
+    SqlText.topLevelIndexOf(s, c)
 
   /** CREATE TABLE body: column defs with inline or trailing PRIMARY KEY
     * (both reference forms — sql_bridge.rs:5724-5949) and foreign keys

@@ -529,6 +529,70 @@ class QueryEngineSpec extends AnyFunSuite {
     assert(rows(e, "SELECT COUNT(*) AS n FROM s") === Seq(Row(2L)))
   }
 
+  test("savepoint rollback + interleaved stream leaves no sequence gap") {
+    val e = seeded() // seq 1..3
+    import spark.implicits._
+    e.sql("BEGIN")
+    e.sql("SAVEPOINT s")
+    e.sql("INSERT INTO t VALUES (10, 'x', 1.0)") // provisional 4, anchors base=3
+    e.ingestStream("t", Seq((20L, "stream", 2.0)).toDF("id", "name", "val")) // real 4
+    e.sql("ROLLBACK TO SAVEPOINT s") // batch dropped; anchor must drop too
+    e.sql("INSERT INTO t VALUES (11, 'y', 1.0)") // provisional 5 (base now 4)
+    e.sql("COMMIT")
+    // contiguous 1..5 — a stale anchor would have produced 1,2,3,4,6
+    assert(rows(e, "SELECT sequence FROM t FOR SYSTEM_TIME ALL ORDER BY sequence")
+      .map(_.getLong(0)) === (1L to 5L))
+    assert(rows(e, "SELECT id FROM t ORDER BY id")
+      === Seq(Row(1L), Row(2L), Row(3L), Row(11L), Row(20L)))
+  }
+
+  test("mid-transaction reads show shifted, unique sequences") {
+    val e = seeded() // seq 1..3
+    import spark.implicits._
+    e.sql("BEGIN")
+    e.sql("INSERT INTO t VALUES (10, 'txn', 1.0)") // provisional 4
+    e.ingestStream("t", Seq((20L, "stream", 2.0)).toDF("id", "name", "val")) // real 4
+    // the buffered event reads back at 5 (its post-commit home), not 4
+    val seqs = rows(e, "SELECT sequence, id FROM t FOR SYSTEM_TIME ALL ORDER BY sequence")
+    assert(seqs.map(_.getLong(0)) === (1L to 5L))
+    assert(seqs.collect { case r if r.getLong(1) == 20L => r.getLong(0) } === Seq(4L))
+    assert(seqs.collect { case r if r.getLong(1) == 10L => r.getLong(0) } === Seq(5L))
+    e.sql("COMMIT")
+    // post-commit history equals what the mid-txn read showed
+    assert(rows(e, "SELECT sequence, id FROM t FOR SYSTEM_TIME ALL ORDER BY sequence")
+      === seqs)
+  }
+
+  test("a shared sub-view serves pinned and current consumers") {
+    val e = seeded() // seq 1..3
+    e.sql("CREATE VIEW vb AS SELECT COUNT(*) AS n FROM t")
+    e.sql("CREATE VIEW va AS SELECT n FROM vb FOR SYSTEM_TIME AS OF @SEQ:2")
+    e.sql("INSERT INTO t VALUES (4, 'd', 4.5)") // seq 4
+    // va pins vb's subtree at seq 2; the statement's direct vb read is
+    // current — both must hold in one query, either reference order
+    assert(rows(e, "SELECT (SELECT n FROM va) AS a, (SELECT n FROM vb) AS b")
+      === Seq(Row(2L, 4L)))
+    assert(rows(e, "SELECT (SELECT n FROM vb) AS b, (SELECT n FROM va) AS a")
+      === Seq(Row(4L, 2L)))
+  }
+
+  test("backslash-escaped quotes in user SQL don't desync name scanning") {
+    val e = seeded()
+    // after the backslash-escaped literal, t must still register
+    val got = rows(e,
+      "SELECT id FROM t WHERE name <> 'it\\'s' AND id IN (SELECT id FROM t WHERE id = 2)")
+    assert(got === Seq(Row(2L)))
+  }
+
+  test("sqlScript handles semicolons in comments and trailing comments") {
+    val e = fresh()
+    val got = e.sqlScript(
+      """CREATE TABLE sc (id BIGINT PRIMARY KEY, v STRING); -- seed; table
+        |INSERT INTO sc VALUES (1, 'a'); /* block; comment */
+        |SELECT id, v FROM sc; -- done""".stripMargin).collect().toSeq
+    assert(got === Seq(Row(1L, "a")))
+  }
+
   test("for system_time between returns the change stream") {
     val e = seeded()
     e.sql("UPDATE t SET val = 9 WHERE id = 1") // seq 4
