@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.exec.QueryEngine
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** Correctness queries that exercise the ENGINE SHELL — every one of
   * these routes through `engine.sql(<string>)`: the statement router,
@@ -199,6 +200,72 @@ object EngineSql {
     e.sql("SELECT k, CAST(bal AS DOUBLE) AS bal, status FROM acct ORDER BY k")
   }
 
+  /** FK-enforced DML lifecycle: parent + child tables with a real
+    * REFERENCES constraint, inserts validated against the parent,
+    * RESTRICT blocking observed (the blocked DELETE raises and changes
+    * nothing), then children removed so the parent delete succeeds.
+    * The oracle recomputes the surviving rows algebraically — if any
+    * FK guard misfired (blocked a valid write or let the blocked
+    * delete through), the hash diverges. */
+  val qFkLifecycle = Q(
+    "q_fk_lifecycle",
+    """SELECT CAST(n.n_nationkey AS BIGINT) AS nk, n.n_name AS nname,
+      |       COUNT(c.c_custkey) AS n_cust
+      |FROM nation n LEFT JOIN customer c
+      |  ON c.c_nationkey = n.n_nationkey AND c.c_custkey < 300
+      |     AND c.c_nationkey <> 3
+      |WHERE n.n_nationkey <> 7
+      |GROUP BY 1, 2
+      |ORDER BY nk""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("nation_src", s"$dir/nation.parquet")
+    e.attachExternal("customer_src", s"$dir/customer.parquet")
+    e.sql("CREATE TABLE nat (nk BIGINT PRIMARY KEY, nname STRING)")
+    e.sql("""CREATE TABLE cust (ck BIGINT PRIMARY KEY,
+            |  nk BIGINT REFERENCES nat(nk))""".stripMargin)
+    e.sql("INSERT INTO nat SELECT n_nationkey, n_name FROM nation_src")
+    // every inserted row passes the FK check against nat
+    e.sql("""INSERT INTO cust
+            |SELECT c_custkey, c_nationkey FROM customer_src
+            |WHERE c_custkey < 300""".stripMargin)
+    // RESTRICT: nation 3 still has customers — the delete must raise
+    // and leave state untouched
+    val blocked =
+      try { e.sql("DELETE FROM nat WHERE nk = 3"); false }
+      catch { case _: IllegalArgumentException => true }
+    require(blocked, "FK RESTRICT delete unexpectedly succeeded")
+    // remove nation 3's children, then nation 7 after its children
+    e.sql("DELETE FROM cust WHERE nk = 3")
+    e.sql("DELETE FROM cust WHERE nk = 7")
+    e.sql("DELETE FROM nat WHERE nk = 7") // unreferenced now
+    e.sql("""SELECT n.nk, n.nname, COUNT(c.ck) AS n_cust
+            |FROM nat n LEFT JOIN cust c ON c.nk = n.nk
+            |GROUP BY n.nk, n.nname
+            |ORDER BY n.nk""".stripMargin)
+  }
+
+  /** Streaming-ingest append path (micro-batch → sequenced INSERT
+    * events): the same ingestStream call foreachBatch makes, then a
+    * temporal read over the streamed log. Oracle = the source rows. */
+  val qStreamIngest = Q(
+    "q_stream_ingest",
+    """SELECT o_orderkey AS k, o_orderstatus AS status,
+      |       CAST(o_totalprice AS DOUBLE) AS total
+      |FROM orders WHERE o_orderkey < 2000
+      |ORDER BY k""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("orders_src", s"$dir/orders.parquet")
+    e.sql("CREATE TABLE ord (k BIGINT PRIMARY KEY, status STRING, total DOUBLE)")
+    // two micro-batches through the streaming append (PK/FK guards
+    // skipped, sequences contiguous across batches)
+    val src = e.spark.table("orders_src").where(col("o_orderkey") < 2000)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        col("o_totalprice").cast("double").as("total"))
+    e.ingestStream("ord", src.where(col("k") % 2 === 0))
+    e.ingestStream("ord", src.where(col("k") % 2 === 1))
+    e.sql("SELECT k, status, CAST(total AS DOUBLE) AS total FROM ord ORDER BY k")
+  }
+
   /** Plain relational passthrough through engine.sql over external
     * tables — identical ANSI text runs in the oracle. */
   private val passthroughSql =
@@ -233,5 +300,6 @@ object EngineSql {
 
   val all: Seq[Q] = Seq(
     qSqlAsOfSeq, qSqlAsOfTs, qSqlSystemAll, qSqlBetween, qSqlSnapshot,
-    qLifecycleCurrent, qLifecycleAsOf, qTxnLifecycle, qSqlPassthrough, qSqlView)
+    qLifecycleCurrent, qLifecycleAsOf, qTxnLifecycle, qFkLifecycle,
+    qStreamIngest, qSqlPassthrough, qSqlView)
 }
