@@ -115,33 +115,58 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       txn = None
       summary("rollback", 0L, 0L) // PG: COMMIT of aborted = ROLLBACK
     case Some(tx) =>
-      try {
-        // per-table shift for concurrent direct appends (streaming
-        // ingest) that advanced the log past this txn's provisional
-        // sequences; 0 when nothing interleaved
-        val offsets = tx.baseSeqs.map { case (tbl, base) =>
-          tbl -> (catalog.lastSeq(tbl) - base)
+      // per-table shift for concurrent direct appends (streaming
+      // ingest) that advanced the log past this txn's provisional
+      // sequences; 0 when nothing interleaved
+      val offsets = tx.baseSeqs.map { case (tbl, base) =>
+        tbl -> (catalog.lastSeq(tbl) - base)
+      }
+      // two-phase flush: ALL batch parquet lands in a staging dir
+      // first (invisible to readers — any failure here aborts with the
+      // log untouched and the transaction intact for ROLLBACK), then
+      // publishes into the logs via per-file renames. Renames are fast
+      // metadata ops, so the non-atomic window shrinks from "all the
+      // write I/O" to microseconds per file; the sequence counter
+      // commits after each batch publishes, keeping a crash mid-
+      // publish prefix-consistent (no duplicate sequences ever).
+      val stagingRoot = new Path(s"$baseDir/.txn-staging-${System.nanoTime()}")
+      val fs = stagingRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staged =
+        try {
+          tx.pending.zipWithIndex.map { case ((table, ev, lastSeq), i) =>
+            val dir = new Path(stagingRoot, s"batch-$i")
+            shiftSequences(ev, offsets.getOrElse(table, 0L))
+              .write.parquet(dir.toString)
+            (table, dir, lastSeq + offsets.getOrElse(table, 0L))
+          }
+        } catch {
+          case e: Throwable =>
+            fs.delete(stagingRoot, true)
+            throw new IllegalStateException(
+              s"COMMIT aborted while staging (log untouched, transaction still open): ${e.getMessage}", e)
         }
-        // flush in statement order so per-table sequences land
-        // monotonic; the counter commits after EVERY batch, so a
-        // failure mid-flush leaves the already-written prefix fully
-        // consistent (no duplicate sequences on the next append)
-        for ((table, ev, lastSeq) <- tx.pending) {
-          val off = offsets.getOrElse(table, 0L)
-          shiftSequences(ev, off).write.mode("append").parquet(logDir(table))
-          catalog.commitSeq(table, lastSeq + off)
+      try {
+        for ((table, dir, lastSeq) <- staged) {
+          val target = new Path(logDir(table))
+          if (!fs.exists(target)) fs.mkdirs(target)
+          // parquet part files carry job UUIDs, so names never collide
+          for (f <- fs.listStatus(dir) if f.getPath.getName.startsWith("part-"))
+            if (!fs.rename(f.getPath, new Path(target, f.getPath.getName)))
+              throw new java.io.IOException(s"rename failed: ${f.getPath}")
+          catalog.commitSeq(table, lastSeq)
         }
         val n = tx.pending.length.toLong
-        txn = None // cleared only after a complete flush
+        txn = None // cleared only after a complete publish
+        fs.delete(stagingRoot, true)
         summary("commit", n, 0L)
       } catch {
         case e: Throwable =>
-          // what flushed is durable and counter-consistent; the rest is
-          // gone — surface the partial commit instead of masking it
+          // published batches are durable and counter-consistent; the
+          // rest stays in staging — surface it instead of masking
           txn = None
           throw new IllegalStateException(
-            s"COMMIT failed mid-flush; already-flushed statements are kept, " +
-              s"the remainder was discarded: ${e.getMessage}", e)
+            s"COMMIT failed mid-publish; published statements are kept, " +
+              s"unpublished batches remain under $stagingRoot: ${e.getMessage}", e)
       }
   }
 
