@@ -124,11 +124,13 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       // two-phase flush: ALL batch parquet lands in a staging dir
       // first (invisible to readers — any failure here aborts with the
       // log untouched and the transaction intact for ROLLBACK), then
-      // publishes into the logs via per-file renames. Renames are fast
-      // metadata ops, so the non-atomic window shrinks from "all the
-      // write I/O" to microseconds per file; the sequence counter
-      // commits after each batch publishes, keeping a crash mid-
-      // publish prefix-consistent (no duplicate sequences ever).
+      // publishes into the logs. Each batch is staged as ONE file
+      // (coalesce(1) — transaction batches are statement-sized; bulk
+      // loads belong on the direct path) so its publish is a single
+      // atomic rename, and the sequence counter commits BEFORE the
+      // rename: a crash between the two leaves a harmless sequence
+      // hole, never a duplicate — holes waste numbers, duplicates
+      // corrupt state collapse.
       val stagingRoot = new Path(s"$baseDir/.txn-staging-${System.nanoTime()}")
       val fs = stagingRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val staged =
@@ -136,28 +138,35 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           tx.pending.zipWithIndex.map { case ((table, ev, lastSeq), i) =>
             val dir = new Path(stagingRoot, s"batch-$i")
             shiftSequences(ev, offsets.getOrElse(table, 0L))
-              .write.parquet(dir.toString)
-            (table, dir, lastSeq + offsets.getOrElse(table, 0L))
+              .coalesce(1).write.parquet(dir.toString)
+            val file = fs.listStatus(dir)
+              .map(_.getPath).filter(_.getName.startsWith("part-")) match {
+              case Array(one) => one
+              case parts => throw new IllegalStateException(
+                s"expected 1 staged part file, found ${parts.length}")
+            }
+            (table, file, lastSeq + offsets.getOrElse(table, 0L))
           }
         } catch {
           case e: Throwable =>
-            fs.delete(stagingRoot, true)
+            scala.util.Try(fs.delete(stagingRoot, true))
             throw new IllegalStateException(
               s"COMMIT aborted while staging (log untouched, transaction still open): ${e.getMessage}", e)
         }
       try {
-        for ((table, dir, lastSeq) <- staged) {
+        for ((table, file, lastSeq) <- staged) {
           val target = new Path(logDir(table))
           if (!fs.exists(target)) fs.mkdirs(target)
+          catalog.commitSeq(table, lastSeq) // counter first: hole > duplicate
           // parquet part files carry job UUIDs, so names never collide
-          for (f <- fs.listStatus(dir) if f.getPath.getName.startsWith("part-"))
-            if (!fs.rename(f.getPath, new Path(target, f.getPath.getName)))
-              throw new java.io.IOException(s"rename failed: ${f.getPath}")
-          catalog.commitSeq(table, lastSeq)
+          if (!fs.rename(file, new Path(target, file.getName)))
+            throw new java.io.IOException(s"rename failed: $file")
         }
         val n = tx.pending.length.toLong
         txn = None // cleared only after a complete publish
-        fs.delete(stagingRoot, true)
+        // best-effort cleanup — a failed delete must not turn a
+        // successful commit into an error
+        scala.util.Try(fs.delete(stagingRoot, true))
         summary("commit", n, 0L)
       } catch {
         case e: Throwable =>
@@ -348,38 +357,38 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     val (clean, st) = TemporalPre.extract(sqlText)
     val cache = scala.collection.mutable.Map.empty[(String, SystemTime), DataFrame]
     val bound = scala.collection.mutable.Map.empty[String, SystemTime]
+    val masked = maskNonCode(clean)
+    // the views the statement references directly, with the spec each
+    // must END UP bound at (its own FOR SYSTEM_TIME, else the
+    // statement's)
+    val directViews = catalog.viewNames
+      .filter(referencesWord(masked, _))
+      .map { v =>
+        val (_, vSt) = TemporalPre.extract(catalog.getView(v).get)
+        v -> (if (vSt == SystemTime.Current) st else vSt)
+      }
     // fixpoint over view registration: a pinned view's subtree can
     // rebind a shared sub-view away from the spec the statement (or an
     // earlier sibling) needs; each pass re-expands only mis-bound
-    // views, so it converges within the view-nesting depth
+    // views, so it converges within the view-nesting depth. Silent
+    // non-convergence would return data from the wrong point in time,
+    // so it raises like the expansion-depth guard does.
     var pass = 0
-    var again = true
+    var again = directViews.nonEmpty
     while (again && pass < 10) {
       registerViews(clean, st, depth = 0, bound, cache)
-      again = directViewsMisbound(clean, st, bound)
+      again = directViews.exists { case (v, eff) => !bound.get(v).contains(eff) }
       pass += 1
     }
+    if (again)
+      throw new IllegalStateException(
+        "view temporal bindings did not converge (conflicting view nest > 10 deep?)")
     // statement-referenced tables are registered LAST, at the
     // statement's spec: views above already captured their own
     // resolutions, so this overwrites nothing they depend on
-    val masked = maskNonCode(clean)
     for (t <- catalog.tableNames if referencesWord(masked, t))
       resolveCached(t, st, cache).createOrReplaceTempView(t)
     spark.sql(clean)
-  }
-
-  /** Is any view the statement references directly still bound at a
-    * spec other than its statement-effective one? */
-  private def directViewsMisbound(clean: String, st: SystemTime,
-      bound: scala.collection.mutable.Map[String, SystemTime]): Boolean = {
-    val masked = maskNonCode(clean)
-    catalog.viewNames.exists { v =>
-      referencesWord(masked, v) && {
-        val (_, vSt) = TemporalPre.extract(catalog.getView(v).get)
-        val eff = if (vSt == SystemTime.Current) st else vSt
-        !bound.get(v).contains(eff)
-      }
-    }
   }
 
   /** Depth-first stored-view expansion into session temp views.

@@ -10,26 +10,19 @@ package graft.sql
   */
 object Params {
 
-  /** Replace each `$N` placeholder outside string literals with the
-    * rendered `params(N-1)`. Placeholders inside '...' literals are
-    * left alone, as a SQL parser would; both `''` doubling and
-    * backslash escapes are honored inside literals (matching Spark's
-    * parser — see graft.sql.SqlText). */
+  /** Replace each `$N` placeholder outside string literals and
+    * comments with the rendered `params(N-1)`. Placeholders inside
+    * literals or comments are left alone, as a SQL parser would; the
+    * shared SqlText classifier decides what is code, so quoting rules
+    * (both quote chars, `''` doubling, backslash escapes) and comment
+    * forms match the rest of the engine exactly. */
   def bind(sql: String, params: Seq[Any]): String = {
+    val code = SqlText.codeMask(sql)
     val out = new StringBuilder
-    var inStr = false
     var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (inStr) {
-        out += c
-        if (c == '\\' && i + 1 < sql.length) { out += sql.charAt(i + 1); i += 1 }
-        else if (c == '\'') {
-          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') { out += '\''; i += 1 }
-          else inStr = false
-        }
-      } else if (c == '\'') { inStr = true; out += c }
-      else if (c == '$' && i + 1 < sql.length && sql.charAt(i + 1).isDigit) {
+      if (code(i) && c == '$' && i + 1 < sql.length && sql.charAt(i + 1).isDigit) {
         var j = i + 1
         while (j < sql.length && sql.charAt(j).isDigit) j += 1
         val n = sql.substring(i + 1, j).toInt
@@ -37,11 +30,9 @@ object Params {
           throw new IllegalArgumentException(
             s"parameter $$$n out of range (${params.length} provided)")
         out ++= render(params(n - 1))
-        i = j - 1
-      } else out += c
-      i += 1
+        i = j
+      } else { out += c; i += 1 }
     }
-    if (inStr) throw new IllegalArgumentException("unterminated string literal")
     out.toString
   }
 

@@ -95,7 +95,10 @@ object StatementRouter {
   private val ReleaseR = """(?is)^RELEASE\s+(?:SAVEPOINT\s+)?(\w+)\s*$""".r
 
   def parse(raw: String): Statement = {
-    val stmt = SqlText.stripLeadingComments(raw).trim.stripSuffix(";").trim
+    // comments are removed before classification: the statement regexes
+    // are start/end-anchored, so a leading comment or a trailing
+    // `COMMIT -- done` form would otherwise misroute to passthrough
+    val stmt = SqlText.stripComments(raw).trim.stripSuffix(";").trim
     stmt match {
       case CreateTableR(name, body) =>
         val (cols, pk, fks) = parseCreateBody(body)

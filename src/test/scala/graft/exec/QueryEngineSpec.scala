@@ -593,6 +593,32 @@ class QueryEngineSpec extends AnyFunSuite {
     assert(got === Seq(Row(1L, "a")))
   }
 
+  test("trailing comments don't defeat statement routing") {
+    val e = seeded()
+    e.sql("BEGIN -- start txn")
+    e.sql("UPDATE t SET name = 'c1' WHERE id = 1 /* inline */")
+    e.sql("COMMIT -- done")
+    assert(rows(e, "SELECT name FROM t WHERE id = 1") === Seq(Row("c1")))
+    // a script whose COMMIT carries the trailing comment (the ; is
+    // inside the comment, so it rides along with the statement)
+    e.sqlScript("BEGIN; UPDATE t SET name = 'c2' WHERE id = 1; COMMIT -- finalize;")
+    assert(rows(e, "SELECT name FROM t WHERE id = 1") === Seq(Row("c2")))
+    // a quote inside a comment must not flip param binding's state
+    val got = e.sql("SELECT id FROM t -- don't scan\nWHERE id = $1", Seq(2))
+      .collect().toSeq
+    assert(got === Seq(Row(2L)))
+  }
+
+  test("double-quoted strings behave like single-quoted in the scanner") {
+    val e = seeded()
+    // ; and table names inside "..." are literal content, not code
+    val got = e.sqlScript(
+      """INSERT INTO t VALUES (7, "semi;colon", 0.5);
+        |SELECT id, name FROM t WHERE name = "semi;colon"""".stripMargin)
+      .collect().toSeq
+    assert(got === Seq(Row(7L, "semi;colon")))
+  }
+
   test("for system_time between returns the change stream") {
     val e = seeded()
     e.sql("UPDATE t SET val = 9 WHERE id = 1") // seq 4
