@@ -47,6 +47,19 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
 
   val catalog = new TableCatalog(spark, baseDir)
 
+  // sweep staging leftovers from a crashed or failed COMMIT: publish
+  // renames files OUT of staging, so anything still under
+  // .txn-staging-* was never published and will never be — without a
+  // sweep, repeated failures would accumulate parquet copies forever
+  locally {
+    val base = new Path(baseDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(base))
+      for (st <- fs.listStatus(base)
+          if st.getPath.getName.startsWith(".txn-staging-"))
+        scala.util.Try(fs.delete(st.getPath, true))
+  }
+
   /** PK-uniqueness enforcement on INSERT, as in the reference
     * (sql_bridge.rs:3543-3570). Two extra jobs per insert — switch off
     * for bulk ingestion where the source is known-unique. */

@@ -17,6 +17,8 @@ object Params {
     * (both quote chars, `''` doubling, backslash escapes) and comment
     * forms match the rest of the engine exactly. */
   def bind(sql: String, params: Seq[Any]): String = {
+    if (SqlText.endsInsideString(sql))
+      throw new IllegalArgumentException("unterminated string literal")
     val code = SqlText.codeMask(sql)
     val out = new StringBuilder
     var i = 0

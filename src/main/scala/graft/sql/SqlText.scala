@@ -1,21 +1,23 @@
 package graft.sql
 
 /** Lexical helpers over raw SQL text, shared by the router, the
-  * parameter binder, and the engine's reference scanner so every
-  * consumer agrees on what is "inside a string literal" or "inside a
-  * comment". The scanner models what Spark's default parser accepts:
-  * single- AND double-quoted string literals (double quotes are
-  * strings, not identifiers, unless ANSI mode flips them), both quote
-  * escapes (`''`/`""` doubling and backslash), `--` line comments, and
-  * `/​* *​/` block comments. Diverging from the parser here desyncs
-  * everything downstream — an unrecognized quote form would flip the
-  * string state for the rest of the statement.
+  * parameter binder, the temporal preprocessor, and the engine's
+  * reference scanner so every consumer agrees on what is "inside a
+  * string literal" or "inside a comment". The scanner models what
+  * Spark's default parser accepts: single- AND double-quoted string
+  * literals (double quotes are strings, not identifiers, unless ANSI
+  * mode flips them), both quote escapes (doubling and backslash),
+  * backtick-quoted identifiers, `--` line comments, and NESTED
+  * `/​* *​/` block comments (Spark 3.0+). Diverging from the parser
+  * here desyncs everything downstream — an unrecognized quote form
+  * would flip the string state for the rest of the statement.
   */
 object SqlText {
 
   private final val CODE: Byte = 0
   private final val STR: Byte = 1 // string literal, including its quotes
   private final val COM: Byte = 2 // comment, including its markers
+  private final val IDT: Byte = 3 // backtick-quoted identifier, incl. ticks
 
   /** One pass over `s`, classifying every character. All public
     * helpers derive from this single state machine. */
@@ -38,23 +40,40 @@ object SqlText {
             case _ => i += 1
           }
         }
+      } else if (c == '`') {
+        // backtick identifier: `` is an escaped tick; content is opaque
+        k(i) = IDT; i += 1
+        var in = true
+        while (i < s.length && in) {
+          k(i) = IDT
+          s.charAt(i) match {
+            case '`' if i + 1 < s.length && s.charAt(i + 1) == '`' =>
+              k(i + 1) = IDT; i += 2
+            case '`' => in = false; i += 1
+            case _ => i += 1
+          }
+        }
       } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
         while (i < s.length && s.charAt(i) != '\n') { k(i) = COM; i += 1 }
       } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
-        k(i) = COM; k(i + 1) = COM; i += 2
-        while (i < s.length &&
-            !(s.charAt(i) == '*' && i + 1 < s.length && s.charAt(i + 1) == '/')) {
-          k(i) = COM; i += 1
+        // bracketed comments NEST in Spark: track depth
+        var depth = 0
+        var done = false
+        while (i < s.length && !done) {
+          if (s.charAt(i) == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+            k(i) = COM; k(i + 1) = COM; i += 2; depth += 1
+          } else if (s.charAt(i) == '*' && i + 1 < s.length && s.charAt(i + 1) == '/') {
+            k(i) = COM; k(i + 1) = COM; i += 2; depth -= 1
+            done = depth == 0
+          } else { k(i) = COM; i += 1 }
         }
-        if (i + 1 < s.length) { k(i) = COM; k(i + 1) = COM; i += 2 }
-        else if (i < s.length) { k(i) = COM; i += 1 }
       } else { k(i) = CODE; i += 1 }
     }
     k
   }
 
   /** Split at top-level occurrences of `sep`: separators inside (...)
-    * nesting, string literals, or comments don't count. */
+    * nesting, string literals, identifiers, or comments don't count. */
   def splitTopLevel(s: String, sep: Char = ','): Seq[String] = {
     val k = classify(s)
     val out = Vector.newBuilder[String]
@@ -77,7 +96,7 @@ object SqlText {
   }
 
   /** Index of the first top-level occurrence of `c` (outside parens,
-    * strings, and comments), or -1. */
+    * strings, identifiers, and comments), or -1. */
   def topLevelIndexOf(s: String, c: Char): Int = {
     val k = classify(s)
     var depth = 0
@@ -95,38 +114,60 @@ object SqlText {
   }
 
   /** The text with comments removed (one space each) and everything
-    * else — string literals included — kept verbatim. Statement
-    * routing runs on this form so the start/end-anchored statement
-    * regexes aren't defeated by leading, trailing, or interior
-    * comments (`COMMIT -- done` must still be a COMMIT). */
+    * else — string literals and backtick identifiers included — kept
+    * verbatim. Optimizer HINT comments (`/​*+ ... *​/`) are NOT
+    * comments to Spark's planner and are preserved. Statement routing
+    * runs on this form so the start/end-anchored statement regexes
+    * aren't defeated by leading, trailing, or interior comments
+    * (`COMMIT -- done` must still be a COMMIT). */
   def stripComments(s: String): String = {
     val k = classify(s)
     val out = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
-      if (k(i) != COM) out += s.charAt(i)
-      else if (out.nonEmpty && out.last != ' ') out += ' '
-      i += 1
+      if (k(i) != COM) { out += s.charAt(i); i += 1 }
+      else if (s.startsWith("/*+", i)) {
+        // copy the whole hint comment run verbatim
+        while (i < s.length && k(i) == COM) { out += s.charAt(i); i += 1 }
+      } else {
+        if (out.isEmpty || out.last != ' ') out += ' '
+        while (i < s.length && k(i) == COM) i += 1
+      }
     }
     out.toString
   }
 
-  /** The text with string literals and comments blanked out (newlines
-    * kept) — for word-level reference scans that must not match names
-    * inside quoted values or comments. */
+  /** The text with string literals, identifiers, and comments blanked
+    * out (newlines kept) — for word-level scans that must not match
+    * names inside quoted values or comments. Backtick identifier
+    * CONTENT is kept (minus the ticks): a backtick-quoted table name
+    * is still a reference. */
   def maskNonCode(s: String): String = {
     val k = classify(s)
     val out = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      out += (if (k(i) == CODE) c else if (c == '\n') '\n' else ' ')
+      out += (k(i) match {
+        case CODE => c
+        case IDT => if (c == '`') ' ' else c
+        case _ => if (c == '\n') '\n' else ' '
+      })
       i += 1
     }
     out.toString
   }
 
-  /** Character classes for external scanners (Params.bind): true at
-    * positions that are plain code — not string content, not comment. */
+  /** Character classes for external scanners (Params.bind,
+    * TemporalPre): true at positions that are plain code — not string
+    * content, not identifier, not comment. */
   def codeMask(s: String): Array[Boolean] = classify(s).map(_ == CODE)
+
+  /** Does the text end inside an unterminated string literal? Used to
+    * reject obviously-broken statements with a clear error instead of
+    * silently treating the tail as string content. Probe: append a
+    * non-quote sentinel — it classifies as string content iff the
+    * final literal never closed. */
+  def endsInsideString(s: String): Boolean =
+    s.nonEmpty && classify(s + "x").last == STR
 }

@@ -27,19 +27,30 @@ object TemporalPre {
   /** Extract the temporal clause (first match wins, every occurrence is
     * stripped) and return the cleaned SQL plus the spec. BETWEEN and
     * FROM..TO are sequence ranges — a superset of the reference, which
-    * parses them but errors (README.md:94-96). */
+    * parses them but errors (README.md:94-96).
+    *
+    * Only matches that START at a code position count: the words
+    * "FOR SYSTEM_TIME ALL" inside a string literal or comment are
+    * data, not a temporal spec (graft.sql.SqlText decides what is
+    * code), and stripping must not rewrite literal content. */
   def extract(sql: String): (String, SystemTime) = {
-    def strip(r: scala.util.matching.Regex) = r.replaceAllIn(sql, " ")
-    AsOfSeqR.findFirstMatchIn(sql).map(m =>
-      (strip(AsOfSeqR), SystemTime.AsOfSeq(m.group(1).toLong): SystemTime))
-      .orElse(AsOfTsR.findFirstMatchIn(sql).map(m =>
-        (strip(AsOfTsR), SystemTime.AsOfTs(m.group(1)): SystemTime)))
-      .orElse(BetweenR.findFirstMatchIn(sql).map(m =>
-        (strip(BetweenR), SystemTime.Between(m.group(1).toLong, m.group(2).toLong): SystemTime)))
-      .orElse(FromToR.findFirstMatchIn(sql).map(m =>
-        (strip(FromToR), SystemTime.Between(m.group(1).toLong, m.group(2).toLong): SystemTime)))
-      .orElse(AllR.findFirstMatchIn(sql).map(_ =>
-        (strip(AllR), SystemTime.All: SystemTime)))
+    lazy val code = SqlText.codeMask(sql)
+    def attempt(r: scala.util.matching.Regex)(
+        mk: scala.util.matching.Regex.Match => SystemTime): Option[(String, SystemTime)] = {
+      val ms = r.findAllMatchIn(sql).filter(m => code(m.start)).toList
+      ms.headOption.map { first =>
+        val sb = new StringBuilder(sql)
+        for (m <- ms; i <- m.start until m.end) sb.setCharAt(i, ' ')
+        (sb.toString, mk(first))
+      }
+    }
+    attempt(AsOfSeqR)(m => SystemTime.AsOfSeq(m.group(1).toLong))
+      .orElse(attempt(AsOfTsR)(m => SystemTime.AsOfTs(m.group(1))))
+      .orElse(attempt(BetweenR)(m =>
+        SystemTime.Between(m.group(1).toLong, m.group(2).toLong)))
+      .orElse(attempt(FromToR)(m =>
+        SystemTime.Between(m.group(1).toLong, m.group(2).toLong)))
+      .orElse(attempt(AllR)(_ => SystemTime.All))
       .getOrElse((sql, SystemTime.Current))
   }
 }

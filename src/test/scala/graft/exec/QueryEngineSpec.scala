@@ -619,6 +619,41 @@ class QueryEngineSpec extends AnyFunSuite {
     assert(got === Seq(Row(7L, "semi;colon")))
   }
 
+  test("optimizer hints, nested comments, and backtick identifiers survive routing") {
+    val e = seeded()
+    // a broadcast hint is a comment lexically but not to the planner —
+    // routing must pass it through to Catalyst verbatim
+    graft.sql.StatementRouter.parse(
+      "SELECT /*+ BROADCAST(t) */ a.id FROM t a JOIN t b ON a.id = b.id") match {
+      case graft.sql.Statement.Select(q) => assert(q.contains("/*+ BROADCAST(t) */"))
+      case other => fail(s"expected Select, got $other")
+    }
+    val df = e.sql("SELECT /*+ BROADCAST(t) */ a.id FROM t a JOIN t b ON a.id = b.id")
+    assert(df.count() === 3)
+    // nested bracketed comments (Spark 3.0+) route correctly
+    e.sql("BEGIN /* outer /* inner */ still comment */")
+    e.sql("UPDATE t SET name = 'n' WHERE id = 1")
+    e.sql("COMMIT /* done /* really */ done */")
+    assert(rows(e, "SELECT name FROM t WHERE id = 1") === Seq(Row("n")))
+    // backtick identifiers: content is opaque to the comment scanner
+    assert(rows(e, "SELECT id AS `a--b` FROM t WHERE id = 1").head.getLong(0) === 1L)
+    // and a backticked table name still counts as a reference
+    assert(rows(e, "SELECT COUNT(*) AS n FROM `t`") === Seq(Row(3L)))
+  }
+
+  test("temporal clause inside a string literal is data, not a spec") {
+    val e = seeded() // seq 1..3
+    e.sql("UPDATE t SET name = 'FOR SYSTEM_TIME ALL' WHERE id = 1")
+    // reads current state (not history) and the literal is untouched
+    val got = rows(e, "SELECT name FROM t WHERE name = 'FOR SYSTEM_TIME ALL'")
+    assert(got === Seq(Row("FOR SYSTEM_TIME ALL")))
+    assert(rows(e, "SELECT COUNT(*) AS n FROM t") === Seq(Row(3L)))
+    // unterminated literal in a parameterized statement raises clearly
+    intercept[IllegalArgumentException] {
+      e.sql("SELECT * FROM t WHERE name = 'x AND id = $1", Seq(5))
+    }
+  }
+
   test("for system_time between returns the change stream") {
     val e = seeded()
     e.sql("UPDATE t SET val = 9 WHERE id = 1") // seq 4
