@@ -50,13 +50,18 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   // sweep staging leftovers from a crashed or failed COMMIT: publish
   // renames files OUT of staging, so anything still under
   // .txn-staging-* was never published and will never be — without a
-  // sweep, repeated failures would accumulate parquet copies forever
+  // sweep, repeated failures would accumulate parquet copies forever.
+  // Only dirs idle > 1h are swept: while one writer per store is the
+  // contract, a second engine booting during another's in-flight
+  // COMMIT must not delete its live staging
   locally {
     val base = new Path(baseDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
     if (fs.exists(base))
       for (st <- fs.listStatus(base)
-          if st.getPath.getName.startsWith(".txn-staging-"))
+          if st.getPath.getName.startsWith(".txn-staging-")
+            && st.getModificationTime < cutoff)
         scala.util.Try(fs.delete(st.getPath, true))
   }
 

@@ -19,6 +19,8 @@ object Params {
   def bind(sql: String, params: Seq[Any]): String = {
     if (SqlText.endsInsideString(sql))
       throw new IllegalArgumentException("unterminated string literal")
+    if (SqlText.endsInsideIdentifier(sql))
+      throw new IllegalArgumentException("unterminated backtick identifier")
     val code = SqlText.codeMask(sql)
     val out = new StringBuilder
     var i = 0

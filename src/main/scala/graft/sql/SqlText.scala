@@ -18,6 +18,7 @@ object SqlText {
   private final val STR: Byte = 1 // string literal, including its quotes
   private final val COM: Byte = 2 // comment, including its markers
   private final val IDT: Byte = 3 // backtick-quoted identifier, incl. ticks
+  private final val HINT: Byte = 4 // /*+ ... */ — lexically a comment, semantically planner input
 
   /** One pass over `s`, classifying every character. All public
     * helpers derive from this single state machine. */
@@ -56,16 +57,20 @@ object SqlText {
       } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
         while (i < s.length && s.charAt(i) != '\n') { k(i) = COM; i += 1 }
       } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
-        // bracketed comments NEST in Spark: track depth
+        // bracketed comments NEST in Spark: track depth. A comment
+        // opening with /*+ is an optimizer HINT — classified apart so
+        // stripComments can keep it while dropping true comments, even
+        // when the two forms sit back-to-back with no code between
+        val cls = if (s.startsWith("/*+", i)) HINT else COM
         var depth = 0
         var done = false
         while (i < s.length && !done) {
           if (s.charAt(i) == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
-            k(i) = COM; k(i + 1) = COM; i += 2; depth += 1
+            k(i) = cls; k(i + 1) = cls; i += 2; depth += 1
           } else if (s.charAt(i) == '*' && i + 1 < s.length && s.charAt(i + 1) == '/') {
-            k(i) = COM; k(i + 1) = COM; i += 2; depth -= 1
+            k(i) = cls; k(i + 1) = cls; i += 2; depth -= 1
             done = depth == 0
-          } else { k(i) = COM; i += 1 }
+          } else { k(i) = cls; i += 1 }
         }
       } else { k(i) = CODE; i += 1 }
     }
@@ -115,23 +120,25 @@ object SqlText {
 
   /** The text with comments removed (one space each) and everything
     * else — string literals and backtick identifiers included — kept
-    * verbatim. Optimizer HINT comments (`/​*+ ... *​/`) are NOT
-    * comments to Spark's planner and are preserved. Statement routing
-    * runs on this form so the start/end-anchored statement regexes
-    * aren't defeated by leading, trailing, or interior comments
-    * (`COMMIT -- done` must still be a COMMIT). */
-  def stripComments(s: String): String = {
+    * verbatim. With `keepHints` (the default), optimizer hint comments
+    * (`/​*+ ... *​/`) are preserved — they are instructions to Spark's
+    * planner, not commentary; `keepHints = false` drops them too,
+    * which statement ROUTING needs because the anchored statement
+    * regexes can't see through a hint sitting inside their prefix
+    * (`UPDATE /​*+ x *​/ t SET ...`). */
+  def stripComments(s: String, keepHints: Boolean = true): String = {
     val k = classify(s)
     val out = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
-      if (k(i) != COM) { out += s.charAt(i); i += 1 }
-      else if (s.startsWith("/*+", i)) {
-        // copy the whole hint comment run verbatim
-        while (i < s.length && k(i) == COM) { out += s.charAt(i); i += 1 }
-      } else {
-        if (out.isEmpty || out.last != ' ') out += ' '
-        while (i < s.length && k(i) == COM) i += 1
+      k(i) match {
+        case COM =>
+          if (out.isEmpty || out.last != ' ') out += ' '
+          while (i < s.length && k(i) == COM) i += 1
+        case HINT if !keepHints =>
+          if (out.isEmpty || out.last != ' ') out += ' '
+          while (i < s.length && k(i) == HINT) i += 1
+        case _ => out += s.charAt(i); i += 1
       }
     }
     out.toString
@@ -151,7 +158,7 @@ object SqlText {
       out += (k(i) match {
         case CODE => c
         case IDT => if (c == '`') ' ' else c
-        case _ => if (c == '\n') '\n' else ' '
+        case _ => if (c == '\n') '\n' else ' ' // STR, COM, and HINT content
       })
       i += 1
     }
@@ -170,4 +177,8 @@ object SqlText {
     * final literal never closed. */
   def endsInsideString(s: String): Boolean =
     s.nonEmpty && classify(s + "x").last == STR
+
+  /** Same probe for an unterminated backtick identifier. */
+  def endsInsideIdentifier(s: String): Boolean =
+    s.nonEmpty && classify(s + "x").last == IDT
 }

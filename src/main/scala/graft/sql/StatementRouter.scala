@@ -97,9 +97,21 @@ object StatementRouter {
   def parse(raw: String): Statement = {
     // comments are removed before classification: the statement regexes
     // are start/end-anchored, so a leading comment or a trailing
-    // `COMMIT -- done` form would otherwise misroute to passthrough
-    val stmt = SqlText.stripComments(raw).trim.stripSuffix(";").trim
-    stmt match {
+    // `COMMIT -- done` form would otherwise misroute to passthrough.
+    // Optimizer hints survive stripping (they're planner input), so
+    // matching runs on the hint-kept form first; when a hint sits
+    // inside a statement's PREFIX (`UPDATE /*+ x */ t SET`,
+    // `COMMIT /*+ x */`) and defeats the anchors, classification
+    // retries without hints — only the fall-through Select keeps them,
+    // which is exactly where Catalyst reads them.
+    val withHints = SqlText.stripComments(raw).trim.stripSuffix(";").trim
+    matchStatement(withHints).getOrElse {
+      val bare = SqlText.stripComments(raw, keepHints = false).trim.stripSuffix(";").trim
+      matchStatement(bare).getOrElse(Select(withHints))
+    }
+  }
+
+  private def matchStatement(stmt: String): Option[Statement] = Some(stmt).collect {
       case CreateTableR(name, body) =>
         val (cols, pk, fks) = parseCreateBody(body)
         CreateTable(name, cols, pk, fks)
@@ -135,9 +147,7 @@ object StatementRouter {
       case RollbackR(sp) => Rollback(Option(sp))
       case SavepointR(name) => Savepoint(name)
       case ReleaseR(name) => ReleaseSavepoint(name)
-      case _ => Select(stmt)
     }
-  }
 
   private def topLevelIndexOf(s: String, c: Char): Int =
     SqlText.topLevelIndexOf(s, c)

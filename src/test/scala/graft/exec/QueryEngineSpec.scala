@@ -654,6 +654,28 @@ class QueryEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("hints in statement prefixes don't defeat routing") {
+    val e = seeded()
+    // a hint inside UPDATE's prefix: routed via the hint-less retry
+    e.sql("UPDATE /*+ REPARTITION(4) */ t SET name = 'h1' WHERE id = 1")
+    assert(rows(e, "SELECT name FROM t WHERE id = 1") === Seq(Row("h1")))
+    e.sql("BEGIN")
+    e.sql("UPDATE t SET name = 'h2' WHERE id = 1")
+    e.sql("COMMIT /*+ irrelevant */") // must still be a COMMIT
+    assert(rows(e, "SELECT name FROM t WHERE id = 1") === Seq(Row("h2")))
+    // a hint right after a regular comment is still preserved for Catalyst
+    graft.sql.StatementRouter.parse(
+      "SELECT /* note *//*+ BROADCAST(t) */ * FROM t") match {
+      case graft.sql.Statement.Select(q) =>
+        assert(q.contains("/*+ BROADCAST(t) */") && !q.contains("note"))
+      case other => fail(s"expected Select, got $other")
+    }
+    // unterminated backtick raises clearly in parameterized statements
+    intercept[IllegalArgumentException] {
+      e.sql("SELECT `name FROM t WHERE id = $1", Seq(5))
+    }
+  }
+
   test("for system_time between returns the change stream") {
     val e = seeded()
     e.sql("UPDATE t SET val = 9 WHERE id = 1") // seq 4
