@@ -234,9 +234,8 @@ object EngineSql {
       try { e.sql("DELETE FROM nat WHERE nk = 3"); false }
       catch { case _: IllegalArgumentException => true }
     require(blocked, "FK RESTRICT delete unexpectedly succeeded")
-    // remove nation 3's children, then nation 7 after its children
-    e.sql("DELETE FROM cust WHERE nk = 3")
-    e.sql("DELETE FROM cust WHERE nk = 7")
+    // remove nations 3 and 7's children, then nation 7 itself
+    e.sql("DELETE FROM cust WHERE nk IN (3, 7)")
     e.sql("DELETE FROM nat WHERE nk = 7") // unreferenced now
     e.sql("""SELECT n.nk, n.nname, COUNT(c.ck) AS n_cust
             |FROM nat n LEFT JOIN cust c ON c.nk = n.nk
