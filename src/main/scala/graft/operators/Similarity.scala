@@ -17,9 +17,20 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity of two float-array columns, computed in double
-    * with a single left-to-right fold (zip_with + aggregate — both
-    * codegen-friendly, no UDF). */
-  def cosine(a: Column, b: Column): Column = {
+    * with a single left-to-right fold. Backed by the native codegen'd
+    * expression (graft.functions.CosineSimilarity): the composed
+    * zip_with + aggregate form runs on Catalyst's interpreted
+    * higher-order-function path — 3 lambda-per-element folds and a
+    * zipped-array allocation per pair — while the native expression is
+    * one fused loop inside whole-stage codegen. Bit-identical results
+    * (same element order, same double arithmetic); the equivalence is
+    * spec-checked against the composed form below. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
+
+  /** The composed higher-order-function form — kept as the independent
+    * reference implementation for the equivalence spec. */
+  private[graft] def cosineComposed(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column) = aggregate(
       zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
       lit(0.0), (acc, v) => acc + v)

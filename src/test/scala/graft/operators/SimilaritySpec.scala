@@ -9,6 +9,21 @@ class SimilaritySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
+  test("native cosine expression is bit-identical to the composed form") {
+    import org.apache.spark.sql.functions.col
+    val e = emb.limit(200)
+    val pairs = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .crossJoin(e.select(col("vec_id").as("b"), col("embedding").as("eb")))
+      .where(col("a") < col("b"))
+    // raw doubles, unrounded: any bit of divergence fails
+    val diff = pairs.select(
+      Similarity.cosine(col("ea"), col("eb")).as("native"),
+      Similarity.cosineComposed(col("ea"), col("eb")).as("composed"))
+      .where(col("native") =!= col("composed"))
+      .count()
+    assert(diff === 0)
+  }
+
   test("ivf with nprobe = nlist equals exact brute force") {
     import org.apache.spark.sql.functions.col
     val q = emb.where(col("vec_id") < 5)
