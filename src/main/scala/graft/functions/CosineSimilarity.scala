@@ -22,35 +22,43 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * to the DuckDB oracle's `list_cosine_similarity`) — each accumulator
   * sums left-to-right in element order, products are computed in
   * double, and the final value divides by the two norms in the same
-  * sequence (dot / sqrt(na) / sqrt(nb)). A null element anywhere makes
-  * the result null, exactly like the null-propagating fold.
+  * sequence (dot / sqrt(na) / sqrt(nb)). Null propagation matches the
+  * composed fold exactly: a null element makes the result null, and so
+  * does a LENGTH MISMATCH (zip_with null-pads the shorter array, which
+  * nulls the fold — a truncated similarity would be a plausible-looking
+  * wrong answer). Elements may be float or double on either side.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"cosine_similarity expects two array<float> inputs, got ${l.sql} and ${r.sql}")
+        s"cosine_similarity expects two array<float|double> inputs, got ${l.sql} and ${r.sql}")
     }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_similarity"
 
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    val (lf, rf) = (isFloat(left), isFloat(right))
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xv = x.getFloat(i).toDouble
-      val yv = y.getFloat(i).toDouble
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xv * yv
       na += xv * xv
       nb += yv * yv
@@ -68,21 +76,27 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val getX = if (isFloat(left)) "getFloat" else "getDouble"
+      val getY = if (isFloat(right)) "getFloat" else "getDouble"
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0;
-         |double $na = 0.0;
-         |double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  double $xv = (double) $x.getFloat($i);
-         |  double $yv = (double) $y.getFloat($i);
-         |  $dot += $xv * $yv;
-         |  $na += $xv * $xv;
-         |  $nb += $yv * $yv;
-         |}
-         |if (!${ev.isNull}) {
-         |  ${ev.value} = $dot / java.lang.Math.sqrt($na) / java.lang.Math.sqrt($nb);
+         |int $n = $x.numElements();
+         |if ($y.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  double $na = 0.0;
+         |  double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xv = (double) $x.$getX($i);
+         |    double $yv = (double) $y.$getY($i);
+         |    $dot += $xv * $yv;
+         |    $na += $xv * $xv;
+         |    $nb += $yv * $yv;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / java.lang.Math.sqrt($na) / java.lang.Math.sqrt($nb);
+         |  }
          |}
        """.stripMargin
     })

@@ -15,13 +15,32 @@ class SimilaritySpec extends AnyFunSuite {
     val pairs = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
       .crossJoin(e.select(col("vec_id").as("b"), col("embedding").as("eb")))
       .where(col("a") < col("b"))
-    // raw doubles, unrounded: any bit of divergence fails
+    // raw doubles, unrounded; null-safe inequality so a null-vs-value
+    // divergence can't hide behind three-valued logic
     val diff = pairs.select(
       Similarity.cosine(col("ea"), col("eb")).as("native"),
       Similarity.cosineComposed(col("ea"), col("eb")).as("composed"))
-      .where(col("native") =!= col("composed"))
+      .where(!(col("native") <=> col("composed")))
       .count()
     assert(diff === 0)
+  }
+
+  test("native cosine matches composed nulling on mismatched lengths and doubles") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)), // length mismatch -> null
+      (Array(1.0f, 2.0f), Array(2.0f, 1.0f))
+    ).toDF("a", "b")
+    val got = df.select(
+      Similarity.cosine(col("a"), col("b")).as("native"),
+      Similarity.cosineComposed(col("a"), col("b")).as("composed"))
+    assert(got.where(!(col("native") <=> col("composed"))).count() === 0)
+    assert(got.where(col("native").isNull).count() === 1)
+    // double-element arrays are accepted and exact
+    val d = Seq((Array(1.0, 0.0), Array(1.0, 0.0))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("s")).collect()
+    assert(d.head.getDouble(0) === 1.0)
   }
 
   test("ivf with nprobe = nlist equals exact brute force") {
