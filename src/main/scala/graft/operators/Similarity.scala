@@ -54,21 +54,13 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket id: `bits` pseudo-random hyperplanes,
-    * plane j's component i derived from xxhash64(j, i) mapped to ±1 —
-    * data-independent and deterministic, no stored model. The bucket is
-    * the packed sign pattern of the `bits` projections. */
-  def lshBucket(embedding: Column, bits: Int): Column = {
-    val projections = (0 until bits).map { j =>
-      // sum_i emb[i] * sign(hash(j, i))
-      val prods = aggregate(
-        zip_with(embedding, sequence(lit(0), size(embedding) - 1),
-          (v, i) => v.cast("double") *
-            when(pmod(xxhash64(lit(j), i), lit(2)) === 0, 1.0).otherwise(-1.0)),
-        lit(0.0), (acc, v) => acc + v)
-      when(prods >= 0, shiftleft(lit(1L), j)).otherwise(0L)
-    }
-    projections.reduce(_ + _)
-  }
+    * plane j's component i a deterministic ±1 — data-independent, no
+    * stored model. The bucket is the packed sign pattern of the `bits`
+    * projections. Backed by the native codegen'd expression
+    * (graft.functions.HyperplaneLsh): the composed form paid `bits`
+    * interpreted higher-order folds per row. */
+  def lshBucket(embedding: Column, bits: Int): Column =
+    graft.functions.HyperplaneLsh(embedding, bits)
 
   /** IVF-style ANN: a coarse quantizer partitions the corpus into
     * `nlist` disjoint cells (every vector assigned to its most-similar

@@ -43,6 +43,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(d.head.getDouble(0) === 1.0)
   }
 
+  test("lsh buckets are deterministic and identical vectors always collide") {
+    import org.apache.spark.sql.functions.col
+    val b1 = emb.select(col("vec_id"), Similarity.lshBucket(col("embedding"), 8).as("b"))
+    val b2 = emb.select(col("vec_id"), Similarity.lshBucket(col("embedding"), 8).as("b"))
+    // deterministic across evaluations
+    assert(b1.exceptAll(b2).count() === 0)
+    // bucket ids stay inside the declared bit width
+    import org.apache.spark.sql.functions.{max, min}
+    val r = b1.agg(min("b"), max("b")).collect().head
+    assert(r.getLong(0) >= 0L && r.getLong(1) < (1L << 8))
+    // identical word-for-word vectors collide (the LSH recall anchor):
+    // join the table to itself on vec_id and compare buckets
+    val twin = emb.select(col("vec_id"), col("embedding"))
+      .join(b1, "vec_id")
+      .select(col("vec_id"), Similarity.lshBucket(col("embedding"), 8).as("b2"), col("b"))
+    assert(twin.where(col("b") =!= col("b2")).count() === 0)
+  }
+
   test("ivf with nprobe = nlist equals exact brute force") {
     import org.apache.spark.sql.functions.col
     val q = emb.where(col("vec_id") < 5)
