@@ -53,12 +53,22 @@ class SimilaritySpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.{max, min}
     val r = b1.agg(min("b"), max("b")).collect().head
     assert(r.getLong(0) >= 0L && r.getLong(1) < (1L << 8))
-    // identical word-for-word vectors collide (the LSH recall anchor):
-    // join the table to itself on vec_id and compare buckets
-    val twin = emb.select(col("vec_id"), col("embedding"))
-      .join(b1, "vec_id")
-      .select(col("vec_id"), Similarity.lshBucket(col("embedding"), 8).as("b2"), col("b"))
-    assert(twin.where(col("b") =!= col("b2")).count() === 0)
+    // identical vectors on DIFFERENT rows collide (the LSH recall
+    // anchor): duplicate every embedding under a shifted id and check
+    // each twin pair shares a bucket
+    import org.apache.spark.sql.functions.expr
+    val twins = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      .select(col("vec_id"), Similarity.lshBucket(col("embedding"), 8).as("b"))
+    val pairs = twins.as("o").join(twins.as("t"),
+      expr("t.vec_id = o.vec_id + 100000"))
+    assert(pairs.count() > 0)
+    assert(pairs.where(col("o.b") =!= col("t.b")).count() === 0)
+    // degenerate vectors (empty / null element) bucket as null
+    import spark.implicits._
+    val deg = Seq(Array.empty[Float], Array(1.0f)).toDF("embedding")
+    val degB = deg.select(Similarity.lshBucket(col("embedding"), 8).as("b")).collect()
+    assert(degB.count(_.isNullAt(0)) === 1)
   }
 
   test("ivf with nprobe = nlist equals exact brute force") {
