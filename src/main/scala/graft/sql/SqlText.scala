@@ -147,8 +147,10 @@ object SqlText {
   /** The text with string literals, identifiers, and comments blanked
     * out (newlines kept) — for word-level scans that must not match
     * names inside quoted values or comments. Backtick identifier
-    * CONTENT is kept (minus the ticks): a backtick-quoted table name
-    * is still a reference. */
+    * content keeps its WORD characters only (a backtick-quoted table
+    * name is still a reference) — quotes or comment markers inside an
+    * identifier must not leak into the masked text, where a rescan
+    * would misread them as real syntax. */
   def maskNonCode(s: String): String = {
     val k = classify(s)
     val out = new StringBuilder(s.length)
@@ -157,7 +159,7 @@ object SqlText {
       val c = s.charAt(i)
       out += (k(i) match {
         case CODE => c
-        case IDT => if (c == '`') ' ' else c
+        case IDT => if (c.isLetterOrDigit || c == '_') c else ' '
         case _ => if (c == '\n') '\n' else ' ' // STR, COM, and HINT content
       })
       i += 1
