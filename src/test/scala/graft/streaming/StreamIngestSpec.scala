@@ -46,6 +46,33 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(rows("SELECT page FROM clicks WHERE id = 1") === Seq(Row("A")))
   }
 
+  test("restart from the same checkpoint does not re-ingest processed batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE ev (id BIGINT PRIMARY KEY, v STRING)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    val mem = MemoryStream[(Long, String)]
+    val q1 = StreamIngest.start(e, "ev", mem.toDF.toDF("id", "v"), ckpt,
+      trigger = Trigger.ProcessingTime(0L))
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // a new query over the SAME checkpoint resumes past batch 0
+    val q2 = StreamIngest.start(e, "ev", mem.toDF.toDF("id", "v"), ckpt,
+      trigger = Trigger.ProcessingTime(0L))
+    try {
+      mem.addData((3L, "c"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    def rows(sql: String): Seq[Row] = e.sql(sql).collect().toSeq
+    // ids 1 and 2 ingested exactly once; sequences stay contiguous
+    assert(rows("SELECT id FROM ev ORDER BY id")
+      === Seq(Row(1L), Row(2L), Row(3L)))
+    assert(rows("SELECT COUNT(*) AS n FROM ev FOR SYSTEM_TIME ALL") === Seq(Row(3L)))
+  }
+
   test("start rejects a batch frame and a missing table") {
     import spark.implicits._
     val e = QueryEngine.scratch(spark)
