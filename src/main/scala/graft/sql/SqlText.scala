@@ -159,7 +159,11 @@ object SqlText {
       val c = s.charAt(i)
       out += (k(i) match {
         case CODE => c
-        case IDT => if (c.isLetterOrDigit || c == '_') c else ' '
+        case IDT =>
+          // word chars and dots survive (dotted catalog names like
+          // `a.b` must still word-match); newlines keep line structure;
+          // anything else (quotes, comment markers) must not leak
+          if (c.isLetterOrDigit || c == '_' || c == '.' || c == '\n') c else ' '
         case _ => if (c == '\n') '\n' else ' ' // STR, COM, and HINT content
       })
       i += 1

@@ -27,7 +27,7 @@ class SqlTextSpec extends AnyFunSuite {
       case 1 => frags += Str("'back\\' slash ; /* no */'")
       case 2 => frags += Str("\"dq ; ' \\\" content\"")
       case 3 =>
-        frags += Ident("`a--b; '`")
+        frags += Ident("`a.b--c; '`")
         frags += Code(" ")
       case 4 =>
         // the newline TERMINATES a line comment (it is code, not
@@ -78,10 +78,10 @@ class SqlTextSpec extends AnyFunSuite {
         f match {
           case Code(t) =>
             assert(m.substring(pos, pos + t.length) === t, s"seed=$seed code kept")
-          case Ident(t) => // word chars kept, everything else blanked
+          case Ident(t) => // word chars, dots, newlines kept; rest blanked
             for (i <- 0 until t.length) {
               val c = t.charAt(i)
-              if (c.isLetterOrDigit || c == '_')
+              if (c.isLetterOrDigit || c == '_' || c == '.' || c == '\n')
                 assert(m.charAt(pos + i) === c, s"seed=$seed ident")
               else assert(m.charAt(pos + i) === ' ', s"seed=$seed ident blank")
             }
