@@ -156,6 +156,39 @@ object Pipeline {
       .orderBy("qid", "rank")
   }
 
+  /** End-to-end training-data pipeline: quality filter (token count +
+    * type-token ratio from TextAnalysis) → exact dedup (survivor = min
+    * doc_id per content digest) → surviving docs. The composition every
+    * corpus-prep job runs, expressed as one lazy DataFrame chain —
+    * Catalyst fuses the metric projection into the scan, and the dedup
+    * is one digest shuffle. The oracle recomputes the same pipeline
+    * algebraically. */
+  val qPipelineE2E = Q(
+    "q_pipeline_e2e",
+    """WITH m AS (
+      |  SELECT doc_id, text,
+      |         len(string_split(text, ' ')) AS n_tokens,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |           / len(string_split(text, ' ')) AS ttr
+      |  FROM documents),
+      |kept AS (SELECT doc_id, text FROM m WHERE n_tokens >= 30 AND ttr >= 0.4),
+      |surv AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text))
+      |SELECT k.doc_id, length(k.text) AS n_chars
+      |FROM kept k JOIN surv s ON k.doc_id = s.doc_id
+      |ORDER BY k.doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val kept = docs.join(
+      TextAnalysis.qualityMetrics(docs, Seq("the", "a"))
+        .where(col("n_tokens") >= 30 && col("ttr") >= 0.4)
+        .select("doc_id"),
+      "doc_id")
+    val survivors = kept.groupBy(md5(col("text")).as("_k"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    kept.join(survivors.select("doc_id"), "doc_id")
+      .select(col("doc_id"), length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** n-gram (3-word shingle) Jaccard near-dups over the full corpus —
     * shingles see word order, the standard upgrade from set Jaccard.
     * Same inverted-index join and df-caps; the oracle builds identical
@@ -451,7 +484,7 @@ object Pipeline {
   }
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qJaccardPairs, qShingleJaccard, qMinHashLsh, qMinHashSuperset,
+    qDedupExact, qPipelineE2E, qJaccardPairs, qShingleJaccard, qMinHashLsh, qMinHashSuperset,
     qSimHash, qSimHashSuperset, qEmbedNearDup, qEmbedNearDupLsh,
     qAnnCosine, qAnnLsh, qAnnIvfFull, qAnnIvf,
     qTextQuality, qLangId, qTokenStats, qFingerprint,
