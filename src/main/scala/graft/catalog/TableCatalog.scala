@@ -50,12 +50,24 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
 
   private val tables = mutable.LinkedHashMap.empty[String, TableDef]
   private val views = mutable.LinkedHashMap.empty[String, String] // name -> SQL
+  // materialized views: name -> (defining SQL, current data version);
+  // the reference keeps the same pair (views.rs:40-123 — is_materialized
+  // + materialized_data); our data lives in versioned parquet dirs
+  private val mviews = mutable.LinkedHashMap.empty[String, (String, Long)]
   private val indexes = mutable.LinkedHashMap.empty[String, (String, String)] // idx -> (table, col)
   private val nextSeqs = mutable.HashMap.empty[String, Long] // last assigned sequence
   private val nextColIds = mutable.HashMap.empty[String, Long] // ALTER ADD physical-name counter
   // child table -> (child col, parent table, parent col); the analogue of
   // the reference's FK registry (fk.rs:44-66), persisted with the catalog
   private val fks = mutable.LinkedHashMap.empty[String, Seq[(String, String, String)]]
+  // streaming-sink progress: stream id (checkpoint location) -> last
+  // COMMITTED micro-batch id — the Delta-commit idempotence pattern that
+  // upgrades foreachBatch ingestion from at-least-once to exactly-once
+  private val streamBatches = mutable.HashMap.empty[String, Long]
+  // trigger name -> (timing, event, table, body) — parse-and-record
+  // parity with the reference's trigger registry (triggers.rs:1-931);
+  // execution semantics are out of scope (Rust-internal there too)
+  private val triggers = mutable.LinkedHashMap.empty[String, (String, String, String, String)]
   val stats = mutable.HashMap.empty[String, Map[String, String]] // ANALYZE output
 
   load()
@@ -64,23 +76,28 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
 
   def logPath(table: String): String = s"$baseDir/tables/$table/log"
   def snapshotPath(table: String): String = s"$baseDir/tables/$table/snapshots"
+  /** Data directory of a materialized view at a given version. */
+  def mviewDataPath(name: String, version: Long): String =
+    s"$baseDir/matviews/$name/v=$version"
   private def metaPath = new Path(s"$baseDir/catalog.meta")
+  private def metaTmpPath = new Path(s"$baseDir/catalog.meta.tmp")
 
   private def fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   // ---------------------------------------------------------- tables
 
   def tableNames: Seq[String] = tables.keys.toSeq
-  def viewNames: Seq[String] = views.keys.toSeq
+  def viewNames: Seq[String] = views.keys.toSeq ++ mviews.keys
   def get(name: String): Option[TableDef] = tables.get(name)
-  def getView(name: String): Option[String] = views.get(name)
+  def getView(name: String): Option[String] =
+    views.get(name).orElse(mviews.get(name).map(_._1))
 
   def require(name: String): TableDef =
     tables.getOrElse(name,
       throw new IllegalArgumentException(s"table not found: $name"))
 
   def createTable(name: String, pk: String, cols: Seq[(String, DataType)]): Unit = {
-    if (tables.contains(name) || views.contains(name))
+    if (tables.contains(name) || views.contains(name) || mviews.contains(name))
       throw new IllegalArgumentException(s"table or view already exists: $name")
     if (!cols.exists(_._1 == pk))
       throw new IllegalArgumentException(s"primary key $pk not among columns")
@@ -190,18 +207,65 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
     save()
   }
 
+  /** Apply the catalog side of an atomic publish in ONE persisted step:
+    * per-table sequence counters plus (optionally) the committed
+    * micro-batch id of a streaming sink. Max-merged so a recovery
+    * replay of an already-applied manifest is a no-op. */
+  def commitPublished(seqs: Map[String, Long], stream: Option[(String, Long)]): Unit = {
+    for ((t, s) <- seqs if tables.contains(t))
+      nextSeqs(t) = math.max(nextSeqs.getOrElse(t, 0L), s)
+    for ((id, b) <- stream)
+      streamBatches(id) = math.max(streamBatches.getOrElse(id, -1L), b)
+    save()
+  }
+
+  /** Last committed micro-batch id for a stream (None = none yet). */
+  def lastStreamBatch(streamId: String): Option[Long] = streamBatches.get(streamId)
+
   // ----------------------------------------------------------- views
 
   def createView(name: String, sql: String): Unit = {
-    if (tables.contains(name))
+    if (tables.contains(name) || mviews.contains(name))
       throw new IllegalArgumentException(s"table already exists: $name")
     views(name) = sql
     save()
   }
 
+  /** Register a materialized view (views.rs:40-123). The engine writes
+    * version 0's data before calling this, so a registered matview is
+    * always readable. */
+  def createMaterializedView(name: String, sql: String): Unit = {
+    if (tables.contains(name) || views.contains(name))
+      throw new IllegalArgumentException(s"table already exists: $name")
+    if (mviews.contains(name))
+      throw new IllegalArgumentException(s"materialized view already exists: $name")
+    mviews(name) = (sql, 0L)
+    save()
+  }
+
+  def isMaterialized(name: String): Boolean = mviews.contains(name)
+
+  def mviewVersion(name: String): Long =
+    mviews.getOrElse(name, throw new IllegalArgumentException(
+      s"materialized view not found: $name"))._2
+
+  /** Point readers at a freshly written data version (REFRESH). */
+  def setMviewVersion(name: String, version: Long): Unit = {
+    val (sql, _) = mviews.getOrElse(name, throw new IllegalArgumentException(
+      s"materialized view not found: $name"))
+    mviews(name) = (sql, version)
+    save()
+  }
+
   def dropView(name: String, ifExists: Boolean = false): Unit = {
-    if (views.remove(name).isEmpty && !ifExists)
+    val wasView = views.remove(name).isDefined
+    val wasMview = mviews.remove(name).isDefined
+    if (!wasView && !wasMview && !ifExists)
       throw new IllegalArgumentException(s"view not found: $name")
+    if (wasMview) { // materialized data goes with the definition
+      val p = new Path(s"$baseDir/matviews/$name")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     save()
   }
 
@@ -217,6 +281,30 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   }
 
   def indexNames: Seq[String] = indexes.keys.toSeq
+
+  // -------------------------------------------------------- triggers
+
+  /** CREATE TRIGGER records (timing, event, table, body) so reference
+    * DDL scripts run; firing semantics are deferred (triggers.rs is
+    * Rust-internal in the reference — no SQL-surface parity needed). */
+  def createTrigger(name: String, timing: String, event: String,
+      table: String, body: String): Unit = {
+    if (triggers.contains(name))
+      throw new IllegalArgumentException(s"trigger already exists: $name")
+    require(table)
+    triggers(name) = (timing.toUpperCase, event.toUpperCase, table, body)
+    save()
+  }
+
+  def dropTrigger(name: String, ifExists: Boolean = false): Unit = {
+    if (triggers.remove(name).isEmpty && !ifExists)
+      throw new IllegalArgumentException(s"trigger not found: $name")
+    save()
+  }
+
+  /** All triggers: (name, timing, event, table, body). */
+  def triggerList: Seq[(String, String, String, String, String)] =
+    triggers.iterator.map { case (n, (ti, ev, ta, b)) => (n, ti, ev, ta, b) }.toSeq
 
   // ----------------------------------------------------- persistence
 
@@ -234,13 +322,31 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       sb.append(s"fk\t${enc(name)}\t${enc(c)}\t${enc(rt)}\t${enc(rc)}\n")
     for ((name, sql) <- views)
       sb.append(s"view\t${enc(name)}\t${enc(sql)}\n")
+    for ((name, (sql, ver)) <- mviews)
+      sb.append(s"mview\t${enc(name)}\t${enc(sql)}\t$ver\n")
     for ((idx, (t, c)) <- indexes)
       sb.append(s"index\t${enc(idx)}\t${enc(t)}\t${enc(c)}\n")
-    val out = fs.create(metaPath, true)
+    for ((id, b) <- streamBatches)
+      sb.append(s"stream\t${enc(id)}\t$b\n")
+    for ((name, (ti, ev, ta, body)) <- triggers)
+      sb.append(s"trigger\t${enc(name)}\t${enc(ti)}\t${enc(ev)}\t${enc(ta)}\t${enc(body)}\n")
+    // crash-safe descriptor replacement: write the whole file to a tmp
+    // path, then swap. A crash mid-create leaves the old meta intact; a
+    // crash between delete and rename leaves only the tmp, which load()
+    // recovers. fs.create(path, true) truncate-then-write has no such
+    // guarantee — a crash mid-write corrupts the only copy.
+    val out = fs.create(metaTmpPath, true)
     try out.write(sb.toString.getBytes(UTF_8)) finally out.close()
+    if (fs.exists(metaPath)) fs.delete(metaPath, false)
+    if (!fs.rename(metaTmpPath, metaPath))
+      throw new java.io.IOException(s"catalog meta swap failed: $metaPath")
   }
 
   private def load(): Unit = {
+    // recover a save() that crashed between delete and rename: the tmp
+    // file is the newest complete descriptor
+    if (!fs.exists(metaPath) && fs.exists(metaTmpPath))
+      fs.rename(metaTmpPath, metaPath)
     if (!fs.exists(metaPath)) return
     val in = fs.open(metaPath)
     val text =
@@ -258,7 +364,11 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       case Array("fk", n, c, rt, rc) =>
         fks(dec(n)) = fks.getOrElse(dec(n), Nil) :+ ((dec(c), dec(rt), dec(rc)))
       case Array("view", n, sql) => views(dec(n)) = dec(sql)
+      case Array("mview", n, sql, ver) => mviews(dec(n)) = (dec(sql), ver.toLong)
       case Array("index", i, t, c) => indexes(dec(i)) = (dec(t), dec(c))
+      case Array("stream", id, b) => streamBatches(dec(id)) = b.toLong
+      case Array("trigger", n, ti, ev, ta, body) =>
+        triggers(dec(n)) = (dec(ti), dec(ev), dec(ta), dec(body))
       case other =>
         throw new IllegalStateException(s"corrupt catalog line: ${other.mkString("\t")}")
     }

@@ -47,22 +47,48 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
 
   val catalog = new TableCatalog(spark, baseDir)
 
-  // sweep staging leftovers from a crashed or failed COMMIT: publish
-  // renames files OUT of staging, so anything still under
-  // .txn-staging-* was never published and will never be — without a
-  // sweep, repeated failures would accumulate parquet copies forever.
-  // Only dirs idle > 1h are swept: while one writer per store is the
-  // contract, a second engine booting during another's in-flight
-  // COMMIT must not delete its live staging
+  /** Identity for the base-dir write lock (BaseDirLock). */
+  private val engineId = java.util.UUID.randomUUID().toString
+  private var writeLockHeld = false
+
+  /** Take the base-dir write lock before the first state-changing
+    * operation — a second live engine writing the same base dir would
+    * duplicate sequences (the reference's process write lock,
+    * index.rs:22-26, guards the same hazard). Read-only engines never
+    * lock, so concurrent readers stay free. */
+  private def ensureWriteLock(): Unit =
+    if (!writeLockHeld) {
+      BaseDirLock.acquire(spark, baseDir, engineId)
+      writeLockHeld = true
+    }
+
+  /** Release the base-dir write lock. Call when done with an engine
+    * whose base dir another engine should take over. Idempotent; the
+    * engine object must not be used for writes afterwards without
+    * re-acquiring (which happens automatically on the next write). */
+  def close(): Unit =
+    if (writeLockHeld) {
+      BaseDirLock.release(spark, baseDir, engineId)
+      writeLockHeld = false
+    }
+
+  // Recovery sweep over COMMIT staging dirs. A staging dir WITH a
+  // `manifest` file passed its commit point — the crash hit mid-publish,
+  // so roll it forward (catalog counters + file renames, both
+  // idempotent). A dir WITHOUT one never committed and never will —
+  // discard it, or repeated failures would accumulate parquet copies
+  // forever. Skipped entirely while another LIVE engine holds the
+  // write lock: its in-flight staging must not be touched.
   locally {
     val base = new Path(baseDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
-    if (fs.exists(base))
+    if (fs.exists(base) && !BaseDirLock.heldByLiveOther(spark, baseDir, engineId))
       for (st <- fs.listStatus(base)
-          if st.getPath.getName.startsWith(".txn-staging-")
-            && st.getModificationTime < cutoff)
-        scala.util.Try(fs.delete(st.getPath, true))
+          if st.getPath.getName.startsWith(".txn-staging-")) {
+        if (fs.exists(new Path(st.getPath, "manifest")))
+          completePublish(st.getPath)
+        else scala.util.Try(fs.delete(st.getPath, true))
+      }
   }
 
   /** PK-uniqueness enforcement on INSERT, as in the reference
@@ -133,68 +159,147 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       txn = None
       summary("rollback", 0L, 0L) // PG: COMMIT of aborted = ROLLBACK
     case Some(tx) =>
+      ensureWriteLock()
       // per-table shift for concurrent direct appends (streaming
       // ingest) that advanced the log past this txn's provisional
       // sequences; 0 when nothing interleaved
       val offsets = tx.baseSeqs.map { case (tbl, base) =>
         tbl -> (catalog.lastSeq(tbl) - base)
       }
-      // two-phase flush: ALL batch parquet lands in a staging dir
-      // first (invisible to readers — any failure here aborts with the
-      // log untouched and the transaction intact for ROLLBACK), then
-      // publishes into the logs. Each batch is staged as ONE file
-      // (coalesce(1) — transaction batches are statement-sized; bulk
-      // loads belong on the direct path) so its publish is a single
-      // atomic rename, and the sequence counter commits BEFORE the
-      // rename: a crash between the two leaves a harmless sequence
-      // hole, never a duplicate — holes waste numbers, duplicates
-      // corrupt state collapse.
-      val stagingRoot = new Path(s"$baseDir/.txn-staging-${System.nanoTime()}")
-      val fs = stagingRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val staged =
-        try {
-          tx.pending.zipWithIndex.map { case ((table, ev, lastSeq), i) =>
-            val dir = new Path(stagingRoot, s"batch-$i")
-            shiftSequences(ev, offsets.getOrElse(table, 0L))
-              .coalesce(1).write.parquet(dir.toString)
-            val file = fs.listStatus(dir)
-              .map(_.getPath).filter(_.getName.startsWith("part-")) match {
-              case Array(one) => one
-              case parts => throw new IllegalStateException(
-                s"expected 1 staged part file, found ${parts.length}")
-            }
-            (table, file, lastSeq + offsets.getOrElse(table, 0L))
-          }
-        } catch {
-          case e: Throwable =>
-            scala.util.Try(fs.delete(stagingRoot, true))
-            throw new IllegalStateException(
-              s"COMMIT aborted while staging (log untouched, transaction still open): ${e.getMessage}", e)
-        }
+      val batches = tx.pending.toSeq.map { case (table, ev, _) =>
+        (table, shiftSequences(ev, offsets.getOrElse(table, 0L)))
+      }
+      val finalSeqs = tx.pending.groupBy(_._1).map { case (table, bs) =>
+        table -> (bs.map(_._3).max + offsets.getOrElse(table, 0L))
+      }.toMap
+      val n = tx.pending.length.toLong
+      // all-or-nothing: every batch stages first (invisible to readers;
+      // a failure there aborts with the log untouched and the
+      // transaction intact for ROLLBACK), then ONE manifest rename is
+      // the commit point — a crash on either side of it leaves either
+      // nothing or (after the reopen sweep) everything visible
       try {
-        for ((table, file, lastSeq) <- staged) {
-          val target = new Path(logDir(table))
-          if (!fs.exists(target)) fs.mkdirs(target)
-          catalog.commitSeq(table, lastSeq) // counter first: hole > duplicate
-          // parquet part files carry job UUIDs, so names never collide
-          if (!fs.rename(file, new Path(target, file.getName)))
-            throw new java.io.IOException(s"rename failed: $file")
-        }
-        val n = tx.pending.length.toLong
-        txn = None // cleared only after a complete publish
-        // best-effort cleanup — a failed delete must not turn a
-        // successful commit into an error
-        scala.util.Try(fs.delete(stagingRoot, true))
+        publishAtomic(batches, finalSeqs, None)
+        txn = None
         summary("commit", n, 0L)
       } catch {
-        case e: Throwable =>
-          // published batches are durable and counter-consistent; the
-          // rest stays in staging — surface it instead of masking
+        case e: CommitIncompleteException =>
+          // past the commit point: durable, completes at next engine
+          // open — clear the txn (it IS committed) and surface the
+          // incomplete in-process visibility instead of masking it
           txn = None
+          throw e
+        case e: Throwable =>
           throw new IllegalStateException(
-            s"COMMIT failed mid-publish; published statements are kept, " +
-              s"unpublished batches remain under $stagingRoot: ${e.getMessage}", e)
+            s"COMMIT aborted while staging (log untouched, transaction still open): ${e.getMessage}", e)
       }
+  }
+
+  /** Thrown when a commit passed its manifest commit point but the
+    * publish into the logs did not finish (injected fault or I/O
+    * error). The data is durable: the next engine open on this base dir
+    * rolls the manifest forward. In-process reads may miss part of the
+    * batch until then — close() and reopen. */
+  final class CommitIncompleteException(msg: String, cause: Throwable)
+    extends IllegalStateException(msg, cause)
+
+  /** Test-only fault injection for the crash-atomicity specs: thrown
+    * exceptions simulate a crash just before the manifest rename (commit
+    * point) or before the i-th post-commit-point publish rename. */
+  private[graft] var testFailBeforeManifestRename: () => Unit = () => ()
+  private[graft] var testFailBeforePublishRename: Int => Unit = _ => ()
+
+  private def enc(s: String) =
+    java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+  private def dec(s: String) =
+    java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Atomically land event batches + the matching catalog updates.
+    *
+    * Protocol (the classic write-ahead manifest, same job the
+    * reference's WAL does for its transactions — wal.rs,
+    * tests/wal_crash_recovery_test.rs):
+    *   1. every batch writes its parquet under a fresh staging dir
+    *      (parallel, multi-file — no coalesce bottleneck);
+    *   2. a manifest listing every staged file, the per-table final
+    *      sequence counters, and any stream batch-id lands via ONE
+    *      atomic rename — this is the commit point;
+    *   3. the publish applies the catalog updates (counters before data:
+    *      a fault between the two leaves a harmless sequence hole, never
+    *      a duplicate) and renames the staged files into the logs.
+    * A failure before 2 deletes staging and rethrows — nothing
+    * happened. A failure after 2 throws CommitIncompleteException — the
+    * engine-open sweep replays step 3, which is idempotent (counters
+    * max-merge; a missing staged file means it already moved). */
+  private def publishAtomic(batches: Seq[(String, DataFrame)],
+      seqs: Map[String, Long], stream: Option[(String, Long)]): Unit = {
+    val stagingRoot = new Path(s"$baseDir/.txn-staging-${System.nanoTime()}")
+    val fs = stagingRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val lines = new StringBuilder
+      batches.zipWithIndex.foreach { case ((table, ev), i) =>
+        val dir = new Path(stagingRoot, s"batch-$i")
+        ev.write.parquet(dir.toString)
+        for (f <- fs.listStatus(dir) if f.getPath.getName.startsWith("part-"))
+          lines.append(s"file\tbatch-$i/${f.getPath.getName}\t${enc(table)}\n")
+      }
+      seqs.foreach { case (t, s) => lines.append(s"seq\t${enc(t)}\t$s\n") }
+      stream.foreach { case (id, b) => lines.append(s"stream\t${enc(id)}\t$b\n") }
+      val tmp = new Path(stagingRoot, "manifest.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(lines.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      testFailBeforeManifestRename()
+      if (!fs.rename(tmp, new Path(stagingRoot, "manifest")))
+        throw new java.io.IOException(s"manifest rename failed: $stagingRoot")
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(fs.delete(stagingRoot, true))
+        throw e
+    }
+    // ---- commit point passed ----
+    try completePublish(stagingRoot, hooked = true)
+    catch {
+      case e: Throwable =>
+        throw new CommitIncompleteException(
+          s"commit is durable but its publish did not finish; the next " +
+            s"engine open completes it (staging: $stagingRoot): ${e.getMessage}", e)
+    }
+  }
+
+  /** Step 3 of publishAtomic — also the recovery path the engine-open
+    * sweep replays for a manifest that crashed mid-publish. Idempotent:
+    * catalog updates max-merge, already-moved files are skipped. */
+  private def completePublish(stagingRoot: Path, hooked: Boolean = false): Unit = {
+    val fs = stagingRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(stagingRoot, "manifest"))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val files = Vector.newBuilder[(String, String)] // (relPath, table)
+    val seqs = Map.newBuilder[String, Long]
+    var stream: Option[(String, Long)] = None
+    for (line <- text.split("\n") if line.nonEmpty) line.split("\t") match {
+      case Array("file", rel, table) => files += ((rel, dec(table)))
+      case Array("seq", table, s) => seqs += (dec(table) -> s.toLong)
+      case Array("stream", id, b) => stream = Some((dec(id), b.toLong))
+      case other =>
+        throw new IllegalStateException(s"corrupt manifest line: ${other.mkString("\t")}")
+    }
+    catalog.commitPublished(seqs.result(), stream) // counters first: hole > duplicate
+    for (((rel, table), i) <- files.result().zipWithIndex
+        if catalog.get(table).isDefined) {
+      if (hooked) testFailBeforePublishRename(i)
+      val src = new Path(stagingRoot, rel)
+      if (fs.exists(src)) { // absent = already published by a prior pass
+        val target = new Path(logDir(table))
+        if (!fs.exists(target)) fs.mkdirs(target)
+        // parquet part files carry job UUIDs, so names never collide
+        if (!fs.rename(src, new Path(target, src.getName)))
+          throw new java.io.IOException(s"rename failed: $src")
+      }
+    }
+    // best-effort: a leftover dir with its manifest replays as a no-op
+    scala.util.Try(fs.delete(stagingRoot, true))
   }
 
   private def rollbackTxn(toSavepoint: Option[String]): DataFrame = {
@@ -254,8 +359,22 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     stmts.map(sql).last
   }
 
+  /** Statement kinds that change durable state — these take the
+    * base-dir write lock before running. COMMIT mutates only when the
+    * transaction has buffered writes to publish. */
+  private def isMutating(st: Statement): Boolean = st match {
+    case _: Statement.Select | _: Statement.Explain | Statement.ShowTables |
+        _: Statement.Describe | _: Statement.Analyze | Statement.Begin |
+        _: Statement.Rollback | _: Statement.Savepoint |
+        _: Statement.ReleaseSavepoint => false
+    case Statement.Commit => txn.exists(t => t.pending.nonEmpty && !t.aborted)
+    case _ => true
+  }
+
   def sql(statement: String): DataFrame = writeLock.synchronized {
-    StatementRouter.parse(statement) match {
+    val parsed = StatementRouter.parse(statement)
+    if (isMutating(parsed)) ensureWriteLock()
+    parsed match {
     case Statement.Begin => begin()
     case Statement.Commit => commitTxn()
     case Statement.Rollback(sp) => rollbackTxn(sp)
@@ -328,6 +447,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             s"cannot drop $name: referenced by ${children.mkString(", ")}")
       }
       catalog.dropTable(name, ifEx)
+      lastSnapSeqs.remove(name) // a recreated table starts fresh
       // the select path registers session temp views lazily; drop any
       // stale one so the name stops resolving immediately
       spark.catalog.dropTempView(name)
@@ -570,9 +690,12 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * Returns the last assigned sequence. `direct = true` (streaming
     * micro-batches) always writes storage, bypassing any open
     * transaction's buffer — the stream's rows must not be captured by
-    * (and dropped with) a user transaction. */
+    * (and dropped with) a user transaction. `streamMeta` rides the
+    * publish manifest so a micro-batch's id commits atomically with its
+    * data (exactly-once replay skipping). */
   private def append(t: TableDef, rowsLogical: DataFrame, eventType: String,
-      direct: Boolean = false): (Long, Long) = {
+      direct: Boolean = false,
+      streamMeta: Option[(String, Long)] = None): (Long, Long) = {
     if (t.attached.isDefined)
       throw new UnsupportedOperationException(
         s"table ${t.name} is an attached read-only event log")
@@ -601,12 +724,42 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           tx.pending += ((t.name, ev, base + n))
           tx.seqs(t.name) = base + n
         case None =>
-          ev.write.mode("append").parquet(logDir(t.name))
-          catalog.commitSeq(t.name, base + n)
+          // stage → manifest → publish, same all-or-nothing protocol as
+          // COMMIT: a crash mid-statement either leaves the log
+          // untouched or (via the reopen sweep) lands the whole batch +
+          // counter together — never orphan events past the counter,
+          // which a plain append-then-commitSeq would duplicate on
+          // the next statement's sequence assignment
+          publishAtomic(Seq((t.name, ev)), Map(t.name -> (base + n)), streamMeta)
+          maybeAutoSnapshot(t.name, base + n)
       }
     }
     (n, base + n)
   }
+
+  // ---------------------------------------------------- auto-snapshot
+
+  /** Auto-checkpoint policy: after this many events append to a table
+    * since its newest snapshot, SNAPSHOT it automatically, bounding
+    * state-collapse replay cost as logs grow (the reference compacts on
+    * the same trigger shape — engine.rs:739-845). 0 disables. The
+    * threshold is deliberately high: snapshots cost a full collapse
+    * job, so they should amortize over many statements. */
+  var autoSnapshotEvery: Long = 100000L
+
+  // newest snapshot sequence per table, lazily primed from storage —
+  // saves a filesystem listing per statement
+  private val lastSnapSeqs = scala.collection.mutable.HashMap.empty[String, Long]
+
+  private def maybeAutoSnapshot(table: String, lastSeq: Long): Unit =
+    if (autoSnapshotEvery > 0 && txn.isEmpty) {
+      val snapAt = lastSnapSeqs.getOrElseUpdate(table,
+        Snapshots.nearest(spark, catalog.snapshotPath(table), None).getOrElse(0L))
+      if (lastSeq - snapAt >= autoSnapshotEvery) {
+        snapshot(table)
+        lastSnapSeqs(table) = catalog.lastSeq(table)
+      }
+    }
 
   private def summary(op: String, n: Long, lastSeq: Long): DataFrame =
     spark.range(1).select(lit(op).as("op"), lit(n).as("n_affected"),
@@ -797,6 +950,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     val t = catalog.require(table)
     val seq = atSeq.getOrElse(catalog.lastSeq(t.name))
     Snapshots.write(events(t), catalog.snapshotPath(table), seq)
+    lastSnapSeqs(table) = math.max(lastSnapSeqs.getOrElse(table, 0L), seq)
     summary("snapshot", 0L, seq)
   }
 
@@ -823,12 +977,26 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * transaction's buffer (a ROLLBACK must never drop streamed rows —
     * the txn's provisional sequences re-shift at COMMIT instead). */
   private[graft] def ingestStream(table: String, batch: DataFrame): Unit =
+    ingestStream(table, batch, None, -1L)
+
+  /** Exactly-once variant: `streamId` (the stream's checkpoint
+    * location) + `batchId` identify a micro-batch. The id commits in
+    * the SAME manifest as the batch's events, so a restart that replays
+    * a committed batch (Spark only guarantees at-least-once delivery to
+    * foreachBatch) is detected here and skipped — the Delta-commit
+    * idempotent-sink pattern. */
+  private[graft] def ingestStream(table: String, batch: DataFrame,
+      streamId: Option[String], batchId: Long): Unit =
     writeLock.synchronized {
+      ensureWriteLock()
+      val committed = streamId.flatMap(catalog.lastStreamBatch)
+      if (streamId.isDefined && committed.exists(_ >= batchId)) return
       val t = catalog.require(table)
       val full = batch.select(t.columns.map(c =>
         if (batch.columns.contains(c.logical)) col(c.logical).cast(c.dataType).as(c.logical)
         else lit(null).cast(c.dataType).as(c.logical)): _*)
-      append(t, full, EventLog.INSERT, direct = true)
+      append(t, full, EventLog.INSERT, direct = true,
+        streamMeta = streamId.map(_ -> batchId))
       ()
     }
 

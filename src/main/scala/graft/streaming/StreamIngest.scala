@@ -19,11 +19,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * the engine's distributed append (zipWithIndex + parquet write), so
   * executors carry the rows. Sequence assignment stays single-writer
   * per table, the same discipline the reference enforces with its
-  * process write lock (index.rs:22-26). Delivery is at-least-once on
-  * restart (a replayed micro-batch re-appends); exactly-once would
-  * record the committed batchId per epoch in the catalog, the
-  * Delta-commit pattern — documented, not implemented, because the
-  * reference itself has no streaming delivery contract to match.
+  * process write lock (index.rs:22-26).
+  *
+  * Delivery is exactly-once across restarts: Spark's foreachBatch is
+  * at-least-once (a micro-batch whose epoch wasn't checkpointed replays
+  * after a crash), so the engine commits each batch's id in the SAME
+  * atomic manifest as its events (keyed by the checkpoint location) and
+  * skips any batch id at or below the committed one — the Delta-commit
+  * idempotent-sink pattern.
   */
 object StreamIngest {
 
@@ -41,8 +44,8 @@ object StreamIngest {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        engine.ingestStream(table, batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        engine.ingestStream(table, batch, Some(checkpointDir), batchId)
       }
       .start()
   }

@@ -132,6 +132,7 @@ class QueryEngineSpec extends AnyFunSuite {
     val e = seeded()
     e.sql("UPDATE t SET name = 'z' WHERE id = 3")
     val dir = e.baseDir
+    e.close() // release the base-dir write lock for the successor
     val e2 = new QueryEngine(spark, dir)
     assert(rows(e2, "SELECT name FROM t WHERE id = 3") === Seq(Row("z")))
     // sequence counter restored: next insert continues, no collision
@@ -208,6 +209,7 @@ class QueryEngineSpec extends AnyFunSuite {
     e.sql("ALTER TABLE t ADD COLUMN tag STRING")
     assert(rows(e, "SELECT tag FROM t WHERE id = 4") === Seq(Row(null)))
     // the column counter persists across engine restart
+    e.close()
     val e2 = new QueryEngine(spark, e.baseDir)
     e2.sql("ALTER TABLE t DROP COLUMN tag")
     e2.sql("ALTER TABLE t ADD COLUMN tag STRING")
@@ -353,6 +355,7 @@ class QueryEngineSpec extends AnyFunSuite {
     }
     e.sql("INSERT INTO task VALUES (1, 10)")
     // FK registry survives engine restart
+    e.close()
     val e2 = new QueryEngine(spark, e.baseDir)
     intercept[IllegalArgumentException] {
       e2.sql("INSERT INTO task VALUES (2, 999)")
