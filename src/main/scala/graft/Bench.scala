@@ -37,7 +37,16 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // the full per-query record also lands in a file: stdout tails can
+    // truncate a long line, and a truncated record silently loses the
+    // first queries' timings
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json"))
+    java.nio.file.Files.writeString(out, line + "\n")
+    System.err.println(s"[bench] full per-query JSON written to ${out.toAbsolutePath}")
     spark.stop()
   }
 }

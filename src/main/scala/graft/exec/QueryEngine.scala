@@ -364,8 +364,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * transaction has buffered writes to publish. */
   private def isMutating(st: Statement): Boolean = st match {
     case _: Statement.Select | _: Statement.Explain | Statement.ShowTables |
-        _: Statement.Describe | _: Statement.Analyze | Statement.Begin |
-        _: Statement.Rollback | _: Statement.Savepoint |
+        Statement.ShowTriggers | _: Statement.Describe | _: Statement.Analyze |
+        Statement.Begin | _: Statement.Rollback | _: Statement.Savepoint |
         _: Statement.ReleaseSavepoint => false
     case Statement.Commit => txn.exists(t => t.pending.nonEmpty && !t.aborted)
     case _ => true
@@ -427,9 +427,56 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       // indexes (SURVEY §1.4)
       catalog.createIndex(idx, table, colName)
       summary("indexed", 0L, catalog.lastSeq(table))
-    case Statement.CreateView(name, viewSql) =>
-      catalog.createView(name, viewSql)
-      summary("view_created", 0L, 0L)
+    case Statement.CreateView(name, viewSql, materialized) =>
+      if (!materialized) {
+        catalog.createView(name, viewSql)
+        summary("view_created", 0L, 0L)
+      } else {
+        // materializes current state, which inside a txn would include
+        // (and persist) uncommitted buffered writes
+        if (txn.isDefined)
+          throw new IllegalStateException(
+            "CREATE MATERIALIZED VIEW cannot run inside a transaction")
+        if (catalog.get(name).isDefined || catalog.getView(name).isDefined)
+          throw new IllegalArgumentException(s"table or view already exists: $name")
+        // data lands before the registration: a registered matview is
+        // always readable (crash between the two leaves only an
+        // unreferenced data dir, cleaned by the next CREATE or DROP)
+        select(viewSql).write.mode("overwrite")
+          .parquet(catalog.mviewDataPath(name, 0L))
+        catalog.createMaterializedView(name, viewSql)
+        summary("materialized_view_created", 0L, 0L)
+      }
+    case Statement.RefreshMatView(name) =>
+      if (txn.isDefined)
+        throw new IllegalStateException(
+          "REFRESH MATERIALIZED VIEW cannot run inside a transaction")
+      if (!catalog.isMaterialized(name))
+        throw new IllegalArgumentException(s"materialized view not found: $name")
+      // re-run the stored SQL into the NEXT version dir, then swap the
+      // catalog pointer — readers see the old version until the new one
+      // is complete (views.rs:40-123 refresh; the versioned-dir swap is
+      // how an object store serves this without read-write races)
+      val prev = catalog.mviewVersion(name)
+      select(catalog.getView(name).get).write.mode("overwrite")
+        .parquet(catalog.mviewDataPath(name, prev + 1))
+      catalog.setMviewVersion(name, prev + 1)
+      locally { // old version is unreachable now; reclaim best-effort
+        val p = new Path(catalog.mviewDataPath(name, prev))
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        scala.util.Try(fs.delete(p, true))
+      }
+      summary("refreshed", 0L, 0L)
+    case Statement.CreateTrigger(name, timing, event, table, body) =>
+      catalog.createTrigger(name, timing, event, table, body)
+      summary("trigger_created", 0L, 0L)
+    case Statement.DropTrigger(name, ifEx) =>
+      catalog.dropTrigger(name, ifEx)
+      summary("trigger_dropped", 0L, 0L)
+    case Statement.ShowTriggers =>
+      import spark.implicits._
+      catalog.triggerList
+        .toDF("name", "timing", "event", "table", "body")
     case Statement.DropTable(name, ifEx) =>
       // dropping a table with buffered writes would orphan them, and the
       // storage delete cannot be rolled back — keep DROP out of txns
@@ -478,7 +525,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       if (txn.isDefined)
         throw new IllegalStateException("SNAPSHOT cannot run inside a transaction")
       snapshot(table)
-    case Statement.Explain(inner, analyze) => explain(inner, analyze)
+    case Statement.Explain(inner, analyze, format) => explain(inner, analyze, format)
     case Statement.Analyze(table) => analyze(table)
     case Statement.ShowTables => showTables()
     case Statement.Describe(table) => describe(table)
@@ -502,8 +549,11 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     val directViews = catalog.viewNames
       .filter(referencesWord(masked, _))
       .map { v =>
-        val (_, vSt) = TemporalPre.extract(catalog.getView(v).get)
-        v -> (if (vSt == SystemTime.Current) st else vSt)
+        if (catalog.isMaterialized(v)) v -> SystemTime.Current
+        else {
+          val (_, vSt) = TemporalPre.extract(catalog.getView(v).get)
+          v -> (if (vSt == SystemTime.Current) st else vSt)
+        }
       }
     // fixpoint over view registration: a pinned view's subtree can
     // rebind a shared sub-view away from the spec the statement (or an
@@ -554,6 +604,16 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       throw new IllegalStateException("view expansion depth > 10 (cycle?)")
     val masked = maskNonCode(text)
     for (v <- catalog.viewNames if referencesWord(masked, v)) {
+      if (catalog.isMaterialized(v)) {
+        // a materialized view serves its stored data, frozen at its
+        // last REFRESH — no SQL expansion, and the statement's temporal
+        // spec does not rebind it (it has no live base tables to rebind)
+        if (!bound.contains(v)) {
+          bound(v) = SystemTime.Current
+          spark.read.parquet(catalog.mviewDataPath(v, catalog.mviewVersion(v)))
+            .createOrReplaceTempView(v)
+        }
+      } else {
       val (vClean, vSt) = TemporalPre.extract(catalog.getView(v).get)
       val effSt = vSt match {
         case SystemTime.Current => st
@@ -570,6 +630,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         for (t <- catalog.tableNames if referencesWord(vMasked, t))
           resolveCached(t, effSt, cache).createOrReplaceTempView(t)
         spark.sql(vClean).createOrReplaceTempView(v)
+      }
       }
     }
   }
@@ -1007,9 +1068,17 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * plan, PushedFilters and all). EXPLAIN ANALYZE additionally
     * executes the query and reports wall time and row count, like the
     * reference's timed variant (explain.rs, sql_bridge.rs:580-670). */
-  def explain(inner: String, analyze: Boolean = false): DataFrame = {
+  def explain(inner: String, analyze: Boolean = false,
+      format: String = "text"): DataFrame = {
     val df = select(inner)
-    val text = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // FORMAT JSON serializes the physical plan tree (every operator
+    // node with its fields) — the reference's structured explain
+    // (explain.rs, sql_bridge.rs:580-670); TEXT keeps the formatted
+    // human-readable plan with PushedFilters et al.
+    val text = format match {
+      case "json" => df.queryExecution.executedPlan.toJSON
+      case _ => df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    }
     if (analyze) {
       // execute the PLAN BEING SHOWN: df.count() would let Catalyst
       // prune projections/sorts and time a cheaper query than the one
@@ -1044,7 +1113,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   def showTables(): DataFrame = {
     import spark.implicits._
     catalog.tableNames.map(n => (n, "table")).toDF("name", "kind")
-      .unionByName(catalog.viewNames.map(n => (n, "view")).toDF("name", "kind"))
+      .unionByName(catalog.viewNames.map(n =>
+        (n, if (catalog.isMaterialized(n)) "materialized view" else "view"))
+        .toDF("name", "kind"))
   }
 
   def describe(table: String): DataFrame = {

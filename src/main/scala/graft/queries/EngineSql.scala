@@ -243,6 +243,47 @@ object EngineSql {
             |ORDER BY n.nk""".stripMargin)
   }
 
+  /** Materialized view + REFRESH (views.rs:40-123): the matview serves
+    * its stored aggregation — frozen through base-table UPDATE/DELETE —
+    * until REFRESH MATERIALIZED VIEW recomputes it. One result carries
+    * both phases; the oracle recomputes each algebraically, so either a
+    * stale read showing through or a refresh serving old data diverges
+    * the hash. */
+  val qMatView = Q(
+    "q_matview",
+    """WITH post AS (
+      |  SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal,
+      |         CASE WHEN c_acctbal > 5000 THEN 'vip' ELSE 'new' END AS status
+      |  FROM customer
+      |  WHERE c_custkey < 500 AND c_custkey % 10 <> 0)
+      |SELECT 'stale' AS phase, 'new' AS status, COUNT(*) AS n,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+      |FROM customer WHERE c_custkey < 500
+      |UNION ALL
+      |SELECT 'fresh' AS phase, status, COUNT(*) AS n,
+      |       CAST(SUM(CAST(bal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+      |FROM post GROUP BY status
+      |ORDER BY phase, status""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.sql("CREATE TABLE acct (k BIGINT PRIMARY KEY, bal DOUBLE, status STRING)")
+    e.sql("""INSERT INTO acct
+            |SELECT c_custkey, c_acctbal, 'new' FROM customer
+            |WHERE c_custkey < 500""".stripMargin)
+    e.sql("""CREATE MATERIALIZED VIEW acct_stats AS
+            |SELECT status, COUNT(*) AS n,
+            |       CAST(SUM(CAST(bal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+            |FROM acct GROUP BY status""".stripMargin)
+    e.sql("UPDATE acct SET status = 'vip' WHERE bal > 5000")
+    e.sql("DELETE FROM acct WHERE k % 10 = 0")
+    // pinned before REFRESH deletes the superseded data version
+    val stale = e.sql("SELECT 'stale' AS phase, status, n, total_bal FROM acct_stats")
+      .localCheckpoint()
+    e.sql("REFRESH MATERIALIZED VIEW acct_stats")
+    val fresh = e.sql("SELECT 'fresh' AS phase, status, n, total_bal FROM acct_stats")
+    stale.unionByName(fresh).orderBy("phase", "status")
+  }
+
   /** Streaming-ingest append path (micro-batch → sequenced INSERT
     * events): the same ingestStream call foreachBatch makes, then a
     * temporal read over the streamed log. Oracle = the source rows. */
@@ -300,5 +341,5 @@ object EngineSql {
   val all: Seq[Q] = Seq(
     qSqlAsOfSeq, qSqlAsOfTs, qSqlSystemAll, qSqlBetween, qSqlSnapshot,
     qLifecycleCurrent, qLifecycleAsOf, qTxnLifecycle, qFkLifecycle,
-    qStreamIngest, qSqlPassthrough, qSqlView)
+    qStreamIngest, qSqlPassthrough, qSqlView, qMatView)
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, FullText, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -354,6 +354,39 @@ object Pipeline {
       .orderBy("source")
   }
 
+  // ------------------------------------------------ full-text search
+
+  /** Inverted-index match-ALL search (fulltext.rs:1-968): documents
+    * containing every query term, ranked by total tf. 'dup' marks the
+    * synthetic near-duplicate docs, so the conjunction is selective. */
+  val qFulltextAll = Q(
+    "q_fulltext_all",
+    """WITH p AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |hits AS (
+      |  SELECT doc_id, COUNT(*) AS score, COUNT(DISTINCT term) AS nt
+      |  FROM p WHERE term IN ('dup', 'vector')
+      |  GROUP BY doc_id)
+      |SELECT doc_id, score FROM hits WHERE nt = 2
+      |ORDER BY score DESC, doc_id""".stripMargin) { (s, dir) =>
+    FullText.searchAll(t(s, dir, "documents"), "doc_id", "text",
+      Seq("dup", "vector"))
+  }
+
+  /** Match-ANY search; one query term ('checkpoint') has no postings at
+    * all — the disjunction must still rank the rest correctly. */
+  val qFulltextAny = Q(
+    "q_fulltext_any",
+    """WITH p AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |SELECT doc_id, COUNT(*) AS score
+      |FROM p WHERE term IN ('dup', 'checkpoint')
+      |GROUP BY doc_id
+      |ORDER BY score DESC, doc_id""".stripMargin) { (s, dir) =>
+    FullText.searchAny(t(s, dir, "documents"), "doc_id", "text",
+      Seq("dup", "checkpoint"))
+  }
+
   // ------------------------------------------------------ multimodal
 
   /** Binary payload + stub-decoded metadata, aggregated per source. */
@@ -488,6 +521,7 @@ object Pipeline {
     qSimHash, qSimHashSuperset, qEmbedNearDup, qEmbedNearDupLsh,
     qAnnCosine, qAnnLsh, qAnnIvfFull, qAnnIvf,
     qTextQuality, qLangId, qTokenStats, qFingerprint,
+    qFulltextAll, qFulltextAny,
     qMultimodalMeta, qMmFeatures, qFrameSample,
     qEventsHourly, qEventsSessions, qEventsJson)
 }

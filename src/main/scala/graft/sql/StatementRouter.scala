@@ -18,7 +18,18 @@ object Statement {
   final case class CreateTable(name: String, cols: Seq[(String, String)], pk: String,
       fks: Seq[FkDef] = Nil) extends Statement
   final case class CreateIndex(index: String, table: String, column: String) extends Statement
-  final case class CreateView(name: String, sql: String) extends Statement
+  /** CREATE [MATERIALIZED] VIEW (views.rs:40-123 — is_materialized). */
+  final case class CreateView(name: String, sql: String,
+      materialized: Boolean = false) extends Statement
+  /** REFRESH MATERIALIZED VIEW — re-runs the stored SQL and swaps the
+    * served data version (views.rs refresh policy). */
+  final case class RefreshMatView(name: String) extends Statement
+  /** CREATE TRIGGER — recorded in the catalog; firing is deferred
+    * (triggers.rs:1-931 is Rust-internal in the reference). */
+  final case class CreateTrigger(name: String, timing: String, event: String,
+      table: String, body: String) extends Statement
+  final case class DropTrigger(name: String, ifExists: Boolean) extends Statement
+  case object ShowTriggers extends Statement
   final case class DropTable(name: String, ifExists: Boolean) extends Statement
   final case class DropView(name: String, ifExists: Boolean) extends Statement
   final case class Truncate(table: String) extends Statement
@@ -31,7 +42,9 @@ object Statement {
   final case class Delete(table: String, where: Option[String]) extends Statement
   /** VACUUM t / CHECKPOINT TABLE t / SNAPSHOT t (sql_bridge.rs:278-302). */
   final case class Snapshot(table: String) extends Statement
-  final case class Explain(inner: String, analyze: Boolean) extends Statement
+  /** format is "text" or "json" (explain.rs emits both shapes). */
+  final case class Explain(inner: String, analyze: Boolean,
+      format: String = "text") extends Statement
   final case class Analyze(table: String) extends Statement
   case object ShowTables extends Statement
   final case class Describe(table: String) extends Statement
@@ -62,7 +75,13 @@ object StatementRouter {
   private val CreateIndexR =
     """(?is)^CREATE\s+(?:UNIQUE\s+)?INDEX\s+(\w+)\s+ON\s+([\w.]+)\s*\(\s*(\w+)\s*\)\s*$""".r
   private val CreateViewR =
-    """(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?(?:MATERIALIZED\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)$""".r
+    """(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?(MATERIALIZED\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)$""".r
+  private val RefreshMatViewR =
+    """(?is)^REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*$""".r
+  private val CreateTriggerR =
+    """(?is)^CREATE\s+TRIGGER\s+(\w+)\s+(BEFORE|AFTER)\s+(INSERT|UPDATE|DELETE)\s+ON\s+([\w.]+)\s*(.*)$""".r
+  private val DropTriggerR = """(?is)^DROP\s+TRIGGER\s+(IF\s+EXISTS\s+)?(\w+)\s*$""".r
+  private val ShowTriggersR = """(?is)^SHOW\s+TRIGGERS\s*$""".r
   private val DropTableR = """(?is)^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
   private val DropViewR = """(?is)^DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
   private val TruncateR = """(?is)^TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*$""".r
@@ -80,7 +99,8 @@ object StatementRouter {
     """(?is)^DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+))?\s*$""".r
   private val SnapshotR =
     """(?is)^(?:VACUUM|SNAPSHOT|CHECKPOINT\s+TABLE)\s+([\w.]+)\s*$""".r
-  private val ExplainR = """(?is)^EXPLAIN\s+(ANALYZE\s+)?(.+)$""".r
+  private val ExplainR =
+    """(?is)^EXPLAIN\s+(ANALYZE\s+)?(?:FORMAT\s+(JSON|TEXT)\s+)?(.+)$""".r
   private val AnalyzeR = """(?is)^ANALYZE\s+(?:TABLE\s+)?([\w.]+)\s*$""".r
   private val ShowTablesR = """(?is)^SHOW\s+TABLES\s*$""".r
   private val DescribeR = """(?is)^(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.]+)\s*$""".r
@@ -116,7 +136,12 @@ object StatementRouter {
         val (cols, pk, fks) = parseCreateBody(body)
         CreateTable(name, cols, pk, fks)
       case CreateIndexR(idx, table, colName) => CreateIndex(idx, table, colName)
-      case CreateViewR(name, sql) => CreateView(name, sql.trim)
+      case CreateViewR(mat, name, sql) => CreateView(name, sql.trim, mat != null)
+      case RefreshMatViewR(name) => RefreshMatView(name)
+      case CreateTriggerR(name, timing, event, table, body) =>
+        CreateTrigger(name, timing, event, table, body.trim)
+      case DropTriggerR(ifEx, name) => DropTrigger(name, ifEx != null)
+      case ShowTriggersR() => ShowTriggers
       case DropTableR(ifEx, name) => DropTable(name, ifEx != null)
       case DropViewR(ifEx, name) => DropView(name, ifEx != null)
       case TruncateR(name) => Truncate(name)
@@ -138,7 +163,9 @@ object StatementRouter {
       case DeleteR(table, where) => Delete(table, Option(where).map(_.trim))
       case SnapshotR(table) => Snapshot(table)
       case AnalyzeR(table) => Analyze(table)
-      case ExplainR(an, inner) => Explain(inner.trim, an != null)
+      case ExplainR(an, fmt, inner) =>
+        Explain(inner.trim, an != null,
+          if (fmt == null) "text" else fmt.toLowerCase)
       case ShowTablesR() => ShowTables
       case DescribeR(table) => Describe(table)
       case CopyR(table, path) => CopyFrom(table, path)

@@ -2,11 +2,14 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
 
 /** Per-user running total emitted by the stateful operator below. */
 final case class UserRunningCount(user_id: Long, n_events: Long)
+
+/** Input row shape for runningCounts (event time drives the state TTL). */
+final case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
 
 /** Streaming analytics over an event stream — the Structured Streaming
   * counterparts of the batch pipeline queries (Pipeline.qEventsHourly /
@@ -54,20 +57,46 @@ object StreamWindows {
         col("session_window.end").as("session_end"),
         col("n_events"), col("first_event"), col("last_event"))
 
-  /** Per-user running event count via `mapGroupsWithState` — custom
-    * keyed state beyond what windowed aggregation expresses (the
-    * mapGroupsWithState bullet of the engine's streaming surface).
-    * Emits the updated total for each user seen in a micro-batch. */
-  def runningCounts(events: DataFrame): Dataset[UserRunningCount] = {
+  /** Per-user running event count via `flatMapGroupsWithState` — custom
+    * keyed state beyond what windowed aggregation expresses. Emits the
+    * updated total for each user seen in a micro-batch.
+    *
+    * State is TTL-bounded: a user idle longer than `ttl` of EVENT time
+    * (watermark clock) has its counter evicted and emits nothing —
+    * without this, the operator holds one Long per user EVER SEEN,
+    * which at 100 TB of events is an unbounded state store. Event-time
+    * timeout (not processing-time) keeps eviction deterministic w.r.t.
+    * the data, consistent with the watermark semantics of the windowed
+    * operators above — and a processing-time timeout makes the
+    * micro-batch engine poll continuously even with no data. A user
+    * reappearing after eviction restarts from zero, the standard trade
+    * of a TTL'd running aggregate. */
+  def runningCounts(events: DataFrame, ttl: String = "1 hour",
+      watermark: String = "1 hour"): Dataset[UserRunningCount] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col("user_id").cast("long").as[Long])
-      .groupByKey(identity)
-      .mapGroupsWithState[Long, UserRunningCount](GroupStateTimeout.NoTimeout) {
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark) // after the cast: a projection of a
+      // watermarked column would shed the watermark tag the stateful
+      // operator requires
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, UserRunningCount](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (user, batchRows, state) =>
-          val total = state.getOption.getOrElse(0L) + batchRows.size
-          state.update(total)
-          UserRunningCount(user, total)
+          if (state.hasTimedOut) {
+            state.remove() // evict; nothing to emit for an idle user
+            Iterator.empty
+          } else {
+            val rows = batchRows.toSeq
+            val total = state.getOption.getOrElse(0L) + rows.size
+            state.update(total)
+            // evict once the watermark passes last-seen + ttl
+            state.setTimeoutTimestamp(rows.map(_.ts.getTime).max, ttl)
+            Iterator.single(UserRunningCount(user, total))
+          }
       }
   }
 }

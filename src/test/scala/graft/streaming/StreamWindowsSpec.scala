@@ -70,22 +70,49 @@ class StreamWindowsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("mapGroupsWithState keeps a running per-user count across batches") {
+  test("flatMapGroupsWithState keeps a running per-user count across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val mem = MemoryStream[Long]
-    val counts = StreamWindows.runningCounts(mem.toDF.toDF("user_id"))
+    val mem = MemoryStream[(Timestamp, Long)]
+    val counts = StreamWindows.runningCounts(mem.toDF.toDF("ts", "user_id"))
     val q = counts.writeStream.format("memory").queryName("running")
       .outputMode("update").start()
     try {
-      mem.addData(1L, 1L, 1L, 2L)
+      mem.addData((ts(0), 1L), (ts(0, 5), 1L), (ts(0, 10), 1L), (ts(0, 10), 2L))
       q.processAllAvailable()
-      mem.addData(1L, 2L, 2L)
+      mem.addData((ts(0, 20), 1L), (ts(0, 20), 2L), (ts(0, 25), 2L))
       q.processAllAvailable()
       val rows = spark.table("running").as[UserRunningCount].collect().toSet
       // batch 1 emits (1,3),(2,1); batch 2 emits the updated (1,4),(2,3)
       assert(rows === Set(UserRunningCount(1L, 3L), UserRunningCount(2L, 1L),
         UserRunningCount(1L, 4L), UserRunningCount(2L, 3L)))
+    } finally q.stop()
+  }
+
+  test("running-count state is evicted after the event-time TTL") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val counts = StreamWindows.runningCounts(mem.toDF.toDF("ts", "user_id"),
+      ttl = "30 minutes", watermark = "0 seconds")
+    val q = counts.writeStream.format("memory").queryName("running_ttl")
+      .outputMode("update").start()
+    try {
+      mem.addData((ts(0), 1L), (ts(0), 1L)) // user 1 -> 2; timeout at 00:30
+      q.processAllAvailable()
+      mem.addData((ts(2), 2L)) // advances the watermark to 02:00...
+      q.processAllAvailable()
+      mem.addData((ts(2, 1), 2L)) // ...and this batch fires user 1's timeout
+      q.processAllAvailable()
+      mem.addData((ts(3), 1L)) // user 1 returns AFTER eviction
+      q.processAllAvailable()
+      val emitted = spark.table("running_ttl").as[UserRunningCount]
+        .collect().toSeq
+      // the count restarted at 1 — state (1 -> 2) was dropped by the
+      // TTL; without eviction this would emit (1, 3)
+      assert(emitted.contains(UserRunningCount(1L, 2L)))
+      assert(emitted.count(_ == UserRunningCount(1L, 1L)) === 1)
+      assert(!emitted.contains(UserRunningCount(1L, 3L)))
     } finally q.stop()
   }
 }
