@@ -41,7 +41,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * two-engines test in QueryEngineSpec). Concurrent statements from two
   * engines sharing a session are not supported — same discipline as the
   * reference's process-global write lock (index.rs:22-26); use one
-  * SparkSession per concurrent engine.
+  * SparkSession per concurrent engine. Two engines over the same BASE
+  * DIR are guarded harder: the first write takes an exclusive lock file
+  * (BaseDirLock), so a second live writer fails fast instead of
+  * corrupting sequence assignment; close() releases it for handover.
   */
 final class QueryEngine(val spark: SparkSession, val baseDir: String) {
 
