@@ -125,6 +125,7 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
     nextColIds.remove(name)
     fks.remove(name) // the reference forgets the dropped child's FKs (fk.rs:68-71)
     indexes.filterInPlace { case (_, (t, _)) => t != name }
+    triggers.filterInPlace { case (_, (_, _, t, _)) => t != name }
     // delete the table's storage (event log + snapshots) so a CREATE
     // TABLE under the same name starts empty — leaving the log behind
     // would resurrect the dropped data and collide restarted sequences
@@ -343,18 +344,37 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   }
 
   private def load(): Unit = {
-    // recover a save() that crashed between delete and rename: the tmp
-    // file is the newest complete descriptor
-    if (!fs.exists(metaPath) && fs.exists(metaTmpPath))
-      fs.rename(metaTmpPath, metaPath)
-    if (!fs.exists(metaPath)) return
-    val in = fs.open(metaPath)
+    // Source selection is READ-ONLY: if a save() crashed between its
+    // delete and rename, the tmp file is the newest complete descriptor
+    // — read it in place (the next save() heals the swap). Renaming it
+    // here would race a LIVE writer mid-swap and steal its tmp out from
+    // under the rename. A lock-free reader can also catch the swap in
+    // its empty window (meta deleted, tmp not yet renamed): when the
+    // dir shows prior engine state, retry briefly instead of silently
+    // loading an empty catalog.
+    var src: Option[Path] = None
+    var attempts = 0
+    while (src.isEmpty) {
+      if (fs.exists(metaPath)) src = Some(metaPath)
+      else if (fs.exists(metaTmpPath)) src = Some(metaTmpPath)
+      else {
+        val hasPriorState = fs.exists(new Path(s"$baseDir/tables")) ||
+          fs.exists(new Path(s"$baseDir/.engine.lock"))
+        if (!hasPriorState || attempts >= 5) return // genuinely fresh dir
+        attempts += 1
+        Thread.sleep(50)
+      }
+    }
+    val in = fs.open(src.get)
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val cols = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[ColumnDef]]
     val heads = mutable.LinkedHashMap.empty[String, (String, Long, Option[Long])]
-    for (line <- text.split("\n") if line.nonEmpty) line.split("\t") match {
+    // split with -1: a record whose LAST field is empty (e.g. a trigger
+    // with no body) must keep its arity — the default split drops
+    // trailing empty strings and would brick the catalog as "corrupt"
+    for (line <- text.split("\n") if line.nonEmpty) line.split("\t", -1) match {
       case Array("table", n, pk, seq) => heads(dec(n)) = (dec(pk), seq.toLong, None)
       case Array("table", n, pk, seq, colId) =>
         heads(dec(n)) = (dec(pk), seq.toLong, Some(colId.toLong))

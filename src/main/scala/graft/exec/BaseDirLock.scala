@@ -60,38 +60,53 @@ object BaseDirLock {
   def heldByLiveOther(spark: SparkSession, baseDir: String, selfId: String): Boolean =
     readHolder(spark, baseDir).exists(h => h._1 != selfId && holderAlive(h))
 
+  // serializes same-JVM acquires/releases completely; cross-process
+  // safety additionally relies on atomic create-if-absent + the
+  // verify-after-write below
+  private val monitor = new Object
+
   /** Take the write lock, stealing a stale one. Throws if a live engine
     * holds it. */
-  def acquire(spark: SparkSession, baseDir: String, engineId: String): Unit = {
-    val f = fs(spark, baseDir)
-    val p = lockPath(baseDir)
-    readHolder(spark, baseDir) match {
-      case Some(h) if h._1 == engineId => return // already ours
-      case Some(h) if holderAlive(h) =>
-        throw new IllegalStateException(
-          s"base dir $baseDir is locked by live engine ${h._1} (pid ${h._2}); " +
-            "close that engine or use a different base dir")
-      case Some(_) => f.delete(p, false) // stale: holder is gone
-      case None =>
-    }
-    val base = new Path(baseDir)
-    if (!f.exists(base)) f.mkdirs(base)
-    // atomic create-if-absent: a concurrent acquire loses the race here
-    val out =
-      try f.create(p, false)
-      catch {
-        case e: java.io.IOException =>
+  def acquire(spark: SparkSession, baseDir: String, engineId: String): Unit =
+    monitor.synchronized {
+      val f = fs(spark, baseDir)
+      val p = lockPath(baseDir)
+      readHolder(spark, baseDir) match {
+        case Some(h) if h._1 == engineId => return // already ours
+        case Some(h) if holderAlive(h) =>
           throw new IllegalStateException(
-            s"base dir $baseDir lock acquisition lost a race: ${e.getMessage}", e)
+            s"base dir $baseDir is locked by live engine ${h._1} (pid ${h._2}); " +
+              "close that engine or use a different base dir")
+        case Some(_) => f.delete(p, false) // stale: holder is gone
+        case None =>
       }
-    try out.write(s"$engineId\t$pid".getBytes(UTF_8)) finally out.close()
-    inJvm.put(key(baseDir), engineId)
-  }
+      val base = new Path(baseDir)
+      if (!f.exists(base)) f.mkdirs(base)
+      // atomic create-if-absent: a concurrent acquire loses the race here
+      val out =
+        try f.create(p, false)
+        catch {
+          case e: java.io.IOException =>
+            throw new IllegalStateException(
+              s"base dir $baseDir lock acquisition lost a race: ${e.getMessage}", e)
+        }
+      try out.write(s"$engineId\t$pid".getBytes(UTF_8)) finally out.close()
+      // verify-after-write: two PROCESSES that both observed the same
+      // stale lock can interleave delete/create so that the second
+      // delete removes the first's fresh lock — whoever's id is in the
+      // file now owns it, the other backs off. (Same-JVM races are fully
+      // excluded by the monitor.)
+      if (!readHolder(spark, baseDir).exists(_._1 == engineId))
+        throw new IllegalStateException(
+          s"base dir $baseDir lock acquisition lost a stale-steal race")
+      inJvm.put(key(baseDir), engineId)
+    }
 
   /** Release if held by `engineId` (idempotent). */
-  def release(spark: SparkSession, baseDir: String, engineId: String): Unit = {
-    inJvm.remove(key(baseDir), engineId)
-    if (readHolder(spark, baseDir).exists(_._1 == engineId))
-      fs(spark, baseDir).delete(lockPath(baseDir), false)
-  }
+  def release(spark: SparkSession, baseDir: String, engineId: String): Unit =
+    monitor.synchronized {
+      inJvm.remove(key(baseDir), engineId)
+      if (readHolder(spark, baseDir).exists(_._1 == engineId))
+        fs(spark, baseDir).delete(lockPath(baseDir), false)
+    }
 }

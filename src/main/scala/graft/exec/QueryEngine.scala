@@ -63,6 +63,11 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     if (!writeLockHeld) {
       BaseDirLock.acquire(spark, baseDir, engineId)
       writeLockHeld = true
+      // construction skipped recovery if a live writer held the dir at
+      // the time; we may have just stolen that writer's now-stale lock,
+      // so its committed-but-unpublished manifests (and counters) must
+      // land before we assign any sequence
+      sweepStaging()
     }
 
   /** Release the base-dir write lock. Call when done with an engine
@@ -75,14 +80,16 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       writeLockHeld = false
     }
 
-  // Recovery sweep over COMMIT staging dirs. A staging dir WITH a
-  // `manifest` file passed its commit point — the crash hit mid-publish,
-  // so roll it forward (catalog counters + file renames, both
-  // idempotent). A dir WITHOUT one never committed and never will —
-  // discard it, or repeated failures would accumulate parquet copies
-  // forever. Skipped entirely while another LIVE engine holds the
-  // write lock: its in-flight staging must not be touched.
-  locally {
+  /** Recovery sweep over COMMIT staging dirs. A staging dir WITH a
+    * `manifest` file passed its commit point — the crash hit
+    * mid-publish, so roll it forward (catalog counters + file renames,
+    * both idempotent). A dir WITHOUT one never committed and never will
+    * — discard it, or repeated failures would accumulate parquet copies
+    * forever. Skipped entirely while another LIVE engine holds the
+    * write lock: its in-flight staging must not be touched. (While WE
+    * hold the lock it is always safe: publishAtomic only runs under the
+    * statement write lock, so no staging of our own is in flight.) */
+  private def sweepStaging(): Unit = {
     val base = new Path(baseDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(base) && !BaseDirLock.heldByLiveOther(spark, baseDir, engineId))
@@ -93,6 +100,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         else scala.util.Try(fs.delete(st.getPath, true))
       }
   }
+
+  sweepStaging() // crash recovery at open
 
   /** PK-uniqueness enforcement on INSERT, as in the reference
     * (sql_bridge.rs:3543-3570). Two extra jobs per insert — switch off
@@ -161,6 +170,11 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Some(tx) if tx.aborted =>
       txn = None
       summary("rollback", 0L, 0L) // PG: COMMIT of aborted = ROLLBACK
+    case Some(tx) if tx.pending.isEmpty =>
+      // a read-only transaction publishes nothing — in particular it
+      // must NOT take the base-dir write lock (isMutating agrees)
+      txn = None
+      summary("commit", 0L, 0L)
     case Some(tx) =>
       ensureWriteLock()
       // per-table shift for concurrent direct appends (streaming
@@ -430,8 +444,10 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       // indexes (SURVEY §1.4)
       catalog.createIndex(idx, table, colName)
       summary("indexed", 0L, catalog.lastSeq(table))
-    case Statement.CreateView(name, viewSql, materialized) =>
+    case Statement.CreateView(name, viewSql, materialized, orReplace) =>
       if (!materialized) {
+        if (orReplace && catalog.isMaterialized(name))
+          catalog.dropView(name) // matview (and its storage) replaced
         catalog.createView(name, viewSql)
         summary("view_created", 0L, 0L)
       } else {
@@ -440,6 +456,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         if (txn.isDefined)
           throw new IllegalStateException(
             "CREATE MATERIALIZED VIEW cannot run inside a transaction")
+        if (orReplace) catalog.dropView(name, ifExists = true)
         if (catalog.get(name).isDefined || catalog.getView(name).isDefined)
           throw new IllegalArgumentException(s"table or view already exists: $name")
         // data lands before the registration: a registered matview is
@@ -464,8 +481,12 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       select(catalog.getView(name).get).write.mode("overwrite")
         .parquet(catalog.mviewDataPath(name, prev + 1))
       catalog.setMviewVersion(name, prev + 1)
-      locally { // old version is unreachable now; reclaim best-effort
-        val p = new Path(catalog.mviewDataPath(name, prev))
+      if (prev >= 1) {
+        // reclaim version prev-1, NOT prev: a concurrent lock-free
+        // reader may hold an already-analyzed plan over the version we
+        // just superseded — one grace version keeps it scannable, and
+        // storage stays bounded at two versions
+        val p = new Path(catalog.mviewDataPath(name, prev - 1))
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         scala.util.Try(fs.delete(p, true))
       }
@@ -552,8 +573,15 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     val directViews = catalog.viewNames
       .filter(referencesWord(masked, _))
       .map { v =>
-        if (catalog.isMaterialized(v)) v -> SystemTime.Current
-        else {
+        if (catalog.isMaterialized(v)) {
+          // a matview is a snapshot of its last REFRESH — it has no
+          // event history to travel; serving current data under an
+          // explicit temporal spec would be silently wrong, so raise
+          if (st != SystemTime.Current)
+            throw new IllegalArgumentException(
+              s"materialized view $v is not temporal: FOR SYSTEM_TIME does not apply to it")
+          v -> SystemTime.Current
+        } else {
           val (_, vSt) = TemporalPre.extract(catalog.getView(v).get)
           v -> (if (vSt == SystemTime.Current) st else vSt)
         }
@@ -1053,6 +1081,13 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       streamId: Option[String], batchId: Long): Unit =
     writeLock.synchronized {
       ensureWriteLock()
+      // a batch id can be durably recorded with its files stranded in
+      // staging (publish fault mid-batch, then Spark restarts the query
+      // IN-PROCESS, so no engine reopen runs recovery) — roll any
+      // committed manifest forward before the replay-skip decision, or
+      // the skip would hide those events until the next reopen. One
+      // listStatus per micro-batch; we hold the lock, so it's safe.
+      if (streamId.isDefined) sweepStaging()
       val committed = streamId.flatMap(catalog.lastStreamBatch)
       if (streamId.isDefined && committed.exists(_ >= batchId)) return
       val t = catalog.require(table)

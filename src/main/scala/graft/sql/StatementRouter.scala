@@ -18,9 +18,10 @@ object Statement {
   final case class CreateTable(name: String, cols: Seq[(String, String)], pk: String,
       fks: Seq[FkDef] = Nil) extends Statement
   final case class CreateIndex(index: String, table: String, column: String) extends Statement
-  /** CREATE [MATERIALIZED] VIEW (views.rs:40-123 — is_materialized). */
+  /** CREATE [OR REPLACE] [MATERIALIZED] VIEW (views.rs:40-123 —
+    * is_materialized). */
   final case class CreateView(name: String, sql: String,
-      materialized: Boolean = false) extends Statement
+      materialized: Boolean = false, orReplace: Boolean = false) extends Statement
   /** REFRESH MATERIALIZED VIEW — re-runs the stored SQL and swaps the
     * served data version (views.rs refresh policy). */
   final case class RefreshMatView(name: String) extends Statement
@@ -75,7 +76,7 @@ object StatementRouter {
   private val CreateIndexR =
     """(?is)^CREATE\s+(?:UNIQUE\s+)?INDEX\s+(\w+)\s+ON\s+([\w.]+)\s*\(\s*(\w+)\s*\)\s*$""".r
   private val CreateViewR =
-    """(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?(MATERIALIZED\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)$""".r
+    """(?is)^CREATE\s+(OR\s+REPLACE\s+)?(MATERIALIZED\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)$""".r
   private val RefreshMatViewR =
     """(?is)^REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*$""".r
   private val CreateTriggerR =
@@ -136,7 +137,8 @@ object StatementRouter {
         val (cols, pk, fks) = parseCreateBody(body)
         CreateTable(name, cols, pk, fks)
       case CreateIndexR(idx, table, colName) => CreateIndex(idx, table, colName)
-      case CreateViewR(mat, name, sql) => CreateView(name, sql.trim, mat != null)
+      case CreateViewR(orRepl, mat, name, sql) =>
+        CreateView(name, sql.trim, mat != null, orRepl != null)
       case RefreshMatViewR(name) => RefreshMatView(name)
       case CreateTriggerR(name, timing, event, table, body) =>
         CreateTrigger(name, timing, event, table, body.trim)

@@ -78,6 +78,10 @@ object StreamWindows {
     events
       .select(col("user_id").cast("long").as("user_id"),
         col("ts").cast("timestamp").as("ts"))
+      // null keys/timestamps (including strings the cast silently
+      // nulls) would NPE in the state function — they carry no event
+      // time to age by, so drop them here
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
       .withWatermark("ts", watermark) // after the cast: a projection of a
       // watermarked column would shed the watermark tag the stateful
       // operator requires

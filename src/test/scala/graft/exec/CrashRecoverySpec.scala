@@ -113,12 +113,19 @@ class CrashRecoverySpec extends AnyFunSuite {
     e.ingestStream("ev", batch(3), Some(ck), 1L)
     assert(rows(e, "SELECT id FROM ev ORDER BY id")
       === Seq(Row(1L), Row(2L), Row(3L)))
-    // crash mid-publish of batch 2, then a restart replays it: the
-    // rolled-forward manifest already recorded batch 2 as committed,
-    // so the replay must not duplicate ids or sequences
+    // publish fault mid-batch: the batch id is durably recorded with
+    // its files stranded in staging. Spark restarts the query
+    // IN-PROCESS (no engine reopen), replays the batch — the replay
+    // must first roll the stranded manifest forward, then skip, so the
+    // events appear exactly once WITHOUT a close()+reopen
     e.testFailBeforePublishRename =
       i => if (i == 0) throw new java.io.IOException("injected: crash mid-publish")
     intercept[IllegalStateException](e.ingestStream("ev", batch(4, 5), Some(ck), 2L))
+    e.testFailBeforePublishRename = _ => ()
+    e.ingestStream("ev", batch(4, 5), Some(ck), 2L) // in-process replay
+    assert(rows(e, "SELECT id FROM ev ORDER BY id")
+      === Seq(Row(1L), Row(2L), Row(3L), Row(4L), Row(5L)))
+    // a cross-restart replay stays idempotent too
     e.close()
     val e2 = new QueryEngine(spark, e.baseDir)
     e2.ingestStream("ev", batch(4, 5), Some(ck), 2L) // foreachBatch replay

@@ -115,6 +115,69 @@ class EngineFeatureSpec extends AnyFunSuite {
     e2.close()
   }
 
+  test("trigger with an empty body survives a catalog reload") {
+    val e = seeded()
+    // the catalog line for this trigger ends in an empty field — a
+    // trailing-empty-dropping split would brick every subsequent open
+    e.sql("CREATE TRIGGER trg_bare AFTER INSERT ON t")
+    e.close()
+    val e2 = new QueryEngine(spark, e.baseDir)
+    assert(rows(e2, "SHOW TRIGGERS").map(_.getString(0)) === Seq("trg_bare"))
+    // triggers on a dropped table go with it
+    e2.sql("DROP TABLE t")
+    assert(rows(e2, "SHOW TRIGGERS").isEmpty)
+    e2.close()
+  }
+
+  test("create or replace materialized view swaps definition and data") {
+    val e = seeded()
+    e.sql("CREATE MATERIALIZED VIEW mv AS SELECT COUNT(*) AS n FROM t")
+    assert(rows(e, "SELECT n FROM mv") === Seq(Row(3L)))
+    // without OR REPLACE the name is taken
+    intercept[IllegalArgumentException] {
+      e.sql("CREATE MATERIALIZED VIEW mv AS SELECT 99 AS n")
+    }
+    e.sql("CREATE OR REPLACE MATERIALIZED VIEW mv AS SELECT SUM(val) AS n FROM t")
+    assert(rows(e, "SELECT n FROM mv") === Seq(Row(60.0)))
+    // replace in the other direction: matview -> plain view
+    e.sql("CREATE OR REPLACE VIEW mv AS SELECT COUNT(*) AS n FROM t")
+    e.sql("INSERT INTO t VALUES (4, 'c', 1.0)")
+    assert(rows(e, "SELECT n FROM mv") === Seq(Row(4L))) // live now
+  }
+
+  test("temporal spec over a materialized view raises instead of lying") {
+    val e = seeded()
+    e.sql("CREATE MATERIALIZED VIEW mv AS SELECT COUNT(*) AS n FROM t")
+    val ex = intercept[IllegalArgumentException] {
+      e.sql("SELECT n FROM mv FOR SYSTEM_TIME AS OF @SEQ:2").collect()
+    }
+    assert(ex.getMessage.contains("not temporal"))
+  }
+
+  test("refresh keeps one superseded matview version as a reader grace") {
+    val e = seeded()
+    e.sql("CREATE MATERIALIZED VIEW mv AS SELECT COUNT(*) AS n FROM t")
+    val fs = new org.apache.hadoop.fs.Path(e.baseDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def versions = (0L to 3L).filter(v => fs.exists(
+      new org.apache.hadoop.fs.Path(e.catalog.mviewDataPath("mv", v))))
+    e.sql("REFRESH MATERIALIZED VIEW mv")
+    assert(versions === Seq(0L, 1L)) // v0 kept for in-flight readers
+    e.sql("REFRESH MATERIALIZED VIEW mv")
+    assert(versions === Seq(1L, 2L)) // storage stays bounded at two
+  }
+
+  test("a read-only transaction commits without taking the write lock") {
+    val e1 = seeded() // holds the write lock
+    val e2 = new QueryEngine(spark, e1.baseDir)
+    e2.sql("BEGIN")
+    assert(rows(e2, "SELECT COUNT(*) AS n FROM t") === Seq(Row(3L)))
+    e2.sql("COMMIT") // must not contend for (or steal) e1's lock
+    e1.sql("INSERT INTO t VALUES (4, 'd', 4.5)") // e1 still writes fine
+    assert(rows(e1, "SELECT COUNT(*) AS n FROM t") === Seq(Row(4L)))
+    e1.close(); e2.close()
+  }
+
   test("explain format json emits a parseable plan tree") {
     val e = seeded()
     val planJson = rows(e,
