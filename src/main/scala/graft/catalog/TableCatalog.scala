@@ -64,10 +64,14 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   // COMMITTED micro-batch id — the Delta-commit idempotence pattern that
   // upgrades foreachBatch ingestion from at-least-once to exactly-once
   private val streamBatches = mutable.HashMap.empty[String, Long]
-  // trigger name -> (timing, event, table, body) — parse-and-record
-  // parity with the reference's trigger registry (triggers.rs:1-931);
-  // execution semantics are out of scope (Rust-internal there too)
-  private val triggers = mutable.LinkedHashMap.empty[String, (String, String, String, String)]
+  // trigger name -> (timing, event, table, body, enabled) — the
+  // reference's trigger registry (triggers.rs:88-100: timing, events,
+  // table, action, enabled); firing runs in QueryEngine
+  private val triggers =
+    mutable.LinkedHashMap.empty[String, (String, String, String, String, Boolean)]
+  // procedure name -> (param names, body script) — the reference's
+  // procedure registry (procedures.rs:29-66: name, parameters, body)
+  private val procs = mutable.LinkedHashMap.empty[String, (Seq[String], String)]
   val stats = mutable.HashMap.empty[String, Map[String, String]] // ANALYZE output
 
   load()
@@ -125,7 +129,7 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
     nextColIds.remove(name)
     fks.remove(name) // the reference forgets the dropped child's FKs (fk.rs:68-71)
     indexes.filterInPlace { case (_, (t, _)) => t != name }
-    triggers.filterInPlace { case (_, (_, _, t, _)) => t != name }
+    triggers.filterInPlace { case (_, (_, _, t, _, _)) => t != name }
     // delete the table's storage (event log + snapshots) so a CREATE
     // TABLE under the same name starts empty — leaving the log behind
     // would resurrect the dropped data and collide restarted sequences
@@ -285,15 +289,15 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
 
   // -------------------------------------------------------- triggers
 
-  /** CREATE TRIGGER records (timing, event, table, body) so reference
-    * DDL scripts run; firing semantics are deferred (triggers.rs is
-    * Rust-internal in the reference — no SQL-surface parity needed). */
+  /** CREATE TRIGGER records (timing, event, table, body); firing runs
+    * in QueryEngine (triggers.rs:199-248 create, 332-423 execute).
+    * Triggers start enabled, as in the reference (triggers.rs:97). */
   def createTrigger(name: String, timing: String, event: String,
       table: String, body: String): Unit = {
     if (triggers.contains(name))
       throw new IllegalArgumentException(s"trigger already exists: $name")
     require(table)
-    triggers(name) = (timing.toUpperCase, event.toUpperCase, table, body)
+    triggers(name) = (timing.toUpperCase, event.toUpperCase, table, body, true)
     save()
   }
 
@@ -303,9 +307,63 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
     save()
   }
 
-  /** All triggers: (name, timing, event, table, body). */
-  def triggerList: Seq[(String, String, String, String, String)] =
-    triggers.iterator.map { case (n, (ti, ev, ta, b)) => (n, ti, ev, ta, b) }.toSeq
+  /** ALTER TRIGGER name ENABLE/DISABLE (triggers.rs:286-330). */
+  def setTriggerEnabled(name: String, enabled: Boolean): Unit = {
+    val t = triggers.getOrElse(name,
+      throw new IllegalArgumentException(s"trigger not found: $name"))
+    triggers(name) = t.copy(_5 = enabled)
+    save()
+  }
+
+  /** All triggers: (name, timing, event, table, body, enabled). */
+  def triggerList: Seq[(String, String, String, String, String, Boolean)] =
+    triggers.iterator.map { case (n, (ti, ev, ta, b, en)) =>
+      (n, ti, ev, ta, b, en) }.toSeq
+
+  /** ENABLED triggers to fire for one (table, event, timing), in
+    * creation order (the reference sorts by priority then name,
+    * triggers.rs:342-360; ours fire in declaration order):
+    * (name, body). */
+  def triggersFor(table: String, event: String, timing: String): Seq[(String, String)] =
+    triggers.iterator.collect {
+      case (n, (ti, ev, ta, b, true))
+          if ta == table && ev == event && ti == timing => (n, b)
+    }.toSeq
+
+  /** Any enabled trigger on (table, event), either timing? The engine
+    * uses this to decide whether the affected-row batch needs pinning
+    * before the DML mutates the log it reads. */
+  def hasTriggers(table: String, event: String): Boolean =
+    triggers.valuesIterator.exists {
+      case (_, ev, ta, _, en) => en && ta == table && ev == event
+    }
+
+  // ------------------------------------------------------ procedures
+
+  /** CREATE PROCEDURE (procedures.rs:457-500): records (param names,
+    * body script). Bodies bind `$param` placeholders at CALL. */
+  def createProcedure(name: String, params: Seq[String], body: String,
+      orReplace: Boolean): Unit = {
+    if (procs.contains(name) && !orReplace)
+      throw new IllegalArgumentException(s"procedure already exists: $name")
+    val dup = params.diff(params.distinct)
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(s"duplicate parameter: ${dup.head}")
+    procs(name) = (params, body)
+    save()
+  }
+
+  def dropProcedure(name: String, ifExists: Boolean = false): Unit = {
+    if (procs.remove(name).isEmpty && !ifExists)
+      throw new IllegalArgumentException(s"procedure not found: $name")
+    save()
+  }
+
+  def getProcedure(name: String): Option[(Seq[String], String)] = procs.get(name)
+
+  /** All procedures: (name, param names, body). */
+  def procedureList: Seq[(String, Seq[String], String)] =
+    procs.iterator.map { case (n, (ps, b)) => (n, ps, b) }.toSeq
 
   // ----------------------------------------------------- persistence
 
@@ -329,8 +387,10 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       sb.append(s"index\t${enc(idx)}\t${enc(t)}\t${enc(c)}\n")
     for ((id, b) <- streamBatches)
       sb.append(s"stream\t${enc(id)}\t$b\n")
-    for ((name, (ti, ev, ta, body)) <- triggers)
-      sb.append(s"trigger\t${enc(name)}\t${enc(ti)}\t${enc(ev)}\t${enc(ta)}\t${enc(body)}\n")
+    for ((name, (ti, ev, ta, body, en)) <- triggers)
+      sb.append(s"trigger\t${enc(name)}\t${enc(ti)}\t${enc(ev)}\t${enc(ta)}\t${enc(body)}\t${if (en) 1 else 0}\n")
+    for ((name, (params, body)) <- procs)
+      sb.append(s"proc\t${enc(name)}\t${params.map(enc).mkString(",")}\t${enc(body)}\n")
     // crash-safe descriptor replacement: write the whole file to a tmp
     // path, then swap. A crash mid-create leaves the old meta intact; a
     // crash between delete and rename leaves only the tmp, which load()
@@ -387,8 +447,14 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       case Array("mview", n, sql, ver) => mviews(dec(n)) = (dec(sql), ver.toLong)
       case Array("index", i, t, c) => indexes(dec(i)) = (dec(t), dec(c))
       case Array("stream", id, b) => streamBatches(dec(id)) = b.toLong
-      case Array("trigger", n, ti, ev, ta, body) =>
-        triggers(dec(n)) = (dec(ti), dec(ev), dec(ta), dec(body))
+      case Array("trigger", n, ti, ev, ta, body) => // pre-round-6 line
+        triggers(dec(n)) = (dec(ti), dec(ev), dec(ta), dec(body), true)
+      case Array("trigger", n, ti, ev, ta, body, en) =>
+        triggers(dec(n)) = (dec(ti), dec(ev), dec(ta), dec(body), en == "1")
+      case Array("proc", n, params, body) =>
+        procs(dec(n)) =
+          (if (params.isEmpty) Nil
+           else params.split(",", -1).toSeq.map(dec), dec(body))
       case other =>
         throw new IllegalStateException(s"corrupt catalog line: ${other.mkString("\t")}")
     }

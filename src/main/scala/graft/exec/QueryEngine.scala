@@ -381,7 +381,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * transaction has buffered writes to publish. */
   private def isMutating(st: Statement): Boolean = st match {
     case _: Statement.Select | _: Statement.Explain | Statement.ShowTables |
-        Statement.ShowTriggers | _: Statement.Describe | _: Statement.Analyze |
+        Statement.ShowTriggers | Statement.ShowProcedures |
+        _: Statement.Describe | _: Statement.Analyze |
         Statement.Begin | _: Statement.Rollback | _: Statement.Savepoint |
         _: Statement.ReleaseSavepoint => false
     case Statement.Commit => txn.exists(t => t.pending.nonEmpty && !t.aborted)
@@ -492,15 +493,31 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       }
       summary("refreshed", 0L, 0L)
     case Statement.CreateTrigger(name, timing, event, table, body) =>
+      parseTriggerBody(body) // reject a malformed action at CREATE, not at first fire
       catalog.createTrigger(name, timing, event, table, body)
       summary("trigger_created", 0L, 0L)
     case Statement.DropTrigger(name, ifEx) =>
       catalog.dropTrigger(name, ifEx)
       summary("trigger_dropped", 0L, 0L)
+    case Statement.AlterTrigger(name, enable) =>
+      catalog.setTriggerEnabled(name, enable)
+      summary(if (enable) "trigger_enabled" else "trigger_disabled", 0L, 0L)
     case Statement.ShowTriggers =>
       import spark.implicits._
       catalog.triggerList
-        .toDF("name", "timing", "event", "table", "body")
+        .toDF("name", "timing", "event", "table", "body", "enabled")
+    case Statement.CreateProcedure(name, params, body, orReplace) =>
+      require(body.trim.nonEmpty, "procedure body is empty")
+      catalog.createProcedure(name, params, body, orReplace)
+      summary("procedure_created", 0L, 0L)
+    case Statement.DropProcedure(name, ifEx) =>
+      catalog.dropProcedure(name, ifEx)
+      summary("procedure_dropped", 0L, 0L)
+    case Statement.ShowProcedures =>
+      import spark.implicits._
+      catalog.procedureList.map { case (n, ps, b) => (n, ps.mkString(", "), b) }
+        .toDF("name", "parameters", "body")
+    case Statement.Call(name, args) => callProcedure(name, args)
     case Statement.DropTable(name, ifEx) =>
       // dropping a table with buffered writes would orphan them, and the
       // storage delete cannot be rolled back — keep DROP out of txns
@@ -857,6 +874,174 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     spark.range(1).select(lit(op).as("op"), lit(n).as("n_affected"),
       lit(lastSeq).as("last_sequence"))
 
+  // ============================================ triggers + procedures
+
+  /** Nesting guard shared by trigger firing and procedure calls — a
+    * trigger whose body writes the table it watches (or procedures
+    * calling each other) must terminate (the reference caps the same
+    * recursion in its execution context, triggers.rs:338-380). */
+  private var callDepth = 0
+  private val MaxCallDepth = 8
+
+  private def withCallDepth[T](what: String)(f: => T): T = {
+    if (callDepth >= MaxCallDepth)
+      throw new IllegalStateException(
+        s"$what nesting depth exceeds $MaxCallDepth (recursive trigger/procedure?)")
+    callDepth += 1
+    try f finally callDepth -= 1
+  }
+
+  /** Index of the `)` matching the `(` at `open`, paren-counting only
+    * at code positions (literals/comments skipped), or -1. */
+  private def matchingParen(s: String, open: Int): Int = {
+    val code = SqlText.codeMask(s)
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      if (code(i)) s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private val TriggerForEach = """(?is)^FOR\s+EACH\s+(?:ROW|STATEMENT)\s+(.*)$""".r
+  private val TriggerWhenHead = """(?is)^WHEN\s*\(.*""".r
+  private val TriggerExec = """(?is)^EXECUTE\s+(.+)$""".r
+  private val TriggerExecProc = """(?is)^PROCEDURE\s+(\w+\s*\(.*\))\s*$""".r
+
+  /** Trigger action grammar (validated at CREATE TRIGGER):
+    *
+    *   [FOR EACH ROW | FOR EACH STATEMENT] [WHEN (cond)] EXECUTE <stmt>
+    *
+    * An empty body registers without firing (catalog parity for
+    * reference DDL scripts). `EXECUTE PROCEDURE p(args)` — the PG
+    * spelling the reference's CallProcedure action mirrors
+    * (triggers.rs:506-530) — runs as `CALL p(args)`; any other
+    * statement runs as-is. Returns (WHEN predicate, statement).
+    *
+    * Both FOR EACH forms parse but firing is always set-based — ONE
+    * body execution per statement with the whole affected batch
+    * exposed as a view, never a per-row loop (the reference iterates
+    * rows, triggers.rs:383-420; at 100 TB a row loop is the scale
+    * killer, so the batch IS the row set here). */
+  private[graft] def parseTriggerBody(body: String): Option[(Option[String], String)] = {
+    val b0 = body.trim
+    if (b0.isEmpty) return None
+    val b1 = b0 match { case TriggerForEach(rest) => rest.trim; case _ => b0 }
+    val (cond, b2) =
+      if (TriggerWhenHead.matches(b1)) {
+        val open = b1.indexOf('(')
+        val close = matchingParen(b1, open)
+        if (close < 0)
+          throw new IllegalArgumentException(s"unbalanced WHEN clause: $body")
+        (Some(b1.substring(open + 1, close).trim), b1.substring(close + 1).trim)
+      } else (None, b1)
+    b2 match {
+      case TriggerExec(stmt) =>
+        val s = stmt.trim
+        Some((cond, s match {
+          case TriggerExecProc(call) => s"CALL $call"
+          case _ => s
+        }))
+      case _ => throw new IllegalArgumentException(
+        "trigger body must be [FOR EACH ROW|STATEMENT] [WHEN (cond)] " +
+          s"EXECUTE <statement>: $body")
+    }
+  }
+
+  /** Fire the enabled (table, event, timing) triggers, in creation
+    * order. Set-based firing (the SQL Server inserted/deleted shape):
+    * the affected batch registers as temp views `new_rows` (INSERT/
+    * UPDATE) and `old_rows` (UPDATE/DELETE) for the body statement —
+    * one execution per statement, scale-independent of row count. A
+    * WHEN predicate filters the PRIMARY frame (new rows; old for
+    * DELETE): the body sees only matching rows and is skipped when
+    * none match; without WHEN the body always runs, like a PG
+    * statement-level trigger. Body failures propagate — a BEFORE
+    * trigger raising vetoes the DML (triggers.rs:383-420 propagates
+    * errors the same way); an AFTER failure outside a transaction
+    * surfaces after the batch is durable (wrap DML + triggers in
+    * BEGIN/COMMIT for all-or-nothing). */
+  private def fireTriggers(table: String, event: String, timing: String,
+      oldRows: Option[DataFrame], newRows: Option[DataFrame]): Unit = {
+    val trgs = catalog.triggersFor(table, event, timing)
+    if (trgs.isEmpty) return
+    withCallDepth("trigger") {
+      // an enclosing firing (nested DML) may hold its own affected-row
+      // views — capture their current bindings so they come back after
+      // this firing instead of vanishing mid-body
+      val savedNew = scala.util.Try(spark.table("new_rows")).toOption
+      val savedOld = scala.util.Try(spark.table("old_rows")).toOption
+      try {
+        for ((trgName, body) <- trgs; (cond, stmt) <- parseTriggerBody(body)) {
+          val primary = if (event == "DELETE") oldRows.get else newRows.get
+          val filtered = cond.fold(primary)(c => primary.where(expr(c)))
+          val fire = cond.isEmpty || filtered.limit(1).count() > 0
+          if (fire) {
+            // (re-)register per trigger: a previous trigger's nested DML
+            // may have re-bound these views for its own firing
+            val newView = if (event == "DELETE") None else Some(filtered)
+            val oldView = if (event == "DELETE") Some(filtered) else oldRows
+            spark.catalog.dropTempView("new_rows")
+            spark.catalog.dropTempView("old_rows")
+            newView.foreach(_.createOrReplaceTempView("new_rows"))
+            oldView.foreach(_.createOrReplaceTempView("old_rows"))
+            try {
+              val res = this.sql(stmt)
+              // DML executes eagerly inside sql(); a SELECT body (the
+              // RAISE_ERROR-guard shape) is lazy — force the COMPILED
+              // plan so its effect, or its veto, lands NOW (a plain
+              // count() would let column pruning drop the very
+              // raise_error projection being fired)
+              if (StatementRouter.parse(stmt).isInstanceOf[Statement.Select]) {
+                res.queryExecution.executedPlan.execute().count(); ()
+              }
+            } catch {
+              case e: Throwable => throw new IllegalStateException(
+                s"trigger $trgName failed: ${e.getMessage}", e)
+            }
+          }
+        }
+      } finally {
+        spark.catalog.dropTempView("new_rows")
+        spark.catalog.dropTempView("old_rows")
+        savedNew.foreach(_.createOrReplaceTempView("new_rows"))
+        savedOld.foreach(_.createOrReplaceTempView("old_rows"))
+      }
+    }
+  }
+
+  /** CALL name(args): evaluate the constant argument expressions (one
+    * driver-local row), re-render each value as a properly escaped
+    * literal, bind `$param` references in the body, run it as a
+    * script, return the last statement's result (procedures.rs:533-630
+    * — execute_procedure binds typed values the same way; rendering
+    * through Params.render keeps value semantics, never text
+    * splicing). */
+  private def callProcedure(name: String, args: Seq[String]): DataFrame = {
+    val (params, body) = catalog.getProcedure(name).getOrElse(
+      throw new IllegalArgumentException(s"procedure not found: $name"))
+    require(args.length == params.length,
+      s"procedure $name expects ${params.length} argument(s), got ${args.length}")
+    withCallDepth("procedure") {
+      val bound =
+        if (params.isEmpty) body
+        else {
+          val row = spark.sql(args.mkString("SELECT ", ", ", "")).head()
+          val rendered = params.indices.map(i => graft.sql.Params.render(row.get(i)))
+          graft.sql.Params.bindNamed(body, params, rendered)
+        }
+      val stmts = StatementRouter.splitTopLevel(bound, ';')
+        .filter(s => SqlText.maskNonCode(s).trim.nonEmpty)
+      require(stmts.nonEmpty, s"procedure $name has an empty body")
+      stmts.map(sql).last
+    }
+  }
+
   // ------------------------------------------------------ foreign keys
 
   /** Rows about to land in `t` must reference existing parent keys; a
@@ -909,9 +1094,15 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     val unknown = target.filterNot(c => t.columns.exists(_.logical == c))
     require(unknown.isEmpty, s"unknown INSERT columns: ${unknown.mkString(",")}")
     val positioned = src.toDF(target: _*)
-    val full = positioned.select(t.columns.map(c =>
+    val full0 = positioned.select(t.columns.map(c =>
       if (target.contains(c.logical)) col(c.logical).cast(c.dataType).as(c.logical)
       else lit(null).cast(c.dataType).as(c.logical)): _*)
+    // with triggers on the table, pin the batch: a trigger body writing
+    // this same table would otherwise mutate the log the lazy batch
+    // lineage still reads
+    val full = if (catalog.hasTriggers(table, "INSERT")) full0.localCheckpoint()
+      else full0
+    fireTriggers(table, "INSERT", "BEFORE", None, Some(full))
     if (enforcePkUniqueness) {
       // both guards in ONE Spark job: batch-internal duplicates and
       // state collisions union into a single limit-1 probe
@@ -925,6 +1116,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     }
     validateFkOutgoing(t, full)
     val (n, last) = append(t, full, EventLog.INSERT)
+    fireTriggers(table, "INSERT", "AFTER", None, Some(full))
     summary("insert", n, last)
   }
 
@@ -944,12 +1136,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         case None => col(c.logical)
       }
     }: _*)
+    val hasTrg = catalog.hasTriggers(table, "UPDATE")
     if (assigns.exists(_._1 == t.pk)) {
       // pin the matched batch first: the tombstone append below mutates
       // the very log this lineage reads, so the second (INSERT) append
       // must work from a materialized copy, not a log re-scan
       val matching = matching0.localCheckpoint()
       val updated = applyAssigns(matching)
+      fireTriggers(table, "UPDATE", "BEFORE", Some(matching), Some(updated))
       if (enforcePkUniqueness) {
         // both guards in one job, as in insertFrom. PG duplicate-key
         // semantics (sql_bridge.rs:5473-5668): a new pk may not collide
@@ -967,12 +1161,18 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       validateFkIncomingOnUpdate(t, assigns, state, matching, updated)
       val (nd, _) = append(t, matching, EventLog.SOFT_DELETE)
       val (_, last) = append(t, updated, EventLog.INSERT)
+      fireTriggers(table, "UPDATE", "AFTER", Some(matching), Some(updated))
       summary("update", nd, last)
     } else {
-      val updated = applyAssigns(matching0)
+      // with triggers, pin the matched batch (same re-read hazard as the
+      // pk-changing path once a trigger body writes this table)
+      val matching = if (hasTrg) matching0.localCheckpoint() else matching0
+      val updated = applyAssigns(matching)
+      fireTriggers(table, "UPDATE", "BEFORE", Some(matching), Some(updated))
       validateFkChanged(t, assigns, updated)
-      validateFkIncomingOnUpdate(t, assigns, state, matching0, updated)
+      validateFkIncomingOnUpdate(t, assigns, state, matching, updated)
       val (n, last) = append(t, updated, EventLog.PATCH)
+      fireTriggers(table, "UPDATE", "AFTER", Some(matching), Some(updated))
       summary("update", n, last)
     }
   }
@@ -1027,13 +1227,20 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   def delete(table: String, where: Option[String]): DataFrame = {
     val t = catalog.require(table)
     val state = stateAt(table, None)
-    val matching = where.fold(state)(w => state.where(expr(w)))
+    val matching0 = where.fold(state)(w => state.where(expr(w)))
+    // with triggers, pin the doomed batch — a trigger body writing this
+    // table would otherwise change what the lazy lineage re-reads
+    val matching = if (catalog.hasTriggers(table, "DELETE"))
+      matching0.localCheckpoint() else matching0
+    fireTriggers(table, "DELETE", "BEFORE", Some(matching), None)
     validateFkIncoming(t, matching)
     val (n, last) = append(t, matching, EventLog.SOFT_DELETE)
+    fireTriggers(table, "DELETE", "AFTER", Some(matching), None)
     summary("delete", n, last)
   }
 
-  /** TRUNCATE = soft-delete every current row (sql_bridge.rs:701-750). */
+  /** TRUNCATE = soft-delete every current row (sql_bridge.rs:701-750);
+    * DELETE triggers fire with the full table as old_rows. */
   def truncate(table: String): DataFrame = delete(table, None)
 
   /** SNAPSHOT/VACUUM/CHECKPOINT TABLE: materialize collapsed state at
@@ -1051,11 +1258,15 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   def ingestJsonl(table: String, path: String): DataFrame = {
     val t = catalog.require(table)
     val raw = spark.read.json(path)
-    val full = raw.select(t.columns.map(c =>
+    val full0 = raw.select(t.columns.map(c =>
       if (raw.columns.contains(c.logical)) col(c.logical).cast(c.dataType).as(c.logical)
       else lit(null).cast(c.dataType).as(c.logical)): _*)
+    val full = if (catalog.hasTriggers(table, "INSERT")) full0.localCheckpoint()
+      else full0
+    fireTriggers(table, "INSERT", "BEFORE", None, Some(full))
     validateFkOutgoing(t, full)
     val (n, last) = append(t, full, EventLog.INSERT)
+    fireTriggers(table, "INSERT", "AFTER", None, Some(full))
     summary("ingest", n, last)
   }
 

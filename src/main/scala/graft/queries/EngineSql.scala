@@ -306,6 +306,72 @@ object EngineSql {
     e.sql("SELECT k, status, CAST(total AS DOUBLE) AS total FROM ord ORDER BY k")
   }
 
+  /** Trigger firing (triggers.rs:332-543): AFTER INSERT/UPDATE/DELETE
+    * triggers audit each DML statement's affected batch through the
+    * set-based new_rows/old_rows views; the UPDATE trigger carries a
+    * WHEN filter. The audit ids are assigned in firing order, so the
+    * oracle can state the whole table literally from the fixture —
+    * any misfire (skipped event, wrong batch, WHEN ignored, double
+    * fire) diverges rows or hash. */
+  val qTriggerAudit = Q(
+    "q_trigger_audit",
+    """WITH base AS (
+      |  SELECT c_custkey AS k, c_acctbal AS bal FROM customer
+      |  WHERE c_custkey < 500)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS aid, 'insert' AS op,
+      |         (SELECT COUNT(*) FROM base) AS n
+      |  UNION ALL
+      |  SELECT 2, 'update_vip', (SELECT COUNT(*) FROM base WHERE bal > 5000)
+      |  UNION ALL
+      |  SELECT 3, 'delete', (SELECT COUNT(*) FROM base WHERE k % 10 = 0))
+      |ORDER BY aid""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.sql("CREATE TABLE acct (k BIGINT PRIMARY KEY, bal DOUBLE, status STRING)")
+    e.sql("CREATE TABLE audit (aid BIGINT PRIMARY KEY, op STRING, n BIGINT)")
+    val nextAid = "(SELECT COALESCE(MAX(aid), 0) + 1 FROM audit)"
+    e.sql(s"""CREATE TRIGGER trg_ins AFTER INSERT ON acct EXECUTE
+             |INSERT INTO audit SELECT $nextAid, 'insert', COUNT(*) FROM new_rows""".stripMargin)
+    e.sql(s"""CREATE TRIGGER trg_upd AFTER UPDATE ON acct WHEN (bal > 5000) EXECUTE
+             |INSERT INTO audit SELECT $nextAid, 'update_vip', COUNT(*) FROM new_rows""".stripMargin)
+    e.sql(s"""CREATE TRIGGER trg_del AFTER DELETE ON acct EXECUTE
+             |INSERT INTO audit SELECT $nextAid, 'delete', COUNT(*) FROM old_rows""".stripMargin)
+    e.sql("""INSERT INTO acct
+            |SELECT c_custkey, c_acctbal, 'new' FROM customer
+            |WHERE c_custkey < 500""".stripMargin)
+    e.sql("UPDATE acct SET status = 'vip' WHERE bal > 5000")
+    e.sql("DELETE FROM acct WHERE k % 10 = 0")
+    e.sql("SELECT aid, op, n FROM audit ORDER BY aid")
+  }
+
+  /** Stored procedures (procedures.rs:533-630): a two-statement body
+    * bound twice with different named arguments; the oracle folds both
+    * CALLs algebraically. Parameter binding renders evaluated values
+    * as literals, so `1000 + 2000` arrives as 3000. */
+  val qProcCall = Q(
+    "q_proc_call",
+    """SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal,
+      |       CASE WHEN c_acctbal > 9000 THEN 'gold'
+      |            WHEN c_acctbal > 3000 THEN 'vip'
+      |            ELSE 'new' END AS status
+      |FROM customer
+      |WHERE c_custkey < 500 AND c_acctbal >= 9
+      |ORDER BY k""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.sql("CREATE TABLE acct (k BIGINT PRIMARY KEY, bal DOUBLE, status STRING)")
+    e.sql("""INSERT INTO acct
+            |SELECT c_custkey, c_acctbal, 'new' FROM customer
+            |WHERE c_custkey < 500""".stripMargin)
+    e.sql("""CREATE PROCEDURE promote(tier STRING, cutoff DOUBLE) AS
+            |UPDATE acct SET status = $tier WHERE bal > $cutoff;
+            |DELETE FROM acct WHERE bal < $cutoff / 1000""".stripMargin)
+    e.sql("CALL promote('vip', 1000 + 2000)")
+    e.sql("CALL promote('gold', 9000)")
+    e.sql("SELECT k, CAST(bal AS DOUBLE) AS bal, status FROM acct ORDER BY k")
+  }
+
   /** Plain relational passthrough through engine.sql over external
     * tables — identical ANSI text runs in the oracle. */
   private val passthroughSql =
@@ -341,5 +407,6 @@ object EngineSql {
   val all: Seq[Q] = Seq(
     qSqlAsOfSeq, qSqlAsOfTs, qSqlSystemAll, qSqlBetween, qSqlSnapshot,
     qLifecycleCurrent, qLifecycleAsOf, qTxnLifecycle, qFkLifecycle,
-    qStreamIngest, qSqlPassthrough, qSqlView, qMatView)
+    qStreamIngest, qSqlPassthrough, qSqlView, qMatView, qTriggerAudit,
+    qProcCall)
 }

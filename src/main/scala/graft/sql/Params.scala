@@ -40,6 +40,43 @@ object Params {
     out.toString
   }
 
+  /** Named binding for procedure bodies: `$param` (or positional `$N`)
+    * outside string literals and comments becomes the matching
+    * pre-rendered literal. Names resolve case-insensitively, like
+    * unquoted SQL identifiers; an unresolvable `$ident` at a code
+    * position raises — in a procedure body it can only be a typo, and
+    * silently passing it through would surface as a confusing parse
+    * error downstream (the reference validates parameter references the
+    * same way, procedures.rs:640-680). */
+  def bindNamed(sql: String, names: Seq[String], rendered: Seq[String]): String = {
+    if (SqlText.endsInsideString(sql))
+      throw new IllegalArgumentException("unterminated string literal")
+    val lower = names.map(_.toLowerCase)
+    val code = SqlText.codeMask(sql)
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (code(i) && c == '$' && i + 1 < sql.length &&
+          (sql.charAt(i + 1).isLetter || sql.charAt(i + 1) == '_' ||
+            sql.charAt(i + 1).isDigit)) {
+        var j = i + 1
+        while (j < sql.length &&
+            (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
+        val ref = sql.substring(i + 1, j)
+        val idx =
+          if (ref.forall(_.isDigit)) ref.toInt - 1
+          else lower.indexOf(ref.toLowerCase)
+        if (idx < 0 || idx >= rendered.length)
+          throw new IllegalArgumentException(
+            s"unknown parameter reference $$$ref (have: ${names.mkString(", ")})")
+        out ++= rendered(idx)
+        i = j
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
   /** A parameter value as a SQL literal. Strings escape BOTH quote
     * forms: '' doubling for the quote itself and \\ doubling for
     * backslashes — Spark's default parser treats backslash as an
@@ -55,6 +92,12 @@ object Params {
     case b: Boolean => if (b) "TRUE" else "FALSE"
     case t: java.sql.Timestamp => s"TIMESTAMP '${t.toString}'"
     case d: java.sql.Date => s"DATE '${d.toString}'"
+    // the java.time shapes Spark rows carry under datetime.java8API
+    case d: java.time.LocalDate => s"DATE '${d.toString}'"
+    case t: java.time.LocalDateTime =>
+      s"TIMESTAMP '${java.sql.Timestamp.valueOf(t).toString}'"
+    case t: java.time.Instant =>
+      s"TIMESTAMP '${java.sql.Timestamp.from(t).toString}'"
     // non-finite doubles have no bare-literal form in SQL
     case d: Double if d.isNaN || d.isInfinite => s"CAST('$d' AS DOUBLE)"
     case f: Float if f.isNaN || f.isInfinite => s"CAST('$f' AS FLOAT)"

@@ -25,12 +25,26 @@ object Statement {
   /** REFRESH MATERIALIZED VIEW — re-runs the stored SQL and swaps the
     * served data version (views.rs refresh policy). */
   final case class RefreshMatView(name: String) extends Statement
-  /** CREATE TRIGGER — recorded in the catalog; firing is deferred
-    * (triggers.rs:1-931 is Rust-internal in the reference). */
+  /** CREATE TRIGGER name BEFORE|AFTER INSERT|UPDATE|DELETE ON t
+    * [FOR EACH ROW|STATEMENT] [WHEN (cond)] EXECUTE <stmt> — recorded
+    * in the catalog and FIRED by the engine around DML
+    * (triggers.rs:199-248 create, 332-543 execute). */
   final case class CreateTrigger(name: String, timing: String, event: String,
       table: String, body: String) extends Statement
   final case class DropTrigger(name: String, ifExists: Boolean) extends Statement
+  /** ALTER TRIGGER name ENABLE|DISABLE (triggers.rs:286-330). */
+  final case class AlterTrigger(name: String, enable: Boolean) extends Statement
   case object ShowTriggers extends Statement
+  /** CREATE [OR REPLACE] PROCEDURE name(p1, p2, ...) AS <script> —
+    * the body is a `;`-separated script binding `$param` placeholders
+    * at CALL (procedures.rs:29-66, 457-500). */
+  final case class CreateProcedure(name: String, params: Seq[String],
+      body: String, orReplace: Boolean) extends Statement
+  final case class DropProcedure(name: String, ifExists: Boolean) extends Statement
+  case object ShowProcedures extends Statement
+  /** CALL name(arg, ...) — args are constant SQL expressions, evaluated
+    * then bound as literals (procedures.rs:533-630 execute_procedure). */
+  final case class Call(name: String, args: Seq[String]) extends Statement
   final case class DropTable(name: String, ifExists: Boolean) extends Statement
   final case class DropView(name: String, ifExists: Boolean) extends Statement
   final case class Truncate(table: String) extends Statement
@@ -82,7 +96,19 @@ object StatementRouter {
   private val CreateTriggerR =
     """(?is)^CREATE\s+TRIGGER\s+(\w+)\s+(BEFORE|AFTER)\s+(INSERT|UPDATE|DELETE)\s+ON\s+([\w.]+)\s*(.*)$""".r
   private val DropTriggerR = """(?is)^DROP\s+TRIGGER\s+(IF\s+EXISTS\s+)?(\w+)\s*$""".r
+  private val AlterTriggerR =
+    """(?is)^ALTER\s+TRIGGER\s+(\w+)\s+(ENABLE|DISABLE)\s*$""".r
   private val ShowTriggersR = """(?is)^SHOW\s+TRIGGERS\s*$""".r
+  private val CreateProcR =
+    """(?is)^CREATE\s+(OR\s+REPLACE\s+)?PROCEDURE\s+(\w+)\s*\(([^)]*)\)\s+AS\s+(.+)$""".r
+  private val DropProcR = """(?is)^DROP\s+PROCEDURE\s+(IF\s+EXISTS\s+)?(\w+)\s*$""".r
+  private val ShowProcsR = """(?is)^SHOW\s+PROCEDURES\s*$""".r
+  private val CallR = """(?is)^CALL\s+(\w+)\s*\((.*)\)\s*$""".r
+  // one procedure parameter: optional direction keyword + name +
+  // optional type DDL, all ignored but the name (procedures.rs:55-80
+  // keeps direction and type; binding here is by name, typing is the
+  // bound value's own)
+  private val ProcParamR = """(?is)^(?:IN\s+|OUT\s+|INOUT\s+)?(\w+)(?:\s+.*)?$""".r
   private val DropTableR = """(?is)^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
   private val DropViewR = """(?is)^DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
   private val TruncateR = """(?is)^TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*$""".r
@@ -143,7 +169,20 @@ object StatementRouter {
       case CreateTriggerR(name, timing, event, table, body) =>
         CreateTrigger(name, timing, event, table, body.trim)
       case DropTriggerR(ifEx, name) => DropTrigger(name, ifEx != null)
+      case AlterTriggerR(name, mode) =>
+        AlterTrigger(name, mode.equalsIgnoreCase("ENABLE"))
       case ShowTriggersR() => ShowTriggers
+      case CreateProcR(orRepl, name, paramList, body) =>
+        val params = splitTopLevel(paramList).map(_.trim).filter(_.nonEmpty)
+          .map {
+            case ProcParamR(p) => p
+            case bad => throw new IllegalArgumentException(s"bad parameter: $bad")
+          }
+        CreateProcedure(name, params, body.trim, orRepl != null)
+      case DropProcR(ifEx, name) => DropProcedure(name, ifEx != null)
+      case ShowProcsR() => ShowProcedures
+      case CallR(name, argList) =>
+        Call(name, splitTopLevel(argList).map(_.trim).filter(_.nonEmpty))
       case DropTableR(ifEx, name) => DropTable(name, ifEx != null)
       case DropViewR(ifEx, name) => DropView(name, ifEx != null)
       case TruncateR(name) => Truncate(name)
