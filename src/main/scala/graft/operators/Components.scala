@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an edge frame — the clustering step that
+  * turns near-duplicate PAIRS (`Dedup.jaccardPairs`,
+  * `shingleJaccardPairs`, `cosineNearDupPairs`, `minHashCandidates`,
+  * `simHashPairs`) into duplicate CLUSTERS with one canonical document
+  * each. A training-data dedup pipeline needs this closure: pairwise
+  * detectors report (A,B) and (B,C) separately, and dropping "the
+  * second doc of every pair" would wrongly keep or drop C depending on
+  * pair order; the component is the real duplicate group.
+  *
+  * Algorithm: iterative min-label propagation with pointer jumping —
+  * each round every vertex takes the min label among itself and its
+  * neighbors, then label := label(label) halves indirection chains, so
+  * convergence is O(log diameter) rounds (the hash-to-min / pointer-
+  * jumping family of MapReduce connected-components algorithms,
+  * e.g. Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14 — public literature, no code derived).
+  *
+  * Scale design (100 TB corpus, 10⁹+ vertices):
+  *  - every round is two hash joins + one aggregation — no driver
+  *    state, no per-vertex driver loop; the driver only counts whether
+  *    anything changed (one limit-1 probe per round);
+  *  - each round's labels are `localCheckpoint`-pinned, truncating
+  *    lineage so round k's plan does not replay rounds 1..k-1 (same
+  *    discipline as RecursiveCTE.scala);
+  *  - near-dup graphs have tiny components (LSH buckets are cliques,
+  *    chains are short), so rounds ≈ 3-5 in practice; the cap is a
+  *    convergence GUARD that raises instead of silently returning
+  *    wrong labels.
+  */
+object Components {
+
+  /** Components of the undirected graph given by the first two columns
+    * of `edges`. Returns (id, component) for every vertex appearing in
+    * an edge, where component = min vertex id of its component.
+    * Vertices with no edges are absent — callers treat them as
+    * singletons (coalesce to own id after a left join). */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val Seq(ca, cb) = edges.columns.toSeq.take(2).map(col)
+    // both directions once, pinned: every round re-reads this frame
+    val bi = edges.select(ca.as("src"), cb.as("dst"))
+      .union(edges.select(cb.as("src"), ca.as("dst")))
+      .localCheckpoint()
+    var labels = bi.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      // neighbor-min: comp := min(comp, min over neighbors' comp)
+      val nbrMin = bi.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("comp").as("nbr"))
+      val prop = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+      // pointer jumping: comp := comp(comp). Labels are always vertex
+      // ids, so the lookup is a self-join; label(label) <= label keeps
+      // the map monotone while halving chains
+      val jumped = prop.join(
+          prop.select(col("id").as("comp"), col("comp").as("comp2")),
+          Seq("comp"), "left")
+        .select(col("id"), coalesce(col("comp2"), col("comp")).as("comp"))
+        .localCheckpoint()
+      changed = jumped
+        .join(labels.select(col("id"), col("comp").as("prev")), "id")
+        .where(col("comp") =!= col("prev"))
+        .limit(1).count()
+      labels = jumped
+      round += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds rounds " +
+          "(pathological graph? raise maxRounds)")
+    labels.select(col("id"), col("comp").as("component"))
+  }
+}

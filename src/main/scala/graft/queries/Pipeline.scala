@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, FullText, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Components, Dedup, FullText, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -219,6 +219,59 @@ object Pipeline {
     Dedup.shingleJaccardPairs(t(s, dir, "documents"), 3, 0.5,
         maxDfFrac = 0.8, maxDf = 100L)
       .orderBy("d1", "d2")
+  }
+
+  /** Near-dup CLUSTERS: the shingle-Jaccard pairs closed into
+    * connected components (Components.scala), every document assigned
+    * a cluster id (= min doc_id of its component, own id for
+    * singletons) and a canonical flag — the "which copy do we keep"
+    * step of a dedup pipeline. The oracle recomputes the same pairs,
+    * then closes them with a recursive CTE and min-label per vertex,
+    * so a wrong merge or a missed transitive link diverges the hash. */
+  val qDupClusters = Q(
+    "q_dup_clusters",
+    """WITH RECURSIVE
+      |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(w) - 2),
+      |    i -> array_to_string(w[i:i+2], '_')))) AS tok
+      |  FROM d),
+      |nd AS (SELECT COUNT(*) AS n FROM d),
+      |vocab AS (
+      |  SELECT tok FROM (SELECT tok, COUNT(*) AS df FROM sh GROUP BY tok)
+      |  WHERE df <= 0.8 * (SELECT n FROM nd) AND df <= 100),
+      |t AS (SELECT doc_id, tok FROM sh WHERE tok IN (SELECT tok FROM vocab)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT d1, d2
+      |  FROM inter JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+      |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+      |          UNION SELECT d2, d1 FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a)
+      |SELECT doc_id, COALESCE(c.component, doc_id) AS cluster_id,
+      |       doc_id = COALESCE(c.component, doc_id) AS is_canonical
+      |FROM documents LEFT JOIN comp c ON documents.doc_id = c.id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.shingleJaccardPairs(docs, 3, 0.5,
+      maxDfFrac = 0.8, maxDf = 100L)
+    val comps = Components.connectedComponents(pairs.select("d1", "d2"))
+      .withColumnRenamed("id", "doc_id")
+    docs.join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
   }
 
   /** Embedding-cosine near-dup pairs, exact baseline (oracle-checked
@@ -517,7 +570,8 @@ object Pipeline {
   }
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qPipelineE2E, qJaccardPairs, qShingleJaccard, qMinHashLsh, qMinHashSuperset,
+    qDedupExact, qPipelineE2E, qJaccardPairs, qShingleJaccard, qDupClusters,
+    qMinHashLsh, qMinHashSuperset,
     qSimHash, qSimHashSuperset, qEmbedNearDup, qEmbedNearDupLsh,
     qAnnCosine, qAnnLsh, qAnnIvfFull, qAnnIvf,
     qTextQuality, qLangId, qTokenStats, qFingerprint,
