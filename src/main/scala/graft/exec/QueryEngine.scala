@@ -804,7 +804,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * data (exactly-once replay skipping). */
   private def append(t: TableDef, rowsLogical: DataFrame, eventType: String,
       direct: Boolean = false,
-      streamMeta: Option[(String, Long)] = None): (Long, Long) = {
+      streamMeta: Option[(String, Long)] = None,
+      prePinned: Boolean = false): (Long, Long) = {
     if (t.attached.isDefined)
       throw new UnsupportedOperationException(
         s"table ${t.name} is an attached read-only event log")
@@ -817,8 +818,12 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     val base = viaTxn.flatMap(_.seqs.get(t.name)).getOrElse(catalog.lastSeq(t.name))
     // pin the batch before counting + writing: the source reads the very
     // log we append to, and zipWithIndex must not be recomputed between
-    // the two actions
-    val withSeq = EventLog.assignSequences(physical, base).localCheckpoint()
+    // the two actions. A caller that already pinned the batch (DML paths
+    // pin once so PK/FK probe jobs read blocks instead of re-executing
+    // the source) skips the second materialization — zipWithIndex over
+    // checkpointed blocks is deterministic across actions.
+    val withSeq0 = EventLog.assignSequences(physical, base)
+    val withSeq = if (prePinned) withSeq0 else withSeq0.localCheckpoint()
     val n = withSeq.count()
     if (n > 0) {
       val ev = withSeq.select(
@@ -1097,11 +1102,12 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     val full0 = positioned.select(t.columns.map(c =>
       if (target.contains(c.logical)) col(c.logical).cast(c.dataType).as(c.logical)
       else lit(null).cast(c.dataType).as(c.logical)): _*)
-    // with triggers on the table, pin the batch: a trigger body writing
-    // this same table would otherwise mutate the log the lazy batch
-    // lineage still reads
-    val full = if (catalog.hasTriggers(table, "INSERT")) full0.localCheckpoint()
-      else full0
+    // pin the batch ONCE: the PK/FK probe jobs and the append below all
+    // read the pinned blocks instead of re-executing the source lineage
+    // per action (an INSERT ... SELECT would otherwise run three times),
+    // and a trigger body writing this same table cannot mutate what the
+    // pinned batch reads
+    val full = full0.localCheckpoint()
     fireTriggers(table, "INSERT", "BEFORE", None, Some(full))
     if (enforcePkUniqueness) {
       // both guards in ONE Spark job: batch-internal duplicates and
@@ -1115,7 +1121,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       if (bad.nonEmpty) throw new IllegalArgumentException(bad(0).getString(0))
     }
     validateFkOutgoing(t, full)
-    val (n, last) = append(t, full, EventLog.INSERT)
+    val (n, last) = append(t, full, EventLog.INSERT, prePinned = true)
     fireTriggers(table, "INSERT", "AFTER", None, Some(full))
     summary("insert", n, last)
   }
@@ -1136,7 +1142,6 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         case None => col(c.logical)
       }
     }: _*)
-    val hasTrg = catalog.hasTriggers(table, "UPDATE")
     if (assigns.exists(_._1 == t.pk)) {
       // pin the matched batch first: the tombstone append below mutates
       // the very log this lineage reads, so the second (INSERT) append
@@ -1159,19 +1164,21 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       }
       validateFkChanged(t, assigns, updated)
       validateFkIncomingOnUpdate(t, assigns, state, matching, updated)
-      val (nd, _) = append(t, matching, EventLog.SOFT_DELETE)
-      val (_, last) = append(t, updated, EventLog.INSERT)
+      val (nd, _) = append(t, matching, EventLog.SOFT_DELETE, prePinned = true)
+      val (_, last) = append(t, updated, EventLog.INSERT, prePinned = true)
       fireTriggers(table, "UPDATE", "AFTER", Some(matching), Some(updated))
       summary("update", nd, last)
     } else {
-      // with triggers, pin the matched batch (same re-read hazard as the
-      // pk-changing path once a trigger body writes this table)
-      val matching = if (hasTrg) matching0.localCheckpoint() else matching0
+      // pin the matched batch once: trigger/FK probe jobs and the append
+      // read blocks instead of replaying the state collapse per action,
+      // and a trigger body writing this table cannot change what the
+      // batch lineage re-reads
+      val matching = matching0.localCheckpoint()
       val updated = applyAssigns(matching)
       fireTriggers(table, "UPDATE", "BEFORE", Some(matching), Some(updated))
       validateFkChanged(t, assigns, updated)
       validateFkIncomingOnUpdate(t, assigns, state, matching, updated)
-      val (n, last) = append(t, updated, EventLog.PATCH)
+      val (n, last) = append(t, updated, EventLog.PATCH, prePinned = true)
       fireTriggers(table, "UPDATE", "AFTER", Some(matching), Some(updated))
       summary("update", n, last)
     }
@@ -1228,13 +1235,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     val t = catalog.require(table)
     val state = stateAt(table, None)
     val matching0 = where.fold(state)(w => state.where(expr(w)))
-    // with triggers, pin the doomed batch — a trigger body writing this
-    // table would otherwise change what the lazy lineage re-reads
-    val matching = if (catalog.hasTriggers(table, "DELETE"))
-      matching0.localCheckpoint() else matching0
+    // pin the doomed batch once — FK/trigger probe jobs and the append
+    // read blocks instead of replaying state collapse per action, and a
+    // trigger body writing this table cannot change what the lazy
+    // lineage re-reads
+    val matching = matching0.localCheckpoint()
     fireTriggers(table, "DELETE", "BEFORE", Some(matching), None)
     validateFkIncoming(t, matching)
-    val (n, last) = append(t, matching, EventLog.SOFT_DELETE)
+    val (n, last) = append(t, matching, EventLog.SOFT_DELETE, prePinned = true)
     fireTriggers(table, "DELETE", "AFTER", Some(matching), None)
     summary("delete", n, last)
   }
@@ -1261,11 +1269,10 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     val full0 = raw.select(t.columns.map(c =>
       if (raw.columns.contains(c.logical)) col(c.logical).cast(c.dataType).as(c.logical)
       else lit(null).cast(c.dataType).as(c.logical)): _*)
-    val full = if (catalog.hasTriggers(table, "INSERT")) full0.localCheckpoint()
-      else full0
+    val full = full0.localCheckpoint()
     fireTriggers(table, "INSERT", "BEFORE", None, Some(full))
     validateFkOutgoing(t, full)
-    val (n, last) = append(t, full, EventLog.INSERT)
+    val (n, last) = append(t, full, EventLog.INSERT, prePinned = true)
     fireTriggers(table, "INSERT", "AFTER", None, Some(full))
     summary("ingest", n, last)
   }
