@@ -45,6 +45,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * DIR are guarded harder: the first write takes an exclusive lock file
   * (BaseDirLock), so a second live writer fails fast instead of
   * corrupting sequence assignment; close() releases it for handover.
+  *
+  * Multi-session MVCC: `newSession()` gives independent client
+  * sessions over this engine, each with its own transaction — snapshot
+  * isolation with first-committer-wins conflict detection (mvcc.rs,
+  * transaction_coordinator.rs; see Session). Statements across
+  * sessions serialize on the engine's write-lock monitor.
   */
 final class QueryEngine(val spark: SparkSession, val baseDir: String) {
 
@@ -131,6 +137,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // catalog.lastSeq at the first buffered append per table — the
     // anchor for the commit-time re-sequencing offset
     val baseSeqs = scala.collection.mutable.HashMap.empty[String, Long]
+    // snapshot-isolation read horizon: catalog.lastSeq at this table's
+    // FIRST access (read or write) inside the transaction. Reads see
+    // the durable log only up to this sequence (plus own buffered
+    // writes); COMMIT detects write-write conflicts against events
+    // other writers landed past it (mvcc.rs snapshot semantics).
+    // Deliberately NOT restored by savepoint rollback — the snapshot
+    // is transaction-wide, like PG REPEATABLE READ.
+    val snapSeqs = scala.collection.mutable.HashMap.empty[String, Long]
     // (name, pending length, seq snapshot); later entries shadow earlier
     val savepoints =
       scala.collection.mutable.ArrayBuffer.empty[(String, Int, Map[String, Long])]
@@ -148,7 +162,36 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       baseSeqs.filterInPlace { case (tbl, _) => pending.exists(_._1 == tbl) }
     }
   }
-  private var txn: Option[Txn] = None
+  /** An independent client session over this engine — its own
+    * transaction state, sharing the engine's storage, catalog, and
+    * single-writer lock (the reference's MVCC runs one transaction per
+    * connection the same way — mvcc.rs, transaction_coordinator.rs:
+    * 1-441). Sessions interleave statements safely: each BEGIN gets a
+    * snapshot-isolated view (repeatable reads, own writes visible) and
+    * COMMIT aborts with a serialization failure when another session
+    * committed a write to the same primary key first. Statements across
+    * sessions serialize on the engine's write lock; sessions are not
+    * for intra-statement parallelism. */
+  final class Session private[QueryEngine] () {
+    private[QueryEngine] var txn: Option[Txn] = None
+    def inTransaction: Boolean = txn.isDefined
+    def sql(statement: String): DataFrame = sqlAs(this, statement)
+    def sql(statement: String, params: Seq[Any]): DataFrame =
+      sqlAs(this, graft.sql.Params.bind(statement, params))
+  }
+
+  private val defaultSession = new Session()
+  // the session whose statement is currently executing — swapped by
+  // sqlAs under the write lock (statements, including nested trigger/
+  // procedure bodies, run single-threaded per engine)
+  private var current: Session = defaultSession
+
+  /** A fresh session with independent transaction state. The engine's
+    * own `sql` is the default session. */
+  def newSession(): Session = new Session()
+
+  private def txn: Option[Txn] = current.txn
+  private def txn_=(v: Option[Txn]): Unit = current.txn = v
 
   /** Serializes every state-changing entry point — SQL statements and
     * streaming micro-batches — the same single-writer discipline the
@@ -177,6 +220,29 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       summary("commit", 0L, 0L)
     case Some(tx) =>
       ensureWriteLock()
+      // first-committer-wins write-write conflict detection (snapshot
+      // isolation, mvcc.rs): an event any other writer landed after
+      // this transaction's per-table snapshot, on a pk this
+      // transaction also writes, aborts the COMMIT (PG 40001). The
+      // probe is one set-based semi join per written table, and is
+      // skipped entirely when the table's log never advanced past the
+      // snapshot — the zero-interleave case costs a counter lookup.
+      for ((tbl, evs) <- tx.pending.groupBy(_._1); t <- catalog.get(tbl)) {
+        val snap = tx.snapSeqs.getOrElse(tbl,
+          tx.baseSeqs.getOrElse(tbl, catalog.lastSeq(tbl)))
+        if (catalog.lastSeq(tbl) > snap) {
+          val mine = evs.map(_._2.select(col("pk")))
+            .reduce(_ unionByName _).distinct()
+          val theirs = baseEvents(t).where(col("sequence") > snap)
+            .select(col("pk"))
+          if (theirs.join(mine, Seq("pk"), "left_semi").limit(1).count() > 0) {
+            txn = None // the transaction is aborted, not retryable as-is
+            throw new QueryEngine.SerializationFailureException(
+              s"could not serialize access: concurrent update on $tbl " +
+                s"committed after this transaction's snapshot ($snap)")
+          }
+        }
+      }
       // per-table shift for concurrent direct appends (streaming
       // ingest) that advanced the log past this txn's provisional
       // sequences; 0 when nothing interleaved
@@ -389,7 +455,20 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case _ => true
   }
 
-  def sql(statement: String): DataFrame = writeLock.synchronized {
+  def sql(statement: String): DataFrame = sqlAs(current, statement)
+
+  /** Run one statement in the given session's transaction context.
+    * Reentrant (trigger/procedure bodies dispatch through the current
+    * session); the write-lock monitor serializes sessions on different
+    * threads. */
+  private def sqlAs(session: Session, statement: String): DataFrame =
+    writeLock.synchronized {
+      val prev = current
+      current = session
+      try sqlCurrent(statement) finally current = prev
+    }
+
+  private def sqlCurrent(statement: String): DataFrame = {
     val parsed = StatementRouter.parse(statement)
     if (isMutating(parsed)) ensureWriteLock()
     parsed match {
@@ -738,16 +817,15 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * txn write set too, transaction.rs). Missing/empty log → empty
     * typed frame. */
   def events(t: TableDef): DataFrame = {
-    val base = t.attached.getOrElse {
-      val p = new Path(logDir(t.name))
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-        spark.read.option("mergeSchema", "true").parquet(p.toString)
-      else
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          EventLog.schema(t.payloadSchema))
-    }
-    txn.fold(base) { tx =>
+    val base0 = baseEvents(t)
+    txn.fold(base0) { tx =>
+      // snapshot isolation: inside a transaction the durable log reads
+      // at the sequence pinned at this table's first access — writes
+      // other sessions commit later stay invisible until our COMMIT
+      // (mvcc.rs snapshot reads). Attached frames are immutable inputs
+      // and need no horizon.
+      val base = if (t.attached.isDefined) base0
+        else base0.where(col("sequence") <= lit(snapSeqFor(tx, t.name)))
       // buffered events are read back SHIFTED by the same offset COMMIT
       // will apply — if a concurrent direct append (streaming ingest)
       // took the buffered batch's provisional sequences, mid-txn reads
@@ -760,6 +838,24 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           acc.unionByName(shiftSequences(ev, off), allowMissingColumns = true))
     }
   }
+
+  /** The durable event log only — no transaction buffer, no snapshot
+    * horizon. COMMIT's conflict probe reads this directly. */
+  private def baseEvents(t: TableDef): DataFrame =
+    t.attached.getOrElse {
+      val p = new Path(logDir(t.name))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+        spark.read.option("mergeSchema", "true").parquet(p.toString)
+      else
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          EventLog.schema(t.payloadSchema))
+    }
+
+  /** Pin (at first access) and return the transaction's snapshot
+    * horizon for a table. */
+  private def snapSeqFor(tx: Txn, table: String): Long =
+    tx.snapSeqs.getOrElseUpdate(table, catalog.lastSeq(table))
 
   /** Shift an event frame's sequences (and the sequence-derived clock)
     * by `off` — identity when nothing interleaved. */
@@ -776,7 +872,19 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   def stateAt(table: String, asOf: Option[Long]): DataFrame = {
     val t = catalog.require(table)
     val ev = events(t)
-    val base = Snapshots.nearest(spark, catalog.snapshotPath(table), asOf)
+    // inside a transaction the checkpoint choice is bounded by the
+    // snapshot horizon too — an auto-snapshot another session took
+    // AFTER our snapshot would otherwise leak its post-snapshot events
+    // into our collapsed read (ev is horizon-capped, so the tail could
+    // not subtract them back out)
+    val snapCap = txn.collect {
+      case tx if t.attached.isEmpty => snapSeqFor(tx, t.name)
+    }
+    val bound = (asOf, snapCap) match {
+      case (Some(a), Some(c)) => Some(math.min(a, c))
+      case _ => asOf.orElse(snapCap)
+    }
+    val base = Snapshots.nearest(spark, catalog.snapshotPath(table), bound)
     val collapsed = base match {
       case Some(snapSeq) =>
         val tail = asOf.fold(ev.where(col("sequence") > snapSeq))(s =>
@@ -834,6 +942,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         struct(t.columns.map(c => col(c.physical)): _*).as("payload"))
       viaTxn match {
         case Some(tx) => // buffer; flushed at COMMIT, dropped at ROLLBACK
+          snapSeqFor(tx, t.name) // a write also pins the conflict horizon
           tx.baseSeqs.getOrElseUpdate(t.name, catalog.lastSeq(t.name))
           tx.pending += ((t.name, ev, base + n))
           tx.seqs(t.name) = base + n
@@ -1254,6 +1363,10 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   /** SNAPSHOT/VACUUM/CHECKPOINT TABLE: materialize collapsed state at
     * the current sequence (engine.rs:739-845). */
   def snapshot(table: String, atSeq: Option[Long] = None): DataFrame = {
+    if (txn.isDefined)
+      throw new IllegalStateException(
+        "SNAPSHOT cannot run inside a transaction: the checkpoint would " +
+          "durably capture uncommitted buffered writes")
     val t = catalog.require(table)
     val seq = atSeq.getOrElse(catalog.lastSeq(t.name))
     Snapshots.write(events(t), catalog.snapshotPath(table), seq)
@@ -1400,4 +1513,12 @@ object QueryEngine {
     val dir = java.nio.file.Files.createTempDirectory("graft-engine-")
     new QueryEngine(spark, dir.toString)
   }
+
+  /** COMMIT lost the first-committer-wins race: another session
+    * committed a write to a primary key this transaction also wrote,
+    * after this transaction's snapshot (PG error 40001; the reference
+    * rejects conflicting commits from its MVCC validator the same way —
+    * mvcc.rs). The transaction is rolled back; retry it whole. */
+  final class SerializationFailureException(msg: String)
+    extends IllegalStateException(msg)
 }

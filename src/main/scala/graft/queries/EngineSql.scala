@@ -372,6 +372,49 @@ object EngineSql {
     e.sql("SELECT k, CAST(bal AS DOUBLE) AS bal, status FROM acct ORDER BY k")
   }
 
+  /** Multi-session MVCC transactions (mvcc.rs,
+    * transaction_coordinator.rs): three sessions over one engine. Two
+    * snapshot-isolated transactions with DISJOINT write sets — opened
+    * concurrently, each blind to the other's buffer — both commit; a
+    * third transaction overlapping an autocommit writer's keys loses
+    * the first-committer-wins race and must abort without a trace. The
+    * oracle folds exactly the surviving statements: if isolation leaked
+    * (a lost update, the phantom landing, or the disjoint commit
+    * wrongly rejected), the hash diverges. */
+  val qMvccSessions = Q(
+    "q_mvcc_sessions",
+    """SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal,
+      |       CASE WHEN c_acctbal > 9000 THEN 'gold'
+      |            WHEN c_acctbal > 5000 THEN 'vip'
+      |            WHEN c_acctbal < 1000 THEN 'low'
+      |            ELSE 'new' END AS status
+      |FROM customer WHERE c_custkey < 500
+      |ORDER BY k""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.sql("CREATE TABLE acct (k BIGINT PRIMARY KEY, bal DOUBLE, status STRING)")
+    e.sql("""INSERT INTO acct
+            |SELECT c_custkey, c_acctbal, 'new' FROM customer
+            |WHERE c_custkey < 500""".stripMargin)
+    val s1 = e.newSession()
+    val s2 = e.newSession()
+    val s3 = e.newSession()
+    s1.sql("BEGIN"); s2.sql("BEGIN")
+    s1.sql("UPDATE acct SET status = 'vip' WHERE bal > 5000")
+    s2.sql("UPDATE acct SET status = 'low' WHERE bal < 1000")
+    s1.sql("COMMIT")
+    s2.sql("COMMIT") // disjoint write sets — must succeed
+    s3.sql("BEGIN")
+    s3.sql("UPDATE acct SET status = 'phantom' WHERE bal > 5000")
+    // an autocommit writer lands on a subset of s3's keys first
+    e.sql("UPDATE acct SET status = 'gold' WHERE bal > 9000")
+    val lost =
+      try { s3.sql("COMMIT"); false }
+      catch { case _: QueryEngine.SerializationFailureException => true }
+    require(lost, "expected first-committer-wins serialization failure")
+    e.sql("SELECT k, CAST(bal AS DOUBLE) AS bal, status FROM acct ORDER BY k")
+  }
+
   /** Plain relational passthrough through engine.sql over external
     * tables — identical ANSI text runs in the oracle. */
   private val passthroughSql =
@@ -408,5 +451,5 @@ object EngineSql {
     qSqlAsOfSeq, qSqlAsOfTs, qSqlSystemAll, qSqlBetween, qSqlSnapshot,
     qLifecycleCurrent, qLifecycleAsOf, qTxnLifecycle, qFkLifecycle,
     qStreamIngest, qSqlPassthrough, qSqlView, qMatView, qTriggerAudit,
-    qProcCall)
+    qProcCall, qMvccSessions)
 }

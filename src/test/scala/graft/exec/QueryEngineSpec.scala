@@ -549,21 +549,24 @@ class QueryEngineSpec extends AnyFunSuite {
       === Seq(Row(1L), Row(2L), Row(3L), Row(11L), Row(20L)))
   }
 
-  test("mid-transaction reads show shifted, unique sequences") {
+  test("mid-transaction reads are snapshot-isolated with shifted, unique sequences") {
     val e = seeded() // seq 1..3
     import spark.implicits._
     e.sql("BEGIN")
-    e.sql("INSERT INTO t VALUES (10, 'txn', 1.0)") // provisional 4
+    e.sql("INSERT INTO t VALUES (10, 'txn', 1.0)") // provisional 4, snapshot pinned at 3
     e.ingestStream("t", Seq((20L, "stream", 2.0)).toDF("id", "name", "val")) // real 4
-    // the buffered event reads back at 5 (its post-commit home), not 4
+    // snapshot isolation: the stream's post-snapshot commit is invisible
+    // mid-txn; the buffered event reads back at 5 (its post-commit
+    // home, shifted past the interleaved append), never colliding at 4
     val seqs = rows(e, "SELECT sequence, id FROM t FOR SYSTEM_TIME ALL ORDER BY sequence")
-    assert(seqs.map(_.getLong(0)) === (1L to 5L))
-    assert(seqs.collect { case r if r.getLong(1) == 20L => r.getLong(0) } === Seq(4L))
+    assert(seqs.map(_.getLong(0)) === Seq(1L, 2L, 3L, 5L))
     assert(seqs.collect { case r if r.getLong(1) == 10L => r.getLong(0) } === Seq(5L))
-    e.sql("COMMIT")
-    // post-commit history equals what the mid-txn read showed
-    assert(rows(e, "SELECT sequence, id FROM t FOR SYSTEM_TIME ALL ORDER BY sequence")
-      === seqs)
+    e.sql("COMMIT") // pks disjoint — no conflict
+    // post-commit history: everything visible, one event per sequence
+    val after = rows(e, "SELECT sequence, id FROM t FOR SYSTEM_TIME ALL ORDER BY sequence")
+    assert(after.map(_.getLong(0)) === (1L to 5L))
+    assert(after.collect { case r if r.getLong(1) == 20L => r.getLong(0) } === Seq(4L))
+    assert(after.collect { case r if r.getLong(1) == 10L => r.getLong(0) } === Seq(5L))
   }
 
   test("a shared sub-view serves pinned and current consumers") {
