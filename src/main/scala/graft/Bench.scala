@@ -32,13 +32,17 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // millisecond precision keeps the one-line record short enough for
+    // the driver's stdout tail capture — full-precision doubles pushed
+    // the first ~12 queries past the tail window in earlier rounds
+    def sec(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // the full per-query record also lands in a file: stdout tails can
     // truncate a long line, and a truncated record silently loses the

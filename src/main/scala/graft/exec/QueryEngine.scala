@@ -1442,10 +1442,20 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     val df = select(inner)
     // FORMAT JSON serializes the physical plan tree (every operator
     // node with its fields) — the reference's structured explain
-    // (explain.rs, sql_bridge.rs:580-670); TEXT keeps the formatted
-    // human-readable plan with PushedFilters et al.
+    // (explain.rs, sql_bridge.rs:580-670); FORMAT YAML emits the same
+    // tree as a node/detail/children document (explain.rs supports
+    // both); TEXT keeps the formatted human-readable plan with
+    // PushedFilters et al.
     val text = format match {
       case "json" => df.queryExecution.executedPlan.toJSON
+      case "yaml" =>
+        // AQE's root keeps the real plan in inputPlan, not children —
+        // unwrap so the YAML tree shows the operators
+        df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            planYaml(a.inputPlan, "")
+          case p => planYaml(p, "")
+        }
       case _ => df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     }
     if (analyze) {
@@ -1459,6 +1469,25 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       spark.range(1).select(lit(text).as("plan"), lit(n).as("n_rows"),
         lit(elapsedMs).as("elapsed_ms"))
     } else spark.range(1).select(lit(text).as("plan"))
+  }
+
+  /** Physical plan tree → YAML: one `- node/detail/children` mapping
+    * per operator, details double-quoted with escapes. */
+  private def planYaml(p: org.apache.spark.sql.execution.SparkPlan,
+      indent: String): String = {
+    def q(s: String) = "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val head = s"$indent- node: ${p.nodeName}\n" +
+      s"$indent  detail: ${q(p.simpleString(120))}\n"
+    if (p.children.isEmpty) head
+    else head + s"$indent  children:\n" +
+      p.children.map(planYaml(_, indent + "    ")).mkString
   }
 
   /** ANALYZE TABLE: row count + per-column ndv/min/max, stored for

@@ -440,6 +440,37 @@ object Pipeline {
       Seq("dup", "checkpoint"))
   }
 
+  /** BM25 relevance ranking (k1=1.2, b=0.75, +1 idf). Two query terms
+    * keep the per-doc score sum a single commutative addition, so the
+    * doubles are bit-identical across engines; the oracle spells the
+    * identical formula with the identical literals and association. */
+  val qFulltextBm25 = Q(
+    "q_fulltext_bm25",
+    """WITH lens AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+      |  FROM documents),
+      |stats AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM lens),
+      |p AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      |  FROM p WHERE term IN ('dup', 'vector') GROUP BY doc_id, term),
+      |df AS (
+      |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+      |SELECT tf.doc_id,
+      |       SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      |           * tf * 2.2
+      |           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / avgdl))) AS score
+      |FROM tf JOIN df USING (term)
+      |     CROSS JOIN stats
+      |     JOIN lens ON lens.doc_id = tf.doc_id
+      |GROUP BY tf.doc_id
+      |ORDER BY score DESC, tf.doc_id""".stripMargin) { (s, dir) =>
+    FullText.searchBm25(t(s, dir, "documents"), "doc_id", "text",
+      Seq("dup", "vector"))
+  }
+
   // ------------------------------------------------------ multimodal
 
   /** Binary payload + stub-decoded metadata, aggregated per source. */
@@ -575,7 +606,7 @@ object Pipeline {
     qSimHash, qSimHashSuperset, qEmbedNearDup, qEmbedNearDupLsh,
     qAnnCosine, qAnnLsh, qAnnIvfFull, qAnnIvf,
     qTextQuality, qLangId, qTokenStats, qFingerprint,
-    qFulltextAll, qFulltextAny,
+    qFulltextAll, qFulltextAny, qFulltextBm25,
     qMultimodalMeta, qMmFeatures, qFrameSample,
     qEventsHourly, qEventsSessions, qEventsJson)
 }

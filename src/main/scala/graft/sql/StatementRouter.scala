@@ -127,7 +127,7 @@ object StatementRouter {
   private val SnapshotR =
     """(?is)^(?:VACUUM|SNAPSHOT|CHECKPOINT\s+TABLE)\s+([\w.]+)\s*$""".r
   private val ExplainR =
-    """(?is)^EXPLAIN\s+(ANALYZE\s+)?(?:FORMAT\s+(JSON|TEXT)\s+)?(.+)$""".r
+    """(?is)^EXPLAIN\s+(ANALYZE\s+)?(?:FORMAT\s+(JSON|YAML|TEXT)\s+)?(.+)$""".r
   private val AnalyzeR = """(?is)^ANALYZE\s+(?:TABLE\s+)?([\w.]+)\s*$""".r
   private val ShowTablesR = """(?is)^SHOW\s+TABLES\s*$""".r
   private val DescribeR = """(?is)^(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.]+)\s*$""".r

@@ -196,6 +196,21 @@ class EngineFeatureSpec extends AnyFunSuite {
       .contains("Physical Plan"))
   }
 
+  test("explain format yaml emits a node/detail/children tree") {
+    val e = seeded()
+    val yaml = rows(e,
+      "EXPLAIN FORMAT YAML SELECT grp, COUNT(*) AS n FROM t WHERE id > 1 GROUP BY grp")
+      .head.getString(0)
+    // structure: every operator line is `- node: <name>` with a quoted
+    // detail; the root is AQE with the real plan as its child subtree
+    assert(yaml.startsWith("- node: "))
+    assert(yaml.contains("  detail: \""))
+    assert(yaml.contains("children:"))
+    assert(yaml.linesIterator.forall(l =>
+      l.trim.isEmpty || l.trim.startsWith("- node:") ||
+        l.trim.startsWith("detail:") || l.trim.startsWith("children:")))
+  }
+
   test("auto-snapshot checkpoints a table once enough events accumulate") {
     val e = seeded() // 3 events, default threshold too high to fire
     assert(Snapshots.available(spark, e.catalog.snapshotPath("t")).isEmpty)
