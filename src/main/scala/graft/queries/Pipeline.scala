@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Components, Dedup, FullText, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Components, Dedup, FullText, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -471,6 +471,65 @@ object Pipeline {
       Seq("dup", "vector"))
   }
 
+  // ------------------------------------------- sampling and packing
+
+  /** Deterministic stratified sampling: keep 50 % of English docs and
+    * 10 % of the rest, selected by an arithmetic key hash so the same
+    * corpus always yields the same sample. Pure filter — the 100 TB
+    * cost is the scan. The oracle states the identical arithmetic. */
+  val qStratSample = Q(
+    "q_strat_sample",
+    """SELECT lang, doc_id FROM documents
+      |WHERE (CAST(doc_id AS BIGINT) * 2654435761) % 100 <
+      |      CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+      |ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+    Sampling.stratified(t(s, dir, "documents"), col("doc_id"), col("lang"),
+        Map("en" -> 50), defaultPct = 10)
+      .select(col("lang"), col("doc_id"))
+      .orderBy("lang", "doc_id")
+  }
+
+  /** Exactly-k-per-stratum sample: 5 docs per language, ranked inside
+    * each stratum by the same deterministic hash. WindowGroupLimit
+    * prunes partitions to k rows before the single stratum shuffle. */
+  val qSampleExactK = Q(
+    "q_sample_exact_k",
+    """WITH r AS (
+      |  SELECT lang, doc_id,
+      |         ROW_NUMBER() OVER (PARTITION BY lang
+      |           ORDER BY (CAST(doc_id AS BIGINT) * 2654435761) % 100, doc_id) AS rk
+      |  FROM documents)
+      |SELECT lang, doc_id FROM r WHERE rk <= 5
+      |ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+    Sampling.exactK(t(s, dir, "documents"), col("doc_id"), col("lang"), 5)
+      .select(col("lang"), col("doc_id"))
+      .orderBy("lang", "doc_id")
+  }
+
+  /** Sequence packing: documents pack into 2048-token training bins by
+    * prefix-sum in doc order, sharded by source so packing
+    * parallelizes (a global cumulative sum would funnel the corpus
+    * through one task). The oracle recomputes the identical window. */
+  val qSeqPack = Q(
+    "q_seq_pack",
+    """WITH tok AS (
+      |  SELECT source AS shard, doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT shard, doc_id, n_tok,
+      |         SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+      |           ROWS UNBOUNDED PRECEDING) - n_tok AS tok_before
+      |  FROM tok)
+      |SELECT shard, CAST(FLOOR(tok_before / 2048.0) AS BIGINT) AS pack_id,
+      |       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+      |FROM c GROUP BY shard, pack_id
+      |ORDER BY shard, pack_id""".stripMargin) { (s, dir) =>
+    Packing.packs(t(s, dir, "documents"), col("doc_id"), col("text"),
+        col("source"), budget = 2048)
+      .select(col("shard"), col("pack_id"), col("n_docs"), col("pack_tokens"))
+  }
+
   // ------------------------------------------------------ multimodal
 
   /** Binary payload + stub-decoded metadata, aggregated per source. */
@@ -607,6 +666,7 @@ object Pipeline {
     qAnnCosine, qAnnLsh, qAnnIvfFull, qAnnIvf,
     qTextQuality, qLangId, qTokenStats, qFingerprint,
     qFulltextAll, qFulltextAny, qFulltextBm25,
+    qStratSample, qSampleExactK, qSeqPack,
     qMultimodalMeta, qMmFeatures, qFrameSample,
     qEventsHourly, qEventsSessions, qEventsJson)
 }
