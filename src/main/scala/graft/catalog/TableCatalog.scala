@@ -19,6 +19,25 @@ import scala.collection.mutable
   */
 final case class ColumnDef(logical: String, physical: String, dataType: DataType)
 
+/** Declared table constraints beyond the primary key — the catalog
+  * side of the reference's constraint registry (constraints.rs:9-35).
+  * Enforcement is set-based in QueryEngine (one probe job per DML
+  * statement); the reference validates row-by-row
+  * (constraints.rs:330-520). */
+sealed trait Constraint
+object Constraint {
+  final case class NotNull(column: String) extends Constraint
+  /** DEFAULT fills columns omitted from an INSERT column list; the
+    * expression is any constant Catalyst expression. */
+  final case class Default(column: String, expr: String) extends Constraint
+  /** UNIQUE over one or more columns; NULLs never conflict (PG
+    * NULLS DISTINCT, the reference skips null values the same way —
+    * constraints.rs:430-447). */
+  final case class Unique(columns: Seq[String]) extends Constraint
+  /** CHECK passes when the expression is TRUE or NULL (PG semantics). */
+  final case class Check(expr: String) extends Constraint
+}
+
 /** Table metadata: single-column primary key (mandatory, as in the
   * reference — schema.rs:56-79) plus the column mapping. */
 final case class TableDef(
@@ -60,6 +79,9 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   // child table -> (child col, parent table, parent col); the analogue of
   // the reference's FK registry (fk.rs:44-66), persisted with the catalog
   private val fks = mutable.LinkedHashMap.empty[String, Seq[(String, String, String)]]
+  // table -> declared NOT NULL / DEFAULT / UNIQUE / CHECK constraints
+  // (constraints.rs:9-35), persisted with the catalog
+  private val constraints = mutable.LinkedHashMap.empty[String, Seq[Constraint]]
   // streaming-sink progress: stream id (checkpoint location) -> last
   // COMMITTED micro-batch id — the Delta-commit idempotence pattern that
   // upgrades foreachBatch ingestion from at-least-once to exactly-once
@@ -128,6 +150,7 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
     nextSeqs.remove(name)
     nextColIds.remove(name)
     fks.remove(name) // the reference forgets the dropped child's FKs (fk.rs:68-71)
+    constraints.remove(name)
     indexes.filterInPlace { case (_, (t, _)) => t != name }
     triggers.filterInPlace { case (_, (_, _, t, _, _)) => t != name }
     // delete the table's storage (event log + snapshots) so a CREATE
@@ -163,6 +186,23 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       throw new IllegalArgumentException(s"column not found: $from")
     if (t.columns.exists(_.logical == to))
       throw new IllegalArgumentException(s"column exists: $to")
+    // named constraints follow the rename; a CHECK expression is opaque
+    // text, so a rename of a column it references is rejected rather
+    // than silently breaking the expression
+    for (Constraint.Check(e) <- constraintsOf(table)
+        if s"\\b${java.util.regex.Pattern.quote(from)}\\b".r
+          .findFirstIn(e).isDefined)
+      throw new IllegalArgumentException(
+        s"cannot rename $from: referenced by CHECK ($e)")
+    constraints.get(table).foreach { list =>
+      constraints(table) = list.map {
+        case Constraint.NotNull(`from`) => Constraint.NotNull(to)
+        case Constraint.Default(`from`, e) => Constraint.Default(to, e)
+        case Constraint.Unique(cols) =>
+          Constraint.Unique(cols.map(c => if (c == from) to else c))
+        case other => other
+      }
+    }
     tables(table) = t.copy(
       pk = if (t.pk == from) to else t.pk,
       columns = t.columns.map(c =>
@@ -176,6 +216,23 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       throw new IllegalArgumentException("cannot drop the primary key")
     if (!t.columns.exists(_.logical == colName))
       throw new IllegalArgumentException(s"column not found: $colName")
+    // a CHECK referencing the column would break — reject, like rename
+    for (Constraint.Check(e) <- constraintsOf(table)
+        if s"\\b${java.util.regex.Pattern.quote(colName)}\\b".r
+          .findFirstIn(e).isDefined)
+      throw new IllegalArgumentException(
+        s"cannot drop $colName: referenced by CHECK ($e)")
+    // column-scoped constraints go with the column; a UNIQUE set keeps
+    // enforcing over its remaining columns only if none were dropped
+    constraints.get(table).foreach { list =>
+      val kept = list.filter {
+        case Constraint.NotNull(c) => c != colName
+        case Constraint.Default(c, _) => c != colName
+        case Constraint.Unique(cols) => !cols.contains(colName)
+        case _ => true
+      }
+      if (kept.isEmpty) constraints.remove(table) else constraints(table) = kept
+    }
     tables(table) = t.copy(columns = t.columns.filterNot(_.logical == colName))
     save()
   }
@@ -192,6 +249,17 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   /** Outgoing FKs of a child table: (child col, parent table, parent col). */
   def foreignKeysOf(table: String): Seq[(String, String, String)] =
     fks.getOrElse(table, Nil)
+
+  // ----------------------------------------------------- constraints
+
+  /** Register a table's declared constraints (replaces the set). */
+  def setConstraints(table: String, list: Seq[Constraint]): Unit = {
+    if (list.isEmpty) constraints.remove(table) else constraints(table) = list
+    save()
+  }
+
+  def constraintsOf(table: String): Seq[Constraint] =
+    constraints.getOrElse(table, Nil)
 
   /** Incoming FKs: every (child table, child col) referencing `parent`. */
   def referencingFks(parent: String): Seq[(String, String, String)] =
@@ -379,6 +447,16 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
     }
     for ((name, list) <- fks; (c, rt, rc) <- list)
       sb.append(s"fk\t${enc(name)}\t${enc(c)}\t${enc(rt)}\t${enc(rc)}\n")
+    for ((name, list) <- constraints; c <- list) c match {
+      case Constraint.NotNull(col) =>
+        sb.append(s"con\t${enc(name)}\tnotnull\t${enc(col)}\n")
+      case Constraint.Default(col, e) =>
+        sb.append(s"con\t${enc(name)}\tdefault\t${enc(col)}\t${enc(e)}\n")
+      case Constraint.Unique(cols) =>
+        sb.append(s"con\t${enc(name)}\tunique\t${cols.map(enc).mkString(",")}\n")
+      case Constraint.Check(e) =>
+        sb.append(s"con\t${enc(name)}\tcheck\t${enc(e)}\n")
+    }
     for ((name, sql) <- views)
       sb.append(s"view\t${enc(name)}\t${enc(sql)}\n")
     for ((name, (sql, ver)) <- mviews)
@@ -443,6 +521,18 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
           ColumnDef(dec(lo), dec(ph), DataType.fromJson(dec(dt)))
       case Array("fk", n, c, rt, rc) =>
         fks(dec(n)) = fks.getOrElse(dec(n), Nil) :+ ((dec(c), dec(rt), dec(rc)))
+      case Array("con", n, "notnull", c) =>
+        constraints(dec(n)) =
+          constraints.getOrElse(dec(n), Nil) :+ Constraint.NotNull(dec(c))
+      case Array("con", n, "default", c, e) =>
+        constraints(dec(n)) =
+          constraints.getOrElse(dec(n), Nil) :+ Constraint.Default(dec(c), dec(e))
+      case Array("con", n, "unique", cs) =>
+        constraints(dec(n)) = constraints.getOrElse(dec(n), Nil) :+
+          Constraint.Unique(cs.split(",", -1).toSeq.map(dec))
+      case Array("con", n, "check", e) =>
+        constraints(dec(n)) =
+          constraints.getOrElse(dec(n), Nil) :+ Constraint.Check(dec(e))
       case Array("view", n, sql) => views(dec(n)) = dec(sql)
       case Array("mview", n, sql, ver) => mviews(dec(n)) = (dec(sql), ver.toLong)
       case Array("index", i, t, c) => indexes(dec(i)) = (dec(t), dec(c))

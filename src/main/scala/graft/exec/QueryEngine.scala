@@ -500,7 +500,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   }
 
   private def dispatch(statement: Statement): DataFrame = statement match {
-    case Statement.CreateTable(name, cols, pk, fkDefs) =>
+    case Statement.CreateTable(name, cols, pk, fkDefs, conDefs) =>
       // FK declarations are validated up front: child column must be
       // declared, parent table (self-reference allowed) and parent
       // column must exist (fk.rs:44-66; inline form sql_bridge.rs:5738)
@@ -514,10 +514,29 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         require(parentCols.contains(fk.refColumn),
           s"referenced column not found: ${fk.refTable}.${fk.refColumn}")
       }
+      // constraint columns must be declared (constraints.rs:60-96
+      // validates at registration the same way); CHECK expressions are
+      // validated lazily at first enforcement (they may reference any
+      // Catalyst function)
+      val constraintCols = conDefs.flatMap {
+        case Statement.NotNullDef(c) => Seq(c)
+        case Statement.DefaultDef(c, _) => Seq(c)
+        case Statement.UniqueDef(cs) => cs
+        case _: Statement.CheckDef => Nil
+      }
+      for (c <- constraintCols)
+        require(cols.exists(_._1 == c), s"constraint column not declared: $c")
       catalog.createTable(name, pk,
         cols.map { case (c, ddl) => (c, DataType.fromDDL(ddl)) })
       if (fkDefs.nonEmpty)
         catalog.setForeignKeys(name, fkDefs.map(f => (f.column, f.refTable, f.refColumn)))
+      if (conDefs.nonEmpty)
+        catalog.setConstraints(name, conDefs.map {
+          case Statement.NotNullDef(c) => graft.catalog.Constraint.NotNull(c)
+          case Statement.DefaultDef(c, e) => graft.catalog.Constraint.Default(c, e)
+          case Statement.UniqueDef(cs) => graft.catalog.Constraint.Unique(cs)
+          case Statement.CheckDef(e) => graft.catalog.Constraint.Check(e)
+        })
       summary("created", 0L, catalog.lastSeq(name))
     case Statement.CreateIndex(idx, table, colName) =>
       // metadata only: pushdown + parquet min/max subsume secondary
@@ -1156,6 +1175,57 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     }
   }
 
+  // ------------------------------------------------------- constraints
+
+  /** DEFAULT expressions of a table, by column (constraints.rs:9-35). */
+  private def defaultsOf(table: String): Map[String, String] =
+    catalog.constraintsOf(table).collect {
+      case graft.catalog.Constraint.Default(c, e) => c -> e
+    }.toMap
+
+  /** Violation probes for the declared constraints over a batch of row
+    * images about to land in `t` — message frames the caller unions
+    * into its single guard job (the same one-job shape as the PK
+    * probes; the reference checks row-by-row, constraints.rs:330-520).
+    *
+    * `survivors`: current rows still present after the statement, for
+    * UNIQUE clashes (inserts: full state; updates: state minus matched
+    * rows). `touched`: UPDATE's assigned columns — a UNIQUE set none of
+    * whose columns are assigned cannot be violated, so its join is
+    * skipped; NOT NULL and CHECK always probe (full-row images make
+    * the probe one filter either way). NULLs never conflict in UNIQUE
+    * (PG NULLS DISTINCT; constraints.rs:430-447 skips nulls too);
+    * CHECK passes on TRUE or NULL (PG). */
+  private def constraintViolations(t: TableDef, batch: DataFrame,
+      survivors: => DataFrame, touched: Option[Set[String]]): Seq[DataFrame] =
+    catalog.constraintsOf(t.name).flatMap {
+      case graft.catalog.Constraint.NotNull(c) =>
+        Seq(batch.where(col(c).isNull).select(
+          lit(s"null value in column $c of ${t.name} violates NOT NULL").as("_err")))
+      case graft.catalog.Constraint.Check(e) =>
+        Seq(batch.where(not(coalesce(expr(e), lit(true)))).select(
+          lit(s"row in ${t.name} violates CHECK ($e)").as("_err")))
+      case graft.catalog.Constraint.Unique(cs)
+          if touched.forall(ts => cs.exists(ts)) =>
+        val nn = cs.map(col(_).isNotNull).reduce(_ && _)
+        val msg = s"duplicate key violates UNIQUE (${cs.mkString(", ")}) on ${t.name}"
+        val dups = batch.where(nn).groupBy(cs.map(col): _*)
+          .agg(count(lit(1)).as("_n")).where(col("_n") > 1)
+          .select(lit(msg).as("_err"))
+        val clash = batch.where(nn)
+          .join(survivors.where(nn).select(cs.map(col): _*), cs, "left_semi")
+          .select(lit(msg).as("_err"))
+        Seq(dups, clash)
+      case _ => Nil
+    }
+
+  /** Union the guard probes into ONE job and raise on the first hit. */
+  private def raiseFirstViolation(probes: Seq[DataFrame]): Unit =
+    if (probes.nonEmpty) {
+      val bad = probes.reduce(_ unionByName _).limit(1).collect()
+      if (bad.nonEmpty) throw new IllegalArgumentException(bad(0).getString(0))
+    }
+
   // ------------------------------------------------------ foreign keys
 
   /** Rows about to land in `t` must reference existing parent keys; a
@@ -1208,27 +1278,34 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     val unknown = target.filterNot(c => t.columns.exists(_.logical == c))
     require(unknown.isEmpty, s"unknown INSERT columns: ${unknown.mkString(",")}")
     val positioned = src.toDF(target: _*)
+    // a column omitted from the INSERT list takes its DEFAULT, else NULL
+    // (constraints.rs Default; an explicit NULL still inserts NULL, as
+    // in PG)
+    val defaults = defaultsOf(table)
     val full0 = positioned.select(t.columns.map(c =>
       if (target.contains(c.logical)) col(c.logical).cast(c.dataType).as(c.logical)
-      else lit(null).cast(c.dataType).as(c.logical)): _*)
-    // pin the batch ONCE: the PK/FK probe jobs and the append below all
-    // read the pinned blocks instead of re-executing the source lineage
-    // per action (an INSERT ... SELECT would otherwise run three times),
-    // and a trigger body writing this same table cannot mutate what the
-    // pinned batch reads
+      else expr(defaults.getOrElse(c.logical, "NULL"))
+        .cast(c.dataType).as(c.logical)): _*)
+    // pin the batch ONCE: the PK/FK/constraint probe jobs and the
+    // append below all read the pinned blocks instead of re-executing
+    // the source lineage per action (an INSERT ... SELECT would
+    // otherwise run three times), and a trigger body writing this same
+    // table cannot mutate what the pinned batch reads
     val full = full0.localCheckpoint()
     fireTriggers(table, "INSERT", "BEFORE", None, Some(full))
-    if (enforcePkUniqueness) {
-      // both guards in ONE Spark job: batch-internal duplicates and
-      // state collisions union into a single limit-1 probe
+    // every declarative guard in ONE Spark job: pk batch-duplicates, pk
+    // state collisions, and NOT NULL / CHECK / UNIQUE probes union into
+    // a single limit-1 collect
+    val pkProbes = if (!enforcePkUniqueness) Nil else {
       val pk = t.pk
-      val dups = full.groupBy(col(pk)).count().where(col("count") > 1)
-        .select(lit(s"duplicate primary key within INSERT batch on $table").as("_err"))
-      val clash = full.join(stateAt(table, None).select(col(pk)), Seq(pk), "left_semi")
-        .select(lit(s"primary key already exists in $table").as("_err"))
-      val bad = dups.unionByName(clash).limit(1).collect()
-      if (bad.nonEmpty) throw new IllegalArgumentException(bad(0).getString(0))
+      Seq(
+        full.groupBy(col(pk)).agg(count(lit(1)).as("_n")).where(col("_n") > 1)
+          .select(lit(s"duplicate primary key within INSERT batch on $table").as("_err")),
+        full.join(stateAt(table, None).select(col(pk)), Seq(pk), "left_semi")
+          .select(lit(s"primary key already exists in $table").as("_err")))
     }
+    raiseFirstViolation(pkProbes ++
+      constraintViolations(t, full, stateAt(table, None), None))
     validateFkOutgoing(t, full)
     val (n, last) = append(t, full, EventLog.INSERT, prePinned = true)
     fireTriggers(table, "INSERT", "AFTER", None, Some(full))
@@ -1258,19 +1335,20 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       val matching = matching0.localCheckpoint()
       val updated = applyAssigns(matching)
       fireTriggers(table, "UPDATE", "BEFORE", Some(matching), Some(updated))
-      if (enforcePkUniqueness) {
-        // both guards in one job, as in insertFrom. PG duplicate-key
-        // semantics (sql_bridge.rs:5473-5668): a new pk may not collide
-        // with any row that survives this statement
+      val touched = assigns.map(_._1).toSet
+      val survivors = state.join(matching.select(col(t.pk)), Seq(t.pk), "left_anti")
+      val pkProbes = if (!enforcePkUniqueness) Nil else {
+        // PG duplicate-key semantics (sql_bridge.rs:5473-5668): a new pk
+        // may not collide with any row that survives this statement
         val pk = t.pk
-        val dups = updated.groupBy(col(pk)).count().where(col("count") > 1)
-          .select(lit(s"UPDATE produces duplicate primary keys on $table").as("_err"))
-        val survivors = state.join(matching.select(col(pk)), Seq(pk), "left_anti")
-        val clash = updated.join(survivors.select(col(pk)), Seq(pk), "left_semi")
-          .select(lit(s"primary key already exists in $table").as("_err"))
-        val bad = dups.unionByName(clash).limit(1).collect()
-        if (bad.nonEmpty) throw new IllegalArgumentException(bad(0).getString(0))
+        Seq(
+          updated.groupBy(col(pk)).agg(count(lit(1)).as("_n")).where(col("_n") > 1)
+            .select(lit(s"UPDATE produces duplicate primary keys on $table").as("_err")),
+          updated.join(survivors.select(col(pk)), Seq(pk), "left_semi")
+            .select(lit(s"primary key already exists in $table").as("_err")))
       }
+      raiseFirstViolation(pkProbes ++
+        constraintViolations(t, updated, survivors, Some(touched)))
       validateFkChanged(t, assigns, updated)
       validateFkIncomingOnUpdate(t, assigns, state, matching, updated)
       val (nd, _) = append(t, matching, EventLog.SOFT_DELETE, prePinned = true)
@@ -1285,6 +1363,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       val matching = matching0.localCheckpoint()
       val updated = applyAssigns(matching)
       fireTriggers(table, "UPDATE", "BEFORE", Some(matching), Some(updated))
+      raiseFirstViolation(constraintViolations(t, updated,
+        state.join(matching.select(col(t.pk)), Seq(t.pk), "left_anti"),
+        Some(assigns.map(_._1).toSet)))
       validateFkChanged(t, assigns, updated)
       validateFkIncomingOnUpdate(t, assigns, state, matching, updated)
       val (n, last) = append(t, updated, EventLog.PATCH, prePinned = true)
@@ -1379,11 +1460,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   def ingestJsonl(table: String, path: String): DataFrame = {
     val t = catalog.require(table)
     val raw = spark.read.json(path)
+    val defaults = defaultsOf(table)
     val full0 = raw.select(t.columns.map(c =>
       if (raw.columns.contains(c.logical)) col(c.logical).cast(c.dataType).as(c.logical)
-      else lit(null).cast(c.dataType).as(c.logical)): _*)
+      else expr(defaults.getOrElse(c.logical, "NULL"))
+        .cast(c.dataType).as(c.logical)): _*)
     val full = full0.localCheckpoint()
     fireTriggers(table, "INSERT", "BEFORE", None, Some(full))
+    raiseFirstViolation(constraintViolations(t, full, stateAt(table, None), None))
     validateFkOutgoing(t, full)
     val (n, last) = append(t, full, EventLog.INSERT, prePinned = true)
     fireTriggers(table, "INSERT", "AFTER", None, Some(full))

@@ -415,6 +415,50 @@ object EngineSql {
     e.sql("SELECT k, CAST(bal AS DOUBLE) AS bal, status FROM acct ORDER BY k")
   }
 
+  /** Declared constraints end-to-end (constraints.rs:9-35, 330-520):
+    * DEFAULT fills the omitted status column, then four violating
+    * statements — NOT NULL, CHECK, UNIQUE (state clash), and a CHECK-
+    * violating UPDATE — each must raise and leave state untouched,
+    * while a passing UPDATE lands. The oracle folds only the CREATE +
+    * INSERT + passing UPDATE; any guard that misfires (lets a
+    * violation through, or a raise that leaves partial state) diverges
+    * rows or hash. */
+  val qConstraints = Q(
+    "q_constraints",
+    """SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal,
+      |       CASE WHEN c_acctbal > 5000 THEN 'vip' ELSE 'new' END AS status,
+      |       'u' || CAST(c_custkey AS VARCHAR) AS email
+      |FROM customer
+      |WHERE c_custkey < 300 AND c_acctbal >= 0
+      |ORDER BY k""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.sql("""CREATE TABLE acct (
+            |  k BIGINT PRIMARY KEY,
+            |  bal DOUBLE NOT NULL CHECK (bal >= 0),
+            |  status STRING DEFAULT 'new',
+            |  email STRING UNIQUE)""".stripMargin)
+    // status omitted -> DEFAULT 'new' for every row
+    e.sql("""INSERT INTO acct (k, bal, email)
+            |SELECT c_custkey, c_acctbal, 'u' || CAST(c_custkey AS STRING)
+            |FROM customer
+            |WHERE c_custkey < 300 AND c_acctbal >= 0""".stripMargin)
+    def mustRaise(stmt: String): Unit = {
+      val raised =
+        try { e.sql(stmt); false }
+        catch { case _: IllegalArgumentException => true }
+      require(raised, s"constraint violation not raised: $stmt")
+    }
+    mustRaise("INSERT INTO acct VALUES (900, NULL, 'x', 'e900')") // NOT NULL
+    mustRaise("INSERT INTO acct VALUES (901, -5, 'x', 'e901')") // CHECK
+    // UNIQUE: batch-internal duplicate (independent of fixture values)
+    mustRaise("INSERT INTO acct (k, bal, email) VALUES (902, 10, 'z'), (903, 11, 'z')")
+    mustRaise("UPDATE acct SET bal = -1") // CHECK on update, all rows
+    e.sql("UPDATE acct SET status = 'vip' WHERE bal > 5000") // passes
+    e.sql("""SELECT k, CAST(bal AS DOUBLE) AS bal, status, email
+            |FROM acct ORDER BY k""".stripMargin)
+  }
+
   /** Plain relational passthrough through engine.sql over external
     * tables — identical ANSI text runs in the oracle. */
   private val passthroughSql =
@@ -451,5 +495,5 @@ object EngineSql {
     qSqlAsOfSeq, qSqlAsOfTs, qSqlSystemAll, qSqlBetween, qSqlSnapshot,
     qLifecycleCurrent, qLifecycleAsOf, qTxnLifecycle, qFkLifecycle,
     qStreamIngest, qSqlPassthrough, qSqlView, qMatView, qTriggerAudit,
-    qProcCall, qMvccSessions)
+    qProcCall, qMvccSessions, qConstraints)
 }

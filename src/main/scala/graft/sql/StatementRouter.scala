@@ -15,8 +15,17 @@ sealed trait Statement
 object Statement {
   /** One declared foreign key: child column → parent table(column). */
   final case class FkDef(column: String, refTable: String, refColumn: String)
+  /** Declared column/table constraints beyond the primary key
+    * (constraints.rs:9-35: NotNull, Default, Unique, Check). Parsed
+    * from inline column markers or table-level constraint entries. */
+  sealed trait ConstraintDef
+  final case class NotNullDef(column: String) extends ConstraintDef
+  final case class DefaultDef(column: String, expr: String) extends ConstraintDef
+  final case class UniqueDef(columns: Seq[String]) extends ConstraintDef
+  final case class CheckDef(expr: String) extends ConstraintDef
   final case class CreateTable(name: String, cols: Seq[(String, String)], pk: String,
-      fks: Seq[FkDef] = Nil) extends Statement
+      fks: Seq[FkDef] = Nil,
+      constraints: Seq[ConstraintDef] = Nil) extends Statement
   final case class CreateIndex(index: String, table: String, column: String) extends Statement
   /** CREATE [OR REPLACE] [MATERIALIZED] VIEW (views.rs:40-123 —
     * is_materialized). */
@@ -160,8 +169,8 @@ object StatementRouter {
 
   private def matchStatement(stmt: String): Option[Statement] = Some(stmt).collect {
       case CreateTableR(name, body) =>
-        val (cols, pk, fks) = parseCreateBody(body)
-        CreateTable(name, cols, pk, fks)
+        val (cols, pk, fks, cons) = parseCreateBody(body)
+        CreateTable(name, cols, pk, fks, cons)
       case CreateIndexR(idx, table, colName) => CreateIndex(idx, table, colName)
       case CreateViewR(orRepl, mat, name, sql) =>
         CreateView(name, sql.trim, mat != null, orRepl != null)
@@ -228,20 +237,37 @@ object StatementRouter {
     * stripped before the type DDL reaches Spark's `DataType.fromDDL`.
     * ON DELETE/UPDATE actions parse but act as RESTRICT, exactly like
     * the reference (fk.rs:20-23). */
-  private def parseCreateBody(body: String): (Seq[(String, String)], String, Seq[FkDef]) = {
+  private def parseCreateBody(body: String)
+      : (Seq[(String, String)], String, Seq[FkDef], Seq[ConstraintDef]) = {
     val parts = splitTopLevel(body)
     var pk: Option[String] = None
     val cols = Vector.newBuilder[(String, String)]
     val fks = Vector.newBuilder[FkDef]
+    val cons = Vector.newBuilder[ConstraintDef]
     val PkConstraint = """(?is)^PRIMARY\s+KEY\s*\(\s*(\w+)\s*\)$""".r
     val FkConstraint =
       """(?is)^(?:CONSTRAINT\s+\w+\s+)?FOREIGN\s+KEY\s*\(\s*(\w+)\s*\)\s+REFERENCES\s+([\w.]+)\s*\(\s*(\w+)\s*\)(?:\s+ON\s+(?:DELETE|UPDATE)\s+[\w\s]+)*$""".r
+    val UniqueConstraint =
+      """(?is)^(?:CONSTRAINT\s+\w+\s+)?UNIQUE\s*\(\s*([\w\s,]+)\s*\)$""".r
+    val CheckConstraint =
+      """(?is)^(?:CONSTRAINT\s+\w+\s+)?CHECK\s*\((.*)\)$""".r
     val InlineFk =
       """(?is)\s+REFERENCES\s+([\w.]+)\s*\(\s*(\w+)\s*\)(\s+ON\s+(?:DELETE|UPDATE)\s+(?:CASCADE|RESTRICT|SET\s+NULL|SET\s+DEFAULT|NO\s+ACTION))*""".r
     val ColDef = """(?is)^(\w+)\s+(.+?)(\s+PRIMARY\s+KEY)?$""".r
+    // inline column markers, peeled from the END of the def in a loop
+    // so they compose in any order: `bal DOUBLE DEFAULT 0 NOT NULL
+    // CHECK (bal >= 0) UNIQUE`. DEFAULT peels last (its value runs to
+    // end-of-def once the markers after it are gone).
+    val TrailingNotNull = """(?is)^(.+?)\s+NOT\s+NULL$""".r
+    val TrailingUnique = """(?is)^(.+?)\s+UNIQUE$""".r
+    val TrailingCheck = """(?is)^(.+?)\s+CHECK\s*\((.*)\)$""".r
+    val TrailingDefault = """(?is)^(.+?)\s+DEFAULT\s+(.+)$""".r
     for (p <- parts) p match {
       case PkConstraint(k) => pk = Some(k)
       case FkConstraint(c, rt, rc) => fks += FkDef(c, rt, rc)
+      case UniqueConstraint(cs) =>
+        cons += UniqueDef(cs.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      case CheckConstraint(e) => cons += CheckDef(e.trim)
       case ColDef(name, typeDdl0, inlinePk) =>
         var typeDdl = typeDdl0.trim
         for (m <- InlineFk.findFirstMatchIn(typeDdl)) {
@@ -251,9 +277,18 @@ object StatementRouter {
         // `col T PRIMARY KEY REFERENCES t(c)`: the PK marker only
         // surfaces at the end of the def, so re-check after FK-stripping
         val TrailingPk = """(?is)(.+?)\s+PRIMARY\s+KEY$""".r
-        typeDdl match {
-          case TrailingPk(ddl) => typeDdl = ddl.trim; pk = Some(name)
-          case _ =>
+        var changed = true
+        while (changed) {
+          changed = true
+          typeDdl match {
+            case TrailingPk(ddl) => typeDdl = ddl.trim; pk = Some(name)
+            case TrailingNotNull(ddl) => typeDdl = ddl.trim; cons += NotNullDef(name)
+            case TrailingUnique(ddl) => typeDdl = ddl.trim; cons += UniqueDef(Seq(name))
+            case TrailingCheck(ddl, e) => typeDdl = ddl.trim; cons += CheckDef(e.trim)
+            case TrailingDefault(ddl, v) =>
+              typeDdl = ddl.trim; cons += DefaultDef(name, v.trim)
+            case _ => changed = false
+          }
         }
         cols += ((name, typeDdl))
         if (inlinePk != null) pk = Some(name)
@@ -262,6 +297,6 @@ object StatementRouter {
     val result = cols.result()
     (result, pk.getOrElse(throw new IllegalArgumentException(
       "CREATE TABLE requires a PRIMARY KEY (single column, as in the reference)")),
-      fks.result())
+      fks.result(), cons.result())
   }
 }
