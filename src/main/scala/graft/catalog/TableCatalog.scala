@@ -38,6 +38,18 @@ object Constraint {
   final case class Check(expr: String) extends Constraint
 }
 
+/** CREATE SEQUENCE state (sequences.rs:8-19). `current` is the last
+  * value handed out — initialized to `start - increment` so the first
+  * draw returns `start`, exactly like the reference
+  * (sequences.rs:53-60). `ownedBy` backs AUTO_INCREMENT columns:
+  * (table, column), mirroring the reference's auto_increment_map
+  * (sequences.rs:80-105). Draws are non-transactional (a rolled-back
+  * statement keeps its drawn values — PG semantics; the reference's
+  * SequenceManager is likewise outside transaction state). */
+final case class SequenceDef(name: String, start: Long, increment: Long,
+    minValue: Option[Long], maxValue: Option[Long], cycle: Boolean,
+    current: Long, ownedBy: Option[(String, String)])
+
 /** Table metadata: single-column primary key (mandatory, as in the
   * reference — schema.rs:56-79) plus the column mapping. */
 final case class TableDef(
@@ -94,6 +106,7 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   // procedure name -> (param names, body script) — the reference's
   // procedure registry (procedures.rs:29-66: name, parameters, body)
   private val procs = mutable.LinkedHashMap.empty[String, (Seq[String], String)]
+  private val sequences = mutable.LinkedHashMap.empty[String, SequenceDef]
   val stats = mutable.HashMap.empty[String, Map[String, String]] // ANALYZE output
 
   load()
@@ -153,6 +166,9 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
     constraints.remove(name)
     indexes.filterInPlace { case (_, (t, _)) => t != name }
     triggers.filterInPlace { case (_, (_, _, t, _, _)) => t != name }
+    // owned (AUTO_INCREMENT) sequences go with the table, like the
+    // reference's auto_increment_map cleanup (sequences.rs:195-207)
+    sequences.filterInPlace { case (_, s) => !s.ownedBy.exists(_._1 == name) }
     // delete the table's storage (event log + snapshots) so a CREATE
     // TABLE under the same name starts empty — leaving the log behind
     // would resurrect the dropped data and collide restarted sequences
@@ -433,6 +449,126 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   def procedureList: Seq[(String, Seq[String], String)] =
     procs.iterator.map { case (n, (ps, b)) => (n, ps, b) }.toSeq
 
+  // ------------------------------------------------------- sequences
+
+  /** CREATE SEQUENCE (sequences.rs:52-78): validates increment != 0
+    * and min < max, initializes current to start - increment so the
+    * first draw returns start. */
+  def createSequence(name: String, start: Long, increment: Long,
+      minValue: Option[Long], maxValue: Option[Long], cycle: Boolean,
+      ownedBy: Option[(String, String)] = None): Unit = {
+    if (sequences.contains(name))
+      throw new IllegalArgumentException(s"sequence already exists: $name")
+    if (increment == 0L)
+      throw new IllegalArgumentException("INCREMENT BY cannot be zero")
+    for (min <- minValue; max <- maxValue)
+      if (min >= max)
+        throw new IllegalArgumentException("MINVALUE must be less than MAXVALUE")
+    sequences(name) = SequenceDef(name, start, increment, minValue, maxValue,
+      cycle, start - increment, ownedBy)
+    save()
+  }
+
+  def dropSequence(name: String, ifExists: Boolean = false): Unit = {
+    if (sequences.remove(name).isEmpty && !ifExists)
+      throw new IllegalArgumentException(s"sequence not found: $name")
+    save()
+  }
+
+  private def seqRequire(name: String): SequenceDef =
+    sequences.getOrElse(name,
+      throw new IllegalArgumentException(s"sequence not found: $name"))
+
+  /** nextval: one draw with bounds + CYCLE semantics exactly as the
+    * reference's refill (sequences.rs:225-273, cache size 1 — we do
+    * not pre-draw blocks for scalar calls; batch fills reserve blocks
+    * explicitly via [[reserveSequenceBlock]]). */
+  def nextval(name: String): Long = {
+    val s = seqRequire(name)
+    var next = s.current + s.increment
+    for (max <- s.maxValue if next > max)
+      next =
+        if (s.cycle) s.minValue.getOrElse(1L)
+        else throw new IllegalArgumentException(
+          s"sequence $name exceeded maximum value")
+    for (min <- s.minValue if next < min)
+      next =
+        if (s.cycle) s.maxValue.getOrElse(Long.MaxValue)
+        else throw new IllegalArgumentException(
+          s"sequence $name fell below minimum value")
+    sequences(name) = s.copy(current = next)
+    save()
+    next
+  }
+
+  /** currval: last value handed out, without drawing
+    * (sequences.rs:144-152 current_value). */
+  def currval(name: String): Long = seqRequire(name).current
+
+  /** Reserve n consecutive values [first, first + inc*(n-1)] in ONE
+    * catalog write — the batch-fill shape for AUTO_INCREMENT columns:
+    * the driver reserves once, executors assign distributed (the
+    * reference draws per row under a lock, sequences.rs:108-142; at
+    * 100 TB a per-row lock draw is the bottleneck, a block
+    * reservation is O(1)). The block must not wrap: a bounded CYCLE
+    * sequence wraps only at the block START (same rule as a single
+    * draw); a wrap mid-block throws. */
+  def reserveSequenceBlock(name: String, n: Long): Long = {
+    if (n <= 0)
+      throw new IllegalArgumentException(s"sequence block size must be positive: $n")
+    val s = seqRequire(name)
+    var first = s.current + s.increment
+    for (max <- s.maxValue if first > max)
+      first =
+        if (s.cycle) s.minValue.getOrElse(1L)
+        else throw new IllegalArgumentException(
+          s"sequence $name exceeded maximum value")
+    for (min <- s.minValue if first < min)
+      first =
+        if (s.cycle) s.maxValue.getOrElse(Long.MaxValue)
+        else throw new IllegalArgumentException(
+          s"sequence $name fell below minimum value")
+    val last = first + s.increment * (n - 1)
+    if (s.increment > 0)
+      for (max <- s.maxValue if last > max)
+        throw new IllegalArgumentException(
+          s"sequence $name exceeded maximum value")
+    else
+      for (min <- s.minValue if last < min)
+        throw new IllegalArgumentException(
+          s"sequence $name fell below minimum value")
+    sequences(name) = s.copy(current = last)
+    save()
+    first
+  }
+
+  /** ALTER SEQUENCE name RESTART [WITH v] (sequences.rs:180-192
+    * restart_sequence; WITH v is set_value semantics where the NEXT
+    * draw returns v). */
+  def restartSequence(name: String, withValue: Option[Long]): Unit = {
+    val s = seqRequire(name)
+    val nextStart = withValue.getOrElse(s.start)
+    for (min <- s.minValue if nextStart < min)
+      throw new IllegalArgumentException(
+        s"value $nextStart is below minimum $min")
+    for (max <- s.maxValue if nextStart > max)
+      throw new IllegalArgumentException(
+        s"value $nextStart exceeds maximum $max")
+    sequences(name) = s.copy(current = nextStart - s.increment)
+    save()
+  }
+
+  def sequenceList: Seq[SequenceDef] = sequences.values.toSeq
+
+  def getSequence(name: String): Option[SequenceDef] = sequences.get(name)
+
+  /** The AUTO_INCREMENT sequence owned by `table`, if any:
+    * (sequence name, column). */
+  def autoIncSequenceFor(table: String): Option[(String, String)] =
+    sequences.valuesIterator.collectFirst {
+      case s if s.ownedBy.exists(_._1 == table) => (s.name, s.ownedBy.get._2)
+    }
+
   // ----------------------------------------------------- persistence
 
   private def enc(s: String) = URLEncoder.encode(s, UTF_8)
@@ -469,6 +605,11 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       sb.append(s"trigger\t${enc(name)}\t${enc(ti)}\t${enc(ev)}\t${enc(ta)}\t${enc(body)}\t${if (en) 1 else 0}\n")
     for ((name, (params, body)) <- procs)
       sb.append(s"proc\t${enc(name)}\t${params.map(enc).mkString(",")}\t${enc(body)}\n")
+    for ((name, s) <- sequences)
+      sb.append(s"sequence\t${enc(name)}\t${s.start}\t${s.increment}\t" +
+        s"${s.minValue.fold("")(_.toString)}\t${s.maxValue.fold("")(_.toString)}\t" +
+        s"${if (s.cycle) 1 else 0}\t${s.current}\t" +
+        s"${s.ownedBy.fold("")(o => enc(o._1))}\t${s.ownedBy.fold("")(o => enc(o._2))}\n")
     // crash-safe descriptor replacement: write the whole file to a tmp
     // path, then swap. A crash mid-create leaves the old meta intact; a
     // crash between delete and rename leaves only the tmp, which load()
@@ -545,6 +686,12 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
         procs(dec(n)) =
           (if (params.isEmpty) Nil
            else params.split(",", -1).toSeq.map(dec), dec(body))
+      case Array("sequence", n, st, inc, min, max, cyc, cur, ot, oc) =>
+        sequences(dec(n)) = SequenceDef(dec(n), st.toLong, inc.toLong,
+          if (min.isEmpty) None else Some(min.toLong),
+          if (max.isEmpty) None else Some(max.toLong),
+          cyc == "1", cur.toLong,
+          if (ot.isEmpty) None else Some((dec(ot), dec(oc))))
       case other =>
         throw new IllegalStateException(s"corrupt catalog line: ${other.mkString("\t")}")
     }

@@ -448,6 +448,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   private def isMutating(st: Statement): Boolean = st match {
     case _: Statement.Select | _: Statement.Explain | Statement.ShowTables |
         Statement.ShowTriggers | Statement.ShowProcedures |
+        Statement.ShowSequences |
         _: Statement.Describe | _: Statement.Analyze |
         Statement.Begin | _: Statement.Rollback | _: Statement.Savepoint |
         _: Statement.ReleaseSavepoint => false
@@ -522,6 +523,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         case Statement.NotNullDef(c) => Seq(c)
         case Statement.DefaultDef(c, _) => Seq(c)
         case Statement.UniqueDef(cs) => cs
+        case Statement.AutoIncrementDef(c) => Seq(c)
         case _: Statement.CheckDef => Nil
       }
       for (c <- constraintCols)
@@ -531,12 +533,20 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       if (fkDefs.nonEmpty)
         catalog.setForeignKeys(name, fkDefs.map(f => (f.column, f.refTable, f.refColumn)))
       if (conDefs.nonEmpty)
-        catalog.setConstraints(name, conDefs.map {
+        catalog.setConstraints(name, conDefs.collect {
           case Statement.NotNullDef(c) => graft.catalog.Constraint.NotNull(c)
           case Statement.DefaultDef(c, e) => graft.catalog.Constraint.Default(c, e)
           case Statement.UniqueDef(cs) => graft.catalog.Constraint.Unique(cs)
           case Statement.CheckDef(e) => graft.catalog.Constraint.Check(e)
         })
+      // AUTO_INCREMENT mints a table-owned sequence named like the
+      // reference's `{table}_{column}_seq` (sequences.rs:85-90)
+      val autoIncCols = conDefs.collect { case Statement.AutoIncrementDef(c) => c }
+      require(autoIncCols.size <= 1,
+        s"at most one AUTO_INCREMENT column per table: ${autoIncCols.mkString(", ")}")
+      for (c <- autoIncCols)
+        catalog.createSequence(s"${name}_${c}_seq", 1L, 1L, None, None,
+          cycle = false, ownedBy = Some((name, c)))
       summary("created", 0L, catalog.lastSeq(name))
     case Statement.CreateIndex(idx, table, colName) =>
       // metadata only: pushdown + parquet min/max subsume secondary
@@ -615,6 +625,26 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       import spark.implicits._
       catalog.procedureList.map { case (n, ps, b) => (n, ps.mkString(", "), b) }
         .toDF("name", "parameters", "body")
+    case Statement.CreateSequence(name, start, inc, min, max, cycle) =>
+      val increment = inc.getOrElse(1L)
+      // PG/reference default start: 1 ascending, MAXVALUE descending
+      val startV = start.getOrElse(
+        if (increment > 0) min.getOrElse(1L) else max.getOrElse(-1L))
+      catalog.createSequence(name, startV, increment, min, max, cycle)
+      summary("sequence_created", 0L, 0L)
+    case Statement.DropSequence(name, ifEx) =>
+      catalog.dropSequence(name, ifEx)
+      summary("sequence_dropped", 0L, 0L)
+    case Statement.AlterSequenceRestart(name, withV) =>
+      catalog.restartSequence(name, withV)
+      summary("sequence_restarted", 0L, 0L)
+    case Statement.ShowSequences =>
+      import spark.implicits._
+      catalog.sequenceList.map(s => (s.name, s.start, s.increment,
+        s.minValue, s.maxValue, s.cycle, s.current,
+        s.ownedBy.map(o => s"${o._1}.${o._2}")))
+        .toDF("name", "start", "increment", "min_value", "max_value",
+          "cycle", "last_value", "owned_by")
     case Statement.Call(name, args) => callProcedure(name, args)
     case Statement.DropTable(name, ifEx) =>
       // dropping a table with buffered writes would orphan them, and the
@@ -653,8 +683,16 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       catalog.dropColumn(table, c)
       summary("altered", 0L, catalog.lastSeq(table))
     case Statement.InsertValues(table, cols, valuesSql) =>
-      insertFrom(table, cols, spark.sql(s"SELECT * FROM $valuesSql"))
+      insertFrom(table, cols,
+        spark.sql(s"SELECT * FROM ${rewriteSequenceCalls(valuesSql)}"))
     case Statement.InsertSelect(table, cols, sel) =>
+      // a textual rewrite would draw ONCE for all N source rows; the
+      // per-row shape is an AUTO_INCREMENT column (block-reserved,
+      // distributed) — fail clearly instead of silently mis-assigning
+      if (mentionsSequenceCall(sel))
+        throw new IllegalArgumentException(
+          "nextval/currval in INSERT ... SELECT draws once per statement, " +
+            "not per row — use an AUTO_INCREMENT column instead")
       insertFrom(table, cols, select(sel))
     case Statement.Update(table, assigns, where) => update(table, assigns, where)
     case Statement.Delete(table, where) => delete(table, where)
@@ -669,7 +707,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Statement.ShowTables => showTables()
     case Statement.Describe(table) => describe(table)
     case Statement.CopyFrom(table, path) => ingestJsonl(table, path)
-    case Statement.Select(q) => select(q)
+    case Statement.Select(q) => select(rewriteSequenceCalls(q))
     case Statement.Begin | Statement.Commit | _: Statement.Rollback |
         _: Statement.Savepoint | _: Statement.ReleaseSavepoint =>
       throw new IllegalStateException("unreachable: txn control is handled in sql()")
@@ -943,15 +981,15 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     val viaTxn = if (direct) None else txn
     // inside a transaction, sequences continue from the buffered tail
     val base = viaTxn.flatMap(_.seqs.get(t.name)).getOrElse(catalog.lastSeq(t.name))
-    // pin the batch before counting + writing: the source reads the very
-    // log we append to, and zipWithIndex must not be recomputed between
-    // the two actions. A caller that already pinned the batch (DML paths
-    // pin once so PK/FK probe jobs read blocks instead of re-executing
-    // the source) skips the second materialization — zipWithIndex over
-    // checkpointed blocks is deterministic across actions.
-    val withSeq0 = EventLog.assignSequences(physical, base)
-    val withSeq = if (prePinned) withSeq0 else withSeq0.localCheckpoint()
-    val n = withSeq.count()
+    // pin the batch before sequencing: assignSequencesCounted computes
+    // partition offsets in one job and leaves the assignment lazy, so
+    // the consuming write must see the exact same row-to-partition
+    // layout — and the source reads the very log we append to. A
+    // caller that already pinned the batch (DML paths pin once so
+    // PK/FK probe jobs read blocks instead of re-executing the source)
+    // skips the second materialization.
+    val pinned = if (prePinned) physical else physical.localCheckpoint()
+    val (withSeq, n) = EventLog.assignSequencesCounted(pinned, base)
     if (n > 0) {
       val ev = withSeq.select(
         col("sequence"),
@@ -1002,6 +1040,46 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         lastSnapSeqs(table) = catalog.lastSeq(table)
       }
     }
+
+  // ---------------------------------------------------- sequence calls
+
+  private val SeqCallR = """(?i)\b(nextval|currval)\s*\(\s*'(\w+)'\s*\)""".r
+
+  private def mentionsSequenceCall(sqlText: String): Boolean = {
+    val lower = sqlText.toLowerCase
+    (lower.contains("nextval") || lower.contains("currval")) && {
+      val code = SqlText.codeMask(sqlText)
+      SeqCallR.findAllMatchIn(sqlText).exists(m => code(m.start))
+    }
+  }
+
+  /** Replace `nextval('s')` / `currval('s')` at code positions with
+    * drawn literals, left to right — each textual occurrence is one
+    * draw, so a multi-row VALUES list draws per row. Draws are
+    * non-transactional (they survive ROLLBACK — PG semantics, and the
+    * reference's SequenceManager sits outside transaction state the
+    * same way). Statement-level, not row-level: a nextval over an
+    * N-row FROM draws once (per-row assignment is what AUTO_INCREMENT
+    * columns are for — block reservation, distributed assign). */
+  private def rewriteSequenceCalls(sqlText: String): String = {
+    val lower = sqlText.toLowerCase
+    if (!lower.contains("nextval") && !lower.contains("currval")) return sqlText
+    val code = SqlText.codeMask(sqlText)
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- SeqCallR.findAllMatchIn(sqlText)) if (code(m.start)) {
+      sb.append(sqlText.substring(last, m.start))
+      val v =
+        if (m.group(1).equalsIgnoreCase("nextval")) {
+          ensureWriteLock() // a draw persists catalog state
+          catalog.nextval(m.group(2))
+        } else catalog.currval(m.group(2))
+      sb.append(s"CAST($v AS BIGINT)")
+      last = m.end
+    }
+    if (last == 0) sqlText
+    else { sb.append(sqlText.substring(last)); sb.toString }
+  }
 
   private def summary(op: String, n: Long, lastSeq: Long): DataFrame =
     spark.range(1).select(lit(op).as("op"), lit(n).as("n_affected"),
@@ -1234,36 +1312,38 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * per-row parent scan (fk.rs:92-101) — the scale-correct shape, and
     * AQE broadcasts the parent key set when it is small. A self-
     * referencing FK also sees keys from the batch itself (a row may
-    * reference a sibling inserted by the same statement). */
-  private def validateFkOutgoing(t: TableDef, rowsLogical: DataFrame): Unit =
-    for ((c, rt, rc) <- catalog.foreignKeysOf(t.name)) {
+    * reference a sibling inserted by the same statement). Returns
+    * message frames the caller unions into its single guard job
+    * alongside the PK and constraint probes. */
+  private def fkOutgoingProbes(t: TableDef, rowsLogical: DataFrame): Seq[DataFrame] =
+    for ((c, rt, rc) <- catalog.foreignKeysOf(t.name)) yield {
       val parent0 = stateAt(rt, None).select(col(rc).as("_fk_parent"))
       val parent = if (rt == t.name)
         parent0.unionByName(rowsLogical.select(col(rc).as("_fk_parent")))
       else parent0
-      val orphan = rowsLogical.where(col(c).isNotNull)
+      rowsLogical.where(col(c).isNotNull)
         .join(parent, col(c) === col("_fk_parent"), "left_anti")
-        .limit(1).count()
-      require(orphan == 0,
-        s"foreign key violation: ${t.name}.$c references missing key in $rt.$rc")
+        .select(lit(
+          s"foreign key violation: ${t.name}.$c references missing key in $rt.$rc")
+          .as("_err"))
     }
 
   /** RESTRICT on delete, like the reference (fk.rs:20-23, 113-147): a
     * parent row cannot go away while any child row references it. Rows
     * removed by this same statement do not block it (self-FK chains
     * delete together). */
-  private def validateFkIncoming(t: TableDef, deleted: DataFrame): Unit =
-    for ((child, childCol, parentCol) <- catalog.referencingFks(t.name)) {
+  private def fkIncomingProbes(t: TableDef, deleted: DataFrame): Seq[DataFrame] =
+    for ((child, childCol, parentCol) <- catalog.referencingFks(t.name)) yield {
       val childState0 = stateAt(child, None)
       val childState = if (child == t.name)
         childState0.join(deleted.select(col(t.pk)), Seq(t.pk), "left_anti")
       else childState0
-      val blocked = childState.where(col(childCol).isNotNull)
+      childState.where(col(childCol).isNotNull)
         .join(deleted.select(col(parentCol).as("_fk_key")),
           col(childCol) === col("_fk_key"), "left_semi")
-        .limit(1).count()
-      require(blocked == 0,
-        s"foreign key violation: cannot delete from ${t.name} — $child.$childCol references it")
+        .select(lit(
+          s"foreign key violation: cannot delete from ${t.name} — $child.$childCol references it")
+          .as("_err"))
     }
 
   /** INSERT (VALUES or SELECT): align source columns to the target
@@ -1282,16 +1362,37 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // (constraints.rs Default; an explicit NULL still inserts NULL, as
     // in PG)
     val defaults = defaultsOf(table)
-    val full0 = positioned.select(t.columns.map(c =>
-      if (target.contains(c.logical)) col(c.logical).cast(c.dataType).as(c.logical)
-      else expr(defaults.getOrElse(c.logical, "NULL"))
-        .cast(c.dataType).as(c.logical)): _*)
     // pin the batch ONCE: the PK/FK/constraint probe jobs and the
     // append below all read the pinned blocks instead of re-executing
     // the source lineage per action (an INSERT ... SELECT would
     // otherwise run three times), and a trigger body writing this same
     // table cannot mutate what the pinned batch reads
-    val full = full0.localCheckpoint()
+    val full = catalog.autoIncSequenceFor(table)
+      .filterNot { case (_, c) => target.contains(c) } match {
+      case Some((seqName, idCol)) =>
+        // omitted AUTO_INCREMENT column: pin the source, size the block
+        // in one count job, reserve it with ONE catalog write, and let
+        // executors assign the ids distributed (the reference draws
+        // per row under a lock — sequences.rs:108-142; a block
+        // reservation is the 100 TB shape)
+        val pinned = positioned.localCheckpoint()
+        val counts = EventLog.partitionCounts(pinned)
+        val n = counts.sum
+        val first = if (n > 0) catalog.reserveSequenceBlock(seqName, n) else 1L
+        val withId = EventLog.assignWithOffsets(pinned, first - 1, counts, "_auto_id")
+        withId.select(t.columns.map(c =>
+          if (c.logical == idCol) col("_auto_id").cast(c.dataType).as(c.logical)
+          else if (target.contains(c.logical))
+            col(c.logical).cast(c.dataType).as(c.logical)
+          else expr(defaults.getOrElse(c.logical, "NULL"))
+            .cast(c.dataType).as(c.logical)): _*)
+      case None =>
+        positioned.select(t.columns.map(c =>
+          if (target.contains(c.logical)) col(c.logical).cast(c.dataType).as(c.logical)
+          else expr(defaults.getOrElse(c.logical, "NULL"))
+            .cast(c.dataType).as(c.logical)): _*)
+          .localCheckpoint()
+    }
     fireTriggers(table, "INSERT", "BEFORE", None, Some(full))
     // every declarative guard in ONE Spark job: pk batch-duplicates, pk
     // state collisions, and NOT NULL / CHECK / UNIQUE probes union into
@@ -1305,8 +1406,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           .select(lit(s"primary key already exists in $table").as("_err")))
     }
     raiseFirstViolation(pkProbes ++
-      constraintViolations(t, full, stateAt(table, None), None))
-    validateFkOutgoing(t, full)
+      constraintViolations(t, full, stateAt(table, None), None) ++
+      fkOutgoingProbes(t, full))
     val (n, last) = append(t, full, EventLog.INSERT, prePinned = true)
     fireTriggers(table, "INSERT", "AFTER", None, Some(full))
     summary("insert", n, last)
@@ -1348,9 +1449,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             .select(lit(s"primary key already exists in $table").as("_err")))
       }
       raiseFirstViolation(pkProbes ++
-        constraintViolations(t, updated, survivors, Some(touched)))
-      validateFkChanged(t, assigns, updated)
-      validateFkIncomingOnUpdate(t, assigns, state, matching, updated)
+        constraintViolations(t, updated, survivors, Some(touched)) ++
+        fkChangedProbes(t, assigns, updated) ++
+        fkIncomingOnUpdateProbes(t, assigns, state, matching, updated))
       val (nd, _) = append(t, matching, EventLog.SOFT_DELETE, prePinned = true)
       val (_, last) = append(t, updated, EventLog.INSERT, prePinned = true)
       fireTriggers(table, "UPDATE", "AFTER", Some(matching), Some(updated))
@@ -1365,9 +1466,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       fireTriggers(table, "UPDATE", "BEFORE", Some(matching), Some(updated))
       raiseFirstViolation(constraintViolations(t, updated,
         state.join(matching.select(col(t.pk)), Seq(t.pk), "left_anti"),
-        Some(assigns.map(_._1).toSet)))
-      validateFkChanged(t, assigns, updated)
-      validateFkIncomingOnUpdate(t, assigns, state, matching, updated)
+        Some(assigns.map(_._1).toSet)) ++
+        fkChangedProbes(t, assigns, updated) ++
+        fkIncomingOnUpdateProbes(t, assigns, state, matching, updated))
       val (n, last) = append(t, updated, EventLog.PATCH, prePinned = true)
       fireTriggers(table, "UPDATE", "AFTER", Some(matching), Some(updated))
       summary("update", n, last)
@@ -1377,16 +1478,16 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   /** UPDATE re-validates only FK columns the SET list touches — an
     * update that leaves an FK column alone doesn't re-check the parent
     * (PG behavior, fk.rs:150-181). */
-  private def validateFkChanged(t: TableDef, assigns: Seq[(String, String)],
-      updated: DataFrame): Unit = {
+  private def fkChangedProbes(t: TableDef, assigns: Seq[(String, String)],
+      updated: DataFrame): Seq[DataFrame] = {
     val touched = assigns.map(_._1).toSet
-    for ((c, rt, rc) <- catalog.foreignKeysOf(t.name) if touched(c)) {
+    for ((c, rt, rc) <- catalog.foreignKeysOf(t.name) if touched(c)) yield {
       val parent = stateAt(rt, None).select(col(rc).as("_fk_parent"))
-      val orphan = updated.where(col(c).isNotNull)
+      updated.where(col(c).isNotNull)
         .join(parent, col(c) === col("_fk_parent"), "left_anti")
-        .limit(1).count()
-      require(orphan == 0,
-        s"foreign key violation: ${t.name}.$c references missing key in $rt.$rc")
+        .select(lit(
+          s"foreign key violation: ${t.name}.$c references missing key in $rt.$rc")
+          .as("_err"))
     }
   }
 
@@ -1396,25 +1497,26 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * counts as removed when it exists before the statement but is held
     * by no row after it — matched rows carry their new values, rows the
     * WHERE didn't touch keep their old ones. */
-  private def validateFkIncomingOnUpdate(t: TableDef, assigns: Seq[(String, String)],
-      state: DataFrame, matching: DataFrame, updated: DataFrame): Unit = {
+  private def fkIncomingOnUpdateProbes(t: TableDef, assigns: Seq[(String, String)],
+      state: DataFrame, matching: DataFrame, updated: DataFrame): Seq[DataFrame] = {
     val touched = assigns.map(_._1).toSet
     val incoming = catalog.referencingFks(t.name).filter(f => touched(f._3))
-    if (incoming.nonEmpty) {
+    if (incoming.isEmpty) Nil
+    else {
       val pk = t.pk
       val untouchedRows = state.join(matching.select(col(pk)), Seq(pk), "left_anti")
-      for ((child, childCol, parentCol) <- incoming) {
+      for ((child, childCol, parentCol) <- incoming) yield {
         val after = untouchedRows.select(col(parentCol).as("_fk_key"))
           .unionByName(updated.select(col(parentCol).as("_fk_key")))
         val removed = matching.select(col(parentCol).as("_fk_key")).except(after)
         // a self-referencing child is judged on its own post-update rows
         val childRows = if (child == t.name) untouchedRows.unionByName(updated)
           else stateAt(child, None)
-        val blocked = childRows.where(col(childCol).isNotNull)
+        childRows.where(col(childCol).isNotNull)
           .join(removed, col(childCol) === col("_fk_key"), "left_semi")
-          .limit(1).count()
-        require(blocked == 0,
-          s"foreign key violation: cannot change ${t.name}.$parentCol — $child.$childCol references it")
+          .select(lit(
+            s"foreign key violation: cannot change ${t.name}.$parentCol — $child.$childCol references it")
+            .as("_err"))
       }
     }
   }
@@ -1431,7 +1533,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // lineage re-reads
     val matching = matching0.localCheckpoint()
     fireTriggers(table, "DELETE", "BEFORE", Some(matching), None)
-    validateFkIncoming(t, matching)
+    raiseFirstViolation(fkIncomingProbes(t, matching))
     val (n, last) = append(t, matching, EventLog.SOFT_DELETE, prePinned = true)
     fireTriggers(table, "DELETE", "AFTER", Some(matching), None)
     summary("delete", n, last)
@@ -1467,8 +1569,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         .cast(c.dataType).as(c.logical)): _*)
     val full = full0.localCheckpoint()
     fireTriggers(table, "INSERT", "BEFORE", None, Some(full))
-    raiseFirstViolation(constraintViolations(t, full, stateAt(table, None), None))
-    validateFkOutgoing(t, full)
+    raiseFirstViolation(constraintViolations(t, full, stateAt(table, None), None) ++
+      fkOutgoingProbes(t, full))
     val (n, last) = append(t, full, EventLog.INSERT, prePinned = true)
     fireTriggers(table, "INSERT", "AFTER", None, Some(full))
     summary("ingest", n, last)

@@ -64,19 +64,42 @@ object EventLog {
   }
 
   /** Assign contiguous sequences base+1 .. base+count to a batch,
-    * distributed: zipWithIndex computes per-partition offsets in one
-    * extra pass instead of collapsing to a single partition (a
-    * window-based row_number would). Returns the frame with a new
-    * `sequence` column. The write path is driver-serialized — same
-    * single-writer discipline as the reference (index.rs:22-26) — so
-    * contiguity per batch is safe. */
-  def assignSequences(batch: DataFrame, base: Long): DataFrame = {
-    val spark = batch.sparkSession
+    * distributed: one explicit per-partition count job computes the
+    * partition offsets (what zipWithIndex does internally) and the
+    * batch size together, so callers that need both the sequenced
+    * frame AND its row count pay a single Spark job instead of
+    * zipWithIndex-count + count. Assignment itself stays lazy — it
+    * runs inside whatever action consumes the frame (usually the
+    * parquet write), never collapsing to a single partition (a
+    * window-based row_number would). The write path is
+    * driver-serialized — same single-writer discipline as the
+    * reference (index.rs:22-26) — so contiguity per batch is safe.
+    * The batch must be pinned (localCheckpoint) by the caller: the
+    * offsets are computed once, so the row-to-partition mapping must
+    * not change between the count job and the consuming action. */
+  def assignSequencesCounted(batch: DataFrame, base: Long): (DataFrame, Long) = {
+    val counts = partitionCounts(batch)
+    (assignWithOffsets(batch, base, counts), counts.sum)
+  }
+
+  /** One job: per-partition row counts (the offsets zipWithIndex would
+    * compute internally, surfaced so the total is free). */
+  def partitionCounts(batch: DataFrame): Array[Long] =
+    batch.rdd
+      .mapPartitions(it => Iterator.single(it.size.toLong), preservesPartitioning = true)
+      .collect()
+
+  /** Attach `colName` = base+1 .. base+sum(counts) using precomputed
+    * partition counts — lazy, distributed, no extra job. */
+  def assignWithOffsets(batch: DataFrame, base: Long, counts: Array[Long],
+      colName: String = "sequence"): DataFrame = {
     val out = StructType(batch.schema.fields :+
-      StructField("sequence", LongType, nullable = false))
-    val rdd = batch.rdd.zipWithIndex.map { case (row, i) =>
-      Row.fromSeq(row.toSeq :+ (base + 1 + i))
+      StructField(colName, LongType, nullable = false))
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val zipped = batch.rdd.mapPartitionsWithIndex { (pi, it) =>
+      var i = base + offsets(pi)
+      it.map { row => i += 1; Row.fromSeq(row.toSeq :+ i) }
     }
-    spark.createDataFrame(rdd, out)
+    batch.sparkSession.createDataFrame(zipped, out)
   }
 }

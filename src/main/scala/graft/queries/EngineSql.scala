@@ -491,9 +491,66 @@ object EngineSql {
         |FROM rich GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** Sequence lifecycle end-to-end (sequences.rs:8-213): ascending
+    * draws with MAXVALUE + CYCLE wrap, RESTART WITH re-aim, currval,
+    * and a descending sequence — every drawn value lands in a table
+    * row, so the oracle spells the exact expected draw trace; any
+    * misdraw (wrong start, wrong wrap, restart off-by-one) diverges
+    * the hash. */
+  val qSequences = Q(
+    "q_sequences",
+    """SELECT CAST(i AS BIGINT) AS i, CAST(v AS BIGINT) AS v
+      |FROM (VALUES (1,10),(2,15),(3,20),(4,25),(5,30),(6,10),
+      |             (7,21),(8,21),(9,0),(10,-3)) AS t(i, v)
+      |ORDER BY i""".stripMargin) { (s, _) =>
+    val e = QueryEngine.scratch(s)
+    e.sql("CREATE TABLE seq_log (i BIGINT PRIMARY KEY, v BIGINT)")
+    e.sql("CREATE SEQUENCE s START 10 INCREMENT 5 MINVALUE 10 MAXVALUE 30 CYCLE")
+    e.sql("""INSERT INTO seq_log VALUES (1, nextval('s')), (2, nextval('s')),
+            |(3, nextval('s')), (4, nextval('s'))""".stripMargin)
+    e.sql("INSERT INTO seq_log VALUES (5, nextval('s')), (6, nextval('s'))")
+    e.sql("ALTER SEQUENCE s RESTART WITH 21")
+    e.sql("INSERT INTO seq_log VALUES (7, nextval('s')), (8, currval('s'))")
+    e.sql("CREATE SEQUENCE d INCREMENT BY -3 START WITH 0")
+    e.sql("INSERT INTO seq_log VALUES (9, nextval('d')), (10, nextval('d'))")
+    e.sql("SELECT i, v FROM seq_log ORDER BY i")
+  }
+
+  /** AUTO_INCREMENT block reservation (sequences.rs:80-142): two
+    * INSERT ... SELECT batches fill the omitted id column. Assignment
+    * order within a batch is unspecified (distributed), so the oracle
+    * checks the order-free invariants that uniquely pin a gapless
+    * block: exactly N distinct ids, min 1, max N, and the closed-form
+    * sum N(N+1)/2 — any duplicate, gap, or wrong block start breaks
+    * at least one. */
+  val qAutoIncrement = Q(
+    "q_auto_increment",
+    """SELECT COUNT(*) AS n, COUNT(*) AS n_ids,
+      |       CAST(1 AS BIGINT) AS min_id,
+      |       CAST(COUNT(*) AS BIGINT) AS max_id,
+      |       CAST(COUNT(*) * (COUNT(*) + 1) / 2 AS BIGINT) AS id_sum,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal_sum
+      |FROM customer WHERE c_custkey <= 600""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.sql("CREATE TABLE docs (id BIGINT AUTO_INCREMENT PRIMARY KEY, ck BIGINT, bal DOUBLE)")
+    e.sql("""INSERT INTO docs (ck, bal)
+            |SELECT c_custkey, c_acctbal FROM customer
+            |WHERE c_custkey <= 400""".stripMargin)
+    e.sql("""INSERT INTO docs (ck, bal)
+            |SELECT c_custkey, c_acctbal FROM customer
+            |WHERE c_custkey > 400 AND c_custkey <= 600""".stripMargin)
+    e.sql("""SELECT COUNT(*) AS n, COUNT(DISTINCT id) AS n_ids,
+            |       CAST(MIN(id) AS BIGINT) AS min_id,
+            |       CAST(MAX(id) AS BIGINT) AS max_id,
+            |       CAST(SUM(id) AS BIGINT) AS id_sum,
+            |       CAST(SUM(CAST(bal AS DECIMAL(12,2))) AS DOUBLE) AS bal_sum
+            |FROM docs""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     qSqlAsOfSeq, qSqlAsOfTs, qSqlSystemAll, qSqlBetween, qSqlSnapshot,
     qLifecycleCurrent, qLifecycleAsOf, qTxnLifecycle, qFkLifecycle,
     qStreamIngest, qSqlPassthrough, qSqlView, qMatView, qTriggerAudit,
-    qProcCall, qMvccSessions, qConstraints)
+    qProcCall, qMvccSessions, qConstraints, qSequences, qAutoIncrement)
 }

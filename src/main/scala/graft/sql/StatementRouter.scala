@@ -23,6 +23,9 @@ object Statement {
   final case class DefaultDef(column: String, expr: String) extends ConstraintDef
   final case class UniqueDef(columns: Seq[String]) extends ConstraintDef
   final case class CheckDef(expr: String) extends ConstraintDef
+  /** `col BIGINT AUTO_INCREMENT` — the column fills from a table-owned
+    * sequence when omitted from an INSERT (sequences.rs:80-142). */
+  final case class AutoIncrementDef(column: String) extends ConstraintDef
   final case class CreateTable(name: String, cols: Seq[(String, String)], pk: String,
       fks: Seq[FkDef] = Nil,
       constraints: Seq[ConstraintDef] = Nil) extends Statement
@@ -54,6 +57,17 @@ object Statement {
   /** CALL name(arg, ...) — args are constant SQL expressions, evaluated
     * then bound as literals (procedures.rs:533-630 execute_procedure). */
   final case class Call(name: String, args: Seq[String]) extends Statement
+  /** CREATE SEQUENCE name [START [WITH] n] [INCREMENT [BY] n]
+    * [MINVALUE n] [MAXVALUE n] [CYCLE|NO CYCLE] [CACHE n]
+    * (sequences.rs:8-19; CACHE parses but is ignored — the engine
+    * draws through the catalog, block reservation replaces caching). */
+  final case class CreateSequence(name: String, start: Option[Long],
+      increment: Option[Long], minValue: Option[Long], maxValue: Option[Long],
+      cycle: Boolean) extends Statement
+  final case class DropSequence(name: String, ifExists: Boolean) extends Statement
+  /** ALTER SEQUENCE name RESTART [WITH n] (sequences.rs:180-192). */
+  final case class AlterSequenceRestart(name: String, withValue: Option[Long]) extends Statement
+  case object ShowSequences extends Statement
   final case class DropTable(name: String, ifExists: Boolean) extends Statement
   final case class DropView(name: String, ifExists: Boolean) extends Statement
   final case class Truncate(table: String) extends Statement
@@ -118,6 +132,12 @@ object StatementRouter {
   // keeps direction and type; binding here is by name, typing is the
   // bound value's own)
   private val ProcParamR = """(?is)^(?:IN\s+|OUT\s+|INOUT\s+)?(\w+)(?:\s+.*)?$""".r
+  private val CreateSeqR =
+    """(?is)^CREATE\s+SEQUENCE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(.*)$""".r
+  private val DropSeqR = """(?is)^DROP\s+SEQUENCE\s+(IF\s+EXISTS\s+)?(\w+)\s*$""".r
+  private val AlterSeqR =
+    """(?is)^ALTER\s+SEQUENCE\s+(\w+)\s+RESTART(?:\s+WITH\s+(-?\d+))?\s*$""".r
+  private val ShowSeqsR = """(?is)^SHOW\s+SEQUENCES\s*$""".r
   private val DropTableR = """(?is)^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
   private val DropViewR = """(?is)^DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
   private val TruncateR = """(?is)^TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*$""".r
@@ -192,6 +212,11 @@ object StatementRouter {
       case ShowProcsR() => ShowProcedures
       case CallR(name, argList) =>
         Call(name, splitTopLevel(argList).map(_.trim).filter(_.nonEmpty))
+      case CreateSeqR(name, opts) => parseCreateSequence(name, opts)
+      case DropSeqR(ifEx, name) => DropSequence(name, ifEx != null)
+      case AlterSeqR(name, withV) =>
+        AlterSequenceRestart(name, Option(withV).map(_.toLong))
+      case ShowSeqsR() => ShowSequences
       case DropTableR(ifEx, name) => DropTable(name, ifEx != null)
       case DropViewR(ifEx, name) => DropView(name, ifEx != null)
       case TruncateR(name) => Truncate(name)
@@ -229,6 +254,38 @@ object StatementRouter {
   private def topLevelIndexOf(s: String, c: Char): Int =
     SqlText.topLevelIndexOf(s, c)
 
+  /** CREATE SEQUENCE options, consumed left-to-right in any order;
+    * anything unrecognized is an error (sequences.rs:8-19 field set;
+    * CACHE n parses and is ignored, NO MINVALUE/MAXVALUE are the
+    * defaults). */
+  private def parseCreateSequence(name: String, opts: String): CreateSequence = {
+    var start: Option[Long] = None
+    var inc: Option[Long] = None
+    var min: Option[Long] = None
+    var max: Option[Long] = None
+    var cycle = false
+    val OptR =
+      ("""(?is)^(?:START(?:\s+WITH)?\s+(-?\d+)|INCREMENT(?:\s+BY)?\s+(-?\d+)|""" +
+        """NO\s+MINVALUE|NO\s+MAXVALUE|NO\s+CYCLE|MINVALUE\s+(-?\d+)|""" +
+        """MAXVALUE\s+(-?\d+)|CYCLE|CACHE\s+\d+)(?:\s+|$)""").r
+    var rest = opts.trim
+    while (rest.nonEmpty) {
+      OptR.findPrefixMatchOf(rest) match {
+        case Some(m) =>
+          val kw = m.matched.trim.toUpperCase
+          if (m.group(1) != null) start = Some(m.group(1).toLong)
+          else if (m.group(2) != null) inc = Some(m.group(2).toLong)
+          else if (m.group(3) != null) min = Some(m.group(3).toLong)
+          else if (m.group(4) != null) max = Some(m.group(4).toLong)
+          else if (kw == "CYCLE") cycle = true
+          rest = rest.substring(m.end).trim
+        case None =>
+          throw new IllegalArgumentException(s"bad CREATE SEQUENCE option: $rest")
+      }
+    }
+    CreateSequence(name, start, inc, min, max, cycle)
+  }
+
   /** CREATE TABLE body: column defs with inline or trailing PRIMARY KEY
     * (both reference forms — sql_bridge.rs:5724-5949) and foreign keys
     * in both forms too — inline `col T REFERENCES t(c)`
@@ -259,6 +316,7 @@ object StatementRouter {
     // CHECK (bal >= 0) UNIQUE`. DEFAULT peels last (its value runs to
     // end-of-def once the markers after it are gone).
     val TrailingNotNull = """(?is)^(.+?)\s+NOT\s+NULL$""".r
+    val TrailingAutoInc = """(?is)^(.+?)\s+AUTO_INCREMENT$""".r
     val TrailingUnique = """(?is)^(.+?)\s+UNIQUE$""".r
     val TrailingCheck = """(?is)^(.+?)\s+CHECK\s*\((.*)\)$""".r
     val TrailingDefault = """(?is)^(.+?)\s+DEFAULT\s+(.+)$""".r
@@ -283,6 +341,8 @@ object StatementRouter {
           typeDdl match {
             case TrailingPk(ddl) => typeDdl = ddl.trim; pk = Some(name)
             case TrailingNotNull(ddl) => typeDdl = ddl.trim; cons += NotNullDef(name)
+            case TrailingAutoInc(ddl) =>
+              typeDdl = ddl.trim; cons += AutoIncrementDef(name)
             case TrailingUnique(ddl) => typeDdl = ddl.trim; cons += UniqueDef(Seq(name))
             case TrailingCheck(ddl, e) => typeDdl = ddl.trim; cons += CheckDef(e.trim)
             case TrailingDefault(ddl, v) =>
