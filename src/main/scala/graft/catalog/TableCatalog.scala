@@ -38,6 +38,18 @@ object Constraint {
   final case class Check(expr: String) extends Constraint
 }
 
+/** One row-level-security policy (row_level_security.rs:56-128:
+  * Policy{name, table, action, check_type, roles, using_expr,
+  * check_expr}). `command` is SELECT/INSERT/UPDATE/DELETE/ALL;
+  * `roles` empty = PUBLIC (applies to every user); `permissive`
+  * policies OR together, restrictive ones AND (PG semantics, same
+  * split as the reference's PolicyCheck::Permissive/Restrictive).
+  * `usingExpr` filters visible rows; `checkExpr` validates written
+  * rows (absent → usingExpr serves both, as in PG). */
+final case class PolicyDef(name: String, table: String, command: String,
+    roles: Seq[String], permissive: Boolean,
+    usingExpr: Option[String], checkExpr: Option[String])
+
 /** CREATE SEQUENCE state (sequences.rs:8-19). `current` is the last
   * value handed out — initialized to `start - increment` so the first
   * draw returns `start`, exactly like the reference
@@ -107,6 +119,11 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   // procedure registry (procedures.rs:29-66: name, parameters, body)
   private val procs = mutable.LinkedHashMap.empty[String, (Seq[String], String)]
   private val sequences = mutable.LinkedHashMap.empty[String, SequenceDef]
+  // row-level security: tables with RLS enabled + the policy registry
+  // ((table, policy name) -> def), the reference's RlsManager state
+  // (row_level_security.rs:174-287), persisted with the catalog
+  private val rlsTables = mutable.LinkedHashSet.empty[String]
+  private val policies = mutable.LinkedHashMap.empty[(String, String), PolicyDef]
   val stats = mutable.HashMap.empty[String, Map[String, String]] // ANALYZE output
 
   load()
@@ -169,6 +186,11 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
     // owned (AUTO_INCREMENT) sequences go with the table, like the
     // reference's auto_increment_map cleanup (sequences.rs:195-207)
     sequences.filterInPlace { case (_, s) => !s.ownedBy.exists(_._1 == name) }
+    // RLS state goes with the table (row_level_security.rs drops the
+    // per-table policy vec the same way) — a recreated table must not
+    // inherit a predecessor's policies
+    rlsTables -= name
+    policies.filterInPlace { case ((t, _), _) => t != name }
     // delete the table's storage (event log + snapshots) so a CREATE
     // TABLE under the same name starts empty — leaving the log behind
     // would resurrect the dropped data and collide restarted sequences
@@ -569,6 +591,45 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       case s if s.ownedBy.exists(_._1 == table) => (s.name, s.ownedBy.get._2)
     }
 
+  // ---------------------------------------------- row-level security
+
+  /** ALTER TABLE ... ENABLE/DISABLE ROW LEVEL SECURITY
+    * (row_level_security.rs:195-222). Policies survive a disable —
+    * they just stop applying, as in PG. */
+  def setRlsEnabled(table: String, enabled: Boolean): Unit = {
+    require(table) // raises on unknown table
+    if (enabled) rlsTables += table else rlsTables -= table
+    save()
+  }
+
+  def isRlsEnabled(table: String): Boolean = rlsTables.contains(table)
+
+  /** CREATE POLICY (row_level_security.rs:224-248: duplicate name on
+    * the same table rejected). */
+  def createPolicy(p: PolicyDef): Unit = {
+    require(p.table) // raises on unknown table
+    if (policies.contains((p.table, p.name)))
+      throw new IllegalArgumentException(
+        s"policy already exists: ${p.name} on ${p.table}")
+    policies((p.table, p.name)) = p
+    save()
+  }
+
+  def dropPolicy(table: String, name: String, ifExists: Boolean = false): Unit = {
+    if (policies.remove((table, name)).isEmpty && !ifExists)
+      throw new IllegalArgumentException(s"policy not found: $name on $table")
+    save()
+  }
+
+  /** Policies that could govern `command` on `table` (ALL always
+    * applies; role filtering happens in the engine, which knows the
+    * session). */
+  def policiesFor(table: String, command: String): Seq[PolicyDef] =
+    policies.valuesIterator.filter(p => p.table == table &&
+      (p.command == "ALL" || p.command == command)).toSeq
+
+  def policyList: Seq[PolicyDef] = policies.values.toSeq
+
   // ----------------------------------------------------- persistence
 
   private def enc(s: String) = URLEncoder.encode(s, UTF_8)
@@ -610,6 +671,12 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
         s"${s.minValue.fold("")(_.toString)}\t${s.maxValue.fold("")(_.toString)}\t" +
         s"${if (s.cycle) 1 else 0}\t${s.current}\t" +
         s"${s.ownedBy.fold("")(o => enc(o._1))}\t${s.ownedBy.fold("")(o => enc(o._2))}\n")
+    for (t <- rlsTables)
+      sb.append(s"rls\t${enc(t)}\n")
+    for (((_, _), p) <- policies)
+      sb.append(s"policy\t${enc(p.table)}\t${enc(p.name)}\t${enc(p.command)}\t" +
+        s"${p.roles.map(enc).mkString(",")}\t${if (p.permissive) 1 else 0}\t" +
+        s"${p.usingExpr.fold("")(enc)}\t${p.checkExpr.fold("")(enc)}\n")
     // crash-safe descriptor replacement: write the whole file to a tmp
     // path, then swap. A crash mid-create leaves the old meta intact; a
     // crash between delete and rename leaves only the tmp, which load()
@@ -692,6 +759,13 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
           if (max.isEmpty) None else Some(max.toLong),
           cyc == "1", cur.toLong,
           if (ot.isEmpty) None else Some((dec(ot), dec(oc))))
+      case Array("rls", t) => rlsTables += dec(t)
+      case Array("policy", t, n, cmd, roles, perm, usingE, checkE) =>
+        policies((dec(t), dec(n))) = PolicyDef(dec(n), dec(t), dec(cmd),
+          if (roles.isEmpty) Nil else roles.split(",", -1).toSeq.map(dec),
+          perm == "1",
+          if (usingE.isEmpty) None else Some(dec(usingE)),
+          if (checkE.isEmpty) None else Some(dec(checkE)))
       case other =>
         throw new IllegalStateException(s"corrupt catalog line: ${other.mkString("\t")}")
     }

@@ -174,7 +174,21 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * for intra-statement parallelism. */
   final class Session private[QueryEngine] () {
     private[QueryEngine] var txn: Option[Txn] = None
+    // security context (row_level_security.rs:130-162): row policies
+    // filter reads/writes for non-superusers once a table enables RLS.
+    // The default context is the superuser — engine-internal work
+    // (FK probes, snapshots, matview refresh) always bypasses policies.
+    private[QueryEngine] var user: String = "root"
+    private[QueryEngine] var roles: Set[String] = Set.empty
+    private[QueryEngine] var superuser: Boolean = true
     def inTransaction: Boolean = txn.isDefined
+    def currentUser: String = user
+    /** Switch this session's security context (SET ROLE does the same
+      * from SQL; this form also carries role membership). */
+    def setAuth(user: String, roles: Set[String] = Set.empty,
+        superuser: Boolean = false): Unit = {
+      this.user = user; this.roles = roles; this.superuser = superuser
+    }
     def sql(statement: String): DataFrame = sqlAs(this, statement)
     def sql(statement: String, params: Seq[Any]): DataFrame =
       sqlAs(this, graft.sql.Params.bind(statement, params))
@@ -448,7 +462,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   private def isMutating(st: Statement): Boolean = st match {
     case _: Statement.Select | _: Statement.Explain | Statement.ShowTables |
         Statement.ShowTriggers | Statement.ShowProcedures |
-        Statement.ShowSequences |
+        Statement.ShowSequences | Statement.ShowPolicies |
+        _: Statement.SetRole |
         _: Statement.Describe | _: Statement.Analyze |
         Statement.Begin | _: Statement.Rollback | _: Statement.Savepoint |
         _: Statement.ReleaseSavepoint => false
@@ -645,6 +660,31 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         s.ownedBy.map(o => s"${o._1}.${o._2}")))
         .toDF("name", "start", "increment", "min_value", "max_value",
           "cycle", "last_value", "owned_by")
+    case Statement.AlterTableRls(table, enable) =>
+      catalog.setRlsEnabled(table, enable)
+      summary(if (enable) "rls_enabled" else "rls_disabled", 0L, 0L)
+    case Statement.CreatePolicy(name, table, cmd, roles, permissive, usingE, checkE) =>
+      catalog.createPolicy(graft.catalog.PolicyDef(
+        name, table, cmd, roles, permissive, usingE, checkE))
+      summary("policy_created", 0L, 0L)
+    case Statement.DropPolicy(name, table, ifEx) =>
+      catalog.dropPolicy(table, name, ifEx)
+      summary("policy_dropped", 0L, 0L)
+    case Statement.ShowPolicies =>
+      import spark.implicits._
+      catalog.policyList.map(p => (p.name, p.table, p.command,
+        if (p.roles.isEmpty) "PUBLIC" else p.roles.mkString(", "),
+        if (p.permissive) "PERMISSIVE" else "RESTRICTIVE",
+        p.usingExpr.getOrElse(""), p.checkExpr.getOrElse("")))
+        .toDF("name", "table", "command", "roles", "kind", "using", "check")
+    case Statement.SetRole(user) =>
+      // SET ROLE drops to an unprivileged named user; RESET ROLE
+      // returns to the superuser context the session started with
+      user match {
+        case Some(u) => current.setAuth(u, roles = Set(u))
+        case None => current.setAuth("root", superuser = true)
+      }
+      summary("role_set", 0L, 0L)
     case Statement.Call(name, args) => callProcedure(name, args)
     case Statement.DropTable(name, ifEx) =>
       // dropping a table with buffered writes would orphan them, and the
@@ -835,10 +875,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
 
   private def maskNonCode(sqlText: String): String = SqlText.maskNonCode(sqlText)
 
-  /** A table at a point in (system) time, with logical column names. */
+  /** A table at a point in (system) time, with logical column names.
+    * Row policies filter here — the user-facing read surface (select()
+    * and view expansion resolve through this); engine-internal reads
+    * (FK probes, snapshots, conflict detection) call stateAt directly
+    * and stay unfiltered, like PG's RLS-exempt integrity checks. */
   def resolve(table: String, st: SystemTime): DataFrame = {
     val t = catalog.require(table)
-    st match {
+    val frame = st match {
       case SystemTime.Current => stateAt(table, None)
       case SystemTime.AsOfSeq(s) => stateAt(table, Some(s))
       case SystemTime.AsOfTs(ts) =>
@@ -852,6 +896,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       case SystemTime.Between(a, b) =>
         frameWithLogicalPayload(t, StateView.changesBetween(events(t), a, b))
     }
+    rlsFilter(table, "SELECT").fold(frame)(frame.where)
   }
 
   /** Flatten an event frame to (sequence, ts, event_type, pk, cols...)
@@ -897,13 +942,21 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   }
 
   /** The durable event log only — no transaction buffer, no snapshot
-    * horizon. COMMIT's conflict probe reads this directly. */
+    * horizon. COMMIT's conflict probe reads this directly.
+    *
+    * The read uses the CATALOG's event schema, not schema merging: the
+    * catalog is the source of truth for the payload struct, parquet
+    * resolves its fields by (physical) name, and a field absent from an
+    * older file reads as NULL — exactly the ALTER ADD/DROP semantics.
+    * mergeSchema would spend a Spark job collecting every log file's
+    * footer on every statement's state read, and at 100 TB that footer
+    * sweep is itself a full metadata scan. */
   private def baseEvents(t: TableDef): DataFrame =
     t.attached.getOrElse {
       val p = new Path(logDir(t.name))
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-        spark.read.option("mergeSchema", "true").parquet(p.toString)
+      if (fs.exists(p))
+        spark.read.schema(EventLog.schema(t.payloadSchema)).parquet(p.toString)
       else
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           EventLog.schema(t.payloadSchema))
@@ -946,7 +999,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       case Some(snapSeq) =>
         val tail = asOf.fold(ev.where(col("sequence") > snapSeq))(s =>
           ev.where(col("sequence") > snapSeq && col("sequence") <= s))
-        val snap = Snapshots.read(spark, catalog.snapshotPath(table), snapSeq)
+        val snap = Snapshots.read(spark, catalog.snapshotPath(table), snapSeq,
+          Some(EventLog.schema(t.payloadSchema)))
         StateView.stateAt(snap.unionByName(tail, allowMissingColumns = true), None)
       case None => StateView.stateAt(ev, asOf)
     }
@@ -1297,6 +1351,69 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       case _ => Nil
     }
 
+  // ------------------------------------------------- row-level security
+
+  /** The session's visible-row predicate for `command` on `table`, or
+    * None when RLS doesn't constrain it (disabled, or superuser
+    * session). PG/reference semantics (row_level_security.rs:289-340):
+    * permissive policies OR together, restrictive ones AND on top; RLS
+    * enabled with no applicable permissive policy denies every row
+    * (default deny). A policy expression evaluating to NULL counts as
+    * not passing. */
+  private def rlsFilter(table: String, command: String)
+      : Option[org.apache.spark.sql.Column] =
+    rlsPredicate(table, command, _.usingExpr)
+
+  /** The write-side predicate (WITH CHECK) for rows `command` is about
+    * to land; a policy without WITH CHECK falls back to USING (PG). */
+  private def rlsCheckPredicate(table: String, command: String)
+      : Option[org.apache.spark.sql.Column] =
+    rlsPredicate(table, command, p => p.checkExpr.orElse(p.usingExpr))
+
+  private def rlsPredicate(table: String, command: String,
+      exprOf: graft.catalog.PolicyDef => Option[String])
+      : Option[org.apache.spark.sql.Column] = {
+    val s = current
+    if (s.superuser || !catalog.isRlsEnabled(table)) return None
+    val applicable = catalog.policiesFor(table, command).filter(p =>
+      p.roles.isEmpty || p.roles.contains(s.user) || p.roles.exists(s.roles))
+    // a clause-less policy (no USING, no WITH CHECK) passes everything
+    def toCol(p: graft.catalog.PolicyDef) = exprOf(p).fold(lit(true))(e =>
+      coalesce(expr(bindSessionUser(e)), lit(false)))
+    val (perm, restr) = applicable.partition(_.permissive)
+    if (perm.isEmpty) Some(lit(false))
+    else Some(restr.map(toCol).foldLeft(perm.map(toCol).reduce(_ || _))(_ && _))
+  }
+
+  /** `current_user` in a policy expression binds to the SESSION user
+    * (substituted as an escaped literal at code positions — Spark's own
+    * current_user() would name the OS user running the JVM). */
+  private def bindSessionUser(e: String): String = {
+    val lower = e.toLowerCase
+    if (!lower.contains("current_user")) return e
+    val code = SqlText.codeMask(e)
+    val userLit = "'" + current.user.replace("'", "''") + "'"
+    val R = """(?i)\bcurrent_user\b(\s*\(\s*\))?""".r
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- R.findAllMatchIn(e)) if (code(m.start)) {
+      sb.append(e.substring(last, m.start)).append(userLit)
+      last = m.end
+    }
+    if (last == 0) e else { sb.append(e.substring(last)); sb.toString }
+  }
+
+  /** Probe frames for WITH CHECK violations in a written batch — one
+    * message row per violating row, unioned into the statement's
+    * single guard job (PG raises `new row violates row-level security
+    * policy`; the reference's check_access does the same per row —
+    * row_level_security.rs:289-340, set-based here). */
+  private def rlsCheckProbes(table: String, rows: DataFrame,
+      command: String): Seq[DataFrame] =
+    rlsCheckPredicate(table, command).toSeq.map(c =>
+      rows.where(!c).select(lit(
+        s"new row violates row-level security policy for $table").as("_err")))
+
   /** Union the guard probes into ONE job and raise on the first hit. */
   private def raiseFirstViolation(probes: Seq[DataFrame]): Unit =
     if (probes.nonEmpty) {
@@ -1397,16 +1514,21 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // every declarative guard in ONE Spark job: pk batch-duplicates, pk
     // state collisions, and NOT NULL / CHECK / UNIQUE probes union into
     // a single limit-1 collect
+    // one state read shared by the pk and constraint probes — each
+    // stateAt call re-plans the log scan, so building it once keeps the
+    // guard job's plan (and its parquet footer work) single
+    lazy val state = stateAt(table, None)
     val pkProbes = if (!enforcePkUniqueness) Nil else {
       val pk = t.pk
       Seq(
         full.groupBy(col(pk)).agg(count(lit(1)).as("_n")).where(col("_n") > 1)
           .select(lit(s"duplicate primary key within INSERT batch on $table").as("_err")),
-        full.join(stateAt(table, None).select(col(pk)), Seq(pk), "left_semi")
+        full.join(state.select(col(pk)), Seq(pk), "left_semi")
           .select(lit(s"primary key already exists in $table").as("_err")))
     }
     raiseFirstViolation(pkProbes ++
-      constraintViolations(t, full, stateAt(table, None), None) ++
+      constraintViolations(t, full, state, None) ++
+      rlsCheckProbes(table, full, "INSERT") ++
       fkOutgoingProbes(t, full))
     val (n, last) = append(t, full, EventLog.INSERT, prePinned = true)
     fireTriggers(table, "INSERT", "AFTER", None, Some(full))
@@ -1422,7 +1544,13 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     val bad = assigns.map(_._1).filterNot(a => t.columns.exists(_.logical == a))
     require(bad.isEmpty, s"unknown UPDATE columns: ${bad.mkString(",")}")
     val state = stateAt(table, None)
-    val matching0 = where.fold(state)(w => state.where(expr(w)))
+    // row policies narrow which rows this session's UPDATE can touch;
+    // rows it cannot see survive untouched (PG UPDATE-USING semantics)
+    val rlsUsing = rlsFilter(table, "UPDATE")
+    val matching0 = {
+      val m = where.fold(state)(w => state.where(expr(w)))
+      rlsUsing.fold(m)(m.where)
+    }
     def applyAssigns(src: DataFrame): DataFrame = src.select(t.columns.map { c =>
       assigns.find(_._1 == c.logical) match {
         case Some((_, e)) => expr(e).cast(c.dataType).as(c.logical)
@@ -1450,6 +1578,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       }
       raiseFirstViolation(pkProbes ++
         constraintViolations(t, updated, survivors, Some(touched)) ++
+        rlsCheckProbes(table, updated, "UPDATE") ++
         fkChangedProbes(t, assigns, updated) ++
         fkIncomingOnUpdateProbes(t, assigns, state, matching, updated))
       val (nd, _) = append(t, matching, EventLog.SOFT_DELETE, prePinned = true)
@@ -1467,6 +1596,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       raiseFirstViolation(constraintViolations(t, updated,
         state.join(matching.select(col(t.pk)), Seq(t.pk), "left_anti"),
         Some(assigns.map(_._1).toSet)) ++
+        rlsCheckProbes(table, updated, "UPDATE") ++
         fkChangedProbes(t, assigns, updated) ++
         fkIncomingOnUpdateProbes(t, assigns, state, matching, updated))
       val (n, last) = append(t, updated, EventLog.PATCH, prePinned = true)
@@ -1526,7 +1656,11 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   def delete(table: String, where: Option[String]): DataFrame = {
     val t = catalog.require(table)
     val state = stateAt(table, None)
-    val matching0 = where.fold(state)(w => state.where(expr(w)))
+    // rows the session cannot see (RLS DELETE-USING) are not deletable
+    val matching0 = {
+      val m = where.fold(state)(w => state.where(expr(w)))
+      rlsFilter(table, "DELETE").fold(m)(m.where)
+    }
     // pin the doomed batch once — FK/trigger probe jobs and the append
     // read blocks instead of replaying state collapse per action, and a
     // trigger body writing this table cannot change what the lazy

@@ -459,6 +459,59 @@ object EngineSql {
             |FROM acct ORDER BY k""".stripMargin)
   }
 
+  /** Row-level security end-to-end (row_level_security.rs:56-340):
+    * an owner-scoped PUBLIC policy (USING + WITH CHECK) plus a
+    * role-scoped auditor policy. Alice's UPDATE and DELETE touch only
+    * her visible rows, her forged INSERT (owner = 'bob') raises and
+    * leaves nothing, and three differently-privileged reads land in
+    * one result: what alice sees, what an auditor sees, and the true
+    * final state (superuser). The oracle folds the same algebra —
+    * a policy leak in any direction (filter too wide, too narrow,
+    * write escaping WITH CHECK) diverges rows or hash. */
+  val qRls = Q(
+    "q_rls",
+    """WITH base AS (
+      |  SELECT c_custkey AS k,
+      |         CAST(c_acctbal AS DOUBLE) +
+      |           CASE WHEN c_custkey % 3 = 0 AND c_custkey % 2 = 1
+      |                THEN 100 ELSE 0 END AS bal,
+      |         CASE WHEN c_custkey % 3 = 0 THEN 'alice' ELSE 'bob' END AS owner
+      |  FROM customer WHERE c_custkey < 500),
+      |fin AS (
+      |  SELECT * FROM base WHERE NOT (owner = 'alice' AND bal < 500))
+      |SELECT 'alice_sees' AS phase, k, bal, owner FROM fin WHERE owner = 'alice'
+      |UNION ALL
+      |SELECT 'audit_sees' AS phase, k, bal, owner FROM fin WHERE bal > 9000
+      |UNION ALL
+      |SELECT 'state' AS phase, k, bal, owner FROM fin
+      |ORDER BY phase, k""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.sql("CREATE TABLE acct (k BIGINT PRIMARY KEY, bal DOUBLE, owner STRING)")
+    e.sql("""INSERT INTO acct
+            |SELECT c_custkey, c_acctbal,
+            |       CASE WHEN c_custkey % 3 = 0 THEN 'alice' ELSE 'bob' END
+            |FROM customer WHERE c_custkey < 500""".stripMargin)
+    e.sql("ALTER TABLE acct ENABLE ROW LEVEL SECURITY")
+    e.sql("""CREATE POLICY own ON acct USING (owner = current_user)
+            |WITH CHECK (owner = current_user)""".stripMargin)
+    e.sql("CREATE POLICY big ON acct FOR SELECT TO auditor USING (bal > 9000)")
+    val alice = e.newSession(); alice.setAuth("alice")
+    alice.sql("UPDATE acct SET bal = bal + 100 WHERE k % 2 = 1")
+    val blocked =
+      try { alice.sql("INSERT INTO acct VALUES (9001, 1.0, 'bob')"); false }
+      catch { case _: IllegalArgumentException => true }
+    require(blocked, "RLS WITH CHECK did not veto the forged INSERT")
+    alice.sql("DELETE FROM acct WHERE bal < 500") // only her visible rows
+    val carol = e.newSession(); carol.setAuth("carol", roles = Set("auditor"))
+    val aliceSees =
+      alice.sql("SELECT 'alice_sees' AS phase, k, bal, owner FROM acct")
+    val auditSees =
+      carol.sql("SELECT 'audit_sees' AS phase, k, bal, owner FROM acct")
+    val state = e.sql("SELECT 'state' AS phase, k, bal, owner FROM acct")
+    aliceSees.unionByName(auditSees).unionByName(state).orderBy("phase", "k")
+  }
+
   /** Plain relational passthrough through engine.sql over external
     * tables — identical ANSI text runs in the oracle. */
   private val passthroughSql =
@@ -552,5 +605,6 @@ object EngineSql {
     qSqlAsOfSeq, qSqlAsOfTs, qSqlSystemAll, qSqlBetween, qSqlSnapshot,
     qLifecycleCurrent, qLifecycleAsOf, qTxnLifecycle, qFkLifecycle,
     qStreamIngest, qSqlPassthrough, qSqlView, qMatView, qTriggerAudit,
-    qProcCall, qMvccSessions, qConstraints, qSequences, qAutoIncrement)
+    qProcCall, qMvccSessions, qConstraints, qSequences, qAutoIncrement,
+    qRls)
 }

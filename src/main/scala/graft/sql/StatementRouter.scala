@@ -97,6 +97,21 @@ object Statement {
   final case class Savepoint(name: String) extends Statement
   final case class ReleaseSavepoint(name: String) extends Statement
   final case class Select(sql: String) extends Statement
+  /** ALTER TABLE t ENABLE|DISABLE ROW LEVEL SECURITY
+    * (row_level_security.rs:195-222). */
+  final case class AlterTableRls(table: String, enable: Boolean) extends Statement
+  /** CREATE POLICY name ON t [AS PERMISSIVE|RESTRICTIVE] [FOR cmd]
+    * [TO role, ...] [USING (expr)] [WITH CHECK (expr)]
+    * (row_level_security.rs:56-128, 224-248). */
+  final case class CreatePolicy(name: String, table: String, command: String,
+      roles: Seq[String], permissive: Boolean,
+      usingExpr: Option[String], checkExpr: Option[String]) extends Statement
+  final case class DropPolicy(name: String, table: String, ifExists: Boolean) extends Statement
+  case object ShowPolicies extends Statement
+  /** SET ROLE user / RESET ROLE — switches the session's security
+    * context (the reference threads a SecurityContext per connection,
+    * row_level_security.rs:130-162). */
+  final case class SetRole(user: Option[String]) extends Statement
 }
 
 object StatementRouter {
@@ -162,6 +177,16 @@ object StatementRouter {
   private val DescribeR = """(?is)^(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.]+)\s*$""".r
   private val CopyR =
     """(?is)^COPY\s+([\w.]+)\s+FROM\s+'([^']+)'\s*(?:\(.*\))?\s*$""".r
+  private val AlterRlsR =
+    """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+(ENABLE|DISABLE)\s+ROW\s+LEVEL\s+SECURITY\s*$""".r
+  private val CreatePolicyR =
+    """(?is)^CREATE\s+POLICY\s+(\w+)\s+ON\s+([\w.]+)\s*(.*)$""".r
+  private val DropPolicyR =
+    """(?is)^DROP\s+POLICY\s+(IF\s+EXISTS\s+)?(\w+)\s+ON\s+([\w.]+)\s*$""".r
+  private val ShowPoliciesR = """(?is)^SHOW\s+POLICIES\s*$""".r
+  private val SetRoleR =
+    """(?is)^SET\s+(?:ROLE|SESSION\s+AUTHORIZATION)\s+(\w+)\s*$""".r
+  private val ResetRoleR = """(?is)^RESET\s+(?:ROLE|SESSION\s+AUTHORIZATION)\s*$""".r
   private val BeginR =
     """(?is)^(?:BEGIN(?:\s+(?:WORK|TRANSACTION))?|START\s+TRANSACTION)(?:\s+ISOLATION\s+LEVEL\s+[\w\s]+)?\s*$""".r
   private val CommitR = """(?is)^(?:COMMIT|END)(?:\s+(?:WORK|TRANSACTION))?\s*$""".r
@@ -217,6 +242,13 @@ object StatementRouter {
       case AlterSeqR(name, withV) =>
         AlterSequenceRestart(name, Option(withV).map(_.toLong))
       case ShowSeqsR() => ShowSequences
+      case AlterRlsR(table, mode) =>
+        AlterTableRls(table, mode.equalsIgnoreCase("ENABLE"))
+      case CreatePolicyR(name, table, rest) => parseCreatePolicy(name, table, rest)
+      case DropPolicyR(ifEx, name, table) => DropPolicy(name, table, ifEx != null)
+      case ShowPoliciesR() => ShowPolicies
+      case SetRoleR(user) => SetRole(Some(user))
+      case ResetRoleR() => SetRole(None)
       case DropTableR(ifEx, name) => DropTable(name, ifEx != null)
       case DropViewR(ifEx, name) => DropView(name, ifEx != null)
       case TruncateR(name) => Truncate(name)
@@ -253,6 +285,66 @@ object StatementRouter {
 
   private def topLevelIndexOf(s: String, c: Char): Int =
     SqlText.topLevelIndexOf(s, c)
+
+  /** CREATE POLICY tail: AS/FOR/TO/USING/WITH CHECK clauses in any
+    * order. USING and WITH CHECK expressions are extracted by matching
+    * their parenthesis at code positions (an expr may nest parens or
+    * quote them in literals), then handed verbatim to Catalyst. */
+  private def parseCreatePolicy(name: String, table: String, rest0: String)
+      : CreatePolicy = {
+    var rest = rest0.trim
+    var permissive = true
+    var command = "ALL"
+    var roles: Seq[String] = Nil
+    var usingE: Option[String] = None
+    var checkE: Option[String] = None
+    val AsR = """(?is)^AS\s+(PERMISSIVE|RESTRICTIVE)\s*(.*)$""".r
+    val ForR = """(?is)^FOR\s+(SELECT|INSERT|UPDATE|DELETE|ALL)\s*(.*)$""".r
+    val ToR = """(?is)^TO\s+(\w+(?:\s*,\s*\w+)*)\s*(.*)$""".r
+    val UsingR = """(?is)^USING\s*\(""".r
+    val CheckR = """(?is)^WITH\s+CHECK\s*\(""".r
+    def takeParen(prefix: scala.util.matching.Regex): Option[String] =
+      prefix.findPrefixMatchOf(rest).map { m =>
+        val open = m.end - 1
+        val close = matchingCodeParen(rest, open)
+        val e = rest.substring(open + 1, close).trim
+        rest = rest.substring(close + 1).trim
+        e
+      }
+    while (rest.nonEmpty) rest match {
+      case AsR(mode, r) =>
+        permissive = mode.equalsIgnoreCase("PERMISSIVE"); rest = r.trim
+      case ForR(cmd, r) => command = cmd.toUpperCase; rest = r.trim
+      case ToR(list, r) =>
+        // TO PUBLIC ≡ no role restriction (PG; the reference's empty
+        // roles vec means the same — row_level_security.rs:114-121)
+        roles = list.split(",").toSeq.map(_.trim)
+          .filter(x => x.nonEmpty && !x.equalsIgnoreCase("PUBLIC"))
+        rest = r.trim
+      case _ =>
+        takeParen(UsingR).map(e => usingE = Some(e))
+          .orElse(takeParen(CheckR).map(e => checkE = Some(e)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"bad CREATE POLICY clause: $rest"))
+    }
+    CreatePolicy(name, table, command, roles, permissive, usingE, checkE)
+  }
+
+  /** Index of the ')' matching the '(' at `open`, counting only code
+    * positions (parens inside string literals/comments don't nest). */
+  private def matchingCodeParen(s: String, open: Int): Int = {
+    val code = SqlText.codeMask(s)
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      if (code(i)) {
+        if (s.charAt(i) == '(') depth += 1
+        else if (s.charAt(i) == ')') { depth -= 1; if (depth == 0) return i }
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parentheses in: $s")
+  }
 
   /** CREATE SEQUENCE options, consumed left-to-right in any order;
     * anything unrecognized is an error (sequences.rs:8-19 field set;

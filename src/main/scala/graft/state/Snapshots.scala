@@ -49,6 +49,11 @@ object Snapshots {
     target.fold(avail.lastOption)(t => avail.filter(_ <= t).lastOption)
   }
 
-  def read(spark: SparkSession, dir: String, seq: Long): DataFrame =
-    spark.read.parquet(s"$dir/seq=$seq")
+  /** Read a snapshot. With `schema` (the catalog's event schema) the
+    * scan skips footer inference and absorbs ALTERs the same way the
+    * log read does — absent fields are NULL. */
+  def read(spark: SparkSession, dir: String, seq: Long,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    schema.fold(spark.read)(s => spark.read.schema(s))
+      .parquet(s"$dir/seq=$seq")
 }
