@@ -630,6 +630,18 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
 
   def policyList: Seq[PolicyDef] = policies.values.toSeq
 
+  /** Re-read the persisted descriptor, discarding in-memory state —
+    * used after RESTORE DATABASE swaps the base dir's contents
+    * (attached in-memory logs are registration-time state, not
+    * persisted, so they do not survive a reload). */
+  def reload(): Unit = {
+    tables.clear(); views.clear(); mviews.clear(); indexes.clear()
+    nextSeqs.clear(); nextColIds.clear(); fks.clear(); constraints.clear()
+    streamBatches.clear(); triggers.clear(); procs.clear()
+    sequences.clear(); rlsTables.clear(); policies.clear(); stats.clear()
+    load()
+  }
+
   // ----------------------------------------------------- persistence
 
   private def enc(s: String) = URLEncoder.encode(s, UTF_8)

@@ -1,0 +1,235 @@
+package graft.exec
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Database backup / restore / verify — the analogue of the
+  * reference's BackupManager (backup.rs:78 create_full_backup,
+  * :156 create_incremental_backup, :250 restore_from_backup,
+  * :292 verify_backup).
+  *
+  * A backup is a directory holding copies of the engine base dir's
+  * files (catalog descriptor, event-log parquet, snapshots, matview
+  * data) plus a `BACKUP_MANIFEST` recording every file of the backed-up
+  * state with its size + CRC32 (the reference checksums segments the
+  * same way) and where its bytes live: `self` (copied into this backup)
+  * or `parent` (unchanged since the parent backup — incremental
+  * backups copy only files the parent chain doesn't already hold).
+  *
+  * The event log is append-only and published files are immutable, so
+  * "same relative path exists in parent" is a sound skip condition —
+  * a file never changes in place. Deletions (DROP TABLE) are handled
+  * by the manifest being authoritative: restore materializes exactly
+  * the manifest's file set, so files that vanished between backups are
+  * simply absent from the newer manifest.
+  *
+  * Scale note: copies stream through the driver here, which is the
+  * reference's single-node shape; on a real cluster the same manifest
+  * protocol would fan the per-file copies out as a Spark job (or defer
+  * to object-store server-side copy) — the commit point (manifest
+  * write) and the chain semantics stay identical.
+  */
+object Backup {
+
+  private val ManifestName = "BACKUP_MANIFEST"
+  private val Excluded = Set(".engine.lock")
+
+  private def enc(s: String) = URLEncoder.encode(s, UTF_8)
+  private def dec(s: String) = URLDecoder.decode(s, UTF_8)
+
+  private def fsFor(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** All backup-relevant files under `base`, as (relative path, size).
+    * Staging dirs (uncommitted) and the liveness lock are not state. */
+  private def listState(fs: FileSystem, base: Path): Seq[(String, Long)] = {
+    val baseUri = base.toUri.getPath
+    def walk(dir: Path): Seq[(String, Long)] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith(".txn-staging-") || Excluded(name)) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else {
+          val rel = st.getPath.toUri.getPath.stripPrefix(baseUri)
+            .stripPrefix("/")
+          Seq((rel, st.getLen))
+        }
+      }
+    if (fs.exists(base)) walk(base) else Nil
+  }
+
+  private def crc32(fs: FileSystem, p: Path): Long = {
+    val crc = new java.util.zip.CRC32
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) crc.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    crc.getValue
+  }
+
+  private def copyFile(srcFs: FileSystem, src: Path, dstFs: FileSystem,
+      dst: Path): Unit = {
+    dstFs.mkdirs(dst.getParent)
+    val in = srcFs.open(src)
+    try {
+      val out = dstFs.create(dst, true)
+      try {
+        val buf = new Array[Byte](256 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+      } finally out.close()
+    } finally in.close()
+  }
+
+  private final case class Entry(rel: String, size: Long, crc: Long,
+      stored: String) // "self" | "parent"
+
+  private def readManifest(spark: SparkSession, dir: String)
+      : (Option[String], Seq[Entry]) = {
+    val p = new Path(dir, ManifestName)
+    val fs = fsFor(spark, p)
+    if (!fs.exists(p))
+      throw new IllegalArgumentException(s"not a backup (no $ManifestName): $dir")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    var parent: Option[String] = None
+    val entries = Vector.newBuilder[Entry]
+    for (line <- text.split("\n") if line.nonEmpty) line.split("\t", -1) match {
+      case Array("parent", d) => parent = Some(dec(d))
+      case Array("file", rel, size, crc, stored) =>
+        entries += Entry(dec(rel), size.toLong, crc.toLong, stored)
+      case other =>
+        throw new IllegalStateException(
+          s"corrupt backup manifest line: ${other.mkString("\t")}")
+    }
+    (parent, entries.result())
+  }
+
+  /** Create a backup of `baseDir` into `backupDir`. With `parent`, an
+    * incremental backup: files whose relative path the parent chain
+    * already holds are recorded but not copied. The manifest lands
+    * LAST — a crashed backup has no manifest and is never restorable,
+    * so the manifest write is the backup's commit point. Returns
+    * (files recorded, files copied). */
+  def create(spark: SparkSession, baseDir: String, backupDir: String,
+      parent: Option[String]): (Long, Long) = {
+    val base = new Path(baseDir)
+    val srcFs = fsFor(spark, base)
+    val dst = new Path(backupDir)
+    val dstFs = fsFor(spark, dst)
+    if (dstFs.exists(new Path(dst, ManifestName)))
+      throw new IllegalArgumentException(s"backup already exists: $backupDir")
+    // the parent chain's known files (any ancestor may hold the bytes)
+    val inherited: Set[String] = parent match {
+      case None => Set.empty
+      case Some(p) =>
+        val (_, entries) = readManifest(spark, p)
+        entries.map(_.rel).toSet
+    }
+    val lines = new StringBuilder
+    parent.foreach(p => lines.append(s"parent\t${enc(p)}\n"))
+    var copied = 0L
+    val files = listState(srcFs, base)
+    for ((rel, size) <- files) {
+      val src = new Path(base, rel)
+      val crc = crc32(srcFs, src)
+      // catalog.meta (and any same-named rewrite) always re-copies:
+      // inheritance is by path, and the descriptor mutates under a
+      // stable name — only immutable log/snapshot files may inherit
+      val immutable = rel != "catalog.meta" && !rel.endsWith(".tmp")
+      val stored = if (immutable && inherited(rel)) "parent" else "self"
+      if (stored == "self") {
+        copyFile(srcFs, src, dstFs, new Path(dst, rel))
+        copied += 1
+      }
+      lines.append(s"file\t${enc(rel)}\t$size\t$crc\t$stored\n")
+    }
+    val tmp = new Path(dst, s"$ManifestName.tmp")
+    dstFs.mkdirs(dst)
+    val out = dstFs.create(tmp, true)
+    try out.write(lines.toString.getBytes(UTF_8)) finally out.close()
+    if (!dstFs.rename(tmp, new Path(dst, ManifestName)))
+      throw new java.io.IOException(s"backup manifest rename failed: $backupDir")
+    (files.size.toLong, copied)
+  }
+
+  /** Locate the backup dir in `chain` (youngest first) that physically
+    * stores `rel`. */
+  private def locate(spark: SparkSession, chain: Seq[String], rel: String)
+      : Option[Path] =
+    chain.view.map(d => new Path(d, rel))
+      .find(p => fsFor(spark, p).exists(p))
+
+  /** The ancestor chain of `backupDir`, youngest first, cycle-guarded. */
+  private def chainOf(spark: SparkSession, backupDir: String): Seq[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    var cur: Option[String] = Some(backupDir)
+    while (cur.isDefined) {
+      val d = cur.get
+      if (!seen.add(d))
+        throw new IllegalStateException(s"backup parent cycle at: $d")
+      cur = readManifest(spark, d)._1
+    }
+    seen.toSeq
+  }
+
+  /** Restore the backup into `targetDir`, wiping its current state
+    * files first. The manifest is authoritative: exactly its file set
+    * materializes, each file's bytes pulled from the youngest chain
+    * member that stores it, and every restored file is checksum-
+    * verified against the manifest (backup.rs:250-290 restores and
+    * validates the same way). Returns the number of files restored. */
+  def restore(spark: SparkSession, backupDir: String, targetDir: String): Long = {
+    val chain = chainOf(spark, backupDir)
+    val (_, entries) = readManifest(spark, backupDir)
+    val target = new Path(targetDir)
+    val tFs = fsFor(spark, target)
+    // wipe current state (not the lock — the restoring engine holds it)
+    if (tFs.exists(target))
+      for (st <- tFs.listStatus(target) if !Excluded(st.getPath.getName))
+        tFs.delete(st.getPath, true)
+    for (e <- entries) {
+      val src = locate(spark, chain, e.rel).getOrElse(
+        throw new IllegalStateException(
+          s"backup chain is missing a file: ${e.rel}"))
+      val sFs = fsFor(spark, src)
+      val ok =
+        try crc32(sFs, src) == e.crc
+        catch { case _: java.io.IOException => false } // unreadable = corrupt
+      if (!ok)
+        throw new IllegalStateException(
+          s"backup file failed checksum validation: ${e.rel}")
+      copyFile(sFs, src, tFs, new Path(target, e.rel))
+    }
+    entries.size.toLong
+  }
+
+  /** Verify a backup chain: every manifest entry must be present
+    * somewhere in the chain with matching size + CRC32
+    * (backup.rs:292-330). Returns (files checked, mismatches). */
+  def verify(spark: SparkSession, backupDir: String): (Long, Seq[String]) = {
+    val chain = chainOf(spark, backupDir)
+    val (_, entries) = readManifest(spark, backupDir)
+    val bad = Vector.newBuilder[String]
+    for (e <- entries) locate(spark, chain, e.rel) match {
+      case None => bad += s"missing: ${e.rel}"
+      case Some(p) =>
+        val fs = fsFor(spark, p)
+        val len = fs.getFileStatus(p).getLen
+        if (len != e.size) bad += s"size mismatch: ${e.rel} ($len != ${e.size})"
+        else {
+          val ok =
+            try crc32(fs, p) == e.crc
+            catch { case _: java.io.IOException => false } // unreadable
+          if (!ok) bad += s"checksum mismatch: ${e.rel}"
+        }
+    }
+    (entries.size.toLong, bad.result())
+  }
+}

@@ -463,7 +463,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case _: Statement.Select | _: Statement.Explain | Statement.ShowTables |
         Statement.ShowTriggers | Statement.ShowProcedures |
         Statement.ShowSequences | Statement.ShowPolicies |
-        _: Statement.SetRole |
+        _: Statement.SetRole | _: Statement.VerifyBackup |
         _: Statement.Describe | _: Statement.Analyze |
         Statement.Begin | _: Statement.Rollback | _: Statement.Savepoint |
         _: Statement.ReleaseSavepoint => false
@@ -685,6 +685,38 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         case None => current.setAuth("root", superuser = true)
       }
       summary("role_set", 0L, 0L)
+    case Statement.BackupDb(dir, parent) =>
+      // runs under the statement lock, so no publish is in flight and
+      // the copied file set is a consistent committed state; staging
+      // dirs and the liveness lock are excluded by the lister
+      if (txn.isDefined)
+        throw new IllegalStateException("BACKUP cannot run inside a transaction")
+      val (recorded, copied) = Backup.create(spark, baseDir, dir, parent)
+      spark.range(1).select(lit("backup").as("op"),
+        lit(recorded).as("files"), lit(copied).as("copied"),
+        lit(dir).as("path"))
+    case Statement.RestoreDb(dir) =>
+      if (txn.isDefined)
+        throw new IllegalStateException("RESTORE cannot run inside a transaction")
+      ensureWriteLock() // exclusive: no other live writer during the swap
+      val prevTables = catalog.tableNames
+      val n = Backup.restore(spark, dir, baseDir)
+      catalog.reload()
+      lastSnapSeqs.clear()
+      // stale temp views for tables that no longer exist must stop
+      // resolving (the select path re-registers live ones lazily)
+      for (t <- prevTables if catalog.get(t).isEmpty)
+        spark.catalog.dropTempView(t)
+      spark.range(1).select(lit("restore").as("op"),
+        lit(n).as("files"), lit(dir).as("path"))
+    case Statement.VerifyBackup(dir) =>
+      val (checked, bad) = Backup.verify(spark, dir)
+      if (bad.nonEmpty)
+        throw new IllegalStateException(
+          s"backup verification failed (${bad.size}/${checked}): " +
+            bad.take(3).mkString("; "))
+      spark.range(1).select(lit("verify").as("op"),
+        lit(checked).as("files"), lit("ok").as("status"))
     case Statement.Call(name, args) => callProcedure(name, args)
     case Statement.DropTable(name, ifEx) =>
       // dropping a table with buffered writes would orphan them, and the

@@ -512,6 +512,37 @@ object EngineSql {
     aliceSees.unionByName(auditSees).unionByName(state).orderBy("phase", "k")
   }
 
+  /** Backup/restore end-to-end (backup.rs:78-330): back the table up
+    * mid-lifecycle, diverge it destructively (DELETE all + junk
+    * insert), verify the backup, restore, then keep mutating — the
+    * final state must equal "backup point + post-restore DML" exactly,
+    * proving the restore reproduced state AND the restored engine's
+    * sequence counters continue correctly (a duplicated or rewound
+    * sequence would corrupt the post-restore DELETE's event fold). */
+  val qBackupRestore = Q(
+    "q_backup_restore",
+    """SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal,
+      |       CASE WHEN c_acctbal > 5000 THEN 'vip' ELSE 'new' END AS status
+      |FROM customer
+      |WHERE c_custkey < 500 AND c_custkey % 10 <> 0
+      |ORDER BY k""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.sql("CREATE TABLE acct (k BIGINT PRIMARY KEY, bal DOUBLE, status STRING)")
+    e.sql("""INSERT INTO acct
+            |SELECT c_custkey, c_acctbal, 'new' FROM customer
+            |WHERE c_custkey < 500""".stripMargin)
+    e.sql("UPDATE acct SET status = 'vip' WHERE bal > 5000")
+    val bdir = java.nio.file.Files.createTempDirectory("graft-bk-q-").toString
+    e.sql(s"BACKUP DATABASE TO '$bdir/b1'")
+    e.sql("DELETE FROM acct") // diverge destructively
+    e.sql("INSERT INTO acct VALUES (999999, -1.0, 'junk')")
+    e.sql(s"VERIFY BACKUP '$bdir/b1'")
+    e.sql(s"RESTORE DATABASE FROM '$bdir/b1'")
+    e.sql("DELETE FROM acct WHERE k % 10 = 0") // post-restore DML
+    e.sql("SELECT k, CAST(bal AS DOUBLE) AS bal, status FROM acct ORDER BY k")
+  }
+
   /** Plain relational passthrough through engine.sql over external
     * tables — identical ANSI text runs in the oracle. */
   private val passthroughSql =
@@ -606,5 +637,5 @@ object EngineSql {
     qLifecycleCurrent, qLifecycleAsOf, qTxnLifecycle, qFkLifecycle,
     qStreamIngest, qSqlPassthrough, qSqlView, qMatView, qTriggerAudit,
     qProcCall, qMvccSessions, qConstraints, qSequences, qAutoIncrement,
-    qRls)
+    qRls, qBackupRestore)
 }

@@ -112,6 +112,13 @@ object Statement {
     * context (the reference threads a SecurityContext per connection,
     * row_level_security.rs:130-162). */
   final case class SetRole(user: Option[String]) extends Statement
+  /** BACKUP DATABASE TO 'dir' [INCREMENTAL FROM 'parentDir']
+    * (backup.rs:78 full, :156 incremental). */
+  final case class BackupDb(dir: String, parent: Option[String]) extends Statement
+  /** RESTORE DATABASE FROM 'dir' (backup.rs:250). */
+  final case class RestoreDb(dir: String) extends Statement
+  /** VERIFY BACKUP 'dir' (backup.rs:292). */
+  final case class VerifyBackup(dir: String) extends Statement
 }
 
 object StatementRouter {
@@ -187,6 +194,10 @@ object StatementRouter {
   private val SetRoleR =
     """(?is)^SET\s+(?:ROLE|SESSION\s+AUTHORIZATION)\s+(\w+)\s*$""".r
   private val ResetRoleR = """(?is)^RESET\s+(?:ROLE|SESSION\s+AUTHORIZATION)\s*$""".r
+  private val BackupR =
+    """(?is)^BACKUP\s+DATABASE\s+TO\s+'([^']+)'(?:\s+INCREMENTAL\s+FROM\s+'([^']+)')?\s*$""".r
+  private val RestoreR = """(?is)^RESTORE\s+DATABASE\s+FROM\s+'([^']+)'\s*$""".r
+  private val VerifyBackupR = """(?is)^VERIFY\s+BACKUP\s+'([^']+)'\s*$""".r
   private val BeginR =
     """(?is)^(?:BEGIN(?:\s+(?:WORK|TRANSACTION))?|START\s+TRANSACTION)(?:\s+ISOLATION\s+LEVEL\s+[\w\s]+)?\s*$""".r
   private val CommitR = """(?is)^(?:COMMIT|END)(?:\s+(?:WORK|TRANSACTION))?\s*$""".r
@@ -249,6 +260,9 @@ object StatementRouter {
       case ShowPoliciesR() => ShowPolicies
       case SetRoleR(user) => SetRole(Some(user))
       case ResetRoleR() => SetRole(None)
+      case BackupR(dir, parent) => BackupDb(dir, Option(parent))
+      case RestoreR(dir) => RestoreDb(dir)
+      case VerifyBackupR(dir) => VerifyBackup(dir)
       case DropTableR(ifEx, name) => DropTable(name, ifEx != null)
       case DropViewR(ifEx, name) => DropView(name, ifEx != null)
       case TruncateR(name) => Truncate(name)

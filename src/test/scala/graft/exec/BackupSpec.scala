@@ -1,0 +1,124 @@
+package graft.exec
+
+import graft.TestSpark
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BACKUP / RESTORE / VERIFY (backup.rs:78, 156, 250, 292): full and
+  * incremental backups with a manifest commit point, chain-resolved
+  * restore that wipes and re-materializes the base dir, and checksum
+  * verification that catches corruption.
+  */
+class BackupSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def engineWith(dir: String): QueryEngine = {
+    val e = new QueryEngine(spark, dir)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, v STRING)")
+    e.sql("INSERT INTO t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    e
+  }
+
+  private def rows(e: QueryEngine): Seq[Row] =
+    e.sql("SELECT k, v FROM t ORDER BY k").collect().toSeq
+
+  test("full backup restores the backup-point state; later DML is undone") {
+    val base = tmp("graft-bk-base-")
+    val bdir = tmp("graft-bk-b1-") + "/b1"
+    val e = engineWith(base)
+    e.sql(s"BACKUP DATABASE TO '$bdir'")
+    e.sql("UPDATE t SET v = 'X'")
+    e.sql("DELETE FROM t WHERE k = 1")
+    e.sql("INSERT INTO t VALUES (9, 'z')")
+    assert(rows(e) === Seq(Row(2L, "X"), Row(3L, "X"), Row(9L, "z")))
+    e.sql(s"RESTORE DATABASE FROM '$bdir'")
+    assert(rows(e) === Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c")))
+    // the restored engine keeps working: sequences continue uniquely
+    e.sql("INSERT INTO t VALUES (4, 'd')")
+    assert(rows(e) === Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c"), Row(4L, "d")))
+    assert(e.sql("SELECT COUNT(*) AS n FROM t FOR SYSTEM_TIME ALL")
+      .collect().head.getLong(0) === 4L)
+    e.close()
+  }
+
+  test("incremental chain: restore either point; shared files not re-copied") {
+    val base = tmp("graft-bk-base-")
+    val root = tmp("graft-bk-chain-")
+    val e = engineWith(base)
+    val b1 = e.sql(s"BACKUP DATABASE TO '$root/full'").collect().head
+    e.sql("INSERT INTO t VALUES (4, 'd')")
+    val b2 = e.sql(
+      s"BACKUP DATABASE TO '$root/incr' INCREMENTAL FROM '$root/full'")
+      .collect().head
+    // the incremental copied strictly fewer files than it recorded
+    // (the unchanged log batches inherit from the parent)
+    assert(b2.getLong(2) < b2.getLong(1) && b2.getLong(1) >= b1.getLong(1))
+    e.sql("DELETE FROM t") // diverge
+    e.sql(s"RESTORE DATABASE FROM '$root/incr'")
+    assert(rows(e) ===
+      Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c"), Row(4L, "d")))
+    e.sql(s"RESTORE DATABASE FROM '$root/full'")
+    assert(rows(e) === Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c")))
+    e.close()
+  }
+
+  test("DROP TABLE between backups does not resurrect on restore") {
+    val base = tmp("graft-bk-base-")
+    val root = tmp("graft-bk-drop-")
+    val e = engineWith(base)
+    e.sql(s"BACKUP DATABASE TO '$root/full'")
+    e.sql("DROP TABLE t")
+    e.sql("CREATE TABLE u (k BIGINT PRIMARY KEY)")
+    e.sql("INSERT INTO u VALUES (7)")
+    e.sql(s"BACKUP DATABASE TO '$root/incr' INCREMENTAL FROM '$root/full'")
+    e.sql(s"RESTORE DATABASE FROM '$root/incr'")
+    // t is gone from the catalog AND its stale temp view dropped, so
+    // the name no longer resolves anywhere
+    intercept[org.apache.spark.sql.AnalysisException] { e.sql("SELECT * FROM t") }
+    assert(e.sql("SELECT k FROM u").collect() === Array(Row(7L)))
+    // and the full still restores t
+    e.sql(s"RESTORE DATABASE FROM '$root/full'")
+    assert(rows(e) === Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c")))
+    e.close()
+  }
+
+  test("VERIFY passes intact backups and catches corruption") {
+    val base = tmp("graft-bk-base-")
+    val bdir = tmp("graft-bk-v-") + "/b"
+    val e = engineWith(base)
+    e.sql(s"BACKUP DATABASE TO '$bdir'")
+    assert(e.sql(s"VERIFY BACKUP '$bdir'").collect().head.getString(2) === "ok")
+    // flip one byte in a backed-up log file
+    val f = java.nio.file.Files.walk(java.nio.file.Paths.get(bdir))
+      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .findFirst().get()
+    val bytes = java.nio.file.Files.readAllBytes(f)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0xff).toByte
+    java.nio.file.Files.write(f, bytes)
+    // remove the Hadoop local-FS checksum sidecar so the read succeeds
+    // and OUR manifest CRC32 is what catches the corruption
+    java.nio.file.Files.deleteIfExists(
+      f.getParent.resolve("." + f.getFileName.toString + ".crc"))
+    val ex = intercept[IllegalStateException] { e.sql(s"VERIFY BACKUP '$bdir'") }
+    assert(ex.getMessage.contains("checksum"))
+    // restore refuses to materialize the corrupt file
+    intercept[IllegalStateException] { e.sql(s"RESTORE DATABASE FROM '$bdir'") }
+    e.close()
+  }
+
+  test("BACKUP refuses to overwrite an existing backup; RESTORE needs a manifest") {
+    val base = tmp("graft-bk-base-")
+    val bdir = tmp("graft-bk-x-") + "/b"
+    val e = engineWith(base)
+    e.sql(s"BACKUP DATABASE TO '$bdir'")
+    intercept[IllegalArgumentException] { e.sql(s"BACKUP DATABASE TO '$bdir'") }
+    intercept[IllegalArgumentException] {
+      e.sql(s"RESTORE DATABASE FROM '${tmp("graft-bk-empty-")}'")
+    }
+    e.close()
+  }
+}
