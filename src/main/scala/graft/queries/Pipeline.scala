@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Components, Dedup, FullText, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Components, Dedup, FullText, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -659,6 +659,77 @@ object Pipeline {
       .orderBy("k_mod")
   }
 
+  // ----------------------------------------- as-of and range joins
+
+  /** As-of join ([REF-GAP] — neither the reference nor Spark has one):
+    * each purchase event picks up the user's most recent click at or
+    * before it, via the union-tag + running-last shape (one shuffle,
+    * no per-key pair explosion — AsOfJoin scaladoc). The oracle spells
+    * the same semantics as correlated argmax subqueries; identical
+    * tie-breaking (latest ts, then highest event_id) keeps the match
+    * unique. */
+  val qAsofJoin = Q(
+    "q_asof_join",
+    """WITH p AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id,
+      |  (SELECT c.event_id FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts
+      |     ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS asof_event_id,
+      |  (SELECT c.value FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts
+      |     ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS asof_value
+      |FROM p ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    AsOfJoin.asOf(purchases, clicks, keys = Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        payload = Seq("event_id", "value"), tieBreak = Some("event_id"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_event_id"), col("asof_value"))
+      .orderBy("event_id")
+  }
+
+  /** Range join ([REF-GAP]): 14-day promo windows derived from a
+    * deterministic orders sample, probed by lineitem ship dates. The
+    * engine runs the bin-bucketed equi-join + residual filter
+    * (RangeJoin scaladoc — one shuffle instead of a nested-loop or
+    * cartesian plan); the oracle states the plain inequality join.
+    * Empty windows survive via the left re-join. */
+  val qRangeJoin = Q(
+    "q_range_join",
+    """WITH r AS (
+      |  SELECT o_orderkey AS rid, o_orderdate AS start_d,
+      |         o_orderdate + INTERVAL 14 DAY AS end_d
+      |  FROM orders WHERE o_orderkey % 200 = 0),
+      |l AS (
+      |  SELECT l_shipdate, l_quantity FROM lineitem WHERE l_orderkey % 3 = 0),
+      |hits AS (
+      |  SELECT r.rid, COUNT(*) AS n_ship,
+      |         CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+      |  FROM r JOIN l ON l.l_shipdate >= r.start_d AND l.l_shipdate <= r.end_d
+      |  GROUP BY r.rid)
+      |SELECT r.rid, COALESCE(hits.n_ship, 0) AS n_ship, hits.qty
+      |FROM r LEFT JOIN hits ON hits.rid = r.rid
+      |ORDER BY r.rid""".stripMargin) { (s, dir) =>
+    val ranges = t(s, dir, "orders").where(col("o_orderkey") % 200 === 0)
+      .select(col("o_orderkey").as("rid"), col("o_orderdate").as("start_d"),
+        (col("o_orderdate") + expr("INTERVAL 14 DAY")).as("end_d"))
+    val items = t(s, dir, "lineitem").where(col("l_orderkey") % 3 === 0)
+      .select("l_shipdate", "l_quantity")
+    val hits = RangeJoin.binned(items, col("l_shipdate"), ranges,
+        col("start_d"), col("end_d"), binDays = 16)
+      .groupBy("rid")
+      .agg(count(lit(1)).as("n_ship"), dsum(col("l_quantity")).as("qty"))
+    ranges.select("rid").join(hits, Seq("rid"), "left")
+      .select(col("rid"), coalesce(col("n_ship"), lit(0L)).as("n_ship"),
+        col("qty"))
+      .orderBy("rid")
+  }
+
   val all: Seq[Q] = Seq(
     qDedupExact, qPipelineE2E, qJaccardPairs, qShingleJaccard, qDupClusters,
     qMinHashLsh, qMinHashSuperset,
@@ -668,5 +739,6 @@ object Pipeline {
     qFulltextAll, qFulltextAny, qFulltextBm25,
     qStratSample, qSampleExactK, qSeqPack,
     qMultimodalMeta, qMmFeatures, qFrameSample,
-    qEventsHourly, qEventsSessions, qEventsJson)
+    qEventsHourly, qEventsSessions, qEventsJson,
+    qAsofJoin, qRangeJoin)
 }
