@@ -80,11 +80,13 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * whose base dir another engine should take over. Idempotent; the
     * engine object must not be used for writes afterwards without
     * re-acquiring (which happens automatically on the next write). */
-  def close(): Unit =
+  def close(): Unit = {
+    flushAudit() // the buffered audit tail lands with the lock still held
     if (writeLockHeld) {
       BaseDirLock.release(spark, baseDir, engineId)
       writeLockHeld = false
     }
+  }
 
   /** Recovery sweep over COMMIT staging dirs. A staging dir WITH a
     * `manifest` file passed its commit point — the crash hit
@@ -464,6 +466,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         Statement.ShowTriggers | Statement.ShowProcedures |
         Statement.ShowSequences | Statement.ShowPolicies |
         _: Statement.SetRole | _: Statement.VerifyBackup |
+        _: Statement.SetAudit | Statement.ShowAudit |
         _: Statement.Describe | _: Statement.Analyze |
         Statement.Begin | _: Statement.Rollback | _: Statement.Savepoint |
         _: Statement.ReleaseSavepoint => false
@@ -487,7 +490,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   private def sqlCurrent(statement: String): DataFrame = {
     val parsed = StatementRouter.parse(statement)
     if (isMutating(parsed)) ensureWriteLock()
-    parsed match {
+    def run(): DataFrame = parsed match {
     case Statement.Begin => begin()
     case Statement.Commit => commitTxn()
     case Statement.Rollback(sp) => rollbackTxn(sp)
@@ -511,6 +514,19 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               throw e
           }
         case None => dispatch(st)
+      }
+    }
+    // auditing checks the flag from BEFORE the statement, so SET AUDIT
+    // ON records everything AFTER itself (and SET AUDIT OFF is the
+    // last recorded statement)
+    if (!auditEnabled) run()
+    else {
+      lastAffected = None
+      try { val r = run(); auditRecord(parsed, ok = true, None); r }
+      catch {
+        case e: Throwable =>
+          auditRecord(parsed, ok = false, Option(e.getMessage))
+          throw e
       }
     }
   }
@@ -685,7 +701,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         case None => current.setAuth("root", superuser = true)
       }
       summary("role_set", 0L, 0L)
+    case Statement.SetAudit(on) =>
+      auditEnabled = on
+      summary(if (on) "audit_enabled" else "audit_disabled", 0L, 0L)
+    case Statement.ShowAudit => showAudit()
     case Statement.BackupDb(dir, parent) =>
+      // the audit tail flushes first so the backup carries the full
+      // trail up to (excluding) the BACKUP statement itself
+      flushAudit()
       // runs under the statement lock, so no publish is in flight and
       // the copied file set is a consistent committed state; staging
       // dirs and the liveness lock are excluded by the lister
@@ -703,6 +726,11 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       val n = Backup.restore(spark, dir, baseDir)
       catalog.reload()
       lastSnapSeqs.clear()
+      // the audit trail is database state: the restore swapped its
+      // files, so the unflushed tail is void and ids re-prime from the
+      // restored log (the RESTORE record itself lands after, re-primed)
+      auditBuf.clear()
+      auditNextId = None
       // stale temp views for tables that no longer exist must stop
       // resolving (the select path re-registers live ones lazily)
       for (t <- prevTables if catalog.get(t).isEmpty)
@@ -1167,9 +1195,147 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     else { sb.append(sqlText.substring(last)); sb.toString }
   }
 
-  private def summary(op: String, n: Long, lastSeq: Long): DataFrame =
+  private def summary(op: String, n: Long, lastSeq: Long): DataFrame = {
+    lastAffected = Some(n) // side channel for the audit record
     spark.range(1).select(lit(op).as("op"), lit(n).as("n_affected"),
       lit(lastSeq).as("last_sequence"))
+  }
+
+  // ============================================================ audit
+
+  /** Statement auditing (audit.rs:14-60 AuditSystem/AuditConfig,
+    * :247 log_event, :504 query_logs). Records land in a driver-side
+    * buffer and flush to immutable JSONL part files under
+    * `<baseDir>/audit/` — named by their id range so re-priming after
+    * reopen is a listing, not a scan. The buffer batches like the
+    * reference's channel (a crash loses at most the unflushed tail);
+    * SHOW AUDIT and close() force a flush. */
+  private var auditEnabled = false
+  private var lastAffected: Option[Long] = None
+  private var auditNextId: Option[Long] = None // primed lazily from disk
+  private val auditBuf =
+    scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Option[Long], Boolean, Option[String])]
+  private val AuditFlushEvery = 64
+  private def auditDir = new Path(s"$baseDir/audit")
+
+  private def auditFs =
+    auditDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // the engine-id suffix keeps a concurrent auditor (e.g. a read-only
+  // engine auditing its SELECTs) from clobbering another's part file;
+  // id ranges still prime from the names alone
+  private val AuditFileR = """audit-(\d+)-(\d+)(?:-[0-9a-f-]+)?\.jsonl""".r
+
+  private def primeAuditId(): Long = auditNextId.getOrElse {
+    val fs = auditFs
+    val next =
+      if (!fs.exists(auditDir)) 1L
+      else fs.listStatus(auditDir).toSeq.map(_.getPath.getName).collect {
+        case AuditFileR(_, end) => end.toLong
+      }.foldLeft(0L)(math.max) + 1L
+    auditNextId = Some(next)
+    next
+  }
+
+  private def auditRecord(st: Statement, ok: Boolean, err: Option[String]): Unit = {
+    val (action, obj) = auditActionOf(st)
+    val id = primeAuditId()
+    auditNextId = Some(id + 1)
+    auditBuf += ((id, current.user, action, obj,
+      if (ok) lastAffected else None, ok, err))
+    if (auditBuf.size >= AuditFlushEvery) flushAudit()
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def flushAudit(): Unit = if (auditBuf.nonEmpty) {
+    val fs = auditFs
+    if (!fs.exists(auditDir)) fs.mkdirs(auditDir)
+    val (lo, hi) = (auditBuf.head._1, auditBuf.last._1)
+    val lines = auditBuf.iterator.map {
+      case (id, user, action, obj, n, ok, err) =>
+        s"""{"audit_id":$id,"user":${jstr(user)},"action":${jstr(action)},""" +
+          s""""object":${jstr(obj)},"n_affected":${n.fold("null")(_.toString)},""" +
+          s""""ok":$ok,"error":${err.fold("null")(jstr)}}"""
+    }.mkString("", "\n", "\n")
+    val out = fs.create(
+      new Path(auditDir, f"audit-$lo%012d-$hi%012d-${engineId.take(8)}.jsonl"), true)
+    try out.write(lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    auditBuf.clear()
+  }
+
+  private def auditSchema = StructType.fromDDL(
+    "audit_id LONG, user STRING, action STRING, object STRING, " +
+      "n_affected LONG, ok BOOLEAN, error STRING")
+
+  private def showAudit(): DataFrame = {
+    flushAudit()
+    val fs = auditFs
+    val onDisk =
+      if (fs.exists(auditDir))
+        spark.read.schema(auditSchema).json(auditDir.toString)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], auditSchema)
+    onDisk.select("audit_id", "user", "action", "object", "n_affected", "ok",
+      "error").orderBy("audit_id")
+  }
+
+  private def auditActionOf(st: Statement): (String, String) = st match {
+    case _: Statement.Select => ("SELECT", "")
+    case Statement.InsertValues(t, _, _) => ("INSERT", t)
+    case Statement.InsertSelect(t, _, _) => ("INSERT", t)
+    case Statement.Update(t, _, _) => ("UPDATE", t)
+    case Statement.Delete(t, _) => ("DELETE", t)
+    case Statement.Truncate(t) => ("TRUNCATE", t)
+    case Statement.CreateTable(n, _, _, _, _) => ("CREATE TABLE", n)
+    case Statement.DropTable(n, _) => ("DROP TABLE", n)
+    case Statement.CreateView(n, _, m, _) =>
+      (if (m) "CREATE MATERIALIZED VIEW" else "CREATE VIEW", n)
+    case Statement.DropView(n, _) => ("DROP VIEW", n)
+    case Statement.RefreshMatView(n) => ("REFRESH MATERIALIZED VIEW", n)
+    case Statement.CreateIndex(_, t, _) => ("CREATE INDEX", t)
+    case _: Statement.AlterAdd | _: Statement.AlterRename |
+        _: Statement.AlterDrop =>
+      ("ALTER TABLE", st match {
+        case Statement.AlterAdd(t, _, _) => t
+        case Statement.AlterRename(t, _, _) => t
+        case Statement.AlterDrop(t, _) => t
+        case _ => ""
+      })
+    case Statement.AlterTableRls(t, _) => ("ALTER TABLE", t)
+    case Statement.CreatePolicy(n, t, _, _, _, _, _) => ("CREATE POLICY", s"$t.$n")
+    case Statement.DropPolicy(n, t, _) => ("DROP POLICY", s"$t.$n")
+    case Statement.CreateTrigger(n, _, _, _, _) => ("CREATE TRIGGER", n)
+    case Statement.DropTrigger(n, _) => ("DROP TRIGGER", n)
+    case Statement.CreateProcedure(n, _, _, _) => ("CREATE PROCEDURE", n)
+    case Statement.DropProcedure(n, _) => ("DROP PROCEDURE", n)
+    case Statement.Call(n, _) => ("CALL", n)
+    case Statement.CreateSequence(n, _, _, _, _, _) => ("CREATE SEQUENCE", n)
+    case Statement.DropSequence(n, _) => ("DROP SEQUENCE", n)
+    case Statement.Snapshot(t) => ("SNAPSHOT", t)
+    case Statement.Analyze(t) => ("ANALYZE", t)
+    case Statement.CopyFrom(t, _) => ("COPY", t)
+    case Statement.Begin => ("BEGIN", "")
+    case Statement.Commit => ("COMMIT", "")
+    case _: Statement.Rollback => ("ROLLBACK", "")
+    case _: Statement.Savepoint => ("SAVEPOINT", "")
+    case _: Statement.ReleaseSavepoint => ("RELEASE", "")
+    case Statement.BackupDb(d, _) => ("BACKUP", d)
+    case Statement.RestoreDb(d) => ("RESTORE", d)
+    case _: Statement.SetRole => ("SET ROLE", "")
+    case other =>
+      (other.getClass.getSimpleName.stripSuffix("$").toUpperCase, "")
+  }
 
   // ============================================ triggers + procedures
 

@@ -543,6 +543,52 @@ object EngineSql {
     e.sql("SELECT k, CAST(bal AS DOUBLE) AS bal, status FROM acct ORDER BY k")
   }
 
+  /** Statement auditing (audit.rs:14-60, 247, 504): with SET AUDIT ON,
+    * every statement records (id, session user, action, object,
+    * affected rows, outcome) — including a failed INSERT whose pk
+    * guard fired. The oracle states the whole expected feed, with the
+    * DML row counts recomputed from the fixture — a wrong action
+    * label, a missed or double record, a wrong affected-count, or a
+    * failure recorded as success all diverge the hash. */
+  val qAuditLog = Q(
+    "q_audit_log",
+    """WITH base AS (
+      |  SELECT c_custkey AS k, c_acctbal AS bal FROM customer
+      |  WHERE c_custkey < 500)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS audit_id, 'root' AS "user",
+      |         'CREATE TABLE' AS action, 'acct' AS object,
+      |         CAST(0 AS BIGINT) AS n_affected, TRUE AS ok
+      |  UNION ALL
+      |  SELECT 2, 'root', 'INSERT', 'acct', (SELECT COUNT(*) FROM base), TRUE
+      |  UNION ALL
+      |  SELECT 3, 'root', 'UPDATE', 'acct',
+      |         (SELECT COUNT(*) FROM base WHERE bal > 5000), TRUE
+      |  UNION ALL
+      |  SELECT 4, 'root', 'DELETE', 'acct',
+      |         (SELECT COUNT(*) FROM base WHERE k % 10 = 0), TRUE
+      |  UNION ALL
+      |  SELECT 5, 'root', 'INSERT', 'acct', NULL, FALSE)
+      |ORDER BY audit_id""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.sql("SET AUDIT ON")
+    e.sql("CREATE TABLE acct (k BIGINT PRIMARY KEY, bal DOUBLE, status STRING)")
+    e.sql("""INSERT INTO acct
+            |SELECT c_custkey, c_acctbal, 'new' FROM customer
+            |WHERE c_custkey < 500""".stripMargin)
+    e.sql("UPDATE acct SET status = 'vip' WHERE bal > 5000")
+    e.sql("DELETE FROM acct WHERE k % 10 = 0")
+    val failed =
+      try { e.sql("INSERT INTO acct VALUES (1, 1.0, 'dup')"); false }
+      catch { case _: IllegalArgumentException => true }
+    require(failed, "duplicate-pk INSERT unexpectedly succeeded")
+    e.sql("SHOW AUDIT")
+      .select(col("audit_id"), col("user"), col("action"), col("object"),
+        col("n_affected"), col("ok"))
+      .orderBy("audit_id")
+  }
+
   /** Plain relational passthrough through engine.sql over external
     * tables — identical ANSI text runs in the oracle. */
   private val passthroughSql =
@@ -637,5 +683,5 @@ object EngineSql {
     qLifecycleCurrent, qLifecycleAsOf, qTxnLifecycle, qFkLifecycle,
     qStreamIngest, qSqlPassthrough, qSqlView, qMatView, qTriggerAudit,
     qProcCall, qMvccSessions, qConstraints, qSequences, qAutoIncrement,
-    qRls, qBackupRestore)
+    qRls, qBackupRestore, qAuditLog)
 }

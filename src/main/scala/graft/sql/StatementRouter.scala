@@ -119,6 +119,12 @@ object Statement {
   final case class RestoreDb(dir: String) extends Statement
   /** VERIFY BACKUP 'dir' (backup.rs:292). */
   final case class VerifyBackup(dir: String) extends Statement
+  /** SET AUDIT ON|OFF — statement auditing (audit.rs:14-60:
+    * AuditSystem + AuditConfig.enabled). */
+  final case class SetAudit(on: Boolean) extends Statement
+  /** SHOW AUDIT — the recorded statement feed (audit.rs:504
+    * query_logs). */
+  case object ShowAudit extends Statement
 }
 
 object StatementRouter {
@@ -198,6 +204,8 @@ object StatementRouter {
     """(?is)^BACKUP\s+DATABASE\s+TO\s+'([^']+)'(?:\s+INCREMENTAL\s+FROM\s+'([^']+)')?\s*$""".r
   private val RestoreR = """(?is)^RESTORE\s+DATABASE\s+FROM\s+'([^']+)'\s*$""".r
   private val VerifyBackupR = """(?is)^VERIFY\s+BACKUP\s+'([^']+)'\s*$""".r
+  private val SetAuditR = """(?is)^SET\s+AUDIT\s+(ON|OFF)\s*$""".r
+  private val ShowAuditR = """(?is)^SHOW\s+AUDIT\s*$""".r
   private val BeginR =
     """(?is)^(?:BEGIN(?:\s+(?:WORK|TRANSACTION))?|START\s+TRANSACTION)(?:\s+ISOLATION\s+LEVEL\s+[\w\s]+)?\s*$""".r
   private val CommitR = """(?is)^(?:COMMIT|END)(?:\s+(?:WORK|TRANSACTION))?\s*$""".r
@@ -260,6 +268,8 @@ object StatementRouter {
       case ShowPoliciesR() => ShowPolicies
       case SetRoleR(user) => SetRole(Some(user))
       case ResetRoleR() => SetRole(None)
+      case SetAuditR(mode) => SetAudit(mode.equalsIgnoreCase("ON"))
+      case ShowAuditR() => ShowAudit
       case BackupR(dir, parent) => BackupDb(dir, Option(parent))
       case RestoreR(dir) => RestoreDb(dir)
       case VerifyBackupR(dir) => VerifyBackup(dir)
