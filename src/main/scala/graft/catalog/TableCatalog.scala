@@ -124,6 +124,10 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   // (row_level_security.rs:174-287), persisted with the catalog
   private val rlsTables = mutable.LinkedHashSet.empty[String]
   private val policies = mutable.LinkedHashMap.empty[(String, String), PolicyDef]
+  // table privileges ((table, privilege) -> grantees), the table-level
+  // slice of the reference's Permission set (auth.rs:32-120:
+  // Select/Insert/Update/Delete{table}); "ALL" covers the four
+  private val grants = mutable.LinkedHashMap.empty[(String, String), Set[String]]
   val stats = mutable.HashMap.empty[String, Map[String, String]] // ANALYZE output
 
   load()
@@ -191,6 +195,7 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
     // inherit a predecessor's policies
     rlsTables -= name
     policies.filterInPlace { case ((t, _), _) => t != name }
+    grants.filterInPlace { case ((t, _), _) => t != name }
     // delete the table's storage (event log + snapshots) so a CREATE
     // TABLE under the same name starts empty — leaving the log behind
     // would resurrect the dropped data and collide restarted sequences
@@ -630,6 +635,42 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
 
   def policyList: Seq[PolicyDef] = policies.values.toSeq
 
+  // ------------------------------------------------- table privileges
+
+  val Privileges: Set[String] = Set("SELECT", "INSERT", "UPDATE", "DELETE", "ALL")
+
+  /** GRANT privs ON table TO grantees (auth.rs:647 check_permission's
+    * registry side; grant semantics are additive like PG). */
+  def grant(table: String, privs: Seq[String], grantees: Seq[String]): Unit = {
+    require(table)
+    for (p <- privs) {
+      val key = (table, p)
+      grants(key) = grants.getOrElse(key, Set.empty) ++ grantees
+    }
+    save()
+  }
+
+  /** REVOKE privs ON table FROM grantees. Revoking ALL removes the
+    * grantee from every privilege of the table (PG behavior). */
+  def revoke(table: String, privs: Seq[String], grantees: Seq[String]): Unit = {
+    require(table)
+    val targets = if (privs.contains("ALL")) Privileges.toSeq else privs
+    for (p <- targets; key = (table, p); cur <- grants.get(key)) {
+      val next = cur -- grantees
+      if (next.isEmpty) grants.remove(key) else grants(key) = next
+    }
+    save()
+  }
+
+  /** Grantees holding `priv` (or ALL) on `table`. */
+  def granteesOf(table: String, priv: String): Set[String] =
+    grants.getOrElse((table, priv), Set.empty) ++
+      grants.getOrElse((table, "ALL"), Set.empty)
+
+  /** (table, privilege, grantee) rows for SHOW GRANTS. */
+  def grantList: Seq[(String, String, String)] =
+    grants.toSeq.flatMap { case ((t, p), gs) => gs.toSeq.sorted.map((t, p, _)) }
+
   /** Re-read the persisted descriptor, discarding in-memory state —
     * used after RESTORE DATABASE swaps the base dir's contents
     * (attached in-memory logs are registration-time state, not
@@ -638,7 +679,8 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
     tables.clear(); views.clear(); mviews.clear(); indexes.clear()
     nextSeqs.clear(); nextColIds.clear(); fks.clear(); constraints.clear()
     streamBatches.clear(); triggers.clear(); procs.clear()
-    sequences.clear(); rlsTables.clear(); policies.clear(); stats.clear()
+    sequences.clear(); rlsTables.clear(); policies.clear(); grants.clear()
+    stats.clear()
     load()
   }
 
@@ -689,6 +731,8 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       sb.append(s"policy\t${enc(p.table)}\t${enc(p.name)}\t${enc(p.command)}\t" +
         s"${p.roles.map(enc).mkString(",")}\t${if (p.permissive) 1 else 0}\t" +
         s"${p.usingExpr.fold("")(enc)}\t${p.checkExpr.fold("")(enc)}\n")
+    for (((t, p), gs) <- grants; g <- gs)
+      sb.append(s"grant\t${enc(t)}\t${enc(p)}\t${enc(g)}\n")
     // crash-safe descriptor replacement: write the whole file to a tmp
     // path, then swap. A crash mid-create leaves the old meta intact; a
     // crash between delete and rename leaves only the tmp, which load()
@@ -772,6 +816,9 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
           cyc == "1", cur.toLong,
           if (ot.isEmpty) None else Some((dec(ot), dec(oc))))
       case Array("rls", t) => rlsTables += dec(t)
+      case Array("grant", t, p, g) =>
+        val key = (dec(t), dec(p))
+        grants(key) = grants.getOrElse(key, Set.empty) + dec(g)
       case Array("policy", t, n, cmd, roles, perm, usingE, checkE) =>
         policies((dec(t), dec(n))) = PolicyDef(dec(n), dec(t), dec(cmd),
           if (roles.isEmpty) Nil else roles.split(",", -1).toSeq.map(dec),

@@ -467,6 +467,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         Statement.ShowSequences | Statement.ShowPolicies |
         _: Statement.SetRole | _: Statement.VerifyBackup |
         _: Statement.SetAudit | Statement.ShowAudit |
+        Statement.ShowGrants | _: Statement.SetPrivileges |
         _: Statement.Describe | _: Statement.Analyze |
         Statement.Begin | _: Statement.Rollback | _: Statement.Savepoint |
         _: Statement.ReleaseSavepoint => false
@@ -701,6 +702,21 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         case None => current.setAuth("root", superuser = true)
       }
       summary("role_set", 0L, 0L)
+    case Statement.Grant(privs, table, grantees) =>
+      requireSuperuser("GRANT")
+      catalog.grant(table, privs, grantees)
+      summary("granted", 0L, 0L)
+    case Statement.Revoke(privs, table, grantees) =>
+      requireSuperuser("REVOKE")
+      catalog.revoke(table, privs, grantees)
+      summary("revoked", 0L, 0L)
+    case Statement.ShowGrants =>
+      import spark.implicits._
+      catalog.grantList.toDF("table", "privilege", "grantee")
+    case Statement.SetPrivileges(on) =>
+      requireSuperuser("SET PRIVILEGES")
+      privilegesEnabled = on
+      summary(if (on) "privileges_enabled" else "privileges_disabled", 0L, 0L)
     case Statement.SetAudit(on) =>
       auditEnabled = on
       summary(if (on) "audit_enabled" else "audit_disabled", 0L, 0L)
@@ -942,6 +958,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * and stay unfiltered, like PG's RLS-exempt integrity checks. */
   def resolve(table: String, st: SystemTime): DataFrame = {
     val t = catalog.require(table)
+    checkPrivilege(table, "SELECT")
     val frame = st match {
       case SystemTime.Current => stateAt(table, None)
       case SystemTime.AsOfSeq(s) => stateAt(table, Some(s))
@@ -1333,6 +1350,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Statement.BackupDb(d, _) => ("BACKUP", d)
     case Statement.RestoreDb(d) => ("RESTORE", d)
     case _: Statement.SetRole => ("SET ROLE", "")
+    case Statement.Grant(_, t, _) => ("GRANT", t)
+    case Statement.Revoke(_, t, _) => ("REVOKE", t)
     case other =>
       (other.getClass.getSimpleName.stripSuffix("$").toUpperCase, "")
   }
@@ -1549,6 +1568,32 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       case _ => Nil
     }
 
+  // ------------------------------------------------- table privileges
+
+  /** Privilege-check gate (the reference's AuthConfig.enabled,
+    * auth.rs:134-160): off by default — every session can do
+    * everything, as before; once ON, non-superuser sessions need a
+    * GRANT for each DML action on engine tables (attached fixtures and
+    * temp analytics frames are not governed). */
+  private var privilegesEnabled = false
+
+  private def requireSuperuser(what: String): Unit =
+    if (privilegesEnabled && !current.superuser)
+      throw new SecurityException(s"permission denied: $what requires superuser")
+
+  /** Raise unless the session holds `priv` (or ALL) on `table` —
+    * granted directly, via a role, or to PUBLIC
+    * (auth.rs:647 check_permission; PG error shape). */
+  private def checkPrivilege(table: String, priv: String): Unit =
+    if (privilegesEnabled && !current.superuser && catalog.get(table).isDefined) {
+      val gs = catalog.granteesOf(table, priv)
+      val s = current
+      val ok = gs.contains("PUBLIC") || gs.contains(s.user) || gs.exists(s.roles)
+      if (!ok)
+        throw new SecurityException(
+          s"permission denied for table $table ($priv)")
+    }
+
   // ------------------------------------------------- row-level security
 
   /** The session's visible-row predicate for `command` on `table`, or
@@ -1667,6 +1712,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * uniqueness against current state and within the batch. */
   private def insertFrom(table: String, cols: Option[Seq[String]], src: DataFrame): DataFrame = {
     val t = catalog.require(table)
+    checkPrivilege(table, "INSERT")
     val target = cols.getOrElse(t.columns.map(_.logical))
     require(src.columns.length == target.length,
       s"INSERT column count ${target.length} != SELECT/VALUES arity ${src.columns.length}")
@@ -1739,6 +1785,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * semantics, sql_bridge.rs:5473-5668). */
   def update(table: String, assigns: Seq[(String, String)], where: Option[String]): DataFrame = {
     val t = catalog.require(table)
+    checkPrivilege(table, "UPDATE")
     val bad = assigns.map(_._1).filterNot(a => t.columns.exists(_.logical == a))
     require(bad.isEmpty, s"unknown UPDATE columns: ${bad.mkString(",")}")
     val state = stateAt(table, None)
@@ -1853,6 +1900,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * (payload keeps the last row image, like the drift history shows). */
   def delete(table: String, where: Option[String]): DataFrame = {
     val t = catalog.require(table)
+    checkPrivilege(table, "DELETE")
     val state = stateAt(table, None)
     // rows the session cannot see (RLS DELETE-USING) are not deletable
     val matching0 = {

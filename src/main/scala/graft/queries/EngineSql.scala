@@ -589,6 +589,60 @@ object EngineSql {
       .orderBy("audit_id")
   }
 
+  /** Table privileges end-to-end (auth.rs:32-120, 647): with the
+    * privilege gate on, alice's pre-grant UPDATE and dave's ungranted
+    * read raise and change nothing; a role-granted analyst reads the
+    * pre-update state (pinned), alice reads post-update after her
+    * UPDATE grant lands, and a revoke locks her out again. The final
+    * result interleaves all three perspectives — a check that fails
+    * open (denied action leaking through) or fails closed (granted
+    * action wrongly blocked) diverges rows or hash. */
+  val qGrants = Q(
+    "q_grants",
+    """WITH base AS (
+      |  SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal
+      |  FROM customer WHERE c_custkey < 500)
+      |SELECT 'analyst_pre' AS phase, k, bal, 'new' AS status FROM base
+      |UNION ALL
+      |SELECT 'alice_post', k, bal,
+      |       CASE WHEN bal > 5000 THEN 'vip' ELSE 'new' END FROM base
+      |UNION ALL
+      |SELECT 'state', k, bal,
+      |       CASE WHEN bal > 5000 THEN 'vip' ELSE 'new' END FROM base
+      |ORDER BY phase, k""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.sql("CREATE TABLE acct (k BIGINT PRIMARY KEY, bal DOUBLE, status STRING)")
+    e.sql("""INSERT INTO acct
+            |SELECT c_custkey, c_acctbal, 'new' FROM customer
+            |WHERE c_custkey < 500""".stripMargin)
+    e.sql("SET PRIVILEGES ON")
+    e.sql("GRANT SELECT ON acct TO alice")
+    e.sql("GRANT SELECT ON acct TO analyst")
+    val alice = e.newSession(); alice.setAuth("alice")
+    val carol = e.newSession(); carol.setAuth("carol", roles = Set("analyst"))
+    // pinned: this read must keep showing the PRE-update state
+    val analystPre = carol.sql(
+      "SELECT 'analyst_pre' AS phase, k, bal, status FROM acct").localCheckpoint()
+    def mustDeny(session: QueryEngine#Session, stmt: String): Unit = {
+      val denied =
+        try { session.sql(stmt); false }
+        catch { case _: SecurityException => true }
+      require(denied, s"privilege check failed open: $stmt")
+    }
+    mustDeny(alice, "UPDATE acct SET status = 'vip' WHERE bal > 5000")
+    e.sql("GRANT UPDATE ON acct TO alice")
+    alice.sql("UPDATE acct SET status = 'vip' WHERE bal > 5000")
+    val dave = e.newSession(); dave.setAuth("dave")
+    mustDeny(dave, "SELECT * FROM acct")
+    val alicePost = alice.sql(
+      "SELECT 'alice_post' AS phase, k, bal, status FROM acct")
+    e.sql("REVOKE SELECT ON acct FROM alice")
+    mustDeny(alice, "SELECT * FROM acct")
+    val state = e.sql("SELECT 'state' AS phase, k, bal, status FROM acct")
+    analystPre.unionByName(alicePost).unionByName(state).orderBy("phase", "k")
+  }
+
   /** Plain relational passthrough through engine.sql over external
     * tables — identical ANSI text runs in the oracle. */
   private val passthroughSql =
@@ -683,5 +737,5 @@ object EngineSql {
     qLifecycleCurrent, qLifecycleAsOf, qTxnLifecycle, qFkLifecycle,
     qStreamIngest, qSqlPassthrough, qSqlView, qMatView, qTriggerAudit,
     qProcCall, qMvccSessions, qConstraints, qSequences, qAutoIncrement,
-    qRls, qBackupRestore, qAuditLog)
+    qRls, qBackupRestore, qAuditLog, qGrants)
 }

@@ -125,6 +125,17 @@ object Statement {
   /** SHOW AUDIT — the recorded statement feed (audit.rs:504
     * query_logs). */
   case object ShowAudit extends Statement
+  /** GRANT privs ON t TO grantees / REVOKE ... FROM ... — the
+    * table-privilege slice of the reference's Permission model
+    * (auth.rs:32-120, check_permission :647). */
+  final case class Grant(privs: Seq[String], table: String,
+      grantees: Seq[String]) extends Statement
+  final case class Revoke(privs: Seq[String], table: String,
+      grantees: Seq[String]) extends Statement
+  case object ShowGrants extends Statement
+  /** SET PRIVILEGES ON|OFF — privilege checking gate (the reference's
+    * AuthConfig.enabled, auth.rs:134-160). */
+  final case class SetPrivileges(on: Boolean) extends Statement
 }
 
 object StatementRouter {
@@ -205,6 +216,12 @@ object StatementRouter {
   private val RestoreR = """(?is)^RESTORE\s+DATABASE\s+FROM\s+'([^']+)'\s*$""".r
   private val VerifyBackupR = """(?is)^VERIFY\s+BACKUP\s+'([^']+)'\s*$""".r
   private val SetAuditR = """(?is)^SET\s+AUDIT\s+(ON|OFF)\s*$""".r
+  private val GrantR =
+    """(?is)^GRANT\s+(ALL(?:\s+PRIVILEGES)?|[\w\s,]+?)\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+([\w\s,]+?)\s*$""".r
+  private val RevokeR =
+    """(?is)^REVOKE\s+(ALL(?:\s+PRIVILEGES)?|[\w\s,]+?)\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+FROM\s+([\w\s,]+?)\s*$""".r
+  private val ShowGrantsR = """(?is)^SHOW\s+GRANTS\s*$""".r
+  private val SetPrivilegesR = """(?is)^SET\s+PRIVILEGES\s+(ON|OFF)\s*$""".r
   private val ShowAuditR = """(?is)^SHOW\s+AUDIT\s*$""".r
   private val BeginR =
     """(?is)^(?:BEGIN(?:\s+(?:WORK|TRANSACTION))?|START\s+TRANSACTION)(?:\s+ISOLATION\s+LEVEL\s+[\w\s]+)?\s*$""".r
@@ -270,6 +287,12 @@ object StatementRouter {
       case ResetRoleR() => SetRole(None)
       case SetAuditR(mode) => SetAudit(mode.equalsIgnoreCase("ON"))
       case ShowAuditR() => ShowAudit
+      case GrantR(privs, table, grantees) =>
+        Grant(parsePrivs(privs), table, splitNames(grantees))
+      case RevokeR(privs, table, grantees) =>
+        Revoke(parsePrivs(privs), table, splitNames(grantees))
+      case ShowGrantsR() => ShowGrants
+      case SetPrivilegesR(mode) => SetPrivileges(mode.equalsIgnoreCase("ON"))
       case BackupR(dir, parent) => BackupDb(dir, Option(parent))
       case RestoreR(dir) => RestoreDb(dir)
       case VerifyBackupR(dir) => VerifyBackup(dir)
@@ -309,6 +332,19 @@ object StatementRouter {
 
   private def topLevelIndexOf(s: String, c: Char): Int =
     SqlText.topLevelIndexOf(s, c)
+
+  private def splitNames(s: String): Seq[String] =
+    s.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+
+  /** Privilege list: SELECT/INSERT/UPDATE/DELETE, or ALL [PRIVILEGES]
+    * (normalized to "ALL"). Unknown names are rejected here, not at
+    * first enforcement. */
+  private def parsePrivs(s: String): Seq[String] =
+    if (s.trim.toUpperCase.startsWith("ALL")) Seq("ALL")
+    else splitNames(s).map(_.toUpperCase).map { p =>
+      if (Set("SELECT", "INSERT", "UPDATE", "DELETE")(p)) p
+      else throw new IllegalArgumentException(s"unknown privilege: $p")
+    }
 
   /** CREATE POLICY tail: AS/FOR/TO/USING/WITH CHECK clauses in any
     * order. USING and WITH CHECK expressions are extracted by matching
