@@ -468,6 +468,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         _: Statement.SetRole | _: Statement.VerifyBackup |
         _: Statement.SetAudit | Statement.ShowAudit |
         Statement.ShowGrants | _: Statement.SetPrivileges |
+        _: Statement.SetCache | Statement.ShowCache | Statement.ClearCache |
         _: Statement.Describe | _: Statement.Analyze |
         Statement.Begin | _: Statement.Rollback | _: Statement.Savepoint |
         _: Statement.ReleaseSavepoint => false
@@ -823,7 +824,18 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Statement.ShowTables => showTables()
     case Statement.Describe(table) => describe(table)
     case Statement.CopyFrom(table, path) => ingestJsonl(table, path)
-    case Statement.Select(q) => select(rewriteSequenceCalls(q))
+    case Statement.SetCache(on) =>
+      cacheEnabled = on
+      if (!on) { resultCache.clear(); cacheHits = 0L; cacheMisses = 0L }
+      summary(if (on) "cache_enabled" else "cache_disabled", 0L, 0L)
+    case Statement.ShowCache =>
+      spark.range(1).select(lit(cacheEnabled).as("enabled"),
+        lit(resultCache.size().toLong).as("entries"),
+        lit(cacheHits).as("hits"), lit(cacheMisses).as("misses"))
+    case Statement.ClearCache =>
+      resultCache.clear()
+      summary("cache_cleared", 0L, 0L)
+    case Statement.Select(q) => cachedSelect(q)
     case Statement.Begin | Statement.Commit | _: Statement.Rollback |
         _: Statement.Savepoint | _: Statement.ReleaseSavepoint =>
       throw new IllegalStateException("unreachable: txn control is handled in sql()")
@@ -1567,6 +1579,85 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         Seq(dups, clash)
       case _ => Nil
     }
+
+  // ====================================================== result cache
+
+  /** Query result cache (cache.rs:75-300). The reference caches by
+    * (query, database, user) with a TTL and pattern invalidation; a
+    * version-keyed cache is strictly stronger and needs no clock: the
+    * key embeds every transitively referenced table's (lastSeq, schema
+    * fingerprint), matview versions, the session user, and a security
+    * fingerprint (policies/grants/gates) — any DML, ALTER, REFRESH, or
+    * policy change produces a different key, so staleness is
+    * impossible and old entries simply age out of the LRU. Results pin
+    * via localCheckpoint (executor block storage, not driver heap),
+    * capped by entry count and row count; statements that are
+    * nondeterministic, draw sequences, or run inside a transaction
+    * (snapshot horizons differ) never cache — the reference's
+    * should_cache gate (cache.rs:132-165) makes the same calls. */
+  private var cacheEnabled = false
+  private var cacheHits = 0L
+  private var cacheMisses = 0L
+  private val CacheMaxEntries = 32
+  private val CacheMaxRows = 100000L
+  private val resultCache =
+    new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DataFrame]): Boolean =
+        size() > CacheMaxEntries
+    }
+
+  private val NonDeterministicR =
+    ("""(?i)\b(rand|randn|random|uuid|shuffle|monotonically_increasing_id|""" +
+      """now|unix_timestamp|input_file_name)\s*\(|""" +
+      """(?i)\bcurrent_(timestamp|date|timezone)\b""").r
+
+  /** Version vector of every table the text transitively references
+    * (through stored views), or None when the statement must not be
+    * cached. */
+  private def referencedVersions(text: String, depth: Int = 0): Option[String] = {
+    if (depth > 10) return None // pathological view nesting: just skip
+    val masked = maskNonCode(text)
+    if (NonDeterministicR.findFirstIn(masked).isDefined) return None
+    val parts = scala.collection.mutable.SortedMap.empty[String, String]
+    for (t <- catalog.tableNames if referencesWord(masked, t);
+        td <- catalog.get(t))
+      parts(s"t:$t") = s"${catalog.lastSeq(t)}/${td.columns.hashCode}"
+    for (v <- catalog.viewNames if referencesWord(masked, v))
+      if (catalog.isMaterialized(v))
+        parts(s"m:$v") = catalog.mviewVersion(v).toString
+      else referencedVersions(catalog.getView(v).get, depth + 1) match {
+        case Some(sub) => parts(s"v:$v") = Integer.toHexString(sub.hashCode)
+        case None => return None
+      }
+    Some(parts.map { case (k, x) => s"$k=$x" }.mkString(";"))
+  }
+
+  private def cacheKeyFor(text: String): Option[String] = {
+    if (!cacheEnabled || txn.isDefined || mentionsSequenceCall(text)) return None
+    referencedVersions(text).map(v =>
+      text.trim + " " + current.user + " " + v +
+        s" sec:${catalog.policyList.hashCode}:${catalog.grantList.hashCode}:$privilegesEnabled:$rlsRelevant")
+  }
+
+  // RLS enable/disable flips don't advance any sequence — fold the
+  // enabled-set into the security fingerprint
+  private def rlsRelevant: String =
+    catalog.tableNames.filter(catalog.isRlsEnabled).mkString(",")
+
+  private def cachedSelect(q: String): DataFrame = cacheKeyFor(q) match {
+    case None => select(rewriteSequenceCalls(q))
+    case Some(key) =>
+      Option(resultCache.get(key)) match {
+        case Some(df) => cacheHits += 1; df
+        case None =>
+          cacheMisses += 1
+          val res = select(q).localCheckpoint()
+          // the pin already materialized the blocks; the count is local
+          if (res.count() <= CacheMaxRows) resultCache.put(key, res)
+          res
+      }
+  }
 
   // ------------------------------------------------- table privileges
 

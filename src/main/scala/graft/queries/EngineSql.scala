@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.exec.QueryEngine
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Correctness queries that exercise the ENGINE SHELL — every one of
   * these routes through `engine.sql(<string>)`: the statement router,
@@ -643,6 +643,53 @@ object EngineSql {
     analystPre.unionByName(alicePost).unionByName(state).orderBy("phase", "k")
   }
 
+  /** Query result cache end-to-end (cache.rs:75-300): the same
+    * aggregate runs twice (one miss, one hit — the hit serves the
+    * pinned result), a single-row INSERT version-bumps the key so the
+    * third run recomputes, and SHOW CACHE's (entries, hits, misses)
+    * land in the result. The oracle spells both aggregate phases from
+    * the fixture and the exact expected counters — a stale hit after
+    * DML, a false miss, or wrong accounting all diverge. */
+  val qResultCache = Q(
+    "q_result_cache",
+    """WITH base AS (
+      |  SELECT c_custkey AS k, c_acctbal AS bal FROM customer
+      |  WHERE c_custkey < 500),
+      |agg AS (
+      |  SELECT CASE WHEN bal > 5000 THEN 'vip' ELSE 'new' END AS item,
+      |         COUNT(*) AS n
+      |  FROM base GROUP BY 1)
+      |SELECT 'agg_pre' AS phase, item, n FROM agg
+      |UNION ALL
+      |SELECT 'agg_post', item,
+      |       n + CASE WHEN item = 'new' THEN 1 ELSE 0 END FROM agg
+      |UNION ALL
+      |SELECT 'cache', 'entries', CAST(2 AS BIGINT)
+      |UNION ALL SELECT 'cache', 'hits', 1
+      |UNION ALL SELECT 'cache', 'misses', 2
+      |ORDER BY phase, item""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.sql("CREATE TABLE acct (k BIGINT PRIMARY KEY, bal DOUBLE, status STRING)")
+    e.sql("""INSERT INTO acct
+            |SELECT c_custkey, c_acctbal,
+            |       CASE WHEN c_acctbal > 5000 THEN 'vip' ELSE 'new' END
+            |FROM customer WHERE c_custkey < 500""".stripMargin)
+    e.sql("SET CACHE ON")
+    val aggSql = "SELECT status AS item, COUNT(*) AS n FROM acct GROUP BY status"
+    e.sql(aggSql).count() // miss 1, enters the cache
+    val pre = e.sql(aggSql) // hit 1 — the pinned frame
+    e.sql("INSERT INTO acct VALUES (9001, 1.0, 'new')")
+    val post = e.sql(aggSql) // miss 2 — version bump forced recompute
+    val stats = e.sql("SHOW CACHE").selectExpr(
+      "'cache' AS phase",
+      "stack(3, 'entries', entries, 'hits', hits, 'misses', misses) AS (item, n)")
+    pre.select(lit("agg_pre").as("phase"), col("item"), col("n"))
+      .unionByName(post.select(lit("agg_post").as("phase"), col("item"), col("n")))
+      .unionByName(stats.select(col("phase"), col("item"), col("n")))
+      .orderBy("phase", "item")
+  }
+
   /** Plain relational passthrough through engine.sql over external
     * tables — identical ANSI text runs in the oracle. */
   private val passthroughSql =
@@ -737,5 +784,5 @@ object EngineSql {
     qLifecycleCurrent, qLifecycleAsOf, qTxnLifecycle, qFkLifecycle,
     qStreamIngest, qSqlPassthrough, qSqlView, qMatView, qTriggerAudit,
     qProcCall, qMvccSessions, qConstraints, qSequences, qAutoIncrement,
-    qRls, qBackupRestore, qAuditLog, qGrants)
+    qRls, qBackupRestore, qAuditLog, qGrants, qResultCache)
 }

@@ -136,6 +136,12 @@ object Statement {
   /** SET PRIVILEGES ON|OFF — privilege checking gate (the reference's
     * AuthConfig.enabled, auth.rs:134-160). */
   final case class SetPrivileges(on: Boolean) extends Statement
+  /** SET CACHE ON|OFF / SHOW CACHE / CLEAR CACHE — query result cache
+    * (cache.rs:75 QueryCache, :167 get, :196 put, :267 clear,
+    * :279 statistics). */
+  final case class SetCache(on: Boolean) extends Statement
+  case object ShowCache extends Statement
+  case object ClearCache extends Statement
 }
 
 object StatementRouter {
@@ -221,6 +227,9 @@ object StatementRouter {
   private val RevokeR =
     """(?is)^REVOKE\s+(ALL(?:\s+PRIVILEGES)?|[\w\s,]+?)\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+FROM\s+([\w\s,]+?)\s*$""".r
   private val ShowGrantsR = """(?is)^SHOW\s+GRANTS\s*$""".r
+  private val SetCacheR = """(?is)^SET\s+CACHE\s+(ON|OFF)\s*$""".r
+  private val ShowCacheR = """(?is)^SHOW\s+CACHE\s*$""".r
+  private val ClearCacheR = """(?is)^CLEAR\s+CACHE\s*$""".r
   private val SetPrivilegesR = """(?is)^SET\s+PRIVILEGES\s+(ON|OFF)\s*$""".r
   private val ShowAuditR = """(?is)^SHOW\s+AUDIT\s*$""".r
   private val BeginR =
@@ -293,6 +302,9 @@ object StatementRouter {
         Revoke(parsePrivs(privs), table, splitNames(grantees))
       case ShowGrantsR() => ShowGrants
       case SetPrivilegesR(mode) => SetPrivileges(mode.equalsIgnoreCase("ON"))
+      case SetCacheR(mode) => SetCache(mode.equalsIgnoreCase("ON"))
+      case ShowCacheR() => ShowCache
+      case ClearCacheR() => ClearCache
       case BackupR(dir, parent) => BackupDb(dir, Option(parent))
       case RestoreR(dir) => RestoreDb(dir)
       case VerifyBackupR(dir) => VerifyBackup(dir)
