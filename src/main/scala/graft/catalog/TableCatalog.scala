@@ -128,6 +128,11 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   // slice of the reference's Permission set (auth.rs:32-120:
   // Select/Insert/Update/Delete{table}); "ALL" covers the four
   private val grants = mutable.LinkedHashMap.empty[(String, String), Set[String]]
+  // versioned schema migrations (migration.rs:99-150: version, up/down
+  // scripts; :155 AppliedMigration) — version -> (up, down), plus the
+  // applied set; both persisted
+  private val migrations = mutable.LinkedHashMap.empty[String, (String, Option[String])]
+  private val appliedMigs = mutable.LinkedHashSet.empty[String]
   val stats = mutable.HashMap.empty[String, Map[String, String]] // ANALYZE output
 
   load()
@@ -635,6 +640,39 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
 
   def policyList: Seq[PolicyDef] = policies.values.toSeq
 
+  // --------------------------------------------------------- migrations
+
+  /** Parse "x[.y[.z]]" into an orderable triple (migration.rs:22-64
+    * Version::from_str; missing parts are 0). */
+  def migVersionKey(v: String): (Long, Long, Long) = {
+    val parts = v.split("\\.", -1)
+    if (parts.isEmpty || parts.length > 3 ||
+        parts.exists(p => p.isEmpty || !p.forall(_.isDigit)))
+      throw new IllegalArgumentException(
+        s"bad migration version (want x.y.z): $v")
+    def at(i: Int) = if (i < parts.length) parts(i).toLong else 0L
+    (at(0), at(1), at(2))
+  }
+
+  def createMigration(version: String, up: String, down: Option[String]): Unit = {
+    migVersionKey(version) // validate the shape at registration
+    if (migrations.contains(version))
+      throw new IllegalArgumentException(s"migration already exists: $version")
+    migrations(version) = (up, down)
+    save()
+  }
+
+  /** Registered migrations in version order: (version, up, down,
+    * applied). */
+  def migrationList: Seq[(String, String, Option[String], Boolean)] =
+    migrations.toSeq.sortBy { case (v, _) => migVersionKey(v) }
+      .map { case (v, (up, down)) => (v, up, down, appliedMigs.contains(v)) }
+
+  def markMigrationApplied(version: String, applied: Boolean): Unit = {
+    if (applied) appliedMigs += version else appliedMigs -= version
+    save()
+  }
+
   // ------------------------------------------------- table privileges
 
   val Privileges: Set[String] = Set("SELECT", "INSERT", "UPDATE", "DELETE", "ALL")
@@ -680,7 +718,7 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
     nextSeqs.clear(); nextColIds.clear(); fks.clear(); constraints.clear()
     streamBatches.clear(); triggers.clear(); procs.clear()
     sequences.clear(); rlsTables.clear(); policies.clear(); grants.clear()
-    stats.clear()
+    migrations.clear(); appliedMigs.clear(); stats.clear()
     load()
   }
 
@@ -733,6 +771,10 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
         s"${p.usingExpr.fold("")(enc)}\t${p.checkExpr.fold("")(enc)}\n")
     for (((t, p), gs) <- grants; g <- gs)
       sb.append(s"grant\t${enc(t)}\t${enc(p)}\t${enc(g)}\n")
+    for ((v, (up, down)) <- migrations)
+      sb.append(s"migration\t${enc(v)}\t${enc(up)}\t${down.fold("")(enc)}\n")
+    for (v <- appliedMigs)
+      sb.append(s"applied\t${enc(v)}\n")
     // crash-safe descriptor replacement: write the whole file to a tmp
     // path, then swap. A crash mid-create leaves the old meta intact; a
     // crash between delete and rename leaves only the tmp, which load()
@@ -819,6 +861,10 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       case Array("grant", t, p, g) =>
         val key = (dec(t), dec(p))
         grants(key) = grants.getOrElse(key, Set.empty) + dec(g)
+      case Array("migration", v, up, down) =>
+        migrations(dec(v)) =
+          (dec(up), if (down.isEmpty) None else Some(dec(down)))
+      case Array("applied", v) => appliedMigs += dec(v)
       case Array("policy", t, n, cmd, roles, perm, usingE, checkE) =>
         policies((dec(t), dec(n))) = PolicyDef(dec(n), dec(t), dec(cmd),
           if (roles.isEmpty) Nil else roles.split(",", -1).toSeq.map(dec),

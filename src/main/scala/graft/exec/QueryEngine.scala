@@ -469,6 +469,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         _: Statement.SetAudit | Statement.ShowAudit |
         Statement.ShowGrants | _: Statement.SetPrivileges |
         _: Statement.SetCache | Statement.ShowCache | Statement.ClearCache |
+        Statement.ShowMigrations |
         _: Statement.Describe | _: Statement.Analyze |
         Statement.Begin | _: Statement.Rollback | _: Statement.Savepoint |
         _: Statement.ReleaseSavepoint => false
@@ -835,6 +836,41 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Statement.ClearCache =>
       resultCache.clear()
       summary("cache_cleared", 0L, 0L)
+    case Statement.CreateMigration(ver, up, down) =>
+      require(up.trim.nonEmpty, "migration UP script is empty")
+      catalog.createMigration(ver, up, down)
+      summary("migration_created", 0L, 0L)
+    case Statement.Migrate =>
+      // migrations run DDL (non-transactional) — same rule as DDL itself
+      if (txn.isDefined)
+        throw new IllegalStateException("MIGRATE cannot run inside a transaction")
+      val pending = catalog.migrationList.filter(!_._4)
+      // apply in version order; a failing migration stops the chain
+      // with everything before it applied (migration.rs:489-530
+      // migrate_all applies one at a time the same way)
+      for ((ver, up, _, _) <- pending) {
+        sqlScript(up)
+        catalog.markMigrationApplied(ver, applied = true)
+      }
+      summary("migrated", pending.size.toLong, 0L)
+    case Statement.RollbackMigration =>
+      if (txn.isDefined)
+        throw new IllegalStateException(
+          "ROLLBACK MIGRATION cannot run inside a transaction")
+      val applied = catalog.migrationList.filter(_._4)
+      if (applied.isEmpty)
+        throw new IllegalStateException("no applied migration to roll back")
+      val (ver, _, down, _) = applied.last // newest by version order
+      val script = down.getOrElse(throw new IllegalStateException(
+        s"migration $ver has no DOWN script"))
+      sqlScript(script)
+      catalog.markMigrationApplied(ver, applied = false)
+      summary("migration_rolled_back", 1L, 0L)
+    case Statement.ShowMigrations =>
+      import spark.implicits._
+      catalog.migrationList
+        .map { case (v, _, down, applied) => (v, applied, down.isDefined) }
+        .toDF("version", "applied", "has_down")
     case Statement.Select(q) => cachedSelect(q)
     case Statement.Begin | Statement.Commit | _: Statement.Rollback |
         _: Statement.Savepoint | _: Statement.ReleaseSavepoint =>
@@ -1364,6 +1400,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case _: Statement.SetRole => ("SET ROLE", "")
     case Statement.Grant(_, t, _) => ("GRANT", t)
     case Statement.Revoke(_, t, _) => ("REVOKE", t)
+    case Statement.CreateMigration(v, _, _) => ("CREATE MIGRATION", v)
+    case Statement.Migrate => ("MIGRATE", "")
+    case Statement.RollbackMigration => ("ROLLBACK MIGRATION", "")
     case other =>
       (other.getClass.getSimpleName.stripSuffix("$").toUpperCase, "")
   }

@@ -690,6 +690,48 @@ object EngineSql {
       .orderBy("phase", "item")
   }
 
+  /** Versioned migrations end-to-end (migration.rs:99-150, 489, 465):
+    * three migrations registered out of order apply version-ordered
+    * (the 0.9.0 pre-table must exist before 1.0.0 fills the main
+    * table), then the newest rolls back through its DOWN script. The
+    * final state + status feed is the oracle's algebra: a wrong apply
+    * order, a skipped/double application, or a rollback that missed
+    * its DOWN diverges rows or hash. */
+  val qMigrations = Q(
+    "q_migrations",
+    """SELECT 'state' AS phase, 'new' AS item, COUNT(*) AS n
+      |FROM customer WHERE c_custkey < 500
+      |UNION ALL SELECT 'mig', '0.9.0:true', 1
+      |UNION ALL SELECT 'mig', '1.0.0:true', 1
+      |UNION ALL SELECT 'mig', '1.1.0:false', 1
+      |UNION ALL SELECT 'pre', 'rows', 1
+      |ORDER BY phase, item""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.sql("""CREATE MIGRATION '1.0.0' UP
+            |CREATE TABLE acct (k BIGINT PRIMARY KEY, bal DOUBLE, status STRING);
+            |INSERT INTO acct
+            |SELECT c_custkey, c_acctbal, 'new' FROM customer
+            |WHERE c_custkey < 500""".stripMargin)
+    e.sql("""CREATE MIGRATION '1.1.0' UP
+            |UPDATE acct SET status = 'vip' WHERE bal > 5000
+            |DOWN UPDATE acct SET status = 'new'""".stripMargin)
+    // registered last, applies first (version order)
+    e.sql("""CREATE MIGRATION '0.9.0' UP
+            |CREATE TABLE pre (k BIGINT PRIMARY KEY);
+            |INSERT INTO pre VALUES (1)""".stripMargin)
+    e.sql("MIGRATE")
+    e.sql("ROLLBACK MIGRATION") // 1.1.0: statuses back to 'new'
+    val state = e.sql(
+      "SELECT 'state' AS phase, status AS item, COUNT(*) AS n FROM acct GROUP BY status")
+    val migs = e.sql("SHOW MIGRATIONS").selectExpr(
+      "'mig' AS phase",
+      "version || ':' || CAST(applied AS STRING) AS item",
+      "CAST(1 AS BIGINT) AS n")
+    val pre = e.sql("SELECT 'pre' AS phase, 'rows' AS item, COUNT(*) AS n FROM pre")
+    state.unionByName(migs).unionByName(pre).orderBy("phase", "item")
+  }
+
   /** Plain relational passthrough through engine.sql over external
     * tables — identical ANSI text runs in the oracle. */
   private val passthroughSql =
@@ -784,5 +826,5 @@ object EngineSql {
     qLifecycleCurrent, qLifecycleAsOf, qTxnLifecycle, qFkLifecycle,
     qStreamIngest, qSqlPassthrough, qSqlView, qMatView, qTriggerAudit,
     qProcCall, qMvccSessions, qConstraints, qSequences, qAutoIncrement,
-    qRls, qBackupRestore, qAuditLog, qGrants, qResultCache)
+    qRls, qBackupRestore, qAuditLog, qGrants, qResultCache, qMigrations)
 }

@@ -142,6 +142,18 @@ object Statement {
   final case class SetCache(on: Boolean) extends Statement
   case object ShowCache extends Statement
   case object ClearCache extends Statement
+  /** CREATE MIGRATION 'x.y.z' UP <script> [DOWN <script>] — a
+    * versioned schema migration (migration.rs:99-150 Migration,
+    * :22-64 Version). */
+  final case class CreateMigration(version: String, up: String,
+      down: Option[String]) extends Statement
+  /** MIGRATE — apply every pending migration in version order
+    * (migration.rs:489 migrate_all). */
+  case object Migrate extends Statement
+  /** ROLLBACK MIGRATION — undo the newest applied migration via its
+    * DOWN script (migration.rs:465 rollback_migration). */
+  case object RollbackMigration extends Statement
+  case object ShowMigrations extends Statement
 }
 
 object StatementRouter {
@@ -230,6 +242,11 @@ object StatementRouter {
   private val SetCacheR = """(?is)^SET\s+CACHE\s+(ON|OFF)\s*$""".r
   private val ShowCacheR = """(?is)^SHOW\s+CACHE\s*$""".r
   private val ClearCacheR = """(?is)^CLEAR\s+CACHE\s*$""".r
+  private val CreateMigrationR =
+    """(?is)^CREATE\s+MIGRATION\s+'([^']+)'\s+UP\s+(.+)$""".r
+  private val MigrateR = """(?is)^MIGRATE\s*$""".r
+  private val RollbackMigrationR = """(?is)^ROLLBACK\s+MIGRATION\s*$""".r
+  private val ShowMigrationsR = """(?is)^SHOW\s+MIGRATIONS\s*$""".r
   private val SetPrivilegesR = """(?is)^SET\s+PRIVILEGES\s+(ON|OFF)\s*$""".r
   private val ShowAuditR = """(?is)^SHOW\s+AUDIT\s*$""".r
   private val BeginR =
@@ -305,6 +322,12 @@ object StatementRouter {
       case SetCacheR(mode) => SetCache(mode.equalsIgnoreCase("ON"))
       case ShowCacheR() => ShowCache
       case ClearCacheR() => ClearCache
+      case CreateMigrationR(ver, body) =>
+        val (up, down) = splitMigrationBody(body.trim)
+        CreateMigration(ver, up, down)
+      case MigrateR() => Migrate
+      case RollbackMigrationR() => RollbackMigration
+      case ShowMigrationsR() => ShowMigrations
       case BackupR(dir, parent) => BackupDb(dir, Option(parent))
       case RestoreR(dir) => RestoreDb(dir)
       case VerifyBackupR(dir) => VerifyBackup(dir)
@@ -344,6 +367,19 @@ object StatementRouter {
 
   private def topLevelIndexOf(s: String, c: Char): Int =
     SqlText.topLevelIndexOf(s, c)
+
+  /** Split a migration body at the first code-position DOWN keyword —
+    * a DOWN inside a string literal or comment doesn't split. */
+  private def splitMigrationBody(body: String): (String, Option[String]) = {
+    val code = SqlText.codeMask(body)
+    val R = """(?i)\bDOWN\b""".r
+    R.findAllMatchIn(body).find(m => code(m.start)) match {
+      case Some(m) =>
+        (body.substring(0, m.start).trim,
+          Some(body.substring(m.end).trim).filter(_.nonEmpty))
+      case None => (body, None)
+    }
+  }
 
   private def splitNames(s: String): Seq[String] =
     s.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
