@@ -183,6 +183,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     private[QueryEngine] var user: String = "root"
     private[QueryEngine] var roles: Set[String] = Set.empty
     private[QueryEngine] var superuser: Boolean = true
+    // SET STATEMENT_TIMEOUT, per session like PG; 0 = off
+    private[QueryEngine] var statementTimeoutMs: Long = 0L
     def inTransaction: Boolean = txn.isDefined
     def currentUser: String = user
     /** Switch this session's security context (SET ROLE does the same
@@ -228,11 +230,13 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case None => summary("commit", 0L, 0L) // PG: COMMIT outside txn is a no-op
     case Some(tx) if tx.aborted =>
       txn = None
+      metricTxnRollbacks += 1
       summary("rollback", 0L, 0L) // PG: COMMIT of aborted = ROLLBACK
     case Some(tx) if tx.pending.isEmpty =>
       // a read-only transaction publishes nothing — in particular it
       // must NOT take the base-dir write lock (isMutating agrees)
       txn = None
+      metricTxnCommits += 1
       summary("commit", 0L, 0L)
     case Some(tx) =>
       ensureWriteLock()
@@ -280,6 +284,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       try {
         publishAtomic(batches, finalSeqs, None)
         txn = None
+        metricTxnCommits += 1
         summary("commit", n, 0L)
       } catch {
         case e: CommitIncompleteException =>
@@ -407,6 +412,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     toSavepoint match {
       case None =>
         txn = None
+        metricTxnRollbacks += 1
         summary("rollback", 0L, 0L)
       case Some(name) =>
         val i = tx.savepoints.lastIndexWhere(_._1 == name.toLowerCase)
@@ -469,7 +475,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         _: Statement.SetAudit | Statement.ShowAudit |
         Statement.ShowGrants | _: Statement.SetPrivileges |
         _: Statement.SetCache | Statement.ShowCache | Statement.ClearCache |
-        Statement.ShowMigrations |
+        Statement.ShowMigrations | _: Statement.SetStatementTimeout |
+        Statement.ShowMetrics |
         _: Statement.Describe | _: Statement.Analyze |
         Statement.Begin | _: Statement.Rollback | _: Statement.Savepoint |
         _: Statement.ReleaseSavepoint => false
@@ -519,19 +526,59 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         case None => dispatch(st)
       }
     }
+    // statement timeout wraps the eager work (DML, probes, writes,
+    // pinned reads); a purely lazy SELECT's later actions run on the
+    // caller's clock — the reference cancels eager server-side
+    // execution the same way (query_cancellation.rs:200)
+    def timed(): DataFrame = {
+      val ms = current.statementTimeoutMs
+      if (ms <= 0 || parsed.isInstanceOf[Statement.SetStatementTimeout]) run()
+      else withStatementTimeout(ms)(run())
+    }
+    metricStatements += 1
     // auditing checks the flag from BEFORE the statement, so SET AUDIT
     // ON records everything AFTER itself (and SET AUDIT OFF is the
     // last recorded statement)
-    if (!auditEnabled) run()
-    else {
+    if (!auditEnabled) {
+      try timed()
+      catch { case e: Throwable => metricFailed += 1; throw e }
+    } else {
       lastAffected = None
-      try { val r = run(); auditRecord(parsed, ok = true, None); r }
+      try { val r = timed(); auditRecord(parsed, ok = true, None); r }
       catch {
         case e: Throwable =>
+          metricFailed += 1
           auditRecord(parsed, ok = false, Option(e.getMessage))
           throw e
       }
     }
+  }
+
+  /** Run `f` under a fresh Spark job group that a watchdog cancels
+    * after `ms` — the cancelled jobs surface as SparkExceptions, which
+    * map to a clear timeout error (the reference's cancel path tags
+    * handles the same way, query_cancellation.rs:147-233). */
+  private def withStatementTimeout[T](ms: Long)(f: => T): T = {
+    val sc = spark.sparkContext
+    val group = s"graft-stmt-${java.util.UUID.randomUUID()}"
+    sc.setJobGroup(group, s"graft statement (timeout ${ms}ms)",
+      interruptOnCancel = true)
+    @volatile var fired = false
+    val task = new java.util.TimerTask {
+      // the STICKY variant: a plain cancelJobGroup only kills jobs
+      // already running, and a statement still in planning/codegen at
+      // the deadline would submit its jobs AFTER the cancel and run
+      // unbounded — AndFutureJobs kills those on submission too
+      def run(): Unit = { fired = true; sc.cancelJobGroupAndFutureJobs(group) }
+    }
+    QueryEngine.timeoutTimer.schedule(task, ms)
+    try f
+    catch {
+      case e: Throwable if fired =>
+        metricTimeouts += 1
+        throw new QueryEngine.StatementTimeoutException(
+          s"canceling statement due to statement timeout (${ms} ms)", e)
+    } finally { task.cancel(); sc.clearJobGroup() }
   }
 
   private def dispatch(statement: Statement): DataFrame = statement match {
@@ -836,6 +883,10 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Statement.ClearCache =>
       resultCache.clear()
       summary("cache_cleared", 0L, 0L)
+    case Statement.SetStatementTimeout(ms) =>
+      current.statementTimeoutMs = ms
+      summary("timeout_set", ms, 0L)
+    case Statement.ShowMetrics => showMetrics()
     case Statement.CreateMigration(ver, up, down) =>
       require(up.trim.nonEmpty, "migration UP script is empty")
       catalog.createMigration(ver, up, down)
@@ -1619,6 +1670,36 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       case _ => Nil
     }
 
+  // =========================================================== metrics
+
+  /** Engine counters (monitoring.rs:81-246 — the deterministic slice
+    * of its DatabaseMetrics/QueryMetrics; wall-clock histograms are
+    * deliberately absent so SHOW METRICS stays oracle-checkable). */
+  private var metricStatements = 0L
+  private var metricFailed = 0L
+  private var metricTimeouts = 0L
+  private var metricTxnCommits = 0L
+  private var metricTxnRollbacks = 0L
+  private var metricSnapshots = 0L
+
+  private def showMetrics(): DataFrame = {
+    import spark.implicits._
+    val eventsTotal = catalog.tableNames.map(catalog.lastSeq).sum
+    Seq(
+      ("cache_hits", cacheHits),
+      ("cache_misses", cacheMisses),
+      ("events_total", eventsTotal),
+      ("snapshots_taken", metricSnapshots),
+      ("statements_failed", metricFailed),
+      ("statements_timed_out", metricTimeouts),
+      ("statements_total", metricStatements),
+      ("tables", catalog.tableNames.size.toLong),
+      ("txn_commits", metricTxnCommits),
+      ("txn_rollbacks", metricTxnRollbacks),
+      ("views", catalog.viewNames.size.toLong))
+      .toDF("metric", "value")
+  }
+
   // ====================================================== result cache
 
   /** Query result cache (cache.rs:75-300). The reference caches by
@@ -2064,6 +2145,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     val seq = atSeq.getOrElse(catalog.lastSeq(t.name))
     Snapshots.write(events(t), catalog.snapshotPath(table), seq)
     lastSnapSeqs(table) = math.max(lastSnapSeqs.getOrElse(table, 0L), seq)
+    metricSnapshots += 1
     summary("snapshot", 0L, seq)
   }
 
@@ -2238,6 +2320,17 @@ object QueryEngine {
     val dir = java.nio.file.Files.createTempDirectory("graft-engine-")
     new QueryEngine(spark, dir.toString)
   }
+
+  /** Shared daemon timer for statement timeouts — one thread per JVM,
+    * not per statement. */
+  private[exec] val timeoutTimer = new java.util.Timer("graft-stmt-timeout", true)
+
+  /** The statement exceeded the session's STATEMENT_TIMEOUT and its
+    * Spark jobs were cancelled (PG error 57014; the reference's
+    * cancellation manager kills the handle the same way —
+    * query_cancellation.rs:200-233). */
+  final class StatementTimeoutException(msg: String, cause: Throwable)
+    extends RuntimeException(msg, cause)
 
   /** COMMIT lost the first-committer-wins race: another session
     * committed a write to a primary key this transaction also wrote,

@@ -732,6 +732,53 @@ object EngineSql {
     state.unionByName(migs).unionByName(pre).orderBy("phase", "item")
   }
 
+  /** Engine metrics (monitoring.rs:81-246): a fixed statement script —
+    * one failed INSERT, one committed and one rolled-back transaction,
+    * one snapshot — then SHOW METRICS. Every exposed counter/gauge is
+    * deterministic by design (no wall-clock histograms), so the oracle
+    * states the whole feed, with events_total recomputed from the
+    * fixture (insert events + committed patch events; the rolled-back
+    * DELETE must contribute nothing). */
+  val qMetrics = Q(
+    "q_metrics",
+    """WITH base AS (
+      |  SELECT c_custkey AS k, c_acctbal AS bal FROM customer
+      |  WHERE c_custkey < 500)
+      |SELECT * FROM (
+      |  SELECT 'cache_hits' AS metric, CAST(0 AS BIGINT) AS value
+      |  UNION ALL SELECT 'cache_misses', 0
+      |  UNION ALL SELECT 'events_total',
+      |    (SELECT COUNT(*) FROM base) +
+      |    (SELECT COUNT(*) FROM base WHERE bal > 5000)
+      |  UNION ALL SELECT 'snapshots_taken', 1
+      |  UNION ALL SELECT 'statements_failed', 1
+      |  UNION ALL SELECT 'statements_timed_out', 0
+      |  UNION ALL SELECT 'statements_total', 11
+      |  UNION ALL SELECT 'tables', 1
+      |  UNION ALL SELECT 'txn_commits', 1
+      |  UNION ALL SELECT 'txn_rollbacks', 1
+      |  UNION ALL SELECT 'views', 0)
+      |ORDER BY metric""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.sql("CREATE TABLE acct (k BIGINT PRIMARY KEY, bal DOUBLE, status STRING)")
+    e.sql("""INSERT INTO acct
+            |SELECT c_custkey, c_acctbal, 'new' FROM customer
+            |WHERE c_custkey < 500""".stripMargin)
+    val failed =
+      try { e.sql("INSERT INTO acct VALUES (1, 1.0, 'dup')"); false }
+      catch { case _: IllegalArgumentException => true }
+    require(failed, "duplicate-pk INSERT unexpectedly succeeded")
+    e.sql("BEGIN")
+    e.sql("UPDATE acct SET status = 'vip' WHERE bal > 5000")
+    e.sql("COMMIT")
+    e.sql("BEGIN")
+    e.sql("DELETE FROM acct")
+    e.sql("ROLLBACK") // contributes no events
+    e.sql("SNAPSHOT acct")
+    e.sql("SHOW METRICS").orderBy("metric") // the 11th statement
+  }
+
   /** Plain relational passthrough through engine.sql over external
     * tables — identical ANSI text runs in the oracle. */
   private val passthroughSql =
@@ -826,5 +873,6 @@ object EngineSql {
     qLifecycleCurrent, qLifecycleAsOf, qTxnLifecycle, qFkLifecycle,
     qStreamIngest, qSqlPassthrough, qSqlView, qMatView, qTriggerAudit,
     qProcCall, qMvccSessions, qConstraints, qSequences, qAutoIncrement,
-    qRls, qBackupRestore, qAuditLog, qGrants, qResultCache, qMigrations)
+    qRls, qBackupRestore, qAuditLog, qGrants, qResultCache, qMigrations,
+    qMetrics)
 }

@@ -154,6 +154,13 @@ object Statement {
     * DOWN script (migration.rs:465 rollback_migration). */
   case object RollbackMigration extends Statement
   case object ShowMigrations extends Statement
+  /** SET STATEMENT_TIMEOUT <ms> — 0 disables; a statement exceeding it
+    * has its Spark jobs cancelled (query_cancellation.rs:20-46
+    * CancellationConfig.default_timeout, :200 cancel_query). */
+  final case class SetStatementTimeout(ms: Long) extends Statement
+  /** SHOW METRICS — engine counters/gauges (monitoring.rs:81-246
+    * MonitoringSystem / DatabaseMetrics / QueryMetrics). */
+  case object ShowMetrics extends Statement
 }
 
 object StatementRouter {
@@ -247,6 +254,8 @@ object StatementRouter {
   private val MigrateR = """(?is)^MIGRATE\s*$""".r
   private val RollbackMigrationR = """(?is)^ROLLBACK\s+MIGRATION\s*$""".r
   private val ShowMigrationsR = """(?is)^SHOW\s+MIGRATIONS\s*$""".r
+  private val SetTimeoutR = """(?is)^SET\s+STATEMENT_TIMEOUT\s+(\d+)\s*$""".r
+  private val ShowMetricsR = """(?is)^SHOW\s+METRICS\s*$""".r
   private val SetPrivilegesR = """(?is)^SET\s+PRIVILEGES\s+(ON|OFF)\s*$""".r
   private val ShowAuditR = """(?is)^SHOW\s+AUDIT\s*$""".r
   private val BeginR =
@@ -328,6 +337,8 @@ object StatementRouter {
       case MigrateR() => Migrate
       case RollbackMigrationR() => RollbackMigration
       case ShowMigrationsR() => ShowMigrations
+      case SetTimeoutR(ms) => SetStatementTimeout(ms.toLong)
+      case ShowMetricsR() => ShowMetrics
       case BackupR(dir, parent) => BackupDb(dir, Option(parent))
       case RestoreR(dir) => RestoreDb(dir)
       case VerifyBackupR(dir) => VerifyBackup(dir)
