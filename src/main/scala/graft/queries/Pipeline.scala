@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Components, Dedup, FullText, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Components, Dedup, FullText, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextAnalysis, TextChunking}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -659,6 +659,67 @@ object Pipeline {
       .orderBy("k_mod")
   }
 
+  // ----------------------------------- chunking and PII redaction
+
+  /** Fixed-size token chunking with overlap ([REF-GAP] pipeline
+    * stage): 32-token windows stepping by 24 (8 overlap) — the
+    * pretraining windowing shape. Pure generator over computed
+    * offsets, no shuffle. The oracle states the identical slicing
+    * arithmetic; any off-by-one in starts, clipping, or the final
+    * partial chunk diverges rows or hash. */
+  val qDocChunks = Q(
+    "q_doc_chunks",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE doc_id < 40),
+      |starts AS (
+      |  SELECT doc_id, t,
+      |         unnest(generate_series(0, len(t) - 1, 24)) AS s
+      |  FROM toks)
+      |SELECT doc_id, CAST(s / 24 AS BIGINT) AS chunk_id,
+      |       array_to_string(list_slice(t, s + 1, s + 32), ' ') AS chunk,
+      |       LEAST(32, len(t) - s) AS n_tokens
+      |FROM starts
+      |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+    TextChunking.chunk(
+        t(s, dir, "documents").where(col("doc_id") < 40)
+          .select("doc_id", "text"),
+        col("text"), chunkTokens = 32, overlap = 8)
+      .select(col("doc_id"), col("chunk_id"), col("chunk"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** PII redaction ([REF-GAP] pipeline stage): emails, phone numbers,
+    * and SSN-shaped ids masked with patterns from the Java∩RE2 regex
+    * subset, so the oracle applies the byte-identical expressions.
+    * The fixture text carries no PII, so each doc gets a
+    * deterministic contaminated suffix first — redaction must strip
+    * exactly that. */
+  val qPiiRedact = Q(
+    "q_pii_redact",
+    """SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+      |        '@mail-' || CAST(doc_id AS VARCHAR) ||
+      |        '.com or 555-867-5309 ssn 123-45-6789',
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+      |    '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g') AS clean
+      |FROM documents
+      |WHERE doc_id < 50
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents").where(col("doc_id") < 50)
+      .select(col("doc_id"),
+        TextChunking.redactPii(concat(col("text"),
+          lit(" contact u"), col("doc_id").cast("string"),
+          lit("@mail-"), col("doc_id").cast("string"),
+          lit(".com or 555-867-5309 ssn 123-45-6789"))).as("clean"))
+      .orderBy("doc_id")
+  }
+
   // ----------------------------------------- as-of and range joins
 
   /** As-of join ([REF-GAP] — neither the reference nor Spark has one):
@@ -740,5 +801,5 @@ object Pipeline {
     qStratSample, qSampleExactK, qSeqPack,
     qMultimodalMeta, qMmFeatures, qFrameSample,
     qEventsHourly, qEventsSessions, qEventsJson,
-    qAsofJoin, qRangeJoin)
+    qAsofJoin, qRangeJoin, qDocChunks, qPiiRedact)
 }
