@@ -133,6 +133,9 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   // applied set; both persisted
   private val migrations = mutable.LinkedHashMap.empty[String, (String, Option[String])]
   private val appliedMigs = mutable.LinkedHashSet.empty[String]
+  // retention floor per table: time travel below this sequence raises —
+  // VACUUM RETAIN physically deleted the events (persisted)
+  private val retentionFloors = mutable.HashMap.empty[String, Long]
   val stats = mutable.HashMap.empty[String, Map[String, String]] // ANALYZE output
 
   load()
@@ -201,6 +204,7 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
     rlsTables -= name
     policies.filterInPlace { case ((t, _), _) => t != name }
     grants.filterInPlace { case ((t, _), _) => t != name }
+    retentionFloors.remove(name)
     // delete the table's storage (event log + snapshots) so a CREATE
     // TABLE under the same name starts empty — leaving the log behind
     // would resurrect the dropped data and collide restarted sequences
@@ -640,6 +644,15 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
 
   def policyList: Seq[PolicyDef] = policies.values.toSeq
 
+  // ---------------------------------------------------------- retention
+
+  def retentionFloor(table: String): Long = retentionFloors.getOrElse(table, 0L)
+
+  def setRetentionFloor(table: String, seq: Long): Unit = {
+    retentionFloors(table) = math.max(retentionFloor(table), seq)
+    save()
+  }
+
   // --------------------------------------------------------- migrations
 
   /** Parse "x[.y[.z]]" into an orderable triple (migration.rs:22-64
@@ -718,7 +731,8 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
     nextSeqs.clear(); nextColIds.clear(); fks.clear(); constraints.clear()
     streamBatches.clear(); triggers.clear(); procs.clear()
     sequences.clear(); rlsTables.clear(); policies.clear(); grants.clear()
-    migrations.clear(); appliedMigs.clear(); stats.clear()
+    migrations.clear(); appliedMigs.clear(); retentionFloors.clear()
+    stats.clear()
     load()
   }
 
@@ -775,6 +789,8 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       sb.append(s"migration\t${enc(v)}\t${enc(up)}\t${down.fold("")(enc)}\n")
     for (v <- appliedMigs)
       sb.append(s"applied\t${enc(v)}\n")
+    for ((t, f) <- retentionFloors)
+      sb.append(s"retain\t${enc(t)}\t$f\n")
     // crash-safe descriptor replacement: write the whole file to a tmp
     // path, then swap. A crash mid-create leaves the old meta intact; a
     // crash between delete and rename leaves only the tmp, which load()
@@ -865,6 +881,7 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
         migrations(dec(v)) =
           (dec(up), if (down.isEmpty) None else Some(dec(down)))
       case Array("applied", v) => appliedMigs += dec(v)
+      case Array("retain", t, f) => retentionFloors(dec(t)) = f.toLong
       case Array("policy", t, n, cmd, roles, perm, usingE, checkE) =>
         policies((dec(t), dec(n))) = PolicyDef(dec(n), dec(t), dec(cmd),
           if (roles.isEmpty) Nil else roles.split(",", -1).toSeq.map(dec),

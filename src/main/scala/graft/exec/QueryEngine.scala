@@ -867,6 +867,10 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       if (txn.isDefined)
         throw new IllegalStateException("SNAPSHOT cannot run inside a transaction")
       snapshot(table)
+    case Statement.VacuumRetain(table, retainSeq) =>
+      if (txn.isDefined)
+        throw new IllegalStateException("VACUUM RETAIN cannot run inside a transaction")
+      vacuumRetain(table, retainSeq)
     case Statement.Explain(inner, analyze, format) => explain(inner, analyze, format)
     case Statement.Analyze(table) => analyze(table)
     case Statement.ShowTables => showTables()
@@ -1070,6 +1074,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       case SystemTime.All =>
         frameWithLogicalPayload(t, StateView.history(events(t)))
       case SystemTime.Between(a, b) =>
+        val floor =
+          if (t.attached.isDefined) 0L else catalog.retentionFloor(t.name)
+        // state AT the floor survives via the snapshot, but the floor's
+        // EVENTS are vacuumed — an event-range read needs start > floor
+        if (floor > 0 && a <= floor)
+          throw new IllegalStateException(
+            s"BETWEEN start $a is at or below the retention floor $floor " +
+              s"of $table — those events were vacuumed")
         frameWithLogicalPayload(t, StateView.changesBetween(events(t), a, b))
     }
     rlsFilter(table, "SELECT").fold(frame)(frame.where)
@@ -1157,6 +1169,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * (optimizer.rs:296-307). */
   def stateAt(table: String, asOf: Option[Long]): DataFrame = {
     val t = catalog.require(table)
+    // below the retention floor the events are physically gone
+    // (VACUUM RETAIN) — raise instead of silently collapsing a prefix
+    // that no longer exists
+    val floor = if (t.attached.isDefined) 0L else catalog.retentionFloor(t.name)
+    for (a <- asOf if a < floor)
+      throw new IllegalStateException(
+        s"AS OF sequence $a is below the retention floor $floor of " +
+          s"$table — the events were vacuumed")
     val ev = events(t)
     // inside a transaction the checkpoint choice is bounded by the
     // snapshot horizon too — an auto-snapshot another session took
@@ -2147,6 +2167,52 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     lastSnapSeqs(table) = math.max(lastSnapSeqs.getOrElse(table, 0L), seq)
     metricSnapshots += 1
     summary("snapshot", 0L, seq)
+  }
+
+  /** VACUUM t RETAIN @SEQ:N — physical storage reclamation (the
+    * reclamation half of the reference's segment compaction,
+    * engine.rs:739-845). Ensures a snapshot at or before N exists
+    * (taking one at N if not), deletes every log file whose max
+    * sequence the snapshot covers, deletes snapshots older than the
+    * one serving the floor, and records the retention floor: time
+    * travel below it raises instead of silently returning partial
+    * state. At 100 TB this is the operation that keeps an append-only
+    * log's storage bounded — the collapse replay cost was already
+    * bounded by snapshots; this bounds the bytes. Files spanning the
+    * floor (min <= floor < max) are kept whole: the tail filter
+    * already prunes their pre-floor events by the sequence predicate. */
+  def vacuumRetain(table: String, retainSeq: Long): DataFrame = {
+    val t = catalog.require(table)
+    require(t.attached.isEmpty, s"cannot vacuum attached event log: $table")
+    val snapDir = catalog.snapshotPath(table)
+    val floor = Snapshots.nearest(spark, snapDir, Some(retainSeq)).getOrElse {
+      snapshot(table, atSeq = Some(retainSeq))
+      retainSeq
+    }
+    val logP = new Path(logDir(table))
+    val fs = logP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var deleted = 0L
+    if (fs.exists(logP)) {
+      // one pass over the log's (file -> max sequence) — vacuum is
+      // rare, and parquet reads only the sequence column
+      val covered = spark.read.schema(EventLog.schema(t.payloadSchema))
+        .parquet(logP.toString)
+        .groupBy(input_file_name().as("_f"))
+        .agg(max("sequence").as("_mx"))
+        .where(col("_mx") <= floor)
+        .collect().map(_.getString(0))
+      for (uri <- covered) {
+        val p = new Path(new java.net.URI(uri))
+        if (fs.delete(p, false)) deleted += 1
+      }
+    }
+    // snapshots strictly below the floor can no longer serve any
+    // readable as-of — reclaim them too
+    for (s <- Snapshots.available(spark, snapDir) if s < floor)
+      scala.util.Try(fs.delete(new Path(s"$snapDir/seq=$s"), true))
+    catalog.setRetentionFloor(table, floor)
+    lastSnapSeqs(table) = math.max(lastSnapSeqs.getOrElse(table, 0L), floor)
+    summary("vacuumed", deleted, floor)
   }
 
   /** JSONL bulk ingest (driftdb-cli main.rs:40-50): columns matched by

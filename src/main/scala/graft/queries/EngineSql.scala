@@ -779,6 +779,46 @@ object EngineSql {
     e.sql("SHOW METRICS").orderBy("metric") // the 11th statement
   }
 
+  /** VACUUM RETAIN end-to-end (engine.rs:739-845's reclamation): after
+    * the full DML lifecycle the log is vacuumed at the post-INSERT
+    * boundary — the insert batch's file is physically deleted, served
+    * thereafter by the auto-taken snapshot. Both the current state and
+    * the at-floor time travel must stay byte-identical to the
+    * pre-vacuum algebra (the oracle recomputes both), and a read below
+    * the floor must raise — a vacuum that deleted too much or a floor
+    * that leaks partial state diverges rows or hash. */
+  val qVacuumRetain = Q(
+    "q_vacuum_retain",
+    """WITH base AS (
+      |  SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal
+      |  FROM customer WHERE c_custkey < 500)
+      |SELECT 'at_floor' AS phase, k, bal, 'new' AS status FROM base
+      |UNION ALL
+      |SELECT 'current', k, bal,
+      |       CASE WHEN bal > 5000 THEN 'vip' ELSE 'new' END
+      |FROM base WHERE k % 10 <> 0
+      |ORDER BY phase, k""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.sql("CREATE TABLE acct (k BIGINT PRIMARY KEY, bal DOUBLE, status STRING)")
+    e.sql("""INSERT INTO acct
+            |SELECT c_custkey, c_acctbal, 'new' FROM customer
+            |WHERE c_custkey < 500""".stripMargin) // seq 1..500
+    e.sql("UPDATE acct SET status = 'vip' WHERE bal > 5000")
+    e.sql("DELETE FROM acct WHERE k % 10 = 0")
+    e.sql("VACUUM acct RETAIN @SEQ:500") // auto-snapshots at 500
+    val blocked =
+      try { e.sql("SELECT * FROM acct FOR SYSTEM_TIME AS OF @SEQ:499").count(); false }
+      catch { case _: IllegalStateException => true }
+    require(blocked, "read below the retention floor did not raise")
+    val atFloor = e.sql(
+      """SELECT 'at_floor' AS phase, k, CAST(bal AS DOUBLE) AS bal, status
+        |FROM acct FOR SYSTEM_TIME AS OF @SEQ:500""".stripMargin)
+    val current = e.sql(
+      "SELECT 'current' AS phase, k, CAST(bal AS DOUBLE) AS bal, status FROM acct")
+    atFloor.unionByName(current).orderBy("phase", "k")
+  }
+
   /** Plain relational passthrough through engine.sql over external
     * tables — identical ANSI text runs in the oracle. */
   private val passthroughSql =
@@ -874,5 +914,5 @@ object EngineSql {
     qStreamIngest, qSqlPassthrough, qSqlView, qMatView, qTriggerAudit,
     qProcCall, qMvccSessions, qConstraints, qSequences, qAutoIncrement,
     qRls, qBackupRestore, qAuditLog, qGrants, qResultCache, qMigrations,
-    qMetrics)
+    qMetrics, qVacuumRetain)
 }

@@ -80,6 +80,12 @@ object Statement {
   final case class Delete(table: String, where: Option[String]) extends Statement
   /** VACUUM t / CHECKPOINT TABLE t / SNAPSHOT t (sql_bridge.rs:278-302). */
   final case class Snapshot(table: String) extends Statement
+  /** VACUUM t RETAIN @SEQ:N — physically delete log files fully
+    * covered by a snapshot at or before N and set the table's
+    * retention floor (the reclamation half of the reference's segment
+    * compaction, engine.rs:739-845; Delta's VACUUM-with-retention is
+    * the same contract). */
+  final case class VacuumRetain(table: String, retainSeq: Long) extends Statement
   /** format is "text" or "json" (explain.rs emits both shapes). */
   final case class Explain(inner: String, analyze: Boolean,
       format: String = "text") extends Statement
@@ -219,6 +225,8 @@ object StatementRouter {
     """(?is)^DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+))?\s*$""".r
   private val SnapshotR =
     """(?is)^(?:VACUUM|SNAPSHOT|CHECKPOINT\s+TABLE)\s+([\w.]+)\s*$""".r
+  private val VacuumRetainR =
+    """(?is)^VACUUM\s+([\w.]+)\s+RETAIN\s+@SEQ:(\d+)\s*$""".r
   private val ExplainR =
     """(?is)^EXPLAIN\s+(ANALYZE\s+)?(?:FORMAT\s+(JSON|YAML|TEXT)\s+)?(.+)$""".r
   private val AnalyzeR = """(?is)^ANALYZE\s+(?:TABLE\s+)?([\w.]+)\s*$""".r
@@ -362,6 +370,7 @@ object StatementRouter {
         Update(table, assigns, Option(where).map(_.trim))
       case DeleteR(table, where) => Delete(table, Option(where).map(_.trim))
       case SnapshotR(table) => Snapshot(table)
+      case VacuumRetainR(table, seq) => VacuumRetain(table, seq.toLong)
       case AnalyzeR(table) => Analyze(table)
       case ExplainR(an, fmt, inner) =>
         Explain(inner.trim, an != null,
