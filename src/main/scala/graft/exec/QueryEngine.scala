@@ -476,7 +476,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         Statement.ShowGrants | _: Statement.SetPrivileges |
         _: Statement.SetCache | Statement.ShowCache | Statement.ClearCache |
         Statement.ShowMigrations | _: Statement.SetStatementTimeout |
-        Statement.ShowMetrics |
+        Statement.ShowMetrics | _: Statement.DiffTable |
         _: Statement.Describe | _: Statement.Analyze |
         Statement.Begin | _: Statement.Rollback | _: Statement.Savepoint |
         _: Statement.ReleaseSavepoint => false
@@ -871,6 +871,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       if (txn.isDefined)
         throw new IllegalStateException("VACUUM RETAIN cannot run inside a transaction")
       vacuumRetain(table, retainSeq)
+    case Statement.DiffTable(table, a, b) => diff(table, a, b)
     case Statement.Explain(inner, analyze, format) => explain(inner, analyze, format)
     case Statement.Analyze(table) => analyze(table)
     case Statement.ShowTables => showTables()
@@ -1471,6 +1472,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case _: Statement.SetRole => ("SET ROLE", "")
     case Statement.Grant(_, t, _) => ("GRANT", t)
     case Statement.Revoke(_, t, _) => ("REVOKE", t)
+    case Statement.DiffTable(t, _, _) => ("DIFF", t)
     case Statement.CreateMigration(v, _, _) => ("CREATE MIGRATION", v)
     case Statement.Migrate => ("MIGRATE", "")
     case Statement.RollbackMigration => ("ROLLBACK MIGRATION", "")
@@ -2167,6 +2169,41 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     lastSnapSeqs(table) = math.max(lastSnapSeqs.getOrElse(table, 0L), seq)
     metricSnapshots += 1
     summary("snapshot", 0L, seq)
+  }
+
+  /** DIFF TABLE: the NET row delta between the collapsed states at two
+    * sequences — each pk classified added / removed / modified (full
+    * row carried from the newer state; removed rows carry their
+    * FROM-state image — what the older state held is what vanished).
+    * One full-outer join of two snapshot-accelerated
+    * collapses; a pk whose row churned and returned identical shows NO
+    * change, which is exactly what the event feed (FOR SYSTEM_TIME
+    * BETWEEN) cannot say without replaying the fold. Both reads
+    * respect RLS (the session sees only its visible rows' changes). */
+  def diff(table: String, fromSeq: Long, toSeq: Long): DataFrame = {
+    val t = catalog.require(table)
+    checkPrivilege(table, "SELECT")
+    val rls = rlsFilter(table, "SELECT")
+    def side(seq: Long, prefix: String) = {
+      val s0 = stateAt(table, Some(seq))
+      rls.fold(s0)(s0.where)
+        .select(t.columns.map(c => col(c.logical).as(s"$prefix${c.logical}")): _*)
+    }
+    val o = side(fromSeq, "_o_")
+    val n = side(toSeq, "_n_")
+    val oPk = col(s"_o_${t.pk}")
+    val nPk = col(s"_n_${t.pk}")
+    val oRow = struct(t.columns.map(c => col(s"_o_${c.logical}")): _*)
+    val nRow = struct(t.columns.map(c => col(s"_n_${c.logical}")): _*)
+    o.join(n, oPk === nPk, "full_outer")
+      .withColumn("change",
+        when(oPk.isNull, "added")
+          .when(nPk.isNull, "removed")
+          .when(!(oRow <=> nRow), "modified"))
+      .where(col("change").isNotNull)
+      .select(col("change") +: t.columns.map(c =>
+        coalesce(col(s"_n_${c.logical}"), col(s"_o_${c.logical}"))
+          .as(c.logical)): _*)
   }
 
   /** VACUUM t RETAIN @SEQ:N — physical storage reclamation (the

@@ -819,6 +819,47 @@ object EngineSql {
     atFloor.unionByName(current).orderBy("phase", "k")
   }
 
+  /** DIFF TABLE (the state-level complement of the drift-history event
+    * feed, query/executor.rs:327-354): net changes between the
+    * post-INSERT boundary and the final state — updates surface as
+    * `modified` with the NEW row, deletes as `removed` with their
+    * FROM-state image (the row as the older state knew it — the
+    * principled diff semantics: what vanished is the A-side row), a
+    * late insert as `added`, and a row that churned back to
+    * its original value (set to 'x' then back to 'new') must NOT
+    * appear at all. The oracle folds the same algebra. */
+  val qDiffTable = Q(
+    "q_diff_table",
+    """WITH base AS (
+      |  SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal
+      |  FROM customer WHERE c_custkey < 500)
+      |SELECT 'added' AS change, CAST(9001 AS BIGINT) AS k,
+      |       CAST(1.5 AS DOUBLE) AS bal, 'late' AS status
+      |UNION ALL
+      |SELECT 'modified', k, bal, 'vip' FROM base
+      |WHERE bal > 5000 AND k % 10 <> 0 AND k <> 7
+      |UNION ALL
+      |SELECT 'removed', k, bal, 'new' FROM base WHERE k % 10 = 0
+      |ORDER BY change, k""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.sql("CREATE TABLE acct (k BIGINT PRIMARY KEY, bal DOUBLE, status STRING)")
+    e.sql("""INSERT INTO acct
+            |SELECT c_custkey, c_acctbal, 'new' FROM customer
+            |WHERE c_custkey < 500""".stripMargin) // seq 1..500 = the baseline
+    e.sql("UPDATE acct SET status = 'vip' WHERE bal > 5000 AND k <> 7")
+    e.sql("DELETE FROM acct WHERE k % 10 = 0")
+    e.sql("INSERT INTO acct VALUES (9001, 1.5, 'late')")
+    // churn-and-return: k=7 must not appear in the diff even though it
+    // has PATCH events between the two states
+    e.sql("UPDATE acct SET status = 'x' WHERE k = 7")
+    e.sql("UPDATE acct SET status = 'new' WHERE k = 7")
+    e.sql("""DIFF TABLE acct BETWEEN @SEQ:500 AND
+            |@SEQ:999999999""".stripMargin.replace("\n", " "))
+      .selectExpr("change", "k", "CAST(bal AS DOUBLE) AS bal", "status")
+      .orderBy("change", "k")
+  }
+
   /** Plain relational passthrough through engine.sql over external
     * tables — identical ANSI text runs in the oracle. */
   private val passthroughSql =
@@ -914,5 +955,5 @@ object EngineSql {
     qStreamIngest, qSqlPassthrough, qSqlView, qMatView, qTriggerAudit,
     qProcCall, qMvccSessions, qConstraints, qSequences, qAutoIncrement,
     qRls, qBackupRestore, qAuditLog, qGrants, qResultCache, qMigrations,
-    qMetrics, qVacuumRetain)
+    qMetrics, qVacuumRetain, qDiffTable)
 }

@@ -86,6 +86,11 @@ object Statement {
     * compaction, engine.rs:739-845; Delta's VACUUM-with-retention is
     * the same contract). */
   final case class VacuumRetain(table: String, retainSeq: Long) extends Statement
+  /** DIFF TABLE t BETWEEN @SEQ:a AND @SEQ:b — the NET row changes
+    * between two collapsed states (added/removed/modified), the
+    * state-level complement of FOR SYSTEM_TIME BETWEEN's event feed
+    * (drift history, query/executor.rs:327-354). */
+  final case class DiffTable(table: String, fromSeq: Long, toSeq: Long) extends Statement
   /** format is "text" or "json" (explain.rs emits both shapes). */
   final case class Explain(inner: String, analyze: Boolean,
       format: String = "text") extends Statement
@@ -227,6 +232,8 @@ object StatementRouter {
     """(?is)^(?:VACUUM|SNAPSHOT|CHECKPOINT\s+TABLE)\s+([\w.]+)\s*$""".r
   private val VacuumRetainR =
     """(?is)^VACUUM\s+([\w.]+)\s+RETAIN\s+@SEQ:(\d+)\s*$""".r
+  private val DiffTableR =
+    """(?is)^DIFF\s+TABLE\s+([\w.]+)\s+BETWEEN\s+@SEQ:(\d+)\s+AND\s+@SEQ:(\d+)\s*$""".r
   private val ExplainR =
     """(?is)^EXPLAIN\s+(ANALYZE\s+)?(?:FORMAT\s+(JSON|YAML|TEXT)\s+)?(.+)$""".r
   private val AnalyzeR = """(?is)^ANALYZE\s+(?:TABLE\s+)?([\w.]+)\s*$""".r
@@ -371,6 +378,7 @@ object StatementRouter {
       case DeleteR(table, where) => Delete(table, Option(where).map(_.trim))
       case SnapshotR(table) => Snapshot(table)
       case VacuumRetainR(table, seq) => VacuumRetain(table, seq.toLong)
+      case DiffTableR(table, a, b) => DiffTable(table, a.toLong, b.toLong)
       case AnalyzeR(table) => Analyze(table)
       case ExplainR(an, fmt, inner) =>
         Explain(inner.trim, an != null,
