@@ -659,6 +659,39 @@ object Pipeline {
       .orderBy("k_mod")
   }
 
+  // ------------------------------------------ approximate sketches
+
+  /** Sketch aggregates (HyperLogLog++ distinct counting,
+    * quantile-sketch medians) — the approximate-aggregate tier a 100 TB
+    * engine needs when exact DISTINCT shuffles are too expensive.
+    * Spark's native codegen'd sketches are the Spark-first answer;
+    * their values aren't portable across engines, so the oracle checks
+    * the ERROR-BOUND INVARIANT: each group's sketch estimate must land
+    * within the configured tolerance of the exact answer (computed in
+    * the same plan), surfacing as literal TRUEs — plus the exact
+    * values, which must hash-match outright. */
+  val qApproxSketch = Q(
+    "q_approx_sketch",
+    """SELECT l_returnflag,
+      |       COUNT(DISTINCT l_partkey) AS exact_distinct,
+      |       TRUE AS hll_ok, TRUE AS median_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_distinct"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("_hll"),
+        expr("percentile(l_quantity, 0.5)").as("_p_exact"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("_p_apx"))
+      .select(col("l_returnflag"), col("exact_distinct"),
+        (abs(col("_hll") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.03).as("hll_ok"),
+        (abs(col("_p_apx") - col("_p_exact")) <= lit(1.0)).as("median_ok"))
+      .orderBy("l_returnflag")
+  }
+
   // ----------------------------------- chunking and PII redaction
 
   /** Fixed-size token chunking with overlap ([REF-GAP] pipeline
@@ -801,5 +834,5 @@ object Pipeline {
     qStratSample, qSampleExactK, qSeqPack,
     qMultimodalMeta, qMmFeatures, qFrameSample,
     qEventsHourly, qEventsSessions, qEventsJson,
-    qAsofJoin, qRangeJoin, qDocChunks, qPiiRedact)
+    qAsofJoin, qRangeJoin, qDocChunks, qPiiRedact, qApproxSketch)
 }
