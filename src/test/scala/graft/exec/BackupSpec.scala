@@ -110,6 +110,29 @@ class BackupSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("restore carries governance state: policies, grants, migrations, floors") {
+    val base = tmp("graft-bk-base-")
+    val bdir = tmp("graft-bk-gov-") + "/b"
+    val e = engineWith(base)
+    e.sql("ALTER TABLE t ENABLE ROW LEVEL SECURITY")
+    e.sql("CREATE POLICY own ON t USING (v = current_user)")
+    e.sql("GRANT SELECT ON t TO alice")
+    e.sql("CREATE MIGRATION '1.0' UP INSERT INTO t VALUES (9, 'm')")
+    e.sql("MIGRATE")
+    e.sql(s"BACKUP DATABASE TO '$bdir'")
+    e.sql("DROP POLICY own ON t")
+    e.sql("REVOKE SELECT ON t FROM alice")
+    e.sql(s"RESTORE DATABASE FROM '$bdir'")
+    assert(e.sql("SHOW POLICIES").collect().map(_.getString(0)).toSeq === Seq("own"))
+    assert(e.sql("SHOW GRANTS").collect().map(_.getString(2)).toSeq === Seq("alice"))
+    assert(e.sql("SHOW MIGRATIONS").collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq
+      === Seq(("1.0", true)))
+    // the restored RLS is live, not just listed
+    val alice = e.newSession(); alice.setAuth("alice")
+    assert(alice.sql("SELECT COUNT(*) AS n FROM t").collect().head.getLong(0) === 0L)
+    e.close()
+  }
+
   test("BACKUP refuses to overwrite an existing backup; RESTORE needs a manifest") {
     val base = tmp("graft-bk-base-")
     val bdir = tmp("graft-bk-x-") + "/b"
