@@ -26,11 +26,12 @@ import java.nio.charset.StandardCharsets.UTF_8
   * the manifest's file set, so files that vanished between backups are
   * simply absent from the newer manifest.
   *
-  * Scale note: copies stream through the driver here, which is the
-  * reference's single-node shape; on a real cluster the same manifest
-  * protocol would fan the per-file copies out as a Spark job (or defer
-  * to object-store server-side copy) — the commit point (manifest
-  * write) and the chain semantics stay identical.
+  * Scale: the per-file copies fan out as a Spark job once the file
+  * count crosses a threshold (small backups stay driver-local —
+  * cheaper than a job); checksums ride along from the same pass. The
+  * commit point is still the driver's single manifest write, so the
+  * distribution changes throughput, not semantics. Restore validation
+  * distributes the same way.
   */
 object Backup {
 
@@ -40,8 +41,44 @@ object Backup {
   private def enc(s: String) = URLEncoder.encode(s, UTF_8)
   private def dec(s: String) = URLDecoder.decode(s, UTF_8)
 
+  /** Below this many files a driver-local loop beats a Spark job
+    * (var so tests can drive the distributed path on small data). */
+  private[exec] var DistributeThreshold = 64
+
   private def fsFor(spark: SparkSession, p: Path): FileSystem =
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (spark == null) p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    else p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** CRC32 one file and, when `copy`, stream it into the backup dir in
+    * the same pass. Runs on the driver or inside a Spark task (null
+    * session → default Hadoop conf); idempotent, so task retries are
+    * safe. */
+  private[exec] def copyAndCrc(spark: SparkSession, baseDir: String,
+      backupDir: String, rel: String, copy: Boolean): Long = {
+    val src = new Path(new Path(baseDir), rel)
+    val sFs = fsFor(spark, src)
+    if (!copy) crc32(sFs, src)
+    else {
+      // fused: checksum the bytes as they stream into the backup
+      val dstP = new Path(new Path(backupDir), rel)
+      val dFs = fsFor(spark, dstP)
+      dFs.mkdirs(dstP.getParent)
+      val crc = new java.util.zip.CRC32
+      val in = sFs.open(src)
+      try {
+        val out = dFs.create(dstP, true)
+        try {
+          val buf = new Array[Byte](256 * 1024)
+          var n = in.read(buf)
+          while (n >= 0) {
+            if (n > 0) { crc.update(buf, 0, n); out.write(buf, 0, n) }
+            n = in.read(buf)
+          }
+        } finally out.close()
+      } finally in.close()
+      crc.getValue
+    }
+  }
 
   /** All backup-relevant files under `base`, as (relative path, size).
     * Staging dirs (uncommitted) and the liveness lock are not state. */
@@ -134,21 +171,32 @@ object Backup {
     }
     val lines = new StringBuilder
     parent.foreach(p => lines.append(s"parent\t${enc(p)}\n"))
-    var copied = 0L
     val files = listState(srcFs, base)
-    for ((rel, size) <- files) {
-      val src = new Path(base, rel)
-      val crc = crc32(srcFs, src)
+    val plan = files.map { case (rel, size) =>
       // catalog.meta (and any same-named rewrite) always re-copies:
       // inheritance is by path, and the descriptor mutates under a
       // stable name — only immutable log/snapshot files may inherit
       val immutable = rel != "catalog.meta" && !rel.endsWith(".tmp")
-      val stored = if (immutable && inherited(rel)) "parent" else "self"
-      if (stored == "self") {
-        copyFile(srcFs, src, dstFs, new Path(dst, rel))
-        copied += 1
-      }
-      lines.append(s"file\t${enc(rel)}\t$size\t$crc\t$stored\n")
+      (rel, size, if (immutable && inherited(rel)) "parent" else "self")
+    }
+    // one pass per file computes the checksum and (for "self" entries)
+    // streams the copy; distributed when the backup is big enough for
+    // a Spark job to pay for itself
+    val work = plan.map { case (rel, _, stored) => (rel, stored == "self") }
+    val crcs: Map[String, Long] =
+      if (work.size < DistributeThreshold)
+        work.map { case (rel, copy) =>
+          rel -> copyAndCrc(spark, baseDir, backupDir, rel, copy)
+        }.toMap
+      else
+        spark.sparkContext.parallelize(work, math.min(work.size, 64))
+          .map { case (rel, copy) =>
+            rel -> Backup.copyAndCrc(null, baseDir, backupDir, rel, copy)
+          }.collect().toMap
+    var copied = 0L
+    for ((rel, size, stored) <- plan) {
+      if (stored == "self") copied += 1
+      lines.append(s"file\t${enc(rel)}\t$size\t${crcs(rel)}\t$stored\n")
     }
     val tmp = new Path(dst, s"$ManifestName.tmp")
     dstFs.mkdirs(dst)

@@ -133,6 +133,25 @@ class BackupSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("the distributed copy path produces the same verified backup") {
+    val base = tmp("graft-bk-base-")
+    val bdir = tmp("graft-bk-dist-") + "/b"
+    val e = engineWith(base)
+    e.sql("INSERT INTO t VALUES (4, 'd')")
+    e.sql("UPDATE t SET v = 'x' WHERE k = 1") // several log files + meta
+    val saved = Backup.DistributeThreshold
+    try {
+      Backup.DistributeThreshold = 2 // force the Spark-job copy path
+      e.sql(s"BACKUP DATABASE TO '$bdir'")
+    } finally Backup.DistributeThreshold = saved
+    assert(e.sql(s"VERIFY BACKUP '$bdir'").collect().head.getString(2) === "ok")
+    e.sql("DELETE FROM t")
+    e.sql(s"RESTORE DATABASE FROM '$bdir'")
+    assert(rows(e) ===
+      Seq(Row(1L, "x"), Row(2L, "b"), Row(3L, "c"), Row(4L, "d")))
+    e.close()
+  }
+
   test("BACKUP refuses to overwrite an existing backup; RESTORE needs a manifest") {
     val base = tmp("graft-bk-base-")
     val bdir = tmp("graft-bk-x-") + "/b"
