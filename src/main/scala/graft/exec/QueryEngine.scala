@@ -82,6 +82,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * re-acquiring (which happens automatically on the next write). */
   def close(): Unit = {
     flushAudit() // the buffered audit tail lands with the lock still held
+    dropAllCached() // free the result cache's executor blocks with the engine
     if (writeLockHeld) {
       BaseDirLock.release(spark, baseDir, engineId)
       writeLockHeld = false
@@ -183,6 +184,13 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     private[QueryEngine] var user: String = "root"
     private[QueryEngine] var roles: Set[String] = Set.empty
     private[QueryEngine] var superuser: Boolean = true
+    // the session's BASE security context — what RESET ROLE restores.
+    // setAuth moves it (it establishes how the session authenticated);
+    // SET ROLE never does, so a restricted session cannot escalate
+    // back to the engine superuser with one statement.
+    private[QueryEngine] var baseUser: String = "root"
+    private[QueryEngine] var baseRoles: Set[String] = Set.empty
+    private[QueryEngine] var baseSuperuser: Boolean = true
     // SET STATEMENT_TIMEOUT, per session like PG; 0 = off
     private[QueryEngine] var statementTimeoutMs: Long = 0L
     def inTransaction: Boolean = txn.isDefined
@@ -192,6 +200,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     def setAuth(user: String, roles: Set[String] = Set.empty,
         superuser: Boolean = false): Unit = {
       this.user = user; this.roles = roles; this.superuser = superuser
+      this.baseUser = user; this.baseRoles = roles; this.baseSuperuser = superuser
     }
     def sql(statement: String): DataFrame = sqlAs(this, statement)
     def sql(statement: String, params: Seq[Any]): DataFrame =
@@ -649,6 +658,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         if (orReplace) catalog.dropView(name, ifExists = true)
         if (catalog.get(name).isDefined || catalog.getView(name).isDefined)
           throw new IllegalArgumentException(s"table or view already exists: $name")
+        requireUnfilteredPopulation("CREATE MATERIALIZED VIEW", viewSql)
         // data lands before the registration: a registered matview is
         // always readable (crash between the two leaves only an
         // unreferenced data dir, cleaned by the next CREATE or DROP)
@@ -663,6 +673,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           "REFRESH MATERIALIZED VIEW cannot run inside a transaction")
       if (!catalog.isMaterialized(name))
         throw new IllegalArgumentException(s"materialized view not found: $name")
+      requireUnfilteredPopulation("REFRESH MATERIALIZED VIEW", catalog.getView(name).get)
       // re-run the stored SQL into the NEXT version dir, then swap the
       // catalog pointer — readers see the old version until the new one
       // is complete (views.rs:40-123 refresh; the versioned-dir swap is
@@ -744,11 +755,21 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         p.usingExpr.getOrElse(""), p.checkExpr.getOrElse("")))
         .toDF("name", "table", "command", "roles", "kind", "using", "check")
     case Statement.SetRole(user) =>
-      // SET ROLE drops to an unprivileged named user; RESET ROLE
-      // returns to the superuser context the session started with
+      // SET ROLE narrows to a role the session's BASE context is a
+      // member of (PG gates membership the same way); RESET ROLE
+      // restores that base context — never an unconditional superuser,
+      // which would let any restricted session escalate past RLS and
+      // GRANT checks with one statement.
       user match {
-        case Some(u) => current.setAuth(u, roles = Set(u))
-        case None => current.setAuth("root", superuser = true)
+        case Some(u) =>
+          if (!current.baseSuperuser && u != current.baseUser &&
+              !current.baseRoles.contains(u))
+            throw new SecurityException(s"permission denied to set role: $u")
+          current.user = u; current.roles = Set(u); current.superuser = false
+        case None =>
+          current.user = current.baseUser
+          current.roles = current.baseRoles
+          current.superuser = current.baseSuperuser
       }
       summary("role_set", 0L, 0L)
     case Statement.Grant(privs, table, grantees) =>
@@ -879,14 +900,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Statement.CopyFrom(table, path) => ingestJsonl(table, path)
     case Statement.SetCache(on) =>
       cacheEnabled = on
-      if (!on) { resultCache.clear(); cacheHits = 0L; cacheMisses = 0L }
+      if (!on) { dropAllCached(); cacheHits = 0L; cacheMisses = 0L }
       summary(if (on) "cache_enabled" else "cache_disabled", 0L, 0L)
     case Statement.ShowCache =>
       spark.range(1).select(lit(cacheEnabled).as("enabled"),
         lit(resultCache.size().toLong).as("entries"),
         lit(cacheHits).as("hits"), lit(cacheMisses).as("misses"))
     case Statement.ClearCache =>
-      resultCache.clear()
+      dropAllCached()
       summary("cache_cleared", 0L, 0L)
     case Statement.SetStatementTimeout(ms) =>
       current.statementTimeoutMs = ms
@@ -1073,6 +1094,17 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         if (maxSeq.isNullAt(0)) stateAt(table, Some(-1L))
         else stateAt(table, Some(maxSeq.getLong(0)))
       case SystemTime.All =>
+        // same raise-don't-truncate contract as AS OF and BETWEEN: a
+        // vacuum physically deleted events at/below the floor, and the
+        // at-floor snapshot is state, not an event feed — ALL cannot
+        // reconstruct the full history any more
+        val floor =
+          if (t.attached.isDefined) 0L else catalog.retentionFloor(t.name)
+        if (floor > 0)
+          throw new IllegalStateException(
+            s"FOR SYSTEM_TIME ALL on $table: events at or below the " +
+              s"retention floor $floor were vacuumed — full history is " +
+              s"gone; use FOR SYSTEM_TIME BETWEEN ${floor + 1} AND <end>")
         frameWithLogicalPayload(t, StateView.history(events(t)))
       case SystemTime.Between(a, b) =>
         val floor =
@@ -1745,9 +1777,31 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   private val resultCache =
     new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, DataFrame]): Boolean =
-        size() > CacheMaxEntries
+          e: java.util.Map.Entry[String, DataFrame]): Boolean = {
+        val evict = size() > CacheMaxEntries
+        // the evicted entry's localCheckpoint blocks live in executor
+        // storage until explicitly freed — without this they leak until
+        // GC happens to collect the RDD
+        if (evict) unpersistPinned(e.getValue)
+        evict
+      }
     }
+
+  /** Free the executor blocks a cached (localCheckpoint-pinned) result
+    * holds. The checkpoint RDD sits behind the plan's leaf; unpersist
+    * is async and best-effort — a caller still holding the evicted
+    * handle loses it, which is the LRU contract. */
+  private def unpersistPinned(df: DataFrame): Unit =
+    df.queryExecution.logical.collectLeaves().foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        scala.util.Try(r.rdd.unpersist(blocking = false))
+      case _ => ()
+    }
+
+  private def dropAllCached(): Unit = {
+    resultCache.values().forEach(unpersistPinned(_))
+    resultCache.clear()
+  }
 
   private val NonDeterministicR =
     ("""(?i)\b(rand|randn|random|uuid|shuffle|monotonically_increasing_id|""" +
@@ -1777,9 +1831,17 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
 
   private def cacheKeyFor(text: String): Option[String] = {
     if (!cacheEnabled || txn.isDefined || mentionsSequenceCall(text)) return None
+    // the SESSION portion must carry everything RLS/grants filter on:
+    // two sessions sharing a user name but holding different roles (or
+    // one superuser, one not) see different rows and must never share
+    // an entry. The length prefix keeps the key unambiguous with
+    // visible separators (the text itself may contain any character).
+    val s = current
+    val session =
+      s"|u=${s.user}|r=${s.roles.toSeq.sorted.mkString(",")}|su=${s.superuser}|"
     referencedVersions(text).map(v =>
-      text.trim + " " + current.user + " " + v +
-        s" sec:${catalog.policyList.hashCode}:${catalog.grantList.hashCode}:$privilegesEnabled:$rlsRelevant")
+      s"${text.trim.length}:" + text.trim + session + v +
+        s"|sec:${catalog.policyList.hashCode}:${catalog.grantList.hashCode}:$privilegesEnabled:$rlsRelevant")
   }
 
   // RLS enable/disable flips don't advance any sequence — fold the
@@ -1813,6 +1875,37 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   private def requireSuperuser(what: String): Unit =
     if (privilegesEnabled && !current.superuser)
       throw new SecurityException(s"permission denied: $what requires superuser")
+
+  /** Tables the text transitively references (through stored views). */
+  private def referencedTables(text: String, depth: Int = 0): Set[String] = {
+    if (depth > 10) return Set.empty
+    val masked = maskNonCode(text)
+    val direct = catalog.tableNames.filter(referencesWord(masked, _)).toSet
+    val viaViews = catalog.viewNames
+      .filter(v => !catalog.isMaterialized(v) && referencesWord(masked, v))
+      .flatMap(v => catalog.getView(v).toSeq
+        .flatMap(referencedTables(_, depth + 1)))
+    direct ++ viaViews
+  }
+
+  /** A materialized view's stored rows are shared across every session,
+    * so the population query must see the FULL table state. A
+    * non-superuser session whose read would be RLS-filtered must not
+    * populate one — it would durably overwrite the shared matview with
+    * only its own visible subset (PG forbids RLS tables in matviews for
+    * the same reason). Superuser sessions read unfiltered, so their
+    * population is always whole. */
+  private def requireUnfilteredPopulation(what: String, viewSql: String): Unit = {
+    requireSuperuser(what)
+    if (!current.superuser) {
+      val rls = referencedTables(viewSql).filter(catalog.isRlsEnabled)
+      if (rls.nonEmpty)
+        throw new SecurityException(
+          s"permission denied: $what over RLS-enabled table(s) " +
+            s"${rls.toSeq.sorted.mkString(", ")} requires superuser — a " +
+            "filtered population would persist a partial shared view")
+    }
+  }
 
   /** Raise unless the session holds `priv` (or ALL) on `table` —
     * granted directly, via a role, or to PUBLIC
@@ -2256,6 +2349,11 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * name, missing ones NULL. */
   def ingestJsonl(table: String, path: String): DataFrame = {
     val t = catalog.require(table)
+    // COPY FROM is governed like INSERT (it IS a bulk insert): the
+    // privilege gate and the write-side RLS policies both apply —
+    // without them an ungranted session could bulk-load, and an
+    // RLS-restricted session could land rows its WITH CHECK vetoes
+    checkPrivilege(table, "INSERT")
     val raw = spark.read.json(path)
     val defaults = defaultsOf(table)
     val full0 = raw.select(t.columns.map(c =>
@@ -2265,7 +2363,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     val full = full0.localCheckpoint()
     fireTriggers(table, "INSERT", "BEFORE", None, Some(full))
     raiseFirstViolation(constraintViolations(t, full, stateAt(table, None), None) ++
-      fkOutgoingProbes(t, full))
+      fkOutgoingProbes(t, full) ++ rlsCheckProbes(table, full, "INSERT"))
     val (n, last) = append(t, full, EventLog.INSERT, prePinned = true)
     fireTriggers(table, "INSERT", "AFTER", None, Some(full))
     summary("ingest", n, last)
@@ -2418,11 +2516,54 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
 }
 
 object QueryEngine {
-  /** Engine over a fresh scratch dir (tests, per-query fixtures). */
+  /** Engine over a fresh scratch dir (tests, per-query fixtures).
+    * Inside a scratchScope, the engine is registered for teardown when
+    * the scope ends. */
   def scratch(spark: SparkSession): QueryEngine = {
     val dir = java.nio.file.Files.createTempDirectory("graft-engine-")
-    new QueryEngine(spark, dir.toString)
+    val e = new QueryEngine(spark, dir.toString)
+    Option(scratchTracker.get()).foreach(_ += e)
+    e
   }
+
+  private val scratchTracker =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[QueryEngine]]
+
+  /** Run a scratch-engine scenario, then tear down every scratch
+    * engine it created on this thread: the (small) result is collected
+    * and re-created as a LOCAL DataFrame, each engine closes
+    * (releasing its base-dir lock, audit tail, and result-cache block
+    * pins), and each scratch dir is deleted. Without the teardown, a
+    * 100-query bench suite accumulates every scratch engine's temp
+    * parquet and pinned executor blocks — enough block-manager
+    * pressure to regress unrelated queries late in the suite. The
+    * explicit GC lets Spark's ContextCleaner reclaim the scenario's
+    * dropped localCheckpoint blocks (they free only after their RDD
+    * object is collected). */
+  def scratchScope(spark: SparkSession)(body: => DataFrame): DataFrame = {
+    val created = scala.collection.mutable.ArrayBuffer.empty[QueryEngine]
+    val prev = scratchTracker.get()
+    scratchTracker.set(created)
+    try {
+      val res = body
+      val rows = java.util.Arrays.asList(res.collect(): _*)
+      spark.createDataFrame(rows, res.schema)
+    } finally {
+      scratchTracker.set(prev)
+      created.foreach { e =>
+        scala.util.Try(e.close())
+        deleteDir(java.nio.file.Paths.get(e.baseDir))
+      }
+      System.gc()
+    }
+  }
+
+  private def deleteDir(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => scala.util.Try(java.nio.file.Files.delete(f)))
+    }
 
   /** Shared daemon timer for statement timeouts — one thread per JVM,
     * not per statement. */

@@ -540,7 +540,17 @@ object EngineSql {
     e.sql(s"VERIFY BACKUP '$bdir/b1'")
     e.sql(s"RESTORE DATABASE FROM '$bdir/b1'")
     e.sql("DELETE FROM acct WHERE k % 10 = 0") // post-restore DML
-    e.sql("SELECT k, CAST(bal AS DOUBLE) AS bal, status FROM acct ORDER BY k")
+    val res = e.sql("SELECT k, CAST(bal AS DOUBLE) AS bal, status FROM acct ORDER BY k")
+    // the restore copied everything back into the engine's base dir —
+    // the backup tree itself is no longer referenced by the lazy result
+    locally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(bdir)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => scala.util.Try(java.nio.file.Files.delete(f)))
+    }
+    res
   }
 
   /** Statement auditing (audit.rs:14-60, 247, 504): with SET AUDIT ON,
@@ -949,6 +959,10 @@ object EngineSql {
             |FROM docs""".stripMargin)
   }
 
+  /** Every engine scenario runs inside a scratchScope: its scratch
+    * engines are closed and their temp dirs deleted as soon as the
+    * (collected) result is in hand — 28 leaked engines' pinned blocks
+    * and temp parquet otherwise degrade the rest of a bench suite. */
   val all: Seq[Q] = Seq(
     qSqlAsOfSeq, qSqlAsOfTs, qSqlSystemAll, qSqlBetween, qSqlSnapshot,
     qLifecycleCurrent, qLifecycleAsOf, qTxnLifecycle, qFkLifecycle,
@@ -956,4 +970,5 @@ object EngineSql {
     qProcCall, qMvccSessions, qConstraints, qSequences, qAutoIncrement,
     qRls, qBackupRestore, qAuditLog, qGrants, qResultCache, qMigrations,
     qMetrics, qVacuumRetain, qDiffTable)
+    .map(q => q.copy(run = (s, dir) => QueryEngine.scratchScope(s)(q.run(s, dir))))
 }

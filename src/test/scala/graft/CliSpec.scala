@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The CLI entry point (driftdb-cli main.rs:27-101): every subcommand
+  * drives the same `run` core `main` does, with captured output — a
+  * shell user's CREATE/INSERT/SELECT/AS-OF round trip, scripts, REPL
+  * input, JSONL ingest, drift history, and error exit codes.
+  */
+class CliSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-cli-").toString
+
+  /** Run a CLI invocation, capturing stdout lines and the exit code. */
+  private def cli(args: String*): (Int, Seq[String], Seq[String]) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val err = scala.collection.mutable.ArrayBuffer.empty[String]
+    val code = Cli.run(args.toSeq, spark, out += _, err += _)
+    (code, out.toSeq, err.toSeq)
+  }
+
+  test("init + sql -e: CREATE / INSERT / SELECT round trip through the jar entry") {
+    val dir = freshDir()
+    assert(cli("init", dir)._1 === 0)
+    assert(cli("sql", "-d", dir,
+      "-e", "CREATE TABLE t (k BIGINT PRIMARY KEY, v STRING)")._1 === 0)
+    assert(cli("sql", "-d", dir,
+      "-e", "INSERT INTO t VALUES (1, 'a'), (2, 'b'); INSERT INTO t VALUES (3, 'c')")._1 === 0)
+    val (code, out, _) = cli("sql", "-d", dir, "-e", "SELECT k, v FROM t ORDER BY k")
+    assert(code === 0)
+    assert(out.exists(_.matches("""k\s+\|\s+v\s*""")), s"header missing in $out")
+    assert(out.count(_.matches("""\d+\s*\|\s*\w\s*""")) === 3)
+    assert(out.last === "(3 rows)")
+  }
+
+  test("select subcommand with WHERE / AS OF / LIMIT / --json") {
+    val dir = freshDir()
+    cli("sql", "-d", dir, "-e",
+      """CREATE TABLE acct (k BIGINT PRIMARY KEY, bal DOUBLE);
+        |INSERT INTO acct VALUES (1, 10.0), (2, 20.0), (3, 30.0);
+        |UPDATE acct SET bal = 99.0 WHERE k = 1""".stripMargin)
+    val (c1, out1, _) = cli("select", "-d", dir, "-t", "acct", "-w", "bal > 15", "--json")
+    assert(c1 === 0)
+    val jsons = out1.filter(_.startsWith("{"))
+    assert(jsons.size === 3 && jsons.exists(_.contains("\"bal\":99.0")))
+    // AS OF the post-insert boundary: the update is not visible yet
+    val (c2, out2, _) = cli("select", "-d", dir, "-t", "acct",
+      "--as-of", "@SEQ:3", "-w", "k = 1", "--json")
+    assert(c2 === 0 && out2.exists(_.contains("\"bal\":10.0")))
+    val (c3, out3, _) = cli("select", "-d", dir, "-t", "acct", "-l", "2")
+    assert(c3 === 0 && out3.last === "(2 rows)")
+  }
+
+  test("ingest reads JSONL (COPY FROM path); drift shows a key's history") {
+    val dir = freshDir()
+    cli("sql", "-d", dir, "-e",
+      "CREATE TABLE ev (id BIGINT PRIMARY KEY, name STRING)")
+    val f = java.nio.file.Files.createTempFile("graft-cli-ingest", ".jsonl")
+    java.nio.file.Files.writeString(f,
+      """{"id": 1, "name": "x"}
+        |{"id": 2, "name": "y"}
+        |""".stripMargin)
+    assert(cli("ingest", "-d", dir, "-t", "ev", "-f", f.toString)._1 === 0)
+    cli("sql", "-d", dir, "-e", "UPDATE ev SET name = 'z' WHERE id = 1")
+    val (code, out, _) = cli("drift", "-d", dir, "-t", "ev", "-k", "1")
+    assert(code === 0)
+    // id=1 has its INSERT and its PATCH, in sequence order
+    assert(out.exists(_.contains("INSERT")) && out.exists(_.contains("PATCH")))
+    assert(out.last === "(2 rows)")
+  }
+
+  test("sql -f runs a script file; REPL consumes stdin statements") {
+    val dir = freshDir()
+    val script = java.nio.file.Files.createTempFile("graft-cli-script", ".sql")
+    java.nio.file.Files.writeString(script,
+      """CREATE TABLE s (k BIGINT PRIMARY KEY);
+        |INSERT INTO s VALUES (1), (2);
+        |-- a comment-only tail must not break the run
+        |""".stripMargin)
+    assert(cli("sql", "-d", dir, "-f", script.toString)._1 === 0)
+    val replIn = Iterator("SELECT COUNT(*) AS n FROM s;", "\\q")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val code = Cli.run(Seq("sql", "-d", dir), spark, out += _, _ => (), () => replIn)
+    assert(code === 0)
+    assert(out.exists(_.startsWith("2")), s"REPL output missing count: $out")
+  }
+
+  test("snapshot / analyze / doctor / backup verbs succeed; errors exit nonzero") {
+    val dir = freshDir()
+    cli("sql", "-d", dir, "-e",
+      "CREATE TABLE t (k BIGINT PRIMARY KEY); INSERT INTO t VALUES (1)")
+    assert(cli("snapshot", "-d", dir, "-t", "t")._1 === 0)
+    assert(cli("analyze", "-d", dir)._1 === 0)
+    val (dc, dout, _) = cli("doctor", "-d", dir)
+    assert(dc === 0 && dout.contains("ok"))
+    val bdir = freshDir() + "/b1"
+    assert(cli("backup", "-d", dir, "to", bdir)._1 === 0)
+    assert(cli("backup", "-d", dir, "verify", bdir)._1 === 0)
+    cli("sql", "-d", dir, "-e", "DELETE FROM t")
+    assert(cli("backup", "-d", dir, "restore", bdir)._1 === 0)
+    val (_, out, _) = cli("select", "-d", dir, "-t", "t", "--json")
+    assert(out.count(_.startsWith("{")) === 1) // the restored row
+    // failure paths: bad SQL and unknown command exit nonzero
+    assert(cli("sql", "-d", dir, "-e", "SELEKT nonsense")._1 === 1)
+    assert(cli("frobnicate")._1 === 2)
+    assert(cli("sql", "-d", dir, "-e")._1 === 1) // dangling option
+  }
+}

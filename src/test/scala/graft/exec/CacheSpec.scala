@@ -76,6 +76,23 @@ class CacheSpec extends AnyFunSuite {
     assert(alice.sql(q).collect() === Array(Row(4L)))
   }
 
+  test("per-role keys: same user name with different roles never share an entry") {
+    val e = fresh()
+    e.sql("ALTER TABLE t ENABLE ROW LEVEL SECURITY")
+    e.sql("CREATE POLICY audit_all ON t FOR SELECT TO auditor USING (true)")
+    e.sql("CREATE POLICY low ON t FOR SELECT USING (k < 2)")
+    val plain = e.newSession(); plain.setAuth("carol")
+    val auditor = e.newSession(); auditor.setAuth("carol", roles = Set("auditor"))
+    val q = "SELECT COUNT(*) AS n FROM t"
+    assert(plain.sql(q).collect() === Array(Row(1L))) // only k=1
+    // same user string, different role set — a user-only key would
+    // serve carol-the-auditor carol-the-plain's filtered count
+    assert(auditor.sql(q).collect() === Array(Row(2L)))
+    // superuser flag is part of the key too (bypasses RLS entirely)
+    val su = e.newSession(); su.setAuth("carol", superuser = true)
+    assert(su.sql(q).collect() === Array(Row(2L)))
+  }
+
   test("transactions, nondeterministic functions, and nextval never cache") {
     val e = fresh()
     e.sql("CREATE SEQUENCE s START 1")

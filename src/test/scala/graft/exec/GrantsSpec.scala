@@ -53,6 +53,20 @@ class GrantsSpec extends AnyFunSuite {
     intercept[SecurityException] { bob.sql("SELECT COUNT(*) AS n FROM t") }
   }
 
+  test("COPY FROM needs the INSERT privilege like a plain INSERT") {
+    val e = fresh()
+    val dir = java.nio.file.Files.createTempDirectory("graft-copy-priv-")
+    val f = dir.resolve("rows.jsonl")
+    java.nio.file.Files.write(f,
+      """{"k": 10, "v": "j"}""".getBytes("UTF-8"))
+    e.sql("SET PRIVILEGES ON")
+    val alice = e.newSession(); alice.setAuth("alice")
+    intercept[SecurityException] { alice.sql(s"COPY t FROM '$f'") }
+    e.sql("GRANT INSERT ON t TO alice")
+    alice.sql(s"COPY t FROM '$f'")
+    assert(e.sql("SELECT COUNT(*) AS n FROM t").collect() === Array(Row(3L)))
+  }
+
   test("role and PUBLIC grants; only superusers manage grants") {
     val e = fresh()
     e.sql("SET PRIVILEGES ON")

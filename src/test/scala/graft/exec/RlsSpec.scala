@@ -159,4 +159,66 @@ class RlsSpec extends AnyFunSuite {
     e2.sql("DROP POLICY IF EXISTS own ON t") // tolerated
     e2.close()
   }
+
+  test("RESET ROLE restores the session's BASE context — no escalation") {
+    val e = fresh()
+    e.sql("ALTER TABLE docs ENABLE ROW LEVEL SECURITY")
+    e.sql("CREATE POLICY own ON docs FOR SELECT USING (owner = current_user)")
+    val alice = e.newSession(); alice.setAuth("alice")
+    // the base context is alice — RESET ROLE must NOT mint a superuser
+    alice.sql("RESET ROLE")
+    assert(alice.sql("SELECT COUNT(*) AS n FROM docs").collect()
+      === Array(Row(3L)))
+    // SET ROLE is gated to base membership: alice cannot become bob
+    intercept[SecurityException] { alice.sql("SET ROLE bob") }
+    // a held role can be assumed and dropped again
+    val carol = e.newSession(); carol.setAuth("carol", roles = Set("auditor"))
+    carol.sql("SET ROLE auditor")
+    carol.sql("RESET ROLE")
+    assert(carol.currentUser === "carol")
+    // the superuser default session keeps the old round trip
+    e.sql("SET ROLE alice")
+    assert(e.sql("SELECT COUNT(*) AS n FROM docs").collect()
+      === Array(Row(3L)))
+    e.sql("RESET ROLE")
+    assert(e.sql("SELECT COUNT(*) AS n FROM docs").collect()
+      === Array(Row(5L)))
+  }
+
+  test("matview population is gated: an RLS-filtered session cannot persist a partial shared view") {
+    val e = fresh()
+    e.sql("ALTER TABLE docs ENABLE ROW LEVEL SECURITY")
+    e.sql("CREATE POLICY own ON docs USING (owner = current_user)")
+    e.sql("""CREATE MATERIALIZED VIEW mv AS
+            |SELECT owner, COUNT(*) AS n FROM docs GROUP BY owner""".stripMargin)
+    val alice = e.newSession(); alice.setAuth("alice")
+    intercept[SecurityException] { alice.sql("REFRESH MATERIALIZED VIEW mv") }
+    intercept[SecurityException] {
+      alice.sql("CREATE MATERIALIZED VIEW mv2 AS SELECT COUNT(*) AS n FROM docs")
+    }
+    // the matview still holds the full (superuser-populated) rows
+    e.sql("REFRESH MATERIALIZED VIEW mv")
+    assert(e.sql("SELECT SUM(n) AS s FROM mv").collect() === Array(Row(5L)))
+  }
+
+  test("COPY FROM enforces INSERT WITH CHECK like a plain INSERT") {
+    val e = fresh()
+    e.sql("ALTER TABLE docs ENABLE ROW LEVEL SECURITY")
+    e.sql("""CREATE POLICY own ON docs USING (owner = current_user)
+            |WITH CHECK (owner = current_user)""".stripMargin)
+    val dir = java.nio.file.Files.createTempDirectory("graft-copy-rls-")
+    val forged = dir.resolve("forged.jsonl")
+    java.nio.file.Files.write(forged,
+      """{"id": 100, "owner": "bob", "words": 1}""".getBytes("UTF-8"))
+    val own = dir.resolve("own.jsonl")
+    java.nio.file.Files.write(own,
+      """{"id": 101, "owner": "alice", "words": 2}""".getBytes("UTF-8"))
+    val alice = e.newSession(); alice.setAuth("alice")
+    val ex = intercept[IllegalArgumentException] {
+      alice.sql(s"COPY docs FROM '$forged'")
+    }
+    assert(ex.getMessage.contains("row-level security"))
+    alice.sql(s"COPY docs FROM '$own'") // her own rows pass
+    assert(e.sql("SELECT COUNT(*) AS n FROM docs").collect() === Array(Row(6L)))
+  }
 }

@@ -89,9 +89,14 @@ class VacuumSpec extends AnyFunSuite {
     }
     e2.sql("INSERT INTO t VALUES (4)") // sequences continue at 4
     assert(e2.sql("SELECT COUNT(*) AS n FROM t").collect() === Array(Row(4L)))
-    // ALL is the raw event history: only the RETAINED events remain
-    // (seq 3 + the new seq 4) — vacuumed history is gone by design
-    assert(e2.sql("SELECT COUNT(*) AS n FROM t FOR SYSTEM_TIME ALL")
+    // ALL promises the FULL event history, and events at/below the
+    // floor are physically gone — raise like AS OF and BETWEEN do
+    // instead of silently returning a truncated feed
+    intercept[IllegalStateException] {
+      e2.sql("SELECT COUNT(*) AS n FROM t FOR SYSTEM_TIME ALL").collect()
+    }
+    // the surviving range stays readable through BETWEEN
+    assert(e2.sql("SELECT COUNT(*) AS n FROM t FOR SYSTEM_TIME BETWEEN 3 AND 4")
       .collect().head.getLong(0) === 2L)
     e2.close()
   }
