@@ -371,14 +371,30 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         throw e
     }
     // ---- commit point passed ----
+    // roll-forward: completePublish is idempotent, so a transient I/O
+    // fault gets ONE immediate in-process retry (the reference replays
+    // its WAL without a restart the same way — wal.rs). A fault that
+    // persists through the retry surfaces as CommitIncomplete and the
+    // next statement's healing sweep (or the reopen sweep) finishes it.
     try completePublish(stagingRoot, hooked = true)
     catch {
-      case e: Throwable =>
-        throw new CommitIncompleteException(
-          s"commit is durable but its publish did not finish; the next " +
-            s"engine open completes it (staging: $stagingRoot): ${e.getMessage}", e)
+      case _: Throwable =>
+        try completePublish(stagingRoot, hooked = true)
+        catch {
+          case e: Throwable =>
+            publishIncomplete = true
+            throw new CommitIncompleteException(
+              s"commit is durable but its publish did not finish; it " +
+                s"completes on the next statement or engine open " +
+                s"(staging: $stagingRoot): ${e.getMessage}", e)
+        }
     }
   }
+
+  /** Set when a commit passed its manifest commit point but the publish
+    * faulted twice — the next statement retries the (idempotent) sweep
+    * so in-process reads heal without a reopen. */
+  @volatile private var publishIncomplete = false
 
   /** Step 3 of publishAtomic — also the recovery path the engine-open
     * sweep replays for a manifest that crashed mid-publish. Idempotent:
@@ -485,7 +501,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         Statement.ShowGrants | _: Statement.SetPrivileges |
         _: Statement.SetCache | Statement.ShowCache | Statement.ClearCache |
         Statement.ShowMigrations | _: Statement.SetStatementTimeout |
-        Statement.ShowMetrics | _: Statement.DiffTable |
+        Statement.ShowMetrics | _: Statement.SetSlowLog | Statement.ShowPerf |
+        _: Statement.DiffTable |
         _: Statement.Describe | _: Statement.Analyze |
         Statement.Begin | _: Statement.Rollback | _: Statement.Savepoint |
         _: Statement.ReleaseSavepoint => false
@@ -507,6 +524,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     }
 
   private def sqlCurrent(statement: String): DataFrame = {
+    // heal a stranded post-commit-point publish before the statement
+    // reads or writes anything: the sweep is idempotent, we hold the
+    // write lock, and once it succeeds in-process reads see the whole
+    // batch — no reopen required
+    if (publishIncomplete) {
+      sweepStaging()
+      publishIncomplete = false
+    }
     val parsed = StatementRouter.parse(statement)
     if (isMutating(parsed)) ensureWriteLock()
     def run(): DataFrame = parsed match {
@@ -548,19 +573,22 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // auditing checks the flag from BEFORE the statement, so SET AUDIT
     // ON records everything AFTER itself (and SET AUDIT OFF is the
     // last recorded statement)
-    if (!auditEnabled) {
-      try timed()
-      catch { case e: Throwable => metricFailed += 1; throw e }
-    } else {
-      lastAffected = None
-      try { val r = timed(); auditRecord(parsed, ok = true, None); r }
-      catch {
-        case e: Throwable =>
-          metricFailed += 1
-          auditRecord(parsed, ok = false, Option(e.getMessage))
-          throw e
+    val perfT0 = System.nanoTime()
+    try {
+      if (!auditEnabled) {
+        try timed()
+        catch { case e: Throwable => metricFailed += 1; throw e }
+      } else {
+        lastAffected = None
+        try { val r = timed(); auditRecord(parsed, ok = true, None); r }
+        catch {
+          case e: Throwable =>
+            metricFailed += 1
+            auditRecord(parsed, ok = false, Option(e.getMessage))
+            throw e
+        }
       }
-    }
+    } finally recordPerf(statement, (System.nanoTime() - perfT0) / 1e6)
   }
 
   /** Run `f` under a fresh Spark job group that a watchdog cancels
@@ -913,6 +941,11 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       current.statementTimeoutMs = ms
       summary("timeout_set", ms, 0L)
     case Statement.ShowMetrics => showMetrics()
+    case Statement.SetSlowLog(ms) =>
+      slowLogThresholdMs = ms
+      if (ms == 0) slowLog.clear()
+      summary("slow_log_set", ms, 0L)
+    case Statement.ShowPerf => showPerf()
     case Statement.CreateMigration(ver, up, down) =>
       require(up.trim.nonEmpty, "migration UP script is empty")
       catalog.createMigration(ver, up, down)
@@ -1736,6 +1769,53 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   private var metricTxnRollbacks = 0L
   private var metricSnapshots = 0L
 
+  // ==================================================== wall-clock perf
+
+  /** Per-statement wall-time histogram + slow-statement log
+    * (monitoring.rs:81-246 query_latency_tracker / slow query log).
+    * Kept OUT of SHOW METRICS so the oracled metrics feed stays
+    * deterministic; SHOW PERF is the explicitly wall-clock slice. A
+    * lazy SELECT records its planning + any eager guard work — later
+    * actions run on the caller's clock, same boundary the statement
+    * timeout draws. */
+  private val perfBoundsMs = Vector(1L, 10L, 100L, 1000L, 10000L)
+  private val perfBucketLabels =
+    Vector("lt_1ms", "1_10ms", "10_100ms", "100ms_1s", "1_10s", "ge_10s")
+  private val perfBuckets = new Array[Long](perfBoundsMs.length + 1)
+  private var perfCount = 0L
+  private var perfTotalMs = 0.0
+  private var perfMaxMs = 0.0
+  private var slowLogThresholdMs = 0L
+  private val slowLog =
+    scala.collection.mutable.ArrayDeque.empty[(Long, String, Double)]
+  private var slowLogNextId = 1L
+  private val SlowLogMax = 100
+
+  private def recordPerf(statement: String, ms: Double): Unit = {
+    perfCount += 1; perfTotalMs += ms; perfMaxMs = math.max(perfMaxMs, ms)
+    val i = perfBoundsMs.indexWhere(ms < _)
+    perfBuckets(if (i < 0) perfBoundsMs.length else i) += 1
+    if (slowLogThresholdMs > 0 && ms >= slowLogThresholdMs) {
+      slowLog.append((slowLogNextId, statement.trim.take(500), ms))
+      slowLogNextId += 1
+      if (slowLog.size > SlowLogMax) slowLog.removeHead() // bounded ring
+    }
+  }
+
+  private def showPerf(): DataFrame = {
+    import spark.implicits._
+    val hist = perfBucketLabels.zip(perfBuckets.toSeq)
+      .map { case (l, n) => ("bucket", l, n.toDouble, null: String) }
+    val summary = Seq(
+      ("summary", "statements", perfCount.toDouble, null: String),
+      ("summary", "total_ms", perfTotalMs, null: String),
+      ("summary", "max_ms", perfMaxMs, null: String),
+      ("summary", "slow_threshold_ms", slowLogThresholdMs.toDouble, null: String))
+    val slow = slowLog.toSeq.map { case (id, st, ms) =>
+      ("slow", s"stmt_$id", ms, st) }
+    (hist ++ summary ++ slow).toDF("kind", "item", "value", "statement")
+  }
+
   private def showMetrics(): DataFrame = {
     import spark.implicits._
     val eventsTotal = catalog.tableNames.map(catalog.lastSeq).sum
@@ -2536,10 +2616,11 @@ object QueryEngine {
     * pins), and each scratch dir is deleted. Without the teardown, a
     * 100-query bench suite accumulates every scratch engine's temp
     * parquet and pinned executor blocks — enough block-manager
-    * pressure to regress unrelated queries late in the suite. The
-    * explicit GC lets Spark's ContextCleaner reclaim the scenario's
-    * dropped localCheckpoint blocks (they free only after their RDD
-    * object is collected). */
+    * pressure to regress unrelated queries late in the suite. (The
+    * scenario's remaining per-statement checkpoint pins are a few
+    * hundred rows each — the ContextCleaner reclaims them after a
+    * natural GC; forcing one here costs ~1 s per scope on a large
+    * heap, far more than the blocks are worth.) */
   def scratchScope(spark: SparkSession)(body: => DataFrame): DataFrame = {
     val created = scala.collection.mutable.ArrayBuffer.empty[QueryEngine]
     val prev = scratchTracker.get()
@@ -2554,7 +2635,6 @@ object QueryEngine {
         scala.util.Try(e.close())
         deleteDir(java.nio.file.Paths.get(e.baseDir))
       }
-      System.gc()
     }
   }
 

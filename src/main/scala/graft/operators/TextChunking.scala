@@ -19,7 +19,11 @@ object TextChunking {
     * (all input columns, chunk_id, chunk, n_tokens); a document
     * shorter than one chunk yields exactly one chunk. Chunk starts
     * step by `chunkTokens - overlap`; the final partial chunk keeps
-    * its tail (n_tokens < chunkTokens). */
+    * its tail (n_tokens < chunkTokens), and a start is only emitted
+    * while it contributes at least one NEW token (start + overlap <
+    * len) — without that bound, a tail landing within `overlap` of
+    * the end yields a chunk wholly contained in its predecessor
+    * (duplicate training tokens). */
   def chunk(docs: DataFrame, textCol: Column, chunkTokens: Int,
       overlap: Int): DataFrame = {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
@@ -27,10 +31,13 @@ object TextChunking {
     val step = chunkTokens - overlap
     docs
       .withColumn("_ck_toks", split(textCol, " "))
-      // one start offset per chunk: 0, step, 2*step ... <= len-1
+      // one start offset per chunk: 0, step, 2*step ... <= len-overlap-1
+      // (inclusive bound: the last chunk must reach past the previous
+      // chunk's coverage; clamped to 0 so an empty/short doc still
+      // yields its single chunk)
       .withColumn("_ck_start",
         explode(sequence(lit(0),
-          greatest(size(col("_ck_toks")) - 1, lit(0)), lit(step))))
+          greatest(size(col("_ck_toks")) - (overlap + 1), lit(0)), lit(step))))
       .withColumn("chunk_id", (col("_ck_start") / step).cast("long"))
       .withColumn("chunk",
         array_join(slice(col("_ck_toks"), col("_ck_start") + 1,

@@ -697,9 +697,10 @@ object Pipeline {
   /** Fixed-size token chunking with overlap ([REF-GAP] pipeline
     * stage): 32-token windows stepping by 24 (8 overlap) — the
     * pretraining windowing shape. Pure generator over computed
-    * offsets, no shuffle. The oracle states the identical slicing
-    * arithmetic; any off-by-one in starts, clipping, or the final
-    * partial chunk diverges rows or hash. */
+    * offsets, no shuffle. Starts are bounded at len-overlap-1 so no
+    * chunk is fully contained in its predecessor. The oracle states
+    * the identical slicing arithmetic; any off-by-one in starts,
+    * clipping, or the final partial chunk diverges rows or hash. */
   val qDocChunks = Q(
     "q_doc_chunks",
     """WITH toks AS (
@@ -707,7 +708,7 @@ object Pipeline {
       |  WHERE doc_id < 40),
       |starts AS (
       |  SELECT doc_id, t,
-      |         unnest(generate_series(0, len(t) - 1, 24)) AS s
+      |         unnest(generate_series(0, GREATEST(len(t) - 9, 0), 24)) AS s
       |  FROM toks)
       |SELECT doc_id, CAST(s / 24 AS BIGINT) AS chunk_id,
       |       array_to_string(list_slice(t, s + 1, s + 32), ' ') AS chunk,

@@ -172,6 +172,15 @@ object Statement {
   /** SHOW METRICS — engine counters/gauges (monitoring.rs:81-246
     * MonitoringSystem / DatabaseMetrics / QueryMetrics). */
   case object ShowMetrics extends Statement
+  /** SET SLOW_LOG <ms> — statements at/over the threshold land in the
+    * slow-statement log; 0 disables (monitoring.rs:97
+    * slow_query_threshold_ms). */
+  final case class SetSlowLog(ms: Long) extends Statement
+  /** SHOW PERF — wall-clock latency histogram + slow-statement log
+    * (monitoring.rs:95 query_latency_tracker / PercentileTracker).
+    * Deliberately SEPARATE from SHOW METRICS, which stays
+    * deterministic for the correctness oracle. */
+  case object ShowPerf extends Statement
 }
 
 object StatementRouter {
@@ -271,6 +280,8 @@ object StatementRouter {
   private val ShowMigrationsR = """(?is)^SHOW\s+MIGRATIONS\s*$""".r
   private val SetTimeoutR = """(?is)^SET\s+STATEMENT_TIMEOUT\s+(\d+)\s*$""".r
   private val ShowMetricsR = """(?is)^SHOW\s+METRICS\s*$""".r
+  private val SetSlowLogR = """(?is)^SET\s+SLOW_LOG\s+(\d+)\s*$""".r
+  private val ShowPerfR = """(?is)^SHOW\s+PERF\s*$""".r
   private val SetPrivilegesR = """(?is)^SET\s+PRIVILEGES\s+(ON|OFF)\s*$""".r
   private val ShowAuditR = """(?is)^SHOW\s+AUDIT\s*$""".r
   private val BeginR =
@@ -354,6 +365,8 @@ object StatementRouter {
       case ShowMigrationsR() => ShowMigrations
       case SetTimeoutR(ms) => SetStatementTimeout(ms.toLong)
       case ShowMetricsR() => ShowMetrics
+      case SetSlowLogR(ms) => SetSlowLog(ms.toLong)
+      case ShowPerfR() => ShowPerf
       case BackupR(dir, parent) => BackupDb(dir, Option(parent))
       case RestoreR(dir) => RestoreDb(dir)
       case VerifyBackupR(dir) => VerifyBackup(dir)

@@ -87,6 +87,44 @@ class CrashRecoverySpec extends AnyFunSuite {
     e2.close()
   }
 
+  test("a transient publish fault rolls forward in-process — no reopen needed") {
+    val e = seeded()
+    e.sql("BEGIN")
+    e.sql("INSERT INTO t VALUES (4, 'd', 4.5)")
+    e.sql("UPDATE t SET name = upper(name) WHERE id <= 2")
+    // fault fires ONCE (first publish attempt), then clears — the
+    // immediate in-process retry completes the publish and COMMIT
+    // returns success with no exception at all
+    var fired = false
+    e.testFailBeforePublishRename = i =>
+      if (i >= 1 && !fired) { fired = true
+        throw new java.io.IOException("injected: transient publish fault") }
+    e.sql("COMMIT")
+    assert(fired, "fault hook never fired — the scenario went untested")
+    assert(rows(e, "SELECT id, name FROM t ORDER BY id")
+      === Seq(Row(1L, "A"), Row(2L, "B"), Row(3L, "c"), Row(4L, "d")))
+
+    // a fault that persists through the retry surfaces CommitIncomplete;
+    // the NEXT statement heals the live engine (no close()+reopen) and
+    // reads see the whole batch
+    e.sql("BEGIN")
+    e.sql("INSERT INTO t VALUES (5, 'e', 5.5)")
+    e.sql("UPDATE t SET val = 0 WHERE id = 4")
+    e.testFailBeforePublishRename =
+      i => if (i >= 1) throw new java.io.IOException("injected: crash mid-publish")
+    val ex = intercept[IllegalStateException](e.sql("COMMIT"))
+    assert(ex.getMessage.contains("durable"))
+    e.testFailBeforePublishRename = _ => () // the fault clears
+    assert(rows(e, "SELECT id, val FROM t ORDER BY id")
+      === Seq(Row(1L, 1.5), Row(2L, 2.5), Row(3L, 3.5), Row(4L, 0.0), Row(5L, 5.5)))
+    // nothing stranded for the reopen sweep
+    val fs = new Path(e.baseDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(new Path(e.baseDir))
+      .exists(_.getPath.getName.startsWith(".txn-staging-")))
+    e.close()
+  }
+
   test("crash mid-publish of a direct DML statement recovers on reopen") {
     val e = seeded()
     e.testFailBeforePublishRename =

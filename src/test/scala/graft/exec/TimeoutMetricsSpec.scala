@@ -65,4 +65,36 @@ class TimeoutMetricsSpec extends AnyFunSuite {
     assert(m("events_total") === 3L) // 2 inserts + 1 committed insert
     assert(m("statements_total") === 11L) // every statement incl. failed
   }
+
+  test("SHOW PERF: bucket counts track statements; slow log honors SET SLOW_LOG") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY)")
+    e.sql("INSERT INTO t VALUES (1), (2)")
+    e.sql("SELECT COUNT(*) AS n FROM t").collect()
+    def perf() = e.sql("SHOW PERF").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getString(3))).toSeq
+    val p1 = perf()
+    // every statement so far landed in exactly one bucket
+    val bucketSum = p1.collect { case ("bucket", _, n, _) => n }.sum
+    val statements = p1.collect {
+      case ("summary", "statements", n, _) => n }.head
+    assert(statements >= 3.0 && bucketSum === statements)
+    assert(p1.collect { case ("summary", "max_ms", v, _) => v }.head > 0.0)
+    // no threshold -> no slow entries
+    assert(!p1.exists(_._1 == "slow"))
+    // with a 0 ms... threshold must be > 0: use 1 ms — engine DML always
+    // exceeds it (Spark job dispatch alone is >1 ms)
+    e.sql("SET SLOW_LOG 1")
+    e.sql("INSERT INTO t VALUES (3)")
+    val p2 = perf()
+    val slows = p2.filter(_._1 == "slow")
+    assert(slows.nonEmpty, "slow log empty after a >1ms statement")
+    assert(slows.exists(_._4.startsWith("INSERT INTO t VALUES (3)")))
+    assert(p2.collect {
+      case ("summary", "slow_threshold_ms", v, _) => v }.head === 1.0)
+    // disabling clears the log
+    e.sql("SET SLOW_LOG 0")
+    assert(!perf().exists(_._1 == "slow"))
+  }
 }
