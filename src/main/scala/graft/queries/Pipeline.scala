@@ -65,13 +65,42 @@ object Pipeline {
       .orderBy("d1", "d2")
   }
 
-  /** MinHash(16) + LSH(4 bands) candidate pairs — rows-only (the hash
-    * functions are engine-specific); q_minhash_superset carries the
-    * oracle-checked invariant for this operator. */
-  val qMinHashLsh = Q.rowsOnly("q_minhash_lsh") { (s, dir) =>
-    Dedup.minHashCandidates(
-        t(s, dir, "documents").where(col("doc_id") < 300), 16, 4)
-      .orderBy("d1", "d2")
+  /** An empty-violations oracle: the Spark side emits every row that
+    * BREAKS the operator's invariant, the oracle states the matching
+    * empty relation — any fabricated candidate, broken ordering, or
+    * wrong re-score shows up as rows_match=false. This is the
+    * precision-side complement of the q_*_superset recall invariants
+    * (whose hash-checked ground truth covers the other direction). */
+  private def emptyViolationsSql(cols: (String, String)*): String =
+    cols.map { case (n, t) => s"CAST(NULL AS $t) AS $n" }
+      .mkString("SELECT ", ", ", " WHERE 1 = 0")
+
+  /** MinHash(16) + LSH(4 bands) candidate pairs, precision side (the
+    * recall side is q_minhash_superset): every candidate the banding
+    * join emits must (a) keep d1 < d2, (b) collide in between 1 and
+    * nBands bands, and (c) share at least one band of equal signature
+    * COMPONENTS when the signatures are recomputed independently — a
+    * bucket-hash mixup (join on band only, cross-band collision,
+    * wrong grouping) fabricates pairs that fail (c). Violations must
+    * be empty. */
+  val qMinHashLsh = Q(
+    "q_minhash_lsh",
+    emptyViolationsSql("why" -> "VARCHAR", "d1" -> "BIGINT", "d2" -> "BIGINT")) { (s, dir) =>
+    val docs = t(s, dir, "documents").where(col("doc_id") < 300)
+    val cands = Dedup.minHashCandidates(docs, 16, 4)
+    val sigs = Dedup.minHashSignatures(docs, 16)
+    val bandMatches = (0 until 4).map(b =>
+      (b * 4 until (b + 1) * 4)
+        .map(i => col(s"l.h$i") === col(s"r.h$i")).reduce(_ && _))
+    val joined = cands
+      .join(sigs.as("l"), col("d1") === col("l.doc_id"))
+      .join(sigs.as("r"), col("d2") === col("r.doc_id"))
+    val noBand = joined.where(!bandMatches.reduce(_ || _))
+      .select(lit("no_matching_band").as("why"), col("d1"), col("d2"))
+    val structural = cands.where(
+        col("d1") >= col("d2") || col("n_bands") < 1 || col("n_bands") > 4)
+      .select(lit("structural").as("why"), col("d1"), col("d2"))
+    noBand.unionByName(structural).orderBy("why", "d1", "d2")
   }
 
   /** Identical-word-set doc pairs within doc_id < 300, ordered by key. */
@@ -107,12 +136,27 @@ object Pipeline {
       .orderBy("d1", "d2")
   }
 
-  /** SimHash near-dup pairs (Hamming <= 10) via bit-block bucketing —
-    * rows-only; q_simhash_superset carries the oracle-checked
-    * invariant. */
-  val qSimHash = Q.rowsOnly("q_simhash") { (s, dir) =>
-    Dedup.simHashPairs(t(s, dir, "documents").where(col("doc_id") < 150), 10)
-      .orderBy("d1", "d2")
+  /** SimHash near-dup pairs (Hamming <= 10), precision side (recall is
+    * q_simhash_superset): every emitted pair must keep d1 < d2, report
+    * dist <= 10, and its dist must EQUAL the Hamming distance of the
+    * independently recomputed 64-bit signatures — a bucketing or
+    * re-score bug emits a pair that fails one of the three. Violations
+    * must be empty. */
+  val qSimHash = Q(
+    "q_simhash",
+    emptyViolationsSql("why" -> "VARCHAR", "d1" -> "BIGINT", "d2" -> "BIGINT")) { (s, dir) =>
+    val docs = t(s, dir, "documents").where(col("doc_id") < 150)
+    val pairs = Dedup.simHashPairs(docs, 10)
+    val sigs = Dedup.simHash(docs)
+    val joined = pairs
+      .join(sigs.select(col("doc_id").as("d1"), col("simhash").as("_s1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("simhash").as("_s2")), "d2")
+    val wrongDist = joined.where(
+        col("dist") =!= bit_count(col("_s1").bitwiseXOR(col("_s2"))))
+      .select(lit("dist_mismatch").as("why"), col("d1"), col("d2"))
+    val structural = pairs.where(col("d1") >= col("d2") || col("dist") > 10)
+      .select(lit("structural").as("why"), col("d1"), col("d2"))
+    wrongDist.unionByName(structural).orderBy("why", "d1", "d2")
   }
 
   /** SimHash invariant with a real oracle: identical word sets hash to
@@ -149,11 +193,45 @@ object Pipeline {
       .orderBy("qid", "rank")
   }
 
-  /** LSH-bucketed ANN (scale path; recall < 1) — rows-only. */
-  val qAnnLsh = Q.rowsOnly("q_ann_lsh") { (s, dir) =>
+  /** LSH-bucketed ANN (scale path; recall < 1 so the neighbor SET is
+    * not oracle-fixable) — precision side: every returned (qid, cid,
+    * sim) must appear in the exact all-pairs cosine scoring (the
+    * bucket join may PRUNE pairs, never fabricate or mis-score one —
+    * and q_ann_cosine separately proves the scoring is bit-identical
+    * to DuckDB's), and each query's ranked list must be ordered with
+    * consecutive ranks. Violations must be empty. */
+  val qAnnLsh = Q(
+    "q_ann_lsh",
+    emptyViolationsSql("why" -> "VARCHAR", "qid" -> "BIGINT", "cid" -> "BIGINT")) { (s, dir) =>
     val emb = t(s, dir, "embeddings")
-    Similarity.lshTopK(emb.where(col("vec_id") < 10), emb, 5, 8)
-      .orderBy("qid", "rank")
+    annPrecisionViolations(emb.where(col("vec_id") < 10), emb,
+      Similarity.lshTopK(emb.where(col("vec_id") < 10), emb, 5, 8), 5)
+  }
+
+  /** Shared precision harness for the approximate ANN variants: rows
+    * of `res` that are not true exact-scored pairs, plus ranking-shape
+    * violations. private[graft] so the spec can prove the harness
+    * actually fires on a doctored result (a vacuous check would pass
+    * the empty oracle forever). */
+  private[graft] def annPrecisionViolations(queries: DataFrame, corpus: DataFrame,
+      res: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val exact = c.crossJoin(broadcast(q))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(graft.operators.Similarity.cosine(col("qv"), col("cv")), 5).as("sim"))
+    val fabricated = res.join(exact, Seq("qid", "cid", "sim"), "left_anti")
+      .select(lit("fabricated_or_misscored").as("why"), col("qid"), col("cid"))
+    val w = Window.partitionBy("qid").orderBy(col("rank"))
+    val shape = res
+      .withColumn("_prev_sim", lag(col("sim"), 1).over(w))
+      .withColumn("_prev_rank", lag(col("rank"), 1).over(w))
+      .where(col("rank") < 1 || col("rank") > k ||
+        (col("_prev_rank").isNotNull &&
+          (col("rank") =!= col("_prev_rank") + 1 || col("sim") > col("_prev_sim"))))
+      .select(lit("rank_shape").as("why"), col("qid"), col("cid"))
+    fabricated.unionByName(shape).orderBy("why", "qid", "cid")
   }
 
   /** End-to-end training-data pipeline: quality filter (token count +
@@ -290,10 +368,20 @@ object Pipeline {
       .orderBy("d1", "d2")
   }
 
-  /** LSH-prefiltered cosine near-dups (scale path; recall < 1) —
-    * rows-only. */
-  val qEmbedNearDupLsh = Q.rowsOnly("q_embed_neardup_lsh") { (s, dir) =>
-    Dedup.cosineNearDupPairs(t(s, dir, "embeddings"), 0.3, lshBits = 6)
+  /** LSH-prefiltered cosine near-dups (scale path; recall < 1 so the
+    * pair set is not oracle-fixable) — precision side: the bucket
+    * prefilter prunes candidates but never changes scores, so every
+    * emitted pair must ALSO be in the exact full-quadratic pair set at
+    * the same threshold (candidates ⊆ exact pairs, the same direction
+    * q_ann_ivf_full proves for IVF). Violations must be empty. */
+  val qEmbedNearDupLsh = Q(
+    "q_embed_neardup_lsh",
+    emptyViolationsSql("why" -> "VARCHAR", "d1" -> "BIGINT", "d2" -> "BIGINT")) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val lsh = Dedup.cosineNearDupPairs(emb, 0.3, lshBits = 6)
+    val exact = Dedup.cosineNearDupPairs(emb, 0.3)
+    lsh.join(exact, Seq("d1", "d2", "sim"), "left_anti")
+      .select(lit("not_an_exact_pair").as("why"), col("d1"), col("d2"))
       .orderBy("d1", "d2")
   }
 
@@ -321,13 +409,19 @@ object Pipeline {
       .orderBy("qid", "rank")
   }
 
-  /** IVF ANN in production shape (nprobe = 2 of 16 cells): candidate
-    * volume ~1/8th of brute force; recall < 1 by construction. */
-  val qAnnIvf = Q.rowsOnly("q_ann_ivf") { (s, dir) =>
+  /** IVF ANN in production shape (nprobe = 2 of 16 cells, candidate
+    * volume ~1/8th of brute force; recall < 1 so the neighbor set is
+    * not oracle-fixable) — precision side, same harness as q_ann_lsh:
+    * probing fewer cells prunes candidates, never fabricates or
+    * mis-scores one (q_ann_ivf_full proves the nprobe = nlist case
+    * equals brute force exactly). Violations must be empty. */
+  val qAnnIvf = Q(
+    "q_ann_ivf",
+    emptyViolationsSql("why" -> "VARCHAR", "qid" -> "BIGINT", "cid" -> "BIGINT")) { (s, dir) =>
     val emb = t(s, dir, "embeddings")
-    Similarity.ivfTopK(emb.where(col("vec_id") >= 10 && col("vec_id") < 20),
-        emb, 5, nlist = 16, nprobe = 2)
-      .orderBy("qid", "rank")
+    val qs = emb.where(col("vec_id") >= 10 && col("vec_id") < 20)
+    annPrecisionViolations(qs, emb,
+      Similarity.ivfTopK(qs, emb, 5, nlist = 16, nprobe = 2), 5)
   }
 
   // --------------------------------------------------- text analysis
