@@ -352,7 +352,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       val lines = new StringBuilder
       batches.zipWithIndex.foreach { case ((table, ev), i) =>
         val dir = new Path(stagingRoot, s"batch-$i")
-        ev.write.parquet(dir.toString)
+        encrypted(ev.write).parquet(dir.toString)
         for (f <- fs.listStatus(dir) if f.getPath.getName.startsWith("part-"))
           lines.append(s"file\tbatch-$i/${f.getPath.getName}\t${enc(table)}\n")
       }
@@ -395,6 +395,19 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * faulted twice — the next statement retries the (idempotent) sweep
     * so in-process reads heal without a reopen. */
   @volatile private var publishIncomplete = false
+
+  /** Parquet modular encryption for data-bearing writes (event-log
+    * batches, snapshots, matviews) — toggled by SET ENCRYPTION KEY /
+    * OFF. Uniform mode: footer + every column under keys wrapped by
+    * the registered master key (file magic becomes PARE; nothing is
+    * readable without the key). */
+  private var encryptionOn = false
+
+  private def encrypted[T](w: org.apache.spark.sql.DataFrameWriter[T])
+      : org.apache.spark.sql.DataFrameWriter[T] =
+    if (encryptionOn)
+      w.option("parquet.encryption.uniform.key", Encryption.MasterKeyId)
+    else w
 
   /** Step 3 of publishAtomic — also the recovery path the engine-open
     * sweep replays for a manifest that crashed mid-publish. Idempotent:
@@ -502,6 +515,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         _: Statement.SetCache | Statement.ShowCache | Statement.ClearCache |
         Statement.ShowMigrations | _: Statement.SetStatementTimeout |
         Statement.ShowMetrics | _: Statement.SetSlowLog | Statement.ShowPerf |
+        _: Statement.SetEncryptionKey | Statement.SetEncryptionOff |
         _: Statement.DiffTable |
         _: Statement.Describe | _: Statement.Analyze |
         Statement.Begin | _: Statement.Rollback | _: Statement.Savepoint |
@@ -690,7 +704,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         // data lands before the registration: a registered matview is
         // always readable (crash between the two leaves only an
         // unreferenced data dir, cleaned by the next CREATE or DROP)
-        select(viewSql).write.mode("overwrite")
+        encrypted(select(viewSql).write).mode("overwrite")
           .parquet(catalog.mviewDataPath(name, 0L))
         catalog.createMaterializedView(name, viewSql)
         summary("materialized_view_created", 0L, 0L)
@@ -707,7 +721,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       // is complete (views.rs:40-123 refresh; the versioned-dir swap is
       // how an object store serves this without read-write races)
       val prev = catalog.mviewVersion(name)
-      select(catalog.getView(name).get).write.mode("overwrite")
+      encrypted(select(catalog.getView(name).get).write).mode("overwrite")
         .parquet(catalog.mviewDataPath(name, prev + 1))
       catalog.setMviewVersion(name, prev + 1)
       if (prev >= 1) {
@@ -946,6 +960,24 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       if (ms == 0) slowLog.clear()
       summary("slow_log_set", ms, 0L)
     case Statement.ShowPerf => showPerf()
+    case Statement.SetEncryptionKey(b64) =>
+      requireSuperuser("SET ENCRYPTION KEY")
+      val key = try java.util.Base64.getDecoder.decode(b64)
+        catch { case _: IllegalArgumentException =>
+          throw new IllegalArgumentException("encryption key is not valid base64") }
+      Encryption.register(Encryption.MasterKeyId, key)
+      // activates PME on the session for BOTH write and read — already-
+      // encrypted files become readable the moment the key registers
+      Encryption.HadoopConf.foreach { case (k, v) =>
+        spark.sparkContext.hadoopConfiguration.set(k, v) }
+      encryptionOn = true
+      summary("encryption_enabled", 0L, 0L)
+    case Statement.SetEncryptionOff =>
+      requireSuperuser("SET ENCRYPTION")
+      // stop encrypting NEW writes; leave the factory + key registered
+      // so existing encrypted files stay readable
+      encryptionOn = false
+      summary("encryption_disabled", 0L, 0L)
     case Statement.CreateMigration(ver, up, down) =>
       require(up.trim.nonEmpty, "migration UP script is empty")
       catalog.createMigration(ver, up, down)
@@ -2338,7 +2370,10 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           "durably capture uncommitted buffered writes")
     val t = catalog.require(table)
     val seq = atSeq.getOrElse(catalog.lastSeq(t.name))
-    Snapshots.write(events(t), catalog.snapshotPath(table), seq)
+    Snapshots.write(events(t), catalog.snapshotPath(table), seq,
+      if (encryptionOn)
+        Map("parquet.encryption.uniform.key" -> Encryption.MasterKeyId)
+      else Map.empty)
     lastSnapSeqs(table) = math.max(lastSnapSeqs.getOrElse(table, 0L), seq)
     metricSnapshots += 1
     summary("snapshot", 0L, seq)

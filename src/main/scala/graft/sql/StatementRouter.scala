@@ -181,6 +181,13 @@ object Statement {
     * Deliberately SEPARATE from SHOW METRICS, which stays
     * deterministic for the correctness oracle. */
   case object ShowPerf extends Statement
+  /** SET ENCRYPTION KEY '<base64>' — register the AES master key and
+    * encrypt every subsequent event-log/snapshot/matview parquet write
+    * (parquet modular encryption; encryption.rs:1-1095). SET
+    * ENCRYPTION OFF stops encrypting NEW writes (existing encrypted
+    * files stay readable while the key is registered). */
+  final case class SetEncryptionKey(keyBase64: String) extends Statement
+  case object SetEncryptionOff extends Statement
 }
 
 object StatementRouter {
@@ -282,6 +289,9 @@ object StatementRouter {
   private val ShowMetricsR = """(?is)^SHOW\s+METRICS\s*$""".r
   private val SetSlowLogR = """(?is)^SET\s+SLOW_LOG\s+(\d+)\s*$""".r
   private val ShowPerfR = """(?is)^SHOW\s+PERF\s*$""".r
+  private val SetEncryptionKeyR =
+    """(?is)^SET\s+ENCRYPTION\s+KEY\s+'([^']+)'\s*$""".r
+  private val SetEncryptionOffR = """(?is)^SET\s+ENCRYPTION\s+OFF\s*$""".r
   private val SetPrivilegesR = """(?is)^SET\s+PRIVILEGES\s+(ON|OFF)\s*$""".r
   private val ShowAuditR = """(?is)^SHOW\s+AUDIT\s*$""".r
   private val BeginR =
@@ -367,6 +377,8 @@ object StatementRouter {
       case ShowMetricsR() => ShowMetrics
       case SetSlowLogR(ms) => SetSlowLog(ms.toLong)
       case ShowPerfR() => ShowPerf
+      case SetEncryptionKeyR(k) => SetEncryptionKey(k)
+      case SetEncryptionOffR() => SetEncryptionOff
       case BackupR(dir, parent) => BackupDb(dir, Option(parent))
       case RestoreR(dir) => RestoreDb(dir)
       case VerifyBackupR(dir) => VerifyBackup(dir)

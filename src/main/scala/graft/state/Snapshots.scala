@@ -27,10 +27,12 @@ object Snapshots {
     StateView.collapsedFrames(events, asOfSeq)
       .withColumn("event_type", lit(EventLog.INSERT))
 
-  /** Write the state at `seq` to `<dir>/seq=<seq>`. */
-  def write(events: DataFrame, dir: String, seq: Long): Unit =
+  /** Write the state at `seq` to `<dir>/seq=<seq>`. `options` carries
+    * write-time parquet options (e.g. modular-encryption keys). */
+  def write(events: DataFrame, dir: String, seq: Long,
+      options: Map[String, String] = Map.empty): Unit =
     collapsedAsInserts(events, Some(seq))
-      .write.mode("overwrite").parquet(s"$dir/seq=$seq")
+      .write.options(options).mode("overwrite").parquet(s"$dir/seq=$seq")
 
   /** Sequences of available snapshots (ascending). */
   def available(spark: SparkSession, dir: String): Seq[Long] = {
