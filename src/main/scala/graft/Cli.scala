@@ -121,6 +121,16 @@ object Cli {
             out(if (bad.isEmpty) "ok" else s"corrupt tables: ${bad.mkString(", ")}")
             if (bad.isEmpty) 0 else 1
           }
+        case "serve" :: rest =>
+          // PostgreSQL wire protocol (simple query) — `psql -h ... -p
+          // <port>` connects directly (session/mod.rs:137-241)
+          val o = opts(rest)
+          val e = new QueryEngine(spark, req(o, "d"))
+          val srv = new graft.server.PgServer(e,
+            o.get("p").map(_.toInt).getOrElse(5433)).start()
+          out(s"listening on ${srv.boundPort} (PostgreSQL wire protocol; Ctrl-D stops)")
+          try { stdin().foreach(_ => ()); 0 }
+          finally { srv.close(); e.close() }
         case "backup" :: rest =>
           val o = opts(rest)
           o.rest match {
