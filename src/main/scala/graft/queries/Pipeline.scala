@@ -209,7 +209,10 @@ object Pipeline {
   }
 
   /** Shared precision harness for the approximate ANN variants: rows
-    * of `res` that are not true exact-scored pairs, plus ranking-shape
+    * of `res` whose ids are not real query/corpus vectors or whose sim
+    * is not the true exact cosine (recomputed per RESULT row — linear
+    * in |res|, never the quadratic exact pair set; the validation must
+    * scale like the operator it validates), plus ranking-shape
     * violations. private[graft] so the spec can prove the harness
     * actually fires on a doctored result (a vacuous check would pass
     * the empty oracle forever). */
@@ -217,11 +220,11 @@ object Pipeline {
       res: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val exact = c.crossJoin(broadcast(q))
-      .where(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        round(graft.operators.Similarity.cosine(col("qv"), col("cv")), 5).as("sim"))
-    val fabricated = res.join(exact, Seq("qid", "cid", "sim"), "left_anti")
+    val fabricated = res
+      .join(broadcast(q), Seq("qid"), "left")
+      .join(c, Seq("cid"), "left")
+      .where(col("qv").isNull || col("cv").isNull || col("qid") === col("cid") ||
+        col("sim") =!= round(graft.operators.Similarity.cosine(col("qv"), col("cv")), 5))
       .select(lit("fabricated_or_misscored").as("why"), col("qid"), col("cid"))
     val w = Window.partitionBy("qid").orderBy(col("rank"))
     val shape = res
@@ -379,8 +382,15 @@ object Pipeline {
     emptyViolationsSql("why" -> "VARCHAR", "d1" -> "BIGINT", "d2" -> "BIGINT")) { (s, dir) =>
     val emb = t(s, dir, "embeddings")
     val lsh = Dedup.cosineNearDupPairs(emb, 0.3, lshBits = 6)
-    val exact = Dedup.cosineNearDupPairs(emb, 0.3)
-    lsh.join(exact, Seq("d1", "d2", "sim"), "left_anti")
+    // per-pair recompute (linear in |lsh|), not the quadratic exact
+    // pair set: a pair is exact iff both ids are real vectors, d1 < d2,
+    // and its sim equals the true cosine at/over the threshold
+    lsh
+      .join(emb.select(col("vec_id").as("d1"), col("embedding").as("_e1")), Seq("d1"), "left")
+      .join(emb.select(col("vec_id").as("d2"), col("embedding").as("_e2")), Seq("d2"), "left")
+      .where(col("_e1").isNull || col("_e2").isNull || col("d1") >= col("d2") ||
+        col("sim") < 0.3 ||
+        col("sim") =!= round(graft.operators.Similarity.cosine(col("_e1"), col("_e2")), 5))
       .select(lit("not_an_exact_pair").as("why"), col("d1"), col("d2"))
       .orderBy("d1", "d2")
   }
