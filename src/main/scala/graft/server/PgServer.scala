@@ -7,20 +7,21 @@ import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types._
 
-/** Minimal PostgreSQL wire protocol (v3) server over the engine — the
-  * simple-query slice of the reference's primary interface
-  * (driftdb-server/src/session/mod.rs:137-241, protocol/messages.rs):
-  * startup + AuthenticationOk, Query → RowDescription / DataRow /
-  * CommandComplete, ErrorResponse, ReadyForQuery, Terminate. Enough
-  * for `psql -c` and any driver that speaks simple query; the
-  * extended protocol (Parse/Bind/Execute) answers with a clear error
-  * instead of hanging.
+/** PostgreSQL wire protocol (v3) server over the engine — the
+  * reference's primary interface
+  * (driftdb-server/src/session/mod.rs:137-241, protocol/messages.rs).
+  * Covers the simple query protocol (Query → RowDescription / DataRow
+  * / CommandComplete) AND the extended protocol (Parse / Bind /
+  * Describe / Execute / Close / Flush / Sync) with text-format `$N`
+  * parameters, so psql, `psql \bind`, and drivers that prepare
+  * statements can run DDL/DML/temporal SQL directly.
   *
   * Concurrency: each connection gets its own engine Session (own
   * transaction state, snapshot isolation); statements serialize on
   * the engine's write-lock monitor, the same discipline the SQL API
   * has. The server adds NO second execution path — every statement
-  * routes through `session.sql`.
+  * routes through `session.sql` (parameters bind through the same
+  * literal-safe graft.sql.Params the API uses).
   */
 final class PgServer(engine: QueryEngine, port: Int = 0) {
 
@@ -51,28 +52,59 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
 
   // ------------------------------------------------------- connection
 
+  /** Per-connection extended-protocol state. */
+  private final class ConnState {
+    // name -> (sql text with $N placeholders, declared param type oids)
+    val prepared = scala.collection.mutable.HashMap.empty[String, (String, Seq[Int])]
+    // portal -> bound statement; the DataFrame caches at Describe so
+    // Execute never runs the statement twice
+    val portals = scala.collection.mutable.HashMap.empty[String, Portal]
+    // after an extended-protocol error, every message until Sync is
+    // discarded (PG error recovery)
+    var skipToSync = false
+  }
+  private final class Portal(val sql: String) {
+    var df: Option[DataFrame] = None
+  }
+
   private def handle(sock: Socket): Unit = {
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
     try {
       if (!startup(in, out)) return
       val session = engine.newSession()
+      val st = new ConnState
       var open = true
       while (open) { // EOF (client vanished) exits via the outer catch
         val tpe = in.readByte()
         val len = in.readInt()
         val body = new Array[Byte](len - 4)
         in.readFully(body)
-        tpe.toChar match {
+        val c = tpe.toChar
+        if (st.skipToSync && c != 'S' && c != 'X') ()
+        else c match {
           case 'Q' =>
+            st.skipToSync = false
             val sql = new String(body, UTF_8).stripSuffix("\u0000")
             runQuery(session, sql, out)
             readyForQuery(out)
+          case 'P' => handleParse(st, body, out)
+          case 'B' => handleBind(st, body, out)
+          case 'D' => handleDescribe(session, st, body, out)
+          case 'E' => handleExecute(session, st, body, out)
+          case 'C' => // Close statement/portal
+            val r = new Reader(body)
+            val kind = r.byte(); val name = r.cstring()
+            if (kind == 'S') st.prepared.remove(name) else st.portals.remove(name)
+            out.write('3'); out.writeInt(4) // CloseComplete
+          case 'H' => out.flush() // Flush
+          case 'S' => // Sync
+            st.skipToSync = false
+            readyForQuery(out)
           case 'X' => open = false
           case other =>
-            sendError(out, s"unsupported message type '$other' — " +
-              "this server speaks the simple query protocol only")
-            readyForQuery(out)
+            sendError(out, s"unsupported message type '$other'")
+            st.skipToSync = true
         }
       }
     } catch { case _: EOFException => () case _: Exception => () }
@@ -108,6 +140,125 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
     }
   }
 
+  // ---------------------------------------------- extended protocol
+
+  /** Cursor over a message body: cstrings, big-endian ints. */
+  private final class Reader(body: Array[Byte]) {
+    private var pos = 0
+    def byte(): Char = { val b = body(pos); pos += 1; b.toChar }
+    def int16(): Int = {
+      val v = ((body(pos) & 0xff) << 8) | (body(pos + 1) & 0xff)
+      pos += 2; v.toShort.toInt
+    }
+    def int32(): Int = {
+      val v = ((body(pos) & 0xff) << 24) | ((body(pos + 1) & 0xff) << 16) |
+        ((body(pos + 2) & 0xff) << 8) | (body(pos + 3) & 0xff)
+      pos += 4; v
+    }
+    def cstring(): String = {
+      val end = body.indexOf(0.toByte, pos)
+      val s = new String(body, pos, end - pos, UTF_8)
+      pos = end + 1
+      s
+    }
+    def bytes(n: Int): Array[Byte] = { val a = body.slice(pos, pos + n); pos += n; a }
+  }
+
+  private def handleParse(st: ConnState, body: Array[Byte],
+      out: DataOutputStream): Unit = {
+    val r = new Reader(body)
+    val name = r.cstring()
+    val sql = r.cstring()
+    val oids = Seq.fill(r.int16())(r.int32())
+    st.prepared(name) = (sql, oids)
+    out.write('1'); out.writeInt(4) // ParseComplete
+  }
+
+  /** A text-format parameter, converted by its declared type oid so
+    * numeric/boolean binds compare natively; unknown oids bind as
+    * strings (Spark coerces in comparisons). */
+  private def typedParam(text: String, oid: Int): Any = oid match {
+    case 20 | 23 | 21 => text.toLong
+    case 700 | 701 | 1700 => text.toDouble
+    case 16 => text == "t" || text == "true"
+    case _ => text
+  }
+
+  private def handleBind(st: ConnState, body: Array[Byte],
+      out: DataOutputStream): Unit =
+    try {
+      val r = new Reader(body)
+      val portal = r.cstring()
+      val stmtName = r.cstring()
+      val fmtCodes = Seq.fill(r.int16())(r.int16())
+      val nParams = r.int16()
+      val (sql, oids) = st.prepared.getOrElse(stmtName,
+        throw new IllegalArgumentException(s"unknown prepared statement: $stmtName"))
+      val params = (0 until nParams).map { i =>
+        val plen = r.int32()
+        if (plen < 0) null
+        else {
+          val fmt = if (fmtCodes.isEmpty) 0
+            else if (fmtCodes.length == 1) fmtCodes.head else fmtCodes(i)
+          if (fmt != 0)
+            throw new IllegalArgumentException("binary parameter format not supported")
+          typedParam(new String(r.bytes(plen), UTF_8), oids.lift(i).getOrElse(0))
+        }
+      }
+      val bound =
+        if (params.isEmpty) sql else graft.sql.Params.bind(sql, params)
+      st.portals(portal) = new Portal(bound)
+      out.write('2'); out.writeInt(4) // BindComplete
+    } catch {
+      case e: Exception =>
+        sendError(out, Option(e.getMessage).getOrElse(e.getClass.getName))
+        st.skipToSync = true
+    }
+
+  private def portalFrame(session: QueryEngine#Session, p: Portal): DataFrame = {
+    if (p.df.isEmpty) p.df = Some(session.sql(p.sql))
+    p.df.get
+  }
+
+  private def handleDescribe(session: QueryEngine#Session, st: ConnState,
+      body: Array[Byte], out: DataOutputStream): Unit =
+    try {
+      val r = new Reader(body)
+      val kind = r.byte(); val name = r.cstring()
+      if (kind == 'S') {
+        val (_, oids) = st.prepared.getOrElse(name,
+          throw new IllegalArgumentException(s"unknown prepared statement: $name"))
+        out.write('t'); out.writeInt(4 + 2 + 4 * oids.length) // ParameterDescription
+        out.writeShort(oids.length)
+        oids.foreach(out.writeInt)
+        out.write('n'); out.writeInt(4) // NoData (row shape known after Bind)
+      } else {
+        val p = st.portals.getOrElse(name,
+          throw new IllegalArgumentException(s"unknown portal: $name"))
+        sendRowDescription(portalFrame(session, p).schema, out)
+      }
+    } catch {
+      case e: Exception =>
+        sendError(out, Option(e.getMessage).getOrElse(e.getClass.getName))
+        st.skipToSync = true
+    }
+
+  private def handleExecute(session: QueryEngine#Session, st: ConnState,
+      body: Array[Byte], out: DataOutputStream): Unit =
+    try {
+      val r = new Reader(body)
+      val name = r.cstring()
+      val maxRows = r.int32()
+      val p = st.portals.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown portal: $name"))
+      sendDataRows(portalFrame(session, p),
+        if (maxRows <= 0) 100000 else maxRows, out)
+    } catch {
+      case e: Exception =>
+        sendError(out, Option(e.getMessage).getOrElse(e.getClass.getName))
+        st.skipToSync = true
+    }
+
   // -------------------------------------------------------- execution
 
   private def runQuery(session: QueryEngine#Session, sql: String,
@@ -118,7 +269,8 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
     for (stmt <- stmts) {
       try {
         val df = session.sql(stmt)
-        sendResult(df, out)
+        sendRowDescription(df.schema, out)
+        sendDataRows(df, 100000, out)
       } catch {
         case e: Exception =>
           sendError(out, Option(e.getMessage).getOrElse(e.getClass.getName))
@@ -137,10 +289,7 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
     case _ => (25, -1) // text
   }
 
-  private def sendResult(df: DataFrame, out: DataOutputStream): Unit = {
-    val schema = df.schema
-    val rows = df.limit(100001).collect()
-    // RowDescription
+  private def sendRowDescription(schema: StructType, out: DataOutputStream): Unit = {
     val buf = new java.io.ByteArrayOutputStream()
     val d = new DataOutputStream(buf)
     d.writeShort(schema.fields.length)
@@ -151,8 +300,14 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
       d.writeInt(oid); d.writeShort(typlen); d.writeInt(-1); d.writeShort(0)
     }
     out.write('T'); out.writeInt(4 + buf.size()); buf.writeTo(out)
-    // DataRows (text format)
-    for (row <- rows.take(100000)) {
+    out.flush()
+  }
+
+  private def sendDataRows(df: DataFrame, maxRows: Int,
+      out: DataOutputStream): Unit = {
+    val schema = df.schema
+    val rows = df.limit(maxRows + 1).collect()
+    for (row <- rows.take(maxRows)) {
       val rb = new java.io.ByteArrayOutputStream()
       val rd = new DataOutputStream(rb)
       rd.writeShort(schema.fields.length)
@@ -169,7 +324,7 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
       }
       out.write('D'); out.writeInt(4 + rb.size()); rb.writeTo(out)
     }
-    val tag = s"SELECT ${math.min(rows.length, 100000)}"
+    val tag = s"SELECT ${math.min(rows.length, maxRows)}"
     val tb = tag.getBytes(UTF_8)
     out.write('C'); out.writeInt(4 + tb.length + 1); out.write(tb); out.write(0)
     out.flush()

@@ -47,6 +47,95 @@ class PgServerSpec extends AnyFunSuite {
     }
   }
 
+  /** Hand-rolled extended-protocol client (psql 15 has no \bind; the
+    * message layout follows the published v3 protocol). */
+  private final class ExtClient(port: Int) {
+    private val sock = new java.net.Socket("127.0.0.1", port)
+    private val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(sock.getInputStream))
+    private val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(sock.getOutputStream))
+    private def cstr(s: String): Array[Byte] =
+      s.getBytes("UTF-8") ++ Array(0.toByte)
+    private def send(t: Char, body: Array[Byte]): Unit = {
+      out.write(t); out.writeInt(body.length + 4); out.write(body)
+    }
+    locally { // startup
+      val params = cstr("user") ++ cstr("root") ++
+        cstr("database") ++ cstr("graft") ++ Array(0.toByte)
+      out.writeInt(params.length + 8); out.writeInt(196608); out.write(params)
+      out.flush()
+      drainUntilReady()
+    }
+    /** Read messages up to ReadyForQuery: Seq[(type, body)]. */
+    def drainUntilReady(): Seq[(Char, Array[Byte])] = {
+      val seen = Seq.newBuilder[(Char, Array[Byte])]
+      var done = false
+      while (!done) {
+        val t = in.readByte().toChar
+        val len = in.readInt()
+        val body = new Array[Byte](len - 4)
+        in.readFully(body)
+        seen += ((t, body))
+        if (t == 'Z') done = true
+      }
+      seen.result()
+    }
+    def parseBindExecute(sql: String, paramOid: Int, param: String)
+        : Seq[(Char, Array[Byte])] = {
+      val i16 = (v: Int) => Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      val i32 = (v: Int) => Array(((v >> 24) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      send('P', cstr("") ++ cstr(sql) ++ i16(1) ++ i32(paramOid))
+      val pv = param.getBytes("UTF-8")
+      send('B', cstr("") ++ cstr("") ++ i16(0) ++ i16(1) ++ i32(pv.length) ++
+        pv ++ i16(0))
+      send('D', Array('P'.toByte) ++ cstr(""))
+      send('E', cstr("") ++ i32(0))
+      send('S', Array.empty)
+      out.flush()
+      drainUntilReady()
+    }
+    def rows(msgs: Seq[(Char, Array[Byte])]): Seq[Seq[String]] =
+      msgs.collect { case ('D', body) =>
+        val bb = java.nio.ByteBuffer.wrap(body)
+        val n = bb.getShort.toInt
+        (0 until n).map { _ =>
+          val len = bb.getInt
+          if (len < 0) null
+          else { val a = new Array[Byte](len); bb.get(a); new String(a, "UTF-8") }
+        }
+      }
+    def close(): Unit = { send('X', Array.empty); out.flush(); sock.close() }
+  }
+
+  test("extended protocol: Parse/Bind/Describe/Execute with typed $N params") {
+    withServer { (_, port) =>
+      assert(psql(port,
+        "CREATE TABLE p (k BIGINT PRIMARY KEY, v STRING); " +
+          "INSERT INTO p VALUES (1, 'one'), (2, 'two'), (3, 'three')")._1 === 0)
+      val c = new ExtClient(port)
+      try {
+        val msgs = c.parseBindExecute(
+          "SELECT k, v FROM p WHERE k > $1 ORDER BY k", paramOid = 20, param = "1")
+        // ParseComplete, BindComplete, RowDescription, rows, complete
+        assert(msgs.map(_._1).startsWith(Seq('1', '2', 'T')), msgs.map(_._1))
+        assert(c.rows(msgs) === Seq(Seq("2", "two"), Seq("3", "three")))
+        // a bound parameter is a VALUE, not SQL — injection stays inert
+        val inj = c.parseBindExecute(
+          "SELECT k FROM p WHERE v = $1", paramOid = 25, param = "two' OR '1'='1")
+        assert(c.rows(inj).isEmpty, s"injection matched: ${c.rows(inj)}")
+        // an error inside the extended flow recovers at Sync
+        val bad = c.parseBindExecute("SELECT * FROM nope WHERE k = $1", 20, "1")
+        assert(bad.exists(_._1 == 'E') && bad.last._1 == 'Z')
+        // and the connection still works afterwards
+        val again = c.parseBindExecute(
+          "SELECT COUNT(*) AS n FROM p WHERE k > $1", 20, "0")
+        assert(c.rows(again) === Seq(Seq("3")))
+      } finally c.close()
+    }
+  }
+
   test("multi-statement -c, errors exit nonzero, sessions are isolated") {
     withServer { (_, port) =>
       // one Query message carrying several statements
