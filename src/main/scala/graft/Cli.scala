@@ -113,10 +113,29 @@ object Cli {
         case "doctor" :: rest =>
           val o = opts(rest)
           withEngine(spark, o) { e =>
-            // integrity pass: every table's state and history must scan
+            // integrity pass per table: current state must scan, the
+            // surviving event range must scan, and the sequence counter
+            // must cover the log (a counter BEHIND the log would assign
+            // duplicate sequences on the next write — the exact
+            // corruption the reference's doctor hunts, main.rs Doctor)
             val bad = e.catalog.tableNames.filter { t =>
-              try { e.sql(s"SELECT COUNT(*) FROM $t").collect(); false }
-              catch { case ex: Exception => err(s"$t: ${ex.getMessage}"); true }
+              try {
+                e.sql(s"SELECT COUNT(*) FROM $t").collect()
+                val floor = e.catalog.retentionFloor(t)
+                val last = e.catalog.lastSeq(t)
+                if (last > floor) {
+                  // upper bound far past the counter so a log that ran
+                  // AHEAD of the counter is visible to the check
+                  val mx = e.sql(
+                    s"SELECT MAX(sequence) AS m FROM $t FOR SYSTEM_TIME BETWEEN ${floor + 1} AND ${Long.MaxValue}")
+                    .collect()(0)
+                  if (!mx.isNullAt(0) && mx.getLong(0) > last)
+                    throw new IllegalStateException(
+                      s"sequence counter $last behind log max ${mx.getLong(0)}")
+                }
+                out(s"$t: ok (seq $last, floor $floor)")
+                false
+              } catch { case ex: Exception => err(s"$t: ${ex.getMessage}"); true }
             }
             out(if (bad.isEmpty) "ok" else s"corrupt tables: ${bad.mkString(", ")}")
             if (bad.isEmpty) 0 else 1

@@ -50,11 +50,13 @@ object Components {
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
-      // neighbor-min: comp := min(comp, min over neighbors' comp)
+      // neighbor-min: comp := min(comp, min over neighbors' comp).
+      // The OLD label rides along as `prev` so the convergence probe
+      // below needs no extra join back to `labels`.
       val nbrMin = bi.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("comp").as("nbr"))
       val prop = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
       // pointer jumping: comp := comp(comp). Labels are always vertex
       // ids, so the lookup is a self-join; label(label) <= label keeps
@@ -62,13 +64,11 @@ object Components {
       val jumped = prop.join(
           prop.select(col("id").as("comp"), col("comp").as("comp2")),
           Seq("comp"), "left")
-        .select(col("id"), coalesce(col("comp2"), col("comp")).as("comp"))
+        .select(col("id"), col("prev"),
+          coalesce(col("comp2"), col("comp")).as("comp"))
         .localCheckpoint()
-      changed = jumped
-        .join(labels.select(col("id"), col("comp").as("prev")), "id")
-        .where(col("comp") =!= col("prev"))
-        .limit(1).count()
-      labels = jumped
+      changed = jumped.where(col("comp") =!= col("prev")).limit(1).count()
+      labels = jumped.select(col("id"), col("comp"))
       round += 1
     }
     if (changed > 0)
