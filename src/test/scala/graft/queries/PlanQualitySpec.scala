@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.TestSpark
+import graft.operators.{AsOfJoin, RangeJoin}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the properties that decide whether
+  * a query survives a 100x scale-up, pinned as regression tests:
+  * filters reach the parquet scan, scans prune to the projected
+  * columns, small dimensions broadcast, aggregation is partial
+  * (map-side combine), the hot path stays inside whole-stage codegen,
+  * and the custom joins never degenerate into nested-loop products.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def q(name: String): DataFrame =
+    Pipeline.all.find(_.name == name)
+      .orElse(Relational.all.find(_.name == name))
+      .getOrElse(fail(s"query missing: $name")).run(spark, sf)
+
+  test("filters push down to the parquet scan; scans prune columns") {
+    val df = Relational.all.find(_.name == "q_scan_filter").get.run(spark, sf)
+    val p = plan(df)
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(!p.contains("PushedFilters: []"),
+      "scan pushed no filters:\n" + p.take(2000))
+    // the lineitem scan must not read all 16 columns for a narrow query
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty)
+    assert(readSchemas.forall(_.split(",").length <= 8),
+      s"scan reads too many columns: $readSchemas")
+  }
+
+  test("small dimension tables broadcast; aggregates combine map-side") {
+    val joins = plan(Relational.all.find(_.name == "q_multi_join").get.run(spark, sf))
+    assert(joins.contains("BroadcastHashJoin"), joins.take(3000))
+    assert(!joins.contains("CartesianProduct") &&
+      !joins.contains("BroadcastNestedLoopJoin"), joins.take(3000))
+    val aggDf = Relational.all.find(_.name == "q1_agg").get.run(spark, sf)
+    // partial + final HashAggregate pair = map-side combine before the
+    // shuffle; whole-stage codegen hosts the hot path. AQE only shows
+    // codegen ids in the FINAL plan, so execute first.
+    aggDf.collect()
+    val agg = plan(aggDf)
+    assert("HashAggregate".r.findAllIn(agg).length >= 2, agg.take(3000))
+    assert(agg.contains("codegen id"), agg.take(3000))
+  }
+
+  test("as-of and range joins never plan a nested-loop product") {
+    import spark.implicits._
+    val left = (1L to 200L).map(i => (i % 7, i, i)).toDF("k", "t", "lid")
+    val right = (1L to 300L).map(i => (i % 7, i - 3, i.toDouble)).toDF("k", "rt", "v")
+    val asof = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt", Seq("v"))
+    val pa = plan(asof)
+    assert(!pa.contains("CartesianProduct") &&
+      !pa.contains("BroadcastNestedLoopJoin"), pa.take(3000))
+    // the union-tag design needs ONE key shuffle for the window, not a
+    // join shuffle pair (AQE may add coalesce reads, never more hashes)
+    assert("Exchange hashpartitioning".r.findAllIn(pa).length <= 2, pa.take(3000))
+    val ts = (c: org.apache.spark.sql.Column) => timestamp_seconds(c * 3600)
+    val ranged = RangeJoin.binned(
+      left.select(ts(col("t")).as("p"), col("lid")),
+      col("p"),
+      right.select(ts(col("rt")).as("lo"), ts(col("rt") + 5).as("hi"), col("v")),
+      col("lo"), col("hi"), binDays = 1)
+    val pr = plan(ranged)
+    assert(!pr.contains("CartesianProduct") &&
+      !pr.contains("BroadcastNestedLoopJoin"), pr.take(3000))
+  }
+
+  test("the dedup candidate paths are equi-joins, not products") {
+    for (name <- Seq("q_jaccard_pairs", "q_minhash_superset", "q_fulltext_bm25")) {
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
+    }
+  }
+}
