@@ -31,6 +31,11 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
   /** The bound port (useful with port = 0). */
   def boundPort: Int = server.getLocalPort
 
+  // (pid, secret) -> live connection, for CancelRequest routing
+  private val cancelRegistry =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), ConnState]()
+  private val nextPid = new java.util.concurrent.atomic.AtomicInteger(1)
+
   private val acceptor = new Thread(() => {
     while (running) {
       try {
@@ -57,11 +62,28 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
     // name -> (sql text with $N placeholders, declared param type oids)
     val prepared = scala.collection.mutable.HashMap.empty[String, (String, Seq[Int])]
     // portal -> bound statement; the DataFrame caches at Describe so
-    // Execute never runs the statement twice
+    // Execute never runs the portal's statement twice
     val portals = scala.collection.mutable.HashMap.empty[String, Portal]
     // after an extended-protocol error, every message until Sync is
     // discarded (PG error recovery)
     var skipToSync = false
+    // identity for CancelRequest (BackendKeyData); the active
+    // statement's Spark job group, cancelled out-of-band
+    val pid: Int = nextPid.getAndIncrement()
+    val secret: Int = new java.security.SecureRandom().nextInt()
+    @volatile var activeGroup: Option[String] = None
+  }
+
+  /** Run `f` with a fresh per-statement Spark job group registered for
+    * out-of-band cancellation (a CancelRequest kills exactly the jobs
+    * of the statement running when it arrives — PG semantics). */
+  private def cancellable[T](st: ConnState)(f: => T): T = {
+    val sc = engine.spark.sparkContext
+    val group = s"graft-pg-${st.pid}-${System.nanoTime()}"
+    sc.setJobGroup(group, s"pg connection ${st.pid}", interruptOnCancel = true)
+    st.activeGroup = Some(group)
+    try f
+    finally { st.activeGroup = None; sc.clearJobGroup() }
   }
   private final class Portal(val sql: String) {
     var df: Option[DataFrame] = None
@@ -70,10 +92,11 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
   private def handle(sock: Socket): Unit = {
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+    val st = new ConnState
     try {
-      if (!startup(in, out)) return
+      if (!startup(in, out, st)) return
+      cancelRegistry.put((st.pid, st.secret), st)
       val session = engine.newSession()
-      val st = new ConnState
       var open = true
       while (open) { // EOF (client vanished) exits via the outer catch
         val tpe = in.readByte()
@@ -86,7 +109,7 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
           case 'Q' =>
             st.skipToSync = false
             val sql = new String(body, UTF_8).stripSuffix("\u0000")
-            runQuery(session, sql, out)
+            cancellable(st)(runQuery(session, sql, out))
             readyForQuery(out)
           case 'P' => handleParse(st, body, out)
           case 'B' => handleBind(st, body, out)
@@ -108,21 +131,32 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
         }
       }
     } catch { case _: EOFException => () case _: Exception => () }
-    finally { try sock.close() catch { case _: Exception => () } }
+    finally {
+      cancelRegistry.remove((st.pid, st.secret))
+      try sock.close() catch { case _: Exception => () }
+    }
   }
 
   /** Consume SSL/GSS negotiation requests, then the startup message.
+    * A CancelRequest connection carries (pid, secret) instead — route
+    * it to the matching live connection's active job group and close.
     * No authentication — this is the embedded-engine surface (the
     * reference's auth lives in its server's UserDb). */
   @annotation.tailrec
-  private def startup(in: DataInputStream, out: DataOutputStream): Boolean = {
+  private def startup(in: DataInputStream, out: DataOutputStream,
+      st: ConnState): Boolean = {
     val len = in.readInt()
     val code = in.readInt()
     if (code == 80877103 || code == 80877104) { // SSLRequest / GSSENCRequest
       out.write('N'); out.flush()
-      startup(in, out)
-    } else if (code == 80877102) { // CancelRequest: ignore, close
-      false
+      startup(in, out, st)
+    } else if (code == 80877102) { // CancelRequest: pid + secret follow
+      val pid = in.readInt()
+      val secret = in.readInt()
+      Option(cancelRegistry.get((pid, secret)))
+        .flatMap(_.activeGroup)
+        .foreach(engine.spark.sparkContext.cancelJobGroup)
+      false // a cancel connection closes without a response (PG)
     } else { // StartupMessage, protocol 3.x
       val rest = new Array[Byte](len - 8)
       in.readFully(rest)
@@ -134,7 +168,8 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
           v.getBytes(UTF_8) ++ Array(0.toByte)
         out.write('S'); out.writeInt(4 + payload.length); out.write(payload)
       }
-      out.write('K'); out.writeInt(12); out.writeInt(1); out.writeInt(0)
+      out.write('K'); out.writeInt(12)
+      out.writeInt(st.pid); out.writeInt(st.secret) // BackendKeyData
       readyForQuery(out)
       true
     }
@@ -235,7 +270,7 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
       } else {
         val p = st.portals.getOrElse(name,
           throw new IllegalArgumentException(s"unknown portal: $name"))
-        sendRowDescription(portalFrame(session, p).schema, out)
+        sendRowDescription(cancellable(st)(portalFrame(session, p)).schema, out)
       }
     } catch {
       case e: Exception =>
@@ -251,8 +286,8 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
       val maxRows = r.int32()
       val p = st.portals.getOrElse(name,
         throw new IllegalArgumentException(s"unknown portal: $name"))
-      sendDataRows(portalFrame(session, p),
-        if (maxRows <= 0) 100000 else maxRows, out)
+      cancellable(st)(sendDataRows(portalFrame(session, p),
+        if (maxRows <= 0) 100000 else maxRows, out))
     } catch {
       case e: Exception =>
         sendError(out, Option(e.getMessage).getOrElse(e.getClass.getName))

@@ -60,11 +60,20 @@ class PgServerSpec extends AnyFunSuite {
     private def send(t: Char, body: Array[Byte]): Unit = {
       out.write(t); out.writeInt(body.length + 4); out.write(body)
     }
+    /** (pid, secret) from BackendKeyData, for CancelRequest. */
+    var backendKey: Option[(Int, Int)] = None
     locally { // startup
       val params = cstr("user") ++ cstr("root") ++
         cstr("database") ++ cstr("graft") ++ Array(0.toByte)
       out.writeInt(params.length + 8); out.writeInt(196608); out.write(params)
       out.flush()
+      backendKey = drainUntilReady().collectFirst { case ('K', body) =>
+        val bb = java.nio.ByteBuffer.wrap(body)
+        (bb.getInt, bb.getInt)
+      }
+    }
+    def simpleQuery(sql: String): Seq[(Char, Array[Byte])] = {
+      send('Q', cstr(sql)); out.flush()
       drainUntilReady()
     }
     /** Read messages up to ReadyForQuery: Seq[(type, body)]. */
@@ -132,6 +141,40 @@ class PgServerSpec extends AnyFunSuite {
         val again = c.parseBindExecute(
           "SELECT COUNT(*) AS n FROM p WHERE k > $1", 20, "0")
         assert(c.rows(again) === Seq(Seq("3")))
+      } finally c.close()
+    }
+  }
+
+  test("CancelRequest kills the active statement's Spark jobs (psql Ctrl-C)") {
+    withServer { (e, port) =>
+      e.attachExternal("li", "/root/testdata/sf0.01/lineitem.parquet")
+      val c = new ExtClient(port)
+      try {
+        val (pid, secret) = c.backendKey.getOrElse(fail("no BackendKeyData"))
+        // an effectively-unbounded cartesian aggregate on the main
+        // connection, cancelled out-of-band from a second connection
+        val result = new java.util.concurrent.CompletableFuture[Seq[Char]]()
+        val runner = new Thread(() =>
+          try result.complete(c.simpleQuery(
+            """SELECT SUM(a.l_quantity * b.l_quantity) AS s
+              |FROM li a CROSS JOIN li b""".stripMargin).map(_._1))
+          catch { case ex: Throwable => result.completeExceptionally(ex) })
+        runner.start()
+        Thread.sleep(2500) // let the jobs start
+        val t0 = System.nanoTime()
+        val cancel = new java.net.Socket("127.0.0.1", port)
+        val co = new java.io.DataOutputStream(cancel.getOutputStream)
+        co.writeInt(16); co.writeInt(80877102); co.writeInt(pid); co.writeInt(secret)
+        co.flush(); cancel.close()
+        val msgs = result.get(30, java.util.concurrent.TimeUnit.SECONDS)
+        val wallSec = (System.nanoTime() - t0) / 1e9
+        // the statement dies as an ErrorResponse, promptly, and the
+        // connection then answers the next query normally
+        assert(msgs.contains('E'), s"expected ErrorResponse, got $msgs")
+        assert(wallSec < 25.0, s"cancellation took $wallSec s")
+        val after = c.parseBindExecute("SELECT COUNT(*) AS n FROM li WHERE l_orderkey < $1",
+          20, "10")
+        assert(c.rows(after).nonEmpty)
       } finally c.close()
     }
   }
