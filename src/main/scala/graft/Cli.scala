@@ -73,7 +73,8 @@ object Cli {
         case "ingest" :: rest =>
           val o = opts(rest)
           withEngine(spark, o) { e =>
-            show(e.sql(s"COPY ${req(o, "t")} FROM '${req(o, "f")}'"), out); 0
+            val fmt = o.get("format").fold("")(f => s" (FORMAT $f)")
+            show(e.sql(s"COPY ${req(o, "t")} FROM '${req(o, "f")}'$fmt"), out); 0
           }
         case "select" :: rest =>
           val o = opts(rest)

@@ -939,7 +939,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Statement.Analyze(table) => analyze(table)
     case Statement.ShowTables => showTables()
     case Statement.Describe(table) => describe(table)
-    case Statement.CopyFrom(table, path) => ingestJsonl(table, path)
+    case Statement.CopyFrom(table, path, format) =>
+      ingestFile(table, path, format.getOrElse(inferCopyFormat(path)))
     case Statement.SetCache(on) =>
       cacheEnabled = on
       if (!on) { dropAllCached(); cacheHits = 0L; cacheMisses = 0L }
@@ -1558,7 +1559,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Statement.DropSequence(n, _) => ("DROP SEQUENCE", n)
     case Statement.Snapshot(t) => ("SNAPSHOT", t)
     case Statement.Analyze(t) => ("ANALYZE", t)
-    case Statement.CopyFrom(t, _) => ("COPY", t)
+    case Statement.CopyFrom(t, _, _) => ("COPY", t)
     case Statement.Begin => ("BEGIN", "")
     case Statement.Commit => ("COMMIT", "")
     case _: Statement.Rollback => ("ROLLBACK", "")
@@ -2462,14 +2463,35 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
 
   /** JSONL bulk ingest (driftdb-cli main.rs:40-50): columns matched by
     * name, missing ones NULL. */
-  def ingestJsonl(table: String, path: String): DataFrame = {
+  def ingestJsonl(table: String, path: String): DataFrame =
+    ingestFile(table, path, "jsonl")
+
+  private def inferCopyFormat(path: String): String = {
+    val p = path.toLowerCase
+    if (p.endsWith(".parquet") || p.endsWith(".pq")) "parquet"
+    else if (p.endsWith(".csv")) "csv"
+    else "jsonl"
+  }
+
+  /** Bulk ingest with format selection — JSONL for reference parity,
+    * parquet and header CSV as the Spark-native additions (a real
+    * 100 TB load arrives as parquet; every column casts to the
+    * catalog's declared type, so CSV's all-string read types up
+    * correctly). */
+  def ingestFile(table: String, path: String, format: String): DataFrame = {
     val t = catalog.require(table)
     // COPY FROM is governed like INSERT (it IS a bulk insert): the
     // privilege gate and the write-side RLS policies both apply —
     // without them an ungranted session could bulk-load, and an
     // RLS-restricted session could land rows its WITH CHECK vetoes
     checkPrivilege(table, "INSERT")
-    val raw = spark.read.json(path)
+    val raw = format match {
+      case "jsonl" | "json" => spark.read.json(path)
+      case "parquet" => spark.read.parquet(path)
+      case "csv" => spark.read.option("header", "true").csv(path)
+      case other => throw new IllegalArgumentException(
+        s"unsupported COPY format: $other (JSONL | PARQUET | CSV)")
+    }
     val defaults = defaultsOf(table)
     val full0 = raw.select(t.columns.map(c =>
       if (raw.columns.contains(c.logical)) col(c.logical).cast(c.dataType).as(c.logical)

@@ -98,7 +98,12 @@ object Statement {
   case object ShowTables extends Statement
   final case class Describe(table: String) extends Statement
   /** COPY t FROM 'path' — JSONL bulk ingest (driftdb-cli main.rs:40-50). */
-  final case class CopyFrom(table: String, path: String) extends Statement
+  /** COPY t FROM 'path' [(FORMAT JSONL|PARQUET|CSV)] — bulk ingest.
+    * Format defaults by file extension (the reference CLI is
+    * JSONL-only, main.rs:40-50; parquet/CSV are the Spark-native
+    * additions a 100 TB load actually uses). */
+  final case class CopyFrom(table: String, path: String,
+      format: Option[String] = None) extends Statement
   // Transaction control (sql_bridge.rs:453-568): BEGIN buffers event
   // appends in the engine; COMMIT flushes them; ROLLBACK discards.
   case object Begin extends Statement
@@ -256,7 +261,7 @@ object StatementRouter {
   private val ShowTablesR = """(?is)^SHOW\s+TABLES\s*$""".r
   private val DescribeR = """(?is)^(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.]+)\s*$""".r
   private val CopyR =
-    """(?is)^COPY\s+([\w.]+)\s+FROM\s+'([^']+)'\s*(?:\(.*\))?\s*$""".r
+    """(?is)^COPY\s+([\w.]+)\s+FROM\s+'([^']+)'\s*(?:\(\s*FORMAT\s+(\w+)\s*\))?\s*$""".r
   private val AlterRlsR =
     """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+(ENABLE|DISABLE)\s+ROW\s+LEVEL\s+SECURITY\s*$""".r
   private val CreatePolicyR =
@@ -410,7 +415,8 @@ object StatementRouter {
           if (fmt == null) "text" else fmt.toLowerCase)
       case ShowTablesR() => ShowTables
       case DescribeR(table) => Describe(table)
-      case CopyR(table, path) => CopyFrom(table, path)
+      case CopyR(table, path, format) =>
+        CopyFrom(table, path, Option(format).map(_.toLowerCase))
       case BeginR() => Begin
       case CommitR() => Commit
       case RollbackR(sp) => Rollback(Option(sp))

@@ -72,6 +72,38 @@ class CliSpec extends AnyFunSuite {
     assert(out.last === "(2 rows)")
   }
 
+  test("COPY ingests parquet and CSV by extension or explicit FORMAT") {
+    val dir = freshDir()
+    cli("sql", "-d", dir, "-e",
+      "CREATE TABLE m (k BIGINT PRIMARY KEY, v STRING, x DOUBLE)")
+    // parquet: written by Spark itself, ingested back by extension
+    val pq = java.nio.file.Files.createTempDirectory("graft-copy-pq")
+      .resolve("rows.parquet").toString
+    val (c0, _, _) = cli("sql", "-d", dir, "-e", "SELECT 1") // warm engine dir
+    assert(c0 === 0)
+    locally {
+      val spark = TestSpark.spark
+      import spark.implicits._
+      Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "v", "x")
+        .coalesce(1).write.parquet(pq)
+    }
+    assert(cli("sql", "-d", dir, "-e", s"COPY m FROM '$pq'")._1 === 0)
+    // CSV with header: all-string read casts up to the declared types
+    val csv = java.nio.file.Files.createTempFile("graft-copy", ".csv")
+    java.nio.file.Files.writeString(csv, "k,v,x\n3,c,3.5\n4,d,\n")
+    assert(cli("sql", "-d", dir, "-e",
+      s"COPY m FROM '${csv.toString}' (FORMAT CSV)")._1 === 0)
+    val (code, out, _) = cli("select", "-d", dir, "-t", "m", "--json")
+    assert(code === 0)
+    val rows = out.filter(_.startsWith("{"))
+    assert(rows.size === 4)
+    assert(rows.exists(r => r.contains("\"k\":3") && r.contains("\"x\":3.5")))
+    assert(rows.exists(r => r.contains("\"k\":4") && !r.contains("\"x\"")))
+    // unknown format is rejected
+    assert(cli("sql", "-d", dir, "-e",
+      s"COPY m FROM '${csv.toString}' (FORMAT XML)")._1 === 1)
+  }
+
   test("sql -f runs a script file; REPL consumes stdin statements") {
     val dir = freshDir()
     val script = java.nio.file.Files.createTempFile("graft-cli-script", ".sql")
