@@ -286,8 +286,7 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
       val maxRows = r.int32()
       val p = st.portals.getOrElse(name,
         throw new IllegalArgumentException(s"unknown portal: $name"))
-      cancellable(st)(sendDataRows(portalFrame(session, p),
-        if (maxRows <= 0) 100000 else maxRows, out))
+      cancellable(st)(sendDataRows(portalFrame(session, p), maxRows, out))
     } catch {
       case e: Exception =>
         sendError(out, Option(e.getMessage).getOrElse(e.getClass.getName))
@@ -305,7 +304,7 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
       try {
         val df = session.sql(stmt)
         sendRowDescription(df.schema, out)
-        sendDataRows(df, 100000, out)
+        sendDataRows(df, 0, out) // simple query streams every row
       } catch {
         case e: Exception =>
           sendError(out, Option(e.getMessage).getOrElse(e.getClass.getName))
@@ -338,11 +337,16 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
     out.flush()
   }
 
+  /** Stream the result as DataRows. `maxRows <= 0` = all rows;
+    * toLocalIterator keeps memory bounded to one partition — no
+    * collect, no silent row cap. */
   private def sendDataRows(df: DataFrame, maxRows: Int,
       out: DataOutputStream): Unit = {
     val schema = df.schema
-    val rows = df.limit(maxRows + 1).collect()
-    for (row <- rows.take(maxRows)) {
+    val it = df.toLocalIterator()
+    var n = 0L
+    while (it.hasNext && (maxRows <= 0 || n < maxRows)) {
+      val row = it.next()
       val rb = new java.io.ByteArrayOutputStream()
       val rd = new DataOutputStream(rb)
       rd.writeShort(schema.fields.length)
@@ -358,8 +362,9 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
         }
       }
       out.write('D'); out.writeInt(4 + rb.size()); rb.writeTo(out)
+      n += 1
     }
-    val tag = s"SELECT ${math.min(rows.length, maxRows)}"
+    val tag = s"SELECT $n"
     val tb = tag.getBytes(UTF_8)
     out.write('C'); out.writeInt(4 + tb.length + 1); out.write(tb); out.write(0)
     out.flush()
