@@ -1823,15 +1823,33 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     scala.collection.mutable.ArrayDeque.empty[(Long, String, Double)]
   private var slowLogNextId = 1L
   private val SlowLogMax = 100
+  // sliding window of recent latencies for exact percentiles over the
+  // window (the reference's PercentileTracker, monitoring.rs:95) —
+  // bounded, so SHOW PERF never scans unbounded history
+  private val PerfWindow = 1024
+  private val perfRecent = new Array[Double](PerfWindow)
+  private var perfRecentN = 0L
 
   private def recordPerf(statement: String, ms: Double): Unit = {
     perfCount += 1; perfTotalMs += ms; perfMaxMs = math.max(perfMaxMs, ms)
     val i = perfBoundsMs.indexWhere(ms < _)
     perfBuckets(if (i < 0) perfBoundsMs.length else i) += 1
+    perfRecent((perfRecentN % PerfWindow).toInt) = ms
+    perfRecentN += 1
     if (slowLogThresholdMs > 0 && ms >= slowLogThresholdMs) {
       slowLog.append((slowLogNextId, statement.trim.take(500), ms))
       slowLogNextId += 1
       if (slowLog.size > SlowLogMax) slowLog.removeHead() // bounded ring
+    }
+  }
+
+  /** Exact percentile over the sliding latency window (nearest-rank). */
+  private def perfPercentile(p: Double): Double = {
+    val n = math.min(perfRecentN, PerfWindow.toLong).toInt
+    if (n == 0) 0.0
+    else {
+      val sorted = perfRecent.take(n).sorted
+      sorted(math.min(n - 1, math.ceil(p * n).toInt - 1).max(0))
     }
   }
 
@@ -1843,6 +1861,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       ("summary", "statements", perfCount.toDouble, null: String),
       ("summary", "total_ms", perfTotalMs, null: String),
       ("summary", "max_ms", perfMaxMs, null: String),
+      ("summary", "p50_ms", perfPercentile(0.50), null: String),
+      ("summary", "p95_ms", perfPercentile(0.95), null: String),
+      ("summary", "p99_ms", perfPercentile(0.99), null: String),
       ("summary", "slow_threshold_ms", slowLogThresholdMs.toDouble, null: String))
     val slow = slowLog.toSeq.map { case (id, st, ms) =>
       ("slow", s"stmt_$id", ms, st) }

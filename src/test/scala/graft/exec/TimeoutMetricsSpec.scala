@@ -81,6 +81,11 @@ class TimeoutMetricsSpec extends AnyFunSuite {
       case ("summary", "statements", n, _) => n }.head
     assert(statements >= 3.0 && bucketSum === statements)
     assert(p1.collect { case ("summary", "max_ms", v, _) => v }.head > 0.0)
+    // percentiles come from the sliding window and order correctly
+    val p50 = p1.collect { case ("summary", "p50_ms", v, _) => v }.head
+    val p99 = p1.collect { case ("summary", "p99_ms", v, _) => v }.head
+    val mx = p1.collect { case ("summary", "max_ms", v, _) => v }.head
+    assert(p50 > 0.0 && p50 <= p99 && p99 <= mx)
     // no threshold -> no slow entries
     assert(!p1.exists(_._1 == "slow"))
     // with a 0 ms... threshold must be > 0: use 1 ms — engine DML always
