@@ -962,7 +962,12 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       summary("slow_log_set", ms, 0L)
     case Statement.ShowPerf => showPerf()
     case Statement.SetEncryptionKey(b64) =>
-      requireSuperuser("SET ENCRYPTION KEY")
+      // unconditional (not just when the privilege gate is on): the key
+      // registry is process-wide — a restricted session re-keying it
+      // would break every other engine's encrypted reads in this JVM
+      if (!current.superuser)
+        throw new SecurityException(
+          "permission denied: SET ENCRYPTION KEY requires superuser")
       val key = try java.util.Base64.getDecoder.decode(b64)
         catch { case _: IllegalArgumentException =>
           throw new IllegalArgumentException("encryption key is not valid base64") }
@@ -974,7 +979,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       encryptionOn = true
       summary("encryption_enabled", 0L, 0L)
     case Statement.SetEncryptionOff =>
-      requireSuperuser("SET ENCRYPTION")
+      if (!current.superuser)
+        throw new SecurityException(
+          "permission denied: SET ENCRYPTION requires superuser")
       // stop encrypting NEW writes; leave the factory + key registered
       // so existing encrypted files stay readable
       encryptionOn = false

@@ -110,7 +110,7 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
             st.skipToSync = false
             val sql = new String(body, UTF_8).stripSuffix("\u0000")
             cancellable(st)(runQuery(session, sql, out))
-            readyForQuery(out)
+            readyForQuery(out, session.inTransaction)
           case 'P' => handleParse(st, body, out)
           case 'B' => handleBind(st, body, out)
           case 'D' => handleDescribe(session, st, body, out)
@@ -123,7 +123,7 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
           case 'H' => out.flush() // Flush
           case 'S' => // Sync
             st.skipToSync = false
-            readyForQuery(out)
+            readyForQuery(out, session.inTransaction)
           case 'X' => open = false
           case other =>
             sendError(out, s"unsupported message type '$other'")
@@ -379,7 +379,11 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
     out.flush()
   }
 
-  private def readyForQuery(out: DataOutputStream): Unit = {
-    out.write('Z'); out.writeInt(5); out.write('I'); out.flush()
+  /** 'I' idle / 'T' in transaction — drivers key txn management off
+    * this status byte. */
+  private def readyForQuery(out: DataOutputStream,
+      inTxn: Boolean = false): Unit = {
+    out.write('Z'); out.writeInt(5); out.write(if (inTxn) 'T' else 'I')
+    out.flush()
   }
 }
