@@ -141,6 +141,14 @@ object Cli {
             out(if (bad.isEmpty) "ok" else s"corrupt tables: ${bad.mkString(", ")}")
             if (bad.isEmpty) 0 else 1
           }
+        case "export" :: rest =>
+          // COPY ... TO — table or full query result to sharded files
+          val o = opts(rest)
+          withEngine(spark, o) { e =>
+            val src = o.get("q").map(q => s"($q)").getOrElse(req(o, "t"))
+            val fmt = o.get("format").fold("")(f => s" (FORMAT $f)")
+            show(e.sql(s"COPY $src TO '${req(o, "f")}'$fmt"), out); 0
+          }
         case "serve" :: rest =>
           // PostgreSQL wire protocol (simple query) — `psql -h ... -p
           // <port>` connects directly (session/mod.rs:137-241)

@@ -516,7 +516,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         Statement.ShowMigrations | _: Statement.SetStatementTimeout |
         Statement.ShowMetrics | _: Statement.SetSlowLog | Statement.ShowPerf |
         _: Statement.SetEncryptionKey | Statement.SetEncryptionOff |
-        _: Statement.DiffTable |
+        _: Statement.CopyTo | _: Statement.DiffTable |
         _: Statement.Describe | _: Statement.Analyze |
         Statement.Begin | _: Statement.Rollback | _: Statement.Savepoint |
         _: Statement.ReleaseSavepoint => false
@@ -941,6 +941,23 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Statement.Describe(table) => describe(table)
     case Statement.CopyFrom(table, path, format) =>
       ingestFile(table, path, format.getOrElse(inferCopyFormat(path)))
+    case Statement.CopyTo(source, path, format) =>
+      // through select(): RLS filters and the SELECT privilege apply,
+      // and both a bare table name and a (subquery) work
+      val inner =
+        if (source.startsWith("(")) source.substring(1, source.length - 1)
+        else s"SELECT * FROM $source"
+      val df = select(inner)
+      val w = encrypted(df.write).mode("overwrite")
+      format.getOrElse(inferCopyFormat(path)) match {
+        case "jsonl" | "json" => w.json(path)
+        case "parquet" => w.parquet(path)
+        case "csv" => w.option("header", "true").csv(path)
+        case other => throw new IllegalArgumentException(
+          s"unsupported COPY format: $other (JSONL | PARQUET | CSV)")
+      }
+      spark.range(1).select(lit("export").as("op"),
+        lit(path).as("path"))
     case Statement.SetCache(on) =>
       cacheEnabled = on
       if (!on) { dropAllCached(); cacheHits = 0L; cacheMisses = 0L }
@@ -1567,6 +1584,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Statement.Snapshot(t) => ("SNAPSHOT", t)
     case Statement.Analyze(t) => ("ANALYZE", t)
     case Statement.CopyFrom(t, _, _) => ("COPY", t)
+    case Statement.CopyTo(_, p, _) => ("COPY TO", p)
     case Statement.Begin => ("BEGIN", "")
     case Statement.Commit => ("COMMIT", "")
     case _: Statement.Rollback => ("ROLLBACK", "")

@@ -101,6 +101,10 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
       while (open) { // EOF (client vanished) exits via the outer catch
         val tpe = in.readByte()
         val len = in.readInt()
+        // a garbage length would allocate unboundedly — cap at 64 MiB
+        // (PG's own max query length ballpark) and drop the connection
+        if (len < 4 || len > 64 * 1024 * 1024)
+          throw new java.io.IOException(s"bad message length: $len")
         val body = new Array[Byte](len - 4)
         in.readFully(body)
         val c = tpe.toChar

@@ -104,6 +104,12 @@ object Statement {
     * additions a 100 TB load actually uses). */
   final case class CopyFrom(table: String, path: String,
       format: Option[String] = None) extends Statement
+  /** COPY <table | (query)> TO 'dir' [(FORMAT ...)] — sharded export
+    * of a table or query result ([REF-GAP]: the reference has no
+    * export; a training pipeline ends in one). Reads go through the
+    * governed select path, so RLS and privileges apply. */
+  final case class CopyTo(source: String, path: String,
+      format: Option[String] = None) extends Statement
   // Transaction control (sql_bridge.rs:453-568): BEGIN buffers event
   // appends in the engine; COMMIT flushes them; ROLLBACK discards.
   case object Begin extends Statement
@@ -262,6 +268,8 @@ object StatementRouter {
   private val DescribeR = """(?is)^(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.]+)\s*$""".r
   private val CopyR =
     """(?is)^COPY\s+([\w.]+)\s+FROM\s+'([^']+)'\s*(?:\(\s*FORMAT\s+(\w+)\s*\))?\s*$""".r
+  private val CopyToR =
+    """(?is)^COPY\s+(\(.+\)|[\w.]+)\s+TO\s+'([^']+)'\s*(?:\(\s*FORMAT\s+(\w+)\s*\))?\s*$""".r
   private val AlterRlsR =
     """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+(ENABLE|DISABLE)\s+ROW\s+LEVEL\s+SECURITY\s*$""".r
   private val CreatePolicyR =
@@ -417,6 +425,8 @@ object StatementRouter {
       case DescribeR(table) => Describe(table)
       case CopyR(table, path, format) =>
         CopyFrom(table, path, Option(format).map(_.toLowerCase))
+      case CopyToR(source, path, format) =>
+        CopyTo(source, path, Option(format).map(_.toLowerCase))
       case BeginR() => Begin
       case CommitR() => Commit
       case RollbackR(sp) => Rollback(Option(sp))

@@ -104,6 +104,38 @@ class CliSpec extends AnyFunSuite {
       s"COPY m FROM '${csv.toString}' (FORMAT XML)")._1 === 1)
   }
 
+  test("COPY TO exports a table or query; round-trips through COPY FROM; RLS filters exports") {
+    val dir = freshDir()
+    cli("sql", "-d", dir, "-e",
+      """CREATE TABLE src (k BIGINT PRIMARY KEY, owner STRING, x DOUBLE);
+        |INSERT INTO src VALUES (1, 'alice', 1.5), (2, 'bob', 2.5), (3, 'alice', 3.5)""".stripMargin)
+    val outDir = freshDir()
+    // query export as parquet, re-ingested into a second table
+    assert(cli("export", "-d", dir, "-q",
+      "SELECT k, owner, x FROM src WHERE x > 2", "-f", s"$outDir/hi.parquet")._1 === 0)
+    cli("sql", "-d", dir, "-e",
+      "CREATE TABLE back (k BIGINT PRIMARY KEY, owner STRING, x DOUBLE)")
+    assert(cli("sql", "-d", dir, "-e",
+      s"COPY back FROM '$outDir/hi.parquet'")._1 === 0)
+    val (c1, out1, _) = cli("select", "-d", dir, "-t", "back", "--json")
+    assert(c1 === 0 && out1.count(_.startsWith("{")) === 2)
+    // the export read is governed: an RLS-restricted session exports
+    // only its visible rows
+    locally {
+      val e = new graft.exec.QueryEngine(TestSpark.spark, dir)
+      e.sql("ALTER TABLE src ENABLE ROW LEVEL SECURITY")
+      e.sql("CREATE POLICY own ON src FOR SELECT USING (owner = current_user)")
+      val alice = e.newSession(); alice.setAuth("alice")
+      alice.sql(s"COPY src TO '$outDir/alice.jsonl' (FORMAT JSONL)")
+      e.close()
+      val lines = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$outDir/alice.jsonl"))
+        .filter(p => p.getFileName.toString.startsWith("part-"))
+        .map[Long](p => java.nio.file.Files.readAllLines(p).stream().count())
+        .reduce(0L, (a, b) => a + b)
+      assert(lines === 2L, s"RLS leak: exported $lines rows")
+    }
+  }
+
   test("sql -f runs a script file; REPL consumes stdin statements") {
     val dir = freshDir()
     val script = java.nio.file.Files.createTempFile("graft-cli-script", ".sql")
