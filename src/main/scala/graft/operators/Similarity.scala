@@ -117,6 +117,52 @@ object Similarity {
       .select("qid", "cid", "rank", "sim")
   }
 
+  /** Deterministic Lloyd's k-means over the embedding column — the
+    * clustering step a training-data curation pipeline uses for
+    * semantic grouping and cluster-balanced (diversity) sampling.
+    *
+    * Deterministic by construction, like ivfTopK's quantizer: the k
+    * lowest-id vectors seed the centroids, assignment ties break on
+    * the centroid id, iteration count is FIXED (no data-dependent
+    * convergence probe), and cluster labels are the seed vectors' ids
+    * throughout. Per iteration: one broadcast of k centroids + a
+    * map-side argmax for assignment (no shuffle of the corpus), then
+    * one (cluster, dim)-keyed aggregation to recompute means — both
+    * shapes scale to 10⁹ vectors; k and dim stay driver-side tiny.
+    * A cluster that loses every member keeps its previous centroid. */
+  def kmeans(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0 (got $k, $iters)")
+    val points = embeddings
+      .select(col("vec_id").as("pid"), col("embedding").as("pv"))
+    var cents = embeddings.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), _.cast("double")).as("cent"))
+      .localCheckpoint()
+    def assign(c: DataFrame): DataFrame = points
+      .crossJoin(broadcast(c))
+      .groupBy("pid")
+      .agg(max_by(col("cid"),
+        struct(round(cosine(col("pv"), col("cent")), 9).as("s"),
+          (-col("cid")).as("tie"))).as("cluster"))
+    for (_ <- 0 until iters) {
+      val members = assign(cents)
+        .join(points, "pid")
+        .select(col("cluster"), posexplode(col("pv")).as(Seq("pos", "x")))
+      val dims = members
+        .groupBy("cluster", "pos")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          _.getField("m")).as("cent"))
+      // empty clusters keep their previous centroid (standard Lloyd's)
+      cents = cents.select(col("cid"), col("cent").as("_prev"))
+        .join(dims.withColumnRenamed("cluster", "cid"), Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cent"), col("_prev")).as("cent"))
+        .localCheckpoint()
+    }
+    assign(cents).select(col("pid").as("vec_id"), col("cluster"))
+  }
+
   /** LSH-bucketed ANN: exact cosine re-scoring within same-bucket
     * candidates only. Recall < 1 by construction; at scale the bucket
     * join replaces the quadratic cross product. */

@@ -434,6 +434,51 @@ object Pipeline {
       Similarity.ivfTopK(qs, emb, 5, nlist = 16, nprobe = 2), 5)
   }
 
+  /** k-means with k = N (every vector seeds its own centroid) is a
+    * FIXED POINT: each point's nearest centroid is itself — or, for
+    * exact-duplicate embeddings, the lowest id of the identical group
+    * (the deterministic tie-break) — and recomputed centroids stay on
+    * the same directions, so any iteration count returns the same
+    * assignment. That makes the full case exactly SQL-expressible,
+    * proving the whole seed → assign → recompute → reassign machinery
+    * (the q_ann_ivf_full pattern applied to clustering). */
+  val qKmeansFull = Q(
+    "q_kmeans_full",
+    """SELECT vec_id,
+      |       MIN(vec_id) OVER (PARTITION BY CAST(embedding AS DOUBLE[])) AS cluster
+      |FROM embeddings WHERE vec_id < 200
+      |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val emb = t(s, dir, "embeddings").where(col("vec_id") < 200)
+    Similarity.kmeans(emb, k = 200, iters = 2).orderBy("vec_id")
+  }
+
+  /** Production-shape k-means (k = 16, 2 Lloyd iterations) for
+    * cluster-balanced curation — structural invariants as an
+    * empty-violations oracle: every vector is assigned exactly once,
+    * every label is one of the k deterministic seed ids, and the
+    * clustering actually separates the corpus (> 1 cluster in use). */
+  val qKmeans = Q(
+    "q_kmeans",
+    emptyViolationsSql("why" -> "VARCHAR", "vec_id" -> "BIGINT")) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val res = Similarity.kmeans(emb, k = 16, iters = 2)
+    val seeds = emb.orderBy("vec_id").limit(16).select(col("vec_id").as("cluster"))
+    val badLabel = res.join(seeds, Seq("cluster"), "left_anti")
+      .select(lit("label_not_a_seed").as("why"), col("vec_id"))
+    val missing = emb.select("vec_id")
+      .join(res.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select(lit("vector_unassigned").as("why"), col("vec_id"))
+    val dup = res.groupBy("vec_id").agg(count(lit(1)).as("_n"))
+      .where(col("_n") > 1)
+      .select(lit("assigned_twice").as("why"), col("vec_id"))
+    val degenerate = res.agg(countDistinct(col("cluster")).as("_k"))
+      .where(col("_k") <= 1)
+      .select(lit("degenerate_single_cluster").as("why"),
+        lit(-1L).as("vec_id"))
+    badLabel.unionByName(missing).unionByName(dup).unionByName(degenerate)
+      .orderBy("why", "vec_id")
+  }
+
   // --------------------------------------------------- text analysis
 
   /** Token/quality metrics per document — all engine-exact ratios. */
@@ -933,7 +978,7 @@ object Pipeline {
     qDedupExact, qPipelineE2E, qJaccardPairs, qShingleJaccard, qDupClusters,
     qMinHashLsh, qMinHashSuperset,
     qSimHash, qSimHashSuperset, qEmbedNearDup, qEmbedNearDupLsh,
-    qAnnCosine, qAnnLsh, qAnnIvfFull, qAnnIvf,
+    qAnnCosine, qAnnLsh, qAnnIvfFull, qAnnIvf, qKmeansFull, qKmeans,
     qTextQuality, qLangId, qTokenStats, qFingerprint,
     qFulltextAll, qFulltextAny, qFulltextBm25,
     qStratSample, qSampleExactK, qSeqPack,

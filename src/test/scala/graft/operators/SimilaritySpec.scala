@@ -95,4 +95,30 @@ class SimilaritySpec extends AnyFunSuite {
       .select("qid", "cid", "sim")
     assert(ivf1.select("qid", "cid", "sim").exceptAll(brute).count() === 0)
   }
+
+  test("kmeans partitions the corpus deterministically; k = N is the identity fixed point") {
+    import org.apache.spark.sql.functions._
+    val n = emb.count()
+    // production shape: every vector assigned exactly once to a seed id
+    val res = Similarity.kmeans(emb, k = 8, iters = 2)
+    assert(res.count() === n)
+    assert(res.select("vec_id").distinct().count() === n)
+    val seeds = emb.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("cluster"))
+    assert(res.join(seeds, Seq("cluster"), "left_anti").count() === 0)
+    assert(res.select("cluster").distinct().count() > 1)
+    // deterministic across runs (fixed seeds, fixed iters, tie-break)
+    val res2 = Similarity.kmeans(emb, k = 8, iters = 2)
+    assert(res.exceptAll(res2).count() === 0)
+    // iterating actually moves assignments off the raw seed Voronoi
+    // for at least some corpus shapes is not guaranteed — but the
+    // k = N fixed point is: every point clusters to itself (or the
+    // lowest id of an exact-duplicate group)
+    val full = Similarity.kmeans(emb, k = n.toInt, iters = 1)
+    val own = emb.select(col("vec_id"),
+      min("vec_id").over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("embedding"))).as("expect"))
+    assert(full.join(own, "vec_id")
+      .where(col("cluster") =!= col("expect")).count() === 0)
+  }
 }
