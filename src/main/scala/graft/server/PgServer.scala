@@ -204,14 +204,19 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
   }
 
   private def handleParse(st: ConnState, body: Array[Byte],
-      out: DataOutputStream): Unit = {
-    val r = new Reader(body)
-    val name = r.cstring()
-    val sql = r.cstring()
-    val oids = Seq.fill(r.int16())(r.int32())
-    st.prepared(name) = (sql, oids)
-    out.write('1'); out.writeInt(4) // ParseComplete
-  }
+      out: DataOutputStream): Unit =
+    try {
+      val r = new Reader(body)
+      val name = r.cstring()
+      val sql = r.cstring()
+      val oids = Seq.fill(r.int16())(r.int32())
+      st.prepared(name) = (sql, oids)
+      out.write('1'); out.writeInt(4) // ParseComplete
+    } catch {
+      case e: Exception => // malformed message: error + resync, not a drop
+        sendError(out, Option(e.getMessage).getOrElse(e.getClass.getName))
+        st.skipToSync = true
+    }
 
   /** A text-format parameter, converted by its declared type oid so
     * numeric/boolean binds compare natively; unknown oids bind as
