@@ -735,13 +735,21 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       }
       summary("refreshed", 0L, 0L)
     case Statement.CreateTrigger(name, timing, event, table, body) =>
+      // UNCONDITIONAL superuser gate: a trigger body executes at fire
+      // time under the FIRING session's authority — letting a
+      // restricted session plant one is arbitrary-SQL escalation into
+      // every other session that touches the table (PG gates trigger
+      // DDL behind the TRIGGER privilege for the same reason)
+      requireSuperuserAlways("CREATE TRIGGER")
       parseTriggerBody(body) // reject a malformed action at CREATE, not at first fire
       catalog.createTrigger(name, timing, event, table, body)
       summary("trigger_created", 0L, 0L)
     case Statement.DropTrigger(name, ifEx) =>
+      requireSuperuserAlways("DROP TRIGGER")
       catalog.dropTrigger(name, ifEx)
       summary("trigger_dropped", 0L, 0L)
     case Statement.AlterTrigger(name, enable) =>
+      requireSuperuserAlways("ALTER TRIGGER")
       catalog.setTriggerEnabled(name, enable)
       summary(if (enable) "trigger_enabled" else "trigger_disabled", 0L, 0L)
     case Statement.ShowTriggers =>
@@ -780,13 +788,19 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         .toDF("name", "start", "increment", "min_value", "max_value",
           "cycle", "last_value", "owned_by")
     case Statement.AlterTableRls(table, enable) =>
+      // UNCONDITIONAL: RLS filters apply regardless of the privilege
+      // gate, so a restricted session must never be able to switch
+      // them off (or rewrite the policies) for itself
+      requireSuperuserAlways("ALTER TABLE ... ROW LEVEL SECURITY")
       catalog.setRlsEnabled(table, enable)
       summary(if (enable) "rls_enabled" else "rls_disabled", 0L, 0L)
     case Statement.CreatePolicy(name, table, cmd, roles, permissive, usingE, checkE) =>
+      requireSuperuserAlways("CREATE POLICY")
       catalog.createPolicy(graft.catalog.PolicyDef(
         name, table, cmd, roles, permissive, usingE, checkE))
       summary("policy_created", 0L, 0L)
     case Statement.DropPolicy(name, table, ifEx) =>
+      requireSuperuserAlways("DROP POLICY")
       catalog.dropPolicy(table, name, ifEx)
       summary("policy_dropped", 0L, 0L)
     case Statement.ShowPolicies =>
@@ -830,10 +844,17 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       privilegesEnabled = on
       summary(if (on) "privileges_enabled" else "privileges_disabled", 0L, 0L)
     case Statement.SetAudit(on) =>
+      // UNCONDITIONAL: a session that can silence the audit trail can
+      // cover its own tracks — trail integrity must not depend on the
+      // separate privilege gate being switched on
+      requireSuperuserAlways("SET AUDIT")
       auditEnabled = on
       summary(if (on) "audit_enabled" else "audit_disabled", 0L, 0L)
     case Statement.ShowAudit => showAudit()
     case Statement.BackupDb(dir, parent) =>
+      // a backup copies the RAW table files — every row, regardless of
+      // RLS visibility — so it is superuser-only once the gate is on
+      requireSuperuser("BACKUP")
       // the audit tail flushes first so the backup carries the full
       // trail up to (excluding) the BACKUP statement itself
       flushAudit()
@@ -847,6 +868,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         lit(recorded).as("files"), lit(copied).as("copied"),
         lit(dir).as("path"))
     case Statement.RestoreDb(dir) =>
+      requireSuperuser("RESTORE") // replaces the whole database
       if (txn.isDefined)
         throw new IllegalStateException("RESTORE cannot run inside a transaction")
       ensureWriteLock() // exclusive: no other live writer during the swap
@@ -875,6 +897,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         lit(checked).as("files"), lit("ok").as("status"))
     case Statement.Call(name, args) => callProcedure(name, args)
     case Statement.DropTable(name, ifEx) =>
+      requireSuperuser("DROP TABLE") // destructive DDL under the gate
       // dropping a table with buffered writes would orphan them, and the
       // storage delete cannot be rolled back — keep DROP out of txns
       if (txn.isDefined)
@@ -900,6 +923,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       catalog.dropView(name, ifEx)
       spark.catalog.dropTempView(name)
       summary("dropped", 0L, 0L)
+    // TRUNCATE routes through delete(), which already enforces the
+    // DELETE privilege and removes only RLS-visible rows
     case Statement.Truncate(table) => truncate(table)
     case Statement.AlterAdd(table, c, ddl) =>
       catalog.addColumn(table, c, DataType.fromDDL(ddl))
@@ -2033,6 +2058,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
 
   private def requireSuperuser(what: String): Unit =
     if (privilegesEnabled && !current.superuser)
+      throw new SecurityException(s"permission denied: $what requires superuser")
+
+  /** Superuser check that does NOT wait for the privilege gate — for
+    * statements that undermine security machinery that is active
+    * regardless of the gate (RLS administration, the audit switch,
+    * trigger DDL whose bodies execute under OTHER sessions). */
+  private def requireSuperuserAlways(what: String): Unit =
+    if (!current.superuser)
       throw new SecurityException(s"permission denied: $what requires superuser")
 
   /** Tables the text transitively references (through stored views). */

@@ -201,6 +201,36 @@ class RlsSpec extends AnyFunSuite {
     assert(e.sql("SELECT SUM(n) AS s FROM mv").collect() === Array(Row(5L)))
   }
 
+  test("security machinery is superuser-only: RLS admin, audit switch, trigger DDL") {
+    val e = fresh()
+    e.sql("ALTER TABLE docs ENABLE ROW LEVEL SECURITY")
+    e.sql("CREATE POLICY own ON docs USING (owner = current_user)")
+    val alice = e.newSession(); alice.setAuth("alice")
+    // the obvious escalations: switch RLS off, widen/drop the policy,
+    // silence the audit trail, or plant a trigger that will execute
+    // under OTHER sessions' authority
+    intercept[SecurityException] {
+      alice.sql("ALTER TABLE docs DISABLE ROW LEVEL SECURITY") }
+    intercept[SecurityException] {
+      alice.sql("CREATE POLICY wide ON docs USING (true)") }
+    intercept[SecurityException] { alice.sql("DROP POLICY own ON docs") }
+    intercept[SecurityException] { alice.sql("SET AUDIT OFF") }
+    intercept[SecurityException] {
+      alice.sql("""CREATE TRIGGER sneak AFTER INSERT ON docs EXECUTE
+                  |UPDATE docs SET owner = 'alice'""".stripMargin) }
+    // her view is still the filtered one
+    assert(alice.sql("SELECT COUNT(*) AS n FROM docs").collect()
+      === Array(Row(3L)))
+    // and with the privilege gate on, backup/restore/drop are gated too
+    e.sql("SET PRIVILEGES ON")
+    e.sql("GRANT SELECT ON docs TO alice")
+    intercept[SecurityException] {
+      alice.sql("BACKUP DATABASE TO '/tmp/graft-deny-bk'") }
+    intercept[SecurityException] {
+      alice.sql("RESTORE DATABASE FROM '/tmp/graft-deny-bk'") }
+    intercept[SecurityException] { alice.sql("DROP TABLE docs") }
+  }
+
   test("COPY FROM enforces INSERT WITH CHECK like a plain INSERT") {
     val e = fresh()
     e.sql("ALTER TABLE docs ENABLE ROW LEVEL SECURITY")
