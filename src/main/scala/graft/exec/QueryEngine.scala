@@ -2625,6 +2625,32 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       ()
     }
 
+  /** Apply one replicated micro-batch of RAW events (the primary's
+    * event frame, verbatim — sequence/ts/event_type/pk/payload) into
+    * this engine's log (graft.streaming.Replication). Unlike
+    * ingestStream, sequences are PRESERVED, not assigned: the replica
+    * must serve the primary's exact temporal history, so the counter
+    * advances to the batch's max sequence (max-merged — it never
+    * regresses). Exactly-once: the batch id commits in the same atomic
+    * manifest as the events. */
+  private[graft] def applyReplicated(table: String, batch: DataFrame,
+      streamId: String, batchId: Long): Unit =
+    writeLock.synchronized {
+      ensureWriteLock()
+      sweepStaging() // roll a stranded prior publish forward (see ingestStream)
+      val committed = catalog.lastStreamBatch(streamId)
+      if (committed.exists(_ >= batchId)) return
+      val t = catalog.require(table)
+      require(t.attached.isEmpty, s"cannot replicate into attached table $table")
+      val pinned = batch.localCheckpoint()
+      val mx = pinned.agg(max(col("sequence"))).head()
+      val hi =
+        if (mx.isNullAt(0)) catalog.lastSeq(t.name) // empty batch: record the id only
+        else math.max(mx.getLong(0), catalog.lastSeq(t.name))
+      publishAtomic(Seq((t.name, pinned)), Map(t.name -> hi),
+        Some(streamId -> batchId))
+    }
+
   // ========================================================== utilities
 
   /** EXPLAIN <query>: the formatted Catalyst plan (sql_bridge.rs:
