@@ -185,12 +185,15 @@ object Cli {
     }
 
   private val usage =
-    """usage: graft <init|sql|ingest|select|drift|snapshot|compact|analyze|doctor|backup> [options]
+    """usage: graft <init|sql|ingest|export|select|drift|snapshot|compact|analyze|doctor|backup|serve> [options]
       |  -d <dir>   database directory (required except init)
       |  sql: -e "<SQL>" | -f <file.sql> | (stdin REPL)
-      |  ingest: -t <table> -f <file.jsonl>
+      |  ingest: -t <table> -f <file> [--format jsonl|parquet|csv]
+      |  export: (-t <table> | -q "<SQL>") -f <dir> [--format ...]
       |  select: -t <table> [-w <cond>] [--as-of <@SEQ:n|ts>] [-l n] [--json]
-      |  drift: -t <table> -k <pk>""".stripMargin
+      |  drift: -t <table> -k <pk>
+      |  backup: <to|restore|verify> <path>
+      |  serve: [-p <port>]   (PostgreSQL wire protocol)""".stripMargin
 
   /** getopt-lite: `-x v` / `--long v` pairs plus bare flags (--json)
     * and positional leftovers. */
