@@ -2442,7 +2442,16 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   def truncate(table: String): DataFrame = delete(table, None)
 
   /** SNAPSHOT/VACUUM/CHECKPOINT TABLE: materialize collapsed state at
-    * the current sequence (engine.rs:739-845). */
+    * the current sequence (engine.rs:739-845).
+    *
+    * The collapse source is the newest checkpoint <= seq unioned with
+    * the log tail above it — NOT the raw log. After VACUUM RETAIN the
+    * pre-floor log files are physically gone, so a raw-log collapse
+    * would silently drop every reclaimed row from the new checkpoint,
+    * and reads prefer the newest snapshot: that is durable data loss
+    * on the very next SNAPSHOT (or auto-snapshot). Tail-based collapse
+    * is also the 100 TB shape — checkpoint cost is proportional to
+    * events since the last snapshot, not to full history. */
   def snapshot(table: String, atSeq: Option[Long] = None): DataFrame = {
     if (txn.isDefined)
       throw new IllegalStateException(
@@ -2450,10 +2459,25 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           "durably capture uncommitted buffered writes")
     val t = catalog.require(table)
     val seq = atSeq.getOrElse(catalog.lastSeq(t.name))
-    Snapshots.write(events(t), catalog.snapshotPath(table), seq,
-      if (encryptionOn)
-        Map("parquet.encryption.uniform.key" -> Encryption.MasterKeyId)
-      else Map.empty)
+    val snapDir = catalog.snapshotPath(table)
+    val base = Snapshots.nearest(spark, snapDir, Some(seq))
+    // base == seq: the state at seq is already checkpointed — and
+    // overwriting the dir our own scan would read from is a
+    // read-while-delete hazard. No-op.
+    if (!base.contains(seq)) {
+      val src = base match {
+        case Some(b) =>
+          Snapshots.read(spark, snapDir, b, Some(EventLog.schema(t.payloadSchema)))
+            .unionByName(
+              events(t).where(col("sequence") > b && col("sequence") <= seq),
+              allowMissingColumns = true)
+        case None => events(t)
+      }
+      Snapshots.write(src, snapDir, seq,
+        if (encryptionOn)
+          Map("parquet.encryption.uniform.key" -> Encryption.MasterKeyId)
+        else Map.empty)
+    }
     lastSnapSeqs(table) = math.max(lastSnapSeqs.getOrElse(table, 0L), seq)
     metricSnapshots += 1
     summary("snapshot", 0L, seq)

@@ -75,6 +75,30 @@ class VacuumSpec extends AnyFunSuite {
       .collect() === Array(Row(2L)))
   }
 
+  test("a snapshot taken AFTER a vacuum keeps the reclaimed rows") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, v STRING)")
+    e.sql("INSERT INTO t VALUES (1,'a'), (2,'b'), (3,'c')") // seq 1-3
+    e.sql("SNAPSHOT t")
+    e.sql("VACUUM t RETAIN @SEQ:3") // pre-floor log files physically gone
+    e.sql("INSERT INTO t VALUES (4,'d')") // seq 4
+    // the regression: a raw-log collapse here would checkpoint ONLY row
+    // 4 (rows 1-3 live solely in the seq=3 snapshot), and reads prefer
+    // the newest snapshot — durable loss of rows 1-3
+    e.sql("SNAPSHOT t")
+    assert(e.sql("SELECT k FROM t ORDER BY k").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L, 3L, 4L))
+    // and the new snapshot itself must carry the old rows: reclaim the
+    // whole log behind it and re-read
+    e.sql("VACUUM t RETAIN @SEQ:4")
+    assert(e.sql("SELECT k, v FROM t ORDER BY k").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L, 3L, 4L))
+    // re-snapshotting at the SAME sequence is a no-op, not a
+    // read-while-overwrite of the snapshot dir
+    e.sql("SNAPSHOT t")
+    assert(e.sql("SELECT COUNT(*) AS n FROM t").collect().head.getLong(0) === 4L)
+  }
+
   test("the retention floor persists across reopen; DML continues") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vac-").toString
     val e = new QueryEngine(spark, dir)
