@@ -955,6 +955,10 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       if (txn.isDefined)
         throw new IllegalStateException("SNAPSHOT cannot run inside a transaction")
       snapshot(table)
+    case Statement.Optimize(table, zcols) =>
+      if (txn.isDefined)
+        throw new IllegalStateException("OPTIMIZE cannot run inside a transaction")
+      optimize(table, zcols)
     case Statement.VacuumRetain(table, retainSeq) =>
       if (txn.isDefined)
         throw new IllegalStateException("VACUUM RETAIN cannot run inside a transaction")
@@ -1607,6 +1611,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Statement.CreateSequence(n, _, _, _, _, _) => ("CREATE SEQUENCE", n)
     case Statement.DropSequence(n, _) => ("DROP SEQUENCE", n)
     case Statement.Snapshot(t) => ("SNAPSHOT", t)
+    case Statement.Optimize(t, _) => ("OPTIMIZE", t)
     case Statement.Analyze(t) => ("ANALYZE", t)
     case Statement.CopyFrom(t, _, _) => ("COPY", t)
     case Statement.CopyTo(_, p, _) => ("COPY TO", p)
@@ -2483,6 +2488,46 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     summary("snapshot", 0L, seq)
   }
 
+  /** OPTIMIZE t [ZORDER BY (c1, ...)]: rewrite the current checkpoint
+    * with a clustered physical layout (graft.operators.ZOrder). The
+    * flow is deliberately two-phase so the expensive state collapse
+    * runs exactly once and the clustering pass reads flat parquet:
+    *   1. ensure a checkpoint exists at the current sequence
+    *      (`snapshot` — a no-op when one is already there);
+    *   2. read that checkpoint (a plain columnar scan, no collapse),
+    *      cluster it, and publish as the NEXT snapshot version dir —
+    *      the old version keeps serving reads until the new one is
+    *      complete, so the rewrite is crash-safe with no in-place
+    *      overwrite.
+    * Clustering columns default to the primary key (point-lookup
+    * locality); multi-column ZORDER BY interleaves so every listed
+    * column's parquet min/max stats stay selective at once. */
+  def optimize(table: String, zorderBy: Seq[String] = Seq.empty): DataFrame = {
+    if (txn.isDefined)
+      throw new IllegalStateException("OPTIMIZE cannot run inside a transaction")
+    val t = catalog.require(table)
+    require(t.attached.isEmpty, s"cannot optimize attached event log: $table")
+    val logical = if (zorderBy.nonEmpty) zorderBy else Seq(t.pk)
+    val physical = logical.map { name =>
+      t.columns.find(_.logical.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"ZORDER BY column $name does not exist in $table")).physical
+    }
+    snapshot(table)
+    val seq = catalog.lastSeq(t.name)
+    val snapDir = catalog.snapshotPath(table)
+    val frames = Snapshots.read(spark, snapDir, seq,
+      Some(EventLog.schema(t.payloadSchema)))
+    val clustered = graft.operators.ZOrder.cluster(
+      frames, physical.map(p => s"payload.$p"),
+      spark.sessionState.conf.numShufflePartitions)
+    Snapshots.writeVersioned(clustered, snapDir, seq,
+      if (encryptionOn)
+        Map("parquet.encryption.uniform.key" -> Encryption.MasterKeyId)
+      else Map.empty)
+    summary("optimize", 0L, seq)
+  }
+
   /** DIFF TABLE: the NET row delta between the collapsed states at two
     * sequences — each pk classified added / removed / modified (full
     * row carried from the newer state; removed rows carry their
@@ -2558,7 +2603,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // snapshots strictly below the floor can no longer serve any
     // readable as-of — reclaim them too
     for (s <- Snapshots.available(spark, snapDir) if s < floor)
-      scala.util.Try(fs.delete(new Path(s"$snapDir/seq=$s"), true))
+      Snapshots.delete(spark, snapDir, s)
     catalog.setRetentionFloor(table, floor)
     lastSnapSeqs(table) = math.max(lastSnapSeqs.getOrElse(table, 0L), floor)
     summary("vacuumed", deleted, floor)

@@ -870,6 +870,41 @@ object EngineSql {
       .orderBy("change", "k")
   }
 
+  /** OPTIMIZE ... ZORDER BY end-to-end ([REF-GAP]: clustered checkpoint
+    * rewrite — the reference's compaction has no layout control). After
+    * the DML lifecycle the table is re-clustered on (nat, bal); the
+    * rewrite must be invisible to results — current state AND time
+    * travel at the pre-update boundary replay exactly as before, now
+    * served from the versioned clustered checkpoint. A rewrite that
+    * drops/duplicates rows or breaks the snapshot resolution diverges
+    * rows or hash. */
+  val qZOrder = Q(
+    "q_zorder",
+    """WITH base AS (
+      |  SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal,
+      |         c_nationkey AS nat
+      |  FROM customer WHERE c_custkey BETWEEN 1 AND 600)
+      |SELECT 'asof' AS phase, k, bal, nat FROM base
+      |UNION ALL
+      |SELECT 'current', k, CASE WHEN k % 10 = 0 THEN 0.0 ELSE bal END, nat
+      |FROM base
+      |ORDER BY phase, k""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.sql("CREATE TABLE acct (k BIGINT PRIMARY KEY, bal DOUBLE, nat BIGINT)")
+    e.sql("""INSERT INTO acct
+            |SELECT c_custkey, c_acctbal, c_nationkey FROM customer
+            |WHERE c_custkey BETWEEN 1 AND 600""".stripMargin) // seq 1..600
+    e.sql("UPDATE acct SET bal = 0 WHERE k % 10 = 0")
+    e.sql("OPTIMIZE acct ZORDER BY (nat, bal)")
+    val asof = e.sql(
+      """SELECT 'asof' AS phase, k, CAST(bal AS DOUBLE) AS bal, nat
+        |FROM acct FOR SYSTEM_TIME AS OF @SEQ:600""".stripMargin)
+    val current = e.sql(
+      "SELECT 'current' AS phase, k, CAST(bal AS DOUBLE) AS bal, nat FROM acct")
+    asof.unionByName(current).orderBy("phase", "k")
+  }
+
   /** Plain relational passthrough through engine.sql over external
     * tables — identical ANSI text runs in the oracle. */
   private val passthroughSql =
@@ -969,6 +1004,6 @@ object EngineSql {
     qStreamIngest, qSqlPassthrough, qSqlView, qMatView, qTriggerAudit,
     qProcCall, qMvccSessions, qConstraints, qSequences, qAutoIncrement,
     qRls, qBackupRestore, qAuditLog, qGrants, qResultCache, qMigrations,
-    qMetrics, qVacuumRetain, qDiffTable)
+    qMetrics, qVacuumRetain, qDiffTable, qZOrder)
     .map(q => q.copy(run = (s, dir) => QueryEngine.scratchScope(s)(q.run(s, dir))))
 }

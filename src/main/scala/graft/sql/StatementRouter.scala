@@ -80,6 +80,12 @@ object Statement {
   final case class Delete(table: String, where: Option[String]) extends Statement
   /** VACUUM t / CHECKPOINT TABLE t / SNAPSHOT t (sql_bridge.rs:278-302). */
   final case class Snapshot(table: String) extends Statement
+  /** OPTIMIZE t [ZORDER BY (c1, ...)] — rewrite the current checkpoint
+    * with a clustered physical layout ([REF-GAP]: the reference's
+    * compaction, engine.rs:739-845, rewrites segments with no layout
+    * control; multi-column clustering is what file-skipping at 100 TB
+    * needs). Empty cols = cluster by primary key. */
+  final case class Optimize(table: String, zorderBy: Seq[String]) extends Statement
   /** VACUUM t RETAIN @SEQ:N — physically delete log files fully
     * covered by a snapshot at or before N and set the table's
     * retention floor (the reclamation half of the reference's segment
@@ -257,6 +263,8 @@ object StatementRouter {
     """(?is)^DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+))?\s*$""".r
   private val SnapshotR =
     """(?is)^(?:VACUUM|SNAPSHOT|CHECKPOINT\s+TABLE)\s+([\w.]+)\s*$""".r
+  private val OptimizeR =
+    """(?is)^OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$""".r
   private val VacuumRetainR =
     """(?is)^VACUUM\s+([\w.]+)\s+RETAIN\s+@SEQ:(\d+)\s*$""".r
   private val DiffTableR =
@@ -415,6 +423,9 @@ object StatementRouter {
         Update(table, assigns, Option(where).map(_.trim))
       case DeleteR(table, where) => Delete(table, Option(where).map(_.trim))
       case SnapshotR(table) => Snapshot(table)
+      case OptimizeR(table, cols) =>
+        Optimize(table, Option(cols).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
       case VacuumRetainR(table, seq) => VacuumRetain(table, seq.toLong)
       case DiffTableR(table, a, b) => DiffTable(table, a.toLong, b.toLong)
       case AnalyzeR(table) => Analyze(table)

@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
   * between scanning the whole log and scanning one checkpoint + a
   * sequence-pruned slice (parquet min/max on `sequence` skips all
   * pre-snapshot files).
+  *
+  * Layout: `<dir>/seq=<S>` for the initial checkpoint at S, and
+  * `<dir>/seq=<S>.v<K>` for rewrites of the SAME state with a better
+  * physical layout (OPTIMIZE ... ZORDER BY). Versioning keeps rewrites
+  * crash-safe without in-place overwrites: the old version keeps
+  * serving reads until the new one is complete (`_SUCCESS` present),
+  * then the old dirs are pruned. Readers always resolve the highest
+  * complete version.
   */
 object Snapshots {
 
@@ -27,6 +35,23 @@ object Snapshots {
     StateView.collapsedFrames(events, asOfSeq)
       .withColumn("event_type", lit(EventLog.INSERT))
 
+  private val DirName = """seq=(\d+)(?:\.v(\d+))?""".r
+
+  private def fsFor(spark: SparkSession, dir: String) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Every snapshot dir as (seq, version, dirName); version 0 is the
+    * bare `seq=S` form. */
+  private def listDirs(spark: SparkSession, dir: String): Seq[(Long, Int, String)] = {
+    val (fs, p) = fsFor(spark, dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
+      case n @ DirName(s, v) => (s.toLong, Option(v).map(_.toInt).getOrElse(0), n)
+    }
+  }
+
   /** Write the state at `seq` to `<dir>/seq=<seq>`. `options` carries
     * write-time parquet options (e.g. modular-encryption keys). */
   def write(events: DataFrame, dir: String, seq: Long,
@@ -34,21 +59,42 @@ object Snapshots {
     collapsedAsInserts(events, Some(seq))
       .write.options(options).mode("overwrite").parquet(s"$dir/seq=$seq")
 
-  /** Sequences of available snapshots (ascending). */
-  def available(spark: SparkSession, dir: String): Seq[Long] = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .map(_.getPath.getName)
-      .collect { case s if s.startsWith("seq=") => s.stripPrefix("seq=").toLong }
-      .sorted
+  /** Rewrite the checkpoint at `seq` (already-collapsed INSERT frames,
+    * e.g. re-clustered by OPTIMIZE) as the next version dir, then prune
+    * the superseded versions. The old version serves reads until the
+    * new dir is fully written, so a crash mid-rewrite loses nothing. */
+  def writeVersioned(frames: DataFrame, dir: String, seq: Long,
+      options: Map[String, String] = Map.empty): Unit = {
+    val existing = listDirs(frames.sparkSession, dir).filter(_._1 == seq)
+    val next = existing.map(_._2).foldLeft(0)(math.max) + 1
+    frames.write.options(options).mode("overwrite").parquet(s"$dir/seq=$seq.v$next")
+    val (fs, _) = fsFor(frames.sparkSession, dir)
+    for ((_, _, name) <- existing)
+      scala.util.Try(fs.delete(new Path(s"$dir/$name"), true))
   }
+
+  /** Sequences of available snapshots (ascending, version-deduped). */
+  def available(spark: SparkSession, dir: String): Seq[Long] =
+    listDirs(spark, dir).map(_._1).distinct.sorted
 
   /** Nearest snapshot at or before `target` (None = current → any). */
   def nearest(spark: SparkSession, dir: String, target: Option[Long]): Option[Long] = {
     val avail = available(spark, dir)
     target.fold(avail.lastOption)(t => avail.filter(_ <= t).lastOption)
+  }
+
+  /** The serving dir for `seq`: the highest version with a `_SUCCESS`
+    * marker (a version still being written — or half-written by a
+    * crashed rewrite — has none), else the highest version present. */
+  private def servingDir(spark: SparkSession, dir: String, seq: Long): String = {
+    val versions = listDirs(spark, dir).filter(_._1 == seq)
+    if (versions.isEmpty) s"seq=$seq"
+    else {
+      val (fs, _) = fsFor(spark, dir)
+      val complete = versions.filter(v =>
+        fs.exists(new Path(s"$dir/${v._3}/_SUCCESS")))
+      (if (complete.nonEmpty) complete else versions).maxBy(_._2)._3
+    }
   }
 
   /** Read a snapshot. With `schema` (the catalog's event schema) the
@@ -57,5 +103,13 @@ object Snapshots {
   def read(spark: SparkSession, dir: String, seq: Long,
       schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
     schema.fold(spark.read)(s => spark.read.schema(s))
-      .parquet(s"$dir/seq=$seq")
+      .parquet(s"$dir/${servingDir(spark, dir, seq)}")
+
+  /** Delete every version dir of the snapshot at `seq` (VACUUM pruning
+    * snapshots below the retention floor). */
+  def delete(spark: SparkSession, dir: String, seq: Long): Unit = {
+    val (fs, _) = fsFor(spark, dir)
+    for ((_, _, name) <- listDirs(spark, dir).filter(_._1 == seq))
+      scala.util.Try(fs.delete(new Path(s"$dir/$name"), true))
+  }
 }
