@@ -77,4 +77,25 @@ object Components {
           "(pathological graph? raise maxRounds)")
     labels.select(col("id"), col("comp").as("component"))
   }
+
+  /** The drop step of a dedup pipeline: close `pairs` (first two
+    * columns = duplicate doc-id pairs) into components, keep ONE
+    * canonical row per cluster (min id; docs in no pair are their own
+    * singleton cluster), and annotate each survivor with its
+    * `cluster_size` — the training-data answer to "how much did this
+    * document repeat", which downstream sampling often weights by.
+    * Two shuffles beyond the closure: the cluster join and the size
+    * aggregation, both on the cluster key. */
+  def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs.select(pairs.columns.take(2).map(col): _*))
+      .withColumnRenamed("id", idCol)
+    val clustered = docs.join(comps, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col(idCol)))
+      .drop("component")
+    val sizes = clustered.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    clustered.where(col(idCol) === col("cluster_id"))
+      .join(sizes, "cluster_id")
+      .drop("cluster_id")
+  }
 }

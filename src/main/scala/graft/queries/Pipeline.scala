@@ -355,6 +355,60 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** The DROP step: the deduplicated corpus itself — one canonical
+    * document per near-dup cluster (min doc_id), singletons kept,
+    * each survivor annotated with its cluster size (the repeat count
+    * downstream sampling weights by). The oracle recomputes pairs +
+    * recursive-CTE closure + the same keep-min-per-cluster fold, so a
+    * dropped singleton, a kept duplicate, or a wrong size diverges. */
+  val qDedupKeep = Q(
+    "q_dedup_keep",
+    """WITH RECURSIVE
+      |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(w) - 2),
+      |    i -> array_to_string(w[i:i+2], '_')))) AS tok
+      |  FROM d),
+      |nd AS (SELECT COUNT(*) AS n FROM d),
+      |vocab AS (
+      |  SELECT tok FROM (SELECT tok, COUNT(*) AS df FROM sh GROUP BY tok)
+      |  WHERE df <= 0.8 * (SELECT n FROM nd) AND df <= 100),
+      |t AS (SELECT doc_id, tok FROM sh WHERE tok IN (SELECT tok FROM vocab)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT d1, d2
+      |  FROM inter JOIN sizes sa ON d1 = sa.doc_id JOIN sizes sb ON d2 = sb.doc_id
+      |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+      |          UNION SELECT d2, d1 FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a),
+      |cl AS (
+      |  SELECT doc_id, COALESCE(c.component, doc_id) AS cluster_id
+      |  FROM documents LEFT JOIN comp c ON documents.doc_id = c.id),
+      |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cl GROUP BY cluster_id)
+      |SELECT d.doc_id, d.lang, d.n_chars, sz.cluster_size
+      |FROM documents d
+      |JOIN cl ON d.doc_id = cl.doc_id AND d.doc_id = cl.cluster_id
+      |JOIN sz ON cl.cluster_id = sz.cluster_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.shingleJaccardPairs(docs, 3, 0.5,
+      maxDfFrac = 0.8, maxDf = 100L)
+    Components.keepCanonical(
+        docs.select("doc_id", "lang", "n_chars"), "doc_id", pairs)
+      .select("doc_id", "lang", "n_chars", "cluster_size")
+      .orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-dup pairs, exact baseline (oracle-checked
     * bit-exact against DuckDB's cosine). */
   val qEmbedNearDup = Q(
@@ -976,6 +1030,7 @@ object Pipeline {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qPipelineE2E, qJaccardPairs, qShingleJaccard, qDupClusters,
+    qDedupKeep,
     qMinHashLsh, qMinHashSuperset,
     qSimHash, qSimHashSuperset, qEmbedNearDup, qEmbedNearDupLsh,
     qAnnCosine, qAnnLsh, qAnnIvfFull, qAnnIvf, qKmeansFull, qKmeans,

@@ -61,4 +61,19 @@ class ComponentsSpec extends AnyFunSuite {
       assert(cc(edges) === unionFind(edges))
     }
   }
+
+  test("keepCanonical: min-id survives, singletons kept, sizes exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"), (9L, "z"))
+      .toDF("doc_id", "body")
+    // pairs 2-3 and 3-5 chain into one cluster {2,3,5}; 1,4,9 singletons
+    val pairs = Seq((2L, 3L), (3L, 5L)).toDF("d1", "d2")
+    val kept = Components.keepCanonical(docs, "doc_id", pairs)
+      .select("doc_id", "body", "cluster_size")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(kept.toSeq === Seq(
+      (1L, "a", 1L), (2L, "b", 3L), (4L, "d", 1L), (9L, "z", 1L)))
+  }
 }
