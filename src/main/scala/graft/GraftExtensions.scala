@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.{CosineSimilarity, HyperplaneLsh}
+import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Library entry point: graft's native Catalyst expressions as plain
+  * SQL functions, so a Spark user gets them with nothing but
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * (or `GraftFunctions.register(spark)` on a live session). This is
+  * the Spark-idiomatic analogue of the reference's built-in function
+  * surface (sql_bridge.rs registers its scalar functions in its own
+  * dispatcher) — here they enter Catalyst's registry and participate
+  * in codegen, constant folding, and EXPLAIN like any built-in.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    for ((name, usage, builder) <- GraftFunctions.all)
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.GraftExtensions", null, name, usage, ""),
+        builder))
+}
+
+object GraftFunctions {
+
+  /** (name, usage, builder) for every SQL-registrable graft function. */
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("cosine_similarity",
+      "cosine_similarity(a, b) - exact cosine similarity of two float/double arrays",
+      (args: Seq[Expression]) => {
+        require(args.size == 2,
+          s"cosine_similarity(a, b) takes 2 arguments, got ${args.size}")
+        CosineSimilarity(args.head, args(1))
+      }),
+    ("hyperplane_lsh",
+      "hyperplane_lsh(vec, bits) - deterministic random-hyperplane LSH bucket of a float/double array",
+      (args: Seq[Expression]) => {
+        require(args.size == 2,
+          s"hyperplane_lsh(vec, bits) takes 2 arguments, got ${args.size}")
+        val bits = args(1) match {
+          case Literal(v: Int, _) => v
+          case Literal(v: Long, _) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"hyperplane_lsh bits must be an integer literal, got ${other.sql}")
+        }
+        HyperplaneLsh(args.head, bits)
+      }))
+
+  /** Runtime registration for an already-constructed session. */
+  def register(spark: SparkSession): Unit =
+    for ((name, usage, builder) <- all)
+      GraftBridge.registerFunction(spark, name, usage, builder)
+}

@@ -12,4 +12,17 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a SQL function on an ALREADY-RUNNING session (notebooks,
+    * tests). `spark.sql.extensions` is a static conf applied only at
+    * session construction; this is the runtime path to the same
+    * registry. */
+  def registerFunction(spark: SparkSession, name: String,
+      usage: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    val info = new catalyst.expressions.ExpressionInfo(
+      "graft.GraftExtensions", null, name, usage, "")
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(catalyst.FunctionIdentifier(name), info, builder)
+  }
 }
