@@ -57,6 +57,40 @@ object StreamWindows {
         col("session_window.end").as("session_end"),
         col("n_events"), col("first_event"), col("last_event"))
 
+  /** Stream-stream attribution join: each impression joined to the
+    * clicks of the same user that land within `within` AFTER it —
+    * the canonical two-stream enrichment (impression→click,
+    * request→response, send→ack) that a batch join cannot express
+    * online. Both sides carry watermarks and the join condition bounds
+    * the event-time distance, so Spark's state store evicts a row as
+    * soon as the other stream's watermark passes its join horizon:
+    * state is O(rows inside the time window), not O(stream length) —
+    * the only stream-stream join shape that survives an unbounded
+    * stream.
+    *
+    * `joinType` "inner" emits matches only; "leftOuter" additionally
+    * emits (impression, NULL click) once the click-side watermark
+    * proves no match can arrive — exactly the "unattributed
+    * impressions" feed an ads/telemetry pipeline wants.
+    *
+    * Input column contract: impressions (imp_id, user_id, ts),
+    * clicks (click_id, user_id, ts). */
+  def attributionJoin(impressions: DataFrame, clicks: DataFrame,
+      within: String = "30 minutes", watermark: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
+    val imp = impressions.withWatermark("ts", watermark).alias("imp")
+    val clk = clicks.withWatermark("ts", watermark).alias("clk")
+    imp.join(clk,
+        expr(s"""imp.user_id = clk.user_id AND
+                 clk.ts >= imp.ts AND
+                 clk.ts <= imp.ts + INTERVAL $within"""),
+        joinType)
+      .select(col("imp.imp_id"), col("imp.user_id"),
+        col("imp.ts").as("imp_ts"), col("clk.click_id"),
+        (col("clk.ts").cast("long") - col("imp.ts").cast("long"))
+          .as("latency_s"))
+  }
+
   /** Per-user running event count via `flatMapGroupsWithState` — custom
     * keyed state beyond what windowed aggregation expresses. Emits the
     * updated total for each user seen in a micro-batch.

@@ -115,4 +115,38 @@ class StreamWindowsSpec extends AnyFunSuite {
       assert(!emitted.contains(UserRunningCount(1L, 3L)))
     } finally q.stop()
   }
+
+  test("stream-stream attribution join bounds state and emits outer rows after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val imps = MemoryStream[(Long, Long, Timestamp)]
+    val clks = MemoryStream[(Long, Long, Timestamp)]
+    val joined = StreamWindows.attributionJoin(
+      imps.toDF.toDF("imp_id", "user_id", "ts"),
+      clks.toDF.toDF("click_id", "user_id", "ts"),
+      within = "30 minutes", watermark = "1 hour", joinType = "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      // imp 1 clicked 10 min later; imp 2 "clicked" 2h later (outside
+      // the window); imp 3 never clicked
+      imps.addData((1L, 100L, ts(1, 0)), (2L, 200L, ts(1, 0)), (3L, 300L, ts(1, 5)))
+      clks.addData((11L, 100L, ts(1, 10)), (22L, 200L, ts(3, 0)))
+      q.processAllAvailable()
+      val matched = spark.table("attr").where("click_id IS NOT NULL")
+        .select("imp_id", "click_id", "latency_s").collect().toSet
+      assert(matched === Set(Row(1L, 11L, 600L)))
+      // outer rows for 2 and 3 require the click watermark to pass
+      // their join horizon — advance both streams far ahead
+      imps.addData((9L, 900L, ts(8, 0)))
+      clks.addData((99L, 900L, ts(8, 1)))
+      q.processAllAvailable()
+      imps.addData((10L, 901L, ts(9, 0)))
+      clks.addData((100L, 901L, ts(9, 1)))
+      q.processAllAvailable()
+      val unattributed = spark.table("attr").where("click_id IS NULL")
+        .select("imp_id").collect().map(_.getLong(0)).toSet
+      assert(unattributed === Set(2L, 3L))
+    } finally q.stop()
+  }
 }
