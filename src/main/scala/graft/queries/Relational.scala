@@ -222,6 +222,88 @@ object Relational {
             |ORDER BY region_name, nation_name""".stripMargin)
   }
 
+  /** GROUPING SETS with GROUPING() disambiguation — the general form
+    * ROLLUP/CUBE specialize ([REF-GAP]: the reference has neither).
+    * GROUPING() flags distinguish a NULL-as-total from NULL data, the
+    * standard trap of grouping-set results. */
+  val qGroupingSets = Q(
+    "q_grouping_sets",
+    """SELECT COALESCE(r_name, '##ALL##') AS region_name,
+      |       COALESCE(n_name, '##ALL##') AS nation_name,
+      |       GROUPING(r_name) AS g_region, GROUPING(n_name) AS g_nation,
+      |       COUNT(*) AS n_cust
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), (n_name), ())
+      |ORDER BY region_name, nation_name, g_region, g_nation""".stripMargin) { (s, dir) =>
+    Seq("customer", "nation", "region").foreach(Tables.view(s, dir, _))
+    s.sql("""SELECT COALESCE(r_name, '##ALL##') AS region_name,
+            |       COALESCE(n_name, '##ALL##') AS nation_name,
+            |       GROUPING(r_name) AS g_region, GROUPING(n_name) AS g_nation,
+            |       COUNT(*) AS n_cust
+            |FROM customer
+            |JOIN nation ON c_nationkey = n_nationkey
+            |JOIN region ON n_regionkey = r_regionkey
+            |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), (n_name), ())
+            |ORDER BY region_name, nation_name, g_region, g_nation""".stripMargin)
+  }
+
+  /** Exact (non-approximate) ordered-set aggregates: PERCENTILE_CONT /
+    * PERCENTILE_DISC / MEDIAN per group. Linear interpolation over
+    * small integral quantities is exact in IEEE754, so the doubles are
+    * bit-comparable across engines. */
+  val qPercentiles = Q(
+    "q_percentiles",
+    """SELECT l_returnflag,
+      |       CAST(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS p25,
+      |       CAST(MEDIAN(l_quantity) AS DOUBLE) AS p50,
+      |       CAST(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS p75,
+      |       CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS p90d
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.view(s, dir, "lineitem")
+    s.sql("""SELECT l_returnflag,
+            |       CAST(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS p25,
+            |       CAST(MEDIAN(l_quantity) AS DOUBLE) AS p50,
+            |       CAST(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS p75,
+            |       CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS p90d
+            |FROM lineitem
+            |GROUP BY l_returnflag
+            |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** PIVOT: long→wide by order status. The Spark side uses the native
+    * PIVOT clause; the oracle states the same contract as conditional
+    * aggregation — so the check pins PIVOT's semantics (grouping,
+    * value matching, absent-combination NULLs → 0 via COALESCE), not
+    * its syntax. */
+  val qPivot = Q(
+    "q_pivot",
+    """SELECT n_name,
+      |       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS st_open,
+      |       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS st_filled,
+      |       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS st_partial
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { (s, dir) =>
+    Seq("orders", "customer", "nation").foreach(Tables.view(s, dir, _))
+    s.sql("""SELECT n_name,
+            |       COALESCE(st_open, 0) AS st_open,
+            |       COALESCE(st_filled, 0) AS st_filled,
+            |       COALESCE(st_partial, 0) AS st_partial
+            |FROM (
+            |  SELECT n_name, o_orderstatus
+            |  FROM orders
+            |  JOIN customer ON o_custkey = c_custkey
+            |  JOIN nation ON c_nationkey = n_nationkey)
+            |PIVOT (COUNT(*) FOR o_orderstatus IN ('O' AS st_open, 'F' AS st_filled, 'P' AS st_partial))
+            |ORDER BY n_name""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- joins
 
   /** INNER 3-way join + agg + top-k (TPC-H Q3 shape). The dimension
@@ -519,6 +601,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     qScanFilter, qPredLikeIn, qPredNull, qCaseArith,
     q1Agg, qGlobalAgg, qCountDistinct, qHaving, qRollup,
+    qGroupingSets, qPercentiles, qPivot,
     qJoinInner, qJoinLeft, qJoinRight, qJoinFull, qJoinCross,
     qSemiJoin, qAntiJoin, qSelfJoin, qMultiJoin,
     qTopK, qOffset, qDistinct,
