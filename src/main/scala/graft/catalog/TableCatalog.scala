@@ -97,6 +97,10 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   // the reference keeps the same pair (views.rs:40-123 — is_materialized
   // + materialized_data); our data lives in versioned parquet dirs
   private val mviews = mutable.LinkedHashMap.empty[String, (String, Long)]
+  // incremental-refresh horizon per matview: (base table, last refresh
+  // sequence) — recorded only for views whose SQL is incrementally
+  // maintainable (IncrementalView.parse) over an engine table
+  private val mviewBases = mutable.HashMap.empty[String, (String, Long)]
   private val indexes = mutable.LinkedHashMap.empty[String, (String, String)] // idx -> (table, col)
   private val nextSeqs = mutable.HashMap.empty[String, Long] // last assigned sequence
   private val nextColIds = mutable.HashMap.empty[String, Long] // ALTER ADD physical-name counter
@@ -382,9 +386,19 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
     save()
   }
 
+  /** Record the incremental-refresh horizon: the view's data version
+    * reflects the base table's state at exactly `seq`. */
+  def setMviewBase(name: String, table: String, seq: Long): Unit = {
+    mviewBases(name) = (table, seq)
+    save()
+  }
+
+  def mviewBase(name: String): Option[(String, Long)] = mviewBases.get(name)
+
   def dropView(name: String, ifExists: Boolean = false): Unit = {
     val wasView = views.remove(name).isDefined
     val wasMview = mviews.remove(name).isDefined
+    mviewBases.remove(name)
     if (!wasView && !wasMview && !ifExists)
       throw new IllegalArgumentException(s"view not found: $name")
     if (wasMview) { // materialized data goes with the definition
@@ -764,6 +778,8 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       sb.append(s"view\t${enc(name)}\t${enc(sql)}\n")
     for ((name, (sql, ver)) <- mviews)
       sb.append(s"mview\t${enc(name)}\t${enc(sql)}\t$ver\n")
+    for ((name, (t, seq)) <- mviewBases)
+      sb.append(s"mviewbase\t${enc(name)}\t${enc(t)}\t$seq\n")
     for ((idx, (t, c)) <- indexes)
       sb.append(s"index\t${enc(idx)}\t${enc(t)}\t${enc(c)}\n")
     for ((id, b) <- streamBatches)
@@ -857,6 +873,7 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
           constraints.getOrElse(dec(n), Nil) :+ Constraint.Check(dec(e))
       case Array("view", n, sql) => views(dec(n)) = dec(sql)
       case Array("mview", n, sql, ver) => mviews(dec(n)) = (dec(sql), ver.toLong)
+      case Array("mviewbase", n, t, seq) => mviewBases(dec(n)) = (dec(t), seq.toLong)
       case Array("index", i, t, c) => indexes(dec(i)) = (dec(t), dec(c))
       case Array("stream", id, b) => streamBatches(dec(id)) = b.toLong
       case Array("trigger", n, ti, ev, ta, body) => // pre-round-6 line

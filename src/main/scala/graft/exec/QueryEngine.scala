@@ -2,7 +2,7 @@ package graft.exec
 
 import graft.catalog.{ColumnDef, TableCatalog, TableDef}
 import graft.log.EventLog
-import graft.sql.{SqlText, Statement, StatementRouter, SystemTime, TemporalPre}
+import graft.sql.{IncrementalView, SqlText, Statement, StatementRouter, SystemTime, TemporalPre}
 import graft.state.{Snapshots, StateView}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -704,27 +704,94 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         // data lands before the registration: a registered matview is
         // always readable (crash between the two leaves only an
         // unreferenced data dir, cleaned by the next CREATE or DROP)
-        encrypted(select(viewSql).write).mode("overwrite")
-          .parquet(catalog.mviewDataPath(name, 0L))
-        catalog.createMaterializedView(name, viewSql)
+        incShapeOf(viewSql) match {
+          case Some(sh) =>
+            // maintainable shape: populate WITH the hidden support
+            // columns at a pinned sequence, so INCREMENTALLY can later
+            // merge deltas from exactly this horizon
+            val r = catalog.lastSeq(sh.table)
+            encrypted(IncrementalView.aggregate(stateAt(sh.table, Some(r).filter(_ > 0)), sh)
+              .write).mode("overwrite").parquet(catalog.mviewDataPath(name, 0L))
+            catalog.createMaterializedView(name, viewSql)
+            catalog.setMviewBase(name, sh.table, r)
+          case None =>
+            encrypted(select(viewSql).write).mode("overwrite")
+              .parquet(catalog.mviewDataPath(name, 0L))
+            catalog.createMaterializedView(name, viewSql)
+        }
         summary("materialized_view_created", 0L, 0L)
       }
-    case Statement.RefreshMatView(name) =>
+    case Statement.RefreshMatView(name, incremental) =>
       if (txn.isDefined)
         throw new IllegalStateException(
           "REFRESH MATERIALIZED VIEW cannot run inside a transaction")
       if (!catalog.isMaterialized(name))
         throw new IllegalArgumentException(s"materialized view not found: $name")
-      requireUnfilteredPopulation("REFRESH MATERIALIZED VIEW", catalog.getView(name).get)
-      // re-run the stored SQL into the NEXT version dir, then swap the
-      // catalog pointer — readers see the old version until the new one
-      // is complete (views.rs:40-123 refresh; the versioned-dir swap is
-      // how an object store serves this without read-write races)
+      val viewSql = catalog.getView(name).get
+      requireUnfilteredPopulation("REFRESH MATERIALIZED VIEW", viewSql)
+      // the NEXT version dir, then swap the catalog pointer — readers
+      // see the old version until the new one is complete
+      // (views.rs:40-123 refresh; the versioned-dir swap is how an
+      // object store serves this without read-write races)
       val prev = catalog.mviewVersion(name)
-      encrypted(select(catalog.getView(name).get).write).mode("overwrite")
-        .parquet(catalog.mviewDataPath(name, prev + 1))
-      catalog.setMviewVersion(name, prev + 1)
-      if (prev >= 1) {
+      val op = (incShapeOf(viewSql), incremental) match {
+        case (Some(sh), true) =>
+          // INCREMENTAL: merge the signed contributions of only the
+          // rows TOUCHED since the last refresh horizon. The two state
+          // reads are semi-join-restricted to touched pks; the
+          // aggregation shuffles O(touched) rows and the merge joins on
+          // the view's own key space — never a full re-aggregation.
+          val (baseT, r) = catalog.mviewBase(name).getOrElse(
+            throw new IllegalStateException(
+              s"$name has no recorded refresh horizon — run a full REFRESH first"))
+          val t = catalog.require(baseT)
+          val horizon = catalog.lastSeq(baseT)
+          if (catalog.retentionFloor(baseT) > r)
+            throw new IllegalStateException(
+              s"events since the last refresh horizon @SEQ:$r of $name were " +
+                "vacuumed — run a full (non-incremental) REFRESH")
+          if (horizon > r) {
+            val touched = events(t)
+              .where(col("sequence") > r && col("sequence") <= horizon)
+              .select(col("pk")).distinct()
+            def restrict(state: DataFrame): DataFrame =
+              state.join(touched,
+                col(t.pk).cast("string") === touched("pk"), "left_semi")
+            val stored = spark.read.parquet(catalog.mviewDataPath(name, prev))
+            val merged = IncrementalView.merge(stored,
+              restrict(stateAt(baseT, Some(r))),
+              restrict(stateAt(baseT, Some(horizon))), sh)
+            encrypted(merged.write).mode("overwrite")
+              .parquet(catalog.mviewDataPath(name, prev + 1))
+            catalog.setMviewVersion(name, prev + 1)
+            catalog.setMviewBase(name, baseT, horizon)
+          }
+          "refreshed_incremental"
+        case (None, true) =>
+          throw new IllegalArgumentException(
+            s"$name is not incrementally maintainable: the view must be " +
+              "SELECT <group cols>, COUNT/SUM aggregates FROM <engine table> " +
+              "[WHERE ...] GROUP BY <group cols> — run a full REFRESH instead")
+        case (shapeOpt, false) =>
+          // FULL refresh; maintainable shapes re-materialize through the
+          // same aggregate (hidden support columns included) at a pinned
+          // horizon so a later INCREMENTALLY continues from here
+          shapeOpt match {
+            case Some(sh) =>
+              val horizon = catalog.lastSeq(sh.table)
+              encrypted(IncrementalView.aggregate(
+                  stateAt(sh.table, Some(horizon).filter(_ > 0)), sh).write)
+                .mode("overwrite").parquet(catalog.mviewDataPath(name, prev + 1))
+              catalog.setMviewVersion(name, prev + 1)
+              catalog.setMviewBase(name, sh.table, horizon)
+            case None =>
+              encrypted(select(viewSql).write).mode("overwrite")
+                .parquet(catalog.mviewDataPath(name, prev + 1))
+              catalog.setMviewVersion(name, prev + 1)
+          }
+          "refreshed"
+      }
+      if (prev >= 1 && catalog.mviewVersion(name) > prev) {
         // reclaim version prev-1, NOT prev: a concurrent lock-free
         // reader may hold an already-analyzed plan over the version we
         // just superseded — one grace version keeps it scannable, and
@@ -733,7 +800,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         scala.util.Try(fs.delete(p, true))
       }
-      summary("refreshed", 0L, 0L)
+      summary(op, 0L, 0L)
     case Statement.CreateTrigger(name, timing, event, table, body) =>
       // UNCONDITIONAL superuser gate: a trigger body executes at fire
       // time under the FIRING session's authority — letting a
@@ -1154,7 +1221,10 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         // spec does not rebind it (it has no live base tables to rebind)
         if (!bound.contains(v)) {
           bound(v) = SystemTime.Current
-          spark.read.parquet(catalog.mviewDataPath(v, catalog.mviewVersion(v)))
+          val mv = spark.read.parquet(catalog.mviewDataPath(v, catalog.mviewVersion(v)))
+          // maintainable views carry hidden IVM support columns
+          // (__graft_*) — internal bookkeeping, not part of the view
+          mv.drop(mv.columns.filter(IncrementalView.hidden): _*)
             .createOrReplaceTempView(v)
         }
       } else {
@@ -1590,7 +1660,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Statement.CreateView(n, _, m, _) =>
       (if (m) "CREATE MATERIALIZED VIEW" else "CREATE VIEW", n)
     case Statement.DropView(n, _) => ("DROP VIEW", n)
-    case Statement.RefreshMatView(n) => ("REFRESH MATERIALIZED VIEW", n)
+    case Statement.RefreshMatView(n, _) => ("REFRESH MATERIALIZED VIEW", n)
     case Statement.CreateIndex(_, t, _) => ("CREATE INDEX", t)
     case _: Statement.AlterAdd | _: Statement.AlterRename |
         _: Statement.AlterDrop =>
@@ -2445,6 +2515,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   /** TRUNCATE = soft-delete every current row (sql_bridge.rs:701-750);
     * DELETE triggers fire with the full table as old_rows. */
   def truncate(table: String): DataFrame = delete(table, None)
+
+  /** Some(shape) iff the SQL is incrementally maintainable
+    * (IncrementalView.parse) over a (non-attached) engine table of
+    * this catalog — attached event logs have no sequence bookkeeping
+    * to anchor a refresh horizon to. */
+  private def incShapeOf(sql: String): Option[IncrementalView.Shape] =
+    IncrementalView.parse(sql)
+      .filter(sh => catalog.get(sh.table).exists(_.attached.isEmpty))
 
   /** SNAPSHOT/VACUUM/CHECKPOINT TABLE: materialize collapsed state at
     * the current sequence (engine.rs:739-845).

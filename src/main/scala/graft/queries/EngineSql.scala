@@ -284,6 +284,43 @@ object EngineSql {
     stale.unionByName(fresh).orderBy("phase", "status")
   }
 
+  /** REFRESH MATERIALIZED VIEW ... INCREMENTALLY ([REF-GAP]: the
+    * reference refreshes by full re-run only, views.rs:40-123): after
+    * updates, deletes, and an insert with a NULL aggregate input, the
+    * merged view must equal the from-scratch aggregate the oracle
+    * computes — COUNT vs COUNT(col) divergence, a surviving deleted
+    * group, or broken NULL-sum support diverges rows or hash. */
+  val qMatViewInc = Q(
+    "q_matview_inc",
+    """WITH post AS (
+      |  SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal,
+      |         CASE WHEN c_acctbal > 5000 THEN 'vip' ELSE 'new' END AS status
+      |  FROM customer
+      |  WHERE c_custkey < 500 AND c_custkey % 10 <> 0
+      |  UNION ALL
+      |  SELECT CAST(9001 AS BIGINT), CAST(NULL AS DOUBLE), 'vip')
+      |SELECT status, COUNT(*) AS n, COUNT(bal) AS nb,
+      |       CAST(SUM(CAST(bal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+      |FROM post GROUP BY status
+      |ORDER BY status""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.sql("CREATE TABLE acct (k BIGINT PRIMARY KEY, bal DOUBLE, status STRING)")
+    e.sql("""INSERT INTO acct
+            |SELECT c_custkey, c_acctbal, 'new' FROM customer
+            |WHERE c_custkey < 500""".stripMargin)
+    e.sql("""CREATE MATERIALIZED VIEW inc_stats AS
+            |SELECT status, COUNT(*) AS n, COUNT(bal) AS nb,
+            |       SUM(CAST(bal AS DECIMAL(12,2))) AS total
+            |FROM acct GROUP BY status""".stripMargin)
+    e.sql("UPDATE acct SET status = 'vip' WHERE bal > 5000")
+    e.sql("DELETE FROM acct WHERE k % 10 = 0")
+    e.sql("INSERT INTO acct VALUES (9001, NULL, 'vip')")
+    e.sql("REFRESH MATERIALIZED VIEW inc_stats INCREMENTALLY")
+    e.sql("""SELECT status, n, nb, CAST(total AS DOUBLE) AS total_bal
+            |FROM inc_stats ORDER BY status""".stripMargin)
+  }
+
   /** Streaming-ingest append path (micro-batch → sequenced INSERT
     * events): the same ingestStream call foreachBatch makes, then a
     * temporal read over the streamed log. Oracle = the source rows. */
@@ -1001,7 +1038,8 @@ object EngineSql {
   val all: Seq[Q] = Seq(
     qSqlAsOfSeq, qSqlAsOfTs, qSqlSystemAll, qSqlBetween, qSqlSnapshot,
     qLifecycleCurrent, qLifecycleAsOf, qTxnLifecycle, qFkLifecycle,
-    qStreamIngest, qSqlPassthrough, qSqlView, qMatView, qTriggerAudit,
+    qStreamIngest, qSqlPassthrough, qSqlView, qMatView, qMatViewInc,
+    qTriggerAudit,
     qProcCall, qMvccSessions, qConstraints, qSequences, qAutoIncrement,
     qRls, qBackupRestore, qAuditLog, qGrants, qResultCache, qMigrations,
     qMetrics, qVacuumRetain, qDiffTable, qZOrder)

@@ -1,0 +1,162 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized-view maintenance (IVM) for the restricted
+  * view shape that maintains EXACTLY under inserts, updates and
+  * deletes:
+  *
+  *   SELECT g1, ..., gk, COUNT(*) AS a, COUNT(e) AS b, SUM(e) AS c, ...
+  *   FROM <engine table> [WHERE <pred>] GROUP BY g1, ..., gk
+  *
+  * COUNT and SUM are the self-maintainable aggregates: a row's
+  * contribution can be subtracted as well as added, so the view merges
+  * old-state and new-state contributions of only the TOUCHED rows.
+  * MIN/MAX/AVG are deliberately excluded — under deletes they are not
+  * maintainable from the view output alone (the classic IVM result;
+  * cf. the view-maintenance literature, e.g. Gupta & Mumick's survey).
+  *
+  * Exact NULL semantics cost bookkeeping: SUM over a group whose every
+  * remaining value is NULL must be NULL, and a group with zero
+  * remaining rows must vanish. The stored parquet therefore carries
+  * hidden support columns (`__graft_rows` = live row count,
+  * `__graft_n_<alias>` = non-null count per SUM) that the read path
+  * strips; they make the merge exact without re-scanning untouched
+  * groups.
+  *
+  * The reference materializes views by full re-run only
+  * (views.rs:40-123); incremental maintenance is the [REF-GAP] that
+  * matters at scale: the refresh aggregation shuffles only the touched
+  * rows and the merge joins on the view's own (small) key space,
+  * instead of re-aggregating the full table.
+  */
+object IncrementalView {
+
+  sealed trait Agg { def alias: String }
+  final case class CountStar(alias: String) extends Agg
+  final case class CountExpr(e: String, alias: String) extends Agg
+  final case class SumExpr(e: String, alias: String) extends Agg
+
+  final case class Shape(table: String, where: Option[String],
+      groupCols: Seq[String], aggs: Seq[Agg])
+
+  val RowsCol = "__graft_rows"
+  def supportCol(alias: String): String = s"__graft_n_$alias"
+  def hidden(c: String): Boolean = c.startsWith("__graft_")
+
+  private val ShapeRe =
+    """(?is)^\s*SELECT\s+(.+?)\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+(.+?)\s*;?\s*$""".r
+  private val CountStarRe = """(?is)^COUNT\s*\(\s*\*\s*\)\s+AS\s+(\w+)$""".r
+  private val CountRe = """(?is)^COUNT\s*\((.+)\)\s+AS\s+(\w+)$""".r
+  private val SumRe = """(?is)^SUM\s*\((.+)\)\s+AS\s+(\w+)$""".r
+  private val IdentRe = """^[\w.]+$""".r
+
+  /** Some(shape) iff `sql` is the maintainable form above: one table,
+    * bare-identifier group columns (select list and GROUP BY must
+    * agree), every aggregate a COUNT/SUM with an alias. */
+  def parse(sql: String): Option[Shape] = sql match {
+    case ShapeRe(selectList, table, where, groupBy) =>
+      val items = SqlText.splitTopLevel(selectList).map(_.trim)
+      val gcols = SqlText.splitTopLevel(groupBy).map(_.trim)
+      if (gcols.isEmpty || !gcols.forall(IdentRe.matches(_))) return None
+      val bare = items.filter(IdentRe.matches(_))
+      val aggs = items.filterNot(IdentRe.matches(_)).map {
+        case CountStarRe(a) => CountStar(a)
+        case SumRe(e, a) => SumExpr(e.trim, a)
+        case CountRe(e, a) if e.trim != "*" => CountExpr(e.trim, a)
+        case _ => return None
+      }
+      // group columns must be exactly the bare select items (the view
+      // exposes its own grouping keys) and there must be something to
+      // maintain
+      if (bare.sorted != gcols.sorted || aggs.isEmpty) None
+      // DISTINCT inside an aggregate is not self-maintainable
+      else if (items.exists(_.toUpperCase.contains("DISTINCT"))) None
+      else Some(Shape(table, Option(where).map(_.trim), bare, aggs))
+    case _ => None
+  }
+
+  /** The view query over a state frame, INCLUDING the hidden support
+    * columns — population at CREATE and full REFRESH both use this so
+    * the stored schema is always merge-ready. */
+  def aggregate(state: DataFrame, shape: Shape): DataFrame = {
+    val base = shape.where.fold(state)(w => state.where(expr(w)))
+    val aggCols: Seq[Column] =
+      shape.aggs.map {
+        case CountStar(a) => count(lit(1)).as(a)
+        case CountExpr(e, a) => count(expr(e)).as(a)
+        case SumExpr(e, a) => sum(expr(e)).as(a)
+      } ++ Seq(count(lit(1)).as(RowsCol)) ++
+        shape.aggs.collect { case SumExpr(e, a) =>
+          count(expr(e)).as(supportCol(a)) }
+    base.groupBy(shape.groupCols.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Merge the stored view with the signed contributions of the
+    * touched rows: `oldRows` (state at the last refresh horizon,
+    * touched pks only) contribute −1, `newRows` (current state,
+    * touched pks only) +1. Groups whose live row count reaches zero
+    * vanish; SUMs whose non-null support reaches zero return to NULL.
+    * One aggregation over O(touched) rows + one join on the view key. */
+  def merge(stored: DataFrame, oldRows: DataFrame, newRows: DataFrame,
+      shape: Shape): DataFrame = {
+    val storedType = stored.schema.map(f => f.name -> f.dataType).toMap
+    def signed(rows: DataFrame, sign: Int): DataFrame = {
+      val base = shape.where.fold(rows)(w => rows.where(expr(w)))
+      base.select(
+        shape.groupCols.map(col) ++
+          Seq(lit(sign).as("__sign")) ++
+          shape.aggs.collect {
+            case CountExpr(e, a) => expr(e).isNotNull.as(s"__has_$a")
+            case SumExpr(e, a) => expr(e).cast(storedType(a)).as(s"__val_$a")
+          }: _*)
+    }
+    val deltaCols: Seq[Column] =
+      Seq(sum(col("__sign")).as(s"__d_$RowsCol")) ++
+        shape.aggs.collect {
+          case CountExpr(_, a) => Seq(
+            sum(when(col(s"__has_$a"), col("__sign")).otherwise(0))
+              .as(s"__d_$a"))
+          case SumExpr(_, a) => Seq(
+            sum(when(col(s"__val_$a").isNotNull, col("__sign")).otherwise(0))
+              .as(s"__d_${supportCol(a)}"),
+            sum(col(s"__val_$a") * col("__sign")).as(s"__d_$a"))
+        }.flatten
+    val deltas = signed(oldRows, -1).unionByName(signed(newRows, 1))
+      .groupBy(shape.groupCols.map(col): _*)
+      .agg(deltaCols.head, deltaCols.tail: _*)
+    val s = stored.alias("s")
+    val d = deltas.alias("d")
+    val joinCond = shape.groupCols
+      .map(c => col(s"s.$c") <=> col(s"d.$c")).reduce(_ && _)
+    val newRowsCount =
+      coalesce(col(s"s.$RowsCol"), lit(0L)) + coalesce(col(s"d.__d_$RowsCol"), lit(0L))
+    val outCols: Seq[Column] =
+      shape.groupCols.map(c => coalesce(col(s"s.$c"), col(s"d.$c")).as(c)) ++
+        shape.aggs.map {
+          case CountStar(a) =>
+            newRowsCount.cast("long").as(a)
+          case CountExpr(_, a) =>
+            (coalesce(col(s"s.$a"), lit(0L)) + coalesce(col(s"d.__d_$a"), lit(0L)))
+              .cast("long").as(a)
+          case SumExpr(_, a) =>
+            val support = coalesce(col(s"s.${supportCol(a)}"), lit(0L)) +
+              coalesce(col(s"d.__d_${supportCol(a)}"), lit(0L))
+            when(support === 0, lit(null))
+              .otherwise(
+                coalesce(col(s"s.$a"), lit(0).cast(storedType(a))) +
+                  coalesce(col(s"d.__d_$a"), lit(0).cast(storedType(a))))
+              .cast(storedType(a)).as(a)
+        } ++
+        Seq(newRowsCount.cast("long").as(RowsCol)) ++
+        shape.aggs.collect { case SumExpr(_, a) =>
+          (coalesce(col(s"s.${supportCol(a)}"), lit(0L)) +
+            coalesce(col(s"d.__d_${supportCol(a)}"), lit(0L)))
+            .cast("long").as(supportCol(a)) }
+    s.join(d, joinCond, "full_outer")
+      .select(outCols: _*)
+      .where(col(RowsCol) > 0)
+  }
+}

@@ -36,7 +36,8 @@ object Statement {
       materialized: Boolean = false, orReplace: Boolean = false) extends Statement
   /** REFRESH MATERIALIZED VIEW — re-runs the stored SQL and swaps the
     * served data version (views.rs refresh policy). */
-  final case class RefreshMatView(name: String) extends Statement
+  final case class RefreshMatView(name: String,
+      incremental: Boolean = false) extends Statement
   /** CREATE TRIGGER name BEFORE|AFTER INSERT|UPDATE|DELETE ON t
     * [FOR EACH ROW|STATEMENT] [WHEN (cond)] EXECUTE <stmt> — recorded
     * in the catalog and FIRED by the engine around DML
@@ -223,7 +224,7 @@ object StatementRouter {
   private val CreateViewR =
     """(?is)^CREATE\s+(OR\s+REPLACE\s+)?(MATERIALIZED\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)$""".r
   private val RefreshMatViewR =
-    """(?is)^REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*$""".r
+    """(?is)^REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)(\s+INCREMENTALLY)?\s*$""".r
   private val CreateTriggerR =
     """(?is)^CREATE\s+TRIGGER\s+(\w+)\s+(BEFORE|AFTER)\s+(INSERT|UPDATE|DELETE)\s+ON\s+([\w.]+)\s*(.*)$""".r
   private val DropTriggerR = """(?is)^DROP\s+TRIGGER\s+(IF\s+EXISTS\s+)?(\w+)\s*$""".r
@@ -347,7 +348,7 @@ object StatementRouter {
       case CreateIndexR(idx, table, colName) => CreateIndex(idx, table, colName)
       case CreateViewR(orRepl, mat, name, sql) =>
         CreateView(name, sql.trim, mat != null, orRepl != null)
-      case RefreshMatViewR(name) => RefreshMatView(name)
+      case RefreshMatViewR(name, inc) => RefreshMatView(name, inc != null)
       case CreateTriggerR(name, timing, event, table, body) =>
         CreateTrigger(name, timing, event, table, body.trim)
       case DropTriggerR(ifEx, name) => DropTrigger(name, ifEx != null)

@@ -1,0 +1,132 @@
+package graft.exec
+
+import graft.TestSpark
+import graft.sql.IncrementalView
+import org.scalatest.funsuite.AnyFunSuite
+
+/** REFRESH MATERIALIZED VIEW ... INCREMENTALLY: the merged view must
+  * equal a from-scratch recomputation after every DML batch — group
+  * creation, cross-group row moves, NULL transitions, and full group
+  * deletion included — and the refresh horizon must survive reopen.
+  */
+class IncrementalViewSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def freshView(e: QueryEngine): Set[String] =
+    e.sql("""SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv
+            |FROM t WHERE k % 100 <> 7 GROUP BY grp""".stripMargin)
+      .collect().map(_.toString).toSet
+
+  private def mv(e: QueryEngine): Set[String] =
+    e.sql("SELECT grp, n, nv, sv FROM mv").collect().map(_.toString).toSet
+
+  test("incremental refresh equals full recomputation across DML rounds") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    e.sql("INSERT INTO t VALUES (1,'a',10), (2,'a',20), (3,'b',30), (7,'c',70)")
+    e.sql("""CREATE MATERIALIZED VIEW mv AS
+            |SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv
+            |FROM t WHERE k % 100 <> 7 GROUP BY grp""".stripMargin)
+    assert(mv(e) === freshView(e)) // population already filtered k=7 out
+
+    // the view must not expose the hidden IVM bookkeeping
+    assert(!e.sql("SELECT * FROM mv").columns.exists(_.startsWith("__graft_")))
+
+    // round 1: new group, move a row across groups, null a value
+    e.sql("INSERT INTO t VALUES (4,'d',40), (5,'d',NULL)")
+    e.sql("UPDATE t SET grp = 'b' WHERE k = 2")
+    e.sql("UPDATE t SET v = NULL WHERE k = 3")
+    val r1 = e.sql("REFRESH MATERIALIZED VIEW mv INCREMENTALLY").collect().head
+    assert(r1.getString(0) === "refreshed_incremental")
+    assert(mv(e) === freshView(e))
+
+    // round 2: empty group 'a' entirely; SUM of an all-NULL group
+    e.sql("DELETE FROM t WHERE grp = 'a'")
+    e.sql("UPDATE t SET v = NULL WHERE grp = 'd'")
+    e.sql("REFRESH MATERIALIZED VIEW mv INCREMENTALLY")
+    val after = mv(e)
+    assert(after === freshView(e))
+    assert(!after.exists(_.startsWith("[a,")), "emptied group must vanish")
+    assert(after.exists(_.startsWith("[d,2,0,null")), "all-NULL SUM must be NULL")
+
+    // round 3: a row crossing the WHERE boundary (k=7 excluded → moves in)
+    e.sql("UPDATE t SET k = 8 WHERE k = 7") // pk change = delete + insert
+    e.sql("REFRESH MATERIALIZED VIEW mv INCREMENTALLY")
+    assert(mv(e) === freshView(e))
+
+    // no-op refresh (no new events) leaves the view identical
+    val before = mv(e)
+    e.sql("REFRESH MATERIALIZED VIEW mv INCREMENTALLY")
+    assert(mv(e) === before)
+    e.close()
+  }
+
+  test("horizon persists across reopen; full refresh resets it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivm-").toString
+    val e = new QueryEngine(spark, dir)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    e.sql("INSERT INTO t VALUES (1,'a',10), (2,'b',20)")
+    e.sql("""CREATE MATERIALIZED VIEW mv AS
+            |SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv
+            |FROM t WHERE k % 100 <> 7 GROUP BY grp""".stripMargin)
+    e.close()
+    val e2 = new QueryEngine(spark, dir)
+    e2.sql("INSERT INTO t VALUES (3,'a',30)")
+    e2.sql("REFRESH MATERIALIZED VIEW mv INCREMENTALLY")
+    assert(mv(e2) === freshView(e2))
+    // a full REFRESH re-materializes and re-anchors the horizon
+    e2.sql("INSERT INTO t VALUES (4,'c',40)")
+    e2.sql("REFRESH MATERIALIZED VIEW mv")
+    assert(mv(e2) === freshView(e2))
+    e2.sql("DELETE FROM t WHERE k = 4")
+    e2.sql("REFRESH MATERIALIZED VIEW mv INCREMENTALLY")
+    assert(mv(e2) === freshView(e2))
+    e2.close()
+  }
+
+  test("non-maintainable views reject INCREMENTALLY; vacuum past the horizon raises") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    e.sql("INSERT INTO t VALUES (1,'a',10)")
+    // MAX is not self-maintainable under deletes
+    e.sql("CREATE MATERIALIZED VIEW mvmax AS SELECT grp, MAX(v) AS mx FROM t GROUP BY grp")
+    val err = intercept[IllegalArgumentException] {
+      e.sql("REFRESH MATERIALIZED VIEW mvmax INCREMENTALLY")
+    }
+    assert(err.getMessage.contains("not incrementally maintainable"))
+
+    e.sql("CREATE MATERIALIZED VIEW mv AS SELECT grp, COUNT(*) AS n FROM t GROUP BY grp")
+    e.sql("INSERT INTO t VALUES (2,'b',20)")
+    e.sql("SNAPSHOT t")
+    e.sql("VACUUM t RETAIN @SEQ:2") // events at/below the horizon are gone
+    e.sql("INSERT INTO t VALUES (3,'c',30)")
+    val verr = intercept[IllegalStateException] {
+      e.sql("REFRESH MATERIALIZED VIEW mv INCREMENTALLY")
+    }
+    assert(verr.getMessage.contains("vacuum"))
+    // the documented recovery: full refresh re-anchors above the floor
+    e.sql("REFRESH MATERIALIZED VIEW mv")
+    e.sql("INSERT INTO t VALUES (4,'c',40)")
+    e.sql("REFRESH MATERIALIZED VIEW mv INCREMENTALLY")
+    assert(e.sql("SELECT grp, n FROM mv ORDER BY grp").collect().map(_.toString).toSeq
+      === Seq("[a,1]", "[b,1]", "[c,2]"))
+    e.close()
+  }
+
+  test("shape parser accepts the maintainable form and rejects the rest") {
+    import IncrementalView.parse
+    assert(parse(
+      "SELECT grp, COUNT(*) AS n, SUM(v) AS sv FROM t WHERE v > 0 GROUP BY grp")
+      .exists(s => s.table == "t" && s.where.contains("v > 0") &&
+        s.groupCols == Seq("grp") && s.aggs.size == 2))
+    assert(parse("SELECT a, b, COUNT(c) AS n FROM t GROUP BY a, b")
+      .exists(_.groupCols == Seq("a", "b")))
+    assert(parse("SELECT grp, MAX(v) AS m FROM t GROUP BY grp").isEmpty)
+    assert(parse("SELECT grp, AVG(v) AS m FROM t GROUP BY grp").isEmpty)
+    assert(parse("SELECT grp, COUNT(DISTINCT v) AS m FROM t GROUP BY grp").isEmpty)
+    assert(parse("SELECT grp, COUNT(*) AS n FROM t JOIN u ON t.k = u.k GROUP BY grp").isEmpty)
+    assert(parse("SELECT COUNT(*) AS n FROM t").isEmpty) // no GROUP BY
+    assert(parse("SELECT grp, other, COUNT(*) AS n FROM t GROUP BY grp").isEmpty)
+  }
+}
