@@ -1037,13 +1037,26 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Statement.Describe(table) => describe(table)
     case Statement.CopyFrom(table, path, format) =>
       ingestFile(table, path, format.getOrElse(inferCopyFormat(path)))
-    case Statement.CopyTo(source, path, format) =>
+    case Statement.CopyTo(source, path, format, zorderBy) =>
       // through select(): RLS filters and the SELECT privilege apply,
       // and both a bare table name and a (subquery) work
       val inner =
         if (source.startsWith("(")) source.substring(1, source.length - 1)
         else s"SELECT * FROM $source"
-      val df = select(inner)
+      val selected = select(inner)
+      // ZORDER (c1, ...): cluster the export layout so the CONSUMER's
+      // filtered scans skip row groups on every listed column — the
+      // shape a training-data shard hand-off wants
+      val df =
+        if (zorderBy.isEmpty) selected
+        else {
+          val missing = zorderBy.filterNot(z =>
+            selected.columns.exists(_.equalsIgnoreCase(z)))
+          require(missing.isEmpty,
+            s"ZORDER column(s) not in the exported result: ${missing.mkString(", ")}")
+          graft.operators.ZOrder.cluster(selected, zorderBy,
+            spark.sessionState.conf.numShufflePartitions)
+        }
       val w = encrypted(df.write).mode("overwrite")
       format.getOrElse(inferCopyFormat(path)) match {
         case "jsonl" | "json" => w.json(path)
@@ -1684,7 +1697,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Statement.Optimize(t, _) => ("OPTIMIZE", t)
     case Statement.Analyze(t) => ("ANALYZE", t)
     case Statement.CopyFrom(t, _, _) => ("COPY", t)
-    case Statement.CopyTo(_, p, _) => ("COPY TO", p)
+    case Statement.CopyTo(_, p, _, _) => ("COPY TO", p)
     case Statement.Begin => ("BEGIN", "")
     case Statement.Commit => ("COMMIT", "")
     case _: Statement.Rollback => ("ROLLBACK", "")

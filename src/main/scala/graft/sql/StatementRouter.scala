@@ -116,7 +116,8 @@ object Statement {
     * export; a training pipeline ends in one). Reads go through the
     * governed select path, so RLS and privileges apply. */
   final case class CopyTo(source: String, path: String,
-      format: Option[String] = None) extends Statement
+      format: Option[String] = None,
+      zorderBy: Seq[String] = Nil) extends Statement
   // Transaction control (sql_bridge.rs:453-568): BEGIN buffers event
   // appends in the engine; COMMIT flushes them; ROLLBACK discards.
   case object Begin extends Statement
@@ -278,7 +279,9 @@ object StatementRouter {
   private val CopyR =
     """(?is)^COPY\s+([\w.]+)\s+FROM\s+'([^']+)'\s*(?:\(\s*FORMAT\s+(\w+)\s*\))?\s*$""".r
   private val CopyToR =
-    """(?is)^COPY\s+(\(.+\)|[\w.]+)\s+TO\s+'([^']+)'\s*(?:\(\s*FORMAT\s+(\w+)\s*\))?\s*$""".r
+    """(?is)^COPY\s+(\(.+\)|[\w.]+)\s+TO\s+'([^']+)'\s*(?:\(([^)]*(?:\([^)]*\)[^)]*)*)\))?\s*$""".r
+  private val CopyToFormatR = """(?is)FORMAT\s+(\w+)""".r
+  private val CopyToZorderR = """(?is)ZORDER\s*\(([^)]*)\)""".r
   private val AlterRlsR =
     """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+(ENABLE|DISABLE)\s+ROW\s+LEVEL\s+SECURITY\s*$""".r
   private val CreatePolicyR =
@@ -437,8 +440,12 @@ object StatementRouter {
       case DescribeR(table) => Describe(table)
       case CopyR(table, path, format) =>
         CopyFrom(table, path, Option(format).map(_.toLowerCase))
-      case CopyToR(source, path, format) =>
-        CopyTo(source, path, Option(format).map(_.toLowerCase))
+      case CopyToR(source, path, opts) =>
+        val o = Option(opts).getOrElse("")
+        CopyTo(source, path,
+          CopyToFormatR.findFirstMatchIn(o).map(_.group(1).toLowerCase),
+          CopyToZorderR.findFirstMatchIn(o).toSeq
+            .flatMap(_.group(1).split(",")).map(_.trim).filter(_.nonEmpty))
       case BeginR() => Begin
       case CommitR() => Commit
       case RollbackR(sp) => Rollback(Option(sp))

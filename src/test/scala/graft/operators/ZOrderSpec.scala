@@ -114,4 +114,29 @@ class ZOrderSpec extends AnyFunSuite {
     e.sql("ROLLBACK")
     e.close()
   }
+
+  test("COPY TO with ZORDER clusters the export layout") {
+    val e = QueryEngine.scratch(spark)
+    e.attachExternal("orders", s"$sfDir/orders.parquet")
+    val out = java.nio.file.Files.createTempDirectory("zorder-copy-").toString
+    e.sql(s"""COPY (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
+             |TO '$out/x' (FORMAT PARQUET, ZORDER (o_orderkey, o_custkey))"""
+      .stripMargin.replace("\n", " "))
+    val exported = spark.read.parquet(s"$out/x")
+    assert(exported.count() === spark.read.parquet(s"$sfDir/orders.parquet").count())
+    // clustered: per-file ranges narrow vs the full key span. An
+    // unclustered export gives every file ~the full span; the curve
+    // quadrants land well below it even with boundary-straddling files
+    // (range-partition boundaries fall mid-quadrant), so 0.75 is the
+    // robust side of the claim
+    val span = exported.agg(max("o_orderkey") - min("o_orderkey"))
+      .collect().head.getLong(0).toDouble
+    assert(meanFileRange(s"$out/x", "o_orderkey") < span * 0.75)
+    // unknown ZORDER column is rejected before writing
+    val err = intercept[IllegalArgumentException] {
+      e.sql(s"COPY (SELECT o_orderkey FROM orders) TO '$out/y' (FORMAT PARQUET, ZORDER (nope))")
+    }
+    assert(err.getMessage.contains("nope"))
+    e.close()
+  }
 }
