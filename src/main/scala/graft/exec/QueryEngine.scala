@@ -1082,6 +1082,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       current.statementTimeoutMs = ms
       summary("timeout_set", ms, 0L)
     case Statement.ShowMetrics => showMetrics()
+    case Statement.ShowStorage(t) => showStorage(t)
     case Statement.SetSlowLog(ms) =>
       slowLogThresholdMs = ms
       if (ms == 0) slowLog.clear()
@@ -2006,6 +2007,44 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     val slow = slowLog.toSeq.map { case (id, st, ms) =>
       ("slow", s"stmt_$id", ms, st) }
     (hist ++ summary ++ slow).toDF("kind", "item", "value", "statement")
+  }
+
+  /** SHOW STORAGE [FOR t]: per-table physical footprint — log and
+    * snapshot file counts/bytes, checkpoint sequences, retention
+    * floor, last sequence. The ops answer to "what would VACUUM or
+    * OPTIMIZE actually reclaim". Metadata-only: one recursive listing
+    * per table, no data read — O(#files) driver work, the same cost
+    * class as the reopen sweep, acceptable for an explicit admin
+    * command (never on a query path). */
+  private def showStorage(table: Option[String]): DataFrame = {
+    import spark.implicits._
+    val names = table.map(t => Seq(catalog.require(t).name))
+      .getOrElse(catalog.tableNames)
+    val rows = names.filter(n => catalog.get(n).exists(_.attached.isEmpty)).map { n =>
+      def du(dir: String): (Long, Long) = {
+        val p = new Path(dir)
+        val dfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!dfs.exists(p)) (0L, 0L)
+        else {
+          val it = dfs.listFiles(p, true)
+          var files = 0L
+          var bytes = 0L
+          while (it.hasNext) {
+            val f = it.next()
+            if (!f.getPath.getName.startsWith("_")) { files += 1; bytes += f.getLen }
+          }
+          (files, bytes)
+        }
+      }
+      val (lf, lb) = du(catalog.logPath(n))
+      val (sf, sb) = du(catalog.snapshotPath(n))
+      val snaps = Snapshots.available(spark, catalog.snapshotPath(n))
+      (n, lf, lb, sf, sb, snaps.size.toLong, snaps.lastOption,
+        catalog.retentionFloor(n), catalog.lastSeq(n))
+    }
+    rows.toDF("table", "log_files", "log_bytes", "snapshot_files",
+      "snapshot_bytes", "snapshots", "newest_snapshot_seq",
+      "retention_floor", "last_sequence")
   }
 
   private def showMetrics(): DataFrame = {

@@ -191,6 +191,10 @@ object Statement {
   /** SHOW METRICS — engine counters/gauges (monitoring.rs:81-246
     * MonitoringSystem / DatabaseMetrics / QueryMetrics). */
   case object ShowMetrics extends Statement
+  /** SHOW STORAGE [FOR t] — physical footprint per table: log/snapshot
+    * file counts and bytes, snapshot sequences, retention floor. The
+    * ops answer to "what is VACUUM/OPTIMIZE actually reclaiming". */
+  final case class ShowStorage(table: Option[String]) extends Statement
   /** SET SLOW_LOG <ms> — statements at/over the threshold land in the
     * slow-statement log; 0 disables (monitoring.rs:97
     * slow_query_threshold_ms). */
@@ -312,6 +316,8 @@ object StatementRouter {
   private val ShowMigrationsR = """(?is)^SHOW\s+MIGRATIONS\s*$""".r
   private val SetTimeoutR = """(?is)^SET\s+STATEMENT_TIMEOUT\s+(\d+)\s*$""".r
   private val ShowMetricsR = """(?is)^SHOW\s+METRICS\s*$""".r
+  private val ShowStorageR =
+    """(?is)^SHOW\s+STORAGE(?:\s+FOR\s+([\w.]+))?\s*$""".r
   private val SetSlowLogR = """(?is)^SET\s+SLOW_LOG\s+(\d+)\s*$""".r
   private val ShowPerfR = """(?is)^SHOW\s+PERF\s*$""".r
   private val SetEncryptionKeyR =
@@ -400,6 +406,7 @@ object StatementRouter {
       case ShowMigrationsR() => ShowMigrations
       case SetTimeoutR(ms) => SetStatementTimeout(ms.toLong)
       case ShowMetricsR() => ShowMetrics
+      case ShowStorageR(t) => ShowStorage(Option(t))
       case SetSlowLogR(ms) => SetSlowLog(ms.toLong)
       case ShowPerfR() => ShowPerf
       case SetEncryptionKeyR(k) => SetEncryptionKey(k)

@@ -124,4 +124,27 @@ class VacuumSpec extends AnyFunSuite {
       .collect().head.getLong(0) === 2L)
     e2.close()
   }
+
+  test("SHOW STORAGE tracks what vacuum and snapshot actually hold") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, v STRING)")
+    e.sql("INSERT INTO t VALUES (1,'a'), (2,'b'), (3,'c')")
+    val before = e.sql("SHOW STORAGE FOR t").collect().head
+    assert(before.getString(0) === "t")
+    assert(before.getLong(1) > 0 && before.getLong(2) > 0) // log files+bytes
+    assert(before.getLong(5) === 0L) // no snapshots yet
+    assert(before.getLong(8) === 3L) // last_sequence
+
+    e.sql("SNAPSHOT t")
+    e.sql("VACUUM t RETAIN @SEQ:3")
+    val after = e.sql("SHOW STORAGE FOR t").collect().head
+    assert(after.getLong(1) === 0L, "covered log files reclaimed")
+    assert(after.getLong(3) > 0L && after.getLong(5) === 1L) // one snapshot serving
+    assert(after.getLong(6) === 3L) // newest_snapshot_seq
+    assert(after.getLong(7) === 3L) // retention_floor
+    // every engine table appears in the unfiltered listing
+    e.sql("CREATE TABLE u (k BIGINT PRIMARY KEY)")
+    assert(e.sql("SHOW STORAGE").collect().map(_.getString(0)).toSet === Set("t", "u"))
+    e.close()
+  }
 }
