@@ -105,6 +105,13 @@ object Cli {
           // snapshots (reclaim is VACUUM RETAIN, an explicit decision)
           val o = opts(rest)
           withEngine(spark, o)(e => { show(e.sql(s"SNAPSHOT ${req(o, "t")}"), out); 0 })
+        case "optimize" :: rest =>
+          // layout clustering: graft optimize -d dir -t t [-z c1,c2]
+          val o = opts(rest)
+          withEngine(spark, o) { e =>
+            val z = o.get("z").map(cols => s" ZORDER BY ($cols)").getOrElse("")
+            show(e.sql(s"OPTIMIZE ${req(o, "t")}$z"), out); 0
+          }
         case "analyze" :: rest =>
           val o = opts(rest)
           withEngine(spark, o) { e =>
@@ -185,7 +192,7 @@ object Cli {
     }
 
   private val usage =
-    """usage: graft <init|sql|ingest|export|select|drift|snapshot|compact|analyze|doctor|backup|serve> [options]
+    """usage: graft <init|sql|ingest|export|select|drift|snapshot|compact|optimize|analyze|doctor|backup|serve> [options]
       |  -d <dir>   database directory (required except init)
       |  sql: -e "<SQL>" | -f <file.sql> | (stdin REPL)
       |  ingest: -t <table> -f <file> [--format jsonl|parquet|csv]
@@ -218,7 +225,8 @@ object Cli {
     }
     // long-option aliases fold onto the short names the dispatch uses
     val alias = Map("data" -> "d", "execute" -> "e", "file" -> "f",
-      "table" -> "t", "where" -> "w", "limit" -> "l", "key" -> "k")
+      "table" -> "t", "where" -> "w", "limit" -> "l", "key" -> "k",
+      "zorder" -> "z")
     val o = loop(args, Map.empty, Set.empty, Nil)
     o.copy(kv = o.kv.map { case (k, v) => (alias.getOrElse(k, k), v) })
   }

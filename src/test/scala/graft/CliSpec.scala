@@ -157,6 +157,8 @@ class CliSpec extends AnyFunSuite {
     cli("sql", "-d", dir, "-e",
       "CREATE TABLE t (k BIGINT PRIMARY KEY); INSERT INTO t VALUES (1)")
     assert(cli("snapshot", "-d", dir, "-t", "t")._1 === 0)
+    assert(cli("optimize", "-d", dir, "-t", "t", "-z", "k")._1 === 0)
+    assert(cli("optimize", "-d", dir, "-t", "nope")._1 === 1)
     assert(cli("analyze", "-d", dir)._1 === 0)
     val (dc, dout, _) = cli("doctor", "-d", dir)
     assert(dc === 0 && dout.contains("ok"))

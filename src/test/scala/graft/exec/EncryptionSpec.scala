@@ -82,4 +82,18 @@ class EncryptionSpec extends AnyFunSuite {
     warm.sql(s"SET ENCRYPTION KEY '$keyB64'") // restore for cleanliness
     warm.close()
   }
+
+  test("OPTIMIZE's clustered snapshot rewrite stays encrypted") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, a BIGINT, b BIGINT)")
+    e.sql(s"SET ENCRYPTION KEY '$keyB64'")
+    e.sql("INSERT INTO t SELECT id, id % 7, id % 11 FROM range(200)")
+    e.sql("OPTIMIZE t ZORDER BY (a, b)")
+    val snaps = new java.io.File(s"${e.baseDir}/tables/t/snapshots")
+      .listFiles.flatMap(_.listFiles).filter(_.getName.startsWith("part-"))
+    assert(snaps.nonEmpty && snaps.forall(f => magic(f) == "PARE"),
+      "clustered rewrite produced a plaintext file")
+    assert(e.sql("SELECT COUNT(*) AS n FROM t").collect() === Array(Row(200L)))
+    e.close()
+  }
 }
