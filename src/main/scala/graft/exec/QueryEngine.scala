@@ -2635,6 +2635,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   def optimize(table: String, zorderBy: Seq[String] = Seq.empty): DataFrame = {
     if (txn.isDefined)
       throw new IllegalStateException("OPTIMIZE cannot run inside a transaction")
+    // rewrites the shared checkpoint layout (PG's CLUSTER requires
+    // ownership for the same reason) — admin surface under the gate
+    requireSuperuser("OPTIMIZE")
     val t = catalog.require(table)
     require(t.attached.isEmpty, s"cannot optimize attached event log: $table")
     val logical = if (zorderBy.nonEmpty) zorderBy else Seq(t.pk)
@@ -2706,6 +2709,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * floor (min <= floor < max) are kept whole: the tail filter
     * already prunes their pre-floor events by the sequence predicate. */
   def vacuumRetain(table: String, retainSeq: Long): DataFrame = {
+    // physically destroys shared history below the floor — destructive
+    // admin surface, same gate class as DROP TABLE / RESTORE
+    requireSuperuser("VACUUM RETAIN")
     val t = catalog.require(table)
     require(t.attached.isEmpty, s"cannot vacuum attached event log: $table")
     val snapDir = catalog.snapshotPath(table)

@@ -95,4 +95,22 @@ class GrantsSpec extends AnyFunSuite {
     assert(e2.sql("SHOW GRANTS").count() === 0L)
     e2.close()
   }
+
+  test("VACUUM RETAIN and OPTIMIZE are superuser-only under the gate") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY)")
+    e.sql("INSERT INTO t VALUES (1), (2)")
+    e.sql("GRANT ALL ON t TO alice")
+    e.sql("SET PRIVILEGES ON")
+    val alice = e.newSession(); alice.setAuth("alice")
+    // full DML rights do NOT include destroying shared history or
+    // rewriting the shared checkpoint layout
+    intercept[SecurityException] { alice.sql("VACUUM t RETAIN @SEQ:1") }
+    intercept[SecurityException] { alice.sql("OPTIMIZE t") }
+    // the superuser session can
+    e.sql("OPTIMIZE t")
+    e.sql("VACUUM t RETAIN @SEQ:2")
+    assert(e.sql("SELECT COUNT(*) AS n FROM t").collect().head.getLong(0) === 2L)
+    e.close()
+  }
 }
