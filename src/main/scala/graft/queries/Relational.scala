@@ -524,6 +524,26 @@ object Relational {
       .offset(100).limit(20)
   }
 
+  /** Salted skew join (operators/SkewJoin): a heavy-hitter fact key is
+    * spread over (key, salt) sub-keys with the dim side replicated —
+    * the manual fix for single-key skew AQE's partition splitting
+    * cannot touch. The oracle is the PLAIN join: salting must be
+    * invisible in the result. */
+  val qSkewJoin = Q(
+    "q_skew_join",
+    """SELECT l_orderkey, l_linenumber, l_partkey, p_brand
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_quantity >= 45
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    val li = t(s, dir, "lineitem").where(col("l_quantity") >= 45)
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+    val dim = t(s, dir, "part")
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    graft.operators.SkewJoin.saltedJoin(li, dim, "l_partkey", salts = 8)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "p_brand")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** SELECT DISTINCT (typed full-row dedup, not the reference's
     * JSON-string dedup — sql_bridge.rs:5343-5358). */
   val qDistinct = Q(
@@ -601,7 +621,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     qScanFilter, qPredLikeIn, qPredNull, qCaseArith,
     q1Agg, qGlobalAgg, qCountDistinct, qHaving, qRollup,
-    qGroupingSets, qPercentiles, qPivot,
+    qGroupingSets, qPercentiles, qPivot, qSkewJoin,
     qJoinInner, qJoinLeft, qJoinRight, qJoinFull, qJoinCross,
     qSemiJoin, qAntiJoin, qSelfJoin, qMultiJoin,
     qTopK, qOffset, qDistinct,
