@@ -421,6 +421,17 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
 
   def indexNames: Seq[String] = indexes.keys.toSeq
 
+  def dropIndex(idx: String, ifExists: Boolean = false): Unit = {
+    if (indexes.remove(idx).isEmpty && !ifExists)
+      throw new IllegalArgumentException(s"index not found: $idx")
+    save()
+  }
+
+  /** Logical columns with a declared index on `table` (bloom-filter
+    * write options derive from this). */
+  def indexedColumns(table: String): Seq[String] =
+    indexes.values.collect { case (t, c) if t == table => c }.toSeq
+
   // -------------------------------------------------------- triggers
 
   /** CREATE TRIGGER records (timing, event, table, body); firing runs

@@ -352,7 +352,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       val lines = new StringBuilder
       batches.zipWithIndex.foreach { case ((table, ev), i) =>
         val dir = new Path(stagingRoot, s"batch-$i")
-        encrypted(ev.write).parquet(dir.toString)
+        encrypted(ev.write)
+          .options(catalog.get(table).map(bloomOptions).getOrElse(Map.empty))
+          .parquet(dir.toString)
         for (f <- fs.listStatus(dir) if f.getPath.getName.startsWith("part-"))
           lines.append(s"file\tbatch-$i/${f.getPath.getName}\t${enc(table)}\n")
       }
@@ -408,6 +410,20 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     if (encryptionOn)
       w.option("parquet.encryption.uniform.key", Encryption.MasterKeyId)
     else w
+
+  /** CREATE INDEX made physical: every log/snapshot write of a table
+    * with declared indexes adds a parquet BLOOM FILTER on the indexed
+    * payload columns. Min/max stats already serve range predicates;
+    * blooms serve the equality/IN point lookups the reference's B-tree
+    * indexes exist for (index.rs:9-36) — a scan with `col = x` skips
+    * every row group whose bloom excludes x, which min/max cannot do
+    * for high-cardinality unsorted columns. Event-feed reads
+    * (FOR SYSTEM_TIME ALL/BETWEEN, CDC) and external consumers of the
+    * files benefit directly. */
+  private def bloomOptions(t: TableDef): Map[String, String] =
+    catalog.indexedColumns(t.name).flatMap(cn =>
+      t.columns.find(_.logical.equalsIgnoreCase(cn)).map(c =>
+        s"parquet.bloom.filter.enabled#payload.${c.physical}" -> "true")).toMap
 
   /** Step 3 of publishAtomic — also the recovery path the engine-open
     * sweep replays for a manifest that crashed mid-publish. Idempotent:
@@ -681,10 +697,15 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           cycle = false, ownedBy = Some((name, c)))
       summary("created", 0L, catalog.lastSeq(name))
     case Statement.CreateIndex(idx, table, colName) =>
-      // metadata only: pushdown + parquet min/max subsume secondary
-      // indexes (SURVEY §1.4)
+      // catalog metadata + physical effect: subsequent log/snapshot
+      // writes stamp a parquet bloom filter on the indexed column
+      // (bloomOptions) — range predicates were already served by
+      // min/max pruning and pushdown (SURVEY §1.4)
       catalog.createIndex(idx, table, colName)
       summary("indexed", 0L, catalog.lastSeq(table))
+    case Statement.DropIndex(idx, ifEx) =>
+      catalog.dropIndex(idx, ifEx)
+      summary("index_dropped", 0L, 0L)
     case Statement.CreateView(name, viewSql, materialized, orReplace) =>
       if (!materialized) {
         if (orReplace && catalog.isMaterialized(name))
@@ -2609,9 +2630,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         case None => events(t)
       }
       Snapshots.write(src, snapDir, seq,
-        if (encryptionOn)
+        (if (encryptionOn)
           Map("parquet.encryption.uniform.key" -> Encryption.MasterKeyId)
-        else Map.empty)
+        else Map.empty[String, String]) ++ bloomOptions(t))
     }
     lastSnapSeqs(table) = math.max(lastSnapSeqs.getOrElse(table, 0L), seq)
     metricSnapshots += 1
@@ -2655,9 +2676,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       frames, physical.map(p => s"payload.$p"),
       spark.sessionState.conf.numShufflePartitions)
     Snapshots.writeVersioned(clustered, snapDir, seq,
-      if (encryptionOn)
+      (if (encryptionOn)
         Map("parquet.encryption.uniform.key" -> Encryption.MasterKeyId)
-      else Map.empty)
+      else Map.empty[String, String]) ++ bloomOptions(t))
     summary("optimize", 0L, seq)
   }
 

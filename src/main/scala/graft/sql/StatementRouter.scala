@@ -30,6 +30,7 @@ object Statement {
       fks: Seq[FkDef] = Nil,
       constraints: Seq[ConstraintDef] = Nil) extends Statement
   final case class CreateIndex(index: String, table: String, column: String) extends Statement
+  final case class DropIndex(index: String, ifExists: Boolean) extends Statement
   /** CREATE [OR REPLACE] [MATERIALIZED] VIEW (views.rs:40-123 —
     * is_materialized). */
   final case class CreateView(name: String, sql: String,
@@ -226,6 +227,8 @@ object StatementRouter {
     """(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)\)\s*$""".r
   private val CreateIndexR =
     """(?is)^CREATE\s+(?:UNIQUE\s+)?INDEX\s+(\w+)\s+ON\s+([\w.]+)\s*\(\s*(\w+)\s*\)\s*$""".r
+  private val DropIndexR =
+    """(?is)^DROP\s+INDEX\s+(IF\s+EXISTS\s+)?(\w+)\s*$""".r
   private val CreateViewR =
     """(?is)^CREATE\s+(OR\s+REPLACE\s+)?(MATERIALIZED\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)$""".r
   private val RefreshMatViewR =
@@ -355,6 +358,7 @@ object StatementRouter {
         val (cols, pk, fks, cons) = parseCreateBody(body)
         CreateTable(name, cols, pk, fks, cons)
       case CreateIndexR(idx, table, colName) => CreateIndex(idx, table, colName)
+      case DropIndexR(ifEx, idx) => DropIndex(idx, ifEx != null)
       case CreateViewR(orRepl, mat, name, sql) =>
         CreateView(name, sql.trim, mat != null, orRepl != null)
       case RefreshMatViewR(name, inc) => RefreshMatView(name, inc != null)
