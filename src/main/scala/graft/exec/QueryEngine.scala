@@ -1448,14 +1448,17 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       case _ => asOf.orElse(snapCap)
     }
     val base = Snapshots.nearest(spark, catalog.snapshotPath(table), bound)
+    // keyed collapse: the pk output column IS the window partition
+    // attribute, so pk predicates push below the collapse to the scan
     val collapsed = base match {
       case Some(snapSeq) =>
         val tail = asOf.fold(ev.where(col("sequence") > snapSeq))(s =>
           ev.where(col("sequence") > snapSeq && col("sequence") <= s))
         val snap = Snapshots.read(spark, catalog.snapshotPath(table), snapSeq,
           Some(EventLog.schema(t.payloadSchema)))
-        StateView.stateAt(snap.unionByName(tail, allowMissingColumns = true), None)
-      case None => StateView.stateAt(ev, asOf)
+        StateView.stateAtKeyed(
+          snap.unionByName(tail, allowMissingColumns = true), None, t.pkPhysical)
+      case None => StateView.stateAtKeyed(ev, asOf, t.pkPhysical)
     }
     // column mapping: physical payload fields -> logical names; a
     // column added by ALTER before any event carries it reads as NULL

@@ -29,11 +29,11 @@ object StateView {
   /** Current state: latest non-deleted payload per primary key. */
   def state(events: DataFrame): DataFrame = stateAt(events, None)
 
-  /** Restrict an event frame to the live epoch of each pk: the events
+  /** Restrict an event frame to the live epoch of each key: the events
     * from the most recent INSERT (<= the target sequence) onward, and
     * only for keys whose last INSERT outlives their last SOFT_DELETE. */
-  private def liveEpoch(bounded: DataFrame): DataFrame = {
-    val byPk = Window.partitionBy("pk")
+  private def liveEpoch(bounded: DataFrame, key: String): DataFrame = {
+    val byPk = Window.partitionBy(key)
     val lastIns = max(when(col("event_type") === EventLog.INSERT,
       col("sequence"))).over(byPk)
     val lastDel = max(when(col("event_type") === EventLog.SOFT_DELETE,
@@ -45,23 +45,52 @@ object StateView {
         col("sequence") >= col("_li"))
   }
 
+  /** Winning event per live key (all windows share `key`'s hash
+    * partitioning — one Exchange). */
+  private def collapsedBy(events: DataFrame, asOfSeq: Option[Long],
+      key: String): DataFrame = {
+    val bounded = asOfSeq.fold(events)(s => events.where(col("sequence") <= s))
+    val wDesc = Window.partitionBy(key).orderBy(col("sequence").desc)
+    liveEpoch(bounded, key)
+      .withColumn("_rn", row_number().over(wDesc))
+      .where(col("_rn") === 1)
+  }
+
   /** Winning event frame per live pk as of a sequence: the single
     * event whose payload is the row's current full document. Used by
     * both `stateAt` (projects the payload) and snapshotting (rewrites
     * the frame as INSERT checkpoint rows). */
-  def collapsedFrames(events: DataFrame, asOfSeq: Option[Long]): DataFrame = {
-    val bounded = asOfSeq.fold(events)(s => events.where(col("sequence") <= s))
-    val wDesc = Window.partitionBy("pk").orderBy(col("sequence").desc)
-    liveEpoch(bounded)
-      .withColumn("_rn", row_number().over(wDesc))
-      .where(col("_rn") === 1)
+  def collapsedFrames(events: DataFrame, asOfSeq: Option[Long]): DataFrame =
+    collapsedBy(events, asOfSeq, "pk")
       .select(col("sequence"), col("ts"), col("event_type"), col("pk"),
         col("payload"))
-  }
 
   /** State as of a sequence number (inclusive). None = current. */
   def stateAt(events: DataFrame, asOfSeq: Option[Long]): DataFrame =
     collapsedFrames(events, asOfSeq).select(col("payload.*"))
+
+  /** `stateAt` with the collapse keyed on the TYPED payload pk field —
+    * and, critically, with the output pk column being the partition
+    * attribute itself. Catalyst pushes a predicate through a Window
+    * only when it references partition ATTRIBUTES, so with this shape
+    * a point lookup (`WHERE k = 5`) or pk range travels below the
+    * collapse into the parquet scan: nested pushdown prunes row groups
+    * by min/max (and the pk's bloom filter when indexed) instead of
+    * collapsing the whole log first. At 100 TB this is the difference
+    * between a point lookup and a full-table replay. Equivalent to
+    * keying on the top-level `pk` string: that column is the payload
+    * pk cast to string, which is injective for every supported pk
+    * type. */
+  def stateAtKeyed(events: DataFrame, asOfSeq: Option[Long],
+      pkPhysical: String): DataFrame = {
+    val fields = events.schema("payload").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+    val withK = events.withColumn("__pkv", col(s"payload.`$pkPhysical`"))
+    collapsedBy(withK, asOfSeq, "__pkv")
+      .select(fields.toIndexedSeq.map(f =>
+        if (f == pkPhysical) col("__pkv").as(f)
+        else col(s"payload.`$f`").as(f)): _*)
+  }
 
   /** Resolve a timestamp to the max sequence whose event ts <= target
     * (engine.rs:2010 seq-from-ts), then reconstruct. The resolution is
@@ -89,7 +118,7 @@ object StateView {
     val wDesc = Window.partitionBy("pk").orderBy(col("sequence").desc)
     val merged = payloadCols.map(c =>
       last(col(s"payload.$c"), ignoreNulls = true).over(wAsc).as(c))
-    liveEpoch(events)
+    liveEpoch(events, "pk")
       .select(Seq(col("pk"), col("sequence")) ++ merged: _*)
       .withColumn("_rn", row_number().over(wDesc))
       .where(col("_rn") === 1)

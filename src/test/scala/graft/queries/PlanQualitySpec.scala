@@ -84,4 +84,20 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
     }
   }
+
+  test("pk point lookups push through the state collapse to the scan") {
+    val e = graft.exec.QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE pt (k BIGINT PRIMARY KEY, v STRING)")
+    e.sql("INSERT INTO pt SELECT id, CONCAT('v', id) FROM range(1000)")
+    val df = e.sql("SELECT k, v FROM pt WHERE k = 77")
+    val p = plan(df)
+    // the collapse is keyed on the payload pk attribute, so the
+    // equality must reach the parquet scan as a pushed nested filter -
+    // a plan that collapses the whole log first fails a 100 TB point
+    // lookup no matter how fast everything above it is
+    assert(p.contains("EqualTo(payload.k,77)"),
+      "pk predicate did not reach the scan:\n" + p.take(3000))
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(77L))
+    e.close()
+  }
 }
