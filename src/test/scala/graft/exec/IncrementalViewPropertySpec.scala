@@ -1,0 +1,73 @@
+package graft.exec
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Adversarial IVM check: a deterministic pseudo-random DML workload
+  * (inserts, group-moving updates, NULL transitions, deletes — keys
+  * colliding across a small space so groups empty and refill) with an
+  * INCREMENTALLY refresh after every batch. The merged view must equal
+  * the from-scratch aggregate after every single batch; one drifted
+  * count, sum, or ghost group fails the run with the batch number.
+  */
+class IncrementalViewPropertySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("random DML workload: incremental always equals full recompute") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    e.sql("""CREATE MATERIALIZED VIEW mv AS
+            |SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv
+            |FROM t WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
+
+    val rnd = new scala.util.Random(0xC0FFEE) // deterministic workload
+    val live = scala.collection.mutable.Set.empty[Long]
+    var nextKey = 0L
+    val groups = Vector("a", "b", "c", "d")
+
+    def freshView(): Set[String] =
+      e.sql("""SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv
+              |FROM t WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
+        .collect().map(_.toString).toSet
+    def mv(): Set[String] =
+      e.sql("SELECT grp, n, nv, sv FROM mv").collect().map(_.toString).toSet
+
+    for (batch <- 1 to 12) {
+      // 2-5 random statements per batch
+      for (_ <- 0 until (2 + rnd.nextInt(4))) rnd.nextInt(4) match {
+        case 0 => // insert 1-3 rows, sometimes NULL v, sometimes v >= 900 (WHERE-excluded)
+          val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            nextKey += 1; live += nextKey
+            val v = rnd.nextInt(4) match {
+              case 0 => "NULL"
+              case 1 => (900 + rnd.nextInt(100)).toString // outside the view's WHERE
+              case _ => rnd.nextInt(500).toString
+            }
+            s"($nextKey, '${groups(rnd.nextInt(groups.size))}', $v)"
+          }
+          e.sql(s"INSERT INTO t VALUES ${rows.mkString(", ")}")
+        case 1 if live.nonEmpty => // move a row across groups / WHERE boundary
+          val k = live.toSeq(rnd.nextInt(live.size))
+          val g = groups(rnd.nextInt(groups.size))
+          val v = if (rnd.nextBoolean()) "NULL" else rnd.nextInt(1000).toString
+          e.sql(s"UPDATE t SET grp = '$g', v = $v WHERE k = $k")
+        case 2 if live.nonEmpty => // delete a random key or a whole group
+          if (rnd.nextBoolean()) {
+            val k = live.toSeq(rnd.nextInt(live.size)); live -= k
+            e.sql(s"DELETE FROM t WHERE k = $k")
+          } else {
+            val g = groups(rnd.nextInt(groups.size))
+            val gone = e.sql(s"SELECT k FROM t WHERE grp = '$g'")
+              .collect().map(_.getLong(0))
+            live --= gone
+            e.sql(s"DELETE FROM t WHERE grp = '$g'")
+          }
+        case _ => // occasionally nothing (no-op refresh path)
+      }
+      e.sql("REFRESH MATERIALIZED VIEW mv INCREMENTALLY")
+      assert(mv() === freshView(), s"diverged after batch $batch")
+    }
+    e.close()
+  }
+}

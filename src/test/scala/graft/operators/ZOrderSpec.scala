@@ -139,4 +139,20 @@ class ZOrderSpec extends AnyFunSuite {
     assert(err.getMessage.contains("nope"))
     e.close()
   }
+
+  test("clustering preserves any content: nulls, duplicates, strings, skew") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 2000).map { i =>
+      val a: java.lang.Long = if (rnd.nextInt(10) == 0) null
+        else Long.box(if (rnd.nextInt(4) == 0) 7L else rnd.nextInt(100).toLong)
+      val sVal: String = if (rnd.nextInt(10) == 0) null
+        else ("s" + rnd.nextInt(50))
+      (i.toLong, a, sVal)
+    }
+    val df = rows.toDF("id", "a", "s")
+    val out = ZOrder.cluster(df, Seq("a", "s"), 8)
+    assert(out.count() === 2000L)
+    assert(df.exceptAll(out).count() === 0L && out.exceptAll(df).count() === 0L)
+  }
 }
