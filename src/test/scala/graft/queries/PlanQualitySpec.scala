@@ -100,4 +100,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).toSeq === Seq(77L))
     e.close()
   }
+
+  test("narrow queries prune the payload struct through the collapse") {
+    val e = graft.exec.QueryEngine.scratch(spark)
+    e.sql("""CREATE TABLE wide (k BIGINT PRIMARY KEY, a STRING, b STRING,
+            |c STRING, d STRING, e2 STRING, f STRING, g STRING)""".stripMargin
+      .replace("\n", " "))
+    e.sql("INSERT INTO wide SELECT id, 'a','b','c','d','e','f','g' FROM range(10)")
+    val p = plan(e.sql("SELECT k, a FROM wide"))
+    val structs = "payload:struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(structs.nonEmpty, p.take(2000))
+    assert(structs.forall(_.split(",").length <= 2),
+      s"collapse read the whole payload for a 2-column query: $structs")
+    e.close()
+  }
 }
