@@ -421,6 +421,10 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
 
   def indexNames: Seq[String] = indexes.keys.toSeq
 
+  /** (index, table, column) triples for SHOW INDEXES. */
+  def indexList: Seq[(String, String, String)] =
+    indexes.toSeq.map { case (i, (t, c)) => (i, t, c) }
+
   def dropIndex(idx: String, ifExists: Boolean = false): Unit = {
     if (indexes.remove(idx).isEmpty && !ifExists)
       throw new IllegalArgumentException(s"index not found: $idx")

@@ -868,6 +868,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Statement.AlterSequenceRestart(name, withV) =>
       catalog.restartSequence(name, withV)
       summary("sequence_restarted", 0L, 0L)
+    case Statement.ShowIndexes =>
+      import spark.implicits._
+      catalog.indexList.toDF("index", "table", "column")
     case Statement.ShowSequences =>
       import spark.implicits._
       catalog.sequenceList.map(s => (s.name, s.start, s.increment,

@@ -70,6 +70,7 @@ object Statement {
   /** ALTER SEQUENCE name RESTART [WITH n] (sequences.rs:180-192). */
   final case class AlterSequenceRestart(name: String, withValue: Option[Long]) extends Statement
   case object ShowSequences extends Statement
+  case object ShowIndexes extends Statement
   final case class DropTable(name: String, ifExists: Boolean) extends Statement
   final case class DropView(name: String, ifExists: Boolean) extends Statement
   final case class Truncate(table: String) extends Statement
@@ -255,6 +256,7 @@ object StatementRouter {
   private val AlterSeqR =
     """(?is)^ALTER\s+SEQUENCE\s+(\w+)\s+RESTART(?:\s+WITH\s+(-?\d+))?\s*$""".r
   private val ShowSeqsR = """(?is)^SHOW\s+SEQUENCES\s*$""".r
+  private val ShowIndexesR = """(?is)^SHOW\s+INDEXES\s*$""".r
   private val DropTableR = """(?is)^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
   private val DropViewR = """(?is)^DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
   private val TruncateR = """(?is)^TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*$""".r
@@ -384,6 +386,7 @@ object StatementRouter {
       case AlterSeqR(name, withV) =>
         AlterSequenceRestart(name, Option(withV).map(_.toLong))
       case ShowSeqsR() => ShowSequences
+      case ShowIndexesR() => ShowIndexes
       case AlterRlsR(table, mode) =>
         AlterTableRls(table, mode.equalsIgnoreCase("ENABLE"))
       case CreatePolicyR(name, table, rest) => parseCreatePolicy(name, table, rest)

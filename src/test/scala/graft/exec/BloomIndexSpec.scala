@@ -67,4 +67,18 @@ class BloomIndexSpec extends AnyFunSuite {
       "bloom still stamped after DROP INDEX")
     e.close()
   }
+
+  test("SHOW INDEXES lists the registry; DROP INDEX removes the row") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, v STRING)")
+    e.sql("CREATE INDEX i1 ON t (v)")
+    e.sql("CREATE INDEX i2 ON t (k)")
+    assert(e.sql("SHOW INDEXES").collect().map(_.toString).toSet
+      === Set("[i1,t,v]", "[i2,t,k]"))
+    e.sql("DROP INDEX i1")
+    assert(e.sql("SHOW INDEXES").collect().map(_.toString).toSet === Set("[i2,t,k]"))
+    intercept[IllegalArgumentException] { e.sql("DROP INDEX nope") }
+    e.sql("DROP INDEX IF EXISTS nope") // no raise
+    e.close()
+  }
 }
