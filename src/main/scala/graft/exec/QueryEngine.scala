@@ -2338,18 +2338,44 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
 
   // ------------------------------------------------------ foreign keys
 
+  /** Max distinct keys inlined as an IN-list into a probe's scanned
+    * side. Below the cap, a DML statement's FK probe prunes the OTHER
+    * table's scan to the row groups holding the probed keys (the
+    * keyed collapse pushes pk predicates; min/max + bloom do the
+    * skipping) — a point probe instead of a full-table collapse per
+    * statement. Past the cap the anti-join shape alone is correct and
+    * scale-right (AQE broadcasts the smaller side). */
+  private val InlineKeyCap = 256
+
+  /** Restrict `df` to rows whose `column` is among the (pinned,
+    * small) batch's distinct `keyCol` values — semantics-preserving
+    * for the FK probes: a parent/child row with a key outside the
+    * batch can never produce a violation row. Falls back to `df`
+    * unchanged when the batch exceeds the cap. */
+  private def inlineKeyFilter(df: DataFrame, column: String,
+      batch: DataFrame, keyCol: String): DataFrame = {
+    val vals = batch.select(col(keyCol)).where(col(keyCol).isNotNull)
+      .distinct().limit(InlineKeyCap + 1).collect().map(_.get(0))
+    if (vals.nonEmpty && vals.length <= InlineKeyCap)
+      df.where(col(column).isin(vals.toIndexedSeq: _*))
+    else df
+  }
+
   /** Rows about to land in `t` must reference existing parent keys; a
     * NULL FK value passes (MATCH SIMPLE, the PG default — fk.rs:73-77).
     * Set-based: one left-anti join per FK instead of the reference's
     * per-row parent scan (fk.rs:92-101) — the scale-correct shape, and
-    * AQE broadcasts the parent key set when it is small. A self-
-    * referencing FK also sees keys from the batch itself (a row may
-    * reference a sibling inserted by the same statement). Returns
-    * message frames the caller unions into its single guard job
-    * alongside the PK and constraint probes. */
+    * AQE broadcasts the parent key set when it is small. Small batches
+    * additionally inline their keys so the parent scan prunes to the
+    * probed row groups (inlineKeyFilter). A self-referencing FK also
+    * sees keys from the batch itself (a row may reference a sibling
+    * inserted by the same statement). Returns message frames the
+    * caller unions into its single guard job alongside the PK and
+    * constraint probes. */
   private def fkOutgoingProbes(t: TableDef, rowsLogical: DataFrame): Seq[DataFrame] =
     for ((c, rt, rc) <- catalog.foreignKeysOf(t.name)) yield {
-      val parent0 = stateAt(rt, None).select(col(rc).as("_fk_parent"))
+      val parent0 = inlineKeyFilter(stateAt(rt, None), rc, rowsLogical, c)
+        .select(col(rc).as("_fk_parent"))
       val parent = if (rt == t.name)
         parent0.unionByName(rowsLogical.select(col(rc).as("_fk_parent")))
       else parent0
@@ -2366,7 +2392,11 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * delete together). */
   private def fkIncomingProbes(t: TableDef, deleted: DataFrame): Seq[DataFrame] =
     for ((child, childCol, parentCol) <- catalog.referencingFks(t.name)) yield {
-      val childState0 = stateAt(child, None)
+      // a child row not referencing a deleted key can never block the
+      // delete — inline small delete batches so the child scan prunes
+      // (nested pushdown on payload.childCol; bloom when indexed)
+      val childState0 = inlineKeyFilter(stateAt(child, None), childCol,
+        deleted, parentCol)
       val childState = if (child == t.name)
         childState0.join(deleted.select(col(t.pk)), Seq(t.pk), "left_anti")
       else childState0
