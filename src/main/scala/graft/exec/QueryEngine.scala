@@ -2559,7 +2559,10 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       updated: DataFrame): Seq[DataFrame] = {
     val touched = assigns.map(_._1).toSet
     for ((c, rt, rc) <- catalog.foreignKeysOf(t.name) if touched(c)) yield {
-      val parent = stateAt(rt, None).select(col(rc).as("_fk_parent"))
+      // small updated batches inline their new FK values so the parent
+      // scan prunes to the probed row groups (same as fkOutgoingProbes)
+      val parent = inlineKeyFilter(stateAt(rt, None), rc, updated, c)
+        .select(col(rc).as("_fk_parent"))
       updated.where(col(c).isNotNull)
         .join(parent, col(c) === col("_fk_parent"), "left_anti")
         .select(lit(
