@@ -1058,6 +1058,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Statement.Explain(inner, analyze, format) => explain(inner, analyze, format)
     case Statement.Analyze(table) => analyze(table)
     case Statement.ShowTables => showTables()
+    case Statement.ShowCreateTable(table) => showCreateTable(table)
     case Statement.Describe(table) => describe(table)
     case Statement.CopyFrom(table, path, format) =>
       ingestFile(table, path, format.getOrElse(inferCopyFormat(path)))
@@ -3007,6 +3008,36 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     val t = catalog.require(table)
     t.columns.map(c => (c.logical, c.dataType.sql, c.logical == t.pk))
       .toDF("column", "type", "primary_key")
+  }
+
+  /** SHOW CREATE TABLE: round-trippable DDL reconstructed from catalog
+    * metadata — columns with declared types, PRIMARY KEY,
+    * AUTO_INCREMENT, inline REFERENCES, and table-level constraints,
+    * in the exact syntax the router parses. */
+  def showCreateTable(table: String): DataFrame = {
+    import spark.implicits._
+    val t = catalog.require(table)
+    val fks = catalog.foreignKeysOf(t.name).map(f => f._1 -> (f._2, f._3)).toMap
+    val autoInc = catalog.autoIncSequenceFor(t.name).map(_._2)
+    val notNull = catalog.constraintsOf(t.name)
+      .collect { case graft.catalog.Constraint.NotNull(c) => c }.toSet
+    val defaults = catalog.constraintsOf(t.name)
+      .collect { case graft.catalog.Constraint.Default(c, e) => c -> e }.toMap
+    val colDefs = t.columns.map { c =>
+      val parts = Seq(c.logical, c.dataType.sql) ++
+        (if (c.logical == t.pk) Seq("PRIMARY KEY") else Nil) ++
+        (if (autoInc.contains(c.logical)) Seq("AUTO_INCREMENT") else Nil) ++
+        (if (notNull(c.logical)) Seq("NOT NULL") else Nil) ++
+        defaults.get(c.logical).map(e => s"DEFAULT $e").toSeq ++
+        fks.get(c.logical).map { case (rt, rc) => s"REFERENCES $rt($rc)" }.toSeq
+      parts.mkString(" ")
+    }
+    val tableCons = catalog.constraintsOf(t.name).collect {
+      case graft.catalog.Constraint.Unique(cols) => s"UNIQUE (${cols.mkString(", ")})"
+      case graft.catalog.Constraint.Check(e) => s"CHECK ($e)"
+    }
+    val ddl = s"CREATE TABLE ${t.name} (${(colDefs ++ tableCons).mkString(", ")})"
+    Seq((t.name, ddl)).toDF("table", "create_table")
   }
 
   // ======================================================== attachments

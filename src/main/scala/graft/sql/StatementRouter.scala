@@ -71,6 +71,8 @@ object Statement {
   final case class AlterSequenceRestart(name: String, withValue: Option[Long]) extends Statement
   case object ShowSequences extends Statement
   case object ShowIndexes extends Statement
+  /** SHOW CREATE TABLE t — round-trippable DDL from catalog metadata. */
+  final case class ShowCreateTable(table: String) extends Statement
   final case class DropTable(name: String, ifExists: Boolean) extends Statement
   final case class DropView(name: String, ifExists: Boolean) extends Statement
   final case class Truncate(table: String) extends Statement
@@ -257,6 +259,8 @@ object StatementRouter {
     """(?is)^ALTER\s+SEQUENCE\s+(\w+)\s+RESTART(?:\s+WITH\s+(-?\d+))?\s*$""".r
   private val ShowSeqsR = """(?is)^SHOW\s+SEQUENCES\s*$""".r
   private val ShowIndexesR = """(?is)^SHOW\s+INDEXES\s*$""".r
+  private val ShowCreateR =
+    """(?is)^SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*$""".r
   private val DropTableR = """(?is)^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
   private val DropViewR = """(?is)^DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
   private val TruncateR = """(?is)^TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*$""".r
@@ -387,6 +391,7 @@ object StatementRouter {
         AlterSequenceRestart(name, Option(withV).map(_.toLong))
       case ShowSeqsR() => ShowSequences
       case ShowIndexesR() => ShowIndexes
+      case ShowCreateR(t) => ShowCreateTable(t)
       case AlterRlsR(table, mode) =>
         AlterTableRls(table, mode.equalsIgnoreCase("ENABLE"))
       case CreatePolicyR(name, table, rest) => parseCreatePolicy(name, table, rest)
