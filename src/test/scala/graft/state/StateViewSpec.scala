@@ -210,4 +210,25 @@ class StateViewSpec extends AnyFunSuite {
       assert(replayed === direct, s"cut at $cut")
     }
   }
+
+  test("keyed collapse survives ALTER add/rename across snapshot + tail") {
+    val e = graft.exec.QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, v STRING)")
+    e.sql("INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+    e.sql("SNAPSHOT t") // pre-ALTER checkpoint: payload lacks the new column
+    e.sql("ALTER TABLE t ADD COLUMN w BIGINT")
+    e.sql("INSERT INTO t VALUES (3, 'c', 30)")
+    e.sql("UPDATE t SET w = 10 WHERE k = 1")
+    e.sql("ALTER TABLE t RENAME COLUMN v TO label")
+    // point lookup through the keyed collapse over mixed-schema files
+    assert(e.sql("SELECT k, label, w FROM t WHERE k = 1").collect().map(_.toString).toSeq
+      === Seq("[1,a,10]"))
+    // pre-ALTER rows read NULL for the added column; renamed column maps
+    assert(e.sql("SELECT k, label, w FROM t ORDER BY k").collect().map(_.toString).toSeq
+      === Seq("[1,a,10]", "[2,b,null]", "[3,c,30]"))
+    // time travel below the ALTER still collapses correctly
+    assert(e.sql("SELECT k, label FROM t FOR SYSTEM_TIME AS OF @SEQ:2 ORDER BY k")
+      .collect().map(_.toString).toSeq === Seq("[1,a]", "[2,b]"))
+    e.close()
+  }
 }
