@@ -195,4 +195,21 @@ class PgServerSpec extends AnyFunSuite {
       assert(c3 === 0 && out3.trim === "1")
     }
   }
+
+  test("round-8 admin surfaces work over the wire") {
+    withServer { (_, port) =>
+      assert(psql(port, "CREATE TABLE t (k BIGINT PRIMARY KEY, v BIGINT)")._1 === 0)
+      assert(psql(port, "CREATE INDEX iv ON t (v)")._1 === 0)
+      assert(psql(port, "INSERT INTO t SELECT id, id * 2 FROM range(100)")._1 === 0)
+      assert(psql(port, "OPTIMIZE t ZORDER BY (v)")._1 === 0)
+      val (c1, idx, _) = psql(port, "SHOW INDEXES")
+      assert(c1 === 0 && idx.contains("iv|t|v"), idx)
+      val (c2, storage, _) = psql(port, "SHOW STORAGE FOR t")
+      assert(c2 === 0 && storage.trim.startsWith("t|"), storage)
+      val (c3, ddl, _) = psql(port, "SHOW CREATE TABLE t")
+      assert(c3 === 0 && ddl.contains("CREATE TABLE t (k BIGINT PRIMARY KEY"), ddl)
+      val (c4, rows, _) = psql(port, "SELECT v FROM t WHERE k = 42")
+      assert(c4 === 0 && rows.trim === "84")
+    }
+  }
 }
