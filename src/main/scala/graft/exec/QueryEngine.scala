@@ -193,6 +193,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     private[QueryEngine] var baseSuperuser: Boolean = true
     // SET STATEMENT_TIMEOUT, per session like PG; 0 = off
     private[QueryEngine] var statementTimeoutMs: Long = 0L
+    // token bucket for SET RATE_LIMIT (rate_limit/mod.rs: per-client
+    // queries/sec + burst); -1 marks "not yet filled"
+    private[QueryEngine] var rlTokens: Double = -1.0
+    private[QueryEngine] var rlLastNs: Long = 0L
+    // statement nesting (trigger/procedure bodies re-enter sqlAs): the
+    // rate limiter charges only depth-1 statements, so a body can
+    // never be rejected mid-statement after data already landed
+    private[QueryEngine] var stmtDepth: Int = 0
     def inTransaction: Boolean = txn.isDefined
     def currentUser: String = user
     /** Switch this session's security context (SET ROLE does the same
@@ -550,10 +558,44 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     writeLock.synchronized {
       val prev = current
       current = session
-      try sqlCurrent(statement) finally current = prev
+      session.stmtDepth += 1
+      try sqlCurrent(statement)
+      finally { session.stmtDepth -= 1; current = prev }
+    }
+
+  // ------------------------------------------------------ rate limiting
+
+  /** Engine-wide statement rate limit for NON-superuser sessions
+    * (superusers are exempt, the simplification of the reference's
+    * superuser_multiplier — rate_limit/mod.rs:40-42). 0 = off. Each
+    * session holds its own token bucket: `rateLimitQps` tokens accrue
+    * per second up to `rateLimitBurst`; a statement spends one. */
+  private var rateLimitQps: Double = 0.0
+  private var rateLimitBurst: Double = 0.0
+  /** Injectable clock (tests drive the bucket deterministically). */
+  private[exec] var rateClockNs: () => Long = () => System.nanoTime()
+  private var metricRateLimited = 0L
+
+  private def checkRateLimit(s: Session): Unit =
+    if (rateLimitQps > 0 && !s.superuser && s.stmtDepth <= 1) {
+      val now = rateClockNs()
+      if (s.rlTokens < 0) { s.rlTokens = rateLimitBurst; s.rlLastNs = now }
+      else {
+        s.rlTokens = math.min(rateLimitBurst,
+          s.rlTokens + (now - s.rlLastNs) / 1e9 * rateLimitQps)
+        s.rlLastNs = now
+      }
+      if (s.rlTokens < 1.0) {
+        metricRateLimited += 1
+        throw new IllegalStateException(
+          f"rate limit exceeded: $rateLimitQps%.0f statements/s " +
+            f"(burst $rateLimitBurst%.0f) — retry later")
+      }
+      s.rlTokens -= 1.0
     }
 
   private def sqlCurrent(statement: String): DataFrame = {
+    checkRateLimit(current)
     // heal a stranded post-commit-point publish before the statement
     // reads or writes anything: the sweep is idempotent, we hold the
     // write lock, and once it succeeds in-process reads see the whole
@@ -1113,6 +1155,15 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       if (ms == 0) slowLog.clear()
       summary("slow_log_set", ms, 0L)
     case Statement.ShowPerf => showPerf()
+    case Statement.SetRateLimit(qps, burst) =>
+      // a protection control, like SET AUDIT: active regardless of the
+      // privilege gate, so only superusers may move it
+      requireSuperuserAlways("SET RATE_LIMIT")
+      rateLimitQps = qps.getOrElse(0.0)
+      rateLimitBurst = qps.fold(0.0)(q =>
+        burst.map(_.toDouble).getOrElse(math.max(1.0, q)))
+      summary(if (qps.isDefined) "rate_limit_set" else "rate_limit_off",
+        0L, rateLimitBurst.toLong)
     case Statement.SetEncryptionKey(b64) =>
       // unconditional (not just when the privilege gate is on): the key
       // registry is process-wide — a restricted session re-keying it
@@ -2031,7 +2082,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       ("summary", "p50_ms", perfPercentile(0.50), null: String),
       ("summary", "p95_ms", perfPercentile(0.95), null: String),
       ("summary", "p99_ms", perfPercentile(0.99), null: String),
-      ("summary", "slow_threshold_ms", slowLogThresholdMs.toDouble, null: String))
+      ("summary", "slow_threshold_ms", slowLogThresholdMs.toDouble, null: String),
+      ("summary", "rate_limited", metricRateLimited.toDouble, null: String))
     val slow = slowLog.toSeq.map { case (id, st, ms) =>
       ("slow", s"stmt_$id", ms, st) }
     (hist ++ summary ++ slow).toDF("kind", "item", "value", "statement")

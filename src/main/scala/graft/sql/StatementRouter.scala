@@ -71,6 +71,12 @@ object Statement {
   final case class AlterSequenceRestart(name: String, withValue: Option[Long]) extends Statement
   case object ShowSequences extends Statement
   case object ShowIndexes extends Statement
+  /** SET RATE_LIMIT <qps> [BURST <n>] | OFF — per-session token-bucket
+    * statement limiting for non-superusers (rate_limit/mod.rs:
+    * queries_per_second + burst_size; the engine-level slice of the
+    * reference's server-side limiter). */
+  final case class SetRateLimit(qps: Option[Double],
+      burst: Option[Long]) extends Statement
   /** SHOW CREATE TABLE t — round-trippable DDL from catalog metadata. */
   final case class ShowCreateTable(table: String) extends Statement
   final case class DropTable(name: String, ifExists: Boolean) extends Statement
@@ -328,6 +334,8 @@ object StatementRouter {
   private val ShowStorageR =
     """(?is)^SHOW\s+STORAGE(?:\s+FOR\s+([\w.]+))?\s*$""".r
   private val SetSlowLogR = """(?is)^SET\s+SLOW_LOG\s+(\d+)\s*$""".r
+  private val SetRateLimitR =
+    """(?is)^SET\s+RATE_LIMIT\s+(?:(OFF)|(\d+(?:\.\d+)?)(?:\s+BURST\s+(\d+))?)\s*$""".r
   private val ShowPerfR = """(?is)^SHOW\s+PERF\s*$""".r
   private val SetEncryptionKeyR =
     """(?is)^SET\s+ENCRYPTION\s+KEY\s+'([^']+)'\s*$""".r
@@ -420,6 +428,9 @@ object StatementRouter {
       case ShowMetricsR() => ShowMetrics
       case ShowStorageR(t) => ShowStorage(Option(t))
       case SetSlowLogR(ms) => SetSlowLog(ms.toLong)
+      case SetRateLimitR(off, qps, burst) =>
+        if (off != null) SetRateLimit(None, None)
+        else SetRateLimit(Some(qps.toDouble), Option(burst).map(_.toLong))
       case ShowPerfR() => ShowPerf
       case SetEncryptionKeyR(k) => SetEncryptionKey(k)
       case SetEncryptionOffR() => SetEncryptionOff
