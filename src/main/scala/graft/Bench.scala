@@ -32,24 +32,34 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    // millisecond precision keeps the one-line record short enough for
-    // the driver's stdout tail capture — full-precision doubles pushed
-    // the first ~12 queries past the tail window in earlier rounds
     def sec(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + sec(v) }
-      .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
-    println(line)
-    // the full per-query record also lands in a file: stdout tails can
-    // truncate a long line, and a truncated record silently loses the
-    // first queries' timings
+    def record(qs: Seq[(String, Double, Boolean)], extra: String) =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":""" +
+        qs.map { case (k, v, _) => "\"" + k + "\":" + sec(v) }
+          .mkString("{", ",", "}") +
+        s"""$extra,"failed":$failed,"sf":"$sfDir"}"""
+    // the full per-query record lands in a file; stdout carries a
+    // COMPACT record instead — the driver captures only the last
+    // ~2000 bytes of output, and the full 100+-query map (2.6 KB by
+    // round 8) no longer fits, so a full line parses as nothing at
+    // all. The compact line keeps the slowest queries up to a byte
+    // budget that leaves headroom for sbt's trailing status line.
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json"))
-    java.nio.file.Files.writeString(out, line + "\n")
+    java.nio.file.Files.writeString(out, record(results, "") + "\n")
+    val budget = 1500
+    val bySlow = results.sortBy(-_._2)
+    var kept = 0
+    var size = 200 + failed.length // fixed fields + headroom
+    while (kept < bySlow.length && size + bySlow(kept)._1.length + 9 < budget) {
+      size += bySlow(kept)._1.length + 9; kept += 1
+    }
+    val omitted = results.length - kept
+    println(record(bySlow.take(kept).sortBy(_._1),
+      s""","queries_omitted":$omitted,"full":"${out.toAbsolutePath}""""))
     System.err.println(s"[bench] full per-query JSON written to ${out.toAbsolutePath}")
     spark.stop()
   }

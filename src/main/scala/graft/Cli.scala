@@ -157,12 +157,18 @@ object Cli {
             show(e.sql(s"COPY $src TO '${req(o, "f")}'$fmt"), out); 0
           }
         case "serve" :: rest =>
-          // PostgreSQL wire protocol (simple query) — `psql -h ... -p
-          // <port>` connects directly (session/mod.rs:137-241)
+          // PostgreSQL wire protocol — `psql -h ... -p <port>` connects
+          // directly (session/mod.rs:137-241). Secure by default:
+          // loopback bind and plain non-superuser sessions; `--trust
+          // root` grants superuser to named users, `-b 0.0.0.0`
+          // exposes the listener beyond the machine — both explicit.
           val o = opts(rest)
           val e = new QueryEngine(spark, req(o, "d"))
           val srv = new graft.server.PgServer(e,
-            o.get("p").map(_.toInt).getOrElse(5433)).start()
+            o.get("p").map(_.toInt).getOrElse(5433),
+            bind = o.get("b").getOrElse("127.0.0.1"),
+            superusers = o.get("trust").toSeq
+              .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet).start()
           out(s"listening on ${srv.boundPort} (PostgreSQL wire protocol; Ctrl-D stops)")
           try { stdin().foreach(_ => ()); 0 }
           finally { srv.close(); e.close() }
@@ -200,7 +206,7 @@ object Cli {
       |  select: -t <table> [-w <cond>] [--as-of <@SEQ:n|ts>] [-l n] [--json]
       |  drift: -t <table> -k <pk>
       |  backup: <to|restore|verify> <path>
-      |  serve: [-p <port>]   (PostgreSQL wire protocol)""".stripMargin
+      |  serve: [-p <port>] [-b <bind-addr>] [--trust u1,u2]   (PostgreSQL wire protocol)""".stripMargin
 
   /** getopt-lite: `-x v` / `--long v` pairs plus bare flags (--json)
     * and positional leftovers. */

@@ -1121,17 +1121,24 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             selected.columns.exists(_.equalsIgnoreCase(z)))
           require(missing.isEmpty,
             s"ZORDER column(s) not in the exported result: ${missing.mkString(", ")}")
-          graft.operators.ZOrder.cluster(selected, zorderBy,
+          // ZOrder.cluster re-reads its input (count + one boundary
+          // sample per column + the write) — pin the governed select
+          // once so an expensive export query never runs 3-4x; the
+          // OPTIMIZE path gets the same for free by reading its
+          // materialized checkpoint
+          graft.operators.ZOrder.cluster(selected.localCheckpoint(), zorderBy,
             spark.sessionState.conf.numShufflePartitions)
         }
-      val w = encrypted(df.write).mode("overwrite")
-      format.getOrElse(inferCopyFormat(path)) match {
-        case "jsonl" | "json" => w.json(path)
-        case "parquet" => w.parquet(path)
-        case "csv" => w.option("header", "true").csv(path)
-        case other => throw new IllegalArgumentException(
-          s"unsupported COPY format: $other (JSONL | PARQUET | CSV)")
-      }
+      try {
+        val w = encrypted(df.write).mode("overwrite")
+        format.getOrElse(inferCopyFormat(path)) match {
+          case "jsonl" | "json" => w.json(path)
+          case "parquet" => w.parquet(path)
+          case "csv" => w.option("header", "true").csv(path)
+          case other => throw new IllegalArgumentException(
+            s"unsupported COPY format: $other (JSONL | PARQUET | CSV)")
+        }
+      } finally if (zorderBy.nonEmpty) unpersistPinned(df)
       spark.range(1).select(lit("export").as("op"),
         lit(path).as("path"))
     case Statement.SetCache(on) =>

@@ -16,6 +16,16 @@ import org.apache.spark.sql.types._
   * parameters, so psql, `psql \bind`, and drivers that prepare
   * statements can run DDL/DML/temporal SQL directly.
   *
+  * Authentication (the reference's UserDb, protocol/auth.rs): the
+  * startup message's `user` parameter becomes the session's security
+  * context — a plain NON-superuser by default, so RLS, GRANT, rate
+  * limits and the audit gate all apply over the wire. Superuser is
+  * granted only to names in the explicit `superusers` trust list, and
+  * users listed in `passwords` must also answer a cleartext-password
+  * challenge (AuthenticationCleartextPassword). The listener binds
+  * loopback by default — exposing it beyond the machine requires an
+  * explicit `bind` address.
+  *
   * Concurrency: each connection gets its own engine Session (own
   * transaction state, snapshot isolation); statements serialize on
   * the engine's write-lock monitor, the same discipline the SQL API
@@ -23,9 +33,13 @@ import org.apache.spark.sql.types._
   * routes through `session.sql` (parameters bind through the same
   * literal-safe graft.sql.Params the API uses).
   */
-final class PgServer(engine: QueryEngine, port: Int = 0) {
+final class PgServer(engine: QueryEngine, port: Int = 0,
+    bind: String = "127.0.0.1",
+    superusers: Set[String] = Set.empty,
+    passwords: Map[String, String] = Map.empty) {
 
-  private val server = new ServerSocket(port)
+  private val server =
+    new ServerSocket(port, 50, java.net.InetAddress.getByName(bind))
   @volatile private var running = true
 
   /** The bound port (useful with port = 0). */
@@ -87,6 +101,12 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
   }
   private final class Portal(val sql: String) {
     var df: Option[DataFrame] = None
+    // the portal's row cursor survives across Execute calls, so a
+    // driver fetch-size loop (Execute maxRows / PortalSuspended /
+    // Execute again) resumes where it stopped instead of silently
+    // re-truncating from the top
+    var it: Option[java.util.Iterator[org.apache.spark.sql.Row]] = None
+    var done: Boolean = false // rowless statements run once per portal
   }
 
   private def handle(sock: Socket): Unit = {
@@ -94,9 +114,14 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
     val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
     val st = new ConnState
     try {
-      if (!startup(in, out, st)) return
+      val user = startup(in, out, st).getOrElse(return)
       cancelRegistry.put((st.pid, st.secret), st)
       val session = engine.newSession()
+      // the wire never inherits the embedded default (root/superuser):
+      // the authenticated startup user is a plain user unless the
+      // explicit trust list says otherwise
+      session.setAuth(user, roles = Set(user),
+        superuser = superusers.contains(user))
       var open = true
       while (open) { // EOF (client vanished) exits via the outer catch
         val tpe = in.readByte()
@@ -144,11 +169,11 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
   /** Consume SSL/GSS negotiation requests, then the startup message.
     * A CancelRequest connection carries (pid, secret) instead — route
     * it to the matching live connection's active job group and close.
-    * No authentication — this is the embedded-engine surface (the
-    * reference's auth lives in its server's UserDb). */
+    * Returns the authenticated user name, or None to drop the
+    * connection (cancel requests, failed password challenges). */
   @annotation.tailrec
   private def startup(in: DataInputStream, out: DataOutputStream,
-      st: ConnState): Boolean = {
+      st: ConnState): Option[String] = {
     val len = in.readInt()
     val code = in.readInt()
     if (code == 80877103 || code == 80877104) { // SSLRequest / GSSENCRequest
@@ -160,23 +185,58 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
       Option(cancelRegistry.get((pid, secret)))
         .flatMap(_.activeGroup)
         .foreach(engine.spark.sparkContext.cancelJobGroup)
-      false // a cancel connection closes without a response (PG)
+      None // a cancel connection closes without a response (PG)
     } else { // StartupMessage, protocol 3.x
       val rest = new Array[Byte](len - 8)
       in.readFully(rest)
-      out.write('R'); out.writeInt(8); out.writeInt(0) // AuthenticationOk
-      for ((k, v) <- Seq("server_version" -> "14.0 (graft)",
-          "client_encoding" -> "UTF8", "DateStyle" -> "ISO",
-          "standard_conforming_strings" -> "on")) {
-        val payload = k.getBytes(UTF_8) ++ Array(0.toByte) ++
-          v.getBytes(UTF_8) ++ Array(0.toByte)
-        out.write('S'); out.writeInt(4 + payload.length); out.write(payload)
+      // parameters: alternating key/value cstrings, empty-key terminated
+      val params = {
+        val r = new Reader(rest)
+        val b = Map.newBuilder[String, String]
+        var k = r.cstring()
+        while (k.nonEmpty) { b += k -> r.cstring(); k = r.cstring() }
+        b.result()
       }
-      out.write('K'); out.writeInt(12)
-      out.writeInt(st.pid); out.writeInt(st.secret) // BackendKeyData
-      readyForQuery(out)
-      true
+      val user = params.getOrElse("user", "anonymous")
+      if (!authenticate(user, in, out)) None
+      else {
+        out.write('R'); out.writeInt(8); out.writeInt(0) // AuthenticationOk
+        for ((k, v) <- Seq("server_version" -> "14.0 (graft)",
+            "client_encoding" -> "UTF8", "DateStyle" -> "ISO",
+            "standard_conforming_strings" -> "on")) {
+          val payload = k.getBytes(UTF_8) ++ Array(0.toByte) ++
+            v.getBytes(UTF_8) ++ Array(0.toByte)
+          out.write('S'); out.writeInt(4 + payload.length); out.write(payload)
+        }
+        out.write('K'); out.writeInt(12)
+        out.writeInt(st.pid); out.writeInt(st.secret) // BackendKeyData
+        readyForQuery(out)
+        Some(user)
+      }
     }
+  }
+
+  /** Cleartext-password challenge for users with a configured
+    * password (protocol/auth.rs; PG AuthenticationCleartextPassword).
+    * Users without one connect unchallenged — but always as plain
+    * non-superusers unless trusted. */
+  private def authenticate(user: String, in: DataInputStream,
+      out: DataOutputStream): Boolean = passwords.get(user) match {
+    case None => true
+    case Some(expect) =>
+      out.write('R'); out.writeInt(8); out.writeInt(3) // CleartextPassword
+      out.flush()
+      val tpe = in.readByte()
+      val len = in.readInt()
+      val body = new Array[Byte](len - 4)
+      in.readFully(body)
+      val given = new String(body, UTF_8).stripSuffix("\u0000")
+      val ok = tpe == 'p' &&
+        java.security.MessageDigest.isEqual(given.getBytes(UTF_8),
+          expect.getBytes(UTF_8))
+      if (!ok) sendError(out,
+        s"""password authentication failed for user "$user"""", "28P01")
+      ok
   }
 
   // ---------------------------------------------- extended protocol
@@ -279,7 +339,10 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
       } else {
         val p = st.portals.getOrElse(name,
           throw new IllegalArgumentException(s"unknown portal: $name"))
-        sendRowDescription(cancellable(st)(portalFrame(session, p)).schema, out)
+        // rowless statements answer NoData WITHOUT executing — PG runs
+        // DML at Execute, never at Describe
+        if (isRowless(headWords(p.sql)._1)) { out.write('n'); out.writeInt(4) }
+        else sendRowDescription(cancellable(st)(portalFrame(session, p)).schema, out)
       }
     } catch {
       case e: Exception =>
@@ -295,7 +358,23 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
       val maxRows = r.int32()
       val p = st.portals.getOrElse(name,
         throw new IllegalArgumentException(s"unknown portal: $name"))
-      cancellable(st)(sendDataRows(portalFrame(session, p), maxRows, out))
+      val (w1, w2) = headWords(p.sql)
+      cancellable(st) {
+        if (isRowless(w1)) {
+          // run once; a re-Execute of the finished portal is a no-op
+          // completion, not a second write
+          val aff =
+            if (p.done) 0L else affectedRows(portalFrame(session, p))
+          p.done = true
+          sendCommandComplete(out, commandTag(w1, w2, aff))
+        } else {
+          val df = portalFrame(session, p)
+          if (p.it.isEmpty) p.it = Some(df.toLocalIterator())
+          val (n, exhausted) = streamRows(df.schema, p.it.get, maxRows, out)
+          if (exhausted) sendCommandComplete(out, s"SELECT $n")
+          else { out.write('s'); out.writeInt(4); out.flush() } // PortalSuspended
+        }
+      }
     } catch {
       case e: Exception =>
         sendError(out, Option(e.getMessage).getOrElse(e.getClass.getName))
@@ -303,6 +382,41 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
     }
 
   // -------------------------------------------------------- execution
+
+  /** Leading keyword pair of a statement, literal/comment-blind. */
+  private def headWords(sql: String): (String, String) = {
+    val toks = graft.sql.SqlText.maskNonCode(sql).trim.split("\\s+")
+    (toks.headOption.getOrElse("").toUpperCase,
+      toks.lift(1).getOrElse("").toUpperCase)
+  }
+
+  /** Statements that complete with a command tag and no row data on
+    * the wire (PG shape: INSERT answers `INSERT 0 n`, not a result
+    * set) — the engine's uniform summary frame stays an API surface,
+    * but drivers parsing update counts from tags need the tag. */
+  private val rowlessHeads = Set("INSERT", "UPDATE", "DELETE", "COPY",
+    "BEGIN", "COMMIT", "ROLLBACK", "SAVEPOINT", "RELEASE", "SET", "RESET",
+    "CREATE", "DROP", "ALTER", "TRUNCATE", "GRANT", "REVOKE")
+  private def isRowless(w1: String): Boolean = rowlessHeads.contains(w1)
+
+  /** The affected-row count from the engine's DML summary frame
+    * ((op, n_affected, last_sequence) — a literal one-row frame; the
+    * DML side effects already ran eagerly when the statement did). */
+  private def affectedRows(df: DataFrame): Long =
+    if (df.schema.fieldNames.contains("n_affected"))
+      df.select("n_affected").collect().headOption.fold(0L)(_.getLong(0))
+    else 0L
+
+  /** PG command tag for a rowless statement (protocol v3: drivers and
+    * ORMs parse update counts out of these). */
+  private def commandTag(w1: String, w2: String, aff: Long): String =
+    w1 match {
+      case "INSERT" => s"INSERT 0 $aff"
+      case "UPDATE" | "DELETE" | "COPY" => s"$w1 $aff"
+      case "CREATE" | "DROP" | "ALTER" => s"$w1 $w2".trim
+      case "TRUNCATE" => "TRUNCATE TABLE"
+      case other => other // BEGIN COMMIT ROLLBACK SAVEPOINT RELEASE SET ...
+    }
 
   private def runQuery(session: QueryEngine#Session, sql: String,
       out: DataOutputStream): Unit = {
@@ -312,8 +426,14 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
     for (stmt <- stmts) {
       try {
         val df = session.sql(stmt)
-        sendRowDescription(df.schema, out)
-        sendDataRows(df, 0, out) // simple query streams every row
+        val (w1, w2) = headWords(stmt)
+        if (isRowless(w1))
+          sendCommandComplete(out, commandTag(w1, w2, affectedRows(df)))
+        else {
+          sendRowDescription(df.schema, out)
+          val (n, _) = streamRows(df.schema, df.toLocalIterator(), 0, out)
+          sendCommandComplete(out, s"SELECT $n")
+        }
       } catch {
         case e: Exception =>
           sendError(out, Option(e.getMessage).getOrElse(e.getClass.getName))
@@ -346,13 +466,14 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
     out.flush()
   }
 
-  /** Stream the result as DataRows. `maxRows <= 0` = all rows;
+  /** Stream up to `maxRows` DataRows from the cursor (`<= 0` = all);
     * toLocalIterator keeps memory bounded to one partition — no
-    * collect, no silent row cap. */
-  private def sendDataRows(df: DataFrame, maxRows: Int,
-      out: DataOutputStream): Unit = {
-    val schema = df.schema
-    val it = df.toLocalIterator()
+    * collect, no silent row cap. Returns (rows sent, cursor
+    * exhausted) — the caller picks CommandComplete vs
+    * PortalSuspended. */
+  private def streamRows(schema: StructType,
+      it: java.util.Iterator[org.apache.spark.sql.Row], maxRows: Int,
+      out: DataOutputStream): (Long, Boolean) = {
     var n = 0L
     while (it.hasNext && (maxRows <= 0 || n < maxRows)) {
       val row = it.next()
@@ -373,14 +494,18 @@ final class PgServer(engine: QueryEngine, port: Int = 0) {
       out.write('D'); out.writeInt(4 + rb.size()); rb.writeTo(out)
       n += 1
     }
-    val tag = s"SELECT $n"
+    (n, !it.hasNext)
+  }
+
+  private def sendCommandComplete(out: DataOutputStream, tag: String): Unit = {
     val tb = tag.getBytes(UTF_8)
     out.write('C'); out.writeInt(4 + tb.length + 1); out.write(tb); out.write(0)
     out.flush()
   }
 
-  private def sendError(out: DataOutputStream, msg: String): Unit = {
-    val fields = Seq('S' -> "ERROR", 'V' -> "ERROR", 'C' -> "XX000", 'M' -> msg)
+  private def sendError(out: DataOutputStream, msg: String,
+      code: String = "XX000"): Unit = {
+    val fields = Seq('S' -> "ERROR", 'V' -> "ERROR", 'C' -> code, 'M' -> msg)
     val buf = new java.io.ByteArrayOutputStream()
     for ((t, v) <- fields) { buf.write(t); buf.write(v.getBytes(UTF_8)); buf.write(0) }
     buf.write(0)

@@ -100,6 +100,32 @@ object SqlText {
     out.result()
   }
 
+  /** Index of the first top-level occurrence of keyword `word`
+    * (case-insensitive, word-bounded, outside parens / strings /
+    * identifiers / comments), or -1. What `COPY (query) TO 'path'`
+    * parsing needs: a ` TO ` inside the query's string literals or
+    * parens must not split it. */
+  def topLevelKeywordIndexOf(s: String, word: String): Int = {
+    val k = classify(s)
+    def wordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      if (k(i) == CODE) {
+        val c = s.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0 && s.regionMatches(true, i, word, 0, word.length) &&
+            (i == 0 || !wordChar(s.charAt(i - 1))) &&
+            (i + word.length >= s.length || !wordChar(s.charAt(i + word.length))) &&
+            (i until i + word.length).forall(j => k(j) == CODE))
+          return i
+      }
+      i += 1
+    }
+    -1
+  }
+
   /** Index of the first top-level occurrence of `c` (outside parens,
     * strings, identifiers, and comments), or -1. */
   def topLevelIndexOf(s: String, c: Char): Int = {

@@ -297,10 +297,28 @@ object StatementRouter {
   private val DescribeR = """(?is)^(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.]+)\s*$""".r
   private val CopyR =
     """(?is)^COPY\s+([\w.]+)\s+FROM\s+'([^']+)'\s*(?:\(\s*FORMAT\s+(\w+)\s*\))?\s*$""".r
-  private val CopyToR =
-    """(?is)^COPY\s+(\(.+\)|[\w.]+)\s+TO\s+'([^']+)'\s*(?:\(([^)]*(?:\([^)]*\)[^)]*)*)\))?\s*$""".r
   private val CopyToFormatR = """(?is)FORMAT\s+(\w+)""".r
   private val CopyToZorderR = """(?is)ZORDER\s*\(([^)]*)\)""".r
+  private val CopyToDestR = """(?s)^'([^']+)'\s*(?:\((.*)\))?\s*$""".r
+
+  /** `COPY (query)|table TO 'path' [(opts)]`, split at the first
+    * TOP-LEVEL `TO` keyword — a ` TO '...'` sitting inside one of the
+    * query's string literals (or inside its parens) must not become
+    * the destination split; the old anchored regex was quote-blind. */
+  private object CopyToX {
+    def unapply(raw: String): Option[(String, String, String)] = {
+      val t = raw.trim
+      if (!t.regionMatches(true, 0, "COPY", 0, 4)) return None
+      val to = SqlText.topLevelKeywordIndexOf(t, "TO")
+      if (to < 0) return None
+      val source = t.substring(4, to).trim
+      val okSource = (source.startsWith("(") && source.endsWith(")")) ||
+        source.matches("""[\w.]+""")
+      if (!okSource) return None
+      CopyToDestR.findFirstMatchIn(t.substring(to + 2).trim)
+        .map(m => (source, m.group(1), m.group(2)))
+    }
+  }
   private val AlterRlsR =
     """(?is)^ALTER\s+TABLE\s+([\w.]+)\s+(ENABLE|DISABLE)\s+ROW\s+LEVEL\s+SECURITY\s*$""".r
   private val CreatePolicyR =
@@ -470,7 +488,7 @@ object StatementRouter {
       case DescribeR(table) => Describe(table)
       case CopyR(table, path, format) =>
         CopyFrom(table, path, Option(format).map(_.toLowerCase))
-      case CopyToR(source, path, opts) =>
+      case CopyToX(source, path, opts) =>
         val o = Option(opts).getOrElse("")
         CopyTo(source, path,
           CopyToFormatR.findFirstMatchIn(o).map(_.group(1).toLowerCase),

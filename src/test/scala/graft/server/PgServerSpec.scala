@@ -21,11 +21,16 @@ class PgServerSpec extends AnyFunSuite {
   }
 
   /** Run psql -c, returning (exitCode, stdout, stderr). */
-  private def psql(port: Int, sql: String): (Int, String, String) = {
+  private def psql(port: Int, sql: String): (Int, String, String) =
+    psqlAs(port, "root", None, sql)
+
+  private def psqlAs(port: Int, user: String, password: Option[String],
+      sql: String): (Int, String, String) = {
     val outB = new StringBuilder
     val errB = new StringBuilder
-    val code = Seq("psql", "-h", "127.0.0.1", "-p", port.toString,
-        "-d", "graft", "-U", "root", "-X", "-A", "-t", "-c", sql)
+    val code = Process(Seq("psql", "-h", "127.0.0.1", "-p", port.toString,
+        "-d", "graft", "-U", user, "-X", "-A", "-t", "-c", sql),
+        None, "PGPASSWORD" -> password.getOrElse(""))
       .!(ProcessLogger(outB.append(_).append('\n'), errB.append(_).append('\n')))
     (code, outB.toString, errB.toString)
   }
@@ -90,11 +95,39 @@ class PgServerSpec extends AnyFunSuite {
       }
       seen.result()
     }
+    private val i16 = (v: Int) => Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private val i32 = (v: Int) => Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    /** Read messages until one of `stop` arrives: Seq[(type, body)]. */
+    def readUntil(stop: Set[Char]): Seq[(Char, Array[Byte])] = {
+      val seen = Seq.newBuilder[(Char, Array[Byte])]
+      var done = false
+      while (!done) {
+        val t = in.readByte().toChar
+        val len = in.readInt()
+        val body = new Array[Byte](len - 4)
+        in.readFully(body)
+        seen += ((t, body))
+        if (stop(t)) done = true
+      }
+      seen.result()
+    }
+    def sendParse(sql: String): Unit = send('P', cstr("") ++ cstr(sql) ++ i16(0))
+    def sendBind(): Unit =
+      send('B', cstr("") ++ cstr("") ++ i16(0) ++ i16(0) ++ i16(0))
+    /** Execute the unnamed portal with a row limit, flush, and read to
+      * PortalSuspended / CommandComplete / error. */
+    def execute(maxRows: Int): Seq[(Char, Array[Byte])] = {
+      send('E', cstr("") ++ i32(maxRows))
+      send('H', Array.empty); out.flush()
+      readUntil(Set('s', 'C', 'E'))
+    }
+    def sync(): Seq[(Char, Array[Byte])] = {
+      send('S', Array.empty); out.flush()
+      drainUntilReady()
+    }
     def parseBindExecute(sql: String, paramOid: Int, param: String)
         : Seq[(Char, Array[Byte])] = {
-      val i16 = (v: Int) => Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
-      val i32 = (v: Int) => Array(((v >> 24) & 0xff).toByte,
-        ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
       send('P', cstr("") ++ cstr(sql) ++ i16(1) ++ i32(paramOid))
       val pv = param.getBytes("UTF-8")
       send('B', cstr("") ++ cstr("") ++ i16(0) ++ i16(1) ++ i32(pv.length) ++
@@ -194,6 +227,73 @@ class PgServerSpec extends AnyFunSuite {
       val (c3, out3, _) = psql(port, "SELECT COUNT(*) AS n FROM s")
       assert(c3 === 0 && out3.trim === "1")
     }
+  }
+
+  test("command tags carry the statement type and affected count") {
+    withServer { (_, port) =>
+      // drivers/ORMs parse update counts from these tags (JDBC
+      // executeUpdate) — 'SELECT n' for an INSERT reports 0 changed
+      val (c0, t0, _) = psql(port, "CREATE TABLE ct (k BIGINT PRIMARY KEY, v BIGINT)")
+      assert(c0 === 0 && t0.trim === "CREATE TABLE", t0)
+      val (c1, t1, _) = psql(port, "INSERT INTO ct VALUES (1, 1), (2, 2), (3, 3)")
+      assert(c1 === 0 && t1.trim === "INSERT 0 3", t1)
+      val (c2, t2, _) = psql(port, "UPDATE ct SET v = 9 WHERE k > 1")
+      assert(c2 === 0 && t2.trim === "UPDATE 2", t2)
+      val (c3, t3, _) = psql(port, "DELETE FROM ct WHERE k = 1")
+      assert(c3 === 0 && t3.trim === "DELETE 1", t3)
+      val (c4, t4, _) = psql(port, "BEGIN; INSERT INTO ct VALUES (9, 9); COMMIT")
+      assert(c4 === 0, t4)
+      assert(t4.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+        === Seq("BEGIN", "INSERT 0 1", "COMMIT"), t4)
+    }
+  }
+
+  test("Execute with maxRows suspends the portal and resumes, never truncates") {
+    withServer { (_, port) =>
+      assert(psql(port, "CREATE TABLE fp (k BIGINT PRIMARY KEY); " +
+        "INSERT INTO fp VALUES (1), (2), (3), (4), (5)")._1 === 0)
+      val c = new ExtClient(port)
+      try {
+        // a driver fetch-size loop: Execute(2) x3 must return
+        // 2 + 2 + 1 rows with PortalSuspended between, not a silently
+        // truncated 2-row "complete" result
+        c.sendParse("SELECT k FROM fp ORDER BY k")
+        c.sendBind()
+        val r1 = c.execute(2)
+        assert(r1.count(_._1 == 'D') === 2 && r1.last._1 === 's', r1.map(_._1))
+        val r2 = c.execute(2)
+        assert(r2.count(_._1 == 'D') === 2 && r2.last._1 === 's', r2.map(_._1))
+        val r3 = c.execute(2)
+        assert(r3.count(_._1 == 'D') === 1 && r3.last._1 === 'C', r3.map(_._1))
+        assert(c.rows(r1 ++ r2 ++ r3).flatten === Seq("1", "2", "3", "4", "5"))
+        // executing the finished portal again: empty + complete
+        val r4 = c.execute(2)
+        assert(r4.count(_._1 == 'D') === 0 && r4.last._1 === 'C')
+        assert(c.sync().last._1 === 'Z')
+      } finally c.close()
+    }
+  }
+
+  test("wire sessions are plain users: trust list, superuser gate, passwords") {
+    val e = QueryEngine.scratch(spark)
+    val srv = new PgServer(e, 0, superusers = Set("root"),
+      passwords = Map("alice" -> "s3cret")).start()
+    try {
+      val port = srv.boundPort
+      // an untrusted user runs plain SQL fine...
+      assert(psqlAs(port, "bob", None,
+        "CREATE TABLE t0 (k BIGINT PRIMARY KEY)")._1 === 0)
+      // ...but never lands on the always-superuser surface the
+      // embedded default would have granted
+      val (cb, _, eb) = psqlAs(port, "bob", None, "SET AUDIT ON")
+      assert(cb != 0 && eb.toLowerCase.contains("superuser"), eb)
+      // the explicit trust list keeps the admin surface for root
+      assert(psqlAs(port, "root", None, "SET AUDIT ON")._1 === 0)
+      // password-configured users answer a cleartext challenge
+      val (cw, _, ew) = psqlAs(port, "alice", Some("wrong"), "SELECT 1 AS x")
+      assert(cw != 0 && ew.contains("password authentication failed"), ew)
+      assert(psqlAs(port, "alice", Some("s3cret"), "SELECT 1 AS x")._1 === 0)
+    } finally { srv.close(); e.close() }
   }
 
   test("round-8 admin surfaces work over the wire") {

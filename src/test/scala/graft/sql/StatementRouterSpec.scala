@@ -69,6 +69,25 @@ class StatementRouterSpec extends AnyFunSuite {
       CopyFrom("t", "/tmp/x.jsonl"))
   }
 
+  test("COPY ... TO splits at the top-level TO, not one inside a literal") {
+    assert(StatementRouter.parse("COPY t TO '/tmp/out'") ===
+      CopyTo("t", "/tmp/out", None, Nil))
+    assert(StatementRouter.parse(
+      "COPY (SELECT * FROM t) TO '/tmp/out' (FORMAT parquet, ZORDER (a, b))") ===
+      CopyTo("(SELECT * FROM t)", "/tmp/out", Some("parquet"), Seq("a", "b")))
+    // a " TO '...'" inside the query's string literal must not become
+    // the destination split (the old regex was quote-blind)
+    assert(StatementRouter.parse(
+      "COPY (SELECT ' TO ''/etc/x''' AS s, v FROM t) TO '/tmp/safe'") ===
+      CopyTo("(SELECT ' TO ''/etc/x''' AS s, v FROM t)", "/tmp/safe", None, Nil))
+    // ...nor may a TO inside the subquery's parens (a lateral alias)
+    assert(StatementRouter.parse(
+      "COPY (SELECT a TO_also, v FROM t) TO '/tmp/b'") match {
+      case CopyTo(src, "/tmp/b", None, Nil) => src.startsWith("(")
+      case _ => false
+    })
+  }
+
   test("EXPLAIN wraps the inner query") {
     assert(StatementRouter.parse("EXPLAIN SELECT * FROM t") ===
       Explain("SELECT * FROM t", analyze = false))
