@@ -352,6 +352,16 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * happened. A failure after 2 throws CommitIncompleteException — the
     * engine-open sweep replays step 3, which is idempotent (counters
     * max-merge; a missing staged file means it already moved). */
+  /** Optional pre-commit fence, run immediately before every atomic
+    * publish's commit point (the manifest rename).
+    * graft.cluster.Leadership installs its stale-epoch check here so
+    * a deposed leader (raft.rs term fencing, re-expressed for shared
+    * storage) aborts BEFORE its write becomes durable — the statement
+    * fails whole and staging is cleaned, leaving the successor's log
+    * untouched. */
+  @volatile private var commitFence: () => Unit = () => ()
+  def setCommitFence(f: () => Unit): Unit = commitFence = f
+
   private def publishAtomic(batches: Seq[(String, DataFrame)],
       seqs: Map[String, Long], stream: Option[(String, Long)]): Unit = {
     val stagingRoot = new Path(s"$baseDir/.txn-staging-${System.nanoTime()}")
@@ -372,6 +382,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       val out = fs.create(tmp, true)
       try out.write(lines.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      commitFence() // HA epoch check — abort while still pre-commit
       testFailBeforeManifestRename()
       if (!fs.rename(tmp, new Path(stagingRoot, "manifest")))
         throw new java.io.IOException(s"manifest rename failed: $stagingRoot")
