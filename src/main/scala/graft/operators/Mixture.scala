@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Domain-mixture sampling — compose a training corpus to declared
+  * per-domain proportions of a token budget (pipeline extension; the
+  * reference has no sampling surface at all). Mixture weights are the
+  * knob every large pretraining run turns: "600‰ web, 300‰ books,
+  * 100‰ code of a 2T-token budget".
+  *
+  * Determinism discipline matches `Sampling`: the keep decision is an
+  * integer comparison on a multiplicative key hash — reproducible
+  * across runs AND engines (exactly expressible in ANSI SQL), so the
+  * sampled corpus is auditable and resumable. A domain's acceptance
+  * rate is `min(1, target/available)` applied as
+  * `bucket(key) · available < min(available, target) · 1000` — all
+  * BIGINT arithmetic, no floating-point rate to drift.
+  *
+  * 100 TB shape: one small per-domain aggregate (domains number in
+  * the dozens), broadcast back onto the corpus, then a pure filter
+  * evaluated inside the scan stage. The corpus never shuffles. */
+object Mixture {
+
+  /** `(key * knuth) % 1000` — the per-mille sampling bucket. */
+  def permilleBucket(key: Column): Column =
+    pmod(key.cast("long") * lit(2654435761L), lit(1000L))
+
+  /** Sample `docs` to the mixture: keep a row iff its key bucket
+    * falls under its domain's acceptance rate. Returns the kept rows
+    * unchanged. */
+  def sample(docs: DataFrame, domainCol: String, key: Column,
+      nTokens: Column, weights: Map[String, Int], defaultPermille: Int,
+      budget: Long): DataFrame = {
+    // targets resolve to Long LITERALS (exact integer floor) — Spark's
+    // column `/` is floating-point division and a drifted rate would
+    // desync the sample from any SQL re-derivation of it
+    val tgt = weights.foldLeft(lit(budget * defaultPermille / 1000L)) {
+      case (acc, (d, p)) =>
+        when(col(domainCol) === lit(d), lit(budget * p / 1000L)).otherwise(acc)
+    }
+    val stats = docs.groupBy(col(domainCol))
+      .agg(sum(nTokens).cast("long").as("_avail"))
+      .withColumn("_tgt", tgt)
+    docs.join(broadcast(stats), domainCol)
+      .where(permilleBucket(key) * col("_avail") <
+        least(col("_avail"), col("_tgt")) * lit(1000L))
+      .drop("_avail", "_tgt")
+  }
+}

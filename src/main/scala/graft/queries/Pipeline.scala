@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Components, Dedup, FullText, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextAnalysis, TextChunking}
+import graft.operators.{AsOfJoin, Components, Decontam, Dedup, FullText, Mixture, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextAnalysis, TextChunking}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1028,7 +1028,91 @@ object Pipeline {
       .orderBy("rid")
   }
 
+  /** Benchmark decontamination: per-train-document count of distinct
+    * 3-gram shingles colliding with the eval corpus (docs with
+    * doc_id % 20 == 0 stand in for the benchmark set). The oracle
+    * rebuilds identical shingles and the same split, so a missed or
+    * phantom collision diverges the hash. */
+  val qDecontam = Q(
+    "q_decontam",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(w) - 2),
+      |    i -> array_to_string(w[i:i+2], '_')))) AS tok
+      |  FROM d),
+      |ev AS (SELECT DISTINCT tok FROM sh WHERE doc_id % 20 = 0),
+      |tr AS (SELECT doc_id, tok FROM sh WHERE doc_id % 20 <> 0)
+      |SELECT doc_id, COUNT(*) AS n_overlap
+      |FROM tr JOIN ev USING (tok)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    Decontam.overlap(
+        docs.where(col("doc_id") % 20 =!= 0),
+        docs.where(col("doc_id") % 20 === 0), 3)
+      .orderBy("doc_id")
+  }
+
+  /** The decontaminated corpus itself: train documents with fewer
+    * than 3 colliding shingles survive. */
+  val qDecontamClean = Q(
+    "q_decontam_clean",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(w) - 2),
+      |    i -> array_to_string(w[i:i+2], '_')))) AS tok
+      |  FROM d),
+      |ev AS (SELECT DISTINCT tok FROM sh WHERE doc_id % 20 = 0),
+      |bad AS (
+      |  SELECT doc_id FROM sh JOIN ev USING (tok)
+      |  WHERE doc_id % 20 <> 0
+      |  GROUP BY doc_id HAVING COUNT(*) >= 3)
+      |SELECT doc_id, length(text) AS n_chars FROM documents
+      |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    Decontam.clean(
+        docs.where(col("doc_id") % 20 =!= 0),
+        docs.where(col("doc_id") % 20 === 0), 3, maxOverlap = 3)
+      .select(col("doc_id"), length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Domain-mixture sampling: compose a 3000-token budget as
+    * 300‰ src0 / 250‰ src1 / 150‰ src2 / 10‰ everything else, as a
+    * deterministic integer-arithmetic rate filter per domain. The
+    * oracle re-derives the same plan and keep decision in SQL —
+    * bit-equal membership, not just similar counts. */
+  val qDomainMix = Q(
+    "q_domain_mix",
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |st AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS avail
+      |       FROM d GROUP BY source),
+      |pl AS (SELECT source, avail,
+      |  3000 * (CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 250
+      |          WHEN 'src2' THEN 150 ELSE 10 END) // 1000 AS tgt
+      |  FROM st)
+      |SELECT d.doc_id, d.source, d.n_tok
+      |FROM d JOIN pl ON d.source = pl.source
+      |WHERE (d.doc_id * 2654435761) % 1000 * avail < least(avail, tgt) * 1000
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    Mixture.sample(docs, "source", col("doc_id"), col("n_tok"),
+        Map("src0" -> 300, "src1" -> 250, "src2" -> 150),
+        defaultPermille = 10, budget = 3000L)
+      .select(col("doc_id"), col("source"), col("n_tok"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
+    qDecontam, qDecontamClean, qDomainMix,
     qDedupExact, qPipelineE2E, qJaccardPairs, qShingleJaccard, qDupClusters,
     qDedupKeep,
     qMinHashLsh, qMinHashSuperset,
