@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Decontamination and mixture sampling vs independent in-memory
+  * reference computations on constructed corpora. */
+class DecontamMixtureSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** In-memory shingle set mirroring Dedup.shingleSet. */
+  private def shingles(text: String, n: Int): Set[String] = {
+    val w = text.split(" ", -1)
+    if (w.length < n) Set.empty
+    else w.sliding(n).map(_.mkString("_")).toSet
+  }
+
+  test("overlap counts exactly the shingles shared with the eval set") {
+    val eval = Seq(100L -> "the quick brown fox jumps over the lazy dog")
+    val train = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog", // verbatim copy
+      2L -> "a quick brown fox appears in this sentence here", // partial
+      3L -> "completely unrelated words with zero benchmark content")
+    val got = Decontam.overlap(docsDf(train), docsDf(eval), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val evalSh = shingles(eval.head._2, 3)
+    val want = train
+      .map { case (id, t) => id -> (shingles(t, 3) & evalSh).size.toLong }
+      .filter(_._2 > 0).toMap
+    assert(got === want)
+    // the verbatim copy collides on its full shingle set
+    assert(got(1L) === shingles(train.head._2, 3).size.toLong)
+    assert(!got.contains(3L))
+  }
+
+  test("clean removes exactly the documents at or over the threshold") {
+    val eval = Seq(100L -> "alpha beta gamma delta epsilon zeta eta theta")
+    val train = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta", // 6 hits
+      2L -> "alpha beta gamma then something else entirely follows", // 1 hit
+      3L -> "nothing shared at all in this one document")
+    val kept = Decontam.clean(docsDf(train), docsDf(eval), 3, maxOverlap = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L))
+    // threshold 1: any collision at all contaminates
+    val strict = Decontam.clean(docsDf(train), docsDf(eval), 3, maxOverlap = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(strict === Set(3L))
+  }
+
+  private def corpus(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      (i.toLong, s"src${i % 4}", 10L + i % 7)
+    }.toDF("doc_id", "source", "n_tok")
+  }
+
+  test("mixture sampling matches the closed-form keep predicate") {
+    val docs = corpus(400)
+    val weights = Map("src0" -> 500, "src1" -> 200)
+    val budget = 2000L
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val avail = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val tgt = (s: String) => budget * weights.getOrElse(s, 50).toLong / 1000L
+    val want = rows.filter { case (id, s, _) =>
+      math.floorMod(id * 2654435761L, 1000L) * avail(s) <
+        math.min(avail(s), tgt(s)) * 1000L
+    }.map(_._1).toSet
+    val got = Mixture.sample(docs, "source", org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("n_tok"),
+        weights, defaultPermille = 50, budget = budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === want)
+    // determinism: a second run is bit-identical
+    val again = Mixture.sample(docs, "source", org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("n_tok"),
+        weights, defaultPermille = 50, budget = budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === got)
+  }
+
+  test("mixture edge rates: full budget keeps everything, zero keeps nothing") {
+    val docs = corpus(100)
+    import org.apache.spark.sql.functions.col
+    val all = Mixture.sample(docs, "source", col("doc_id"), col("n_tok"),
+      Map.empty, defaultPermille = 1000, budget = 1000000L)
+    assert(all.count() === 100)
+    val none = Mixture.sample(docs, "source", col("doc_id"), col("n_tok"),
+      Map.empty, defaultPermille = 0, budget = 1000000L)
+    assert(none.count() === 0)
+  }
+}
