@@ -85,6 +85,22 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination broadcasts the eval shingle set; the corpus never sort-merges") {
+    val p = plan(q("q_decontam"))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the train corpus shuffled for the eval join:\n" + p.take(3000))
+  }
+
+  test("mixture sampling is a broadcast plan + scan-stage filter") {
+    val p = plan(q("q_domain_mix"))
+    // the per-domain plan joins back by broadcast; the only shuffle in
+    // the whole query is the dozens-row domain aggregate (+ the final
+    // presentation sort) — never a corpus repartition
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("pk point lookups push through the state collapse to the scan") {
     val e = graft.exec.QueryEngine.scratch(spark)
     e.sql("CREATE TABLE pt (k BIGINT PRIMARY KEY, v STRING)")
