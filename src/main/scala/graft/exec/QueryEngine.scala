@@ -5,7 +5,7 @@ import graft.log.EventLog
 import graft.sql.{IncrementalView, SqlText, Statement, StatementRouter, SystemTime, TemporalPre}
 import graft.state.{Snapshots, StateView}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.execution.ExplainMode
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -2959,6 +2959,86 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       append(t, full, EventLog.INSERT, direct = true,
         streamMeta = streamId.map(_ -> batchId))
       ()
+    }
+
+  /** Physical-cast, sequence-assign, and event-shape one INSERT batch
+    * — the body `append` applies, shared with the multi-table
+    * streaming-dedup publish. Returns (events, new last sequence). */
+  private def insertEventFrame(t: TableDef, rowsLogical: DataFrame,
+      base: Long): (DataFrame, Long) = {
+    val physical = rowsLogical.select(t.columns.map(c =>
+      col(c.logical).cast(c.dataType).as(c.physical)): _*)
+    val (withSeq, n) = EventLog.assignSequencesCounted(
+      physical.localCheckpoint(), base)
+    val ev = withSeq.select(
+      col("sequence"),
+      timestamp_seconds(lit(EventLog.ClockEpoch) + col("sequence")).as("ts"),
+      lit(EventLog.INSERT).as("event_type"),
+      col(t.pkPhysical).cast("string").as("pk"),
+      struct(t.columns.map(c => col(c.physical)): _*).as("payload"))
+    (ev, base + n)
+  }
+
+  /** Exactly-once streaming ingest with EXACT DEDUP against a
+    * persistent fingerprint registry table — the continuous-ingest
+    * complement of the batch dedup operators
+    * (graft.streaming.StreamingDedup): new shards admit only
+    * never-seen documents without ever re-scanning the corpus. Per
+    * micro-batch:
+    *   1. fingerprint each row; the lowest-pk row per fingerprint
+    *      wins inside the batch;
+    *   2. probe the registry's collapsed state for already-seen
+    *      fingerprints — small batches inline their fingerprint list
+    *      so the (bloom-indexable) registry scan prunes to the probed
+    *      row groups, the FK-probe discipline; past the cap the
+    *      anti-join shape stands on its own;
+    *   3. land the admitted rows AND their fingerprints in ONE atomic
+    *      publish carrying the micro-batch id — a crash replay skips
+    *      whole, so a document can neither duplicate nor vanish, and
+    *      the registry can never drift from the table it guards.
+    * The registry's primary key holds the fingerprint; its other
+    * columns fill from same-named batch columns (NULL otherwise). */
+  private[graft] def ingestStreamDeduped(table: String, registry: String,
+      batch: DataFrame, fingerprint: Column,
+      streamId: Option[String], batchId: Long): Unit =
+    writeLock.synchronized {
+      ensureWriteLock()
+      if (streamId.isDefined) sweepStaging() // see ingestStream
+      val committed = streamId.flatMap(catalog.lastStreamBatch)
+      if (streamId.isDefined && committed.exists(_ >= batchId)) return
+      val t = catalog.require(table)
+      val r = catalog.require(registry)
+      val full = batch.select(t.columns.map(c =>
+          if (batch.columns.contains(c.logical))
+            col(c.logical).cast(c.dataType).as(c.logical)
+          else lit(null).cast(c.dataType).as(c.logical)): _*)
+        .withColumn("__fp", fingerprint)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__fp")).orderBy(col(t.pk))
+      val firsts = full.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+        .localCheckpoint()
+      val seen = inlineKeyFilter(stateAt(r.name, None), r.pk, firsts, "__fp")
+        .select(col(r.pk).cast("string").as("__seen_fp"))
+      val admitted = firsts
+        .join(seen, col("__fp") === col("__seen_fp"), "left_anti")
+        .localCheckpoint()
+      val (evT, hiT) = insertEventFrame(t, admitted.drop("__fp"),
+        catalog.lastSeq(t.name))
+      val regRows = admitted.select(r.columns.map(c =>
+        if (c.logical == r.pk) col("__fp").cast(c.dataType).as(c.logical)
+        else if (admitted.columns.contains(c.logical))
+          col(c.logical).cast(c.dataType).as(c.logical)
+        else lit(null).cast(c.dataType).as(c.logical)): _*)
+      val (evR, hiR) = insertEventFrame(r, regRows, catalog.lastSeq(r.name))
+      // an all-duplicates batch still publishes when a batch id must be
+      // recorded; without one there is nothing to make durable
+      if (hiT == catalog.lastSeq(t.name) && hiR == catalog.lastSeq(r.name) &&
+        streamId.isEmpty) return
+      publishAtomic(Seq((t.name, evT), (r.name, evR)),
+        Map(t.name -> hiT, r.name -> hiR), streamId.map(_ -> batchId))
+      maybeAutoSnapshot(t.name, hiT)
+      maybeAutoSnapshot(r.name, hiR)
     }
 
   /** Apply one replicated micro-batch of RAW events (the primary's

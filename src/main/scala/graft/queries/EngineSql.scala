@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.exec.QueryEngine
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, concat_ws, lit, md5, slice, split}
 
 /** Correctness queries that exercise the ENGINE SHELL — every one of
   * these routes through `engine.sql(<string>)`: the statement router,
@@ -1031,6 +1031,36 @@ object EngineSql {
             |FROM docs""".stripMargin)
   }
 
+  /** Incremental streaming dedup (StreamingDedup / ingestStreamDeduped):
+    * three ordered micro-batches of the documents fixture, each
+    * admitting only fingerprints absent from the persistent registry —
+    * the final state must equal the BATCH dedup of the whole corpus
+    * (the q_dedup_exact survivors), so the incremental path can
+    * neither lose nor double-admit a document. Batches arrive in
+    * ascending doc_id ranges, making earliest-batch-wins coincide with
+    * the oracle's global MIN(doc_id). */
+  val qStreamDedup = Q(
+    "q_stream_dedup",
+    """WITH k AS (
+      |  SELECT doc_id, text,
+      |         md5(array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')) AS fp
+      |  FROM documents),
+      |surv AS (SELECT MIN(doc_id) AS doc_id FROM k GROUP BY fp)
+      |SELECT k.doc_id, length(k.text) AS n_chars
+      |FROM k JOIN surv ON k.doc_id = surv.doc_id
+      |ORDER BY k.doc_id""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("docs_src", s"$dir/documents.parquet")
+    e.sql("CREATE TABLE sdocs (doc_id BIGINT PRIMARY KEY, text STRING)")
+    e.sql("CREATE TABLE sseen (fp STRING PRIMARY KEY, doc_id BIGINT)")
+    val src = e.spark.table("docs_src").select(col("doc_id"), col("text"))
+    val fp = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 10)))
+    for ((lo, hi) <- Seq((0L, 150L), (150L, 300L), (300L, Long.MaxValue)))
+      e.ingestStreamDeduped("sdocs", "sseen",
+        src.where(col("doc_id") >= lo && col("doc_id") < hi), fp, None, -1L)
+    e.sql("SELECT doc_id, length(text) AS n_chars FROM sdocs ORDER BY doc_id")
+  }
+
   /** Every engine scenario runs inside a scratchScope: its scratch
     * engines are closed and their temp dirs deleted as soon as the
     * (collected) result is in hand — 28 leaked engines' pinned blocks
@@ -1042,6 +1072,6 @@ object EngineSql {
     qTriggerAudit,
     qProcCall, qMvccSessions, qConstraints, qSequences, qAutoIncrement,
     qRls, qBackupRestore, qAuditLog, qGrants, qResultCache, qMigrations,
-    qMetrics, qVacuumRetain, qDiffTable, qZOrder)
+    qMetrics, qVacuumRetain, qDiffTable, qZOrder, qStreamDedup)
     .map(q => q.copy(run = (s, dir) => QueryEngine.scratchScope(s)(q.run(s, dir))))
 }
