@@ -51,6 +51,30 @@ object TextAnalysis {
     scored.withColumn("pred", pred)
   }
 
+  /** Adjacent-pair statistics — the candidate table of a BPE merge
+    * step: each pair's corpus count plus a count-normalized affinity
+    * (`n / (count(left)·count(right))` — high when two tokens appear
+    * mostly together). 100 TB shape: the unigram and pair tables are
+    * vocabulary-sized, so both frequency joins broadcast; the only
+    * corpus-sized work is the two exploding scans, each collapsed by
+    * map-side partial aggregation before its shuffle. */
+  def bpePairStats(docs: DataFrame, k: Int): DataFrame = {
+    val uni = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val pairs = docs
+      .select(explode(QualityFilters.ngrams(col("text"), 2)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .withColumn("_l", split(col("pair"), " ").getItem(0))
+      .withColumn("_r", split(col("pair"), " ").getItem(1))
+    pairs
+      .join(broadcast(uni.select(col("w").as("_l"), col("wc").as("_lc"))), "_l")
+      .join(broadcast(uni.select(col("w").as("_r"), col("wc").as("_rc"))), "_r")
+      .select(col("pair"), col("n"),
+        (col("n").cast("double") / (col("_lc") * col("_rc"))).as("affinity"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Normalized content fingerprint: lowercase, strip non [a-z ],
     * collapse runs of spaces, trim, md5. Two documents differing only
     * in punctuation/casing/whitespace collide. */

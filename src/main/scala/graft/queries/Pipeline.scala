@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Components, Decontam, Dedup, FullText, Mixture, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextAnalysis, TextChunking}
+import graft.operators.{AsOfJoin, Components, Decontam, Dedup, FullText, Mixture, Multimodal, Packing, QualityFilters, Quantize, RangeJoin, Sampling, Similarity, TextAnalysis, TextChunking, TrainingOrder}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1111,7 +1111,106 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition gate (QualityFilters.repetitionGate):
+    * top-2-gram coverage + duplicate-3-gram coverage per document,
+    * thresholded. The oracle rebuilds the identical n-gram arrays and
+    * integer-exact ratios. */
+  val qQualityRepetition = Q(
+    "q_quality_repetition",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |e2 AS (SELECT doc_id,
+      |         unnest(list_transform(range(1, len(t)),
+      |                i -> concat_ws(' ', t[i], t[i+1]))) AS gram
+      |       FROM toks WHERE len(t) >= 2),
+      |c2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM e2 GROUP BY 1, 2),
+      |m2 AS (SELECT doc_id,
+      |         CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_2gram_frac
+      |       FROM c2 GROUP BY 1),
+      |e3 AS (SELECT doc_id,
+      |         unnest(list_transform(range(1, len(t) - 1),
+      |                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gram
+      |       FROM toks WHERE len(t) >= 3),
+      |c3 AS (SELECT doc_id, gram, COUNT(*) AS c FROM e3 GROUP BY 1, 2),
+      |m3 AS (SELECT doc_id,
+      |         CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS DOUBLE)
+      |           / SUM(c) AS dup_3gram_frac
+      |       FROM c3 GROUP BY 1)
+      |SELECT m2.doc_id, top_2gram_frac, dup_3gram_frac,
+      |       top_2gram_frac <= 0.2 AND dup_3gram_frac <= 0.6 AS passes
+      |FROM m2 JOIN m3 ON m2.doc_id = m3.doc_id
+      |ORDER BY m2.doc_id""".stripMargin) { (s, dir) =>
+    QualityFilters.repetitionGate(t(s, dir, "documents"),
+        maxTop2 = 0.2, maxDup3 = 0.6)
+      .orderBy("doc_id")
+  }
+
+  /** Seeded deterministic training order (TrainingOrder.shardPlan):
+    * the oracle re-derives the multiplicative-hash permutation and
+    * in-shard ranks with the same BIGINT arithmetic. */
+  val qTrainShuffle = Q(
+    "q_train_shuffle",
+    """WITH h AS (SELECT doc_id,
+      |  (doc_id * 2654435761 + 42) % 1000000007 AS ord FROM documents)
+      |SELECT doc_id, ord % 8 AS shard,
+      |       ROW_NUMBER() OVER (PARTITION BY ord % 8
+      |                          ORDER BY ord, doc_id) AS pos
+      |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TrainingOrder.shardPlan(t(s, dir, "documents"), col("doc_id"),
+        seed = 42L, numShards = 8)
+      .select("doc_id", "shard", "pos")
+      .orderBy("doc_id")
+  }
+
+  /** Top adjacent-pair statistics — the first BPE merge step's
+    * candidate table (pair count + count-normalized affinity). */
+  val qBpePairs = Q(
+    "q_bpe_pairs",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |uni AS (SELECT unnest(t) AS w FROM toks),
+      |uc AS (SELECT w, COUNT(*) AS wc FROM uni GROUP BY w),
+      |pairs AS (SELECT unnest(list_transform(range(1, len(t)),
+      |                 i -> concat_ws(' ', t[i], t[i+1]))) AS pair
+      |          FROM toks WHERE len(t) >= 2),
+      |pc AS (SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair)
+      |SELECT pair, n,
+      |       CAST(n AS DOUBLE) / (lc.wc * rc.wc) AS affinity
+      |FROM pc
+      |JOIN uc lc ON lc.w = string_split(pair, ' ')[1]
+      |JOIN uc rc ON rc.w = string_split(pair, ' ')[2]
+      |ORDER BY n DESC, pair
+      |LIMIT 30""".stripMargin) { (s, dir) =>
+    TextAnalysis.bpePairStats(t(s, dir, "documents"), 30)
+  }
+
+  /** Symmetric int8 embedding quantization (Quantize.int8): exact
+    * integer codes + per-vector scale, re-derived element-wise in the
+    * oracle with the same floor-half-up arithmetic. */
+  val qEmbedQuant = Q(
+    "q_embed_quant",
+    """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings WHERE vec_id < 50),
+      |q AS (SELECT vec_id, v,
+      |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      |      FROM s),
+      |c AS (SELECT vec_id, scale,
+      |        unnest(range(0, len(v))) AS dim,
+      |        unnest(list_transform(v, x ->
+      |          CASE WHEN scale = 0 THEN 0
+      |               ELSE GREATEST(-127, LEAST(127,
+      |                      CAST(FLOOR(x / scale + 0.5) AS BIGINT))) END)) AS code
+      |      FROM q)
+      |SELECT vec_id, dim, code, scale FROM c
+      |ORDER BY vec_id, dim""".stripMargin) { (s, dir) =>
+    Quantize.int8(t(s, dir, "embeddings").where(col("vec_id") < 50),
+        "embedding")
+      .select(col("vec_id"), col("scale"),
+        posexplode(col("codes")).as(Seq("dim", "code")))
+      .select("vec_id", "dim", "code", "scale")
+      .orderBy("vec_id", "dim")
+  }
+
   val all: Seq[Q] = Seq(
+    qQualityRepetition, qTrainShuffle, qBpePairs, qEmbedQuant,
     qDecontam, qDecontamClean, qDomainMix,
     qDedupExact, qPipelineE2E, qJaccardPairs, qShingleJaccard, qDupClusters,
     qDedupKeep,

@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the round-9 curation operators: repetition quality
+  * gate, seeded training order, BPE pair stats, int8 quantization. */
+class CurationSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private def emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  // -------------------------------------------------- QualityFilters
+
+  test("repetition fractions live in (0, 1] and gate composes them") {
+    val g = QualityFilters.repetitionGate(docs, 0.2, 0.6)
+    assert(g.where(col("top_2gram_frac") <= 0 || col("top_2gram_frac") > 1 ||
+      col("dup_3gram_frac") < 0 || col("dup_3gram_frac") > 1).count() === 0)
+    assert(g.where(col("passes") =!=
+      (col("top_2gram_frac") <= 0.2 && col("dup_3gram_frac") <= 0.6))
+      .count() === 0)
+  }
+
+  test("a degenerate repeated document fails the gate, a diverse one passes") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val g = QualityFilters.repetitionGate(d, 0.2, 0.6).orderBy("doc_id")
+      .select("doc_id", "passes").as[(Long, Boolean)].collect()
+    assert(g === Array((1L, false), (2L, true)))
+  }
+
+  test("ngrams of a doc shorter than n is empty, not an error") {
+    val d = Seq((1L, "solo")).toDF("doc_id", "text")
+    val out = d.select(size(QualityFilters.ngrams(col("text"), 2)).as("n"))
+      .head().getInt(0)
+    assert(out === 0)
+  }
+
+  // -------------------------------------------------- TrainingOrder
+
+  test("training order is a seeded permutation: same seed identical, different seed different") {
+    val a = TrainingOrder.shardPlan(docs, col("doc_id"), 7L, 4)
+      .select("doc_id", "shard", "pos").orderBy("doc_id").collect()
+    val b = TrainingOrder.shardPlan(docs, col("doc_id"), 7L, 4)
+      .select("doc_id", "shard", "pos").orderBy("doc_id").collect()
+    val c = TrainingOrder.shardPlan(docs, col("doc_id"), 8L, 4)
+      .select("doc_id", "shard", "pos").orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+    assert(!a.sameElements(c))
+  }
+
+  test("per-shard positions are contiguous 1..n and shards cover [0, numShards)") {
+    val p = TrainingOrder.shardPlan(docs, col("doc_id"), 42L, 4)
+    val perShard = p.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"),
+        countDistinct("pos").as("d"))
+    assert(perShard.where(col("lo") =!= 1 || col("hi") =!= col("n") ||
+      col("d") =!= col("n")).count() === 0)
+    assert(p.select("shard").distinct().as[Long].collect().sorted
+      === Array(0L, 1L, 2L, 3L))
+  }
+
+  // -------------------------------------------------- TextAnalysis.bpePairStats
+
+  test("bpe pair stats count adjacent pairs exactly") {
+    val d = Seq((1L, "a b a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairStats(d, 10)
+      .select("pair", "n").as[(String, Long)].collect().toMap
+    // "a b": doc1 twice + doc2 once; "b a"/"b c": doc1 once each
+    assert(got === Map("a b" -> 3L, "b a" -> 1L, "b c" -> 1L))
+  }
+
+  // -------------------------------------------------- Quantize
+
+  test("int8 codes are clamped and reconstruction error is within scale/2") {
+    val q = Quantize.int8(emb, "embedding")
+    assert(q.where(exists(col("codes"),
+      c => c > 127 || c < -127)).count() === 0)
+    // floor(x/s + 0.5)*s is within s/2 of x up to one ulp of slack
+    assert(q.where(col("max_abs_err") > col("scale") / 2 * 1.0000001)
+      .count() === 0)
+  }
+
+  test("zero vectors quantize to zero codes with zero scale") {
+    val d = Seq((1L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Quantize.int8(d, "embedding")
+      .select(col("scale"), col("max_abs_err"),
+        size(filter(col("codes"), c => c =!= 0)).as("nz"))
+      .head()
+    assert(r.getDouble(0) === 0.0 && r.getDouble(1) === 0.0 && r.getInt(2) === 0)
+  }
+
+  test("quantization preserves cosine neighborhoods approximately") {
+    // dequantized top-1 neighbor of each query matches the exact top-1
+    // for most queries — the property that makes int8 usable for ANN
+    val deq = Quantize.int8(emb, "embedding")
+      .select(col("vec_id"),
+        transform(col("codes"), c => c * col("scale")).as("embedding"))
+    def top1(df: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(df.where(col("vec_id") < 20), df, 1)
+        .select("qid", "cid").as[(Long, Long)].collect().toMap
+    val exact = top1(emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding")))
+    val quant = top1(deq)
+    val agree = exact.count { case (q, c) => quant.get(q).contains(c) }
+    assert(agree >= 18, s"only $agree/20 top-1 neighbors preserved")
+  }
+}
