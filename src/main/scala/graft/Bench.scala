@@ -21,7 +21,12 @@ object Bench {
     // first timed query measures itself, not JVM startup
     try SparkEntry.entry(spark).count()
     catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated name filter for local iteration on a
+    // few queries (the driver always runs the full set)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1))).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }

@@ -141,6 +141,15 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   // VACUUM RETAIN physically deleted the events (persisted)
   private val retentionFloors = mutable.HashMap.empty[String, Long]
   val stats = mutable.HashMap.empty[String, Map[String, String]] // ANALYZE output
+  // ANALYZE per-column detail (stats.rs:1-60 shape): nullCount/ndv/
+  // min/max per column, plus equi-width histograms for numeric
+  // columns — session-lived like `stats` (re-ANALYZE after reopen)
+  final case class ColStat(nullCount: Long, ndv: Long,
+      min: String, max: String)
+  val colStats = mutable.HashMap.empty[String, Map[String, ColStat]]
+  // (table, column) -> buckets of (lo, hi, count)
+  val histograms =
+    mutable.HashMap.empty[(String, String), Seq[(Double, Double, Long)]]
 
   load()
 
@@ -761,7 +770,7 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
     streamBatches.clear(); triggers.clear(); procs.clear()
     sequences.clear(); rlsTables.clear(); policies.clear(); grants.clear()
     migrations.clear(); appliedMigs.clear(); retentionFloors.clear()
-    stats.clear()
+    stats.clear(); colStats.clear(); histograms.clear()
     load()
   }
 

@@ -550,6 +550,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         _: Statement.SetCache | Statement.ShowCache | Statement.ClearCache |
         Statement.ShowMigrations | _: Statement.SetStatementTimeout |
         Statement.ShowMetrics | _: Statement.SetSlowLog | Statement.ShowPerf |
+        _: Statement.ShowStats | _: Statement.ShowHistogram |
         _: Statement.SetEncryptionKey | Statement.SetEncryptionOff |
         _: Statement.CopyTo | _: Statement.DiffTable |
         _: Statement.Describe | _: Statement.Analyze |
@@ -1168,6 +1169,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       summary("timeout_set", ms, 0L)
     case Statement.ShowMetrics => showMetrics()
     case Statement.ShowStorage(t) => showStorage(t)
+    case Statement.ShowStats(t) => showStats(t)
+    case Statement.ShowHistogram(t, c) => showHistogram(t, c)
     case Statement.SetSlowLog(ms) =>
       slowLogThresholdMs = ms
       if (ms == 0) slowLog.clear()
@@ -3135,14 +3138,102 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     val t = catalog.require(table)
     val state = stateAt(table, None)
     val aggs = t.columns.flatMap(c => Seq(
+      count(col(c.logical)).as(s"nn_${c.logical}"),
       approx_count_distinct(col(c.logical)).as(s"ndv_${c.logical}"),
       min(col(c.logical)).cast("string").as(s"min_${c.logical}"),
       max(col(c.logical)).cast("string").as(s"max_${c.logical}")))
     val row = state.agg(count(lit(1)).as("n_rows"), aggs: _*).head()
+    val nRows = row.getAs[Long]("n_rows")
     catalog.stats(table) = row.schema.fieldNames
       .map(f => f -> Option(row.getAs[Any](f)).map(_.toString).orNull).toMap
+    catalog.colStats(table) = t.columns.map { c =>
+      c.logical -> catalog.ColStat(
+        nullCount = nRows - row.getAs[Long](s"nn_${c.logical}"),
+        ndv = row.getAs[Long](s"ndv_${c.logical}"),
+        min = row.getAs[String](s"min_${c.logical}"),
+        max = row.getAs[String](s"max_${c.logical}"))
+    }.toMap
+    analyzeHistograms(table, state, nRows)
     spark.range(1).select(lit(table).as("table"),
-      lit(row.getAs[Long]("n_rows")).as("n_rows"))
+      lit(nRows).as("n_rows"))
+  }
+
+  /** Equi-width 10-bucket histograms for every numeric column
+    * (stats.rs histogram shape), in ONE aggregation job: each bucket
+    * count is a conditional sum, so the whole pass is a global partial
+    * aggregate over the scan — no shuffle of data rows, no per-column
+    * jobs. Bucket arithmetic is plain IEEE `(x−lo)/(hi−lo)·B` floored
+    * and clamped, so any engine reproduces the counts exactly. */
+  private def analyzeHistograms(table: String, state: DataFrame,
+      nRows: Long): Unit = {
+    import org.apache.spark.sql.types.NumericType
+    val t = catalog.require(table)
+    val numeric = t.columns.filter(_.dataType.isInstanceOf[NumericType])
+    catalog.histograms.filterInPlace { case ((tn, _), _) => tn != table }
+    if (numeric.isEmpty || nRows == 0) return
+    val bounds = state.agg(
+      min(col(numeric.head.logical)).cast("double").as("_d0"),
+      numeric.flatMap(c => Seq(
+        min(col(c.logical)).cast("double").as(s"lo_${c.logical}"),
+        max(col(c.logical)).cast("double").as(s"hi_${c.logical}"))): _*)
+      .head()
+    val B = 10
+    val counts = state.agg(count(lit(1)).as("_n"),
+      numeric.flatMap { c =>
+        val lo = bounds.getAs[Double](s"lo_${c.logical}")
+        val hi = bounds.getAs[Double](s"hi_${c.logical}")
+        val x = col(c.logical).cast("double")
+        // `least` skips nulls (SQL semantics), so guard: a null value
+        // must produce a null bucket, not land in the last one
+        val bucket =
+          if (hi == lo) when(x.isNotNull, lit(0))
+          else when(x.isNotNull, least(lit(B - 1),
+            floor((x - lit(lo)) / (lit(hi) - lit(lo)) * lit(B))))
+        (0 until B).map(b =>
+          sum(when(bucket === b, 1L).otherwise(0L)).as(s"b${b}_${c.logical}"))
+      }: _*).head()
+    numeric.foreach { c =>
+      val lo = bounds.getAs[Double](s"lo_${c.logical}")
+      val hi = bounds.getAs[Double](s"hi_${c.logical}")
+      val width = (hi - lo) / B
+      catalog.histograms((table, c.logical)) = (0 until B).map { b =>
+        (lo + b * width, if (b == B - 1) hi else lo + (b + 1) * width,
+          counts.getAs[Long](s"b${b}_${c.logical}"))
+      }
+    }
+  }
+
+  /** SHOW STATS FOR t — the per-column ANALYZE detail
+    * (stats.rs:1-60: cardinality, null counts, min/max). Computes on
+    * demand when the table was never analyzed; a later ANALYZE
+    * refreshes. Gated on the SELECT privilege — min/max are data. */
+  def showStats(table: String): DataFrame = {
+    checkPrivilege(table, "SELECT")
+    if (!catalog.colStats.contains(table)) analyze(table)
+    val nRows = catalog.stats(table)("n_rows").toLong
+    val rows = catalog.colStats(table).toSeq.sortBy(_._1).map {
+      case (c, s) => (c, nRows, s.nullCount, s.ndv, s.min, s.max)
+    }
+    import spark.implicits._
+    rows.toDF("col_name", "n_rows", "null_count", "ndv", "min", "max")
+  }
+
+  /** SHOW HISTOGRAM t col — the stored equi-width bucket counts for a
+    * numeric column. Same governance and compute-on-demand discipline
+    * as SHOW STATS. */
+  def showHistogram(table: String, column: String): DataFrame = {
+    checkPrivilege(table, "SELECT")
+    if (!catalog.colStats.contains(table)) analyze(table)
+    val t = catalog.require(table)
+    require(t.columns.exists(_.logical == column),
+      s"requirement failed: no column $column in $table")
+    val buckets = catalog.histograms.getOrElse((table, column),
+      throw new IllegalArgumentException(
+        s"requirement failed: no histogram for $table.$column (non-numeric or empty table)"))
+    import spark.implicits._
+    buckets.zipWithIndex
+      .map { case ((lo, hi, n), b) => (b.toLong, lo, hi, n) }
+      .toDF("bucket", "lo", "hi", "n")
   }
 
   def showTables(): DataFrame = {

@@ -1061,6 +1061,69 @@ object EngineSql {
     e.sql("SELECT doc_id, length(text) AS n_chars FROM sdocs ORDER BY doc_id")
   }
 
+  /** ANALYZE + SHOW STATS (stats.rs:1-60): per-column cardinality,
+    * null counts, ndv, min/max. The oracle recomputes each column's
+    * stats exactly in DuckDB; at nation's size the engine's HLL ndv is
+    * exact, so the whole row set hash-matches. */
+  val qShowStats = Q(
+    "q_show_stats",
+    """SELECT col_name, n_rows, null_count, ndv, "min", "max" FROM (
+      |  SELECT 'n_name' AS col_name, COUNT(*) AS n_rows,
+      |         COUNT(*) - COUNT(n_name) AS null_count,
+      |         COUNT(DISTINCT n_name) AS ndv,
+      |         CAST(MIN(n_name) AS VARCHAR) AS "min",
+      |         CAST(MAX(n_name) AS VARCHAR) AS "max" FROM nation
+      |  UNION ALL
+      |  SELECT 'n_nationkey', COUNT(*), COUNT(*) - COUNT(n_nationkey),
+      |         COUNT(DISTINCT n_nationkey),
+      |         CAST(MIN(n_nationkey) AS VARCHAR), CAST(MAX(n_nationkey) AS VARCHAR)
+      |  FROM nation
+      |  UNION ALL
+      |  SELECT 'n_regionkey', COUNT(*), COUNT(*) - COUNT(n_regionkey),
+      |         COUNT(DISTINCT n_regionkey),
+      |         CAST(MIN(n_regionkey) AS VARCHAR), CAST(MAX(n_regionkey) AS VARCHAR)
+      |  FROM nation)
+      |ORDER BY col_name""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("nation_src", s"$dir/nation.parquet")
+    e.sql("""CREATE TABLE nat (n_nationkey BIGINT PRIMARY KEY,
+            |  n_name STRING, n_regionkey BIGINT)""".stripMargin)
+    e.sql("""INSERT INTO nat
+            |SELECT n_nationkey, n_name, n_regionkey FROM nation_src""".stripMargin)
+    e.sql("ANALYZE nat")
+    e.sql("SHOW STATS FOR nat")
+  }
+
+  /** SHOW HISTOGRAM (stats.rs histogram shape): 10 equi-width buckets
+    * over a numeric column. The oracle mirrors the bucket arithmetic
+    * operation-for-operation — (x−lo)/(hi−lo)·10 floored, clamped to 9,
+    * bounds lo + b·width with width = (hi−lo)/10 — so every double is
+    * bit-identical across engines. */
+  val qShowHistogram = Q(
+    "q_show_histogram",
+    """WITH b AS (
+      |  SELECT CAST(MIN(o_orderkey) AS DOUBLE) AS lo,
+      |         CAST(MAX(o_orderkey) AS DOUBLE) AS hi
+      |  FROM orders),
+      |d AS (
+      |  SELECT LEAST(9, CAST(FLOOR((CAST(o_orderkey AS DOUBLE) - b.lo)
+      |                             / (b.hi - b.lo) * 10) AS BIGINT)) AS bucket
+      |  FROM orders, b),
+      |g AS (SELECT bucket, COUNT(*) AS n FROM d GROUP BY bucket)
+      |SELECT CAST(r.range AS BIGINT) AS bucket,
+      |       b.lo + r.range * ((b.hi - b.lo) / 10) AS lo,
+      |       CASE WHEN r.range = 9 THEN b.hi
+      |            ELSE b.lo + (r.range + 1) * ((b.hi - b.lo) / 10) END AS hi,
+      |       COALESCE(g.n, 0) AS n
+      |FROM range(10) r CROSS JOIN b LEFT JOIN g ON g.bucket = r.range
+      |ORDER BY bucket""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("orders_src", s"$dir/orders.parquet")
+    e.sql("CREATE TABLE ordt (o_orderkey BIGINT PRIMARY KEY)")
+    e.sql("INSERT INTO ordt SELECT o_orderkey FROM orders_src")
+    e.sql("SHOW HISTOGRAM ordt o_orderkey")
+  }
+
   /** Every engine scenario runs inside a scratchScope: its scratch
     * engines are closed and their temp dirs deleted as soon as the
     * (collected) result is in hand — 28 leaked engines' pinned blocks
@@ -1072,6 +1135,7 @@ object EngineSql {
     qTriggerAudit,
     qProcCall, qMvccSessions, qConstraints, qSequences, qAutoIncrement,
     qRls, qBackupRestore, qAuditLog, qGrants, qResultCache, qMigrations,
-    qMetrics, qVacuumRetain, qDiffTable, qZOrder, qStreamDedup)
+    qMetrics, qVacuumRetain, qDiffTable, qZOrder, qStreamDedup,
+    qShowStats, qShowHistogram)
     .map(q => q.copy(run = (s, dir) => QueryEngine.scratchScope(s)(q.run(s, dir))))
 }

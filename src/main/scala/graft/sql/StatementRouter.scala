@@ -205,6 +205,13 @@ object Statement {
     * file counts and bytes, snapshot sequences, retention floor. The
     * ops answer to "what is VACUUM/OPTIMIZE actually reclaiming". */
   final case class ShowStorage(table: Option[String]) extends Statement
+  /** SHOW STATS FOR t — per-column ANALYZE detail: null counts,
+    * ndv, min/max (stats.rs:1-60). */
+  final case class ShowStats(table: String) extends Statement
+  /** SHOW HISTOGRAM t col — equi-width bucket counts for a numeric
+    * column (stats.rs histogram shape). */
+  final case class ShowHistogram(table: String, column: String)
+    extends Statement
   /** SET SLOW_LOG <ms> — statements at/over the threshold land in the
     * slow-statement log; 0 disables (monitoring.rs:97
     * slow_query_threshold_ms). */
@@ -351,6 +358,10 @@ object StatementRouter {
   private val ShowMetricsR = """(?is)^SHOW\s+METRICS\s*$""".r
   private val ShowStorageR =
     """(?is)^SHOW\s+STORAGE(?:\s+FOR\s+([\w.]+))?\s*$""".r
+  private val ShowStatsR =
+    """(?is)^SHOW\s+STATS\s+(?:FOR\s+)?([\w.]+)\s*$""".r
+  private val ShowHistogramR =
+    """(?is)^SHOW\s+HISTOGRAM\s+([\w.]+)\s+(\w+)\s*$""".r
   private val SetSlowLogR = """(?is)^SET\s+SLOW_LOG\s+(\d+)\s*$""".r
   private val SetRateLimitR =
     """(?is)^SET\s+RATE_LIMIT\s+(?:(OFF)|(\d+(?:\.\d+)?)(?:\s+BURST\s+(\d+))?)\s*$""".r
@@ -445,6 +456,8 @@ object StatementRouter {
       case SetTimeoutR(ms) => SetStatementTimeout(ms.toLong)
       case ShowMetricsR() => ShowMetrics
       case ShowStorageR(t) => ShowStorage(Option(t))
+      case ShowStatsR(t) => ShowStats(t)
+      case ShowHistogramR(t, c) => ShowHistogram(t, c)
       case SetSlowLogR(ms) => SetSlowLog(ms.toLong)
       case SetRateLimitR(off, qps, burst) =>
         if (off != null) SetRateLimit(None, None)
