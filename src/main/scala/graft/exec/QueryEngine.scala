@@ -551,6 +551,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         Statement.ShowMigrations | _: Statement.SetStatementTimeout |
         Statement.ShowMetrics | _: Statement.SetSlowLog | Statement.ShowPerf |
         _: Statement.ShowStats | _: Statement.ShowHistogram |
+        _: Statement.SetSecurityMonitor | _: Statement.SetSecurityAutoblock |
+        Statement.ShowSecurityThreats | Statement.ShowSecurityStats |
+        Statement.ShowSessions |
         _: Statement.SetEncryptionKey | Statement.SetEncryptionOff |
         _: Statement.CopyTo | _: Statement.DiffTable |
         _: Statement.Describe | _: Statement.Analyze |
@@ -571,9 +574,28 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       val prev = current
       current = session
       session.stmtDepth += 1
+      // the security monitor sees each TOP-LEVEL statement once (nested
+      // trigger/procedure bodies are the statement's own work, same
+      // boundary the rate limiter draws); affected-row side channel
+      // resets here so a failed statement never reports its
+      // predecessor's count
+      val top = session.stmtDepth == 1
+      if (top) lastAffected = None
+      var ok = true
       try sqlCurrent(statement)
-      finally { session.stmtDepth -= 1; current = prev }
+      catch { case e: Throwable => ok = false; throw e }
+      finally {
+        if (top && security.enabled)
+          security.recordStatement(session, session.user, statement, ok,
+            if (ok) lastAffected else None)
+        session.stmtDepth -= 1; current = prev
+      }
     }
+
+  /** Security monitoring / intrusion detection over the statement and
+    * authentication streams (security_monitor.rs) — the wire server
+    * feeds failed logins and consults the auto-block list. */
+  val security = new SecurityMonitor(() => catalog.tableNames)
 
   // ------------------------------------------------------ rate limiting
 
@@ -1171,6 +1193,30 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Statement.ShowStorage(t) => showStorage(t)
     case Statement.ShowStats(t) => showStats(t)
     case Statement.ShowHistogram(t, c) => showHistogram(t, c)
+    case Statement.SetSecurityMonitor(on) =>
+      // like SET AUDIT: a session that can silence the monitor can hide
+      // its own traces — unconditionally superuser-only
+      requireSuperuserAlways("SET SECURITY_MONITOR")
+      security.enabled = on
+      summary(if (on) "security_enabled" else "security_disabled", 0L, 0L)
+    case Statement.SetSecurityAutoblock(on) =>
+      requireSuperuserAlways("SET SECURITY_AUTOBLOCK")
+      security.autoBlock = on
+      summary(if (on) "autoblock_enabled" else "autoblock_disabled", 0L, 0L)
+    case Statement.ShowSecurityThreats =>
+      requireSuperuser("SHOW SECURITY THREATS")
+      import spark.implicits._
+      security.threatRows.toDF("threat_id", "threat_type", "severity",
+        "source", "user", "signal")
+    case Statement.ShowSecurityStats =>
+      requireSuperuser("SHOW SECURITY STATS")
+      import spark.implicits._
+      security.statRows.toDF("stat", "value")
+    case Statement.ShowSessions =>
+      requireSuperuser("SHOW SESSIONS")
+      import spark.implicits._
+      security.sessionRows.toDF("session_id", "user", "statements",
+        "failed", "rows_accessed", "tables_accessed", "risk_score")
     case Statement.SetSlowLog(ms) =>
       slowLogThresholdMs = ms
       if (ms == 0) slowLog.clear()

@@ -1124,6 +1124,63 @@ object EngineSql {
     e.sql("SHOW HISTOGRAM ordt o_orderkey")
   }
 
+  /** Security monitor threat feed (security_monitor.rs:436-520): a
+    * statement carrying an injection signature is flagged CRITICAL in
+    * the threat feed with the matched signature. The scenario's other
+    * statements (DML, a failed insert) must NOT appear — the oracle is
+    * the exact one-row feed. */
+  val qSecurityThreats = Q(
+    "q_security_threats",
+    """SELECT CAST(1 AS BIGINT) AS threat_id,
+      |       'SQLInjection' AS threat_type, 'CRITICAL' AS severity,
+      |       CAST(NULL AS VARCHAR) AS source, 'root' AS "user",
+      |       'or 1=1' AS signal""".stripMargin) { (s, dir) =>
+    val e = securityScenario(s, dir)
+    e.sql("SHOW SECURITY THREATS")
+  }
+
+  /** Session tracker + risk score (security_monitor.rs SessionTracker
+    * :915-995): statement/failure/row/table counts accumulate per
+    * session and the risk formula is plain IEEE arithmetic — the oracle
+    * recomputes every count from the fixture and the risk expression
+    * operation-for-operation, so the whole row hash-matches. */
+  val qSecuritySessions = Q(
+    "q_security_sessions",
+    """WITH base AS (
+      |  SELECT c_custkey AS k, c_acctbal AS bal FROM customer
+      |  WHERE c_custkey < 500)
+      |SELECT CAST(1 AS BIGINT) AS session_id, 'root' AS "user",
+      |       CAST(6 AS BIGINT) AS statements, CAST(1 AS BIGINT) AS failed,
+      |       (SELECT COUNT(*) FROM base)
+      |         + (SELECT COUNT(*) FROM base WHERE bal > 5000)
+      |         + (SELECT COUNT(*) FROM base WHERE k % 10 = 0) AS rows_accessed,
+      |       CAST(1 AS BIGINT) AS tables_accessed,
+      |       CAST(1 AS DOUBLE) / 6 * 0.3 AS risk_score""".stripMargin) { (s, dir) =>
+    val e = securityScenario(s, dir)
+    e.sql("SHOW SESSIONS")
+  }
+
+  /** Shared 6-statement scenario for the security-monitor oracles:
+    * DDL + three DML (known affected counts), one injection-flagged
+    * SELECT, one failed INSERT — the monitor sees exactly these six
+    * top-level statements when the SHOW runs as the seventh. */
+  private def securityScenario(s: SparkSession, dir: String): QueryEngine = {
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.sql("CREATE TABLE acct (k BIGINT PRIMARY KEY, bal DOUBLE, status STRING)")
+    e.sql("""INSERT INTO acct
+            |SELECT c_custkey, c_acctbal, 'new' FROM customer
+            |WHERE c_custkey < 500""".stripMargin)
+    e.sql("UPDATE acct SET status = 'vip' WHERE bal > 5000")
+    e.sql("DELETE FROM acct WHERE k % 10 = 0")
+    e.sql("SELECT COUNT(*) AS n FROM acct WHERE k = 1 OR 1=1").count()
+    val failed =
+      try { e.sql("INSERT INTO acct VALUES (1, 1.0, 'dup')"); false }
+      catch { case _: IllegalArgumentException => true }
+    require(failed, "duplicate-pk INSERT unexpectedly succeeded")
+    e
+  }
+
   /** Every engine scenario runs inside a scratchScope: its scratch
     * engines are closed and their temp dirs deleted as soon as the
     * (collected) result is in hand — 28 leaked engines' pinned blocks
@@ -1136,6 +1193,6 @@ object EngineSql {
     qProcCall, qMvccSessions, qConstraints, qSequences, qAutoIncrement,
     qRls, qBackupRestore, qAuditLog, qGrants, qResultCache, qMigrations,
     qMetrics, qVacuumRetain, qDiffTable, qZOrder, qStreamDedup,
-    qShowStats, qShowHistogram)
+    qShowStats, qShowHistogram, qSecurityThreats, qSecuritySessions)
     .map(q => q.copy(run = (s, dir) => QueryEngine.scratchScope(s)(q.run(s, dir))))
 }

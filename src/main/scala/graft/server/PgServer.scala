@@ -114,7 +114,9 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
     val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
     val st = new ConnState
     try {
-      val user = startup(in, out, st).getOrElse(return)
+      val source = Option(sock.getInetAddress)
+        .map(_.getHostAddress).getOrElse("unknown")
+      val user = startup(in, out, st, source).getOrElse(return)
       cancelRegistry.put((st.pid, st.secret), st)
       val session = engine.newSession()
       // the wire never inherits the embedded default (root/superuser):
@@ -173,12 +175,12 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
     * connection (cancel requests, failed password challenges). */
   @annotation.tailrec
   private def startup(in: DataInputStream, out: DataOutputStream,
-      st: ConnState): Option[String] = {
+      st: ConnState, source: String): Option[String] = {
     val len = in.readInt()
     val code = in.readInt()
     if (code == 80877103 || code == 80877104) { // SSLRequest / GSSENCRequest
       out.write('N'); out.flush()
-      startup(in, out, st)
+      startup(in, out, st, source)
     } else if (code == 80877102) { // CancelRequest: pid + secret follow
       val pid = in.readInt()
       val secret = in.readInt()
@@ -198,7 +200,13 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
         b.result()
       }
       val user = params.getOrElse("user", "anonymous")
-      if (!authenticate(user, in, out)) None
+      // security-monitor auto-block: a brute-forcing source is refused
+      // before the password challenge (security_monitor.rs:684-703)
+      if (engine.security.isBlocked(source)) {
+        sendError(out,
+          s"connection refused: source $source is blocked", "28000")
+        None
+      } else if (!authenticate(user, in, out, source)) None
       else {
         out.write('R'); out.writeInt(8); out.writeInt(0) // AuthenticationOk
         for ((k, v) <- Seq("server_version" -> "14.0 (graft)",
@@ -221,7 +229,8 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
     * Users without one connect unchallenged — but always as plain
     * non-superusers unless trusted. */
   private def authenticate(user: String, in: DataInputStream,
-      out: DataOutputStream): Boolean = passwords.get(user) match {
+      out: DataOutputStream, source: String): Boolean =
+    passwords.get(user) match {
     case None => true
     case Some(expect) =>
       out.write('R'); out.writeInt(8); out.writeInt(3) // CleartextPassword
@@ -234,8 +243,14 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
       val ok = tpe == 'p' &&
         java.security.MessageDigest.isEqual(given.getBytes(UTF_8),
           expect.getBytes(UTF_8))
-      if (!ok) sendError(out,
-        s"""password authentication failed for user "$user"""", "28P01")
+      if (!ok) {
+        // feed the intrusion monitor: enough of these inside the window
+        // raises a BruteForceAttack threat, and with auto-block on the
+        // NEXT connection from this source is refused at startup
+        engine.security.recordFailedLogin(source, user)
+        sendError(out,
+          s"""password authentication failed for user "$user"""", "28P01")
+      }
       ok
   }
 

@@ -228,6 +228,18 @@ object Statement {
     * files stay readable while the key is registered). */
   final case class SetEncryptionKey(keyBase64: String) extends Statement
   case object SetEncryptionOff extends Statement
+  /** SET SECURITY_MONITOR ON|OFF — enable/disable the intrusion
+    * monitor (security_monitor.rs:25 SecurityConfig.enabled); SET
+    * SECURITY_AUTOBLOCK ON|OFF mirrors auto_block_threats (:48). */
+  final case class SetSecurityMonitor(on: Boolean) extends Statement
+  final case class SetSecurityAutoblock(on: Boolean) extends Statement
+  /** SHOW SECURITY THREATS / STATS — the monitor's threat feed and
+    * counters (security_monitor.rs get_active_threats/get_stats). */
+  case object ShowSecurityThreats extends Statement
+  case object ShowSecurityStats extends Statement
+  /** SHOW SESSIONS — per-session activity + risk score
+    * (security_monitor.rs SessionTracker, connection.rs:450 stats). */
+  case object ShowSessions extends Statement
 }
 
 object StatementRouter {
@@ -369,6 +381,14 @@ object StatementRouter {
   private val SetEncryptionKeyR =
     """(?is)^SET\s+ENCRYPTION\s+KEY\s+'([^']+)'\s*$""".r
   private val SetEncryptionOffR = """(?is)^SET\s+ENCRYPTION\s+OFF\s*$""".r
+  private val SetSecurityMonitorR =
+    """(?is)^SET\s+SECURITY_MONITOR\s+(ON|OFF)\s*$""".r
+  private val SetSecurityAutoblockR =
+    """(?is)^SET\s+SECURITY_AUTOBLOCK\s+(ON|OFF)\s*$""".r
+  private val ShowSecurityThreatsR =
+    """(?is)^SHOW\s+SECURITY\s+THREATS\s*$""".r
+  private val ShowSecurityStatsR = """(?is)^SHOW\s+SECURITY\s+STATS\s*$""".r
+  private val ShowSessionsR = """(?is)^SHOW\s+SESSIONS\s*$""".r
   private val SetPrivilegesR = """(?is)^SET\s+PRIVILEGES\s+(ON|OFF)\s*$""".r
   private val ShowAuditR = """(?is)^SHOW\s+AUDIT\s*$""".r
   private val BeginR =
@@ -465,6 +485,13 @@ object StatementRouter {
       case ShowPerfR() => ShowPerf
       case SetEncryptionKeyR(k) => SetEncryptionKey(k)
       case SetEncryptionOffR() => SetEncryptionOff
+      case SetSecurityMonitorR(on) =>
+        SetSecurityMonitor(on.equalsIgnoreCase("ON"))
+      case SetSecurityAutoblockR(on) =>
+        SetSecurityAutoblock(on.equalsIgnoreCase("ON"))
+      case ShowSecurityThreatsR() => ShowSecurityThreats
+      case ShowSecurityStatsR() => ShowSecurityStats
+      case ShowSessionsR() => ShowSessions
       case BackupR(dir, parent) => BackupDb(dir, Option(parent))
       case RestoreR(dir) => RestoreDb(dir)
       case VerifyBackupR(dir) => VerifyBackup(dir)

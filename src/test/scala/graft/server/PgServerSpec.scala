@@ -312,4 +312,26 @@ class PgServerSpec extends AnyFunSuite {
       assert(c4 === 0 && rows.trim === "84")
     }
   }
+
+  test("brute force over the wire: repeated bad passwords block the source") {
+    val e = QueryEngine.scratch(spark)
+    val srv = new PgServer(e, 0,
+      passwords = Map("alice" -> "s3cret")).start()
+    try {
+      e.sql("SET SECURITY_AUTOBLOCK ON")
+      // 5 bad passwords inside the window → BruteForceAttack + block
+      for (_ <- 1 to 5) {
+        val (c, _, err) = psqlAs(srv.boundPort, "alice", Some("wrong"), "SELECT 1")
+        assert(c != 0 && err.contains("password authentication failed"), err)
+      }
+      val threats = e.sql("SHOW SECURITY THREATS").collect()
+        .filter(_.getString(1) == "BruteForceAttack")
+      assert(threats.length === 1)
+      assert(threats.head.getString(3) === "127.0.0.1")
+      // even the RIGHT password is now refused from the blocked source
+      val (c2, _, err2) =
+        psqlAs(srv.boundPort, "alice", Some("s3cret"), "SELECT 1")
+      assert(c2 != 0 && err2.contains("blocked"), err2)
+    } finally { srv.close(); e.close() }
+  }
 }
