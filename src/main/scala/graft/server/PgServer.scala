@@ -36,11 +36,48 @@ import org.apache.spark.sql.types._
 final class PgServer(engine: QueryEngine, port: Int = 0,
     bind: String = "127.0.0.1",
     superusers: Set[String] = Set.empty,
-    passwords: Map[String, String] = Map.empty) {
+    passwords: Map[String, String] = Map.empty,
+    maxConnections: Int = 100,
+    maxPerSource: Int = 10,
+    idleTimeoutMs: Long = 300000L) {
 
   private val server =
     new ServerSocket(port, 50, java.net.InetAddress.getByName(bind))
   @volatile private var running = true
+
+  // ------------------------------------------------- connection pool
+  // The reference's ConnectionPool limits (connection.rs:29-60
+  // PoolConfig: max_connections, max_concurrent_per_client,
+  // idle_timeout; rejection :320-340; stats :450-460): caps on total
+  // and per-source connections enforced before the session starts, and
+  // an idle reaper closing connections silent past the timeout.
+  private final class ConnInfo(val source: String, val sock: Socket) {
+    @volatile var lastActivityMs: Long = System.currentTimeMillis()
+  }
+  private val liveConns =
+    new java.util.concurrent.ConcurrentHashMap[ConnState, ConnInfo]()
+  private val statRejected = new java.util.concurrent.atomic.AtomicLong
+  private val statAccepted = new java.util.concurrent.atomic.AtomicLong
+
+  /** (live, accepted, rejected) — the observable PoolStats slice
+    * (connection.rs:539-548). */
+  def poolStats: (Int, Long, Long) =
+    (liveConns.size, statAccepted.get, statRejected.get)
+
+  private val reaper = new Thread(() => {
+    while (running) {
+      Thread.sleep(math.max(50L, idleTimeoutMs / 4))
+      if (idleTimeoutMs > 0) {
+        val cutoff = System.currentTimeMillis() - idleTimeoutMs
+        liveConns.forEach { (_, info) =>
+          if (info.lastActivityMs < cutoff)
+            try info.sock.close() catch { case _: Exception => () }
+          // handle()'s finally deregisters once its read loop breaks
+        }
+      }
+    }
+  }, "graft-pg-reaper")
+  reaper.setDaemon(true)
 
   /** The bound port (useful with port = 0). */
   def boundPort: Int = server.getLocalPort
@@ -62,7 +99,7 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
   }, "graft-pg-accept")
   acceptor.setDaemon(true)
 
-  def start(): PgServer = { acceptor.start(); this }
+  def start(): PgServer = { acceptor.start(); reaper.start(); this }
 
   def close(): Unit = {
     running = false
