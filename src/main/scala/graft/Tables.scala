@@ -21,13 +21,23 @@ object Tables {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      // TIMESTAMP(NANOS) testdata reads as long under nanosAsLong:
       // nanos floored to micros with integer division — a double
       // division would lose precision at 1e18 nanos.
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // micros testdata reads natively as NTZ; normalize to session-tz
+      // TIMESTAMP (UTC session) so downstream window/as-of logic sees
+      // the same type either way
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
 
   /** Load and register as a temp view (for spark.sql-based queries). */
   def view(spark: SparkSession, dir: String, name: String): DataFrame = {

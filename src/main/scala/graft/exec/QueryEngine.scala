@@ -83,9 +83,48 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   def close(): Unit = {
     flushAudit() // the buffered audit tail lands with the lock still held
     dropAllCached() // free the result cache's executor blocks with the engine
+    freeStatementPins() // and every statement-path localCheckpoint pin
     if (writeLockHeld) {
       BaseDirLock.release(spark, baseDir, engineId)
       writeLockHeld = false
+    }
+  }
+
+  // ------------------------------------------------------- pin registry
+
+  /** Statement-path `localCheckpoint` pins, registered for
+    * deterministic release at close(). The ContextCleaner frees such
+    * blocks only after a natural driver GC — which a 128 GiB-heap
+    * driver may not run across a whole bench suite, so each query's
+    * DML pins stranded in the block manager and inflated later heavy
+    * queries 4-18x (r9 verdict). References are WEAK so a GC that does
+    * happen still lets the ContextCleaner reclaim pins early; close()
+    * frees whatever survives. */
+  private val pinRegistry =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]()
+
+  /** `localCheckpoint` + register the checkpoint blocks for release at
+    * close(). Every statement-scoped pin (DML batches, probe
+    * materializations) goes through here; the result cache keeps its
+    * own eviction-time release instead — its pins outlive statements
+    * by design. */
+  private def pinCheckpoint(df: DataFrame): DataFrame = {
+    val p = df.localCheckpoint()
+    p.queryExecution.logical.collectLeaves().foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        pinRegistry.add(new java.lang.ref.WeakReference(r.rdd))
+      case _ => ()
+    }
+    p
+  }
+
+  private def freeStatementPins(): Unit = {
+    var ref = pinRegistry.poll()
+    while (ref != null) {
+      Option(ref.get()).foreach(r =>
+        scala.util.Try(r.unpersist(blocking = false)))
+      ref = pinRegistry.poll()
     }
   }
 
@@ -1160,7 +1199,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           // once so an expensive export query never runs 3-4x; the
           // OPTIMIZE path gets the same for free by reading its
           // materialized checkpoint
-          graft.operators.ZOrder.cluster(selected.localCheckpoint(), zorderBy,
+          graft.operators.ZOrder.cluster(pinCheckpoint(selected), zorderBy,
             spark.sessionState.conf.numShufflePartitions)
         }
       try {
@@ -1620,7 +1659,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // caller that already pinned the batch (DML paths pin once so
     // PK/FK probe jobs read blocks instead of re-executing the source)
     // skips the second materialization.
-    val pinned = if (prePinned) physical else physical.localCheckpoint()
+    val pinned = if (prePinned) physical else pinCheckpoint(physical)
     val (withSeq, n) = EventLog.assignSequencesCounted(pinned, base)
     if (n > 0) {
       val ev = withSeq.select(
@@ -2249,12 +2288,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * holds. The checkpoint RDD sits behind the plan's leaf; unpersist
     * is async and best-effort — a caller still holding the evicted
     * handle loses it, which is the LRU contract. */
-  private def unpersistPinned(df: DataFrame): Unit =
-    df.queryExecution.logical.collectLeaves().foreach {
-      case r: org.apache.spark.sql.execution.LogicalRDD =>
-        scala.util.Try(r.rdd.unpersist(blocking = false))
-      case _ => ()
-    }
+  private def unpersistPinned(df: DataFrame): Unit = graft.Pins.free(df)
 
   private def dropAllCached(): Unit = {
     resultCache.values().forEach(unpersistPinned(_))
@@ -2558,7 +2592,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         // executors assign the ids distributed (the reference draws
         // per row under a lock — sequences.rs:108-142; a block
         // reservation is the 100 TB shape)
-        val pinned = positioned.localCheckpoint()
+        val pinned = pinCheckpoint(positioned)
         val counts = EventLog.partitionCounts(pinned)
         val n = counts.sum
         val first = if (n > 0) catalog.reserveSequenceBlock(seqName, n) else 1L
@@ -2570,11 +2604,10 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           else expr(defaults.getOrElse(c.logical, "NULL"))
             .cast(c.dataType).as(c.logical)): _*)
       case None =>
-        positioned.select(t.columns.map(c =>
+        pinCheckpoint(positioned.select(t.columns.map(c =>
           if (target.contains(c.logical)) col(c.logical).cast(c.dataType).as(c.logical)
           else expr(defaults.getOrElse(c.logical, "NULL"))
-            .cast(c.dataType).as(c.logical)): _*)
-          .localCheckpoint()
+            .cast(c.dataType).as(c.logical)): _*))
     }
     fireTriggers(table, "INSERT", "BEFORE", None, Some(full))
     // every declarative guard in ONE Spark job: pk batch-duplicates, pk
@@ -2628,7 +2661,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       // pin the matched batch first: the tombstone append below mutates
       // the very log this lineage reads, so the second (INSERT) append
       // must work from a materialized copy, not a log re-scan
-      val matching = matching0.localCheckpoint()
+      val matching = pinCheckpoint(matching0)
       val updated = applyAssigns(matching)
       fireTriggers(table, "UPDATE", "BEFORE", Some(matching), Some(updated))
       val touched = assigns.map(_._1).toSet
@@ -2657,7 +2690,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       // read blocks instead of replaying the state collapse per action,
       // and a trigger body writing this table cannot change what the
       // batch lineage re-reads
-      val matching = matching0.localCheckpoint()
+      val matching = pinCheckpoint(matching0)
       val updated = applyAssigns(matching)
       fireTriggers(table, "UPDATE", "BEFORE", Some(matching), Some(updated))
       raiseFirstViolation(constraintViolations(t, updated,
@@ -2736,7 +2769,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // read blocks instead of replaying state collapse per action, and a
     // trigger body writing this table cannot change what the lazy
     // lineage re-reads
-    val matching = matching0.localCheckpoint()
+    val matching = pinCheckpoint(matching0)
     fireTriggers(table, "DELETE", "BEFORE", Some(matching), None)
     raiseFirstViolation(fkIncomingProbes(t, matching))
     val (n, last) = append(t, matching, EventLog.SOFT_DELETE, prePinned = true)
@@ -2961,7 +2994,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       if (raw.columns.contains(c.logical)) col(c.logical).cast(c.dataType).as(c.logical)
       else expr(defaults.getOrElse(c.logical, "NULL"))
         .cast(c.dataType).as(c.logical)): _*)
-    val full = full0.localCheckpoint()
+    val full = pinCheckpoint(full0)
     fireTriggers(table, "INSERT", "BEFORE", None, Some(full))
     raiseFirstViolation(constraintViolations(t, full, stateAt(table, None), None) ++
       fkOutgoingProbes(t, full) ++ rlsCheckProbes(table, full, "INSERT"))
@@ -3018,7 +3051,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     val physical = rowsLogical.select(t.columns.map(c =>
       col(c.logical).cast(c.dataType).as(c.physical)): _*)
     val (withSeq, n) = EventLog.assignSequencesCounted(
-      physical.localCheckpoint(), base)
+      pinCheckpoint(physical), base)
     val ev = withSeq.select(
       col("sequence"),
       timestamp_seconds(lit(EventLog.ClockEpoch) + col("sequence")).as("ts"),
@@ -3064,14 +3097,12 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         .withColumn("__fp", fingerprint)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("__fp")).orderBy(col(t.pk))
-      val firsts = full.withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1).drop("__rn")
-        .localCheckpoint()
+      val firsts = pinCheckpoint(full.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn"))
       val seen = inlineKeyFilter(stateAt(r.name, None), r.pk, firsts, "__fp")
         .select(col(r.pk).cast("string").as("__seen_fp"))
-      val admitted = firsts
-        .join(seen, col("__fp") === col("__seen_fp"), "left_anti")
-        .localCheckpoint()
+      val admitted = pinCheckpoint(firsts
+        .join(seen, col("__fp") === col("__seen_fp"), "left_anti"))
       val (evT, hiT) = insertEventFrame(t, admitted.drop("__fp"),
         catalog.lastSeq(t.name))
       val regRows = admitted.select(r.columns.map(c =>
@@ -3107,7 +3138,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       if (committed.exists(_ >= batchId)) return
       val t = catalog.require(table)
       require(t.attached.isEmpty, s"cannot replicate into attached table $table")
-      val pinned = batch.localCheckpoint()
+      val pinned = pinCheckpoint(batch)
       val mx = pinned.agg(max(col("sequence"))).head()
       val hi =
         if (mx.isNullAt(0)) catalog.lastSeq(t.name) // empty batch: record the id only
@@ -3183,11 +3214,19 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   def analyze(table: String): DataFrame = {
     val t = catalog.require(table)
     val state = stateAt(table, None)
+    // the numeric columns' histogram BOUNDS ride the same aggregation
+    // (as doubles) so the whole ANALYZE is the base stats job plus ONE
+    // bucket-counts job — no separate bounds pass
+    val numeric = t.columns.filter(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
     val aggs = t.columns.flatMap(c => Seq(
       count(col(c.logical)).as(s"nn_${c.logical}"),
       approx_count_distinct(col(c.logical)).as(s"ndv_${c.logical}"),
       min(col(c.logical)).cast("string").as(s"min_${c.logical}"),
-      max(col(c.logical)).cast("string").as(s"max_${c.logical}")))
+      max(col(c.logical)).cast("string").as(s"max_${c.logical}"))) ++
+      numeric.flatMap(c => Seq(
+        min(col(c.logical)).cast("double").as(s"lo_${c.logical}"),
+        max(col(c.logical)).cast("double").as(s"hi_${c.logical}")))
     val row = state.agg(count(lit(1)).as("n_rows"), aggs: _*).head()
     val nRows = row.getAs[Long]("n_rows")
     catalog.stats(table) = row.schema.fieldNames
@@ -3199,7 +3238,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         min = row.getAs[String](s"min_${c.logical}"),
         max = row.getAs[String](s"max_${c.logical}"))
     }.toMap
-    analyzeHistograms(table, state, nRows)
+    analyzeHistograms(table, state, nRows, row)
     spark.range(1).select(lit(table).as("table"),
       lit(nRows).as("n_rows"))
   }
@@ -3208,21 +3247,17 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * (stats.rs histogram shape), in ONE aggregation job: each bucket
     * count is a conditional sum, so the whole pass is a global partial
     * aggregate over the scan — no shuffle of data rows, no per-column
-    * jobs. Bucket arithmetic is plain IEEE `(x−lo)/(hi−lo)·B` floored
-    * and clamped, so any engine reproduces the counts exactly. */
+    * jobs. The bucket BOUNDS arrive with ANALYZE's base stats row
+    * (`bounds`), so no separate min/max pass runs either. Bucket
+    * arithmetic is plain IEEE `(x−lo)/(hi−lo)·B` floored and clamped,
+    * so any engine reproduces the counts exactly. */
   private def analyzeHistograms(table: String, state: DataFrame,
-      nRows: Long): Unit = {
+      nRows: Long, bounds: org.apache.spark.sql.Row): Unit = {
     import org.apache.spark.sql.types.NumericType
     val t = catalog.require(table)
     val numeric = t.columns.filter(_.dataType.isInstanceOf[NumericType])
     catalog.histograms.filterInPlace { case ((tn, _), _) => tn != table }
     if (numeric.isEmpty || nRows == 0) return
-    val bounds = state.agg(
-      min(col(numeric.head.logical)).cast("double").as("_d0"),
-      numeric.flatMap(c => Seq(
-        min(col(c.logical)).cast("double").as(s"lo_${c.logical}"),
-        max(col(c.logical)).cast("double").as(s"hi_${c.logical}"))): _*)
-      .head()
     val B = 10
     val counts = state.agg(count(lit(1)).as("_n"),
       numeric.flatMap { c =>
@@ -3361,11 +3396,10 @@ object QueryEngine {
     * pins), and each scratch dir is deleted. Without the teardown, a
     * 100-query bench suite accumulates every scratch engine's temp
     * parquet and pinned executor blocks — enough block-manager
-    * pressure to regress unrelated queries late in the suite. (The
-    * scenario's remaining per-statement checkpoint pins are a few
-    * hundred rows each — the ContextCleaner reclaims them after a
-    * natural GC; forcing one here costs ~1 s per scope on a large
-    * heap, far more than the blocks are worth.) */
+    * pressure to regress unrelated queries late in the suite.
+    * Statement-path pins free with each engine's close() (pin
+    * registry); scenario-level pins referenced by the result frame
+    * free here, once the result is collected. */
   def scratchScope(spark: SparkSession)(body: => DataFrame): DataFrame = {
     val created = scala.collection.mutable.ArrayBuffer.empty[QueryEngine]
     val prev = scratchTracker.get()
@@ -3373,7 +3407,9 @@ object QueryEngine {
     try {
       val res = body
       val rows = java.util.Arrays.asList(res.collect(): _*)
-      spark.createDataFrame(rows, res.schema)
+      val local = spark.createDataFrame(rows, res.schema)
+      graft.Pins.free(res)
+      local
     } finally {
       scratchTracker.set(prev)
       created.foreach { e =>

@@ -68,6 +68,10 @@ object Components {
           coalesce(col("comp2"), col("comp")).as("comp"))
         .localCheckpoint()
       changed = jumped.where(col("comp") =!= col("prev")).limit(1).count()
+      // the new round's pin is materialized (localCheckpoint is eager),
+      // so the superseded round's blocks are dead — free them now
+      // instead of stranding ~rounds pins per invocation until a GC
+      graft.Pins.free(labels)
       labels = jumped.select(col("id"), col("comp"))
       round += 1
     }
@@ -75,6 +79,7 @@ object Components {
       throw new IllegalStateException(
         s"connected components did not converge in $maxRounds rounds " +
           "(pathological graph? raise maxRounds)")
+    graft.Pins.free(bi) // no round will re-read the edge frame
     labels.select(col("id"), col("comp").as("component"))
   }
 

@@ -43,15 +43,26 @@ object RecursiveCTE {
     require(repinEvery > 0, s"repinEvery must be positive (got $repinEvery)")
     var acc = (if (distinct) anchor.distinct() else anchor).localCheckpoint()
     var frontier = acc
+    // pins the CURRENT acc union tree still references — freed at each
+    // re-pin, once the repinned copy has materialized their rows
+    var live = List(acc)
     var i = 0
     while (i < maxIter && !frontier.isEmpty) {
       val produced = step(frontier)
       val delta =
         (if (distinct) produced.distinct().except(acc) else produced)
           .localCheckpoint()
+      live ::= delta
       acc = acc.union(delta) // lazy: both sides are pinned already
       i += 1
-      if (i % repinEvery == 0) acc = acc.localCheckpoint()
+      if (i % repinEvery == 0) {
+        val repinned = acc.localCheckpoint() // eager: copies acc's rows
+        // everything under the old union tree is now dead EXCEPT the
+        // current delta — it feeds the next iteration's step/except
+        live.filterNot(_ eq delta).foreach(graft.Pins.free)
+        live = List(repinned, delta)
+        acc = repinned
+      }
       frontier = delta
     }
     acc

@@ -155,10 +155,12 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           _.getField("m")).as("cent"))
       // empty clusters keep their previous centroid (standard Lloyd's)
-      cents = cents.select(col("cid"), col("cent").as("_prev"))
+      val next = cents.select(col("cid"), col("cent").as("_prev"))
         .join(dims.withColumnRenamed("cluster", "cid"), Seq("cid"), "left")
         .select(col("cid"), coalesce(col("cent"), col("_prev")).as("cent"))
         .localCheckpoint()
+      graft.Pins.free(cents) // superseded iteration, next is materialized
+      cents = next
     }
     assign(cents).select(col("pid").as("vec_id"), col("cluster"))
   }

@@ -39,11 +39,34 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
     passwords: Map[String, String] = Map.empty,
     maxConnections: Int = 100,
     maxPerSource: Int = 10,
-    idleTimeoutMs: Long = 300000L) {
+    idleTimeoutMs: Long = 300000L,
+    // per-user challenge scheme for users in `passwords`:
+    // "cleartext" (default) | "md5" | "scram-sha-256" — the reference
+    // implements the same three (protocol/auth.rs:19-40, md5 :93-103)
+    authMethods: Map[String, String] = Map.empty,
+    // (PKCS12 keystore path, password): when set, SSLRequest is
+    // answered 'S' and the connection upgrades to TLS before startup
+    // (the reference's TLS layer, driftdb-server/src/tls.rs)
+    tlsKeyStore: Option[(String, String)] = None) {
 
   private val server =
     new ServerSocket(port, 50, java.net.InetAddress.getByName(bind))
   @volatile private var running = true
+
+  /** Server-side TLS socket factory from the configured keystore.
+    * Built once; connections that never send SSLRequest don't pay. */
+  private lazy val tlsFactory: Option[javax.net.ssl.SSLSocketFactory] =
+    tlsKeyStore.map { case (path, pw) =>
+      val ks = java.security.KeyStore.getInstance("PKCS12")
+      val fis = new java.io.FileInputStream(path)
+      try ks.load(fis, pw.toCharArray) finally fis.close()
+      val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+        javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+      kmf.init(ks, pw.toCharArray)
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(kmf.getKeyManagers, null, null)
+      ctx.getSocketFactory
+    }
 
   // ------------------------------------------------- connection pool
   // The reference's ConnectionPool limits (connection.rs:29-60
@@ -146,24 +169,61 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
     var done: Boolean = false // rowless statements run once per portal
   }
 
-  private def handle(sock: Socket): Unit = {
-    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
-    val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+  private def handle(sock0: Socket): Unit = {
+    var sock = sock0
+    var in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    var out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
     val st = new ConnState
+    var info: ConnInfo = null
     try {
       val source = Option(sock.getInetAddress)
         .map(_.getHostAddress).getOrElse("unknown")
-      val user = startup(in, out, st, source).getOrElse(return)
+      // pre-startup negotiation: SSLRequest upgrades to TLS when a
+      // keystore is configured (PG flow: 'S', then the TLS handshake,
+      // then the startup message arrives encrypted — tls.rs does the
+      // same dance); refused with 'N' otherwise. GSS always refused.
+      var user: Option[String] = None
+      var negotiating = true
+      while (negotiating) {
+        val len = in.readInt()
+        val code = in.readInt()
+        if (code == 80877103 && tlsFactory.isDefined) { // SSLRequest, TLS on
+          out.write('S'); out.flush()
+          val ssl = tlsFactory.get
+            .createSocket(sock, null, sock.getPort, true)
+            .asInstanceOf[javax.net.ssl.SSLSocket]
+          ssl.setUseClientMode(false)
+          sock = ssl
+          in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+          out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+        } else if (code == 80877103 || code == 80877104) { // SSL off / GSS
+          out.write('N'); out.flush()
+        } else if (code == 80877102) { // CancelRequest: pid + secret follow
+          val pid = in.readInt()
+          val secret = in.readInt()
+          Option(cancelRegistry.get((pid, secret)))
+            .flatMap(_.activeGroup)
+            .foreach(engine.spark.sparkContext.cancelJobGroup)
+          return // a cancel connection closes without a response (PG)
+        } else {
+          user = startup(len, in, out, st, source)
+          negotiating = false
+        }
+      }
+      val u = user.getOrElse(return)
       cancelRegistry.put((st.pid, st.secret), st)
+      info = new ConnInfo(source, sock)
+      liveConns.put(st, info)
       val session = engine.newSession()
       // the wire never inherits the embedded default (root/superuser):
       // the authenticated startup user is a plain user unless the
       // explicit trust list says otherwise
-      session.setAuth(user, roles = Set(user),
-        superuser = superusers.contains(user))
+      session.setAuth(u, roles = Set(u),
+        superuser = superusers.contains(u))
       var open = true
       while (open) { // EOF (client vanished) exits via the outer catch
         val tpe = in.readByte()
+        if (info != null) info.lastActivityMs = System.currentTimeMillis()
         val len = in.readInt()
         // a garbage length would allocate unboundedly — cap at 64 MiB
         // (PG's own max query length ballpark) and drop the connection
@@ -201,31 +261,18 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
     } catch { case _: EOFException => () case _: Exception => () }
     finally {
       cancelRegistry.remove((st.pid, st.secret))
+      liveConns.remove(st)
       try sock.close() catch { case _: Exception => () }
     }
   }
 
-  /** Consume SSL/GSS negotiation requests, then the startup message.
-    * A CancelRequest connection carries (pid, secret) instead — route
-    * it to the matching live connection's active job group and close.
-    * Returns the authenticated user name, or None to drop the
-    * connection (cancel requests, failed password challenges). */
-  @annotation.tailrec
-  private def startup(in: DataInputStream, out: DataOutputStream,
+  /** The startup message (protocol 3.x), after any SSL/GSS
+    * negotiation handle() already consumed. Returns the authenticated
+    * user name, or None to drop the connection (failed password
+    * challenges, pool rejection). */
+  private def startup(len: Int, in: DataInputStream, out: DataOutputStream,
       st: ConnState, source: String): Option[String] = {
-    val len = in.readInt()
-    val code = in.readInt()
-    if (code == 80877103 || code == 80877104) { // SSLRequest / GSSENCRequest
-      out.write('N'); out.flush()
-      startup(in, out, st, source)
-    } else if (code == 80877102) { // CancelRequest: pid + secret follow
-      val pid = in.readInt()
-      val secret = in.readInt()
-      Option(cancelRegistry.get((pid, secret)))
-        .flatMap(_.activeGroup)
-        .foreach(engine.spark.sparkContext.cancelJobGroup)
-      None // a cancel connection closes without a response (PG)
-    } else { // StartupMessage, protocol 3.x
+    {
       val rest = new Array[Byte](len - 8)
       in.readFully(rest)
       // parameters: alternating key/value cstrings, empty-key terminated
@@ -237,14 +284,27 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
         b.result()
       }
       val user = params.getOrElse("user", "anonymous")
+      // pool admission before any challenge (connection.rs:320-340):
+      // total and per-source caps, counted over live sessions
+      val perSource = {
+        var n = 0
+        liveConns.forEach((_, i) => if (i.source == source) n += 1)
+        n
+      }
+      if (liveConns.size >= maxConnections || perSource >= maxPerSource) {
+        statRejected.incrementAndGet()
+        sendError(out, "too many connections", "53300")
+        None
+      }
       // security-monitor auto-block: a brute-forcing source is refused
       // before the password challenge (security_monitor.rs:684-703)
-      if (engine.security.isBlocked(source)) {
+      else if (engine.security.isBlocked(source)) {
         sendError(out,
           s"connection refused: source $source is blocked", "28000")
         None
       } else if (!authenticate(user, in, out, source)) None
       else {
+        statAccepted.incrementAndGet()
         out.write('R'); out.writeInt(8); out.writeInt(0) // AuthenticationOk
         for ((k, v) <- Seq("server_version" -> "14.0 (graft)",
             "client_encoding" -> "UTF8", "DateStyle" -> "ISO",
@@ -261,34 +321,156 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
     }
   }
 
-  /** Cleartext-password challenge for users with a configured
-    * password (protocol/auth.rs; PG AuthenticationCleartextPassword).
-    * Users without one connect unchallenged — but always as plain
-    * non-superusers unless trusted. */
+  /** Password challenge for users with a configured password, by the
+    * user's configured scheme (protocol/auth.rs:19-40): "cleartext"
+    * (AuthenticationCleartextPassword, the default), "md5"
+    * (auth.rs:93-103 — salted double-MD5), or "scram-sha-256"
+    * (RFC 5802/7677 SASL, like PG 10+). Users without a password
+    * connect unchallenged — but always as plain non-superusers unless
+    * trusted. */
   private def authenticate(user: String, in: DataInputStream,
       out: DataOutputStream, source: String): Boolean =
     passwords.get(user) match {
-    case None => true
-    case Some(expect) =>
-      out.write('R'); out.writeInt(8); out.writeInt(3) // CleartextPassword
-      out.flush()
-      val tpe = in.readByte()
-      val len = in.readInt()
-      val body = new Array[Byte](len - 4)
-      in.readFully(body)
+      case None => true
+      case Some(expect) =>
+        val ok =
+          try authMethods.getOrElse(user, "cleartext") match {
+            case "md5" => authMd5(user, expect, in, out)
+            case "scram-sha-256" => authScram(user, expect, in, out)
+            case _ => authCleartext(expect, in, out)
+          } catch { case _: Exception => false } // malformed exchange
+        if (!ok) {
+          // feed the intrusion monitor: enough of these inside the
+          // window raises a BruteForceAttack threat, and with
+          // auto-block on the NEXT connection from this source is
+          // refused at startup
+          engine.security.recordFailedLogin(source, user)
+          sendError(out,
+            "password authentication failed for user \"" + user + "\"", "28P01")
+        }
+        ok
+    }
+
+  /** One password ('p') message body. */
+  private def passwordMessage(in: DataInputStream): Option[Array[Byte]] = {
+    val tpe = in.readByte()
+    val len = in.readInt()
+    val body = new Array[Byte](len - 4)
+    in.readFully(body)
+    if (tpe == 'p') Some(body) else None
+  }
+
+  private def authCleartext(expect: String, in: DataInputStream,
+      out: DataOutputStream): Boolean = {
+    out.write('R'); out.writeInt(8); out.writeInt(3) // CleartextPassword
+    out.flush()
+    passwordMessage(in).exists { body =>
       val given = new String(body, UTF_8).stripSuffix("\u0000")
-      val ok = tpe == 'p' &&
-        java.security.MessageDigest.isEqual(given.getBytes(UTF_8),
-          expect.getBytes(UTF_8))
-      if (!ok) {
-        // feed the intrusion monitor: enough of these inside the window
-        // raises a BruteForceAttack threat, and with auto-block on the
-        // NEXT connection from this source is refused at startup
-        engine.security.recordFailedLogin(source, user)
-        sendError(out,
-          s"""password authentication failed for user "$user"""", "28P01")
-      }
-      ok
+      java.security.MessageDigest.isEqual(given.getBytes(UTF_8),
+        expect.getBytes(UTF_8))
+    }
+  }
+
+  private def md5hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  /** AuthenticationMD5Password: the client answers
+    * md5(md5(password + user) + salt) with a "md5" prefix — the
+    * reference's exact scheme (auth.rs:93-103). */
+  private def authMd5(user: String, expect: String, in: DataInputStream,
+      out: DataOutputStream): Boolean = {
+    val salt = new Array[Byte](4)
+    new java.security.SecureRandom().nextBytes(salt)
+    out.write('R'); out.writeInt(12); out.writeInt(5); out.write(salt)
+    out.flush()
+    passwordMessage(in).exists { body =>
+      val given = new String(body, UTF_8).stripSuffix("\u0000")
+      val inner = md5hex((expect + user).getBytes(UTF_8))
+      val want = "md5" + md5hex(inner.getBytes(UTF_8) ++ salt)
+      java.security.MessageDigest.isEqual(given.getBytes(UTF_8),
+        want.getBytes(UTF_8))
+    }
+  }
+
+  // ------------------------------------------------ SCRAM-SHA-256
+
+  private def hmac(key: Array[Byte], msg: Array[Byte]): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(msg)
+  }
+  private def sha256(b: Array[Byte]): Array[Byte] =
+    java.security.MessageDigest.getInstance("SHA-256").digest(b)
+
+  /** SCRAM-SHA-256 SASL exchange (RFC 5802/7677; PG's
+    * AuthenticationSASL / SASLContinue / SASLFinal framing). The
+    * salted password derives per-connection via PBKDF2-HMAC-SHA256
+    * from the configured cleartext (a stored-verifier deployment
+    * would persist SaltedPassword instead; the exchange is
+    * identical). Channel binding is not offered (gs2 "n,,"), matching
+    * a non-TLS-bound SCRAM deployment. */
+  private def authScram(user: String, expect: String, in: DataInputStream,
+      out: DataOutputStream): Boolean = {
+    // AuthenticationSASL: advertise the mechanism list (NUL-NUL ends it)
+    val mech = "SCRAM-SHA-256".getBytes(UTF_8)
+    out.write('R'); out.writeInt(4 + 4 + mech.length + 2)
+    out.writeInt(10); out.write(mech); out.write(0); out.write(0)
+    out.flush()
+    // SASLInitialResponse: mechanism cstring + int32 len + client-first
+    val init = passwordMessage(in).getOrElse(return false)
+    val r = new Reader(init)
+    if (r.cstring() != "SCRAM-SHA-256") return false
+    val cfLen = r.int32()
+    val clientFirst = new String(r.bytes(cfLen), UTF_8)
+    // gs2 header (e.g. "n,,") then bare: n=<user>,r=<clientNonce>
+    val bare = clientFirst.split(",,", 2).lift(1).getOrElse(return false)
+    val attrs = bare.split(",").collect {
+      case a if a.length > 1 && a(1) == '=' => a.substring(0, 1) -> a.substring(2)
+    }.toMap
+    val clientNonce = attrs.getOrElse("r", return false)
+    val b64 = java.util.Base64.getEncoder
+    val nonce = clientNonce + b64.encodeToString({
+      val n = new Array[Byte](18); new java.security.SecureRandom().nextBytes(n); n
+    })
+    val salt = { val s = new Array[Byte](16)
+      new java.security.SecureRandom().nextBytes(s); s }
+    val iters = 4096
+    val serverFirst = s"r=$nonce,s=${b64.encodeToString(salt)},i=$iters"
+    val sf = serverFirst.getBytes(UTF_8)
+    out.write('R'); out.writeInt(8 + sf.length); out.writeInt(11); out.write(sf)
+    out.flush() // AuthenticationSASLContinue
+    // SASLResponse: client-final = c=<b64 gs2>,r=<nonce>,p=<b64 proof>
+    val fin = new String(passwordMessage(in).getOrElse(return false), UTF_8)
+    val finAttrs = fin.split(",").collect {
+      case a if a.length > 1 && a(1) == '=' => a.substring(0, 1) -> a.substring(2)
+    }.toMap
+    val proofB64 = finAttrs.getOrElse("p", return false)
+    if (!finAttrs.get("r").contains(nonce)) return false
+    val withoutProof = fin.substring(0, fin.lastIndexOf(",p="))
+    val authMessage =
+      (bare + "," + serverFirst + "," + withoutProof).getBytes(UTF_8)
+    // SaltedPassword = Hi(password, salt, i) = PBKDF2-HMAC-SHA256
+    val skf = javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+    val salted = skf.generateSecret(new javax.crypto.spec.PBEKeySpec(
+      expect.toCharArray, salt, iters, 256)).getEncoded
+    val clientKey = hmac(salted, "Client Key".getBytes(UTF_8))
+    val storedKey = sha256(clientKey)
+    val clientSig = hmac(storedKey, authMessage)
+    val proof = java.util.Base64.getDecoder.decode(proofB64)
+    // recovered ClientKey = proof XOR signature; valid iff it hashes
+    // to StoredKey (RFC 5802 §3)
+    if (proof.length != clientSig.length) return false
+    val recovered = proof.zip(clientSig).map { case (p, s) => (p ^ s).toByte }
+    if (!java.security.MessageDigest.isEqual(sha256(recovered), storedKey))
+      return false
+    val serverKey = hmac(salted, "Server Key".getBytes(UTF_8))
+    val serverSig = hmac(serverKey, authMessage)
+    val finalMsg = s"v=${b64.encodeToString(serverSig)}".getBytes(UTF_8)
+    out.write('R'); out.writeInt(8 + finalMsg.length)
+    out.writeInt(12); out.write(finalMsg) // AuthenticationSASLFinal
+    out.flush()
+    true
   }
 
   // ---------------------------------------------- extended protocol
@@ -308,6 +490,11 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
     }
     def cstring(): String = {
       val end = body.indexOf(0.toByte, pos)
+      // a frame whose string never terminates is malformed, not an
+      // index-arithmetic accident: raise a clean protocol error (the
+      // caller's catch sends ErrorResponse + resyncs to Sync)
+      if (end < 0) throw new IllegalArgumentException(
+        "malformed message: unterminated string")
       val s = new String(body, pos, end - pos, UTF_8)
       pos = end + 1
       s
@@ -340,6 +527,31 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
     case _ => text
   }
 
+  /** A binary-format parameter (format code 1), decoded by its declared
+    * type oid — JDBC and npgsql bind int/float/bool binary by default
+    * in some modes (the reference decodes the same scalar wire types,
+    * driftdb-server/src/protocol/messages.rs). Network byte order
+    * throughout; text-family oids sent binary are raw UTF-8. */
+  private def binaryParam(bytes: Array[Byte], oid: Int): Any = {
+    def bb = {
+      val b = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
+      b
+    }
+    def need(n: Int): Unit = require(bytes.length == n,
+      s"binary parameter for oid $oid must be $n bytes, got ${bytes.length}")
+    oid match {
+      case 21 => need(2); bb.getShort.toLong
+      case 23 => need(4); bb.getInt.toLong
+      case 20 => need(8); bb.getLong
+      case 700 => need(4); bb.getFloat.toDouble
+      case 701 => need(8); bb.getDouble
+      case 16 => need(1); bytes(0) != 0
+      case 25 | 1043 | 0 => new String(bytes, UTF_8)
+      case other => throw new IllegalArgumentException(
+        s"binary parameter format not supported for type oid $other")
+    }
+  }
+
   private def handleBind(st: ConnState, body: Array[Byte],
       out: DataOutputStream): Unit =
     try {
@@ -356,9 +568,8 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
         else {
           val fmt = if (fmtCodes.isEmpty) 0
             else if (fmtCodes.length == 1) fmtCodes.head else fmtCodes(i)
-          if (fmt != 0)
-            throw new IllegalArgumentException("binary parameter format not supported")
-          typedParam(new String(r.bytes(plen), UTF_8), oids.lift(i).getOrElse(0))
+          if (fmt != 0) binaryParam(r.bytes(plen), oids.lift(i).getOrElse(0))
+          else typedParam(new String(r.bytes(plen), UTF_8), oids.lift(i).getOrElse(0))
         }
       }
       val bound =
