@@ -170,8 +170,13 @@ object Cli {
             superusers = o.get("trust").toSeq
               .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet).start()
           out(s"listening on ${srv.boundPort} (PostgreSQL wire protocol; Ctrl-D stops)")
+          // optional observability sidecar: /health + /metrics
+          val http = o.get("http-port").map(p =>
+            new graft.server.HttpAdmin(e, p.toInt,
+              bind = o.get("b").getOrElse("127.0.0.1")).start())
+          http.foreach(h => out(s"http health/metrics on ${h.boundPort}"))
           try { stdin().foreach(_ => ()); 0 }
-          finally { srv.close(); e.close() }
+          finally { http.foreach(_.close()); srv.close(); e.close() }
         case "backup" :: rest =>
           val o = opts(rest)
           o.rest match {
@@ -206,7 +211,7 @@ object Cli {
       |  select: -t <table> [-w <cond>] [--as-of <@SEQ:n|ts>] [-l n] [--json]
       |  drift: -t <table> -k <pk>
       |  backup: <to|restore|verify> <path>
-      |  serve: [-p <port>] [-b <bind-addr>] [--trust u1,u2]   (PostgreSQL wire protocol)""".stripMargin
+      |  serve: [-p <port>] [-b <bind-addr>] [--trust u1,u2] [--http-port <port>]   (PostgreSQL wire protocol + HTTP health/metrics)""".stripMargin
 
   /** getopt-lite: `-x v` / `--long v` pairs plus bare flags (--json)
     * and positional leftovers. */

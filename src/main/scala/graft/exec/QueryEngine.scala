@@ -401,6 +401,25 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   @volatile private var commitFence: () => Unit = () => ()
   def setCommitFence(f: () => Unit): Unit = commitFence = f
 
+  // wall-clock of the last completed publish, for the health probe's
+  // "last publish age" (health.rs reports the same freshness signal);
+  // -1 until this engine publishes
+  @volatile private var lastPublishAtMs = -1L
+
+  /** Health-probe snapshot (served by graft.server.HttpAdmin /health;
+    * the reference's health endpoint reports the same shape,
+    * driftdb-server/src/health.rs:1-272): engine liveness facts that
+    * cost no Spark job — catalog size, write-lock state, and the age
+    * of the last durable publish. */
+  def healthSnapshot: Map[String, String] = Map(
+    "status" -> "ok",
+    "tables" -> catalog.tableNames.size.toString,
+    "views" -> catalog.viewNames.size.toString,
+    "write_lock_held" -> writeLockHeld.toString,
+    "last_publish_age_ms" ->
+      (if (lastPublishAtMs < 0) "-1"
+       else (System.currentTimeMillis() - lastPublishAtMs).toString))
+
   private def publishAtomic(batches: Seq[(String, DataFrame)],
       seqs: Map[String, Long], stream: Option[(String, Long)]): Unit = {
     val stagingRoot = new Path(s"$baseDir/.txn-staging-${System.nanoTime()}")
@@ -431,6 +450,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         throw e
     }
     // ---- commit point passed ----
+    lastPublishAtMs = System.currentTimeMillis()
     // roll-forward: completePublish is idempotent, so a transient I/O
     // fault gets ONE immediate in-process retry (the reference replays
     // its WAL without a restart the same way — wal.rs). A fault that

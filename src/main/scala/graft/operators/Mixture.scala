@@ -22,16 +22,26 @@ import org.apache.spark.sql.functions._
   * evaluated inside the scan stage. The corpus never shuffles. */
 object Mixture {
 
-  /** `(key * knuth) % 1000` — the per-mille sampling bucket. */
+  /** `(key * knuth) % 1000` — the per-mille sampling bucket. Exact
+    * (and ANSI-SQL re-derivable, hence the oracle-checked default) for
+    * keys < 3.4e9; wider id domains use [[permilleBucket64]]. */
   def permilleBucket(key: Column): Column =
     pmod(key.cast("long") * lit(2654435761L), lit(1000L))
 
+  /** 64-bit per-mille bucket for id domains past the closed-form
+    * bound: xxhash64 never overflows, so the bucket stays uniform at
+    * any BIGINT id. Not re-derivable in ANSI SQL — verified by
+    * distribution properties (CurationSpec), not the oracle. */
+  def permilleBucket64(key: Column): Column =
+    pmod(xxhash64(key.cast("long")), lit(1000L))
+
   /** Sample `docs` to the mixture: keep a row iff its key bucket
     * falls under its domain's acceptance rate. Returns the kept rows
-    * unchanged. */
+    * unchanged. `wide = true` switches to the 64-bit bucket for id
+    * domains past ~3.4e9. */
   def sample(docs: DataFrame, domainCol: String, key: Column,
       nTokens: Column, weights: Map[String, Int], defaultPermille: Int,
-      budget: Long): DataFrame = {
+      budget: Long, wide: Boolean = false): DataFrame = {
     // targets resolve to Long LITERALS (exact integer floor) — Spark's
     // column `/` is floating-point division and a drifted rate would
     // desync the sample from any SQL re-derivation of it
@@ -42,8 +52,9 @@ object Mixture {
     val stats = docs.groupBy(col(domainCol))
       .agg(sum(nTokens).cast("long").as("_avail"))
       .withColumn("_tgt", tgt)
+    val bucket = if (wide) permilleBucket64(key) else permilleBucket(key)
     docs.join(broadcast(stats), domainCol)
-      .where(permilleBucket(key) * col("_avail") <
+      .where(bucket * col("_avail") <
         least(col("_avail"), col("_tgt")) * lit(1000L))
       .drop("_avail", "_tgt")
   }

@@ -30,19 +30,33 @@ object TrainingOrder {
   /** The deterministic order key: `(key·2654435761 + seed) mod p`,
     * p = 1e9+7 (prime, so the multiplicative scatter cycles through
     * the whole residue ring). Exact for keys < 3.4e9 — same bound as
-    * `Sampling.pctBucket`. */
+    * `Sampling.pctBucket`; its virtue is being re-derivable in ANSI
+    * SQL (the oracle recomputes it), which is why the oracle-checked
+    * paths keep it. Corpora whose id domain exceeds ~2^31.5 use
+    * [[orderKey64]] instead. */
   def orderKey(key: Column, seed: Long): Column =
     pmod(key.cast("long") * lit(2654435761L) + lit(seed), lit(1000000007L))
+
+  /** 64-bit order key for id domains past the closed-form bound:
+    * xxhash64(key, seed) — exact at ANY BIGINT id (no overflow, the
+    * multiply above would wrap past ~3.4e9 and DuckDB would refuse
+    * the same arithmetic), still deterministic per (key, seed).
+    * Tradeoff: xxhash64 is not re-derivable in ANSI SQL, so results
+    * verify by permutation-quality properties (CurationSpec), not a
+    * SQL oracle. */
+  def orderKey64(key: Column, seed: Long): Column =
+    xxhash64(key.cast("long"), lit(seed))
 
   /** Assign each row its shard and in-shard position for a seeded
     * training order: (`shard` in [0, numShards), `pos` = 1-based rank
     * inside the shard by (orderKey, key)). The returned frame is the
     * EXPORT PLAN — writers repartition on `shard` and sort within
     * partitions by `pos`, giving one sorted file per shard with no
-    * global sort anywhere. */
+    * global sort anywhere. `wide = true` switches to the 64-bit key
+    * for id domains past ~3.4e9. */
   def shardPlan(df: DataFrame, key: Column, seed: Long,
-      numShards: Int): DataFrame = {
-    val ord = orderKey(key, seed)
+      numShards: Int, wide: Boolean = false): DataFrame = {
+    val ord = if (wide) orderKey64(key, seed) else orderKey(key, seed)
     val w = Window.partitionBy(col("_shard")).orderBy(col("_ord"), key)
     df.withColumn("_ord", ord)
       .withColumn("_shard", pmod(col("_ord"), lit(numShards.toLong)))
@@ -56,8 +70,8 @@ object TrainingOrder {
     * shard column puts each shard in exactly one task; the in-task
     * sort is the only ordering work. */
   def writeShards(df: DataFrame, key: Column, seed: Long, numShards: Int,
-      path: String): Unit =
-    shardPlan(df, key, seed, numShards)
+      path: String, wide: Boolean = false): Unit =
+    shardPlan(df, key, seed, numShards, wide)
       .repartition(numShards, col("shard"))
       .sortWithinPartitions("shard", "pos")
       .write.mode("overwrite").partitionBy("shard").parquet(path)

@@ -21,10 +21,12 @@ import org.apache.spark.sql.types._
   * context — a plain NON-superuser by default, so RLS, GRANT, rate
   * limits and the audit gate all apply over the wire. Superuser is
   * granted only to names in the explicit `superusers` trust list, and
-  * users listed in `passwords` must also answer a cleartext-password
-  * challenge (AuthenticationCleartextPassword). The listener binds
-  * loopback by default — exposing it beyond the machine requires an
-  * explicit `bind` address.
+  * users listed in `passwords` answer a challenge in their configured
+  * scheme — cleartext (default), md5 (auth.rs:93-103), or
+  * SCRAM-SHA-256 (auth.rs:19-40). With a configured keystore the
+  * connection upgrades to TLS at SSLRequest (tls.rs). The listener
+  * binds loopback by default — exposing it beyond the machine
+  * requires an explicit `bind` address.
   *
   * Concurrency: each connection gets its own engine Session (own
   * transaction state, snapshot isolation); statements serialize on

@@ -57,6 +57,61 @@ class CurationSpec extends AnyFunSuite {
     assert(!a.sameElements(c))
   }
 
+  test("64-bit keys: permutation quality holds at ids past the 32-bit bound") {
+    // ids around 5e9 — past the closed-form key's exact range
+    val n = 4000
+    val base = 5000000000L
+    val wide = spark.range(n).select((col("id") * 1000L + base).as("doc_id"))
+
+    // deterministic per (key, seed): two runs agree, seeds differ
+    val p1 = TrainingOrder.shardPlan(wide, col("doc_id"), 7L, 16, wide = true)
+      .select("doc_id", "shard", "pos").orderBy("doc_id").collect()
+    val p2 = TrainingOrder.shardPlan(wide, col("doc_id"), 7L, 16, wide = true)
+      .select("doc_id", "shard", "pos").orderBy("doc_id").collect()
+    val p3 = TrainingOrder.shardPlan(wide, col("doc_id"), 8L, 16, wide = true)
+      .select("doc_id", "shard", "pos").orderBy("doc_id").collect()
+    assert(p1.sameElements(p2))
+    assert(!p1.sameElements(p3))
+
+    // shard balance: 16 shards over 4000 rows — every shard within
+    // 2x of the mean (a collapsed hash would pile into few shards)
+    val sizes = p1.groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    assert(sizes.keySet === (0L until 16L).toSet, sizes.keySet)
+    assert(sizes.values.max < 2 * n / 16, sizes)
+    assert(sizes.values.min > n / 16 / 2, sizes)
+
+    // the permutation scatters: consecutive ids almost never stay
+    // consecutive in (shard, pos) order
+    val rank = p1.sortBy(r => (r.getLong(1), r.getInt(2)))
+      .zipWithIndex.map { case (r, i) => r.getLong(0) -> i }.toMap
+    val adjacentKept = (0 until n - 1).count { i =>
+      rank(base + i * 1000L) + 1 == rank(base + (i + 1) * 1000L)
+    }
+    assert(adjacentKept < n / 100, s"$adjacentKept of $n adjacent pairs survived")
+
+    // 64-bit order keys collide no more than statistics allows
+    // (4000 draws from 2^64 — any collision would be a hash bug)
+    val distinctKeys = wide
+      .select(TrainingOrder.orderKey64(col("doc_id"), 7L).as("k"))
+      .distinct().count()
+    assert(distinctKeys === n.toLong)
+
+    // mixture bucket uniformity at wide ids: 4000 draws over 1000
+    // buckets is mean 4 — a Poisson tail reaches ~14; bound at
+    // mean + 6·sqrt(mean) (a collapsed hash piles hundreds into one)
+    val buckets = wide.select(Mixture.permilleBucket64(col("doc_id")).as("b"))
+      .groupBy("b").count().select("count").as[Long].collect()
+    val mean = n / 1000.0
+    assert(buckets.max <= mean + 6 * math.sqrt(mean), s"max bucket ${buckets.max}")
+
+    // and the wide mixture sample still lands near its target rate
+    val dom = wide.withColumn("domain", lit("web"))
+      .withColumn("n_tokens", lit(100L))
+    val kept = Mixture.sample(dom, "domain", col("doc_id"), col("n_tokens"),
+      Map("web" -> 500), 0, n * 100L, wide = true).count()
+    assert(math.abs(kept - n / 2) < n / 10, s"kept $kept of $n at 500 permille")
+  }
+
   test("per-shard positions are contiguous 1..n and shards cover [0, numShards)") {
     val p = TrainingOrder.shardPlan(docs, col("doc_id"), 42L, 4)
     val perShard = p.groupBy("shard")

@@ -138,6 +138,18 @@ class PgServerSpec extends AnyFunSuite {
       out.flush()
       drainUntilReady()
     }
+    /** Same flow with ONE binary-format (format code 1) parameter. */
+    def parseBindExecuteBinary(sql: String, paramOid: Int, param: Array[Byte])
+        : Seq[(Char, Array[Byte])] = {
+      send('P', cstr("") ++ cstr(sql) ++ i16(1) ++ i32(paramOid))
+      send('B', cstr("") ++ cstr("") ++ i16(1) ++ i16(1) ++ i16(1) ++
+        i32(param.length) ++ param ++ i16(0))
+      send('D', Array('P'.toByte) ++ cstr(""))
+      send('E', cstr("") ++ i32(0))
+      send('S', Array.empty)
+      out.flush()
+      drainUntilReady()
+    }
     def rows(msgs: Seq[(Char, Array[Byte])]): Seq[Seq[String]] =
       msgs.collect { case ('D', body) =>
         val bb = java.nio.ByteBuffer.wrap(body)
@@ -310,6 +322,94 @@ class PgServerSpec extends AnyFunSuite {
       assert(c3 === 0 && ddl.contains("CREATE TABLE t (k BIGINT PRIMARY KEY"), ddl)
       val (c4, rows, _) = psql(port, "SELECT v FROM t WHERE k = 42")
       assert(c4 === 0 && rows.trim === "84")
+    }
+  }
+
+  test("md5 auth: psql authenticates; wrong passwords feed the monitor") {
+    val e = QueryEngine.scratch(spark)
+    val srv = new PgServer(e, 0, passwords = Map("mallory" -> "pw5"),
+      authMethods = Map("mallory" -> "md5")).start()
+    try {
+      val port = srv.boundPort
+      // psql answers the AuthenticationMD5Password challenge itself
+      assert(psqlAs(port, "mallory", Some("pw5"), "SELECT 1 AS x")._1 === 0)
+      // a wrong md5 proof fails cleanly AND lands in the security
+      // monitor exactly like a cleartext failure
+      for (_ <- 1 to 5) {
+        val (c, _, err) = psqlAs(port, "mallory", Some("nope"), "SELECT 1")
+        assert(c != 0 && err.contains("password authentication failed"), err)
+      }
+      val threats = e.sql("SHOW SECURITY THREATS").collect()
+        .filter(_.getString(1) == "BruteForceAttack")
+      assert(threats.length === 1)
+    } finally { srv.close(); e.close() }
+  }
+
+  test("scram-sha-256 auth: psql SASL exchange round-trips") {
+    val e = QueryEngine.scratch(spark)
+    val srv = new PgServer(e, 0, passwords = Map("sam" -> "s3cret"),
+      authMethods = Map("sam" -> "scram-sha-256")).start()
+    try {
+      val port = srv.boundPort
+      assert(psqlAs(port, "sam", Some("s3cret"), "SELECT 1 AS x")._1 === 0)
+      val (c, _, err) = psqlAs(port, "sam", Some("wrong"), "SELECT 1")
+      assert(c != 0 && err.contains("password authentication failed"), err)
+    } finally { srv.close(); e.close() }
+  }
+
+  test("TLS: sslmode=require connects when a keystore is configured") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tls-")
+    val ks = dir.resolve("server.p12").toString
+    val gen = Process(Seq("keytool", "-genkeypair", "-alias", "graft",
+      "-keyalg", "RSA", "-keysize", "2048", "-validity", "1",
+      "-storetype", "PKCS12", "-keystore", ks, "-storepass", "changeit",
+      "-dname", "CN=localhost")).!
+    assert(gen === 0, "keytool keypair generation failed")
+    val e = QueryEngine.scratch(spark)
+    val srv = new PgServer(e, 0,
+      tlsKeyStore = Some((ks, "changeit"))).start()
+    try {
+      val port = srv.boundPort
+      def run(conn: String, sql: String): (Int, String) = {
+        val outB = new StringBuilder
+        val code = Process(Seq("psql", conn, "-X", "-A", "-t", "-c", sql))
+          .!(ProcessLogger(outB.append(_).append('\n'), outB.append(_).append('\n')))
+        (code, outB.toString)
+      }
+      // libpq refuses to proceed unless the TLS handshake succeeds
+      val (c1, o1) = run(
+        s"host=127.0.0.1 port=$port user=root dbname=graft sslmode=require",
+        "SELECT 41 + 1 AS x")
+      assert(c1 === 0 && o1.trim === "42", o1)
+      // plaintext connections still work when the client skips SSL
+      val (c2, o2) = run(
+        s"host=127.0.0.1 port=$port user=root dbname=graft sslmode=disable",
+        "SELECT 2 AS x")
+      assert(c2 === 0 && o2.trim === "2", o2)
+    } finally { srv.close(); e.close() }
+  }
+
+  test("binary-format extended-protocol parameters decode by oid") {
+    withServer { (_, port) =>
+      assert(psql(port, "CREATE TABLE bp (k BIGINT PRIMARY KEY, v DOUBLE); " +
+        "INSERT INTO bp VALUES (1, 0.5), (2, 1.5), (3, 2.5)")._1 === 0)
+      val c = new ExtClient(port)
+      try {
+        // int8: 8-byte network-order 2 → the k = 2 row
+        val i8 = java.nio.ByteBuffer.allocate(8).putLong(2L).array()
+        val r1 = c.parseBindExecuteBinary(
+          "SELECT k, v FROM bp WHERE k = $1", 20, i8)
+        assert(c.rows(r1) === Seq(Seq("2", "1.5")), c.rows(r1))
+        // float8: rows above a binary 1.0 threshold
+        val f8 = java.nio.ByteBuffer.allocate(8).putDouble(1.0).array()
+        val r2 = c.parseBindExecuteBinary(
+          "SELECT k FROM bp WHERE v > $1 ORDER BY k", 701, f8)
+        assert(c.rows(r2) === Seq(Seq("2"), Seq("3")), c.rows(r2))
+        // bool
+        val r3 = c.parseBindExecuteBinary(
+          "SELECT $1 AS b", 16, Array(1.toByte))
+        assert(c.rows(r3) === Seq(Seq("t")), c.rows(r3)) // PG bool rendering
+      } finally c.close()
     }
   }
 
