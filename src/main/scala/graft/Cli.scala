@@ -118,6 +118,24 @@ object Cli {
             val tables = o.get("t").map(Seq(_)).getOrElse(e.catalog.tableNames)
             tables.foreach(t => show(e.sql(s"ANALYZE $t"), out)); 0
           }
+        case "status" :: rest =>
+          // one-screen admin overview (the reference admin tool's
+          // show_status, driftdb-admin/src/main.rs:292-370): health
+          // facts, per-table storage footprint, engine counters, and
+          // any firing alerts
+          val o = opts(rest)
+          withEngine(spark, o) { e =>
+            out("== health ==")
+            e.healthSnapshot.toSeq.sortBy(_._1)
+              .foreach { case (k, v) => out(s"$k|$v") }
+            out("== storage ==")
+            show(e.sql("SHOW STORAGE"), out)
+            out("== metrics ==")
+            show(e.sql("SHOW METRICS"), out)
+            out("== alerts ==")
+            show(e.sql("SHOW ALERTS"), out)
+            0
+          }
         case "doctor" :: rest =>
           val o = opts(rest)
           withEngine(spark, o) { e =>
@@ -203,7 +221,7 @@ object Cli {
     }
 
   private val usage =
-    """usage: graft <init|sql|ingest|export|select|drift|snapshot|compact|optimize|analyze|doctor|backup|serve> [options]
+    """usage: graft <init|sql|ingest|export|select|drift|snapshot|compact|optimize|analyze|doctor|status|backup|serve> [options]
       |  -d <dir>   database directory (required except init)
       |  sql: -e "<SQL>" | -f <file.sql> | (stdin REPL)
       |  ingest: -t <table> -f <file> [--format jsonl|parquet|csv]

@@ -50,6 +50,15 @@ final case class PolicyDef(name: String, table: String, command: String,
     roles: Seq[String], permissive: Boolean,
     usingExpr: Option[String], checkExpr: Option[String])
 
+/** CREATE ALERT rule (driftdb-server/src/alerting.rs:134-166
+  * AlertRule): a threshold condition over one deterministic metric.
+  * Rules persist with the catalog so an alert configured in one
+  * session governs every later one; firing STATE stays per-engine
+  * (the reference's AlertManager likewise keeps active alerts in
+  * memory only). */
+final case class AlertDef(name: String, metric: String, op: String,
+    threshold: Double, severity: String)
+
 /** CREATE SEQUENCE state (sequences.rs:8-19). `current` is the last
   * value handed out — initialized to `start - increment` so the first
   * draw returns `start`, exactly like the reference
@@ -128,6 +137,11 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   // (row_level_security.rs:174-287), persisted with the catalog
   private val rlsTables = mutable.LinkedHashSet.empty[String]
   private val policies = mutable.LinkedHashMap.empty[(String, String), PolicyDef]
+  // threshold alert rules (alerting.rs AlertRule), persisted so a rule
+  // configured in one session governs every later one. Declared with
+  // the other persisted maps: load() runs in the constructor and
+  // populates whatever is already initialized.
+  private val alerts = mutable.LinkedHashMap.empty[String, AlertDef]
   // table privileges ((table, privilege) -> grantees), the table-level
   // slice of the reference's Permission set (auth.rs:32-120:
   // Select/Insert/Update/Delete{table}); "ALL" covers the four
@@ -682,6 +696,24 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
 
   def policyList: Seq[PolicyDef] = policies.values.toSeq
 
+  // ----------------------------------------------------------- alerting
+
+  def createAlert(a: AlertDef): Unit = {
+    if (alerts.contains(a.name))
+      throw new IllegalArgumentException(s"alert already exists: ${a.name}")
+    alerts(a.name) = a
+    save()
+  }
+
+  /** @return true iff the alert existed. */
+  def dropAlert(name: String): Boolean = {
+    val existed = alerts.remove(name).isDefined
+    if (existed) save()
+    existed
+  }
+
+  def alertList: Seq[AlertDef] = alerts.values.toSeq
+
   // ---------------------------------------------------------- retention
 
   def retentionFloor(table: String): Long = retentionFloors.getOrElse(table, 0L)
@@ -769,6 +801,7 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
     nextSeqs.clear(); nextColIds.clear(); fks.clear(); constraints.clear()
     streamBatches.clear(); triggers.clear(); procs.clear()
     sequences.clear(); rlsTables.clear(); policies.clear(); grants.clear()
+    alerts.clear()
     migrations.clear(); appliedMigs.clear(); retentionFloors.clear()
     stats.clear(); colStats.clear(); histograms.clear()
     load()
@@ -823,6 +856,9 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       sb.append(s"policy\t${enc(p.table)}\t${enc(p.name)}\t${enc(p.command)}\t" +
         s"${p.roles.map(enc).mkString(",")}\t${if (p.permissive) 1 else 0}\t" +
         s"${p.usingExpr.fold("")(enc)}\t${p.checkExpr.fold("")(enc)}\n")
+    for ((_, a) <- alerts)
+      sb.append(s"alert\t${enc(a.name)}\t${enc(a.metric)}\t${enc(a.op)}\t" +
+        s"${a.threshold}\t${enc(a.severity)}\n")
     for (((t, p), gs) <- grants; g <- gs)
       sb.append(s"grant\t${enc(t)}\t${enc(p)}\t${enc(g)}\n")
     for ((v, (up, down)) <- migrations)
@@ -929,6 +965,8 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
           perm == "1",
           if (usingE.isEmpty) None else Some(dec(usingE)),
           if (checkE.isEmpty) None else Some(dec(checkE)))
+      case Array("alert", n, m, op, thr, sev) =>
+        alerts(dec(n)) = AlertDef(dec(n), dec(m), dec(op), thr.toDouble, dec(sev))
       case other =>
         throw new IllegalStateException(s"corrupt catalog line: ${other.mkString("\t")}")
     }

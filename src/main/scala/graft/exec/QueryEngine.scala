@@ -612,7 +612,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         _: Statement.ShowStats | _: Statement.ShowHistogram |
         _: Statement.SetSecurityMonitor | _: Statement.SetSecurityAutoblock |
         Statement.ShowSecurityThreats | Statement.ShowSecurityStats |
-        Statement.ShowSessions |
+        Statement.ShowSessions | Statement.ShowAlerts |
         _: Statement.SetEncryptionKey | Statement.SetEncryptionOff |
         _: Statement.CopyTo | _: Statement.DiffTable |
         _: Statement.Describe | _: Statement.Analyze |
@@ -1276,6 +1276,20 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       import spark.implicits._
       security.sessionRows.toDF("session_id", "user", "statements",
         "failed", "rows_accessed", "tables_accessed", "risk_score")
+    case Statement.CreateAlert(name, metric, op, threshold, severity) =>
+      // an alerting control, like SET AUDIT: always superuser-only
+      requireSuperuserAlways("CREATE ALERT")
+      createAlert(name, metric, op, threshold, severity)
+    case Statement.DropAlert(name, ifExists) =>
+      requireSuperuserAlways("DROP ALERT")
+      val existed = catalog.dropAlert(name)
+      alertFired.remove(name)
+      if (!existed && !ifExists)
+        throw new IllegalArgumentException(s"no alert named $name")
+      summary("drop_alert", if (existed) 1L else 0L, 0L)
+    case Statement.ShowAlerts =>
+      requireSuperuser("SHOW ALERTS")
+      showAlerts()
     case Statement.SetSlowLog(ms) =>
       slowLogThresholdMs = ms
       if (ms == 0) slowLog.clear()
@@ -2253,22 +2267,68 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       "retention_floor", "last_sequence")
   }
 
+  /** The deterministic metric feed — SHOW METRICS rows, and the value
+    * source alert rules evaluate against. */
+  private def metricValues: Seq[(String, Long)] = Seq(
+    ("cache_hits", cacheHits),
+    ("cache_misses", cacheMisses),
+    ("events_total", catalog.tableNames.map(catalog.lastSeq).sum),
+    ("snapshots_taken", metricSnapshots),
+    ("statements_failed", metricFailed),
+    ("statements_timed_out", metricTimeouts),
+    ("statements_total", metricStatements),
+    ("tables", catalog.tableNames.size.toLong),
+    ("txn_commits", metricTxnCommits),
+    ("txn_rollbacks", metricTxnRollbacks),
+    ("views", catalog.viewNames.size.toLong))
+
   private def showMetrics(): DataFrame = {
     import spark.implicits._
-    val eventsTotal = catalog.tableNames.map(catalog.lastSeq).sum
-    Seq(
-      ("cache_hits", cacheHits),
-      ("cache_misses", cacheMisses),
-      ("events_total", eventsTotal),
-      ("snapshots_taken", metricSnapshots),
-      ("statements_failed", metricFailed),
-      ("statements_timed_out", metricTimeouts),
-      ("statements_total", metricStatements),
-      ("tables", catalog.tableNames.size.toLong),
-      ("txn_commits", metricTxnCommits),
-      ("txn_rollbacks", metricTxnRollbacks),
-      ("views", catalog.viewNames.size.toLong))
-      .toDF("metric", "value")
+    metricValues.toDF("metric", "value")
+  }
+
+  // ========================================================== alerting
+
+  /** Threshold alert rules over the deterministic metric feed
+    * (alerting.rs:134-166 AlertRule; :216-380 AlertManager + default
+    * rules). RULES persist with the catalog (configured once, govern
+    * every later session); firing state is per-engine, like the
+    * reference's in-memory AlertManager. Pull-based: SHOW ALERTS
+    * evaluates every rule against the CURRENT metric values — no
+    * background evaluator thread, no wall-clock state, so the whole
+    * surface is reproducible and oracle-checkable. State machine per
+    * rule (alerting.rs AlertState): PENDING until the condition first
+    * holds, FIRING while it holds, RESOLVED after it stops. */
+  private val alertFired = scala.collection.mutable.HashSet.empty[String]
+
+  private def createAlert(name: String, metric: String, op: String,
+      threshold: Double, severity: String): DataFrame = {
+    require(metricValues.exists(_._1 == metric),
+      s"unknown metric: $metric (SHOW METRICS lists the valid names)")
+    catalog.createAlert(
+      graft.catalog.AlertDef(name, metric, op, threshold, severity))
+    summary("create_alert", 1L, 0L)
+  }
+
+  private def showAlerts(): DataFrame = {
+    import spark.implicits._
+    val vals = metricValues.toMap
+    val rows = catalog.alertList.map { a =>
+      val v = vals(a.metric)
+      val firing = a.op match {
+        case ">" => v > a.threshold
+        case ">=" => v >= a.threshold
+        case "<" => v < a.threshold
+        case "<=" => v <= a.threshold
+        case _ => v.toDouble == a.threshold
+      }
+      if (firing) alertFired += a.name
+      val state =
+        if (firing) "FIRING"
+        else if (alertFired(a.name)) "RESOLVED" else "PENDING"
+      (a.name, a.severity, state, a.metric, v, a.threshold)
+    }.sortBy(_._1)
+    rows.toDF("alert", "severity", "state", "metric", "value", "threshold")
   }
 
   // ====================================================== result cache

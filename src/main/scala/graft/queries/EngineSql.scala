@@ -826,6 +826,35 @@ object EngineSql {
     e.sql("SHOW METRICS").orderBy("metric") // the 11th statement
   }
 
+  /** Threshold alerting over the deterministic metrics feed
+    * (alerting.rs:134-505: AlertRule / AlertManager / the
+    * PENDING→FIRING→RESOLVED state machine). The scenario exercises
+    * all three states AND a full transition: `tables > 1` fires while
+    * a second table exists and resolves after it drops; the
+    * statements_total rule fires on plain statement count; the
+    * rollback rule never fires. Every value is statement-countable, so
+    * the oracle states the whole feed literally. */
+  val qAlerts = Q(
+    "q_alerts",
+    """SELECT * FROM (
+      |  SELECT 'busy' AS alert, 'WARNING' AS severity, 'FIRING' AS state,
+      |         'statements_total' AS metric, CAST(9 AS BIGINT) AS value,
+      |         CAST(3 AS DOUBLE) AS threshold
+      |  UNION ALL SELECT 'quiet', 'INFO', 'PENDING', 'txn_rollbacks', 0, 1
+      |  UNION ALL SELECT 'two_tables', 'CRITICAL', 'RESOLVED', 'tables', 1, 1)
+      |ORDER BY alert""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.sql("CREATE TABLE a1 (k BIGINT PRIMARY KEY)") // 1
+    e.sql("CREATE ALERT busy ON statements_total > 3") // 2
+    e.sql("CREATE ALERT quiet ON txn_rollbacks >= 1 SEVERITY INFO") // 3
+    e.sql("CREATE ALERT two_tables ON tables > 1 SEVERITY CRITICAL") // 4
+    e.sql("CREATE TABLE a2 (k BIGINT PRIMARY KEY)") // 5
+    e.sql("SHOW ALERTS") // 6: two_tables + busy fire here
+    e.sql("DROP TABLE a2") // 7
+    e.sql("INSERT INTO a1 VALUES (1)") // 8
+    e.sql("SHOW ALERTS") // 9: value = statements_total = 9
+  }
+
   /** VACUUM RETAIN end-to-end (engine.rs:739-845's reclamation): after
     * the full DML lifecycle the log is vacuumed at the post-INSERT
     * boundary — the insert batch's file is physically deleted, served
@@ -1193,6 +1222,7 @@ object EngineSql {
     qProcCall, qMvccSessions, qConstraints, qSequences, qAutoIncrement,
     qRls, qBackupRestore, qAuditLog, qGrants, qResultCache, qMigrations,
     qMetrics, qVacuumRetain, qDiffTable, qZOrder, qStreamDedup,
-    qShowStats, qShowHistogram, qSecurityThreats, qSecuritySessions)
+    qShowStats, qShowHistogram, qSecurityThreats, qSecuritySessions,
+    qAlerts)
     .map(q => q.copy(run = (s, dir) => QueryEngine.scratchScope(s)(q.run(s, dir))))
 }

@@ -16,6 +16,8 @@ import java.nio.charset.StandardCharsets.UTF_8
   *    latency summary in Prometheus text exposition format
   *    (`graft_<metric> value` gauges), so a standard scraper ingests
   *    them unmodified.
+  *  - `GET /alerts` — the SHOW ALERTS rule evaluation as JSON (the
+  *    reference's alert_routes.rs surface over alerting.rs).
   *
   * Built on the JDK's com.sun.net.httpserver — no extra dependency,
   * one daemon thread. Binds loopback by default, like PgServer.
@@ -83,6 +85,20 @@ final class HttpAdmin(engine: QueryEngine, port: Int = 0,
       respond(ex, 200, "text/plain; version=0.0.4", sb.toString)
     } catch { case e: Exception =>
       respond(ex, 500, "text/plain", s"scrape failed: ${e.getMessage}\n")
+    })
+
+  server.createContext("/alerts", ex =>
+    try {
+      val rows = engine.sql("SHOW ALERTS").collect()
+      val json = rows.map(r =>
+        s"""{"alert": ${jsonStr(r.getString(0))}, "severity": ${jsonStr(r.getString(1))}, """ +
+          s""""state": ${jsonStr(r.getString(2))}, "metric": ${jsonStr(r.getString(3))}, """ +
+          s""""value": ${r.getLong(4)}, "threshold": ${r.getDouble(5)}}""")
+        .mkString("[", ", ", "]")
+      respond(ex, 200, "application/json", json + "\n")
+    } catch { case e: Exception =>
+      respond(ex, 500, "application/json",
+        s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}\n""")
     })
 
   server.setExecutor(null) // serve on the dispatcher thread

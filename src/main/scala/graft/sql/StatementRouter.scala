@@ -240,6 +240,17 @@ object Statement {
   /** SHOW SESSIONS — per-session activity + risk score
     * (security_monitor.rs SessionTracker, connection.rs:450 stats). */
   case object ShowSessions extends Statement
+  /** CREATE ALERT name ON metric <op> threshold [SEVERITY s] — a
+    * threshold rule over the deterministic SHOW METRICS feed
+    * (alerting.rs:134-166 AlertRule; the reference registers the same
+    * shape of rule over its Prometheus gauges, :231-380). */
+  final case class CreateAlert(name: String, metric: String, op: String,
+      threshold: Double, severity: String) extends Statement
+  final case class DropAlert(name: String, ifExists: Boolean) extends Statement
+  /** SHOW ALERTS — pull-based rule evaluation (alerting.rs:395-505
+    * evaluate_rules / get_active_alerts): firing while the condition
+    * holds, resolved once it stops, pending if it never fired. */
+  case object ShowAlerts extends Statement
 }
 
 object StatementRouter {
@@ -389,6 +400,10 @@ object StatementRouter {
     """(?is)^SHOW\s+SECURITY\s+THREATS\s*$""".r
   private val ShowSecurityStatsR = """(?is)^SHOW\s+SECURITY\s+STATS\s*$""".r
   private val ShowSessionsR = """(?is)^SHOW\s+SESSIONS\s*$""".r
+  private val CreateAlertR =
+    """(?is)^CREATE\s+ALERT\s+(\w+)\s+ON\s+(\w+)\s*(>=|<=|>|<|=)\s*(-?\d+(?:\.\d+)?)(?:\s+SEVERITY\s+(INFO|WARNING|CRITICAL|FATAL))?\s*$""".r
+  private val DropAlertR = """(?is)^DROP\s+ALERT\s+(IF\s+EXISTS\s+)?(\w+)\s*$""".r
+  private val ShowAlertsR = """(?is)^SHOW\s+ALERTS\s*$""".r
   private val SetPrivilegesR = """(?is)^SET\s+PRIVILEGES\s+(ON|OFF)\s*$""".r
   private val ShowAuditR = """(?is)^SHOW\s+AUDIT\s*$""".r
   private val BeginR =
@@ -492,6 +507,11 @@ object StatementRouter {
       case ShowSecurityThreatsR() => ShowSecurityThreats
       case ShowSecurityStatsR() => ShowSecurityStats
       case ShowSessionsR() => ShowSessions
+      case CreateAlertR(name, metric, op, threshold, sev) =>
+        CreateAlert(name, metric.toLowerCase, op, threshold.toDouble,
+          Option(sev).map(_.toUpperCase).getOrElse("WARNING"))
+      case DropAlertR(ifEx, name) => DropAlert(name, ifEx != null)
+      case ShowAlertsR() => ShowAlerts
       case BackupR(dir, parent) => BackupDb(dir, Option(parent))
       case RestoreR(dir) => RestoreDb(dir)
       case VerifyBackupR(dir) => VerifyBackup(dir)

@@ -174,4 +174,19 @@ class CliSpec extends AnyFunSuite {
     assert(cli("frobnicate")._1 === 2)
     assert(cli("sql", "-d", dir, "-e")._1 === 1) // dangling option
   }
+
+  test("status gives the one-screen admin overview") {
+    val dir = freshDir()
+    cli("sql", "-d", dir, "-e",
+      "CREATE TABLE t (k BIGINT PRIMARY KEY); INSERT INTO t VALUES (1); " +
+        "CREATE ALERT busy ON statements_total > 1")
+    val (c, out, _) = cli("status", "-d", dir)
+    assert(c === 0, out)
+    val joined = out.mkString("\n")
+    assert(joined.contains("== health ==") && joined.contains("status|ok"), joined)
+    assert(joined.contains("== storage ==") && joined.contains("log_files"), joined)
+    assert(joined.contains("== metrics ==") &&
+      joined.contains("statements_total"), joined)
+    assert(joined.contains("== alerts ==") && joined.contains("FIRING"), joined)
+  }
 }

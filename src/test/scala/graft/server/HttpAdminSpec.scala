@@ -51,6 +51,15 @@ class HttpAdminSpec extends AnyFunSuite {
       assert(metrics.contains("graft_perf_statements"), metrics)
       assert(metrics.contains("graft_perf_latency_bucket{le=\"lt_1ms\"}"), metrics)
 
+      // alert rules evaluate on scrape: /alerts shows the firing rule
+      e.sql("CREATE ALERT busy ON statements_total > 1 SEVERITY CRITICAL")
+      val (ac, alerts, atype) = get(srv.boundPort, "/alerts")
+      assert(ac === 200, alerts)
+      assert(atype.startsWith("application/json"))
+      assert(alerts.contains("\"alert\": \"busy\""), alerts)
+      assert(alerts.contains("\"state\": \"FIRING\""), alerts)
+      assert(alerts.contains("\"severity\": \"CRITICAL\""), alerts)
+
       // unknown path answers 404, not a hang
       val (nc, _, _) = get(srv.boundPort, "/nope")
       assert(nc === 404)
