@@ -239,7 +239,7 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
           case 'Q' =>
             st.skipToSync = false
             val sql = new String(body, UTF_8).stripSuffix("\u0000")
-            cancellable(st)(runQuery(session, sql, out))
+            cancellable(st)(runQuery(session, sql, in, out))
             readyForQuery(out, session.inTransaction)
           case 'P' => handleParse(st, body, out)
           case 'B' => handleBind(st, body, out)
@@ -684,20 +684,28 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
     }
 
   private def runQuery(session: QueryEngine#Session, sql: String,
-      out: DataOutputStream): Unit = {
+      in: DataInputStream, out: DataOutputStream): Unit = {
     val stmts = graft.sql.StatementRouter.splitTopLevel(sql, ';')
       .filter(s => graft.sql.SqlText.maskNonCode(s).trim.nonEmpty)
     if (stmts.isEmpty) { out.write('I'); out.writeInt(4); return } // EmptyQuery
     for (stmt <- stmts) {
       try {
-        val df = session.sql(stmt)
-        val (w1, w2) = headWords(stmt)
-        if (isRowless(w1))
-          sendCommandComplete(out, commandTag(w1, w2, affectedRows(df)))
-        else {
-          sendRowDescription(df.schema, out)
-          val (n, _) = streamRows(df.schema, df.toLocalIterator(), 0, out)
-          sendCommandComplete(out, s"SELECT $n")
+        stmt.trim match {
+          case CopyInR(table, cols, fmt) =>
+            copyInStdin(session, table, Option(cols), fmtName(fmt), in, out)
+          case CopyOutR(table, cols, query, fmt) =>
+            copyOutStdout(session, Option(table), Option(cols),
+              Option(query), fmtName(fmt), out)
+          case _ =>
+            val df = session.sql(stmt)
+            val (w1, w2) = headWords(stmt)
+            if (isRowless(w1))
+              sendCommandComplete(out, commandTag(w1, w2, affectedRows(df)))
+            else {
+              sendRowDescription(df.schema, out)
+              val (n, _) = streamRows(df.schema, df.toLocalIterator(), 0, out)
+              sendCommandComplete(out, s"SELECT $n")
+            }
         }
       } catch {
         case e: Exception =>
@@ -705,6 +713,200 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
           return // PG aborts the rest of a multi-statement Query on error
       }
     }
+  }
+
+  // ------------------------------------------------- wire COPY (\copy)
+
+  // COPY t [(cols)] FROM STDIN [[WITH] (FORMAT x) | x] — what psql's
+  // \copy sends. [REF-GAP]: the reference declares CopyInResponse/
+  // CopyData in its protocol (messages.rs:112-116) but never serves
+  // them; real clients use \copy constantly, so we do.
+  private val CopyInR =
+    ("""(?is)^COPY\s+([\w.]+)(?:\s*\(([^)]*)\))?\s+FROM\s+STDIN""" +
+      """(?:\s+(?:WITH\s+)?\(?\s*(?:FORMAT\s+)?(\w+)\s*\)?)?\s*;?\s*$""").r
+  private val CopyOutR =
+    ("""(?is)^COPY\s+(?:([\w.]+)(?:\s*\(([^)]*)\))?|\((.+)\))\s+TO\s+STDOUT""" +
+      """(?:\s+(?:WITH\s+)?\(?\s*(?:FORMAT\s+)?(\w+)\s*\)?)?\s*;?\s*$""").r
+
+  private def fmtName(raw: String): String = Option(raw).map(_.toLowerCase)
+    .getOrElse("text") match {
+      case "text" | "csv" => Option(raw).map(_.toLowerCase).getOrElse("text")
+      case other => throw new IllegalArgumentException(
+        s"unsupported COPY format on the wire: $other (text | csv)")
+    }
+
+  /** COPY FROM STDIN: CopyInResponse, spool CopyData to a temp file,
+    * then land the batch through the engine's governed file-COPY path
+    * (privileges, constraints, triggers, atomic publish — no second
+    * write path). Text format unescapes PG's \t/\n/\\ and \N nulls;
+    * CSV passes through with a synthesized header. */
+  private def copyInStdin(session: QueryEngine#Session, table: String,
+      cols: Option[String], fmt: String, in: DataInputStream,
+      out: DataOutputStream): Unit = {
+    val colNames = cols.map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(engine.catalog.require(table).columns.map(_.logical))
+    // CopyInResponse: overall format 0 (text on the wire either way —
+    // the FORMAT option governs line syntax, not the message framing)
+    out.write('G'); out.writeInt(4 + 1 + 2 + 2 * colNames.length)
+    out.write(0); out.writeShort(colNames.length)
+    colNames.foreach(_ => out.writeShort(0))
+    out.flush()
+    val spool = java.nio.file.Files.createTempFile("graft-copyin-", ".raw")
+    try {
+      val fos = java.nio.file.Files.newOutputStream(spool)
+      var done = false
+      var failed: Option[String] = None
+      var total = 0L
+      try while (!done) {
+        val tpe = in.readByte()
+        val len = in.readInt()
+        if (len < 4 || len > 64 * 1024 * 1024)
+          throw new java.io.IOException(s"bad CopyData length: $len")
+        val body = new Array[Byte](len - 4)
+        in.readFully(body)
+        tpe.toChar match {
+          case 'd' =>
+            total += body.length
+            if (total > 4L * 1024 * 1024 * 1024)
+              throw new java.io.IOException("COPY payload exceeds 4 GiB spool cap")
+            fos.write(body)
+          case 'c' => done = true // CopyDone
+          case 'f' => // CopyFail: the client aborts the transfer
+            failed = Some(new String(body, UTF_8).stripSuffix("\u0000"))
+            done = true
+          case 'H' | 'S' => () // Flush/Sync are legal no-ops mid-COPY
+          case other =>
+            throw new java.io.IOException(s"unexpected message '$other' during COPY")
+        }
+      } finally fos.close()
+      failed match {
+        case Some(msg) =>
+          sendError(out, s"COPY from stdin failed: $msg", "57014")
+        case None =>
+          val csv = java.nio.file.Files.createTempFile("graft-copyin-", ".csv")
+          try {
+            spoolToCsv(spool, csv, colNames, fmt)
+            val res = session.sql(
+              s"COPY $table FROM '${csv.toString}' (FORMAT CSV)")
+            sendCommandComplete(out, s"COPY ${affectedRows(res)}")
+          } finally java.nio.file.Files.deleteIfExists(csv)
+      }
+    } finally java.nio.file.Files.deleteIfExists(spool)
+  }
+
+  /** Normalize the spooled STDIN payload to a headered CSV the
+    * engine's file-COPY reads: text format is parsed (tab fields, \N
+    * nulls, backslash escapes) and re-emitted RFC-quoted; CSV data
+    * passes through under the synthesized header. A trailing `\.`
+    * terminator line (pre-3.0 clients send one) is dropped. */
+  private def spoolToCsv(raw: java.nio.file.Path, csv: java.nio.file.Path,
+      colNames: Seq[String], fmt: String): Unit = {
+    val w = java.nio.file.Files.newBufferedWriter(csv, UTF_8)
+    try {
+      w.write(colNames.mkString(",")); w.write("\n")
+      val r = java.nio.file.Files.newBufferedReader(raw, UTF_8)
+      try {
+        var line = r.readLine()
+        while (line != null) {
+          if (line != "\\.") {
+            if (fmt == "csv") { w.write(line); w.write("\n") }
+            else {
+              val fields = splitTextLine(line).map {
+                case null => ""
+                case v => "\"" + v.replace("\"", "\"\"") + "\""
+              }
+              w.write(fields.mkString(",")); w.write("\n")
+            }
+          }
+          line = r.readLine()
+        }
+      } finally r.close()
+    } finally w.close()
+  }
+
+  /** One PG text-format line -> fields (null for \N), unescaping the
+    * backslash forms COPY TO emits. */
+  private def splitTextLine(line: String): Seq[String] = {
+    val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var isNull = false
+    var i = 0
+    def flush(): Unit = {
+      fields += (if (isNull && cur.isEmpty) null else cur.toString)
+      cur.clear(); isNull = false
+    }
+    while (i < line.length) {
+      line.charAt(i) match {
+        case '\t' => flush()
+        case '\\' if i + 1 < line.length =>
+          i += 1
+          line.charAt(i) match {
+            case 'N' if cur.isEmpty => isNull = true
+            case 't' => cur += '\t'
+            case 'n' => cur += '\n'
+            case 'r' => cur += '\r'
+            case 'b' => cur += '\b'
+            case 'f' => cur += '\f'
+            case 'v' => cur += ''
+            case c => cur += c // incl. \\ and \<tab>
+          }
+        case c => cur += c
+      }
+      i += 1
+    }
+    flush()
+    fields.toSeq
+  }
+
+  /** COPY TO STDOUT: CopyOutResponse + one CopyData per row (PG text
+    * or CSV line syntax), streamed via toLocalIterator — one
+    * partition resident, like every other result path. */
+  private def copyOutStdout(session: QueryEngine#Session,
+      table: Option[String], cols: Option[String], query: Option[String],
+      fmt: String, out: DataOutputStream): Unit = {
+    val sql = query.map(q => q).getOrElse {
+      val proj = cols.map(_.trim).filter(_.nonEmpty).getOrElse("*")
+      s"SELECT $proj FROM ${table.get}"
+    }
+    val df = session.sql(sql)
+    val nCols = df.schema.fields.length
+    out.write('H'); out.writeInt(4 + 1 + 2 + 2 * nCols)
+    out.write(0); out.writeShort(nCols)
+    df.schema.fields.foreach(_ => out.writeShort(0))
+    val it = df.toLocalIterator()
+    var n = 0L
+    while (it.hasNext) {
+      val row = it.next()
+      val fields = (0 until nCols).map { i =>
+        if (row.isNullAt(i)) null
+        else df.schema.fields(i).dataType match {
+          case BooleanType => if (row.getBoolean(i)) "t" else "f"
+          case _ => String.valueOf(row.get(i))
+        }
+      }
+      val line =
+        if (fmt == "csv") fields.map {
+          case null => ""
+          case v if v.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r') =>
+            "\"" + v.replace("\"", "\"\"") + "\""
+          case v => v
+        }.mkString(",")
+        else fields.map {
+          case null => """\N"""
+          case v => v.flatMap {
+            case '\\' => "\\\\"
+            case '\t' => "\\t"
+            case '\n' => "\\n"
+            case '\r' => "\\r"
+            case c => c.toString
+          }
+        }.mkString("\t")
+      val bytes = (line + "\n").getBytes(UTF_8)
+      out.write('d'); out.writeInt(4 + bytes.length); out.write(bytes)
+      n += 1
+    }
+    out.write('c'); out.writeInt(4) // CopyDone
+    sendCommandComplete(out, s"COPY $n")
   }
 
   private def typeOid(dt: DataType): (Int, Int) = dt match { // (oid, typlen)

@@ -28,9 +28,12 @@ class PgServerSpec extends AnyFunSuite {
       sql: String): (Int, String, String) = {
     val outB = new StringBuilder
     val errB = new StringBuilder
-    val code = Process(Seq("psql", "-h", "127.0.0.1", "-p", port.toString,
+    // stdin from an empty stream: a meta-command that reads stdin
+    // (e.g. \copy ... from stdin) must see EOF, not hang on sbt's
+    val code = (Process(Seq("psql", "-h", "127.0.0.1", "-p", port.toString,
         "-d", "graft", "-U", user, "-X", "-A", "-t", "-c", sql),
-        None, "PGPASSWORD" -> password.getOrElse(""))
+        None, "PGPASSWORD" -> password.getOrElse("")) #<
+        new java.io.ByteArrayInputStream(Array.emptyByteArray))
       .!(ProcessLogger(outB.append(_).append('\n'), errB.append(_).append('\n')))
     (code, outB.toString, errB.toString)
   }
@@ -410,6 +413,50 @@ class PgServerSpec extends AnyFunSuite {
           "SELECT $1 AS b", 16, Array(1.toByte))
         assert(c.rows(r3) === Seq(Seq("t")), c.rows(r3)) // PG bool rendering
       } finally c.close()
+    }
+  }
+
+  test("psql \\copy: FROM STDIN and TO STDOUT in text and csv formats") {
+    withServer { (_, port) =>
+      assert(psql(port,
+        "CREATE TABLE cp (k BIGINT PRIMARY KEY, v STRING, d DOUBLE)")._1 === 0)
+      val dir = java.nio.file.Files.createTempDirectory("graft-copy-")
+      // text format: tabs, \N nulls, escaped tab inside a value
+      val inTxt = dir.resolve("in.txt")
+      java.nio.file.Files.writeString(inTxt,
+        "1\tone\t1.5\n2\t\\N\t2.5\n3\ttab\\there\t\\N\n")
+      val (c1, t1, e1) = psql(port, s"\\copy cp from '$inTxt'")
+      assert(c1 === 0 && t1.trim === "COPY 3", s"[$t1] [$e1]")
+      val (_, sel, _) = psql(port, "SELECT k, v, d FROM cp ORDER BY k")
+      assert(sel.linesIterator.toSeq.filter(_.nonEmpty)
+        === Seq("1|one|1.5", "2||2.5", "3|tab\there|"), sel)
+      // TO STDOUT text: nulls back as \N, the tab re-escaped
+      val outTxt = dir.resolve("out.txt")
+      val (c2, t2, _) = psql(port, s"\\copy cp to '$outTxt'")
+      assert(c2 === 0 && t2.trim === "COPY 3", t2)
+      val returned = java.nio.file.Files.readString(outTxt)
+      assert(returned ===
+        "1\tone\t1.5\n2\t\\N\t2.5\n3\ttab\\there\t\\N\n", returned)
+      // csv both ways, including a quoted comma
+      assert(psql(port,
+        "CREATE TABLE cc (k BIGINT PRIMARY KEY, v STRING)")._1 === 0)
+      val inCsv = dir.resolve("in.csv")
+      java.nio.file.Files.writeString(inCsv, "10,plain\n11,\"a,b\"\n")
+      val (c3, t3, e3) =
+        psql(port, s"\\copy cc from '$inCsv' with (format csv)")
+      assert(c3 === 0 && t3.trim === "COPY 2", s"[$t3] [$e3]")
+      val outCsv = dir.resolve("out.csv")
+      val (c4, _, _) = psql(port,
+        s"\\copy (SELECT k, v FROM cc ORDER BY k) to '$outCsv' with (format csv)")
+      assert(c4 === 0)
+      assert(java.nio.file.Files.readString(outCsv) === "10,plain\n11,\"a,b\"\n")
+      // column-subset COPY: the omitted column takes NULL/DEFAULT
+      val subIn = dir.resolve("sub.txt")
+      java.nio.file.Files.writeString(subIn, "40\tforty\n")
+      val (c5, t5, e5) = psql(port, s"\\copy cp (k, v) from '$subIn'")
+      assert(c5 === 0 && t5.trim === "COPY 1", s"[$t5] [$e5]")
+      val (_, sub, _) = psql(port, "SELECT k, v, d FROM cp WHERE k = 40")
+      assert(sub.trim === "40|forty|", sub)
     }
   }
 
