@@ -460,6 +460,29 @@ class PgServerSpec extends AnyFunSuite {
     }
   }
 
+  test("pool admission: per-source cap rejects, frees on disconnect") {
+    val e = QueryEngine.scratch(spark)
+    val srv = new PgServer(e, 0, maxPerSource = 1).start()
+    try {
+      val port = srv.boundPort
+      val held = new ExtClient(port) // occupies the one slot
+      try {
+        val (c1, _, err) = psqlAs(port, "root", None, "SELECT 1")
+        assert(c1 != 0 && err.contains("too many connections"), err)
+        val (_, accepted, rejected) = srv.poolStats
+        assert(accepted >= 1L && rejected >= 1L, srv.poolStats)
+      } finally held.close()
+      // the slot frees once the holder disconnects
+      val deadline = System.nanoTime() + 10e9.toLong
+      var ok = false
+      while (!ok && System.nanoTime() < deadline) {
+        ok = psqlAs(port, "root", None, "SELECT 1")._1 == 0
+        if (!ok) Thread.sleep(100)
+      }
+      assert(ok, "connection still rejected after the holder closed")
+    } finally { srv.close(); e.close() }
+  }
+
   test("brute force over the wire: repeated bad passwords block the source") {
     val e = QueryEngine.scratch(spark)
     val srv = new PgServer(e, 0,
