@@ -41,10 +41,13 @@ object Components {
     * singletons (coalesce to own id after a left join). */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
     val Seq(ca, cb) = edges.columns.toSeq.take(2).map(col)
-    // both directions once, pinned: every round re-reads this frame
-    val bi = edges.select(ca.as("src"), cb.as("dst"))
-      .union(edges.select(cb.as("src"), ca.as("dst")))
-      .localCheckpoint()
+    // pin the ONE-direction frame first: `edges` is often an expensive
+    // lineage (a shingle self-join for dedup pairs), and a union of
+    // two projections over it would execute that lineage TWICE during
+    // the eager checkpoint. Pin once, then mirror the cheap pinned
+    // blocks — every round re-reads this two-projection union.
+    val e0 = edges.select(ca.as("src"), cb.as("dst")).localCheckpoint()
+    val bi = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     var labels = bi.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
     var round = 0
@@ -79,7 +82,7 @@ object Components {
       throw new IllegalStateException(
         s"connected components did not converge in $maxRounds rounds " +
           "(pathological graph? raise maxRounds)")
-    graft.Pins.free(bi) // no round will re-read the edge frame
+    graft.Pins.free(e0) // no round will re-read the edge frame
     labels.select(col("id"), col("comp").as("component"))
   }
 
