@@ -47,6 +47,27 @@ object GraftFunctions {
             s"hyperplane_lsh bits must be an integer literal, got ${other.sql}")
         }
         HyperplaneLsh(args.head, bits)
+      }),
+    ("top_k_by",
+      "top_k_by(score, id, k) - aggregate keeping the k best (score DESC, id ASC) pairs per group, best-first",
+      (args: Seq[Expression]) => {
+        require(args.size == 3,
+          s"top_k_by(score, id, k) takes 3 arguments, got ${args.size}")
+        val k = args(2) match {
+          case Literal(v: Int, _) => v
+          case Literal(v: Long, _) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"top_k_by k must be an integer literal, got ${other.sql}")
+        }
+        graft.functions.TopKByScore(args.head, args(1), k)
+          .toAggregateExpression()
+      }),
+    ("repetition_stats",
+      "repetition_stats(grams) - struct(n_grams, top, dup) occurrence statistics of a string array, one hash pass per row",
+      (args: Seq[Expression]) => {
+        require(args.size == 1,
+          s"repetition_stats(grams) takes 1 argument, got ${args.size}")
+        graft.functions.RepetitionStats(args.head)
       }))
 
   /** Runtime registration for an already-constructed session. */

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -47,11 +46,29 @@ object Similarity {
       .where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         round(cosine(col("qv"), col("cv")), 5).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("qid", "cid", "rank", "sim")
+    rankTopK(scored, k)
   }
+
+  /** Rank scored (qid, cid, sim) candidates down to each query's k
+    * best — (sim DESC, cid ASC), rank 1-based.
+    *
+    * Implemented with the native bounded-heap aggregate
+    * (graft.functions.TopKByScore), not `row_number() OVER (PARTITION
+    * BY qid)`: the window form shuffles EVERY scored candidate to its
+    * query's reducer and sorts there — at corpus scale that exchange
+    * is the whole job, and with few queries it collapses onto few
+    * reducers. The aggregate reduces each scan partition to <= k pairs
+    * per query map-side, so the exchange carries k x partitions rows
+    * per query no matter how large the corpus; ranks then come from
+    * the position in the already-sorted top-k array. Bit-identical to
+    * the window form (same total order), which the ANN oracles pin.
+    * Rows with a null sim or cid cannot rank and are skipped. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("qid")
+      .agg(graft.functions.TopKByScore(col("sim"), col("cid"), k).as("nn"))
+      .select(col("qid"), posexplode(col("nn")))
+      .select(col("qid"), col("col.id").as("cid"),
+        (col("pos") + lit(1)).as("rank"), col("col.score").as("sim"))
 
   /** Random-hyperplane LSH bucket id: `bits` pseudo-random hyperplanes,
     * plane j's component i a deterministic ±1 — data-independent, no
@@ -96,25 +113,23 @@ object Similarity {
           struct(round(cosine(col("cv"), col("cent")), 9).as("s"),
             (-col("cent_id")).as("tie"))).as("cell"),
         first(col("cv")).as("cv"))
-    // query -> its nprobe nearest cells
-    val qw = Window.partitionBy("qid")
-      .orderBy(col("psim").desc, col("cent_id"))
+    // query -> its nprobe nearest cells (bounded-heap top-k, like the
+    // final ranking: reduces map-side to nprobe cells per query)
     val probes = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .crossJoin(broadcast(cent))
       .select(col("qid"), col("qv"), col("cent_id"),
         round(cosine(col("qv"), col("cent")), 9).as("psim"))
-      .withColumn("pr", row_number().over(qw))
-      .where(col("pr") <= nprobe)
-      .select(col("qid"), col("qv"), col("cent_id").as("cell"))
+      .groupBy("qid")
+      .agg(first(col("qv")).as("qv"),
+        graft.functions.TopKByScore(col("psim"), col("cent_id"), nprobe).as("_cells"))
+      .select(col("qid"), col("qv"), explode(col("_cells")).as("_c"))
+      .select(col("qid"), col("qv"), col("_c.id").as("cell"))
     val scored = assigned.join(broadcast(probes), "cell")
       .where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         round(cosine(col("qv"), col("cv")), 5).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("qid", "cid", "rank", "sim")
+    rankTopK(scored, k)
   }
 
   /** Deterministic Lloyd's k-means over the embedding column — the
@@ -177,9 +192,6 @@ object Similarity {
       .where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         round(cosine(col("qv"), col("cv")), 5).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("qid", "cid", "rank", "sim")
+    rankTopK(scored, k)
   }
 }
