@@ -20,12 +20,15 @@ import org.apache.spark.sql.functions._
   *     appears more than once (Gopher's "fraction of characters in
   *     duplicated n-grams").
   *
-  * 100 TB shape: one explode per n-gram order, then a two-level
-  * aggregation keyed (doc_id, gram) → doc_id. Both shuffles are on
-  * keys that include doc_id, so partial (map-side) aggregation
-  * collapses each document's grams before anything moves — the shuffle
-  * volume is bounded by distinct grams per doc, not corpus tokens. No
-  * driver state, no windows over the whole corpus.
+  * 100 TB shape: ZERO shuffles. Every n-gram of a document lives on
+  * that document's row, so the repetition profile is a per-row
+  * computation — the native `repetition_stats` expression
+  * (graft.functions.RepetitionStats) counts gram occurrences in one
+  * codegen'd hash pass per row, and the whole gate stays in the scan
+  * stage. The earlier explode + (doc_id, gram) two-level aggregation
+  * shipped every corpus gram (long string keys) through two exchanges
+  * and then joined the orders back together; at 100 TB that exchange
+  * is the entire job, here it simply does not exist.
   *
   * All ratios are exact-integer divisions cast to double, so the
   * numbers are bit-identical in any engine — the DuckDB oracle applies
@@ -49,18 +52,13 @@ object QualityFilters {
     * (doc_id, n_grams, top_gram_frac, dup_gram_frac). Documents
     * shorter than n tokens produce no grams and are absent — the
     * caller decides whether absence passes or fails. */
-  def repetitionMetrics(docs: DataFrame, n: Int): DataFrame = {
-    val grams = docs.select(col("doc_id"),
-      explode(ngrams(col("text"), n)).as("gram"))
-    grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum("c").as("n_grams"),
-        max("c").as("_top"),
-        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("_dup"))
-      .select(col("doc_id"), col("n_grams"),
-        (col("_top").cast("double") / col("n_grams")).as("top_gram_frac"),
-        (col("_dup").cast("double") / col("n_grams")).as("dup_gram_frac"))
-  }
+  def repetitionMetrics(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.RepetitionStats(ngrams(col("text"), n)).as("_st"))
+      .where(col("_st.n_grams") > 0)
+      .select(col("doc_id"), col("_st.n_grams").as("n_grams"),
+        (col("_st.top").cast("double") / col("_st.n_grams")).as("top_gram_frac"),
+        (col("_st.dup").cast("double") / col("_st.n_grams")).as("dup_gram_frac"))
 
   /** The combined Gopher-style repetition gate: a document passes when
     * its top-2-gram coverage and duplicate-3-gram coverage both fall
@@ -69,14 +67,18 @@ object QualityFilters {
     * Returns (doc_id, top_2gram_frac, dup_3gram_frac, passes) for
     * every document long enough to have 3-grams. */
   def repetitionGate(docs: DataFrame, maxTop2: Double,
-      maxDup3: Double): DataFrame = {
-    val m2 = repetitionMetrics(docs, 2)
-      .select(col("doc_id"), col("top_gram_frac").as("top_2gram_frac"))
-    val m3 = repetitionMetrics(docs, 3)
-      .select(col("doc_id"), col("dup_gram_frac").as("dup_3gram_frac"))
-    m2.join(m3, "doc_id")
+      maxDup3: Double): DataFrame =
+    // both orders in ONE scan-stage select — no metrics join: a doc
+    // with 3-grams always has 2-grams, so the 3-gram presence filter
+    // reproduces the former inner join's row set exactly
+    docs.select(col("doc_id"),
+        graft.functions.RepetitionStats(ngrams(col("text"), 2)).as("_s2"),
+        graft.functions.RepetitionStats(ngrams(col("text"), 3)).as("_s3"))
+      .where(col("_s3.n_grams") > 0)
+      .select(col("doc_id"),
+        (col("_s2.top").cast("double") / col("_s2.n_grams")).as("top_2gram_frac"),
+        (col("_s3.dup").cast("double") / col("_s3.n_grams")).as("dup_3gram_frac"))
       .withColumn("passes",
         col("top_2gram_frac") <= lit(maxTop2) &&
           col("dup_3gram_frac") <= lit(maxDup3))
-  }
 }

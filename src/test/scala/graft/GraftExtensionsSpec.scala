@@ -48,6 +48,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("cosine_similarity"))
   }
 
+  test("repetition_stats callable from SQL text, equal to the Column API") {
+    val viaSql = spark.sql(
+      """SELECT repetition_stats(array('a b', 'b c', 'a b')) AS st""")
+      .selectExpr("st.n_grams", "st.top", "st.dup").head()
+    assert((viaSql.getLong(0), viaSql.getLong(1), viaSql.getLong(2)) === ((3L, 2L, 2L)))
+  }
+
   test("bits argument must be a literal") {
     spark.sql("SELECT 1 AS n").createOrReplaceTempView("one_ext")
     val err = intercept[Exception] {

@@ -44,6 +44,34 @@ class CurationSpec extends AnyFunSuite {
     assert(out === 0)
   }
 
+  test("per-row repetition metrics equal the explode/groupBy form on the fixture") {
+    // the shuffle-heavy form the native expression replaced, kept here
+    // as the independent oracle
+    def explodedMetrics(n: Int) = {
+      val grams = docs.select(col("doc_id"),
+        explode(QualityFilters.ngrams(col("text"), n)).as("gram"))
+      grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_grams"), max("c").as("_top"),
+          coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("_dup"))
+        .select(col("doc_id"), col("n_grams"),
+          (col("_top").cast("double") / col("n_grams")).as("top_gram_frac"),
+          (col("_dup").cast("double") / col("n_grams")).as("dup_gram_frac"))
+    }
+    for (n <- Seq(2, 3)) {
+      val native = QualityFilters.repetitionMetrics(docs, n)
+      assert(native.exceptAll(explodedMetrics(n)).count() === 0, s"n=$n extra")
+      assert(explodedMetrics(n).exceptAll(native).count() === 0, s"n=$n missing")
+    }
+  }
+
+  test("the repetition gate plan has no exchange: pure scan-stage work") {
+    val plan = QualityFilters.repetitionGate(docs, 0.2, 0.6)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gate shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"gate joins:\n$plan")
+  }
+
   // -------------------------------------------------- TrainingOrder
 
   test("training order is a seeded permutation: same seed identical, different seed different") {
