@@ -47,6 +47,12 @@ object Components {
     // the eager checkpoint. Pin once, then mirror the cheap pinned
     // blocks — every round re-reads this two-projection union.
     val e0 = edges.select(ca.as("src"), cb.as("dst")).localCheckpoint()
+    // e0 now holds the derived pairs, so any checkpoint pins INSIDE the
+    // incoming edge lineage (e.g. Dedup's materialized shingle table)
+    // are dead — free them here instead of stranding them for the
+    // whole closure. Contract: connectedComponents CONSUMES the edge
+    // frame; callers must not re-execute `edges` afterwards.
+    graft.Pins.free(edges)
     val bi = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     var labels = bi.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale text corpora (training-data
@@ -84,12 +85,27 @@ object Dedup {
       maxDfFrac: Double,
       maxDf: Long): DataFrame = {
     val nDocs = docs.agg(count(lit(1)).as("_ndocs"))
-    val vocab = tokens0.groupBy("tok").agg(count(lit(1)).as("_df"))
+    // document-frequency cap via ONE window over the token
+    // partitioning instead of a (groupBy tok → join back) pair, then
+    // the capped frame MATERIALIZED once: the exploded (doc_id, tok)
+    // frame — the corpus-sized intermediate — feeds three consumers
+    // (both self-join sides and the per-doc size aggregation), and
+    // the former vocab join re-ran the explode for each of them
+    // (exchange reuse cannot dedupe these subplans: the explode's
+    // lambda-bound transform defeats plan canonicalization). The
+    // explicit pin is the classic dedup "shingle table"
+    // materialization — disk-backed blocks, one explode + one token
+    // shuffle total at any scale. The pin is freed deterministically
+    // by Components.connectedComponents once its own edge pin holds
+    // the derived pairs, or by the harness sweep for plain pair
+    // queries.
+    val tokens = tokens0
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy("tok")))
       .crossJoin(broadcast(nDocs))
       .where(col("_df") <= lit(maxDfFrac) * col("_ndocs") &&
         col("_df") <= lit(maxDf))
-      .select("tok")
-    val tokens = tokens0.join(vocab, "tok")
+      .select("doc_id", "tok")
+      .localCheckpoint()
     val sizes = tokens.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = tokens.as("a")
     val b = tokens.as("b")
