@@ -3056,12 +3056,6 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * catalog's declared type, so CSV's all-string read types up
     * correctly). */
   def ingestFile(table: String, path: String, format: String): DataFrame = {
-    val t = catalog.require(table)
-    // COPY FROM is governed like INSERT (it IS a bulk insert): the
-    // privilege gate and the write-side RLS policies both apply —
-    // without them an ungranted session could bulk-load, and an
-    // RLS-restricted session could land rows its WITH CHECK vetoes
-    checkPrivilege(table, "INSERT")
     val raw = format match {
       case "jsonl" | "json" => spark.read.json(path)
       case "parquet" => spark.read.parquet(path)
@@ -3069,6 +3063,32 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       case other => throw new IllegalArgumentException(
         s"unsupported COPY format: $other (JSONL | PARQUET | CSV)")
     }
+    ingestFrame(table, raw)
+  }
+
+  /** `ingestFrame` under `session`'s security context — the governed
+    * write surface of the `graft` data source
+    * (`df.write.format("graft").option("user", u)`): the privilege
+    * gate and write-side RLS policies see the session, not root. */
+  def ingestFrameAs(session: Session, table: String, df: DataFrame): DataFrame =
+    writeLock.synchronized {
+      val prev = current
+      current = session
+      try ingestFrame(table, df)
+      finally current = prev
+    }
+
+  /** Bulk-append an arbitrary DataFrame — the shared tail of COPY FROM
+    * and the `graft` data-source write path (`df.write.format("graft")`).
+    * Columns match the catalog by name (missing → DEFAULT, else NULL)
+    * and cast to declared types. */
+  def ingestFrame(table: String, raw: DataFrame): DataFrame = {
+    val t = catalog.require(table)
+    // governed like INSERT (it IS a bulk insert): the privilege gate
+    // and the write-side RLS policies both apply — without them an
+    // ungranted session could bulk-load, and an RLS-restricted session
+    // could land rows its WITH CHECK vetoes
+    checkPrivilege(table, "INSERT")
     val defaults = defaultsOf(table)
     val full0 = raw.select(t.columns.map(c =>
       if (raw.columns.contains(c.logical)) col(c.logical).cast(c.dataType).as(c.logical)
