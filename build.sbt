@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[N] packs the driver AND every executor thread's shuffle,
+  // broadcast, and localCheckpoint blocks into ONE heap — size it for
+  // the whole cluster-in-a-JVM, not a lone driver (the host has
+  // 128 GiB; 8 GiB forced spills + GC stalls on 32-thread sf0.1 runs)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -51,6 +51,15 @@ object Bench {
       // cached (untimed) so later queries measure themselves, not this
       // one's block-manager pressure
       Pins.sweep(spark)
+      // A forced System.gc() per query was measured HARMFUL here
+      // (A/B at sf0.1, 129 queries: 303 s with vs 176 s without): the
+      // full-GC pause plus ContextCleaner's async shuffle-file delete
+      // storm bleed into the NEXT query's timed window and cost far
+      // more than the stranded weak-referenced blocks they reclaim —
+      // the explicit Pins.sweep above already frees the big
+      // localCheckpoint/cache pins deterministically. Opt back in
+      // with SPARK_GRAFT_BENCH_GC=1 to re-measure.
+      if (sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")) System.gc()
       (name, dt, ok)
     }
     def sec(v: Double): String = f"$v%.3f"
