@@ -3221,6 +3221,115 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       maybeAutoSnapshot(r.name, hiR)
     }
 
+  /** Exactly-once streaming ingest with NEAR-dup dedup against a
+    * persistent shingle inverted-index registry — the continuous form
+    * of `Dedup.shingleJaccardPairs` (the batch operator family): new
+    * shards admit only documents that are not near-duplicates of
+    * anything already seen, without ever re-scanning the corpus.
+    *
+    * Policy ("seen semantics"): a document is DROPPED iff some SEEN
+    * document — any earlier batch's doc, or an earlier-pk row of its
+    * own batch — shares >= `minJaccard` shingle-set Jaccard overlap
+    * with it. Seen means seen, admitted or not: comparing against all
+    * prior documents (rather than only admitted ones) makes the result
+    * independent of drop chains, so the final state is reproducible in
+    * PLAIN SQL — a doc survives iff no smaller-id doc in the whole
+    * corpus clears the threshold — which is exactly what the
+    * q_stream_neardup oracle computes. It is also the conservative
+    * policy a curation pipeline wants: "similar to anything we have
+    * seen" is a stronger dedup than "similar to something we kept".
+    *
+    * Registry index table (caller creates): a string PRIMARY KEY
+    * (filled with tok + '#' + doc id) plus columns `tok` STRING,
+    * `doc_id` BIGINT, `n` BIGINT (the doc's shingle count). Every
+    * batch appends ALL its docs' postings (seen semantics); probes
+    * filter the registry scan with inlined batch tokens when small
+    * (bloom-indexable via CREATE INDEX ON (tok)), the FK-probe
+    * discipline. `maxDf` drops tokens whose REGISTRY posting list
+    * exceeds it — the bucket-size bound of the batch operators; pass
+    * Long.MaxValue to disable (the oracle-exact configuration).
+    *
+    * Per micro-batch: shingle each doc (one scan-stage pass), build
+    * within-batch edges (inverted-index self-join, earlier pk wins)
+    * and cross edges (probe join against the registry), drop receivers
+    * clearing the threshold, then land admitted rows AND all postings
+    * in ONE atomic publish carrying the micro-batch id — replayed
+    * batches skip whole, so neither table nor registry can drift. */
+  private[graft] def ingestStreamNearDedup(table: String, registry: String,
+      batch: DataFrame, textCol: Column, shingleN: Int, minJaccard: Double,
+      maxDf: Long, streamId: Option[String], batchId: Long): Unit =
+    writeLock.synchronized {
+      ensureWriteLock()
+      if (streamId.isDefined) sweepStaging() // see ingestStream
+      val committed = streamId.flatMap(catalog.lastStreamBatch)
+      if (streamId.isDefined && committed.exists(_ >= batchId)) return
+      val t = catalog.require(table)
+      val r = catalog.require(registry)
+      val full = pinCheckpoint(batch.select(t.columns.map(c =>
+          if (batch.columns.contains(c.logical))
+            col(c.logical).cast(c.dataType).as(c.logical)
+          else lit(null).cast(c.dataType).as(c.logical)): _*)
+        .withColumn("__sh",
+          graft.operators.Dedup.shingleSet(textCol, shingleN)))
+      val toks = full.select(col(t.pk).as("__id"), explode(col("__sh")).as("__tok"))
+      val sizes = full.select(col(t.pk).as("__id"),
+        size(col("__sh")).cast("long").as("__n"))
+      def jacc(i: Column, en: Column, dn: Column): Column =
+        i.cast("double") / (en + dn - i)
+      // within-batch edges: inverted-index self-join, earlier pk wins
+      val wiDrop = toks.as("a")
+        .join(toks.as("b"),
+          col("a.__tok") === col("b.__tok") && col("a.__id") < col("b.__id"))
+        .groupBy(col("a.__id").as("__e"), col("b.__id").as("__d"))
+        .agg(count(lit(1)).as("__i"))
+        .join(sizes.select(col("__id").as("__e"), col("__n").as("__en")), "__e")
+        .join(sizes.select(col("__id").as("__d"), col("__n").as("__dn")), "__d")
+        .where(jacc(col("__i"), col("__en"), col("__dn")) >= minJaccard)
+        .select(col("__d"))
+      // cross edges: probe the registry's postings for batch tokens
+      val probed0 = inlineKeyFilter(stateAt(r.name, None), "tok", toks, "__tok")
+      val probed =
+        if (maxDf == Long.MaxValue) probed0
+        else probed0.join(
+          probed0.groupBy("tok").agg(count(lit(1)).as("__df"))
+            .where(col("__df") > maxDf).select(col("tok").as("__hot")),
+          col("tok") === col("__hot"), "left_anti")
+      val crDrop = toks.join(probed, col("__tok") === col("tok"))
+        .groupBy(col("doc_id").as("__e"), col("__id").as("__d"))
+        .agg(count(lit(1)).as("__i"), first(col("n")).as("__en"))
+        .join(sizes.select(col("__id").as("__d"), col("__n").as("__dn")), "__d")
+        .where(jacc(col("__i"), col("__en"), col("__dn")) >= minJaccard)
+        .select(col("__d"))
+      val dropped = wiDrop.union(crDrop).distinct()
+        .select(col("__d").as("__dropped"))
+      val admitted = pinCheckpoint(full
+        .join(dropped, col(t.pk) === col("__dropped"), "left_anti")
+        .drop("__sh"))
+      val (evT, hiT) = insertEventFrame(t, admitted, catalog.lastSeq(t.name))
+      // ALL batch docs' postings land in the registry (seen semantics)
+      val regRows = toks.join(sizes, "__id").select(r.columns.map(c =>
+        if (c.logical == r.pk)
+          concat(col("__tok"), lit("#"), col("__id")).cast(c.dataType).as(c.logical)
+        else c.logical match {
+          case "tok" => col("__tok").cast(c.dataType).as("tok")
+          case "doc_id" => col("__id").cast(c.dataType).as("doc_id")
+          case "n" => col("__n").cast(c.dataType).as("n")
+          case other => lit(null).cast(c.dataType).as(other)
+        }): _*)
+      val (evR, hiR) = insertEventFrame(r, regRows, catalog.lastSeq(r.name))
+      if (hiT == catalog.lastSeq(t.name) && hiR == catalog.lastSeq(r.name) &&
+        streamId.isEmpty) return
+      // a batch of shingle-less docs advances only the table; skip the
+      // registry's empty event frame rather than landing a 0-row part
+      val parts = Seq(t.name -> evT, r.name -> evR).zip(Seq(
+        hiT != catalog.lastSeq(t.name), hiR != catalog.lastSeq(r.name)))
+        .collect { case (p, true) => p }
+      publishAtomic(parts, Map(t.name -> hiT, r.name -> hiR),
+        streamId.map(_ -> batchId))
+      maybeAutoSnapshot(t.name, hiT)
+      maybeAutoSnapshot(r.name, hiR)
+    }
+
   /** Apply one replicated micro-batch of RAW events (the primary's
     * event frame, verbatim — sequence/ts/event_type/pk/payload) into
     * this engine's log (graft.streaming.Replication). Unlike

@@ -1090,6 +1090,52 @@ object EngineSql {
     e.sql("SELECT doc_id, length(text) AS n_chars FROM sdocs ORDER BY doc_id")
   }
 
+  /** Incremental streaming NEAR-dup dedup (StreamingDedup.startNearDup
+    * / ingestStreamNearDedup): three ordered micro-batches, each
+    * dropping documents whose 3-shingle Jaccard against any SEEN
+    * document reaches 0.5 — within the batch (earlier doc_id wins) or
+    * across batches via the persistent inverted-index registry. Seen
+    * semantics (compared against all prior docs, admitted or not)
+    * makes the final state batch-order-free and exactly SQL-
+    * expressible: a doc survives iff NO smaller-id doc in the corpus
+    * clears the threshold — which the oracle computes with the same
+    * distinct-shingle arrays and integer-exact Jaccard. */
+  val qStreamNearDedup = Q(
+    "q_stream_neardup",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w, text FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(w) - 2),
+      |    i -> array_to_string(w[i:i+2], '_')))) AS tok
+      |  FROM d WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS e, b.doc_id AS dd, COUNT(*) AS i
+      |  FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |dropped AS (
+      |  SELECT DISTINCT dd FROM inter
+      |  JOIN sz se ON e = se.doc_id JOIN sz sd ON dd = sd.doc_id
+      |  WHERE CAST(i AS DOUBLE) / (se.n + sd.n - i) >= 0.5)
+      |SELECT d.doc_id, length(d.text) AS n_chars
+      |FROM d LEFT JOIN dropped ON d.doc_id = dropped.dd
+      |WHERE dropped.dd IS NULL
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("docs_src", s"$dir/documents.parquet")
+    e.sql("CREATE TABLE ndocs (doc_id BIGINT PRIMARY KEY, text STRING)")
+    e.sql("""CREATE TABLE nidx (pk STRING PRIMARY KEY, tok STRING,
+            |doc_id BIGINT, n BIGINT)""".stripMargin)
+    e.sql("CREATE INDEX nidx_tok ON nidx (tok)")
+    val src = e.spark.table("docs_src").select(col("doc_id"), col("text"))
+    for ((lo, hi) <- Seq((0L, 150L), (150L, 300L), (300L, Long.MaxValue)))
+      e.ingestStreamNearDedup("ndocs", "nidx",
+        src.where(col("doc_id") >= lo && col("doc_id") < hi),
+        col("text"), shingleN = 3, minJaccard = 0.5,
+        maxDf = Long.MaxValue, None, -1L)
+    e.sql("SELECT doc_id, length(text) AS n_chars FROM ndocs ORDER BY doc_id")
+  }
+
   /** ANALYZE + SHOW STATS (stats.rs:1-60): per-column cardinality,
     * null counts, ndv, min/max. The oracle recomputes each column's
     * stats exactly in DuckDB; at nation's size the engine's HLL ndv is
@@ -1222,6 +1268,7 @@ object EngineSql {
     qProcCall, qMvccSessions, qConstraints, qSequences, qAutoIncrement,
     qRls, qBackupRestore, qAuditLog, qGrants, qResultCache, qMigrations,
     qMetrics, qVacuumRetain, qDiffTable, qZOrder, qStreamDedup,
+    qStreamNearDedup,
     qShowStats, qShowHistogram, qSecurityThreats, qSecuritySessions,
     qAlerts)
     .map(q => q.copy(run = (s, dir) => QueryEngine.scratchScope(s)(q.run(s, dir))))

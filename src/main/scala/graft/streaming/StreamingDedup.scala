@@ -56,4 +56,36 @@ object StreamingDedup {
       }
       .start()
   }
+
+  /** Start NEAR-dup-deduplicated ingestion of `stream` into `table`:
+    * per micro-batch, rows whose shingle-set Jaccard against any SEEN
+    * document (earlier batches via the persistent inverted-index
+    * `registry`, or earlier-pk rows of the same batch) reaches
+    * `minJaccard` are dropped; survivors append to `table` and every
+    * batch row's postings to `registry`, atomically with the batch id.
+    * See QueryEngine.ingestStreamNearDedup for the policy and the
+    * registry schema (string pk + tok/doc_id/n columns). */
+  def startNearDup(
+      engine: QueryEngine,
+      table: String,
+      registry: String,
+      stream: DataFrame,
+      textCol: Column,
+      shingleN: Int,
+      minJaccard: Double,
+      checkpointDir: String,
+      maxDf: Long = 10000L,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(stream.isStreaming, "StreamingDedup.startNearDup needs a streaming DataFrame")
+    engine.catalog.require(table)
+    engine.catalog.require(registry)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        engine.ingestStreamNearDedup(table, registry, batch, textCol,
+          shingleN, minJaccard, maxDf, Some(checkpointDir), batchId)
+      }
+      .start()
+  }
 }

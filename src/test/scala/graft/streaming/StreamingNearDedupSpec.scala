@@ -1,0 +1,110 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.exec.QueryEngine
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental streaming NEAR-dup dedup: shingle-Jaccard drops within
+  * and across batches under seen semantics, registry postings move
+  * atomically with the table, replay after restart admits nothing
+  * twice, and a drop CHAIN (near-dup of a dropped doc) still drops. */
+class StreamingNearDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def setup(e: QueryEngine): Unit = {
+    e.sql("CREATE TABLE docs (doc_id BIGINT PRIMARY KEY, text STRING)")
+    e.sql("""CREATE TABLE idx (pk STRING PRIMARY KEY, tok STRING,
+            |doc_id BIGINT, n BIGINT)""".stripMargin)
+  }
+
+  private def start(e: QueryEngine, mem: MemoryStream[(Long, String)],
+      ckpt: String) =
+    StreamingDedup.startNearDup(e, "docs", "idx",
+      mem.toDF.toDF("doc_id", "text"), col("text"),
+      shingleN = 2, minJaccard = 0.5, checkpointDir = ckpt,
+      trigger = Trigger.ProcessingTime(0L))
+
+  test("near-dups drop within and across batches; earlier doc wins; chains drop") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e = QueryEngine.scratch(spark)
+    setup(e)
+    val mem = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-snd-").toString
+    val q = start(e, mem, ckpt)
+    try {
+      // batch 0: 3 and 7 share most 2-shingles (near-dups); 5 distinct
+      mem.addData(
+        (3L, "the quick brown fox jumps high"),
+        (7L, "the quick brown fox jumps low"),
+        (5L, "entirely different words appear here"))
+      q.processAllAvailable()
+      // batch 1: 9 near-dups the DROPPED 7 (and 3) -> still dropped
+      // (seen semantics); 11 is new
+      mem.addData(
+        (9L, "the quick brown fox jumps away"),
+        (11L, "novel content with no overlap"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(sql: String): Seq[Row] = e.sql(sql).collect().toSeq
+    assert(rows("SELECT doc_id FROM docs ORDER BY doc_id")
+      === Seq(Row(3L), Row(5L), Row(11L)))
+    // seen semantics: the registry indexes EVERY seen doc, dropped ones
+    // included — 5 docs' postings
+    assert(rows("SELECT COUNT(DISTINCT doc_id) AS n FROM idx")
+      === Seq(Row(5L)))
+    // docs and registry committed atomically per batch: at batch 0's
+    // docs horizon the registry holds exactly batch 0's three docs
+    assert(rows("SELECT COUNT(*) AS n FROM docs FOR SYSTEM_TIME AS OF @SEQ:2")
+      === Seq(Row(2L)))
+  }
+
+  test("restart replay admits nothing twice; near-dedup continues past it") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e = QueryEngine.scratch(spark)
+    setup(e)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-snd-").toString
+    val mem = MemoryStream[(Long, String)]
+    val q1 = start(e, mem, ckpt)
+    try {
+      mem.addData((1L, "alpha beta gamma delta"), (2L, "unrelated tokens entirely here"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start(e, mem, ckpt)
+    try {
+      mem.addData((3L, "alpha beta gamma epsilon"), (4L, "fresh new document body"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    def rows(sql: String): Seq[Row] = e.sql(sql).collect().toSeq
+    // 3 near-dups 1 (shares 2 of its 3 2-shingles -> jacc 0.5); 4 new
+    assert(rows("SELECT doc_id FROM docs ORDER BY doc_id")
+      === Seq(Row(1L), Row(2L), Row(4L)))
+    // sequences contiguous across the restart: no replayed gap
+    assert(rows("SELECT sequence FROM docs FOR SYSTEM_TIME ALL ORDER BY sequence")
+      === Seq(Row(1L), Row(2L), Row(3L)))
+  }
+
+  test("docs too short for a shingle always admit and index nothing") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e = QueryEngine.scratch(spark)
+    setup(e)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-snd-").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = start(e, mem, ckpt)
+    try {
+      mem.addData((1L, "solo"), (2L, "solo"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(sql: String): Seq[Row] = e.sql(sql).collect().toSeq
+    assert(rows("SELECT doc_id FROM docs ORDER BY doc_id")
+      === Seq(Row(1L), Row(2L)))
+    assert(rows("SELECT COUNT(*) AS n FROM idx") === Seq(Row(0L)))
+  }
+}
