@@ -90,6 +90,51 @@ class StreamingNearDedupSpec extends AnyFunSuite {
       === Seq(Row(1L), Row(2L), Row(3L)))
   }
 
+  test("random corpora and batch splits match the brute-force reference (property)") {
+    import spark.implicits._
+    // plain-Scala reference: d survives iff no earlier doc (seen, kept
+    // or not) reaches the Jaccard threshold on distinct 2-shingles
+    def shingles(text: String): Set[String] = {
+      val w = text.split(" ", -1)
+      if (w.length < 2) Set.empty
+      else w.sliding(2).map(_.mkString("_")).toSet
+    }
+    def reference(docs: Seq[(Long, String)], theta: Double): Seq[Long] = {
+      val sorted = docs.sortBy(_._1)
+      sorted.filter { case (d, td) =>
+        val sd = shingles(td)
+        !sorted.exists { case (e, te) =>
+          e < d && {
+            val se = shingles(te)
+            val i = (se & sd).size
+            se.nonEmpty && sd.nonEmpty &&
+              i.toDouble / (se.size + sd.size - i) >= theta
+          }
+        }
+      }.map(_._1)
+    }
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    for (trial <- 0 until 5) {
+      val docs = (0 until 24).map(i =>
+        (i.toLong, Seq.fill(2 + rnd.nextInt(4))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")))
+      val e = QueryEngine.scratch(spark)
+      setup(e)
+      // random ascending batch split (1-4 batches)
+      val cuts = (Seq(0, 24) ++ Seq.fill(rnd.nextInt(3))(rnd.nextInt(24)))
+        .distinct.sorted
+      for (Seq(lo, hi) <- cuts.sliding(2))
+        e.ingestStreamNearDedup("docs", "idx",
+          docs.slice(lo, hi).toDF("doc_id", "text"), col("text"),
+          shingleN = 2, minJaccard = 0.5, maxDf = Long.MaxValue, None, -1L)
+      val got = e.sql("SELECT doc_id FROM docs ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got === reference(docs, 0.5),
+        s"trial $trial cuts $cuts docs $docs")
+    }
+  }
+
   test("docs too short for a shingle always admit and index nothing") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
