@@ -58,4 +58,34 @@ object Mixture {
         least(col("_avail"), col("_tgt")) * lit(1000L))
       .drop("_avail", "_tgt")
   }
+
+  /** Weighted UPSAMPLING — the other half of mixture composition:
+    * domains weighted ABOVE their availability repeat ("Wikipedia for
+    * 3.4 epochs"). Each row emits `floor(w)` copies plus one more iff
+    * its per-mille key bucket falls under `frac(w)·1000` — so a weight
+    * of 3.4 yields exactly 3 copies for ~60% of rows and 4 for ~40%,
+    * deterministic per key and exactly re-derivable in ANSI SQL (the
+    * oracle's arithmetic is identical). Weights arrive per-mille
+    * (`wPermille` = weight·1000 as a column, e.g. 3400) to keep the
+    * whole decision in BIGINT — no floating-point rate to drift.
+    *
+    * Output: the input rows with an `epoch` column (1..copies); rows
+    * with weight 0 (or a negative/null weight) vanish. 100 TB shape:
+    * `explode(sequence(...))` is pure scan-stage row generation — the
+    * corpus never shuffles, and output volume is exactly the token
+    * budget the weights describe. */
+  def upsample(docs: DataFrame, key: Column, wPermille: Column,
+      wide: Boolean = false): DataFrame = {
+    val bucket = if (wide) permilleBucket64(key) else permilleBucket(key)
+    val w = wPermille.cast("long")
+    // integer floor division written exactly: the numerator is a
+    // multiple of 1000, so the double division is error-free for any
+    // realistic per-mille weight (< 2^52)
+    val whole = ((w - pmod(w, lit(1000L))) / lit(1000L)).cast("long")
+    val copies = whole +
+      when(bucket < pmod(w, lit(1000L)), 1L).otherwise(0L)
+    docs.withColumn("epoch",
+        explode(when(copies > 0, sequence(lit(1L), copies))
+          .otherwise(array().cast("array<long>"))))
+  }
 }

@@ -1111,6 +1111,32 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Weighted upsampling (Mixture.upsample): fractional epoch repeats
+    * — floor(w) copies plus one more iff the per-mille key bucket
+    * falls under frac(w)·1000. The oracle re-derives the identical
+    * BIGINT arithmetic and generate_series expansion. */
+  val qMixUpsample = Q(
+    "q_mix_upsample",
+    """WITH d AS (SELECT doc_id, source,
+      |  CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 1000
+      |              WHEN 'src2' THEN 400 ELSE 700 END AS w
+      |  FROM documents),
+      |c AS (SELECT doc_id, source,
+      |  w // 1000 + CASE WHEN (doc_id * 2654435761) % 1000 < w % 1000
+      |              THEN 1 ELSE 0 END AS n
+      |  FROM d)
+      |SELECT doc_id, source, CAST(unnest(generate_series(1, n)) AS BIGINT) AS epoch
+      |FROM c WHERE n > 0 ORDER BY doc_id, epoch""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val w = when(col("source") === "src0", 2500L)
+      .when(col("source") === "src1", 1000L)
+      .when(col("source") === "src2", 400L)
+      .otherwise(700L)
+    Mixture.upsample(docs.withColumn("_w", w), col("doc_id"), col("_w"))
+      .select(col("doc_id"), col("source"), col("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
   /** Gopher-style repetition gate (QualityFilters.repetitionGate):
     * top-2-gram coverage + duplicate-3-gram coverage per document,
     * thresholded. The oracle rebuilds the identical n-gram arrays and
@@ -1211,7 +1237,7 @@ object Pipeline {
 
   val all: Seq[Q] = Seq(
     qQualityRepetition, qTrainShuffle, qBpePairs, qEmbedQuant,
-    qDecontam, qDecontamClean, qDomainMix,
+    qDecontam, qDecontamClean, qDomainMix, qMixUpsample,
     qDedupExact, qPipelineE2E, qJaccardPairs, qShingleJaccard, qDupClusters,
     qDedupKeep,
     qMinHashLsh, qMinHashSuperset,

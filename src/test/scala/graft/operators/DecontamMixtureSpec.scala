@@ -95,4 +95,29 @@ class DecontamMixtureSpec extends AnyFunSuite {
       Map.empty, defaultPermille = 0, budget = 1000000L)
     assert(none.count() === 0)
   }
+
+  test("upsample: integer weights repeat exactly; fractional match the closed form") {
+    val docs = corpus(200)
+    import org.apache.spark.sql.functions.{col, lit}
+    // w = 1000 per-mille: exactly one epoch per row, epochs all 1
+    val once = Mixture.upsample(docs, col("doc_id"), lit(1000L))
+    assert(once.count() === 200)
+    assert(once.where(col("epoch") =!= 1L).count() === 0)
+    // w = 3000: exactly three epochs 1..3 per row
+    val thrice = Mixture.upsample(docs, col("doc_id"), lit(3000L))
+    assert(thrice.count() === 600)
+    assert(thrice.groupBy("doc_id").count().where(col("count") =!= 3L).count() === 0)
+    // w = 2400: per-row copies equal the closed form floor + bucket test
+    val frac = Mixture.upsample(docs, col("doc_id"), lit(2400L))
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- 0L until 200L) {
+      val want = 2L + (if (math.floorMod(id * 2654435761L, 1000L) < 400L) 1L else 0L)
+      assert(frac.getOrElse(id, 0L) === want, s"doc $id")
+    }
+    // w = 0 vanishes; null weight vanishes
+    assert(Mixture.upsample(docs, col("doc_id"), lit(0L)).count() === 0)
+    assert(Mixture.upsample(docs, col("doc_id"),
+      lit(null).cast("long")).count() === 0)
+  }
 }
