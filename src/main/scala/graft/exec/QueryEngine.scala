@@ -110,6 +110,11 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * own eviction-time release instead — its pins outlive statements
     * by design. */
   private def pinCheckpoint(df: DataFrame): DataFrame = {
+    // opportunistically drop nodes whose referent a GC already let the
+    // ContextCleaner reclaim — without this the queue grows one node
+    // per DML statement for the engine's whole life (a long-lived wire
+    // server would accumulate millions of dead nodes awaiting close())
+    pinRegistry.removeIf(_.get() == null)
     val p = df.localCheckpoint()
     p.queryExecution.logical.collectLeaves().foreach {
       case r: org.apache.spark.sql.execution.LogicalRDD =>
@@ -252,6 +257,18 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     def sql(statement: String): DataFrame = sqlAs(this, statement)
     def sql(statement: String, params: Seq[Any]): DataFrame =
       sqlAs(this, graft.sql.Params.bind(statement, params))
+    /** Pre-flight a privilege check under this session's context —
+      * the wire server gates a COPY FROM STDIN transfer BEFORE
+      * CopyInResponse, so an ungranted client is refused with zero
+      * bytes transferred instead of after a multi-GiB spool. Raises
+      * the same SecurityException the statement itself would. */
+    def requirePrivilege(table: String, priv: String): Unit =
+      writeLock.synchronized {
+        val prev = current
+        current = this
+        try { catalog.require(table); checkPrivilege(table, priv) }
+        finally current = prev
+      }
   }
 
   private val defaultSession = new Session()
@@ -411,14 +428,22 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * driftdb-server/src/health.rs:1-272): engine liveness facts that
     * cost no Spark job — catalog size, write-lock state, and the age
     * of the last durable publish. */
-  def healthSnapshot: Map[String, String] = Map(
-    "status" -> "ok",
-    "tables" -> catalog.tableNames.size.toString,
-    "views" -> catalog.viewNames.size.toString,
-    "write_lock_held" -> writeLockHeld.toString,
-    "last_publish_age_ms" ->
-      (if (lastPublishAtMs < 0) "-1"
-       else (System.currentTimeMillis() - lastPublishAtMs).toString))
+  def healthSnapshot: Map[String, String] = writeLock.synchronized {
+    // under the statement lock: the probe runs on HttpAdmin's
+    // dispatcher thread and would otherwise iterate the catalog's
+    // mutable maps mid-DDL (torn reads / CME → a healthy server 500s
+    // its liveness probe). No Spark job runs here, so the hold is
+    // microseconds; a probe blocking behind a long statement is the
+    // intended "hung engine = hung probe" signal anyway.
+    Map(
+      "status" -> "ok",
+      "tables" -> catalog.tableNames.size.toString,
+      "views" -> catalog.viewNames.size.toString,
+      "write_lock_held" -> writeLockHeld.toString,
+      "last_publish_age_ms" ->
+        (if (lastPublishAtMs < 0) "-1"
+         else (System.currentTimeMillis() - lastPublishAtMs).toString))
+  }
 
   private def publishAtomic(batches: Seq[(String, DataFrame)],
       seqs: Map[String, Long], stream: Option[(String, Long)]): Unit = {
@@ -3056,10 +3081,20 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * catalog's declared type, so CSV's all-string read types up
     * correctly). */
   def ingestFile(table: String, path: String, format: String): DataFrame = {
+    // gate BEFORE touching the file: JSON schema inference scans the
+    // whole input, so an ungranted session (or a typo'd table) must be
+    // rejected with zero I/O, not after a full-file read
+    catalog.require(table)
+    checkPrivilege(table, "INSERT")
     val raw = format match {
       case "jsonl" | "json" => spark.read.json(path)
       case "parquet" => spark.read.parquet(path)
-      case "csv" => spark.read.option("header", "true").csv(path)
+      // RFC-4180 CSV: quote-doubling escapes and quoted fields may
+      // span lines (the wire COPY spool emits exactly that shape) —
+      // multiLine costs per-file splittability, which bulk COPY
+      // accepts for correctness on embedded newlines
+      case "csv" => spark.read.option("header", "true")
+        .option("multiLine", "true").option("escape", "\"").csv(path)
       case other => throw new IllegalArgumentException(
         s"unsupported COPY format: $other (JSONL | PARQUET | CSV)")
     }
@@ -3257,7 +3292,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * batches skip whole, so neither table nor registry can drift. */
   private[graft] def ingestStreamNearDedup(table: String, registry: String,
       batch: DataFrame, textCol: Column, shingleN: Int, minJaccard: Double,
-      maxDf: Long, streamId: Option[String], batchId: Long): Unit =
+      maxDf: Long, streamId: Option[String], batchId: Long,
+      requireOrdered: Boolean = true): Unit =
     writeLock.synchronized {
       ensureWriteLock()
       if (streamId.isDefined) sweepStaging() // see ingestStream
@@ -3271,6 +3307,25 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           else lit(null).cast(c.dataType).as(c.logical)): _*)
         .withColumn("__sh",
           graft.operators.Dedup.shingleSet(textCol, shingleN)))
+      // the seen-before-wins policy equals the SQL "no smaller-id doc
+      // clears the threshold" semantics ONLY when batches arrive in
+      // ascending pk ranges — cross-batch drops are temporal (registry
+      // doc wins regardless of id), so an out-of-order id would
+      // silently invert who survives. Enforce the precondition rather
+      // than let the advertised semantics drift; pipelines that want
+      // pure arrival-order (temporal) semantics opt out with
+      // requireOrdered = false, accepting that the result then depends
+      // on delivery order, not ids.
+      if (requireOrdered) {
+        val regMax = stateAt(r.name, None).agg(max(col("doc_id"))).head()
+        if (!regMax.isNullAt(0) &&
+          full.where(col(t.pk) <= lit(regMax.get(0))).limit(1).count() > 0)
+          throw new IllegalArgumentException(
+            s"ingestStreamNearDedup: batch contains pk <= the registry's " +
+              s"max doc_id (${regMax.get(0)}) — batches must arrive in " +
+              "ascending pk ranges for id-order semantics, or pass " +
+              "requireOrdered = false for arrival-order semantics")
+      }
       val toks = full.select(col(t.pk).as("__id"), explode(col("__sh")).as("__tok"))
       val sizes = full.select(col(t.pk).as("__id"),
         size(col("__sh")).cast("long").as("__n"))

@@ -85,8 +85,13 @@ case class TopKByScore(
       input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
     val s = score.eval(input)
     val i = id.eval(input)
-    // a null score or id cannot rank; skip the row (the window form
-    // sorts NULLs last under DESC, where k < group size never sees them)
+    // a null score or id cannot rank; skip the row. DELIBERATE
+    // divergence from the row_number window form: under DESC NULLS
+    // LAST the window still emitted null-score rows when k >= the
+    // group's non-null count — a null similarity is not a neighbor,
+    // so this aggregate never returns one. Identical output whenever
+    // scores are non-null (the ANN paths: cosine over the fixture) or
+    // k < the non-null count.
     if (s != null && i != null)
       offer(heap, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
     heap

@@ -61,8 +61,11 @@ object Similarity {
     * per query map-side, so the exchange carries k x partitions rows
     * per query no matter how large the corpus; ranks then come from
     * the position in the already-sorted top-k array. Bit-identical to
-    * the window form (same total order), which the ANN oracles pin.
-    * Rows with a null sim or cid cannot rank and are skipped. */
+    * the window form (same total order) on non-null scores, which the
+    * ANN oracles pin. One deliberate divergence: rows with a null sim
+    * or cid are SKIPPED, where the window form (DESC NULLS LAST)
+    * surfaced null-sim rows once k reached the group's non-null count
+    * — a null similarity is not a neighbor. */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("qid")
       .agg(graft.functions.TopKByScore(col("sim"), col("cid"), k).as("nn"))

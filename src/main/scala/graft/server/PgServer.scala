@@ -94,8 +94,12 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
       Thread.sleep(math.max(50L, idleTimeoutMs / 4))
       if (idleTimeoutMs > 0) {
         val cutoff = System.currentTimeMillis() - idleTimeoutMs
-        liveConns.forEach { (_, info) =>
-          if (info.lastActivityMs < cutoff)
+        liveConns.forEach { (st, info) =>
+          // a connection with a statement in flight is BUSY, not idle:
+          // lastActivityMs only moves on client->server reads, so a
+          // long-running query (routine at this engine's data scale)
+          // or a large COPY upload would otherwise be reaped mid-work
+          if (info.lastActivityMs < cutoff && st.activeGroup.isEmpty)
             try info.sock.close() catch { case _: Exception => () }
           // handle()'s finally deregisters once its read loop breaks
         }
@@ -743,6 +747,10 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
   private def copyInStdin(session: QueryEngine#Session, table: String,
       cols: Option[String], fmt: String, in: DataInputStream,
       out: DataOutputStream): Unit = {
+    // gate BEFORE CopyInResponse: an ungranted session (or a missing
+    // table) is refused with zero bytes transferred, PG's own order —
+    // not after spooling a multi-GiB upload
+    session.requirePrivilege(table, "INSERT")
     val colNames = cols.map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(engine.catalog.require(table).columns.map(_.logical))
     // CopyInResponse: overall format 0 (text on the wire either way —
@@ -808,7 +816,10 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
       try {
         var line = r.readLine()
         while (line != null) {
-          if (line != "\\.") {
+          // the `\.` terminator is a TEXT-format artifact; in CSV a
+          // line reading \. could be the middle of a quoted multi-line
+          // field and must pass through
+          if (fmt == "csv" || line != "\\.") {
             if (fmt == "csv") { w.write(line); w.write("\n") }
             else {
               val fields = splitTextLine(line).map {

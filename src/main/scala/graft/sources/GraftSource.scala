@@ -65,13 +65,25 @@ final class GraftSource extends RelationProvider
     try {
       val sess = GraftRelation.sessionFor(engine, parameters)
       mode match {
-        case SaveMode.Append => ()
-        case SaveMode.Overwrite => sess.sql(s"TRUNCATE TABLE $table")
+        case SaveMode.Append =>
+          engine.ingestFrameAs(sess, table, data)
+        case SaveMode.Overwrite =>
+          // truncate + append as ONE transaction: a failed append
+          // (constraint, RLS WITH CHECK, trigger) must roll the
+          // truncate back too, never leave the table empty
+          sess.sql("BEGIN")
+          try {
+            sess.sql(s"TRUNCATE TABLE $table")
+            engine.ingestFrameAs(sess, table, data)
+            sess.sql("COMMIT")
+          } catch {
+            case e: Throwable =>
+              scala.util.Try(sess.sql("ROLLBACK")); throw e
+          }
         case other => throw new IllegalArgumentException(
           s"graft data source supports SaveMode.Append and " +
             s"SaveMode.Overwrite, got $other")
       }
-      engine.ingestFrameAs(sess, table, data)
       new GraftRelation(sqlContext, dir, table, parameters)
     } finally engine.close()
   }
@@ -117,8 +129,6 @@ final class GraftRelation(
     params: Map[String, String])
   extends BaseRelation with PrunedFilteredScan {
 
-  private lazy val engine = new QueryEngine(sqlContext.sparkSession, dir)
-
   private def systemTimeClause: String =
     (params.get("asOfSeq"), params.get("asOfTs")) match {
       case (Some(_), Some(_)) => throw new IllegalArgumentException(
@@ -129,10 +139,16 @@ final class GraftRelation(
     }
 
   /** The governed frame: the exact SELECT a SQL session would run —
-    * privileges, RLS, and temporal resolution all via the engine. */
-  private lazy val frame: DataFrame =
-    GraftRelation.sessionFor(engine, params)
+    * privileges, RLS, and temporal resolution all via the engine. The
+    * engine exists only long enough to ANALYZE the statement (catalog
+    * reads happen at plan time; execution scans parquet directly), so
+    * it closes immediately — a relation never leaks an open engine. */
+  private lazy val frame: DataFrame = {
+    val engine = new QueryEngine(sqlContext.sparkSession, dir)
+    try GraftRelation.sessionFor(engine, params)
       .sql(s"SELECT * FROM $table$systemTimeClause")
+    finally engine.close()
+  }
 
   override lazy val schema: StructType = frame.schema
 

@@ -75,6 +75,7 @@ object StreamingDedup {
       minJaccard: Double,
       checkpointDir: String,
       maxDf: Long = 10000L,
+      requireOrdered: Boolean = true,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(stream.isStreaming, "StreamingDedup.startNearDup needs a streaming DataFrame")
     engine.catalog.require(table)
@@ -84,7 +85,8 @@ object StreamingDedup {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         engine.ingestStreamNearDedup(table, registry, batch, textCol,
-          shingleN, minJaccard, maxDf, Some(checkpointDir), batchId)
+          shingleN, minJaccard, maxDf, Some(checkpointDir), batchId,
+          requireOrdered)
       }
       .start()
   }

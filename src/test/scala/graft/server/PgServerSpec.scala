@@ -457,7 +457,34 @@ class PgServerSpec extends AnyFunSuite {
       assert(c5 === 0 && t5.trim === "COPY 1", s"[$t5] [$e5]")
       val (_, sub, _) = psql(port, "SELECT k, v, d FROM cp WHERE k = 40")
       assert(sub.trim === "40|forty|", sub)
+      // a value with an embedded newline survives the round trip: text
+      // format escapes it as \n on the wire; the spooled CSV carries it
+      // quoted across lines and the engine reads RFC multiline
+      val nlIn = dir.resolve("nl.txt")
+      java.nio.file.Files.writeString(nlIn, "50\tline1\\nline2\t9.5\n")
+      val (c6, t6, e6) = psql(port, s"\\copy cp (k, v, d) from '$nlIn'")
+      assert(c6 === 0 && t6.trim === "COPY 1", s"[$t6] [$e6]")
+      val (_, nl, _) = psql(port,
+        "SELECT length(v) AS n, d FROM cp WHERE k = 50")
+      assert(nl.trim === "11|9.5", nl) // "line1\nline2".length == 11
     }
+  }
+
+  test("COPY FROM STDIN is refused before the transfer for ungranted users") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE gated (k BIGINT PRIMARY KEY, v STRING)")
+    e.sql("SET PRIVILEGES ON")
+    val srv = new PgServer(e, 0).start()
+    try {
+      val port = srv.boundPort
+      val dir = java.nio.file.Files.createTempDirectory("graft-copy-")
+      val f = dir.resolve("x.txt")
+      java.nio.file.Files.writeString(f, "1\ta\n")
+      val (code, out, err) =
+        psqlAs(port, "mallory", None, s"\\copy gated from '$f'")
+      assert(code != 0 || err.contains("permission denied") ||
+        out.contains("permission denied"), s"[$out] [$err]")
+    } finally srv.close()
   }
 
   test("pool admission: per-source cap rejects, frees on disconnect") {

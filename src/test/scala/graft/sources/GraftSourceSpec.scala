@@ -86,4 +86,24 @@ class GraftSourceSpec extends AnyFunSuite {
     val before = read(dir, "asOfSeq" -> "3").orderBy("id").collect()
     assert(before === Array(Row(1L, "alice", 11L), Row(2L, "bob", 20L)))
   }
+
+  test("a failed overwrite rolls the truncate back, never leaving the table empty") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-src-").toString
+    val e = new QueryEngine(spark, dir)
+    e.sql("""CREATE TABLE t (id BIGINT PRIMARY KEY, owner STRING,
+            |v BIGINT CHECK (v > 0))""".stripMargin)
+    e.sql("INSERT INTO t VALUES (1, 'alice', 11), (2, 'bob', 20)")
+    e.close()
+    import spark.implicits._
+    val err = intercept[Exception](
+      Seq((8L, "neg", -5L)).toDF("id", "owner", "v")
+        .write.format("graft").option("dir", dir).option("table", "t")
+        .mode(SaveMode.Overwrite).save())
+    assert(err.getMessage.toLowerCase.contains("check") ||
+      err.getMessage.toLowerCase.contains("constraint"),
+      s"unexpected: ${err.getMessage}")
+    // truncate + failed append rolled back together: original rows intact
+    assert(read(dir).orderBy("id").collect()
+      === Array(Row(1L, "alice", 11L), Row(2L, "bob", 20L)))
+  }
 }

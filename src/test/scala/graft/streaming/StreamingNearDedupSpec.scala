@@ -135,6 +135,27 @@ class StreamingNearDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("out-of-order batch ids are rejected unless arrival-order is opted into") {
+    import spark.implicits._
+    val e = QueryEngine.scratch(spark)
+    setup(e)
+    def ingest(docs: Seq[(Long, String)], ordered: Boolean = true): Unit =
+      e.ingestStreamNearDedup("docs", "idx", docs.toDF("doc_id", "text"),
+        col("text"), shingleN = 2, minJaccard = 0.5,
+        maxDf = Long.MaxValue, None, -1L, requireOrdered = ordered)
+    ingest(Seq((100L, "alpha beta gamma delta")))
+    // id 5 < the registry's max: the id-order semantics would be
+    // silently inverted, so the default contract refuses the batch
+    val err = intercept[IllegalArgumentException](
+      ingest(Seq((5L, "alpha beta gamma epsilon"))))
+    assert(err.getMessage.contains("ascending pk ranges"))
+    // arrival-order semantics accept it: the earlier-SEEN doc wins
+    // regardless of id, so 5 (a near-dup of seen 100) is dropped
+    ingest(Seq((5L, "alpha beta gamma epsilon")), ordered = false)
+    assert(e.sql("SELECT doc_id FROM docs ORDER BY doc_id").collect().toSeq
+      === Seq(org.apache.spark.sql.Row(100L)))
+  }
+
   test("docs too short for a shingle always admit and index nothing") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
