@@ -136,6 +136,25 @@ object Cli {
             show(e.sql("SHOW ALERTS"), out)
             0
           }
+        case "monitor" :: rest =>
+          // periodic metrics watch (the reference admin tool's monitor
+          // loop, driftdb-admin/src/main.rs:372-436): engine counters +
+          // the wall-clock latency summary every interval, -n ticks
+          // (0 = forever), -i seconds between ticks
+          val o = opts(rest)
+          val ticks = o.kv.getOrElse("n", "0").toInt
+          val intervalMs = (o.kv.getOrElse("i", "5").toDouble * 1000).toLong
+          withEngine(spark, o) { e =>
+            var i = 0
+            while (ticks == 0 || i < ticks) {
+              if (i > 0 && intervalMs > 0) Thread.sleep(intervalMs)
+              out(s"== tick $i ==")
+              show(e.sql("SHOW METRICS"), out)
+              show(e.sql("SHOW PERF").where("kind = 'summary'"), out)
+              i += 1
+            }
+            0
+          }
         case "doctor" :: rest =>
           val o = opts(rest)
           withEngine(spark, o) { e =>
@@ -221,7 +240,7 @@ object Cli {
     }
 
   private val usage =
-    """usage: graft <init|sql|ingest|export|select|drift|snapshot|compact|optimize|analyze|doctor|status|backup|serve> [options]
+    """usage: graft <init|sql|ingest|export|select|drift|snapshot|compact|optimize|analyze|doctor|status|monitor|backup|serve> [options]
       |  -d <dir>   database directory (required except init)
       |  sql: -e "<SQL>" | -f <file.sql> | (stdin REPL)
       |  ingest: -t <table> -f <file> [--format jsonl|parquet|csv]

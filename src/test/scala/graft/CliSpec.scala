@@ -189,4 +189,17 @@ class CliSpec extends AnyFunSuite {
       joined.contains("statements_total"), joined)
     assert(joined.contains("== alerts ==") && joined.contains("FIRING"), joined)
   }
+
+  test("monitor ticks the metrics watch n times and exits") {
+    val dir = freshDir()
+    cli("sql", "-d", dir, "-e",
+      "CREATE TABLE t (k BIGINT PRIMARY KEY); INSERT INTO t VALUES (1)")
+    val (c, out, _) = cli("monitor", "-d", dir, "-n", "2", "-i", "0")
+    assert(c === 0, out)
+    val joined = out.mkString("\n")
+    assert(joined.contains("== tick 0 ==") && joined.contains("== tick 1 =="), joined)
+    assert(!joined.contains("== tick 2 =="), joined)
+    assert(joined.contains("statements_total"), joined)
+    assert(joined.contains("p95_ms"), joined)
+  }
 }
