@@ -79,6 +79,22 @@ class TopKByScoreSpec extends AnyFunSuite {
     assert(viaSql === viaCol)
   }
 
+  test("sort-based aggregation fallback produces identical results") {
+    // ObjectHashAggregate falls back to sort-based aggregation past a
+    // group-count threshold — the path a 100 TB run with many query
+    // groups actually exercises. Force it low and require identical
+    // output (serialize/merge must be order-insensitive).
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.get(key)
+    val df = candidates(4000)
+    val normal = heaped(df, 7).orderBy("qid", "rank").collect().toSeq
+    try {
+      spark.conf.set(key, "2")
+      val fallback = heaped(df, 7).orderBy("qid", "rank").collect().toSeq
+      assert(fallback === normal)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("the ANN plan aggregates partially map-side instead of window-sorting") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val plan = graft.operators.Similarity
