@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus vocabulary operators for tokenizer / coverage analysis: the
+  * top-k vocabulary by corpus frequency, per-document out-of-vocabulary
+  * statistics against that vocabulary, and per-document TF-IDF keyword
+  * extraction.
+  *
+  * Reference analogue: DriftDB has no vocabulary surface; these are
+  * pipeline extensions in the spirit of its full-text index's term
+  * statistics (crates/driftdb-core/src/fulltext/mod.rs — df counts per
+  * term) generalized to corpus-level curation signals.
+  *
+  * 100 TB shape:
+  *  - `topK` is ONE token-keyed aggregation (map-side partial agg
+  *    collapses each scan partition to its distinct tokens before the
+  *    exchange) followed by TakeOrdered(k) — no global sort.
+  *  - `oovStats` folds the k-row vocabulary back as a LITERAL in-list
+  *    (k is bounded, driver-side by construction), so the per-document
+  *    pass is pure scan-stage WholeStageCodegen: zero joins, zero
+  *    shuffles, zero explodes over the corpus.
+  *  - `tfidfKeywords` shuffles once to build the (doc, term) tf table;
+  *    the document-frequency side is vocabulary-sized and broadcasts;
+  *    the per-document top-k is an `array_sort` over each document's
+  *    own term list — per-group state is bounded by document size, so
+  *    no window sort over the corpus-scale tf table.
+  */
+object Vocabulary {
+
+  /** Top-k vocabulary by total occurrence count (count DESC, token ASC
+    * on ties — a total order, so the cut is deterministic). */
+  def topK(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(k)
+
+  /** Per-document out-of-vocabulary stats against the corpus top-k
+    * vocabulary: token count, OOV count, OOV ratio. The vocabulary is
+    * materialized driver-side (bounded: exactly k strings) and folded
+    * into the scan as a literal membership test. */
+  def oovStats(spark: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+    val vocab = topK(docs, k).select("term").collect().map(_.getString(0))
+    val toks = TextAnalysis.tokens(col("text"))
+    val oov = filter(toks, t => !t.isInCollection(vocab.toSeq))
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(oov).cast("long").as("n_oov"),
+      (size(oov).cast("double") / size(toks)).as("oov_ratio"))
+  }
+
+  /** Per-document top-k keywords by TF-IDF (`tf * ln(N/df)`), ranked
+    * score DESC then term ASC. Output: (doc_id, rank, term, score);
+    * the surfaced score is rounded to 9 decimals (the JVM's and other
+    * engines' `ln` differ in the last ulp), while the rank order uses
+    * the full-precision value.
+    *
+    * The ranking runs INSIDE each document's aggregated term array
+    * (`array_sort` with an explicit comparator + `slice`), not as a
+    * `row_number()` window over the corpus-wide tf table — per-group
+    * state is one document's distinct terms, bounded by document size
+    * regardless of corpus size. */
+  def tfidfKeywords(docs: DataFrame, k: Int): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("score",
+        col("tf").cast("double") * log(col("n_docs") / col("df")))
+    scored
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("score"), col("term"))).as("kws"))
+      .select(col("doc_id"), posexplode(slice(array_sort(col("kws"),
+        (l, r) => when(l("score") > r("score"), -1)
+          .when(l("score") < r("score"), 1)
+          .otherwise(when(l("term") < r("term"), -1)
+            .when(l("term") > r("term"), 1).otherwise(0))), 1, k))
+        .as(Seq("rank0", "kw")))
+      .select(col("doc_id"), (col("rank0") + 1).cast("long").as("rank"),
+        col("kw.term").as("term"), round(col("kw.score"), 9).as("score"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Components, Decontam, Dedup, FullText, Mixture, Multimodal, Packing, QualityFilters, Quantize, RangeJoin, Sampling, Similarity, TextAnalysis, TextChunking, TrainingOrder}
+import graft.operators.{AsOfJoin, Components, Decontam, Dedup, FullText, Mixture, Multimodal, Packing, QualityFilters, Quantize, RangeJoin, Sampling, Similarity, TextAnalysis, TextChunking, TrainingOrder, Vocabulary}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -593,6 +593,56 @@ object Pipeline {
       .groupBy("word").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word"))
       .limit(30)
+  }
+
+  /** Per-document OOV coverage against the corpus top-25 vocabulary
+    * (Vocabulary.oovStats — tokenizer coverage analysis). The
+    * vocabulary is a bounded driver-side literal (exactly k strings),
+    * so the per-document pass is pure scan-stage codegen: zero corpus
+    * joins, explodes, or shuffles. */
+  val qVocabOov = Q(
+    "q_vocab_oov",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |vc AS (
+      |  SELECT term FROM (
+      |    SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+      |    ORDER BY n DESC, term LIMIT 25)),
+      |st AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens,
+      |         SUM(CASE WHEN term IN (SELECT term FROM vc) THEN 0 ELSE 1 END) AS n_oov
+      |  FROM toks GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_oov,
+      |       CAST(n_oov AS DOUBLE) / n_tokens AS oov_ratio
+      |FROM st ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Vocabulary.oovStats(s, t(s, dir, "documents"), 25).orderBy("doc_id")
+  }
+
+  /** Per-document top-3 TF-IDF keywords (Vocabulary.tfidfKeywords):
+    * tf * ln(N/df), ranked score DESC then term ASC. The rank runs
+    * inside each document's own aggregated term array — no corpus-wide
+    * window sort. */
+  val qTfidfKeywords = Q(
+    "q_tfidf_keywords",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term,
+      |         CAST(tf AS DOUBLE) * ln(n_docs / df) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |r AS (
+      |  SELECT doc_id, term, score,
+      |         ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                            ORDER BY score DESC, term) AS rank
+      |  FROM scored)
+      |SELECT doc_id, rank, term, ROUND(score, 9) AS score
+      |FROM r WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+    Vocabulary.tfidfKeywords(t(s, dir, "documents"), 3)
+      .orderBy("doc_id", "rank")
   }
 
   /** Normalized fingerprint uniqueness per source. */
@@ -1243,7 +1293,8 @@ object Pipeline {
     qMinHashLsh, qMinHashSuperset,
     qSimHash, qSimHashSuperset, qEmbedNearDup, qEmbedNearDupLsh,
     qAnnCosine, qAnnLsh, qAnnIvfFull, qAnnIvf, qKmeansFull, qKmeans,
-    qTextQuality, qLangId, qTokenStats, qFingerprint,
+    qTextQuality, qLangId, qTokenStats, qVocabOov, qTfidfKeywords,
+    qFingerprint,
     qFulltextAll, qFulltextAny, qFulltextBm25,
     qStratSample, qSampleExactK, qSeqPack,
     qMultimodalMeta, qMmFeatures, qFrameSample,
