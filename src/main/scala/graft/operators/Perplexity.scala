@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bigram language-model perplexity scoring — the CCNet-style corpus
+  * quality signal (Wenzek et al. 2020 score documents with a KenLM
+  * 5-gram; the distributed plumbing is identical at order 2, and the
+  * add-k bigram model keeps every probability a closed-form rational
+  * that an ANSI-SQL oracle re-derives exactly).
+  *
+  * Reference analogue: DriftDB has no LM surface; this is a pipeline
+  * extension alongside the Gopher repetition gate
+  * (operators/QualityFilters.scala).
+  *
+  * Model: add-k smoothing over the corpus's own bigrams,
+  * `P(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V)` with V = unigram
+  * vocabulary size. Per document: `ppl = exp(-mean ln P)` over its
+  * adjacent token pairs; documents with fewer than 2 tokens carry no
+  * pairs and are absent from the output.
+  *
+  * 100 TB shape: the unigram and bigram count tables are
+  * vocabulary-sized, not corpus-sized (map-side partial aggregation
+  * collapses each scan partition to its distinct grams before the
+  * exchange), so both probability joins BROADCAST; the only
+  * corpus-scale work is the exploding pair scan and ONE doc-keyed
+  * aggregation. For an open-vocabulary corpus whose bigram table
+  * outgrows broadcast, cap it by minimum count and let absent bigrams
+  * take the smoothed floor — the join is already a left join with a
+  * zero-count fallback, so the cap changes cost, not code shape.
+  */
+object Perplexity {
+
+  /** Per-document bigram perplexity: (doc_id, n_pairs, ppl). `ppl` is
+    * rounded to 6 decimals — the mean-of-ln sum is order-sensitive in
+    * the last ulps and engine `ln`s differ there too. */
+  def score(docs: DataFrame, k: Double = 1.0): DataFrame = {
+    val uni = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bi = docs
+      .select(explode(QualityFilters.ngrams(col("text"), 2)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("c2"))
+    val vocab = uni.agg(count(lit(1)).cast("double").as("v"))
+    val pairs = docs.select(col("doc_id"),
+      explode(QualityFilters.ngrams(col("text"), 2)).as("pair"))
+      .withColumn("w1", split(col("pair"), " ").getItem(0))
+    pairs
+      .join(broadcast(bi), Seq("pair"), "left")
+      .join(broadcast(uni), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lnp", log(
+        (coalesce(col("c2"), lit(0L)) + lit(k)) /
+          (col("c1") + lit(k) * col("v"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(exp(-avg(col("lnp"))), 6).as("ppl"))
+  }
+}

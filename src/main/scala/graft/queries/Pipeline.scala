@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Components, Decontam, Dedup, FullText, Mixture, Multimodal, Packing, QualityFilters, Quantize, RangeJoin, Sampling, Similarity, TextAnalysis, TextChunking, TrainingOrder, Vocabulary}
+import graft.operators.{AsOfJoin, Components, Decontam, Dedup, FullText, Mixture, Multimodal, Packing, Perplexity, QualityFilters, Quantize, RangeJoin, Sampling, Similarity, TextAnalysis, TextChunking, TrainingOrder, Vocabulary}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -643,6 +643,33 @@ object Pipeline {
       |ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
     Vocabulary.tfidfKeywords(t(s, dir, "documents"), 3)
       .orderBy("doc_id", "rank")
+  }
+
+  /** Bigram-LM perplexity quality score (Perplexity.score — the
+    * CCNet-style signal, add-1 smoothing over the corpus's own
+    * bigrams). Count tables are vocab-sized and broadcast; the only
+    * corpus-scale work is the pair explode + one doc-keyed agg. */
+  val qPerplexity = Q(
+    "q_perplexity",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |uni AS (SELECT unnest(t) AS w1 FROM toks),
+      |uc AS (SELECT w1, COUNT(*) AS c1 FROM uni GROUP BY w1),
+      |v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uc),
+      |pairs AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |                 i -> concat_ws(' ', t[i], t[i+1]))) AS pair
+      |          FROM toks WHERE len(t) >= 2),
+      |bc AS (SELECT pair, COUNT(*) AS c2 FROM pairs GROUP BY pair),
+      |scored AS (
+      |  SELECT doc_id,
+      |         ln((COALESCE(c2, 0) + 1.0) / (c1 + 1.0 * v)) AS lnp
+      |  FROM pairs
+      |  LEFT JOIN bc USING (pair)
+      |  JOIN uc ON uc.w1 = string_split(pair, ' ')[1]
+      |  CROSS JOIN v)
+      |SELECT doc_id, COUNT(*) AS n_pairs, ROUND(exp(-AVG(lnp)), 6) AS ppl
+      |FROM scored GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Perplexity.score(t(s, dir, "documents"), 1.0).orderBy("doc_id")
   }
 
   /** Normalized fingerprint uniqueness per source. */
@@ -1294,7 +1321,7 @@ object Pipeline {
     qSimHash, qSimHashSuperset, qEmbedNearDup, qEmbedNearDupLsh,
     qAnnCosine, qAnnLsh, qAnnIvfFull, qAnnIvf, qKmeansFull, qKmeans,
     qTextQuality, qLangId, qTokenStats, qVocabOov, qTfidfKeywords,
-    qFingerprint,
+    qPerplexity, qFingerprint,
     qFulltextAll, qFulltextAny, qFulltextBm25,
     qStratSample, qSampleExactK, qSeqPack,
     qMultimodalMeta, qMmFeatures, qFrameSample,
