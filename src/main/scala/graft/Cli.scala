@@ -207,10 +207,12 @@ object Cli {
             superusers = o.get("trust").toSeq
               .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet).start()
           out(s"listening on ${srv.boundPort} (PostgreSQL wire protocol; Ctrl-D stops)")
-          // optional observability sidecar: /health + /metrics
+          // optional observability sidecar: /health + /metrics +
+          // /performance (wire-pool stats come from the live server)
           val http = o.get("http-port").map(p =>
             new graft.server.HttpAdmin(e, p.toInt,
-              bind = o.get("b").getOrElse("127.0.0.1")).start())
+              bind = o.get("b").getOrElse("127.0.0.1"),
+              connStats = Some(() => srv.poolStats)).start())
           http.foreach(h => out(s"http health/metrics on ${h.boundPort}"))
           try { stdin().foreach(_ => ()); 0 }
           finally { http.foreach(_.close()); srv.close(); e.close() }

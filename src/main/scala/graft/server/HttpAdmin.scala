@@ -18,12 +18,21 @@ import java.nio.charset.StandardCharsets.UTF_8
   *    them unmodified.
   *  - `GET /alerts` — the SHOW ALERTS rule evaluation as JSON (the
   *    reference's alert_routes.rs surface over alerting.rs).
+  *  - `GET /health/live` / `GET /health/ready` — the orchestrator
+  *    probe split (health.rs:37-38): live answers without touching
+  *    the engine (is the process up), ready answers 200 only while
+  *    the engine holds its writer lock (can it serve), 503 otherwise.
+  *  - `GET /performance[/queries|/cache|/connections]` — the JSON
+  *    performance family (performance_routes.rs:36-44): latency
+  *    summary + engine counters, the slow-statement log, result-cache
+  *    stats, and wire-pool stats when a PgServer is attached.
   *
   * Built on the JDK's com.sun.net.httpserver — no extra dependency,
   * one daemon thread. Binds loopback by default, like PgServer.
   */
 final class HttpAdmin(engine: QueryEngine, port: Int = 0,
-    bind: String = "127.0.0.1") {
+    bind: String = "127.0.0.1",
+    connStats: Option[() => (Int, Long, Long)] = None) {
 
   private val server = com.sun.net.httpserver.HttpServer.create(
     new java.net.InetSocketAddress(bind, port), 0)
@@ -99,6 +108,85 @@ final class HttpAdmin(engine: QueryEngine, port: Int = 0,
     } catch { case e: Exception =>
       respond(ex, 500, "application/json",
         s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}\n""")
+    })
+
+  // com.sun.net.httpserver matches the LONGEST registered prefix, so
+  // these subpaths win over the "/health" context above
+  server.createContext("/health/live", ex =>
+    // liveness never touches the engine: the process answering IS the
+    // signal (health.rs liveness_check)
+    respond(ex, 200, "application/json", """{"status": "alive"}""" + "\n"))
+
+  server.createContext("/health/ready", ex =>
+    try {
+      // ready = the engine is open and its catalog answers (the writer
+      // lock is taken lazily on first write, so lock state is a fact
+      // for /health, not a readiness gate)
+      val h = engine.healthSnapshot
+      if (h.get("status").contains("ok"))
+        respond(ex, 200, "application/json", """{"status": "ready"}""" + "\n")
+      else
+        respond(ex, 503, "application/json",
+          """{"status": "not_ready"}""" + "\n")
+    } catch { case e: Exception =>
+      respond(ex, 503, "application/json",
+        s"""{"status": "not_ready", "reason": ${jsonStr(String.valueOf(e.getMessage))}}\n""")
+    })
+
+  private def numJson(pairs: Seq[(String, String)]): String =
+    pairs.map { case (k, v) => s"${jsonStr(k)}: $v" }.mkString("{", ", ", "}")
+
+  server.createContext("/performance", ex =>
+    try {
+      val perf = engine.sql("SHOW PERF").collect()
+      val summary = perf.filter(_.getString(0) == "summary")
+        .map(r => r.getString(1) -> r.getDouble(2).toString).toSeq
+      val counters = engine.sql("SHOW METRICS").collect()
+        .map(r => r.getString(0) -> r.getLong(1).toString).toSeq
+      respond(ex, 200, "application/json",
+        s"""{"latency": ${numJson(summary)}, "counters": ${numJson(counters)}}""" + "\n")
+    } catch { case e: Exception =>
+      respond(ex, 500, "application/json",
+        s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}\n""")
+    })
+
+  server.createContext("/performance/queries", ex =>
+    try {
+      val rows = engine.sql("SHOW PERF").collect()
+        .filter(_.getString(0) == "slow")
+        .map(r => s"""{"id": ${jsonStr(r.getString(1))}, """ +
+          s""""ms": ${r.getDouble(2)}, """ +
+          s""""statement": ${jsonStr(r.getString(3))}}""")
+      respond(ex, 200, "application/json",
+        rows.mkString("[", ", ", "]") + "\n")
+    } catch { case e: Exception =>
+      respond(ex, 500, "application/json",
+        s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}\n""")
+    })
+
+  server.createContext("/performance/cache", ex =>
+    try {
+      val r = engine.sql("SHOW CACHE").collect().head
+      respond(ex, 200, "application/json", numJson(Seq(
+        "enabled" -> r.getBoolean(0).toString,
+        "entries" -> r.getLong(1).toString,
+        "hits" -> r.getLong(2).toString,
+        "misses" -> r.getLong(3).toString)) + "\n")
+    } catch { case e: Exception =>
+      respond(ex, 500, "application/json",
+        s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}\n""")
+    })
+
+  server.createContext("/performance/connections", ex =>
+    connStats match {
+      case Some(f) =>
+        val (live, accepted, rejected) = f()
+        respond(ex, 200, "application/json", numJson(Seq(
+          "live" -> live.toString,
+          "accepted" -> accepted.toString,
+          "rejected" -> rejected.toString)) + "\n")
+      case None => respond(ex, 404, "application/json",
+        """{"error": "no wire server attached"}""" + "\n")
     })
 
   server.setExecutor(null) // serve on the dispatcher thread

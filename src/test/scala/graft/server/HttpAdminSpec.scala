@@ -65,4 +65,64 @@ class HttpAdminSpec extends AnyFunSuite {
       assert(nc === 404)
     } finally { srv.close(); e.close() }
   }
+
+  test("/health/live and /health/ready split liveness from readiness") {
+    val e = QueryEngine.scratch(spark)
+    val srv = new HttpAdmin(e, 0).start()
+    try {
+      val (lc, live, _) = get(srv.boundPort, "/health/live")
+      assert(lc === 200 && live.contains("alive"), live)
+      val (rc, ready, _) = get(srv.boundPort, "/health/ready")
+      assert(rc === 200 && ready.contains("\"ready\""), ready)
+    } finally {
+      srv.close(); e.close()
+    }
+  }
+
+  test("/performance family serves latency, slow log, cache, pool stats") {
+    val e = QueryEngine.scratch(spark)
+    val srv = new HttpAdmin(e, 0,
+      connStats = Some(() => (3, 7L, 1L))).start()
+    try {
+      e.sql("CREATE TABLE p (k BIGINT PRIMARY KEY)")
+      e.sql("SET SLOW_LOG 0") // threshold 0 logs nothing; set real one
+      e.sql("SET SLOW_LOG 1")
+      e.sql("INSERT INTO p VALUES (1), (2), (3)") // statement > 1ms
+
+      val (oc, overview, otype) = get(srv.boundPort, "/performance")
+      assert(oc === 200, overview)
+      assert(otype.startsWith("application/json"))
+      assert(overview.contains("\"latency\""), overview)
+      assert(overview.contains("\"p95_ms\""), overview)
+      assert(overview.contains("\"counters\""), overview)
+      assert(overview.contains("\"statements_total\""), overview)
+
+      val (qc, slow, _) = get(srv.boundPort, "/performance/queries")
+      assert(qc === 200, slow)
+      assert(slow.contains("INSERT INTO p"), slow)
+
+      val (cc, cache, _) = get(srv.boundPort, "/performance/cache")
+      assert(cc === 200, cache)
+      assert(cache.contains("\"hits\"") && cache.contains("\"entries\""), cache)
+
+      val (pc, pool, _) = get(srv.boundPort, "/performance/connections")
+      assert(pc === 200, pool)
+      assert(pool.contains("\"live\": 3"), pool)
+      assert(pool.contains("\"accepted\": 7"), pool)
+      assert(pool.contains("\"rejected\": 1"), pool)
+    } finally {
+      srv.close(); e.close()
+    }
+  }
+
+  test("/performance/connections without a wire server answers 404") {
+    val e = QueryEngine.scratch(spark)
+    val srv = new HttpAdmin(e, 0).start()
+    try {
+      val (pc, body, _) = get(srv.boundPort, "/performance/connections")
+      assert(pc === 404, body)
+    } finally {
+      srv.close(); e.close()
+    }
+  }
 }
