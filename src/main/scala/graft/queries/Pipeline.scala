@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Components, Decontam, Dedup, FullText, Mixture, Multimodal, Packing, Perplexity, QualityFilters, Quantize, RangeJoin, Sampling, Similarity, TextAnalysis, TextChunking, TrainingOrder, Vocabulary}
+import graft.operators.{AsOfJoin, Components, Decontam, Dedup, FullText, Mixture, Multimodal, Packing, Perplexity, QualityFilters, Quantize, RangeJoin, Sampling, SemDedup, Similarity, TextAnalysis, TextChunking, TrainingOrder, Vocabulary}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -447,6 +447,42 @@ object Pipeline {
         col("sim") =!= round(graft.operators.Similarity.cosine(col("_e1"), col("_e2")), 5))
       .select(lit("not_an_exact_pair").as("why"), col("d1"), col("d2"))
       .orderBy("d1", "d2")
+  }
+
+  /** SemDeDup (SemDedup.dedup): k-means clusters bound the pairwise
+    * stage, then lowest-id-wins cosine pruning within each cluster.
+    * Empty-violations oracle over an independently recomputed witness
+    * set: every dropped vector must have a lower-id clustermate
+    * at/over the threshold, no survivor may have one, survivor labels
+    * must match the (deterministic) assignment, and the fixture must
+    * actually drop something. */
+  val qSemDedup = Q(
+    "q_semdedup",
+    emptyViolationsSql("why" -> "VARCHAR", "vec_id" -> "BIGINT")) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val assign = Similarity.kmeans(emb, k = 16, iters = 2)
+    val surv = SemDedup.dedup(emb, k = 16, iters = 2, minCos = 0.4,
+      precomputed = Some(assign))
+    val m = emb.select(col("vec_id"), col("embedding")).join(assign, "vec_id")
+    val shouldDrop = SemDedup.candidateDrops(m, 0.4)
+    val droppedActual = emb.select("vec_id")
+      .join(surv.select("vec_id"), Seq("vec_id"), "left_anti")
+    val orphanDrop = droppedActual
+      .join(shouldDrop, Seq("vec_id"), "left_anti")
+      .select(lit("dropped_without_witness").as("why"), col("vec_id"))
+    val falseKeep = surv.select("vec_id").join(shouldDrop, Seq("vec_id"))
+      .select(lit("survivor_with_witness").as("why"), col("vec_id"))
+    val labelMismatch = surv
+      .join(assign.withColumnRenamed("cluster", "__c"), "vec_id")
+      .where(col("cluster") =!= col("__c"))
+      .select(lit("cluster_label_mismatch").as("why"), col("vec_id"))
+    val degenerate = surv.agg(count(lit(1)).as("_n"))
+      .crossJoin(emb.agg(count(lit(1)).as("_m")))
+      .where(col("_n") === col("_m") || col("_n") === 0)
+      .select(lit("nothing_dropped_or_all_dropped").as("why"),
+        lit(-1L).as("vec_id"))
+    orphanDrop.unionByName(falseKeep).unionByName(labelMismatch)
+      .unionByName(degenerate).orderBy("why", "vec_id")
   }
 
   /** IVF ANN with every cell probed (nprobe = nlist): disjoint cells
@@ -1318,7 +1354,7 @@ object Pipeline {
     qDedupExact, qPipelineE2E, qJaccardPairs, qShingleJaccard, qDupClusters,
     qDedupKeep,
     qMinHashLsh, qMinHashSuperset,
-    qSimHash, qSimHashSuperset, qEmbedNearDup, qEmbedNearDupLsh,
+    qSimHash, qSimHashSuperset, qEmbedNearDup, qEmbedNearDupLsh, qSemDedup,
     qAnnCosine, qAnnLsh, qAnnIvfFull, qAnnIvf, qKmeansFull, qKmeans,
     qTextQuality, qLangId, qTokenStats, qVocabOov, qTfidfKeywords,
     qPerplexity, qFingerprint,
