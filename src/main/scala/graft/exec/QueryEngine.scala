@@ -69,6 +69,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     if (!writeLockHeld) {
       BaseDirLock.acquire(spark, baseDir, engineId)
       writeLockHeld = true
+      closed = false // a write through a closed engine re-opens it
       // construction skipped recovery if a live writer held the dir at
       // the time; we may have just stolen that writer's now-stale lock,
       // so its committed-but-unpublished manifests (and counters) must
@@ -88,7 +89,13 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       BaseDirLock.release(spark, baseDir, engineId)
       writeLockHeld = false
     }
+    closed = true // readiness probes 503 until a write re-opens
   }
+
+  /** True between close() and the next lock re-acquisition — the
+    * window where the owner has declared the engine done and a
+    * readiness probe must stop routing traffic to it. */
+  @volatile private var closed = false
 
   // ------------------------------------------------------- pin registry
 
@@ -436,7 +443,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // microseconds; a probe blocking behind a long statement is the
     // intended "hung engine = hung probe" signal anyway.
     Map(
-      "status" -> "ok",
+      "status" -> (if (closed) "closed" else "ok"),
       "tables" -> catalog.tableNames.size.toString,
       "views" -> catalog.viewNames.size.toString,
       "write_lock_held" -> writeLockHeld.toString,

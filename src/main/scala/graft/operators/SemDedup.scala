@@ -39,7 +39,12 @@ object SemDedup {
     * identical either way. */
   def dedup(embeddings: DataFrame, k: Int, iters: Int, minCos: Double,
       precomputed: Option[DataFrame] = None): DataFrame = {
-    val assign = precomputed.getOrElse(Similarity.kmeans(embeddings, k, iters))
+    // pin the assignment: it feeds three plan branches (both sides of
+    // the candidate self-join and the anti-join probe), and without a
+    // pin each branch would re-run the corpus-wide argmax pass (the
+    // Components/kmeans pin pattern; harnesses sweep pins per query)
+    val assign = precomputed.getOrElse(
+      Similarity.kmeans(embeddings, k, iters).localCheckpoint())
     val m = embeddings.select(col("vec_id"), col("embedding"))
       .join(assign, "vec_id")
     val dropped = candidateDrops(m, minCos)

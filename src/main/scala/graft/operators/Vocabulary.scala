@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Corpus vocabulary operators for tokenizer / coverage analysis: the
@@ -41,7 +41,7 @@ object Vocabulary {
     * vocabulary: token count, OOV count, OOV ratio. The vocabulary is
     * materialized driver-side (bounded: exactly k strings) and folded
     * into the scan as a literal membership test. */
-  def oovStats(spark: SparkSession, docs: DataFrame, k: Int): DataFrame = {
+  def oovStats(docs: DataFrame, k: Int): DataFrame = {
     val vocab = topK(docs, k).select("term").collect().map(_.getString(0))
     val toks = TextAnalysis.tokens(col("text"))
     val oov = filter(toks, t => !t.isInCollection(vocab.toSeq))
@@ -53,10 +53,13 @@ object Vocabulary {
   }
 
   /** Per-document top-k keywords by TF-IDF (`tf * ln(N/df)`), ranked
-    * score DESC then term ASC. Output: (doc_id, rank, term, score);
-    * the surfaced score is rounded to 9 decimals (the JVM's and other
-    * engines' `ln` differ in the last ulp), while the rank order uses
-    * the full-precision value.
+    * score DESC then term ASC. Output: (doc_id, rank, term, score).
+    * Both the RANKING and the surfaced score use the value rounded to
+    * 9 decimals: engine `ln`s differ in the last ulp, so two
+    * mathematically-equal scores from different arguments (2·ln 4 vs
+    * 4·ln 2) could order oppositely across engines at full precision —
+    * rounding first makes such pairs exact ties, which the term-ASC
+    * tie-break then orders identically everywhere.
     *
     * The ranking runs INSIDE each document's aggregated term array
     * (`array_sort` with an explicit comparator + `slice`), not as a
@@ -73,7 +76,7 @@ object Vocabulary {
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .withColumn("score",
-        col("tf").cast("double") * log(col("n_docs") / col("df")))
+        round(col("tf").cast("double") * log(col("n_docs") / col("df")), 9))
     scored
       .groupBy("doc_id")
       .agg(collect_list(struct(col("score"), col("term"))).as("kws"))
@@ -84,6 +87,6 @@ object Vocabulary {
             .when(l("term") > r("term"), 1).otherwise(0))), 1, k))
         .as(Seq("rank0", "kw")))
       .select(col("doc_id"), (col("rank0") + 1).cast("long").as("rank"),
-        col("kw.term").as("term"), round(col("kw.score"), 9).as("score"))
+        col("kw.term").as("term"), col("kw.score").as("score"))
   }
 }

@@ -460,7 +460,8 @@ object Pipeline {
     "q_semdedup",
     emptyViolationsSql("why" -> "VARCHAR", "vec_id" -> "BIGINT")) { (s, dir) =>
     val emb = t(s, dir, "embeddings")
-    val assign = Similarity.kmeans(emb, k = 16, iters = 2)
+    // pinned: the assignment feeds the dedup AND every invariant branch
+    val assign = Similarity.kmeans(emb, k = 16, iters = 2).localCheckpoint()
     val surv = SemDedup.dedup(emb, k = 16, iters = 2, minCos = 0.4,
       precomputed = Some(assign))
     val m = emb.select(col("vec_id"), col("embedding")).join(assign, "vec_id")
@@ -651,7 +652,7 @@ object Pipeline {
       |SELECT doc_id, n_tokens, n_oov,
       |       CAST(n_oov AS DOUBLE) / n_tokens AS oov_ratio
       |FROM st ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    Vocabulary.oovStats(s, t(s, dir, "documents"), 25).orderBy("doc_id")
+    Vocabulary.oovStats(t(s, dir, "documents"), 25).orderBy("doc_id")
   }
 
   /** Per-document top-3 TF-IDF keywords (Vocabulary.tfidfKeywords):
@@ -667,15 +668,14 @@ object Pipeline {
       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
       |scored AS (
       |  SELECT doc_id, term,
-      |         CAST(tf AS DOUBLE) * ln(n_docs / df) AS score
+      |         ROUND(CAST(tf AS DOUBLE) * ln(n_docs / df), 9) AS score
       |  FROM tf JOIN df USING (term) CROSS JOIN n),
       |r AS (
       |  SELECT doc_id, term, score,
       |         ROW_NUMBER() OVER (PARTITION BY doc_id
       |                            ORDER BY score DESC, term) AS rank
       |  FROM scored)
-      |SELECT doc_id, rank, term, ROUND(score, 9) AS score
-      |FROM r WHERE rank <= 3
+      |SELECT doc_id, rank, term, score FROM r WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
     Vocabulary.tfidfKeywords(t(s, dir, "documents"), 3)
       .orderBy("doc_id", "rank")

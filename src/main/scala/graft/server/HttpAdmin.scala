@@ -21,11 +21,14 @@ import java.nio.charset.StandardCharsets.UTF_8
   *  - `GET /health/live` / `GET /health/ready` — the orchestrator
   *    probe split (health.rs:37-38): live answers without touching
   *    the engine (is the process up), ready answers 200 only while
-  *    the engine holds its writer lock (can it serve), 503 otherwise.
+  *    the engine is open (close() flips it to 503 until a write
+  *    re-opens the engine).
   *  - `GET /performance[/queries|/cache|/connections]` — the JSON
   *    performance family (performance_routes.rs:36-44): latency
-  *    summary + engine counters, the slow-statement log, result-cache
-  *    stats, and wire-pool stats when a PgServer is attached.
+  *    summary + engine counters, the slow-statement log (ids and
+  *    latencies only — statement TEXT stays behind the authenticated
+  *    SHOW PERF, matching /metrics' redaction), result-cache stats,
+  *    and wire-pool stats when a PgServer is attached.
   *
   * Built on the JDK's com.sun.net.httpserver — no extra dependency,
   * one daemon thread. Binds loopback by default, like PgServer.
@@ -152,11 +155,14 @@ final class HttpAdmin(engine: QueryEngine, port: Int = 0,
 
   server.createContext("/performance/queries", ex =>
     try {
+      // ids + latencies only: slow-log entries carry full SQL text
+      // (with data literals), and this sidecar is unauthenticated —
+      // the text stays behind the wire protocol's SHOW PERF, the same
+      // redaction /metrics applies
       val rows = engine.sql("SHOW PERF").collect()
         .filter(_.getString(0) == "slow")
         .map(r => s"""{"id": ${jsonStr(r.getString(1))}, """ +
-          s""""ms": ${r.getDouble(2)}, """ +
-          s""""statement": ${jsonStr(r.getString(3))}}""")
+          s""""ms": ${r.getDouble(2)}}""")
       respond(ex, 200, "application/json",
         rows.mkString("[", ", ", "]") + "\n")
     } catch { case e: Exception =>

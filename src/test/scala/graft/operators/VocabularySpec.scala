@@ -31,7 +31,7 @@ class VocabularySpec extends AnyFunSuite {
 
   test("oovStats counts tokens outside the top-k vocabulary") {
     // k=2 vocab = {a, b}; doc1 has 1 OOV (c), doc2 has 1 (d), doc3 has 3
-    val o = Vocabulary.oovStats(spark, tiny, 2)
+    val o = Vocabulary.oovStats(tiny, 2)
       .orderBy("doc_id")
       .as[(Long, Long, Long, Double)].collect()
     assert(o === Array(
@@ -41,12 +41,12 @@ class VocabularySpec extends AnyFunSuite {
   }
 
   test("oovStats with a covering vocabulary reports zero OOV everywhere") {
-    val o = Vocabulary.oovStats(spark, tiny, 10)
+    val o = Vocabulary.oovStats(tiny, 10)
     assert(o.where(col("n_oov") =!= 0 || col("oov_ratio") =!= 0.0).count() === 0)
   }
 
   test("oovStats per-doc pass is scan-stage: no join or exchange in the plan") {
-    val plan = Vocabulary.oovStats(spark, tiny, 2)
+    val plan = Vocabulary.oovStats(tiny, 2)
       .queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("join"))
     assert(!plan.contains("Exchange"))

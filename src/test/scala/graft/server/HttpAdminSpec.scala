@@ -74,6 +74,17 @@ class HttpAdminSpec extends AnyFunSuite {
       assert(lc === 200 && live.contains("alive"), live)
       val (rc, ready, _) = get(srv.boundPort, "/health/ready")
       assert(rc === 200 && ready.contains("\"ready\""), ready)
+      // a closed engine must stop advertising readiness (while the
+      // process — and so /health/live — stays up), and a write through
+      // the engine re-opens it
+      e.close()
+      val (cc, closed, _) = get(srv.boundPort, "/health/ready")
+      assert(cc === 503 && closed.contains("not_ready"), closed)
+      val (lc2, live2, _) = get(srv.boundPort, "/health/live")
+      assert(lc2 === 200, live2)
+      e.sql("CREATE TABLE reopen (k BIGINT PRIMARY KEY)")
+      val (rc2, ready2, _) = get(srv.boundPort, "/health/ready")
+      assert(rc2 === 200 && ready2.contains("\"ready\""), ready2)
     } finally {
       srv.close(); e.close()
     }
@@ -99,7 +110,10 @@ class HttpAdminSpec extends AnyFunSuite {
 
       val (qc, slow, _) = get(srv.boundPort, "/performance/queries")
       assert(qc === 200, slow)
-      assert(slow.contains("INSERT INTO p"), slow)
+      // entries surface as id + latency; the SQL text itself is
+      // redacted from the unauthenticated sidecar
+      assert(slow.contains("\"id\": \"stmt_") && slow.contains("\"ms\":"), slow)
+      assert(!slow.contains("INSERT INTO p"), slow)
 
       val (cc, cache, _) = get(srv.boundPort, "/performance/cache")
       assert(cc === 200, cache)
