@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Components, Decontam, Dedup, FullText, Mixture, Multimodal, Packing, Perplexity, QualityFilters, Quantize, RangeJoin, Sampling, SemDedup, Similarity, TextAnalysis, TextChunking, TrainingOrder, Vocabulary}
+import graft.operators.{AsOfJoin, Components, Decontam, Dedup, FullText, Mixture, Multimodal, Packing, Perplexity, QualityFilters, Quantize, RangeJoin, Sampling, SemDedup, Similarity, SubstringDedup, TextAnalysis, TextChunking, TrainingOrder, Vocabulary}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -681,6 +681,42 @@ object Pipeline {
       .orderBy("doc_id", "rank")
   }
 
+  /** Exact-substring dedup spans (SubstringDedup.duplicatedSpans, Lee
+    * et al. 2022): maximal cut intervals over corpus-duplicated
+    * 8-gram runs, keep-first. The oracle re-derives the same spans
+    * with window-function gaps-and-islands; the Spark side merges
+    * inside each document's own sorted position array instead. */
+  val qSubstringDedup = Q(
+    "q_substring_dedup",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |occ AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |         array_to_string(t[i:i+7], ' ') AS gram
+      |  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+      |  WHERE len(t) >= 8),
+      |st AS (
+      |  SELECT doc_id, pos,
+      |         COUNT(*) OVER (PARTITION BY gram) AS df,
+      |         ROW_NUMBER() OVER (PARTITION BY gram
+      |                            ORDER BY doc_id, pos) AS rk
+      |  FROM occ),
+      |cut AS (SELECT doc_id, pos FROM st WHERE df >= 2 AND rk > 1),
+      |lagged AS (
+      |  SELECT doc_id, pos,
+      |         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |  FROM cut),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |         SUM(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM lagged)
+      |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end
+      |FROM isl GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+    SubstringDedup.duplicatedSpans(t(s, dir, "documents"), 8)
+      .orderBy("doc_id", "span_start")
+  }
+
   /** Bigram-LM perplexity quality score (Perplexity.score — the
     * CCNet-style signal, add-1 smoothing over the corpus's own
     * bigrams). Count tables are vocab-sized and broadcast; the only
@@ -1357,7 +1393,7 @@ object Pipeline {
     qSimHash, qSimHashSuperset, qEmbedNearDup, qEmbedNearDupLsh, qSemDedup,
     qAnnCosine, qAnnLsh, qAnnIvfFull, qAnnIvf, qKmeansFull, qKmeans,
     qTextQuality, qLangId, qTokenStats, qVocabOov, qTfidfKeywords,
-    qPerplexity, qFingerprint,
+    qPerplexity, qSubstringDedup, qFingerprint,
     qFulltextAll, qFulltextAny, qFulltextBm25,
     qStratSample, qSampleExactK, qSeqPack,
     qMultimodalMeta, qMmFeatures, qFrameSample,
