@@ -43,4 +43,32 @@ object Decontam {
       .where(col("n_overlap") >= maxOverlap).select("doc_id")
     train.join(broadcast(bad), Seq("doc_id"), "left_anti")
   }
+
+  /** Span-level decontamination: instead of dropping whole documents,
+    * emit the maximal token intervals of each train document covered
+    * by eval n-grams — `(doc_id, span_start, span_end)`, 1-based, end
+    * exclusive — so the pipeline can MASK the leaked windows and keep
+    * the rest (how modern pipelines treat mostly-clean documents with
+    * one quoted benchmark item). Same broadcast shape as `overlap`;
+    * the interval merge is SubstringDedup's per-document fold — no
+    * corpus-wide window. */
+  def contaminatedSpans(train: DataFrame, eval: DataFrame,
+      n: Int): DataFrame = {
+    val evalGrams = eval
+      .select(explode(array_distinct(
+        QualityFilters.ngrams(col("text"), n))).as("gram"))
+      .distinct()
+    val occ = train.select(col("doc_id"),
+        posexplode(QualityFilters.ngrams(col("text"), n))
+          .as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("gram"))
+    occ.join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"),
+        explode(SubstringDedup.mergePositions(col("ps"), n)).as("sp"))
+      .select(col("doc_id"), col("sp.s").as("span_start"),
+        col("sp.e").as("span_end"))
+  }
 }

@@ -40,8 +40,10 @@ object SubstringDedup {
     StructField("e", LongType, nullable = false))))
 
   /** Merge a sorted array of duplicated-gram start positions (each
-    * covering [p, p+n)) into maximal [s, e) intervals. */
-  private def mergePositions(sorted: Column, n: Int): Column =
+    * covering [p, p+n)) into maximal [s, e) intervals. Shared with
+    * Decontam.contaminatedSpans — any "mask these n-gram windows"
+    * operator ends at this fold. */
+  private[operators] def mergePositions(sorted: Column, n: Int): Column =
     aggregate(sorted, array().cast(spanType),
       (acc, p) => {
         val last = element_at(acc, -1)

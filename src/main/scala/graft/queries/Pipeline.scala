@@ -1203,6 +1203,42 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Span-level decontamination (Decontam.contaminatedSpans): maximal
+    * token intervals of each train doc covered by eval 3-grams — the
+    * mask-the-window alternative to dropping whole documents. The
+    * oracle re-merges the same windows via gaps-and-islands. */
+  val qDecontamSpans = Q(
+    "q_decontam_spans",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |occ AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |         array_to_string(t[i:i+2], ' ') AS gram
+      |  FROM d, unnest(generate_series(1, len(t) - 2)) AS u(i)
+      |  WHERE len(t) >= 3 AND doc_id % 20 <> 0),
+      |ev AS (
+      |  SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS gram
+      |  FROM d, unnest(generate_series(1, len(t) - 2)) AS u(i)
+      |  WHERE len(t) >= 3 AND doc_id % 20 = 0),
+      |cut AS (SELECT doc_id, pos FROM occ JOIN ev USING (gram)),
+      |lagged AS (
+      |  SELECT doc_id, pos,
+      |         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |  FROM cut),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |         SUM(CASE WHEN prev IS NULL OR pos > prev + 3 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM lagged)
+      |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 3 AS span_end
+      |FROM isl GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    Decontam.contaminatedSpans(
+        docs.where(col("doc_id") % 20 =!= 0),
+        docs.where(col("doc_id") % 20 === 0), 3)
+      .orderBy("doc_id", "span_start")
+  }
+
   /** The decontaminated corpus itself: train documents with fewer
     * than 3 colliding shingles survive. */
   val qDecontamClean = Q(
@@ -1386,7 +1422,7 @@ object Pipeline {
 
   val all: Seq[Q] = Seq(
     qQualityRepetition, qTrainShuffle, qBpePairs, qEmbedQuant,
-    qDecontam, qDecontamClean, qDomainMix, qMixUpsample,
+    qDecontam, qDecontamClean, qDecontamSpans, qDomainMix, qMixUpsample,
     qDedupExact, qPipelineE2E, qJaccardPairs, qShingleJaccard, qDupClusters,
     qDedupKeep,
     qMinHashLsh, qMinHashSuperset,

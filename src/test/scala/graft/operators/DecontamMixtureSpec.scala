@@ -39,6 +39,24 @@ class DecontamMixtureSpec extends AnyFunSuite {
     assert(!got.contains(3L))
   }
 
+  test("contaminatedSpans masks exactly the eval-covered windows, merged") {
+    import spark.implicits._
+    val eval = Seq(100L -> "q r s")
+    // doc1: "q r s" at pos 2 and pos 6 (n=3) -> spans [2,5) and [6,9);
+    // doc2: no eval 3-gram at all -> absent
+    val train = Seq(
+      1L -> "z q r s w q r s k",
+      2L -> "a b c d e f")
+    val spans = Decontam.contaminatedSpans(docsDf(train), docsDf(eval), 3)
+      .orderBy("doc_id", "span_start").as[(Long, Long, Long)].collect()
+    assert(spans === Array((1L, 2L, 5L), (1L, 6L, 9L)))
+    // a verbatim eval copy masks wall-to-wall: one whole-doc span
+    val copy = Seq(1L -> "q r s")
+    val whole = Decontam.contaminatedSpans(docsDf(copy), docsDf(eval), 3)
+      .as[(Long, Long, Long)].collect()
+    assert(whole === Array((1L, 1L, 4L)))
+  }
+
   test("clean removes exactly the documents at or over the threshold") {
     val eval = Seq(100L -> "alpha beta gamma delta epsilon zeta eta theta")
     val train = Seq(
