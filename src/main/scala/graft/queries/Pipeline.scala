@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Components, Decontam, Dedup, FullText, Mixture, Multimodal, Packing, Perplexity, QualityFilters, Quantize, RangeJoin, Sampling, SemDedup, Similarity, SubstringDedup, TextAnalysis, TextChunking, TrainingOrder, Vocabulary}
+import graft.operators.{AsOfJoin, Components, Decontam, Dedup, Dsir, FullText, Mixture, Multimodal, Packing, Perplexity, QualityFilters, Quantize, RangeJoin, Sampling, SemDedup, Similarity, SubstringDedup, TextAnalysis, TextChunking, TrainingOrder, Vocabulary}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -717,6 +717,41 @@ object Pipeline {
       .orderBy("doc_id", "span_start")
   }
 
+  /** DSIR importance weights (Dsir.logWeights): hashed bag-of-words
+    * log-likelihood ratio of a target corpus model vs the raw model,
+    * add-1 smoothed over 16 md5-hex buckets. Scoring is pure
+    * scan-stage (the 16 log-ratios fold in as a literal array); the
+    * oracle recomputes the identical arithmetic, md5 buckets and all. */
+  val qDsir = Q(
+    "q_dsir",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |b AS (SELECT doc_id,
+      |        strpos('0123456789abcdef', substring(md5(w), 1, 1)) - 1 AS bk
+      |      FROM toks),
+      |tc AS (SELECT bk, COUNT(*) AS c FROM b WHERE doc_id % 20 = 0 GROUP BY bk),
+      |rc AS (SELECT bk, COUNT(*) AS c FROM b WHERE doc_id % 20 <> 0 GROUP BY bk),
+      |nt AS (SELECT COUNT(*) AS n FROM b WHERE doc_id % 20 = 0),
+      |nr AS (SELECT COUNT(*) AS n FROM b WHERE doc_id % 20 <> 0),
+      |lr AS (
+      |  SELECT g.bk,
+      |         ln((COALESCE(tc.c, 0) + 1.0) / (nt.n + 16)) -
+      |         ln((COALESCE(rc.c, 0) + 1.0) / (nr.n + 16)) AS v
+      |  FROM (SELECT unnest(generate_series(0, 15)) AS bk) g
+      |  LEFT JOIN tc USING (bk) LEFT JOIN rc USING (bk)
+      |  CROSS JOIN nt CROSS JOIN nr),
+      |sc AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens, ROUND(SUM(v), 6) AS logw
+      |  FROM b JOIN lr USING (bk) WHERE doc_id % 20 <> 0
+      |  GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, logw FROM sc
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    Dsir.logWeights(
+        docs.where(col("doc_id") % 20 =!= 0),
+        docs.where(col("doc_id") % 20 === 0))
+      .orderBy("doc_id")
+  }
+
   /** Bigram-LM perplexity quality score (Perplexity.score — the
     * CCNet-style signal, add-1 smoothing over the corpus's own
     * bigrams). Count tables are vocab-sized and broadcast; the only
@@ -1429,7 +1464,7 @@ object Pipeline {
     qSimHash, qSimHashSuperset, qEmbedNearDup, qEmbedNearDupLsh, qSemDedup,
     qAnnCosine, qAnnLsh, qAnnIvfFull, qAnnIvf, qKmeansFull, qKmeans,
     qTextQuality, qLangId, qTokenStats, qVocabOov, qTfidfKeywords,
-    qPerplexity, qSubstringDedup, qFingerprint,
+    qPerplexity, qSubstringDedup, qDsir, qFingerprint,
     qFulltextAll, qFulltextAny, qFulltextBm25,
     qStratSample, qSampleExactK, qSeqPack,
     qMultimodalMeta, qMmFeatures, qFrameSample,
