@@ -486,6 +486,35 @@ object Pipeline {
       .unionByName(degenerate).orderBy("why", "vec_id")
   }
 
+  /** Cluster-balanced (diversity) sampling: the kmeans + exactK
+    * composition the kmeans scaladoc promises — up to 5 vectors per
+    * semantic cluster, deterministically keyed. Invariants: every
+    * cluster contributes exactly min(5, its size) vectors, every
+    * sampled row is a real member of its cluster, and the sample is
+    * non-degenerate. (exactK's rank arithmetic itself is oracled by
+    * q_sample_exact_k; kmeans by q_kmeans/q_kmeans_full.) */
+  val qDiversitySample = Q(
+    "q_diversity_sample",
+    emptyViolationsSql("why" -> "VARCHAR", "vec_id" -> "BIGINT")) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val assign = Similarity.kmeans(emb, k = 16, iters = 2).localCheckpoint()
+    val sample = Sampling.exactK(assign, col("vec_id"), col("cluster"), 5)
+    val sizes = assign.groupBy("cluster").agg(count(lit(1)).as("_n"))
+    val picked = sample.groupBy("cluster").agg(count(lit(1)).as("_p"))
+    val badCount = sizes.join(picked, Seq("cluster"), "left")
+      .where(coalesce(col("_p"), lit(0L)) =!= least(col("_n"), lit(5L)))
+      .select(lit("wrong_per_cluster_count").as("why"),
+        col("cluster").as("vec_id"))
+    val alien = sample.select("vec_id", "cluster")
+      .join(assign, Seq("vec_id", "cluster"), "left_anti")
+      .select(lit("not_a_member").as("why"), col("vec_id"))
+    val degenerate = sample.agg(count(lit(1)).as("_c"))
+      .where(col("_c") === 0)
+      .select(lit("empty_sample").as("why"), lit(-1L).as("vec_id"))
+    badCount.unionByName(alien).unionByName(degenerate)
+      .orderBy("why", "vec_id")
+  }
+
   /** IVF ANN with every cell probed (nprobe = nlist): disjoint cells
     * mean each pair is scored exactly once, so the result must equal
     * exact brute force — the oracle proves the whole quantize → probe →
@@ -1462,6 +1491,7 @@ object Pipeline {
     qDedupKeep,
     qMinHashLsh, qMinHashSuperset,
     qSimHash, qSimHashSuperset, qEmbedNearDup, qEmbedNearDupLsh, qSemDedup,
+    qDiversitySample,
     qAnnCosine, qAnnLsh, qAnnIvfFull, qAnnIvf, qKmeansFull, qKmeans,
     qTextQuality, qLangId, qTokenStats, qVocabOov, qTfidfKeywords,
     qPerplexity, qSubstringDedup, qDsir, qFingerprint,
