@@ -183,6 +183,23 @@ final class HttpAdmin(engine: QueryEngine, port: Int = 0,
         s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}\n""")
     })
 
+  server.createContext("/performance/memory", ex =>
+    try {
+      val rt = Runtime.getRuntime
+      val mem = engine.spark.sparkContext.getExecutorMemoryStatus.values
+      val (storMax, storFree) = mem.foldLeft((0L, 0L)) {
+        case ((m, f), (em, ef)) => (m + em, f + ef)
+      }
+      respond(ex, 200, "application/json", numJson(Seq(
+        "heap_used_bytes" -> (rt.totalMemory() - rt.freeMemory()).toString,
+        "heap_max_bytes" -> rt.maxMemory().toString,
+        "storage_memory_bytes" -> storMax.toString,
+        "storage_memory_free_bytes" -> storFree.toString)) + "\n")
+    } catch { case e: Exception =>
+      respond(ex, 500, "application/json",
+        s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}\n""")
+    })
+
   server.createContext("/performance/connections", ex =>
     connStats match {
       case Some(f) =>

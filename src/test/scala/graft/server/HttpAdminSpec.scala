@@ -124,6 +124,13 @@ class HttpAdminSpec extends AnyFunSuite {
       assert(pool.contains("\"live\": 3"), pool)
       assert(pool.contains("\"accepted\": 7"), pool)
       assert(pool.contains("\"rejected\": 1"), pool)
+
+      val (mc2, mem, _) = get(srv.boundPort, "/performance/memory")
+      assert(mc2 === 200, mem)
+      val heap = "\"heap_used_bytes\": (\\d+)".r
+        .findFirstMatchIn(mem).map(_.group(1).toLong)
+      assert(heap.exists(_ > 0), mem)
+      assert(mem.contains("\"storage_memory_bytes\""), mem)
     } finally {
       srv.close(); e.close()
     }
