@@ -1486,7 +1486,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           val mv = spark.read.parquet(catalog.mviewDataPath(v, catalog.mviewVersion(v)))
           // maintainable views carry hidden IVM support columns
           // (__graft_*) — internal bookkeeping, not part of the view
-          mv.drop(mv.columns.filter(IncrementalView.hidden): _*)
+          mv.drop(mv.columns.filter(IncrementalView.hidden).toIndexedSeq: _*)
             .createOrReplaceTempView(v)
         }
       } else {

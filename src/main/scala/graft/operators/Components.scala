@@ -101,7 +101,8 @@ object Components {
     * Two shuffles beyond the closure: the cluster join and the size
     * aggregation, both on the cluster key. */
   def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val comps = connectedComponents(pairs.select(pairs.columns.take(2).map(col): _*))
+    val comps = connectedComponents(
+      pairs.select(pairs.columns.take(2).map(col).toIndexedSeq: _*))
       .withColumnRenamed("id", idCol)
     val clustered = docs.join(comps, Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("component"), col(idCol)))

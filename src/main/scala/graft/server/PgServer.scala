@@ -371,8 +371,8 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
     out.write('R'); out.writeInt(8); out.writeInt(3) // CleartextPassword
     out.flush()
     passwordMessage(in).exists { body =>
-      val given = new String(body, UTF_8).stripSuffix("\u0000")
-      java.security.MessageDigest.isEqual(given.getBytes(UTF_8),
+      val supplied = new String(body, UTF_8).stripSuffix("\u0000")
+      java.security.MessageDigest.isEqual(supplied.getBytes(UTF_8),
         expect.getBytes(UTF_8))
     }
   }
@@ -391,10 +391,10 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
     out.write('R'); out.writeInt(12); out.writeInt(5); out.write(salt)
     out.flush()
     passwordMessage(in).exists { body =>
-      val given = new String(body, UTF_8).stripSuffix("\u0000")
+      val supplied = new String(body, UTF_8).stripSuffix("\u0000")
       val inner = md5hex((expect + user).getBytes(UTF_8))
       val want = "md5" + md5hex(inner.getBytes(UTF_8) ++ salt)
-      java.security.MessageDigest.isEqual(given.getBytes(UTF_8),
+      java.security.MessageDigest.isEqual(supplied.getBytes(UTF_8),
         want.getBytes(UTF_8))
     }
   }
