@@ -123,6 +123,12 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   // COMMITTED micro-batch id — the Delta-commit idempotence pattern that
   // upgrades foreachBatch ingestion from at-least-once to exactly-once
   private val streamBatches = mutable.HashMap.empty[String, Long]
+  // per-table ingest watermark: max pk ever admitted through an
+  // ordered streaming ingest (ingestStreamNearDedup's registry).
+  // Persisted so the ordered-ingest guard is a metadata compare, not a
+  // full-registry aggregate per micro-batch; max-merged like the
+  // sequence counters so manifest replay is a no-op
+  private val watermarks = mutable.HashMap.empty[String, Long]
   // trigger name -> (timing, event, table, body, enabled) — the
   // reference's trigger registry (triggers.rs:88-100: timing, events,
   // table, action, enabled); firing runs in QueryEngine
@@ -158,9 +164,7 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   // ANALYZE per-column detail (stats.rs:1-60 shape): nullCount/ndv/
   // min/max per column, plus equi-width histograms for numeric
   // columns — session-lived like `stats` (re-ANALYZE after reopen)
-  final case class ColStat(nullCount: Long, ndv: Long,
-      min: String, max: String)
-  val colStats = mutable.HashMap.empty[String, Map[String, ColStat]]
+  val colStats = mutable.HashMap.empty[String, Map[String, TableCatalog.ColStat]]
   // (table, column) -> buckets of (lo, hi, count)
   val histograms =
     mutable.HashMap.empty[(String, String), Seq[(Double, Double, Long)]]
@@ -218,6 +222,7 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       throw new IllegalArgumentException(s"table not found: $name")
     nextSeqs.remove(name)
     nextColIds.remove(name)
+    watermarks.remove(name)
     fks.remove(name) // the reference forgets the dropped child's FKs (fk.rs:68-71)
     constraints.remove(name)
     indexes.filterInPlace { case (_, (t, _)) => t != name }
@@ -363,13 +368,21 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
     * per-table sequence counters plus (optionally) the committed
     * micro-batch id of a streaming sink. Max-merged so a recovery
     * replay of an already-applied manifest is a no-op. */
-  def commitPublished(seqs: Map[String, Long], stream: Option[(String, Long)]): Unit = {
+  def commitPublished(seqs: Map[String, Long], stream: Option[(String, Long)],
+      marks: Map[String, Long] = Map.empty): Unit = {
     for ((t, s) <- seqs if tables.contains(t))
       nextSeqs(t) = math.max(nextSeqs.getOrElse(t, 0L), s)
     for ((id, b) <- stream)
       streamBatches(id) = math.max(streamBatches.getOrElse(id, -1L), b)
+    for ((t, v) <- marks if tables.contains(t))
+      watermarks(t) = math.max(watermarks.getOrElse(t, Long.MinValue), v)
     save()
   }
+
+  /** Max pk ever admitted through an ordered ingest into `table`
+    * (None = no ordered ingest recorded — pre-upgrade registries fall
+    * back to scanning). */
+  def watermark(table: String): Option[Long] = watermarks.get(table)
 
   /** Last committed micro-batch id for a stream (None = none yet). */
   def lastStreamBatch(streamId: String): Option[Long] = streamBatches.get(streamId)
@@ -799,7 +812,7 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   def reload(): Unit = {
     tables.clear(); views.clear(); mviews.clear(); indexes.clear()
     nextSeqs.clear(); nextColIds.clear(); fks.clear(); constraints.clear()
-    streamBatches.clear(); triggers.clear(); procs.clear()
+    streamBatches.clear(); watermarks.clear(); triggers.clear(); procs.clear()
     sequences.clear(); rlsTables.clear(); policies.clear(); grants.clear()
     alerts.clear()
     migrations.clear(); appliedMigs.clear(); retentionFloors.clear()
@@ -841,6 +854,8 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       sb.append(s"index\t${enc(idx)}\t${enc(t)}\t${enc(c)}\n")
     for ((id, b) <- streamBatches)
       sb.append(s"stream\t${enc(id)}\t$b\n")
+    for ((t, v) <- watermarks)
+      sb.append(s"wmark\t${enc(t)}\t$v\n")
     for ((name, (ti, ev, ta, body, en)) <- triggers)
       sb.append(s"trigger\t${enc(name)}\t${enc(ti)}\t${enc(ev)}\t${enc(ta)}\t${enc(body)}\t${if (en) 1 else 0}\n")
     for ((name, (params, body)) <- procs)
@@ -936,6 +951,7 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       case Array("mviewbase", n, t, seq) => mviewBases(dec(n)) = (dec(t), seq.toLong)
       case Array("index", i, t, c) => indexes(dec(i)) = (dec(t), dec(c))
       case Array("stream", id, b) => streamBatches(dec(id)) = b.toLong
+      case Array("wmark", t, v) => watermarks(dec(t)) = v.toLong
       case Array("trigger", n, ti, ev, ta, body) => // pre-round-6 line
         triggers(dec(n)) = (dec(ti), dec(ev), dec(ta), dec(body), true)
       case Array("trigger", n, ti, ev, ta, body, en) =>
@@ -988,4 +1004,11 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       }
     }
   }
+}
+
+object TableCatalog {
+  /** ANALYZE per-column detail row — top-level so the generated
+    * case-class equals carries no outer-instance reference. */
+  final case class ColStat(nullCount: Long, ndv: Long,
+      min: String, max: String)
 }

@@ -453,7 +453,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   }
 
   private def publishAtomic(batches: Seq[(String, DataFrame)],
-      seqs: Map[String, Long], stream: Option[(String, Long)]): Unit = {
+      seqs: Map[String, Long], stream: Option[(String, Long)],
+      marks: Map[String, Long] = Map.empty): Unit = {
     val stagingRoot = new Path(s"$baseDir/.txn-staging-${System.nanoTime()}")
     val fs = stagingRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
@@ -468,6 +469,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       }
       seqs.foreach { case (t, s) => lines.append(s"seq\t${enc(t)}\t$s\n") }
       stream.foreach { case (id, b) => lines.append(s"stream\t${enc(id)}\t$b\n") }
+      marks.foreach { case (t, v) => lines.append(s"wmark\t${enc(t)}\t$v\n") }
       val tmp = new Path(stagingRoot, "manifest.tmp")
       val out = fs.create(tmp, true)
       try out.write(lines.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -545,15 +547,17 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       finally in.close()
     val files = Vector.newBuilder[(String, String)] // (relPath, table)
     val seqs = Map.newBuilder[String, Long]
+    val marks = Map.newBuilder[String, Long]
     var stream: Option[(String, Long)] = None
     for (line <- text.split("\n") if line.nonEmpty) line.split("\t") match {
       case Array("file", rel, table) => files += ((rel, dec(table)))
       case Array("seq", table, s) => seqs += (dec(table) -> s.toLong)
       case Array("stream", id, b) => stream = Some((dec(id), b.toLong))
+      case Array("wmark", table, v) => marks += (dec(table) -> v.toLong)
       case other =>
         throw new IllegalStateException(s"corrupt manifest line: ${other.mkString("\t")}")
     }
-    catalog.commitPublished(seqs.result(), stream) // counters first: hole > duplicate
+    catalog.commitPublished(seqs.result(), stream, marks.result()) // counters first: hole > duplicate
     for (((rel, table), i) <- files.result().zipWithIndex
         if catalog.get(table).isDefined) {
       if (hooked) testFailBeforePublishRename(i)
@@ -3323,13 +3327,27 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       // pure arrival-order (temporal) semantics opt out with
       // requireOrdered = false, accepting that the result then depends
       // on delivery order, not ids.
+      // one batch-sized job over the pinned checkpoint: min drives the
+      // ordered guard, max becomes the registry's new watermark
+      val bounds = full.agg(min(col(t.pk)).cast("long"),
+        max(col(t.pk)).cast("long")).head()
+      val batchMin = if (bounds.isNullAt(0)) None else Some(bounds.getLong(0))
+      val batchMax = if (bounds.isNullAt(1)) None else Some(bounds.getLong(1))
       if (requireOrdered) {
-        val regMax = stateAt(r.name, None).agg(max(col("doc_id"))).head()
-        if (!regMax.isNullAt(0) &&
-          full.where(col(t.pk) <= lit(regMax.get(0))).limit(1).count() > 0)
-          throw new IllegalArgumentException(
+        // the guard is a CATALOG-METADATA compare — the registry is
+        // never collapsed per batch. The watermark (max pk ever
+        // admitted) commits in the same atomic manifest as the
+        // postings, so it can never lag registry content. Registries
+        // filled before the watermark existed fall back to ONE
+        // registry aggregate; the first publish then records it.
+        val regMax = catalog.watermark(r.name).orElse {
+          val m = stateAt(r.name, None).agg(max(col("doc_id")).cast("long")).head()
+          if (m.isNullAt(0)) None else Some(m.getLong(0))
+        }
+        for (rm <- regMax; bm <- batchMin)
+          if (bm <= rm) throw new IllegalArgumentException(
             s"ingestStreamNearDedup: batch contains pk <= the registry's " +
-              s"max doc_id (${regMax.get(0)}) — batches must arrive in " +
+              s"max doc_id ($rm) — batches must arrive in " +
               "ascending pk ranges for id-order semantics, or pass " +
               "requireOrdered = false for arrival-order semantics")
       }
@@ -3387,7 +3405,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         hiT != catalog.lastSeq(t.name), hiR != catalog.lastSeq(r.name)))
         .collect { case (p, true) => p }
       publishAtomic(parts, Map(t.name -> hiT, r.name -> hiR),
-        streamId.map(_ -> batchId))
+        streamId.map(_ -> batchId),
+        marks = batchMax.map(r.name -> _).toMap)
       maybeAutoSnapshot(t.name, hiT)
       maybeAutoSnapshot(r.name, hiR)
     }
@@ -3503,7 +3522,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     catalog.stats(table) = row.schema.fieldNames
       .map(f => f -> Option(row.getAs[Any](f)).map(_.toString).orNull).toMap
     catalog.colStats(table) = t.columns.map { c =>
-      c.logical -> catalog.ColStat(
+      c.logical -> graft.catalog.TableCatalog.ColStat(
         nullCount = nRows - row.getAs[Long](s"nn_${c.logical}"),
         ndv = row.getAs[Long](s"ndv_${c.logical}"),
         min = row.getAs[String](s"min_${c.logical}"),

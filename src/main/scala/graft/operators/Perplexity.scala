@@ -25,22 +25,31 @@ import org.apache.spark.sql.functions._
   * exchange), so both probability joins BROADCAST; the only
   * corpus-scale work is the exploding pair scan and ONE doc-keyed
   * aggregation. For an open-vocabulary corpus whose bigram table
-  * outgrows broadcast, cap it by minimum count and let absent bigrams
-  * take the smoothed floor — the join is already a left join with a
-  * zero-count fallback, so the cap changes cost, not code shape.
+  * outgrows broadcast, `minCount` caps it: bigrams seen fewer than
+  * `minCount` times are dropped from the broadcast table and take the
+  * smoothed floor through the existing left join's zero-count
+  * fallback — the cap changes broadcast size, not code shape. (Bigram
+  * TYPE counts grow roughly linearly with corpus size, unlike the
+  * unigram vocabulary, so the cap is what keeps the broadcast bounded
+  * at 100 TB; minCount = 1 is the exact, cap-off configuration.)
   */
 object Perplexity {
 
   /** Per-document bigram perplexity: (doc_id, n_pairs, ppl). `ppl` is
     * rounded to 6 decimals — the mean-of-ln sum is order-sensitive in
-    * the last ulps and engine `ln`s differ there too. */
-  def score(docs: DataFrame, k: Double = 1.0): DataFrame = {
+    * the last ulps and engine `ln`s differ there too. `minCount` drops
+    * bigrams below that count from the broadcast model table (they
+    * score as unseen); 1 = no cap. */
+  def score(docs: DataFrame, k: Double = 1.0, minCount: Long = 1L): DataFrame = {
     val uni = docs
       .select(explode(TextAnalysis.tokens(col("text"))).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
-    val bi = docs
+    val biAll = docs
       .select(explode(QualityFilters.ngrams(col("text"), 2)).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("c2"))
+    // the cap bounds the BROADCAST, not the model: dropped (rare)
+    // bigrams fall through the left join to the smoothed c2 = 0 floor
+    val bi = if (minCount <= 1L) biAll else biAll.where(col("c2") >= minCount)
     val vocab = uni.agg(count(lit(1)).cast("double").as("v"))
     val pairs = docs.select(col("doc_id"),
       explode(QualityFilters.ngrams(col("text"), 2)).as("pair"))

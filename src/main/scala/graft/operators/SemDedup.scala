@@ -28,7 +28,12 @@ import org.apache.spark.sql.functions._
   * the cluster key. Choose k proportional to corpus size (the paper
   * uses ~sqrt(N) to ~N/100) so per-cluster membership — and with it
   * both the per-key quadratic work and any one reducer's share — stays
-  * bounded as the corpus grows.
+  * bounded as the corpus grows. A skewed embedding space can still
+  * hand one centroid a corpus-scale cluster regardless of k;
+  * `maxClusterSize` bounds that tail by recursively re-splitting any
+  * cluster above the cap with a sub-k-means over its own members, so
+  * no cluster — and with it no reducer's candidate-pair share — ever
+  * exceeds cap (work per key <= cap², total pairwise work <= N·cap).
   */
 object SemDedup {
 
@@ -36,19 +41,100 @@ object SemDedup {
     * `precomputed` to reuse an existing k-means assignment (e.g. one
     * shared with cluster-balanced sampling) instead of clustering
     * again — `Similarity.kmeans` is deterministic, so the result is
-    * identical either way. */
+    * identical either way. `maxClusterSize` re-splits oversized
+    * clusters before the pairwise stage (see `resplitOversized`);
+    * None = the paper's plain configuration. */
   def dedup(embeddings: DataFrame, k: Int, iters: Int, minCos: Double,
-      precomputed: Option[DataFrame] = None): DataFrame = {
+      precomputed: Option[DataFrame] = None,
+      maxClusterSize: Option[Int] = None): DataFrame = {
     // pin the assignment: it feeds three plan branches (both sides of
     // the candidate self-join and the anti-join probe), and without a
     // pin each branch would re-run the corpus-wide argmax pass (the
     // Components/kmeans pin pattern; harnesses sweep pins per query)
-    val assign = precomputed.getOrElse(
+    val assign0 = precomputed.getOrElse(
       Similarity.kmeans(embeddings, k, iters).localCheckpoint())
+    val assign = maxClusterSize match {
+      case Some(cap) => resplitOversized(embeddings, assign0, cap, iters)
+      case None => assign0
+    }
     val m = embeddings.select(col("vec_id"), col("embedding"))
       .join(assign, "vec_id")
     val dropped = candidateDrops(m, minCos)
     m.join(dropped, Seq("vec_id"), "left_anti").select("vec_id", "cluster")
+  }
+
+  /** Recursively split every cluster above `cap` with a sub-k-means
+    * over its own members until none remains (or a bounded depth, for
+    * the pathological all-identical-vectors mass that no centroid can
+    * separate). Returns a full (vec_id, cluster) re-assignment;
+    * sub-cluster labels are FRESH longs from a driver-side counter —
+    * k-means labels are seed vec_ids, and a seed of one top-level
+    * cluster can be a MEMBER of another, so reusing sub-seed ids as
+    * labels could collide with a surviving top-level label.
+    *
+    * Scale shape: the oversized set is at most (current cluster
+    * count) rows, collected driver-side; each hot cluster costs one
+    * membership semi-join plus its own kmeans (broadcast-argmax
+    * rounds over cap-bounded members). Hot clusters are few by
+    * construction — k is chosen so the EXPECTED cluster is far under
+    * cap — so the driver loop is short. */
+  private[graft] def resplitOversized(embeddings: DataFrame,
+      assign0: DataFrame, cap: Int, iters: Int): DataFrame = {
+    require(cap > 1, s"need maxClusterSize > 1 (got $cap)")
+    val points = embeddings.select(col("vec_id"), col("embedding"))
+    var assign = assign0
+    // fresh labels start past every possible seed label (= vec_id)
+    var nextLabel = points.agg(max(col("vec_id")).cast("long")).head()
+      .getLong(0) + 1
+    var depth = 0
+    def oversized(): Seq[(Long, Long)] =
+      assign.groupBy("cluster").agg(count(lit(1)).as("n"))
+        .where(col("n") > cap)
+        .select(col("cluster").cast("long"), col("n")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .sortBy(_._1) // collect order is plan-dependent; labels must not be
+    var hot = oversized()
+    // only free pins THIS loop created: round 1's `assign` is the
+    // caller's (possibly shared precomputed) assignment
+    var owned = false
+    while (hot.nonEmpty && depth < 16) {
+      depth += 1
+      val spark = embeddings.sparkSession
+      import scala.jdk.CollectionConverters._
+      val keep = assign
+        .where(!col("cluster").isInCollection(hot.map(_._1)))
+      val pieces = hot.map { case (c, n) =>
+        val subK = math.max(2, ((n + cap - 1) / cap).toInt)
+        val members = points.join(
+          assign.where(col("cluster") === c).select("vec_id"), "vec_id")
+        val sub = Similarity.kmeans(members, subK, iters).localCheckpoint()
+        // relabel: distinct sub labels are <= subK rows (bounded)
+        val labels = sub.select(col("cluster").cast("long")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        val mapping = labels.map { l => val f = nextLabel; nextLabel += 1
+          (l, f) }.toMap
+        val mapDf = broadcast(spark.createDataFrame(
+          mapping.toSeq.sortBy(_._1).map(p =>
+            org.apache.spark.sql.Row(p._1, p._2)).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__old",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("__new",
+              org.apache.spark.sql.types.LongType)))))
+        val out = sub.join(mapDf, col("cluster").cast("long") === col("__old"))
+          .select(col("vec_id"), col("__new").as("cluster"))
+        (sub, out)
+      }
+      val next = (keep.select(col("vec_id"), col("cluster").cast("long")
+          .as("cluster")) +: pieces.map(_._2))
+        .reduce(_ unionByName _).localCheckpoint()
+      pieces.foreach(p => graft.Pins.free(p._1))
+      if (owned) graft.Pins.free(assign)
+      owned = true
+      assign = next
+      hot = oversized()
+    }
+    assign
   }
 
   /** The drop set for an already-clustered frame of

@@ -49,7 +49,7 @@ object Vocabulary {
       col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
       size(oov).cast("long").as("n_oov"),
-      (size(oov).cast("double") / size(toks)).as("oov_ratio"))
+      round(size(oov).cast("double") / size(toks), 9).as("oov_ratio"))
   }
 
   /** Per-document top-k keywords by TF-IDF (`tf * ln(N/df)`), ranked

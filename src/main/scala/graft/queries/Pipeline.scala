@@ -679,7 +679,7 @@ object Pipeline {
       |         SUM(CASE WHEN term IN (SELECT term FROM vc) THEN 0 ELSE 1 END) AS n_oov
       |  FROM toks GROUP BY doc_id)
       |SELECT doc_id, n_tokens, n_oov,
-      |       CAST(n_oov AS DOUBLE) / n_tokens AS oov_ratio
+      |       ROUND(CAST(n_oov AS DOUBLE) / n_tokens, 9) AS oov_ratio
       |FROM st ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Vocabulary.oovStats(t(s, dir, "documents"), 25).orderBy("doc_id")
   }

@@ -39,6 +39,24 @@ class PerplexitySpec extends AnyFunSuite {
     assert(r(0)._3 < r(3)._3)
   }
 
+  test("minCount caps the broadcast model: above-cap bigrams score identically") {
+    // bigrams: "a b"=3 (survives cap 2), "b a"=1 (dropped -> c2 = 0)
+    val capped = Perplexity.score(tiny, minCount = 2L).orderBy("doc_id")
+      .as[(Long, Long, Double)].collect()
+    val full = Perplexity.score(tiny).orderBy("doc_id")
+      .as[(Long, Long, Double)].collect()
+    // doc2's only pair "a b" is above the cap -> identical to cap-off
+    assert(capped(1) === full(1))
+    // doc1 carries the dropped "b a": it takes the smoothed floor
+    // P(b a) = (0+1)/(3+3) = 1/6 -> ppl = ((2/3)^2 / 6)^(-1/3)
+    assert(math.abs(capped(0)._3 - math.cbrt(13.5)) < 1e-6)
+    // the capped model table still broadcasts
+    val plan = Perplexity.score(tiny, minCount = 2L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("probability joins broadcast; no sort-merge join in the plan") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet").limit(200)

@@ -156,6 +156,74 @@ class StreamingNearDedupSpec extends AnyFunSuite {
       === Seq(org.apache.spark.sql.Row(100L)))
   }
 
+  test("ordered guard is a metadata compare: no full-registry aggregate per batch") {
+    import spark.implicits._
+    val e = QueryEngine.scratch(spark)
+    setup(e)
+    def ingest(docs: Seq[(Long, String)]): Unit =
+      e.ingestStreamNearDedup("docs", "idx", docs.toDF("doc_id", "text"),
+        col("text"), shingleN = 2, minJaccard = 0.5,
+        maxDf = Long.MaxValue, None, -1L)
+    ingest(Seq((1L, "alpha beta gamma delta"),
+      (2L, "unrelated tokens entirely here")))
+    // the watermark committed with the batch's atomic manifest
+    assert(e.catalog.watermark("idx") === Some(2L))
+    // capture every action's analyzed plan during the next batch
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.analyzed)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      ingest(Seq((3L, "alpha beta gamma epsilon"),
+        (4L, "fresh new document body")))
+      // QueryExecutionListener delivery is async: drain until the
+      // captured set is stable
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (stable < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val n = plans.size()
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+      import scala.jdk.CollectionConverters._
+      def readsRegistry(
+          p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+        p.collectLeaves().exists {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                f.location.rootPaths.exists(_.toString.contains("/tables/idx/"))
+              case _ => false
+            }
+          case _ => false
+        }
+      // the only groupless aggregate over registry files would be the
+      // pre-watermark fallback guard — with the watermark present the
+      // batch must not collapse the registry
+      val offending = plans.asScala.toList.filter(p => p.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+            if a.groupingExpressions.isEmpty && readsRegistry(a.child) => a
+      }.nonEmpty)
+      assert(plans.size() > 0, "listener captured no actions")
+      assert(offending.isEmpty,
+        s"batch ingest collapsed the registry:\n${offending.mkString("\n")}")
+    } finally spark.listenerManager.unregister(listener)
+    // watermark advanced with the second batch
+    assert(e.catalog.watermark("idx") === Some(4L))
+    // and persists across a catalog reload (engine restart)
+    e.catalog.reload()
+    assert(e.catalog.watermark("idx") === Some(4L))
+  }
+
   test("docs too short for a shingle always admit and index nothing") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
