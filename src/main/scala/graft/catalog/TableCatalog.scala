@@ -152,6 +152,14 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   // slice of the reference's Permission set (auth.rs:32-120:
   // Select/Insert/Update/Delete{table}); "ALL" covers the four
   private val grants = mutable.LinkedHashMap.empty[(String, String), Set[String]]
+  // custom role bundles (rbac.rs:471 create_custom_role): role ->
+  // permission set; the four predefined bundles live in SystemRoles
+  // and are never persisted. Persisted with the catalog
+  private val roleDefs = mutable.LinkedHashMap.empty[String, Set[String]]
+  // catalog-granted role memberships (rbac.rs:381 grant_role):
+  // user -> role names; effective session roles are these plus any
+  // roles carried at setAuth. Persisted with the catalog
+  private val userRoles = mutable.LinkedHashMap.empty[String, Set[String]]
   // versioned schema migrations (migration.rs:99-150: version, up/down
   // scripts; :155 AppliedMigration) — version -> (up, down), plus the
   // applied set; both persisted
@@ -805,6 +813,110 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   def grantList: Seq[(String, String, String)] =
     grants.toSeq.flatMap { case ((t, p), gs) => gs.toSeq.sorted.map((t, p, _)) }
 
+  // ----------------------------------------------------------- roles
+
+  /** Role-permission vocabulary (the graft enforcement points the
+    * reference's Permission enum maps onto, rbac.rs:20-84): the DML
+    * classes checkPrivilege consumes database-wide, the gated DDL/
+    * maintenance classes, GRANT_ROLE for role administration, and the
+    * SUPERUSER marker that short-circuits every check. */
+  val RolePermissions: Set[String] = Set("SUPERUSER",
+    "SELECT", "INSERT", "UPDATE", "DELETE",
+    "CREATE_TABLE", "DROP_TABLE", "ALTER_TABLE", "TRUNCATE",
+    "CREATE_INDEX", "DROP_INDEX", "GRANT_ROLE",
+    "CREATE_SNAPSHOT", "COMPACT", "VIEW_METRICS", "VIEW_AUDIT")
+
+  /** The reference's predefined bundles (rbac.rs:200-334:
+    * Role::superuser/admin/user/readonly) re-expressed in the graft
+    * vocabulary. Always present; never persisted or droppable. */
+  val SystemRoles: Map[String, Set[String]] = Map(
+    "superuser" -> Set("SUPERUSER"),
+    "admin" -> Set("SELECT", "INSERT", "UPDATE", "DELETE",
+      "CREATE_TABLE", "DROP_TABLE", "ALTER_TABLE", "TRUNCATE",
+      "CREATE_INDEX", "DROP_INDEX", "GRANT_ROLE",
+      "CREATE_SNAPSHOT", "COMPACT", "VIEW_METRICS", "VIEW_AUDIT"),
+    "user" -> Set("SELECT", "INSERT", "UPDATE", "DELETE",
+      "CREATE_TABLE", "CREATE_INDEX", "CREATE_SNAPSHOT"),
+    "readonly" -> Set("SELECT", "VIEW_METRICS"))
+
+  /** CREATE ROLE (rbac.rs:471-489 create_custom_role): name must be
+    * fresh — system bundles included — and every permission known. */
+  def createRole(name: String, perms: Set[String]): Unit = {
+    val key = name.toLowerCase
+    if (SystemRoles.contains(key) || roleDefs.contains(key))
+      throw new IllegalArgumentException(s"role already exists: $name")
+    val bad = perms.diff(RolePermissions)
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"unknown permission(s): ${bad.toSeq.sorted.mkString(", ")} " +
+        s"(valid: ${RolePermissions.toSeq.sorted.mkString(", ")})")
+    roleDefs(key) = perms
+    save()
+  }
+
+  /** DROP ROLE (rbac.rs:492-512 delete_custom_role): system bundles
+    * refuse; memberships of the dropped role go with it. */
+  def dropRole(name: String, ifExists: Boolean = false): Unit = {
+    val key = name.toLowerCase
+    if (SystemRoles.contains(key))
+      throw new IllegalArgumentException(s"cannot drop system role: $name")
+    if (roleDefs.remove(key).isEmpty) {
+      if (!ifExists) throw new IllegalArgumentException(s"role not found: $name")
+    } else {
+      for ((u, rs) <- userRoles.toSeq if rs.contains(key)) {
+        val next = rs - key
+        if (next.isEmpty) userRoles.remove(u) else userRoles(u) = next
+      }
+      save()
+    }
+  }
+
+  def roleExists(name: String): Boolean = {
+    val key = name.toLowerCase
+    SystemRoles.contains(key) || roleDefs.contains(key)
+  }
+
+  /** A role's permission bundle (empty for unknown roles — a grantee
+    * string that is not a declared role simply carries no bundle). */
+  def rolePerms(name: String): Set[String] = {
+    val key = name.toLowerCase
+    SystemRoles.getOrElse(key, roleDefs.getOrElse(key, Set.empty))
+  }
+
+  /** GRANT role TO user (rbac.rs:381-397 grant_role). */
+  def grantRole(user: String, role: String): Unit = {
+    val key = role.toLowerCase
+    if (!roleExists(key))
+      throw new IllegalArgumentException(s"role not found: $role")
+    userRoles(user) = userRoles.getOrElse(user, Set.empty) + key
+    save()
+  }
+
+  /** REVOKE role FROM user (rbac.rs:400-414 revoke_role: revoking a
+    * role the user does not hold is an error). */
+  def revokeRole(user: String, role: String): Unit = {
+    val key = role.toLowerCase
+    val cur = userRoles.getOrElse(user, Set.empty)
+    if (!cur.contains(key)) throw new IllegalArgumentException(
+      s"user '$user' does not have role '$role'")
+    val next = cur - key
+    if (next.isEmpty) userRoles.remove(user) else userRoles(user) = next
+    save()
+  }
+
+  /** Catalog-granted role memberships of a user (rbac.rs:417-429). */
+  def rolesOf(user: String): Set[String] =
+    userRoles.getOrElse(user, Set.empty)
+
+  /** (role, isSystem, perms) rows, system bundles first. */
+  def roleList: Seq[(String, Boolean, Set[String])] =
+    SystemRoles.toSeq.sortBy(_._1).map { case (n, p) => (n, true, p) } ++
+      roleDefs.toSeq.map { case (n, p) => (n, false, p) }
+
+  /** (user, role) membership rows for SHOW ROLES. */
+  def roleMembers: Seq[(String, String)] =
+    userRoles.toSeq.flatMap { case (u, rs) => rs.toSeq.sorted.map((u, _)) }
+      .sortBy(identity)
+
   /** Re-read the persisted descriptor, discarding in-memory state —
     * used after RESTORE DATABASE swaps the base dir's contents
     * (attached in-memory logs are registration-time state, not
@@ -814,7 +926,7 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
     nextSeqs.clear(); nextColIds.clear(); fks.clear(); constraints.clear()
     streamBatches.clear(); watermarks.clear(); triggers.clear(); procs.clear()
     sequences.clear(); rlsTables.clear(); policies.clear(); grants.clear()
-    alerts.clear()
+    roleDefs.clear(); userRoles.clear(); alerts.clear()
     migrations.clear(); appliedMigs.clear(); retentionFloors.clear()
     stats.clear(); colStats.clear(); histograms.clear()
     load()
@@ -876,6 +988,10 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
         s"${a.threshold}\t${enc(a.severity)}\n")
     for (((t, p), gs) <- grants; g <- gs)
       sb.append(s"grant\t${enc(t)}\t${enc(p)}\t${enc(g)}\n")
+    for ((r, ps) <- roleDefs)
+      sb.append(s"roledef\t${enc(r)}\t${ps.toSeq.sorted.map(enc).mkString(",")}\n")
+    for ((u, rs) <- userRoles; r <- rs.toSeq.sorted)
+      sb.append(s"urole\t${enc(u)}\t${enc(r)}\n")
     for ((v, (up, down)) <- migrations)
       sb.append(s"migration\t${enc(v)}\t${enc(up)}\t${down.fold("")(enc)}\n")
     for (v <- appliedMigs)
@@ -970,6 +1086,11 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       case Array("grant", t, p, g) =>
         val key = (dec(t), dec(p))
         grants(key) = grants.getOrElse(key, Set.empty) + dec(g)
+      case Array("roledef", r, ps) =>
+        roleDefs(dec(r)) =
+          if (ps.isEmpty) Set.empty else ps.split(",", -1).map(dec).toSet
+      case Array("urole", u, r) =>
+        userRoles(dec(u)) = userRoles.getOrElse(dec(u), Set.empty) + dec(r)
       case Array("migration", v, up, down) =>
         migrations(dec(v)) =
           (dec(up), if (down.isEmpty) None else Some(dec(down)))

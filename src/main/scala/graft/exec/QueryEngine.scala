@@ -1081,7 +1081,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       user match {
         case Some(u) =>
           if (!current.baseSuperuser && u != current.baseUser &&
-              !current.baseRoles.contains(u))
+              !current.baseRoles.contains(u) &&
+              !catalog.rolesOf(current.baseUser).contains(u))
             throw new SecurityException(s"permission denied to set role: $u")
           current.user = u; current.roles = Set(u); current.superuser = false
         case None =>
@@ -1101,6 +1102,33 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Statement.ShowGrants =>
       import spark.implicits._
       catalog.grantList.toDF("table", "privilege", "grantee")
+    case Statement.CreateRole(name, perms) =>
+      requireSuperuser("CREATE ROLE")
+      catalog.createRole(name, perms.toSet)
+      summary("role_created", 0L, 0L)
+    case Statement.DropRole(name, ifEx) =>
+      requireSuperuser("DROP ROLE")
+      catalog.dropRole(name, ifEx)
+      summary("role_dropped", 0L, 0L)
+    case Statement.GrantRole(role, users) =>
+      // the reference's Admin bundle carries GrantRole but not
+      // GrantPermission (rbac.rs:268-295): role membership is
+      // delegable one level below superuser
+      requirePerm("GRANT ROLE", "GRANT_ROLE")
+      users.foreach(catalog.grantRole(_, role))
+      summary("role_granted", 0L, 0L)
+    case Statement.RevokeRole(role, users) =>
+      requirePerm("REVOKE ROLE", "GRANT_ROLE")
+      users.foreach(catalog.revokeRole(_, role))
+      summary("role_revoked", 0L, 0L)
+    case Statement.ShowRoles =>
+      import spark.implicits._
+      val members = catalog.roleMembers.groupBy(_._2)
+        .view.mapValues(_.map(_._1).sorted.mkString(", ")).toMap
+      catalog.roleList.map { case (r, sys, ps) =>
+        (r, if (sys) "SYSTEM" else "CUSTOM",
+          ps.toSeq.sorted.mkString(", "), members.getOrElse(r, ""))
+      }.toDF("role", "kind", "permissions", "members")
     case Statement.SetPrivileges(on) =>
       requireSuperuser("SET PRIVILEGES")
       privilegesEnabled = on
@@ -1159,7 +1187,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         lit(checked).as("files"), lit("ok").as("status"))
     case Statement.Call(name, args) => callProcedure(name, args)
     case Statement.DropTable(name, ifEx) =>
-      requireSuperuser("DROP TABLE") // destructive DDL under the gate
+      // destructive DDL under the gate; the admin bundle carries
+      // DropTable (rbac.rs:268)
+      requirePerm("DROP TABLE", "DROP_TABLE")
       // dropping a table with buffered writes would orphan them, and the
       // storage delete cannot be rolled back — keep DROP out of txns
       if (txn.isDefined)
@@ -1964,6 +1994,10 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case _: Statement.SetRole => ("SET ROLE", "")
     case Statement.Grant(_, t, _) => ("GRANT", t)
     case Statement.Revoke(_, t, _) => ("REVOKE", t)
+    case Statement.CreateRole(r, _) => ("CREATE ROLE", r)
+    case Statement.DropRole(r, _) => ("DROP ROLE", r)
+    case Statement.GrantRole(r, _) => ("GRANT ROLE", r)
+    case Statement.RevokeRole(r, _) => ("REVOKE ROLE", r)
     case Statement.DiffTable(t, _, _) => ("DIFF", t)
     case Statement.CreateMigration(v, _, _) => ("CREATE MIGRATION", v)
     case Statement.Migrate => ("MIGRATE", "")
@@ -2445,11 +2479,17 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // an entry. The length prefix keeps the key unambiguous with
     // visible separators (the text itself may contain any character).
     val s = current
+    // EFFECTIVE roles (carried + catalog memberships): two sessions
+    // sharing carried roles but differing in GRANT role TO user rows
+    // must never share an entry; the roleList hash invalidates when a
+    // bundle's permission set itself changes
     val session =
-      s"|u=${s.user}|r=${s.roles.toSeq.sorted.mkString(",")}|su=${s.superuser}|"
+      s"|u=${s.user}|r=${effectiveRoles(s).toSeq.sorted.mkString(",")}" +
+        s"|su=${isSuperuser(s)}|"
     referencedVersions(text).map(v =>
       s"${text.trim.length}:" + text.trim + session + v +
-        s"|sec:${catalog.policyList.hashCode}:${catalog.grantList.hashCode}:$privilegesEnabled:$rlsRelevant")
+        s"|sec:${catalog.policyList.hashCode}:${catalog.grantList.hashCode}" +
+        s":${catalog.roleList.hashCode}:$privilegesEnabled:$rlsRelevant")
   }
 
   // RLS enable/disable flips don't advance any sequence — fold the
@@ -2480,8 +2520,29 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * temp analytics frames are not governed). */
   private var privilegesEnabled = false
 
+  /** The session's effective role set: roles carried at setAuth plus
+    * catalog-granted memberships (GRANT role TO user) — the rbac.rs
+    * get_user_roles union (rbac.rs:417-429). */
+  private def effectiveRoles(s: Session): Set[String] =
+    s.roles ++ catalog.rolesOf(s.user)
+
+  /** True when some effective role's bundle carries `perm` — bundles
+    * are database-wide like the reference's Permission set, and the
+    * SUPERUSER marker implies everything (rbac.rs:200-245). */
+  private def roleHasPerm(s: Session, perm: String): Boolean =
+    effectiveRoles(s).exists { r =>
+      val ps = catalog.rolePerms(r)
+      ps.contains("SUPERUSER") || ps.contains(perm)
+    }
+
+  /** Session superuser, by flag or by holding a SUPERUSER-bundle role
+    * (the reference's RoleName::Superuser membership). */
+  private def isSuperuser(s: Session): Boolean =
+    s.superuser || effectiveRoles(s).exists(r =>
+      catalog.rolePerms(r).contains("SUPERUSER"))
+
   private def requireSuperuser(what: String): Unit =
-    if (privilegesEnabled && !current.superuser)
+    if (privilegesEnabled && !isSuperuser(current))
       throw new SecurityException(s"permission denied: $what requires superuser")
 
   /** Superuser check that does NOT wait for the privilege gate — for
@@ -2489,8 +2550,17 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * regardless of the gate (RLS administration, the audit switch,
     * trigger DDL whose bodies execute under OTHER sessions). */
   private def requireSuperuserAlways(what: String): Unit =
-    if (!current.superuser)
+    if (!isSuperuser(current))
       throw new SecurityException(s"permission denied: $what requires superuser")
+
+  /** Gate on a role-bundle permission: passes when the gate is off,
+    * the session is superuser, or an effective role's bundle carries
+    * `perm` (rbac.rs:433-452 has_permission). */
+  private def requirePerm(what: String, perm: String): Unit =
+    if (privilegesEnabled && !isSuperuser(current) &&
+        !roleHasPerm(current, perm))
+      throw new SecurityException(
+        s"permission denied: $what requires $perm")
 
   /** Tables the text transitively references (through stored views). */
   private def referencedTables(text: String, depth: Int = 0): Set[String] = {
@@ -2527,10 +2597,16 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * granted directly, via a role, or to PUBLIC
     * (auth.rs:647 check_permission; PG error shape). */
   private def checkPrivilege(table: String, priv: String): Unit =
-    if (privilegesEnabled && !current.superuser && catalog.get(table).isDefined) {
+    if (privilegesEnabled && !isSuperuser(current) &&
+        catalog.get(table).isDefined) {
       val gs = catalog.granteesOf(table, priv)
       val s = current
-      val ok = gs.contains("PUBLIC") || gs.contains(s.user) || gs.exists(s.roles)
+      val roles = effectiveRoles(s)
+      // granted directly, via a role's table grant, to PUBLIC — or
+      // database-wide through a role BUNDLE's DML permission
+      // (rbac.rs Permission::Select et al. are global, not per-table)
+      val ok = gs.contains("PUBLIC") || gs.contains(s.user) ||
+        gs.exists(roles) || roleHasPerm(s, priv)
       if (!ok)
         throw new SecurityException(
           s"permission denied for table $table ($priv)")
@@ -2559,9 +2635,10 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       exprOf: graft.catalog.PolicyDef => Option[String])
       : Option[org.apache.spark.sql.Column] = {
     val s = current
-    if (s.superuser || !catalog.isRlsEnabled(table)) return None
+    if (isSuperuser(s) || !catalog.isRlsEnabled(table)) return None
+    val roles = effectiveRoles(s)
     val applicable = catalog.policiesFor(table, command).filter(p =>
-      p.roles.isEmpty || p.roles.contains(s.user) || p.roles.exists(s.roles))
+      p.roles.isEmpty || p.roles.contains(s.user) || p.roles.exists(roles))
     // a clause-less policy (no USING, no WITH CHECK) passes everything
     def toCol(p: graft.catalog.PolicyDef) = exprOf(p).fold(lit(true))(e =>
       coalesce(expr(bindSessionUser(e)), lit(false)))
@@ -2966,7 +3043,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       throw new IllegalStateException("OPTIMIZE cannot run inside a transaction")
     // rewrites the shared checkpoint layout (PG's CLUSTER requires
     // ownership for the same reason) — admin surface under the gate
-    requireSuperuser("OPTIMIZE")
+    requirePerm("OPTIMIZE", "COMPACT") // admin carries CompactDatabase
     val t = catalog.require(table)
     require(t.attached.isEmpty, s"cannot optimize attached event log: $table")
     val logical = if (zorderBy.nonEmpty) zorderBy else Seq(t.pk)
@@ -3040,7 +3117,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   def vacuumRetain(table: String, retainSeq: Long): DataFrame = {
     // physically destroys shared history below the floor — destructive
     // admin surface, same gate class as DROP TABLE / RESTORE
-    requireSuperuser("VACUUM RETAIN")
+    requirePerm("VACUUM RETAIN", "COMPACT") // admin carries CompactDatabase
     val t = catalog.require(table)
     require(t.attached.isEmpty, s"cannot vacuum attached event log: $table")
     val snapDir = catalog.snapshotPath(table)

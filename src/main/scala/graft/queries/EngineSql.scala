@@ -636,14 +636,20 @@ object EngineSql {
       .orderBy("audit_id")
   }
 
-  /** Table privileges end-to-end (auth.rs:32-120, 647): with the
-    * privilege gate on, alice's pre-grant UPDATE and dave's ungranted
-    * read raise and change nothing; a role-granted analyst reads the
-    * pre-update state (pinned), alice reads post-update after her
-    * UPDATE grant lands, and a revoke locks her out again. The final
-    * result interleaves all three perspectives — a check that fails
-    * open (denied action leaking through) or fails closed (granted
-    * action wrongly blocked) diverges rows or hash. */
+  /** Table privileges end-to-end (auth.rs:32-120, 647; role
+    * administration rbac.rs:153-414): with the privilege gate on,
+    * alice's pre-grant UPDATE and dave's ungranted read raise and
+    * change nothing; a role-granted analyst reads the pre-update
+    * state (pinned), alice reads post-update after her UPDATE grant
+    * lands, and a revoke locks her out again. Role MEMBERSHIP is
+    * exercised both ways: bob reads through a catalog-granted custom
+    * role holding a table grant (CREATE ROLE + GRANT role TO user —
+    * his session carries no roles at all), erin reads through the
+    * predefined readonly BUNDLE with no table grant anywhere, and
+    * REVOKE role FROM bob locks him out again. The final result
+    * interleaves all perspectives — a check that fails open (denied
+    * action leaking through) or fails closed (granted action wrongly
+    * blocked) diverges rows or hash. */
   val qGrants = Q(
     "q_grants",
     """WITH base AS (
@@ -652,6 +658,12 @@ object EngineSql {
       |SELECT 'analyst_pre' AS phase, k, bal, 'new' AS status FROM base
       |UNION ALL
       |SELECT 'alice_post', k, bal,
+      |       CASE WHEN bal > 5000 THEN 'vip' ELSE 'new' END FROM base
+      |UNION ALL
+      |SELECT 'bob_role', k, bal,
+      |       CASE WHEN bal > 5000 THEN 'vip' ELSE 'new' END FROM base
+      |UNION ALL
+      |SELECT 'erin_bundle', k, bal,
       |       CASE WHEN bal > 5000 THEN 'vip' ELSE 'new' END FROM base
       |UNION ALL
       |SELECT 'state', k, bal,
@@ -686,8 +698,28 @@ object EngineSql {
       "SELECT 'alice_post' AS phase, k, bal, status FROM acct")
     e.sql("REVOKE SELECT ON acct FROM alice")
     mustDeny(alice, "SELECT * FROM acct")
+    // role membership path: bob carries NOTHING at setAuth — his
+    // access flows CREATE ROLE -> table grant to the role ->
+    // GRANT role TO bob, all catalog-persisted
+    e.sql("CREATE ROLE auditors")
+    e.sql("GRANT SELECT ON acct TO auditors")
+    val bob = e.newSession(); bob.setAuth("bob")
+    mustDeny(bob, "SELECT * FROM acct") // not yet a member
+    e.sql("GRANT auditors TO bob")
+    val bobRole = bob.sql(
+      "SELECT 'bob_role' AS phase, k, bal, status FROM acct").localCheckpoint()
+    e.sql("REVOKE auditors FROM bob")
+    mustDeny(bob, "SELECT * FROM acct")
+    // bundle path: erin holds the predefined readonly bundle — SELECT
+    // database-wide with no table grant anywhere — and nothing else
+    e.sql("GRANT readonly TO erin")
+    val erin = e.newSession(); erin.setAuth("erin")
+    val erinBundle = erin.sql(
+      "SELECT 'erin_bundle' AS phase, k, bal, status FROM acct")
+    mustDeny(erin, "DELETE FROM acct WHERE k = 1")
     val state = e.sql("SELECT 'state' AS phase, k, bal, status FROM acct")
-    analystPre.unionByName(alicePost).unionByName(state).orderBy("phase", "k")
+    analystPre.unionByName(alicePost).unionByName(bobRole)
+      .unionByName(erinBundle).unionByName(state).orderBy("phase", "k")
   }
 
   /** Query result cache end-to-end (cache.rs:75-300): the same

@@ -173,6 +173,22 @@ object Statement {
   final case class Revoke(privs: Seq[String], table: String,
       grantees: Seq[String]) extends Statement
   case object ShowGrants extends Statement
+  /** CREATE ROLE name [WITH PERMISSIONS p, ...] — a custom role bundle
+    * (rbac.rs:471-489 create_custom_role); the predefined bundles
+    * superuser/admin/user/readonly ship with the engine
+    * (rbac.rs:153-334). */
+  final case class CreateRole(name: String, perms: Seq[String]) extends Statement
+  /** DROP ROLE [IF EXISTS] name (rbac.rs:492-512; system bundles
+    * refuse). */
+  final case class DropRole(name: String, ifExists: Boolean) extends Statement
+  /** GRANT role TO users — role membership, the ON-less GRANT form
+    * (rbac.rs:381-397 grant_role). */
+  final case class GrantRole(role: String, users: Seq[String]) extends Statement
+  /** REVOKE role FROM users (rbac.rs:400-414 revoke_role). */
+  final case class RevokeRole(role: String, users: Seq[String]) extends Statement
+  /** SHOW ROLES — bundles, permissions, and memberships
+    * (rbac.rs:516-520 get_all_roles). */
+  case object ShowRoles extends Statement
   /** SET PRIVILEGES ON|OFF — privilege checking gate (the reference's
     * AuthConfig.enabled, auth.rs:134-160). */
   final case class SetPrivileges(on: Boolean) extends Statement
@@ -369,6 +385,15 @@ object StatementRouter {
   private val RevokeR =
     """(?is)^REVOKE\s+(ALL(?:\s+PRIVILEGES)?|[\w\s,]+?)\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+FROM\s+([\w\s,]+?)\s*$""".r
   private val ShowGrantsR = """(?is)^SHOW\s+GRANTS\s*$""".r
+  private val CreateRoleR =
+    """(?is)^CREATE\s+ROLE\s+(\w+)(?:\s+WITH\s+PERMISSIONS\s+([\w\s,]+?))?\s*$""".r
+  private val DropRoleR =
+    """(?is)^DROP\s+ROLE\s+(IF\s+EXISTS\s+)?(\w+)\s*$""".r
+  // ON-less GRANT/REVOKE = role membership (PG's GRANT role TO user);
+  // tried AFTER the table forms, which require ON
+  private val GrantRoleR = """(?is)^GRANT\s+(\w+)\s+TO\s+([\w\s,]+?)\s*$""".r
+  private val RevokeRoleR = """(?is)^REVOKE\s+(\w+)\s+FROM\s+([\w\s,]+?)\s*$""".r
+  private val ShowRolesR = """(?is)^SHOW\s+ROLES\s*$""".r
   private val SetCacheR = """(?is)^SET\s+CACHE\s+(ON|OFF)\s*$""".r
   private val ShowCacheR = """(?is)^SHOW\s+CACHE\s*$""".r
   private val ClearCacheR = """(?is)^CLEAR\s+CACHE\s*$""".r
@@ -478,6 +503,13 @@ object StatementRouter {
       case RevokeR(privs, table, grantees) =>
         Revoke(parsePrivs(privs), table, splitNames(grantees))
       case ShowGrantsR() => ShowGrants
+      case CreateRoleR(name, perms) =>
+        CreateRole(name, Option(perms).map(splitNames(_)
+          .map(_.toUpperCase)).getOrElse(Nil))
+      case DropRoleR(ifEx, name) => DropRole(name, ifEx != null)
+      case GrantRoleR(role, users) => GrantRole(role, splitNames(users))
+      case RevokeRoleR(role, users) => RevokeRole(role, splitNames(users))
+      case ShowRolesR() => ShowRoles
       case SetPrivilegesR(mode) => SetPrivileges(mode.equalsIgnoreCase("ON"))
       case SetCacheR(mode) => SetCache(mode.equalsIgnoreCase("ON"))
       case ShowCacheR() => ShowCache

@@ -96,6 +96,113 @@ class GrantsSpec extends AnyFunSuite {
     e2.close()
   }
 
+  test("predefined bundles: readonly reads everywhere, user writes, admin administers") {
+    val e = fresh()
+    e.sql("SET PRIVILEGES ON")
+    e.sql("GRANT readonly TO rita")
+    val rita = e.newSession(); rita.setAuth("rita")
+    // SELECT database-wide through the bundle, zero table grants
+    assert(rita.sql("SELECT COUNT(*) AS n FROM t").collect() === Array(Row(2L)))
+    intercept[SecurityException] { rita.sql("INSERT INTO t VALUES (5, 'e')") }
+    intercept[SecurityException] { rita.sql("DROP TABLE t") }
+    e.sql("GRANT user TO ugo")
+    val ugo = e.newSession(); ugo.setAuth("ugo")
+    ugo.sql("INSERT INTO t VALUES (5, 'e')")
+    ugo.sql("UPDATE t SET v = 'x' WHERE k = 5")
+    ugo.sql("DELETE FROM t WHERE k = 5")
+    intercept[SecurityException] { ugo.sql("DROP TABLE t") }
+    intercept[SecurityException] { ugo.sql("GRANT readonly TO someone") }
+    e.sql("GRANT admin TO ada")
+    val ada = e.newSession(); ada.setAuth("ada")
+    // admin carries DropTable, CompactDatabase, and GrantRole —
+    // but NOT GrantPermission or the privilege gate itself
+    ada.sql("OPTIMIZE t")
+    ada.sql("GRANT readonly TO newbie")
+    intercept[SecurityException] { ada.sql("GRANT SELECT ON t TO newbie") }
+    intercept[SecurityException] { ada.sql("SET PRIVILEGES OFF") }
+    ada.sql("DROP TABLE t")
+    e.close()
+  }
+
+  test("the superuser bundle is full power; custom roles validate their permissions") {
+    val e = fresh()
+    e.sql("SET PRIVILEGES ON")
+    e.sql("GRANT superuser TO sam")
+    val sam = e.newSession(); sam.setAuth("sam")
+    assert(sam.sql("SELECT COUNT(*) AS n FROM t").collect() === Array(Row(2L)))
+    sam.sql("GRANT SELECT ON t TO whoever") // GrantPermission-level
+    sam.sql("CREATE ROLE writers WITH PERMISSIONS INSERT, UPDATE")
+    // unknown permission and duplicate names refuse
+    intercept[IllegalArgumentException] {
+      e.sql("CREATE ROLE bad WITH PERMISSIONS FLY")
+    }
+    intercept[IllegalArgumentException] { e.sql("CREATE ROLE writers") }
+    intercept[IllegalArgumentException] { e.sql("CREATE ROLE readonly") }
+    // the custom bundle's DML works database-wide; SELECT is absent
+    e.sql("GRANT writers TO wren")
+    val wren = e.newSession(); wren.setAuth("wren")
+    wren.sql("INSERT INTO t VALUES (7, 'g')")
+    intercept[SecurityException] { wren.sql("SELECT COUNT(*) AS n FROM t") }
+    e.close()
+  }
+
+  test("role lifecycle: membership errors, DROP ROLE cascades, system roles undropable") {
+    val e = fresh()
+    intercept[IllegalArgumentException] { e.sql("GRANT nosuch TO alice") }
+    e.sql("CREATE ROLE temps")
+    e.sql("GRANT temps TO alice")
+    // revoking a role the user does not hold errors (rbac.rs:400-414)
+    intercept[IllegalArgumentException] { e.sql("REVOKE temps FROM bob") }
+    e.sql("DROP ROLE temps")
+    // the membership went with the role
+    assert(!e.catalog.rolesOf("alice").contains("temps"))
+    intercept[IllegalArgumentException] { e.sql("DROP ROLE temps") }
+    e.sql("DROP ROLE IF EXISTS temps") // no-op
+    intercept[IllegalArgumentException] { e.sql("DROP ROLE superuser") }
+    e.close()
+  }
+
+  test("roles persist across reopen; SHOW ROLES lists bundles, perms, members") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-roles-").toString
+    val e = new QueryEngine(spark, dir)
+    e.sql("CREATE ROLE writers WITH PERMISSIONS INSERT, UPDATE")
+    e.sql("GRANT writers TO wren")
+    e.sql("GRANT readonly TO rita")
+    e.close()
+    val e2 = new QueryEngine(spark, dir)
+    val rows = e2.sql("SHOW ROLES").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(rows.map(_._1).toSet ===
+      Set("superuser", "admin", "user", "readonly", "writers"))
+    assert(rows.find(_._1 == "writers").get ===
+      ("writers", "CUSTOM", "INSERT, UPDATE", "wren"))
+    assert(rows.find(_._1 == "readonly").get._4 === "rita")
+    assert(rows.find(_._1 == "superuser").get._2 === "SYSTEM")
+    // membership survives the reopen and still gates
+    e2.sql("CREATE TABLE t (k BIGINT PRIMARY KEY)")
+    e2.sql("SET PRIVILEGES ON")
+    val wren = e2.newSession(); wren.setAuth("wren")
+    wren.sql("INSERT INTO t VALUES (1)")
+    intercept[SecurityException] { wren.sql("SELECT COUNT(*) AS n FROM t") }
+    e2.close()
+  }
+
+  test("SET ROLE can narrow into a catalog-granted role") {
+    val e = fresh()
+    e.sql("SET PRIVILEGES ON")
+    e.sql("CREATE ROLE analysts")
+    e.sql("GRANT SELECT ON t TO analysts")
+    e.sql("GRANT analysts TO nia")
+    val nia = e.newSession(); nia.setAuth("nia")
+    // catalog membership allows the narrowing; an outsider is refused
+    nia.sql("SET ROLE analysts")
+    assert(nia.sql("SELECT COUNT(*) AS n FROM t").collect() === Array(Row(2L)))
+    nia.sql("RESET ROLE")
+    val out = e.newSession(); out.setAuth("outsider")
+    intercept[SecurityException] { out.sql("SET ROLE analysts") }
+    e.close()
+  }
+
   test("VACUUM RETAIN and OPTIMIZE are superuser-only under the gate") {
     val e = QueryEngine.scratch(spark)
     e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY)")
