@@ -37,11 +37,14 @@ object Mixture {
 
   /** Sample `docs` to the mixture: keep a row iff its key bucket
     * falls under its domain's acceptance rate. Returns the kept rows
-    * unchanged. `wide = true` switches to the 64-bit bucket for id
-    * domains past ~3.4e9. */
+    * unchanged. `wide = true` forces the 64-bit bucket; with
+    * `wide = false` the key domain is probed (KeyDomain.needsWide) and
+    * ids past the closed-form bound auto-switch rather than silently
+    * wrapping. */
   def sample(docs: DataFrame, domainCol: String, key: Column,
       nTokens: Column, weights: Map[String, Int], defaultPermille: Int,
       budget: Long, wide: Boolean = false): DataFrame = {
+    val useWide = wide || KeyDomain.needsWide(docs, key, "Mixture.sample")
     // targets resolve to Long LITERALS (exact integer floor) — Spark's
     // column `/` is floating-point division and a drifted rate would
     // desync the sample from any SQL re-derivation of it
@@ -52,7 +55,7 @@ object Mixture {
     val stats = docs.groupBy(col(domainCol))
       .agg(sum(nTokens).cast("long").as("_avail"))
       .withColumn("_tgt", tgt)
-    val bucket = if (wide) permilleBucket64(key) else permilleBucket(key)
+    val bucket = if (useWide) permilleBucket64(key) else permilleBucket(key)
     docs.join(broadcast(stats), domainCol)
       .where(bucket * col("_avail") <
         least(col("_avail"), col("_tgt")) * lit(1000L))
@@ -76,7 +79,8 @@ object Mixture {
     * budget the weights describe. */
   def upsample(docs: DataFrame, key: Column, wPermille: Column,
       wide: Boolean = false): DataFrame = {
-    val bucket = if (wide) permilleBucket64(key) else permilleBucket(key)
+    val useWide = wide || KeyDomain.needsWide(docs, key, "Mixture.upsample")
+    val bucket = if (useWide) permilleBucket64(key) else permilleBucket(key)
     val w = wPermille.cast("long")
     // integer floor division written exactly: the numerator is a
     // multiple of 1000, so the double division is error-free for any

@@ -52,11 +52,15 @@ object TrainingOrder {
     * inside the shard by (orderKey, key)). The returned frame is the
     * EXPORT PLAN — writers repartition on `shard` and sort within
     * partitions by `pos`, giving one sorted file per shard with no
-    * global sort anywhere. `wide = true` switches to the 64-bit key
-    * for id domains past ~3.4e9. */
+    * global sort anywhere. `wide = true` forces the 64-bit key; with
+    * `wide = false` the key domain is probed (one column-pruned
+    * min/max, KeyDomain.needsWide) and ids past the closed-form bound
+    * auto-switch to it rather than silently wrapping. */
   def shardPlan(df: DataFrame, key: Column, seed: Long,
       numShards: Int, wide: Boolean = false): DataFrame = {
-    val ord = if (wide) orderKey64(key, seed) else orderKey(key, seed)
+    val useWide =
+      wide || KeyDomain.needsWide(df, key, "TrainingOrder.shardPlan")
+    val ord = if (useWide) orderKey64(key, seed) else orderKey(key, seed)
     val w = Window.partitionBy(col("_shard")).orderBy(col("_ord"), key)
     df.withColumn("_ord", ord)
       .withColumn("_shard", pmod(col("_ord"), lit(numShards.toLong)))

@@ -212,6 +212,82 @@ final class HttpAdmin(engine: QueryEngine, port: Int = 0,
         """{"error": "no wire server attached"}""" + "\n")
     })
 
+  // ------------------------------------------------------ /status page
+
+  private def htmlEsc(s: String): String = s.flatMap {
+    case '<' => "&lt;"
+    case '>' => "&gt;"
+    case '&' => "&amp;"
+    case '"' => "&quot;"
+    case c => c.toString
+  }
+
+  /** Render a (bounded) statement result as an HTML table. Every
+    * statement surfaced here returns catalog-sized row counts
+    * (metrics, perf summary, storage per table, alert rules). */
+  private def htmlTable(df: org.apache.spark.sql.DataFrame,
+      limit: Int = 200): String = {
+    val cols = df.columns
+    val rows = df.limit(limit).collect()
+    val head = cols.map(c => s"<th>${htmlEsc(c)}</th>").mkString
+    val body = rows.map(r => cols.indices.map(i =>
+        s"<td>${htmlEsc(String.valueOf(r.get(i)))}</td>").mkString)
+      .map(tds => s"<tr>$tds</tr>").mkString("\n")
+    s"<table><thead><tr>$head</tr></thead><tbody>\n$body\n</tbody></table>"
+  }
+
+  /** `GET /status` — a one-page HTML dashboard over the live engine:
+    * health tiles plus the SHOW METRICS / SHOW PERF / SHOW STORAGE /
+    * SHOW ALERTS surfaces. The reference's admin TUI dashboard is a
+    * stub (driftdb-admin/src/main.rs:864 prints "TUI dashboard would
+    * launch here"); this serves the content it names. Read-only,
+    * loopback-bound like every route here. */
+  server.createContext("/status", ex =>
+    try {
+      val h = engine.healthSnapshot.toSeq.sortBy(_._1)
+      val tiles = h.map { case (k, v) =>
+        s"""<div class="tile"><div class="k">${htmlEsc(k)}</div>""" +
+          s"""<div class="v">${htmlEsc(v)}</div></div>"""
+      }.mkString("\n")
+      def section(title: String)(df: => org.apache.spark.sql.DataFrame): String =
+        try s"<h2>${htmlEsc(title)}</h2>\n${htmlTable(df)}"
+        catch { case e: Exception =>
+          s"<h2>${htmlEsc(title)}</h2><p class='err'>${htmlEsc(String.valueOf(e.getMessage))}</p>" }
+      val page =
+        s"""<!doctype html>
+           |<html><head><meta charset="utf-8"><title>graft status</title>
+           |<style>
+           |body{font-family:system-ui,sans-serif;margin:2rem;color:#222}
+           |h1{font-size:1.4rem} h2{font-size:1.1rem;margin-top:1.5rem}
+           |.tiles{display:flex;flex-wrap:wrap;gap:.6rem}
+           |.tile{border:1px solid #ccc;border-radius:6px;padding:.5rem .8rem}
+           |.tile .k{font-size:.75rem;color:#666}
+           |.tile .v{font-size:1.1rem;font-weight:600}
+           |table{border-collapse:collapse;margin-top:.4rem}
+           |th,td{border:1px solid #ddd;padding:.25rem .6rem;font-size:.85rem;text-align:left}
+           |th{background:#f5f5f5} .err{color:#a00}
+           |</style></head><body>
+           |<h1>graft engine status</h1>
+           |<div class="tiles">
+           |$tiles
+           |</div>
+           |${section("Metrics")(engine.sql("SHOW METRICS"))}
+           |${
+             // summary + bucket rows only: slow-log entries carry full
+             // SQL text, which stays behind the authenticated SHOW PERF
+             // (the same redaction /metrics and /performance apply)
+             section("Performance")(engine.sql("SHOW PERF")
+               .where(org.apache.spark.sql.functions.col("kind")
+                 .isin("summary", "bucket")))}
+           |${section("Storage")(engine.sql("SHOW STORAGE"))}
+           |${section("Alerts")(engine.sql("SHOW ALERTS"))}
+           |</body></html>
+           |""".stripMargin
+      respond(ex, 200, "text/html; charset=utf-8", page)
+    } catch { case e: Exception =>
+      respond(ex, 500, "text/plain", s"status failed: ${e.getMessage}\n")
+    })
+
   server.setExecutor(null) // serve on the dispatcher thread
   def start(): HttpAdmin = { server.start(); this }
   def close(): Unit = server.stop(0)

@@ -140,6 +140,48 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(kept - n / 2) < n / 10, s"kept $kept of $n at 500 permille")
   }
 
+  test("ids past the closed-form bound auto-switch to the 64-bit key") {
+    val n = 1000
+    val base = 5000000000L // past KeyDomain.ClosedFormMaxKey
+    val wide = spark.range(n).select((col("id") * 1000L + base).as("doc_id"))
+    // shardPlan WITHOUT wide=true equals the forced 64-bit plan —
+    // the probe detected the domain and switched automatically
+    val auto = TrainingOrder.shardPlan(wide, col("doc_id"), 7L, 8)
+      .select("doc_id", "shard", "pos").orderBy("doc_id").collect()
+    val forced = TrainingOrder.shardPlan(wide, col("doc_id"), 7L, 8, wide = true)
+      .select("doc_id", "shard", "pos").orderBy("doc_id").collect()
+    assert(auto.sameElements(forced))
+    // same for the mixture bucket paths
+    val dom = wide.withColumn("domain", lit("web"))
+      .withColumn("n_tokens", lit(100L))
+    val autoKept = Mixture.sample(dom, "domain", col("doc_id"),
+      col("n_tokens"), Map("web" -> 500), 0, n * 100L)
+      .select("doc_id").orderBy("doc_id").collect()
+    val forcedKept = Mixture.sample(dom, "domain", col("doc_id"),
+      col("n_tokens"), Map("web" -> 500), 0, n * 100L, wide = true)
+      .select("doc_id").orderBy("doc_id").collect()
+    assert(autoKept.sameElements(forcedKept))
+    val autoUp = Mixture.upsample(wide, col("doc_id"), lit(1400L))
+      .orderBy("doc_id", "epoch").collect()
+    val forcedUp = Mixture.upsample(wide, col("doc_id"), lit(1400L),
+      wide = true).orderBy("doc_id", "epoch").collect()
+    assert(autoUp.sameElements(forcedUp))
+    // small-id corpora keep the closed form (SQL-re-derivable): the
+    // auto plan equals the explicit closed-form key order
+    val small = spark.range(n).select(col("id").as("doc_id"))
+    val autoSmall = TrainingOrder.shardPlan(small, col("doc_id"), 7L, 8)
+    // closed form still in the plan: xxhash64 absent for small ids
+    assert(!autoSmall.queryExecution.analyzed.toString.contains("xxhash64"))
+    assert(autoSmall.count() === n)
+    // negative ids beyond the bound also switch (overflow is symmetric)
+    val neg = spark.range(n).select((lit(-base) - col("id")).as("doc_id"))
+    val autoNeg = TrainingOrder.shardPlan(neg, col("doc_id"), 7L, 8)
+      .select("doc_id", "shard", "pos").orderBy("doc_id").collect()
+    val forcedNeg = TrainingOrder.shardPlan(neg, col("doc_id"), 7L, 8,
+      wide = true).select("doc_id", "shard", "pos").orderBy("doc_id").collect()
+    assert(autoNeg.sameElements(forcedNeg))
+  }
+
   test("per-shard positions are contiguous 1..n and shards cover [0, numShards)") {
     val p = TrainingOrder.shardPlan(docs, col("doc_id"), 42L, 4)
     val perShard = p.groupBy("shard")

@@ -146,4 +146,31 @@ class HttpAdminSpec extends AnyFunSuite {
       srv.close(); e.close()
     }
   }
+
+  test("/status serves a one-page HTML dashboard with live counters") {
+    val e = QueryEngine.scratch(spark)
+    val srv = new HttpAdmin(e, 0).start()
+    try {
+      e.sql("CREATE TABLE st (k BIGINT PRIMARY KEY, v DOUBLE)")
+      e.sql("INSERT INTO st VALUES (1, 1.5), (2, 2.5)")
+      e.sql("CREATE ALERT hot ON statements_total > 1 SEVERITY WARNING")
+      val (c, page, ctype) = get(srv.boundPort, "/status")
+      assert(c === 200, page)
+      assert(ctype.startsWith("text/html"), ctype)
+      // health tiles embed the live snapshot
+      assert(page.contains("graft engine status"), page.take(400))
+      assert(page.contains("write_lock_held"), page.take(400))
+      // each SHOW surface renders as a table with live values
+      assert(page.contains("statements_total"), "metrics missing")
+      assert(page.contains("p95_ms"), "perf summary missing")
+      assert(page.contains("<td>st</td>"), "storage row missing")
+      assert(page.contains("hot"), "alert rule missing")
+      // slow-log SQL text stays redacted on this unauthenticated page
+      assert(!page.contains("INSERT INTO st"), "statement text leaked")
+      // escaping: nothing renders as a raw script context
+      assert(!page.contains("<script"), "unexpected script tag")
+    } finally {
+      srv.close(); e.close()
+    }
+  }
 }
