@@ -1712,6 +1712,24 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // keyed collapse: the pk output column IS the window partition
     // attribute, so pk predicates push below the collapse to the scan
     val collapsed = base match {
+      case Some(snapSeq) if txn.isEmpty && t.attached.isEmpty &&
+          snapSeq >= math.min(
+            asOf.getOrElse(Long.MaxValue), catalog.lastSeq(t.name)) =>
+        // the checkpoint IS the state at the read bound — no tail
+        // events past it, and a checkpoint holds each live pk exactly
+        // once as a collapsed INSERT, so the keyed window would be an
+        // identity. Serve the flat columnar scan instead: predicates
+        // and column pruning reach the parquet scan with NO window
+        // exchange in the plan. At 100 TB this makes every
+        // post-checkpoint read a plain scan; in-transaction reads
+        // keep the windowed path (buffered events union in), and
+        // ATTACHED event logs are excluded — they carry no sequence
+        // counter, so "no tail past the checkpoint" cannot be decided
+        // from metadata for them.
+        val snap = Snapshots.read(spark, catalog.snapshotPath(table), snapSeq,
+          Some(EventLog.schema(t.payloadSchema)))
+        snap.select(t.payloadSchema.fieldNames.toIndexedSeq
+          .map(f => col(s"payload.`$f`").as(f)): _*)
       case Some(snapSeq) =>
         val tail = asOf.fold(ev.where(col("sequence") > snapSeq))(s =>
           ev.where(col("sequence") > snapSeq && col("sequence") <= s))
@@ -1782,7 +1800,12 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           // which a plain append-then-commitSeq would duplicate on
           // the next statement's sequence assignment
           publishAtomic(Seq((t.name, ev)), Map(t.name -> (base + n)), streamMeta)
-          maybeAutoSnapshot(t.name, base + n)
+          maybeAutoSnapshot(t.name, base + n,
+            // the first-load checkpoint shortcut requires the batch to
+            // BE the collapsed state: empty table before this append,
+            // INSERT events only, pk uniqueness actually enforced
+            firstLoad = if (base == 0L && eventType == EventLog.INSERT &&
+              enforcePkUniqueness) Some(ev) else None)
       }
     }
     (n, base + n)
@@ -1802,12 +1825,34 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   // saves a filesystem listing per statement
   private val lastSnapSeqs = scala.collection.mutable.HashMap.empty[String, Long]
 
-  private def maybeAutoSnapshot(table: String, lastSeq: Long): Unit =
+  private def maybeAutoSnapshot(table: String, lastSeq: Long,
+      firstLoad: Option[DataFrame] = None): Unit =
     if (autoSnapshotEvery > 0 && txn.isEmpty) {
       val snapAt = lastSnapSeqs.getOrElseUpdate(table,
         Snapshots.nearest(spark, catalog.snapshotPath(table), None).getOrElse(0L))
       if (lastSeq - snapAt >= autoSnapshotEvery) {
-        snapshot(table)
+        firstLoad match {
+          case Some(ev) if snapAt == 0L &&
+              Snapshots.available(spark, catalog.snapshotPath(table)).isEmpty =>
+            // first bulk load into an empty table: the appended batch
+            // IS the collapsed state (unique pks enforced by the
+            // guard, all INSERT-typed) and the just-published log
+            // files carry exactly its bytes (same rows, same parquet
+            // options) — small loads COPY those files into place with
+            // no Spark job at all; large ones keep the distributed
+            // write, skipping only the log re-read and the collapse
+            // window
+            val t = catalog.require(table)
+            if (!Snapshots.copyFrom(spark, logDir(table),
+                catalog.snapshotPath(table), lastSeq))
+              Snapshots.writePrecollapsed(ev, catalog.snapshotPath(table),
+                lastSeq,
+                (if (encryptionOn)
+                  Map("parquet.encryption.uniform.key" -> Encryption.MasterKeyId)
+                else Map.empty[String, String]) ++ bloomOptions(t))
+            metricSnapshots += 1
+          case _ => snapshot(table)
+        }
         lastSnapSeqs(table) = catalog.lastSeq(table)
       }
     }
@@ -2737,23 +2782,64 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * parent row cannot go away while any child row references it. Rows
     * removed by this same statement do not block it (self-FK chains
     * delete together). */
-  private def fkIncomingProbes(t: TableDef, deleted: DataFrame): Seq[DataFrame] =
-    for ((child, childCol, parentCol) <- catalog.referencingFks(t.name)) yield {
-      // a child row not referencing a deleted key can never block the
-      // delete — inline small delete batches so the child scan prunes
-      // (nested pushdown on payload.childCol; bloom when indexed)
-      val childState0 = inlineKeyFilter(stateAt(child, None), childCol,
-        deleted, parentCol)
-      val childState = if (child == t.name)
-        childState0.join(deleted.select(col(t.pk)), Seq(t.pk), "left_anti")
-      else childState0
-      childState.where(col(childCol).isNotNull)
-        .join(deleted.select(col(parentCol).as("_fk_key")),
-          col(childCol) === col("_fk_key"), "left_semi")
-        .select(lit(
-          s"foreign key violation: cannot delete from ${t.name} — $child.$childCol references it")
-          .as("_err"))
+  private def fkIncomingProbes(t: TableDef, deleted: DataFrame): Seq[DataFrame] = {
+    val incoming = catalog.referencingFks(t.name)
+    if (incoming.isEmpty) return Nil
+    // one bounded collect per referenced column, shared by every child
+    // probe: Some(keys) below the cap, Some(Nil) when the batch holds
+    // no non-null values (probe provably empty), None above the cap.
+    // The caller pinned `deleted`, so each collect reads blocks.
+    val keyCache = scala.collection.mutable.HashMap.empty[String, Option[Seq[Any]]]
+    def keysOf(c: String): Option[Seq[Any]] = keyCache.getOrElseUpdate(c, {
+      val vals = deleted.select(col(c)).where(col(c).isNotNull)
+        .distinct().limit(InlineKeyCap + 1).collect().map(_.get(0)).toSeq
+      if (vals.length <= InlineKeyCap) Some(vals) else None
+    })
+    for ((child, childCol, parentCol) <- incoming) yield {
+      val msg = lit(
+        s"foreign key violation: cannot delete from ${t.name} — $child.$childCol references it")
+        .as("_err")
+      def joinProbe: DataFrame = {
+        // above the inline cap: the set-based shape — prune the child
+        // scan where possible, then a semi join against the batch
+        val childState0 = inlineKeyFilter(stateAt(child, None), childCol,
+          deleted, parentCol)
+        val childState = if (child == t.name)
+          childState0.join(deleted.select(col(t.pk)), Seq(t.pk), "left_anti")
+        else childState0
+        childState.where(col(childCol).isNotNull)
+          .join(deleted.select(col(parentCol).as("_fk_key")),
+            col(childCol) === col("_fk_key"), "left_semi")
+          .select(msg)
+      }
+      keysOf(parentCol) match {
+        case Some(Nil) =>
+          // no deletable keys -> nothing can reference them; an empty
+          // LocalRelation lets PropagateEmptyRelation erase the probe
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("_err",
+                org.apache.spark.sql.types.StringType))))
+        case Some(vals) =>
+          // small batch: the probe is a pure scan-stage IN-list filter
+          // on the child state — row groups prune by min/max + bloom,
+          // and the plan carries NO join or exchange at all
+          val base = stateAt(child, None)
+            .where(col(childCol).isNotNull &&
+              col(childCol).isin(vals: _*))
+          if (child != t.name) base.select(msg)
+          else keysOf(t.pk) match {
+            // self-FK: rows deleted by this same statement never block
+            case Some(pks) if pks.nonEmpty =>
+              base.where(!col(t.pk).isin(pks: _*)).select(msg)
+            case Some(_) => base.select(msg)
+            case None => joinProbe
+          }
+        case None => joinProbe
+      }
     }
+  }
 
   /** INSERT (VALUES or SELECT): align source columns to the target
     * column list (by position, like the reference — sql_bridge.rs:
@@ -2808,8 +2894,20 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // a single limit-1 collect
     // one state read shared by the pk and constraint probes — each
     // stateAt call re-plans the log scan, so building it once keeps the
-    // guard job's plan (and its parquet footer work) single
-    lazy val state = stateAt(table, None)
+    // guard job's plan (and its parquet footer work) single. A table
+    // with no events at all (first bulk load) substitutes an empty
+    // LocalRelation: PropagateEmptyRelation then erases the
+    // state-collision probes at optimization time, so the guard job
+    // carries only the within-batch checks — no stage ever scans the
+    // empty log
+    lazy val state: DataFrame =
+      if (catalog.lastSeq(t.name) == 0L &&
+          txn.forall(_.seqs.get(t.name).isEmpty) && t.attached.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(t.columns.map(c =>
+            org.apache.spark.sql.types.StructField(c.logical, c.dataType))))
+      else stateAt(table, None)
     val pkProbes = if (!enforcePkUniqueness) Nil else {
       val pk = t.pk
       Seq(

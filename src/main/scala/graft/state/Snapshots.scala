@@ -59,6 +59,45 @@ object Snapshots {
     collapsedAsInserts(events, Some(seq))
       .write.options(options).mode("overwrite").parquet(s"$dir/seq=$seq")
 
+  /** Write an ALREADY-collapsed event frame (each live pk exactly
+    * once, INSERT-typed) as the checkpoint at `seq` — the
+    * first-bulk-load shortcut where the ingested batch IS the state
+    * and the collapse window would be an identity. */
+  def writePrecollapsed(frames: DataFrame, dir: String, seq: Long,
+      options: Map[String, String] = Map.empty): Unit =
+    frames.write.options(options).mode("overwrite").parquet(s"$dir/seq=$seq")
+
+  /** Copy an already-published parquet dir (a first-load log batch —
+    * byte-identical to the checkpoint content, same parquet options)
+    * into place as the checkpoint at `seq`, skipping the Spark write
+    * job entirely. Bounded by `maxBytes`: a driver-side byte copy is
+    * the right shape only for SMALL first loads — past the cap the
+    * caller keeps the distributed write. Crash-safe via copy-to-tmp +
+    * rename (the tmp name never matches the snapshot dir pattern, so
+    * a torn copy is invisible, never served). Returns false when the
+    * copy does not apply (missing source, too large, copy fault). */
+  def copyFrom(spark: SparkSession, srcDir: String, dir: String, seq: Long,
+      maxBytes: Long = 1L << 30): Boolean = {
+    val (fs, _) = fsFor(spark, dir)
+    val src = new Path(srcDir)
+    if (!fs.exists(src)) return false
+    val files = fs.listStatus(src).filter(_.getPath.getName.startsWith("part-"))
+    if (files.isEmpty || files.map(_.getLen).sum > maxBytes) return false
+    val tmp = new Path(s"$dir/seq=$seq.copytmp")
+    val finalDir = new Path(s"$dir/seq=$seq")
+    try {
+      if (fs.exists(tmp)) fs.delete(tmp, true) // stale torn copy
+      fs.mkdirs(tmp)
+      for (f <- files)
+        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+          new Path(tmp, f.getPath.getName), false,
+          spark.sparkContext.hadoopConfiguration)
+      fs.rename(tmp, finalDir)
+    } catch { case _: Exception =>
+      scala.util.Try(fs.delete(tmp, true)); false
+    }
+  }
+
   /** Rewrite the checkpoint at `seq` (already-collapsed INSERT frames,
     * e.g. re-clustered by OPTIMIZE) as the next version dir, then prune
     * the superseded versions. The old version serves reads until the

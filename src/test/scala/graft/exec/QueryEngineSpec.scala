@@ -119,6 +119,50 @@ class QueryEngineSpec extends AnyFunSuite {
       === Seq(Row(1.5)))
   }
 
+  test("snapshot at the current sequence serves a flat scan with no window") {
+    val e = seeded() // 3 inserts = seq 3
+    e.sql("SNAPSHOT t")
+    // no tail events past the checkpoint: the read must carry no
+    // window exchange — a post-checkpoint read is a plain scan
+    val plan = e.sql("SELECT id, val FROM t").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(rows(e, "SELECT id FROM t ORDER BY id")
+      === Seq(Row(1L), Row(2L), Row(3L)))
+    // a write past the checkpoint re-introduces the tail: collapse path
+    e.sql("INSERT INTO t VALUES (4, 'd', 4.5)")
+    assert(rows(e, "SELECT id FROM t ORDER BY id")
+      === Seq(Row(1L), Row(2L), Row(3L), Row(4L)))
+  }
+
+  test("attached event logs never take the checkpoint fast path (no counter)") {
+    import spark.implicits._
+    val e = QueryEngine.scratch(spark)
+    // 3 inserts then an update at seq 4 — attached, so the engine has
+    // no sequence counter for it
+    val log = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), "INSERT", "1", 1L, "a"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), "INSERT", "2", 2L, "b"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), "INSERT", "3", 3L, "c"),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 00:00:04"), "INSERT", "2", 2L, "B2"))
+      .toDF("sequence", "ts", "event_type", "pk", "id", "name")
+      .select(org.apache.spark.sql.functions.col("sequence"),
+        org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("pk"),
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("name")).as("payload"))
+    e.attachEventLog("att", "id", log)
+    // checkpoint at seq 2, then read past it: the tail (seq 3, 4) MUST
+    // be replayed even though lastSeq bookkeeping says 0 for attached
+    e.snapshot("att", atSeq = Some(2L))
+    assert(rows(e, "SELECT id, name FROM att ORDER BY id")
+      === Seq(Row(1L, "a"), Row(2L, "B2"), Row(3L, "c")))
+    assert(rows(e,
+      "SELECT id, name FROM att FOR SYSTEM_TIME AS OF @SEQ:3 ORDER BY id")
+      === Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c")))
+  }
+
   test("views expand recursively through the catalog") {
     val e = seeded()
     e.sql("CREATE VIEW big AS SELECT * FROM t WHERE val > 2")
