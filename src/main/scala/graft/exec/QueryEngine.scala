@@ -652,6 +652,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         _: Statement.SetEncryptionKey | Statement.SetEncryptionOff |
         _: Statement.CopyTo | _: Statement.DiffTable |
         _: Statement.Describe | _: Statement.Analyze |
+        _: Statement.CheckTable |
         Statement.Begin | _: Statement.Rollback | _: Statement.Savepoint |
         _: Statement.ReleaseSavepoint => false
     case Statement.Commit => txn.exists(t => t.pending.nonEmpty && !t.aborted)
@@ -1258,6 +1259,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Statement.DiffTable(table, a, b) => diff(table, a, b)
     case Statement.Explain(inner, analyze, format) => explain(inner, analyze, format)
     case Statement.Analyze(table) => analyze(table)
+    case Statement.CheckTable(table, full) => checkTable(table, full)
+    case Statement.RepairTable(table) => repairTable(table)
     case Statement.ShowTables => showTables()
     case Statement.ShowCreateTable(table) => showCreateTable(table)
     case Statement.Describe(table) => describe(table)
@@ -2027,6 +2030,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Statement.Snapshot(t) => ("SNAPSHOT", t)
     case Statement.Optimize(t, _) => ("OPTIMIZE", t)
     case Statement.Analyze(t) => ("ANALYZE", t)
+    case Statement.CheckTable(t, _) => ("CHECK", t)
+    case Statement.RepairTable(t) => ("REPAIR", t)
     case Statement.CopyFrom(t, _, _) => ("COPY", t)
     case Statement.CopyTo(_, p, _, _) => ("COPY TO", p)
     case Statement.Begin => ("BEGIN", "")
@@ -3780,6 +3785,208 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     buckets.zipWithIndex
       .map { case ((lo, hi, n), b) => (b.toLong, lo, hi, n) }
       .toDF("bucket", "lo", "hi", "n")
+  }
+
+  // ========================================================= integrity
+
+  /** Audit one parquet path for end-to-end readability: Right(rows,
+    * sequence range) or Left(failure). One bounded Spark job — footer
+    * corruption fails at planning, page corruption fails in the scan;
+    * either way the fault is isolated to this path. */
+  private def auditParquet(path: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : Either[String, (Long, Option[(Long, Long)])] =
+    try {
+      val r = spark.read.schema(schema).parquet(path)
+        .agg(count(lit(1)), min(col("sequence")), max(col("sequence"))).head()
+      Right((r.getLong(0),
+        if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2)))))
+    } catch { case e: Exception => Left(errLine(e)) }
+
+  private def auditFrame(df: => DataFrame): Either[String, Long] =
+    try Right(df.agg(count(lit(1))).head().getLong(0))
+    catch { case e: Exception => Left(errLine(e)) }
+
+  private def errLine(e: Exception): String =
+    Option(e.getMessage).getOrElse(e.getClass.getName)
+      .replaceAll("\\s+", " ").take(160)
+
+  private def tableLogFiles(t: TableDef): Seq[Path] = {
+    val p = new Path(logDir(t.name))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+  }
+
+  /** Missing sequences among `files` against the expected contiguous
+    * range (floor, lastSeq]: (count, max missing). ONE distributed
+    * anti-join of the expected range against the present sequences —
+    * no driver-side materialization of either set. */
+  private def missingSeqs(files: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      floor: Long, lastSeq: Long): (Long, Long) = {
+    val present =
+      if (files.isEmpty)
+        spark.range(0).select(col("id").as("sequence"))
+      else spark.read.schema(schema).parquet(files: _*).select(col("sequence"))
+    val r = spark.range(floor + 1, lastSeq + 1).toDF("sequence")
+      .join(present, Seq("sequence"), "left_anti")
+      .agg(count(lit(1)), max(col("sequence"))).head()
+    (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))
+  }
+
+  /** Order-independent content fingerprint of a frame: (row count,
+    * bit_xor of per-row xxhash64). */
+  private def stateFingerprint(df: DataFrame): (Long, Long) = {
+    val hashed = df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("__h"))
+    val r = hashed.agg(count(lit(1)), expr("bit_xor(__h)")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** CHECK TABLE t [FULL] — read-only integrity audit (the detection
+    * half of the reference's self-healing recovery,
+    * error_recovery.rs:395-505, expressed for a parquet event log):
+    * one row per finding.
+    *  - `log`: every log part file read end-to-end (per-file jobs, so
+    *    one corrupt file cannot mask another);
+    *  - `sequence`: the readable log must hold exactly the contiguous
+    *    range (retention floor, lastSeq] — atomic publish guarantees
+    *    it, so a hole means a lost or corrupt file;
+    *  - `checkpoint`: every snapshot readable;
+    *  - FULL adds `state`: the newest checkpoint's live rows must
+    *    fingerprint-equal the log's own collapse at the same sequence
+    *    (skipped — reported as SKIPPED — when the log is itself
+    *    incomplete, corrupt, or vacuumed below the checkpoint). */
+  def checkTable(table: String, full: Boolean = false): DataFrame = {
+    checkPrivilege(table, "SELECT")
+    val t = catalog.require(table)
+    require(t.attached.isEmpty, s"cannot check attached event log: $table")
+    val evSchema = EventLog.schema(t.payloadSchema)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, String)]
+    val readable = scala.collection.mutable.ArrayBuffer.empty[String]
+    var logCorrupt = false
+    for (p <- tableLogFiles(t)) auditParquet(p.toString, evSchema) match {
+      case Right((n, seqs)) =>
+        readable += p.toString
+        out += (("log", p.getName, "OK",
+          s"rows=$n" + seqs.fold("")(s => s" seq=[${s._1},${s._2}]")))
+      case Left(err) =>
+        logCorrupt = true
+        out += (("log", p.getName, "CORRUPT", err))
+    }
+    val floor = catalog.retentionFloor(t.name)
+    val lastSeq = catalog.lastSeq(t.name)
+    var holes = 0L
+    if (lastSeq > floor) {
+      val (missing, maxMissing) =
+        missingSeqs(readable.toSeq, evSchema, floor, lastSeq)
+      holes = missing
+      out += (("sequence", t.name, if (missing == 0) "OK" else "HOLES",
+        s"expected=($floor,$lastSeq] missing=$missing" +
+          (if (missing > 0) s" max_missing=$maxMissing" else "")))
+    }
+    val snapDir = catalog.snapshotPath(t.name)
+    val snaps = Snapshots.available(spark, snapDir)
+    for (s <- snaps)
+      auditFrame(Snapshots.read(spark, snapDir, s, Some(evSchema))) match {
+        case Right(n) => out += (("checkpoint", s"seq=$s", "OK", s"rows=$n"))
+        case Left(err) => out += (("checkpoint", s"seq=$s", "CORRUPT", err))
+      }
+    if (full) snaps.lastOption match {
+      case Some(s) if !logCorrupt && holes == 0 && floor == 0 =>
+        val snapState = Snapshots.read(spark, snapDir, s, Some(evSchema))
+          .select(t.payloadSchema.fieldNames.toIndexedSeq
+            .map(f => col(s"payload.`$f`").as(f)): _*)
+        // collapse the RAW log (not stateAt — that would serve the very
+        // checkpoint under audit) at the checkpoint's sequence
+        val logState = StateView.stateAtKeyed(
+          spark.read.schema(evSchema).parquet(logDir(t.name)),
+          Some(s), t.pkPhysical)
+        val (sn, sh) = stateFingerprint(snapState)
+        val (ln, lh) = stateFingerprint(logState)
+        out += (("state", s"seq=$s",
+          if (sn == ln && sh == lh) "CONSISTENT" else "DIVERGED",
+          s"checkpoint rows=$sn log rows=$ln"))
+      case Some(s) =>
+        out += (("state", s"seq=$s", "SKIPPED",
+          "log incomplete, corrupt, or vacuumed — no independent collapse"))
+      case None => ()
+    }
+    import spark.implicits._
+    out.toSeq.toDF("component", "target", "status", "detail")
+  }
+
+  /** REPAIR TABLE t — act on what CHECK reports (the repair half of
+    * the reference's recovery: error_recovery.rs:456-505 truncates a
+    * corrupt segment at the corruption point and proceeds with
+    * bounded, REPORTED data loss; the parquet-log analogue is
+    * file-level):
+    *  1. unreadable log files move to `<table>/quarantine/` (kept for
+    *     forensics, out of every read path);
+    *  2. unreadable checkpoints are dropped;
+    *  3. a sequence hole raises the retention floor — to the smallest
+    *     readable checkpoint covering the hole when one exists (state
+    *     fully preserved, pre-hole history refused), else to the
+    *     hole's top (events lost, reported);
+    *  4. the current-state checkpoint is rebuilt from the readable
+    *     artifacts so every later read serves clean files. */
+  def repairTable(table: String): DataFrame = writeLock.synchronized {
+    requireSuperuserAlways("REPAIR TABLE")
+    if (txn.isDefined)
+      throw new IllegalStateException("REPAIR TABLE cannot run inside a transaction")
+    ensureWriteLock()
+    val t = catalog.require(table)
+    require(t.attached.isEmpty, s"cannot repair attached event log: $table")
+    val evSchema = EventLog.schema(t.payloadSchema)
+    val fs = new Path(baseDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    val readable = scala.collection.mutable.ArrayBuffer.empty[String]
+    val qDir = new Path(s"$baseDir/tables/${t.name}/quarantine")
+    for (p <- tableLogFiles(t)) auditParquet(p.toString, evSchema) match {
+      case Right(_) => readable += p.toString
+      case Left(err) =>
+        if (!fs.exists(qDir)) fs.mkdirs(qDir)
+        if (!fs.rename(p, new Path(qDir, p.getName)))
+          throw new java.io.IOException(s"quarantine rename failed: $p")
+        out += (("quarantine", p.getName, err))
+    }
+    val snapDir = catalog.snapshotPath(t.name)
+    for (s <- Snapshots.available(spark, snapDir))
+      if (auditFrame(Snapshots.read(spark, snapDir, s, Some(evSchema))).isLeft) {
+        Snapshots.delete(spark, snapDir, s)
+        out += (("checkpoint_dropped", s"seq=$s", "unreadable"))
+      }
+    val snaps = Snapshots.available(spark, snapDir)
+    val floor = catalog.retentionFloor(t.name)
+    val lastSeq = catalog.lastSeq(t.name)
+    if (lastSeq > floor) {
+      val (missing, maxMissing) =
+        missingSeqs(readable.toSeq, evSchema, floor, lastSeq)
+      if (missing > 0) {
+        val covering = snaps.find(_ >= maxMissing)
+        val newFloor = covering.getOrElse(maxMissing)
+        catalog.setRetentionFloor(t.name, newFloor)
+        out += (("floor", t.name, s"raised to $newFloor"))
+        out += (("lost", t.name, covering match {
+          case Some(c) =>
+            s"0 rows — checkpoint seq=$c preserves the state; " +
+              "history at or below the floor is refused"
+          case None =>
+            s"up to $missing event(s) in ($floor,$maxMissing]"
+        }))
+      }
+    }
+    // invalidate the snapshot bookkeeping snapshot() consults, then
+    // rebuild the current checkpoint from the readable artifacts
+    lastSnapSeqs.remove(t.name)
+    snapshot(table)
+    out += (("checkpoint", t.name,
+      s"rebuilt at seq=${catalog.lastSeq(t.name)}"))
+    import spark.implicits._
+    out.toSeq.toDF("action", "target", "detail")
   }
 
   def showTables(): DataFrame = {

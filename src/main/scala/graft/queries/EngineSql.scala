@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.exec.QueryEngine
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, concat_ws, lit, md5, slice, split}
+import org.apache.spark.sql.functions.{col, concat_ws, lit, max, md5, min, slice, split}
 
 /** Correctness queries that exercise the ENGINE SHELL — every one of
   * these routes through `engine.sql(<string>)`: the statement router,
@@ -1292,6 +1292,58 @@ object EngineSql {
     * engines are closed and their temp dirs deleted as soon as the
     * (collected) result is in hand — 28 leaked engines' pinned blocks
     * and temp parquet otherwise degrade the rest of a bench suite. */
+  /** Corruption repair end-to-end (error_recovery.rs:395-505 made
+    * deterministic): three INSERT batches land, every log file holding
+    * batch 2's sequence range is truncated mid-byte, and REPAIR TABLE
+    * quarantines the corrupt files, raises the retention floor to the
+    * hole's top, and rebuilds the checkpoint. The result is the
+    * surviving state (batches 1 and 3) plus a meta row pinning the
+    * floor the repair computed — the oracle re-derives both from the
+    * fixture arithmetic, so surviving too few rows (over-repair), too
+    * many (serving corrupt data), or a wrong floor all diverge. */
+  val qRepair = Q(
+    "q_repair",
+    """SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal
+      |FROM customer
+      |WHERE c_custkey < 100 OR (c_custkey >= 200 AND c_custkey < 300)
+      |UNION ALL
+      |SELECT -1, CAST(
+      |  (SELECT COUNT(*) FROM customer WHERE c_custkey < 200) AS DOUBLE)
+      |ORDER BY k""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.sql("CREATE TABLE doc (k BIGINT PRIMARY KEY, bal DOUBLE)")
+    for ((lo, hi) <- Seq((0L, 100L), (100L, 200L), (200L, 300L)))
+      e.sql(s"""INSERT INTO doc
+               |SELECT c_custkey, c_acctbal FROM customer
+               |WHERE c_custkey >= $lo AND c_custkey < $hi""".stripMargin)
+    // batch 2's sequence range from the fixture's own arithmetic
+    val n1 = e.sql("SELECT COUNT(*) AS n FROM customer WHERE c_custkey < 100")
+      .head().getLong(0)
+    val n12 = e.sql("SELECT COUNT(*) AS n FROM customer WHERE c_custkey < 200")
+      .head().getLong(0)
+    // truncate every log file whose sequences lie inside batch 2
+    val logDir = java.nio.file.Paths.get(e.baseDir, "tables", "doc", "log")
+    val files = java.nio.file.Files.list(logDir).iterator()
+    val it = scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
+    for (f <- it if f.getFileName.toString.startsWith("part-")) {
+      val r = s.read.parquet(f.toString)
+        .agg(min(col("sequence")), max(col("sequence"))).head()
+      if (r.getLong(0) > n1 && r.getLong(1) <= n12) {
+        val bytes = java.nio.file.Files.readAllBytes(f)
+        java.nio.file.Files.write(f, bytes.take(bytes.length / 2))
+      }
+    }
+    e.sql("REPAIR TABLE doc")
+    // the meta row carries the floor REPAIR actually set — the oracle
+    // expects exactly batch 2's top sequence (count of keys < 200)
+    val floor = e.catalog.retentionFloor("doc")
+    e.sql(s"""SELECT k, bal FROM doc
+             |UNION ALL
+             |SELECT -1, CAST($floor AS DOUBLE)
+             |ORDER BY k""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     qSqlAsOfSeq, qSqlAsOfTs, qSqlSystemAll, qSqlBetween, qSqlSnapshot,
     qLifecycleCurrent, qLifecycleAsOf, qTxnLifecycle, qFkLifecycle,
@@ -1302,6 +1354,6 @@ object EngineSql {
     qMetrics, qVacuumRetain, qDiffTable, qZOrder, qStreamDedup,
     qStreamNearDedup,
     qShowStats, qShowHistogram, qSecurityThreats, qSecuritySessions,
-    qAlerts)
+    qAlerts, qRepair)
     .map(q => q.copy(run = (s, dir) => QueryEngine.scratchScope(s)(q.run(s, dir))))
 }

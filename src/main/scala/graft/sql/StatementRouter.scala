@@ -103,6 +103,19 @@ object Statement {
     * compaction, engine.rs:739-845; Delta's VACUUM-with-retention is
     * the same contract). */
   final case class VacuumRetain(table: String, retainSeq: Long) extends Statement
+  /** CHECK TABLE t [FULL] — read-only integrity audit of the table's
+    * persisted artifacts: per-file log/checkpoint readability,
+    * sequence continuity against the catalog counter, and (FULL) a
+    * content compare of the newest checkpoint against the log's own
+    * collapse (the detection half of the reference's self-healing
+    * recovery, error_recovery.rs:395-505). */
+  final case class CheckTable(table: String, full: Boolean) extends Statement
+  /** REPAIR TABLE t — quarantine unreadable log files, drop unreadable
+    * checkpoints, raise the retention floor over lost history, and
+    * rebuild the checkpoint from the readable artifacts (the repair
+    * half: error_recovery.rs:456-505 truncates corrupt segments and
+    * accepts bounded, REPORTED data loss the same way). */
+  final case class RepairTable(table: String) extends Statement
   /** DIFF TABLE t BETWEEN @SEQ:a AND @SEQ:b — the NET row changes
     * between two collapsed states (added/removed/modified), the
     * state-level complement of FOR SYSTEM_TIME BETWEEN's event feed
@@ -334,6 +347,9 @@ object StatementRouter {
     """(?is)^OPTIMIZE\s+([\w.]+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$""".r
   private val VacuumRetainR =
     """(?is)^VACUUM\s+([\w.]+)\s+RETAIN\s+@SEQ:(\d+)\s*$""".r
+  private val CheckTableR =
+    """(?is)^CHECK\s+TABLE\s+([\w.]+)(\s+FULL)?\s*$""".r
+  private val RepairTableR = """(?is)^REPAIR\s+TABLE\s+([\w.]+)\s*$""".r
   private val DiffTableR =
     """(?is)^DIFF\s+TABLE\s+([\w.]+)\s+BETWEEN\s+@SEQ:(\d+)\s+AND\s+@SEQ:(\d+)\s*$""".r
   private val ExplainR =
@@ -571,6 +587,8 @@ object StatementRouter {
         Optimize(table, Option(cols).toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
       case VacuumRetainR(table, seq) => VacuumRetain(table, seq.toLong)
+      case CheckTableR(table, full) => CheckTable(table, full != null)
+      case RepairTableR(table) => RepairTable(table)
       case DiffTableR(table, a, b) => DiffTable(table, a.toLong, b.toLong)
       case AnalyzeR(table) => Analyze(table)
       case ExplainR(an, fmt, inner) =>
