@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Components, Decontam, Dedup, Dsir, FullText, Mixture, Multimodal, Packing, Perplexity, QualityFilters, Quantize, RangeJoin, Sampling, SemDedup, Similarity, SubstringDedup, TextAnalysis, TextChunking, TrainingOrder, Vocabulary}
+import graft.operators.{AsOfJoin, Bpe, Components, Decontam, Dedup, Dsir, FullText, Mixture, Multimodal, Packing, Perplexity, QualityFilters, Quantize, RangeJoin, Sampling, SemDedup, Similarity, SubstringDedup, TextAnalysis, TextChunking, TrainingOrder, Vocabulary}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1484,8 +1484,77 @@ object Pipeline {
       .orderBy("vec_id", "dim")
   }
 
+  /** The DuckDB side of BPE learning, generated per round: round i
+    * counts freq-weighted adjacent symbol pairs over the current
+    * word-representation table w(i-1), picks the top (count DESC,
+    * pair ASC) into m(i), and rewrites every occurrence into w(i).
+    * REPLACE in DuckDB and Spark's StringReplace share the same
+    * left-to-right non-overlapping semantics, so the rounds agree
+    * exactly. */
+  private def bpeOracleSql(k: Int, docCap: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w0 AS (
+        |  SELECT ' ' || array_to_string(
+        |           list_transform(range(1, len(w)+1), i -> substr(w, i, 1)), ' ')
+        |         || ' </w> ' AS repr, COUNT(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) > 0 GROUP BY 1)""".stripMargin)
+    for (i <- 1 to k) {
+      val m = s"(SELECT pair FROM m$i)"
+      sb.append(s""",
+        |p$i AS (
+        |  SELECT pair, SUM(freq) AS n FROM (
+        |    SELECT unnest(list_transform(range(1, len(t)),
+        |             j -> concat_ws(' ', t[j], t[j+1]))) AS pair, freq
+        |    FROM (SELECT string_split(trim(repr), ' ') AS t, freq
+        |          FROM w${i - 1}))
+        |  GROUP BY pair),
+        |m$i AS (SELECT pair FROM p$i ORDER BY n DESC, pair LIMIT 1),
+        |w$i AS (SELECT REPLACE(repr, ' ' || $m || ' ',
+        |          ' ' || REPLACE($m, ' ', '') || ' ') AS repr, freq
+        |        FROM w${i - 1})""".stripMargin)
+    }
+    // encoding: per-doc symbol string (words double-space-joined, like
+    // the engine) with the k merges applied in rank order
+    var enc = """' ' || array_to_string(list_transform(ws, w ->
+      |    array_to_string(list_transform(range(1, len(w)+1),
+      |      i -> substr(w, i, 1)), ' ') || ' </w>'), '  ') || ' '""".stripMargin
+    for (i <- 1 to k) {
+      val m = s"(SELECT pair FROM m$i)"
+      enc = s"REPLACE($enc, ' ' || $m || ' ', ' ' || REPLACE($m, ' ', '') || ' ')"
+    }
+    sb.append(s""",
+      |docsel AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '),
+      |                   w -> len(w) > 0) AS ws
+      |  FROM documents WHERE doc_id < $docCap),
+      |enc AS (SELECT doc_id, $enc AS s FROM docsel),
+      |tk AS (SELECT doc_id, regexp_split_to_array(trim(s), ' +') AS t
+      |       FROM enc WHERE len(trim(s)) > 0)
+      |SELECT doc_id, unnest(range(0, len(t))) AS pos, unnest(t) AS token
+      |FROM tk ORDER BY doc_id, pos""".stripMargin)
+    sb.toString
+  }
+
+  /** BPE train + tokenize (Bpe.learn + Bpe.encode): 6 merges learned
+    * from the whole corpus's word-frequency table, then the first 40
+    * documents tokenized with them. The oracle re-runs the ENTIRE
+    * algorithm — all six learning rounds and the rank-ordered merge
+    * application — in SQL, so a wrong pair ranking, a tie broken the
+    * other way, a cross-word merge, or a divergent replace order all
+    * change tokens and diverge the hash. */
+  val qBpeEncode = Q("q_bpe_encode", bpeOracleSql(6, 40)) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val merges = Bpe.learn(docs, 6)
+    Bpe.encode(docs.where(col("doc_id") < 40), merges)
+      .select(col("doc_id"), posexplode(col("tokens")).as(Seq("pos", "token")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+      .orderBy("doc_id", "pos")
+  }
+
   val all: Seq[Q] = Seq(
-    qQualityRepetition, qTrainShuffle, qBpePairs, qEmbedQuant,
+    qQualityRepetition, qTrainShuffle, qBpePairs, qBpeEncode, qEmbedQuant,
     qDecontam, qDecontamClean, qDecontamSpans, qDomainMix, qMixUpsample,
     qDedupExact, qPipelineE2E, qJaccardPairs, qShingleJaccard, qDupClusters,
     qDedupKeep,
