@@ -3867,7 +3867,16 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       .empty[(String, String, String, String)]
     val readable = scala.collection.mutable.ArrayBuffer.empty[String]
     var logCorrupt = false
-    for (p <- tableLogFiles(t)) auditParquet(p.toString, evSchema) match {
+    val files = tableLogFiles(t)
+    // happy path: ONE distributed read over the whole log dir; only a
+    // failure falls back to per-file isolation jobs (so a clean 100 TB
+    // log costs one scan, not one job per file)
+    val wholeOk = files.nonEmpty &&
+      auditParquet(logDir(t.name), evSchema).isRight
+    if (wholeOk) {
+      readable ++= files.map(_.toString)
+      out += (("log", s"${files.size} file(s)", "OK", "whole-dir read"))
+    } else for (p <- files) auditParquet(p.toString, evSchema) match {
       case Right((n, seqs)) =>
         readable += p.toString
         out += (("log", p.getName, "OK",
@@ -3945,7 +3954,11 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
     val readable = scala.collection.mutable.ArrayBuffer.empty[String]
     val qDir = new Path(s"$baseDir/tables/${t.name}/quarantine")
-    for (p <- tableLogFiles(t)) auditParquet(p.toString, evSchema) match {
+    val files = tableLogFiles(t)
+    // one whole-dir read decides the happy path (see checkTable)
+    if (files.nonEmpty && auditParquet(logDir(t.name), evSchema).isRight)
+      readable ++= files.map(_.toString)
+    else for (p <- files) auditParquet(p.toString, evSchema) match {
       case Right(_) => readable += p.toString
       case Left(err) =>
         if (!fs.exists(qDir)) fs.mkdirs(qDir)
