@@ -392,6 +392,13 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
     * back to scanning). */
   def watermark(table: String): Option[Long] = watermarks.get(table)
 
+  /** Forget a table's ingest watermark — TRUNCATE empties the
+    * registry's state, so a rebuild-from-scratch pipeline must be
+    * able to re-ingest from pk 1 (the content-derived guard resets
+    * the same way). */
+  def clearWatermark(table: String): Unit =
+    if (watermarks.remove(table).isDefined) save()
+
   /** Last committed micro-batch id for a stream (None = none yet). */
   def lastStreamBatch(streamId: String): Option[Long] = streamBatches.get(streamId)
 

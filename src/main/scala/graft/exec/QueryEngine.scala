@@ -822,6 +822,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
 
   private def dispatch(statement: Statement): DataFrame = statement match {
     case Statement.CreateTable(name, cols, pk, fkDefs, conDefs) =>
+      requirePerm("CREATE TABLE", "CREATE_TABLE")
       // FK declarations are validated up front: child column must be
       // declared, parent table (self-reference allowed) and parent
       // column must exist (fk.rs:44-66; inline form sql_bridge.rs:5738)
@@ -869,6 +870,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           cycle = false, ownedBy = Some((name, c)))
       summary("created", 0L, catalog.lastSeq(name))
     case Statement.CreateIndex(idx, table, colName) =>
+      requirePerm("CREATE INDEX", "CREATE_INDEX")
       // catalog metadata + physical effect: subsequent log/snapshot
       // writes stamp a parquet bloom filter on the indexed column
       // (bloomOptions) — range predicates were already served by
@@ -876,6 +878,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       catalog.createIndex(idx, table, colName)
       summary("indexed", 0L, catalog.lastSeq(table))
     case Statement.DropIndex(idx, ifEx) =>
+      requirePerm("DROP INDEX", "DROP_INDEX")
       catalog.dropIndex(idx, ifEx)
       summary("index_dropped", 0L, 0L)
     case Statement.CreateView(name, viewSql, materialized, orReplace) =>
@@ -1083,7 +1086,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         case Some(u) =>
           if (!current.baseSuperuser && u != current.baseUser &&
               !current.baseRoles.contains(u) &&
-              !catalog.rolesOf(current.baseUser).contains(u))
+              // memberships store lowercased role keys — match them
+              !catalog.rolesOf(current.baseUser).contains(u.toLowerCase))
             throw new SecurityException(s"permission denied to set role: $u")
           current.user = u; current.roles = Set(u); current.superuser = false
         case None =>
@@ -1114,12 +1118,20 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Statement.GrantRole(role, users) =>
       // the reference's Admin bundle carries GrantRole but not
       // GrantPermission (rbac.rs:268-295): role membership is
-      // delegable one level below superuser
-      requirePerm("GRANT ROLE", "GRANT_ROLE")
+      // delegable one level below superuser — EXCEPT membership in a
+      // SUPERUSER-bundle role, which would let an admin self-escalate
+      // past every gate with one statement (a deliberate deviation:
+      // rbac.rs:381 grant_role checks only the role's existence)
+      if (catalog.rolePerms(role).contains("SUPERUSER"))
+        requireSuperuserAlways("GRANT ROLE (superuser bundle)")
+      else requirePerm("GRANT ROLE", "GRANT_ROLE")
       users.foreach(catalog.grantRole(_, role))
       summary("role_granted", 0L, 0L)
     case Statement.RevokeRole(role, users) =>
-      requirePerm("REVOKE ROLE", "GRANT_ROLE")
+      // symmetric: only a superuser may strip superuser membership
+      if (catalog.rolePerms(role).contains("SUPERUSER"))
+        requireSuperuserAlways("REVOKE ROLE (superuser bundle)")
+      else requirePerm("REVOKE ROLE", "GRANT_ROLE")
       users.foreach(catalog.revokeRole(_, role))
       summary("role_revoked", 0L, 0L)
     case Statement.ShowRoles =>
@@ -1141,7 +1153,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       requireSuperuserAlways("SET AUDIT")
       auditEnabled = on
       summary(if (on) "audit_enabled" else "audit_disabled", 0L, 0L)
-    case Statement.ShowAudit => showAudit()
+    case Statement.ShowAudit =>
+      requirePerm("SHOW AUDIT", "VIEW_AUDIT")
+      showAudit()
     case Statement.BackupDb(dir, parent) =>
       // a backup copies the RAW table files — every row, regardless of
       // RLS visibility — so it is superuser-only once the gate is on
@@ -1218,14 +1232,22 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       summary("dropped", 0L, 0L)
     // TRUNCATE routes through delete(), which already enforces the
     // DELETE privilege and removes only RLS-visible rows
-    case Statement.Truncate(table) => truncate(table)
+    case Statement.Truncate(table) =>
+      // TRUNCATE is its own permission class (PG does the same): full
+      // DML rights do not include emptying a shared table wholesale.
+      // The DELETE privilege check inside delete() still applies too.
+      requirePerm("TRUNCATE", "TRUNCATE")
+      truncate(table)
     case Statement.AlterAdd(table, c, ddl) =>
+      requirePerm("ALTER TABLE", "ALTER_TABLE")
       catalog.addColumn(table, c, DataType.fromDDL(ddl))
       summary("altered", 0L, catalog.lastSeq(table))
     case Statement.AlterRename(table, from, to) =>
+      requirePerm("ALTER TABLE", "ALTER_TABLE")
       catalog.renameColumn(table, from, to)
       summary("altered", 0L, catalog.lastSeq(table))
     case Statement.AlterDrop(table, c) =>
+      requirePerm("ALTER TABLE", "ALTER_TABLE")
       catalog.dropColumn(table, c)
       summary("altered", 0L, catalog.lastSeq(table))
     case Statement.InsertValues(table, cols, valuesSql) =>
@@ -1243,6 +1265,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Statement.Update(table, assigns, where) => update(table, assigns, where)
     case Statement.Delete(table, where) => delete(table, where)
     case Statement.Snapshot(table) =>
+      requirePerm("SNAPSHOT", "CREATE_SNAPSHOT")
       // a snapshot reads events() which includes buffered uncommitted
       // writes — persisting those would leak rolled-back data
       if (txn.isDefined)
@@ -1317,7 +1340,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Statement.SetStatementTimeout(ms) =>
       current.statementTimeoutMs = ms
       summary("timeout_set", ms, 0L)
-    case Statement.ShowMetrics => showMetrics()
+    case Statement.ShowMetrics =>
+      requirePerm("SHOW METRICS", "VIEW_METRICS")
+      showMetrics()
     case Statement.ShowStorage(t) => showStorage(t)
     case Statement.ShowStats(t) => showStats(t)
     case Statement.ShowHistogram(t, c) => showHistogram(t, c)
@@ -1363,7 +1388,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       slowLogThresholdMs = ms
       if (ms == 0) slowLog.clear()
       summary("slow_log_set", ms, 0L)
-    case Statement.ShowPerf => showPerf()
+    case Statement.ShowPerf =>
+      requirePerm("SHOW PERF", "VIEW_METRICS")
+      showPerf()
     case Statement.SetRateLimit(qps, burst) =>
       // a protection control, like SET AUDIT: active regardless of the
       // privilege gate, so only superusers may move it
@@ -1762,7 +1789,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   private def append(t: TableDef, rowsLogical: DataFrame, eventType: String,
       direct: Boolean = false,
       streamMeta: Option[(String, Long)] = None,
-      prePinned: Boolean = false): (Long, Long) = {
+      prePinned: Boolean = false,
+      pkChecked: Boolean = false): (Long, Long) = {
     if (t.attached.isDefined)
       throw new UnsupportedOperationException(
         s"table ${t.name} is an attached read-only event log")
@@ -1806,9 +1834,13 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           maybeAutoSnapshot(t.name, base + n,
             // the first-load checkpoint shortcut requires the batch to
             // BE the collapsed state: empty table before this append,
-            // INSERT events only, pk uniqueness actually enforced
+            // INSERT events only, and pk uniqueness probes ACTUALLY
+            // RAN on this batch (`pkChecked` — only insertFrom's path
+            // sets it; COPY/stream ingestion skips the probes, and an
+            // at-least-once stream's duplicates must go through the
+            // real collapse)
             firstLoad = if (base == 0L && eventType == EventLog.INSERT &&
-              enforcePkUniqueness) Some(ev) else None)
+              pkChecked) Some(ev) else None)
       }
     }
     (n, base + n)
@@ -2925,7 +2957,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       constraintViolations(t, full, state, None) ++
       rlsCheckProbes(table, full, "INSERT") ++
       fkOutgoingProbes(t, full))
-    val (n, last) = append(t, full, EventLog.INSERT, prePinned = true)
+    val (n, last) = append(t, full, EventLog.INSERT, prePinned = true,
+      pkChecked = enforcePkUniqueness)
     fireTriggers(table, "INSERT", "AFTER", None, Some(full))
     summary("insert", n, last)
   }
@@ -3075,7 +3108,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
 
   /** TRUNCATE = soft-delete every current row (sql_bridge.rs:701-750);
     * DELETE triggers fire with the full table as old_rows. */
-  def truncate(table: String): DataFrame = delete(table, None)
+  def truncate(table: String): DataFrame = {
+    val r = delete(table, None)
+    // an emptied table's ordered-ingest watermark resets with it —
+    // a rebuilt pipeline re-ingests from pk 1, like the pre-watermark
+    // content-derived guard would have allowed
+    catalog.clearWatermark(table)
+    r
+  }
 
   /** Some(shape) iff the SQL is incrementally maintainable
     * (IncrementalView.parse) over a (non-attached) engine table of
@@ -3507,27 +3547,57 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       // pure arrival-order (temporal) semantics opt out with
       // requireOrdered = false, accepting that the result then depends
       // on delivery order, not ids.
+      // the metadata watermark stores a Long, so only INTEGRAL pks use
+      // the fast guard; other orderable pk types keep the
+      // content-derived guard (correct, one registry aggregate per
+      // batch — a cast-to-long "guard" would silently null out and
+      // never fire, the quiet corruption this check exists to prevent)
+      val pkIntegral = t.columns.find(_.logical == t.pk)
+        .exists(_.dataType match {
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.ByteType => true
+          case _ => false
+        })
       // one batch-sized job over the pinned checkpoint: min drives the
       // ordered guard, max becomes the registry's new watermark
-      val bounds = full.agg(min(col(t.pk)).cast("long"),
-        max(col(t.pk)).cast("long")).head()
-      val batchMin = if (bounds.isNullAt(0)) None else Some(bounds.getLong(0))
-      val batchMax = if (bounds.isNullAt(1)) None else Some(bounds.getLong(1))
-      if (requireOrdered) {
-        // the guard is a CATALOG-METADATA compare — the registry is
-        // never collapsed per batch. The watermark (max pk ever
-        // admitted) commits in the same atomic manifest as the
-        // postings, so it can never lag registry content. Registries
-        // filled before the watermark existed fall back to ONE
-        // registry aggregate; the first publish then records it.
-        val regMax = catalog.watermark(r.name).orElse {
-          val m = stateAt(r.name, None).agg(max(col("doc_id")).cast("long")).head()
-          if (m.isNullAt(0)) None else Some(m.getLong(0))
+      val batchMax: Option[Long] =
+        if (!pkIntegral) None
+        else {
+          val bounds = full.agg(min(col(t.pk)).cast("long"),
+            max(col(t.pk)).cast("long")).head()
+          val batchMin =
+            if (bounds.isNullAt(0)) None else Some(bounds.getLong(0))
+          if (requireOrdered) {
+            // the guard is a CATALOG-METADATA compare — the registry
+            // is never collapsed per batch. The watermark (max pk ever
+            // admitted) commits in the same atomic manifest as the
+            // postings, so it can never lag registry content.
+            // Registries filled before the watermark existed fall back
+            // to ONE registry aggregate; the first publish records it.
+            val regMax = catalog.watermark(r.name).orElse {
+              val m = stateAt(r.name, None)
+                .agg(max(col("doc_id")).cast("long")).head()
+              if (m.isNullAt(0)) None else Some(m.getLong(0))
+            }
+            for (rm <- regMax; bm <- batchMin)
+              if (bm <= rm) throw new IllegalArgumentException(
+                s"ingestStreamNearDedup: batch contains pk <= the registry's " +
+                  s"max doc_id ($rm) — batches must arrive in " +
+                  "ascending pk ranges for id-order semantics, or pass " +
+                  "requireOrdered = false for arrival-order semantics")
+          }
+          if (bounds.isNullAt(1)) None else Some(bounds.getLong(1))
         }
-        for (rm <- regMax; bm <- batchMin)
-          if (bm <= rm) throw new IllegalArgumentException(
+      if (!pkIntegral && requireOrdered) {
+        // content-derived guard for non-integral pks (native ordering)
+        val regMax = stateAt(r.name, None).agg(max(col("doc_id"))).head()
+        if (!regMax.isNullAt(0) &&
+            full.where(col(t.pk) <= lit(regMax.get(0))).limit(1).count() > 0)
+          throw new IllegalArgumentException(
             s"ingestStreamNearDedup: batch contains pk <= the registry's " +
-              s"max doc_id ($rm) — batches must arrive in " +
+              s"max doc_id (${regMax.get(0)}) — batches must arrive in " +
               "ascending pk ranges for id-order semantics, or pass " +
               "requireOrdered = false for arrival-order semantics")
       }
@@ -3791,21 +3861,32 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
 
   /** Audit one parquet path for end-to-end readability: Right(rows,
     * sequence range) or Left(failure). One bounded Spark job — footer
-    * corruption fails at planning, page corruption fails in the scan;
-    * either way the fault is isolated to this path. */
+    * corruption fails at planning, page corruption fails in the scan.
+    * The per-row hash over EVERY column forces full page decode: a
+    * pruned count would be answered from row-group metadata and never
+    * touch a corrupt payload page. (Silent in-place bit flips that
+    * still decode are content faults, not readability faults — CHECK
+    * FULL's checkpoint-vs-log compare is the detector for those.) */
   private def auditParquet(path: String,
       schema: org.apache.spark.sql.types.StructType)
       : Either[String, (Long, Option[(Long, Long)])] =
     try {
-      val r = spark.read.schema(schema).parquet(path)
-        .agg(count(lit(1)), min(col("sequence")), max(col("sequence"))).head()
+      val df = spark.read.schema(schema).parquet(path)
+      val r = df
+        .select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("__h"),
+          col("sequence"))
+        .agg(count(lit(1)), min(col("sequence")), max(col("sequence")),
+          expr("bit_xor(__h)")).head()
       Right((r.getLong(0),
         if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2)))))
     } catch { case e: Exception => Left(errLine(e)) }
 
   private def auditFrame(df: => DataFrame): Either[String, Long] =
-    try Right(df.agg(count(lit(1))).head().getLong(0))
-    catch { case e: Exception => Left(errLine(e)) }
+    try {
+      val d = df
+      Right(d.select(xxhash64(d.columns.map(col).toIndexedSeq: _*).as("__h"))
+        .agg(count(lit(1)), expr("bit_xor(__h)")).head().getLong(0))
+    } catch { case e: Exception => Left(errLine(e)) }
 
   private def errLine(e: Exception): String =
     Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -3905,19 +3986,23 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       }
     if (full) snaps.lastOption match {
       case Some(s) if !logCorrupt && holes == 0 && floor == 0 =>
-        val snapState = Snapshots.read(spark, snapDir, s, Some(evSchema))
-          .select(t.payloadSchema.fieldNames.toIndexedSeq
-            .map(f => col(s"payload.`$f`").as(f)): _*)
-        // collapse the RAW log (not stateAt — that would serve the very
-        // checkpoint under audit) at the checkpoint's sequence
-        val logState = StateView.stateAtKeyed(
-          spark.read.schema(evSchema).parquet(logDir(t.name)),
-          Some(s), t.pkPhysical)
-        val (sn, sh) = stateFingerprint(snapState)
-        val (ln, lh) = stateFingerprint(logState)
-        out += (("state", s"seq=$s",
-          if (sn == ln && sh == lh) "CONSISTENT" else "DIVERGED",
-          s"checkpoint rows=$sn log rows=$ln"))
+        try {
+          val snapState = Snapshots.read(spark, snapDir, s, Some(evSchema))
+            .select(t.payloadSchema.fieldNames.toIndexedSeq
+              .map(f => col(s"payload.`$f`").as(f)): _*)
+          // collapse the RAW log (not stateAt — that would serve the
+          // very checkpoint under audit) at the checkpoint's sequence
+          val logState = StateView.stateAtKeyed(
+            spark.read.schema(evSchema).parquet(logDir(t.name)),
+            Some(s), t.pkPhysical)
+          val (sn, sh) = stateFingerprint(snapState)
+          val (ln, lh) = stateFingerprint(logState)
+          out += (("state", s"seq=$s",
+            if (sn == ln && sh == lh) "CONSISTENT" else "DIVERGED",
+            s"checkpoint rows=$sn log rows=$ln"))
+        } catch { case e: Exception =>
+          out += (("state", s"seq=$s", "CORRUPT", errLine(e)))
+        }
       case Some(s) =>
         out += (("state", s"seq=$s", "SKIPPED",
           "log incomplete, corrupt, or vacuumed — no independent collapse"))

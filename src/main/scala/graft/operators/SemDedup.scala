@@ -83,9 +83,10 @@ object SemDedup {
     require(cap > 1, s"need maxClusterSize > 1 (got $cap)")
     val points = embeddings.select(col("vec_id"), col("embedding"))
     var assign = assign0
-    // fresh labels start past every possible seed label (= vec_id)
-    var nextLabel = points.agg(max(col("vec_id")).cast("long")).head()
-      .getLong(0) + 1
+    // fresh labels start past every possible seed label (= vec_id);
+    // computed LAZILY — the common case has no oversized cluster and
+    // must not pay a corpus pass (and an empty frame has no max)
+    var nextLabel = -1L
     var depth = 0
     def oversized(): Seq[(Long, Long)] =
       assign.groupBy("cluster").agg(count(lit(1)).as("n"))
@@ -99,6 +100,10 @@ object SemDedup {
     var owned = false
     while (hot.nonEmpty && depth < 16) {
       depth += 1
+      if (nextLabel < 0) {
+        val m = points.agg(max(col("vec_id")).cast("long")).head()
+        nextLabel = (if (m.isNullAt(0)) 0L else m.getLong(0)) + 1
+      }
       val spark = embeddings.sparkSession
       import scala.jdk.CollectionConverters._
       val keep = assign

@@ -203,6 +203,66 @@ class GrantsSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("advertised DDL/maintenance permissions are actually enforced") {
+    val e = fresh()
+    e.sql("SET PRIVILEGES ON")
+    e.sql("GRANT user TO uma")
+    val uma = e.newSession(); uma.setAuth("uma")
+    uma.sql("CREATE TABLE mine (k BIGINT PRIMARY KEY)") // user: CREATE_TABLE
+    uma.sql("CREATE INDEX mi ON mine (k)") // user: CREATE_INDEX
+    uma.sql("INSERT INTO mine VALUES (1)")
+    uma.sql("SNAPSHOT mine") // user: CREATE_SNAPSHOT
+    intercept[SecurityException] { uma.sql("ALTER TABLE mine ADD COLUMN v STRING") }
+    intercept[SecurityException] { uma.sql("TRUNCATE mine") } // not in user bundle
+    intercept[SecurityException] { uma.sql("DROP INDEX mi") }
+    intercept[SecurityException] { uma.sql("SHOW AUDIT") }
+    e.sql("GRANT admin TO ada")
+    val ada = e.newSession(); ada.setAuth("ada")
+    ada.sql("ALTER TABLE mine ADD COLUMN v STRING")
+    ada.sql("TRUNCATE mine")
+    ada.sql("DROP INDEX mi")
+    ada.sql("SHOW AUDIT")
+    // a roleless user under the gate is default-denied DDL + metrics
+    val nix = e.newSession(); nix.setAuth("nix")
+    intercept[SecurityException] { nix.sql("CREATE TABLE nt (k BIGINT PRIMARY KEY)") }
+    intercept[SecurityException] { nix.sql("SHOW METRICS") }
+    e.sql("GRANT readonly TO rita")
+    val rita = e.newSession(); rita.setAuth("rita")
+    rita.sql("SHOW METRICS") // readonly: VIEW_METRICS
+    e.close()
+  }
+
+  test("admins cannot grant (or strip) the superuser bundle") {
+    val e = fresh()
+    e.sql("SET PRIVILEGES ON")
+    e.sql("GRANT admin TO ada")
+    val ada = e.newSession(); ada.setAuth("ada")
+    // GRANT_ROLE does not reach superuser membership — that would be
+    // a one-statement self-escalation
+    intercept[SecurityException] { ada.sql("GRANT superuser TO ada") }
+    e.sql("CREATE ROLE godmode WITH PERMISSIONS SUPERUSER")
+    intercept[SecurityException] { ada.sql("GRANT godmode TO ada") }
+    ada.sql("GRANT readonly TO someone") // ordinary bundles still work
+    e.sql("GRANT superuser TO sam")
+    val sam = e.newSession(); sam.setAuth("sam")
+    sam.sql("GRANT godmode TO other") // a superuser-bundle holder may
+    intercept[SecurityException] { ada.sql("REVOKE superuser FROM sam") }
+    e.sql("REVOKE superuser FROM sam")
+    e.close()
+  }
+
+  test("SET ROLE matches catalog memberships case-insensitively") {
+    val e = fresh()
+    e.sql("SET PRIVILEGES ON")
+    e.sql("CREATE ROLE Analysts") // stored lowercased
+    e.sql("GRANT SELECT ON t TO analysts")
+    e.sql("GRANT Analysts TO nia")
+    val nia = e.newSession(); nia.setAuth("nia")
+    nia.sql("SET ROLE Analysts") // membership matched case-insensitively
+    nia.sql("RESET ROLE")
+    e.close()
+  }
+
   test("VACUUM RETAIN and OPTIMIZE are superuser-only under the gate") {
     val e = QueryEngine.scratch(spark)
     e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY)")

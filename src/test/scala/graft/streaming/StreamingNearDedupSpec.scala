@@ -224,6 +224,48 @@ class StreamingNearDedupSpec extends AnyFunSuite {
     assert(e.catalog.watermark("idx") === Some(4L))
   }
 
+  test("TRUNCATE resets the watermark: a rebuilt pipeline re-ingests from pk 1") {
+    import spark.implicits._
+    val e = QueryEngine.scratch(spark)
+    setup(e)
+    def ingest(docs: Seq[(Long, String)]): Unit =
+      e.ingestStreamNearDedup("docs", "idx", docs.toDF("doc_id", "text"),
+        col("text"), shingleN = 2, minJaccard = 0.5,
+        maxDf = Long.MaxValue, None, -1L)
+    ingest(Seq((100L, "alpha beta gamma delta")))
+    assert(e.catalog.watermark("idx") === Some(100L))
+    e.sql("TRUNCATE idx")
+    e.sql("TRUNCATE docs")
+    assert(e.catalog.watermark("idx") === None)
+    // low ids are admissible again — the registry state is empty
+    ingest(Seq((1L, "totally new words here")))
+    assert(e.sql("SELECT doc_id FROM docs ORDER BY doc_id").collect().toSeq
+      === Seq(org.apache.spark.sql.Row(1L)))
+    assert(e.catalog.watermark("idx") === Some(1L))
+  }
+
+  test("string pks keep the content-derived ordered guard (no silent null-out)") {
+    import spark.implicits._
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE sdocs (doc_id STRING PRIMARY KEY, text STRING)")
+    e.sql("""CREATE TABLE sidx (pk STRING PRIMARY KEY, tok STRING,
+            |doc_id STRING, n BIGINT)""".stripMargin)
+    def ingest(docs: Seq[(String, String)], ordered: Boolean = true): Unit =
+      e.ingestStreamNearDedup("sdocs", "sidx", docs.toDF("doc_id", "text"),
+        col("text"), shingleN = 2, minJaccard = 0.5,
+        maxDf = Long.MaxValue, None, -1L, requireOrdered = ordered)
+    ingest(Seq(("doc-b", "alpha beta gamma delta")))
+    // "doc-a" < "doc-b": the ordered contract must still refuse, even
+    // though the metadata watermark cannot represent a string pk
+    val err = intercept[IllegalArgumentException](
+      ingest(Seq(("doc-a", "alpha beta gamma epsilon"))))
+    assert(err.getMessage.contains("ascending pk ranges"))
+    // arrival-order semantics accept it; the seen doc wins
+    ingest(Seq(("doc-a", "alpha beta gamma epsilon")), ordered = false)
+    assert(e.sql("SELECT doc_id FROM sdocs ORDER BY doc_id").collect().toSeq
+      === Seq(org.apache.spark.sql.Row("doc-b")))
+  }
+
   test("docs too short for a shingle always admit and index nothing") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
