@@ -165,6 +165,22 @@ object Cli {
             // corruption the reference's doctor hunts, main.rs Doctor)
             val bad = e.catalog.tableNames.filter { t =>
               try {
+                // artifact-level audit FIRST: per-file readability,
+                // sequence continuity, checkpoint integrity (CHECK
+                // TABLE) — a failing row names the corrupt file for
+                // REPAIR TABLE, which a raw read error cannot.
+                // Attached in-memory logs have no files to audit.
+                val findings =
+                  if (e.catalog.get(t).exists(_.attached.isDefined))
+                    Array.empty[org.apache.spark.sql.Row]
+                  else e.sql(s"CHECK TABLE $t").collect()
+                    .filter(r => r.getString(2) != "OK")
+                for (f <- findings)
+                  err(s"$t: ${f.getString(0)} ${f.getString(1)} " +
+                    s"${f.getString(2)} — ${f.getString(3)}")
+                if (findings.nonEmpty)
+                  throw new IllegalStateException(
+                    s"${findings.length} CHECK finding(s) — run REPAIR TABLE $t")
                 e.sql(s"SELECT COUNT(*) FROM $t").collect()
                 val floor = e.catalog.retentionFloor(t)
                 val last = e.catalog.lastSeq(t)

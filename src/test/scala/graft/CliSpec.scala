@@ -175,6 +175,30 @@ class CliSpec extends AnyFunSuite {
     assert(cli("sql", "-d", dir, "-e")._1 === 1) // dangling option
   }
 
+  test("doctor flags a corrupt log file and repair heals it") {
+    val dir = freshDir()
+    cli("sql", "-d", dir, "-e",
+      """CREATE TABLE t (k BIGINT PRIMARY KEY);
+        |INSERT INTO t VALUES (1); INSERT INTO t VALUES (2)""".stripMargin)
+    // truncate the second batch's file mid-byte
+    val logDir = java.nio.file.Paths.get(dir, "tables", "t", "log")
+    val files = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(java.nio.file.Files.list(logDir).iterator()).asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq
+    val victim = files.maxBy(f =>
+      spark.read.parquet(f.toString)
+        .agg(org.apache.spark.sql.functions.max("sequence")).head().getLong(0))
+    val bytes = java.nio.file.Files.readAllBytes(victim)
+    java.nio.file.Files.write(victim, bytes.take(bytes.length / 2))
+    val (dc, _, derr) = cli("doctor", "-d", dir)
+    assert(dc === 1, derr)
+    assert(derr.exists(_.contains("CHECK finding")), derr)
+    // repair through the SQL verb, then doctor is healthy again
+    assert(cli("sql", "-d", dir, "-e", "REPAIR TABLE t")._1 === 0)
+    val (dc2, dout2, _) = cli("doctor", "-d", dir)
+    assert(dc2 === 0, dout2)
+  }
+
   test("status gives the one-screen admin overview") {
     val dir = freshDir()
     cli("sql", "-d", dir, "-e",
