@@ -129,6 +129,19 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   // full-registry aggregate per micro-batch; max-merged like the
   // sequence counters so manifest replay is a no-op
   private val watermarks = mutable.HashMap.empty[String, Long]
+  // flat-log certificate: tables whose live log provably holds ONLY
+  // INSERT events with pairwise-distinct primary keys — for them the
+  // keyed state collapse is an identity, so reads serve the log as a
+  // FLAT scan with no window exchange (the 100 TB shape for append-only
+  // fact tables). Granted at CREATE TABLE (empty log), kept only while
+  // every landed batch was certified unique (pk probes ran, or the
+  // ordered-ingest construction guarantees it); any PATCH/SOFT_DELETE
+  // or unprobed INSERT revokes it permanently (TRUNCATE soft-deletes,
+  // so it revokes too). Revocations ride the publish manifest, so a
+  // crash can never leave a mutated log still marked flat. Persisted
+  // POSITIVELY (`flat` lines): a catalog written before this flag
+  // existed certifies nothing.
+  private val flatLogs = mutable.HashSet.empty[String]
   // trigger name -> (timing, event, table, body, enabled) — the
   // reference's trigger registry (triggers.rs:88-100: timing, events,
   // table, action, enabled); firing runs in QueryEngine
@@ -211,6 +224,7 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
     tables(name) = TableDef(name, pk, cols.map { case (c, t) => ColumnDef(c, c, t) })
     nextSeqs(name) = 0L
     nextColIds(name) = cols.size.toLong
+    flatLogs += name // empty log: vacuously unique-insert-only
     save()
   }
 
@@ -231,6 +245,7 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
     nextSeqs.remove(name)
     nextColIds.remove(name)
     watermarks.remove(name)
+    flatLogs -= name
     fks.remove(name) // the reference forgets the dropped child's FKs (fk.rs:68-71)
     constraints.remove(name)
     indexes.filterInPlace { case (_, (t, _)) => t != name }
@@ -377,15 +392,22 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
     * micro-batch id of a streaming sink. Max-merged so a recovery
     * replay of an already-applied manifest is a no-op. */
   def commitPublished(seqs: Map[String, Long], stream: Option[(String, Long)],
-      marks: Map[String, Long] = Map.empty): Unit = {
+      marks: Map[String, Long] = Map.empty,
+      mutated: Set[String] = Set.empty): Unit = {
     for ((t, s) <- seqs if tables.contains(t))
       nextSeqs(t) = math.max(nextSeqs.getOrElse(t, 0L), s)
     for ((id, b) <- stream)
       streamBatches(id) = math.max(streamBatches.getOrElse(id, -1L), b)
     for ((t, v) <- marks if tables.contains(t))
       watermarks(t) = math.max(watermarks.getOrElse(t, Long.MinValue), v)
+    flatLogs --= mutated // revocation is idempotent, like the max-merges
     save()
   }
+
+  /** True iff the table's live log is certified to hold only INSERT
+    * events with distinct primary keys — the keyed collapse is then an
+    * identity and reads may serve the log as a flat scan. */
+  def isFlatLog(table: String): Boolean = flatLogs.contains(table)
 
   /** Max pk ever admitted through an ordered ingest into `table`
     * (None = no ordered ingest recorded — pre-upgrade registries fall
@@ -931,7 +953,8 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   def reload(): Unit = {
     tables.clear(); views.clear(); mviews.clear(); indexes.clear()
     nextSeqs.clear(); nextColIds.clear(); fks.clear(); constraints.clear()
-    streamBatches.clear(); watermarks.clear(); triggers.clear(); procs.clear()
+    streamBatches.clear(); watermarks.clear(); flatLogs.clear()
+    triggers.clear(); procs.clear()
     sequences.clear(); rlsTables.clear(); policies.clear(); grants.clear()
     roleDefs.clear(); userRoles.clear(); alerts.clear()
     migrations.clear(); appliedMigs.clear(); retentionFloors.clear()
@@ -975,6 +998,8 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       sb.append(s"stream\t${enc(id)}\t$b\n")
     for ((t, v) <- watermarks)
       sb.append(s"wmark\t${enc(t)}\t$v\n")
+    for (t <- flatLogs)
+      sb.append(s"flat\t${enc(t)}\n")
     for ((name, (ti, ev, ta, body, en)) <- triggers)
       sb.append(s"trigger\t${enc(name)}\t${enc(ti)}\t${enc(ev)}\t${enc(ta)}\t${enc(body)}\t${if (en) 1 else 0}\n")
     for ((name, (params, body)) <- procs)
@@ -1075,6 +1100,7 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       case Array("index", i, t, c) => indexes(dec(i)) = (dec(t), dec(c))
       case Array("stream", id, b) => streamBatches(dec(id)) = b.toLong
       case Array("wmark", t, v) => watermarks(dec(t)) = v.toLong
+      case Array("flat", t) => flatLogs += dec(t)
       case Array("trigger", n, ti, ev, ta, body) => // pre-round-6 line
         triggers(dec(n)) = (dec(ti), dec(ev), dec(ta), dec(body), true)
       case Array("trigger", n, ti, ev, ta, body, en) =>

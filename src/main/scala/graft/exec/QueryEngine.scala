@@ -187,6 +187,13 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   private final class Txn {
     // (table, pinned event frame, last provisional sequence in batch)
     val pending = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame, Long)]
+    // tables whose buffered writes revoke the flat-log certificate at
+    // COMMIT (PATCH/SOFT_DELETE or unprobed INSERT). A savepoint
+    // rollback may leave a table here whose mutating writes were all
+    // rolled back — the certificate is then revoked unnecessarily,
+    // which is conservative (reads fall back to the keyed collapse),
+    // never wrong
+    val mutated = scala.collection.mutable.HashSet.empty[String]
     val seqs = scala.collection.mutable.HashMap.empty[String, Long]
     // catalog.lastSeq at the first buffered append per table — the
     // anchor for the commit-time re-sequencing offset
@@ -362,7 +369,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       // the commit point — a crash on either side of it leaves either
       // nothing or (after the reopen sweep) everything visible
       try {
-        publishAtomic(batches, finalSeqs, None)
+        publishAtomic(batches, finalSeqs, None, mutated = tx.mutated.toSet)
         txn = None
         metricTxnCommits += 1
         summary("commit", n, 0L)
@@ -454,7 +461,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
 
   private def publishAtomic(batches: Seq[(String, DataFrame)],
       seqs: Map[String, Long], stream: Option[(String, Long)],
-      marks: Map[String, Long] = Map.empty): Unit = {
+      marks: Map[String, Long] = Map.empty,
+      mutated: Set[String] = Set.empty): Unit = {
     val stagingRoot = new Path(s"$baseDir/.txn-staging-${System.nanoTime()}")
     val fs = stagingRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
@@ -470,6 +478,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       seqs.foreach { case (t, s) => lines.append(s"seq\t${enc(t)}\t$s\n") }
       stream.foreach { case (id, b) => lines.append(s"stream\t${enc(id)}\t$b\n") }
       marks.foreach { case (t, v) => lines.append(s"wmark\t${enc(t)}\t$v\n") }
+      // flat-log revocations commit atomically with the events that
+      // cause them — a crash can never leave a mutated log marked flat
+      mutated.foreach(t => lines.append(s"mut\t${enc(t)}\n"))
       val tmp = new Path(stagingRoot, "manifest.tmp")
       val out = fs.create(tmp, true)
       try out.write(lines.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -548,16 +559,19 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     val files = Vector.newBuilder[(String, String)] // (relPath, table)
     val seqs = Map.newBuilder[String, Long]
     val marks = Map.newBuilder[String, Long]
+    val mutated = Set.newBuilder[String]
     var stream: Option[(String, Long)] = None
     for (line <- text.split("\n") if line.nonEmpty) line.split("\t") match {
       case Array("file", rel, table) => files += ((rel, dec(table)))
       case Array("seq", table, s) => seqs += (dec(table) -> s.toLong)
       case Array("stream", id, b) => stream = Some((dec(id), b.toLong))
       case Array("wmark", table, v) => marks += (dec(table) -> v.toLong)
+      case Array("mut", table) => mutated += dec(table)
       case other =>
         throw new IllegalStateException(s"corrupt manifest line: ${other.mkString("\t")}")
     }
-    catalog.commitPublished(seqs.result(), stream, marks.result()) // counters first: hole > duplicate
+    catalog.commitPublished(seqs.result(), stream, marks.result(),
+      mutated.result()) // counters first: hole > duplicate
     for (((rel, table), i) <- files.result().zipWithIndex
         if catalog.get(table).isDefined) {
       if (hooked) testFailBeforePublishRename(i)
@@ -1715,7 +1729,20 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   /** State at a sequence, snapshot-accelerated: replay starts from the
     * nearest checkpoint <= target instead of sequence 0
     * (optimizer.rs:296-307). */
-  def stateAt(table: String, asOf: Option[Long]): DataFrame = {
+  def stateAt(table: String, asOf: Option[Long]): DataFrame =
+    stateAt(table, asOf, dmlRead = false)
+
+  /** `dmlRead = true` marks a state read whose ROW ORDER becomes event
+    * order (UPDATE/DELETE matching batches — their PATCH/SOFT_DELETE
+    * frames are sequence-assigned in read order, and trigger bodies
+    * insert from the same frames). Those reads pin the keyed-collapse
+    * plan in every mode: the flat/checkpoint fast paths serve log-file
+    * row order, a transaction's buffered-union read serves window
+    * order, and the same statement must emit identically-sequenced
+    * events whether it runs bare or inside BEGIN..COMMIT. Pure reads
+    * (SELECT, probe joins, registry lookups) keep the fast paths. */
+  private[graft] def stateAt(table: String, asOf: Option[Long],
+      dmlRead: Boolean): DataFrame = {
     val t = catalog.require(table)
     // below the retention floor the events are physically gone
     // (VACUUM RETAIN) — raise instead of silently collapsing a prefix
@@ -1739,10 +1766,29 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       case _ => asOf.orElse(snapCap)
     }
     val base = Snapshots.nearest(spark, catalog.snapshotPath(table), bound)
+    // flat-log certificate: the live log holds only INSERT events with
+    // distinct pks (every landed batch was probe- or construction-
+    // certified), so the keyed collapse is an identity — serve the log
+    // (or snapshot + tail) as a FLAT scan with no window exchange. At
+    // 100 TB this is THE read path for append-only fact tables: filters
+    // and column pruning reach the parquet scan directly, at any AS OF
+    // bound, snapshot or not. In-transaction reads keep the windowed
+    // path (buffered events union in).
+    // also valid INSIDE a transaction while the table has no buffered
+    // writes: events(t) is already horizon-capped, and a first-access
+    // read sees exactly the bare log
+    val flat = !dmlRead && t.attached.isEmpty && catalog.isFlatLog(t.name) &&
+      txn.forall(tx => !tx.pending.exists(_._1 == t.name))
+    def payloadFlat(df: DataFrame): DataFrame = {
+      val fields = df.schema("payload").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.toIndexedSeq
+      df.select(fields.map(f => col(s"payload.`$f`").as(f)): _*)
+    }
     // keyed collapse: the pk output column IS the window partition
     // attribute, so pk predicates push below the collapse to the scan
     val collapsed = base match {
-      case Some(snapSeq) if txn.isEmpty && t.attached.isEmpty &&
+      case Some(snapSeq) if !dmlRead && txn.isEmpty && t.attached.isEmpty &&
           snapSeq >= math.min(
             asOf.getOrElse(Long.MaxValue), catalog.lastSeq(t.name)) =>
         // the checkpoint IS the state at the read bound — no tail
@@ -1765,8 +1811,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           ev.where(col("sequence") > snapSeq && col("sequence") <= s))
         val snap = Snapshots.read(spark, catalog.snapshotPath(table), snapSeq,
           Some(EventLog.schema(t.payloadSchema)))
-        StateView.stateAtKeyed(
-          snap.unionByName(tail, allowMissingColumns = true), None, t.pkPhysical)
+        val union = snap.unionByName(tail, allowMissingColumns = true)
+        // flat: snapshot pks (collapsed state at snapSeq) and tail pks
+        // (all new inserts) are disjoint by the certificate, so the
+        // union IS the state
+        if (flat) payloadFlat(union)
+        else StateView.stateAtKeyed(union, None, t.pkPhysical)
+      case None if flat =>
+        payloadFlat(asOf.fold(ev)(s => ev.where(col("sequence") <= s)))
       case None => StateView.stateAtKeyed(ev, asOf, t.pkPhysical)
     }
     // column mapping: physical payload fields -> logical names; a
@@ -1790,7 +1842,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       direct: Boolean = false,
       streamMeta: Option[(String, Long)] = None,
       prePinned: Boolean = false,
-      pkChecked: Boolean = false): (Long, Long) = {
+      pkChecked: Boolean = false,
+      uniqueCertified: Boolean = false): (Long, Long) = {
     if (t.attached.isDefined)
       throw new UnsupportedOperationException(
         s"table ${t.name} is an attached read-only event log")
@@ -1810,6 +1863,12 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // skips the second materialization.
     val pinned = if (prePinned) physical else pinCheckpoint(physical)
     val (withSeq, n) = EventLog.assignSequencesCounted(pinned, base)
+    // the flat-log certificate survives this batch only when it is an
+    // INSERT whose pk uniqueness was actually established — by the
+    // guard probes (insertFrom) or by the caller's construction
+    // (ordered streaming dedup). COPY and plain stream ingest skip the
+    // probes, so they revoke; PATCH/SOFT_DELETE always revoke.
+    val keepsFlat = eventType == EventLog.INSERT && (pkChecked || uniqueCertified)
     if (n > 0) {
       val ev = withSeq.select(
         col("sequence"),
@@ -1823,6 +1882,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           tx.baseSeqs.getOrElseUpdate(t.name, catalog.lastSeq(t.name))
           tx.pending += ((t.name, ev, base + n))
           tx.seqs(t.name) = base + n
+          if (!keepsFlat) tx.mutated += t.name
         case None =>
           // stage → manifest → publish, same all-or-nothing protocol as
           // COMMIT: a crash mid-statement either leaves the log
@@ -1830,7 +1890,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           // counter together — never orphan events past the counter,
           // which a plain append-then-commitSeq would duplicate on
           // the next statement's sequence assignment
-          publishAtomic(Seq((t.name, ev)), Map(t.name -> (base + n)), streamMeta)
+          publishAtomic(Seq((t.name, ev)), Map(t.name -> (base + n)), streamMeta,
+            mutated = if (keepsFlat) Set.empty else Set(t.name))
           maybeAutoSnapshot(t.name, base + n,
             // the first-load checkpoint shortcut requires the batch to
             // BE the collapsed state: empty table before this append,
@@ -2972,7 +3033,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     checkPrivilege(table, "UPDATE")
     val bad = assigns.map(_._1).filterNot(a => t.columns.exists(_.logical == a))
     require(bad.isEmpty, s"unknown UPDATE columns: ${bad.mkString(",")}")
-    val state = stateAt(table, None)
+    val state = stateAt(table, None, dmlRead = true)
     // row policies narrow which rows this session's UPDATE can touch;
     // rows it cannot see survive untouched (PG UPDATE-USING semantics)
     val rlsUsing = rlsFilter(table, "UPDATE")
@@ -3088,7 +3149,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   def delete(table: String, where: Option[String]): DataFrame = {
     val t = catalog.require(table)
     checkPrivilege(table, "DELETE")
-    val state = stateAt(table, None)
+    val state = stateAt(table, None, dmlRead = true)
     // rows the session cannot see (RLS DELETE-USING) are not deletable
     val matching0 = {
       val m = where.fold(state)(w => state.where(expr(w)))
@@ -3413,11 +3474,15 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * — the body `append` applies, shared with the multi-table
     * streaming-dedup publish. Returns (events, new last sequence). */
   private def insertEventFrame(t: TableDef, rowsLogical: DataFrame,
-      base: Long): (DataFrame, Long) = {
+      base: Long, prePinned: Boolean = false): (DataFrame, Long) = {
     val physical = rowsLogical.select(t.columns.map(c =>
       col(c.logical).cast(c.dataType).as(c.physical)): _*)
+    // prePinned: the caller's frame is a pinned checkpoint or a narrow
+    // derivation of one — partition layout is already deterministic and
+    // nothing re-reads the log being appended to, so a second
+    // materialized copy would be pure waste
     val (withSeq, n) = EventLog.assignSequencesCounted(
-      pinCheckpoint(physical), base)
+      if (prePinned) physical else pinCheckpoint(physical), base)
     val ev = withSeq.select(
       col("sequence"),
       timestamp_seconds(lit(EventLog.ClockEpoch) + col("sequence")).as("ts"),
@@ -3470,19 +3535,26 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       val admitted = pinCheckpoint(firsts
         .join(seen, col("__fp") === col("__seen_fp"), "left_anti"))
       val (evT, hiT) = insertEventFrame(t, admitted.drop("__fp"),
-        catalog.lastSeq(t.name))
+        catalog.lastSeq(t.name), prePinned = true)
       val regRows = admitted.select(r.columns.map(c =>
         if (c.logical == r.pk) col("__fp").cast(c.dataType).as(c.logical)
         else if (admitted.columns.contains(c.logical))
           col(c.logical).cast(c.dataType).as(c.logical)
         else lit(null).cast(c.dataType).as(c.logical)): _*)
-      val (evR, hiR) = insertEventFrame(r, regRows, catalog.lastSeq(r.name))
+      val (evR, hiR) = insertEventFrame(r, regRows, catalog.lastSeq(r.name),
+        prePinned = true)
       // an all-duplicates batch still publishes when a batch id must be
       // recorded; without one there is nothing to make durable
       if (hiT == catalog.lastSeq(t.name) && hiR == catalog.lastSeq(r.name) &&
         streamId.isEmpty) return
       publishAtomic(Seq((t.name, evT), (r.name, evR)),
-        Map(t.name -> hiT, r.name -> hiR), streamId.map(_ -> batchId))
+        Map(t.name -> hiT, r.name -> hiR), streamId.map(_ -> batchId),
+        // the REGISTRY's pk (the fingerprint) is unique by construction
+        // — one row per fp inside the batch, anti-joined against every
+        // seen fp — so it keeps its flat-log certificate; the TABLE's
+        // pk was never probed (two different-fingerprint rows may share
+        // a pk), so it revokes
+        mutated = Set(t.name))
       maybeAutoSnapshot(t.name, hiT)
       maybeAutoSnapshot(r.name, hiR)
     }
@@ -3561,12 +3633,19 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           case _ => false
         })
       // one batch-sized job over the pinned checkpoint: min drives the
-      // ordered guard, max becomes the registry's new watermark
+      // ordered guard, max becomes the registry's new watermark, and
+      // total-vs-distinct pk counts certify within-batch uniqueness
+      // (above-watermark + distinct-in-batch = the whole log stays
+      // unique-pk INSERTs, so both tables keep their flat-log
+      // certificate and reads skip the keyed collapse)
+      var batchPkUnique = false
       val batchMax: Option[Long] =
         if (!pkIntegral) None
         else {
           val bounds = full.agg(min(col(t.pk)).cast("long"),
-            max(col(t.pk)).cast("long")).head()
+            max(col(t.pk)).cast("long"),
+            count(lit(1)), countDistinct(col(t.pk))).head()
+          batchPkUnique = bounds.getLong(2) == bounds.getLong(3)
           val batchMin =
             if (bounds.isNullAt(0)) None else Some(bounds.getLong(0))
           if (requireOrdered) {
@@ -3601,19 +3680,23 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               "ascending pk ranges for id-order semantics, or pass " +
               "requireOrdered = false for arrival-order semantics")
       }
-      val toks = full.select(col(t.pk).as("__id"), explode(col("__sh")).as("__tok"))
-      val sizes = full.select(col(t.pk).as("__id"),
-        size(col("__sh")).cast("long").as("__n"))
+      // shingle-set size rides every posting row (scan-stage, computed
+      // before the explode) so no edge aggregation ever joins back to a
+      // separate sizes table — four shuffle joins per micro-batch fold
+      // into the token explode itself
+      val toks = full.select(col(t.pk).as("__id"),
+        size(col("__sh")).cast("long").as("__n"), explode(col("__sh")).as("__tok"))
       def jacc(i: Column, en: Column, dn: Column): Column =
         i.cast("double") / (en + dn - i)
-      // within-batch edges: inverted-index self-join, earlier pk wins
+      // within-batch edges: inverted-index self-join, earlier pk wins;
+      // __n is functionally dependent on the grouped doc ids, so max()
+      // just carries it through
       val wiDrop = toks.as("a")
         .join(toks.as("b"),
           col("a.__tok") === col("b.__tok") && col("a.__id") < col("b.__id"))
         .groupBy(col("a.__id").as("__e"), col("b.__id").as("__d"))
-        .agg(count(lit(1)).as("__i"))
-        .join(sizes.select(col("__id").as("__e"), col("__n").as("__en")), "__e")
-        .join(sizes.select(col("__id").as("__d"), col("__n").as("__dn")), "__d")
+        .agg(count(lit(1)).as("__i"), max(col("a.__n")).as("__en"),
+          max(col("b.__n")).as("__dn"))
         .where(jacc(col("__i"), col("__en"), col("__dn")) >= minJaccard)
         .select(col("__d"))
       // cross edges: probe the registry's postings for batch tokens
@@ -3626,8 +3709,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           col("tok") === col("__hot"), "left_anti")
       val crDrop = toks.join(probed, col("__tok") === col("tok"))
         .groupBy(col("doc_id").as("__e"), col("__id").as("__d"))
-        .agg(count(lit(1)).as("__i"), first(col("n")).as("__en"))
-        .join(sizes.select(col("__id").as("__d"), col("__n").as("__dn")), "__d")
+        .agg(count(lit(1)).as("__i"), first(col("n")).as("__en"),
+          max(col("__n")).as("__dn"))
         .where(jacc(col("__i"), col("__en"), col("__dn")) >= minJaccard)
         .select(col("__d"))
       val dropped = wiDrop.union(crDrop).distinct()
@@ -3635,9 +3718,12 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       val admitted = pinCheckpoint(full
         .join(dropped, col(t.pk) === col("__dropped"), "left_anti")
         .drop("__sh"))
-      val (evT, hiT) = insertEventFrame(t, admitted, catalog.lastSeq(t.name))
-      // ALL batch docs' postings land in the registry (seen semantics)
-      val regRows = toks.join(sizes, "__id").select(r.columns.map(c =>
+      val (evT, hiT) = insertEventFrame(t, admitted, catalog.lastSeq(t.name),
+        prePinned = true)
+      // ALL batch docs' postings land in the registry (seen semantics);
+      // toks already carries __n, and is a narrow re-read of the pinned
+      // batch — no checkpoint copy, no join
+      val regRows = toks.select(r.columns.map(c =>
         if (c.logical == r.pk)
           concat(col("__tok"), lit("#"), col("__id")).cast(c.dataType).as(c.logical)
         else c.logical match {
@@ -3646,7 +3732,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           case "n" => col("__n").cast(c.dataType).as("n")
           case other => lit(null).cast(c.dataType).as(other)
         }): _*)
-      val (evR, hiR) = insertEventFrame(r, regRows, catalog.lastSeq(r.name))
+      val (evR, hiR) = insertEventFrame(r, regRows, catalog.lastSeq(r.name),
+        prePinned = true)
       if (hiT == catalog.lastSeq(t.name) && hiR == catalog.lastSeq(r.name) &&
         streamId.isEmpty) return
       // a batch of shingle-less docs advances only the table; skip the
@@ -3656,7 +3743,15 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         .collect { case (p, true) => p }
       publishAtomic(parts, Map(t.name -> hiT, r.name -> hiR),
         streamId.map(_ -> batchId),
-        marks = batchMax.map(r.name -> _).toMap)
+        marks = batchMax.map(r.name -> _).toMap,
+        // certified: every table pk is distinct within the batch and
+        // above the registry watermark, and every registry pk embeds a
+        // batch doc id (tok#id, shingles pre-distinct per doc) — both
+        // logs stay unique-pk INSERT-only, so reads keep the flat scan.
+        // Arrival-order mode (requireOrdered=false) or duplicate ids in
+        // a batch revoke: id reuse across batches would collide pks.
+        mutated = if (requireOrdered && batchPkUnique) Set.empty
+          else Set(t.name, r.name))
       maybeAutoSnapshot(t.name, hiT)
       maybeAutoSnapshot(r.name, hiR)
     }
@@ -3684,7 +3779,10 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         if (mx.isNullAt(0)) catalog.lastSeq(t.name) // empty batch: record the id only
         else math.max(mx.getLong(0), catalog.lastSeq(t.name))
       publishAtomic(Seq((t.name, pinned)), Map(t.name -> hi),
-        Some(streamId -> batchId))
+        Some(streamId -> batchId),
+        // raw replicated frames carry whatever event types the primary
+        // landed — the replica cannot certify anything about them
+        mutated = Set(t.name))
     }
 
   // ========================================================== utilities

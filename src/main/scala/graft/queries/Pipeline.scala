@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Bpe, Components, Decontam, Dedup, Dsir, FullText, Mixture, Multimodal, Packing, Perplexity, QualityFilters, Quantize, RangeJoin, Sampling, SemDedup, Similarity, SubstringDedup, TextAnalysis, TextChunking, TrainingOrder, Vocabulary}
+import graft.operators.{AsOfJoin, Bpe, Components, Decontam, Dedup, Dsir, FullText, Mixture, Multimodal, NaiveBayes, Packing, Perplexity, QualityFilters, Quantize, RangeJoin, Sampling, SemDedup, Similarity, SubstringDedup, TextAnalysis, TextChunking, TrainingOrder, Vocabulary}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -779,6 +779,70 @@ object Pipeline {
         docs.where(col("doc_id") % 20 =!= 0),
         docs.where(col("doc_id") % 20 === 0))
       .orderBy("doc_id")
+  }
+
+  /** Multinomial Naive Bayes classifier (NaiveBayes.classify): train
+    * on the corpus's own language labels, classify every document.
+    * Every per-token likelihood is rounded to 6 decimals and cast to
+    * DECIMAL BEFORE summation, so all scores are exact decimal sums —
+    * addition-order-free and bit-identical across engines; ties break
+    * on the smaller class label. The model is vocab x classes and
+    * broadcast; corpus-scale work is one tf aggregation. */
+  val qNbClassify = Q(
+    "q_nb_classify",
+    """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      |v AS (SELECT COUNT(DISTINCT w) AS v FROM tok),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |ct AS (SELECT lang, COUNT(*) AS ntok FROM tok GROUP BY lang),
+      |cls AS (
+      |  SELECT d.lang,
+      |         CAST(ROUND(LN(CAST(d.ndocs AS DOUBLE) / n.n), 6) AS DECIMAL(18,6)) AS prior,
+      |         CAST(ROUND(LN(1.0 / (ct.ntok + v.v)), 6) AS DECIMAL(18,6)) AS l0
+      |  FROM (SELECT lang, COUNT(*) AS ndocs FROM documents GROUP BY lang) d
+      |  JOIN ct USING (lang) CROSS JOIN n CROSS JOIN v),
+      |model AS (
+      |  SELECT wc.lang, wc.w,
+      |         CAST(ROUND(LN((wc.cnt + 1.0) / (ct.ntok + v.v)), 6) AS DECIMAL(18,6)) -
+      |         CAST(ROUND(LN(1.0 / (ct.ntok + v.v)), 6) AS DECIMAL(18,6)) AS delta
+      |  FROM (SELECT lang, w, COUNT(*) AS cnt FROM tok GROUP BY 1, 2) wc
+      |  JOIN ct USING (lang) CROSS JOIN v),
+      |nd AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS nd FROM documents),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |adj AS (
+      |  SELECT tf.doc_id, m.lang AS c, SUM(tf.tf * m.delta) AS adj
+      |  FROM tf JOIN model m USING (w) GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT nd.doc_id, nd.lang, c.lang AS c,
+      |         c.prior + nd.nd * c.l0 + COALESCE(a.adj, 0) AS score
+      |  FROM nd CROSS JOIN cls c
+      |  LEFT JOIN adj a ON a.doc_id = nd.doc_id AND a.c = c.lang),
+      |r AS (
+      |  SELECT doc_id, lang, c AS pred, score,
+      |         ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                            ORDER BY score DESC, c ASC) AS rn
+      |  FROM sc)
+      |SELECT doc_id, lang, pred, CAST(score AS DOUBLE) AS score
+      |FROM r WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    NaiveBayes.classify(docs, docs).orderBy("doc_id")
+  }
+
+  /** The NB model's class-level summary (NaiveBayes.classSummary):
+    * per-class doc/token totals, log prior, zero-count floor. */
+  val qNbModel = Q(
+    "q_nb_model",
+    """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      |v AS (SELECT COUNT(DISTINCT w) AS v FROM tok),
+      |n AS (SELECT COUNT(*) AS n FROM documents)
+      |SELECT d.lang, d.n_docs, t.n_tokens,
+      |       ROUND(LN(CAST(d.n_docs AS DOUBLE) / n.n), 6) AS prior,
+      |       ROUND(LN(1.0 / (t.n_tokens + v.v)), 6) AS l0
+      |FROM (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang) d
+      |JOIN (SELECT lang, COUNT(*) AS n_tokens FROM tok GROUP BY lang) t USING (lang)
+      |CROSS JOIN n CROSS JOIN v
+      |ORDER BY lang""".stripMargin) { (s, dir) =>
+    NaiveBayes.classSummary(t(s, dir, "documents")).orderBy("lang")
   }
 
   /** Bigram-LM perplexity quality score (Perplexity.score — the
@@ -1563,7 +1627,8 @@ object Pipeline {
     qDiversitySample,
     qAnnCosine, qAnnLsh, qAnnIvfFull, qAnnIvf, qKmeansFull, qKmeans,
     qTextQuality, qLangId, qTokenStats, qVocabOov, qTfidfKeywords,
-    qPerplexity, qSubstringDedup, qDsir, qFingerprint,
+    qPerplexity, qSubstringDedup, qDsir, qNbClassify, qNbModel,
+    qFingerprint,
     qFulltextAll, qFulltextAny, qFulltextBm25,
     qStratSample, qSampleExactK, qSeqPack,
     qMultimodalMeta, qMmFeatures, qFrameSample,
