@@ -46,10 +46,13 @@ object Dedup {
       docs: DataFrame,
       minJaccard: Double,
       maxDfFrac: Double = 0.8,
-      maxDf: Long = 10000L): DataFrame =
-    tokenJaccardPairs(
-      docs.select(col("doc_id"), explode(wordSet(col("text"))).as("tok")),
-      docs, minJaccard, maxDfFrac, maxDf)
+      maxDf: Long = 10000L,
+      prefixFilter: Boolean = false): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(wordSet(col("text"))).as("tok"))
+    if (prefixFilter)
+      tokenJaccardPairsPrefix(toks, docs, minJaccard, maxDfFrac, maxDf)
+    else tokenJaccardPairs(toks, docs, minJaccard, maxDfFrac, maxDf)
+  }
 
   /** Distinct word n-gram (shingle) array — `n` consecutive words
     * joined with '_'. Shingles see word ORDER, so reordered docs that
@@ -71,10 +74,14 @@ object Dedup {
       n: Int,
       minJaccard: Double,
       maxDfFrac: Double = 0.8,
-      maxDf: Long = 10000L): DataFrame =
-    tokenJaccardPairs(
-      docs.select(col("doc_id"), explode(shingleSet(col("text"), n)).as("tok")),
-      docs, minJaccard, maxDfFrac, maxDf)
+      maxDf: Long = 10000L,
+      prefixFilter: Boolean = false): DataFrame = {
+    val toks =
+      docs.select(col("doc_id"), explode(shingleSet(col("text"), n)).as("tok"))
+    if (prefixFilter)
+      tokenJaccardPairsPrefix(toks, docs, minJaccard, maxDfFrac, maxDf)
+    else tokenJaccardPairs(toks, docs, minJaccard, maxDfFrac, maxDf)
+  }
 
   /** Shared inverted-index Jaccard machinery over a (doc_id, tok)
     * frame; see jaccardPairs for the df-cap scale rationale. */
@@ -118,6 +125,62 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
       .withColumn("jacc",
         (col("i").cast("double") / (col("n1") + col("n2") - col("i"))).cast("double"))
+      .where(col("jacc") >= minJaccard)
+      .select("d1", "d2", "jacc")
+  }
+
+  /** Prefix-filtered exact Jaccard self-join — the AllPairs/PPJoin
+    * candidate pruning (Bayardo et al. WWW'07; Xiao et al. WWW'08)
+    * over the same capped token frame, SAME OUTPUT as
+    * tokenJaccardPairs: for threshold t, a qualifying pair must share
+    * a token inside both documents' PREFIXES — the first
+    * `n - ceil(t*n) + 1` tokens in a global (df asc, tok asc) order —
+    * because J >= t implies an intersection of at least
+    * ceil(t*max(|x|,|y|)) tokens, more than either suffix holds. Only
+    * prefix collisions generate candidates (the inverted index shrinks
+    * ~(1-t/(1+t))x and, crucially, bucket sizes fall where it matters:
+    * frequent tokens land in few prefixes), then each candidate pair
+    * re-scores EXACTLY from the full per-doc token arrays — pruning
+    * never changes a score, so results are identical to the direct
+    * self-join at any scale. The per-doc arrays are bounded by document
+    * length; candidates are verified with two hash joins keyed on the
+    * pair ids. */
+  private def tokenJaccardPairsPrefix(
+      tokens0: DataFrame,
+      docs: DataFrame,
+      minJaccard: Double,
+      maxDfFrac: Double,
+      maxDf: Long): DataFrame = {
+    val nDocs = docs.agg(count(lit(1)).as("_ndocs"))
+    val tokens = tokens0
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy("tok")))
+      .crossJoin(broadcast(nDocs))
+      .where(col("_df") <= lit(maxDfFrac) * col("_ndocs") &&
+        col("_df") <= lit(maxDf))
+      .select("doc_id", "tok", "_df")
+      .localCheckpoint()
+    // canonical token order: rarest first, so prefixes hold the most
+    // selective tokens and hot tokens fall to suffixes
+    val byDoc = Window.partitionBy("doc_id")
+    val ranked = tokens
+      .withColumn("_pos", row_number().over(byDoc.orderBy(col("_df"), col("tok"))))
+      .withColumn("_n", count(lit(1)).over(byDoc))
+    val prefix = ranked
+      .where(col("_pos") <=
+        col("_n") - ceil(lit(minJaccard) * col("_n")).cast("long") + 1)
+      .select("doc_id", "tok")
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val arrs = tokens.groupBy("doc_id").agg(collect_list(col("tok")).as("_t"))
+    cand
+      .join(arrs.select(col("doc_id").as("d1"), col("_t").as("_t1")), "d1")
+      .join(arrs.select(col("doc_id").as("d2"), col("_t").as("_t2")), "d2")
+      .withColumn("i", size(array_intersect(col("_t1"), col("_t2"))).cast("long"))
+      .withColumn("jacc", (col("i").cast("double") /
+        (size(col("_t1")) + size(col("_t2")) - col("i"))).cast("double"))
       .where(col("jacc") >= minJaccard)
       .select("d1", "d2", "jacc")
   }
