@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PCA over an embedding column — the dimensionality-reduction stage a
+  * SemDeDup-style curation pipeline runs before clustering (Abbas et
+  * al. 2023 PCA-reduce embeddings ahead of k-means), and the
+  * whitening/compression knob for ANN indexes.
+  *
+  * Reference analogue: none — pipeline extension beside Similarity
+  * (k-means, ANN) and Quantize.
+  *
+  * Split by where the work runs:
+  *   - `covariance` is the DISTRIBUTED half: per-pair products sum
+  *     exactly (each product rounds to 12 decimals and sums as
+  *     DECIMAL, so the aggregation is addition-order-free and
+  *     bit-identical across engines — a double sum would drift with
+  *     partial-aggregation order), then cov(i,j) rounds to 9. One
+  *     map-side-combinable aggregation whose keyspace is d*(d+1)/2
+  *     entries regardless of corpus size — the d^2-per-row explode
+  *     collapses inside each partition before any shuffle.
+  *   - `components` is the DRIVER half: power iteration with
+  *     deflation over the collected (tiny, d x d) ROUNDED matrix.
+  *     Determinism comes from the input: any engine that computes the
+  *     same rounded covariance feeds the same doubles through the
+  *     same arithmetic. Signs are canonicalized (largest-|coordinate|
+  *     positive).
+  *   - `project` folds mu and the k component vectors back into the
+  *     SCAN as literal arrays: each row's projection is a per-row
+  *     fold over its own embedding — zero joins, zero shuffles over
+  *     the corpus (the Dsir literal-array discipline).
+  */
+object Pca {
+
+  private def dims(d: Int): Column = sequence(lit(1), lit(d))
+
+  private def x(i: Column): Column =
+    element_at(col("embedding"), i).cast("double")
+
+  /** Upper-triangle covariance entries: (i, j, cov) for 1 <= i <= j
+    * <= d, cov rounded to 9 decimals. Population covariance
+    * (divide by n), matching the SQL oracle exactly. */
+  def covariance(embeddings: DataFrame, d: Int): DataFrame = {
+    val n = embeddings.agg(count(lit(1)).as("_n"))
+    // per-row upper-triangle products, rounded then decimal-summed
+    val prods = embeddings.select(explode(flatten(
+      transform(dims(d), i => transform(sequence(i, lit(d)), j =>
+        struct(i.as("i"), j.as("j"),
+          round(x(i) * x(j), 12).cast("decimal(28,12)").as("p")))))).as("e"))
+      .select(col("e.i"), col("e.j"), col("e.p"))
+      .groupBy("i", "j").agg(sum(col("p")).as("sxy"))
+    val means = embeddings.select(explode(
+      transform(dims(d), i => struct(i.as("i"),
+        round(x(i), 12).cast("decimal(28,12)").as("v")))).as("e"))
+      .select(col("e.i"), col("e.v"))
+      .groupBy("i").agg(sum(col("v")).as("s"))
+      .crossJoin(broadcast(n))
+      .select(col("i"), (col("s").cast("double") / col("_n")).as("m"))
+    prods
+      .join(broadcast(means.select(col("i"), col("m").as("mi"))), "i")
+      .join(broadcast(means.select(col("i").as("j"), col("m").as("mj"))), "j")
+      .crossJoin(broadcast(n))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        round(col("sxy").cast("double") / col("_n") - col("mi") * col("mj"), 9)
+          .as("cov"))
+  }
+
+  /** (mean vector, top-k orthonormal principal components) via power
+    * iteration + deflation on the rounded covariance. Driver-side on a
+    * d x d matrix — d is the embedding width, never corpus-scale. */
+  def components(embeddings: DataFrame, d: Int, k: Int,
+      iters: Int = 100): (Array[Double], Array[Array[Double]]) = {
+    val entries = covariance(embeddings, d).collect()
+      .map(r => ((r.getLong(0).toInt - 1, r.getLong(1).toInt - 1),
+        r.getDouble(2))).toMap
+    val c = Array.tabulate(d, d)((a, b) =>
+      entries.getOrElse((math.min(a, b), math.max(a, b)), 0.0))
+    val meanRows = meanVector(embeddings, d)
+    val comps = Array.ofDim[Array[Double]](k)
+    for (ki <- 0 until k) {
+      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      var it = 0
+      while (it < iters) {
+        val w = Array.tabulate(d)(a =>
+          (0 until d).foldLeft(0.0)((acc, b) => acc + c(a)(b) * v(b)))
+        // re-orthogonalize against settled components every step:
+        // deflation alone leaves O(convergence-gap) leakage when
+        // eigenvalues cluster, Gram-Schmidt pins orthogonality to
+        // machine precision regardless
+        for (p <- 0 until ki) {
+          val dot = (0 until d).foldLeft(0.0)((acc, a) => acc + w(a) * comps(p)(a))
+          for (a <- 0 until d) w(a) -= dot * comps(p)(a)
+        }
+        val norm = math.sqrt(w.map(x => x * x).sum)
+        v = if (norm > 0) w.map(_ / norm) else v
+        it += 1
+      }
+      // canonical sign: the largest-|coordinate| entry is positive
+      val pivot = (0 until d).maxBy(a => (math.abs(v(a)), -a))
+      if (v(pivot) < 0) v = v.map(-_)
+      val lambda = (0 until d).foldLeft(0.0)((acc, a) =>
+        acc + v(a) * (0 until d).foldLeft(0.0)((s, b) => s + c(a)(b) * v(b)))
+      // deflate: C -= lambda * v v^T
+      for (a <- 0 until d; b <- 0 until d) c(a)(b) -= lambda * v(a) * v(b)
+      comps(ki) = v
+    }
+    (meanRows, comps)
+  }
+
+  private def meanVector(embeddings: DataFrame, d: Int): Array[Double] = {
+    val n = embeddings.agg(count(lit(1)).as("_n"))
+    embeddings.select(explode(
+      transform(dims(d), i => struct(i.as("i"),
+        round(x(i), 12).cast("decimal(28,12)").as("v")))).as("e"))
+      .select(col("e.i"), col("e.v"))
+      .groupBy("i").agg(sum(col("v")).as("s"))
+      .crossJoin(broadcast(n))
+      .select(col("i"), (col("s").cast("double") / col("_n")).as("m"))
+      .orderBy("i").collect().map(_.getDouble(1))
+  }
+
+  /** Project every embedding onto the top-k principal components:
+    * (vec_id, proj array<double> of length k, rounded to 6 decimals).
+    * mu and the components ride the plan as literals — the projection
+    * is a pure scan-stage fold per row. */
+  def project(embeddings: DataFrame, d: Int, k: Int,
+      iters: Int = 100): DataFrame = {
+    val (mu, comps) = components(embeddings, d, k, iters)
+    val muArr = array(mu.map(lit(_)).toIndexedSeq: _*)
+    val compArrs = comps.map(v => array(v.map(lit(_)).toIndexedSeq: _*))
+    val projs = compArrs.map(cv =>
+      round(aggregate(dims(d), lit(0.0), (acc, i) =>
+        acc + (x(i) - element_at(muArr, i)) * element_at(cv, i)), 6))
+    embeddings.select(col("vec_id"),
+      array(projs.toIndexedSeq: _*).as("proj"))
+  }
+}

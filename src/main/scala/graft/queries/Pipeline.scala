@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Bpe, Components, Decontam, Dedup, Dsir, FullText, Mixture, Multimodal, NaiveBayes, Packing, Perplexity, QualityFilters, Quantize, RangeJoin, Sampling, SemDedup, Similarity, SubstringDedup, TextAnalysis, TextChunking, TrainingOrder, Vocabulary}
+import graft.operators.{AsOfJoin, Bpe, Components, Decontam, Dedup, Dsir, FullText, Mixture, Multimodal, NaiveBayes, Packing, Pca, Perplexity, QualityFilters, Quantize, RangeJoin, Sampling, SemDedup, Similarity, SubstringDedup, TextAnalysis, TextChunking, TrainingOrder, Vocabulary}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -779,6 +779,48 @@ object Pipeline {
         docs.where(col("doc_id") % 20 =!= 0),
         docs.where(col("doc_id") % 20 === 0))
       .orderBy("doc_id")
+  }
+
+  /** PCA covariance (Pca.covariance — the distributed half of the
+    * SemDeDup-style PCA-reduce stage): upper-triangle population
+    * covariance of the 64-dim embeddings. Per-pair products round to
+    * 12 decimals and sum as DECIMAL, so the aggregation is
+    * addition-order-free — the oracle mirrors every cast. The
+    * keyspace is d(d+1)/2 entries at any corpus size. */
+  val qPcaCov = Q(
+    "q_pca_cov",
+    """WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+      |idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+      |prods AS (
+      |  SELECT p.i, p.j,
+      |         SUM(CAST(ROUND(CAST(e.embedding[p.i] AS DOUBLE) *
+      |                        CAST(e.embedding[p.j] AS DOUBLE), 12)
+      |             AS DECIMAL(28,12))) AS sxy
+      |  FROM embeddings e,
+      |       (SELECT a.i AS i, b.i AS j FROM idx a, idx b WHERE b.i >= a.i) p
+      |  GROUP BY 1, 2),
+      |means AS (
+      |  SELECT i.i,
+      |         CAST(SUM(CAST(ROUND(CAST(e.embedding[i.i] AS DOUBLE), 12)
+      |              AS DECIMAL(28,12))) AS DOUBLE) / (SELECT n FROM n) AS m
+      |  FROM embeddings e, idx i GROUP BY i.i)
+      |SELECT p.i, p.j,
+      |       ROUND(CAST(p.sxy AS DOUBLE) / (SELECT n FROM n)
+      |             - mi.m * mj.m, 9) AS cov
+      |FROM prods p
+      |JOIN means mi ON mi.i = p.i JOIN means mj ON mj.i = p.j
+      |ORDER BY p.i, p.j""".stripMargin) { (s, dir) =>
+    Pca.covariance(t(s, dir, "embeddings"), 64).orderBy("i", "j")
+  }
+
+  /** PCA projection (Pca.project): top-8 principal components by
+    * driver-side power iteration over the ROUNDED covariance, then a
+    * scan-stage fold per row (components ride the plan as literals —
+    * zero corpus joins). Rows-only: the eigen iteration is not
+    * SQL-expressible; the distributed half is oracled by q_pca_cov
+    * and the driver half is unit-tested (PcaSpec). */
+  val qPcaProject = Q.rowsOnly("q_pca_project") { (s, dir) =>
+    Pca.project(t(s, dir, "embeddings"), 64, 8).orderBy("vec_id")
   }
 
   /** Multinomial Naive Bayes classifier (NaiveBayes.classify): train
@@ -1628,7 +1670,7 @@ object Pipeline {
     qAnnCosine, qAnnLsh, qAnnIvfFull, qAnnIvf, qKmeansFull, qKmeans,
     qTextQuality, qLangId, qTokenStats, qVocabOov, qTfidfKeywords,
     qPerplexity, qSubstringDedup, qDsir, qNbClassify, qNbModel,
-    qFingerprint,
+    qPcaCov, qPcaProject, qFingerprint,
     qFulltextAll, qFulltextAny, qFulltextBm25,
     qStratSample, qSampleExactK, qSeqPack,
     qMultimodalMeta, qMmFeatures, qFrameSample,

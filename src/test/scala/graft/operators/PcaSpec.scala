@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PCA: covariance entries vs an in-memory computation with the same
+  * rounding discipline, power-iteration components on a known 2-d
+  * case, orthonormality, and variance ordering of projections. */
+class PcaSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emb(rows: Seq[(Long, Seq[Double])]) =
+    rows.map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+
+  test("covariance equals the in-memory rounded computation") {
+    val pts = Seq(
+      1L -> Seq(1.0, 2.0, 0.5),
+      2L -> Seq(-1.0, 0.0, 1.5),
+      3L -> Seq(0.25, -2.0, 1.0))
+    val got = Pca.covariance(emb(pts), 3).orderBy("i", "j")
+      .as[(Long, Long, Double)].collect()
+    def r(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val xs = pts.map(_._2.map(_.toFloat.toDouble))
+    val n = xs.length
+    val mean = (0 until 3).map(i => xs.map(v => r(v(i), 12)).sum / n)
+    for ((i, j, cov) <- got) {
+      val (a, b) = (i.toInt - 1, j.toInt - 1)
+      val sxy = xs.map(v => r(v(a) * v(b), 12)).sum
+      assert(cov === r(sxy / n - mean(a) * mean(b), 9), s"cov($i,$j)")
+    }
+    assert(got.length === 6)
+  }
+
+  test("top component of a line-shaped cloud is the line direction") {
+    val pts = Seq(-2.0, -1.0, 0.0, 1.0, 2.0).zipWithIndex.map {
+      case (t, i) => (i.toLong, Seq(0.6 * t, 0.8 * t))
+    }
+    val (mu, comps) = Pca.components(emb(pts), 2, 2)
+    assert(math.abs(mu(0)) < 1e-9 && math.abs(mu(1)) < 1e-9)
+    val v = comps(0)
+    assert(math.abs(v(0) - 0.6) < 1e-6 && math.abs(v(1) - 0.8) < 1e-6,
+      s"top component ${v.toSeq}")
+    // canonical sign: largest-|coordinate| entry positive
+    assert(v(1) > 0)
+  }
+
+  test("components are orthonormal; projection variances descend") {
+    val embeddings = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (_, comps) = Pca.components(embeddings, 64, 3)
+    for (a <- 0 until 3; b <- a until 3) {
+      val dot = (0 until 64).map(i => comps(a)(i) * comps(b)(i)).sum
+      if (a == b) assert(math.abs(dot - 1.0) < 1e-9, s"norm of $a")
+      else assert(math.abs(dot) < 1e-6, s"orthogonality $a,$b")
+    }
+    val proj = Pca.project(embeddings, 64, 3)
+      .as[(Long, Seq[Double])].collect().map(_._2)
+    def variance(k: Int): Double = {
+      val vs = proj.map(_(k)); val m = vs.sum / vs.length
+      vs.map(x => (x - m) * (x - m)).sum / vs.length
+    }
+    assert(variance(0) >= variance(1) - 1e-9)
+    assert(variance(1) >= variance(2) - 1e-9)
+    // projections center on ~0 (mean was subtracted)
+    val m0 = proj.map(_(0)).sum / proj.length
+    assert(math.abs(m0) < 1e-3)
+  }
+}
