@@ -61,12 +61,17 @@ object SubstringDedup {
     val occ = docs.select(col("doc_id"),
         posexplode(QualityFilters.ngrams(col("text"), n)).as(Seq("p0", "gram")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("gram"))
-    val stats = occ.groupBy("gram").agg(
-      count(lit(1)).as("df"),
-      min(struct(col("doc_id"), col("pos"))).as("first_occ"))
-    val cut = occ.join(stats.where(col("df") >= 2), "gram")
-      .where(!(col("doc_id") === col("first_occ.doc_id") &&
-        col("pos") === col("first_occ.pos")))
+    // occurrence count + global first occurrence as ONE window over the
+    // gram partitioning: the corpus-sized occurrence frame shuffles
+    // once, where the former (groupBy gram -> join back) pair shuffled
+    // it twice — the round-10 df-cap discipline applied to grams
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    val cut = occ
+      .withColumn("df", count(lit(1)).over(w))
+      .withColumn("first_occ", min(struct(col("doc_id"), col("pos"))).over(w))
+      .where(col("df") >= 2 &&
+        !(col("doc_id") === col("first_occ.doc_id") &&
+          col("pos") === col("first_occ.pos")))
       .select("doc_id", "pos")
     cut.groupBy("doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("ps"))

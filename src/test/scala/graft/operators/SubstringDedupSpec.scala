@@ -57,11 +57,20 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(overlaps.count() === 0)
   }
 
-  test("no corpus-wide window: the merge runs inside per-doc arrays") {
+  test("one occurrence shuffle, no join-back; the merge runs inside per-doc arrays") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = SubstringDedup.duplicatedSpans(docs, 8)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"))
+    // gram stats ride ONE window over the gram partitioning — the
+    // former (groupBy gram -> join back) pair is gone, so the
+    // corpus-sized occurrence frame shuffles once, not twice
+    assert(!plan.contains("Join"), s"join-back resurfaced:\n${plan.take(2000)}")
+    // the only window partitions on gram (stats), never on doc order:
+    // the interval merge stays a per-doc array fold
+    val winSpecs = plan.linesIterator.filter(_.contains("windowspecdefinition"))
+      .mkString("\n")
+    assert(!winSpecs.contains("pos"),
+      s"a positional window appeared — the merge left the per-doc fold:\n$winSpecs")
   }
 }
