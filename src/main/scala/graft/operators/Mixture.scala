@@ -92,4 +92,50 @@ object Mixture {
         explode(when(copies > 0, sequence(lit(1L), copies))
           .otherwise(array().cast("array<long>"))))
   }
+
+  /** Temperature-scaled mixture weights — the multilingual/multi-domain
+    * alpha-sampling rule (w_d ∝ n_d^alpha, alpha in (0,1] flattens the
+    * size distribution so small domains are not drowned; the standard
+    * knob of multilingual pretraining). Returns one row per domain:
+    * (domainCol, n_tokens, w) with the weights summing to ~1.
+    *
+    * Determinism: each domain's n^alpha rounds to 6 decimals and casts
+    * to DECIMAL before the normalizer sums them, so Z is an exact
+    * decimal sum (addition-order-free); alpha = 0.5 uses `sqrt`, which
+    * IEEE 754 requires to be correctly rounded — bit-identical in any
+    * engine — where `pow` is only ulp-accurate. The weight table is
+    * |domains| rows at any corpus size; the only corpus-scale work is
+    * the per-domain token aggregate. */
+  def temperatureWeights(docs: DataFrame, domainCol: String,
+      nTokens: Column, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
+    def p(x: Column): Column =
+      if (alpha == 0.5) sqrt(x) else pow(x, lit(alpha))
+    val scaled = docs.groupBy(col(domainCol))
+      .agg(sum(nTokens).cast("long").as("n_tokens"))
+      .withColumn("_p",
+        round(p(col("n_tokens").cast("double")), 6).cast("decimal(28,6)"))
+    val z = scaled.agg(sum(col("_p")).as("_z"))
+    scaled.crossJoin(broadcast(z))
+      .select(col(domainCol), col("n_tokens"),
+        round(col("_p").cast("double") / col("_z").cast("double"), 6).as("w"))
+  }
+
+  /** Compose temperatureWeights with [[sample]]: resolve the alpha-
+    * scaled weights to per-mille integers (half-up on the rounded
+    * weight — exact decimal arithmetic, no double drift) and sample
+    * the corpus to them. The weight table is collected — it is
+    * |domains| rows by construction. */
+  def temperatureSample(docs: DataFrame, domainCol: String, key: Column,
+      nTokens: Column, alpha: Double, budget: Long,
+      wide: Boolean = false): DataFrame = {
+    val weights = temperatureWeights(docs, domainCol, nTokens, alpha)
+      .collect()
+      .map(r => r.getString(0) ->
+        (BigDecimal(r.getDouble(2)) * 1000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt)
+      .toMap
+    sample(docs, domainCol, key, nTokens, weights, defaultPermille = 0,
+      budget, wide)
+  }
 }

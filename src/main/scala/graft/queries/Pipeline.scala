@@ -1492,6 +1492,31 @@ object Pipeline {
       .orderBy("doc_id", "epoch")
   }
 
+  /** Temperature-scaled mixture weights (Mixture.temperatureWeights,
+    * alpha = 0.5): w_d proportional to sqrt(n_d tokens) — the
+    * multilingual alpha-sampling rule. Each n^alpha rounds to 6
+    * decimals and casts to DECIMAL before the normalizer sums, so Z is
+    * order-free; sqrt is IEEE-correctly-rounded, bit-identical across
+    * engines. The weight table is |domains| rows at any scale. */
+  val qMixTemperature = Q(
+    "q_mix_temperature",
+    """WITH s AS (
+      |  SELECT source, SUM(len(string_split(text, ' '))) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |p AS (SELECT source, n_tokens,
+      |        CAST(ROUND(SQRT(CAST(n_tokens AS DOUBLE)), 6)
+      |             AS DECIMAL(28,6)) AS pw
+      |      FROM s),
+      |z AS (SELECT SUM(pw) AS z FROM p)
+      |SELECT p.source, p.n_tokens,
+      |       ROUND(CAST(p.pw AS DOUBLE) / CAST(z.z AS DOUBLE), 6) AS w
+      |FROM p, z ORDER BY p.source""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    Mixture.temperatureWeights(docs, "source",
+      size(split(col("text"), " ")).cast("long"), alpha = 0.5)
+      .orderBy("source")
+  }
+
   /** Gopher-style repetition gate (QualityFilters.repetitionGate):
     * top-2-gram coverage + duplicate-3-gram coverage per document,
     * thresholded. The oracle rebuilds the identical n-gram arrays and
@@ -1662,6 +1687,7 @@ object Pipeline {
   val all: Seq[Q] = Seq(
     qQualityRepetition, qTrainShuffle, qBpePairs, qBpeEncode, qEmbedQuant,
     qDecontam, qDecontamClean, qDecontamSpans, qDomainMix, qMixUpsample,
+    qMixTemperature,
     qDedupExact, qPipelineE2E, qJaccardPairs, qShingleJaccard, qDupClusters,
     qDedupKeep,
     qMinHashLsh, qMinHashSuperset,

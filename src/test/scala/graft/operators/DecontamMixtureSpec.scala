@@ -138,4 +138,36 @@ class DecontamMixtureSpec extends AnyFunSuite {
     assert(Mixture.upsample(docs, col("doc_id"),
       lit(null).cast("long")).count() === 0)
   }
+
+  test("temperature weights: alpha=1 matches proportions, alpha=0.5 flattens") {
+    val docs = corpus(200)
+    import org.apache.spark.sql.functions.col
+    def weights(alpha: Double): Map[String, (Long, Double)] =
+      Mixture.temperatureWeights(docs, "source", col("n_tok"), alpha)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+    val w1 = weights(1.0)
+    val tot = w1.values.map(_._1).sum.toDouble
+    for ((_, (n, w)) <- w1)
+      assert(math.abs(w - n / tot) < 2e-6, s"alpha=1 should be proportional")
+    val wHalf = weights(0.5)
+    assert(math.abs(wHalf.values.map(_._2).sum - 1.0) < 1e-4)
+    // flattening: the largest domain's share shrinks vs alpha=1, the
+    // smallest domain's share grows
+    val bigSrc = w1.maxBy(_._2._1)._1
+    val smallSrc = w1.minBy(_._2._1)._1
+    if (w1(bigSrc)._1 != w1(smallSrc)._1) {
+      assert(wHalf(bigSrc)._2 < w1(bigSrc)._2)
+      assert(wHalf(smallSrc)._2 > w1(smallSrc)._2)
+    }
+    // composed sampling is deterministic and respects the caps
+    val s1 = Mixture.temperatureSample(docs, "source", col("doc_id"),
+      col("n_tok"), 0.5, budget = 2000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Mixture.temperatureSample(docs, "source", col("doc_id"),
+      col("n_tok"), 0.5, budget = 2000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 === s2)
+    assert(s1.nonEmpty && s1.size < 200)
+  }
 }
