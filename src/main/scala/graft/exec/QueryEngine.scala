@@ -116,6 +116,21 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * materializations) goes through here; the result cache keeps its
     * own eviction-time release instead — its pins outlive statements
     * by design. */
+  /** Pin a batch UNLESS its optimized plan already IS a LocalRelation:
+    * literal VALUES rows live on the driver, nothing in their lineage
+    * can re-read the log being appended to, their parallelize layout
+    * is deterministic (so sequence assignment is stable across the
+    * counts job and the write), and any non-deterministic expression
+    * would have blocked constant folding and left a Project above —
+    * failing this gate and keeping the real checkpoint. Skipping the
+    * pin removes one materialization job from every literal INSERT,
+    * the floor under OLTP-shaped statement streams. */
+  private def pinUnlessLiteral(df: DataFrame): DataFrame =
+    df.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => df
+      case _ => pinCheckpoint(df)
+    }
+
   private def pinCheckpoint(df: DataFrame): DataFrame = {
     // opportunistically drop nodes whose referent a GC already let the
     // ContextCleaner reclaim — without this the queue grows one node
@@ -1861,7 +1876,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // caller that already pinned the batch (DML paths pin once so
     // PK/FK probe jobs read blocks instead of re-executing the source)
     // skips the second materialization.
-    val pinned = if (prePinned) physical else pinCheckpoint(physical)
+    val pinned = if (prePinned) physical else pinUnlessLiteral(physical)
     val (withSeq, n) = EventLog.assignSequencesCounted(pinned, base)
     // the flat-log certificate survives this batch only when it is an
     // INSERT whose pk uniqueness was actually established — by the
@@ -2969,7 +2984,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         // executors assign the ids distributed (the reference draws
         // per row under a lock — sequences.rs:108-142; a block
         // reservation is the 100 TB shape)
-        val pinned = pinCheckpoint(positioned)
+        val pinned = pinUnlessLiteral(positioned)
         val counts = EventLog.partitionCounts(pinned)
         val n = counts.sum
         val first = if (n > 0) catalog.reserveSequenceBlock(seqName, n) else 1L
@@ -2981,7 +2996,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           else expr(defaults.getOrElse(c.logical, "NULL"))
             .cast(c.dataType).as(c.logical)): _*)
       case None =>
-        pinCheckpoint(positioned.select(t.columns.map(c =>
+        pinUnlessLiteral(positioned.select(t.columns.map(c =>
           if (target.contains(c.logical)) col(c.logical).cast(c.dataType).as(c.logical)
           else expr(defaults.getOrElse(c.logical, "NULL"))
             .cast(c.dataType).as(c.logical)): _*))
@@ -3218,10 +3233,21 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               allowMissingColumns = true)
         case None => events(t)
       }
-      Snapshots.write(src, snapDir, seq,
-        (if (encryptionOn)
+      val opts = (if (encryptionOn)
           Map("parquet.encryption.uniform.key" -> Encryption.MasterKeyId)
-        else Map.empty[String, String]) ++ bloomOptions(t))
+        else Map.empty[String, String]) ++ bloomOptions(t)
+      // flat-log certificate: every source row is already a unique-pk
+      // INSERT (checkpoint rows are collapsed inserts; tail events are
+      // certified inserts disjoint from them), so the collapse window
+      // would be an identity — write the frames directly. This is what
+      // keeps AUTO-snapshots of append-only streaming registries from
+      // re-windowing the whole registry every 100k postings.
+      if (t.attached.isEmpty && catalog.isFlatLog(t.name))
+        Snapshots.writePrecollapsed(
+          src.where(col("sequence") <= seq).select(col("sequence"),
+            col("ts"), col("event_type"), col("pk"), col("payload")),
+          snapDir, seq, opts)
+      else Snapshots.write(src, snapDir, seq, opts)
     }
     lastSnapSeqs(table) = math.max(lastSnapSeqs.getOrElse(table, 0L), seq)
     metricSnapshots += 1

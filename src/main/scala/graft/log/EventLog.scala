@@ -77,10 +77,24 @@ object EventLog {
     * The batch must be pinned (localCheckpoint) by the caller: the
     * offsets are computed once, so the row-to-partition mapping must
     * not change between the count job and the consuming action. */
-  def assignSequencesCounted(batch: DataFrame, base: Long): (DataFrame, Long) = {
-    val counts = partitionCounts(batch)
-    (assignWithOffsets(batch, base, counts), counts.sum)
-  }
+  def assignSequencesCounted(batch: DataFrame, base: Long): (DataFrame, Long) =
+    batch.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        // literal rows are driver-resident: executeCollect is job-free
+        // on a LocalTableScan, and the sequenced batch goes back out as
+        // a LocalRelation — the partition-counts job (and its ~200 ms
+        // of per-statement floor) disappears from every VALUES insert
+        val rows = batch.collect()
+        val out = StructType(batch.schema.fields :+
+          StructField("sequence", LongType, nullable = false))
+        val seqd: java.util.List[Row] = java.util.Arrays.asList(
+          rows.zipWithIndex.map { case (r, i) =>
+            Row.fromSeq(r.toSeq :+ (base + i + 1L)) }.toIndexedSeq: _*)
+        (batch.sparkSession.createDataFrame(seqd, out), rows.length.toLong)
+      case _ =>
+        val counts = partitionCounts(batch)
+        (assignWithOffsets(batch, base, counts), counts.sum)
+    }
 
   /** One job: per-partition row counts (the offsets zipWithIndex would
     * compute internally, surfaced so the total is free). */
