@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Bpe, Components, Decontam, Dedup, Dsir, FullText, Mixture, Multimodal, NaiveBayes, Packing, Pca, Perplexity, QualityFilters, Quantize, RangeJoin, Sampling, SemDedup, Similarity, SubstringDedup, TextAnalysis, TextChunking, TrainingOrder, Vocabulary}
+import graft.operators.{AsOfJoin, Bpe, Components, Decontam, Dedup, Dsir, FullText, Mixture, Multimodal, NaiveBayes, Packing, Pca, Web, Perplexity, QualityFilters, Quantize, RangeJoin, Sampling, SemDedup, Similarity, SubstringDedup, TextAnalysis, TextChunking, TrainingOrder, Vocabulary}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -778,6 +778,101 @@ object Pipeline {
     Dsir.logWeights(
         docs.where(col("doc_id") % 20 =!= 0),
         docs.where(col("doc_id") % 20 === 0))
+      .orderBy("doc_id")
+  }
+
+  /** HTML text extraction (Web.extractHtmlText — the CCNet stage-1
+    * primitive): markup synthesized deterministically around each
+    * document's text, then script/style/comment blocks dropped, tags
+    * stripped, entities decoded (&amp; last), whitespace collapsed.
+    * Pure scan-stage regex in the java.regex ∩ RE2 subset — the
+    * oracle mirrors every pass (DuckDB regexp_replace needs the 'g'
+    * flag; Spark's is global by default). */
+  val qHtmlExtract = Q(
+    "q_html_extract",
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>' || source || '</title>' ||
+      |    '<script type="text/javascript">var x = 1 && 2;</script>' ||
+      |    '<style>p { color: red; }</style></head>' ||
+      |    '<body><!-- nav --><h1>Doc ' || doc_id || '</h1><p>' ||
+      |    text || ' &amp; more</p></body></html>' AS html
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(
+      |      replace(replace(replace(replace(replace(replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(
+      |              regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |            '(?s)<!--.*?-->', ' ', 'g'),
+      |          '<[^>]+>', ' ', 'g'),
+      |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+      |      '\s+', ' ', 'g')) AS extracted
+      |  FROM h)
+      |SELECT doc_id, extracted FROM x ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val html = concat(
+      lit("<html><head><title>"), col("source"), lit("</title>"),
+      lit("<script type=\"text/javascript\">var x = 1 && 2;</script>"),
+      lit("<style>p { color: red; }</style></head>"),
+      lit("<body><!-- nav --><h1>Doc "), col("doc_id"), lit("</h1><p>"),
+      col("text"), lit(" &amp; more</p></body></html>"))
+    docs.select(col("doc_id"), Web.extractHtmlText(html).as("extracted"))
+      .orderBy("doc_id")
+  }
+
+  /** URL canonicalization (Web.urlKey + Web.domainOf): noisy URLs —
+    * upper-cased scheme/host, explicit default port, trailing slash,
+    * unordered query with utm and fbclid tracking params, fragment —
+    * collapse to one dedup key; params are sorted, the domain key is
+    * the last two host labels. Scan-stage regex + array ops. */
+  val qUrlNormalize = Q(
+    "q_url_normalize",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'HTTPS://WWW.' || source || '.Example.COM:443/Path/' ||
+      |    (doc_id % 5) || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+      |    '?b=2&utm_source=x&a=1&fbclid=zz' ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END AS url
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+      |    lower(regexp_extract(url, '^[^:]+://([^/?#]+)', 1)) AS hostport,
+      |    regexp_extract(url, '^[^:]+://[^/?#]+([^?#]*)', 1) AS rawpath,
+      |    regexp_extract(url, '\?([^#]*)', 1) AS query
+      |  FROM u),
+      |norm AS (
+      |  SELECT doc_id, scheme,
+      |    CASE WHEN (scheme = 'http' AND hostport LIKE '%:80')
+      |           OR (scheme = 'https' AND hostport LIKE '%:443')
+      |         THEN regexp_replace(hostport, ':[0-9]+$', '')
+      |         ELSE hostport END AS host,
+      |    CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+      |         ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+      |    array_to_string(list_sort(list_filter(string_split(query, '&'),
+      |      p -> p <> '' AND NOT regexp_matches(p,
+      |        '^(?i)(utm_[a-zA-Z_]+|fbclid|gclid)='))), '&') AS kept
+      |  FROM parts)
+      |SELECT doc_id,
+      |  scheme || '://' || host || path ||
+      |    CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS url_key,
+      |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+      |FROM norm ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val url = concat(
+      lit("HTTPS://WWW."), col("source"), lit(".Example.COM:443/Path/"),
+      col("doc_id") % 5,
+      when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+      lit("?b=2&utm_source=x&a=1&fbclid=zz"),
+      when(col("doc_id") % 3 === 0, lit("#frag")).otherwise(lit("")))
+    val key = Web.urlKey(url)
+    docs.select(col("doc_id"), key.as("url_key"),
+        Web.domainOf(regexp_extract(key, "^[^:]+://([^/?#]+)", 1)).as("domain"))
       .orderBy("doc_id")
   }
 
@@ -1696,7 +1791,7 @@ object Pipeline {
     qAnnCosine, qAnnLsh, qAnnIvfFull, qAnnIvf, qKmeansFull, qKmeans,
     qTextQuality, qLangId, qTokenStats, qVocabOov, qTfidfKeywords,
     qPerplexity, qSubstringDedup, qDsir, qNbClassify, qNbModel,
-    qPcaCov, qPcaProject, qFingerprint,
+    qPcaCov, qPcaProject, qHtmlExtract, qUrlNormalize, qFingerprint,
     qFulltextAll, qFulltextAny, qFulltextBm25,
     qStratSample, qSampleExactK, qSeqPack,
     qMultimodalMeta, qMmFeatures, qFrameSample,
