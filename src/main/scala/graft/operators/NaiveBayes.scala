@@ -89,17 +89,29 @@ object NaiveBayes {
     val tf = docs
       .select(col(idCol).as("_id"), explode(TextAnalysis.tokens(col(textCol))).as("_w"))
       .groupBy("_id", "_w").agg(count(lit(1)).as("_tf"))
-    val adj = tf.join(broadcast(model), "_w")
-      .groupBy("_id", "_c").agg(sum(col("_tf") * col("_delta")).as("_adj"))
-    val scores = docsNd.crossJoin(broadcast(cls))
-      .join(adj, Seq("_id", "_c"), "left")
-      .select(col("_id") +: keep :+ col("_c") :+
-        (col("_prior") + col("_nd") * col("_l0") +
-          coalesce(col("_adj"), lit(0).cast(Dec))).as("_score"): _*)
+    // one union + one aggregation instead of (base LEFT JOIN adj):
+    // both sides of that join are corpus-sized, so it would sort-merge;
+    // as score CONTRIBUTIONS they sum in a single map-side-combinable
+    // shuffle (decimal sums are exact, so splitting the formula across
+    // rows changes nothing). The per-class base row carries the
+    // passthrough label; max() lifts it past the model rows' nulls.
+    val wide = "decimal(38,6)"
+    val contribs = tf.join(broadcast(model), "_w")
+      .select(col("_id"), col("_c"),
+        (col("_tf") * col("_delta")).cast(wide).as("_contrib"),
+        lit(null).cast("string").as("_label"))
+      .unionByName(docsNd.crossJoin(broadcast(cls))
+        .select(col("_id"), col("_c"),
+          (col("_prior") + col("_nd") * col("_l0")).cast(wide).as("_contrib"),
+          (if (hasLabel) col(labelCol).cast("string")
+           else lit(null).cast("string")).as("_label")))
+    val scores = contribs.groupBy("_id", "_c")
+      .agg(sum(col("_contrib")).as("_score"), max(col("_label")).as("_lbl"))
     val w = Window.partitionBy("_id")
       .orderBy(col("_score").desc, col("_c").asc)
+    val keepOut = if (hasLabel) Seq(col("_lbl").as(labelCol)) else Nil
     scores.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
-      .select(col("_id").as(idCol) +: keep :+
+      .select(col("_id").as(idCol) +: keepOut :+
         col("_c").as("pred") :+
         col("_score").cast("double").as("score"): _*)
   }

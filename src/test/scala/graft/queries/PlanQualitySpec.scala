@@ -101,6 +101,33 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("the NB classifier broadcasts its model; the corpus never sort-merges") {
+    val p = plan(q("q_nb_classify"))
+    // the vocab x classes model and the |C|-row class table both ride
+    // broadcast joins; the only corpus-keyed shuffles are the tf
+    // aggregation and the per-doc argmax window
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus sort-merged against the model:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("web extraction and URL keys are scan-stage: no exchange before the sort") {
+    for (name <- Seq("q_html_extract", "q_url_normalize")) {
+      val p = plan(q(name))
+      // one presentation sort at the top; everything below runs inside
+      // the parquet scan's stage
+      assert(!p.contains("HashAggregate") && !p.contains("Join"),
+        s"$name left the scan stage:\n" + p.take(3000))
+      // the only exchange is the presentation sort's range partitioning
+      // (each plan node appears twice in formatted output: tree + detail)
+      val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+      assert(exchanges <= 1, s"$name plans $exchanges exchanges:\n" + p.take(3000))
+      assert(!p.contains("hashpartitioning"),
+        s"$name shuffled on a hash key:\n" + p.take(3000))
+    }
+  }
+
   test("pk point lookups push through the state collapse to the scan") {
     val e = graft.exec.QueryEngine.scratch(spark)
     e.sql("CREATE TABLE pt (k BIGINT PRIMARY KEY, v STRING)")
