@@ -1407,6 +1407,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       requireSuperuserAlways("DROP ALERT")
       val existed = catalog.dropAlert(name)
       alertFired.remove(name)
+      alertState.remove(name) // history keeps the dropped rule's past
       if (!existed && !ifExists)
         throw new IllegalArgumentException(s"no alert named $name")
       summary("drop_alert", if (existed) 1L else 0L, 0L)
@@ -2528,6 +2529,21 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * rule (alerting.rs AlertState): PENDING until the condition first
     * holds, FIRING while it holds, RESOLVED after it stops. */
   private val alertFired = scala.collection.mutable.HashSet.empty[String]
+  // state-transition history (alert_routes.rs get_alert_history):
+  // (ordinal, alert, from, to), newest last, bounded ring. Ordinals
+  // are a per-engine monotonic counter, not a clock — the whole
+  // alerting surface stays deterministic and replayable.
+  private val alertState = scala.collection.mutable.HashMap.empty[String, String]
+  private val alertHistory =
+    scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String)]
+  private var alertHistSeq = 0L
+  private val AlertHistoryMax = 256
+
+  private[graft] def alertTransitions: Seq[(Long, String, String, String)] =
+    alertHistory.toSeq
+
+  private[graft] def alertRules: Seq[graft.catalog.AlertDef] =
+    catalog.alertList.sortBy(_.name)
 
   private def createAlert(name: String, metric: String, op: String,
       threshold: Double, severity: String): DataFrame = {
@@ -2554,9 +2570,65 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       val state =
         if (firing) "FIRING"
         else if (alertFired(a.name)) "RESOLVED" else "PENDING"
+      val prev = alertState.getOrElse(a.name, "PENDING")
+      if (state != prev) {
+        alertHistSeq += 1
+        alertHistory += ((alertHistSeq, a.name, prev, state))
+        if (alertHistory.length > AlertHistoryMax)
+          alertHistory.remove(0, alertHistory.length - AlertHistoryMax)
+        alertState(a.name) = state
+      }
       (a.name, a.severity, state, a.metric, v, a.threshold)
     }.sortBy(_._1)
     rows.toDF("alert", "severity", "state", "metric", "value", "threshold")
+  }
+
+  /** Engine-derived optimization suggestions (performance_routes.rs
+    * get_optimization_suggestions — theirs inspects slow queries, heap
+    * and pool stats; ours adds the signals only this engine has:
+    * snapshot replay lag and flat-log certificates). Each row is
+    * (category, priority, suggestion), computed from catalog METADATA
+    * and in-memory counters only — no data scan, so the endpoint is
+    * always cheap to poll. */
+  private[graft] def optimizationSuggestions(): Seq[(String, String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    val slow = slowLog.toSeq
+    if (slow.nonEmpty)
+      out += (("query_performance", "high",
+        s"${slow.length} statements exceeded the slow-log threshold " +
+          s"(max ${slow.map(_._3).max} ms) - inspect SHOW PERF's slow " +
+          "log; point lookups want an index (CREATE INDEX stamps " +
+          "bloom filters), repeated reads want SET RESULT_CACHE ON"))
+    // replay bound: a mutation-heavy table with a long unsnapshotted
+    // tail pays a keyed collapse over that tail on every read
+    for (t <- catalog.tableNames
+        if catalog.get(t).exists(_.attached.isEmpty) && !catalog.isFlatLog(t)) {
+      val snap = lastSnapSeqs.getOrElse(t,
+        Snapshots.nearest(spark, catalog.snapshotPath(t), None).getOrElse(0L))
+      val lag = catalog.lastSeq(t) - snap
+      if (autoSnapshotEvery > 0 && lag > autoSnapshotEvery / 2)
+        out += (("storage", "medium",
+          s"table $t has $lag unsnapshotted events and no flat-log " +
+            s"certificate - SNAPSHOT $t bounds every read's collapse replay"))
+    }
+    val lookups = cacheHits + cacheMisses
+    if (lookups >= 20 && cacheHits * 2 < lookups)
+      out += (("caching", "medium",
+        f"result-cache hit rate ${cacheHits * 100.0 / lookups}%.0f%% over " +
+          s"$lookups lookups - mostly-unique statements; parameterize " +
+          "repeated query shapes so versions key-match"))
+    val rt = Runtime.getRuntime
+    val heapUsed = rt.totalMemory() - rt.freeMemory()
+    if (heapUsed > rt.maxMemory() * 3 / 4)
+      out += (("memory", "medium",
+        s"driver heap ${heapUsed >> 20} MB of ${rt.maxMemory() >> 20} MB - " +
+          "lower SET STATEMENT_TIMEOUT, bound COPY TO exports, or raise " +
+          "driver memory"))
+    if (out.isEmpty)
+      out += (("general", "low",
+        "no pressing optimizations - snapshot lag, slow log, cache hit " +
+          "rate and heap are all within bounds"))
+    out.toSeq
   }
 
   // ====================================================== result cache

@@ -113,6 +113,75 @@ final class HttpAdmin(engine: QueryEngine, port: Int = 0,
         s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}\n""")
     })
 
+  // /alerts/history — the recorded state transitions (alert_routes.rs
+  // get_alert_history). Ordinals are the engine's monotonic counter,
+  // not timestamps: the surface stays deterministic.
+  server.createContext("/alerts/history", ex =>
+    try {
+      engine.sql("SHOW ALERTS").collect() // evaluate -> record transitions
+      val json = engine.alertTransitions.map { case (ord, name, from, to) =>
+        s"""{"ordinal": $ord, "alert": ${jsonStr(name)}, """ +
+          s""""from": ${jsonStr(from)}, "to": ${jsonStr(to)}}"""
+      }.mkString("[", ", ", "]")
+      respond(ex, 200, "application/json", json + "\n")
+    } catch { case e: Exception =>
+      respond(ex, 500, "application/json",
+        s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}\n""")
+    })
+
+  // /alerts/rules — REST rule management (alert_routes.rs list_rules /
+  // add_rule / delete_rule). Writes route through the SQL statements,
+  // so the superuser gate, audit trail and catalog persistence all
+  // apply exactly as if typed.
+  server.createContext("/alerts/rules", ex =>
+    try {
+      val tail = ex.getRequestURI.getPath.stripPrefix("/alerts/rules")
+        .stripPrefix("/")
+      (ex.getRequestMethod, tail) match {
+        case ("GET", "") =>
+          val json = engine.alertRules.map { a =>
+            s"""{"name": ${jsonStr(a.name)}, "metric": ${jsonStr(a.metric)}, """ +
+              s""""op": ${jsonStr(a.op)}, "threshold": ${a.threshold}, """ +
+              s""""severity": ${jsonStr(a.severity)}}"""
+          }.mkString("[", ", ", "]")
+          respond(ex, 200, "application/json", json + "\n")
+        case ("POST", "") =>
+          val body = new String(
+            ex.getRequestBody.readNBytes(1 << 16),
+            java.nio.charset.StandardCharsets.UTF_8)
+          def field(k: String): Option[String] =
+            (s""""$k"\\s*:\\s*"([^"]*)"""".r.findFirstMatchIn(body) orElse
+              s""""$k"\\s*:\\s*(-?[0-9.]+)""".r.findFirstMatchIn(body))
+              .map(_.group(1))
+          val name = field("name").getOrElse(
+            throw new IllegalArgumentException("missing field: name"))
+          val metric = field("metric").getOrElse(
+            throw new IllegalArgumentException("missing field: metric"))
+          val op = field("op").getOrElse(">")
+          val threshold = field("threshold").getOrElse(
+            throw new IllegalArgumentException("missing field: threshold"))
+          require(Set(">", ">=", "<", "<=", "=")(op), s"bad op: $op")
+          require(name.matches("\\w+") && metric.matches("\\w+") &&
+            threshold.matches("-?\\d+(\\.\\d+)?"), "bad rule fields")
+          val sev = field("severity").getOrElse("WARNING").toUpperCase
+          require(Set("INFO", "WARNING", "CRITICAL", "FATAL")(sev),
+            s"bad severity: $sev")
+          engine.sql(
+            s"CREATE ALERT $name ON $metric $op $threshold SEVERITY $sev")
+          respond(ex, 201, "application/json",
+            s"""{"created": ${jsonStr(name)}}""" + "\n")
+        case ("DELETE", name) if name.nonEmpty && name.matches("\\w+") =>
+          engine.sql(s"DROP ALERT $name")
+          respond(ex, 200, "application/json",
+            s"""{"deleted": ${jsonStr(name)}}""" + "\n")
+        case (m, _) => respond(ex, 405, "application/json",
+          s"""{"error": "unsupported: $m"}""" + "\n")
+      }
+    } catch { case e: Exception =>
+      respond(ex, 400, "application/json",
+        s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}\n""")
+    })
+
   // com.sun.net.httpserver matches the LONGEST registered prefix, so
   // these subpaths win over the "/health" context above
   server.createContext("/health/live", ex =>
@@ -195,6 +264,25 @@ final class HttpAdmin(engine: QueryEngine, port: Int = 0,
         "heap_max_bytes" -> rt.maxMemory().toString,
         "storage_memory_bytes" -> storMax.toString,
         "storage_memory_free_bytes" -> storFree.toString)) + "\n")
+    } catch { case e: Exception =>
+      respond(ex, 500, "application/json",
+        s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}\n""")
+    })
+
+  // /performance/optimization (performance_routes.rs
+  // get_optimization_suggestions): engine-derived advice — slow-log
+  // pressure, snapshot replay lag on mutation-heavy tables, result-
+  // cache hit rate, driver heap. Metadata + counters only, cheap to
+  // poll.
+  server.createContext("/performance/optimization", ex =>
+    try {
+      val suggestions = engine.optimizationSuggestions()
+      val json = suggestions.map { case (cat, pri, text) =>
+        s"""{"category": ${jsonStr(cat)}, "priority": ${jsonStr(pri)}, """ +
+          s""""suggestion": ${jsonStr(text)}}"""
+      }.mkString("[", ", ", "]")
+      respond(ex, 200, "application/json",
+        s"""{"total_suggestions": ${suggestions.length}, "suggestions": $json}""" + "\n")
     } catch { case e: Exception =>
       respond(ex, 500, "application/json",
         s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}\n""")

@@ -136,6 +136,76 @@ class HttpAdminSpec extends AnyFunSuite {
     }
   }
 
+  test("/alerts/rules REST management and /alerts/history transitions") {
+    val e = QueryEngine.scratch(spark)
+    val srv = new HttpAdmin(e, 0).start()
+    try {
+      // POST creates through the governed SQL path
+      val conn = new java.net.URL(
+        s"http://127.0.0.1:${srv.boundPort}/alerts/rules")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.getOutputStream.write(
+        """{"name": "tbl_alert", "metric": "tables", "op": ">=",
+          |"threshold": 1, "severity": "INFO"}""".stripMargin.getBytes("UTF-8"))
+      assert(conn.getResponseCode === 201)
+
+      val (lc, listed, _) = get(srv.boundPort, "/alerts/rules")
+      assert(lc === 200, listed)
+      assert(listed.contains("\"tbl_alert\"") &&
+        listed.contains("\"tables\""), listed)
+
+      // a table appears -> the rule fires; history records the
+      // PENDING -> FIRING transition with a monotonic ordinal
+      e.sql("CREATE TABLE a1 (k BIGINT PRIMARY KEY)")
+      val (hc, hist, _) = get(srv.boundPort, "/alerts/history")
+      assert(hc === 200, hist)
+      assert(hist.contains("\"alert\": \"tbl_alert\"") &&
+        hist.contains("\"to\": \"FIRING\""), hist)
+
+      // DELETE removes the rule; the history keeps its past
+      val del = new java.net.URL(
+        s"http://127.0.0.1:${srv.boundPort}/alerts/rules/tbl_alert")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      del.setRequestMethod("DELETE")
+      assert(del.getResponseCode === 200)
+      val (_, rules2, _) = get(srv.boundPort, "/alerts/rules")
+      assert(!rules2.contains("tbl_alert"), rules2)
+      val (_, hist2, _) = get(srv.boundPort, "/alerts/history")
+      assert(hist2.contains("tbl_alert"), hist2)
+
+      // malformed POST is a clean 400, not a crash
+      val bad = new java.net.URL(
+        s"http://127.0.0.1:${srv.boundPort}/alerts/rules")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      bad.setRequestMethod("POST"); bad.setDoOutput(true)
+      bad.getOutputStream.write("""{"name": "x; DROP"}""".getBytes("UTF-8"))
+      assert(bad.getResponseCode === 400)
+    } finally {
+      srv.close(); e.close()
+    }
+  }
+
+  test("/performance/optimization serves engine-derived suggestions") {
+    val e = QueryEngine.scratch(spark)
+    val srv = new HttpAdmin(e, 0).start()
+    try {
+      val (c0, quiet, _) = get(srv.boundPort, "/performance/optimization")
+      assert(c0 === 200, quiet)
+      assert(quiet.contains("\"total_suggestions\""), quiet)
+      // trip the slow log -> a high-priority query_performance entry
+      e.sql("CREATE TABLE o (k BIGINT PRIMARY KEY)")
+      e.sql("SET SLOW_LOG 1")
+      e.sql("INSERT INTO o VALUES (1), (2)")
+      val (c1, busy, _) = get(srv.boundPort, "/performance/optimization")
+      assert(c1 === 200, busy)
+      assert(busy.contains("\"query_performance\"") &&
+        busy.contains("\"high\""), busy)
+    } finally {
+      srv.close(); e.close()
+    }
+  }
+
   test("/performance/connections without a wire server answers 404") {
     val e = QueryEngine.scratch(spark)
     val srv = new HttpAdmin(e, 0).start()
