@@ -198,6 +198,12 @@ object Cli {
                 false
               } catch { case ex: Exception => err(s"$t: ${ex.getMessage}"); true }
             }
+            // advisory tail: the same engine-derived suggestions the
+            // /performance/optimization endpoint serves — a healthy
+            // store can still be a slow one
+            for ((cat, pri, text) <- e.optimizationSuggestions()
+                if pri != "low")
+              out(s"advice [$cat/$pri]: $text")
             out(if (bad.isEmpty) "ok" else s"corrupt tables: ${bad.mkString(", ")}")
             if (bad.isEmpty) 0 else 1
           }
