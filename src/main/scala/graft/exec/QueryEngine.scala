@@ -678,6 +678,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         _: Statement.SetSecurityMonitor | _: Statement.SetSecurityAutoblock |
         Statement.ShowSecurityThreats | Statement.ShowSecurityStats |
         Statement.ShowSessions | Statement.ShowAlerts |
+        Statement.ShowOptimizations |
         _: Statement.SetEncryptionKey | Statement.SetEncryptionOff |
         _: Statement.CopyTo | _: Statement.DiffTable |
         _: Statement.Describe | _: Statement.Analyze |
@@ -1414,6 +1415,10 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Statement.ShowAlerts =>
       requireSuperuser("SHOW ALERTS")
       showAlerts()
+    case Statement.ShowOptimizations =>
+      requirePerm("SHOW OPTIMIZATIONS", "VIEW_METRICS")
+      import spark.implicits._
+      optimizationSuggestions().toDF("category", "priority", "suggestion")
     case Statement.SetSlowLog(ms) =>
       slowLogThresholdMs = ms
       if (ms == 0) slowLog.clear()
@@ -2596,7 +2601,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     if (slow.nonEmpty)
       out += (("query_performance", "high",
         s"${slow.length} statements exceeded the slow-log threshold " +
-          s"(max ${slow.map(_._3).max} ms) - inspect SHOW PERF's slow " +
+          f"(max ${slow.map(_._3).max}%.1f ms) - inspect SHOW PERF's slow " +
           "log; point lookups want an index (CREATE INDEX stamps " +
           "bloom filters), repeated reads want SET RESULT_CACHE ON"))
     // replay bound: a mutation-heavy table with a long unsnapshotted

@@ -280,6 +280,11 @@ object Statement {
     * evaluate_rules / get_active_alerts): firing while the condition
     * holds, resolved once it stops, pending if it never fired. */
   case object ShowAlerts extends Statement
+
+  /** SHOW OPTIMIZATIONS — the engine-derived advice the
+    * /performance/optimization endpoint and `graft doctor` serve,
+    * reachable from any SQL session. */
+  case object ShowOptimizations extends Statement
 }
 
 object StatementRouter {
@@ -445,6 +450,7 @@ object StatementRouter {
     """(?is)^CREATE\s+ALERT\s+(\w+)\s+ON\s+(\w+)\s*(>=|<=|>|<|=)\s*(-?\d+(?:\.\d+)?)(?:\s+SEVERITY\s+(INFO|WARNING|CRITICAL|FATAL))?\s*$""".r
   private val DropAlertR = """(?is)^DROP\s+ALERT\s+(IF\s+EXISTS\s+)?(\w+)\s*$""".r
   private val ShowAlertsR = """(?is)^SHOW\s+ALERTS\s*$""".r
+  private val ShowOptimizationsR = """(?is)^SHOW\s+OPTIMIZATIONS\s*$""".r
   private val SetPrivilegesR = """(?is)^SET\s+PRIVILEGES\s+(ON|OFF)\s*$""".r
   private val ShowAuditR = """(?is)^SHOW\s+AUDIT\s*$""".r
   private val BeginR =
@@ -560,6 +566,7 @@ object StatementRouter {
           Option(sev).map(_.toUpperCase).getOrElse("WARNING"))
       case DropAlertR(ifEx, name) => DropAlert(name, ifEx != null)
       case ShowAlertsR() => ShowAlerts
+      case ShowOptimizationsR() => ShowOptimizations
       case BackupR(dir, parent) => BackupDb(dir, Option(parent))
       case RestoreR(dir) => RestoreDb(dir)
       case VerifyBackupR(dir) => VerifyBackup(dir)

@@ -66,6 +66,20 @@ class TimeoutMetricsSpec extends AnyFunSuite {
     assert(m("statements_total") === 11L) // every statement incl. failed
   }
 
+  test("SHOW OPTIMIZATIONS serves the engine's advice rows") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY)")
+    val quiet = e.sql("SHOW OPTIMIZATIONS").collect()
+    assert(quiet.map(_.getString(0)).toSeq === Seq("general"))
+    // trip the slow log: a high-priority query_performance row appears
+    e.sql("SET SLOW_LOG 1")
+    e.sql("INSERT INTO t VALUES (1), (2)")
+    val busy = e.sql("SHOW OPTIMIZATIONS").collect()
+    assert(busy.exists(r => r.getString(0) == "query_performance" &&
+      r.getString(1) == "high"), busy.mkString("; "))
+    e.close()
+  }
+
   test("SHOW PERF: bucket counts track statements; slow log honors SET SLOW_LOG") {
     val e = QueryEngine.scratch(spark)
     e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY)")
