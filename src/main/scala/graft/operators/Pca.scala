@@ -120,6 +120,33 @@ object Pca {
       .orderBy("i").collect().map(_.getDouble(1))
   }
 
+  /** Projection onto the top principal component of the FIRST TWO
+    * dimensions, eigenvector by the closed form for a symmetric 2x2
+    * matrix: lambda = (a+c)/2 + sqrt(((a-c)/2)^2 + b^2), v prop.
+    * (b, lambda - a) — no iteration, so (unlike the power-iteration
+    * path) the WHOLE computation is SQL-expressible and oracle-exact:
+    * a, b, c come from the rounded decimal-sum covariance, sqrt is
+    * IEEE-correctly-rounded, and the remaining double arithmetic is
+    * deterministic in any engine. Canonical sign: the largest-|coord|
+    * component positive (first on ties). Output (vec_id, proj) with
+    * proj = (x - mu) . v rounded to 6. */
+  def projectTop2d(embeddings: DataFrame): DataFrame = {
+    val cov = covariance(embeddings, 2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val (a, b, c) = (cov((1L, 1L)), cov((1L, 2L)), cov((2L, 2L)))
+    val mu = meanVector(embeddings, 2)
+    val lam = (a + c) / 2 + math.sqrt((a - c) / 2 * ((a - c) / 2) + b * b)
+    val (r1, r2) = if (b != 0.0) (b, lam - a)
+      else if (a >= c) (1.0, 0.0) else (0.0, 1.0)
+    val norm = math.sqrt(r1 * r1 + r2 * r2)
+    var (v1, v2) = (r1 / norm, r2 / norm)
+    val flip = if (math.abs(v1) >= math.abs(v2)) v1 < 0 else v2 < 0
+    if (flip) { v1 = -v1; v2 = -v2 }
+    embeddings.select(col("vec_id"),
+      round((x(lit(1)) - lit(mu(0))) * lit(v1) +
+        (x(lit(2)) - lit(mu(1))) * lit(v2), 6).as("proj"))
+  }
+
   /** Project every embedding onto the top-k principal components:
     * (vec_id, proj array<double> of length k, rounded to 6 decimals).
     * mu and the components ride the plan as literals — the projection

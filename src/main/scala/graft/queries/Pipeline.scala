@@ -908,6 +908,61 @@ object Pipeline {
     Pca.covariance(t(s, dir, "embeddings"), 64).orderBy("i", "j")
   }
 
+  /** Closed-form 2-D PCA projection (Pca.projectTop2d): the top
+    * eigenvector of the symmetric 2x2 covariance has an analytic
+    * form, so — unlike the power-iteration path — the WHOLE eigen
+    * computation mirrors into SQL: rounded decimal-sum covariance,
+    * IEEE-exact sqrt, identical operation order, canonical sign. The
+    * one oracled end-to-end eigenvector in the battery. */
+  val qPcaTop2 = Q(
+    "q_pca_top2",
+    """WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+      |m AS (
+      |  SELECT
+      |    CAST(SUM(CAST(ROUND(CAST(embedding[1] AS DOUBLE), 12)
+      |         AS DECIMAL(28,12))) AS DOUBLE) / (SELECT n FROM n) AS m1,
+      |    CAST(SUM(CAST(ROUND(CAST(embedding[2] AS DOUBLE), 12)
+      |         AS DECIMAL(28,12))) AS DOUBLE) / (SELECT n FROM n) AS m2
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT
+      |    CAST(SUM(CAST(ROUND(CAST(embedding[1] AS DOUBLE) *
+      |         CAST(embedding[1] AS DOUBLE), 12) AS DECIMAL(28,12))) AS DOUBLE) AS s11,
+      |    CAST(SUM(CAST(ROUND(CAST(embedding[1] AS DOUBLE) *
+      |         CAST(embedding[2] AS DOUBLE), 12) AS DECIMAL(28,12))) AS DOUBLE) AS s12,
+      |    CAST(SUM(CAST(ROUND(CAST(embedding[2] AS DOUBLE) *
+      |         CAST(embedding[2] AS DOUBLE), 12) AS DECIMAL(28,12))) AS DOUBLE) AS s22
+      |  FROM embeddings),
+      |cv AS (
+      |  SELECT ROUND(s.s11 / (SELECT n FROM n) - m.m1 * m.m1, 9) AS a,
+      |         ROUND(s.s12 / (SELECT n FROM n) - m.m1 * m.m2, 9) AS b,
+      |         ROUND(s.s22 / (SELECT n FROM n) - m.m2 * m.m2, 9) AS c
+      |  FROM s, m),
+      |eg AS (
+      |  SELECT a, b, c,
+      |         (a + c) / 2 + SQRT((a - c) / 2 * ((a - c) / 2) + b * b) AS lam
+      |  FROM cv),
+      |rv AS (
+      |  SELECT CASE WHEN b <> 0 THEN b WHEN a >= c THEN 1.0 ELSE 0.0 END AS r1,
+      |         CASE WHEN b <> 0 THEN lam - a WHEN a >= c THEN 0.0 ELSE 1.0 END AS r2
+      |  FROM eg),
+      |vv AS (
+      |  SELECT r1 / SQRT(r1 * r1 + r2 * r2) AS v1,
+      |         r2 / SQRT(r1 * r1 + r2 * r2) AS v2 FROM rv),
+      |vs AS (
+      |  SELECT CASE WHEN (CASE WHEN ABS(v1) >= ABS(v2) THEN v1 < 0
+      |                         ELSE v2 < 0 END) THEN -v1 ELSE v1 END AS v1,
+      |         CASE WHEN (CASE WHEN ABS(v1) >= ABS(v2) THEN v1 < 0
+      |                         ELSE v2 < 0 END) THEN -v2 ELSE v2 END AS v2
+      |  FROM vv)
+      |SELECT e.vec_id,
+      |       ROUND((CAST(e.embedding[1] AS DOUBLE) - m.m1) * vs.v1 +
+      |             (CAST(e.embedding[2] AS DOUBLE) - m.m2) * vs.v2, 6) AS proj
+      |FROM embeddings e, m, vs
+      |ORDER BY e.vec_id""".stripMargin) { (s, dir) =>
+    Pca.projectTop2d(t(s, dir, "embeddings")).orderBy("vec_id")
+  }
+
   /** PCA projection (Pca.project): top-8 principal components by
     * driver-side power iteration over the ROUNDED covariance, then a
     * scan-stage fold per row (components ride the plan as literals —
@@ -1791,7 +1846,7 @@ object Pipeline {
     qAnnCosine, qAnnLsh, qAnnIvfFull, qAnnIvf, qKmeansFull, qKmeans,
     qTextQuality, qLangId, qTokenStats, qVocabOov, qTfidfKeywords,
     qPerplexity, qSubstringDedup, qDsir, qNbClassify, qNbModel,
-    qPcaCov, qPcaProject, qHtmlExtract, qUrlNormalize, qFingerprint,
+    qPcaCov, qPcaProject, qPcaTop2, qHtmlExtract, qUrlNormalize, qFingerprint,
     qFulltextAll, qFulltextAny, qFulltextBm25,
     qStratSample, qSampleExactK, qSeqPack,
     qMultimodalMeta, qMmFeatures, qFrameSample,

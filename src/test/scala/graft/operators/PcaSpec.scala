@@ -48,6 +48,26 @@ class PcaSpec extends AnyFunSuite {
     assert(v(1) > 0)
   }
 
+  test("closed-form 2-D projection recovers the line direction exactly") {
+    // points on t*(0.6, 0.8): the top component is (0.6, 0.8), so the
+    // projection of each point is exactly t (its distance along the
+    // line), up to the 6-dec rounding
+    val pts = Seq(-2.0, -1.0, 0.0, 1.0, 2.0).zipWithIndex.map {
+      case (t, i) => (i.toLong, Seq(0.6 * t, 0.8 * t))
+    }
+    val got = Pca.projectTop2d(emb(pts))
+      .orderBy("vec_id").as[(Long, Double)].collect().map(_._2)
+    val want = Seq(-2.0, -1.0, 0.0, 1.0, 2.0)
+    for ((g, w) <- got.zip(want)) assert(math.abs(g - w) < 1e-5, s"$g vs $w")
+    // diagonal covariance edge (b = 0 by symmetry): the larger-
+    // variance axis wins, so the projection is the x coordinate
+    val diag = Seq((1L, Seq(3.0, 1.0)), (2L, Seq(-3.0, 1.0)),
+      (3L, Seq(3.0, -1.0)), (4L, Seq(-3.0, -1.0)))
+    val d = Pca.projectTop2d(emb(diag))
+      .orderBy("vec_id").as[(Long, Double)].collect().map(_._2)
+    assert(d.toSeq === Seq(3.0, -3.0, 3.0, -3.0), d.toSeq)
+  }
+
   test("components are orthonormal; projection variances descend") {
     val embeddings = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
