@@ -2544,11 +2544,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   private var alertHistSeq = 0L
   private val AlertHistoryMax = 256
 
+  // the HTTP sidecar calls these OUTSIDE a statement, so they take
+  // the statement monitor themselves (reentrant for SQL-path callers)
+  // — a wire session's SHOW ALERTS must not mutate the ring mid-copy
   private[graft] def alertTransitions: Seq[(Long, String, String, String)] =
-    alertHistory.toSeq
+    writeLock.synchronized { alertHistory.toSeq }
 
   private[graft] def alertRules: Seq[graft.catalog.AlertDef] =
-    catalog.alertList.sortBy(_.name)
+    writeLock.synchronized { catalog.alertList.sortBy(_.name) }
 
   private def createAlert(name: String, metric: String, op: String,
       threshold: Double, severity: String): DataFrame = {
@@ -2595,7 +2598,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * (category, priority, suggestion), computed from catalog METADATA
     * and in-memory counters only — no data scan, so the endpoint is
     * always cheap to poll. */
-  private[graft] def optimizationSuggestions(): Seq[(String, String, String)] = {
+  private[graft] def optimizationSuggestions(): Seq[(String, String, String)] = writeLock.synchronized {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
     val slow = slowLog.toSeq
     if (slow.nonEmpty)
