@@ -1291,7 +1291,18 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         throw new IllegalArgumentException(
           "nextval/currval in INSERT ... SELECT draws once per statement, " +
             "not per row — use an AUTO_INCREMENT column instead")
-      insertFrom(table, cols, select(sel))
+      // the source's row order becomes per-row sequence assignment, so
+      // every table read inside it must pin the keyed plan (the same
+      // invariant update/delete hold): a flat-certified source would
+      // otherwise serve log-file order bare but windowed order inside
+      // a transaction with buffered writes on it. The scope flag covers
+      // arbitrarily nested source reads; plan choice happens at build
+      // time, and statements are monitor-serialized, so a var suffices.
+      val src = {
+        dmlReadScope = true
+        try select(sel) finally dmlReadScope = false
+      }
+      insertFrom(table, cols, src)
     case Statement.Update(table, assigns, where) => update(table, assigns, where)
     case Statement.Delete(table, where) => delete(table, where)
     case Statement.Snapshot(table) =>
@@ -1762,6 +1773,12 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * order, and the same statement must emit identically-sequenced
     * events whether it runs bare or inside BEGIN..COMMIT. Pure reads
     * (SELECT, probe joins, registry lookups) keep the fast paths. */
+  /** While true, every stateAt read pins the keyed plan — set around
+    * the building of an INSERT ... SELECT source, whose row order
+    * becomes event order (see the dmlRead scaladoc). Statements are
+    * monitor-serialized, so a plain var is safe. */
+  private var dmlReadScope = false
+
   private[graft] def stateAt(table: String, asOf: Option[Long],
       dmlRead: Boolean): DataFrame = {
     val t = catalog.require(table)
@@ -1798,7 +1815,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // also valid INSIDE a transaction while the table has no buffered
     // writes: events(t) is already horizon-capped, and a first-access
     // read sees exactly the bare log
-    val flat = !dmlRead && t.attached.isEmpty && catalog.isFlatLog(t.name) &&
+    val flat = !dmlRead && !dmlReadScope &&
+      t.attached.isEmpty && catalog.isFlatLog(t.name) &&
       txn.forall(tx => !tx.pending.exists(_._1 == t.name))
     def payloadFlat(df: DataFrame): DataFrame = {
       val fields = df.schema("payload").dataType
@@ -1809,7 +1827,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // keyed collapse: the pk output column IS the window partition
     // attribute, so pk predicates push below the collapse to the scan
     val collapsed = base match {
-      case Some(snapSeq) if !dmlRead && txn.isEmpty && t.attached.isEmpty &&
+      case Some(snapSeq) if !dmlRead && !dmlReadScope &&
+          txn.isEmpty && t.attached.isEmpty &&
           snapSeq >= math.min(
             asOf.getOrElse(Long.MaxValue), catalog.lastSeq(t.name)) =>
         // the checkpoint IS the state at the read bound — no tail
@@ -2611,10 +2630,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // tail pays a keyed collapse over that tail on every read
     for (t <- catalog.tableNames
         if catalog.get(t).exists(_.attached.isEmpty) && !catalog.isFlatLog(t)) {
-      val snap = lastSnapSeqs.getOrElse(t,
+      val snap = lastSnapSeqs.getOrElseUpdate(t,
         Snapshots.nearest(spark, catalog.snapshotPath(t), None).getOrElse(0L))
       val lag = catalog.lastSeq(t) - snap
-      if (autoSnapshotEvery > 0 && lag > autoSnapshotEvery / 2)
+      // advise even with auto-snapshotting DISABLED — that is the one
+      // configuration where the lag can actually run unbounded
+      val lagThreshold =
+        if (autoSnapshotEvery > 0) autoSnapshotEvery / 2 else 50000L
+      if (lag > lagThreshold)
         out += (("storage", "medium",
           s"table $t has $lag unsnapshotted events and no flat-log " +
             s"certificate - SNAPSHOT $t bounds every read's collapse replay"))

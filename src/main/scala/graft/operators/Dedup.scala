@@ -165,9 +165,15 @@ object Dedup {
     val ranked = tokens
       .withColumn("_pos", row_number().over(byDoc.orderBy(col("_df"), col("tok"))))
       .withColumn("_n", count(lit(1)).over(byDoc))
+    // ceil over a DOUBLE product can overshoot: when t*n rounds up
+    // across an integer boundary (0.07*100 -> 7.000000000000001) the
+    // prefix comes out one token SHORT and a qualifying pair can lose
+    // its only candidate collision. The downward slack makes the ceil
+    // conservative — it can only LENGTHEN the prefix (a candidate
+    // superset; exact verification below decides), never shorten it.
     val prefix = ranked
       .where(col("_pos") <=
-        col("_n") - ceil(lit(minJaccard) * col("_n")).cast("long") + 1)
+        col("_n") - ceil(lit(minJaccard) * col("_n") - lit(1e-9)).cast("long") + 1)
       .select("doc_id", "tok")
     val cand = prefix.as("a")
       .join(prefix.as("b"),

@@ -71,12 +71,16 @@ object Pca {
     * d x d matrix — d is the embedding width, never corpus-scale. */
   def components(embeddings: DataFrame, d: Int, k: Int,
       iters: Int = 100): (Array[Double], Array[Array[Double]]) = {
-    val entries = covariance(embeddings, d).collect()
+    // one corpus pass for the means, one for the pair products: the
+    // collected means fold back into the covariance plan as literals
+    // (identical doubles, so identical rounded entries), instead of a
+    // third corpus scan recomputing them inside the covariance job
+    val meanRows = meanVector(embeddings, d)
+    val entries = covarianceWithMeans(embeddings, d, meanRows).collect()
       .map(r => ((r.getLong(0).toInt - 1, r.getLong(1).toInt - 1),
         r.getDouble(2))).toMap
     val c = Array.tabulate(d, d)((a, b) =>
       entries.getOrElse((math.min(a, b), math.max(a, b)), 0.0))
-    val meanRows = meanVector(embeddings, d)
     val comps = Array.ofDim[Array[Double]](k)
     for (ki <- 0 until k) {
       var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
@@ -96,6 +100,31 @@ object Pca {
         v = if (norm > 0) w.map(_ / norm) else v
         it += 1
       }
+      // a (deflated-to-)zero matrix leaves w = 0 every step and the
+      // uniform start vector would repeat for every component — fall
+      // back to the standard basis vector, which keeps the returned
+      // set orthonormal (all remaining eigenvalues are 0, so any
+      // orthonormal completion is equally valid)
+      val residual = (0 until d).foldLeft(0.0)((acc, a) =>
+        acc + math.abs((0 until d).foldLeft(0.0)((s2, b) => s2 + c(a)(b) * v(b))))
+      if (residual == 0.0) {
+        // first standard basis vector with a nonzero component outside
+        // span(prior comps) — with ki < d one always exists
+        var found = false
+        var j = 0
+        while (!found && j < d) {
+          val cand = Array.fill(d)(0.0)
+          cand(j) = 1.0
+          for (p2 <- 0 until ki) {
+            val dot = (0 until d).foldLeft(0.0)((acc, a) =>
+              acc + cand(a) * comps(p2)(a))
+            for (a <- 0 until d) cand(a) -= dot * comps(p2)(a)
+          }
+          val nz = math.sqrt(cand.map(x => x * x).sum)
+          if (nz > 1e-9) { v = cand.map(_ / nz); found = true }
+          j += 1
+        }
+      }
       // canonical sign: the largest-|coordinate| entry is positive
       val pivot = (0 until d).maxBy(a => (math.abs(v(a)), -a))
       if (v(pivot) < 0) v = v.map(-_)
@@ -106,6 +135,27 @@ object Pca {
       comps(ki) = v
     }
     (meanRows, comps)
+  }
+
+  /** covariance() with the per-dimension means supplied as literals —
+    * the same doubles means-from-plan would produce, so every rounded
+    * entry is identical; saves the means' corpus scan inside the
+    * covariance job when the caller already collected them. */
+  private def covarianceWithMeans(embeddings: DataFrame, d: Int,
+      mu: Array[Double]): DataFrame = {
+    val n = embeddings.agg(count(lit(1)).as("_n"))
+    val muArr = array(mu.map(lit(_)).toIndexedSeq: _*)
+    embeddings.select(explode(flatten(
+      transform(dims(d), i => transform(sequence(i, lit(d)), j =>
+        struct(i.as("i"), j.as("j"),
+          round(x(i) * x(j), 12).cast("decimal(28,12)").as("p")))))).as("e"))
+      .select(col("e.i"), col("e.j"), col("e.p"))
+      .groupBy("i", "j").agg(sum(col("p")).as("sxy"))
+      .crossJoin(broadcast(n))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        round(col("sxy").cast("double") / col("_n") -
+          element_at(muArr, col("i").cast("int")) *
+            element_at(muArr, col("j").cast("int")), 9).as("cov"))
   }
 
   private def meanVector(embeddings: DataFrame, d: Int): Array[Double] = {

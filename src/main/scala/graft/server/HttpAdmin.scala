@@ -149,9 +149,13 @@ final class HttpAdmin(engine: QueryEngine, port: Int = 0,
           val body = new String(
             ex.getRequestBody.readNBytes(1 << 16),
             java.nio.charset.StandardCharsets.UTF_8)
+          // the bare-value capture takes the WHOLE token (to the next
+          // comma/brace), so a 1e-3 exponent form reaches validation
+          // and is rejected — a loose [0-9.]+ would truncate it to "1"
+          // and create a rule 1000x off its intended threshold
           def field(k: String): Option[String] =
             (s""""$k"\\s*:\\s*"([^"]*)"""".r.findFirstMatchIn(body) orElse
-              s""""$k"\\s*:\\s*(-?[0-9.]+)""".r.findFirstMatchIn(body))
+              s""""$k"\\s*:\\s*([^,}\\s"]+)""".r.findFirstMatchIn(body))
               .map(_.group(1))
           val name = field("name").getOrElse(
             throw new IllegalArgumentException("missing field: name"))

@@ -36,11 +36,17 @@ class TxnPropertySpec extends AnyFunSuite {
     * never collide and pk-shifts move to a vacant band). */
   private def randomScript(rnd: scala.util.Random, len: Int): Seq[String] =
     (0 until len).map { i =>
-      rnd.nextInt(4) match {
+      rnd.nextInt(5) match {
         case 0 => s"INSERT INTO t VALUES (${100 + 10 * i + rnd.nextInt(5)}, ${rnd.nextInt(50)})"
         case 1 => s"UPDATE t SET v = v * 2 + $i WHERE id % ${2 + rnd.nextInt(3)} = 0"
         case 2 => s"UPDATE t SET id = id + 1000 WHERE id >= ${100 + rnd.nextInt(40)}"
         case 3 => s"DELETE FROM t WHERE v % ${3 + rnd.nextInt(4)} = 0"
+        case 4 =>
+          // multi-row INSERT..SELECT reading the table itself: the
+          // source's ROW ORDER becomes sequence order, so this catches
+          // any read path whose plan (flat scan vs windowed union)
+          // depends on transaction mode — each target band is disjoint
+          s"INSERT INTO t SELECT id + ${5000 * (1 + rnd.nextInt(400))}, v + 1 FROM t WHERE id < 100"
       }
     }
 
