@@ -97,13 +97,20 @@ object Mixture {
     * alpha-sampling rule (w_d ∝ n_d^alpha, alpha in (0,1] flattens the
     * size distribution so small domains are not drowned; the standard
     * knob of multilingual pretraining). Returns one row per domain:
-    * (domainCol, n_tokens, w) with the weights summing to ~1.
+    * (domainCol, n_tokens, w_e6) with w_e6 = the normalized weight
+    * scaled by 1e6 (the w_e6 column sums to ~1e6).
     *
     * Determinism: each domain's n^alpha rounds to 6 decimals and casts
     * to DECIMAL before the normalizer sums them, so Z is an exact
     * decimal sum (addition-order-free); alpha = 0.5 uses `sqrt`, which
     * IEEE 754 requires to be correctly rounded — bit-identical in any
-    * engine — where `pow` is only ulp-accurate. The weight table is
+    * engine — where `pow` is only ulp-accurate. The normalized weight
+    * surfaces as an exact scaled integer — `w_e6 = half_up(1e6*pw/Z)`
+    * computed as `(2*pw_i*1e6 + z_i) div (2*z_i)` over the exact
+    * integers `pw_i = 1e6*pw`, `z_i = 1e6*Z` — never as a rounded
+    * DOUBLE (`ROUND(double, n)` differs in the last ulp across
+    * engines, which breaks hash-checked output). Overflow-safe below
+    * ~2e13 tokens per domain (pw_i·2e6 < 2^63). The weight table is
     * |domains| rows at any corpus size; the only corpus-scale work is
     * the per-domain token aggregate. */
   def temperatureWeights(docs: DataFrame, domainCol: String,
@@ -117,23 +124,24 @@ object Mixture {
         round(p(col("n_tokens").cast("double")), 6).cast("decimal(28,6)"))
     val z = scaled.agg(sum(col("_p")).as("_z"))
     scaled.crossJoin(broadcast(z))
-      .select(col(domainCol), col("n_tokens"),
-        round(col("_p").cast("double") / col("_z").cast("double"), 6).as("w"))
+      .withColumn("_pwi", (col("_p") * 1000000).cast("long"))
+      .withColumn("_zi", (col("_z") * 1000000).cast("long"))
+      .withColumn("w_e6", expr("(2 * _pwi * 1000000L + _zi) div (2 * _zi)"))
+      .select(col(domainCol), col("n_tokens"), col("w_e6"))
   }
 
   /** Compose temperatureWeights with [[sample]]: resolve the alpha-
-    * scaled weights to per-mille integers (half-up on the rounded
-    * weight — exact decimal arithmetic, no double drift) and sample
-    * the corpus to them. The weight table is collected — it is
-    * |domains| rows by construction. */
+    * scaled weights to per-mille integers (half-up on the exact
+    * scaled-integer weight — pure integer arithmetic, no double
+    * drift) and sample the corpus to them. The weight table is
+    * collected — it is |domains| rows by construction. */
   def temperatureSample(docs: DataFrame, domainCol: String, key: Column,
       nTokens: Column, alpha: Double, budget: Long,
       wide: Boolean = false): DataFrame = {
     val weights = temperatureWeights(docs, domainCol, nTokens, alpha)
       .collect()
       .map(r => r.getString(0) ->
-        (BigDecimal(r.getDouble(2)) * 1000)
-          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt)
+        ((2 * r.getLong(2) + 1000) / 2000).toInt)
       .toMap
     sample(docs, domainCol, key, nTokens, weights, defaultPermille = 0,
       budget, wide)

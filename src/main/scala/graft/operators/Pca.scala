@@ -71,14 +71,16 @@ object Pca {
     * d x d matrix — d is the embedding width, never corpus-scale. */
   def components(embeddings: DataFrame, d: Int, k: Int,
       iters: Int = 100): (Array[Double], Array[Array[Double]]) = {
-    // one corpus pass for the means, one for the pair products: the
-    // collected means fold back into the covariance plan as literals
-    // (identical doubles, so identical rounded entries), instead of a
-    // third corpus scan recomputing them inside the covariance job
-    val meanRows = meanVector(embeddings, d)
-    val entries = covarianceWithMeans(embeddings, d, meanRows).collect()
-      .map(r => ((r.getLong(0).toInt - 1, r.getLong(1).toInt - 1),
-        r.getDouble(2))).toMap
+    // ONE corpus pass for everything: the per-dimension sums ride the
+    // same exploded aggregation as the pair products (j = 0 marks the
+    // mean rows), and every group's row count IS n. The collected
+    // result is d + d(d+1)/2 rows — bounded by the embedding width,
+    // never corpus-scale — and the mean/covariance arithmetic replays
+    // driver-side with the exact double ops and HALF_UP rounding the
+    // distributed covariance() plan uses, so the entries are
+    // bit-identical to what covariance() computes.
+    val (n, meanRows, entries) = momentStats(embeddings, d)
+    require(n > 0, "components over an empty corpus")
     val c = Array.tabulate(d, d)((a, b) =>
       entries.getOrElse((math.min(a, b), math.max(a, b)), 0.0))
     val comps = Array.ofDim[Array[Double]](k)
@@ -137,25 +139,41 @@ object Pca {
     (meanRows, comps)
   }
 
-  /** covariance() with the per-dimension means supplied as literals —
-    * the same doubles means-from-plan would produce, so every rounded
-    * entry is identical; saves the means' corpus scan inside the
-    * covariance job when the caller already collected them. */
-  private def covarianceWithMeans(embeddings: DataFrame, d: Int,
-      mu: Array[Double]): DataFrame = {
-    val n = embeddings.agg(count(lit(1)).as("_n"))
-    val muArr = array(mu.map(lit(_)).toIndexedSeq: _*)
-    embeddings.select(explode(flatten(
-      transform(dims(d), i => transform(sequence(i, lit(d)), j =>
-        struct(i.as("i"), j.as("j"),
-          round(x(i) * x(j), 12).cast("decimal(28,12)").as("p")))))).as("e"))
+  /** One corpus pass collecting every moment `components` needs:
+    * (n, per-dimension means, rounded upper-triangle covariance
+    * entries keyed by 0-based (i, j)). The exploded struct stream
+    * carries BOTH the mean terms (as j = 0 rows) and the pair-product
+    * terms through one map-side-combinable aggregation whose keyspace
+    * is d + d(d+1)/2 regardless of corpus size; n falls out as any
+    * group's row count. The driver-side mean/cov derivation uses the
+    * same IEEE double ops in the same order as [[covariance]]'s plan
+    * (decimal→double cast, divide by n, subtract mi*mj, HALF_UP round
+    * to 9 — Spark's Round on doubles is BigDecimal-via-toString with
+    * HALF_UP, which scala.math.BigDecimal(Double) replicates), so the
+    * entries are bit-identical to the distributed computation. */
+  private[operators] def momentStats(embeddings: DataFrame, d: Int)
+      : (Long, Array[Double], Map[(Int, Int), Double]) = {
+    val rows = embeddings.select(explode(concat(
+        transform(dims(d), i => struct(i.as("i"), lit(0).as("j"),
+          round(x(i), 12).cast("decimal(28,12)").as("p"))),
+        flatten(transform(dims(d), i => transform(sequence(i, lit(d)), j =>
+          struct(i.as("i"), j.as("j"),
+            round(x(i) * x(j), 12).cast("decimal(28,12)").as("p"))))))).as("e"))
       .select(col("e.i"), col("e.j"), col("e.p"))
-      .groupBy("i", "j").agg(sum(col("p")).as("sxy"))
-      .crossJoin(broadcast(n))
-      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-        round(col("sxy").cast("double") / col("_n") -
-          element_at(muArr, col("i").cast("int")) *
-            element_at(muArr, col("j").cast("int")), 9).as("cov"))
+      .groupBy("i", "j").agg(sum(col("p")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    if (rows.isEmpty) return (0L, Array.fill(d)(0.0), Map.empty)
+    val n = rows.head.getLong(3)
+    def r9(v: Double): Double =
+      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mu = Array.ofDim[Double](d)
+    for (row <- rows if row.getInt(1) == 0)
+      mu(row.getInt(0) - 1) = row.getDecimal(2).doubleValue / n
+    val entries = rows.iterator.filter(_.getInt(1) != 0).map { row =>
+      val (i, j) = (row.getInt(0) - 1, row.getInt(1) - 1)
+      (i, j) -> r9(row.getDecimal(2).doubleValue / n - mu(i) * mu(j))
+    }.toMap
+    (n, mu, entries)
   }
 
   private def meanVector(embeddings: DataFrame, d: Int): Array[Double] = {
@@ -198,18 +216,24 @@ object Pca {
   }
 
   /** Project every embedding onto the top-k principal components:
-    * (vec_id, proj array<double> of length k, rounded to 6 decimals).
-    * mu and the components ride the plan as literals — the projection
-    * is a pure scan-stage fold per row. */
+    * (vec_id, p1 .. pk) — one SCALAR double column per component,
+    * rounded to 6 decimals. Scalars, not an array<double>: downstream
+    * consumers (and the correctness harness) sort and hash rows, and
+    * array columns are unsortable/unhashable in columnar compare
+    * tools. mu and the components ride the plan as literals — the
+    * projection is a pure scan-stage fold per row (zero joins or
+    * shuffles over the corpus), fed by the single stats pass in
+    * [[components]]: 2 corpus scans total. */
   def project(embeddings: DataFrame, d: Int, k: Int,
       iters: Int = 100): DataFrame = {
     val (mu, comps) = components(embeddings, d, k, iters)
     val muArr = array(mu.map(lit(_)).toIndexedSeq: _*)
-    val compArrs = comps.map(v => array(v.map(lit(_)).toIndexedSeq: _*))
-    val projs = compArrs.map(cv =>
+    val projs = comps.zipWithIndex.map { case (v, ki) =>
+      val cv = array(v.map(lit(_)).toIndexedSeq: _*)
       round(aggregate(dims(d), lit(0.0), (acc, i) =>
-        acc + (x(i) - element_at(muArr, i)) * element_at(cv, i)), 6))
-    embeddings.select(col("vec_id"),
-      array(projs.toIndexedSeq: _*).as("proj"))
+        acc + (x(i) - element_at(muArr, i)) * element_at(cv, i)), 6)
+        .as(s"p${ki + 1}")
+    }
+    embeddings.select((col("vec_id") +: projs.toIndexedSeq): _*)
   }
 }

@@ -40,16 +40,25 @@ object Vocabulary {
   /** Per-document out-of-vocabulary stats against the corpus top-k
     * vocabulary: token count, OOV count, OOV ratio. The vocabulary is
     * materialized driver-side (bounded: exactly k strings) and folded
-    * into the scan as a literal membership test. */
+    * into the scan as a literal membership test.
+    *
+    * The ratio surfaces as `oov_ratio_e9` — the ratio scaled by 1e9
+    * and rounded HALF-UP via pure integer arithmetic
+    * (`(2*n_oov*1e9 + n_tokens) div (2*n_tokens)`), never as a
+    * rounded DOUBLE: `ROUND(double, 9)` lands on different last-ulp
+    * doubles across engines/versions, so a hashed ratio column must
+    * be integer-exact by construction. Overflow-safe: the numerator
+    * stays under 2^63 for any document below ~4.6e9 tokens. */
   def oovStats(docs: DataFrame, k: Int): DataFrame = {
     val vocab = topK(docs, k).select("term").collect().map(_.getString(0))
     val toks = TextAnalysis.tokens(col("text"))
     val oov = filter(toks, t => !t.isInCollection(vocab.toSeq))
     docs.select(
-      col("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
-      size(oov).cast("long").as("n_oov"),
-      round(size(oov).cast("double") / size(toks), 9).as("oov_ratio"))
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(oov).cast("long").as("n_oov"))
+      .withColumn("oov_ratio_e9",
+        expr("(2 * n_oov * 1000000000L + n_tokens) div (2 * n_tokens)"))
   }
 
   /** Per-document top-k keywords by TF-IDF (`tf * ln(N/df)`), ranked

@@ -679,7 +679,7 @@ object Pipeline {
       |         SUM(CASE WHEN term IN (SELECT term FROM vc) THEN 0 ELSE 1 END) AS n_oov
       |  FROM toks GROUP BY doc_id)
       |SELECT doc_id, n_tokens, n_oov,
-      |       ROUND(CAST(n_oov AS DOUBLE) / n_tokens, 9) AS oov_ratio
+      |       (2 * n_oov * 1000000000 + n_tokens) // (2 * n_tokens) AS oov_ratio_e9
       |FROM st ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Vocabulary.oovStats(t(s, dir, "documents"), 25).orderBy("doc_id")
   }
@@ -964,11 +964,14 @@ object Pipeline {
   }
 
   /** PCA projection (Pca.project): top-8 principal components by
-    * driver-side power iteration over the ROUNDED covariance, then a
-    * scan-stage fold per row (components ride the plan as literals —
-    * zero corpus joins). Rows-only: the eigen iteration is not
-    * SQL-expressible; the distributed half is oracled by q_pca_cov
-    * and the driver half is unit-tested (PcaSpec). */
+    * driver-side power iteration over the ROUNDED covariance (the
+    * moment stats ride ONE fused corpus pass), then a scan-stage fold
+    * per row (components ride the plan as literals — zero corpus
+    * joins). Output is scalar columns p1..p8, never array<double>
+    * (row-sorting harnesses cannot sort array cells). Rows-only: the
+    * eigen iteration is not SQL-expressible; the distributed half is
+    * oracled by q_pca_cov and the driver half is unit-tested
+    * (PcaSpec). */
   val qPcaProject = Q.rowsOnly("q_pca_project") { (s, dir) =>
     Pca.project(t(s, dir, "embeddings"), 64, 8).orderBy("vec_id")
   }
@@ -1647,7 +1650,10 @@ object Pipeline {
     * multilingual alpha-sampling rule. Each n^alpha rounds to 6
     * decimals and casts to DECIMAL before the normalizer sums, so Z is
     * order-free; sqrt is IEEE-correctly-rounded, bit-identical across
-    * engines. The weight table is |domains| rows at any scale. */
+    * engines. The normalized weight surfaces as the exact scaled
+    * integer w_e6 = half_up(1e6*pw/Z) via pure integer arithmetic —
+    * never a rounded DOUBLE (engine ROUND(double,n) differs in the
+    * last ulp). The weight table is |domains| rows at any scale. */
   val qMixTemperature = Q(
     "q_mix_temperature",
     """WITH s AS (
@@ -1659,7 +1665,9 @@ object Pipeline {
       |      FROM s),
       |z AS (SELECT SUM(pw) AS z FROM p)
       |SELECT p.source, p.n_tokens,
-      |       ROUND(CAST(p.pw AS DOUBLE) / CAST(z.z AS DOUBLE), 6) AS w
+      |       (2 * CAST(p.pw * 1000000 AS BIGINT) * 1000000
+      |        + CAST(z.z * 1000000 AS BIGINT))
+      |       // (2 * CAST(z.z * 1000000 AS BIGINT)) AS w_e6
       |FROM p, z ORDER BY p.source""".stripMargin) { (s, dir) =>
     val docs = t(s, dir, "documents")
     Mixture.temperatureWeights(docs, "source",

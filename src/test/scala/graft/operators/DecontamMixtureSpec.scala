@@ -144,7 +144,8 @@ class DecontamMixtureSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     def weights(alpha: Double): Map[String, (Long, Double)] =
       Mixture.temperatureWeights(docs, "source", col("n_tok"), alpha)
-        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2) / 1e6))
         .toMap
     val w1 = weights(1.0)
     val tot = w1.values.map(_._1).sum.toDouble

@@ -68,6 +68,41 @@ class PcaSpec extends AnyFunSuite {
     assert(d.toSeq === Seq(3.0, -3.0, 3.0, -3.0), d.toSeq)
   }
 
+  test("fused momentStats is bit-identical to the distributed covariance plan") {
+    // components() derives means + covariance driver-side from ONE
+    // fused aggregation; every entry must equal what the standalone
+    // covariance() plan (q_pca_cov's oracled surface) computes, bit
+    // for bit — same decimal sums, same IEEE op order, same HALF_UP
+    // rounding.
+    import org.apache.spark.sql.functions.col
+    val embeddings = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (n, mu, entries) = Pca.momentStats(embeddings, 16)
+    assert(n === embeddings.count())
+    val want = Pca.covariance(embeddings, 16).collect()
+      .map(r => ((r.getLong(0).toInt - 1, r.getLong(1).toInt - 1),
+        r.getDouble(2))).toMap
+    assert(entries.keySet === want.keySet)
+    for ((k, v) <- want) assert(entries(k) === v, s"entry $k")
+    // means too: same decimal-sum / n arithmetic as the plan
+    val wantMu = embeddings
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.sequence(
+            org.apache.spark.sql.functions.lit(1),
+            org.apache.spark.sql.functions.lit(16)),
+          i => org.apache.spark.sql.functions.struct(i.as("i"),
+            org.apache.spark.sql.functions.round(
+              org.apache.spark.sql.functions.element_at(
+                col("embedding"), i).cast("double"), 12)
+              .cast("decimal(28,12)").as("v")))).as("e"))
+      .select(col("e.i"), col("e.v"))
+      .groupBy("i").agg(org.apache.spark.sql.functions.sum(col("v")).as("s"))
+      .orderBy("i").collect()
+      .map(r => r.getDecimal(1).doubleValue / n)
+    for (i <- 0 until 16) assert(mu(i) === wantMu(i), s"mu($i)")
+  }
+
   test("components are orthonormal; projection variances descend") {
     val embeddings = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -78,7 +113,8 @@ class PcaSpec extends AnyFunSuite {
       else assert(math.abs(dot) < 1e-6, s"orthogonality $a,$b")
     }
     val proj = Pca.project(embeddings, 64, 3)
-      .as[(Long, Seq[Double])].collect().map(_._2)
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => Seq(r._2, r._3, r._4))
     def variance(k: Int): Double = {
       val vs = proj.map(_(k)); val m = vs.sum / vs.length
       vs.map(x => (x - m) * (x - m)).sum / vs.length

@@ -30,19 +30,29 @@ class VocabularySpec extends AnyFunSuite {
   // -------------------------------------------------------- oovStats
 
   test("oovStats counts tokens outside the top-k vocabulary") {
-    // k=2 vocab = {a, b}; doc1 has 1 OOV (c), doc2 has 1 (d), doc3 has 3
+    // k=2 vocab = {a, b}; doc1 has 1 OOV (c), doc2 has 1 (d), doc3 has 3.
+    // The ratio surfaces as a half-up scaled integer (ratio * 1e9).
     val o = Vocabulary.oovStats(tiny, 2)
       .orderBy("doc_id")
-      .as[(Long, Long, Long, Double)].collect()
+      .as[(Long, Long, Long, Long)].collect()
     assert(o === Array(
-      (1L, 5L, 1L, 1.0 / 5),
-      (2L, 4L, 1L, 1.0 / 4),
-      (3L, 3L, 3L, 1.0)))
+      (1L, 5L, 1L, 200000000L),
+      (2L, 4L, 1L, 250000000L),
+      (3L, 3L, 3L, 1000000000L)))
+  }
+
+  test("oovStats ratio rounds half-up in exact integer arithmetic") {
+    // 1/3 -> 333333333.33e9 rounds DOWN; 2/3 -> 666666666.67e9 rounds UP
+    val d = Seq((1L, "x a a"), (2L, "x x a")).toDF("doc_id", "text")
+    val o = Vocabulary.oovStats(d, 1) // vocab = {a} (count 3 vs x count 3, tie -> a)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(o === Array((1L, 3L, 1L, 333333333L), (2L, 3L, 2L, 666666667L)))
   }
 
   test("oovStats with a covering vocabulary reports zero OOV everywhere") {
     val o = Vocabulary.oovStats(tiny, 10)
-    assert(o.where(col("n_oov") =!= 0 || col("oov_ratio") =!= 0.0).count() === 0)
+    assert(o.where(col("n_oov") =!= 0 || col("oov_ratio_e9") =!= 0L).count() === 0)
   }
 
   test("oovStats per-doc pass is scan-stage: no join or exchange in the plan") {
