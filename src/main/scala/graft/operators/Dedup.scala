@@ -210,9 +210,10 @@ object Dedup {
           "bucket")
         .where(col("d1") < col("d2"))
     cand
-      .withColumn("sim", round(Similarity.cosine(col("e1"), col("e2")), 5))
-      .where(col("sim") >= minSim)
-      .select("d1", "d2", "sim")
+      .withColumn("sim_e5",
+        floor(Similarity.cosine(col("e1"), col("e2")) * lit(1e5) + lit(0.5)))
+      .where(col("sim_e5") >= lit(math.floor(minSim * 1e5 + 0.5).toLong))
+      .select("d1", "d2", "sim_e5")
   }
 
   /** MinHash signatures: `perms` permutations approximated by seeded

@@ -21,9 +21,10 @@ import org.apache.spark.sql.functions._
   * Determinism/oracle: the bucket is arithmetic over the md5 hex
   * digest (first hex digit -> 16 buckets by default), computable
   * bit-identically in any engine; selection is a total order
-  * (rounded log-weight DESC, doc_id ASC). The surfaced log-weight is
-  * rounded to 6 decimals — bucket log-ratios come out of `ln` and the
-  * per-document sum is addition-order-sensitive in the last ulps.
+  * (scaled log-weight DESC, doc_id ASC). The surfaced log-weight is
+  * the floor-scaled e6 integer — bucket log-ratios come out of `ln`
+  * and the per-document sum is addition-order-sensitive in the last
+  * ulps, which the e6 grid snap absorbs.
   *
   * 100 TB shape: the two bucket-count aggregations collapse map-side
   * to k rows each (k is tiny — driver-side by construction), and the
@@ -40,7 +41,11 @@ object Dsir {
   def bucket(word: Column): Column = hexDigit(substring(md5(word), 1, 1))
 
   /** Per-document DSIR log importance weight against a target corpus:
-    * (doc_id, n_tokens, logw). Documents of the raw corpus only. */
+    * (doc_id, n_tokens, logw_e6). Documents of the raw corpus only.
+    * The weight surfaces as the floor-scaled e6 BIGINT
+    * `floor(x*1e6 + 0.5)` — deterministic IEEE ops, never engine
+    * `ROUND(double, n)`, whose output differs in the last ulp across
+    * engines/versions on a hashed column. */
   def logWeights(raw: DataFrame, target: DataFrame): DataFrame = {
     val k = 16
     def bucketOf(w: Column): Column = bucket(w)
@@ -62,16 +67,16 @@ object Dsir {
     raw.select(
       col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
-      round(aggregate(
+      floor(aggregate(
         transform(toks, w => element_at(lrArr, bucketOf(w) + 1)),
-        lit(0.0), (acc, v) => acc + v), 6).as("logw"))
+        lit(0.0), (acc, v) => acc + v) * lit(1e6) + lit(0.5)).as("logw_e6"))
   }
 
   /** The m raw documents whose hashed bag-of-words looks most like the
-    * target corpus (logw DESC, doc_id ASC — a total order). */
+    * target corpus (logw_e6 DESC, doc_id ASC — a total order). */
   def select(raw: DataFrame, target: DataFrame, m: Int): DataFrame =
     logWeights(raw, target)
-      .orderBy(col("logw").desc, col("doc_id"))
+      .orderBy(col("logw_e6").desc, col("doc_id"))
       .limit(m)
 
   /** Hex digit char -> 0..15 (the SQL `strpos(alphabet, c) - 1`). */

@@ -117,9 +117,13 @@ object NaiveBayes {
   }
 
   /** The trained model's class-level summary: (labelCol, n_docs,
-    * n_tokens, prior, l0) — |C| rows, the auditable half of the model
-    * (the word table is vocabulary-sized; inspect it via classify's
-    * scores instead). */
+    * n_tokens, prior_e6, l0_e6) — |C| rows, the auditable half of the
+    * model (the word table is vocabulary-sized; inspect it via
+    * classify's scores instead). The two log quantities surface as
+    * floor-scaled e6 BIGINTs (`floor(x*1e6 + 0.5)` — deterministic
+    * IEEE ops), never as engine-ROUNDed doubles: `ROUND(double, n)`
+    * differs in the last ulp across engines/versions, which breaks
+    * hash-checked output even when the underlying value matches. */
   def classSummary(train: DataFrame,
       labelCol: String = "lang", textCol: String = "text"): DataFrame = {
     val tok = train.select(col(labelCol).as("_c"),
@@ -131,7 +135,9 @@ object NaiveBayes {
       .join(tok.groupBy("_c").agg(count(lit(1)).as("n_tokens")), "_c")
       .crossJoin(broadcast(totals)).crossJoin(broadcast(vocab))
       .select(col("_c").as(labelCol), col("n_docs"), col("n_tokens"),
-        round(log(col("n_docs").cast("double") / col("_n")), 6).as("prior"),
-        round(log(lit(1.0) / (col("n_tokens") + col("_v"))), 6).as("l0"))
+        floor(log(col("n_docs").cast("double") / col("_n"))
+          * lit(1e6) + lit(0.5)).as("prior_e6"),
+        floor(log(lit(1.0) / (col("n_tokens") + col("_v")))
+          * lit(1e6) + lit(0.5)).as("l0_e6"))
   }
 }

@@ -13,17 +13,19 @@ import org.apache.spark.sql.functions._
   *
   * Split by where the work runs:
   *   - `covariance` is the DISTRIBUTED half: per-pair products sum
-  *     exactly (each product rounds to 12 decimals and sums as
-  *     DECIMAL, so the aggregation is addition-order-free and
+  *     exactly (each product floor-scales to an e12 integer and sums
+  *     as DECIMAL, so the aggregation is addition-order-free and
   *     bit-identical across engines — a double sum would drift with
-  *     partial-aggregation order), then cov(i,j) rounds to 9. One
+  *     partial-aggregation order), then cov(i,j) surfaces as the
+  *     floor-scaled e9 BIGINT `cov_e9` — deterministic IEEE ops only,
+  *     no engine `ROUND(double)` anywhere in the chain. One
   *     map-side-combinable aggregation whose keyspace is d*(d+1)/2
   *     entries regardless of corpus size — the d^2-per-row explode
   *     collapses inside each partition before any shuffle.
   *   - `components` is the DRIVER half: power iteration with
-  *     deflation over the collected (tiny, d x d) ROUNDED matrix.
+  *     deflation over the collected (tiny, d x d) e9-GRID matrix.
   *     Determinism comes from the input: any engine that computes the
-  *     same rounded covariance feeds the same doubles through the
+  *     same grid covariance feeds the same doubles through the
   *     same arithmetic. Signs are canonicalized (largest-|coordinate|
   *     positive).
   *   - `project` folds mu and the k component vectors back into the
@@ -38,32 +40,45 @@ object Pca {
   private def x(i: Column): Column =
     element_at(col("embedding"), i).cast("double")
 
-  /** Upper-triangle covariance entries: (i, j, cov) for 1 <= i <= j
-    * <= d, cov rounded to 9 decimals. Population covariance
-    * (divide by n), matching the SQL oracle exactly. */
+  /** Half-up scaling of a double to an integer grid via deterministic
+    * IEEE ops only — multiply, add, floor — never engine `ROUND`
+    * (`ROUND(double, n)` lands on different last-ulp doubles across
+    * engines/versions; floor of `x*10^k + 0.5` is bit-identical in
+    * any IEEE-754 engine given bit-identical x). */
+  private def e(xc: Column, scale: Double): Column =
+    floor(xc * lit(scale) + lit(0.5))
+
+  /** Upper-triangle covariance entries: (i, j, cov_e9) for 1 <= i <=
+    * j <= d, with cov_e9 = the population covariance scaled by 1e9
+    * and half-up'd via floor arithmetic — an exact BIGINT surface.
+    * Per-term products scale to e12 integers (floor, not ROUND) and
+    * sum as DECIMAL(38,0), so the aggregation is addition-order-free
+    * and the whole chain is deterministic IEEE arithmetic in a fixed
+    * op order — bit-identical across engines. */
   def covariance(embeddings: DataFrame, d: Int): DataFrame = {
     val n = embeddings.agg(count(lit(1)).as("_n"))
-    // per-row upper-triangle products, rounded then decimal-summed
+    // per-row upper-triangle products, floor-scaled then decimal-summed
     val prods = embeddings.select(explode(flatten(
       transform(dims(d), i => transform(sequence(i, lit(d)), j =>
         struct(i.as("i"), j.as("j"),
-          round(x(i) * x(j), 12).cast("decimal(28,12)").as("p")))))).as("e"))
+          e(x(i) * x(j), 1e12).cast("decimal(38,0)").as("p")))))).as("e"))
       .select(col("e.i"), col("e.j"), col("e.p"))
       .groupBy("i", "j").agg(sum(col("p")).as("sxy"))
     val means = embeddings.select(explode(
       transform(dims(d), i => struct(i.as("i"),
-        round(x(i), 12).cast("decimal(28,12)").as("v")))).as("e"))
+        e(x(i), 1e12).cast("decimal(38,0)").as("v")))).as("e"))
       .select(col("e.i"), col("e.v"))
       .groupBy("i").agg(sum(col("v")).as("s"))
       .crossJoin(broadcast(n))
-      .select(col("i"), (col("s").cast("double") / col("_n")).as("m"))
+      .select(col("i"),
+        (col("s").cast("double") / lit(1e12) / col("_n")).as("m"))
     prods
       .join(broadcast(means.select(col("i"), col("m").as("mi"))), "i")
       .join(broadcast(means.select(col("i").as("j"), col("m").as("mj"))), "j")
       .crossJoin(broadcast(n))
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-        round(col("sxy").cast("double") / col("_n") - col("mi") * col("mj"), 9)
-          .as("cov"))
+        e(col("sxy").cast("double") / lit(1e12) / col("_n")
+          - col("mi") * col("mj"), 1e9).as("cov_e9"))
   }
 
   /** (mean vector, top-k orthonormal principal components) via power
@@ -147,31 +162,32 @@ object Pca {
     * is d + d(d+1)/2 regardless of corpus size; n falls out as any
     * group's row count. The driver-side mean/cov derivation uses the
     * same IEEE double ops in the same order as [[covariance]]'s plan
-    * (decimal→double cast, divide by n, subtract mi*mj, HALF_UP round
-    * to 9 — Spark's Round on doubles is BigDecimal-via-toString with
-    * HALF_UP, which scala.math.BigDecimal(Double) replicates), so the
-    * entries are bit-identical to the distributed computation. */
+    * (decimal→double cast, /1e12, /n, subtract mi*mj, floor-scale to
+    * e9 — all correctly-rounded IEEE ops, portable everywhere), so
+    * the entries are bit-identical to the distributed computation
+    * (spec-pinned). Returned cov entries are the e9-grid doubles
+    * `cov_e9 / 1e9`. */
   private[operators] def momentStats(embeddings: DataFrame, d: Int)
       : (Long, Array[Double], Map[(Int, Int), Double]) = {
     val rows = embeddings.select(explode(concat(
         transform(dims(d), i => struct(i.as("i"), lit(0).as("j"),
-          round(x(i), 12).cast("decimal(28,12)").as("p"))),
+          e(x(i), 1e12).cast("decimal(38,0)").as("p"))),
         flatten(transform(dims(d), i => transform(sequence(i, lit(d)), j =>
           struct(i.as("i"), j.as("j"),
-            round(x(i) * x(j), 12).cast("decimal(28,12)").as("p"))))))).as("e"))
+            e(x(i) * x(j), 1e12).cast("decimal(38,0)").as("p"))))))).as("e"))
       .select(col("e.i"), col("e.j"), col("e.p"))
       .groupBy("i", "j").agg(sum(col("p")).as("s"), count(lit(1)).as("n"))
       .collect()
     if (rows.isEmpty) return (0L, Array.fill(d)(0.0), Map.empty)
     val n = rows.head.getLong(3)
-    def r9(v: Double): Double =
-      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     val mu = Array.ofDim[Double](d)
     for (row <- rows if row.getInt(1) == 0)
-      mu(row.getInt(0) - 1) = row.getDecimal(2).doubleValue / n
+      mu(row.getInt(0) - 1) = row.getDecimal(2).doubleValue / 1e12 / n
     val entries = rows.iterator.filter(_.getInt(1) != 0).map { row =>
       val (i, j) = (row.getInt(0) - 1, row.getInt(1) - 1)
-      (i, j) -> r9(row.getDecimal(2).doubleValue / n - mu(i) * mu(j))
+      val covE9 = math.floor(
+        (row.getDecimal(2).doubleValue / 1e12 / n - mu(i) * mu(j)) * 1e9 + 0.5)
+      (i, j) -> covE9 / 1e9
     }.toMap
     (n, mu, entries)
   }
@@ -180,11 +196,12 @@ object Pca {
     val n = embeddings.agg(count(lit(1)).as("_n"))
     embeddings.select(explode(
       transform(dims(d), i => struct(i.as("i"),
-        round(x(i), 12).cast("decimal(28,12)").as("v")))).as("e"))
+        e(x(i), 1e12).cast("decimal(38,0)").as("v")))).as("e"))
       .select(col("e.i"), col("e.v"))
       .groupBy("i").agg(sum(col("v")).as("s"))
       .crossJoin(broadcast(n))
-      .select(col("i"), (col("s").cast("double") / col("_n")).as("m"))
+      .select(col("i"),
+        (col("s").cast("double") / lit(1e12) / col("_n")).as("m"))
       .orderBy("i").collect().map(_.getDouble(1))
   }
 
@@ -193,14 +210,15 @@ object Pca {
     * matrix: lambda = (a+c)/2 + sqrt(((a-c)/2)^2 + b^2), v prop.
     * (b, lambda - a) — no iteration, so (unlike the power-iteration
     * path) the WHOLE computation is SQL-expressible and oracle-exact:
-    * a, b, c come from the rounded decimal-sum covariance, sqrt is
+    * a, b, c come from the e9-grid decimal-sum covariance, sqrt is
     * IEEE-correctly-rounded, and the remaining double arithmetic is
     * deterministic in any engine. Canonical sign: the largest-|coord|
-    * component positive (first on ties). Output (vec_id, proj) with
-    * proj = (x - mu) . v rounded to 6. */
+    * component positive (first on ties). Output (vec_id, proj_e6)
+    * with proj_e6 = (x - mu) . v floor-scaled to an exact e6
+    * BIGINT. */
   def projectTop2d(embeddings: DataFrame): DataFrame = {
     val cov = covariance(embeddings, 2).collect()
-      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2) / 1e9)).toMap
     val (a, b, c) = (cov((1L, 1L)), cov((1L, 2L)), cov((2L, 2L)))
     val mu = meanVector(embeddings, 2)
     val lam = (a + c) / 2 + math.sqrt((a - c) / 2 * ((a - c) / 2) + b * b)
@@ -211,8 +229,8 @@ object Pca {
     val flip = if (math.abs(v1) >= math.abs(v2)) v1 < 0 else v2 < 0
     if (flip) { v1 = -v1; v2 = -v2 }
     embeddings.select(col("vec_id"),
-      round((x(lit(1)) - lit(mu(0))) * lit(v1) +
-        (x(lit(2)) - lit(mu(1))) * lit(v2), 6).as("proj"))
+      e((x(lit(1)) - lit(mu(0))) * lit(v1) +
+        (x(lit(2)) - lit(mu(1))) * lit(v2), 1e6).as("proj_e6"))
   }
 
   /** Project every embedding onto the top-k principal components:

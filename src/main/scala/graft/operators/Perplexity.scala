@@ -35,9 +35,13 @@ import org.apache.spark.sql.functions._
   */
 object Perplexity {
 
-  /** Per-document bigram perplexity: (doc_id, n_pairs, ppl). `ppl` is
-    * rounded to 6 decimals — the mean-of-ln sum is order-sensitive in
-    * the last ulps and engine `ln`s differ there too. `minCount` drops
+  /** Per-document bigram perplexity: (doc_id, n_pairs, ppl_e6).
+    * `ppl_e6` is the perplexity scaled by 1e6 and half-up'd via
+    * `floor(x*1e6 + 0.5)` — deterministic IEEE ops that snap the
+    * order-sensitive last ulps of the mean-of-ln sum (and engine `ln`
+    * ulp differences) to an exact integer grid; never engine
+    * `ROUND(double, n)`, whose own output differs in the last ulp
+    * across engines/versions on a hashed column. `minCount` drops
     * bigrams below that count from the broadcast model table (they
     * score as unseen); 1 = no cap. */
   def score(docs: DataFrame, k: Double = 1.0, minCount: Long = 1L): DataFrame = {
@@ -63,6 +67,6 @@ object Perplexity {
           (col("c1") + lit(k) * col("v"))))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_pairs"),
-        round(exp(-avg(col("lnp"))), 6).as("ppl"))
+        floor(exp(-avg(col("lnp"))) * lit(1e6) + lit(0.5)).as("ppl_e6"))
   }
 }

@@ -36,8 +36,18 @@ object Similarity {
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
   }
 
+  /** Half-up floor-scaling of a cosine score to the e5 integer grid —
+    * deterministic IEEE ops (multiply, add, floor), never engine
+    * `ROUND(double, n)`, whose own output differs in the last ulp
+    * across engines/versions on hash-checked columns. Kept as a
+    * double inside ranking (TopKByScore's score type); e5 integers
+    * are exactly representable, so ordering and the final long cast
+    * are exact. */
+  private def simE5(c: Column): Column =
+    floor(c * lit(1e5) + lit(0.5)).cast("double")
+
   /** Brute-force top-k cosine neighbors for each query vector.
-    * Query set is broadcast; ranking is deterministic (rounded score,
+    * Query set is broadcast; ranking is deterministic (e5-grid score,
     * then id). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -45,7 +55,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        round(cosine(col("qv"), col("cv")), 5).as("sim"))
+        simE5(cosine(col("qv"), col("cv"))).as("sim"))
     rankTopK(scored, k)
   }
 
@@ -71,7 +81,8 @@ object Similarity {
       .agg(graft.functions.TopKByScore(col("sim"), col("cid"), k).as("nn"))
       .select(col("qid"), posexplode(col("nn")))
       .select(col("qid"), col("col.id").as("cid"),
-        (col("pos") + lit(1)).as("rank"), col("col.score").as("sim"))
+        (col("pos") + lit(1)).as("rank"),
+        col("col.score").cast("long").as("sim_e5"))
 
   /** Random-hyperplane LSH bucket id: `bits` pseudo-random hyperplanes,
     * plane j's component i a deterministic ±1 — data-independent, no
@@ -131,7 +142,7 @@ object Similarity {
     val scored = assigned.join(broadcast(probes), "cell")
       .where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        round(cosine(col("qv"), col("cv")), 5).as("sim"))
+        simE5(cosine(col("qv"), col("cv"))).as("sim"))
     rankTopK(scored, k)
   }
 
@@ -194,7 +205,7 @@ object Similarity {
     val scored = c.join(broadcast(q), "bucket")
       .where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        round(cosine(col("qv"), col("cv")), 5).as("sim"))
+        simE5(cosine(col("qv"), col("cv"))).as("sim"))
     rankTopK(scored, k)
   }
 }

@@ -62,13 +62,17 @@ object Vocabulary {
   }
 
   /** Per-document top-k keywords by TF-IDF (`tf * ln(N/df)`), ranked
-    * score DESC then term ASC. Output: (doc_id, rank, term, score).
-    * Both the RANKING and the surfaced score use the value rounded to
-    * 9 decimals: engine `ln`s differ in the last ulp, so two
-    * mathematically-equal scores from different arguments (2·ln 4 vs
-    * 4·ln 2) could order oppositely across engines at full precision —
-    * rounding first makes such pairs exact ties, which the term-ASC
-    * tie-break then orders identically everywhere.
+    * score DESC then term ASC. Output: (doc_id, rank, term,
+    * score_e9) with score_e9 = the score scaled by 1e9 and half-up'd
+    * via `floor(x*1e9 + 0.5)` — deterministic IEEE ops, never engine
+    * `ROUND(double, n)` (which differs in the last ulp across
+    * engines/versions on a hashed column). Both the RANKING and the
+    * surfaced value use the scaled integer: engine `ln`s differ in
+    * the last ulp, so two mathematically-equal scores from different
+    * arguments (2·ln 4 vs 4·ln 2) could order oppositely across
+    * engines at full precision — snapping to the e9 grid first makes
+    * such pairs exact ties, which the term-ASC tie-break then orders
+    * identically everywhere.
     *
     * The ranking runs INSIDE each document's aggregated term array
     * (`array_sort` with an explicit comparator + `slice`), not as a
@@ -84,18 +88,19 @@ object Vocabulary {
     val scored = tf
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
-      .withColumn("score",
-        round(col("tf").cast("double") * log(col("n_docs") / col("df")), 9))
+      .withColumn("score_e9",
+        floor(col("tf").cast("double") * log(col("n_docs") / col("df"))
+          * lit(1e9) + lit(0.5)))
     scored
       .groupBy("doc_id")
-      .agg(collect_list(struct(col("score"), col("term"))).as("kws"))
+      .agg(collect_list(struct(col("score_e9"), col("term"))).as("kws"))
       .select(col("doc_id"), posexplode(slice(array_sort(col("kws"),
-        (l, r) => when(l("score") > r("score"), -1)
-          .when(l("score") < r("score"), 1)
+        (l, r) => when(l("score_e9") > r("score_e9"), -1)
+          .when(l("score_e9") < r("score_e9"), 1)
           .otherwise(when(l("term") < r("term"), -1)
             .when(l("term") > r("term"), 1).otherwise(0))), 1, k))
         .as(Seq("rank0", "kw")))
       .select(col("doc_id"), (col("rank0") + 1).cast("long").as("rank"),
-        col("kw.term").as("term"), col("kw.score").as("score"))
+        col("kw.term").as("term"), col("kw.score_e9").as("score_e9"))
   }
 }

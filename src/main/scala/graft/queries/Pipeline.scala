@@ -180,13 +180,15 @@ object Pipeline {
       |           FROM embeddings WHERE vec_id < 10),
       |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
       |scored AS (
-      |  SELECT qid, cid, ROUND(list_cosine_similarity(qv, cv), 5) AS sim
+      |  SELECT qid, cid,
+      |         CAST(FLOOR(list_cosine_similarity(qv, cv) * 1e5 + 0.5)
+      |              AS BIGINT) AS sim_e5
       |  FROM c CROSS JOIN q WHERE qid <> cid),
       |ranked AS (
-      |  SELECT qid, cid, sim,
-      |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+      |  SELECT qid, cid, sim_e5,
+      |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim_e5 DESC, cid) AS rank
       |  FROM scored)
-      |SELECT qid, cid, rank, sim FROM ranked WHERE rank <= 5
+      |SELECT qid, cid, rank, sim_e5 FROM ranked WHERE rank <= 5
       |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
     val emb = t(s, dir, "embeddings")
     Similarity.bruteForceTopK(emb.where(col("vec_id") < 10), emb, 5)
@@ -224,15 +226,16 @@ object Pipeline {
       .join(broadcast(q), Seq("qid"), "left")
       .join(c, Seq("cid"), "left")
       .where(col("qv").isNull || col("cv").isNull || col("qid") === col("cid") ||
-        col("sim") =!= round(graft.operators.Similarity.cosine(col("qv"), col("cv")), 5))
+        col("sim_e5") =!= floor(graft.operators.Similarity.cosine(
+          col("qv"), col("cv")) * lit(1e5) + lit(0.5)))
       .select(lit("fabricated_or_misscored").as("why"), col("qid"), col("cid"))
     val w = Window.partitionBy("qid").orderBy(col("rank"))
     val shape = res
-      .withColumn("_prev_sim", lag(col("sim"), 1).over(w))
+      .withColumn("_prev_sim", lag(col("sim_e5"), 1).over(w))
       .withColumn("_prev_rank", lag(col("rank"), 1).over(w))
       .where(col("rank") < 1 || col("rank") > k ||
         (col("_prev_rank").isNotNull &&
-          (col("rank") =!= col("_prev_rank") + 1 || col("sim") > col("_prev_sim"))))
+          (col("rank") =!= col("_prev_rank") + 1 || col("sim_e5") > col("_prev_sim"))))
       .select(lit("rank_shape").as("why"), col("qid"), col("cid"))
     fabricated.unionByName(shape).orderBy("why", "qid", "cid")
   }
@@ -416,9 +419,10 @@ object Pipeline {
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
       |           FROM embeddings WHERE vec_id < 200)
       |SELECT a.vec_id AS d1, b.vec_id AS d2,
-      |       ROUND(list_cosine_similarity(a.v, b.v), 5) AS sim
+      |       CAST(FLOOR(list_cosine_similarity(a.v, b.v) * 1e5 + 0.5)
+      |            AS BIGINT) AS sim_e5
       |FROM e a JOIN e b ON a.vec_id < b.vec_id
-      |WHERE ROUND(list_cosine_similarity(a.v, b.v), 5) >= 0.33
+      |WHERE FLOOR(list_cosine_similarity(a.v, b.v) * 1e5 + 0.5) >= 33000
       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
     Dedup.cosineNearDupPairs(
         t(s, dir, "embeddings").where(col("vec_id") < 200), 0.33)
@@ -443,8 +447,9 @@ object Pipeline {
       .join(emb.select(col("vec_id").as("d1"), col("embedding").as("_e1")), Seq("d1"), "left")
       .join(emb.select(col("vec_id").as("d2"), col("embedding").as("_e2")), Seq("d2"), "left")
       .where(col("_e1").isNull || col("_e2").isNull || col("d1") >= col("d2") ||
-        col("sim") < 0.3 ||
-        col("sim") =!= round(graft.operators.Similarity.cosine(col("_e1"), col("_e2")), 5))
+        col("sim_e5") < 30000L ||
+        col("sim_e5") =!= floor(graft.operators.Similarity.cosine(
+          col("_e1"), col("_e2")) * lit(1e5) + lit(0.5)))
       .select(lit("not_an_exact_pair").as("why"), col("d1"), col("d2"))
       .orderBy("d1", "d2")
   }
@@ -525,13 +530,15 @@ object Pipeline {
       |           FROM embeddings WHERE vec_id >= 10 AND vec_id < 20),
       |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
       |scored AS (
-      |  SELECT qid, cid, ROUND(list_cosine_similarity(qv, cv), 5) AS sim
+      |  SELECT qid, cid,
+      |         CAST(FLOOR(list_cosine_similarity(qv, cv) * 1e5 + 0.5)
+      |              AS BIGINT) AS sim_e5
       |  FROM c CROSS JOIN q WHERE qid <> cid),
       |ranked AS (
-      |  SELECT qid, cid, sim,
-      |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+      |  SELECT qid, cid, sim_e5,
+      |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim_e5 DESC, cid) AS rank
       |  FROM scored)
-      |SELECT qid, cid, rank, sim FROM ranked WHERE rank <= 5
+      |SELECT qid, cid, rank, sim_e5 FROM ranked WHERE rank <= 5
       |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
     val emb = t(s, dir, "embeddings")
     Similarity.ivfTopK(emb.where(col("vec_id") >= 10 && col("vec_id") < 20),
@@ -697,14 +704,15 @@ object Pipeline {
       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
       |scored AS (
       |  SELECT doc_id, term,
-      |         ROUND(CAST(tf AS DOUBLE) * ln(n_docs / df), 9) AS score
+      |         CAST(FLOOR(CAST(tf AS DOUBLE) * ln(n_docs / df) * 1e9 + 0.5)
+      |              AS BIGINT) AS score_e9
       |  FROM tf JOIN df USING (term) CROSS JOIN n),
       |r AS (
-      |  SELECT doc_id, term, score,
+      |  SELECT doc_id, term, score_e9,
       |         ROW_NUMBER() OVER (PARTITION BY doc_id
-      |                            ORDER BY score DESC, term) AS rank
+      |                            ORDER BY score_e9 DESC, term) AS rank
       |  FROM scored)
-      |SELECT doc_id, rank, term, score FROM r WHERE rank <= 3
+      |SELECT doc_id, rank, term, score_e9 FROM r WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
     Vocabulary.tfidfKeywords(t(s, dir, "documents"), 3)
       .orderBy("doc_id", "rank")
@@ -769,10 +777,11 @@ object Pipeline {
       |  LEFT JOIN tc USING (bk) LEFT JOIN rc USING (bk)
       |  CROSS JOIN nt CROSS JOIN nr),
       |sc AS (
-      |  SELECT doc_id, COUNT(*) AS n_tokens, ROUND(SUM(v), 6) AS logw
+      |  SELECT doc_id, COUNT(*) AS n_tokens,
+      |         CAST(FLOOR(SUM(v) * 1e6 + 0.5) AS BIGINT) AS logw_e6
       |  FROM b JOIN lr USING (bk) WHERE doc_id % 20 <> 0
       |  GROUP BY doc_id)
-      |SELECT doc_id, n_tokens, logw FROM sc
+      |SELECT doc_id, n_tokens, logw_e6 FROM sc
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = t(s, dir, "documents")
     Dsir.logWeights(
@@ -878,30 +887,34 @@ object Pipeline {
 
   /** PCA covariance (Pca.covariance — the distributed half of the
     * SemDeDup-style PCA-reduce stage): upper-triangle population
-    * covariance of the 64-dim embeddings. Per-pair products round to
-    * 12 decimals and sum as DECIMAL, so the aggregation is
-    * addition-order-free — the oracle mirrors every cast. The
-    * keyspace is d(d+1)/2 entries at any corpus size. */
+    * covariance of the 64-dim embeddings. Per-pair products
+    * floor-scale to e12 integers and sum as DECIMAL, so the
+    * aggregation is addition-order-free, and the covariance surfaces
+    * as the floor-scaled e9 BIGINT `cov_e9` — deterministic IEEE ops
+    * only (multiply, add, floor), never engine `ROUND(double,n)`,
+    * which differs in the last ulp across engines/versions. The
+    * oracle mirrors every cast and op order. The keyspace is
+    * d(d+1)/2 entries at any corpus size. */
   val qPcaCov = Q(
     "q_pca_cov",
     """WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
       |idx AS (SELECT unnest(generate_series(1, 64)) AS i),
       |prods AS (
       |  SELECT p.i, p.j,
-      |         SUM(CAST(ROUND(CAST(e.embedding[p.i] AS DOUBLE) *
-      |                        CAST(e.embedding[p.j] AS DOUBLE), 12)
-      |             AS DECIMAL(28,12))) AS sxy
+      |         SUM(CAST(FLOOR(CAST(e.embedding[p.i] AS DOUBLE) *
+      |                        CAST(e.embedding[p.j] AS DOUBLE) * 1e12 + 0.5)
+      |             AS DECIMAL(38,0))) AS sxy
       |  FROM embeddings e,
       |       (SELECT a.i AS i, b.i AS j FROM idx a, idx b WHERE b.i >= a.i) p
       |  GROUP BY 1, 2),
       |means AS (
       |  SELECT i.i,
-      |         CAST(SUM(CAST(ROUND(CAST(e.embedding[i.i] AS DOUBLE), 12)
-      |              AS DECIMAL(28,12))) AS DOUBLE) / (SELECT n FROM n) AS m
+      |         CAST(SUM(CAST(FLOOR(CAST(e.embedding[i.i] AS DOUBLE) * 1e12 + 0.5)
+      |              AS DECIMAL(38,0))) AS DOUBLE) / 1e12 / (SELECT n FROM n) AS m
       |  FROM embeddings e, idx i GROUP BY i.i)
       |SELECT p.i, p.j,
-      |       ROUND(CAST(p.sxy AS DOUBLE) / (SELECT n FROM n)
-      |             - mi.m * mj.m, 9) AS cov
+      |       CAST(FLOOR((CAST(p.sxy AS DOUBLE) / 1e12 / (SELECT n FROM n)
+      |             - mi.m * mj.m) * 1e9 + 0.5) AS BIGINT) AS cov_e9
       |FROM prods p
       |JOIN means mi ON mi.i = p.i JOIN means mj ON mj.i = p.j
       |ORDER BY p.i, p.j""".stripMargin) { (s, dir) =>
@@ -911,32 +924,34 @@ object Pipeline {
   /** Closed-form 2-D PCA projection (Pca.projectTop2d): the top
     * eigenvector of the symmetric 2x2 covariance has an analytic
     * form, so — unlike the power-iteration path — the WHOLE eigen
-    * computation mirrors into SQL: rounded decimal-sum covariance,
-    * IEEE-exact sqrt, identical operation order, canonical sign. The
-    * one oracled end-to-end eigenvector in the battery. */
+    * computation mirrors into SQL: e9-grid decimal-sum covariance,
+    * IEEE-exact sqrt, identical operation order, canonical sign,
+    * floor-scaled integer surfaces (no engine `ROUND(double)`
+    * anywhere). The one oracled end-to-end eigenvector in the
+    * battery. */
   val qPcaTop2 = Q(
     "q_pca_top2",
     """WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
       |m AS (
       |  SELECT
-      |    CAST(SUM(CAST(ROUND(CAST(embedding[1] AS DOUBLE), 12)
-      |         AS DECIMAL(28,12))) AS DOUBLE) / (SELECT n FROM n) AS m1,
-      |    CAST(SUM(CAST(ROUND(CAST(embedding[2] AS DOUBLE), 12)
-      |         AS DECIMAL(28,12))) AS DOUBLE) / (SELECT n FROM n) AS m2
+      |    CAST(SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1e12 + 0.5)
+      |         AS DECIMAL(38,0))) AS DOUBLE) / 1e12 / (SELECT n FROM n) AS m1,
+      |    CAST(SUM(CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 1e12 + 0.5)
+      |         AS DECIMAL(38,0))) AS DOUBLE) / 1e12 / (SELECT n FROM n) AS m2
       |  FROM embeddings),
       |s AS (
       |  SELECT
-      |    CAST(SUM(CAST(ROUND(CAST(embedding[1] AS DOUBLE) *
-      |         CAST(embedding[1] AS DOUBLE), 12) AS DECIMAL(28,12))) AS DOUBLE) AS s11,
-      |    CAST(SUM(CAST(ROUND(CAST(embedding[1] AS DOUBLE) *
-      |         CAST(embedding[2] AS DOUBLE), 12) AS DECIMAL(28,12))) AS DOUBLE) AS s12,
-      |    CAST(SUM(CAST(ROUND(CAST(embedding[2] AS DOUBLE) *
-      |         CAST(embedding[2] AS DOUBLE), 12) AS DECIMAL(28,12))) AS DOUBLE) AS s22
+      |    CAST(SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE) *
+      |         CAST(embedding[1] AS DOUBLE) * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) AS s11,
+      |    CAST(SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE) *
+      |         CAST(embedding[2] AS DOUBLE) * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) AS s12,
+      |    CAST(SUM(CAST(FLOOR(CAST(embedding[2] AS DOUBLE) *
+      |         CAST(embedding[2] AS DOUBLE) * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) AS s22
       |  FROM embeddings),
       |cv AS (
-      |  SELECT ROUND(s.s11 / (SELECT n FROM n) - m.m1 * m.m1, 9) AS a,
-      |         ROUND(s.s12 / (SELECT n FROM n) - m.m1 * m.m2, 9) AS b,
-      |         ROUND(s.s22 / (SELECT n FROM n) - m.m2 * m.m2, 9) AS c
+      |  SELECT CAST(FLOOR((s.s11 / 1e12 / (SELECT n FROM n) - m.m1 * m.m1) * 1e9 + 0.5) AS BIGINT) / 1e9 AS a,
+      |         CAST(FLOOR((s.s12 / 1e12 / (SELECT n FROM n) - m.m1 * m.m2) * 1e9 + 0.5) AS BIGINT) / 1e9 AS b,
+      |         CAST(FLOOR((s.s22 / 1e12 / (SELECT n FROM n) - m.m2 * m.m2) * 1e9 + 0.5) AS BIGINT) / 1e9 AS c
       |  FROM s, m),
       |eg AS (
       |  SELECT a, b, c,
@@ -956,8 +971,9 @@ object Pipeline {
       |                         ELSE v2 < 0 END) THEN -v2 ELSE v2 END AS v2
       |  FROM vv)
       |SELECT e.vec_id,
-      |       ROUND((CAST(e.embedding[1] AS DOUBLE) - m.m1) * vs.v1 +
-      |             (CAST(e.embedding[2] AS DOUBLE) - m.m2) * vs.v2, 6) AS proj
+      |       CAST(FLOOR(((CAST(e.embedding[1] AS DOUBLE) - m.m1) * vs.v1 +
+      |             (CAST(e.embedding[2] AS DOUBLE) - m.m2) * vs.v2) * 1e6 + 0.5)
+      |            AS BIGINT) AS proj_e6
       |FROM embeddings e, m, vs
       |ORDER BY e.vec_id""".stripMargin) { (s, dir) =>
     Pca.projectTop2d(t(s, dir, "embeddings")).orderBy("vec_id")
@@ -1031,8 +1047,10 @@ object Pipeline {
       |v AS (SELECT COUNT(DISTINCT w) AS v FROM tok),
       |n AS (SELECT COUNT(*) AS n FROM documents)
       |SELECT d.lang, d.n_docs, t.n_tokens,
-      |       ROUND(LN(CAST(d.n_docs AS DOUBLE) / n.n), 6) AS prior,
-      |       ROUND(LN(1.0 / (t.n_tokens + v.v)), 6) AS l0
+      |       CAST(FLOOR(LN(CAST(d.n_docs AS DOUBLE) / n.n) * 1e6 + 0.5)
+      |            AS BIGINT) AS prior_e6,
+      |       CAST(FLOOR(LN(1.0 / (t.n_tokens + v.v)) * 1e6 + 0.5)
+      |            AS BIGINT) AS l0_e6
       |FROM (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang) d
       |JOIN (SELECT lang, COUNT(*) AS n_tokens FROM tok GROUP BY lang) t USING (lang)
       |CROSS JOIN n CROSS JOIN v
@@ -1061,7 +1079,8 @@ object Pipeline {
       |  LEFT JOIN bc USING (pair)
       |  JOIN uc ON uc.w1 = string_split(pair, ' ')[1]
       |  CROSS JOIN v)
-      |SELECT doc_id, COUNT(*) AS n_pairs, ROUND(exp(-AVG(lnp)), 6) AS ppl
+      |SELECT doc_id, COUNT(*) AS n_pairs,
+      |       CAST(FLOOR(exp(-AVG(lnp)) * 1e6 + 0.5) AS BIGINT) AS ppl_e6
       |FROM scored GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Perplexity.score(t(s, dir, "documents"), 1.0).orderBy("doc_id")

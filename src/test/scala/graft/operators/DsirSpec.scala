@@ -27,7 +27,7 @@ class DsirSpec extends AnyFunSuite {
       (3L, "alpha delta"))
     val got = Dsir.logWeights(raw.toDF("doc_id", "text"),
         target.toDF("doc_id", "text"))
-      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
 
     val k = 16
     val tc = Array.fill(k)(0L)
@@ -37,14 +37,14 @@ class DsirSpec extends AnyFunSuite {
     val (tn, rn) = (tc.sum, rc.sum)
     val lr = (0 until k).map(b =>
       math.log((tc(b) + 1.0) / (tn + k)) - math.log((rc(b) + 1.0) / (rn + k)))
-    def want(text: String): Double = {
+    def want(text: String): Long = {
       val s = text.split(" ").map(w => lr(bucketOf(w))).sum
-      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.floor(s * 1e6 + 0.5).toLong
     }
     assert(got.map(_._1) === Array(1L, 2L, 3L))
     for (((id, n, w), (rid, text)) <- got.zip(raw)) {
       assert(id === rid && n === text.split(" ").length.toLong)
-      assert(math.abs(w - want(text)) < 1e-9, s"doc $id")
+      assert(w === want(text), s"doc $id")
     }
     // the vocabulary-sharing doc must outscore the disjoint one
     assert(got(0)._3 > got(1)._3)
@@ -57,7 +57,7 @@ class DsirSpec extends AnyFunSuite {
     val sel = Dsir.select(raw, target, 2).select("doc_id")
       .as[Long].collect().toSet
     val all = Dsir.logWeights(raw, target)
-      .orderBy(col("logw").desc, col("doc_id"))
+      .orderBy(col("logw_e6").desc, col("doc_id"))
       .select("doc_id").as[Long].collect()
     assert(sel === all.take(2).toSet)
   }

@@ -77,11 +77,14 @@ class NaiveBayesSpec extends AnyFunSuite {
   test("class summary carries exact totals") {
     val df = docs.toDF("doc_id", "text", "lang")
     val got = NaiveBayes.classSummary(df).orderBy("lang")
-      .as[(String, Long, Long, Double, Double)].collect()
+      .as[(String, Long, Long, Long, Long)].collect()
     assert(got.map(g => (g._1, g._2, g._3)).toSeq ===
       Seq(("de", 2L, 7L), ("en", 3L, 10L)))
+    // prior/l0 surface as floor-scaled e6 integers (never engine-
+    // ROUNDed doubles)
+    def e6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
     val vocab = docs.flatMap(_._2.split(" ")).distinct.size
-    assert(got.find(_._1 == "de").get._5 === r6(math.log(1.0 / (7 + vocab))))
-    assert(got.find(_._1 == "de").get._4 === r6(math.log(2.0 / 5)))
+    assert(got.find(_._1 == "de").get._5 === e6(math.log(1.0 / (7 + vocab))))
+    assert(got.find(_._1 == "de").get._4 === e6(math.log(2.0 / 5)))
   }
 }

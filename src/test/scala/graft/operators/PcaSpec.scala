@@ -15,22 +15,25 @@ class PcaSpec extends AnyFunSuite {
     rows.map { case (id, v) => (id, v.map(_.toFloat)) }
       .toDF("vec_id", "embedding")
 
-  test("covariance equals the in-memory rounded computation") {
+  test("covariance equals the in-memory floor-scale computation") {
     val pts = Seq(
       1L -> Seq(1.0, 2.0, 0.5),
       2L -> Seq(-1.0, 0.0, 1.5),
       3L -> Seq(0.25, -2.0, 1.0))
     val got = Pca.covariance(emb(pts), 3).orderBy("i", "j")
-      .as[(Long, Long, Double)].collect()
-    def r(x: Double, s: Int): Double =
-      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+      .as[(Long, Long, Long)].collect()
+    // the floor-scale discipline: e12 integer terms, exact sums, /1e12
+    // /n doubles, floor(x*1e9 + 0.5) surfacing — all plain IEEE ops
+    def e12(x: Double): Long = math.floor(x * 1e12 + 0.5).toLong
     val xs = pts.map(_._2.map(_.toFloat.toDouble))
     val n = xs.length
-    val mean = (0 until 3).map(i => xs.map(v => r(v(i), 12)).sum / n)
-    for ((i, j, cov) <- got) {
+    val mean = (0 until 3).map(i => xs.map(v => e12(v(i))).sum.toDouble / 1e12 / n)
+    for ((i, j, covE9) <- got) {
       val (a, b) = (i.toInt - 1, j.toInt - 1)
-      val sxy = xs.map(v => r(v(a) * v(b), 12)).sum
-      assert(cov === r(sxy / n - mean(a) * mean(b), 9), s"cov($i,$j)")
+      val sxy = xs.map(v => e12(v(a) * v(b))).sum.toDouble
+      val want = math.floor(
+        (sxy / 1e12 / n - mean(a) * mean(b)) * 1e9 + 0.5).toLong
+      assert(covE9 === want, s"cov($i,$j)")
     }
     assert(got.length === 6)
   }
@@ -56,7 +59,7 @@ class PcaSpec extends AnyFunSuite {
       case (t, i) => (i.toLong, Seq(0.6 * t, 0.8 * t))
     }
     val got = Pca.projectTop2d(emb(pts))
-      .orderBy("vec_id").as[(Long, Double)].collect().map(_._2)
+      .orderBy("vec_id").as[(Long, Long)].collect().map(_._2 / 1e6)
     val want = Seq(-2.0, -1.0, 0.0, 1.0, 2.0)
     for ((g, w) <- got.zip(want)) assert(math.abs(g - w) < 1e-5, s"$g vs $w")
     // diagonal covariance edge (b = 0 by symmetry): the larger-
@@ -64,7 +67,7 @@ class PcaSpec extends AnyFunSuite {
     val diag = Seq((1L, Seq(3.0, 1.0)), (2L, Seq(-3.0, 1.0)),
       (3L, Seq(3.0, -1.0)), (4L, Seq(-3.0, -1.0)))
     val d = Pca.projectTop2d(emb(diag))
-      .orderBy("vec_id").as[(Long, Double)].collect().map(_._2)
+      .orderBy("vec_id").as[(Long, Long)].collect().map(_._2 / 1e6)
     assert(d.toSeq === Seq(3.0, -3.0, 3.0, -3.0), d.toSeq)
   }
 
@@ -81,25 +84,23 @@ class PcaSpec extends AnyFunSuite {
     assert(n === embeddings.count())
     val want = Pca.covariance(embeddings, 16).collect()
       .map(r => ((r.getLong(0).toInt - 1, r.getLong(1).toInt - 1),
-        r.getDouble(2))).toMap
+        r.getLong(2) / 1e9)).toMap
     assert(entries.keySet === want.keySet)
     for ((k, v) <- want) assert(entries(k) === v, s"entry $k")
-    // means too: same decimal-sum / n arithmetic as the plan
+    // means too: same floor-scale decimal-sum / 1e12 / n arithmetic
+    // as the plan
+    val fns = org.apache.spark.sql.functions
     val wantMu = embeddings
-      .select(org.apache.spark.sql.functions.explode(
-        org.apache.spark.sql.functions.transform(
-          org.apache.spark.sql.functions.sequence(
-            org.apache.spark.sql.functions.lit(1),
-            org.apache.spark.sql.functions.lit(16)),
-          i => org.apache.spark.sql.functions.struct(i.as("i"),
-            org.apache.spark.sql.functions.round(
-              org.apache.spark.sql.functions.element_at(
-                col("embedding"), i).cast("double"), 12)
-              .cast("decimal(28,12)").as("v")))).as("e"))
+      .select(fns.explode(
+        fns.transform(fns.sequence(fns.lit(1), fns.lit(16)),
+          i => fns.struct(i.as("i"),
+            fns.floor(fns.element_at(col("embedding"), i).cast("double")
+              * fns.lit(1e12) + fns.lit(0.5))
+              .cast("decimal(38,0)").as("v")))).as("e"))
       .select(col("e.i"), col("e.v"))
-      .groupBy("i").agg(org.apache.spark.sql.functions.sum(col("v")).as("s"))
+      .groupBy("i").agg(fns.sum(col("v")).as("s"))
       .orderBy("i").collect()
-      .map(r => r.getDecimal(1).doubleValue / n)
+      .map(r => r.getDecimal(1).doubleValue / 1e12 / n)
     for (i <- 0 until 16) assert(mu(i) === wantMu(i), s"mu($i)")
   }
 

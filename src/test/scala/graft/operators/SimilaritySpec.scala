@@ -92,8 +92,8 @@ class SimilaritySpec extends AnyFunSuite {
     // force computes for that pair — probing prunes candidates, never
     // changes scores
     val brute = Similarity.bruteForceTopK(q, emb, Int.MaxValue)
-      .select("qid", "cid", "sim")
-    assert(ivf1.select("qid", "cid", "sim").exceptAll(brute).count() === 0)
+      .select("qid", "cid", "sim_e5")
+    assert(ivf1.select("qid", "cid", "sim_e5").exceptAll(brute).count() === 0)
   }
 
   test("kmeans partitions the corpus deterministically; k = N is the identity fixed point") {

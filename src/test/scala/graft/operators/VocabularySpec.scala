@@ -67,13 +67,14 @@ class VocabularySpec extends AnyFunSuite {
   test("tfidfKeywords ranks a document's terms by tf*ln(N/df), term asc ties") {
     val kw = Vocabulary.tfidfKeywords(tiny, 2)
       .orderBy("doc_id", "rank")
-      .as[(Long, Long, String, Double)].collect()
+      .as[(Long, Long, String, Long)].collect()
     val n = 3.0
     // doc1: a tf=3 df=2 -> 3ln(1.5)=1.216; b tf=1 df=2 -> .405; c tf=1 df=2 -> .405
     //   rank1 = a, rank2 = b (tie with c broken by term asc)
     assert(kw(0)._1 === 1L && kw(0)._3 === "a")
-    // the surfaced score is rounded to 9 decimals (cross-engine ln ulp)
-    assert(math.abs(kw(0)._4 - 3.0 * math.log(n / 2)) < 1e-9)
+    // the surfaced score is the e9-grid scaled integer (cross-engine
+    // ln ulp snapped by floor(x*1e9 + 0.5))
+    assert(kw(0)._4 === math.floor(3.0 * math.log(n / 2) * 1e9 + 0.5).toLong)
     assert(kw(1)._3 === "b")
     // doc2: b tf=2 df=2 -> .811 beats d tf=1 df=1 -> 0? no: ln(3/1)=1.099
     //   d scores 1*ln(3) = 1.099 > b 2*ln(1.5) = .811 -> rank1 = d

@@ -41,8 +41,8 @@ class PrecisionInvariantSpec extends AnyFunSuite {
     val good = Similarity.lshTopK(qs, emb, 5, 8)
     // a mis-scored neighbor: bump one sim so it no longer matches the
     // exact cosine -> flagged as fabricated_or_misscored
-    val misscored = good.withColumn("sim",
-      when(col("rank") === 1, col("sim") + 0.5).otherwise(col("sim")))
+    val misscored = good.withColumn("sim_e5",
+      when(col("rank") === 1, col("sim_e5") + 50000L).otherwise(col("sim_e5")))
     val flagged = Pipeline.annPrecisionViolations(qs, emb, misscored, 5).collect()
     assert(flagged.nonEmpty && flagged.forall(
       _.getString(0) == "fabricated_or_misscored"))
