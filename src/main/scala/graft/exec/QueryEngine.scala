@@ -477,7 +477,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   private def publishAtomic(batches: Seq[(String, DataFrame)],
       seqs: Map[String, Long], stream: Option[(String, Long)],
       marks: Map[String, Long] = Map.empty,
-      mutated: Set[String] = Set.empty): Unit = {
+      mutated: Set[String] = Set.empty,
+      validate: () => Unit = () => ()): Unit = {
     val stagingRoot = new Path(s"$baseDir/.txn-staging-${System.nanoTime()}")
     val fs = stagingRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
@@ -500,6 +501,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       val out = fs.create(tmp, true)
       try out.write(lines.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      validate() // join the concurrent guard probes — abort pre-commit
       commitFence() // HA epoch check — abort while still pre-commit
       testFailBeforeManifestRename()
       if (!fs.rename(tmp, new Path(stagingRoot, "manifest")))
@@ -1883,7 +1885,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       streamMeta: Option[(String, Long)] = None,
       prePinned: Boolean = false,
       pkChecked: Boolean = false,
-      uniqueCertified: Boolean = false): (Long, Long) = {
+      uniqueCertified: Boolean = false,
+      probes: Seq[DataFrame] = Nil): (Long, Long) = {
     if (t.attached.isDefined)
       throw new UnsupportedOperationException(
         s"table ${t.name} is an attached read-only event log")
@@ -1892,6 +1895,18 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     val physical = rowsLogical.select(t.columns.map(c =>
       col(c.logical).cast(c.dataType).as(c.physical)): _*)
     val viaTxn = if (direct) None else txn
+    // guard probes: buffered (transaction) writes validate inline —
+    // nothing becomes visible before COMMIT anyway — while the
+    // direct-publish path runs them CONCURRENTLY with the
+    // sequence-count job and the staging write below (all independent
+    // until the manifest-rename commit point, where publishAtomic
+    // joins the probe task before anything becomes visible). Halves a
+    // DML statement's critical path: probe jobs and staging I/O were
+    // the two serial halves of its fixed floor.
+    val awaitProbes: () => Unit =
+      if (probes.isEmpty) () => ()
+      else if (viaTxn.isDefined) { raiseFirstViolation(probes); () => () }
+      else backgroundViolationCheck(probes)
     // inside a transaction, sequences continue from the buffered tail
     val base = viaTxn.flatMap(_.seqs.get(t.name)).getOrElse(catalog.lastSeq(t.name))
     // pin the batch before sequencing: assignSequencesCounted computes
@@ -1930,8 +1945,18 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           // counter together — never orphan events past the counter,
           // which a plain append-then-commitSeq would duplicate on
           // the next statement's sequence assignment
-          publishAtomic(Seq((t.name, ev)), Map(t.name -> (base + n)), streamMeta,
-            mutated = if (keepsFlat) Set.empty else Set(t.name))
+          try publishAtomic(Seq((t.name, ev)), Map(t.name -> (base + n)),
+            streamMeta,
+            mutated = if (keepsFlat) Set.empty else Set(t.name),
+            validate = awaitProbes)
+          catch {
+            case e: Throwable =>
+              // a concurrent probe violation outranks a staging fault —
+              // the sequential path raised probes before staging ever
+              // started, so a doomed statement keeps its probe error
+              awaitProbes()
+              throw e
+          }
           maybeAutoSnapshot(t.name, base + n,
             // the first-load checkpoint shortcut requires the batch to
             // BE the collapsed state: empty table before this append,
@@ -1944,6 +1969,10 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               pkChecked) Some(ev) else None)
       }
     }
+    // an empty batch never publishes, but its probes still gate the
+    // statement; the join handle is idempotent, so a second call after
+    // the publish path already consumed it is free
+    awaitProbes()
     (n, base + n)
   }
 
@@ -2944,6 +2973,32 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       if (bad.nonEmpty) throw new IllegalArgumentException(bad(0).getString(0))
     }
 
+  /** Run the probe union on the shared pool, propagating this
+    * statement's Spark job group so a statement-timeout cancel reaches
+    * the probe jobs too. Returns an idempotent join handle that
+    * rethrows the probe's violation (or any failure) on the caller's
+    * thread — [[append]] overlaps the probes with the sequence-count
+    * job and the staging write this way, joining at the
+    * manifest-rename commit point. */
+  private def backgroundViolationCheck(probes: Seq[DataFrame]): () => Unit = {
+    val sc = spark.sparkContext
+    val group = sc.getLocalProperty("spark.jobGroup.id")
+    val desc = sc.getLocalProperty("spark.job.description")
+    val interrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
+    val task = new java.util.concurrent.FutureTask[Unit](() => {
+      if (group != null)
+        sc.setJobGroup(group, if (desc == null) "" else desc, interrupt == "true")
+      try raiseFirstViolation(probes)
+      finally if (group != null) sc.clearJobGroup()
+    })
+    QueryEngine.probePool.execute(task)
+    () =>
+      try task.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
+  }
+
   // ------------------------------------------------------ foreign keys
 
   /** Max distinct keys inlined as an IN-list into a probe's scanned
@@ -3132,12 +3187,12 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         full.join(state.select(col(pk)), Seq(pk), "left_semi")
           .select(lit(s"primary key already exists in $table").as("_err")))
     }
-    raiseFirstViolation(pkProbes ++
-      constraintViolations(t, full, state, None) ++
-      rlsCheckProbes(table, full, "INSERT") ++
-      fkOutgoingProbes(t, full))
     val (n, last) = append(t, full, EventLog.INSERT, prePinned = true,
-      pkChecked = enforcePkUniqueness)
+      pkChecked = enforcePkUniqueness,
+      probes = pkProbes ++
+        constraintViolations(t, full, state, None) ++
+        rlsCheckProbes(table, full, "INSERT") ++
+        fkOutgoingProbes(t, full))
     fireTriggers(table, "INSERT", "AFTER", None, Some(full))
     summary("insert", n, last)
   }
@@ -3184,12 +3239,12 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           updated.join(survivors.select(col(pk)), Seq(pk), "left_semi")
             .select(lit(s"primary key already exists in $table").as("_err")))
       }
-      raiseFirstViolation(pkProbes ++
-        constraintViolations(t, updated, survivors, Some(touched)) ++
-        rlsCheckProbes(table, updated, "UPDATE") ++
-        fkChangedProbes(t, assigns, updated) ++
-        fkIncomingOnUpdateProbes(t, assigns, state, matching, updated))
-      val (nd, _) = append(t, matching, EventLog.SOFT_DELETE, prePinned = true)
+      val (nd, _) = append(t, matching, EventLog.SOFT_DELETE, prePinned = true,
+        probes = pkProbes ++
+          constraintViolations(t, updated, survivors, Some(touched)) ++
+          rlsCheckProbes(table, updated, "UPDATE") ++
+          fkChangedProbes(t, assigns, updated) ++
+          fkIncomingOnUpdateProbes(t, assigns, state, matching, updated))
       val (_, last) = append(t, updated, EventLog.INSERT, prePinned = true)
       fireTriggers(table, "UPDATE", "AFTER", Some(matching), Some(updated))
       summary("update", nd, last)
@@ -3201,13 +3256,13 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       val matching = pinCheckpoint(matching0)
       val updated = applyAssigns(matching)
       fireTriggers(table, "UPDATE", "BEFORE", Some(matching), Some(updated))
-      raiseFirstViolation(constraintViolations(t, updated,
-        state.join(matching.select(col(t.pk)), Seq(t.pk), "left_anti"),
-        Some(assigns.map(_._1).toSet)) ++
-        rlsCheckProbes(table, updated, "UPDATE") ++
-        fkChangedProbes(t, assigns, updated) ++
-        fkIncomingOnUpdateProbes(t, assigns, state, matching, updated))
-      val (n, last) = append(t, updated, EventLog.PATCH, prePinned = true)
+      val (n, last) = append(t, updated, EventLog.PATCH, prePinned = true,
+        probes = constraintViolations(t, updated,
+          state.join(matching.select(col(t.pk)), Seq(t.pk), "left_anti"),
+          Some(assigns.map(_._1).toSet)) ++
+          rlsCheckProbes(table, updated, "UPDATE") ++
+          fkChangedProbes(t, assigns, updated) ++
+          fkIncomingOnUpdateProbes(t, assigns, state, matching, updated))
       fireTriggers(table, "UPDATE", "AFTER", Some(matching), Some(updated))
       summary("update", n, last)
     }
@@ -3279,8 +3334,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // lineage re-reads
     val matching = pinCheckpoint(matching0)
     fireTriggers(table, "DELETE", "BEFORE", Some(matching), None)
-    raiseFirstViolation(fkIncomingProbes(t, matching))
-    val (n, last) = append(t, matching, EventLog.SOFT_DELETE, prePinned = true)
+    val (n, last) = append(t, matching, EventLog.SOFT_DELETE, prePinned = true,
+      probes = fkIncomingProbes(t, matching))
     fireTriggers(table, "DELETE", "AFTER", Some(matching), None)
     summary("delete", n, last)
   }
@@ -3552,9 +3607,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         .cast(c.dataType).as(c.logical)): _*)
     val full = pinCheckpoint(full0)
     fireTriggers(table, "INSERT", "BEFORE", None, Some(full))
-    raiseFirstViolation(constraintViolations(t, full, stateAt(table, None), None) ++
-      fkOutgoingProbes(t, full) ++ rlsCheckProbes(table, full, "INSERT"))
-    val (n, last) = append(t, full, EventLog.INSERT, prePinned = true)
+    val (n, last) = append(t, full, EventLog.INSERT, prePinned = true,
+      probes = constraintViolations(t, full, stateAt(table, None), None) ++
+        fkOutgoingProbes(t, full) ++ rlsCheckProbes(table, full, "INSERT"))
     fireTriggers(table, "INSERT", "AFTER", None, Some(full))
     summary("ingest", n, last)
   }
@@ -4426,6 +4481,18 @@ object QueryEngine {
   /** Shared daemon timer for statement timeouts — one thread per JVM,
     * not per statement. */
   private[exec] val timeoutTimer = new java.util.Timer("graft-stmt-timeout", true)
+
+  /** Shared daemon pool for overlapping a DML statement's guard-probe
+    * jobs with its staging write (the two are independent until the
+    * manifest-rename commit point). Cached: idle threads die, bursts
+    * reuse them; one probe union runs per statement, so the pool's
+    * live size tracks concurrent engines, not statement volume. */
+  private[exec] val probePool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val th = new Thread(r, "graft-probe")
+      th.setDaemon(true)
+      th
+    })
 
   /** The statement exceeded the session's STATEMENT_TIMEOUT and its
     * Spark jobs were cancelled (PG error 57014; the reference's
