@@ -123,11 +123,19 @@ object Backup {
     } finally in.close()
   }
 
-  private final case class Entry(rel: String, size: Long, crc: Long,
+  private[exec] final case class Entry(rel: String, size: Long, crc: Long,
       stored: String) // "self" | "parent"
 
-  private def readManifest(spark: SparkSession, dir: String)
-      : (Option[String], Seq[Entry]) = {
+  /** One manifest, decoded: ancestry, file set, and the catalog
+    * metadata a backup CATALOG needs — creation wall-clock and the
+    * per-table sequence high-water marks at backup time (the
+    * reference's backup catalog records the same identification data,
+    * backup_enhanced.rs:260-300). Manifests from before the metadata
+    * lines parse with created = None / tableSeqs empty. */
+  private[exec] final case class Manifest(parent: Option[String],
+      entries: Seq[Entry], created: Option[Long], tableSeqs: Map[String, Long])
+
+  private def readManifest(spark: SparkSession, dir: String): Manifest = {
     val p = new Path(dir, ManifestName)
     val fs = fsFor(spark, p)
     if (!fs.exists(p))
@@ -136,16 +144,20 @@ object Backup {
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     var parent: Option[String] = None
+    var created: Option[Long] = None
+    val tseqs = Map.newBuilder[String, Long]
     val entries = Vector.newBuilder[Entry]
     for (line <- text.split("\n") if line.nonEmpty) line.split("\t", -1) match {
       case Array("parent", d) => parent = Some(dec(d))
+      case Array("created", ms) => created = Some(ms.toLong)
+      case Array("tseq", t, seq) => tseqs += (dec(t) -> seq.toLong)
       case Array("file", rel, size, crc, stored) =>
         entries += Entry(dec(rel), size.toLong, crc.toLong, stored)
       case other =>
         throw new IllegalStateException(
           s"corrupt backup manifest line: ${other.mkString("\t")}")
     }
-    (parent, entries.result())
+    Manifest(parent, entries.result(), created, tseqs.result())
   }
 
   /** Create a backup of `baseDir` into `backupDir`. With `parent`, an
@@ -155,7 +167,8 @@ object Backup {
     * so the manifest write is the backup's commit point. Returns
     * (files recorded, files copied). */
   def create(spark: SparkSession, baseDir: String, backupDir: String,
-      parent: Option[String]): (Long, Long) = {
+      parent: Option[String], tableSeqs: Map[String, Long] = Map.empty,
+      createdMs: Long = System.currentTimeMillis()): (Long, Long) = {
     val base = new Path(baseDir)
     val srcFs = fsFor(spark, base)
     val dst = new Path(backupDir)
@@ -165,12 +178,13 @@ object Backup {
     // the parent chain's known files (any ancestor may hold the bytes)
     val inherited: Set[String] = parent match {
       case None => Set.empty
-      case Some(p) =>
-        val (_, entries) = readManifest(spark, p)
-        entries.map(_.rel).toSet
+      case Some(p) => readManifest(spark, p).entries.map(_.rel).toSet
     }
     val lines = new StringBuilder
     parent.foreach(p => lines.append(s"parent\t${enc(p)}\n"))
+    lines.append(s"created\t$createdMs\n")
+    tableSeqs.toSeq.sortBy(_._1).foreach { case (t, q) =>
+      lines.append(s"tseq\t${enc(t)}\t$q\n") }
     val files = listState(srcFs, base)
     val plan = files.map { case (rel, size) =>
       // catalog.meta (and any same-named rewrite) always re-copies:
@@ -222,7 +236,7 @@ object Backup {
       val d = cur.get
       if (!seen.add(d))
         throw new IllegalStateException(s"backup parent cycle at: $d")
-      cur = readManifest(spark, d)._1
+      cur = readManifest(spark, d).parent
     }
     seen.toSeq
   }
@@ -235,7 +249,7 @@ object Backup {
     * validates the same way). Returns the number of files restored. */
   def restore(spark: SparkSession, backupDir: String, targetDir: String): Long = {
     val chain = chainOf(spark, backupDir)
-    val (_, entries) = readManifest(spark, backupDir)
+    val entries = readManifest(spark, backupDir).entries
     val target = new Path(targetDir)
     val tFs = fsFor(spark, target)
     // wipe current state (not the lock — the restoring engine holds it)
@@ -263,7 +277,7 @@ object Backup {
     * (backup.rs:292-330). Returns (files checked, mismatches). */
   def verify(spark: SparkSession, backupDir: String): (Long, Seq[String]) = {
     val chain = chainOf(spark, backupDir)
-    val (_, entries) = readManifest(spark, backupDir)
+    val entries = readManifest(spark, backupDir).entries
     val bad = Vector.newBuilder[String]
     for (e <- entries) locate(spark, chain, e.rel) match {
       case None => bad += s"missing: ${e.rel}"
@@ -279,5 +293,69 @@ object Backup {
         }
     }
     (entries.size.toLong, bad.result())
+  }
+
+  /** One row of the backup catalog (SHOW BACKUPS). `seq` is the max
+    * recorded per-table sequence (-1 when the manifest predates seq
+    * metadata); `bytes` counts the manifest's full logical file set,
+    * `copied` the files physically stored in THIS backup. */
+  final case class BackupInfo(path: String, parent: Option[String],
+      created: Option[Long], seq: Long, tables: Int, files: Long,
+      copied: Long, bytes: Long)
+
+  private def infoOf(spark: SparkSession, dir: String): BackupInfo = {
+    val m = readManifest(spark, dir)
+    BackupInfo(dir, m.parent, m.created,
+      if (m.tableSeqs.isEmpty) -1L else m.tableSeqs.values.max,
+      m.tableSeqs.size, m.entries.size.toLong,
+      m.entries.count(_.stored == "self").toLong,
+      m.entries.map(_.size).sum)
+  }
+
+  /** Backup catalog over a directory: `dir` itself (if it is a
+    * backup) plus every immediate subdirectory holding a manifest,
+    * youngest-created first — the queryable inventory the reference's
+    * backup catalog provides (backup_enhanced.rs:260-300 add/list).
+    * Unreadable/corrupt manifests are skipped: an inventory listing
+    * must not fail because one stray dir is not a backup. */
+  def list(spark: SparkSession, dir: String): Seq[BackupInfo] = {
+    val p = new Path(dir)
+    val fs = fsFor(spark, p)
+    if (!fs.exists(p)) return Nil
+    val roots =
+      (if (fs.exists(new Path(p, ManifestName))) Seq(p) else Nil) ++
+        (if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+            .filter(d => fs.exists(new Path(d, ManifestName)))
+        else Nil)
+    // local paths print bare (file: URIs from listStatus would not
+    // round-trip against the user's own SQL-supplied paths); other
+    // filesystems keep their qualified form
+    def show(r: Path): String = {
+      val u = r.toUri
+      if (u.getScheme == null || u.getScheme == "file") u.getPath
+      else r.toString
+    }
+    roots.map(r => scala.util.Try(infoOf(spark, show(r))))
+      .collect { case scala.util.Success(i) => i }
+      .sortBy(i => (-i.created.getOrElse(-1L), i.path))
+  }
+
+  /** Point-in-time restore by sequence: cut the ancestor chain of
+    * `backupDir` at the YOUNGEST manifest whose recorded high-water
+    * sequence is <= `seq` and restore that backup (the reference's
+    * find-in-range + restore, backup_enhanced.rs). Manifests without
+    * sequence metadata never qualify — restoring an unknown state
+    * as "at seq N" would be a silent lie. Returns (restored backup
+    * dir, files restored). */
+  def restoreAsOf(spark: SparkSession, backupDir: String, targetDir: String,
+      seq: Long): (String, Long) = {
+    val chain = chainOf(spark, backupDir)
+    val covering = chain.find { d =>
+      val m = readManifest(spark, d)
+      m.tableSeqs.nonEmpty && m.tableSeqs.values.max <= seq
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no backup in the chain of $backupDir covers sequence <= $seq"))
+    (covering, restore(spark, covering, targetDir))
   }
 }

@@ -671,6 +671,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         Statement.ShowTriggers | Statement.ShowProcedures |
         Statement.ShowSequences | Statement.ShowPolicies |
         _: Statement.SetRole | _: Statement.VerifyBackup |
+        _: Statement.ShowBackups |
         _: Statement.SetAudit | Statement.ShowAudit |
         Statement.ShowGrants | _: Statement.SetPrivileges |
         _: Statement.SetCache | Statement.ShowCache | Statement.ClearCache |
@@ -1200,17 +1201,33 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       // dirs and the liveness lock are excluded by the lister
       if (txn.isDefined)
         throw new IllegalStateException("BACKUP cannot run inside a transaction")
-      val (recorded, copied) = Backup.create(spark, baseDir, dir, parent)
+      // the manifest records each table's sequence high-water mark —
+      // the identification data SHOW BACKUPS lists and RESTORE ... AS
+      // OF @SEQ:N cuts the chain by
+      val (recorded, copied) = Backup.create(spark, baseDir, dir, parent,
+        tableSeqs = catalog.tableNames.map(t => t -> catalog.lastSeq(t)).toMap)
       spark.range(1).select(lit("backup").as("op"),
         lit(recorded).as("files"), lit(copied).as("copied"),
         lit(dir).as("path"))
-    case Statement.RestoreDb(dir) =>
+    case Statement.ShowBackups(dir) =>
+      requireSuperuser("SHOW BACKUPS") // paths + sizes are operator data
+      import spark.implicits._
+      Backup.list(spark, dir)
+        .map(b => (b.path, b.parent.getOrElse(""),
+          b.created.map(ms => new java.sql.Timestamp(ms)).orNull,
+          b.seq, b.tables, b.files, b.copied, b.bytes))
+        .toDF("path", "parent", "created", "seq", "tables", "files",
+          "copied", "bytes")
+    case Statement.RestoreDb(dir, asOfSeq) =>
       requireSuperuser("RESTORE") // replaces the whole database
       if (txn.isDefined)
         throw new IllegalStateException("RESTORE cannot run inside a transaction")
       ensureWriteLock() // exclusive: no other live writer during the swap
       val prevTables = catalog.tableNames
-      val n = Backup.restore(spark, dir, baseDir)
+      val (restoredFrom, n) = asOfSeq match {
+        case Some(seq) => Backup.restoreAsOf(spark, dir, baseDir, seq)
+        case None => (dir, Backup.restore(spark, dir, baseDir))
+      }
       catalog.reload()
       lastSnapSeqs.clear()
       // the audit trail is database state: the restore swapped its
@@ -1223,7 +1240,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       for (t <- prevTables if catalog.get(t).isEmpty)
         spark.catalog.dropTempView(t)
       spark.range(1).select(lit("restore").as("op"),
-        lit(n).as("files"), lit(dir).as("path"))
+        lit(n).as("files"), lit(restoredFrom).as("path"))
     case Statement.VerifyBackup(dir) =>
       val (checked, bad) = Backup.verify(spark, dir)
       if (bad.nonEmpty)
@@ -2202,7 +2219,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case _: Statement.Savepoint => ("SAVEPOINT", "")
     case _: Statement.ReleaseSavepoint => ("RELEASE", "")
     case Statement.BackupDb(d, _) => ("BACKUP", d)
-    case Statement.RestoreDb(d) => ("RESTORE", d)
+    case Statement.RestoreDb(d, _) => ("RESTORE", d)
     case _: Statement.SetRole => ("SET ROLE", "")
     case Statement.Grant(_, t, _) => ("GRANT", t)
     case Statement.Revoke(_, t, _) => ("REVOKE", t)

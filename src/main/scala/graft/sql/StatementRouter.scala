@@ -168,8 +168,15 @@ object Statement {
   /** BACKUP DATABASE TO 'dir' [INCREMENTAL FROM 'parentDir']
     * (backup.rs:78 full, :156 incremental). */
   final case class BackupDb(dir: String, parent: Option[String]) extends Statement
-  /** RESTORE DATABASE FROM 'dir' (backup.rs:250). */
-  final case class RestoreDb(dir: String) extends Statement
+  /** RESTORE DATABASE FROM 'dir' [AS OF @SEQ:N] — full-chain restore,
+    * or point-in-time by cutting the chain at the youngest manifest
+    * whose recorded sequence high-water mark covers N (backup.rs:250;
+    * PITR surface backup_enhanced.rs:1-10). */
+  final case class RestoreDb(dir: String, asOfSeq: Option[Long] = None)
+    extends Statement
+  /** SHOW BACKUPS IN 'dir' — the queryable backup catalog over a
+    * directory of backups (backup_enhanced.rs:260-300 list). */
+  final case class ShowBackups(dir: String) extends Statement
   /** VERIFY BACKUP 'dir' (backup.rs:292). */
   final case class VerifyBackup(dir: String) extends Statement
   /** SET AUDIT ON|OFF — statement auditing (audit.rs:14-60:
@@ -398,7 +405,9 @@ object StatementRouter {
   private val ResetRoleR = """(?is)^RESET\s+(?:ROLE|SESSION\s+AUTHORIZATION)\s*$""".r
   private val BackupR =
     """(?is)^BACKUP\s+DATABASE\s+TO\s+'([^']+)'(?:\s+INCREMENTAL\s+FROM\s+'([^']+)')?\s*$""".r
-  private val RestoreR = """(?is)^RESTORE\s+DATABASE\s+FROM\s+'([^']+)'\s*$""".r
+  private val RestoreR =
+    """(?is)^RESTORE\s+DATABASE\s+FROM\s+'([^']+)'(?:\s+AS\s+OF\s+@SEQ:(\d+))?\s*$""".r
+  private val ShowBackupsR = """(?is)^SHOW\s+BACKUPS\s+IN\s+'([^']+)'\s*$""".r
   private val VerifyBackupR = """(?is)^VERIFY\s+BACKUP\s+'([^']+)'\s*$""".r
   private val SetAuditR = """(?is)^SET\s+AUDIT\s+(ON|OFF)\s*$""".r
   private val GrantR =
@@ -568,7 +577,8 @@ object StatementRouter {
       case ShowAlertsR() => ShowAlerts
       case ShowOptimizationsR() => ShowOptimizations
       case BackupR(dir, parent) => BackupDb(dir, Option(parent))
-      case RestoreR(dir) => RestoreDb(dir)
+      case RestoreR(dir, seq) => RestoreDb(dir, Option(seq).map(_.toLong))
+      case ShowBackupsR(dir) => ShowBackups(dir)
       case VerifyBackupR(dir) => VerifyBackup(dir)
       case DropTableR(ifEx, name) => DropTable(name, ifEx != null)
       case DropViewR(ifEx, name) => DropView(name, ifEx != null)

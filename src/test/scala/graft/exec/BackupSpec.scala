@@ -163,4 +163,56 @@ class BackupSpec extends AnyFunSuite {
     }
     e.close()
   }
+
+  test("SHOW BACKUPS catalogs a chain: paths, ancestry, seqs, copy counts") {
+    val base = tmp("graft-bk-base-")
+    val root = tmp("graft-bk-cat-")
+    val e = engineWith(base) // 1 CREATE + 1 INSERT -> seq 3
+    e.sql(s"BACKUP DATABASE TO '$root/full'")
+    e.sql("INSERT INTO t VALUES (4, 'd')")
+    e.sql(s"BACKUP DATABASE TO '$root/incr' INCREMENTAL FROM '$root/full'")
+    val cat = e.sql(s"SHOW BACKUPS IN '$root'").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(cat.size === 2)
+    val full = cat(s"$root/full"); val incr = cat(s"$root/incr")
+    assert(full.getString(1) === "" && incr.getString(1) === s"$root/full")
+    assert(!full.isNullAt(2) && !incr.isNullAt(2)) // created timestamps
+    assert(full.getLong(3) === 3L && incr.getLong(3) === 4L) // seq marks
+    assert(full.getInt(4) === 1) // one table recorded
+    // the incremental physically copied fewer files than it recorded
+    assert(incr.getLong(6) < incr.getLong(5))
+    assert(full.getLong(7) > 0L) // bytes
+    // a non-backup subdir is skipped, not fatal
+    new java.io.File(s"$root/notabackup").mkdirs()
+    assert(e.sql(s"SHOW BACKUPS IN '$root'").count() === 2L)
+    e.close()
+  }
+
+  test("RESTORE AS OF @SEQ cuts the chain at the covering manifest") {
+    val base = tmp("graft-bk-base-")
+    val root = tmp("graft-bk-pitr-")
+    val e = engineWith(base) // seq 3 after fixture
+    e.sql(s"BACKUP DATABASE TO '$root/full'")
+    e.sql("INSERT INTO t VALUES (4, 'd')") // seq 4
+    e.sql(s"BACKUP DATABASE TO '$root/i1' INCREMENTAL FROM '$root/full'")
+    e.sql("INSERT INTO t VALUES (5, 'e')") // seq 5
+    e.sql(s"BACKUP DATABASE TO '$root/i2' INCREMENTAL FROM '$root/i1'")
+    e.sql("DELETE FROM t") // diverge past the last backup
+    // restore to a sequence the MIDDLE backup covers: chain head is
+    // i2 (seq 5), AS OF 4 must land i1's state, and report i1's path
+    val r = e.sql(s"RESTORE DATABASE FROM '$root/i2' AS OF @SEQ:4")
+      .collect().head
+    assert(r.getString(2) === s"$root/i1")
+    assert(rows(e) === Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c"),
+      Row(4L, "d")))
+    // a sequence below every manifest's mark has no covering backup
+    val err = intercept[IllegalArgumentException] {
+      e.sql(s"RESTORE DATABASE FROM '$root/i2' AS OF @SEQ:1")
+    }
+    assert(err.getMessage.contains("covers sequence"))
+    // and the failed PITR attempt changed nothing
+    assert(rows(e) === Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c"),
+      Row(4L, "d")))
+    e.close()
+  }
 }
