@@ -162,9 +162,16 @@ final class Leadership(spark: SparkSession, coordDir: String,
     }
 
     /** Install this lease's fence into an engine: every atomic publish
-      * checks it immediately before the manifest rename. */
-    def attach(engine: graft.exec.QueryEngine): Unit =
+      * checks it immediately before the manifest rename. Also feeds
+      * SHOW CLUSTER's leadership row (lease epoch vs current epoch +
+      * current leader id). */
+    def attach(engine: graft.exec.QueryEngine): Unit = {
       engine.setCommitFence(() => fence())
+      engine.setLeaseStatus(() => {
+        val cur = currentEpoch()
+        (epoch, cur, leaderOf(cur))
+      })
+    }
 
     /** Step down voluntarily: a durable released marker lapses the
       * epoch immediately, so a successor need not wait out the

@@ -447,6 +447,57 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   @volatile private var commitFence: () => Unit = () => ()
   def setCommitFence(f: () => Unit): Unit = commitFence = f
 
+  // ------------------------------------------------ cluster visibility
+  // SHOW CLUSTER's data: replication links registered by
+  // Replication.follow (both directions — a replica knows its
+  // primaries, a primary knows its followers) and the leadership
+  // lease installed by Leadership.Lease.attach. All metadata-scale;
+  // probing a link reads two catalog counters, no Spark job.
+  private val followsFrom =
+    new java.util.concurrent.ConcurrentHashMap[String, QueryEngine]()
+  private val followedBy =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), QueryEngine]()
+  @volatile private var leaseStatus: Option[() => (Long, Long, Option[String])] =
+    None
+
+  /** Called by Replication.follow: this engine replays `table` from
+    * `primary`. */
+  private[graft] def registerFollow(table: String, primary: QueryEngine): Unit = {
+    followsFrom.put(table, primary)
+    primary.followedBy.put((table, engineId), this)
+  }
+
+  /** Called by Leadership.Lease.attach alongside the commit fence:
+    * () => (lease epoch, current epoch, current leader id). */
+  def setLeaseStatus(f: () => (Long, Long, Option[String])): Unit =
+    leaseStatus = Some(f)
+
+  /** SHOW CLUSTER: one row per replication link this engine is party
+    * to — as replica (role `replica`, peer = the primary) and as
+    * primary (role `primary`, peer = the follower engine) — with both
+    * sides' sequence high-water marks and the event lag between them,
+    * plus a `leadership` row when an HA lease is attached. */
+  private def showCluster(): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rep = followsFrom.asScala.toSeq.sortBy(_._1).map { case (t, p) =>
+      val (ps, ls) = (p.catalog.lastSeq(t), catalog.lastSeq(t))
+      ("replication", t, "replica", p.engineId, ls, ps, ps - ls)
+    }
+    val fol = followedBy.asScala.toSeq.sortBy(_._1).map { case ((t, _), r) =>
+      val (ps, rs) = (catalog.lastSeq(t), r.catalog.lastSeq(t))
+      ("replication", t, "primary", r.engineId, ps, rs, ps - rs)
+    }
+    val lead = leaseStatus.toSeq.map { f =>
+      val (mine, cur, leader) = f()
+      ("leadership", leader.getOrElse(""),
+        if (cur == mine) "leader" else "deposed",
+        s"epoch $mine of $cur", mine, cur, cur - mine)
+    }
+    import spark.implicits._
+    (rep ++ fol ++ lead)
+      .toDF("kind", "subject", "role", "peer", "local_seq", "peer_seq", "lag")
+  }
+
   // wall-clock of the last completed publish, for the health probe's
   // "last publish age" (health.rs reports the same freshness signal);
   // -1 until this engine publishes
@@ -671,7 +722,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         Statement.ShowTriggers | Statement.ShowProcedures |
         Statement.ShowSequences | Statement.ShowPolicies |
         _: Statement.SetRole | _: Statement.VerifyBackup |
-        _: Statement.ShowBackups |
+        _: Statement.ShowBackups | Statement.ShowCluster |
         _: Statement.SetAudit | Statement.ShowAudit |
         Statement.ShowGrants | _: Statement.SetPrivileges |
         _: Statement.SetCache | Statement.ShowCache | Statement.ClearCache |
@@ -1209,6 +1260,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       spark.range(1).select(lit("backup").as("op"),
         lit(recorded).as("files"), lit(copied).as("copied"),
         lit(dir).as("path"))
+    case Statement.ShowCluster =>
+      requirePerm("SHOW CLUSTER", "VIEW_METRICS")
+      showCluster()
     case Statement.ShowBackups(dir) =>
       requireSuperuser("SHOW BACKUPS") // paths + sizes are operator data
       import spark.implicits._

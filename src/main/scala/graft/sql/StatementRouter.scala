@@ -177,6 +177,11 @@ object Statement {
   /** SHOW BACKUPS IN 'dir' — the queryable backup catalog over a
     * directory of backups (backup_enhanced.rs:260-300 list). */
   final case class ShowBackups(dir: String) extends Statement
+  /** SHOW CLUSTER — replication links (per-table primary/replica
+    * sequence high-water marks and lag) plus leadership lease state
+    * (distributed_coordinator.rs:24-30 tracks per-peer health/lag;
+    * failover.rs the promote path). */
+  case object ShowCluster extends Statement
   /** VERIFY BACKUP 'dir' (backup.rs:292). */
   final case class VerifyBackup(dir: String) extends Statement
   /** SET AUDIT ON|OFF — statement auditing (audit.rs:14-60:
@@ -408,6 +413,7 @@ object StatementRouter {
   private val RestoreR =
     """(?is)^RESTORE\s+DATABASE\s+FROM\s+'([^']+)'(?:\s+AS\s+OF\s+@SEQ:(\d+))?\s*$""".r
   private val ShowBackupsR = """(?is)^SHOW\s+BACKUPS\s+IN\s+'([^']+)'\s*$""".r
+  private val ShowClusterR = """(?is)^SHOW\s+CLUSTER\s*$""".r
   private val VerifyBackupR = """(?is)^VERIFY\s+BACKUP\s+'([^']+)'\s*$""".r
   private val SetAuditR = """(?is)^SET\s+AUDIT\s+(ON|OFF)\s*$""".r
   private val GrantR =
@@ -579,6 +585,7 @@ object StatementRouter {
       case BackupR(dir, parent) => BackupDb(dir, Option(parent))
       case RestoreR(dir, seq) => RestoreDb(dir, Option(seq).map(_.toLong))
       case ShowBackupsR(dir) => ShowBackups(dir)
+      case ShowClusterR() => ShowCluster
       case VerifyBackupR(dir) => VerifyBackup(dir)
       case DropTableR(ifEx, name) => DropTable(name, ifEx != null)
       case DropViewR(ifEx, name) => DropView(name, ifEx != null)

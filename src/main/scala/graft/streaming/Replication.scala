@@ -45,6 +45,9 @@ object Replication {
     require(replica.catalog.get(table).isDefined,
       s"replica has no table $table — bootstrap it from a backup first")
     val fromSeq = replica.catalog.lastSeq(table)
+    // register the link on both engines so SHOW CLUSTER can surface
+    // applied-vs-high-water lag from either side
+    replica.registerFollow(table, primary)
     val dir = primary.catalog.logPath(table)
     val p = new Path(dir)
     val fs = p.getFileSystem(primary.spark.sparkContext.hadoopConfiguration)

@@ -72,4 +72,65 @@ class ReplicationSpec extends AnyFunSuite {
       === Seq(Row(1L, "a"), Row(2L, "x"), Row(3L, "c")))
     replica.close()
   }
+
+  test("SHOW CLUSTER surfaces replica lag from both sides of the link") {
+    val primary = QueryEngine.scratch(spark)
+    primary.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, v STRING)")
+    primary.sql("INSERT INTO t VALUES (1, 'a'), (2, 'b')") // seq 1-2
+    val bdir = java.nio.file.Files.createTempDirectory("graft-repl-bk3-").toString
+    primary.sql(s"BACKUP DATABASE TO '$bdir/b'")
+    val replica = new QueryEngine(spark,
+      java.nio.file.Files.createTempDirectory("graft-replica3-").toString)
+    replica.sql(s"RESTORE DATABASE FROM '$bdir/b'")
+    // an unlinked engine reports an empty cluster view (schema intact)
+    assert(replica.sql("SHOW CLUSTER").columns.toSeq ===
+      Seq("kind", "subject", "role", "peer", "local_seq", "peer_seq", "lag"))
+    assert(replica.sql("SHOW CLUSTER").count() === 0L)
+    // catch the replica up, then PAUSE (AvailableNow completes and
+    // stops) and let the primary advance past it
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-repl-ck3-").toString
+    Replication.follow(primary, replica, "t", ckpt).awaitTermination()
+    primary.sql("INSERT INTO t VALUES (3, 'c')") // seq 3
+    primary.sql("INSERT INTO t VALUES (4, 'd')") // seq 4
+    // replica side: role replica, applied 2 of the primary's 4
+    val rRow = replica.sql("SHOW CLUSTER").collect()
+      .find(_.getString(2) == "replica").get
+    assert(rRow.getString(0) === "replication" && rRow.getString(1) === "t")
+    assert(rRow.getLong(4) === 2L && rRow.getLong(5) === 4L &&
+      rRow.getLong(6) === 2L)
+    // primary side: the follower's lag from the high-water mark
+    val pRow = primary.sql("SHOW CLUSTER").collect()
+      .find(_.getString(2) == "primary").get
+    assert(pRow.getString(1) === "t" && pRow.getLong(4) === 4L &&
+      pRow.getLong(5) === 2L && pRow.getLong(6) === 2L)
+    // resuming the follower drains the lag to zero on both sides
+    Replication.follow(primary, replica, "t", ckpt).awaitTermination()
+    assert(replica.sql("SHOW CLUSTER").collect()
+      .find(_.getString(2) == "replica").get.getLong(6) === 0L)
+    assert(primary.sql("SHOW CLUSTER").collect()
+      .find(_.getString(2) == "primary").get.getLong(6) === 0L)
+    primary.close(); replica.close()
+  }
+
+  test("SHOW CLUSTER carries the leadership lease row through attach") {
+    val coord = java.nio.file.Files.createTempDirectory("graft-lead-sc-").toString
+    val a = new graft.cluster.Leadership(spark, coord, "node-a", leaseMs = 60000)
+    val lease = a.tryAcquire().get
+    val e = QueryEngine.scratch(spark)
+    lease.attach(e)
+    val row = e.sql("SHOW CLUSTER").collect()
+      .find(_.getString(0) == "leadership").get
+    assert(row.getString(2) === "leader")
+    assert(row.getString(1) === "node-a")
+    assert(row.getLong(4) === row.getLong(5)) // lease epoch == current
+    // a successor epoch deposes the row's role
+    lease.release()
+    val b = new graft.cluster.Leadership(spark, coord, "node-b", leaseMs = 60000)
+    assert(b.tryAcquire().isDefined)
+    val row2 = e.sql("SHOW CLUSTER").collect()
+      .find(_.getString(0) == "leadership").get
+    assert(row2.getString(2) === "deposed")
+    assert(row2.getString(1) === "node-b")
+    e.close()
+  }
 }
