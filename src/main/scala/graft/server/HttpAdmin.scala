@@ -304,6 +304,25 @@ final class HttpAdmin(engine: QueryEngine, port: Int = 0,
         """{"error": "no wire server attached"}""" + "\n")
     })
 
+  // /cluster — the SHOW CLUSTER surface over HTTP: replication links
+  // (both roles) with sequence high-water marks and lag, plus the
+  // leadership lease row when one is attached
+  // (distributed_coordinator.rs:24-30 exposes cluster state the same
+  // way). Metadata-scale: catalog counters only, no Spark job.
+  server.createContext("/cluster", ex =>
+    try {
+      val json = engine.sql("SHOW CLUSTER").collect().map(r =>
+        s"""{"kind": ${jsonStr(r.getString(0))}, "subject": ${jsonStr(r.getString(1))}, """ +
+          s""""role": ${jsonStr(r.getString(2))}, "peer": ${jsonStr(r.getString(3))}, """ +
+          s""""local_seq": ${r.getLong(4)}, "peer_seq": ${r.getLong(5)}, """ +
+          s""""lag": ${r.getLong(6)}}""")
+        .mkString("[", ", ", "]")
+      respond(ex, 200, "application/json", json + "\n")
+    } catch { case e: Exception =>
+      respond(ex, 500, "application/json",
+        s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}\n""")
+    })
+
   // ------------------------------------------------------ /status page
 
   private def htmlEsc(s: String): String = s.flatMap {

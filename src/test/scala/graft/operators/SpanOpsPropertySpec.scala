@@ -64,7 +64,7 @@ class SpanOpsPropertySpec extends AnyFunSuite {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet").limit(120)
     val w = Dsir.logWeights(docs, docs)
-    assert(w.where(col("logw") =!= 0.0).count() === 0)
+    assert(w.where(col("logw_e6") =!= 0L).count() === 0)
     assert(w.count() === 120)
   }
 
@@ -72,6 +72,6 @@ class SpanOpsPropertySpec extends AnyFunSuite {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
     val r = Perplexity.score(docs)
-    assert(r.where(col("ppl") < 1.0).count() === 0)
+    assert(r.where(col("ppl_e6") < 1000000L).count() === 0)
   }
 }

@@ -206,6 +206,35 @@ class HttpAdminSpec extends AnyFunSuite {
     }
   }
 
+  test("/cluster serves replication links as JSON") {
+    val e = QueryEngine.scratch(spark)
+    val srv = new HttpAdmin(e, 0).start()
+    try {
+      val (c0, empty, ct) = get(srv.boundPort, "/cluster")
+      assert(c0 === 200 && ct.startsWith("application/json"))
+      assert(empty.trim === "[]")
+      // wire a real follower and scrape its lag through HTTP
+      e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY)")
+      e.sql("INSERT INTO t VALUES (1), (2)")
+      val bdir = java.nio.file.Files.createTempDirectory("graft-http-bk-").toString
+      e.sql(s"BACKUP DATABASE TO '$bdir/b'")
+      val replica = new QueryEngine(spark,
+        java.nio.file.Files.createTempDirectory("graft-http-repl-").toString)
+      replica.sql(s"RESTORE DATABASE FROM '$bdir/b'")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-http-ck-").toString
+      graft.streaming.Replication.follow(e, replica, "t", ckpt)
+        .awaitTermination()
+      e.sql("INSERT INTO t VALUES (3)")
+      val (c1, body, _) = get(srv.boundPort, "/cluster")
+      assert(c1 === 200, body)
+      assert(body.contains("\"role\": \"primary\"") &&
+        body.contains("\"lag\": 1"), body)
+      replica.close()
+    } finally {
+      srv.close(); e.close()
+    }
+  }
+
   test("/performance/connections without a wire server answers 404") {
     val e = QueryEngine.scratch(spark)
     val srv = new HttpAdmin(e, 0).start()
