@@ -1974,10 +1974,18 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // joins the probe task before anything becomes visible). Halves a
     // DML statement's critical path: probe jobs and staging I/O were
     // the two serial halves of its fixed floor.
+    // a literal batch decides its row-local probes driver-side first
+    // (dropFoldedProbes): a doomed literal statement raises HERE, with
+    // zero jobs and no staging dir ever created
+    val effProbes =
+      if (probes.isEmpty || !physical.queryExecution.optimizedPlan
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+        probes
+      else dropFoldedProbes(probes)
     val awaitProbes: () => Unit =
-      if (probes.isEmpty) () => ()
-      else if (viaTxn.isDefined) { raiseFirstViolation(probes); () => () }
-      else backgroundViolationCheck(probes)
+      if (effProbes.isEmpty) () => ()
+      else if (viaTxn.isDefined) { raiseFirstViolation(effProbes); () => () }
+      else backgroundViolationCheck(effProbes)
     // inside a transaction, sequences continue from the buffered tail
     val base = viaTxn.flatMap(_.seqs.get(t.name)).getOrElse(catalog.lastSeq(t.name))
     // pin the batch before sequencing: assignSequencesCounted computes
@@ -1996,12 +2004,22 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // probes, so they revoke; PATCH/SOFT_DELETE always revoke.
     val keepsFlat = eventType == EventLog.INSERT && (pkChecked || uniqueCertified)
     if (n > 0) {
-      val ev = withSeq.select(
+      val ev0 = withSeq.select(
         col("sequence"),
         timestamp_seconds(lit(EventLog.ClockEpoch) + col("sequence")).as("ts"),
         lit(eventType).as("event_type"),
         col(t.pkPhysical).cast("string").as("pk"),
         struct(t.columns.map(c => col(c.physical)): _*).as("payload"))
+      // a small batch lands as ONE staged file: the write job runs one
+      // task instead of one per pinned partition, the publish renames
+      // one file, and the log stays compact — a tombstone batch
+      // spread over 32 near-empty part-files would fan out every later
+      // state read's scan. Large batches keep the parallel multi-file
+      // write. coalesce AFTER sequence assignment is layout-safe: the
+      // per-partition offsets were computed against the pinned layout,
+      // and a CoalescedRDD computes its parents with their original
+      // split indices.
+      val ev = if (n <= EventLog.SmallBatchRows) ev0.coalesce(1) else ev0
       viaTxn match {
         case Some(tx) => // buffer; flushed at COMMIT, dropped at ROLLBACK
           snapSeqFor(tx, t.name) // a write also pins the conflict horizon
@@ -2491,13 +2509,21 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           if touched.forall(ts => cs.exists(ts)) =>
         val nn = cs.map(col(_).isNotNull).reduce(_ && _)
         val msg = s"duplicate key violates UNIQUE (${cs.mkString(", ")}) on ${t.name}"
-        val dups = batch.where(nn).groupBy(cs.map(col): _*)
-          .agg(count(lit(1)).as("_n")).where(col("_n") > 1)
-          .select(lit(msg).as("_err"))
+        // literal VALUES batches settle within-batch duplicates on the
+        // driver (same discipline as the pk probe in insertFrom —
+        // aggregate probes don't constant-fold); NULL keys never
+        // collide, per UNIQUE semantics
+        val dups = literalBatchDup(batch, cs, skipNulls = true) match {
+          case Some(true) => throw new IllegalArgumentException(msg)
+          case Some(false) => Nil
+          case None => Seq(batch.where(nn).groupBy(cs.map(col): _*)
+            .agg(count(lit(1)).as("_n")).where(col("_n") > 1)
+            .select(lit(msg).as("_err")))
+        }
         val clash = batch.where(nn)
           .join(survivors.where(nn).select(cs.map(col): _*), cs, "left_semi")
           .select(lit(msg).as("_err"))
-        Seq(dups, clash)
+        dups :+ clash
       case _ => Nil
     }
 
@@ -3037,6 +3063,54 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       rows.where(!c).select(lit(
         s"new row violates row-level security policy for $table").as("_err")))
 
+  /** Decide driver-side every guard probe Catalyst constant-folds to a
+    * LocalRelation, returning only the probes that still need a job.
+    * For a literal VALUES batch the row-local guards — NOT NULL,
+    * CHECK, RLS WITH CHECK — are Filter+Project chains over the
+    * batch's LocalRelation, and ConvertToLocalRelation evaluates them
+    * entirely at optimization time: a folded non-empty probe IS the
+    * violation (raised here, before any staging I/O or Spark job — a
+    * doomed literal statement costs zero jobs), a folded empty probe
+    * is proof the guard holds and drops from the union. Only called
+    * when the batch itself is literal, so state-reading probes never
+    * pay a standalone optimizer pass just to learn they don't fold. */
+  private def dropFoldedProbes(probes: Seq[DataFrame]): Seq[DataFrame] =
+    probes.filter { p =>
+      p.queryExecution.optimizedPlan match {
+        case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          if (lr.data.nonEmpty)
+            throw new IllegalArgumentException(lr.data.head.getString(0))
+          false
+        case _ => true
+      }
+    }
+
+  /** Some(true/false) = the (literal LocalRelation) batch does/doesn't
+    * carry two rows sharing values in `cols`, decided driver-side with
+    * no job; None = the batch isn't literal — use the distributed
+    * aggregate probe. `skipNulls` gives UNIQUE-constraint semantics
+    * (rows with any NULL key never collide); primary keys keep
+    * null-equals-null so two NULL pks still raise, matching the
+    * groupBy probe they replace. */
+  private def literalBatchDup(df: DataFrame, cols: Seq[String],
+      skipNulls: Boolean): Option[Boolean] =
+    df.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        val idx = cols.map(c => lr.output.indexWhere(_.name == c))
+        if (idx.exists(_ < 0)) None
+        else {
+          val dts = idx.map(lr.output(_).dataType)
+          val seen = scala.collection.mutable.HashSet.empty[Seq[Any]]
+          Some(lr.data.exists { r =>
+            val anyNull = idx.exists(r.isNullAt)
+            if (anyNull && skipNulls) false
+            else !seen.add(idx.indices.map(i =>
+              if (r.isNullAt(idx(i))) null else r.get(idx(i), dts(i))))
+          })
+        }
+      case _ => None
+    }
+
   /** Union the guard probes into ONE job and raise on the first hit. */
   private def raiseFirstViolation(probes: Seq[DataFrame]): Unit =
     if (probes.nonEmpty) {
@@ -3252,11 +3326,21 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       else stateAt(table, None)
     val pkProbes = if (!enforcePkUniqueness) Nil else {
       val pk = t.pk
-      Seq(
-        full.groupBy(col(pk)).agg(count(lit(1)).as("_n")).where(col("_n") > 1)
-          .select(lit(s"duplicate primary key within INSERT batch on $table").as("_err")),
+      val dupMsg = s"duplicate primary key within INSERT batch on $table"
+      // a literal VALUES batch settles its within-batch duplicates on
+      // the driver (aggregates don't constant-fold, so the groupBy
+      // probe would otherwise be the one job a doomed literal INSERT
+      // still pays); the state-collision semi-join always needs its job
+      val batchDup = literalBatchDup(full, Seq(pk), skipNulls = false) match {
+        case Some(true) => throw new IllegalArgumentException(dupMsg)
+        case Some(false) => Nil
+        case None => Seq(
+          full.groupBy(col(pk)).agg(count(lit(1)).as("_n")).where(col("_n") > 1)
+            .select(lit(dupMsg).as("_err")))
+      }
+      batchDup :+
         full.join(state.select(col(pk)), Seq(pk), "left_semi")
-          .select(lit(s"primary key already exists in $table").as("_err")))
+          .select(lit(s"primary key already exists in $table").as("_err"))
     }
     val (n, last) = append(t, full, EventLog.INSERT, prePinned = true,
       pkChecked = enforcePkUniqueness,
@@ -3738,12 +3822,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // materialized copy would be pure waste
     val (withSeq, n) = EventLog.assignSequencesCounted(
       if (prePinned) physical else pinCheckpoint(physical), base)
-    val ev = withSeq.select(
+    val ev0 = withSeq.select(
       col("sequence"),
       timestamp_seconds(lit(EventLog.ClockEpoch) + col("sequence")).as("ts"),
       lit(EventLog.INSERT).as("event_type"),
       col(t.pkPhysical).cast("string").as("pk"),
       struct(t.columns.map(c => col(c.physical)): _*).as("payload"))
+    // same small-batch single-file discipline as append()
+    val ev = if (n <= EventLog.SmallBatchRows) ev0.coalesce(1) else ev0
     (ev, base + n)
   }
 

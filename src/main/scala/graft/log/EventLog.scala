@@ -96,6 +96,13 @@ object EventLog {
         (assignWithOffsets(batch, base, counts), counts.sum)
     }
 
+  /** Batches at or under this row count publish as a single staged
+    * parquet file (one write task, one rename, one file for every
+    * later log scan to open) instead of one near-empty part-file per
+    * pinned partition. Well under a single task's comfortable write
+    * volume; larger batches keep the parallel multi-file write. */
+  val SmallBatchRows = 100000L
+
   /** One job: per-partition row counts (the offsets zipWithIndex would
     * compute internally, surfaced so the total is free). */
   def partitionCounts(batch: DataFrame): Array[Long] =
