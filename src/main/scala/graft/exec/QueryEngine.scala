@@ -146,6 +146,34 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     p
   }
 
+  /** Pin a batch AND capture its per-partition row counts in ONE job:
+    * the persisted blocks materialize under the same pass that computes
+    * the counts sequence assignment needs anyway, replacing the
+    * localCheckpoint-then-count pair (two jobs) every DML statement
+    * used to pay. Row-preserving narrow projections over the pin
+    * (physical casts, event shaping, SET-clause application) keep the
+    * partition layout, so the counts stay valid for
+    * EventLog.assignWithOffsets downstream. The blocks go through the
+    * same pinRegistry release path as pinCheckpoint's. */
+  private def pinCheckpointCounted(df: DataFrame): (DataFrame, Array[Long]) = {
+    pinRegistry.removeIf(_.get() == null)
+    val (pinned, counts, rdd) = org.apache.spark.sql.GraftBridge.pinCounted(df)
+    pinRegistry.add(new java.lang.ref.WeakReference(rdd))
+    (pinned, counts)
+  }
+
+  /** pinCheckpointCounted unless the plan is already a LocalRelation
+    * (literal VALUES): literal batches stay driver-resident with no
+    * pin job at all, and sequencing takes its job-free LocalRelation
+    * path (counts None). */
+  private def pinUnlessLiteralCounted(df: DataFrame): (DataFrame, Option[Array[Long]]) =
+    df.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => (df, None)
+      case _ =>
+        val (p, c) = pinCheckpointCounted(df)
+        (p, Some(c))
+    }
+
   private def freeStatementPins(): Unit = {
     var ref = pinRegistry.poll()
     while (ref != null) {
@@ -536,8 +564,16 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       val lines = new StringBuilder
       batches.zipWithIndex.foreach { case ((table, ev), i) =>
         val dir = new Path(stagingRoot, s"batch-$i")
+        // staging-only committer trims: direct task-commit renames (v2)
+        // and no _SUCCESS marker — the manifest is this protocol's
+        // commit record, and the files are listed right below, so the
+        // extra rename pass and marker write buy nothing here.
+        // Snapshots keep the default committer: their _SUCCESS IS the
+        // version-dir completeness marker.
         encrypted(ev.write)
           .options(catalog.get(table).map(bloomOptions).getOrElse(Map.empty))
+          .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+          .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
           .parquet(dir.toString)
         for (f <- fs.listStatus(dir) if f.getPath.getName.startsWith("part-"))
           lines.append(s"file\tbatch-$i/${f.getPath.getName}\t${enc(table)}\n")
@@ -1957,7 +1993,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       prePinned: Boolean = false,
       pkChecked: Boolean = false,
       uniqueCertified: Boolean = false,
-      probes: Seq[DataFrame] = Nil): (Long, Long) = {
+      probes: () => Seq[DataFrame] = QueryEngine.NoProbes,
+      pinnedCounts: Option[Array[Long]] = None): (Long, Long) = {
     if (t.attached.isDefined)
       throw new UnsupportedOperationException(
         s"table ${t.name} is an attached read-only event log")
@@ -1974,18 +2011,25 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // joins the probe task before anything becomes visible). Halves a
     // DML statement's critical path: probe jobs and staging I/O were
     // the two serial halves of its fixed floor.
-    // a literal batch decides its row-local probes driver-side first
-    // (dropFoldedProbes): a doomed literal statement raises HERE, with
-    // zero jobs and no staging dir ever created
-    val effProbes =
-      if (probes.isEmpty || !physical.queryExecution.optimizedPlan
-          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
-        probes
-      else dropFoldedProbes(probes)
+    // `probes` is a THUNK: for the direct-publish path its evaluation
+    // — which itself plans state reads and may run an inline-key
+    // collect job — moves onto the probe pool, overlapping probe
+    // CONSTRUCTION with the staging write alongside probe execution.
+    // A literal batch instead evaluates it here and decides its
+    // row-local probes driver-side first (dropFoldedProbes): a doomed
+    // literal statement raises HERE, with zero jobs and no staging dir
+    // ever created.
     val awaitProbes: () => Unit =
-      if (effProbes.isEmpty) () => ()
-      else if (viaTxn.isDefined) { raiseFirstViolation(effProbes); () => () }
-      else backgroundViolationCheck(effProbes)
+      if (probes eq QueryEngine.NoProbes) () => ()
+      else if (physical.queryExecution.optimizedPlan
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]) {
+        val remaining = dropFoldedProbes(probes())
+        if (remaining.isEmpty) () => ()
+        else if (viaTxn.isDefined) { raiseFirstViolation(remaining); () => () }
+        else backgroundViolationCheck(() => remaining)
+      }
+      else if (viaTxn.isDefined) { raiseFirstViolation(probes()); () => () }
+      else backgroundViolationCheck(probes)
     // inside a transaction, sequences continue from the buffered tail
     val base = viaTxn.flatMap(_.seqs.get(t.name)).getOrElse(catalog.lastSeq(t.name))
     // pin the batch before sequencing: assignSequencesCounted computes
@@ -1996,7 +2040,12 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // PK/FK probe jobs read blocks instead of re-executing the source)
     // skips the second materialization.
     val pinned = if (prePinned) physical else pinUnlessLiteral(physical)
-    val (withSeq, n) = EventLog.assignSequencesCounted(pinned, base)
+    // a caller that pinned through pinCheckpointCounted already knows
+    // the layout: sequence assignment is job-free
+    val (withSeq, n) = pinnedCounts match {
+      case Some(cs) => (EventLog.assignWithOffsets(pinned, base, cs), cs.sum)
+      case None => EventLog.assignSequencesCounted(pinned, base)
+    }
     // the flat-log certificate survives this batch only when it is an
     // INSERT whose pk uniqueness was actually established — by the
     // guard probes (insertFrom) or by the caller's construction
@@ -3125,7 +3174,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * thread — [[append]] overlaps the probes with the sequence-count
     * job and the staging write this way, joining at the
     * manifest-rename commit point. */
-  private def backgroundViolationCheck(probes: Seq[DataFrame]): () => Unit = {
+  private def backgroundViolationCheck(probes: () => Seq[DataFrame]): () => Unit = {
     val sc = spark.sparkContext
     val group = sc.getLocalProperty("spark.jobGroup.id")
     val desc = sc.getLocalProperty("spark.job.description")
@@ -3133,7 +3182,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     val task = new java.util.concurrent.FutureTask[Unit](() => {
       if (group != null)
         sc.setJobGroup(group, if (desc == null) "" else desc, interrupt == "true")
-      try raiseFirstViolation(probes)
+      try raiseFirstViolation(probes())
       finally if (group != null) sc.clearJobGroup()
     })
     QueryEngine.probePool.execute(task)
@@ -3279,7 +3328,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // the source lineage per action (an INSERT ... SELECT would
     // otherwise run three times), and a trigger body writing this same
     // table cannot mutate what the pinned batch reads
-    val full = catalog.autoIncSequenceFor(table)
+    val (full, fullCounts) = catalog.autoIncSequenceFor(table)
       .filterNot { case (_, c) => target.contains(c) } match {
       case Some((seqName, idCol)) =>
         // omitted AUTO_INCREMENT column: pin the source, size the block
@@ -3287,22 +3336,24 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         // executors assign the ids distributed (the reference draws
         // per row under a lock — sequences.rs:108-142; a block
         // reservation is the 100 TB shape)
-        val pinned = pinUnlessLiteral(positioned)
-        val counts = EventLog.partitionCounts(pinned)
+        val (pinned, cnts) = pinUnlessLiteralCounted(positioned)
+        val counts = cnts.getOrElse(EventLog.partitionCounts(pinned))
         val n = counts.sum
         val first = if (n > 0) catalog.reserveSequenceBlock(seqName, n) else 1L
         val withId = EventLog.assignWithOffsets(pinned, first - 1, counts, "_auto_id")
-        withId.select(t.columns.map(c =>
+        (withId.select(t.columns.map(c =>
           if (c.logical == idCol) col("_auto_id").cast(c.dataType).as(c.logical)
           else if (target.contains(c.logical))
             col(c.logical).cast(c.dataType).as(c.logical)
           else expr(defaults.getOrElse(c.logical, "NULL"))
-            .cast(c.dataType).as(c.logical)): _*)
+            .cast(c.dataType).as(c.logical)): _*), cnts)
       case None =>
-        pinUnlessLiteral(positioned.select(t.columns.map(c =>
-          if (target.contains(c.logical)) col(c.logical).cast(c.dataType).as(c.logical)
-          else expr(defaults.getOrElse(c.logical, "NULL"))
-            .cast(c.dataType).as(c.logical)): _*))
+        val (pinned, cnts) = pinUnlessLiteralCounted(
+          positioned.select(t.columns.map(c =>
+            if (target.contains(c.logical)) col(c.logical).cast(c.dataType).as(c.logical)
+            else expr(defaults.getOrElse(c.logical, "NULL"))
+              .cast(c.dataType).as(c.logical)): _*))
+        (pinned, cnts)
     }
     fireTriggers(table, "INSERT", "BEFORE", None, Some(full))
     // every declarative guard in ONE Spark job: pk batch-duplicates, pk
@@ -3324,7 +3375,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           org.apache.spark.sql.types.StructType(t.columns.map(c =>
             org.apache.spark.sql.types.StructField(c.logical, c.dataType))))
       else stateAt(table, None)
-    val pkProbes = if (!enforcePkUniqueness) Nil else {
+    def pkProbes = if (!enforcePkUniqueness) Nil else {
       val pk = t.pk
       val dupMsg = s"duplicate primary key within INSERT batch on $table"
       // a literal VALUES batch settles its within-batch duplicates on
@@ -3344,10 +3395,11 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     }
     val (n, last) = append(t, full, EventLog.INSERT, prePinned = true,
       pkChecked = enforcePkUniqueness,
-      probes = pkProbes ++
+      probes = () => pkProbes ++
         constraintViolations(t, full, state, None) ++
         rlsCheckProbes(table, full, "INSERT") ++
-        fkOutgoingProbes(t, full))
+        fkOutgoingProbes(t, full),
+      pinnedCounts = fullCounts)
     fireTriggers(table, "INSERT", "AFTER", None, Some(full))
     summary("insert", n, last)
   }
@@ -3379,12 +3431,12 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       // pin the matched batch first: the tombstone append below mutates
       // the very log this lineage reads, so the second (INSERT) append
       // must work from a materialized copy, not a log re-scan
-      val matching = pinCheckpoint(matching0)
+      val (matching, mCounts) = pinCheckpointCounted(matching0)
       val updated = applyAssigns(matching)
       fireTriggers(table, "UPDATE", "BEFORE", Some(matching), Some(updated))
       val touched = assigns.map(_._1).toSet
-      val survivors = state.join(matching.select(col(t.pk)), Seq(t.pk), "left_anti")
-      val pkProbes = if (!enforcePkUniqueness) Nil else {
+      def survivors = state.join(matching.select(col(t.pk)), Seq(t.pk), "left_anti")
+      def pkProbes = if (!enforcePkUniqueness) Nil else {
         // PG duplicate-key semantics (sql_bridge.rs:5473-5668): a new pk
         // may not collide with any row that survives this statement
         val pk = t.pk
@@ -3395,12 +3447,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             .select(lit(s"primary key already exists in $table").as("_err")))
       }
       val (nd, _) = append(t, matching, EventLog.SOFT_DELETE, prePinned = true,
-        probes = pkProbes ++
+        probes = () => pkProbes ++
           constraintViolations(t, updated, survivors, Some(touched)) ++
           rlsCheckProbes(table, updated, "UPDATE") ++
           fkChangedProbes(t, assigns, updated) ++
-          fkIncomingOnUpdateProbes(t, assigns, state, matching, updated))
-      val (_, last) = append(t, updated, EventLog.INSERT, prePinned = true)
+          fkIncomingOnUpdateProbes(t, assigns, state, matching, updated),
+        pinnedCounts = Some(mCounts))
+      val (_, last) = append(t, updated, EventLog.INSERT, prePinned = true,
+        pinnedCounts = Some(mCounts))
       fireTriggers(table, "UPDATE", "AFTER", Some(matching), Some(updated))
       summary("update", nd, last)
     } else {
@@ -3408,16 +3462,17 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       // read blocks instead of replaying the state collapse per action,
       // and a trigger body writing this table cannot change what the
       // batch lineage re-reads
-      val matching = pinCheckpoint(matching0)
+      val (matching, mCounts) = pinCheckpointCounted(matching0)
       val updated = applyAssigns(matching)
       fireTriggers(table, "UPDATE", "BEFORE", Some(matching), Some(updated))
       val (n, last) = append(t, updated, EventLog.PATCH, prePinned = true,
-        probes = constraintViolations(t, updated,
+        probes = () => constraintViolations(t, updated,
           state.join(matching.select(col(t.pk)), Seq(t.pk), "left_anti"),
           Some(assigns.map(_._1).toSet)) ++
           rlsCheckProbes(table, updated, "UPDATE") ++
           fkChangedProbes(t, assigns, updated) ++
-          fkIncomingOnUpdateProbes(t, assigns, state, matching, updated))
+          fkIncomingOnUpdateProbes(t, assigns, state, matching, updated),
+        pinnedCounts = Some(mCounts))
       fireTriggers(table, "UPDATE", "AFTER", Some(matching), Some(updated))
       summary("update", n, last)
     }
@@ -3487,10 +3542,11 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // read blocks instead of replaying state collapse per action, and a
     // trigger body writing this table cannot change what the lazy
     // lineage re-reads
-    val matching = pinCheckpoint(matching0)
+    val (matching, mCounts) = pinCheckpointCounted(matching0)
     fireTriggers(table, "DELETE", "BEFORE", Some(matching), None)
     val (n, last) = append(t, matching, EventLog.SOFT_DELETE, prePinned = true,
-      probes = fkIncomingProbes(t, matching))
+      probes = () => fkIncomingProbes(t, matching),
+      pinnedCounts = Some(mCounts))
     fireTriggers(table, "DELETE", "AFTER", Some(matching), None)
     summary("delete", n, last)
   }
@@ -3760,11 +3816,12 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       if (raw.columns.contains(c.logical)) col(c.logical).cast(c.dataType).as(c.logical)
       else expr(defaults.getOrElse(c.logical, "NULL"))
         .cast(c.dataType).as(c.logical)): _*)
-    val full = pinCheckpoint(full0)
+    val (full, fCounts) = pinCheckpointCounted(full0)
     fireTriggers(table, "INSERT", "BEFORE", None, Some(full))
     val (n, last) = append(t, full, EventLog.INSERT, prePinned = true,
-      probes = constraintViolations(t, full, stateAt(table, None), None) ++
-        fkOutgoingProbes(t, full) ++ rlsCheckProbes(table, full, "INSERT"))
+      probes = () => constraintViolations(t, full, stateAt(table, None), None) ++
+        fkOutgoingProbes(t, full) ++ rlsCheckProbes(table, full, "INSERT"),
+      pinnedCounts = Some(fCounts))
     fireTriggers(table, "INSERT", "AFTER", None, Some(full))
     summary("ingest", n, last)
   }
@@ -4585,6 +4642,10 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
 }
 
 object QueryEngine {
+  /** Sentinel for "no guard probes" — lets append skip the probe-pool
+    * handoff entirely for probe-free paths (COPY, stream ingest). */
+  private[exec] val NoProbes: () => Seq[org.apache.spark.sql.DataFrame] = () => Nil
+
   /** Engine over a fresh scratch dir (tests, per-query fixtures).
     * Inside a scratchScope, the engine is registered for teardown when
     * the scope ends. */
