@@ -54,6 +54,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 final class QueryEngine(val spark: SparkSession, val baseDir: String) {
 
+  /** Per-statement span recorder — SET TRACE ON|OFF, SHOW TRACES,
+    * SHOW TRACE <id> (observability.rs:1-10,323). Off by default; off
+    * costs one volatile read per potential span. Declared FIRST: the
+    * constructor's crash-recovery sweep runs instrumented code. */
+  val tracer = new Tracer
+
   val catalog = new TableCatalog(spark, baseDir)
 
   /** Identity for the base-dir write lock (BaseDirLock). */
@@ -155,12 +161,13 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * partition layout, so the counts stay valid for
     * EventLog.assignWithOffsets downstream. The blocks go through the
     * same pinRegistry release path as pinCheckpoint's. */
-  private def pinCheckpointCounted(df: DataFrame): (DataFrame, Array[Long]) = {
-    pinRegistry.removeIf(_.get() == null)
-    val (pinned, counts, rdd) = org.apache.spark.sql.GraftBridge.pinCounted(df)
-    pinRegistry.add(new java.lang.ref.WeakReference(rdd))
-    (pinned, counts)
-  }
+  private def pinCheckpointCounted(df: DataFrame): (DataFrame, Array[Long]) =
+    tracer.span("pin-batch") {
+      pinRegistry.removeIf(_.get() == null)
+      val (pinned, counts, rdd) = org.apache.spark.sql.GraftBridge.pinCounted(df)
+      pinRegistry.add(new java.lang.ref.WeakReference(rdd))
+      (pinned, counts)
+    }
 
   /** pinCheckpointCounted unless the plan is already a LocalRelation
     * (literal VALUES): literal batches stay driver-resident with no
@@ -570,11 +577,13 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         // extra rename pass and marker write buy nothing here.
         // Snapshots keep the default committer: their _SUCCESS IS the
         // version-dir completeness marker.
-        encrypted(ev.write)
-          .options(catalog.get(table).map(bloomOptions).getOrElse(Map.empty))
-          .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
-          .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
-          .parquet(dir.toString)
+        tracer.span("stage-write", table) {
+          encrypted(ev.write)
+            .options(catalog.get(table).map(bloomOptions).getOrElse(Map.empty))
+            .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+            .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+            .parquet(dir.toString)
+        }
         for (f <- fs.listStatus(dir) if f.getPath.getName.startsWith("part-"))
           lines.append(s"file\tbatch-$i/${f.getPath.getName}\t${enc(table)}\n")
       }
@@ -588,7 +597,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       val out = fs.create(tmp, true)
       try out.write(lines.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      validate() // join the concurrent guard probes — abort pre-commit
+      // join the concurrent guard probes — abort pre-commit
+      tracer.span("probe-join")(validate())
       commitFence() // HA epoch check — abort while still pre-commit
       testFailBeforeManifestRename()
       if (!fs.rename(tmp, new Path(stagingRoot, "manifest")))
@@ -605,18 +615,20 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // its WAL without a restart the same way — wal.rs). A fault that
     // persists through the retry surfaces as CommitIncomplete and the
     // next statement's healing sweep (or the reopen sweep) finishes it.
-    try completePublish(stagingRoot, hooked = true)
-    catch {
-      case _: Throwable =>
-        try completePublish(stagingRoot, hooked = true)
-        catch {
-          case e: Throwable =>
-            publishIncomplete = true
-            throw new CommitIncompleteException(
-              s"commit is durable but its publish did not finish; it " +
-                s"completes on the next statement or engine open " +
-                s"(staging: $stagingRoot): ${e.getMessage}", e)
-        }
+    tracer.span("publish") {
+      try completePublish(stagingRoot, hooked = true)
+      catch {
+        case _: Throwable =>
+          try completePublish(stagingRoot, hooked = true)
+          catch {
+            case e: Throwable =>
+              publishIncomplete = true
+              throw new CommitIncompleteException(
+                s"commit is durable but its publish did not finish; it " +
+                  s"completes on the next statement or engine open " +
+                  s"(staging: $stagingRoot): ${e.getMessage}", e)
+          }
+      }
     }
   }
 
@@ -764,6 +776,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         _: Statement.SetCache | Statement.ShowCache | Statement.ClearCache |
         Statement.ShowMigrations | _: Statement.SetStatementTimeout |
         Statement.ShowMetrics | _: Statement.SetSlowLog | Statement.ShowPerf |
+        _: Statement.SetTrace | Statement.ShowTraces | _: Statement.ShowTrace |
         _: Statement.ShowStats | _: Statement.ShowHistogram |
         _: Statement.SetSecurityMonitor | _: Statement.SetSecurityAutoblock |
         Statement.ShowSecurityThreats | Statement.ShowSecurityStats |
@@ -844,7 +857,13 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       s.rlTokens -= 1.0
     }
 
-  private def sqlCurrent(statement: String): DataFrame = {
+  /** Statement body runs as a trace span when tracing is on; the
+    * reentrant dispatch makes trigger/procedure statements children
+    * of the statement that fired them. */
+  private def sqlCurrent(statement: String): DataFrame =
+    tracer.statement(statement)(sqlCurrentInner(statement))
+
+  private def sqlCurrentInner(statement: String): DataFrame = {
     checkRateLimit(current)
     // heal a stranded post-commit-point publish before the statement
     // reads or writes anything: the sweep is idempotent, we hold the
@@ -854,7 +873,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       sweepStaging()
       publishIncomplete = false
     }
-    val parsed = StatementRouter.parse(statement)
+    val parsed = tracer.span("parse")(StatementRouter.parse(statement))
     if (isMutating(parsed)) ensureWriteLock()
     def run(): DataFrame = parsed match {
     case Statement.Begin => begin()
@@ -1546,6 +1565,26 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Statement.ShowPerf =>
       requirePerm("SHOW PERF", "VIEW_METRICS")
       showPerf()
+    case Statement.SetTrace(on) =>
+      tracer.enabled = on
+      if (!on) tracer.clear()
+      summary(if (on) "trace_enabled" else "trace_disabled", 0L, 0L)
+    case Statement.ShowTraces =>
+      requirePerm("SHOW TRACES", "VIEW_METRICS")
+      import spark.implicits._
+      tracer.traces.map(t => (t.traceId, t.statement, t.totalMs,
+        t.spans.size.toLong))
+        .toDF("trace_id", "statement", "total_ms", "spans")
+    case Statement.ShowTrace(id) =>
+      requirePerm("SHOW TRACE", "VIEW_METRICS")
+      import spark.implicits._
+      val tr = tracer.spansOf(id).getOrElse(throw new IllegalArgumentException(
+        s"no trace $id (SHOW TRACES lists recorded ids; tracing keeps " +
+          "the newest 64)"))
+      tr.spans.map(s => (s.traceId, s.spanId, s.parentId, s.name,
+        s.detail, s.startMs, s.durMs, s.ok))
+        .toDF("trace_id", "span_id", "parent_span_id", "name", "detail",
+          "start_ms", "dur_ms", "ok")
     case Statement.SetRateLimit(qps, burst) =>
       // a protection control, like SET AUDIT: active regardless of the
       // privilege gate, so only superusers may move it
@@ -1889,6 +1928,13 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   private var dmlReadScope = false
 
   private[graft] def stateAt(table: String, asOf: Option[Long],
+      dmlRead: Boolean): DataFrame =
+    // plan construction only (the read itself is lazy) — a span here
+    // shows which statements replan state and which hit the fast paths
+    tracer.span("state-plan", asOf.fold(table)(a => s"$table@$a"))(
+      stateAtInner(table, asOf, dmlRead))
+
+  private def stateAtInner(table: String, asOf: Option[Long],
       dmlRead: Boolean): DataFrame = {
     val t = catalog.require(table)
     // below the retention floor the events are physically gone
@@ -3581,7 +3627,10 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * on the very next SNAPSHOT (or auto-snapshot). Tail-based collapse
     * is also the 100 TB shape — checkpoint cost is proportional to
     * events since the last snapshot, not to full history. */
-  def snapshot(table: String, atSeq: Option[Long] = None): DataFrame = {
+  def snapshot(table: String, atSeq: Option[Long] = None): DataFrame =
+    tracer.span("snapshot", table)(snapshotInner(table, atSeq))
+
+  private def snapshotInner(table: String, atSeq: Option[Long]): DataFrame = {
     if (txn.isDefined)
       throw new IllegalStateException(
         "SNAPSHOT cannot run inside a transaction: the checkpoint would " +

@@ -323,6 +323,28 @@ final class HttpAdmin(engine: QueryEngine, port: Int = 0,
         s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}\n""")
     })
 
+  // /traces — recorded statement traces (SET TRACE ON to record;
+  // observability.rs:1-10 exposes span-instrumented operations the
+  // same way). Driver memory only — the ring holds the newest 64
+  // completed traces; no Spark job runs here.
+  server.createContext("/traces", ex =>
+    try {
+      val json = engine.tracer.traces.map { t =>
+        val spans = t.spans.map(s =>
+          s"""{"span_id": ${s.spanId}, "parent_span_id": ${s.parentId}, """ +
+            s""""name": ${jsonStr(s.name)}, "detail": ${jsonStr(s.detail)}, """ +
+            f""""start_ms": ${s.startMs}%.3f, "dur_ms": ${s.durMs}%.3f, """ +
+            s""""ok": ${s.ok}}""").mkString("[", ", ", "]")
+        s"""{"trace_id": ${t.traceId}, "statement": ${jsonStr(t.statement)}, """ +
+          f""""total_ms": ${t.totalMs}%.3f, "spans": $spans}"""
+      }.mkString("[", ", ", "]")
+      respond(ex, 200, "application/json",
+        s"""{"enabled": ${engine.tracer.enabled}, "traces": $json}""" + "\n")
+    } catch { case e: Exception =>
+      respond(ex, 500, "application/json",
+        s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}\n""")
+    })
+
   // ------------------------------------------------------ /status page
 
   private def htmlEsc(s: String): String = s.flatMap {

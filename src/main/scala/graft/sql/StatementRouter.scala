@@ -262,6 +262,16 @@ object Statement {
     * Deliberately SEPARATE from SHOW METRICS, which stays
     * deterministic for the correctness oracle. */
   case object ShowPerf extends Statement
+  /** SET TRACE ON|OFF — per-statement span recording (observability
+    * .rs:1-10,323: the reference instruments operations with tracing
+    * spans; graft records them per statement into a bounded ring). */
+  final case class SetTrace(on: Boolean) extends Statement
+  /** SHOW TRACES — newest-first summaries of recorded statement
+    * traces (trace_id, statement, total ms, span count). Wall-clock,
+    * so unit-tested only — the SHOW PERF boundary. */
+  case object ShowTraces extends Statement
+  /** SHOW TRACE <id> — the span tree of one recorded trace. */
+  final case class ShowTrace(traceId: Long) extends Statement
   /** SET ENCRYPTION KEY '<base64>' — register the AES master key and
     * encrypt every subsequent event-log/snapshot/matview parquet write
     * (parquet modular encryption; encryption.rs:1-1095). SET
@@ -450,6 +460,9 @@ object StatementRouter {
   private val SetRateLimitR =
     """(?is)^SET\s+RATE_LIMIT\s+(?:(OFF)|(\d+(?:\.\d+)?)(?:\s+BURST\s+(\d+))?)\s*$""".r
   private val ShowPerfR = """(?is)^SHOW\s+PERF\s*$""".r
+  private val SetTraceR = """(?is)^SET\s+TRACE\s+(ON|OFF)\s*$""".r
+  private val ShowTracesR = """(?is)^SHOW\s+TRACES\s*$""".r
+  private val ShowTraceR = """(?is)^SHOW\s+TRACE\s+(\d+)\s*$""".r
   private val SetEncryptionKeyR =
     """(?is)^SET\s+ENCRYPTION\s+KEY\s+'([^']+)'\s*$""".r
   private val SetEncryptionOffR = """(?is)^SET\s+ENCRYPTION\s+OFF\s*$""".r
@@ -567,6 +580,9 @@ object StatementRouter {
         if (off != null) SetRateLimit(None, None)
         else SetRateLimit(Some(qps.toDouble), Option(burst).map(_.toLong))
       case ShowPerfR() => ShowPerf
+      case SetTraceR(on) => SetTrace(on.equalsIgnoreCase("ON"))
+      case ShowTracesR() => ShowTraces
+      case ShowTraceR(id) => ShowTrace(id.toLong)
       case SetEncryptionKeyR(k) => SetEncryptionKey(k)
       case SetEncryptionOffR() => SetEncryptionOff
       case SetSecurityMonitorR(on) =>

@@ -1,0 +1,118 @@
+package graft.exec
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-statement span tracing (observability.rs:1-10,323): SET TRACE
+  * ON records a span tree per statement into a bounded ring; SHOW
+  * TRACES / SHOW TRACE <id> read it back. Wall-clock durations are
+  * nondeterministic, so assertions cover structure — names,
+  * parentage, nesting, ring bounds — never times.
+  */
+class TracingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def spansOf(e: QueryEngine, id: Long): Seq[(Long, Long, String, String, Boolean)] =
+    e.sql(s"SHOW TRACE $id").collect().toSeq.map(r =>
+      (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4),
+        r.getBoolean(7)))
+
+  test("OFF by default: statements record nothing") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY)")
+    e.sql("INSERT INTO t VALUES (1)")
+    assert(e.sql("SHOW TRACES").collect().isEmpty)
+  }
+
+  test("a traced INSERT records statement/parse/stage/probe/publish spans") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, v STRING NOT NULL)")
+    e.sql("SET TRACE ON")
+    e.sql("INSERT INTO t VALUES (3, 'c')")
+    // newest-first; the running SHOW TRACES statement itself has not
+    // completed, so the INSERT is the newest completed trace
+    val traces = e.sql("SHOW TRACES").collect()
+    assert(traces.nonEmpty)
+    val insert = traces.head
+    assert(insert.getString(1).startsWith("INSERT INTO t VALUES (3"))
+    val spans = spansOf(e, insert.getLong(0))
+    val names = spans.map(_._3)
+    assert(names.head == "statement")
+    assert(names.contains("parse"))
+    assert(names.contains("stage-write"))
+    assert(names.contains("probe-join"))
+    assert(names.contains("publish"))
+    // the root has parent -1; every other span's parent exists
+    val ids = spans.map(_._1).toSet
+    assert(spans.head._2 == -1L)
+    assert(spans.tail.forall(s => ids.contains(s._2)))
+    assert(spans.forall(_._5), "all spans of a successful statement are ok")
+  }
+
+  test("trigger body statements nest under the firing statement") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE src (k BIGINT PRIMARY KEY)")
+    e.sql("CREATE TABLE aud (k BIGINT PRIMARY KEY)")
+    e.sql("""CREATE TRIGGER cp AFTER INSERT ON src EXECUTE
+            |INSERT INTO aud SELECT k FROM new_rows""".stripMargin)
+    e.sql("SET TRACE ON")
+    e.sql("INSERT INTO src VALUES (7)")
+    val traces = e.sql("SHOW TRACES").collect()
+    val top = traces.head
+    assert(top.getString(1).startsWith("INSERT INTO src"))
+    val spans = spansOf(e, top.getLong(0))
+    // exactly one trace holds BOTH statements: the trigger body is a
+    // child "statement" span inside the firing INSERT's trace
+    val stmts = spans.filter(_._3 == "statement")
+    assert(stmts.size == 2, s"expected nested statement span, got $spans")
+    assert(stmts.exists(s => s._4.contains("INSERT INTO aud") && s._2 != -1L))
+    assert(!traces.exists(r => r.getString(1).contains("INSERT INTO aud")),
+      "trigger body must not surface as its own top-level trace")
+  }
+
+  test("a failing statement's spans are recorded with ok=false") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, v STRING NOT NULL)")
+    e.sql("SET TRACE ON")
+    intercept[Exception] { e.sql("INSERT INTO t VALUES (1, NULL)") }
+    val traces = e.sql("SHOW TRACES").collect()
+    assert(traces.nonEmpty)
+    val spans = spansOf(e, traces.head.getLong(0))
+    assert(spans.head._3 == "statement" && !spans.head._5,
+      "root span of a failed statement carries ok=false")
+  }
+
+  test("the ring is bounded at 64 newest traces; OFF clears it") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY)")
+    e.sql("SET TRACE ON")
+    for (i <- 1 to 70) e.sql(s"SELECT $i AS x")
+    val traces = e.sql("SHOW TRACES").collect()
+    assert(traces.length == 64)
+    // newest-first ordering
+    val ids = traces.map(_.getLong(0)).toSeq
+    assert(ids == ids.sorted.reverse)
+    e.sql("SET TRACE OFF")
+    assert(e.sql("SHOW TRACES").collect().isEmpty)
+    // unknown id raises a clear error
+    e.sql("SET TRACE ON")
+    val err = intercept[IllegalArgumentException] { e.sql("SHOW TRACE 999999") }
+    assert(err.getMessage.contains("no trace"))
+  }
+
+  test("SNAPSHOT records a snapshot span; SELECT records state-plan") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, v DOUBLE)")
+    e.sql("INSERT INTO t VALUES (1, 1.5), (2, 2.5)")
+    e.sql("SET TRACE ON")
+    e.sql("SNAPSHOT t")
+    e.sql("SELECT * FROM t").collect()
+    val traces = e.sql("SHOW TRACES").collect()
+    val snapTrace = traces.find(_.getString(1).startsWith("SNAPSHOT")).get
+    assert(spansOf(e, snapTrace.getLong(0)).exists(s =>
+      s._3 == "snapshot" && s._4 == "t"))
+    val selTrace = traces.find(_.getString(1).startsWith("SELECT")).get
+    assert(spansOf(e, selTrace.getLong(0)).exists(_._3 == "state-plan"))
+  }
+}

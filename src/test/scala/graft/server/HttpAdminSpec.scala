@@ -235,6 +235,28 @@ class HttpAdminSpec extends AnyFunSuite {
     }
   }
 
+  test("/traces serves recorded statement span trees as JSON") {
+    val e = QueryEngine.scratch(spark)
+    val srv = new HttpAdmin(e, 0).start()
+    try {
+      val (c0, off, ct) = get(srv.boundPort, "/traces")
+      assert(c0 === 200 && ct.startsWith("application/json"))
+      assert(off.contains("\"enabled\": false") &&
+        off.contains("\"traces\": []"), off)
+      e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY)")
+      e.sql("SET TRACE ON")
+      e.sql("INSERT INTO t VALUES (1)")
+      val (c1, body, _) = get(srv.boundPort, "/traces")
+      assert(c1 === 200, body)
+      assert(body.contains("\"enabled\": true"), body)
+      assert(body.contains("\"name\": \"statement\"") &&
+        body.contains("\"name\": \"publish\"") &&
+        body.contains("INSERT INTO t VALUES (1)"), body)
+    } finally {
+      srv.close(); e.close()
+    }
+  }
+
   test("/performance/connections without a wire server answers 404") {
     val e = QueryEngine.scratch(spark)
     val srv = new HttpAdmin(e, 0).start()
