@@ -169,13 +169,38 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       (pinned, counts)
     }
 
-  /** pinCheckpointCounted unless the plan is already a LocalRelation
-    * (literal VALUES): literal batches stay driver-resident with no
-    * pin job at all, and sequencing takes its job-free LocalRelation
-    * path (counts None). */
+  /** Row-count cap for collecting a BOUNDED batch source to a driver
+    * LocalRelation instead of checkpoint-pinning it. Conservative:
+    * covers the shapes that matter (a global aggregate proves 1 row, a
+    * small LIMIT proves its bound) while keeping worst-case driver
+    * memory trivial even for wide payload rows. */
+  private val LiteralizeMaxRows = 1024L
+
+  /** pinCheckpointCounted unless the batch is literal-scale:
+    *   - a LocalRelation (literal VALUES) passes through untouched;
+    *   - a plan whose OPTIMIZER-PROVEN row bound (`maxRows`: global
+    *     aggregate -> 1, small LIMIT -> n) is at or under
+    *     [[LiteralizeMaxRows]] collects to a driver LocalRelation.
+    * Either way the batch then rides the whole literal fast path —
+    * driver-side guard folding, job-free sequence assignment,
+    * single-file staging — replacing the pin job plus a per-partition
+    * staging write with ONE collect job and a one-task write. This is
+    * THE floor under trigger/procedure bodies of the
+    * `INSERT ... SELECT <aggregate>` shape (audit counters, MAX+1 id
+    * assignment), which pay it once per fired statement. Cost parity
+    * elsewhere: the collect runs the source exactly once, same as the
+    * pin job it replaces; order determinism matches the literal
+    * contract (one driver-resident row seq, collected once, feeding
+    * probes, sequencing and the write identically). */
   private def pinUnlessLiteralCounted(df: DataFrame): (DataFrame, Option[Array[Long]]) =
     df.queryExecution.optimizedPlan match {
       case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => (df, None)
+      case p if p.maxRows.exists(_ <= LiteralizeMaxRows) =>
+        tracer.span("collect-literal") {
+          val rows = df.collect()
+          (spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema),
+            None)
+        }
       case _ =>
         val (p, c) = pinCheckpointCounted(df)
         (p, Some(c))
