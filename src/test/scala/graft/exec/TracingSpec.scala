@@ -101,6 +101,35 @@ class TracingSpec extends AnyFunSuite {
     assert(err.getMessage.contains("no trace"))
   }
 
+  test("a bounded INSERT..SELECT aggregate takes the collect-literal path") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, v DOUBLE)")
+    e.sql("CREATE TABLE agg (aid BIGINT PRIMARY KEY, n BIGINT)")
+    e.sql("INSERT INTO t VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    e.sql("SET TRACE ON")
+    // global aggregate source: optimizer proves maxRows = 1, so the
+    // batch collects to a LocalRelation — a collect-literal span and
+    // NO pin-batch span
+    e.sql("""INSERT INTO agg
+            |SELECT (SELECT COALESCE(MAX(aid), 0) + 1 FROM agg), COUNT(*)
+            |FROM t""".stripMargin)
+    val tr = e.sql("SHOW TRACES").collect().head
+    val names = spansOf(e, tr.getLong(0)).map(_._3)
+    assert(names.contains("collect-literal"), names)
+    assert(!names.contains("pin-batch"), names)
+    // and the landed row is correct
+    assert(e.sql("SELECT aid, n FROM agg").collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1))) == Seq((1L, 3L)))
+    // an unbounded INSERT..SELECT keeps the pinned path
+    e.sql("CREATE TABLE t2 (k BIGINT PRIMARY KEY, v DOUBLE)")
+    e.sql("INSERT INTO t2 SELECT k, v FROM t")
+    val tr2 = e.sql("SHOW TRACES").collect()
+      .find(_.getString(1).startsWith("INSERT INTO t2")).get
+    val names2 = spansOf(e, tr2.getLong(0)).map(_._3)
+    assert(names2.contains("pin-batch") && !names2.contains("collect-literal"),
+      names2)
+  }
+
   test("SNAPSHOT records a snapshot span; SELECT records state-plan") {
     val e = QueryEngine.scratch(spark)
     e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, v DOUBLE)")
