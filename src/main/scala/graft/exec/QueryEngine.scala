@@ -1114,15 +1114,35 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             val touched = events(t)
               .where(col("sequence") > r && col("sequence") <= horizon)
               .select(col("pk")).distinct()
-            def restrict(state: DataFrame): DataFrame =
-              state.join(touched,
+            // a small touched set inlines TYPED pk values (from the
+            // event payload, not the canonical string pk) so the two
+            // state reads prune their scans by pushdown — the filter
+            // passes through the collapse window because pk is its
+            // partitioning column. Past the cap, the semi join stands:
+            // O(touched) keys at 100 TB can be millions of rows, which
+            // must never collect
+            val touchedTyped: Option[IndexedSeq[Any]] =
+              tracer.span("touched-keys") {
+                val ks = events(t)
+                  .where(col("sequence") > r && col("sequence") <= horizon)
+                  .select(col(s"payload.${t.pkPhysical}")).distinct()
+                  .limit(InlineKeyCap + 1).collect().map(_.get(0))
+                  .filter(_ != null).toIndexedSeq
+                if (ks.nonEmpty && ks.length <= InlineKeyCap) Some(ks) else None
+              }
+            def restrict(state: DataFrame): DataFrame = touchedTyped match {
+              case Some(ks) => state.where(col(t.pk).isin(ks: _*))
+              case None => state.join(touched,
                 col(t.pk).cast("string") === touched("pk"), "left_semi")
+            }
             val stored = spark.read.parquet(catalog.mviewDataPath(name, prev))
             val merged = IncrementalView.merge(stored,
               restrict(stateAt(baseT, Some(r))),
               restrict(stateAt(baseT, Some(horizon))), sh)
-            encrypted(merged.write).mode("overwrite")
-              .parquet(catalog.mviewDataPath(name, prev + 1))
+            tracer.span("mview-write") {
+              encrypted(merged.write).mode("overwrite")
+                .parquet(catalog.mviewDataPath(name, prev + 1))
+            }
             catalog.setMviewVersion(name, prev + 1)
             catalog.setMviewBase(name, baseT, horizon)
           }
@@ -3460,9 +3480,26 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           full.groupBy(col(pk)).agg(count(lit(1)).as("_n")).where(col("_n") > 1)
             .select(lit(dupMsg).as("_err")))
       }
-      batchDup :+
-        full.join(state.select(col(pk)), Seq(pk), "left_semi")
-          .select(lit(s"primary key already exists in $table").as("_err"))
+      val existsMsg = s"primary key already exists in $table"
+      // a literal-scale batch inlines its pk values so the state scan
+      // prunes to the probed row groups (pushdown + bloom stamping) —
+      // the FK-probe discipline (inlineKeyFilter), which a left-semi
+      // join's runtime key set can never push down. The collect is
+      // job-free on a LocalTableScan. Larger batches keep the
+      // set-based semi join.
+      val stateCollision = full.queryExecution.optimizedPlan match {
+        case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+            if lr.data.length <= InlineKeyCap =>
+          val ks = full.select(col(pk)).collect().map(_.get(0))
+            .filter(_ != null).toIndexedSeq
+          if (ks.isEmpty) Nil // an all-NULL-pk batch can collide with nothing
+          else Seq(state.where(col(pk).isin(ks: _*))
+            .select(lit(existsMsg).as("_err")))
+        case _ => Seq(
+          full.join(state.select(col(pk)), Seq(pk), "left_semi")
+            .select(lit(existsMsg).as("_err")))
+      }
+      batchDup ++ stateCollision
     }
     val (n, last) = append(t, full, EventLog.INSERT, prePinned = true,
       pkChecked = enforcePkUniqueness,
