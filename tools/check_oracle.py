@@ -9,6 +9,7 @@ import json
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -64,6 +65,18 @@ def main(sf_dir: str, out_dir: str) -> int:
             except Exception:
                 if not a.astype(str).equals(b.astype(str)):
                     mismatch.append(c)
+        # Fatal tier: any array/struct-typed output column — the
+        # driver's pandas harness row-sorts the frame and dies on
+        # unhashable cells (the q_pca_project r11/r12 failure class).
+        # Hashed outputs must be scalar columns; explode instead.
+        nested = [c for c in got.columns
+                  if got[c].map(lambda v: isinstance(
+                      v, (list, tuple, dict, np.ndarray))).any()]
+        if nested:
+            print(f"FAIL {name}: array/struct output columns {nested} "
+                  "(driver harness cannot row-sort them; emit scalars)")
+            n_fail += 1
+            continue
         floats = [c for c in got.columns if str(got[c].dtype) == "float64"]
         # Fatal tier: a float64 column whose defining SQL expression is
         # ROUND(...) — i.e. the surfaced double IS an engine-ROUND
