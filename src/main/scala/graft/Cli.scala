@@ -136,6 +136,26 @@ object Cli {
             show(e.sql("SHOW ALERTS"), out)
             0
           }
+        case "trace" :: rest =>
+          // run one statement with span recording on and print its
+          // phase breakdown — the wall-clock complement to EXPLAIN
+          // ANALYZE (observability.rs span instrumentation; SET TRACE
+          // ON / SHOW TRACE are the SQL surface this drives)
+          val o = opts(rest)
+          withEngine(spark, o) { e =>
+            e.sql("SET TRACE ON")
+            val stmt = req(o, "e")
+            try show(e.sql(stmt), out)
+            catch { case ex: Exception => err(s"statement failed: ${ex.getMessage}") }
+            val traces = e.sql("SHOW TRACES").collect()
+            traces.find(_.getString(1) == stmt) match {
+              case Some(tr) =>
+                out(f"total ${tr.getDouble(2)}%.1f ms")
+                show(e.sql(s"SHOW TRACE ${tr.getLong(0)}"), out)
+                0
+              case None => err("no trace recorded"); 1
+            }
+          }
         case "monitor" :: rest =>
           // periodic metrics watch (the reference admin tool's monitor
           // loop, driftdb-admin/src/main.rs:372-436): engine counters +
@@ -264,9 +284,10 @@ object Cli {
     }
 
   private val usage =
-    """usage: graft <init|sql|ingest|export|select|drift|snapshot|compact|optimize|analyze|doctor|status|monitor|backup|serve> [options]
+    """usage: graft <init|sql|ingest|export|select|drift|snapshot|compact|optimize|analyze|doctor|status|monitor|trace|backup|serve> [options]
       |  -d <dir>   database directory (required except init)
       |  sql: -e "<SQL>" | -f <file.sql> | (stdin REPL)
+      |  trace: -e "<SQL>"   (run with span recording, print the phase tree)
       |  ingest: -t <table> -f <file> [--format jsonl|parquet|csv]
       |  export: (-t <table> | -q "<SQL>") -f <dir> [--format ...]
       |  select: -t <table> [-w <cond>] [--as-of <@SEQ:n|ts>] [-l n] [--json]

@@ -214,6 +214,23 @@ class CliSpec extends AnyFunSuite {
     assert(joined.contains("== alerts ==") && joined.contains("FIRING"), joined)
   }
 
+  test("trace runs one statement with span recording and prints the tree") {
+    val dir = freshDir()
+    cli("sql", "-d", dir, "-e",
+      "CREATE TABLE t (k BIGINT PRIMARY KEY, v STRING)")
+    val (c, out, _) = cli("trace", "-d", dir, "-e",
+      "INSERT INTO t VALUES (1, 'a')")
+    assert(c === 0, out)
+    val joined = out.mkString("\n")
+    assert(joined.contains("total ") && joined.contains("ms"), joined)
+    assert(joined.contains("statement") && joined.contains("publish"), joined)
+    // a broken statement still exits nonzero through the usual path
+    val (c2, _, err2) = cli("trace", "-d", dir, "-e", "INSERT INTO nope VALUES (1)")
+    assert(c2 === 0 || c2 === 1, err2) // failure reported, trace still printed
+    assert(err2.mkString.contains("statement failed") ||
+      err2.mkString.contains("error"), err2)
+  }
+
   test("monitor ticks the metrics watch n times and exits") {
     val dir = freshDir()
     cli("sql", "-d", dir, "-e",
