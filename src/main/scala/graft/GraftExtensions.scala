@@ -62,6 +62,19 @@ object GraftFunctions {
         graft.functions.TopKByScore(args.head, args(1), k)
           .toAggregateExpression()
       }),
+    ("freq_items",
+      "freq_items(item, m) - Misra-Gries frequent-items aggregate: at most m (item, est) counters per group, est-descending; every item with share > 1/(m+1) guaranteed present",
+      (args: Seq[Expression]) => {
+        require(args.size == 2,
+          s"freq_items(item, m) takes 2 arguments, got ${args.size}")
+        val m = args(1) match {
+          case Literal(v: Int, _) => v
+          case Literal(v: Long, _) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"freq_items m must be an integer literal, got ${other.sql}")
+        }
+        graft.functions.FrequentItems(args.head, m).toAggregateExpression()
+      }),
     ("repetition_stats",
       "repetition_stats(grams) - struct(n_grams, top, dup) occurrence statistics of a string array, one hash pass per row",
       (args: Seq[Expression]) => {

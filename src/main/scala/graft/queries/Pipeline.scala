@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Bpe, Components, Decontam, Dedup, Dsir, FullText, Mixture, Multimodal, NaiveBayes, Packing, Pca, Web, Perplexity, QualityFilters, Quantize, RangeJoin, Sampling, SemDedup, Similarity, SubstringDedup, TextAnalysis, TextChunking, TrainingOrder, Vocabulary}
+import graft.operators.{AsOfJoin, Bpe, Components, Decontam, Dedup, Dsir, FullText, HeavyHitters, Mixture, Multimodal, NaiveBayes, Packing, Pca, Web, Perplexity, QualityFilters, Quantize, RangeJoin, Sampling, SemDedup, Similarity, SubstringDedup, TextAnalysis, TextChunking, TrainingOrder, Vocabulary}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1861,7 +1861,33 @@ object Pipeline {
       .orderBy("doc_id", "pos")
   }
 
+  /** Misra–Gries heavy hitters (HeavyHitters.hotReport over
+    * freq_items): token first letters, sketch capacity 15 over a
+    * 19-letter item space, so the decrement/merge reduction really
+    * fires. Surfaced rows are DETERMINISTIC by construction — exact
+    * counts of the items the MG bound PROVES are in the sketch
+    * (f > N/16), plus the membership/error-bound verdicts, which the
+    * guarantee forces TRUE under ANY partitioning or merge order (the
+    * q_approx_sketch oracle pattern). Borderline sketch members stay
+    * unreported: their membership is order-dependent. */
+  val qHeavyHitters = Q(
+    "q_heavy_hitters",
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |it AS (SELECT substr(t, 1, 1) AS item FROM toks),
+      |ex AS (SELECT item, COUNT(*) AS n FROM it GROUP BY item),
+      |tot AS (SELECT SUM(n) AS total FROM ex)
+      |SELECT item, n, TRUE AS in_sketch, TRUE AS est_ok
+      |FROM ex, tot
+      |WHERE n * 16 > total
+      |ORDER BY n DESC, item""".stripMargin) { (s, dir) =>
+    HeavyHitters.hotReport(
+      t(s, dir, "documents").select(explode(split(col("text"), " ")).as("tok")),
+      substring(col("tok"), 1, 1), m = 15)
+  }
+
   val all: Seq[Q] = Seq(
+    qHeavyHitters,
     qQualityRepetition, qTrainShuffle, qBpePairs, qBpeEncode, qEmbedQuant,
     qDecontam, qDecontamClean, qDecontamSpans, qDomainMix, qMixUpsample,
     qMixTemperature,
