@@ -3426,18 +3426,42 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         // in one count job, reserve it with ONE catalog write, and let
         // executors assign the ids distributed (the reference draws
         // per row under a lock — sequences.rs:108-142; a block
-        // reservation is the 100 TB shape)
+        // reservation is the 100 TB shape). A literal-scale batch
+        // (LocalRelation, incl. collect-literalized bounded sources)
+        // assigns ids DRIVER-SIDE instead: the collect is job-free on
+        // a LocalTableScan and the result stays a LocalRelation, so
+        // the batch keeps the whole literal fast path — driver-folded
+        // guards, job-free sequencing, single-file staging — which the
+        // RDD-zip assignment would otherwise forfeit for every literal
+        // VALUES insert into an auto-increment table.
         val (pinned, cnts) = pinUnlessLiteralCounted(positioned)
-        val counts = cnts.getOrElse(EventLog.partitionCounts(pinned))
-        val n = counts.sum
-        val first = if (n > 0) catalog.reserveSequenceBlock(seqName, n) else 1L
-        val withId = EventLog.assignWithOffsets(pinned, first - 1, counts, "_auto_id")
+        val (withId, cntsOut) = pinned.queryExecution.optimizedPlan match {
+          case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+            val rows = pinned.collect()
+            val n = rows.length
+            val first =
+              if (n > 0) catalog.reserveSequenceBlock(seqName, n.toLong) else 1L
+            val out = org.apache.spark.sql.types.StructType(
+              pinned.schema.fields :+ org.apache.spark.sql.types.StructField(
+                "_auto_id", org.apache.spark.sql.types.LongType, nullable = false))
+            val seqd: java.util.List[org.apache.spark.sql.Row] =
+              java.util.Arrays.asList(rows.zipWithIndex.map { case (r, i) =>
+                org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (first + i))
+              }.toIndexedSeq: _*)
+            (spark.createDataFrame(seqd, out), None)
+          case _ =>
+            val counts = cnts.getOrElse(EventLog.partitionCounts(pinned))
+            val n = counts.sum
+            val first = if (n > 0) catalog.reserveSequenceBlock(seqName, n) else 1L
+            (EventLog.assignWithOffsets(pinned, first - 1, counts, "_auto_id"),
+              cnts)
+        }
         (withId.select(t.columns.map(c =>
           if (c.logical == idCol) col("_auto_id").cast(c.dataType).as(c.logical)
           else if (target.contains(c.logical))
             col(c.logical).cast(c.dataType).as(c.logical)
           else expr(defaults.getOrElse(c.logical, "NULL"))
-            .cast(c.dataType).as(c.logical)): _*), cnts)
+            .cast(c.dataType).as(c.logical)): _*), cntsOut)
       case None =>
         val (pinned, cnts) = pinUnlessLiteralCounted(
           positioned.select(t.columns.map(c =>
