@@ -95,6 +95,19 @@ class FrequentItemsSpec extends AnyFunSuite {
     assert(arr == Seq(("a", 2L), ("b", 1L)))
   }
 
+  test("the sketch plan aggregates partially map-side (the scale claim)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = HeavyHitters.frequentItems(
+        docs.select(explode(split(col("text"), " ")).as("tok")),
+        col("tok"), m = 15)
+      .queryExecution.executedPlan.toString
+    // ObjectHashAggregate with partial_freq_items: each input partition
+    // reduces to <= m counters BEFORE the exchange — the whole point vs
+    // shuffling the full token keyspace
+    assert(plan.contains("ObjectHashAggregate"), s"no object agg in:\n$plan")
+    assert(plan.contains("partial_freq_items"), s"no partial agg in:\n$plan")
+  }
+
   test("per-group aggregation keeps summaries independent") {
     val df = (Seq.fill(20)(("g1", "a")) ++ Seq.fill(3)(("g1", "b")) ++
       Seq.fill(15)(("g2", "c"))).toDF("g", "item").repartition(5)
