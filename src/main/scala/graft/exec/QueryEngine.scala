@@ -192,10 +192,28 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * pin job it replaces; order determinism matches the literal
     * contract (one driver-resident row seq, collected once, feeding
     * probes, sequencing and the write identically). */
+  /** Row-count bounds don't bound BYTES: a 1024-row batch of
+    * multimodal blobs can be gigabytes, which belongs in distributed
+    * checkpoint blocks, not the driver heap. Binary columns mark the
+    * wide-payload class; everything else in this engine's schemas is
+    * KB-scale per row at the literal cap. */
+  private def literalizableSchema(df: DataFrame): Boolean =
+    !df.schema.exists(f => hasBinary(f.dataType))
+
+  private def hasBinary(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.BinaryType => true
+      case s: org.apache.spark.sql.types.StructType => s.exists(f => hasBinary(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasBinary(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        hasBinary(m.keyType) || hasBinary(m.valueType)
+      case _ => false
+    }
+
   private def pinUnlessLiteralCounted(df: DataFrame): (DataFrame, Option[Array[Long]]) =
     df.queryExecution.optimizedPlan match {
       case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => (df, None)
-      case p if p.maxRows.exists(_ <= LiteralizeMaxRows) =>
+      case p if p.maxRows.exists(_ <= LiteralizeMaxRows) && literalizableSchema(df) =>
         tracer.span("collect-literal") {
           val rows = df.collect()
           (spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema),
