@@ -137,7 +137,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       case _ => pinCheckpoint(df)
     }
 
-  private def pinCheckpoint(df: DataFrame): DataFrame = {
+  private def pinCheckpoint(df: DataFrame): DataFrame = tracer.span("pin-batch") {
     // opportunistically drop nodes whose referent a GC already let the
     // ContextCleaner reclaim — without this the queue grows one node
     // per DML statement for the engine's whole life (a long-lived wire
@@ -4010,13 +4010,15 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       if (streamId.isDefined) sweepStaging()
       val committed = streamId.flatMap(catalog.lastStreamBatch)
       if (streamId.isDefined && committed.exists(_ >= batchId)) return
-      val t = catalog.require(table)
-      val full = batch.select(t.columns.map(c =>
-        if (batch.columns.contains(c.logical)) col(c.logical).cast(c.dataType).as(c.logical)
-        else lit(null).cast(c.dataType).as(c.logical)): _*)
-      append(t, full, EventLog.INSERT, direct = true,
-        streamMeta = streamId.map(_ -> batchId))
-      ()
+      tracer.statement(s"INGEST STREAM $table batch=$batchId") {
+        val t = catalog.require(table)
+        val full = batch.select(t.columns.map(c =>
+          if (batch.columns.contains(c.logical)) col(c.logical).cast(c.dataType).as(c.logical)
+          else lit(null).cast(c.dataType).as(c.logical)): _*)
+        append(t, full, EventLog.INSERT, direct = true,
+          streamMeta = streamId.map(_ -> batchId))
+        ()
+      }
     }
 
   /** Physical-cast, sequence-assign, and event-shape one INSERT batch
@@ -4070,6 +4072,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       if (streamId.isDefined) sweepStaging() // see ingestStream
       val committed = streamId.flatMap(catalog.lastStreamBatch)
       if (streamId.isDefined && committed.exists(_ >= batchId)) return
+      tracer.statement(s"INGEST DEDUP $table batch=$batchId") {
       val t = catalog.require(table)
       val r = catalog.require(registry)
       val full = batch.select(t.columns.map(c =>
@@ -4108,6 +4111,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         mutated = Set(t.name))
       maybeAutoSnapshot(t.name, hiT)
       maybeAutoSnapshot(r.name, hiR)
+      }
     }
 
   /** Exactly-once streaming ingest with NEAR-dup dedup against a
@@ -4153,6 +4157,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       if (streamId.isDefined) sweepStaging() // see ingestStream
       val committed = streamId.flatMap(catalog.lastStreamBatch)
       if (streamId.isDefined && committed.exists(_ >= batchId)) return
+      tracer.statement(s"INGEST NEARDUP $table batch=$batchId") {
       val t = catalog.require(table)
       val r = catalog.require(registry)
       val full = pinCheckpoint(batch.select(t.columns.map(c =>
@@ -4305,6 +4310,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           else Set(t.name, r.name))
       maybeAutoSnapshot(t.name, hiT)
       maybeAutoSnapshot(r.name, hiR)
+      }
     }
 
   /** Apply one replicated micro-batch of RAW events (the primary's

@@ -113,7 +113,14 @@ final class Tracer {
     val t0 = System.nanoTime()
     var ok = true
     try body
-    catch { case e: Throwable => ok = false; throw e }
+    catch {
+      case e: Throwable =>
+        // a non-local return from an instrumented engine method (e.g.
+        // a replayed micro-batch's early skip) is normal control flow,
+        // not a failure
+        ok = e.isInstanceOf[scala.runtime.NonLocalReturnControl[_]]
+        throw e
+    }
     finally {
       val t1 = System.nanoTime()
       stack = stack.tail
