@@ -130,6 +130,27 @@ class TracingSpec extends AnyFunSuite {
       names2)
   }
 
+  test("streaming ingest records a trace; a replayed batch records none") {
+    import spark.implicits._
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE st (k BIGINT PRIMARY KEY, v STRING)")
+    e.sql("SET TRACE ON")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tr-ck-").toString
+    e.ingestStream("st", Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      Some(ckpt), 0L)
+    val traces = e.sql("SHOW TRACES").collect()
+    val ing = traces.find(_.getString(1).startsWith("INGEST STREAM st")).get
+    val names = spansOf(e, ing.getLong(0)).map(_._3)
+    assert(names.contains("stage-write") && names.contains("publish"), names)
+    assert(spansOf(e, ing.getLong(0)).forall(_._5), "ingest spans all ok")
+    // the replay of a committed batch id skips BEFORE the trace opens
+    e.ingestStream("st", Seq((3L, "c")).toDF("k", "v"), Some(ckpt), 0L)
+    val after = e.sql("SHOW TRACES").collect()
+      .count(_.getString(1).startsWith("INGEST STREAM st"))
+    assert(after == 1, s"replayed batch must not trace (got $after)")
+    assert(e.sql("SELECT COUNT(*) AS n FROM st").collect().head.getLong(0) == 2L)
+  }
+
   test("SNAPSHOT records a snapshot span; SELECT records state-plan") {
     val e = QueryEngine.scratch(spark)
     e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, v DOUBLE)")
