@@ -148,7 +148,8 @@ object Cli {
             try show(e.sql(stmt), out)
             catch { case ex: Exception => err(s"statement failed: ${ex.getMessage}") }
             val traces = e.sql("SHOW TRACES").collect()
-            traces.find(_.getString(1) == stmt) match {
+            // the ring stores statements truncated to 500 chars
+            traces.find(_.getString(1) == stmt.take(500)) match {
               case Some(tr) =>
                 out(f"total ${tr.getDouble(2)}%.1f ms")
                 show(e.sql(s"SHOW TRACE ${tr.getLong(0)}"), out)

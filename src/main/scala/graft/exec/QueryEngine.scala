@@ -95,6 +95,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       BaseDirLock.release(spark, baseDir, engineId)
       writeLockHeld = false
     }
+    // replication links die with the engine: a closed replica must not
+    // linger in its primary's SHOW CLUSTER (phantom link, unbounded
+    // apparent lag, and a strong reference pinning the dead engine),
+    // and a closed primary unhooks from its followers symmetrically
+    followsFrom.forEach((t, p) => p.followedBy.remove((t, engineId)))
+    followsFrom.clear()
+    followedBy.forEach((k, f) => f.followsFrom.remove(k._1, this))
+    followedBy.clear()
     closed = true // readiness probes 503 until a write re-opens
   }
 
@@ -1141,11 +1149,16 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             // must never collect
             val touchedTyped: Option[IndexedSeq[Any]] =
               tracer.span("touched-keys") {
+                // NULLs drop BEFORE the limit(cap+1) overflow probe —
+                // filtered after it, a NULL in the sample would mask
+                // the 257th key and silently restrict the refresh to an
+                // incomplete touched set (the inlineKeyFilter ordering)
                 val ks = events(t)
                   .where(col("sequence") > r && col("sequence") <= horizon)
-                  .select(col(s"payload.${t.pkPhysical}")).distinct()
+                  .select(col(s"payload.${t.pkPhysical}").as("__k"))
+                  .where(col("__k").isNotNull).distinct()
                   .limit(InlineKeyCap + 1).collect().map(_.get(0))
-                  .filter(_ != null).toIndexedSeq
+                  .toIndexedSeq
                 if (ks.nonEmpty && ks.length <= InlineKeyCap) Some(ks) else None
               }
             def restrict(state: DataFrame): DataFrame = touchedTyped match {
@@ -2139,6 +2152,12 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       }
       else if (viaTxn.isDefined) { raiseFirstViolation(probes()); () => () }
       else backgroundViolationCheck(probes)
+    // any failure between probe submission and the publish-time join
+    // must still join the task: the probe verdict may be the better
+    // error, and an unjoined probe union would keep running Spark jobs
+    // with no consumer. The join handle is idempotent, so the publish
+    // path's own catch and the tail call below stay as they are.
+    def sequenceAndPublish(): (Long, Long) = {
     // inside a transaction, sequences continue from the buffered tail
     val base = viaTxn.flatMap(_.seqs.get(t.name)).getOrElse(catalog.lastSeq(t.name))
     // pin the batch before sequencing: assignSequencesCounted computes
@@ -2221,6 +2240,16 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // the publish path already consumed it is free
     awaitProbes()
     (n, base + n)
+    }
+    try sequenceAndPublish()
+    catch {
+      case e: Throwable =>
+        // a probe violation outranks a derivative failure (the same
+        // preference the publish path applies)
+        try awaitProbes()
+        catch { case pe: Throwable if pe ne e => throw pe }
+        throw e
+    }
   }
 
   // ---------------------------------------------------- auto-snapshot
@@ -3258,12 +3287,22 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         if (idx.exists(_ < 0)) None
         else {
           val dts = idx.map(lr.output(_).dataType)
+          // SQL grouping normalizes -0.0 to 0.0 (NormalizeFloatingNumbers
+          // under the distributed groupBy probe); boxed
+          // Double/Float.equals does not — normalize here so the
+          // driver-side verdict matches the probe it replaces. Boxed
+          // NaN.equals(NaN) is true, which already matches grouping.
+          def norm(v: Any): Any = v match {
+            case d: Double if d == 0.0 => 0.0
+            case f: Float if f == 0.0f => 0.0f
+            case other => other
+          }
           val seen = scala.collection.mutable.HashSet.empty[Seq[Any]]
           Some(lr.data.exists { r =>
             val anyNull = idx.exists(r.isNullAt)
             if (anyNull && skipNulls) false
             else !seen.add(idx.indices.map(i =>
-              if (r.isNullAt(idx(i))) null else r.get(idx(i), dts(i))))
+              if (r.isNullAt(idx(i))) null else norm(r.get(idx(i), dts(i)))))
           })
         }
       case _ => None

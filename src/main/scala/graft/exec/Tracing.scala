@@ -110,6 +110,14 @@ final class Tracer {
     val id = nextSpanId; nextSpanId += 1
     val parent = stack.headOption.getOrElse(-1L)
     stack = id :: stack
+    // reserve the slot at START, fill at completion: spans drop
+    // newest-first past the cap, so a kept span's ancestors (started
+    // earlier, hence reserved earlier slots) are always kept too — the
+    // tree stays rooted and parent ids always resolve, even when a
+    // procedure cascade blows the cap
+    val slot = if (buf.size < MaxSpansPerTrace) {
+      buf += null; buf.size - 1
+    } else -1
     val t0 = System.nanoTime()
     var ok = true
     try body
@@ -124,8 +132,8 @@ final class Tracer {
     finally {
       val t1 = System.nanoTime()
       stack = stack.tail
-      if (buf.size < MaxSpansPerTrace)
-        buf += SpanRow(liveTrace, id, parent, name, detail.take(500),
+      if (slot >= 0)
+        buf(slot) = SpanRow(liveTrace, id, parent, name, detail.take(500),
           (t0 - liveT0) / 1e6, (t1 - t0) / 1e6, ok)
     }
   }

@@ -329,14 +329,19 @@ final class HttpAdmin(engine: QueryEngine, port: Int = 0,
   // completed traces; no Spark job runs here.
   server.createContext("/traces", ex =>
     try {
+      // Locale.ROOT formatting: the f-interpolator uses the JVM default
+      // locale, and a de/fr locale renders %.3f with a comma — invalid
+      // JSON
+      def ms(v: Double): String =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       val json = engine.tracer.traces.map { t =>
         val spans = t.spans.map(s =>
           s"""{"span_id": ${s.spanId}, "parent_span_id": ${s.parentId}, """ +
             s""""name": ${jsonStr(s.name)}, "detail": ${jsonStr(s.detail)}, """ +
-            f""""start_ms": ${s.startMs}%.3f, "dur_ms": ${s.durMs}%.3f, """ +
+            s""""start_ms": ${ms(s.startMs)}, "dur_ms": ${ms(s.durMs)}, """ +
             s""""ok": ${s.ok}}""").mkString("[", ", ", "]")
         s"""{"trace_id": ${t.traceId}, "statement": ${jsonStr(t.statement)}, """ +
-          f""""total_ms": ${t.totalMs}%.3f, "spans": $spans}"""
+          s""""total_ms": ${ms(t.totalMs)}, "spans": $spans}"""
       }.mkString("[", ", ", "]")
       respond(ex, 200, "application/json",
         s"""{"enabled": ${engine.tracer.enabled}, "traces": $json}""" + "\n")
