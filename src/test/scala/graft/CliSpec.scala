@@ -229,6 +229,14 @@ class CliSpec extends AnyFunSuite {
     assert(c2 === 0 || c2 === 1, err2) // failure reported, trace still printed
     assert(err2.mkString.contains("statement failed") ||
       err2.mkString.contains("error"), err2)
+    // a statement longer than the ring's 500-char truncation still
+    // finds its own trace (regression: exact-match against the
+    // truncated text reported 'no trace recorded')
+    val wide = (2 to 120).map(i => s"($i, 'v$i')").mkString(", ")
+    val (c3, out3, _) = cli("trace", "-d", dir, "-e",
+      s"INSERT INTO t VALUES $wide")
+    assert(c3 === 0, out3)
+    assert(out3.mkString("\n").contains("publish"), out3)
   }
 
   test("monitor ticks the metrics watch n times and exits") {
