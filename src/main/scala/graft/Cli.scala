@@ -145,15 +145,23 @@ object Cli {
           withEngine(spark, o) { e =>
             e.sql("SET TRACE ON")
             val stmt = req(o, "e")
+            // a failed statement still records an ok=false trace worth
+            // printing, but the verb must exit nonzero so scripts see
+            // the failure (mirrors the `sql` verb's error contract)
+            var failed = false
             try show(e.sql(stmt), out)
-            catch { case ex: Exception => err(s"statement failed: ${ex.getMessage}") }
+            catch {
+              case ex: Exception =>
+                failed = true
+                err(s"statement failed: ${ex.getMessage}")
+            }
             val traces = e.sql("SHOW TRACES").collect()
             // the ring stores statements truncated to 500 chars
             traces.find(_.getString(1) == stmt.take(500)) match {
               case Some(tr) =>
                 out(f"total ${tr.getDouble(2)}%.1f ms")
                 show(e.sql(s"SHOW TRACE ${tr.getLong(0)}"), out)
-                0
+                if (failed) 1 else 0
               case None => err("no trace recorded"); 1
             }
           }

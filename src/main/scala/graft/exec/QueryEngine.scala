@@ -184,6 +184,20 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * memory trivial even for wide payload rows. */
   private val LiteralizeMaxRows = 1024L
 
+  /** Tighter cap when the schema carries any STRING column. Row-count
+    * bounds don't bound BYTES, and strings are unbounded exactly like
+    * binary: `INSERT ... SELECT text ... LIMIT 1000` over multi-MB
+    * document text would collect gigabytes into the driver heap and
+    * embed them in the LocalRelation plan. Catalyst's non-CBO
+    * `sizeInBytes` can't catch this (limit stats use schema-default
+    * widths — 20 bytes per string — not data), so the guard is a row
+    * bound small enough that even pathological per-row strings stay
+    * driver-trivial. The floor-critical shape (1-row aggregate
+    * batches from trigger/procedure bodies, string action labels
+    * included) sits far under it; wider string batches take the
+    * distributed pin path instead. */
+  private val StringLiteralizeMaxRows = 16L
+
   /** pinCheckpointCounted unless the batch is literal-scale:
     *   - a LocalRelation (literal VALUES) passes through untouched;
     *   - a plan whose OPTIMIZER-PROVEN row bound (`maxRows`: global
@@ -200,28 +214,40 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * pin job it replaces; order determinism matches the literal
     * contract (one driver-resident row seq, collected once, feeding
     * probes, sequencing and the write identically). */
-  /** Row-count bounds don't bound BYTES: a 1024-row batch of
-    * multimodal blobs can be gigabytes, which belongs in distributed
-    * checkpoint blocks, not the driver heap. Binary columns mark the
-    * wide-payload class; everything else in this engine's schemas is
-    * KB-scale per row at the literal cap. */
+  /** Binary columns never literalize at any row count: a single
+    * multimodal blob row can be arbitrarily large, and blobs belong
+    * in distributed checkpoint blocks, not embedded in a driver-side
+    * plan. (Strings are bounded by the tighter row cap above
+    * instead — they carry SQL semantics the literal fast path still
+    * wants for 1-row counter/label batches.) */
   private def literalizableSchema(df: DataFrame): Boolean =
-    !df.schema.exists(f => hasBinary(f.dataType))
+    !df.schema.exists(f => hasType(f.dataType,
+      _ == org.apache.spark.sql.types.BinaryType))
 
-  private def hasBinary(dt: org.apache.spark.sql.types.DataType): Boolean =
+  /** The plan-proven row bound this batch may carry and still collect:
+    * [[StringLiteralizeMaxRows]] when any (possibly nested) column is
+    * a string, [[LiteralizeMaxRows]] for fixed-width-only schemas. */
+  private def literalizeRowCap(df: DataFrame): Long =
+    if (df.schema.exists(f => hasType(f.dataType,
+        _ == org.apache.spark.sql.types.StringType)))
+      StringLiteralizeMaxRows
+    else LiteralizeMaxRows
+
+  private def hasType(dt: org.apache.spark.sql.types.DataType,
+      p: org.apache.spark.sql.types.DataType => Boolean): Boolean =
     dt match {
-      case org.apache.spark.sql.types.BinaryType => true
-      case s: org.apache.spark.sql.types.StructType => s.exists(f => hasBinary(f.dataType))
-      case a: org.apache.spark.sql.types.ArrayType => hasBinary(a.elementType)
+      case s: org.apache.spark.sql.types.StructType =>
+        s.exists(f => hasType(f.dataType, p))
+      case a: org.apache.spark.sql.types.ArrayType => hasType(a.elementType, p)
       case m: org.apache.spark.sql.types.MapType =>
-        hasBinary(m.keyType) || hasBinary(m.valueType)
-      case _ => false
+        hasType(m.keyType, p) || hasType(m.valueType, p)
+      case other => p(other)
     }
 
   private def pinUnlessLiteralCounted(df: DataFrame): (DataFrame, Option[Array[Long]]) =
     df.queryExecution.optimizedPlan match {
       case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => (df, None)
-      case p if p.maxRows.exists(_ <= LiteralizeMaxRows) && literalizableSchema(df) =>
+      case p if p.maxRows.exists(_ <= literalizeRowCap(df)) && literalizableSchema(df) =>
         tracer.span("collect-literal") {
           val rows = df.collect()
           (spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema),

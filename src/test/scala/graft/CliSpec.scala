@@ -224,9 +224,11 @@ class CliSpec extends AnyFunSuite {
     val joined = out.mkString("\n")
     assert(joined.contains("total ") && joined.contains("ms"), joined)
     assert(joined.contains("statement") && joined.contains("publish"), joined)
-    // a broken statement still exits nonzero through the usual path
+    // a broken statement MUST exit nonzero (scripts detect the failure
+    // from the exit code; ADVICE r13), while any recorded ok=false
+    // trace still prints
     val (c2, _, err2) = cli("trace", "-d", dir, "-e", "INSERT INTO nope VALUES (1)")
-    assert(c2 === 0 || c2 === 1, err2) // failure reported, trace still printed
+    assert(c2 === 1, err2)
     assert(err2.mkString.contains("statement failed") ||
       err2.mkString.contains("error"), err2)
     // a statement longer than the ring's 500-char truncation still

@@ -130,6 +130,37 @@ class TracingSpec extends AnyFunSuite {
       names2)
   }
 
+  test("string batches literalize only under the tight row cap") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE src (k BIGINT PRIMARY KEY, txt STRING)")
+    e.sql("INSERT INTO src SELECT id AS k, repeat('x', 10) AS txt " +
+      "FROM range(100)")
+    e.sql("CREATE TABLE dst (k BIGINT PRIMARY KEY, txt STRING)")
+    e.sql("CREATE TABLE dstn (k BIGINT PRIMARY KEY, n BIGINT)")
+    e.sql("SET TRACE ON")
+    // 1-row aggregate with a string label: inside the string cap (16)
+    // -> collect-literal (the trigger/audit-counter floor shape)
+    e.sql("INSERT INTO dst SELECT COUNT(*) AS k, 'label' AS txt FROM src")
+    val t1 = e.sql("SHOW TRACES").collect().head
+    val n1 = spansOf(e, t1.getLong(0)).map(_._3)
+    assert(n1.contains("collect-literal") && !n1.contains("pin-batch"), n1)
+    // LIMIT 100 with an unbounded string payload: row bound proven but
+    // OVER the string cap -> the distributed pin path, never a driver
+    // collect (strings don't bound bytes; ADVICE r13)
+    e.sql("INSERT INTO dst SELECT k + 1000, txt FROM src LIMIT 100")
+    val t2 = e.sql("SHOW TRACES").collect()
+      .find(_.getString(1).contains("k + 1000")).get
+    val n2 = spansOf(e, t2.getLong(0)).map(_._3)
+    assert(n2.contains("pin-batch") && !n2.contains("collect-literal"), n2)
+    // the same LIMIT 100 with a fixed-width-only schema stays literal
+    // (1024-row cap): bytes are provably bounded by the schema
+    e.sql("INSERT INTO dstn SELECT k, k * 2 AS n FROM src LIMIT 100")
+    val t3 = e.sql("SHOW TRACES").collect()
+      .find(_.getString(1).contains("k * 2")).get
+    val n3 = spansOf(e, t3.getLong(0)).map(_._3)
+    assert(n3.contains("collect-literal") && !n3.contains("pin-batch"), n3)
+  }
+
   test("streaming ingest records a trace; a replayed batch records none") {
     import spark.implicits._
     val e = QueryEngine.scratch(spark)
