@@ -100,19 +100,22 @@ object Mixture {
     * (domainCol, n_tokens, w_e6) with w_e6 = the normalized weight
     * scaled by 1e6 (the w_e6 column sums to ~1e6).
     *
-    * Determinism: each domain's n^alpha rounds to 6 decimals and casts
-    * to DECIMAL before the normalizer sums them, so Z is an exact
-    * decimal sum (addition-order-free); alpha = 0.5 uses `sqrt`, which
-    * IEEE 754 requires to be correctly rounded — bit-identical in any
-    * engine — where `pow` is only ulp-accurate. The normalized weight
-    * surfaces as an exact scaled integer — `w_e6 = half_up(1e6*pw/Z)`
-    * computed as `(2*pw_i*1e6 + z_i) div (2*z_i)` over the exact
-    * integers `pw_i = 1e6*pw`, `z_i = 1e6*Z` — never as a rounded
-    * DOUBLE (`ROUND(double, n)` differs in the last ulp across
-    * engines, which breaks hash-checked output). Overflow-safe below
-    * ~2e13 tokens per domain (pw_i·2e6 < 2^63). The weight table is
-    * |domains| rows at any corpus size; the only corpus-scale work is
-    * the per-domain token aggregate. */
+    * Determinism: each domain's n^alpha snaps to the e6 integer grid
+    * via `floor(x*1e6 + 0.5)` — multiply, add and floor are exact IEEE
+    * ops and alpha = 0.5 uses `sqrt`, which IEEE 754 requires to be
+    * correctly rounded, so `pw_e6` is bit-identical in any engine
+    * (`ROUND(double, n)` is NOT: decimal rounding of a binary double
+    * lands on different last-ulp results across engines/versions,
+    * which breaks hash-checked output — and hashed columns must also
+    * be genuinely integer-typed, since an oracle HUGEINT surfaces as
+    * pandas float64 and hash-flips even when values agree). Z then
+    * sums the exact integers (addition-order-free) and the normalized
+    * weight surfaces as `w_e6 = half_up(1e6*pw/Z)` computed as
+    * `(2*pw_e6*1e6 + z_e6) div (2*z_e6)` — pure integer arithmetic
+    * end to end. Overflow-safe below ~2e13 tokens per domain
+    * (pw_e6·2e6 < 2^63). The weight table is |domains| rows at any
+    * corpus size; the only corpus-scale work is the per-domain token
+    * aggregate. */
   def temperatureWeights(docs: DataFrame, domainCol: String,
       nTokens: Column, alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
@@ -120,13 +123,11 @@ object Mixture {
       if (alpha == 0.5) sqrt(x) else pow(x, lit(alpha))
     val scaled = docs.groupBy(col(domainCol))
       .agg(sum(nTokens).cast("long").as("n_tokens"))
-      .withColumn("_p",
-        round(p(col("n_tokens").cast("double")), 6).cast("decimal(28,6)"))
-    val z = scaled.agg(sum(col("_p")).as("_z"))
+      .withColumn("_pwe6",
+        floor(p(col("n_tokens").cast("double")) * 1000000 + 0.5).cast("long"))
+    val z = scaled.agg(sum(col("_pwe6")).cast("long").as("_ze6"))
     scaled.crossJoin(broadcast(z))
-      .withColumn("_pwi", (col("_p") * 1000000).cast("long"))
-      .withColumn("_zi", (col("_z") * 1000000).cast("long"))
-      .withColumn("w_e6", expr("(2 * _pwi * 1000000L + _zi) div (2 * _zi)"))
+      .withColumn("w_e6", expr("(2 * _pwe6 * 1000000L + _ze6) div (2 * _ze6)"))
       .select(col(domainCol), col("n_tokens"), col("w_e6"))
   }
 

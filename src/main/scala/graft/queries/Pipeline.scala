@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Bpe, Components, Decontam, Dedup, Dsir, FullText, HeavyHitters, Mixture, Multimodal, NaiveBayes, Packing, Pca, Web, Perplexity, QualityFilters, Quantize, RangeJoin, Sampling, SemDedup, Similarity, SubstringDedup, TextAnalysis, TextChunking, TrainingOrder, Vocabulary}
+import graft.operators.{AsOfJoin, BloomFilterDecontam, Bpe, Components, Decontam, Dedup, Dsir, FullText, HeavyHitters, Mixture, Multimodal, NaiveBayes, Packing, Pca, Web, Perplexity, QualityFilters, Quantize, RangeJoin, Sampling, SemDedup, Similarity, SubstringDedup, TextAnalysis, TextChunking, TrainingOrder, Vocabulary}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -683,7 +683,8 @@ object Pipeline {
       |    ORDER BY n DESC, term LIMIT 25)),
       |st AS (
       |  SELECT doc_id, COUNT(*) AS n_tokens,
-      |         SUM(CASE WHEN term IN (SELECT term FROM vc) THEN 0 ELSE 1 END) AS n_oov
+      |         CAST(SUM(CASE WHEN term IN (SELECT term FROM vc)
+      |                       THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
       |  FROM toks GROUP BY doc_id)
       |SELECT doc_id, n_tokens, n_oov,
       |       (2 * n_oov * 1000000000 + n_tokens) // (2 * n_tokens) AS oov_ratio_e9
@@ -1666,27 +1667,29 @@ object Pipeline {
 
   /** Temperature-scaled mixture weights (Mixture.temperatureWeights,
     * alpha = 0.5): w_d proportional to sqrt(n_d tokens) — the
-    * multilingual alpha-sampling rule. Each n^alpha rounds to 6
-    * decimals and casts to DECIMAL before the normalizer sums, so Z is
-    * order-free; sqrt is IEEE-correctly-rounded, bit-identical across
-    * engines. The normalized weight surfaces as the exact scaled
-    * integer w_e6 = half_up(1e6*pw/Z) via pure integer arithmetic —
-    * never a rounded DOUBLE (engine ROUND(double,n) differs in the
-    * last ulp). The weight table is |domains| rows at any scale. */
+    * multilingual alpha-sampling rule. Each n^alpha snaps to the e6
+    * integer grid via floor(x*1e6 + 0.5) — exact IEEE ops over the
+    * correctly-rounded sqrt, bit-identical across engines — and Z
+    * sums the integers (order-free). The normalized weight surfaces
+    * as the exact scaled integer w_e6 = half_up(1e6*pw/Z) via pure
+    * integer arithmetic — never a rounded DOUBLE (engine
+    * ROUND(double,n) differs in the last ulp), and every hashed
+    * column is BIGINT-cast so the oracle's pandas dtype is int64,
+    * not a HUGEINT-derived float64 (the r13 hash-flip class). The
+    * weight table is |domains| rows at any scale. */
   val qMixTemperature = Q(
     "q_mix_temperature",
     """WITH s AS (
-      |  SELECT source, SUM(len(string_split(text, ' '))) AS n_tokens
+      |  SELECT source,
+      |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
       |  FROM documents GROUP BY source),
       |p AS (SELECT source, n_tokens,
-      |        CAST(ROUND(SQRT(CAST(n_tokens AS DOUBLE)), 6)
-      |             AS DECIMAL(28,6)) AS pw
+      |        CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5)
+      |             AS BIGINT) AS pw_e6
       |      FROM s),
-      |z AS (SELECT SUM(pw) AS z FROM p)
+      |z AS (SELECT CAST(SUM(pw_e6) AS BIGINT) AS z_e6 FROM p)
       |SELECT p.source, p.n_tokens,
-      |       (2 * CAST(p.pw * 1000000 AS BIGINT) * 1000000
-      |        + CAST(z.z * 1000000 AS BIGINT))
-      |       // (2 * CAST(z.z * 1000000 AS BIGINT)) AS w_e6
+      |       (2 * p.pw_e6 * 1000000 + z.z_e6) // (2 * z.z_e6) AS w_e6
       |FROM p, z ORDER BY p.source""".stripMargin) { (s, dir) =>
     val docs = t(s, dir, "documents")
     Mixture.temperatureWeights(docs, "source",
@@ -1870,6 +1873,69 @@ object Pipeline {
     * guarantee forces TRUE under ANY partitioning or merge order (the
     * q_approx_sketch oracle pattern). Borderline sketch members stay
     * unreported: their membership is order-dependent. */
+  /** 8-hex-digit md5 substring parsed to a BIGINT with plain digit
+    * arithmetic — the engine-portable hash both sides of
+    * q_bloom_decontam share (Spark uses `conv`, which computes the
+    * same value). */
+  private def duckMd5Int(expr: String, start: Int): String =
+    (0 until 8).map(i =>
+      s"(strpos('0123456789abcdef', substring(md5($expr), ${start + i}, 1)) - 1)::BIGINT * ${1L << (4 * (7 - i))}")
+      .mkString(" + ")
+
+  /** Bloom-filter decontamination (BloomFilterDecontam.decontam): the
+    * corpus probes a 15872-bit filter built from the reference set's
+    * (doc_id % 53 = 0) distinct 8-gram shingles, k = 3 double-hashed
+    * md5 probes per shingle. The filter rides the Spark plan as ONE
+    * array literal — the corpus side has zero joins/shuffles — while
+    * the oracle re-derives every bit with portable hex-digit
+    * arithmetic and rebuilds the same words via bit_or. False
+    * positives are part of the contract and identical across engines
+    * (same positions, same words). */
+  val qBloomDecontam = Q(
+    "q_bloom_decontam",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], '_') AS s
+      |  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+      |  WHERE len(t) >= 8),
+      |hs AS (SELECT doc_id, s,
+      |         (${duckMd5Int("s", 1)}) AS h1,
+      |         (${duckMd5Int("s", 9)}) AS h2
+      |       FROM sh),
+      |rp AS (
+      |  SELECT DISTINCT ((h1 + i * h2) % 15872) AS pos
+      |  FROM hs, unnest(generate_series(0, 2)) AS g(i)
+      |  WHERE doc_id % 53 = 0),
+      |words AS (
+      |  SELECT pos // 62 AS word,
+      |         bit_or(1::BIGINT << (pos % 62)::INT) AS bits
+      |  FROM rp GROUP BY 1),
+      |dp AS (
+      |  SELECT doc_id, s, ((h1 + i * h2) % 15872) AS pos
+      |  FROM hs, unnest(generate_series(0, 2)) AS g(i)),
+      |hit AS (
+      |  SELECT dp.doc_id, dp.s,
+      |         MIN(CASE WHEN w.bits IS NOT NULL
+      |                   AND ((w.bits >> (dp.pos % 62)::INT) % 2) = 1
+      |                  THEN 1 ELSE 0 END) AS all_set
+      |  FROM dp LEFT JOIN words w ON w.word = dp.pos // 62
+      |  GROUP BY dp.doc_id, dp.s),
+      |st AS (
+      |  SELECT doc_id, COUNT(*) AS n_shingles,
+      |         CAST(SUM(all_set) AS BIGINT) AS n_hits
+      |  FROM hit GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       CAST(COALESCE(st.n_shingles, 0) AS BIGINT) AS n_shingles,
+      |       CAST(COALESCE(st.n_hits, 0) AS BIGINT) AS n_hits,
+      |       COALESCE(st.n_hits, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN st USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    BloomFilterDecontam.decontam(docs,
+        docs.where(col("doc_id") % 53 === 0), n = 8, mBits = 15872, k = 3)
+      .orderBy("doc_id")
+  }
+
   val qHeavyHitters = Q(
     "q_heavy_hitters",
     """WITH toks AS (
@@ -1889,7 +1955,8 @@ object Pipeline {
   val all: Seq[Q] = Seq(
     qHeavyHitters,
     qQualityRepetition, qTrainShuffle, qBpePairs, qBpeEncode, qEmbedQuant,
-    qDecontam, qDecontamClean, qDecontamSpans, qDomainMix, qMixUpsample,
+    qDecontam, qDecontamClean, qDecontamSpans, qBloomDecontam,
+    qDomainMix, qMixUpsample,
     qMixTemperature,
     qDedupExact, qPipelineE2E, qJaccardPairs, qShingleJaccard, qDupClusters,
     qDedupKeep,

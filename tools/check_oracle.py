@@ -77,6 +77,26 @@ def main(sf_dir: str, out_dir: str) -> int:
                   "(driver harness cannot row-sort them; emit scalars)")
             n_fail += 1
             continue
+        # Fatal tier: dtype-kind mismatch between the Spark parquet and
+        # the oracle frame where one side is float and the other
+        # integer. DuckDB returns HUGEINT for SUM(BIGINT) and pandas
+        # renders HUGEINT as float64 — `3.0 == 3` passes the value
+        # compare below, but the driver's hash is dtype-sensitive and
+        # flips (the r13 q_vocab_oov / q_mix_temperature failure).
+        # int32-vs-int64 is fine (driver-proven across many queries);
+        # the fix for float-vs-int is CAST(... AS BIGINT) in the SQL.
+        kind_bad = [
+            c for c in want.columns
+            if {want[c].dtype.kind, got[c].dtype.kind} == {"f", "i"}]
+        if kind_bad:
+            print(f"FAIL {name}: float-vs-int dtype mismatch in "
+                  f"{kind_bad} (oracle "
+                  f"{[str(want[c].dtype) for c in kind_bad]} vs spark "
+                  f"{[str(got[c].dtype) for c in kind_bad]}; the "
+                  "driver's hash is dtype-sensitive — CAST the oracle "
+                  "expression AS BIGINT)")
+            n_fail += 1
+            continue
         floats = [c for c in got.columns if str(got[c].dtype) == "float64"]
         # Fatal tier: a float64 column whose defining SQL expression is
         # ROUND(...) — i.e. the surfaced double IS an engine-ROUND
