@@ -1193,8 +1193,24 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                 col(t.pk).cast("string") === touched("pk"), "left_semi")
             }
             val stored = spark.read.parquet(catalog.mviewDataPath(name, prev))
-            val merged = IncrementalView.merge(stored,
-              restrict(stateAt(baseT, Some(r))),
+            val oldSide = restrict(stateAt(baseT, Some(r)))
+            // MIN/MAX merge as least/greatest(stored, new-state agg),
+            // which is exact ONLY when no touched pk existed at the
+            // old horizon (a pre-horizon update/delete could retract
+            // the stored extreme — the classic IVM limit). The probe
+            // is one pruned limit-1 job, paid only by MIN/MAX views;
+            // tail-local churn (insert-then-update/delete since the
+            // horizon) passes, because only surviving new-state rows
+            // contribute.
+            if (sh.hasMinMax && oldSide.limit(1).count() > 0)
+              throw new IllegalStateException(
+                s"$name has MIN/MAX aggregates, which maintain " +
+                  "incrementally only while every row touched since the " +
+                  s"last refresh horizon @SEQ:$r is a NEW row — a " +
+                  "pre-horizon row was updated or deleted, which can " +
+                  "retract the stored extreme. Run a full " +
+                  "(non-incremental) REFRESH")
+            val merged = IncrementalView.merge(stored, oldSide,
               restrict(stateAt(baseT, Some(horizon))), sh)
             tracer.span("mview-write") {
               encrypted(merged.write).mode("overwrite")
@@ -1207,8 +1223,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         case (None, true) =>
           throw new IllegalArgumentException(
             s"$name is not incrementally maintainable: the view must be " +
-              "SELECT <group cols>, COUNT/SUM aggregates FROM <engine table> " +
-              "[WHERE ...] GROUP BY <group cols> — run a full REFRESH instead")
+              "SELECT <group cols>, COUNT/SUM/MIN/MAX aggregates FROM " +
+              "<engine table> [WHERE ...] GROUP BY <group cols> — run a " +
+              "full REFRESH instead")
         case (shapeOpt, false) =>
           // FULL refresh; maintainable shapes re-materialize through the
           // same aggregate (hidden support columns included) at a pinned

@@ -321,6 +321,53 @@ object EngineSql {
             |FROM inc_stats ORDER BY status""".stripMargin)
   }
 
+  /** MIN/MAX incremental maintenance under a tail-insert workload
+    * (round 14; the insert-only relaxation of the classic IVM
+    * non-maintainability result): the refresh merges
+    * least/greatest(stored, new-state extremes) after a batch of NEW
+    * rows that was then partially updated AND partially deleted —
+    * tail-local churn the emptiness gate must allow, because only
+    * surviving new-state rows contribute. The oracle recomputes the
+    * final aggregate from scratch with the identical integer (cents)
+    * arithmetic; cents derive via `FLOOR(c_acctbal*100 + 0.5)` (exact IEEE
+    * ops — a bare double->BIGINT CAST rounds in DuckDB but truncates in
+    * Spark) and the BIGINT sums are engine-exact. */
+  val qMatViewMinMax = Q(
+    "q_matview_minmax",
+    """WITH src AS (
+      |  SELECT c_custkey AS k,
+      |         'g' || CAST(c_nationkey % 5 AS VARCHAR) AS grp,
+      |         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS v
+      |  FROM customer
+      |  WHERE c_custkey < 400 OR c_custkey BETWEEN 1000 AND 1099),
+      |post AS (
+      |  SELECT k, grp,
+      |         CASE WHEN k >= 1000 AND k % 13 = 0 THEN v + 7 ELSE v END AS v
+      |  FROM src WHERE NOT (k >= 1000 AND k % 17 = 0))
+      |SELECT grp, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n,
+      |       CAST(SUM(v) AS BIGINT) AS sv
+      |FROM post GROUP BY grp ORDER BY grp""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.sql("CREATE TABLE mtab (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    e.sql("""INSERT INTO mtab
+            |SELECT c_custkey, 'g' || CAST(c_nationkey % 5 AS STRING),
+            |       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+            |FROM customer WHERE c_custkey < 400""".stripMargin)
+    e.sql("""CREATE MATERIALIZED VIEW mm AS
+            |SELECT grp, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n,
+            |       SUM(v) AS sv
+            |FROM mtab GROUP BY grp""".stripMargin)
+    e.sql("""INSERT INTO mtab
+            |SELECT c_custkey, 'g' || CAST(c_nationkey % 5 AS STRING),
+            |       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+            |FROM customer WHERE c_custkey BETWEEN 1000 AND 1099""".stripMargin)
+    e.sql("UPDATE mtab SET v = v + 7 WHERE k >= 1000 AND k % 13 = 0")
+    e.sql("DELETE FROM mtab WHERE k >= 1000 AND k % 17 = 0")
+    e.sql("REFRESH MATERIALIZED VIEW mm INCREMENTALLY")
+    e.sql("SELECT grp, lo, hi, n, sv FROM mm ORDER BY grp")
+  }
+
   /** Streaming-ingest append path (micro-batch → sequenced INSERT
     * events): the same ingestStream call foreachBatch makes, then a
     * temporal read over the streamed log. Oracle = the source rows. */
@@ -1348,7 +1395,7 @@ object EngineSql {
     qSqlAsOfSeq, qSqlAsOfTs, qSqlSystemAll, qSqlBetween, qSqlSnapshot,
     qLifecycleCurrent, qLifecycleAsOf, qTxnLifecycle, qFkLifecycle,
     qStreamIngest, qSqlPassthrough, qSqlView, qMatView, qMatViewInc,
-    qTriggerAudit,
+    qMatViewMinMax, qTriggerAudit,
     qProcCall, qMvccSessions, qConstraints, qSequences, qAutoIncrement,
     qRls, qBackupRestore, qAuditLog, qGrants, qResultCache, qMigrations,
     qMetrics, qVacuumRetain, qDiffTable, qZOrder, qStreamDedup,

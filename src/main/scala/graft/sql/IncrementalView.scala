@@ -13,9 +13,16 @@ import org.apache.spark.sql.functions._
   * COUNT and SUM are the self-maintainable aggregates: a row's
   * contribution can be subtracted as well as added, so the view merges
   * old-state and new-state contributions of only the TOUCHED rows.
-  * MIN/MAX/AVG are deliberately excluded — under deletes they are not
-  * maintainable from the view output alone (the classic IVM result;
-  * cf. the view-maintenance literature, e.g. Gupta & Mumick's survey).
+  * MIN/MAX are not maintainable from the view output alone under
+  * retractions (the classic IVM result; cf. the view-maintenance
+  * literature, e.g. Gupta & Mumick's survey) — but they ARE
+  * maintainable while every touched pk is NEW since the last horizon
+  * (the append-mostly shape of an accreting corpus): the merge is then
+  * `least`/`greatest(stored, agg over the touched rows' new state)`.
+  * The engine enforces that precondition per refresh with an
+  * emptiness probe on the old-horizon side and falls back to asking
+  * for a full REFRESH when a pre-horizon row was updated or deleted.
+  * AVG stays excluded (derive it from SUM/COUNT in the reader).
   *
   * Exact NULL semantics cost bookkeeping: SUM over a group whose every
   * remaining value is NULL must be NULL, and a group with zero
@@ -37,9 +44,17 @@ object IncrementalView {
   final case class CountStar(alias: String) extends Agg
   final case class CountExpr(e: String, alias: String) extends Agg
   final case class SumExpr(e: String, alias: String) extends Agg
+  final case class MinExpr(e: String, alias: String) extends Agg
+  final case class MaxExpr(e: String, alias: String) extends Agg
 
   final case class Shape(table: String, where: Option[String],
-      groupCols: Seq[String], aggs: Seq[Agg])
+      groupCols: Seq[String], aggs: Seq[Agg]) {
+    /** MIN/MAX carry the extra maintenance precondition (see merge). */
+    def hasMinMax: Boolean = aggs.exists {
+      case _: MinExpr | _: MaxExpr => true
+      case _ => false
+    }
+  }
 
   val RowsCol = "__graft_rows"
   def supportCol(alias: String): String = s"__graft_n_$alias"
@@ -50,6 +65,8 @@ object IncrementalView {
   private val CountStarRe = """(?is)^COUNT\s*\(\s*\*\s*\)\s+AS\s+(\w+)$""".r
   private val CountRe = """(?is)^COUNT\s*\((.+)\)\s+AS\s+(\w+)$""".r
   private val SumRe = """(?is)^SUM\s*\((.+)\)\s+AS\s+(\w+)$""".r
+  private val MinRe = """(?is)^MIN\s*\((.+)\)\s+AS\s+(\w+)$""".r
+  private val MaxRe = """(?is)^MAX\s*\((.+)\)\s+AS\s+(\w+)$""".r
   private val IdentRe = """^[\w.]+$""".r
 
   /** Some(shape) iff `sql` is the maintainable form above: one table,
@@ -64,6 +81,8 @@ object IncrementalView {
       val aggs = items.filterNot(IdentRe.matches(_)).map {
         case CountStarRe(a) => CountStar(a)
         case SumRe(e, a) => SumExpr(e.trim, a)
+        case MinRe(e, a) => MinExpr(e.trim, a)
+        case MaxRe(e, a) => MaxExpr(e.trim, a)
         case CountRe(e, a) if e.trim != "*" => CountExpr(e.trim, a)
         case _ => return None
       }
@@ -87,6 +106,8 @@ object IncrementalView {
         case CountStar(a) => count(lit(1)).as(a)
         case CountExpr(e, a) => count(expr(e)).as(a)
         case SumExpr(e, a) => sum(expr(e)).as(a)
+        case MinExpr(e, a) => min(expr(e)).as(a)
+        case MaxExpr(e, a) => max(expr(e)).as(a)
       } ++ Seq(count(lit(1)).as(RowsCol)) ++
         shape.aggs.collect { case SumExpr(e, a) =>
           count(expr(e)).as(supportCol(a)) }
@@ -99,7 +120,18 @@ object IncrementalView {
     * touched pks only) contribute −1, `newRows` (current state,
     * touched pks only) +1. Groups whose live row count reaches zero
     * vanish; SUMs whose non-null support reaches zero return to NULL.
-    * One aggregation over O(touched) rows + one join on the view key. */
+    * One aggregation over O(touched) rows + one join on the view key.
+    *
+    * MIN/MAX merge as `least`/`greatest(stored, agg over newRows)` —
+    * exact ONLY under the precondition that `oldRows` is EMPTY (no
+    * touched pk existed at the old horizon): a pre-horizon row's
+    * update or delete could retract the stored extreme, which the
+    * view output cannot undo (the classic IVM non-maintainability of
+    * MIN/MAX under deletes). Tail-local churn is fine — a row
+    * inserted after the horizon and then updated/deleted contributes
+    * only its surviving new-state value. The ENGINE enforces the
+    * precondition with an emptiness probe on `oldRows` before calling
+    * this merge (RefreshMatView INCREMENTALLY). */
   def merge(stored: DataFrame, oldRows: DataFrame, newRows: DataFrame,
       shape: Shape): DataFrame = {
     val storedType = stored.schema.map(f => f.name -> f.dataType).toMap
@@ -111,6 +143,8 @@ object IncrementalView {
           shape.aggs.collect {
             case CountExpr(e, a) => expr(e).isNotNull.as(s"__has_$a")
             case SumExpr(e, a) => expr(e).cast(storedType(a)).as(s"__val_$a")
+            case MinExpr(e, a) => expr(e).cast(storedType(a)).as(s"__val_$a")
+            case MaxExpr(e, a) => expr(e).cast(storedType(a)).as(s"__val_$a")
           }: _*)
     }
     val deltaCols: Seq[Column] =
@@ -123,6 +157,13 @@ object IncrementalView {
             sum(when(col(s"__val_$a").isNotNull, col("__sign")).otherwise(0))
               .as(s"__d_${supportCol(a)}"),
             sum(col(s"__val_$a") * col("__sign")).as(s"__d_$a"))
+          // new-state side only: the emptiness precondition makes the
+          // −1 side vacuous, and guarding on the sign keeps the delta
+          // well-defined even if a caller ever violates it
+          case MinExpr(_, a) => Seq(
+            min(when(col("__sign") === 1, col(s"__val_$a"))).as(s"__d_$a"))
+          case MaxExpr(_, a) => Seq(
+            max(when(col("__sign") === 1, col(s"__val_$a"))).as(s"__d_$a"))
         }.flatten
     val deltas = signed(oldRows, -1).unionByName(signed(newRows, 1))
       .groupBy(shape.groupCols.map(col): _*)
@@ -149,6 +190,13 @@ object IncrementalView {
                 coalesce(col(s"s.$a"), lit(0).cast(storedType(a))) +
                   coalesce(col(s"d.__d_$a"), lit(0).cast(storedType(a))))
               .cast(storedType(a)).as(a)
+          // least/greatest skip NULLs in both Spark and the stored
+          // parquet's NULL-for-all-NULL-group convention, so an
+          // all-NULL stored extreme adopts the delta and vice versa
+          case MinExpr(_, a) =>
+            least(col(s"s.$a"), col(s"d.__d_$a")).cast(storedType(a)).as(a)
+          case MaxExpr(_, a) =>
+            greatest(col(s"s.$a"), col(s"d.__d_$a")).cast(storedType(a)).as(a)
         } ++
         Seq(newRowsCount.cast("long").as(RowsCol)) ++
         shape.aggs.collect { case SumExpr(_, a) =>

@@ -70,4 +70,72 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
     }
     e.close()
   }
+
+  test("random tail-insert workload: MIN/MAX incremental equals full recompute") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    e.sql("""CREATE MATERIALIZED VIEW mm AS
+            |SELECT grp, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n,
+            |       SUM(v) AS sv
+            |FROM t WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
+
+    val rnd = new scala.util.Random(0xBEEF) // deterministic workload
+    var nextKey = 0L
+    // keys inserted since the LAST refresh — the only rows a tail-safe
+    // workload may update or delete before the next refresh
+    val tail = scala.collection.mutable.Set.empty[Long]
+    // live keys behind the horizon (touching one must trip the gate —
+    // a 0-row UPDATE of an already-deleted key emits no event)
+    val preLive = scala.collection.mutable.Set.empty[Long]
+    val groups = Vector("a", "b", "c")
+
+    def freshView(): Set[String] =
+      e.sql("""SELECT grp, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n,
+              |       SUM(v) AS sv
+              |FROM t WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
+        .collect().map(_.toString).toSet
+    def mm(): Set[String] =
+      e.sql("SELECT grp, lo, hi, n, sv FROM mm").collect().map(_.toString).toSet
+
+    for (batch <- 1 to 10) {
+      for (_ <- 0 until (2 + rnd.nextInt(3))) rnd.nextInt(4) match {
+        case 0 | 3 => // insert 1-3 rows: extremes, NULLs, WHERE-excluded
+          val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            nextKey += 1; tail += nextKey
+            val v = rnd.nextInt(5) match {
+              case 0 => "NULL"
+              case 1 => (900 + rnd.nextInt(100)).toString
+              case 2 => (-rnd.nextInt(500)).toString // push MIN down
+              case _ => rnd.nextInt(899).toString
+            }
+            s"($nextKey, '${groups(rnd.nextInt(groups.size))}', $v)"
+          }
+          e.sql(s"INSERT INTO t VALUES ${rows.mkString(", ")}")
+        case 1 if tail.nonEmpty => // tail-local update (allowed)
+          val k = tail.toSeq(rnd.nextInt(tail.size))
+          val v = if (rnd.nextBoolean()) "NULL" else rnd.nextInt(1000).toString
+          e.sql(s"UPDATE t SET v = $v WHERE k = $k")
+        case 2 if tail.nonEmpty => // tail-local delete (allowed)
+          val k = tail.toSeq(rnd.nextInt(tail.size)); tail -= k
+          e.sql(s"DELETE FROM t WHERE k = $k")
+        case _ => ()
+      }
+      // every third batch, also touch a PRE-horizon key first: the
+      // incremental refresh must refuse and a full refresh recover
+      if (batch % 3 == 0 && preLive.nonEmpty) {
+        val k = preLive.toSeq(rnd.nextInt(preLive.size))
+        e.sql(s"UPDATE t SET v = ${rnd.nextInt(899)} WHERE k = $k")
+        val err = intercept[IllegalStateException] {
+          e.sql("REFRESH MATERIALIZED VIEW mm INCREMENTALLY")
+        }
+        assert(err.getMessage.contains("MIN/MAX"), s"batch $batch: $err")
+        e.sql("REFRESH MATERIALIZED VIEW mm")
+      } else {
+        e.sql("REFRESH MATERIALIZED VIEW mm INCREMENTALLY")
+      }
+      assert(mm() === freshView(), s"diverged after batch $batch")
+      preLive ++= tail; tail.clear()
+    }
+    e.close()
+  }
 }

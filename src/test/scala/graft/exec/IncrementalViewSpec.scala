@@ -89,10 +89,10 @@ class IncrementalViewSpec extends AnyFunSuite {
     val e = QueryEngine.scratch(spark)
     e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
     e.sql("INSERT INTO t VALUES (1,'a',10)")
-    // MAX is not self-maintainable under deletes
-    e.sql("CREATE MATERIALIZED VIEW mvmax AS SELECT grp, MAX(v) AS mx FROM t GROUP BY grp")
+    // AVG is not self-maintainable (derive it from SUM/COUNT instead)
+    e.sql("CREATE MATERIALIZED VIEW mvavg AS SELECT grp, AVG(v) AS av FROM t GROUP BY grp")
     val err = intercept[IllegalArgumentException] {
-      e.sql("REFRESH MATERIALIZED VIEW mvmax INCREMENTALLY")
+      e.sql("REFRESH MATERIALIZED VIEW mvavg INCREMENTALLY")
     }
     assert(err.getMessage.contains("not incrementally maintainable"))
 
@@ -122,12 +122,68 @@ class IncrementalViewSpec extends AnyFunSuite {
         s.groupCols == Seq("grp") && s.aggs.size == 2))
     assert(parse("SELECT a, b, COUNT(c) AS n FROM t GROUP BY a, b")
       .exists(_.groupCols == Seq("a", "b")))
-    assert(parse("SELECT grp, MAX(v) AS m FROM t GROUP BY grp").isEmpty)
+    // MIN/MAX parse into the shape (the engine gates their refresh on
+    // the insert-only-touched precondition at refresh time)
+    assert(parse("SELECT grp, MAX(v) AS m FROM t GROUP BY grp")
+      .exists(s => s.hasMinMax && s.aggs.size == 1))
+    assert(parse("SELECT grp, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n " +
+      "FROM t GROUP BY grp").exists(s => s.hasMinMax && s.aggs.size == 3))
     assert(parse("SELECT grp, AVG(v) AS m FROM t GROUP BY grp").isEmpty)
     assert(parse("SELECT grp, COUNT(DISTINCT v) AS m FROM t GROUP BY grp").isEmpty)
     assert(parse("SELECT grp, COUNT(*) AS n FROM t JOIN u ON t.k = u.k GROUP BY grp").isEmpty)
     assert(parse("SELECT COUNT(*) AS n FROM t").isEmpty) // no GROUP BY
     assert(parse("SELECT grp, other, COUNT(*) AS n FROM t GROUP BY grp").isEmpty)
+  }
+
+  test("MIN/MAX maintain under tail inserts; a pre-horizon touch raises") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    e.sql("INSERT INTO t VALUES (1,'a',10), (2,'a',50), (3,'b',30)")
+    e.sql("""CREATE MATERIALIZED VIEW mm AS
+            |SELECT grp, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n,
+            |       SUM(v) AS sv
+            |FROM t GROUP BY grp""".stripMargin)
+    def fresh(): Set[String] =
+      e.sql("""SELECT grp, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n,
+              |       SUM(v) AS sv FROM t GROUP BY grp""".stripMargin)
+        .collect().map(_.toString).toSet
+    def view(): Set[String] =
+      e.sql("SELECT grp, lo, hi, n, sv FROM mm").collect().map(_.toString).toSet
+    assert(view() === fresh())
+
+    // tail inserts: new extremes on both ends, a new group, a NULL
+    e.sql("INSERT INTO t VALUES (4,'a',5), (5,'a',99), (6,'c',7), (7,'b',NULL)")
+    val r = e.sql("REFRESH MATERIALIZED VIEW mm INCREMENTALLY").collect().head
+    assert(r.getString(0) === "refreshed_incremental")
+    assert(view() === fresh())
+
+    // tail-local churn is allowed: rows inserted after THIS horizon may
+    // be updated and even deleted before the next refresh — only their
+    // surviving state contributes
+    e.sql("INSERT INTO t VALUES (8,'c',100), (9,'c',1)")
+    e.sql("UPDATE t SET v = 2 WHERE k = 8") // retracts 100 before it lands
+    e.sql("DELETE FROM t WHERE k = 9")
+    e.sql("REFRESH MATERIALIZED VIEW mm INCREMENTALLY")
+    assert(view() === fresh())
+
+    // a pre-horizon row's update can retract the stored extreme —
+    // INCREMENTALLY must refuse, and the view must stay at its last
+    // refreshed (still-correct-for-then) content
+    val before = view()
+    e.sql("UPDATE t SET v = 0 WHERE k = 5") // k=5 is behind the horizon now
+    val err = intercept[IllegalStateException] {
+      e.sql("REFRESH MATERIALIZED VIEW mm INCREMENTALLY")
+    }
+    assert(err.getMessage.contains("MIN/MAX"), err.getMessage)
+    assert(view() === before)
+    // the documented recovery: full refresh re-anchors, and tail-insert
+    // maintenance resumes from the new horizon
+    e.sql("REFRESH MATERIALIZED VIEW mm")
+    assert(view() === fresh())
+    e.sql("INSERT INTO t VALUES (10,'a',-3)")
+    e.sql("REFRESH MATERIALIZED VIEW mm INCREMENTALLY")
+    assert(view() === fresh())
+    e.close()
   }
 
   test("uncommitted writes of another session never leak into the refresh") {
