@@ -1195,19 +1195,24 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             val stored = spark.read.parquet(catalog.mviewDataPath(name, prev))
             val oldSide = restrict(stateAt(baseT, Some(r)))
             // MIN/MAX merge as least/greatest(stored, new-state agg),
-            // which is exact ONLY when no touched pk existed at the
-            // old horizon (a pre-horizon update/delete could retract
-            // the stored extreme — the classic IVM limit). The probe
-            // is one pruned limit-1 job, paid only by MIN/MAX views;
-            // tail-local churn (insert-then-update/delete since the
-            // horizon) passes, because only surviving new-state rows
-            // contribute.
-            if (sh.hasMinMax && oldSide.limit(1).count() > 0)
+            // which is exact ONLY when no touched pk CONTRIBUTED to
+            // the view at the old horizon (a contributing row's
+            // update/delete could retract the stored extreme — the
+            // classic IVM limit). The probe applies the view's own
+            // WHERE: a touched pre-horizon row the predicate excluded
+            // contributed nothing, so its change lands like a fresh
+            // insert. One pruned limit-1 job, paid only by MIN/MAX
+            // views; tail-local churn (insert-then-update/delete
+            // since the horizon) passes, because only surviving
+            // new-state rows contribute.
+            if (sh.hasMinMax &&
+                sh.where.fold(oldSide)(w => oldSide.where(expr(w)))
+                  .limit(1).count() > 0)
               throw new IllegalStateException(
                 s"$name has MIN/MAX aggregates, which maintain " +
-                  "incrementally only while every row touched since the " +
-                  s"last refresh horizon @SEQ:$r is a NEW row — a " +
-                  "pre-horizon row was updated or deleted, which can " +
+                  "incrementally only while no row touched since the " +
+                  s"last refresh horizon @SEQ:$r was contributing to " +
+                  "the view then — such a row's update or delete can " +
                   "retract the stored extreme. Run a full " +
                   "(non-incremental) REFRESH")
             val merged = IncrementalView.merge(stored, oldSide,

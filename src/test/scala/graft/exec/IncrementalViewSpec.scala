@@ -186,6 +186,40 @@ class IncrementalViewSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("MIN/MAX gate applies the view's WHERE: excluded-row touches maintain") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    // k=2 is excluded by the view's WHERE at creation time
+    e.sql("INSERT INTO t VALUES (1,'a',10), (2,'a',950), (3,'b',30)")
+    e.sql("""CREATE MATERIALIZED VIEW mw AS
+            |SELECT grp, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n
+            |FROM t WHERE v < 900 GROUP BY grp""".stripMargin)
+    def fresh(): Set[String] =
+      e.sql("""SELECT grp, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n
+              |FROM t WHERE v < 900 GROUP BY grp""".stripMargin)
+        .collect().map(_.toString).toSet
+    def view(): Set[String] =
+      e.sql("SELECT grp, lo, hi, n FROM mw").collect().map(_.toString).toSet
+    e.sql("INSERT INTO t VALUES (4,'b',40)")
+    e.sql("REFRESH MATERIALIZED VIEW mw INCREMENTALLY")
+    assert(view() === fresh())
+    // update a PRE-horizon row the WHERE excluded THEN: it contributed
+    // nothing, so its move INTO the view lands like a fresh insert —
+    // the gate must let this maintain incrementally
+    e.sql("UPDATE t SET v = 5 WHERE k = 2")
+    val r = e.sql("REFRESH MATERIALIZED VIEW mw INCREMENTALLY").collect().head
+    assert(r.getString(0) === "refreshed_incremental")
+    assert(view() === fresh())
+    assert(view().exists(_.startsWith("[a,5,")), "moved-in row must set the new MIN")
+    // but a pre-horizon row that WAS contributing still trips the gate
+    e.sql("UPDATE t SET v = 11 WHERE k = 1")
+    val err = intercept[IllegalStateException] {
+      e.sql("REFRESH MATERIALIZED VIEW mw INCREMENTALLY")
+    }
+    assert(err.getMessage.contains("MIN/MAX"), err.getMessage)
+    e.close()
+  }
+
   test("uncommitted writes of another session never leak into the refresh") {
     val e = QueryEngine.scratch(spark)
     e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
