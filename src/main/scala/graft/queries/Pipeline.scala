@@ -1885,7 +1885,8 @@ object Pipeline {
   /** Bloom-filter decontamination (BloomFilterDecontam.decontam): the
     * corpus probes a 15872-bit filter built from the reference set's
     * (doc_id % 53 = 0) distinct 8-gram shingles, k = 3 double-hashed
-    * md5 probes per shingle. The filter rides the Spark plan as ONE
+    * md5 probes per shingle at odd stride h2|1 — each shingle's md5
+    * computed once. The filter rides the Spark plan as ONE
     * array literal — the corpus side has zero joins/shuffles — while
     * the oracle re-derives every bit with portable hex-digit
     * arithmetic and rebuilds the same words via bit_or. False
@@ -1903,7 +1904,7 @@ object Pipeline {
       |         (${duckMd5Int("s", 9)}) AS h2
       |       FROM sh),
       |rp AS (
-      |  SELECT DISTINCT ((h1 + i * h2) % 15872) AS pos
+      |  SELECT DISTINCT ((h1 + i * (h2 | 1)) % 15872) AS pos
       |  FROM hs, unnest(generate_series(0, 2)) AS g(i)
       |  WHERE doc_id % 53 = 0),
       |words AS (
@@ -1911,7 +1912,7 @@ object Pipeline {
       |         bit_or(1::BIGINT << (pos % 62)::INT) AS bits
       |  FROM rp GROUP BY 1),
       |dp AS (
-      |  SELECT doc_id, s, ((h1 + i * h2) % 15872) AS pos
+      |  SELECT doc_id, s, ((h1 + i * (h2 | 1)) % 15872) AS pos
       |  FROM hs, unnest(generate_series(0, 2)) AS g(i)),
       |hit AS (
       |  SELECT dp.doc_id, dp.s,

@@ -71,7 +71,10 @@ object IncrementalView {
 
   /** Some(shape) iff `sql` is the maintainable form above: one table,
     * bare-identifier group columns (select list and GROUP BY must
-    * agree), every aggregate a COUNT/SUM with an alias. */
+    * agree), every aggregate a COUNT/SUM/MIN/MAX with an alias.
+    * MIN/MAX parse into the shape here; their extra refresh-time
+    * precondition (no touched pk was contributing at the old horizon)
+    * is the ENGINE's gate, not the parser's. */
   def parse(sql: String): Option[Shape] = sql match {
     case ShapeRe(selectList, table, where, groupBy) =>
       val items = SqlText.splitTopLevel(selectList).map(_.trim)

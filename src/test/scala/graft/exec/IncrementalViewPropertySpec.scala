@@ -84,9 +84,12 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
     // keys inserted since the LAST refresh — the only rows a tail-safe
     // workload may update or delete before the next refresh
     val tail = scala.collection.mutable.Set.empty[Long]
-    // live keys behind the horizon (touching one must trip the gate —
-    // a 0-row UPDATE of an already-deleted key emits no event)
-    val preLive = scala.collection.mutable.Set.empty[Long]
+    // live keys behind the horizon that CONTRIBUTE to the view there
+    // (touching one must trip the gate — a 0-row UPDATE of a deleted
+    // key emits no event, and the gate deliberately passes keys the
+    // view's WHERE excluded at the horizon: those maintain like fresh
+    // inserts)
+    var preContributing = Set.empty[Long]
     val groups = Vector("a", "b", "c")
 
     def freshView(): Set[String] =
@@ -120,10 +123,11 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
           e.sql(s"DELETE FROM t WHERE k = $k")
         case _ => ()
       }
-      // every third batch, also touch a PRE-horizon key first: the
-      // incremental refresh must refuse and a full refresh recover
-      if (batch % 3 == 0 && preLive.nonEmpty) {
-        val k = preLive.toSeq(rnd.nextInt(preLive.size))
+      // every third batch, also touch a pre-horizon CONTRIBUTING key
+      // first: the incremental refresh must refuse and a full refresh
+      // recover
+      if (batch % 3 == 0 && preContributing.nonEmpty) {
+        val k = preContributing.toSeq(rnd.nextInt(preContributing.size))
         e.sql(s"UPDATE t SET v = ${rnd.nextInt(899)} WHERE k = $k")
         val err = intercept[IllegalStateException] {
           e.sql("REFRESH MATERIALIZED VIEW mm INCREMENTALLY")
@@ -134,7 +138,11 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
         e.sql("REFRESH MATERIALIZED VIEW mm INCREMENTALLY")
       }
       assert(mm() === freshView(), s"diverged after batch $batch")
-      preLive ++= tail; tail.clear()
+      // re-snapshot the contributing set AT the new horizon
+      preContributing = e.sql(
+          "SELECT k FROM t WHERE v IS NULL OR v < 900")
+        .collect().map(_.getLong(0)).toSet
+      tail.clear()
     }
     e.close()
   }

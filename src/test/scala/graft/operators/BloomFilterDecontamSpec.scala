@@ -21,7 +21,7 @@ class BloomFilterDecontamSpec extends AnyFunSuite {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val h1 = java.lang.Long.parseLong(hex.substring(0, 8), 16)
-    val h2 = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+    val h2 = java.lang.Long.parseLong(hex.substring(8, 16), 16) | 1L
     (0 until k).map(i => (h1 + i.toLong * h2) % mBits)
   }
 
