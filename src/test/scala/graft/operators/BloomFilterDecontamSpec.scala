@@ -98,6 +98,37 @@ class BloomFilterDecontamSpec extends AnyFunSuite {
     assert(got(3L) === ((0L, 0L, false)))
   }
 
+  test("random corpora: decontam equals the in-memory reference exactly") {
+    val rnd = new scala.util.Random(42) // deterministic trials
+    for (trial <- 1 to 3) {
+      val vocab = (1 to 25).map(i => s"w$i") // dense: real shingle overlap
+      def doc(): String =
+        (1 to 2 + rnd.nextInt(20)).map(_ => vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      val corpus = (1L to 60L).map(i => i -> doc())
+      val ref = corpus.filter(_._1 % 7 == 0)
+      val (n, mBits, k) = (3, 62 * 6, 2) // tight filter: FPs guaranteed
+      val got = BloomFilterDecontam
+        .decontam(docsDf(corpus), docsDf(ref), n, mBits, k)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+        .toMap
+      val filt = refFilter(ref.flatMap(d => refShingles(d._2, n)).distinct, mBits, k)
+      var fp = 0
+      for ((id, text) <- corpus) {
+        val sh = refShingles(text, n)
+        val hits = sh.count(s => refPositions(s, mBits, k).forall(p =>
+          (filt((p / 62).toInt) >> (p % 62).toInt & 1L) == 1L))
+        assert(got(id) === ((sh.size.toLong, hits.toLong, hits > 0)),
+          s"trial $trial doc $id")
+        val truePos = refShingles(text, n)
+          .count(s => ref.exists(d => refShingles(d._2, n).contains(s)))
+        fp += hits - truePos
+      }
+      assert(fp > 0, s"trial $trial: tight filter should produce false positives")
+    }
+  }
+
   test("the probe plan never shuffles the corpus") {
     val docs = docsDf((1L to 50L).map(i =>
       i -> (1 to 12).map(j => s"t${i}_$j").mkString(" ")))
