@@ -144,7 +144,18 @@ object Dedup {
     * never changes a score, so results are identical to the direct
     * self-join at any scale. The per-doc arrays are bounded by document
     * length; candidates are verified with two hash joins keyed on the
-    * pair ids. */
+    * pair ids.
+    *
+    * Measured A/B (sf0.1 documents, shingle n=3, t=0.5, alternating in
+    * one JVM, 4 rounds): direct median 3.07 s vs prefix 6.49 s with
+    * identical output — the df-capped direct self-join already bounds
+    * every bucket, and the prefix variant's two per-doc windows plus
+    * candidate-distinct + verify joins cost more than they prune on a
+    * natural-vocabulary corpus. The filter stays opt-in for the
+    * adversarial shape it targets: corpora whose capped posting lists
+    * are still fat (many docs sharing mid-frequency tokens), where
+    * pruning collisions to prefixes shrinks the quadratic bucket
+    * work faster than the fixed window cost grows. */
   private def tokenJaccardPairsPrefix(
       tokens0: DataFrame,
       docs: DataFrame,
