@@ -1228,7 +1228,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         case (None, true) =>
           throw new IllegalArgumentException(
             s"$name is not incrementally maintainable: the view must be " +
-              "SELECT <group cols>, COUNT/SUM/MIN/MAX aggregates FROM " +
+              "SELECT <group cols>, COUNT/SUM/AVG/MIN/MAX aggregates FROM " +
               "<engine table> [WHERE ...] GROUP BY <group cols> — run a " +
               "full REFRESH instead")
         case (shapeOpt, false) =>

@@ -368,6 +368,55 @@ object EngineSql {
     e.sql("SELECT grp, lo, hi, n, sv FROM mm ORDER BY grp")
   }
 
+  /** AVG incremental maintenance (round 14): AVG rewrites to hidden
+    * exact SUM/COUNT accumulators in the stored view and the visible
+    * column is always ONE division of them, so an incremental merge
+    * reproduces a full refresh bit-for-bit. The workload churns
+    * PRE-horizon rows too (updates and deletes behind the refresh
+    * horizon) — AVG is fully self-maintainable, unlike MIN/MAX, so no
+    * gate applies. NULL inputs drop from the hidden count; cents are
+    * exact BIGINTs (`FLOOR(x*100 + 0.5)`), so the surfaced double is a
+    * single IEEE division of exact integers — deterministic across
+    * engines (the oracle states the same SUM/COUNT division). */
+  val qMatViewAvg = Q(
+    "q_matview_avg",
+    """WITH src AS (
+      |  SELECT c_custkey AS k,
+      |         'g' || CAST(c_nationkey % 4 AS VARCHAR) AS grp,
+      |         CASE WHEN c_custkey % 7 = 0 THEN NULL
+      |              ELSE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) END AS v
+      |  FROM customer
+      |  WHERE c_custkey < 400 OR c_custkey BETWEEN 1000 AND 1099),
+      |post AS (
+      |  SELECT k, grp,
+      |         CASE WHEN k % 11 = 0 THEN v + 3 ELSE v END AS v
+      |  FROM src WHERE k % 13 <> 0)
+      |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(COUNT(v) AS BIGINT) AS nv,
+      |       CAST(SUM(v) AS DOUBLE) / COUNT(v) AS av
+      |FROM post GROUP BY grp ORDER BY grp""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.sql("CREATE TABLE atab (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    e.sql("""INSERT INTO atab
+            |SELECT c_custkey, 'g' || CAST(c_nationkey % 4 AS STRING),
+            |       CASE WHEN c_custkey % 7 = 0 THEN NULL
+            |            ELSE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) END
+            |FROM customer WHERE c_custkey < 400""".stripMargin)
+    e.sql("""CREATE MATERIALIZED VIEW va AS
+            |SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, AVG(v) AS av
+            |FROM atab GROUP BY grp""".stripMargin)
+    e.sql("""INSERT INTO atab
+            |SELECT c_custkey, 'g' || CAST(c_nationkey % 4 AS STRING),
+            |       CASE WHEN c_custkey % 7 = 0 THEN NULL
+            |            ELSE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) END
+            |FROM customer WHERE c_custkey BETWEEN 1000 AND 1099""".stripMargin)
+    e.sql("UPDATE atab SET v = v + 3 WHERE k % 11 = 0")
+    e.sql("DELETE FROM atab WHERE k % 13 = 0")
+    e.sql("REFRESH MATERIALIZED VIEW va INCREMENTALLY")
+    e.sql("SELECT grp, n, nv, av FROM va ORDER BY grp")
+  }
+
   /** Streaming-ingest append path (micro-batch → sequenced INSERT
     * events): the same ingestStream call foreachBatch makes, then a
     * temporal read over the streamed log. Oracle = the source rows. */
@@ -1395,7 +1444,7 @@ object EngineSql {
     qSqlAsOfSeq, qSqlAsOfTs, qSqlSystemAll, qSqlBetween, qSqlSnapshot,
     qLifecycleCurrent, qLifecycleAsOf, qTxnLifecycle, qFkLifecycle,
     qStreamIngest, qSqlPassthrough, qSqlView, qMatView, qMatViewInc,
-    qMatViewMinMax, qTriggerAudit,
+    qMatViewMinMax, qMatViewAvg, qTriggerAudit,
     qProcCall, qMvccSessions, qConstraints, qSequences, qAutoIncrement,
     qRls, qBackupRestore, qAuditLog, qGrants, qResultCache, qMigrations,
     qMetrics, qVacuumRetain, qDiffTable, qZOrder, qStreamDedup,

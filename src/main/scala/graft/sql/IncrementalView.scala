@@ -7,12 +7,22 @@ import org.apache.spark.sql.functions._
   * view shape that maintains EXACTLY under inserts, updates and
   * deletes:
   *
-  *   SELECT g1, ..., gk, COUNT(*) AS a, COUNT(e) AS b, SUM(e) AS c, ...
+  *   SELECT g1, ..., gk, COUNT(*) AS a, COUNT(e) AS b, SUM(e) AS c,
+  *          AVG(e) AS d, ...
   *   FROM <engine table> [WHERE <pred>] GROUP BY g1, ..., gk
   *
   * COUNT and SUM are the self-maintainable aggregates: a row's
   * contribution can be subtracted as well as added, so the view merges
   * old-state and new-state contributions of only the TOUCHED rows.
+  * AVG maintains through the standard SUM/COUNT rewrite: the stored
+  * parquet carries hidden `__graft_s_<alias>` (sum) and
+  * `__graft_n_<alias>` (non-null count) accumulators and the visible
+  * column is ALWAYS one division of those — CREATE, full REFRESH and
+  * the incremental merge all evaluate the identical `sum / count`
+  * expression over identical types, so incremental and full outputs
+  * agree bit-for-bit (integer/decimal sums are exact; the division is
+  * a single deterministic op — never Spark's order-dependent running
+  * double average).
   * MIN/MAX are not maintainable from the view output alone under
   * retractions (the classic IVM result; cf. the view-maintenance
   * literature, e.g. Gupta & Mumick's survey) — but they ARE
@@ -22,7 +32,6 @@ import org.apache.spark.sql.functions._
   * The engine enforces that precondition per refresh with an
   * emptiness probe on the old-horizon side and falls back to asking
   * for a full REFRESH when a pre-horizon row was updated or deleted.
-  * AVG stays excluded (derive it from SUM/COUNT in the reader).
   *
   * Exact NULL semantics cost bookkeeping: SUM over a group whose every
   * remaining value is NULL must be NULL, and a group with zero
@@ -44,6 +53,7 @@ object IncrementalView {
   final case class CountStar(alias: String) extends Agg
   final case class CountExpr(e: String, alias: String) extends Agg
   final case class SumExpr(e: String, alias: String) extends Agg
+  final case class AvgExpr(e: String, alias: String) extends Agg
   final case class MinExpr(e: String, alias: String) extends Agg
   final case class MaxExpr(e: String, alias: String) extends Agg
 
@@ -58,6 +68,7 @@ object IncrementalView {
 
   val RowsCol = "__graft_rows"
   def supportCol(alias: String): String = s"__graft_n_$alias"
+  def avgSumCol(alias: String): String = s"__graft_s_$alias"
   def hidden(c: String): Boolean = c.startsWith("__graft_")
 
   private val ShapeRe =
@@ -65,13 +76,14 @@ object IncrementalView {
   private val CountStarRe = """(?is)^COUNT\s*\(\s*\*\s*\)\s+AS\s+(\w+)$""".r
   private val CountRe = """(?is)^COUNT\s*\((.+)\)\s+AS\s+(\w+)$""".r
   private val SumRe = """(?is)^SUM\s*\((.+)\)\s+AS\s+(\w+)$""".r
+  private val AvgRe = """(?is)^AVG\s*\((.+)\)\s+AS\s+(\w+)$""".r
   private val MinRe = """(?is)^MIN\s*\((.+)\)\s+AS\s+(\w+)$""".r
   private val MaxRe = """(?is)^MAX\s*\((.+)\)\s+AS\s+(\w+)$""".r
   private val IdentRe = """^[\w.]+$""".r
 
   /** Some(shape) iff `sql` is the maintainable form above: one table,
     * bare-identifier group columns (select list and GROUP BY must
-    * agree), every aggregate a COUNT/SUM/MIN/MAX with an alias.
+    * agree), every aggregate a COUNT/SUM/AVG/MIN/MAX with an alias.
     * MIN/MAX parse into the shape here; their extra refresh-time
     * precondition (no touched pk was contributing at the old horizon)
     * is the ENGINE's gate, not the parser's. */
@@ -84,6 +96,7 @@ object IncrementalView {
       val aggs = items.filterNot(IdentRe.matches(_)).map {
         case CountStarRe(a) => CountStar(a)
         case SumRe(e, a) => SumExpr(e.trim, a)
+        case AvgRe(e, a) => AvgExpr(e.trim, a)
         case MinRe(e, a) => MinExpr(e.trim, a)
         case MaxRe(e, a) => MaxExpr(e.trim, a)
         case CountRe(e, a) if e.trim != "*" => CountExpr(e.trim, a)
@@ -109,11 +122,22 @@ object IncrementalView {
         case CountStar(a) => count(lit(1)).as(a)
         case CountExpr(e, a) => count(expr(e)).as(a)
         case SumExpr(e, a) => sum(expr(e)).as(a)
+        // NOT Spark's avg(): its running double accumulation is
+        // partition-order-dependent for non-decimal input, so the
+        // incremental merge could never reproduce it bit-for-bit. One
+        // division of the exact sum/count accumulators is
+        // deterministic, and the merge evaluates the identical
+        // expression over the identical types.
+        case AvgExpr(e, a) => (sum(expr(e)) / count(expr(e))).as(a)
         case MinExpr(e, a) => min(expr(e)).as(a)
         case MaxExpr(e, a) => max(expr(e)).as(a)
       } ++ Seq(count(lit(1)).as(RowsCol)) ++
-        shape.aggs.collect { case SumExpr(e, a) =>
-          count(expr(e)).as(supportCol(a)) }
+        shape.aggs.flatMap {
+          case SumExpr(e, a) => Seq(count(expr(e)).as(supportCol(a)))
+          case AvgExpr(e, a) => Seq(sum(expr(e)).as(avgSumCol(a)),
+            count(expr(e)).as(supportCol(a)))
+          case _ => Nil
+        }
     base.groupBy(shape.groupCols.map(col): _*)
       .agg(aggCols.head, aggCols.tail: _*)
   }
@@ -146,6 +170,8 @@ object IncrementalView {
           shape.aggs.collect {
             case CountExpr(e, a) => expr(e).isNotNull.as(s"__has_$a")
             case SumExpr(e, a) => expr(e).cast(storedType(a)).as(s"__val_$a")
+            case AvgExpr(e, a) =>
+              expr(e).cast(storedType(avgSumCol(a))).as(s"__val_$a")
             case MinExpr(e, a) => expr(e).cast(storedType(a)).as(s"__val_$a")
             case MaxExpr(e, a) => expr(e).cast(storedType(a)).as(s"__val_$a")
           }: _*)
@@ -160,6 +186,10 @@ object IncrementalView {
             sum(when(col(s"__val_$a").isNotNull, col("__sign")).otherwise(0))
               .as(s"__d_${supportCol(a)}"),
             sum(col(s"__val_$a") * col("__sign")).as(s"__d_$a"))
+          case AvgExpr(_, a) => Seq(
+            sum(when(col(s"__val_$a").isNotNull, col("__sign")).otherwise(0))
+              .as(s"__d_${supportCol(a)}"),
+            sum(col(s"__val_$a") * col("__sign")).as(s"__d_${avgSumCol(a)}"))
           // new-state side only: the emptiness precondition makes the
           // −1 side vacuous, and guarding on the sign keeps the delta
           // well-defined even if a caller ever violates it
@@ -193,6 +223,20 @@ object IncrementalView {
                 coalesce(col(s"s.$a"), lit(0).cast(storedType(a))) +
                   coalesce(col(s"d.__d_$a"), lit(0).cast(storedType(a))))
               .cast(storedType(a)).as(a)
+          // the SAME division `aggregate` evaluates: merged exact sum
+          // (cast back to the stored accumulator type, so decimal
+          // division resolves to the identical result type) over the
+          // merged non-null count — bit-for-bit what a full refresh
+          // over the same live rows produces
+          case AvgExpr(_, a) =>
+            val st = storedType(avgSumCol(a))
+            val support = coalesce(col(s"s.${supportCol(a)}"), lit(0L)) +
+              coalesce(col(s"d.__d_${supportCol(a)}"), lit(0L))
+            val sumv = (coalesce(col(s"s.${avgSumCol(a)}"), lit(0).cast(st)) +
+              coalesce(col(s"d.__d_${avgSumCol(a)}"), lit(0).cast(st))).cast(st)
+            when(support === 0, lit(null))
+              .otherwise(sumv / support)
+              .cast(storedType(a)).as(a)
           // least/greatest skip NULLs in both Spark and the stored
           // parquet's NULL-for-all-NULL-group convention, so an
           // all-NULL stored extreme adopts the delta and vice versa
@@ -202,10 +246,24 @@ object IncrementalView {
             greatest(col(s"s.$a"), col(s"d.__d_$a")).cast(storedType(a)).as(a)
         } ++
         Seq(newRowsCount.cast("long").as(RowsCol)) ++
-        shape.aggs.collect { case SumExpr(_, a) =>
-          (coalesce(col(s"s.${supportCol(a)}"), lit(0L)) +
-            coalesce(col(s"d.__d_${supportCol(a)}"), lit(0L)))
-            .cast("long").as(supportCol(a)) }
+        shape.aggs.flatMap {
+          case SumExpr(_, a) => Seq(
+            (coalesce(col(s"s.${supportCol(a)}"), lit(0L)) +
+              coalesce(col(s"d.__d_${supportCol(a)}"), lit(0L)))
+              .cast("long").as(supportCol(a)))
+          case AvgExpr(_, a) =>
+            val st = storedType(avgSumCol(a))
+            val support = coalesce(col(s"s.${supportCol(a)}"), lit(0L)) +
+              coalesce(col(s"d.__d_${supportCol(a)}"), lit(0L))
+            Seq(
+              when(support === 0, lit(null))
+                .otherwise(
+                  coalesce(col(s"s.${avgSumCol(a)}"), lit(0).cast(st)) +
+                    coalesce(col(s"d.__d_${avgSumCol(a)}"), lit(0).cast(st)))
+                .cast(st).as(avgSumCol(a)),
+              support.cast("long").as(supportCol(a)))
+          case _ => Nil
+        }
     s.join(d, joinCond, "full_outer")
       .select(outCols: _*)
       .where(col(RowsCol) > 0)

@@ -18,7 +18,8 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
     val e = QueryEngine.scratch(spark)
     e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
     e.sql("""CREATE MATERIALIZED VIEW mv AS
-            |SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv
+            |SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv,
+            |       AVG(v) AS av
             |FROM t WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
 
     val rnd = new scala.util.Random(0xC0FFEE) // deterministic workload
@@ -26,12 +27,16 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
     var nextKey = 0L
     val groups = Vector("a", "b", "c", "d")
 
+    // the from-scratch AVG is stated as SUM/COUNT — the view's own
+    // storage contract (one division of exact accumulators), which a
+    // merged refresh must reproduce bit-for-bit
     def freshView(): Set[String] =
-      e.sql("""SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv
+      e.sql("""SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv,
+              |       SUM(v) / COUNT(v) AS av
               |FROM t WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
         .collect().map(_.toString).toSet
     def mv(): Set[String] =
-      e.sql("SELECT grp, n, nv, sv FROM mv").collect().map(_.toString).toSet
+      e.sql("SELECT grp, n, nv, sv, av FROM mv").collect().map(_.toString).toSet
 
     for (batch <- 1 to 12) {
       // 2-5 random statements per batch

@@ -89,10 +89,13 @@ class IncrementalViewSpec extends AnyFunSuite {
     val e = QueryEngine.scratch(spark)
     e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
     e.sql("INSERT INTO t VALUES (1,'a',10)")
-    // AVG is not self-maintainable (derive it from SUM/COUNT instead)
-    e.sql("CREATE MATERIALIZED VIEW mvavg AS SELECT grp, AVG(v) AS av FROM t GROUP BY grp")
+    // DISTINCT inside an aggregate is not self-maintainable (a
+    // retracted value may or may not still be contributed by another
+    // live row, which the view output cannot tell)
+    e.sql("""CREATE MATERIALIZED VIEW mvdist AS
+            |SELECT grp, COUNT(DISTINCT v) AS dv FROM t GROUP BY grp""".stripMargin)
     val err = intercept[IllegalArgumentException] {
-      e.sql("REFRESH MATERIALIZED VIEW mvavg INCREMENTALLY")
+      e.sql("REFRESH MATERIALIZED VIEW mvdist INCREMENTALLY")
     }
     assert(err.getMessage.contains("not incrementally maintainable"))
 
@@ -128,11 +131,55 @@ class IncrementalViewSpec extends AnyFunSuite {
       .exists(s => s.hasMinMax && s.aggs.size == 1))
     assert(parse("SELECT grp, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n " +
       "FROM t GROUP BY grp").exists(s => s.hasMinMax && s.aggs.size == 3))
-    assert(parse("SELECT grp, AVG(v) AS m FROM t GROUP BY grp").isEmpty)
+    // AVG maintains through the hidden SUM/COUNT rewrite
+    assert(parse("SELECT grp, AVG(v) AS m FROM t GROUP BY grp")
+      .exists(s => !s.hasMinMax && s.aggs.size == 1))
+    assert(parse("SELECT grp, AVG(DISTINCT v) AS m FROM t GROUP BY grp").isEmpty)
     assert(parse("SELECT grp, COUNT(DISTINCT v) AS m FROM t GROUP BY grp").isEmpty)
     assert(parse("SELECT grp, COUNT(*) AS n FROM t JOIN u ON t.k = u.k GROUP BY grp").isEmpty)
     assert(parse("SELECT COUNT(*) AS n FROM t").isEmpty) // no GROUP BY
     assert(parse("SELECT grp, other, COUNT(*) AS n FROM t GROUP BY grp").isEmpty)
+  }
+
+  test("AVG maintains exactly via the hidden SUM/COUNT rewrite") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("""CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING,
+            |v BIGINT, d DECIMAL(12,2))""".stripMargin)
+    e.sql("""INSERT INTO t VALUES (1,'a',10,1.25), (2,'a',21,2.50),
+            |(3,'b',30,NULL), (4,'b',NULL,4.75)""".stripMargin)
+    e.sql("""CREATE MATERIALIZED VIEW va AS
+            |SELECT grp, AVG(v) AS av, AVG(d) AS ad, COUNT(*) AS n
+            |FROM t GROUP BY grp""".stripMargin)
+    def fresh(): Set[String] =
+      e.sql("""SELECT grp, SUM(v) / COUNT(v) AS av, SUM(d) / COUNT(d) AS ad,
+              |COUNT(*) AS n FROM t GROUP BY grp""".stripMargin)
+        .collect().map(_.toString).toSet
+    def view(): Set[String] =
+      e.sql("SELECT grp, av, ad, n FROM va").collect().map(_.toString).toSet
+    assert(view() === fresh())
+    assert(!e.sql("SELECT * FROM va").columns.exists(_.startsWith("__graft_")))
+
+    // inserts (incl. a NULL and a fresh group), a value update, a
+    // cross-group move, and a delete — the merged division must equal
+    // the from-scratch one bit-for-bit (exact integer/decimal sums)
+    e.sql("INSERT INTO t VALUES (5,'c',7,0.10), (6,'a',NULL,NULL)")
+    e.sql("UPDATE t SET v = 13 WHERE k = 1")
+    e.sql("UPDATE t SET grp = 'b' WHERE k = 2")
+    e.sql("DELETE FROM t WHERE k = 3")
+    val r = e.sql("REFRESH MATERIALIZED VIEW va INCREMENTALLY").collect().head
+    assert(r.getString(0) === "refreshed_incremental")
+    assert(view() === fresh())
+
+    // NULL out every v in a group: its AVG must return to NULL; then
+    // empty a group entirely: the row must vanish
+    e.sql("UPDATE t SET v = NULL WHERE grp = 'c'")
+    e.sql("DELETE FROM t WHERE grp = 'a'")
+    e.sql("REFRESH MATERIALIZED VIEW va INCREMENTALLY")
+    val after = view()
+    assert(after === fresh())
+    assert(after.exists(_.startsWith("[c,null,")), "all-NULL AVG must be NULL")
+    assert(!after.exists(_.startsWith("[a,")), "emptied group must vanish")
+    e.close()
   }
 
   test("MIN/MAX maintain under tail inserts; a pre-horizon touch raises") {
