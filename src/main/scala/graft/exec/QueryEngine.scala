@@ -1205,16 +1205,17 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             // views; tail-local churn (insert-then-update/delete
             // since the horizon) passes, because only surviving
             // new-state rows contribute.
-            if (sh.hasMinMax &&
+            if (sh.needsAppendGate &&
                 sh.where.fold(oldSide)(w => oldSide.where(expr(w)))
                   .limit(1).count() > 0)
               throw new IllegalStateException(
-                s"$name has MIN/MAX aggregates, which maintain " +
+                s"$name has MIN/MAX or APPROX_COUNT_DISTINCT " +
+                  "aggregates, which maintain " +
                   "incrementally only while no row touched since the " +
                   s"last refresh horizon @SEQ:$r was contributing to " +
                   "the view then — such a row's update or delete can " +
-                  "retract the stored extreme. Run a full " +
-                  "(non-incremental) REFRESH")
+                  "retract the stored extreme or sketched value. Run " +
+                  "a full (non-incremental) REFRESH")
             val merged = IncrementalView.merge(stored, oldSide,
               restrict(stateAt(baseT, Some(horizon))), sh)
             tracer.span("mview-write") {
@@ -1228,7 +1229,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         case (None, true) =>
           throw new IllegalArgumentException(
             s"$name is not incrementally maintainable: the view must be " +
-              "SELECT <group cols>, COUNT/SUM/AVG/MIN/MAX aggregates FROM " +
+              "SELECT <group cols>, COUNT/SUM/AVG/APPROX_COUNT_DISTINCT/" +
+              "MIN/MAX aggregates FROM " +
               "<engine table> [WHERE ...] GROUP BY <group cols> — run a " +
               "full REFRESH instead")
         case (shapeOpt, false) =>

@@ -417,6 +417,59 @@ object EngineSql {
     e.sql("SELECT grp, n, nv, av FROM va ORDER BY grp")
   }
 
+  /** APPROX_COUNT_DISTINCT incremental maintenance (round 14): the
+    * view stores a hidden mergeable DataSketches HLL sketch and
+    * surfaces its estimate; refresh unions only the touched rows'
+    * new-state sketch (max-per-register — order-free, so the estimate
+    * equals a full refresh exactly) under the same append-mostly gate
+    * as MIN/MAX. The fixture bounds each group's cardinality well
+    * inside the sketch's exact sparse mode, so the estimate equals
+    * COUNT(DISTINCT) — which is what the oracle states (DuckDB has no
+    * DataSketches HLL; the in-engine full-vs-incremental equality is
+    * spec-asserted separately). Tail churn only (update/delete of
+    * rows inserted after the horizon) — a pre-horizon touch would
+    * trip the gate. */
+  val qMatViewAcd = Q(
+    "q_matview_acd",
+    """WITH src AS (
+      |  SELECT c_custkey AS k,
+      |         'g' || CAST(c_nationkey % 4 AS VARCHAR) AS grp,
+      |         CASE WHEN c_custkey % 7 = 0 THEN NULL
+      |              ELSE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) % 500
+      |         END AS v
+      |  FROM customer
+      |  WHERE c_custkey < 400 OR c_custkey BETWEEN 1000 AND 1099),
+      |post AS (
+      |  SELECT k, grp,
+      |         CASE WHEN k >= 1000 AND k % 13 = 0 THEN v + 7 ELSE v END AS v
+      |  FROM src WHERE NOT (k >= 1000 AND k % 17 = 0))
+      |SELECT grp, CAST(COUNT(DISTINCT v) AS BIGINT) AS dv,
+      |       CAST(COUNT(*) AS BIGINT) AS n
+      |FROM post GROUP BY grp ORDER BY grp""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.sql("CREATE TABLE ctab (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    e.sql("""INSERT INTO ctab
+            |SELECT c_custkey, 'g' || CAST(c_nationkey % 4 AS STRING),
+            |       CASE WHEN c_custkey % 7 = 0 THEN NULL
+            |            ELSE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) % 500
+            |       END
+            |FROM customer WHERE c_custkey < 400""".stripMargin)
+    e.sql("""CREATE MATERIALIZED VIEW vcd AS
+            |SELECT grp, APPROX_COUNT_DISTINCT(v) AS dv, COUNT(*) AS n
+            |FROM ctab GROUP BY grp""".stripMargin)
+    e.sql("""INSERT INTO ctab
+            |SELECT c_custkey, 'g' || CAST(c_nationkey % 4 AS STRING),
+            |       CASE WHEN c_custkey % 7 = 0 THEN NULL
+            |            ELSE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) % 500
+            |       END
+            |FROM customer WHERE c_custkey BETWEEN 1000 AND 1099""".stripMargin)
+    e.sql("UPDATE ctab SET v = v + 7 WHERE k >= 1000 AND k % 13 = 0")
+    e.sql("DELETE FROM ctab WHERE k >= 1000 AND k % 17 = 0")
+    e.sql("REFRESH MATERIALIZED VIEW vcd INCREMENTALLY")
+    e.sql("SELECT grp, dv, n FROM vcd ORDER BY grp")
+  }
+
   /** Streaming-ingest append path (micro-batch → sequenced INSERT
     * events): the same ingestStream call foreachBatch makes, then a
     * temporal read over the streamed log. Oracle = the source rows. */
@@ -1444,7 +1497,7 @@ object EngineSql {
     qSqlAsOfSeq, qSqlAsOfTs, qSqlSystemAll, qSqlBetween, qSqlSnapshot,
     qLifecycleCurrent, qLifecycleAsOf, qTxnLifecycle, qFkLifecycle,
     qStreamIngest, qSqlPassthrough, qSqlView, qMatView, qMatViewInc,
-    qMatViewMinMax, qMatViewAvg, qTriggerAudit,
+    qMatViewMinMax, qMatViewAvg, qMatViewAcd, qTriggerAudit,
     qProcCall, qMvccSessions, qConstraints, qSequences, qAutoIncrement,
     qRls, qBackupRestore, qAuditLog, qGrants, qResultCache, qMigrations,
     qMetrics, qVacuumRetain, qDiffTable, qZOrder, qStreamDedup,

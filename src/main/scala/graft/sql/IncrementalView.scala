@@ -32,6 +32,19 @@ import org.apache.spark.sql.functions._
   * The engine enforces that precondition per refresh with an
   * emptiness probe on the old-horizon side and falls back to asking
   * for a full REFRESH when a pre-horizon row was updated or deleted.
+  * APPROX_COUNT_DISTINCT shares that gate: the view stores a hidden
+  * mergeable DataSketches HLL sketch (`__graft_hll_<alias>`) and the
+  * visible column is its estimate; inserts union into the sketch
+  * (max-per-register — commutative and order-free, so the ESTIMATE of
+  * an incremental union equals the full-refresh estimate exactly,
+  * even though serialized sketch BYTES are partition-order-dependent),
+  * but a sketch cannot retract a value, hence the append-mostly
+  * precondition. This is the one aggregate here whose maintainable
+  * form differs from the full-rerun form: non-maintainable views
+  * evaluate APPROX_COUNT_DISTINCT with Spark's HLL++ while this shape
+  * uses the DataSketches HLL (the mergeable-state requirement);
+  * both are approximate by contract, and small cardinalities sit in
+  * the sketch's exact sparse mode.
   *
   * Exact NULL semantics cost bookkeeping: SUM over a group whose every
   * remaining value is NULL must be NULL, and a group with zero
@@ -56,12 +69,14 @@ object IncrementalView {
   final case class AvgExpr(e: String, alias: String) extends Agg
   final case class MinExpr(e: String, alias: String) extends Agg
   final case class MaxExpr(e: String, alias: String) extends Agg
+  final case class AcdExpr(e: String, alias: String) extends Agg
 
   final case class Shape(table: String, where: Option[String],
       groupCols: Seq[String], aggs: Seq[Agg]) {
-    /** MIN/MAX carry the extra maintenance precondition (see merge). */
-    def hasMinMax: Boolean = aggs.exists {
-      case _: MinExpr | _: MaxExpr => true
+    /** MIN/MAX and APPROX_COUNT_DISTINCT carry the extra maintenance
+      * precondition (non-retractable state; see merge). */
+    def needsAppendGate: Boolean = aggs.exists {
+      case _: MinExpr | _: MaxExpr | _: AcdExpr => true
       case _ => false
     }
   }
@@ -69,6 +84,7 @@ object IncrementalView {
   val RowsCol = "__graft_rows"
   def supportCol(alias: String): String = s"__graft_n_$alias"
   def avgSumCol(alias: String): String = s"__graft_s_$alias"
+  def sketchCol(alias: String): String = s"__graft_hll_$alias"
   def hidden(c: String): Boolean = c.startsWith("__graft_")
 
   private val ShapeRe =
@@ -77,16 +93,19 @@ object IncrementalView {
   private val CountRe = """(?is)^COUNT\s*\((.+)\)\s+AS\s+(\w+)$""".r
   private val SumRe = """(?is)^SUM\s*\((.+)\)\s+AS\s+(\w+)$""".r
   private val AvgRe = """(?is)^AVG\s*\((.+)\)\s+AS\s+(\w+)$""".r
+  private val AcdRe =
+    """(?is)^APPROX_COUNT_DISTINCT\s*\((.+)\)\s+AS\s+(\w+)$""".r
   private val MinRe = """(?is)^MIN\s*\((.+)\)\s+AS\s+(\w+)$""".r
   private val MaxRe = """(?is)^MAX\s*\((.+)\)\s+AS\s+(\w+)$""".r
   private val IdentRe = """^[\w.]+$""".r
 
   /** Some(shape) iff `sql` is the maintainable form above: one table,
     * bare-identifier group columns (select list and GROUP BY must
-    * agree), every aggregate a COUNT/SUM/AVG/MIN/MAX with an alias.
-    * MIN/MAX parse into the shape here; their extra refresh-time
-    * precondition (no touched pk was contributing at the old horizon)
-    * is the ENGINE's gate, not the parser's. */
+    * agree), every aggregate a COUNT/SUM/AVG/APPROX_COUNT_DISTINCT/
+    * MIN/MAX with an alias. MIN/MAX and APPROX_COUNT_DISTINCT parse
+    * into the shape here; their extra refresh-time precondition (no
+    * touched pk was contributing at the old horizon) is the ENGINE's
+    * gate, not the parser's. */
   def parse(sql: String): Option[Shape] = sql match {
     case ShapeRe(selectList, table, where, groupBy) =>
       val items = SqlText.splitTopLevel(selectList).map(_.trim)
@@ -97,6 +116,7 @@ object IncrementalView {
         case CountStarRe(a) => CountStar(a)
         case SumRe(e, a) => SumExpr(e.trim, a)
         case AvgRe(e, a) => AvgExpr(e.trim, a)
+        case AcdRe(e, a) => AcdExpr(e.trim, a)
         case MinRe(e, a) => MinExpr(e.trim, a)
         case MaxRe(e, a) => MaxExpr(e.trim, a)
         case CountRe(e, a) if e.trim != "*" => CountExpr(e.trim, a)
@@ -106,8 +126,11 @@ object IncrementalView {
       // exposes its own grouping keys) and there must be something to
       // maintain
       if (bare.sorted != gcols.sorted || aggs.isEmpty) None
-      // DISTINCT inside an aggregate is not self-maintainable
-      else if (items.exists(_.toUpperCase.contains("DISTINCT"))) None
+      // DISTINCT inside an aggregate (the keyword after the paren —
+      // NOT the APPROX_COUNT_DISTINCT function name) is not
+      // self-maintainable
+      else if (items.exists(i =>
+        """(?is)\(\s*DISTINCT\b""".r.findFirstIn(i).isDefined)) None
       else Some(Shape(table, Option(where).map(_.trim), bare, aggs))
     case _ => None
   }
@@ -129,6 +152,11 @@ object IncrementalView {
         // deterministic, and the merge evaluates the identical
         // expression over the identical types.
         case AvgExpr(e, a) => (sum(expr(e)) / count(expr(e))).as(a)
+        // the estimate of the hidden mergeable sketch — never Spark's
+        // HLL++ approx_count_distinct, whose state the merge could not
+        // union
+        case AcdExpr(e, a) =>
+          hll_sketch_estimate(hll_sketch_agg(expr(e))).as(a)
         case MinExpr(e, a) => min(expr(e)).as(a)
         case MaxExpr(e, a) => max(expr(e)).as(a)
       } ++ Seq(count(lit(1)).as(RowsCol)) ++
@@ -136,6 +164,7 @@ object IncrementalView {
           case SumExpr(e, a) => Seq(count(expr(e)).as(supportCol(a)))
           case AvgExpr(e, a) => Seq(sum(expr(e)).as(avgSumCol(a)),
             count(expr(e)).as(supportCol(a)))
+          case AcdExpr(e, a) => Seq(hll_sketch_agg(expr(e)).as(sketchCol(a)))
           case _ => Nil
         }
     base.groupBy(shape.groupCols.map(col): _*)
@@ -172,6 +201,9 @@ object IncrementalView {
             case SumExpr(e, a) => expr(e).cast(storedType(a)).as(s"__val_$a")
             case AvgExpr(e, a) =>
               expr(e).cast(storedType(avgSumCol(a))).as(s"__val_$a")
+            // raw value, uncast: sketch identity hashes the input's own
+            // type, which must match what `aggregate` hashed
+            case AcdExpr(e, a) => expr(e).as(s"__val_$a")
             case MinExpr(e, a) => expr(e).cast(storedType(a)).as(s"__val_$a")
             case MaxExpr(e, a) => expr(e).cast(storedType(a)).as(s"__val_$a")
           }: _*)
@@ -190,6 +222,12 @@ object IncrementalView {
             sum(when(col(s"__val_$a").isNotNull, col("__sign")).otherwise(0))
               .as(s"__d_${supportCol(a)}"),
             sum(col(s"__val_$a") * col("__sign")).as(s"__d_${avgSumCol(a)}"))
+          // new-state side only, like MIN/MAX: the emptiness
+          // precondition makes the −1 side vacuous (a sketch cannot
+          // subtract a value)
+          case AcdExpr(_, a) => Seq(
+            hll_sketch_agg(when(col("__sign") === 1, col(s"__val_$a")))
+              .as(s"__d_${sketchCol(a)}"))
           // new-state side only: the emptiness precondition makes the
           // −1 side vacuous, and guarding on the sign keeps the delta
           // well-defined even if a caller ever violates it
@@ -203,6 +241,14 @@ object IncrementalView {
       .agg(deltaCols.head, deltaCols.tail: _*)
     val s = stored.alias("s")
     val d = deltas.alias("d")
+    // union of stored and delta sketches, null-guarded: hll_union
+    // returns NULL when EITHER side is (an untouched group has no
+    // delta; a fresh group has no stored sketch)
+    def mergedSketch(a: String): Column = {
+      val sc = col(s"s.${sketchCol(a)}")
+      val dc = col(s"d.__d_${sketchCol(a)}")
+      when(dc.isNull, sc).when(sc.isNull, dc).otherwise(hll_union(sc, dc))
+    }
     val joinCond = shape.groupCols
       .map(c => col(s"s.$c") <=> col(s"d.$c")).reduce(_ && _)
     val newRowsCount =
@@ -237,6 +283,10 @@ object IncrementalView {
             when(support === 0, lit(null))
               .otherwise(sumv / support)
               .cast(storedType(a)).as(a)
+          // the union's REGISTERS equal the full-refresh sketch's at
+          // any merge order, so the surfaced estimate is identical
+          case AcdExpr(_, a) =>
+            hll_sketch_estimate(mergedSketch(a)).cast(storedType(a)).as(a)
           // least/greatest skip NULLs in both Spark and the stored
           // parquet's NULL-for-all-NULL-group convention, so an
           // all-NULL stored extreme adopts the delta and vice versa
@@ -262,6 +312,7 @@ object IncrementalView {
                     coalesce(col(s"d.__d_${avgSumCol(a)}"), lit(0).cast(st)))
                 .cast(st).as(avgSumCol(a)),
               support.cast("long").as(supportCol(a)))
+          case AcdExpr(_, a) => Seq(mergedSketch(a).as(sketchCol(a)))
           case _ => Nil
         }
     s.join(d, joinCond, "full_outer")

@@ -81,7 +81,7 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
     e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
     e.sql("""CREATE MATERIALIZED VIEW mm AS
             |SELECT grp, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n,
-            |       SUM(v) AS sv
+            |       SUM(v) AS sv, APPROX_COUNT_DISTINCT(v) AS dv
             |FROM t WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
 
     val rnd = new scala.util.Random(0xBEEF) // deterministic workload
@@ -97,13 +97,16 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
     var preContributing = Set.empty[Long]
     val groups = Vector("a", "b", "c")
 
+    // dv is stated as the SAME mergeable-sketch expression the view
+    // stores — union order must never change the estimate
     def freshView(): Set[String] =
       e.sql("""SELECT grp, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n,
-              |       SUM(v) AS sv
+              |       SUM(v) AS sv,
+              |       hll_sketch_estimate(hll_sketch_agg(v)) AS dv
               |FROM t WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
         .collect().map(_.toString).toSet
     def mm(): Set[String] =
-      e.sql("SELECT grp, lo, hi, n, sv FROM mm").collect().map(_.toString).toSet
+      e.sql("SELECT grp, lo, hi, n, sv, dv FROM mm").collect().map(_.toString).toSet
 
     for (batch <- 1 to 10) {
       for (_ <- 0 until (2 + rnd.nextInt(3))) rnd.nextInt(4) match {

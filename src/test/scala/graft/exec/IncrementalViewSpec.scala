@@ -128,14 +128,19 @@ class IncrementalViewSpec extends AnyFunSuite {
     // MIN/MAX parse into the shape (the engine gates their refresh on
     // the insert-only-touched precondition at refresh time)
     assert(parse("SELECT grp, MAX(v) AS m FROM t GROUP BY grp")
-      .exists(s => s.hasMinMax && s.aggs.size == 1))
+      .exists(s => s.needsAppendGate && s.aggs.size == 1))
     assert(parse("SELECT grp, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n " +
-      "FROM t GROUP BY grp").exists(s => s.hasMinMax && s.aggs.size == 3))
+      "FROM t GROUP BY grp").exists(s => s.needsAppendGate && s.aggs.size == 3))
     // AVG maintains through the hidden SUM/COUNT rewrite
     assert(parse("SELECT grp, AVG(v) AS m FROM t GROUP BY grp")
-      .exists(s => !s.hasMinMax && s.aggs.size == 1))
+      .exists(s => !s.needsAppendGate && s.aggs.size == 1))
     assert(parse("SELECT grp, AVG(DISTINCT v) AS m FROM t GROUP BY grp").isEmpty)
     assert(parse("SELECT grp, COUNT(DISTINCT v) AS m FROM t GROUP BY grp").isEmpty)
+    // APPROX_COUNT_DISTINCT is the mergeable-sketch path: gated like
+    // MIN/MAX (a sketch cannot retract), and NOT caught by the
+    // DISTINCT-keyword rejection (that targets `(DISTINCT ...` only)
+    assert(parse("SELECT grp, APPROX_COUNT_DISTINCT(v) AS dv FROM t GROUP BY grp")
+      .exists(s => s.needsAppendGate && s.aggs.size == 1))
     assert(parse("SELECT grp, COUNT(*) AS n FROM t JOIN u ON t.k = u.k GROUP BY grp").isEmpty)
     assert(parse("SELECT COUNT(*) AS n FROM t").isEmpty) // no GROUP BY
     assert(parse("SELECT grp, other, COUNT(*) AS n FROM t GROUP BY grp").isEmpty)
@@ -179,6 +184,53 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(after === fresh())
     assert(after.exists(_.startsWith("[c,null,")), "all-NULL AVG must be NULL")
     assert(!after.exists(_.startsWith("[a,")), "emptied group must vanish")
+    e.close()
+  }
+
+  test("APPROX_COUNT_DISTINCT maintains via sketch union under tail inserts") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    e.sql("INSERT INTO t VALUES (1,'a',10), (2,'a',10), (3,'a',20), (4,'b',NULL)")
+    e.sql("""CREATE MATERIALIZED VIEW vc AS
+            |SELECT grp, APPROX_COUNT_DISTINCT(v) AS dv, COUNT(*) AS n
+            |FROM t GROUP BY grp""".stripMargin)
+    // the estimate must equal the full-refresh estimate — stated as
+    // the SAME sketch expression (small cardinalities sit in the
+    // sketch's exact sparse mode, so it also equals COUNT(DISTINCT))
+    def fresh(): Set[String] =
+      e.sql("""SELECT grp, hll_sketch_estimate(hll_sketch_agg(v)) AS dv,
+              |COUNT(*) AS n FROM t GROUP BY grp""".stripMargin)
+        .collect().map(_.toString).toSet
+    def view(): Set[String] =
+      e.sql("SELECT grp, dv, n FROM vc").collect().map(_.toString).toSet
+    assert(view() === fresh())
+    assert(view().exists(_.startsWith("[a,2,")), "dup values count once")
+    assert(view().exists(_.startsWith("[b,0,")), "all-NULL group estimates 0")
+
+    // tail inserts: duplicate values across the horizon must not
+    // double-count; a fresh group starts its own sketch; tail-local
+    // churn is allowed (only surviving new state unions in)
+    e.sql("INSERT INTO t VALUES (5,'a',10), (6,'a',30), (7,'c',1), (8,'c',2)")
+    e.sql("UPDATE t SET v = 3 WHERE k = 8")
+    e.sql("DELETE FROM t WHERE k = 7")
+    val r = e.sql("REFRESH MATERIALIZED VIEW vc INCREMENTALLY").collect().head
+    assert(r.getString(0) === "refreshed_incremental")
+    assert(view() === fresh())
+    assert(view().exists(_.startsWith("[a,3,")), "cross-horizon dup counted once")
+
+    // a pre-horizon contributing row's touch must trip the gate (the
+    // sketch cannot retract its value)
+    e.sql("UPDATE t SET v = 99 WHERE k = 1")
+    val err = intercept[IllegalStateException] {
+      e.sql("REFRESH MATERIALIZED VIEW vc INCREMENTALLY")
+    }
+    assert(err.getMessage.contains("APPROX_COUNT_DISTINCT"), err.getMessage)
+    // recovery: full refresh re-anchors, maintenance resumes
+    e.sql("REFRESH MATERIALIZED VIEW vc")
+    assert(view() === fresh())
+    e.sql("INSERT INTO t VALUES (9,'b',7)")
+    e.sql("REFRESH MATERIALIZED VIEW vc INCREMENTALLY")
+    assert(view() === fresh())
     e.close()
   }
 
