@@ -106,10 +106,13 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   // the reference keeps the same pair (views.rs:40-123 — is_materialized
   // + materialized_data); our data lives in versioned parquet dirs
   private val mviews = mutable.LinkedHashMap.empty[String, (String, Long)]
-  // incremental-refresh horizon per matview: (base table, last refresh
-  // sequence) — recorded only for views whose SQL is incrementally
-  // maintainable (IncrementalView.parse) over an engine table
-  private val mviewBases = mutable.HashMap.empty[String, (String, Long)]
+  // incremental-refresh horizons per matview: base table -> last
+  // refresh sequence — recorded only for views whose SQL is
+  // incrementally maintainable (IncrementalView.parse/parseJoin) over
+  // engine tables; single-table views carry one entry, join views one
+  // per side (persisted as one `mviewbase` line each, so pre-join
+  // catalogs load unchanged)
+  private val mviewBases = mutable.HashMap.empty[String, Map[String, Long]]
   private val indexes = mutable.LinkedHashMap.empty[String, (String, String)] // idx -> (table, col)
   private val nextSeqs = mutable.HashMap.empty[String, Long] // last assigned sequence
   private val nextColIds = mutable.HashMap.empty[String, Long] // ALTER ADD physical-name counter
@@ -460,13 +463,19 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   }
 
   /** Record the incremental-refresh horizon: the view's data version
-    * reflects the base table's state at exactly `seq`. */
+    * reflects `table`'s state at exactly `seq` (other tables' entries
+    * are kept — a join view anchors one horizon per side). */
   def setMviewBase(name: String, table: String, seq: Long): Unit = {
-    mviewBases(name) = (table, seq)
+    mviewBases(name) = mviewBases.getOrElse(name, Map.empty) + (table -> seq)
     save()
   }
 
-  def mviewBase(name: String): Option[(String, Long)] = mviewBases.get(name)
+  def mviewBase(name: String): Option[(String, Long)] =
+    mviewBases.get(name).flatMap(_.headOption)
+
+  /** All recorded horizons of a view (table -> sequence). */
+  def mviewBaseAll(name: String): Map[String, Long] =
+    mviewBases.getOrElse(name, Map.empty)
 
   def dropView(name: String, ifExists: Boolean = false): Unit = {
     val wasView = views.remove(name).isDefined
@@ -990,7 +999,7 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       sb.append(s"view\t${enc(name)}\t${enc(sql)}\n")
     for ((name, (sql, ver)) <- mviews)
       sb.append(s"mview\t${enc(name)}\t${enc(sql)}\t$ver\n")
-    for ((name, (t, seq)) <- mviewBases)
+    for ((name, m) <- mviewBases; (t, seq) <- m)
       sb.append(s"mviewbase\t${enc(name)}\t${enc(t)}\t$seq\n")
     for ((idx, (t, c)) <- indexes)
       sb.append(s"index\t${enc(idx)}\t${enc(t)}\t${enc(c)}\n")
@@ -1096,7 +1105,8 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
           constraints.getOrElse(dec(n), Nil) :+ Constraint.Check(dec(e))
       case Array("view", n, sql) => views(dec(n)) = dec(sql)
       case Array("mview", n, sql, ver) => mviews(dec(n)) = (dec(sql), ver.toLong)
-      case Array("mviewbase", n, t, seq) => mviewBases(dec(n)) = (dec(t), seq.toLong)
+      case Array("mviewbase", n, t, seq) => mviewBases(dec(n)) =
+        mviewBases.getOrElse(dec(n), Map.empty) + (dec(t) -> seq.toLong)
       case Array("index", i, t, c) => indexes(dec(i)) = (dec(t), dec(c))
       case Array("stream", id, b) => streamBatches(dec(id)) = b.toLong
       case Array("wmark", t, v) => watermarks(dec(t)) = v.toLong

@@ -1126,10 +1126,25 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               .write).mode("overwrite").parquet(catalog.mviewDataPath(name, 0L))
             catalog.createMaterializedView(name, viewSql)
             catalog.setMviewBase(name, sh.table, r)
-          case None =>
-            encrypted(select(viewSql).write).mode("overwrite")
-              .parquet(catalog.mviewDataPath(name, 0L))
-            catalog.createMaterializedView(name, viewSql)
+          case None => joinShapeOf(viewSql) match {
+            case Some(js) =>
+              // maintainable join shape: populate through the same
+              // aliased-join aggregation (hidden columns included) at
+              // pinned sequences of BOTH sides
+              val hs = Seq(js.left, js.right)
+                .map(tn => tn -> catalog.lastSeq(tn)).toMap
+              encrypted(IncrementalView.aggregateJoin(
+                  stateAt(js.left, Some(hs(js.left)).filter(_ > 0)),
+                  stateAt(js.right, Some(hs(js.right)).filter(_ > 0)),
+                  js).write)
+                .mode("overwrite").parquet(catalog.mviewDataPath(name, 0L))
+              catalog.createMaterializedView(name, viewSql)
+              for ((tn, h) <- hs) catalog.setMviewBase(name, tn, h)
+            case None =>
+              encrypted(select(viewSql).write).mode("overwrite")
+                .parquet(catalog.mviewDataPath(name, 0L))
+              catalog.createMaterializedView(name, viewSql)
+          }
         }
         summary("materialized_view_created", 0L, 0L)
       }
@@ -1163,35 +1178,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               s"events since the last refresh horizon @SEQ:$r of $name were " +
                 "vacuumed — run a full (non-incremental) REFRESH")
           if (horizon > r) {
-            val touched = events(t)
-              .where(col("sequence") > r && col("sequence") <= horizon)
-              .select(col("pk")).distinct()
-            // a small touched set inlines TYPED pk values (from the
-            // event payload, not the canonical string pk) so the two
-            // state reads prune their scans by pushdown — the filter
-            // passes through the collapse window because pk is its
-            // partitioning column. Past the cap, the semi join stands:
-            // O(touched) keys at 100 TB can be millions of rows, which
-            // must never collect
-            val touchedTyped: Option[IndexedSeq[Any]] =
-              tracer.span("touched-keys") {
-                // NULLs drop BEFORE the limit(cap+1) overflow probe —
-                // filtered after it, a NULL in the sample would mask
-                // the 257th key and silently restrict the refresh to an
-                // incomplete touched set (the inlineKeyFilter ordering)
-                val ks = events(t)
-                  .where(col("sequence") > r && col("sequence") <= horizon)
-                  .select(col(s"payload.${t.pkPhysical}").as("__k"))
-                  .where(col("__k").isNotNull).distinct()
-                  .limit(InlineKeyCap + 1).collect().map(_.get(0))
-                  .toIndexedSeq
-                if (ks.nonEmpty && ks.length <= InlineKeyCap) Some(ks) else None
-              }
-            def restrict(state: DataFrame): DataFrame = touchedTyped match {
-              case Some(ks) => state.where(col(t.pk).isin(ks: _*))
-              case None => state.join(touched,
-                col(t.pk).cast("string") === touched("pk"), "left_semi")
-            }
+            val restrict = touchedRestrictor(t, r, horizon)
             val stored = spark.read.parquet(catalog.mviewDataPath(name, prev))
             val oldSide = restrict(stateAt(baseT, Some(r)))
             // MIN/MAX merge as least/greatest(stored, new-state agg),
@@ -1226,13 +1213,92 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             catalog.setMviewBase(name, baseT, horizon)
           }
           "refreshed_incremental"
-        case (None, true) =>
-          throw new IllegalArgumentException(
-            s"$name is not incrementally maintainable: the view must be " +
-              "SELECT <group cols>, COUNT/SUM/AVG/APPROX_COUNT_DISTINCT/" +
-              "MIN/MAX aggregates FROM " +
-              "<engine table> [WHERE ...] GROUP BY <group cols> — run a " +
-              "full REFRESH instead")
+        case (None, true) => joinShapeOf(viewSql) match {
+          case Some(js) =>
+            // INCREMENTAL join view: the counting-algorithm delta
+            //   A_new⋈B_new − A_old⋈B_old
+            //     = ΔA⋈B_new + A_new⋈ΔB − ΔA⋈ΔB
+            // over the touched rows of each side — exact under
+            // ARBITRARY updates/deletes (join views carry only
+            // retractable aggregates), so no append gate applies.
+            // Each Δ side is touched-pk-restricted like the
+            // single-table path; each FULL side prunes to the other
+            // delta's join-key values when they inline (≤ cap), so a
+            // small refresh reads only the matching row groups of a
+            // 100 TB partner table instead of scanning it.
+            val bases = catalog.mviewBaseAll(name)
+            val sides = Seq(js.left, js.right)
+            if (!sides.forall(bases.contains))
+              throw new IllegalStateException(
+                s"$name has no recorded refresh horizon — run a full " +
+                  "REFRESH first")
+            for (tn <- sides) {
+              catalog.require(tn)
+              if (catalog.retentionFloor(tn) > bases(tn))
+                throw new IllegalStateException(
+                  s"events since the last refresh horizon " +
+                    s"@SEQ:${bases(tn)} of $name were vacuumed — run a " +
+                    "full (non-incremental) REFRESH")
+            }
+            val horizons = sides.map(tn => tn -> catalog.lastSeq(tn)).toMap
+            if (sides.exists(tn => horizons(tn) > bases(tn))) {
+              // old/new state of the touched pks; an untouched side
+              // contributes an empty delta (its terms vanish)
+              def deltaSides(tn: String): (DataFrame, DataFrame) =
+                if (horizons(tn) <= bases(tn)) {
+                  val empty = stateAt(tn, Some(horizons(tn))).where(lit(false))
+                  (empty, empty)
+                } else {
+                  val restrict =
+                    touchedRestrictor(catalog.require(tn), bases(tn), horizons(tn))
+                  (restrict(stateAt(tn, Some(bases(tn)))),
+                    restrict(stateAt(tn, Some(horizons(tn)))))
+                }
+              val (aOld, aNew) = deltaSides(js.left)
+              val (bOld, bNew) = deltaSides(js.right)
+              // full-side pruning: a term joins the FULL new state of
+              // one side against the other's delta, so only rows whose
+              // join key appears in that delta can contribute — when
+              // the delta's key set inlines, the full scan prunes by
+              // pushdown; an empty key set blanks the side entirely
+              def prunedFull(full: DataFrame, key: String,
+                  dOld: DataFrame, dNew: DataFrame, dKey: String): DataFrame =
+                tracer.span("join-keys") {
+                  val ks = dNew.select(col(dKey)).unionByName(dOld.select(col(dKey)))
+                    .where(col(dKey).isNotNull).distinct()
+                    .limit(InlineKeyCap + 1).collect().map(_.get(0)).toIndexedSeq
+                  if (ks.isEmpty) full.where(lit(false))
+                  else if (ks.length <= InlineKeyCap)
+                    full.where(col(key).isin(ks: _*))
+                  else full
+                }
+              val bFull = prunedFull(stateAt(js.right, Some(horizons(js.right))),
+                js.rightKey, aOld, aNew, js.leftKey)
+              val aFull = prunedFull(stateAt(js.left, Some(horizons(js.left))),
+                js.leftKey, bOld, bNew, js.rightKey)
+              val stored = spark.read.parquet(catalog.mviewDataPath(name, prev))
+              val delta = IncrementalView.joinSignedDelta(js, stored,
+                aOld, aNew, aFull, bOld, bNew, bFull)
+              val merged =
+                IncrementalView.mergeSigned(stored, delta, js.groupCols, js.aggs)
+              tracer.span("mview-write") {
+                encrypted(merged.write).mode("overwrite")
+                  .parquet(catalog.mviewDataPath(name, prev + 1))
+              }
+              catalog.setMviewVersion(name, prev + 1)
+              for (tn <- sides) catalog.setMviewBase(name, tn, horizons(tn))
+            }
+            "refreshed_incremental"
+          case None =>
+            throw new IllegalArgumentException(
+              s"$name is not incrementally maintainable: the view must be " +
+                "SELECT <group cols>, COUNT/SUM/AVG/APPROX_COUNT_DISTINCT/" +
+                "MIN/MAX aggregates FROM " +
+                "<engine table> [WHERE ...] GROUP BY <group cols>, or " +
+                "COUNT/SUM/AVG aggregates FROM <table> JOIN <table> ON " +
+                "<t1>.<col> = <t2>.<col> [WHERE ...] GROUP BY ... — run " +
+                "a full REFRESH instead")
+        }
         case (shapeOpt, false) =>
           // FULL refresh; maintainable shapes re-materialize through the
           // same aggregate (hidden support columns included) at a pinned
@@ -1245,10 +1311,22 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                 .mode("overwrite").parquet(catalog.mviewDataPath(name, prev + 1))
               catalog.setMviewVersion(name, prev + 1)
               catalog.setMviewBase(name, sh.table, horizon)
-            case None =>
-              encrypted(select(viewSql).write).mode("overwrite")
-                .parquet(catalog.mviewDataPath(name, prev + 1))
-              catalog.setMviewVersion(name, prev + 1)
+            case None => joinShapeOf(viewSql) match {
+              case Some(js) =>
+                val hs = Seq(js.left, js.right)
+                  .map(tn => tn -> catalog.lastSeq(tn)).toMap
+                encrypted(IncrementalView.aggregateJoin(
+                    stateAt(js.left, Some(hs(js.left)).filter(_ > 0)),
+                    stateAt(js.right, Some(hs(js.right)).filter(_ > 0)),
+                    js).write)
+                  .mode("overwrite").parquet(catalog.mviewDataPath(name, prev + 1))
+                catalog.setMviewVersion(name, prev + 1)
+                for ((tn, h) <- hs) catalog.setMviewBase(name, tn, h)
+              case None =>
+                encrypted(select(viewSql).write).mode("overwrite")
+                  .parquet(catalog.mviewDataPath(name, prev + 1))
+                catalog.setMviewVersion(name, prev + 1)
+            }
           }
           "refreshed"
       }
@@ -3808,6 +3886,47 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   private def incShapeOf(sql: String): Option[IncrementalView.Shape] =
     IncrementalView.parse(sql)
       .filter(sh => catalog.get(sh.table).exists(_.attached.isEmpty))
+
+  /** Some(shape) iff the SQL is an incrementally maintainable
+    * two-table equi-join view (IncrementalView.parseJoin) whose sides
+    * are both non-attached engine tables of this catalog. */
+  private def joinShapeOf(sql: String): Option[IncrementalView.JoinShape] =
+    IncrementalView.parseJoin(sql)
+      .filter(js => Seq(js.left, js.right).forall(tn =>
+        catalog.get(tn).exists(_.attached.isEmpty)))
+
+  /** A filter restricting a state read to the pks touched in
+    * (r, horizon]. A small touched set inlines TYPED pk values (from
+    * the event payload, not the canonical string pk) so the state
+    * reads prune their scans by pushdown — the filter passes through
+    * the collapse window because pk is its partitioning column. Past
+    * the cap, the semi join stands: O(touched) keys at 100 TB can be
+    * millions of rows, which must never collect. */
+  private def touchedRestrictor(t: TableDef, r: Long, horizon: Long)
+      : DataFrame => DataFrame = {
+    val touched = events(t)
+      .where(col("sequence") > r && col("sequence") <= horizon)
+      .select(col("pk")).distinct()
+    val touchedTyped: Option[IndexedSeq[Any]] =
+      tracer.span("touched-keys") {
+        // NULLs drop BEFORE the limit(cap+1) overflow probe —
+        // filtered after it, a NULL in the sample would mask the
+        // 257th key and silently restrict the refresh to an
+        // incomplete touched set (the inlineKeyFilter ordering)
+        val ks = events(t)
+          .where(col("sequence") > r && col("sequence") <= horizon)
+          .select(col(s"payload.${t.pkPhysical}").as("__k"))
+          .where(col("__k").isNotNull).distinct()
+          .limit(InlineKeyCap + 1).collect().map(_.get(0))
+          .toIndexedSeq
+        if (ks.nonEmpty && ks.length <= InlineKeyCap) Some(ks) else None
+      }
+    state => touchedTyped match {
+      case Some(ks) => state.where(col(t.pk).isin(ks: _*))
+      case None => state.join(touched,
+        col(t.pk).cast("string") === touched("pk"), "left_semi")
+    }
+  }
 
   /** SNAPSHOT/VACUUM/CHECKPOINT TABLE: materialize collapsed state at
     * the current sequence (engine.rs:739-845).

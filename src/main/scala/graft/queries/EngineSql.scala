@@ -470,6 +470,83 @@ object EngineSql {
     e.sql("SELECT grp, dv, n FROM vcd ORDER BY grp")
   }
 
+  /** Incremental JOIN-view maintenance (round 14; [REF-GAP] squared:
+    * the reference refreshes views by full re-run only, and its view
+    * SQL is single-table): a two-table equi-join view maintained by
+    * the three-term counting delta (ΔA⋈B_new + A_new⋈ΔB − ΔA⋈ΔB) —
+    * exact under arbitrary churn on BOTH sides, including pre-horizon
+    * rows (no append gate: COUNT/SUM/AVG all retract). The workload
+    * re-groups dimension rows, updates/deletes facts (orphaning some
+    * against the inner join), deletes dimensions, and appends a second
+    * batch to each side before one INCREMENTALLY refresh. The oracle
+    * recomputes the join aggregate from scratch; cents are exact
+    * BIGINTs and av is one IEEE division of exact integers. */
+  val qMatViewJoin = Q(
+    "q_matview_join",
+    """WITH cd AS (
+      |  SELECT c_custkey AS k,
+      |         CASE WHEN c_custkey % 23 = 0 THEN 'gx'
+      |              ELSE 'g' || CAST(c_nationkey % 5 AS VARCHAR) END AS grp
+      |  FROM customer
+      |  WHERE (c_custkey < 300 OR c_custkey BETWEEN 1000 AND 1099)
+      |    AND c_custkey % 29 <> 0),
+      |fx AS (
+      |  SELECT o_orderkey AS i, o_custkey AS ck,
+      |         CASE WHEN o_orderkey % 11 = 0 THEN NULL
+      |              ELSE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+      |         END AS v0
+      |  FROM orders
+      |  WHERE ((o_orderkey < 2000 AND o_custkey < 300)
+      |      OR (o_orderkey BETWEEN 2000 AND 3999
+      |          AND (o_custkey < 300 OR o_custkey BETWEEN 1000 AND 1099)))
+      |    AND o_orderkey % 17 <> 0),
+      |f2 AS (SELECT i, ck,
+      |       CASE WHEN i % 13 = 0 THEN v0 + 5 ELSE v0 END AS v FROM fx)
+      |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(COUNT(v) AS BIGINT) AS nv,
+      |       CAST(SUM(v) AS BIGINT) AS sv,
+      |       CAST(SUM(v) AS DOUBLE) / COUNT(v) AS av
+      |FROM cd JOIN f2 ON cd.k = f2.ck
+      |GROUP BY grp ORDER BY grp""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.attachExternal("orders", s"$dir/orders.parquet")
+    e.sql("CREATE TABLE cdim (k BIGINT PRIMARY KEY, grp STRING)")
+    e.sql("CREATE TABLE ofact (i BIGINT PRIMARY KEY, ck BIGINT, v BIGINT)")
+    e.sql("""INSERT INTO cdim
+            |SELECT c_custkey, 'g' || CAST(c_nationkey % 5 AS STRING)
+            |FROM customer WHERE c_custkey < 300""".stripMargin)
+    e.sql("""INSERT INTO ofact
+            |SELECT o_orderkey, o_custkey,
+            |       CASE WHEN o_orderkey % 11 = 0 THEN NULL
+            |            ELSE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+            |       END
+            |FROM orders
+            |WHERE o_orderkey < 2000 AND o_custkey < 300""".stripMargin)
+    e.sql("""CREATE MATERIALIZED VIEW jvx AS
+            |SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv,
+            |       AVG(v) AS av
+            |FROM cdim JOIN ofact ON cdim.k = ofact.ck
+            |GROUP BY grp""".stripMargin)
+    e.sql("""INSERT INTO cdim
+            |SELECT c_custkey, 'g' || CAST(c_nationkey % 5 AS STRING)
+            |FROM customer WHERE c_custkey BETWEEN 1000 AND 1099""".stripMargin)
+    e.sql("""INSERT INTO ofact
+            |SELECT o_orderkey, o_custkey,
+            |       CASE WHEN o_orderkey % 11 = 0 THEN NULL
+            |            ELSE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+            |       END
+            |FROM orders
+            |WHERE o_orderkey BETWEEN 2000 AND 3999
+            |  AND (o_custkey < 300 OR o_custkey BETWEEN 1000 AND 1099)""".stripMargin)
+    e.sql("UPDATE cdim SET grp = 'gx' WHERE k % 23 = 0")
+    e.sql("UPDATE ofact SET v = v + 5 WHERE i % 13 = 0")
+    e.sql("DELETE FROM ofact WHERE i % 17 = 0")
+    e.sql("DELETE FROM cdim WHERE k % 29 = 0")
+    e.sql("REFRESH MATERIALIZED VIEW jvx INCREMENTALLY")
+    e.sql("SELECT grp, n, nv, sv, av FROM jvx ORDER BY grp")
+  }
+
   /** Streaming-ingest append path (micro-batch → sequenced INSERT
     * events): the same ingestStream call foreachBatch makes, then a
     * temporal read over the streamed log. Oracle = the source rows. */
@@ -1497,7 +1574,7 @@ object EngineSql {
     qSqlAsOfSeq, qSqlAsOfTs, qSqlSystemAll, qSqlBetween, qSqlSnapshot,
     qLifecycleCurrent, qLifecycleAsOf, qTxnLifecycle, qFkLifecycle,
     qStreamIngest, qSqlPassthrough, qSqlView, qMatView, qMatViewInc,
-    qMatViewMinMax, qMatViewAvg, qMatViewAcd, qTriggerAudit,
+    qMatViewMinMax, qMatViewAvg, qMatViewAcd, qMatViewJoin, qTriggerAudit,
     qProcCall, qMvccSessions, qConstraints, qSequences, qAutoIncrement,
     qRls, qBackupRestore, qAuditLog, qGrants, qResultCache, qMigrations,
     qMetrics, qVacuumRetain, qDiffTable, qZOrder, qStreamDedup,

@@ -81,6 +81,29 @@ object IncrementalView {
     }
   }
 
+  /** Two-table equi-join view shape (round 14):
+    *
+    *   SELECT g1..gk, COUNT/SUM/AVG aggs
+    *   FROM a JOIN b ON a.x = b.y [WHERE p] GROUP BY g1..gk
+    *
+    * Only the RETRACTABLE aggregates: the three-term signed delta
+    * (see joinSignedDelta) subtracts as well as adds, so it is exact
+    * under arbitrary updates/deletes on EITHER side — but MIN/MAX and
+    * sketches cannot retract a joined pair, so they do not parse into
+    * this shape. Table names double as the join aliases; group
+    * columns are bare identifiers that must be unambiguous in the
+    * joined relation (the stored view exposes them unqualified). */
+  final case class JoinShape(left: String, right: String,
+      leftKey: String, rightKey: String, where: Option[String],
+      groupCols: Seq[String], aggs: Seq[Agg]) {
+    def onExpr: String = s"$left.$leftKey = $right.$rightKey"
+    /** The aliased equi-join (+ view WHERE) of two state frames. */
+    def joined(l: DataFrame, r: DataFrame): DataFrame = {
+      val j = l.alias(left).join(r.alias(right), expr(onExpr))
+      where.fold(j)(p => j.where(expr(p)))
+    }
+  }
+
   val RowsCol = "__graft_rows"
   def supportCol(alias: String): String = s"__graft_n_$alias"
   def avgSumCol(alias: String): String = s"__graft_s_$alias"
@@ -135,13 +158,62 @@ object IncrementalView {
     case _ => None
   }
 
+  private val JoinShapeRe =
+    ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+(\w+)\s+(?:INNER\s+)?JOIN\s+""" +
+      """(\w+)\s+ON\s+(\w+)\s*\.\s*(\w+)\s*=\s*(\w+)\s*\.\s*(\w+)""" +
+      """(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+(.+?)\s*;?\s*$""").r
+  private val BareRe = """^\w+$""".r
+
+  /** Some(shape) iff `sql` is the maintainable two-table join form:
+    * one inner equi-join whose ON qualifiers are the table names (in
+    * either order), bare unqualified group columns matching the
+    * select list, and only COUNT/SUM/AVG aggregates (MIN/MAX and
+    * APPROX_COUNT_DISTINCT cannot retract a joined pair — a join view
+    * holding one falls back to full REFRESH). */
+  def parseJoin(sql: String): Option[JoinShape] = sql match {
+    case JoinShapeRe(selectList, lt, rt, q1, c1, q2, c2, where, groupBy) =>
+      // a self-join would collide the table-name aliases
+      if (lt.equalsIgnoreCase(rt)) return None
+      val (lk, rk) =
+        if (q1.equalsIgnoreCase(lt) && q2.equalsIgnoreCase(rt)) (c1, c2)
+        else if (q1.equalsIgnoreCase(rt) && q2.equalsIgnoreCase(lt)) (c2, c1)
+        else return None
+      val items = SqlText.splitTopLevel(selectList).map(_.trim)
+      val gcols = SqlText.splitTopLevel(groupBy).map(_.trim)
+      if (gcols.isEmpty || !gcols.forall(BareRe.matches(_))) return None
+      val bare = items.filter(BareRe.matches(_))
+      val aggs = items.filterNot(BareRe.matches(_)).map {
+        case CountStarRe(a) => CountStar(a)
+        case SumRe(e, a) => SumExpr(e.trim, a)
+        case AvgRe(e, a) => AvgExpr(e.trim, a)
+        case CountRe(e, a) if e.trim != "*" => CountExpr(e.trim, a)
+        case _ => return None
+      }
+      if (bare.sorted != gcols.sorted || aggs.isEmpty) None
+      else if (items.exists(i =>
+        """(?is)\(\s*DISTINCT\b""".r.findFirstIn(i).isDefined)) None
+      else Some(JoinShape(lt, rt, lk, rk,
+        Option(where).map(_.trim), bare, aggs))
+    case _ => None
+  }
+
   /** The view query over a state frame, INCLUDING the hidden support
     * columns — population at CREATE and full REFRESH both use this so
     * the stored schema is always merge-ready. */
-  def aggregate(state: DataFrame, shape: Shape): DataFrame = {
-    val base = shape.where.fold(state)(w => state.where(expr(w)))
+  def aggregate(state: DataFrame, shape: Shape): DataFrame =
+    aggregateFrom(shape.where.fold(state)(w => state.where(expr(w))),
+      shape.groupCols, shape.aggs)
+
+  /** Join-view population: the aliased equi-join of the two tables'
+    * state (+ WHERE), through the same aggregation as `aggregate`. */
+  def aggregateJoin(left: DataFrame, right: DataFrame,
+      shape: JoinShape): DataFrame =
+    aggregateFrom(shape.joined(left, right), shape.groupCols, shape.aggs)
+
+  private def aggregateFrom(base: DataFrame, groupCols: Seq[String],
+      aggs: Seq[Agg]): DataFrame = {
     val aggCols: Seq[Column] =
-      shape.aggs.map {
+      aggs.map {
         case CountStar(a) => count(lit(1)).as(a)
         case CountExpr(e, a) => count(expr(e)).as(a)
         case SumExpr(e, a) => sum(expr(e)).as(a)
@@ -160,16 +232,33 @@ object IncrementalView {
         case MinExpr(e, a) => min(expr(e)).as(a)
         case MaxExpr(e, a) => max(expr(e)).as(a)
       } ++ Seq(count(lit(1)).as(RowsCol)) ++
-        shape.aggs.flatMap {
+        aggs.flatMap {
           case SumExpr(e, a) => Seq(count(expr(e)).as(supportCol(a)))
           case AvgExpr(e, a) => Seq(sum(expr(e)).as(avgSumCol(a)),
             count(expr(e)).as(supportCol(a)))
           case AcdExpr(e, a) => Seq(hll_sketch_agg(expr(e)).as(sketchCol(a)))
           case _ => Nil
         }
-    base.groupBy(shape.groupCols.map(col): _*)
+    base.groupBy(groupCols.map(col): _*)
       .agg(aggCols.head, aggCols.tail: _*)
   }
+
+  /** Per-row contribution columns a signed-delta frame carries for the
+    * delta aggregation (`__has_` null flags, `__val_` cast values). */
+  private def signedVals(aggs: Seq[Agg],
+      storedType: Map[String, org.apache.spark.sql.types.DataType])
+      : Seq[Column] =
+    aggs.collect {
+      case CountExpr(e, a) => expr(e).isNotNull.as(s"__has_$a")
+      case SumExpr(e, a) => expr(e).cast(storedType(a)).as(s"__val_$a")
+      case AvgExpr(e, a) =>
+        expr(e).cast(storedType(avgSumCol(a))).as(s"__val_$a")
+      // raw value, uncast: sketch identity hashes the input's own
+      // type, which must match what `aggregate` hashed
+      case AcdExpr(e, a) => expr(e).as(s"__val_$a")
+      case MinExpr(e, a) => expr(e).cast(storedType(a)).as(s"__val_$a")
+      case MaxExpr(e, a) => expr(e).cast(storedType(a)).as(s"__val_$a")
+    }
 
   /** Merge the stored view with the signed contributions of the
     * touched rows: `oldRows` (state at the last refresh horizon,
@@ -196,21 +285,23 @@ object IncrementalView {
       base.select(
         shape.groupCols.map(col) ++
           Seq(lit(sign).as("__sign")) ++
-          shape.aggs.collect {
-            case CountExpr(e, a) => expr(e).isNotNull.as(s"__has_$a")
-            case SumExpr(e, a) => expr(e).cast(storedType(a)).as(s"__val_$a")
-            case AvgExpr(e, a) =>
-              expr(e).cast(storedType(avgSumCol(a))).as(s"__val_$a")
-            // raw value, uncast: sketch identity hashes the input's own
-            // type, which must match what `aggregate` hashed
-            case AcdExpr(e, a) => expr(e).as(s"__val_$a")
-            case MinExpr(e, a) => expr(e).cast(storedType(a)).as(s"__val_$a")
-            case MaxExpr(e, a) => expr(e).cast(storedType(a)).as(s"__val_$a")
-          }: _*)
+          signedVals(shape.aggs, storedType): _*)
     }
+    mergeSigned(stored, signed(oldRows, -1).unionByName(signed(newRows, 1)),
+      shape.groupCols, shape.aggs)
+  }
+
+  /** The merge core over an already-SIGNED contribution frame
+    * (groupCols + `__sign` ±1 + the `signedVals` columns): aggregate
+    * the signed deltas per group, full-outer-join on the view key,
+    * combine with the stored accumulators. The single-table `merge`
+    * and the join-view delta both land here. */
+  def mergeSigned(stored: DataFrame, signedRows: DataFrame,
+      groupCols: Seq[String], aggs: Seq[Agg]): DataFrame = {
+    val storedType = stored.schema.map(f => f.name -> f.dataType).toMap
     val deltaCols: Seq[Column] =
       Seq(sum(col("__sign")).as(s"__d_$RowsCol")) ++
-        shape.aggs.collect {
+        aggs.collect {
           case CountExpr(_, a) => Seq(
             sum(when(col(s"__has_$a"), col("__sign")).otherwise(0))
               .as(s"__d_$a"))
@@ -236,8 +327,8 @@ object IncrementalView {
           case MaxExpr(_, a) => Seq(
             max(when(col("__sign") === 1, col(s"__val_$a"))).as(s"__d_$a"))
         }.flatten
-    val deltas = signed(oldRows, -1).unionByName(signed(newRows, 1))
-      .groupBy(shape.groupCols.map(col): _*)
+    val deltas = signedRows
+      .groupBy(groupCols.map(col): _*)
       .agg(deltaCols.head, deltaCols.tail: _*)
     val s = stored.alias("s")
     val d = deltas.alias("d")
@@ -249,13 +340,13 @@ object IncrementalView {
       val dc = col(s"d.__d_${sketchCol(a)}")
       when(dc.isNull, sc).when(sc.isNull, dc).otherwise(hll_union(sc, dc))
     }
-    val joinCond = shape.groupCols
+    val joinCond = groupCols
       .map(c => col(s"s.$c") <=> col(s"d.$c")).reduce(_ && _)
     val newRowsCount =
       coalesce(col(s"s.$RowsCol"), lit(0L)) + coalesce(col(s"d.__d_$RowsCol"), lit(0L))
     val outCols: Seq[Column] =
-      shape.groupCols.map(c => coalesce(col(s"s.$c"), col(s"d.$c")).as(c)) ++
-        shape.aggs.map {
+      groupCols.map(c => coalesce(col(s"s.$c"), col(s"d.$c")).as(c)) ++
+        aggs.map {
           case CountStar(a) =>
             newRowsCount.cast("long").as(a)
           case CountExpr(_, a) =>
@@ -296,7 +387,7 @@ object IncrementalView {
             greatest(col(s"s.$a"), col(s"d.__d_$a")).cast(storedType(a)).as(a)
         } ++
         Seq(newRowsCount.cast("long").as(RowsCol)) ++
-        shape.aggs.flatMap {
+        aggs.flatMap {
           case SumExpr(_, a) => Seq(
             (coalesce(col(s"s.${supportCol(a)}"), lit(0L)) +
               coalesce(col(s"d.__d_${supportCol(a)}"), lit(0L)))
@@ -318,5 +409,47 @@ object IncrementalView {
     s.join(d, joinCond, "full_outer")
       .select(outCols: _*)
       .where(col(RowsCol) > 0)
+  }
+
+  /** Signed contribution frame of a join view's refresh. With
+    * ΔA = A_new[touchedA] − A_old[touchedA] (signed multiset) and ΔB
+    * likewise,
+    *
+    *   A_new⋈B_new − A_old⋈B_old = ΔA⋈B_new + A_old⋈ΔB
+    *                             = ΔA⋈B_new + A_new⋈ΔB − ΔA⋈ΔB
+    *
+    * — the classic counting-algorithm delta (cf. Gupta & Mumick's
+    * view-maintenance survey). Three equi-joins whose row signs
+    * MULTIPLY; the third term removes the touched×touched pairs the
+    * first two both carry. Exact under ARBITRARY updates and deletes
+    * (every aggregate in the join shape is retractable), so no
+    * append-only gate applies. Each term applies the view's WHERE
+    * after the join and projects straight to the signed-contribution
+    * columns, so nothing wider than groupCols + sign + values ever
+    * unions. Cost: the Δ sides are O(touched); the FULL sides are
+    * engine-pruned to the other delta's join-key values when those
+    * inline, so a small refresh touches only the matching row groups
+    * of the partner table. */
+  def joinSignedDelta(shape: JoinShape, stored: DataFrame,
+      aOld: DataFrame, aNew: DataFrame, aFull: DataFrame,
+      bOld: DataFrame, bNew: DataFrame, bFull: DataFrame): DataFrame = {
+    val storedType = stored.schema.map(f => f.name -> f.dataType).toMap
+    val sa = "__graft_sa"
+    val sb = "__graft_sb"
+    def withSign(df: DataFrame, c: String, v: Int): DataFrame =
+      df.withColumn(c, lit(v))
+    val dA = withSign(aNew, sa, 1).unionByName(withSign(aOld, sa, -1))
+    val dB = withSign(bNew, sb, 1).unionByName(withSign(bOld, sb, -1))
+    def term(l: DataFrame, r: DataFrame, negate: Boolean): DataFrame = {
+      val base = shape.joined(l, r)
+      val sign = col(sa) * col(sb) * lit(if (negate) -1 else 1)
+      base.select(
+        shape.groupCols.map(col) ++
+          Seq(sign.as("__sign")) ++
+          signedVals(shape.aggs, storedType): _*)
+    }
+    term(dA, withSign(bFull, sb, 1), negate = false)
+      .unionByName(term(withSign(aFull, sa, 1), dB, negate = false))
+      .unionByName(term(dA, dB, negate = true))
   }
 }

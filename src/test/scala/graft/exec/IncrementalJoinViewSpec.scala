@@ -1,0 +1,195 @@
+package graft.exec
+
+import graft.TestSpark
+import graft.sql.IncrementalView
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental maintenance of two-table equi-join views: the merged
+  * view must equal a from-scratch recomputation after every DML batch
+  * on EITHER side — the three-term counting delta (ΔA⋈B_new +
+  * A_new⋈ΔB − ΔA⋈ΔB) is exact under arbitrary inserts, updates and
+  * deletes, including pre-horizon churn, because every aggregate in
+  * the join shape is retractable.
+  */
+class IncrementalJoinViewSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def mkTables(e: QueryEngine): Unit = {
+    e.sql("CREATE TABLE ord (k BIGINT PRIMARY KEY, status STRING)")
+    e.sql("CREATE TABLE item (i BIGINT PRIMARY KEY, ok BIGINT, qty BIGINT)")
+  }
+
+  // the from-scratch aggregate over current state, via the engine's
+  // own multi-table SQL; AVG stated as SUM/COUNT (the view's storage
+  // contract — one division of exact accumulators)
+  private def fresh(e: QueryEngine): Set[String] =
+    e.sql("""SELECT status, COUNT(*) AS n, COUNT(qty) AS nq,
+            |       SUM(qty) AS sq, SUM(qty) / COUNT(qty) AS aq
+            |FROM ord JOIN item ON ord.k = item.ok
+            |WHERE qty IS NULL OR qty < 900
+            |GROUP BY status""".stripMargin)
+      .collect().map(_.toString).toSet
+
+  private def view(e: QueryEngine): Set[String] =
+    e.sql("SELECT status, n, nq, sq, aq FROM jv")
+      .collect().map(_.toString).toSet
+
+  private def createView(e: QueryEngine): Unit =
+    e.sql("""CREATE MATERIALIZED VIEW jv AS
+            |SELECT status, COUNT(*) AS n, COUNT(qty) AS nq,
+            |       SUM(qty) AS sq, AVG(qty) AS aq
+            |FROM ord JOIN item ON ord.k = item.ok
+            |WHERE qty IS NULL OR qty < 900
+            |GROUP BY status""".stripMargin)
+
+  test("join view: incremental equals full recompute across DML on both sides") {
+    val e = QueryEngine.scratch(spark)
+    mkTables(e)
+    e.sql("INSERT INTO ord VALUES (1,'new'), (2,'new'), (3,'vip')")
+    e.sql("INSERT INTO item VALUES (10,1,5), (11,1,7), (12,2,NULL), (13,3,950), (14,3,2)")
+    createView(e)
+    assert(view(e) === fresh(e))
+    assert(!e.sql("SELECT * FROM jv").columns.exists(_.startsWith("__graft_")))
+
+    // round 1: inserts on both sides, incl. a dangling item (no order)
+    e.sql("INSERT INTO ord VALUES (4,'new')")
+    e.sql("INSERT INTO item VALUES (15,4,3), (16,99,8)")
+    val r1 = e.sql("REFRESH MATERIALIZED VIEW jv INCREMENTALLY").collect().head
+    assert(r1.getString(0) === "refreshed_incremental")
+    assert(view(e) === fresh(e))
+
+    // round 2: PRE-horizon churn on the dimension side — a status move
+    // re-groups every joined pair of that order; no gate applies
+    e.sql("UPDATE ord SET status = 'vip' WHERE k = 1")
+    e.sql("REFRESH MATERIALIZED VIEW jv INCREMENTALLY")
+    assert(view(e) === fresh(e))
+
+    // round 3: pre-horizon churn on the fact side — value updates, a
+    // NULL transition, a WHERE boundary crossing (950 -> 5 moves IN)
+    e.sql("UPDATE item SET qty = 9 WHERE i = 10")
+    e.sql("UPDATE item SET qty = NULL WHERE i = 11")
+    e.sql("UPDATE item SET qty = 5 WHERE i = 13")
+    e.sql("REFRESH MATERIALIZED VIEW jv INCREMENTALLY")
+    assert(view(e) === fresh(e))
+
+    // round 4: BOTH sides touched in one window — the ΔA⋈ΔB correction
+    // term is what keeps the doubled pairs out
+    e.sql("UPDATE ord SET status = 'gone' WHERE k = 2")
+    e.sql("UPDATE item SET qty = 1 WHERE i = 12")
+    e.sql("INSERT INTO item VALUES (17,2,4)")
+    e.sql("REFRESH MATERIALIZED VIEW jv INCREMENTALLY")
+    assert(view(e) === fresh(e))
+
+    // round 5: deletes retract joined pairs; an emptied group vanishes
+    e.sql("DELETE FROM item WHERE ok = 2")
+    e.sql("DELETE FROM ord WHERE k = 2")
+    e.sql("REFRESH MATERIALIZED VIEW jv INCREMENTALLY")
+    val after = view(e)
+    assert(after === fresh(e))
+    assert(!after.exists(_.startsWith("[gone,")), "emptied group must vanish")
+
+    // no-op refresh leaves the view identical
+    val before = view(e)
+    e.sql("REFRESH MATERIALIZED VIEW jv INCREMENTALLY")
+    assert(view(e) === before)
+    e.close()
+  }
+
+  test("join view: one-side-only deltas and full-refresh re-anchoring") {
+    val e = QueryEngine.scratch(spark)
+    mkTables(e)
+    e.sql("INSERT INTO ord VALUES (1,'a'), (2,'b')")
+    e.sql("INSERT INTO item VALUES (10,1,5), (11,2,7)")
+    createView(e)
+    // only the fact side moves
+    e.sql("INSERT INTO item VALUES (12,1,2), (13,1,NULL)")
+    e.sql("REFRESH MATERIALIZED VIEW jv INCREMENTALLY")
+    assert(view(e) === fresh(e))
+    // only the dimension side moves
+    e.sql("INSERT INTO ord VALUES (3,'a')")
+    e.sql("UPDATE ord SET status = 'b' WHERE k = 1")
+    e.sql("REFRESH MATERIALIZED VIEW jv INCREMENTALLY")
+    assert(view(e) === fresh(e))
+    // a full REFRESH re-anchors BOTH horizons; incremental continues
+    e.sql("INSERT INTO item VALUES (14,3,4)")
+    e.sql("REFRESH MATERIALIZED VIEW jv")
+    assert(view(e) === fresh(e))
+    e.sql("DELETE FROM item WHERE i = 10")
+    e.sql("UPDATE ord SET status = 'a' WHERE k = 1")
+    e.sql("REFRESH MATERIALIZED VIEW jv INCREMENTALLY")
+    assert(view(e) === fresh(e))
+    e.close()
+  }
+
+  test("join view: horizons persist across reopen") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jivm-").toString
+    val e = new QueryEngine(spark, dir)
+    mkTables(e)
+    e.sql("INSERT INTO ord VALUES (1,'a')")
+    e.sql("INSERT INTO item VALUES (10,1,5)")
+    createView(e)
+    e.close()
+    val e2 = new QueryEngine(spark, dir)
+    e2.sql("INSERT INTO ord VALUES (2,'b')")
+    e2.sql("INSERT INTO item VALUES (11,2,3), (12,1,1)")
+    e2.sql("REFRESH MATERIALIZED VIEW jv INCREMENTALLY")
+    assert(view(e2) === fresh(e2))
+    e2.close()
+  }
+
+  test("join-shape parser accepts the maintainable form and rejects the rest") {
+    import IncrementalView.parseJoin
+    val ok = parseJoin("""SELECT status, COUNT(*) AS n, SUM(qty) AS sq
+      |FROM ord JOIN item ON ord.k = item.ok
+      |WHERE qty < 9 GROUP BY status""".stripMargin)
+    assert(ok.exists(js => js.left == "ord" && js.right == "item" &&
+      js.leftKey == "k" && js.rightKey == "ok" &&
+      js.where.contains("qty < 9") && js.aggs.size == 2))
+    // ON qualifiers in swapped order still resolve to the right keys
+    assert(parseJoin(
+      "SELECT s, COUNT(*) AS n FROM a JOIN b ON b.y = a.x GROUP BY s")
+      .exists(js => js.leftKey == "x" && js.rightKey == "y"))
+    // INNER JOIN keyword form
+    assert(parseJoin(
+      "SELECT s, AVG(v) AS av FROM a INNER JOIN b ON a.x = b.y GROUP BY s")
+      .isDefined)
+    // non-retractable aggregates do not parse into the join shape
+    assert(parseJoin(
+      "SELECT s, MAX(v) AS m FROM a JOIN b ON a.x = b.y GROUP BY s").isEmpty)
+    assert(parseJoin("SELECT s, APPROX_COUNT_DISTINCT(v) AS d FROM a " +
+      "JOIN b ON a.x = b.y GROUP BY s").isEmpty)
+    // self-joins, qualified group cols, foreign ON qualifiers, DISTINCT
+    assert(parseJoin(
+      "SELECT s, COUNT(*) AS n FROM a JOIN a ON a.x = a.y GROUP BY s").isEmpty)
+    assert(parseJoin(
+      "SELECT a.s, COUNT(*) AS n FROM a JOIN b ON a.x = b.y GROUP BY a.s").isEmpty)
+    assert(parseJoin(
+      "SELECT s, COUNT(*) AS n FROM a JOIN b ON a.x = c.y GROUP BY s").isEmpty)
+    assert(parseJoin("SELECT s, COUNT(DISTINCT v) AS n FROM a JOIN b " +
+      "ON a.x = b.y GROUP BY s").isEmpty)
+    // a LEFT JOIN is not the maintainable inner-join shape
+    assert(parseJoin(
+      "SELECT s, COUNT(*) AS n FROM a LEFT JOIN b ON a.x = b.y GROUP BY s").isEmpty)
+  }
+
+  test("a MIN/MAX join view refuses INCREMENTALLY but full-refreshes") {
+    val e = QueryEngine.scratch(spark)
+    mkTables(e)
+    e.sql("INSERT INTO ord VALUES (1,'a')")
+    e.sql("INSERT INTO item VALUES (10,1,5)")
+    e.sql("""CREATE MATERIALIZED VIEW jm AS
+            |SELECT status, MAX(qty) AS mq
+            |FROM ord JOIN item ON ord.k = item.ok
+            |GROUP BY status""".stripMargin)
+    e.sql("INSERT INTO item VALUES (11,1,9)")
+    val err = intercept[IllegalArgumentException] {
+      e.sql("REFRESH MATERIALIZED VIEW jm INCREMENTALLY")
+    }
+    assert(err.getMessage.contains("not incrementally maintainable"))
+    e.sql("REFRESH MATERIALIZED VIEW jm")
+    assert(e.sql("SELECT status, mq FROM jm").collect().map(_.toString).toSeq
+      === Seq("[a,9]"))
+    e.close()
+  }
+}

@@ -76,6 +76,81 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
     e.close()
   }
 
+  test("random two-table DML workload: join-view incremental equals full recompute") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE dim (k BIGINT PRIMARY KEY, grp STRING)")
+    e.sql("CREATE TABLE fct (i BIGINT PRIMARY KEY, dk BIGINT, v BIGINT)")
+    e.sql("""CREATE MATERIALIZED VIEW jmv AS
+            |SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv,
+            |       AVG(v) AS av
+            |FROM dim JOIN fct ON dim.k = fct.dk
+            |WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
+
+    val rnd = new scala.util.Random(0xD1CE) // deterministic workload
+    val dims = scala.collection.mutable.Set.empty[Long]
+    val fcts = scala.collection.mutable.Set.empty[Long]
+    var nextD = 0L
+    var nextF = 0L
+    val groups = Vector("a", "b", "c")
+
+    def freshView(): Set[String] =
+      e.sql("""SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv,
+              |       SUM(v) / COUNT(v) AS av
+              |FROM dim JOIN fct ON dim.k = fct.dk
+              |WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
+        .collect().map(_.toString).toSet
+    def jmv(): Set[String] =
+      e.sql("SELECT grp, n, nv, sv, av FROM jmv").collect().map(_.toString).toSet
+
+    for (batch <- 1 to 10) {
+      for (_ <- 0 until (2 + rnd.nextInt(4))) rnd.nextInt(6) match {
+        case 0 => // insert 1-2 dim rows
+          val rows = (0 until 1 + rnd.nextInt(2)).map { _ =>
+            nextD += 1; dims += nextD
+            s"($nextD, '${groups(rnd.nextInt(groups.size))}')"
+          }
+          e.sql(s"INSERT INTO dim VALUES ${rows.mkString(", ")}")
+        case 1 => // insert 1-3 fact rows: NULLs, WHERE-excluded values,
+          // dangling keys (no dim match) and fan-out onto hot dims
+          val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            nextF += 1; fcts += nextF
+            val dk = if (rnd.nextInt(5) == 0) 99999L
+              else if (dims.nonEmpty) dims.toSeq(rnd.nextInt(dims.size))
+              else 99999L
+            val v = rnd.nextInt(4) match {
+              case 0 => "NULL"
+              case 1 => (900 + rnd.nextInt(100)).toString
+              case _ => rnd.nextInt(500).toString
+            }
+            s"($nextF, $dk, $v)"
+          }
+          e.sql(s"INSERT INTO fct VALUES ${rows.mkString(", ")}")
+        case 2 if dims.nonEmpty => // re-group a dim row (moves every pair)
+          val k = dims.toSeq(rnd.nextInt(dims.size))
+          e.sql(s"UPDATE dim SET grp = '${groups(rnd.nextInt(groups.size))}' WHERE k = $k")
+        case 3 if fcts.nonEmpty => // update a fact value / re-key it
+          val i = fcts.toSeq(rnd.nextInt(fcts.size))
+          if (rnd.nextBoolean()) {
+            val v = if (rnd.nextBoolean()) "NULL" else rnd.nextInt(1000).toString
+            e.sql(s"UPDATE fct SET v = $v WHERE i = $i")
+          } else if (dims.nonEmpty) {
+            val dk = dims.toSeq(rnd.nextInt(dims.size))
+            e.sql(s"UPDATE fct SET dk = $dk WHERE i = $i")
+          }
+        case 4 if dims.nonEmpty && rnd.nextInt(3) == 0 => // delete a dim row
+          val k = dims.toSeq(rnd.nextInt(dims.size)); dims -= k
+          e.sql(s"DELETE FROM dim WHERE k = $k")
+        case 5 if fcts.nonEmpty => // delete a fact row
+          val i = fcts.toSeq(rnd.nextInt(fcts.size)); fcts -= i
+          e.sql(s"DELETE FROM fct WHERE i = $i")
+        case _ => // occasionally nothing (one-side-only windows)
+      }
+      e.sql("REFRESH MATERIALIZED VIEW jmv INCREMENTALLY")
+      assert(jmv() === freshView(), s"diverged after batch $batch")
+    }
+    e.close()
+  }
+
   test("random tail-insert workload: MIN/MAX incremental equals full recompute") {
     val e = QueryEngine.scratch(spark)
     e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
