@@ -450,6 +450,10 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
 
   def isMaterialized(name: String): Boolean = mviews.contains(name)
 
+  /** All materialized views: (name, defining SQL, data version). */
+  def matviewList: Seq[(String, String, Long)] =
+    mviews.toSeq.map { case (n, (sql, v)) => (n, sql, v) }
+
   def mviewVersion(name: String): Long =
     mviews.getOrElse(name, throw new IllegalArgumentException(
       s"materialized view not found: $name"))._2

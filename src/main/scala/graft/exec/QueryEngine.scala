@@ -845,7 +845,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   private def isMutating(st: Statement): Boolean = st match {
     case _: Statement.Select | _: Statement.Explain | Statement.ShowTables |
         Statement.ShowTriggers | Statement.ShowProcedures |
-        Statement.ShowSequences | Statement.ShowPolicies |
+        Statement.ShowSequences | Statement.ShowMatviews |
+        Statement.ShowPolicies |
         _: Statement.SetRole | _: Statement.VerifyBackup |
         _: Statement.ShowBackups | Statement.ShowCluster |
         _: Statement.SetAudit | Statement.ShowAudit |
@@ -1389,6 +1390,27 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Statement.ShowIndexes =>
       import spark.implicits._
       catalog.indexList.toDF("index", "table", "column")
+    case Statement.ShowMatviews =>
+      // driver-side catalog walk, zero Spark jobs: kind re-derives from
+      // the stored SQL (the same shape tests the refresh dispatch
+      // uses), staleness = events appended to any base table since its
+      // recorded horizon — the number the operator needs to decide
+      // whether REFRESH INCREMENTALLY is due
+      import spark.implicits._
+      catalog.matviewList.map { case (n, viewSql, ver) =>
+        val kind =
+          if (incShapeOf(viewSql).isDefined) "incremental"
+          else if (joinShapeOf(viewSql).isDefined) "incremental_join"
+          else "full_rerun"
+        val bases = catalog.mviewBaseAll(n).toSeq.sortBy(_._1)
+        (n, ver, kind,
+          if (bases.isEmpty) None else Some(bases.map(_._1).mkString(",")),
+          if (bases.isEmpty) None
+          else Some(bases.map { case (t, r) => s"$t@$r" }.mkString(",")),
+          if (bases.isEmpty) None
+          else Some(bases.map { case (t, r) => catalog.lastSeq(t) - r }.max))
+      }.toDF("name", "version", "kind", "base_tables", "horizons",
+        "stale_events")
     case Statement.ShowSequences =>
       import spark.implicits._
       catalog.sequenceList.map(s => (s.name, s.start, s.increment,

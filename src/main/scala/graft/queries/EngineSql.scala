@@ -547,6 +547,44 @@ object EngineSql {
     e.sql("SELECT grp, n, nv, sv, av FROM jvx ORDER BY grp")
   }
 
+  /** SHOW MATERIALIZED VIEWS (round 14): the operator's staleness
+    * dashboard — maintenance kind (single-table incremental / join
+    * incremental / full-rerun), per-side refresh horizons, and
+    * stale_events = events appended to any base since the horizon.
+    * Sequences are deterministic from the fixture, so the oracle
+    * states the table literally: a wrong kind classification, a
+    * missed horizon bump, or staleness counted on the wrong side
+    * diverges rows or hash. */
+  val qShowMatviews = Q(
+    "q_show_matviews",
+    """SELECT * FROM (VALUES
+      |  ('fv2', CAST(0 AS BIGINT), 'full_rerun',
+      |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)),
+      |  ('jv2', CAST(1 AS BIGINT), 'incremental_join',
+      |   'mv_item,mv_ord', 'mv_item@3,mv_ord@3', CAST(0 AS BIGINT)),
+      |  ('sv2', CAST(0 AS BIGINT), 'incremental',
+      |   'mv_ord', 'mv_ord@2', CAST(1 AS BIGINT))
+      |) AS t(name, version, kind, base_tables, horizons, stale_events)
+      |ORDER BY name""".stripMargin) { (s, _) =>
+    val e = QueryEngine.scratch(s)
+    e.sql("CREATE TABLE mv_ord (k BIGINT PRIMARY KEY, status STRING)")
+    e.sql("CREATE TABLE mv_item (i BIGINT PRIMARY KEY, ok BIGINT, qty BIGINT)")
+    e.sql("INSERT INTO mv_ord VALUES (1,'a'), (2,'b')")
+    e.sql("INSERT INTO mv_item VALUES (10,1,5)")
+    e.sql("""CREATE MATERIALIZED VIEW jv2 AS
+            |SELECT status, COUNT(*) AS n, SUM(qty) AS sq
+            |FROM mv_ord JOIN mv_item ON mv_ord.k = mv_item.ok
+            |GROUP BY status""".stripMargin)
+    e.sql("""CREATE MATERIALIZED VIEW sv2 AS
+            |SELECT status, COUNT(*) AS n FROM mv_ord GROUP BY status""".stripMargin)
+    e.sql("""CREATE MATERIALIZED VIEW fv2 AS
+            |SELECT status FROM mv_ord WHERE k = 1 GROUP BY status, k""".stripMargin)
+    e.sql("INSERT INTO mv_ord VALUES (3,'a')")
+    e.sql("INSERT INTO mv_item VALUES (11,3,2), (12,1,4)")
+    e.sql("REFRESH MATERIALIZED VIEW jv2 INCREMENTALLY")
+    e.sql("SHOW MATERIALIZED VIEWS").orderBy("name")
+  }
+
   /** Streaming-ingest append path (micro-batch → sequenced INSERT
     * events): the same ingestStream call foreachBatch makes, then a
     * temporal read over the streamed log. Oracle = the source rows. */
@@ -1574,7 +1612,8 @@ object EngineSql {
     qSqlAsOfSeq, qSqlAsOfTs, qSqlSystemAll, qSqlBetween, qSqlSnapshot,
     qLifecycleCurrent, qLifecycleAsOf, qTxnLifecycle, qFkLifecycle,
     qStreamIngest, qSqlPassthrough, qSqlView, qMatView, qMatViewInc,
-    qMatViewMinMax, qMatViewAvg, qMatViewAcd, qMatViewJoin, qTriggerAudit,
+    qMatViewMinMax, qMatViewAvg, qMatViewAcd, qMatViewJoin, qShowMatviews,
+    qTriggerAudit,
     qProcCall, qMvccSessions, qConstraints, qSequences, qAutoIncrement,
     qRls, qBackupRestore, qAuditLog, qGrants, qResultCache, qMigrations,
     qMetrics, qVacuumRetain, qDiffTable, qZOrder, qStreamDedup,

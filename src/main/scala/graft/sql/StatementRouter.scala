@@ -71,6 +71,10 @@ object Statement {
   final case class AlterSequenceRestart(name: String, withValue: Option[Long]) extends Statement
   case object ShowSequences extends Statement
   case object ShowIndexes extends Statement
+  /** SHOW MATERIALIZED VIEWS — name, data version, maintenance kind,
+    * base tables with refresh horizons, and staleness (events appended
+    * to any base since the last refresh). */
+  case object ShowMatviews extends Statement
   /** SET RATE_LIMIT <qps> [BURST <n>] | OFF — per-session token-bucket
     * statement limiting for non-superusers (rate_limit/mod.rs:
     * queries_per_second + burst_size; the engine-level slice of the
@@ -350,6 +354,8 @@ object StatementRouter {
   private val AlterSeqR =
     """(?is)^ALTER\s+SEQUENCE\s+(\w+)\s+RESTART(?:\s+WITH\s+(-?\d+))?\s*$""".r
   private val ShowSeqsR = """(?is)^SHOW\s+SEQUENCES\s*$""".r
+  private val ShowMatviewsR =
+    """(?is)^SHOW\s+MATERIALIZED\s+VIEWS\s*$""".r
   private val ShowIndexesR = """(?is)^SHOW\s+INDEXES\s*$""".r
   private val ShowCreateR =
     """(?is)^SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*$""".r
@@ -537,6 +543,7 @@ object StatementRouter {
       case AlterSeqR(name, withV) =>
         AlterSequenceRestart(name, Option(withV).map(_.toLong))
       case ShowSeqsR() => ShowSequences
+      case ShowMatviewsR() => ShowMatviews
       case ShowIndexesR() => ShowIndexes
       case ShowCreateR(t) => ShowCreateTable(t)
       case AlterRlsR(table, mode) =>

@@ -173,6 +173,42 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
       "SELECT s, COUNT(*) AS n FROM a LEFT JOIN b ON a.x = b.y GROUP BY s").isEmpty)
   }
 
+  test("SHOW MATERIALIZED VIEWS reports kind, horizons and staleness") {
+    val e = QueryEngine.scratch(spark)
+    mkTables(e)
+    e.sql("INSERT INTO ord VALUES (1,'a'), (2,'b')")
+    e.sql("INSERT INTO item VALUES (10,1,5)")
+    createView(e) // incremental_join over ord+item
+    e.sql("""CREATE MATERIALIZED VIEW sv AS
+            |SELECT status, COUNT(*) AS n FROM ord GROUP BY status""".stripMargin)
+    e.sql("""CREATE MATERIALIZED VIEW fv AS
+            |SELECT status FROM ord WHERE k = 1 GROUP BY status, k""".stripMargin)
+    def rows(): Map[String, (Long, String, Option[String], Option[Long])] =
+      e.sql("SHOW MATERIALIZED VIEWS").collect().map { r =>
+        r.getString(0) -> ((r.getLong(1), r.getString(2),
+          Option(r.getString(3)),
+          if (r.isNullAt(5)) None else Some(r.getLong(5))))
+      }.toMap
+    val r0 = rows()
+    assert(r0("jv")._2 === "incremental_join")
+    assert(r0("jv")._3.contains("item,ord"))
+    assert(r0("jv")._4.contains(0L), "fresh view must report 0 stale events")
+    assert(r0("sv")._2 === "incremental")
+    assert(r0("fv")._2 === "full_rerun" && r0("fv")._3.isEmpty)
+    // churn both bases: staleness counts appended events across sides
+    e.sql("INSERT INTO ord VALUES (3,'a')")
+    e.sql("INSERT INTO item VALUES (11,3,2), (12,1,4)")
+    val r1 = rows()
+    assert(r1("jv")._4.contains(2L), s"item gained 2 events: ${r1("jv")}")
+    assert(r1("sv")._4.contains(1L))
+    e.sql("REFRESH MATERIALIZED VIEW jv INCREMENTALLY")
+    val r2 = rows()
+    assert(r2("jv")._4.contains(0L) && r2("jv")._1 === 1L,
+      "refresh must bump the version and zero the staleness")
+    assert(r2("sv")._4.contains(1L), "other views keep their staleness")
+    e.close()
+  }
+
   test("a MIN/MAX join view refuses INCREMENTALLY but full-refreshes") {
     val e = QueryEngine.scratch(spark)
     mkTables(e)
