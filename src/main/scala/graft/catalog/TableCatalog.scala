@@ -113,6 +113,9 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   // per side (persisted as one `mviewbase` line each, so pre-join
   // catalogs load unchanged)
   private val mviewBases = mutable.HashMap.empty[String, Map[String, Long]]
+  // views that refresh themselves incrementally at the end of any
+  // statement that advanced a base table past their horizon
+  private val mviewAuto = mutable.LinkedHashSet.empty[String]
   private val indexes = mutable.LinkedHashMap.empty[String, (String, String)] // idx -> (table, col)
   private val nextSeqs = mutable.HashMap.empty[String, Long] // last assigned sequence
   private val nextColIds = mutable.HashMap.empty[String, Long] // ALTER ADD physical-name counter
@@ -481,10 +484,20 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   def mviewBaseAll(name: String): Map[String, Long] =
     mviewBases.getOrElse(name, Map.empty)
 
+  def setMviewAutoRefresh(name: String, on: Boolean): Unit = {
+    if (on) mviewAuto += name else mviewAuto -= name
+    save()
+  }
+
+  def isMviewAutoRefresh(name: String): Boolean = mviewAuto.contains(name)
+
+  def autoRefreshViews: Seq[String] = mviewAuto.toSeq
+
   def dropView(name: String, ifExists: Boolean = false): Unit = {
     val wasView = views.remove(name).isDefined
     val wasMview = mviews.remove(name).isDefined
     mviewBases.remove(name)
+    mviewAuto -= name
     if (!wasView && !wasMview && !ifExists)
       throw new IllegalArgumentException(s"view not found: $name")
     if (wasMview) { // materialized data goes with the definition
@@ -1005,6 +1018,8 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       sb.append(s"mview\t${enc(name)}\t${enc(sql)}\t$ver\n")
     for ((name, m) <- mviewBases; (t, seq) <- m)
       sb.append(s"mviewbase\t${enc(name)}\t${enc(t)}\t$seq\n")
+    for (name <- mviewAuto)
+      sb.append(s"mviewauto\t${enc(name)}\n")
     for ((idx, (t, c)) <- indexes)
       sb.append(s"index\t${enc(idx)}\t${enc(t)}\t${enc(c)}\n")
     for ((id, b) <- streamBatches)
@@ -1111,6 +1126,7 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       case Array("mview", n, sql, ver) => mviews(dec(n)) = (dec(sql), ver.toLong)
       case Array("mviewbase", n, t, seq) => mviewBases(dec(n)) =
         mviewBases.getOrElse(dec(n), Map.empty) + (dec(t) -> seq.toLong)
+      case Array("mviewauto", n) => mviewAuto += dec(n)
       case Array("index", i, t, c) => indexes(dec(i)) = (dec(t), dec(c))
       case Array("stream", id, b) => streamBatches(dec(id)) = b.toLong
       case Array("wmark", t, v) => watermarks(dec(t)) = v.toLong

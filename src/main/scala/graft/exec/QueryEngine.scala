@@ -889,13 +889,60 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       val top = session.stmtDepth == 1
       if (top) lastAffected = None
       var ok = true
-      try sqlCurrent(statement)
+      try {
+        val out = sqlCurrent(statement)
+        if (top) maybeAutoRefresh()
+        out
+      }
       catch { case e: Throwable => ok = false; throw e }
       finally {
         if (top && security.enabled)
           security.recordStatement(session, session.user, statement, ok,
             if (ok) lastAffected else None)
         session.stmtDepth -= 1; current = prev
+      }
+    }
+
+  /** Always-fresh views (round 14): after a successful TOP-LEVEL
+    * statement outside a transaction, incrementally refresh every
+    * AUTOREFRESH view whose base table advanced past its horizon. The
+    * due check is a driver-side catalog walk — zero Spark jobs when
+    * nothing changed, so read-only statements pay one map lookup. The
+    * refresh dispatches reentrantly like a trigger body (traced and
+    * serialized as part of the statement). A refresh failure must not
+    * fail the statement whose write already committed: it is counted
+    * (SHOW METRICS autorefresh_failed) and the view stays stale for
+    * the next statement or an explicit REFRESH. Only fully-retractable
+    * shapes can be flagged AUTOREFRESH, so the MIN/MAX/sketch gate can
+    * never fire here; the residual failure class is vacuumed horizons.
+    * Inside BEGIN..COMMIT, DML is buffered (horizons unchanged) and
+    * the refresh lands after the COMMIT statement publishes. */
+  private var inAutoRefresh = false
+  private var metricAutoRefreshRuns = 0L
+  private var metricAutoRefreshFailed = 0L
+  private def maybeAutoRefresh(): Unit =
+    if (!inAutoRefresh && txn.isEmpty) {
+      val due = catalog.autoRefreshViews.filter { n =>
+        catalog.isMaterialized(n) && {
+          val bases = catalog.mviewBaseAll(n)
+          bases.nonEmpty && bases.exists { case (t, r) =>
+            catalog.get(t).isDefined && catalog.lastSeq(t) > r }
+        }
+      }
+      if (due.nonEmpty) {
+        inAutoRefresh = true
+        try due.foreach { n =>
+          try {
+            sqlCurrent(s"REFRESH MATERIALIZED VIEW $n INCREMENTALLY")
+            metricAutoRefreshRuns += 1
+          } catch {
+            case e: Throwable =>
+              metricAutoRefreshFailed += 1
+              System.err.println(
+                s"[graft] AUTOREFRESH of $n failed (view stays stale): " +
+                  e.getMessage)
+          }
+        } finally inAutoRefresh = false
       }
     }
 
@@ -1390,6 +1437,26 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Statement.ShowIndexes =>
       import spark.implicits._
       catalog.indexList.toDF("index", "table", "column")
+    case Statement.AlterMatviewAutoRefresh(name, on) =>
+      if (!catalog.isMaterialized(name))
+        throw new IllegalArgumentException(s"materialized view not found: $name")
+      if (on) {
+        // only fully-RETRACTABLE shapes qualify: a MIN/MAX or sketch
+        // view's gate can refuse mid-DML, and an auto refresh must
+        // never be able to fail a statement that already committed
+        val viewSql = catalog.getView(name).get
+        val retractable = incShapeOf(viewSql).exists(!_.needsAppendGate) ||
+          joinShapeOf(viewSql).isDefined
+        if (!retractable)
+          throw new IllegalArgumentException(
+            s"$name cannot AUTOREFRESH: only incrementally maintainable " +
+              "views whose aggregates all retract (COUNT/SUM/AVG, " +
+              "single-table or join shape) qualify — MIN/MAX and " +
+              "APPROX_COUNT_DISTINCT views need a gated explicit " +
+              "REFRESH INCREMENTALLY")
+      }
+      catalog.setMviewAutoRefresh(name, on)
+      summary(if (on) "autorefresh_enabled" else "autorefresh_disabled", 0L, 0L)
     case Statement.ShowMatviews =>
       // driver-side catalog walk, zero Spark jobs: kind re-derives from
       // the stored SQL (the same shape tests the refresh dispatch
@@ -2986,6 +3053,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   /** The deterministic metric feed — SHOW METRICS rows, and the value
     * source alert rules evaluate against. */
   private def metricValues: Seq[(String, Long)] = Seq(
+    ("autorefresh_failed", metricAutoRefreshFailed),
+    ("autorefresh_runs", metricAutoRefreshRuns),
     ("cache_hits", cacheHits),
     ("cache_misses", cacheMisses),
     ("events_total", catalog.tableNames.map(catalog.lastSeq).sum),

@@ -1088,7 +1088,9 @@ object EngineSql {
       |  SELECT c_custkey AS k, c_acctbal AS bal FROM customer
       |  WHERE c_custkey < 500)
       |SELECT * FROM (
-      |  SELECT 'cache_hits' AS metric, CAST(0 AS BIGINT) AS value
+      |  SELECT 'autorefresh_failed' AS metric, CAST(0 AS BIGINT) AS value
+      |  UNION ALL SELECT 'autorefresh_runs', 0
+      |  UNION ALL SELECT 'cache_hits', 0
       |  UNION ALL SELECT 'cache_misses', 0
       |  UNION ALL SELECT 'events_total',
       |    (SELECT COUNT(*) FROM base) +

@@ -75,6 +75,12 @@ object Statement {
     * base tables with refresh horizons, and staleness (events appended
     * to any base since the last refresh). */
   case object ShowMatviews extends Statement
+  /** ALTER MATERIALIZED VIEW name SET AUTOREFRESH ON|OFF — when ON,
+    * any statement that advances a base table past the view's horizon
+    * runs the incremental refresh before returning (always-fresh
+    * views; only fully-retractable shapes qualify). */
+  final case class AlterMatviewAutoRefresh(name: String, on: Boolean)
+    extends Statement
   /** SET RATE_LIMIT <qps> [BURST <n>] | OFF — per-session token-bucket
     * statement limiting for non-superusers (rate_limit/mod.rs:
     * queries_per_second + burst_size; the engine-level slice of the
@@ -356,6 +362,8 @@ object StatementRouter {
   private val ShowSeqsR = """(?is)^SHOW\s+SEQUENCES\s*$""".r
   private val ShowMatviewsR =
     """(?is)^SHOW\s+MATERIALIZED\s+VIEWS\s*$""".r
+  private val AlterMvAutoR =
+    """(?is)^ALTER\s+MATERIALIZED\s+VIEW\s+(\w+)\s+SET\s+AUTOREFRESH\s+(ON|OFF)\s*$""".r
   private val ShowIndexesR = """(?is)^SHOW\s+INDEXES\s*$""".r
   private val ShowCreateR =
     """(?is)^SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*$""".r
@@ -544,6 +552,8 @@ object StatementRouter {
         AlterSequenceRestart(name, Option(withV).map(_.toLong))
       case ShowSeqsR() => ShowSequences
       case ShowMatviewsR() => ShowMatviews
+      case AlterMvAutoR(name, mode) =>
+        AlterMatviewAutoRefresh(name, mode.equalsIgnoreCase("ON"))
       case ShowIndexesR() => ShowIndexes
       case ShowCreateR(t) => ShowCreateTable(t)
       case AlterRlsR(table, mode) =>

@@ -209,6 +209,71 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("AUTOREFRESH keeps views fresh after every mutating statement") {
+    val e = QueryEngine.scratch(spark)
+    mkTables(e)
+    e.sql("INSERT INTO ord VALUES (1,'a'), (2,'b')")
+    e.sql("INSERT INTO item VALUES (10,1,5), (11,2,7)")
+    createView(e)
+    e.sql("""CREATE MATERIALIZED VIEW sv AS
+            |SELECT status, COUNT(*) AS n FROM ord GROUP BY status""".stripMargin)
+    e.sql("ALTER MATERIALIZED VIEW jv SET AUTOREFRESH ON")
+    e.sql("ALTER MATERIALIZED VIEW sv SET AUTOREFRESH ON")
+    def stale(): Map[String, Long] =
+      e.sql("SHOW MATERIALIZED VIEWS").collect()
+        .map(r => r.getString(0) -> (if (r.isNullAt(5)) -1L else r.getLong(5)))
+        .toMap
+    // every mutating statement leaves both views fresh — no explicit
+    // REFRESH anywhere below
+    e.sql("INSERT INTO item VALUES (12,1,3), (13,2,NULL)")
+    assert(view(e) === fresh(e))
+    assert(stale() === Map("jv" -> 0L, "sv" -> 0L))
+    e.sql("UPDATE ord SET status = 'c' WHERE k = 1")
+    assert(view(e) === fresh(e))
+    e.sql("DELETE FROM item WHERE i = 10")
+    assert(view(e) === fresh(e))
+    // buffered transactional DML refreshes only after COMMIT publishes
+    val other = e.newSession()
+    other.sql("BEGIN")
+    other.sql("INSERT INTO ord VALUES (9,'z')")
+    assert(stale()("sv") === 0L, "uncommitted write must not refresh")
+    other.sql("COMMIT")
+    assert(stale() === Map("jv" -> 0L, "sv" -> 0L),
+      "COMMIT must land the auto refresh")
+    assert(view(e) === fresh(e))
+    // OFF: staleness accrues again
+    e.sql("ALTER MATERIALIZED VIEW jv SET AUTOREFRESH OFF")
+    e.sql("INSERT INTO item VALUES (14,2,1)")
+    assert(stale()("jv") === 1L)
+    assert(stale()("sv") === 0L)
+    // a non-retractable view cannot be flagged
+    e.sql("""CREATE MATERIALIZED VIEW mm AS
+            |SELECT status, MAX(qty) AS m
+            |FROM item JOIN ord ON ord.k = item.ok GROUP BY status""".stripMargin)
+    val err = intercept[IllegalArgumentException] {
+      e.sql("ALTER MATERIALIZED VIEW mm SET AUTOREFRESH ON")
+    }
+    assert(err.getMessage.contains("AUTOREFRESH"), err.getMessage)
+    e.close()
+  }
+
+  test("AUTOREFRESH flag persists across reopen") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-amv-").toString
+    val e = new QueryEngine(spark, dir)
+    mkTables(e)
+    e.sql("INSERT INTO ord VALUES (1,'a')")
+    e.sql("INSERT INTO item VALUES (10,1,5)")
+    createView(e)
+    e.sql("ALTER MATERIALIZED VIEW jv SET AUTOREFRESH ON")
+    e.close()
+    val e2 = new QueryEngine(spark, dir)
+    e2.sql("INSERT INTO item VALUES (11,1,2)")
+    assert(view(e2) === fresh(e2))
+    assert(e2.sql("SHOW MATERIALIZED VIEWS").collect()
+      .find(_.getString(0) == "jv").exists(_.getLong(5) == 0L))
+    e2.close()
+  }
+
   test("a MIN/MAX join view refuses INCREMENTALLY but full-refreshes") {
     val e = QueryEngine.scratch(spark)
     mkTables(e)
