@@ -920,6 +920,12 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   private var inAutoRefresh = false
   private var metricAutoRefreshRuns = 0L
   private var metricAutoRefreshFailed = 0L
+  // the refresh runs under a SYSTEM session, not the writer's: the
+  // flag was superuser-authorized at ALTER time, and a restricted
+  // writer's INSERT must neither starve the view (REFRESH is gated
+  // under SET PRIVILEGES) nor let an RLS-filtered context near the
+  // shared materialization
+  private lazy val autoRefreshSession = new Session()
   private def maybeAutoRefresh(): Unit =
     if (!inAutoRefresh && txn.isEmpty) {
       val due = catalog.autoRefreshViews.filter { n =>
@@ -931,6 +937,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       }
       if (due.nonEmpty) {
         inAutoRefresh = true
+        val prevSession = current
+        current = autoRefreshSession
         try due.foreach { n =>
           try {
             sqlCurrent(s"REFRESH MATERIALIZED VIEW $n INCREMENTALLY")
@@ -942,7 +950,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                 s"[graft] AUTOREFRESH of $n failed (view stays stale): " +
                   e.getMessage)
           }
-        } finally inAutoRefresh = false
+        } finally { current = prevSession; inAutoRefresh = false }
       }
     }
 
@@ -1438,6 +1446,10 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       import spark.implicits._
       catalog.indexList.toDF("index", "table", "column")
     case Statement.AlterMatviewAutoRefresh(name, on) =>
+      // authorization happens at FLAG time: the auto refresh itself
+      // executes under a system session (a restricted writer's INSERT
+      // must neither starve the view nor persist an RLS-filtered one)
+      requireSuperuser("ALTER MATERIALIZED VIEW ... SET AUTOREFRESH")
       if (!catalog.isMaterialized(name))
         throw new IllegalArgumentException(s"materialized view not found: $name")
       if (on) {

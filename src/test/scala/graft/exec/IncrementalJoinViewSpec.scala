@@ -257,6 +257,30 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("AUTOREFRESH runs as a system session under the privilege gate") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    e.sql("INSERT INTO t VALUES (1,'a',10)")
+    e.sql("""CREATE MATERIALIZED VIEW av AS
+            |SELECT grp, COUNT(*) AS n, SUM(v) AS sv FROM t GROUP BY grp""".stripMargin)
+    e.sql("ALTER MATERIALIZED VIEW av SET AUTOREFRESH ON")
+    e.sql("SET PRIVILEGES ON")
+    e.sql("GRANT INSERT, SELECT ON t TO alice")
+    val alice = e.newSession(); alice.setAuth("alice")
+    // alice cannot REFRESH herself under the gate, but her INSERT must
+    // still land the auto refresh (system-session execution — the flag
+    // was superuser-authorized at ALTER time)
+    alice.sql("INSERT INTO t VALUES (2,'a',20), (3,'b',5)")
+    assert(e.sql("SELECT grp, n, sv FROM av ORDER BY grp")
+      .collect().map(_.toString).toSeq === Seq("[a,2,30]", "[b,1,5]"))
+    // and a non-superuser cannot flip the flag
+    val err = intercept[SecurityException] {
+      alice.sql("ALTER MATERIALIZED VIEW av SET AUTOREFRESH OFF")
+    }
+    assert(err.getMessage.contains("superuser"))
+    e.close()
+  }
+
   test("AUTOREFRESH flag persists across reopen") {
     val dir = java.nio.file.Files.createTempDirectory("graft-amv-").toString
     val e = new QueryEngine(spark, dir)
