@@ -1186,12 +1186,11 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             case Some(js) =>
               // maintainable join shape: populate through the same
               // aliased-join aggregation (hidden columns included) at
-              // pinned sequences of BOTH sides
-              val hs = Seq(js.left, js.right)
-                .map(tn => tn -> catalog.lastSeq(tn)).toMap
+              // pinned sequences of EVERY side
+              val hs = js.tables.map(tn => tn -> catalog.lastSeq(tn)).toMap
               encrypted(IncrementalView.aggregateJoin(
-                  stateAt(js.left, Some(hs(js.left)).filter(_ > 0)),
-                  stateAt(js.right, Some(hs(js.right)).filter(_ > 0)),
+                  js.tables.map(tn =>
+                    stateAt(tn, Some(hs(tn)).filter(_ > 0))),
                   js).write)
                 .mode("overwrite").parquet(catalog.mviewDataPath(name, 0L))
               catalog.createMaterializedView(name, viewSql)
@@ -1271,19 +1270,21 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           "refreshed_incremental"
         case (None, true) => joinShapeOf(viewSql) match {
           case Some(js) =>
-            // INCREMENTAL join view: the counting-algorithm delta
-            //   A_new⋈B_new − A_old⋈B_old
-            //     = ΔA⋈B_new + A_new⋈ΔB − ΔA⋈ΔB
+            // INCREMENTAL join view: the counting-algorithm
+            // inclusion-exclusion delta (for two tables,
+            //   ΔA⋈B_new + A_new⋈ΔB − ΔA⋈ΔB)
             // over the touched rows of each side — exact under
             // ARBITRARY updates/deletes (join views carry only
             // retractable aggregates), so no append gate applies.
             // Each Δ side is touched-pk-restricted like the
-            // single-table path; each FULL side prunes to the other
-            // delta's join-key values when they inline (≤ cap), so a
-            // small refresh reads only the matching row groups of a
-            // 100 TB partner table instead of scanning it.
+            // single-table path; every delta term carries at least
+            // one Δ side, and for two-table views each FULL side
+            // prunes to the other delta's join-key values when they
+            // inline (≤ cap), so a small refresh reads only the
+            // matching row groups of a 100 TB partner table instead
+            // of scanning it.
             val bases = catalog.mviewBaseAll(name)
-            val sides = Seq(js.left, js.right)
+            val sides = js.tables
             if (!sides.forall(bases.contains))
               throw new IllegalStateException(
                 s"$name has no recorded refresh horizon — run a full " +
@@ -1310,13 +1311,15 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                   (restrict(stateAt(tn, Some(bases(tn)))),
                     restrict(stateAt(tn, Some(horizons(tn)))))
                 }
-              val (aOld, aNew) = deltaSides(js.left)
-              val (bOld, bNew) = deltaSides(js.right)
-              // full-side pruning: a term joins the FULL new state of
-              // one side against the other's delta, so only rows whose
-              // join key appears in that delta can contribute — when
-              // the delta's key set inlines, the full scan prunes by
-              // pushdown; an empty key set blanks the side entirely
+              val deltas = sides.map(deltaSides)
+              // full-side pruning (two-table views): a term joins the
+              // FULL new state of one side against the other's delta,
+              // so only rows whose join key appears in that delta can
+              // contribute — when the delta's key set inlines, the
+              // full scan prunes by pushdown; an empty key set blanks
+              // the side entirely. Deeper chains pass unpruned fulls:
+              // transitive key sets are unknowable without executing
+              // the intermediate joins.
               def prunedFull(full: DataFrame, key: String,
                   dOld: DataFrame, dNew: DataFrame, dKey: String): DataFrame =
                 tracer.span("join-keys") {
@@ -1328,13 +1331,21 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                     full.where(col(key).isin(ks: _*))
                   else full
                 }
-              val bFull = prunedFull(stateAt(js.right, Some(horizons(js.right))),
-                js.rightKey, aOld, aNew, js.leftKey)
-              val aFull = prunedFull(stateAt(js.left, Some(horizons(js.left))),
-                js.leftKey, bOld, bNew, js.rightKey)
+              val fulls: Seq[DataFrame] = js.twoTableKeys match {
+                case Some((lk, rk)) =>
+                  val Seq((aOld, aNew), (bOld, bNew)) = deltas
+                  Seq(
+                    prunedFull(stateAt(sides(0), Some(horizons(sides(0)))),
+                      lk, bOld, bNew, rk),
+                    prunedFull(stateAt(sides(1), Some(horizons(sides(1)))),
+                      rk, aOld, aNew, lk))
+                case None =>
+                  sides.map(tn => stateAt(tn, Some(horizons(tn))))
+              }
               val stored = spark.read.parquet(catalog.mviewDataPath(name, prev))
               val delta = IncrementalView.joinSignedDelta(js, stored,
-                aOld, aNew, aFull, bOld, bNew, bFull)
+                sides.indices.map(i =>
+                  (deltas(i)._1, deltas(i)._2, fulls(i))))
               val merged =
                 IncrementalView.mergeSigned(stored, delta, js.groupCols, js.aggs)
               tracer.span("mview-write") {
@@ -1369,11 +1380,10 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               catalog.setMviewBase(name, sh.table, horizon)
             case None => joinShapeOf(viewSql) match {
               case Some(js) =>
-                val hs = Seq(js.left, js.right)
-                  .map(tn => tn -> catalog.lastSeq(tn)).toMap
+                val hs = js.tables.map(tn => tn -> catalog.lastSeq(tn)).toMap
                 encrypted(IncrementalView.aggregateJoin(
-                    stateAt(js.left, Some(hs(js.left)).filter(_ > 0)),
-                    stateAt(js.right, Some(hs(js.right)).filter(_ > 0)),
+                    js.tables.map(tn =>
+                      stateAt(tn, Some(hs(tn)).filter(_ > 0))),
                     js).write)
                   .mode("overwrite").parquet(catalog.mviewDataPath(name, prev + 1))
                 catalog.setMviewVersion(name, prev + 1)
@@ -3995,7 +4005,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * are both non-attached engine tables of this catalog. */
   private def joinShapeOf(sql: String): Option[IncrementalView.JoinShape] =
     IncrementalView.parseJoin(sql)
-      .filter(js => Seq(js.left, js.right).forall(tn =>
+      .filter(_.tables.forall(tn =>
         catalog.get(tn).exists(_.attached.isEmpty)))
 
   /** A filter restricting a state read to the pks touched in

@@ -81,28 +81,46 @@ object IncrementalView {
     }
   }
 
-  /** Two-table equi-join view shape (round 14):
+  /** N-way (2..MaxJoinTables) equi-join view shape (round 14):
     *
     *   SELECT g1..gk, COUNT/SUM/AVG aggs
-    *   FROM a JOIN b ON a.x = b.y [WHERE p] GROUP BY g1..gk
+    *   FROM t1 JOIN t2 ON q.c = q.c [JOIN t3 ON ...] ...
+    *   [WHERE p] GROUP BY g1..gk
     *
-    * Only the RETRACTABLE aggregates: the three-term signed delta
-    * (see joinSignedDelta) subtracts as well as adds, so it is exact
-    * under arbitrary updates/deletes on EITHER side — but MIN/MAX and
-    * sketches cannot retract a joined pair, so they do not parse into
-    * this shape. Table names double as the join aliases; group
-    * columns are bare identifiers that must be unambiguous in the
-    * joined relation (the stored view exposes them unqualified). */
-  final case class JoinShape(left: String, right: String,
-      leftKey: String, rightKey: String, where: Option[String],
+    * A linear chain of inner equi-joins, each ON linking the newly
+    * joined table to one earlier table. Only the RETRACTABLE
+    * aggregates: the inclusion-exclusion signed delta (see
+    * joinSignedDelta) subtracts as well as adds, so it is exact under
+    * arbitrary updates/deletes on ANY side — but MIN/MAX and sketches
+    * cannot retract a joined row, so they do not parse into this
+    * shape. Table names double as the join aliases; group columns are
+    * bare identifiers that must be unambiguous in the joined relation
+    * (the stored view exposes them unqualified). */
+  final case class JoinShape(tables: Seq[String], onExprs: Seq[String],
+      links: Seq[(String, String, String, String)], where: Option[String],
       groupCols: Seq[String], aggs: Seq[Agg]) {
-    def onExpr: String = s"$left.$leftKey = $right.$rightKey"
-    /** The aliased equi-join (+ view WHERE) of two state frames. */
-    def joined(l: DataFrame, r: DataFrame): DataFrame = {
-      val j = l.alias(left).join(r.alias(right), expr(onExpr))
+    /** The aliased join chain (+ view WHERE) over one state frame per
+      * table, in `tables` order. */
+    def joined(frames: Seq[DataFrame]): DataFrame = {
+      val aliased = tables.zip(frames).map { case (t, f) => f.alias(t) }
+      val j = aliased.tail.zip(onExprs).foldLeft(aliased.head) {
+        case (acc, (f, on)) => acc.join(f, expr(on))
+      }
       where.fold(j)(p => j.where(expr(p)))
     }
+    /** For the 2-table shape: the single link's key column on each
+      * side, in `tables` order — the engine's full-side pruning. */
+    def twoTableKeys: Option[(String, String)] = links match {
+      case Seq((q1, c1, _, c2)) if tables.size == 2 =>
+        Some(if (q1.equalsIgnoreCase(tables.head)) (c1, c2) else (c2, c1))
+      case _ => None
+    }
   }
+
+  /** Join chains cap: 2^n − 1 delta terms, each an n-way join — 15
+    * joins at the cap, past it the plan (and the refresh's full-side
+    * scans) stop paying for themselves vs a full refresh. */
+  val MaxJoinTables = 4
 
   val RowsCol = "__graft_rows"
   def supportCol(alias: String): String = s"__graft_n_$alias"
@@ -159,25 +177,43 @@ object IncrementalView {
   }
 
   private val JoinShapeRe =
-    ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+(\w+)\s+(?:INNER\s+)?JOIN\s+""" +
-      """(\w+)\s+ON\s+(\w+)\s*\.\s*(\w+)\s*=\s*(\w+)\s*\.\s*(\w+)""" +
+    ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+(\w+(?:\s+(?:INNER\s+)?JOIN\s+""" +
+      """\w+\s+ON\s+\w+\s*\.\s*\w+\s*=\s*\w+\s*\.\s*\w+)+)""" +
       """(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+(.+?)\s*;?\s*$""").r
+  private val JoinLinkRe =
+    ("""(?is)\s+(?:INNER\s+)?JOIN\s+(\w+)\s+ON\s+""" +
+      """(\w+)\s*\.\s*(\w+)\s*=\s*(\w+)\s*\.\s*(\w+)""").r
   private val BareRe = """^\w+$""".r
 
-  /** Some(shape) iff `sql` is the maintainable two-table join form:
-    * one inner equi-join whose ON qualifiers are the table names (in
-    * either order), bare unqualified group columns matching the
-    * select list, and only COUNT/SUM/AVG aggregates (MIN/MAX and
-    * APPROX_COUNT_DISTINCT cannot retract a joined pair — a join view
+  /** Some(shape) iff `sql` is the maintainable join-chain form: 2 to
+    * MaxJoinTables distinct tables, each ON an equality linking the
+    * newly joined table to ONE earlier table (qualifiers are table
+    * names, either order), bare unqualified group columns matching
+    * the select list, and only COUNT/SUM/AVG aggregates (MIN/MAX and
+    * APPROX_COUNT_DISTINCT cannot retract a joined row — a join view
     * holding one falls back to full REFRESH). */
   def parseJoin(sql: String): Option[JoinShape] = sql match {
-    case JoinShapeRe(selectList, lt, rt, q1, c1, q2, c2, where, groupBy) =>
-      // a self-join would collide the table-name aliases
-      if (lt.equalsIgnoreCase(rt)) return None
-      val (lk, rk) =
-        if (q1.equalsIgnoreCase(lt) && q2.equalsIgnoreCase(rt)) (c1, c2)
-        else if (q1.equalsIgnoreCase(rt) && q2.equalsIgnoreCase(lt)) (c2, c1)
-        else return None
+    case JoinShapeRe(selectList, fromChain, where, groupBy) =>
+      val first =
+        """^\w+""".r.findFirstIn(fromChain.trim).getOrElse(return None)
+      val linkMs = JoinLinkRe.findAllMatchIn(fromChain).toSeq
+      val tables = first +: linkMs.map(_.group(1))
+      if (tables.size < 2 || tables.size > MaxJoinTables) return None
+      // duplicate names would collide the table-name aliases
+      if (tables.map(_.toLowerCase).distinct.size != tables.size) return None
+      val links = linkMs.zipWithIndex.map { case (m, i) =>
+        val newT = m.group(1)
+        val (q1, c1, q2, c2) =
+          (m.group(2), m.group(3), m.group(4), m.group(5))
+        val earlier = tables.take(i + 1).map(_.toLowerCase).toSet
+        val linksNew =
+          (q1.equalsIgnoreCase(newT) && earlier.contains(q2.toLowerCase)) ||
+            (q2.equalsIgnoreCase(newT) && earlier.contains(q1.toLowerCase))
+        if (!linksNew) return None
+        (q1, c1, q2, c2)
+      }
+      val onExprs = links.map { case (q1, c1, q2, c2) =>
+        s"$q1.$c1 = $q2.$c2" }
       val items = SqlText.splitTopLevel(selectList).map(_.trim)
       val gcols = SqlText.splitTopLevel(groupBy).map(_.trim)
       if (gcols.isEmpty || !gcols.forall(BareRe.matches(_))) return None
@@ -192,7 +228,7 @@ object IncrementalView {
       if (bare.sorted != gcols.sorted || aggs.isEmpty) None
       else if (items.exists(i =>
         """(?is)\(\s*DISTINCT\b""".r.findFirstIn(i).isDefined)) None
-      else Some(JoinShape(lt, rt, lk, rk,
+      else Some(JoinShape(tables, onExprs, links,
         Option(where).map(_.trim), bare, aggs))
     case _ => None
   }
@@ -204,11 +240,10 @@ object IncrementalView {
     aggregateFrom(shape.where.fold(state)(w => state.where(expr(w))),
       shape.groupCols, shape.aggs)
 
-  /** Join-view population: the aliased equi-join of the two tables'
+  /** Join-view population: the aliased equi-join chain of the tables'
     * state (+ WHERE), through the same aggregation as `aggregate`. */
-  def aggregateJoin(left: DataFrame, right: DataFrame,
-      shape: JoinShape): DataFrame =
-    aggregateFrom(shape.joined(left, right), shape.groupCols, shape.aggs)
+  def aggregateJoin(frames: Seq[DataFrame], shape: JoinShape): DataFrame =
+    aggregateFrom(shape.joined(frames), shape.groupCols, shape.aggs)
 
   private def aggregateFrom(base: DataFrame, groupCols: Seq[String],
       aggs: Seq[Agg]): DataFrame = {
@@ -412,44 +447,50 @@ object IncrementalView {
   }
 
   /** Signed contribution frame of a join view's refresh. With
-    * ΔA = A_new[touchedA] − A_old[touchedA] (signed multiset) and ΔB
-    * likewise,
+    * ΔAᵢ = Aᵢ_new[touchedᵢ] − Aᵢ_old[touchedᵢ] (signed multisets),
+    * expanding ⋈ᵢAᵢ_old = ⋈ᵢ(Aᵢ_new − ΔAᵢ) gives
     *
-    *   A_new⋈B_new − A_old⋈B_old = ΔA⋈B_new + A_old⋈ΔB
-    *                             = ΔA⋈B_new + A_new⋈ΔB − ΔA⋈ΔB
+    *   ⋈ᵢAᵢ_new − ⋈ᵢAᵢ_old
+    *     = Σ over nonempty S ⊆ tables of
+    *       (−1)^(|S|+1) · ⋈ ( ΔAᵢ for i∈S, Aᵢ_new for i∉S )
     *
-    * — the classic counting-algorithm delta (cf. Gupta & Mumick's
-    * view-maintenance survey). Three equi-joins whose row signs
-    * MULTIPLY; the third term removes the touched×touched pairs the
-    * first two both carry. Exact under ARBITRARY updates and deletes
-    * (every aggregate in the join shape is retractable), so no
-    * append-only gate applies. Each term applies the view's WHERE
-    * after the join and projects straight to the signed-contribution
-    * columns, so nothing wider than groupCols + sign + values ever
-    * unions. Cost: the Δ sides are O(touched); the FULL sides are
-    * engine-pruned to the other delta's join-key values when those
-    * inline, so a small refresh touches only the matching row groups
-    * of the partner table. */
+    * — the counting-algorithm delta (cf. Gupta & Mumick's
+    * view-maintenance survey), 2ⁿ−1 equi-join terms whose row signs
+    * MULTIPLY (for n=2 the familiar ΔA⋈B_new + A_new⋈ΔB − ΔA⋈ΔB).
+    * Every term carries at least one Δ side, so every term is
+    * O(touched)-restricted on at least one input. Exact under
+    * ARBITRARY updates and deletes (every aggregate in the join shape
+    * is retractable), so no append-only gate applies. Each term
+    * applies the view's WHERE after the join and projects straight to
+    * the signed-contribution columns, so nothing wider than groupCols
+    * + sign + values ever unions. `sides(i)` = (oldᵢ, newᵢ, fullᵢ)
+    * in `shape.tables` order; the engine pre-prunes full sides where
+    * the adjacent delta's join keys inline. */
   def joinSignedDelta(shape: JoinShape, stored: DataFrame,
-      aOld: DataFrame, aNew: DataFrame, aFull: DataFrame,
-      bOld: DataFrame, bNew: DataFrame, bFull: DataFrame): DataFrame = {
+      sides: Seq[(DataFrame, DataFrame, DataFrame)]): DataFrame = {
+    require(sides.size == shape.tables.size,
+      s"${shape.tables.size} tables, ${sides.size} sides")
     val storedType = stored.schema.map(f => f.name -> f.dataType).toMap
-    val sa = "__graft_sa"
-    val sb = "__graft_sb"
+    val n = sides.size
+    val signCol = shape.tables.map(t => s"__graft_sgn_$t")
     def withSign(df: DataFrame, c: String, v: Int): DataFrame =
       df.withColumn(c, lit(v))
-    val dA = withSign(aNew, sa, 1).unionByName(withSign(aOld, sa, -1))
-    val dB = withSign(bNew, sb, 1).unionByName(withSign(bOld, sb, -1))
-    def term(l: DataFrame, r: DataFrame, negate: Boolean): DataFrame = {
-      val base = shape.joined(l, r)
-      val sign = col(sa) * col(sb) * lit(if (negate) -1 else 1)
-      base.select(
+    val deltas = sides.zipWithIndex.map { case ((old, nw, _), i) =>
+      withSign(nw, signCol(i), 1).unionByName(withSign(old, signCol(i), -1))
+    }
+    val fulls = sides.zipWithIndex.map { case ((_, _, full), i) =>
+      withSign(full, signCol(i), 1)
+    }
+    val terms = (1 until (1 << n)).map { mask =>
+      val frames = (0 until n).map(i =>
+        if ((mask & (1 << i)) != 0) deltas(i) else fulls(i))
+      val parity = if (java.lang.Integer.bitCount(mask) % 2 == 1) 1 else -1
+      val sign = signCol.map(col).reduce(_ * _) * lit(parity)
+      shape.joined(frames).select(
         shape.groupCols.map(col) ++
           Seq(sign.as("__sign")) ++
           signedVals(shape.aggs, storedType): _*)
     }
-    term(dA, withSign(bFull, sb, 1), negate = false)
-      .unionByName(term(withSign(aFull, sa, 1), dB, negate = false))
-      .unionByName(term(dA, dB, negate = true))
+    terms.reduce(_ unionByName _)
   }
 }

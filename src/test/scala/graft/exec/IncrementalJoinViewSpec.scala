@@ -143,13 +143,31 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     val ok = parseJoin("""SELECT status, COUNT(*) AS n, SUM(qty) AS sq
       |FROM ord JOIN item ON ord.k = item.ok
       |WHERE qty < 9 GROUP BY status""".stripMargin)
-    assert(ok.exists(js => js.left == "ord" && js.right == "item" &&
-      js.leftKey == "k" && js.rightKey == "ok" &&
+    assert(ok.exists(js => js.tables == Seq("ord", "item") &&
+      js.twoTableKeys.contains(("k", "ok")) &&
       js.where.contains("qty < 9") && js.aggs.size == 2))
     // ON qualifiers in swapped order still resolve to the right keys
     assert(parseJoin(
       "SELECT s, COUNT(*) AS n FROM a JOIN b ON b.y = a.x GROUP BY s")
-      .exists(js => js.leftKey == "x" && js.rightKey == "y"))
+      .exists(_.twoTableKeys.contains(("x", "y"))))
+    // chains: each ON must link the NEW table to one EARLIER table
+    assert(parseJoin("SELECT s, COUNT(*) AS n FROM a JOIN b ON a.x = b.y " +
+      "JOIN c ON b.z = c.w GROUP BY s")
+      .exists(js => js.tables == Seq("a", "b", "c") &&
+        js.onExprs == Seq("a.x = b.y", "b.z = c.w") &&
+        js.twoTableKeys.isEmpty))
+    // a snowflake link back to the FIRST table also qualifies
+    assert(parseJoin("SELECT s, SUM(v) AS sv FROM a JOIN b ON a.x = b.y " +
+      "JOIN c ON c.w = a.z GROUP BY s").isDefined)
+    // a link to an UNKNOWN table does not
+    assert(parseJoin("SELECT s, COUNT(*) AS n FROM a JOIN b ON a.x = b.y " +
+      "JOIN c ON c.w = d.z GROUP BY s").isEmpty)
+    // five tables exceed the 2^n−1 term cap
+    assert(parseJoin("SELECT s, COUNT(*) AS n FROM a JOIN b ON a.x = b.y " +
+      "JOIN c ON c.u = b.z JOIN d ON d.u = c.z JOIN e ON e.u = d.z " +
+      "GROUP BY s").isEmpty)
+    assert(parseJoin("SELECT s, COUNT(*) AS n FROM a JOIN b ON a.x = b.y " +
+      "JOIN c ON c.u = b.z JOIN d ON d.u = c.z GROUP BY s").isDefined)
     // INNER JOIN keyword form
     assert(parseJoin(
       "SELECT s, AVG(v) AS av FROM a INNER JOIN b ON a.x = b.y GROUP BY s")
@@ -206,6 +224,59 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     assert(r2("jv")._4.contains(0L) && r2("jv")._1 === 1L,
       "refresh must bump the version and zero the staleness")
     assert(r2("sv")._4.contains(1L), "other views keep their staleness")
+    e.close()
+  }
+
+  test("3-way join view: incremental equals full recompute under churn on all sides") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE reg (r BIGINT PRIMARY KEY, zone STRING)")
+    e.sql("CREATE TABLE cust (c BIGINT PRIMARY KEY, rk BIGINT, seg STRING)")
+    e.sql("CREATE TABLE sale (s BIGINT PRIMARY KEY, ck BIGINT, v BIGINT)")
+    e.sql("INSERT INTO reg VALUES (1,'east'), (2,'west')")
+    e.sql("INSERT INTO cust VALUES (10,1,'a'), (11,1,'b'), (12,2,'a')")
+    e.sql("INSERT INTO sale VALUES (100,10,5), (101,11,7), (102,12,NULL), (103,10,2)")
+    e.sql("""CREATE MATERIALIZED VIEW j3 AS
+            |SELECT zone, seg, COUNT(*) AS n, SUM(v) AS sv, AVG(v) AS av
+            |FROM reg JOIN cust ON reg.r = cust.rk
+            |JOIN sale ON cust.c = sale.ck
+            |WHERE v IS NULL OR v < 900
+            |GROUP BY zone, seg""".stripMargin)
+    def fresh(): Set[String] =
+      e.sql("""SELECT zone, seg, COUNT(*) AS n, SUM(v) AS sv,
+              |       SUM(v) / COUNT(v) AS av
+              |FROM reg JOIN cust ON reg.r = cust.rk
+              |JOIN sale ON cust.c = sale.ck
+              |WHERE v IS NULL OR v < 900
+              |GROUP BY zone, seg""".stripMargin)
+        .collect().map(_.toString).toSet
+    def v3(): Set[String] =
+      e.sql("SELECT zone, seg, n, sv, av FROM j3").collect().map(_.toString).toSet
+    assert(v3() === fresh())
+
+    // churn ALL THREE levels in one window: a zone rename re-groups
+    // every transitive pair (reg Δ term), a customer re-segments and
+    // re-parents (middle Δ), sales churn (leaf Δ), plus inserts — the
+    // inclusion-exclusion terms up to Δreg⋈Δcust⋈Δsale all fire
+    e.sql("INSERT INTO reg VALUES (3,'north')")
+    e.sql("INSERT INTO cust VALUES (13,3,'c')")
+    e.sql("INSERT INTO sale VALUES (104,13,9), (105,12,950)")
+    e.sql("UPDATE reg SET zone = 'far-west' WHERE r = 2")
+    e.sql("UPDATE cust SET seg = 'b', rk = 2 WHERE c = 10")
+    e.sql("UPDATE sale SET v = 6 WHERE s = 101")
+    e.sql("DELETE FROM sale WHERE s = 103")
+    val r = e.sql("REFRESH MATERIALIZED VIEW j3 INCREMENTALLY").collect().head
+    assert(r.getString(0) === "refreshed_incremental")
+    assert(v3() === fresh())
+
+    // delete a middle-level row: its transitive pairs retract
+    e.sql("DELETE FROM cust WHERE c = 11")
+    e.sql("REFRESH MATERIALIZED VIEW j3 INCREMENTALLY")
+    assert(v3() === fresh())
+
+    // one-side-only window at the deepest level
+    e.sql("UPDATE sale SET v = NULL WHERE s = 100")
+    e.sql("REFRESH MATERIALIZED VIEW j3 INCREMENTALLY")
+    assert(v3() === fresh())
     e.close()
   }
 

@@ -151,6 +151,75 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
     e.close()
   }
 
+  test("random three-table DML workload: chain-join incremental equals full recompute") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE r3 (r BIGINT PRIMARY KEY, zone STRING)")
+    e.sql("CREATE TABLE c3 (c BIGINT PRIMARY KEY, rk BIGINT, seg STRING)")
+    e.sql("CREATE TABLE s3 (s BIGINT PRIMARY KEY, ck BIGINT, v BIGINT)")
+    e.sql("""CREATE MATERIALIZED VIEW p3 AS
+            |SELECT zone, seg, COUNT(*) AS n, SUM(v) AS sv
+            |FROM r3 JOIN c3 ON r3.r = c3.rk JOIN s3 ON c3.c = s3.ck
+            |WHERE v IS NULL OR v < 900 GROUP BY zone, seg""".stripMargin)
+
+    val rnd = new scala.util.Random(0xFACADE) // deterministic workload
+    val regs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val custs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sales = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var id = 0L
+    def nid(): Long = { id += 1; id }
+    val zones = Vector("e", "w", "n")
+    val segs = Vector("a", "b")
+
+    def freshView(): Set[String] =
+      e.sql("""SELECT zone, seg, COUNT(*) AS n, SUM(v) AS sv
+              |FROM r3 JOIN c3 ON r3.r = c3.rk JOIN s3 ON c3.c = s3.ck
+              |WHERE v IS NULL OR v < 900 GROUP BY zone, seg""".stripMargin)
+        .collect().map(_.toString).toSet
+    def p3(): Set[String] =
+      e.sql("SELECT zone, seg, n, sv FROM p3").collect().map(_.toString).toSet
+
+    for (batch <- 1 to 8) {
+      for (_ <- 0 until (2 + rnd.nextInt(4))) rnd.nextInt(8) match {
+        case 0 =>
+          val k = nid(); regs += k
+          e.sql(s"INSERT INTO r3 VALUES ($k, '${zones(rnd.nextInt(3))}')")
+        case 1 =>
+          val k = nid(); custs += k
+          val rk = if (regs.nonEmpty) regs(rnd.nextInt(regs.size)) else 9999L
+          e.sql(s"INSERT INTO c3 VALUES ($k, $rk, '${segs(rnd.nextInt(2))}')")
+        case 2 =>
+          val k = nid(); sales += k
+          val ck = if (custs.nonEmpty) custs(rnd.nextInt(custs.size)) else 9999L
+          val v = rnd.nextInt(4) match {
+            case 0 => "NULL"
+            case 1 => (900 + rnd.nextInt(50)).toString
+            case _ => rnd.nextInt(500).toString
+          }
+          e.sql(s"INSERT INTO s3 VALUES ($k, $ck, $v)")
+        case 3 if regs.nonEmpty => // zone rename re-groups transitively
+          e.sql(s"UPDATE r3 SET zone = '${zones(rnd.nextInt(3))}' " +
+            s"WHERE r = ${regs(rnd.nextInt(regs.size))}")
+        case 4 if custs.nonEmpty && regs.nonEmpty => // re-parent + re-segment
+          e.sql(s"UPDATE c3 SET rk = ${regs(rnd.nextInt(regs.size))}, " +
+            s"seg = '${segs(rnd.nextInt(2))}' " +
+            s"WHERE c = ${custs(rnd.nextInt(custs.size))}")
+        case 5 if sales.nonEmpty =>
+          val v = if (rnd.nextBoolean()) "NULL" else rnd.nextInt(1000).toString
+          e.sql(s"UPDATE s3 SET v = $v WHERE s = ${sales(rnd.nextInt(sales.size))}")
+        case 6 if custs.nonEmpty && rnd.nextInt(3) == 0 => // orphan a subtree
+          val k = custs.remove(rnd.nextInt(custs.size))
+          e.sql(s"DELETE FROM c3 WHERE c = $k")
+        case 7 if sales.nonEmpty =>
+          val k = sales.remove(rnd.nextInt(sales.size))
+          e.sql(s"DELETE FROM s3 WHERE s = $k")
+        case _ =>
+      }
+      e.sql("REFRESH MATERIALIZED VIEW p3 INCREMENTALLY")
+      assert(p3() === freshView(), s"diverged after batch $batch")
+    }
+    e.close()
+  }
+
   test("random tail-insert workload: MIN/MAX incremental equals full recompute") {
     val e = QueryEngine.scratch(spark)
     e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
