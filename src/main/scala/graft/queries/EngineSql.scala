@@ -547,6 +547,78 @@ object EngineSql {
     e.sql("SELECT grp, n, nv, sv, av FROM jvx ORDER BY grp")
   }
 
+  /** 3-way chain-join incremental maintenance (round 14): the
+    * inclusion-exclusion delta with 7 terms over a
+    * region→nation→customer hierarchy, churned at ALL THREE levels in
+    * one refresh window — a zone rename re-groups every transitive
+    * customer, a nation re-parents AND re-segments, leaf rows
+    * update/delete, and a middle-level delete orphans its subtree
+    * (inner join drops it). The oracle recomputes the join aggregate
+    * from scratch with CASE-encoded churn; cents are exact BIGINTs
+    * and av is one IEEE division of exact integers. */
+  val qMatViewJoin3 = Q(
+    "q_matview_join3",
+    """WITH rt AS (
+      |  SELECT r_regionkey AS r,
+      |         CASE WHEN r_regionkey = 2 THEN 'zz' ELSE r_name END AS zone
+      |  FROM region),
+      |nt AS (
+      |  SELECT n_nationkey AS n,
+      |         CASE WHEN n_nationkey % 5 = 0 THEN (n_regionkey + 1) % 5
+      |              ELSE n_regionkey END AS rk,
+      |         CASE WHEN n_nationkey % 5 = 0 THEN 'gx'
+      |              ELSE 'g' || CAST(n_nationkey % 3 AS VARCHAR) END AS seg
+      |  FROM nation WHERE n_nationkey <> 7),
+      |ct AS (
+      |  SELECT c_custkey AS c, c_nationkey AS nk,
+      |         CASE WHEN c_custkey % 7 = 0 THEN NULL
+      |              ELSE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+      |                   + CASE WHEN c_custkey % 11 = 0 THEN 3 ELSE 0 END
+      |         END AS v
+      |  FROM customer
+      |  WHERE (c_custkey < 500 OR c_custkey BETWEEN 1000 AND 1099)
+      |    AND c_custkey % 13 <> 0)
+      |SELECT zone, seg, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(v) AS BIGINT) AS sv,
+      |       CAST(SUM(v) AS DOUBLE) / COUNT(v) AS av
+      |FROM rt JOIN nt ON rt.r = nt.rk JOIN ct ON nt.n = ct.nk
+      |GROUP BY zone, seg ORDER BY zone, seg""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("region", s"$dir/region.parquet")
+    e.attachExternal("nation", s"$dir/nation.parquet")
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.sql("CREATE TABLE rtab (r BIGINT PRIMARY KEY, zone STRING)")
+    e.sql("CREATE TABLE ntab (n BIGINT PRIMARY KEY, rk BIGINT, seg STRING)")
+    e.sql("CREATE TABLE ctab (c BIGINT PRIMARY KEY, nk BIGINT, v BIGINT)")
+    e.sql("INSERT INTO rtab SELECT r_regionkey, r_name FROM region")
+    e.sql("""INSERT INTO ntab
+            |SELECT n_nationkey, n_regionkey,
+            |       'g' || CAST(n_nationkey % 3 AS STRING)
+            |FROM nation""".stripMargin)
+    e.sql("""INSERT INTO ctab
+            |SELECT c_custkey, c_nationkey,
+            |       CASE WHEN c_custkey % 7 = 0 THEN NULL
+            |            ELSE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) END
+            |FROM customer WHERE c_custkey < 500""".stripMargin)
+    e.sql("""CREATE MATERIALIZED VIEW j3v AS
+            |SELECT zone, seg, COUNT(*) AS n, SUM(v) AS sv, AVG(v) AS av
+            |FROM rtab JOIN ntab ON rtab.r = ntab.rk
+            |JOIN ctab ON ntab.n = ctab.nk
+            |GROUP BY zone, seg""".stripMargin)
+    e.sql("""INSERT INTO ctab
+            |SELECT c_custkey, c_nationkey,
+            |       CASE WHEN c_custkey % 7 = 0 THEN NULL
+            |            ELSE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) END
+            |FROM customer WHERE c_custkey BETWEEN 1000 AND 1099""".stripMargin)
+    e.sql("UPDATE rtab SET zone = 'zz' WHERE r = 2")
+    e.sql("UPDATE ntab SET rk = (rk + 1) % 5, seg = 'gx' WHERE n % 5 = 0")
+    e.sql("UPDATE ctab SET v = v + 3 WHERE c % 11 = 0")
+    e.sql("DELETE FROM ctab WHERE c % 13 = 0")
+    e.sql("DELETE FROM ntab WHERE n = 7")
+    e.sql("REFRESH MATERIALIZED VIEW j3v INCREMENTALLY")
+    e.sql("SELECT zone, seg, n, sv, av FROM j3v ORDER BY zone, seg")
+  }
+
   /** SHOW MATERIALIZED VIEWS (round 14): the operator's staleness
     * dashboard — maintenance kind (single-table incremental / join
     * incremental / full-rerun), per-side refresh horizons, and
@@ -1614,8 +1686,8 @@ object EngineSql {
     qSqlAsOfSeq, qSqlAsOfTs, qSqlSystemAll, qSqlBetween, qSqlSnapshot,
     qLifecycleCurrent, qLifecycleAsOf, qTxnLifecycle, qFkLifecycle,
     qStreamIngest, qSqlPassthrough, qSqlView, qMatView, qMatViewInc,
-    qMatViewMinMax, qMatViewAvg, qMatViewAcd, qMatViewJoin, qShowMatviews,
-    qTriggerAudit,
+    qMatViewMinMax, qMatViewAvg, qMatViewAcd, qMatViewJoin, qMatViewJoin3,
+    qShowMatviews, qTriggerAudit,
     qProcCall, qMvccSessions, qConstraints, qSequences, qAutoIncrement,
     qRls, qBackupRestore, qAuditLog, qGrants, qResultCache, qMigrations,
     qMetrics, qVacuumRetain, qDiffTable, qZOrder, qStreamDedup,
