@@ -480,6 +480,19 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   def mviewBase(name: String): Option[(String, Long)] =
     mviewBases.get(name).flatMap(_.headOption)
 
+  /** Version bump + horizon re-anchors in ONE atomic catalog save: a
+    * crash between separate saves would leave a bumped data version
+    * with a stale horizon, and the next incremental refresh would
+    * DOUBLE-APPLY that window's delta to the already-merged view. */
+  def setMviewRefreshed(name: String, version: Long,
+      horizons: Map[String, Long]): Unit = {
+    val (sql, _) = mviews.getOrElse(name, throw new IllegalArgumentException(
+      s"materialized view not found: $name"))
+    mviews(name) = (sql, version)
+    mviewBases(name) = mviewBases.getOrElse(name, Map.empty) ++ horizons
+    save()
+  }
+
   /** All recorded horizons of a view (table -> sequence). */
   def mviewBaseAll(name: String): Map[String, Long] =
     mviewBases.getOrElse(name, Map.empty)

@@ -1264,8 +1264,10 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               encrypted(merged.write).mode("overwrite")
                 .parquet(catalog.mviewDataPath(name, prev + 1))
             }
-            catalog.setMviewVersion(name, prev + 1)
-            catalog.setMviewBase(name, baseT, horizon)
+            // ONE atomic catalog save: a version bump without the
+            // horizon re-anchor would double-apply this delta on the
+            // next refresh
+            catalog.setMviewRefreshed(name, prev + 1, Map(baseT -> horizon))
           }
           "refreshed_incremental"
         case (None, true) => joinShapeOf(viewSql) match {
@@ -1352,8 +1354,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                 encrypted(merged.write).mode("overwrite")
                   .parquet(catalog.mviewDataPath(name, prev + 1))
               }
-              catalog.setMviewVersion(name, prev + 1)
-              for (tn <- sides) catalog.setMviewBase(name, tn, horizons(tn))
+              catalog.setMviewRefreshed(name, prev + 1, horizons)
             }
             "refreshed_incremental"
           case None =>
@@ -1376,8 +1377,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               encrypted(IncrementalView.aggregate(
                   stateAt(sh.table, Some(horizon).filter(_ > 0)), sh).write)
                 .mode("overwrite").parquet(catalog.mviewDataPath(name, prev + 1))
-              catalog.setMviewVersion(name, prev + 1)
-              catalog.setMviewBase(name, sh.table, horizon)
+              catalog.setMviewRefreshed(name, prev + 1, Map(sh.table -> horizon))
             case None => joinShapeOf(viewSql) match {
               case Some(js) =>
                 val hs = js.tables.map(tn => tn -> catalog.lastSeq(tn)).toMap
@@ -1386,8 +1386,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                       stateAt(tn, Some(hs(tn)).filter(_ > 0))),
                     js).write)
                   .mode("overwrite").parquet(catalog.mviewDataPath(name, prev + 1))
-                catalog.setMviewVersion(name, prev + 1)
-                for ((tn, h) <- hs) catalog.setMviewBase(name, tn, h)
+                catalog.setMviewRefreshed(name, prev + 1, hs)
               case None =>
                 encrypted(select(viewSql).write).mode("overwrite")
                   .parquet(catalog.mviewDataPath(name, prev + 1))
@@ -1496,7 +1495,11 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           if (bases.isEmpty) None else Some(bases.map(_._1).mkString(",")),
           if (bases.isEmpty) None
           else Some(bases.map { case (t, r) => s"$t@$r" }.mkString(",")),
-          if (bases.isEmpty) None
+          // a DROPPED base has no sequence counter (lastSeq would read
+          // 0 and the difference would go negative) — staleness is
+          // unknowable, report NULL like a full-rerun view
+          if (bases.isEmpty || bases.exists(b => catalog.get(b._1).isEmpty))
+            None
           else Some(bases.map { case (t, r) => catalog.lastSeq(t) - r }.max))
       }.toDF("name", "version", "kind", "base_tables", "horizons",
         "stale_events")

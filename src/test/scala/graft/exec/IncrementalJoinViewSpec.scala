@@ -224,6 +224,11 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     assert(r2("jv")._4.contains(0L) && r2("jv")._1 === 1L,
       "refresh must bump the version and zero the staleness")
     assert(r2("sv")._4.contains(1L), "other views keep their staleness")
+    // a dropped base makes staleness unknowable — NULL, never negative
+    e.sql("DROP TABLE item")
+    val r3 = rows()
+    assert(r3("jv")._4.isEmpty, s"dropped base must blank staleness: ${r3("jv")}")
+    assert(r3("sv")._4.contains(1L))
     e.close()
   }
 
