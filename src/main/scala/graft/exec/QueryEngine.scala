@@ -891,7 +891,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       var ok = true
       try {
         val out = sqlCurrent(statement)
-        if (top) maybeAutoRefresh()
+        if (top) {
+          // the refresh's own summaries must not clobber the affected-
+          // row side channel the security monitor records for THE
+          // USER'S statement (mass-write exfiltration detection)
+          val affected = lastAffected
+          maybeAutoRefresh()
+          lastAffected = affected
+        }
         out
       }
       catch { case e: Throwable => ok = false; throw e }
@@ -920,6 +927,11 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   private var inAutoRefresh = false
   private var metricAutoRefreshRuns = 0L
   private var metricAutoRefreshFailed = 0L
+  // views whose auto refresh FAILED (vacuumed horizon, dropped base):
+  // muted so a permanently broken view is not re-attempted after every
+  // statement forever. In-memory — a reopen retries once; an explicit
+  // REFRESH, re-ALTER, or re-CREATE of the view clears the mute.
+  private val autoRefreshMuted = scala.collection.mutable.HashSet.empty[String]
   // the refresh runs under a SYSTEM session, not the writer's: the
   // flag was superuser-authorized at ALTER time, and a restricted
   // writer's INSERT must neither starve the view (REFRESH is gated
@@ -929,10 +941,15 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   private def maybeAutoRefresh(): Unit =
     if (!inAutoRefresh && txn.isEmpty) {
       val due = catalog.autoRefreshViews.filter { n =>
-        catalog.isMaterialized(n) && {
+        !autoRefreshMuted.contains(n) && catalog.isMaterialized(n) && {
           val bases = catalog.mviewBaseAll(n)
-          bases.nonEmpty && bases.exists { case (t, r) =>
-            catalog.get(t).isDefined && catalog.lastSeq(t) > r }
+          // every base must exist with its counter AT OR PAST the
+          // horizon (a drop-and-recreate resets the counter below it —
+          // the view is unmaintainable until a full REFRESH), and at
+          // least one must have advanced
+          bases.nonEmpty && bases.forall { case (t, r) =>
+            catalog.get(t).isDefined && catalog.lastSeq(t) >= r } &&
+            bases.exists { case (t, r) => catalog.lastSeq(t) > r }
         }
       }
       if (due.nonEmpty) {
@@ -944,11 +961,15 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             sqlCurrent(s"REFRESH MATERIALIZED VIEW $n INCREMENTALLY")
             metricAutoRefreshRuns += 1
           } catch {
-            case e: Throwable =>
+            // fatal errors (OOM, interrupt) must propagate; a refresh
+            // whose SQL-level failure is swallowed here is muted so it
+            // is not doomed to re-fail after every later statement
+            case scala.util.control.NonFatal(e) =>
               metricAutoRefreshFailed += 1
+              autoRefreshMuted += n
               System.err.println(
-                s"[graft] AUTOREFRESH of $n failed (view stays stale): " +
-                  e.getMessage)
+                s"[graft] AUTOREFRESH of $n failed (muted until an " +
+                  s"explicit REFRESH): ${e.getMessage}")
           }
         } finally { current = prevSession; inAutoRefresh = false }
       }
@@ -1181,12 +1202,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             encrypted(IncrementalView.aggregate(stateAt(sh.table, Some(r).filter(_ > 0)), sh)
               .write).mode("overwrite").parquet(catalog.mviewDataPath(name, 0L))
             catalog.createMaterializedView(name, viewSql)
-            catalog.setMviewBase(name, sh.table, r)
+            catalog.setMviewRefreshed(name, 0L, Map(sh.table -> r))
           case None => joinShapeOf(viewSql) match {
             case Some(js) =>
               // maintainable join shape: populate through the same
               // aliased-join aggregation (hidden columns included) at
-              // pinned sequences of EVERY side
+              // pinned sequences of EVERY side; horizons land in ONE
+              // catalog save (a crash mid-way must not leave partial
+              // horizons)
               val hs = js.tables.map(tn => tn -> catalog.lastSeq(tn)).toMap
               encrypted(IncrementalView.aggregateJoin(
                   js.tables.map(tn =>
@@ -1194,7 +1217,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                   js).write)
                 .mode("overwrite").parquet(catalog.mviewDataPath(name, 0L))
               catalog.createMaterializedView(name, viewSql)
-              for ((tn, h) <- hs) catalog.setMviewBase(name, tn, h)
+              catalog.setMviewRefreshed(name, 0L, hs)
             case None =>
               encrypted(select(viewSql).write).mode("overwrite")
                 .parquet(catalog.mviewDataPath(name, 0L))
@@ -1232,6 +1255,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             throw new IllegalStateException(
               s"events since the last refresh horizon @SEQ:$r of $name were " +
                 "vacuumed — run a full (non-incremental) REFRESH")
+          // a sequence counter BELOW the horizon means the base was
+          // dropped and recreated — the view's content refers to a
+          // table that no longer exists, which no delta can mend
+          if (horizon < r)
+            throw new IllegalStateException(
+              s"$name's refresh horizon @SEQ:$r is ahead of $baseT's " +
+                s"sequence counter ($horizon) — the table was dropped " +
+                "and recreated. Run a full (non-incremental) REFRESH")
           if (horizon > r) {
             val restrict = touchedRestrictor(t, r, horizon)
             val stored = spark.read.parquet(catalog.mviewDataPath(name, prev))
@@ -1298,6 +1329,12 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                   s"events since the last refresh horizon " +
                     s"@SEQ:${bases(tn)} of $name were vacuumed — run a " +
                     "full (non-incremental) REFRESH")
+              if (catalog.lastSeq(tn) < bases(tn))
+                throw new IllegalStateException(
+                  s"$name's refresh horizon @SEQ:${bases(tn)} is ahead " +
+                    s"of $tn's sequence counter (${catalog.lastSeq(tn)}) " +
+                    "— the table was dropped and recreated. Run a full " +
+                    "(non-incremental) REFRESH")
             }
             val horizons = sides.map(tn => tn -> catalog.lastSeq(tn)).toMap
             if (sides.exists(tn => horizons(tn) > bases(tn))) {
@@ -1325,9 +1362,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               def prunedFull(full: DataFrame, key: String,
                   dOld: DataFrame, dNew: DataFrame, dKey: String): DataFrame =
                 tracer.span("join-keys") {
-                  val ks = dNew.select(col(dKey)).unionByName(dOld.select(col(dKey)))
-                    .where(col(dKey).isNotNull).distinct()
-                    .limit(InlineKeyCap + 1).collect().map(_.get(0)).toIndexedSeq
+                  val ks = collectInlineKeys(
+                    dNew.select(col(dKey)).unionByName(dOld.select(col(dKey))),
+                    dKey)
                   if (ks.isEmpty) full.where(lit(false))
                   else if (ks.length <= InlineKeyCap)
                     full.where(col(key).isin(ks: _*))
@@ -1395,6 +1432,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           }
           "refreshed"
       }
+      // a successful explicit refresh un-mutes a previously failed
+      // auto refresh — the operator's documented recovery path
+      autoRefreshMuted -= name
       if (prev >= 1 && catalog.mviewVersion(name) > prev) {
         // reclaim version prev-1, NOT prev: a concurrent lock-free
         // reader may hold an already-analyzed plan over the version we
@@ -1475,7 +1515,15 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               "single-table or join shape) qualify — MIN/MAX and " +
               "APPROX_COUNT_DISTINCT views need a gated explicit " +
               "REFRESH INCREMENTALLY")
+        // without recorded horizons the due check can never fire and
+        // the flag would be silently inert (e.g. a view stored by an
+        // older engine as full-rerun)
+        if (catalog.mviewBaseAll(name).isEmpty)
+          throw new IllegalStateException(
+            s"$name has no recorded refresh horizon — run a full " +
+              "REFRESH first, then enable AUTOREFRESH")
       }
+      autoRefreshMuted -= name
       catalog.setMviewAutoRefresh(name, on)
       summary(if (on) "autorefresh_enabled" else "autorefresh_disabled", 0L, 0L)
     case Statement.ShowMatviews =>
@@ -1495,10 +1543,12 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           if (bases.isEmpty) None else Some(bases.map(_._1).mkString(",")),
           if (bases.isEmpty) None
           else Some(bases.map { case (t, r) => s"$t@$r" }.mkString(",")),
-          // a DROPPED base has no sequence counter (lastSeq would read
-          // 0 and the difference would go negative) — staleness is
-          // unknowable, report NULL like a full-rerun view
-          if (bases.isEmpty || bases.exists(b => catalog.get(b._1).isEmpty))
+          // a DROPPED base has no sequence counter, and a RECREATED
+          // one restarts below the horizon — either way the difference
+          // would go negative; staleness is unknowable, report NULL
+          // like a full-rerun view
+          if (bases.isEmpty || bases.exists { case (t, r) =>
+            catalog.get(t).isEmpty || catalog.lastSeq(t) < r })
             None
           else Some(bases.map { case (t, r) => catalog.lastSeq(t) - r }.max))
       }.toDF("name", "version", "kind", "base_tables", "horizons",
@@ -3596,6 +3646,17 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * scale-right (AQE broadcasts the smaller side). */
   private val InlineKeyCap = 256
 
+  /** The shared inline-key overflow probe: `batch`'s distinct
+    * non-null `keyCol` values, collected through limit(cap+1) so a
+    * result LONGER than the cap means "does not inline". NULLs drop
+    * BEFORE the limit — filtered after it, a NULL in the sample would
+    * mask the (cap+1)-th key and silently truncate the key set. */
+  private def collectInlineKeys(batch: DataFrame,
+      keyCol: String): IndexedSeq[Any] =
+    batch.select(col(keyCol)).where(col(keyCol).isNotNull)
+      .distinct().limit(InlineKeyCap + 1).collect()
+      .map(_.get(0)).toIndexedSeq
+
   /** Restrict `df` to rows whose `column` is among the (pinned,
     * small) batch's distinct `keyCol` values — semantics-preserving
     * for the FK probes: a parent/child row with a key outside the
@@ -3603,10 +3664,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * unchanged when the batch exceeds the cap. */
   private def inlineKeyFilter(df: DataFrame, column: String,
       batch: DataFrame, keyCol: String): DataFrame = {
-    val vals = batch.select(col(keyCol)).where(col(keyCol).isNotNull)
-      .distinct().limit(InlineKeyCap + 1).collect().map(_.get(0))
+    val vals = collectInlineKeys(batch, keyCol)
     if (vals.nonEmpty && vals.length <= InlineKeyCap)
-      df.where(col(column).isin(vals.toIndexedSeq: _*))
+      df.where(col(column).isin(vals: _*))
     else df
   }
 
@@ -4025,16 +4085,11 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       .select(col("pk")).distinct()
     val touchedTyped: Option[IndexedSeq[Any]] =
       tracer.span("touched-keys") {
-        // NULLs drop BEFORE the limit(cap+1) overflow probe —
-        // filtered after it, a NULL in the sample would mask the
-        // 257th key and silently restrict the refresh to an
-        // incomplete touched set (the inlineKeyFilter ordering)
-        val ks = events(t)
-          .where(col("sequence") > r && col("sequence") <= horizon)
-          .select(col(s"payload.${t.pkPhysical}").as("__k"))
-          .where(col("__k").isNotNull).distinct()
-          .limit(InlineKeyCap + 1).collect().map(_.get(0))
-          .toIndexedSeq
+        val ks = collectInlineKeys(
+          events(t)
+            .where(col("sequence") > r && col("sequence") <= horizon)
+            .select(col(s"payload.${t.pkPhysical}").as("__k")),
+          "__k")
         if (ks.nonEmpty && ks.length <= InlineKeyCap) Some(ks) else None
       }
     state => touchedTyped match {

@@ -357,6 +357,66 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("a dropped-and-recreated base raises toward full REFRESH, never no-ops") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    e.sql("INSERT INTO t VALUES (1,'a',10), (2,'a',20), (3,'b',5)")
+    e.sql("""CREATE MATERIALIZED VIEW rv AS
+            |SELECT grp, COUNT(*) AS n, SUM(v) AS sv FROM t GROUP BY grp""".stripMargin)
+    e.sql("DROP TABLE t")
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    e.sql("INSERT INTO t VALUES (9,'z',1)")
+    // the recreated counter (1) sits below the horizon (3): the view's
+    // content refers to a table that no longer exists — INCREMENTALLY
+    // must raise, not silently no-op over stale data
+    val err = intercept[IllegalStateException] {
+      e.sql("REFRESH MATERIALIZED VIEW rv INCREMENTALLY")
+    }
+    assert(err.getMessage.contains("dropped and recreated"), err.getMessage)
+    // staleness is unknowable, never negative
+    val row = e.sql("SHOW MATERIALIZED VIEWS").collect()
+      .find(_.getString(0) == "rv").get
+    assert(row.isNullAt(5), s"staleness must be NULL: $row")
+    // full REFRESH re-anchors; incremental then resumes
+    e.sql("REFRESH MATERIALIZED VIEW rv")
+    e.sql("INSERT INTO t VALUES (10,'z',2)")
+    e.sql("REFRESH MATERIALIZED VIEW rv INCREMENTALLY")
+    assert(e.sql("SELECT grp, n, sv FROM rv").collect().map(_.toString).toSeq
+      === Seq("[z,2,3]"))
+    e.close()
+  }
+
+  test("a failing AUTOREFRESH mutes until an explicit REFRESH recovers it") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    e.sql("INSERT INTO t VALUES (1,'a',10)")
+    e.sql("""CREATE MATERIALIZED VIEW fv AS
+            |SELECT grp, COUNT(*) AS n FROM t GROUP BY grp""".stripMargin)
+    def failedCount(): Long =
+      e.sql("SHOW METRICS").collect()
+        .find(_.getString(0) == "autorefresh_failed").get.getLong(1)
+    // let the horizon (1) lag, then vacuum past it BEFORE enabling the
+    // flag: the first due auto refresh cannot merge and fails
+    e.sql("INSERT INTO t VALUES (2,'b',20)")
+    e.sql("SNAPSHOT t")
+    e.sql("VACUUM t RETAIN @SEQ:2") // floor 2 > horizon 1
+    e.sql("ALTER MATERIALIZED VIEW fv SET AUTOREFRESH ON")
+    e.sql("INSERT INTO t VALUES (3,'c',30)") // auto refresh fails -> muted
+    val f1 = failedCount()
+    assert(f1 >= 1L, "the vacuumed-horizon refresh must be counted as failed")
+    // muted: later statements do NOT re-attempt the doomed refresh
+    e.sql("INSERT INTO t VALUES (4,'c',40)")
+    assert(failedCount() === f1, "muted view must not re-fail per statement")
+    // the documented recovery: explicit full REFRESH un-mutes
+    e.sql("REFRESH MATERIALIZED VIEW fv")
+    e.sql("INSERT INTO t VALUES (5,'d',50)")
+    assert(failedCount() === f1)
+    assert(e.sql("SELECT grp, n FROM fv ORDER BY grp").collect().map(_.toString).toSeq
+      === Seq("[a,1]", "[b,1]", "[c,2]", "[d,1]"),
+      "after recovery the view auto-refreshes again")
+    e.close()
+  }
+
   test("AUTOREFRESH flag persists across reopen") {
     val dir = java.nio.file.Files.createTempDirectory("graft-amv-").toString
     val e = new QueryEngine(spark, dir)
