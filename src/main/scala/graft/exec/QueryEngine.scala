@@ -4398,6 +4398,10 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           streamMeta = streamId.map(_ -> batchId))
         ()
       }
+      // streaming batches keep AUTOREFRESH views fresh too — the
+      // continuous always-fresh-dashboard shape (replayed/skipped
+      // batches advanced nothing, so the due check no-ops above)
+      maybeAutoRefresh()
     }
 
   /** Physical-cast, sequence-assign, and event-shape one INSERT batch
@@ -4491,6 +4495,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       maybeAutoSnapshot(t.name, hiT)
       maybeAutoSnapshot(r.name, hiR)
       }
+      maybeAutoRefresh() // see ingestStream
     }
 
   /** Exactly-once streaming ingest with NEAR-dup dedup against a
@@ -4690,6 +4695,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       maybeAutoSnapshot(t.name, hiT)
       maybeAutoSnapshot(r.name, hiR)
       }
+      maybeAutoRefresh() // see ingestStream
     }
 
   /** Apply one replicated micro-batch of RAW events (the primary's

@@ -417,6 +417,26 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("streaming ingest batches keep AUTOREFRESH views fresh") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE s (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    e.sql("INSERT INTO s VALUES (1,'a',10)")
+    e.sql("""CREATE MATERIALIZED VIEW sv AS
+            |SELECT grp, COUNT(*) AS n, SUM(v) AS sv FROM s GROUP BY grp""".stripMargin)
+    e.sql("ALTER MATERIALIZED VIEW sv SET AUTOREFRESH ON")
+    import spark.implicits._
+    val b1 = Seq((2L, "a", 20L), (3L, "b", 5L)).toDF("k", "grp", "v")
+    e.ingestStream("s", b1, Some("ckpt-av"), 0L)
+    assert(e.sql("SELECT grp, n, sv FROM sv ORDER BY grp")
+      .collect().map(_.toString).toSeq === Seq("[a,2,30]", "[b,1,5]"),
+      "micro-batch must land the auto refresh")
+    // a REPLAYED batch advances nothing and must not churn the view
+    val v0 = e.catalog.mviewVersion("sv")
+    e.ingestStream("s", b1, Some("ckpt-av"), 0L)
+    assert(e.catalog.mviewVersion("sv") === v0, "replay must not re-refresh")
+    e.close()
+  }
+
   test("AUTOREFRESH flag persists across reopen") {
     val dir = java.nio.file.Files.createTempDirectory("graft-amv-").toString
     val e = new QueryEngine(spark, dir)
