@@ -323,6 +323,26 @@ final class HttpAdmin(engine: QueryEngine, port: Int = 0,
         s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}\n""")
     })
 
+  // /matviews — the SHOW MATERIALIZED VIEWS surface over HTTP: name,
+  // data version, maintenance kind, base tables with refresh horizons,
+  // and stale_events (events appended to any base since the horizon).
+  // Metadata-scale: a driver-side catalog walk, no Spark job.
+  server.createContext("/matviews", ex =>
+    try {
+      val json = engine.sql("SHOW MATERIALIZED VIEWS").collect().map { r =>
+        def optStr(i: Int) =
+          if (r.isNullAt(i)) "null" else jsonStr(r.getString(i))
+        val stale = if (r.isNullAt(5)) "null" else r.getLong(5).toString
+        s"""{"name": ${jsonStr(r.getString(0))}, "version": ${r.getLong(1)}, """ +
+          s""""kind": ${jsonStr(r.getString(2))}, "base_tables": ${optStr(3)}, """ +
+          s""""horizons": ${optStr(4)}, "stale_events": $stale}"""
+      }.mkString("[", ", ", "]")
+      respond(ex, 200, "application/json", json + "\n")
+    } catch { case e: Exception =>
+      respond(ex, 500, "application/json",
+        s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}\n""")
+    })
+
   // /traces — recorded statement traces (SET TRACE ON to record;
   // observability.rs:1-10 exposes span-instrumented operations the
   // same way). Driver memory only — the ring holds the newest 64

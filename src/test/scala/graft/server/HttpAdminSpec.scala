@@ -235,6 +235,29 @@ class HttpAdminSpec extends AnyFunSuite {
     }
   }
 
+  test("/matviews serves view kind, horizons and staleness as JSON") {
+    val e = QueryEngine.scratch(spark)
+    val srv = new HttpAdmin(e, 0).start()
+    try {
+      val (c0, empty, ct) = get(srv.boundPort, "/matviews")
+      assert(c0 === 200 && ct.startsWith("application/json"))
+      assert(empty.trim === "[]")
+      e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, g STRING, v BIGINT)")
+      e.sql("INSERT INTO t VALUES (1,'a',10)")
+      e.sql("""CREATE MATERIALIZED VIEW hv AS
+              |SELECT g, COUNT(*) AS n, SUM(v) AS sv FROM t GROUP BY g""".stripMargin)
+      e.sql("INSERT INTO t VALUES (2,'b',20)")
+      val (c1, body, _) = get(srv.boundPort, "/matviews")
+      assert(c1 === 200, body)
+      assert(body.contains("\"name\": \"hv\"") &&
+        body.contains("\"kind\": \"incremental\"") &&
+        body.contains("\"horizons\": \"t@1\"") &&
+        body.contains("\"stale_events\": 1"), body)
+    } finally {
+      srv.close(); e.close()
+    }
+  }
+
   test("/traces serves recorded statement span trees as JSON") {
     val e = QueryEngine.scratch(spark)
     val srv = new HttpAdmin(e, 0).start()
