@@ -1199,8 +1199,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             // columns at a pinned sequence, so INCREMENTALLY can later
             // merge deltas from exactly this horizon
             val r = catalog.lastSeq(sh.table)
-            encrypted(IncrementalView.aggregate(stateAt(sh.table, Some(r).filter(_ > 0)), sh)
-              .write).mode("overwrite").parquet(catalog.mviewDataPath(name, 0L))
+            val agged =
+              IncrementalView.aggregate(stateAt(sh.table, Some(r).filter(_ > 0)), sh)
+            // HAVING resolves against the view's own output columns —
+            // analysis-check it NOW so a typo fails the CREATE, not the
+            // first read (the filter itself applies at read time)
+            sh.having.foreach(h => agged.where(expr(h)).queryExecution.analyzed)
+            encrypted(agged.write)
+              .mode("overwrite").parquet(catalog.mviewDataPath(name, 0L))
             catalog.createMaterializedView(name, viewSql)
             catalog.setMviewRefreshed(name, 0L, Map(sh.table -> r))
           case None => joinShapeOf(viewSql) match {
@@ -1211,10 +1217,11 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               // catalog save (a crash mid-way must not leave partial
               // horizons)
               val hs = js.tables.map(tn => tn -> catalog.lastSeq(tn)).toMap
-              encrypted(IncrementalView.aggregateJoin(
-                  js.tables.map(tn =>
-                    stateAt(tn, Some(hs(tn)).filter(_ > 0))),
-                  js).write)
+              val agged = IncrementalView.aggregateJoin(
+                js.tables.map(tn =>
+                  stateAt(tn, Some(hs(tn)).filter(_ > 0))), js)
+              js.having.foreach(h => agged.where(expr(h)).queryExecution.analyzed)
+              encrypted(agged.write)
                 .mode("overwrite").parquet(catalog.mviewDataPath(name, 0L))
               catalog.createMaterializedView(name, viewSql)
               catalog.setMviewRefreshed(name, 0L, hs)
@@ -2112,7 +2119,15 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           val mv = spark.read.parquet(catalog.mviewDataPath(v, catalog.mviewVersion(v)))
           // maintainable views carry hidden IVM support columns
           // (__graft_*) — internal bookkeeping, not part of the view
-          mv.drop(mv.columns.filter(IncrementalView.hidden).toIndexedSeq: _*)
+          val visible =
+            mv.drop(mv.columns.filter(IncrementalView.hidden).toIndexedSeq: _*)
+          // a maintainable view's HAVING applies at READ time: storage
+          // keeps every group so deltas can move groups across the
+          // predicate boundary (IncrementalView scaladoc)
+          val viewSql = catalog.getView(v).get
+          val having = incShapeOf(viewSql).flatMap(_.having)
+            .orElse(joinShapeOf(viewSql).flatMap(_.having))
+          having.fold(visible)(h => visible.where(expr(h)))
             .createOrReplaceTempView(v)
         }
       } else {

@@ -619,6 +619,46 @@ object EngineSql {
     e.sql("SELECT zone, seg, n, sv, av FROM j3v ORDER BY zone, seg")
   }
 
+  /** Read-time HAVING on an incrementally maintained view (round 14):
+    * storage keeps every group (a group outside the predicate today
+    * can cross into it after any delta), the read applies the
+    * predicate over the view's output aliases. The workload moves
+    * groups across the HAVING boundary in BOTH directions through one
+    * incremental refresh; the oracle restates the HAVING over the
+    * aggregate calls. */
+  val qMatViewHaving = Q(
+    "q_matview_having",
+    """WITH src AS (
+      |  SELECT c_custkey AS k,
+      |         'g' || CAST(c_nationkey % 6 AS VARCHAR) AS grp,
+      |         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS v
+      |  FROM customer
+      |  WHERE c_custkey < 300 OR c_custkey BETWEEN 1000 AND 1049),
+      |post AS (SELECT k, grp, v FROM src WHERE k % 9 <> 0)
+      |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(v) AS BIGINT) AS sv
+      |FROM post GROUP BY grp
+      |HAVING COUNT(*) >= 40 AND SUM(v) > 0
+      |ORDER BY grp""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.sql("CREATE TABLE htab (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    e.sql("""INSERT INTO htab
+            |SELECT c_custkey, 'g' || CAST(c_nationkey % 6 AS STRING),
+            |       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+            |FROM customer WHERE c_custkey < 300""".stripMargin)
+    e.sql("""CREATE MATERIALIZED VIEW hmv AS
+            |SELECT grp, COUNT(*) AS n, SUM(v) AS sv
+            |FROM htab GROUP BY grp HAVING n >= 40 AND sv > 0""".stripMargin)
+    e.sql("""INSERT INTO htab
+            |SELECT c_custkey, 'g' || CAST(c_nationkey % 6 AS STRING),
+            |       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+            |FROM customer WHERE c_custkey BETWEEN 1000 AND 1049""".stripMargin)
+    e.sql("DELETE FROM htab WHERE k % 9 = 0")
+    e.sql("REFRESH MATERIALIZED VIEW hmv INCREMENTALLY")
+    e.sql("SELECT grp, n, sv FROM hmv ORDER BY grp")
+  }
+
   /** SHOW MATERIALIZED VIEWS (round 14): the operator's staleness
     * dashboard — maintenance kind (single-table incremental / join
     * incremental / full-rerun), per-side refresh horizons, and
@@ -1687,7 +1727,7 @@ object EngineSql {
     qLifecycleCurrent, qLifecycleAsOf, qTxnLifecycle, qFkLifecycle,
     qStreamIngest, qSqlPassthrough, qSqlView, qMatView, qMatViewInc,
     qMatViewMinMax, qMatViewAvg, qMatViewAcd, qMatViewJoin, qMatViewJoin3,
-    qShowMatviews, qTriggerAudit,
+    qMatViewHaving, qShowMatviews, qTriggerAudit,
     qProcCall, qMvccSessions, qConstraints, qSequences, qAutoIncrement,
     qRls, qBackupRestore, qAuditLog, qGrants, qResultCache, qMigrations,
     qMetrics, qVacuumRetain, qDiffTable, qZOrder, qStreamDedup,

@@ -10,6 +10,15 @@ import org.apache.spark.sql.functions._
   *   SELECT g1, ..., gk, COUNT(*) AS a, COUNT(e) AS b, SUM(e) AS c,
   *          AVG(e) AS d, ...
   *   FROM <engine table> [WHERE <pred>] GROUP BY g1, ..., gk
+  *   [HAVING <pred over the view's OUTPUT columns>]
+  *
+  * HAVING is a READ-TIME filter: the stored parquet keeps every group
+  * (plus the hidden accumulators), because a group outside the
+  * predicate today can cross into it after any delta — filtering at
+  * storage would lose the state needed to re-admit it. The predicate
+  * references the view's output columns (the aggregate ALIASES, not
+  * re-stated aggregate calls — the stored view has no raw rows to
+  * re-aggregate).
   *
   * COUNT and SUM are the self-maintainable aggregates: a row's
   * contribution can be subtracted as well as added, so the view merges
@@ -72,7 +81,8 @@ object IncrementalView {
   final case class AcdExpr(e: String, alias: String) extends Agg
 
   final case class Shape(table: String, where: Option[String],
-      groupCols: Seq[String], aggs: Seq[Agg]) {
+      groupCols: Seq[String], aggs: Seq[Agg],
+      having: Option[String] = None) {
     /** MIN/MAX and APPROX_COUNT_DISTINCT carry the extra maintenance
       * precondition (non-retractable state; see merge). */
     def needsAppendGate: Boolean = aggs.exists {
@@ -98,7 +108,8 @@ object IncrementalView {
     * (the stored view exposes them unqualified). */
   final case class JoinShape(tables: Seq[String], onExprs: Seq[String],
       links: Seq[(String, String, String, String)], where: Option[String],
-      groupCols: Seq[String], aggs: Seq[Agg]) {
+      groupCols: Seq[String], aggs: Seq[Agg],
+      having: Option[String] = None) {
     /** The aliased join chain (+ view WHERE) over one state frame per
       * table, in `tables` order. */
     def joined(frames: Seq[DataFrame]): DataFrame = {
@@ -129,7 +140,8 @@ object IncrementalView {
   def hidden(c: String): Boolean = c.startsWith("__graft_")
 
   private val ShapeRe =
-    """(?is)^\s*SELECT\s+(.+?)\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+(.+?)\s*;?\s*$""".r
+    ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+?))?""" +
+      """\s+GROUP\s+BY\s+(.+?)(?:\s+HAVING\s+(.+?))?\s*;?\s*$""").r
   private val CountStarRe = """(?is)^COUNT\s*\(\s*\*\s*\)\s+AS\s+(\w+)$""".r
   private val CountRe = """(?is)^COUNT\s*\((.+)\)\s+AS\s+(\w+)$""".r
   private val SumRe = """(?is)^SUM\s*\((.+)\)\s+AS\s+(\w+)$""".r
@@ -148,7 +160,7 @@ object IncrementalView {
     * touched pk was contributing at the old horizon) is the ENGINE's
     * gate, not the parser's. */
   def parse(sql: String): Option[Shape] = sql match {
-    case ShapeRe(selectList, table, where, groupBy) =>
+    case ShapeRe(selectList, table, where, groupBy, having) =>
       val items = SqlText.splitTopLevel(selectList).map(_.trim)
       val gcols = SqlText.splitTopLevel(groupBy).map(_.trim)
       if (gcols.isEmpty || !gcols.forall(IdentRe.matches(_))) return None
@@ -172,14 +184,16 @@ object IncrementalView {
       // self-maintainable
       else if (items.exists(i =>
         """(?is)\(\s*DISTINCT\b""".r.findFirstIn(i).isDefined)) None
-      else Some(Shape(table, Option(where).map(_.trim), bare, aggs))
+      else Some(Shape(table, Option(where).map(_.trim), bare, aggs,
+        Option(having).map(_.trim)))
     case _ => None
   }
 
   private val JoinShapeRe =
     ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+(\w+(?:\s+(?:INNER\s+)?JOIN\s+""" +
       """\w+\s+ON\s+\w+\s*\.\s*\w+\s*=\s*\w+\s*\.\s*\w+)+)""" +
-      """(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+(.+?)\s*;?\s*$""").r
+      """(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+(.+?)""" +
+      """(?:\s+HAVING\s+(.+?))?\s*;?\s*$""").r
   private val JoinLinkRe =
     ("""(?is)\s+(?:INNER\s+)?JOIN\s+(\w+)\s+ON\s+""" +
       """(\w+)\s*\.\s*(\w+)\s*=\s*(\w+)\s*\.\s*(\w+)""").r
@@ -193,7 +207,7 @@ object IncrementalView {
     * APPROX_COUNT_DISTINCT cannot retract a joined row — a join view
     * holding one falls back to full REFRESH). */
   def parseJoin(sql: String): Option[JoinShape] = sql match {
-    case JoinShapeRe(selectList, fromChain, where, groupBy) =>
+    case JoinShapeRe(selectList, fromChain, where, groupBy, having) =>
       val first =
         """^\w+""".r.findFirstIn(fromChain.trim).getOrElse(return None)
       val linkMs = JoinLinkRe.findAllMatchIn(fromChain).toSeq
@@ -229,7 +243,8 @@ object IncrementalView {
       else if (items.exists(i =>
         """(?is)\(\s*DISTINCT\b""".r.findFirstIn(i).isDefined)) None
       else Some(JoinShape(tables, onExprs, links,
-        Option(where).map(_.trim), bare, aggs))
+        Option(where).map(_.trim), bare, aggs,
+        Option(having).map(_.trim)))
     case _ => None
   }
 

@@ -141,6 +141,13 @@ class IncrementalViewSpec extends AnyFunSuite {
     // DISTINCT-keyword rejection (that targets `(DISTINCT ...` only)
     assert(parse("SELECT grp, APPROX_COUNT_DISTINCT(v) AS dv FROM t GROUP BY grp")
       .exists(s => s.needsAppendGate && s.aggs.size == 1))
+    // HAVING parses as the read-time filter (over output aliases)
+    assert(parse("SELECT grp, COUNT(*) AS n FROM t WHERE v > 0 " +
+      "GROUP BY grp HAVING n > 5 AND grp <> 'x'")
+      .exists(s => s.having.contains("n > 5 AND grp <> 'x'") &&
+        s.where.contains("v > 0")))
+    assert(parse("SELECT grp, COUNT(*) AS n FROM t GROUP BY grp")
+      .exists(_.having.isEmpty))
     assert(parse("SELECT grp, COUNT(*) AS n FROM t JOIN u ON t.k = u.k GROUP BY grp").isEmpty)
     assert(parse("SELECT COUNT(*) AS n FROM t").isEmpty) // no GROUP BY
     assert(parse("SELECT grp, other, COUNT(*) AS n FROM t GROUP BY grp").isEmpty)
@@ -184,6 +191,38 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(after === fresh())
     assert(after.exists(_.startsWith("[c,null,")), "all-NULL AVG must be NULL")
     assert(!after.exists(_.startsWith("[a,")), "emptied group must vanish")
+    e.close()
+  }
+
+  test("HAVING filters at read time; groups cross the boundary under deltas") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    e.sql("INSERT INTO t VALUES (1,'a',10), (2,'a',20), (3,'b',30)")
+    e.sql("""CREATE MATERIALIZED VIEW hv AS
+            |SELECT grp, COUNT(*) AS n, SUM(v) AS sv
+            |FROM t GROUP BY grp HAVING n >= 2""".stripMargin)
+    def view(): Set[String] =
+      e.sql("SELECT grp, n, sv FROM hv").collect().map(_.toString).toSet
+    def fresh(): Set[String] =
+      e.sql("""SELECT grp, COUNT(*) AS n, SUM(v) AS sv FROM t
+              |GROUP BY grp HAVING COUNT(*) >= 2""".stripMargin)
+        .collect().map(_.toString).toSet
+    assert(view() === fresh())
+    assert(view() === Set("[a,2,30]"), "b (n=1) is outside the HAVING")
+    // a delta moves b INTO the predicate and a OUT of it — storage
+    // kept both groups, so the read-time filter re-admits b exactly
+    e.sql("INSERT INTO t VALUES (4,'b',5)")
+    e.sql("DELETE FROM t WHERE k = 1")
+    e.sql("REFRESH MATERIALIZED VIEW hv INCREMENTALLY")
+    assert(view() === fresh())
+    assert(view() === Set("[b,2,35]"))
+    // HAVING typos fail the CREATE, not the first read
+    val err = intercept[Exception] {
+      e.sql("""CREATE MATERIALIZED VIEW hbad AS
+              |SELECT grp, COUNT(*) AS n FROM t GROUP BY grp
+              |HAVING nope > 1""".stripMargin)
+    }
+    assert(err.getMessage.toLowerCase.contains("nope"), err.getMessage)
     e.close()
   }
 
