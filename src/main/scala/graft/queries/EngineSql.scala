@@ -659,6 +659,45 @@ object EngineSql {
     e.sql("SELECT grp, n, sv FROM hmv ORDER BY grp")
   }
 
+  /** Computed group keys in a maintained view (round 14): the view
+    * groups by row EXPRESSIONS (`nk % 4`, a string prefix) stated by
+    * alias, evaluated identically by the full aggregation and every
+    * signed-delta projection — updates that move rows ACROSS computed
+    * groups must retract from one bucket and add to another. Oracle
+    * recomputes from scratch with the same expressions. */
+  val qMatViewExpr = Q(
+    "q_matview_expr",
+    """WITH src AS (
+      |  SELECT c_custkey AS k, c_nationkey AS nk,
+      |         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS v
+      |  FROM customer
+      |  WHERE c_custkey < 400 OR c_custkey BETWEEN 1000 AND 1099),
+      |post AS (
+      |  SELECT k, CASE WHEN k % 11 = 0 THEN nk + 1 ELSE nk END AS nk, v
+      |  FROM src WHERE k % 17 <> 0)
+      |SELECT nk % 4 AS b, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(v) AS BIGINT) AS sv
+      |FROM post GROUP BY b ORDER BY b""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.sql("CREATE TABLE etab (k BIGINT PRIMARY KEY, nk BIGINT, v BIGINT)")
+    e.sql("""INSERT INTO etab
+            |SELECT c_custkey, c_nationkey,
+            |       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+            |FROM customer WHERE c_custkey < 400""".stripMargin)
+    e.sql("""CREATE MATERIALIZED VIEW emv AS
+            |SELECT nk % 4 AS b, COUNT(*) AS n, SUM(v) AS sv
+            |FROM etab GROUP BY b""".stripMargin)
+    e.sql("""INSERT INTO etab
+            |SELECT c_custkey, c_nationkey,
+            |       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+            |FROM customer WHERE c_custkey BETWEEN 1000 AND 1099""".stripMargin)
+    e.sql("UPDATE etab SET nk = nk + 1 WHERE k % 11 = 0") // crosses buckets
+    e.sql("DELETE FROM etab WHERE k % 17 = 0")
+    e.sql("REFRESH MATERIALIZED VIEW emv INCREMENTALLY")
+    e.sql("SELECT b, n, sv FROM emv ORDER BY b")
+  }
+
   /** SHOW MATERIALIZED VIEWS (round 14): the operator's staleness
     * dashboard — maintenance kind (single-table incremental / join
     * incremental / full-rerun), per-side refresh horizons, and
@@ -1727,7 +1766,7 @@ object EngineSql {
     qLifecycleCurrent, qLifecycleAsOf, qTxnLifecycle, qFkLifecycle,
     qStreamIngest, qSqlPassthrough, qSqlView, qMatView, qMatViewInc,
     qMatViewMinMax, qMatViewAvg, qMatViewAcd, qMatViewJoin, qMatViewJoin3,
-    qMatViewHaving, qShowMatviews, qTriggerAudit,
+    qMatViewHaving, qMatViewExpr, qShowMatviews, qTriggerAudit,
     qProcCall, qMvccSessions, qConstraints, qSequences, qAutoIncrement,
     qRls, qBackupRestore, qAuditLog, qGrants, qResultCache, qMigrations,
     qMetrics, qVacuumRetain, qDiffTable, qZOrder, qStreamDedup,

@@ -80,9 +80,19 @@ object IncrementalView {
   final case class MaxExpr(e: String, alias: String) extends Agg
   final case class AcdExpr(e: String, alias: String) extends Agg
 
+  /** One grouping key: a row expression and its output alias (for a
+    * bare column the two coincide). The expression is evaluated
+    * identically by the full aggregation and every signed-delta
+    * projection, so computed keys (`x % 5 AS bucket`) maintain exactly
+    * like bare columns — the stored view and the merge join both work
+    * over the ALIAS. Deterministic expressions only (the same row must
+    * land in the same group on every evaluation). */
+  final case class GroupKey(e: String, alias: String)
+
   final case class Shape(table: String, where: Option[String],
-      groupCols: Seq[String], aggs: Seq[Agg],
+      groupKeys: Seq[GroupKey], aggs: Seq[Agg],
       having: Option[String] = None) {
+    def groupCols: Seq[String] = groupKeys.map(_.alias)
     /** MIN/MAX and APPROX_COUNT_DISTINCT carry the extra maintenance
       * precondition (non-retractable state; see merge). */
     def needsAppendGate: Boolean = aggs.exists {
@@ -108,8 +118,9 @@ object IncrementalView {
     * (the stored view exposes them unqualified). */
   final case class JoinShape(tables: Seq[String], onExprs: Seq[String],
       links: Seq[(String, String, String, String)], where: Option[String],
-      groupCols: Seq[String], aggs: Seq[Agg],
+      groupKeys: Seq[GroupKey], aggs: Seq[Agg],
       having: Option[String] = None) {
+    def groupCols: Seq[String] = groupKeys.map(_.alias)
     /** The aliased join chain (+ view WHERE) over one state frame per
       * table, in `tables` order. */
     def joined(frames: Seq[DataFrame]): DataFrame = {
@@ -151,6 +162,40 @@ object IncrementalView {
   private val MinRe = """(?is)^MIN\s*\((.+)\)\s+AS\s+(\w+)$""".r
   private val MaxRe = """(?is)^MAX\s*\((.+)\)\s+AS\s+(\w+)$""".r
   private val IdentRe = """^[\w.]+$""".r
+  private val GroupItemRe = """(?is)^(.+?)\s+AS\s+(\w+)$""".r
+  private val AggCallRe =
+    """(?i)\b(COUNT|SUM|AVG|MIN|MAX|APPROX_COUNT_DISTINCT)\s*\(""".r
+
+  /** Classify select items into aggregates and group keys (bare
+    * columns or `expr AS alias` row expressions with no aggregate
+    * call). None when an item fits neither, GROUP BY does not state
+    * exactly the key aliases, or (retractableOnly) a non-retractable
+    * aggregate appears. */
+  private def classify(items: Seq[String], gcols: Seq[String],
+      retractableOnly: Boolean): Option[(Seq[GroupKey], Seq[Agg])] = {
+    val aggs = Vector.newBuilder[Agg]
+    val keys = Vector.newBuilder[GroupKey]
+    for (i <- items) i match {
+      case CountStarRe(a) => aggs += CountStar(a)
+      case SumRe(e, a) => aggs += SumExpr(e.trim, a)
+      case AvgRe(e, a) => aggs += AvgExpr(e.trim, a)
+      case AcdRe(e, a) if !retractableOnly => aggs += AcdExpr(e.trim, a)
+      case MinRe(e, a) if !retractableOnly => aggs += MinExpr(e.trim, a)
+      case MaxRe(e, a) if !retractableOnly => aggs += MaxExpr(e.trim, a)
+      case CountRe(e, a) if e.trim != "*" => aggs += CountExpr(e.trim, a)
+      case b if BareRe.matches(b) => keys += GroupKey(b, b)
+      case GroupItemRe(e, a) if AggCallRe.findFirstIn(e).isEmpty =>
+        keys += GroupKey(e.trim, a)
+      case _ => return None
+    }
+    val ks = keys.result()
+    val as = aggs.result()
+    // GROUP BY must state exactly the key ALIASES (the view exposes
+    // its own grouping keys) and there must be something to maintain
+    if (ks.nonEmpty && as.nonEmpty && ks.map(_.alias).sorted == gcols.sorted)
+      Some((ks, as))
+    else None
+  }
 
   /** Some(shape) iff `sql` is the maintainable form above: one table,
     * bare-identifier group columns (select list and GROUP BY must
@@ -163,29 +208,17 @@ object IncrementalView {
     case ShapeRe(selectList, table, where, groupBy, having) =>
       val items = SqlText.splitTopLevel(selectList).map(_.trim)
       val gcols = SqlText.splitTopLevel(groupBy).map(_.trim)
-      if (gcols.isEmpty || !gcols.forall(IdentRe.matches(_))) return None
-      val bare = items.filter(IdentRe.matches(_))
-      val aggs = items.filterNot(IdentRe.matches(_)).map {
-        case CountStarRe(a) => CountStar(a)
-        case SumRe(e, a) => SumExpr(e.trim, a)
-        case AvgRe(e, a) => AvgExpr(e.trim, a)
-        case AcdRe(e, a) => AcdExpr(e.trim, a)
-        case MinRe(e, a) => MinExpr(e.trim, a)
-        case MaxRe(e, a) => MaxExpr(e.trim, a)
-        case CountRe(e, a) if e.trim != "*" => CountExpr(e.trim, a)
-        case _ => return None
-      }
-      // group columns must be exactly the bare select items (the view
-      // exposes its own grouping keys) and there must be something to
-      // maintain
-      if (bare.sorted != gcols.sorted || aggs.isEmpty) None
+      if (gcols.isEmpty || !gcols.forall(BareRe.matches(_))) return None
       // DISTINCT inside an aggregate (the keyword after the paren —
       // NOT the APPROX_COUNT_DISTINCT function name) is not
       // self-maintainable
-      else if (items.exists(i =>
-        """(?is)\(\s*DISTINCT\b""".r.findFirstIn(i).isDefined)) None
-      else Some(Shape(table, Option(where).map(_.trim), bare, aggs,
-        Option(having).map(_.trim)))
+      if (items.exists(i =>
+        """(?is)\(\s*DISTINCT\b""".r.findFirstIn(i).isDefined)) return None
+      classify(items, gcols, retractableOnly = false).map {
+        case (keys, aggs) =>
+          Shape(table, Option(where).map(_.trim), keys, aggs,
+            Option(having).map(_.trim))
+      }
     case _ => None
   }
 
@@ -231,20 +264,14 @@ object IncrementalView {
       val items = SqlText.splitTopLevel(selectList).map(_.trim)
       val gcols = SqlText.splitTopLevel(groupBy).map(_.trim)
       if (gcols.isEmpty || !gcols.forall(BareRe.matches(_))) return None
-      val bare = items.filter(BareRe.matches(_))
-      val aggs = items.filterNot(BareRe.matches(_)).map {
-        case CountStarRe(a) => CountStar(a)
-        case SumRe(e, a) => SumExpr(e.trim, a)
-        case AvgRe(e, a) => AvgExpr(e.trim, a)
-        case CountRe(e, a) if e.trim != "*" => CountExpr(e.trim, a)
-        case _ => return None
+      if (items.exists(i =>
+        """(?is)\(\s*DISTINCT\b""".r.findFirstIn(i).isDefined)) return None
+      classify(items, gcols, retractableOnly = true).map {
+        case (keys, aggs) =>
+          JoinShape(tables, onExprs, links,
+            Option(where).map(_.trim), keys, aggs,
+            Option(having).map(_.trim))
       }
-      if (bare.sorted != gcols.sorted || aggs.isEmpty) None
-      else if (items.exists(i =>
-        """(?is)\(\s*DISTINCT\b""".r.findFirstIn(i).isDefined)) None
-      else Some(JoinShape(tables, onExprs, links,
-        Option(where).map(_.trim), bare, aggs,
-        Option(having).map(_.trim)))
     case _ => None
   }
 
@@ -253,14 +280,14 @@ object IncrementalView {
     * the stored schema is always merge-ready. */
   def aggregate(state: DataFrame, shape: Shape): DataFrame =
     aggregateFrom(shape.where.fold(state)(w => state.where(expr(w))),
-      shape.groupCols, shape.aggs)
+      shape.groupKeys, shape.aggs)
 
   /** Join-view population: the aliased equi-join chain of the tables'
     * state (+ WHERE), through the same aggregation as `aggregate`. */
   def aggregateJoin(frames: Seq[DataFrame], shape: JoinShape): DataFrame =
-    aggregateFrom(shape.joined(frames), shape.groupCols, shape.aggs)
+    aggregateFrom(shape.joined(frames), shape.groupKeys, shape.aggs)
 
-  private def aggregateFrom(base: DataFrame, groupCols: Seq[String],
+  private def aggregateFrom(base: DataFrame, groupKeys: Seq[GroupKey],
       aggs: Seq[Agg]): DataFrame = {
     val aggCols: Seq[Column] =
       aggs.map {
@@ -289,7 +316,7 @@ object IncrementalView {
           case AcdExpr(e, a) => Seq(hll_sketch_agg(expr(e)).as(sketchCol(a)))
           case _ => Nil
         }
-    base.groupBy(groupCols.map(col): _*)
+    base.groupBy(groupKeys.map(k => expr(k.e).as(k.alias)): _*)
       .agg(aggCols.head, aggCols.tail: _*)
   }
 
@@ -333,7 +360,7 @@ object IncrementalView {
     def signed(rows: DataFrame, sign: Int): DataFrame = {
       val base = shape.where.fold(rows)(w => rows.where(expr(w)))
       base.select(
-        shape.groupCols.map(col) ++
+        shape.groupKeys.map(k => expr(k.e).as(k.alias)) ++
           Seq(lit(sign).as("__sign")) ++
           signedVals(shape.aggs, storedType): _*)
     }
@@ -502,7 +529,7 @@ object IncrementalView {
       val parity = if (java.lang.Integer.bitCount(mask) % 2 == 1) 1 else -1
       val sign = signCol.map(col).reduce(_ * _) * lit(parity)
       shape.joined(frames).select(
-        shape.groupCols.map(col) ++
+        shape.groupKeys.map(k => expr(k.e).as(k.alias)) ++
           Seq(sign.as("__sign")) ++
           signedVals(shape.aggs, storedType): _*)
     }

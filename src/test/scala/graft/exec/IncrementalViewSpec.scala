@@ -141,6 +141,14 @@ class IncrementalViewSpec extends AnyFunSuite {
     // DISTINCT-keyword rejection (that targets `(DISTINCT ...` only)
     assert(parse("SELECT grp, APPROX_COUNT_DISTINCT(v) AS dv FROM t GROUP BY grp")
       .exists(s => s.needsAppendGate && s.aggs.size == 1))
+    // computed group keys: a row expression with an alias, stated by
+    // ALIAS in GROUP BY; aggregate calls cannot be group keys
+    assert(parse("SELECT v % 5 AS bucket, COUNT(*) AS n FROM t GROUP BY bucket")
+      .exists(s => s.groupKeys == Seq(IncrementalView.GroupKey("v % 5", "bucket"))))
+    assert(parse("SELECT grp, v % 5 AS bucket, COUNT(*) AS n " +
+      "FROM t GROUP BY grp, bucket").exists(_.groupKeys.size == 2))
+    assert(parse("SELECT SUM(v) AS s2, COUNT(*) AS n FROM t GROUP BY s2").isEmpty)
+    assert(parse("SELECT v % 5 AS bucket, COUNT(*) AS n FROM t GROUP BY v % 5").isEmpty)
     // HAVING parses as the read-time filter (over output aliases)
     assert(parse("SELECT grp, COUNT(*) AS n FROM t WHERE v > 0 " +
       "GROUP BY grp HAVING n > 5 AND grp <> 'x'")
@@ -191,6 +199,35 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(after === fresh())
     assert(after.exists(_.startsWith("[c,null,")), "all-NULL AVG must be NULL")
     assert(!after.exists(_.startsWith("[a,")), "emptied group must vanish")
+    e.close()
+  }
+
+  test("computed group keys maintain exactly like bare columns") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    e.sql("INSERT INTO t VALUES (1,'ax',10), (2,'ay',21), (3,'bz',30), (4,'b',NULL)")
+    e.sql("""CREATE MATERIALIZED VIEW ck AS
+            |SELECT SUBSTRING(grp, 1, 1) AS fam, v % 2 AS par,
+            |       COUNT(*) AS n, SUM(v) AS sv
+            |FROM t GROUP BY fam, par""".stripMargin)
+    def fresh(): Set[String] =
+      e.sql("""SELECT SUBSTRING(grp, 1, 1) AS fam, v % 2 AS par,
+              |COUNT(*) AS n, SUM(v) AS sv FROM t GROUP BY fam, par""".stripMargin)
+        .collect().map(_.toString).toSet
+    def view(): Set[String] =
+      e.sql("SELECT fam, par, n, sv FROM ck").collect().map(_.toString).toSet
+    assert(view() === fresh())
+    // updates move rows ACROSS computed groups (a value flips parity,
+    // a rename flips family); deletes empty a computed group
+    e.sql("UPDATE t SET v = 11 WHERE k = 1")
+    e.sql("UPDATE t SET grp = 'cq' WHERE k = 3")
+    e.sql("INSERT INTO t VALUES (5,'ax',NULL)")
+    e.sql("REFRESH MATERIALIZED VIEW ck INCREMENTALLY")
+    assert(view() === fresh())
+    e.sql("DELETE FROM t WHERE grp LIKE 'a%'")
+    e.sql("REFRESH MATERIALIZED VIEW ck INCREMENTALLY")
+    assert(view() === fresh())
+    assert(!view().exists(_.startsWith("[a,")), "emptied computed group vanishes")
     e.close()
   }
 
