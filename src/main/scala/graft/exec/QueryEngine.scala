@@ -1199,14 +1199,17 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             // columns at a pinned sequence, so INCREMENTALLY can later
             // merge deltas from exactly this horizon
             val r = catalog.lastSeq(sh.table)
-            val agged =
-              IncrementalView.aggregate(stateAt(sh.table, Some(r).filter(_ > 0)), sh)
+            val st0 = stateAt(sh.table, Some(r).filter(_ > 0))
+            val agged = IncrementalView.aggregate(st0, sh)
             // HAVING resolves against the view's own output columns —
             // analysis-check it NOW so a typo fails the CREATE, not the
             // first read (the filter itself applies at read time)
             sh.having.foreach(h => agged.where(expr(h)).queryExecution.analyzed)
             encrypted(agged.write)
               .mode("overwrite").parquet(catalog.mviewDataPath(name, 0L))
+            writeAuxes(sh.where.fold(st0)(w => st0.where(expr(w))),
+              sh.groupKeys, IncrementalView.cdAggs(sh.aggs),
+              catalog.mviewDataPath(name, 0L))
             catalog.createMaterializedView(name, viewSql)
             catalog.setMviewRefreshed(name, 0L, Map(sh.table -> r))
           case None => joinShapeOf(viewSql) match {
@@ -1217,12 +1220,15 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               // catalog save (a crash mid-way must not leave partial
               // horizons)
               val hs = js.tables.map(tn => tn -> catalog.lastSeq(tn)).toMap
-              val agged = IncrementalView.aggregateJoin(
-                js.tables.map(tn =>
-                  stateAt(tn, Some(hs(tn)).filter(_ > 0))), js)
+              val frames0 = js.tables.map(tn =>
+                stateAt(tn, Some(hs(tn)).filter(_ > 0)))
+              val agged = IncrementalView.aggregateJoin(frames0, js)
               js.having.foreach(h => agged.where(expr(h)).queryExecution.analyzed)
               encrypted(agged.write)
                 .mode("overwrite").parquet(catalog.mviewDataPath(name, 0L))
+              writeAuxes(js.joined(frames0), js.groupKeys,
+                IncrementalView.cdAggs(js.aggs),
+                catalog.mviewDataPath(name, 0L))
               catalog.createMaterializedView(name, viewSql)
               catalog.setMviewRefreshed(name, 0L, hs)
             case None =>
@@ -1296,11 +1302,23 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                   "the view then — such a row's update or delete can " +
                   "retract the stored extreme or sketched value. Run " +
                   "a full (non-incremental) REFRESH")
-            val merged = IncrementalView.merge(stored, oldSide,
-              restrict(stateAt(baseT, Some(horizon))), sh)
+            val newSide = restrict(stateAt(baseT, Some(horizon)))
+            val cds = IncrementalView.cdAggs(sh.aggs)
+            val (merged, auxWrites) =
+              if (cds.isEmpty)
+                (IncrementalView.merge(stored, oldSide, newSide, sh), Nil)
+              else {
+                val sd = IncrementalView.signedDelta(stored, oldSide, newSide, sh)
+                mergeWithDistinct(name, prev,
+                  IncrementalView.mergeSigned(stored, sd, sh.groupCols, sh.aggs),
+                  sd, sh.groupCols, cds)
+              }
             tracer.span("mview-write") {
               encrypted(merged.write).mode("overwrite")
                 .parquet(catalog.mviewDataPath(name, prev + 1))
+              for ((dir, df) <- auxWrites)
+                encrypted(df.write).mode("overwrite")
+                  .parquet(catalog.mviewDataPath(name, prev + 1) + "/" + dir)
             }
             // ONE atomic catalog save: a version bump without the
             // horizon re-anchor would double-apply this delta on the
@@ -1392,11 +1410,19 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               val delta = IncrementalView.joinSignedDelta(js, stored,
                 sides.indices.map(i =>
                   (deltas(i)._1, deltas(i)._2, fulls(i))))
-              val merged =
-                IncrementalView.mergeSigned(stored, delta, js.groupCols, js.aggs)
+              val cds = IncrementalView.cdAggs(js.aggs)
+              val (merged, auxWrites) = {
+                val m0 =
+                  IncrementalView.mergeSigned(stored, delta, js.groupCols, js.aggs)
+                if (cds.isEmpty) (m0, Nil)
+                else mergeWithDistinct(name, prev, m0, delta, js.groupCols, cds)
+              }
               tracer.span("mview-write") {
                 encrypted(merged.write).mode("overwrite")
                   .parquet(catalog.mviewDataPath(name, prev + 1))
+                for ((dir, df) <- auxWrites)
+                  encrypted(df.write).mode("overwrite")
+                    .parquet(catalog.mviewDataPath(name, prev + 1) + "/" + dir)
               }
               catalog.setMviewRefreshed(name, prev + 1, horizons)
             }
@@ -1418,18 +1444,23 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           shapeOpt match {
             case Some(sh) =>
               val horizon = catalog.lastSeq(sh.table)
-              encrypted(IncrementalView.aggregate(
-                  stateAt(sh.table, Some(horizon).filter(_ > 0)), sh).write)
+              val st0 = stateAt(sh.table, Some(horizon).filter(_ > 0))
+              encrypted(IncrementalView.aggregate(st0, sh).write)
                 .mode("overwrite").parquet(catalog.mviewDataPath(name, prev + 1))
+              writeAuxes(sh.where.fold(st0)(w => st0.where(expr(w))),
+                sh.groupKeys, IncrementalView.cdAggs(sh.aggs),
+                catalog.mviewDataPath(name, prev + 1))
               catalog.setMviewRefreshed(name, prev + 1, Map(sh.table -> horizon))
             case None => joinShapeOf(viewSql) match {
               case Some(js) =>
                 val hs = js.tables.map(tn => tn -> catalog.lastSeq(tn)).toMap
-                encrypted(IncrementalView.aggregateJoin(
-                    js.tables.map(tn =>
-                      stateAt(tn, Some(hs(tn)).filter(_ > 0))),
-                    js).write)
+                val frames0 = js.tables.map(tn =>
+                  stateAt(tn, Some(hs(tn)).filter(_ > 0)))
+                encrypted(IncrementalView.aggregateJoin(frames0, js).write)
                   .mode("overwrite").parquet(catalog.mviewDataPath(name, prev + 1))
+                writeAuxes(js.joined(frames0), js.groupKeys,
+                  IncrementalView.cdAggs(js.aggs),
+                  catalog.mviewDataPath(name, prev + 1))
                 catalog.setMviewRefreshed(name, prev + 1, hs)
               case None =>
                 encrypted(select(viewSql).write).mode("overwrite")
@@ -4085,6 +4116,44 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     IncrementalView.parseJoin(sql)
       .filter(_.tables.forall(tn =>
         catalog.get(tn).exists(_.attached.isEmpty)))
+
+  /** COUNT(DISTINCT) maintenance around a merged main frame: merge
+    * each alias's aux (per-(group, value) live counts) from the SAME
+    * signed frame the main merge consumed, overlay the touched
+    * groups' distinct counts onto the main, and return the final main
+    * plus the aux frames to materialize into the NEW version dir
+    * (written AFTER the main lands — its overwrite truncates the
+    * dir). The signed frame is delta-sized, so its re-evaluation
+    * across the aux merges stays O(touched). */
+  private def mergeWithDistinct(name: String, prev: Long,
+      merged0: DataFrame, sd: DataFrame, groupCols: Seq[String],
+      cds: Seq[IncrementalView.CountDistinctExpr])
+      : (DataFrame, Seq[(String, DataFrame)]) = {
+    var main = merged0
+    val writes = cds.map { cd =>
+      val auxStored = spark.read.parquet(
+        catalog.mviewDataPath(name, prev) + "/" +
+          IncrementalView.auxDir(cd.alias))
+      val auxMerged =
+        IncrementalView.auxMerge(auxStored, sd, groupCols, cd.alias)
+      main = IncrementalView.overlayDistinct(
+        main, auxMerged, sd, groupCols, cd.alias)
+      (IncrementalView.auxDir(cd.alias), auxMerged)
+    }
+    (main, writes)
+  }
+
+  /** Populate the COUNT(DISTINCT) aux frames for a freshly aggregated
+    * view version — `base` is the where-filtered state (or joined
+    * relation) the main aggregation consumed. */
+  private def writeAuxes(base: DataFrame,
+      keys: Seq[IncrementalView.GroupKey],
+      cds: Seq[IncrementalView.CountDistinctExpr], path: String): Unit =
+    cds.foreach { cd =>
+      encrypted(IncrementalView.auxAggregate(base, keys, cd).write)
+        .mode("overwrite")
+        .parquet(path + "/" + IncrementalView.auxDir(cd.alias))
+    }
 
   /** A filter restricting a state read to the pks touched in
     * (r, horizon]. A small touched set inlines TYPED pk values (from

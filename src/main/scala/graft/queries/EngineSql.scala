@@ -698,6 +698,47 @@ object EngineSql {
     e.sql("SELECT b, n, sv FROM emv ORDER BY b")
   }
 
+  /** Exact COUNT(DISTINCT) maintenance (round 14): the view carries a
+    * hidden per-(group, value) aux frame — the two-level IVM
+    * reduction — so distinct counts RETRACT exactly under deletes and
+    * updates (the case the gated sketch cannot maintain): deleting
+    * one of two rows sharing a value must not drop the count. The
+    * fixture's cents%50 values guarantee heavy duplication, updates
+    * shift values within groups, and deletes remove both last-copies
+    * and redundant copies. Oracle recomputes from scratch. */
+  val qMatViewCd = Q(
+    "q_matview_cd",
+    """WITH src AS (
+      |  SELECT c_custkey AS k, c_nationkey % 5 AS g,
+      |         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) % 50 AS v
+      |  FROM customer
+      |  WHERE c_custkey < 400 OR c_custkey BETWEEN 1000 AND 1099),
+      |post AS (
+      |  SELECT k, g, CASE WHEN k % 11 = 0 THEN v + 3 ELSE v END AS v
+      |  FROM src WHERE k % 7 <> 0)
+      |SELECT g, CAST(COUNT(DISTINCT v) AS BIGINT) AS d,
+      |       CAST(COUNT(*) AS BIGINT) AS n
+      |FROM post GROUP BY g ORDER BY g""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.sql("CREATE TABLE cdt (k BIGINT PRIMARY KEY, g BIGINT, v BIGINT)")
+    e.sql("""INSERT INTO cdt
+            |SELECT c_custkey, c_nationkey % 5,
+            |       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) % 50
+            |FROM customer WHERE c_custkey < 400""".stripMargin)
+    e.sql("""CREATE MATERIALIZED VIEW cdv AS
+            |SELECT g, COUNT(DISTINCT v) AS d, COUNT(*) AS n
+            |FROM cdt GROUP BY g""".stripMargin)
+    e.sql("""INSERT INTO cdt
+            |SELECT c_custkey, c_nationkey % 5,
+            |       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) % 50
+            |FROM customer WHERE c_custkey BETWEEN 1000 AND 1099""".stripMargin)
+    e.sql("UPDATE cdt SET v = v + 3 WHERE k % 11 = 0")
+    e.sql("DELETE FROM cdt WHERE k % 7 = 0")
+    e.sql("REFRESH MATERIALIZED VIEW cdv INCREMENTALLY")
+    e.sql("SELECT g, d, n FROM cdv ORDER BY g")
+  }
+
   /** SHOW MATERIALIZED VIEWS (round 14): the operator's staleness
     * dashboard — maintenance kind (single-table incremental / join
     * incremental / full-rerun), per-side refresh horizons, and
@@ -1766,7 +1807,7 @@ object EngineSql {
     qLifecycleCurrent, qLifecycleAsOf, qTxnLifecycle, qFkLifecycle,
     qStreamIngest, qSqlPassthrough, qSqlView, qMatView, qMatViewInc,
     qMatViewMinMax, qMatViewAvg, qMatViewAcd, qMatViewJoin, qMatViewJoin3,
-    qMatViewHaving, qMatViewExpr, qShowMatviews, qTriggerAudit,
+    qMatViewHaving, qMatViewExpr, qMatViewCd, qShowMatviews, qTriggerAudit,
     qProcCall, qMvccSessions, qConstraints, qSequences, qAutoIncrement,
     qRls, qBackupRestore, qAuditLog, qGrants, qResultCache, qMigrations,
     qMetrics, qVacuumRetain, qDiffTable, qZOrder, qStreamDedup,

@@ -76,6 +76,14 @@ object IncrementalView {
   final case class CountExpr(e: String, alias: String) extends Agg
   final case class SumExpr(e: String, alias: String) extends Agg
   final case class AvgExpr(e: String, alias: String) extends Agg
+  /** Exact COUNT(DISTINCT e): maintained through a hidden AUXILIARY
+    * frame at (group keys, value) grain — the classic two-level IVM
+    * reduction. The aux is itself a self-maintainable COUNT(*) view
+    * (a value's per-group support can be subtracted as well as
+    * added), and the visible column is the aux's per-group row count.
+    * Fully retractable — no append gate — unlike the sketch-backed
+    * APPROX_COUNT_DISTINCT. */
+  final case class CountDistinctExpr(e: String, alias: String) extends Agg
   final case class MinExpr(e: String, alias: String) extends Agg
   final case class MaxExpr(e: String, alias: String) extends Agg
   final case class AcdExpr(e: String, alias: String) extends Agg
@@ -149,11 +157,20 @@ object IncrementalView {
   def avgSumCol(alias: String): String = s"__graft_s_$alias"
   def sketchCol(alias: String): String = s"__graft_hll_$alias"
   def hidden(c: String): Boolean = c.startsWith("__graft_")
+  /** The aux frame's value column, and the aux's subdirectory inside
+    * the view's version dir — the leading underscore keeps Spark's
+    * file index from reading aux files into the main view. */
+  val CdValCol = "__graft_cd_val"
+  def auxDir(alias: String): String = s"_graft_aux_$alias"
+  def cdAggs(aggs: Seq[Agg]): Seq[CountDistinctExpr] =
+    aggs.collect { case cd: CountDistinctExpr => cd }
 
   private val ShapeRe =
     ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+?))?""" +
       """\s+GROUP\s+BY\s+(.+?)(?:\s+HAVING\s+(.+?))?\s*;?\s*$""").r
   private val CountStarRe = """(?is)^COUNT\s*\(\s*\*\s*\)\s+AS\s+(\w+)$""".r
+  private val CdRe =
+    """(?is)^COUNT\s*\(\s*DISTINCT\s+(.+)\)\s+AS\s+(\w+)$""".r
   private val CountRe = """(?is)^COUNT\s*\((.+)\)\s+AS\s+(\w+)$""".r
   private val SumRe = """(?is)^SUM\s*\((.+)\)\s+AS\s+(\w+)$""".r
   private val AvgRe = """(?is)^AVG\s*\((.+)\)\s+AS\s+(\w+)$""".r
@@ -177,6 +194,9 @@ object IncrementalView {
     val keys = Vector.newBuilder[GroupKey]
     for (i <- items) i match {
       case CountStarRe(a) => aggs += CountStar(a)
+      // before CountRe, which would otherwise swallow the DISTINCT
+      // keyword into its expression
+      case CdRe(e, a) => aggs += CountDistinctExpr(e.trim, a)
       case SumRe(e, a) => aggs += SumExpr(e.trim, a)
       case AvgRe(e, a) => aggs += AvgExpr(e.trim, a)
       case AcdRe(e, a) if !retractableOnly => aggs += AcdExpr(e.trim, a)
@@ -209,11 +229,10 @@ object IncrementalView {
       val items = SqlText.splitTopLevel(selectList).map(_.trim)
       val gcols = SqlText.splitTopLevel(groupBy).map(_.trim)
       if (gcols.isEmpty || !gcols.forall(BareRe.matches(_))) return None
-      // DISTINCT inside an aggregate (the keyword after the paren —
-      // NOT the APPROX_COUNT_DISTINCT function name) is not
-      // self-maintainable
-      if (items.exists(i =>
-        """(?is)\(\s*DISTINCT\b""".r.findFirstIn(i).isDefined)) return None
+      // DISTINCT inside SUM/AVG/MIN/MAX/APPROX_COUNT_DISTINCT is not
+      // self-maintainable (COUNT(DISTINCT) IS, via the aux frame)
+      if (items.exists(i => NonCdDistinctRe.findFirstIn(i).isDefined))
+        return None
       classify(items, gcols, retractableOnly = false).map {
         case (keys, aggs) =>
           Shape(table, Option(where).map(_.trim), keys, aggs,
@@ -221,6 +240,9 @@ object IncrementalView {
       }
     case _ => None
   }
+
+  private val NonCdDistinctRe =
+    """(?is)\b(?:SUM|AVG|MIN|MAX|APPROX_COUNT_DISTINCT)\s*\(\s*DISTINCT\b""".r
 
   private val JoinShapeRe =
     ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+(\w+(?:\s+(?:INNER\s+)?JOIN\s+""" +
@@ -264,8 +286,8 @@ object IncrementalView {
       val items = SqlText.splitTopLevel(selectList).map(_.trim)
       val gcols = SqlText.splitTopLevel(groupBy).map(_.trim)
       if (gcols.isEmpty || !gcols.forall(BareRe.matches(_))) return None
-      if (items.exists(i =>
-        """(?is)\(\s*DISTINCT\b""".r.findFirstIn(i).isDefined)) return None
+      if (items.exists(i => NonCdDistinctRe.findFirstIn(i).isDefined))
+        return None
       classify(items, gcols, retractableOnly = true).map {
         case (keys, aggs) =>
           JoinShape(tables, onExprs, links,
@@ -306,6 +328,10 @@ object IncrementalView {
         // union
         case AcdExpr(e, a) =>
           hll_sketch_estimate(hll_sketch_agg(expr(e))).as(a)
+        // exact; the incremental path recomputes the column from the
+        // aux frame rather than merging it
+        case CountDistinctExpr(e, a) =>
+          countDistinct(expr(e)).cast("long").as(a)
         case MinExpr(e, a) => min(expr(e)).as(a)
         case MaxExpr(e, a) => max(expr(e)).as(a)
       } ++ Seq(count(lit(1)).as(RowsCol)) ++
@@ -333,6 +359,8 @@ object IncrementalView {
       // raw value, uncast: sketch identity hashes the input's own
       // type, which must match what `aggregate` hashed
       case AcdExpr(e, a) => expr(e).as(s"__val_$a")
+      // raw value, uncast: the aux frame groups by it
+      case CountDistinctExpr(e, a) => expr(e).as(s"__val_$a")
       case MinExpr(e, a) => expr(e).cast(storedType(a)).as(s"__val_$a")
       case MaxExpr(e, a) => expr(e).cast(storedType(a)).as(s"__val_$a")
     }
@@ -355,7 +383,17 @@ object IncrementalView {
     * precondition with an emptiness probe on `oldRows` before calling
     * this merge (RefreshMatView INCREMENTALLY). */
   def merge(stored: DataFrame, oldRows: DataFrame, newRows: DataFrame,
-      shape: Shape): DataFrame = {
+      shape: Shape): DataFrame =
+    mergeSigned(stored, signedDelta(stored, oldRows, newRows, shape),
+      shape.groupCols, shape.aggs)
+
+  /** The single-table signed contribution frame: old-horizon touched
+    * rows at −1, new-state touched rows at +1, WHERE applied, group
+    * keys evaluated, agg values projected. Exposed so the engine can
+    * feed the SAME frame to both the main merge and the
+    * COUNT(DISTINCT) aux maintenance. */
+  def signedDelta(stored: DataFrame, oldRows: DataFrame,
+      newRows: DataFrame, shape: Shape): DataFrame = {
     val storedType = stored.schema.map(f => f.name -> f.dataType).toMap
     def signed(rows: DataFrame, sign: Int): DataFrame = {
       val base = shape.where.fold(rows)(w => rows.where(expr(w)))
@@ -364,8 +402,7 @@ object IncrementalView {
           Seq(lit(sign).as("__sign")) ++
           signedVals(shape.aggs, storedType): _*)
     }
-    mergeSigned(stored, signed(oldRows, -1).unionByName(signed(newRows, 1)),
-      shape.groupCols, shape.aggs)
+    signed(oldRows, -1).unionByName(signed(newRows, 1))
   }
 
   /** The merge core over an already-SIGNED contribution frame
@@ -455,6 +492,10 @@ object IncrementalView {
           // any merge order, so the surfaced estimate is identical
           case AcdExpr(_, a) =>
             hll_sketch_estimate(mergedSketch(a)).cast(storedType(a)).as(a)
+          // stored value passes through; the ENGINE overlays the
+          // touched groups' counts from the merged aux frame (new
+          // groups arrive NULL here and the overlay fills them)
+          case CountDistinctExpr(_, a) => col(s"s.$a").cast("long").as(a)
           // least/greatest skip NULLs in both Spark and the stored
           // parquet's NULL-for-all-NULL-group convention, so an
           // all-NULL stored extreme adopts the delta and vice versa
@@ -534,5 +575,63 @@ object IncrementalView {
           signedVals(shape.aggs, storedType): _*)
     }
     terms.reduce(_ unionByName _)
+  }
+
+  // ------------------------------------- COUNT(DISTINCT) aux frames
+
+  /** Aux population at CREATE / full REFRESH: per-(group keys, value)
+    * live row counts over the already-WHERE-filtered base relation
+    * (NULL values never count toward a distinct count). Stored under
+    * `auxDir(alias)` inside the view's version dir. */
+  def auxAggregate(base: DataFrame, keys: Seq[GroupKey],
+      cd: CountDistinctExpr): DataFrame =
+    base.where(expr(cd.e).isNotNull)
+      .groupBy((keys.map(k => expr(k.e).as(k.alias)) :+
+        expr(cd.e).as(CdValCol)): _*)
+      .agg(count(lit(1)).as(RowsCol))
+
+  /** The aux's signed delta, derived from the SAME signed frame the
+    * main merge consumes — the `__val_<alias>` column becomes the
+    * aux's value key; NULL values contribute nothing. */
+  def auxSigned(signedRows: DataFrame, groupCols: Seq[String],
+      alias: String): DataFrame =
+    signedRows.where(col(s"__val_$alias").isNotNull)
+      .select((groupCols.map(col) :+
+        col(s"__val_$alias").as(CdValCol) :+ col("__sign")): _*)
+
+  /** Merge the stored aux with the signed delta: the aux is itself a
+    * self-maintainable COUNT(*) view keyed on (group keys, value) —
+    * values whose live support reaches zero vanish, which is exactly
+    * what makes the distinct count retract correctly. */
+  def auxMerge(auxStored: DataFrame, signedRows: DataFrame,
+      groupCols: Seq[String], alias: String): DataFrame =
+    mergeSigned(auxStored, auxSigned(signedRows, groupCols, alias),
+      groupCols :+ CdValCol, Nil)
+
+  /** Overlay the merged aux's per-group distinct counts onto the
+    * merged main frame — TOUCHED groups only (the delta's group keys):
+    * an untouched group keeps its stored count, so the overlay is
+    * O(touched), never a full aux re-aggregation. A touched group
+    * absent from the aux (every value retracted or NULL) counts 0. */
+  def overlayDistinct(main: DataFrame, auxMerged: DataFrame,
+      signedRows: DataFrame, groupCols: Seq[String],
+      alias: String): DataFrame = {
+    val touched = signedRows.select(groupCols.map(col): _*).distinct()
+    def keyCond(l: String, r: String) = groupCols
+      .map(g => col(s"$l.$g") <=> col(s"$r.$g")).reduce(_ && _)
+    val counts = auxMerged.alias("x")
+      .join(touched.alias("t"), keyCond("x", "t"), "left_semi")
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__cdc"))
+    val flagged = touched.withColumn("__cdt", lit(true))
+    main.alias("m")
+      .join(flagged.alias("f"), keyCond("m", "f"), "left_outer")
+      .join(counts.alias("c"), keyCond("m", "c"), "left_outer")
+      .select(main.columns.toSeq.map {
+        case `alias` =>
+          when(col("__cdt"), coalesce(col("__cdc"), lit(0L)))
+            .otherwise(col(s"m.$alias")).cast("long").as(alias)
+        case other => col(s"m.$other")
+      }: _*)
   }
 }

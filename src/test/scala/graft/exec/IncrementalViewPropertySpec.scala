@@ -19,7 +19,7 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
     e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
     e.sql("""CREATE MATERIALIZED VIEW mv AS
             |SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv,
-            |       AVG(v) AS av
+            |       AVG(v) AS av, COUNT(DISTINCT v) AS dv
             |FROM t WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
 
     val rnd = new scala.util.Random(0xC0FFEE) // deterministic workload
@@ -32,11 +32,11 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
     // merged refresh must reproduce bit-for-bit
     def freshView(): Set[String] =
       e.sql("""SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv,
-              |       SUM(v) / COUNT(v) AS av
+              |       SUM(v) / COUNT(v) AS av, COUNT(DISTINCT v) AS dv
               |FROM t WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
         .collect().map(_.toString).toSet
     def mv(): Set[String] =
-      e.sql("SELECT grp, n, nv, sv, av FROM mv").collect().map(_.toString).toSet
+      e.sql("SELECT grp, n, nv, sv, av, dv FROM mv").collect().map(_.toString).toSet
 
     for (batch <- 1 to 12) {
       // 2-5 random statements per batch
@@ -82,7 +82,7 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
     e.sql("CREATE TABLE fct (i BIGINT PRIMARY KEY, dk BIGINT, v BIGINT)")
     e.sql("""CREATE MATERIALIZED VIEW jmv AS
             |SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv,
-            |       AVG(v) AS av
+            |       AVG(v) AS av, COUNT(DISTINCT v) AS dv
             |FROM dim JOIN fct ON dim.k = fct.dk
             |WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
 
@@ -95,12 +95,12 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
 
     def freshView(): Set[String] =
       e.sql("""SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv,
-              |       SUM(v) / COUNT(v) AS av
+              |       SUM(v) / COUNT(v) AS av, COUNT(DISTINCT v) AS dv
               |FROM dim JOIN fct ON dim.k = fct.dk
               |WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
         .collect().map(_.toString).toSet
     def jmv(): Set[String] =
-      e.sql("SELECT grp, n, nv, sv, av FROM jmv").collect().map(_.toString).toSet
+      e.sql("SELECT grp, n, nv, sv, av, dv FROM jmv").collect().map(_.toString).toSet
 
     for (batch <- 1 to 10) {
       for (_ <- 0 until (2 + rnd.nextInt(4))) rnd.nextInt(6) match {
@@ -157,7 +157,8 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
     e.sql("CREATE TABLE c3 (c BIGINT PRIMARY KEY, rk BIGINT, seg STRING)")
     e.sql("CREATE TABLE s3 (s BIGINT PRIMARY KEY, ck BIGINT, v BIGINT)")
     e.sql("""CREATE MATERIALIZED VIEW p3 AS
-            |SELECT zone, seg, COUNT(*) AS n, SUM(v) AS sv
+            |SELECT zone, seg, COUNT(*) AS n, SUM(v) AS sv,
+            |       COUNT(DISTINCT v) AS dv
             |FROM r3 JOIN c3 ON r3.r = c3.rk JOIN s3 ON c3.c = s3.ck
             |WHERE v IS NULL OR v < 900 GROUP BY zone, seg""".stripMargin)
 
@@ -171,12 +172,13 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
     val segs = Vector("a", "b")
 
     def freshView(): Set[String] =
-      e.sql("""SELECT zone, seg, COUNT(*) AS n, SUM(v) AS sv
+      e.sql("""SELECT zone, seg, COUNT(*) AS n, SUM(v) AS sv,
+              |       COUNT(DISTINCT v) AS dv
               |FROM r3 JOIN c3 ON r3.r = c3.rk JOIN s3 ON c3.c = s3.ck
               |WHERE v IS NULL OR v < 900 GROUP BY zone, seg""".stripMargin)
         .collect().map(_.toString).toSet
     def p3(): Set[String] =
-      e.sql("SELECT zone, seg, n, sv FROM p3").collect().map(_.toString).toSet
+      e.sql("SELECT zone, seg, n, sv, dv FROM p3").collect().map(_.toString).toSet
 
     for (batch <- 1 to 8) {
       for (_ <- 0 until (2 + rnd.nextInt(4))) rnd.nextInt(8) match {

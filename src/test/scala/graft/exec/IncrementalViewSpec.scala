@@ -89,11 +89,12 @@ class IncrementalViewSpec extends AnyFunSuite {
     val e = QueryEngine.scratch(spark)
     e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
     e.sql("INSERT INTO t VALUES (1,'a',10)")
-    // DISTINCT inside an aggregate is not self-maintainable (a
+    // DISTINCT inside SUM/AVG/MIN/MAX is not self-maintainable (a
     // retracted value may or may not still be contributed by another
-    // live row, which the view output cannot tell)
+    // live row, which the view output cannot tell; COUNT(DISTINCT)
+    // alone maintains, via its aux frame)
     e.sql("""CREATE MATERIALIZED VIEW mvdist AS
-            |SELECT grp, COUNT(DISTINCT v) AS dv FROM t GROUP BY grp""".stripMargin)
+            |SELECT grp, SUM(DISTINCT v) AS dv FROM t GROUP BY grp""".stripMargin)
     val err = intercept[IllegalArgumentException] {
       e.sql("REFRESH MATERIALIZED VIEW mvdist INCREMENTALLY")
     }
@@ -135,7 +136,11 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(parse("SELECT grp, AVG(v) AS m FROM t GROUP BY grp")
       .exists(s => !s.needsAppendGate && s.aggs.size == 1))
     assert(parse("SELECT grp, AVG(DISTINCT v) AS m FROM t GROUP BY grp").isEmpty)
-    assert(parse("SELECT grp, COUNT(DISTINCT v) AS m FROM t GROUP BY grp").isEmpty)
+    assert(parse("SELECT grp, SUM(DISTINCT v) AS m FROM t GROUP BY grp").isEmpty)
+    // COUNT(DISTINCT) maintains exactly via the hidden aux frame —
+    // retractable, so no append gate
+    assert(parse("SELECT grp, COUNT(DISTINCT v) AS m FROM t GROUP BY grp")
+      .exists(s => !s.needsAppendGate && s.aggs.size == 1))
     // APPROX_COUNT_DISTINCT is the mergeable-sketch path: gated like
     // MIN/MAX (a sketch cannot retract), and NOT caught by the
     // DISTINCT-keyword rejection (that targets `(DISTINCT ...` only)
@@ -229,6 +234,72 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(view() === fresh())
     assert(!view().exists(_.startsWith("[a,")), "emptied computed group vanishes")
     e.close()
+  }
+
+  test("COUNT(DISTINCT) maintains exactly via the hidden aux frame") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    e.sql("INSERT INTO t VALUES (1,'a',10), (2,'a',10), (3,'a',20), (4,'b',NULL), (5,'b',7)")
+    e.sql("""CREATE MATERIALIZED VIEW dv AS
+            |SELECT grp, COUNT(DISTINCT v) AS d, COUNT(*) AS n, SUM(v) AS sv
+            |FROM t GROUP BY grp""".stripMargin)
+    def fresh(): Set[String] =
+      e.sql("""SELECT grp, COUNT(DISTINCT v) AS d, COUNT(*) AS n,
+              |SUM(v) AS sv FROM t GROUP BY grp""".stripMargin)
+        .collect().map(_.toString).toSet
+    def view(): Set[String] =
+      e.sql("SELECT grp, d, n, sv FROM dv").collect().map(_.toString).toSet
+    assert(view() === fresh())
+    assert(view().exists(_.startsWith("[a,2,3,")), "dup values count once")
+    assert(view().exists(_.startsWith("[b,1,2,")), "NULLs never count")
+    // THE retraction trap the sketch cannot handle: delete ONE of the
+    // two v=10 rows — the distinct count must NOT drop (another live
+    // row still contributes 10); delete the second — now it drops
+    e.sql("DELETE FROM t WHERE k = 1")
+    e.sql("REFRESH MATERIALIZED VIEW dv INCREMENTALLY")
+    assert(view() === fresh())
+    assert(view().exists(_.startsWith("[a,2,2,")), "10 still contributed by k=2")
+    e.sql("DELETE FROM t WHERE k = 2")
+    e.sql("REFRESH MATERIALIZED VIEW dv INCREMENTALLY")
+    assert(view() === fresh())
+    assert(view().exists(_.startsWith("[a,1,1,")), "last 10 retracted")
+    // value moves ACROSS groups; a NULL transition; a fresh group;
+    // an untouched group must keep its stored count (overlay scope)
+    e.sql("INSERT INTO t VALUES (6,'c',99)")
+    e.sql("UPDATE t SET grp = 'c' WHERE k = 3")
+    e.sql("UPDATE t SET v = NULL WHERE k = 5")
+    e.sql("REFRESH MATERIALIZED VIEW dv INCREMENTALLY")
+    assert(view() === fresh())
+    e.close()
+  }
+
+  test("COUNT(DISTINCT) aux survives reopen and rides a join view") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cd-").toString
+    val e = new QueryEngine(spark, dir)
+    e.sql("CREATE TABLE d (k BIGINT PRIMARY KEY, g STRING)")
+    e.sql("CREATE TABLE f (i BIGINT PRIMARY KEY, dk BIGINT, v BIGINT)")
+    e.sql("INSERT INTO d VALUES (1,'x'), (2,'y')")
+    e.sql("INSERT INTO f VALUES (10,1,5), (11,1,5), (12,2,7)")
+    e.sql("""CREATE MATERIALIZED VIEW jd AS
+            |SELECT g, COUNT(DISTINCT v) AS d, COUNT(*) AS n
+            |FROM d JOIN f ON d.k = f.dk GROUP BY g""".stripMargin)
+    def fresh(en: QueryEngine): Set[String] =
+      en.sql("""SELECT g, COUNT(DISTINCT v) AS d, COUNT(*) AS n
+               |FROM d JOIN f ON d.k = f.dk GROUP BY g""".stripMargin)
+        .collect().map(_.toString).toSet
+    def view(en: QueryEngine): Set[String] =
+      en.sql("SELECT g, d, n FROM jd").collect().map(_.toString).toSet
+    assert(view(e) === fresh(e))
+    e.close()
+    val e2 = new QueryEngine(spark, dir)
+    // a dim re-group moves BOTH duplicate v=5 facts to y; x vanishes
+    e2.sql("UPDATE d SET g = 'y' WHERE k = 1")
+    e2.sql("INSERT INTO f VALUES (13,2,5)")
+    e2.sql("DELETE FROM f WHERE i = 10")
+    e2.sql("REFRESH MATERIALIZED VIEW jd INCREMENTALLY")
+    assert(view(e2) === fresh(e2))
+    assert(view(e2) === Set("[y,2,3]"), s"got ${view(e2)}")
+    e2.close()
   }
 
   test("HAVING filters at read time; groups cross the boundary under deltas") {
