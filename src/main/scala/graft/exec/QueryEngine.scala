@@ -1577,7 +1577,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           else if (joinShapeOf(viewSql).isDefined) "incremental_join"
           else "full_rerun"
         val bases = catalog.mviewBaseAll(n).toSeq.sortBy(_._1)
-        (n, ver, kind,
+        (n, ver, kind, catalog.isMviewAutoRefresh(n),
           if (bases.isEmpty) None else Some(bases.map(_._1).mkString(",")),
           if (bases.isEmpty) None
           else Some(bases.map { case (t, r) => s"$t@$r" }.mkString(",")),
@@ -1589,8 +1589,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             catalog.get(t).isEmpty || catalog.lastSeq(t) < r })
             None
           else Some(bases.map { case (t, r) => catalog.lastSeq(t) - r }.max))
-      }.toDF("name", "version", "kind", "base_tables", "horizons",
-        "stale_events")
+      }.toDF("name", "version", "kind", "autorefresh", "base_tables",
+        "horizons", "stale_events")
     case Statement.ShowSequences =>
       import spark.implicits._
       catalog.sequenceList.map(s => (s.name, s.start, s.increment,

@@ -332,10 +332,12 @@ final class HttpAdmin(engine: QueryEngine, port: Int = 0,
       val json = engine.sql("SHOW MATERIALIZED VIEWS").collect().map { r =>
         def optStr(i: Int) =
           if (r.isNullAt(i)) "null" else jsonStr(r.getString(i))
-        val stale = if (r.isNullAt(5)) "null" else r.getLong(5).toString
+        val stale = if (r.isNullAt(6)) "null" else r.getLong(6).toString
         s"""{"name": ${jsonStr(r.getString(0))}, "version": ${r.getLong(1)}, """ +
-          s""""kind": ${jsonStr(r.getString(2))}, "base_tables": ${optStr(3)}, """ +
-          s""""horizons": ${optStr(4)}, "stale_events": $stale}"""
+          s""""kind": ${jsonStr(r.getString(2))}, """ +
+          s""""autorefresh": ${r.getBoolean(3)}, """ +
+          s""""base_tables": ${optStr(4)}, """ +
+          s""""horizons": ${optStr(5)}, "stale_events": $stale}"""
       }.mkString("[", ", ", "]")
       respond(ex, 200, "application/json", json + "\n")
     } catch { case e: Exception =>

@@ -207,8 +207,8 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     def rows(): Map[String, (Long, String, Option[String], Option[Long])] =
       e.sql("SHOW MATERIALIZED VIEWS").collect().map { r =>
         r.getString(0) -> ((r.getLong(1), r.getString(2),
-          Option(r.getString(3)),
-          if (r.isNullAt(5)) None else Some(r.getLong(5))))
+          Option(r.getString(4)),
+          if (r.isNullAt(6)) None else Some(r.getLong(6))))
       }.toMap
     val r0 = rows()
     assert(r0("jv")._2 === "incremental_join")
@@ -300,7 +300,7 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     e.sql("ALTER MATERIALIZED VIEW sv SET AUTOREFRESH ON")
     def stale(): Map[String, Long] =
       e.sql("SHOW MATERIALIZED VIEWS").collect()
-        .map(r => r.getString(0) -> (if (r.isNullAt(5)) -1L else r.getLong(5)))
+        .map(r => r.getString(0) -> (if (r.isNullAt(6)) -1L else r.getLong(6)))
         .toMap
     // every mutating statement leaves both views fresh — no explicit
     // REFRESH anywhere below
@@ -379,7 +379,7 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     // staleness is unknowable, never negative
     val row = e.sql("SHOW MATERIALIZED VIEWS").collect()
       .find(_.getString(0) == "rv").get
-    assert(row.isNullAt(5), s"staleness must be NULL: $row")
+    assert(row.isNullAt(6), s"staleness must be NULL: $row")
     // full REFRESH re-anchors; incremental then resumes
     e.sql("REFRESH MATERIALIZED VIEW rv")
     e.sql("INSERT INTO t VALUES (10,'z',2)")
@@ -453,7 +453,7 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     e2.sql("INSERT INTO item VALUES (11,1,2)")
     assert(view(e2) === fresh(e2))
     assert(e2.sql("SHOW MATERIALIZED VIEWS").collect()
-      .find(_.getString(0) == "jv").exists(_.getLong(5) == 0L))
+      .find(_.getString(0) == "jv").exists(_.getLong(6) == 0L))
     e2.close()
   }
 

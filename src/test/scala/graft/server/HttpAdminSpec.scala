@@ -251,6 +251,7 @@ class HttpAdminSpec extends AnyFunSuite {
       assert(c1 === 200, body)
       assert(body.contains("\"name\": \"hv\"") &&
         body.contains("\"kind\": \"incremental\"") &&
+        body.contains("\"autorefresh\": false") &&
         body.contains("\"horizons\": \"t@1\"") &&
         body.contains("\"stale_events\": 1"), body)
     } finally {
