@@ -1201,13 +1201,17 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             val r = catalog.lastSeq(sh.table)
             val st0 = stateAt(sh.table, Some(r).filter(_ > 0))
             val agged = IncrementalView.aggregate(st0, sh)
-            // HAVING resolves against the view's own output columns —
-            // analysis-check it NOW so a typo fails the CREATE, not the
-            // first read (the filter itself applies at read time)
-            sh.having.foreach(h => agged.where(expr(h)).queryExecution.analyzed)
+            // HAVING resolves against the view's VISIBLE output
+            // columns — analysis-check it against the hidden-stripped
+            // frame NOW so a typo (or a reference to a __graft_*
+            // accumulator the read path strips) fails the CREATE, not
+            // the first read (the filter itself applies at read time)
+            sh.having.foreach(h => agged
+              .drop(agged.columns.filter(IncrementalView.hidden).toIndexedSeq: _*)
+              .where(expr(h)).queryExecution.analyzed)
             encrypted(agged.write)
               .mode("overwrite").parquet(catalog.mviewDataPath(name, 0L))
-            writeAuxes(sh.where.fold(st0)(w => st0.where(expr(w))),
+            writeAuxes(sh.filtered(st0),
               sh.groupKeys, IncrementalView.cdAggs(sh.aggs),
               catalog.mviewDataPath(name, 0L))
             catalog.createMaterializedView(name, viewSql)
@@ -1223,7 +1227,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               val frames0 = js.tables.map(tn =>
                 stateAt(tn, Some(hs(tn)).filter(_ > 0)))
               val agged = IncrementalView.aggregateJoin(frames0, js)
-              js.having.foreach(h => agged.where(expr(h)).queryExecution.analyzed)
+              js.having.foreach(h => agged
+                .drop(agged.columns.filter(IncrementalView.hidden).toIndexedSeq: _*)
+                .where(expr(h)).queryExecution.analyzed)
               encrypted(agged.write)
                 .mode("overwrite").parquet(catalog.mviewDataPath(name, 0L))
               writeAuxes(js.joined(frames0), js.groupKeys,
@@ -1304,14 +1310,21 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                   "a full (non-incremental) REFRESH")
             val newSide = restrict(stateAt(baseT, Some(horizon)))
             val cds = IncrementalView.cdAggs(sh.aggs)
-            val (merged, auxWrites) =
+            // the delta frame feeds the main merge, every aux merge
+            // and every overlay's touched set — persist it across
+            // those consumers instead of re-running the touched state
+            // reads per plan, then release it with the writes done
+            val (merged, auxWrites, sdPin) =
               if (cds.isEmpty)
-                (IncrementalView.merge(stored, oldSide, newSide, sh), Nil)
+                (IncrementalView.merge(stored, oldSide, newSide, sh),
+                  Seq.empty[(String, DataFrame)], None)
               else {
                 val sd = IncrementalView.signedDelta(stored, oldSide, newSide, sh)
-                mergeWithDistinct(name, prev,
+                  .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                val (m, w) = mergeWithDistinct(name, prev,
                   IncrementalView.mergeSigned(stored, sd, sh.groupCols, sh.aggs),
                   sd, sh.groupCols, cds)
+                (m, w, Some(sd))
               }
             tracer.span("mview-write") {
               encrypted(merged.write).mode("overwrite")
@@ -1320,6 +1333,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                 encrypted(df.write).mode("overwrite")
                   .parquet(catalog.mviewDataPath(name, prev + 1) + "/" + dir)
             }
+            sdPin.foreach(_.unpersist(false))
             // ONE atomic catalog save: a version bump without the
             // horizon re-anchor would double-apply this delta on the
             // next refresh
@@ -1411,12 +1425,23 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                 sides.indices.map(i =>
                   (deltas(i)._1, deltas(i)._2, fulls(i))))
               val cds = IncrementalView.cdAggs(js.aggs)
-              val (merged, auxWrites) = {
-                val m0 =
-                  IncrementalView.mergeSigned(stored, delta, js.groupCols, js.aggs)
-                if (cds.isEmpty) (m0, Nil)
-                else mergeWithDistinct(name, prev, m0, delta, js.groupCols, cds)
-              }
+              // persist the 2^n−1-term delta across its consumers
+              // (main merge, aux merges, overlays), like the
+              // single-table path
+              val (merged, auxWrites, sdPin) =
+                if (cds.isEmpty)
+                  (IncrementalView.mergeSigned(stored, delta,
+                    js.groupCols, js.aggs),
+                    Seq.empty[(String, DataFrame)], None)
+                else {
+                  val sd = delta.persist(
+                    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                  val (m, w) = mergeWithDistinct(name, prev,
+                    IncrementalView.mergeSigned(stored, sd,
+                      js.groupCols, js.aggs),
+                    sd, js.groupCols, cds)
+                  (m, w, Some(sd))
+                }
               tracer.span("mview-write") {
                 encrypted(merged.write).mode("overwrite")
                   .parquet(catalog.mviewDataPath(name, prev + 1))
@@ -1424,6 +1449,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                   encrypted(df.write).mode("overwrite")
                     .parquet(catalog.mviewDataPath(name, prev + 1) + "/" + dir)
               }
+              sdPin.foreach(_.unpersist(false))
               catalog.setMviewRefreshed(name, prev + 1, horizons)
             }
             "refreshed_incremental"
@@ -1447,7 +1473,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               val st0 = stateAt(sh.table, Some(horizon).filter(_ > 0))
               encrypted(IncrementalView.aggregate(st0, sh).write)
                 .mode("overwrite").parquet(catalog.mviewDataPath(name, prev + 1))
-              writeAuxes(sh.where.fold(st0)(w => st0.where(expr(w))),
+              writeAuxes(sh.filtered(st0),
                 sh.groupKeys, IncrementalView.cdAggs(sh.aggs),
                 catalog.mviewDataPath(name, prev + 1))
               catalog.setMviewRefreshed(name, prev + 1, Map(sh.table -> horizon))
@@ -2154,10 +2180,15 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             mv.drop(mv.columns.filter(IncrementalView.hidden).toIndexedSeq: _*)
           // a maintainable view's HAVING applies at READ time: storage
           // keeps every group so deltas can move groups across the
-          // predicate boundary (IncrementalView scaladoc)
+          // predicate boundary (IncrementalView scaladoc). The filter
+          // comes from the PARSE alone, not the catalog-gated shape
+          // tests — a dropped or re-attached base must not silently
+          // drop the predicate (the stored layout is what matters;
+          // re-applying it to a full-rerun store whose rows already
+          // satisfy it is a no-op)
           val viewSql = catalog.getView(v).get
-          val having = incShapeOf(viewSql).flatMap(_.having)
-            .orElse(joinShapeOf(viewSql).flatMap(_.having))
+          val having = IncrementalView.parse(viewSql).flatMap(_.having)
+            .orElse(IncrementalView.parseJoin(viewSql).flatMap(_.having))
           having.fold(visible)(h => visible.where(expr(h)))
             .createOrReplaceTempView(v)
         }

@@ -101,6 +101,11 @@ object IncrementalView {
       groupKeys: Seq[GroupKey], aggs: Seq[Agg],
       having: Option[String] = None) {
     def groupCols: Seq[String] = groupKeys.map(_.alias)
+    /** The view's base relation: state with the WHERE applied — the
+      * ONE derivation both the main aggregation and the aux frames
+      * consume (hand-rolled copies could drift). */
+    def filtered(state: DataFrame): DataFrame =
+      where.fold(state)(w => state.where(expr(w)))
     /** MIN/MAX and APPROX_COUNT_DISTINCT carry the extra maintenance
       * precondition (non-retractable state; see merge). */
     def needsAppendGate: Boolean = aggs.exists {
@@ -170,7 +175,7 @@ object IncrementalView {
       """\s+GROUP\s+BY\s+(.+?)(?:\s+HAVING\s+(.+?))?\s*;?\s*$""").r
   private val CountStarRe = """(?is)^COUNT\s*\(\s*\*\s*\)\s+AS\s+(\w+)$""".r
   private val CdRe =
-    """(?is)^COUNT\s*\(\s*DISTINCT\s+(.+)\)\s+AS\s+(\w+)$""".r
+    """(?is)^COUNT\s*\(\s*DISTINCT\b\s*(.+)\)\s+AS\s+(\w+)$""".r
   private val CountRe = """(?is)^COUNT\s*\((.+)\)\s+AS\s+(\w+)$""".r
   private val SumRe = """(?is)^SUM\s*\((.+)\)\s+AS\s+(\w+)$""".r
   private val AvgRe = """(?is)^AVG\s*\((.+)\)\s+AS\s+(\w+)$""".r
@@ -195,8 +200,12 @@ object IncrementalView {
     for (i <- items) i match {
       case CountStarRe(a) => aggs += CountStar(a)
       // before CountRe, which would otherwise swallow the DISTINCT
-      // keyword into its expression
-      case CdRe(e, a) => aggs += CountDistinctExpr(e.trim, a)
+      // keyword into its expression; multi-column COUNT(DISTINCT a, b)
+      // has no single aux value key — the view falls back to full
+      // rerun, which serves it fine
+      case CdRe(e, a) =>
+        if (SqlText.splitTopLevel(e).size != 1) return None
+        aggs += CountDistinctExpr(e.trim, a)
       case SumRe(e, a) => aggs += SumExpr(e.trim, a)
       case AvgRe(e, a) => aggs += AvgExpr(e.trim, a)
       case AcdRe(e, a) if !retractableOnly => aggs += AcdExpr(e.trim, a)
@@ -232,6 +241,12 @@ object IncrementalView {
       // DISTINCT inside SUM/AVG/MIN/MAX/APPROX_COUNT_DISTINCT is not
       // self-maintainable (COUNT(DISTINCT) IS, via the aux frame)
       if (items.exists(i => NonCdDistinctRe.findFirstIn(i).isDefined))
+        return None
+      // a read-time HAVING filters the view's OUTPUT columns — an
+      // aggregate-call predicate (HAVING COUNT(*) >= 2, standard SQL)
+      // cannot run over stored output rows, so the view falls back to
+      // full rerun, which serves it correctly
+      if (Option(having).exists(h => AggCallRe.findFirstIn(h).isDefined))
         return None
       classify(items, gcols, retractableOnly = false).map {
         case (keys, aggs) =>
@@ -288,6 +303,8 @@ object IncrementalView {
       if (gcols.isEmpty || !gcols.forall(BareRe.matches(_))) return None
       if (items.exists(i => NonCdDistinctRe.findFirstIn(i).isDefined))
         return None
+      if (Option(having).exists(h => AggCallRe.findFirstIn(h).isDefined))
+        return None
       classify(items, gcols, retractableOnly = true).map {
         case (keys, aggs) =>
           JoinShape(tables, onExprs, links,
@@ -301,8 +318,7 @@ object IncrementalView {
     * columns — population at CREATE and full REFRESH both use this so
     * the stored schema is always merge-ready. */
   def aggregate(state: DataFrame, shape: Shape): DataFrame =
-    aggregateFrom(shape.where.fold(state)(w => state.where(expr(w))),
-      shape.groupKeys, shape.aggs)
+    aggregateFrom(shape.filtered(state), shape.groupKeys, shape.aggs)
 
   /** Join-view population: the aliased equi-join chain of the tables'
     * state (+ WHERE), through the same aggregation as `aggregate`. */
@@ -396,7 +412,7 @@ object IncrementalView {
       newRows: DataFrame, shape: Shape): DataFrame = {
     val storedType = stored.schema.map(f => f.name -> f.dataType).toMap
     def signed(rows: DataFrame, sign: Int): DataFrame = {
-      val base = shape.where.fold(rows)(w => rows.where(expr(w)))
+      val base = shape.filtered(rows)
       base.select(
         shape.groupKeys.map(k => expr(k.e).as(k.alias)) ++
           Seq(lit(sign).as("__sign")) ++

@@ -161,6 +161,15 @@ class IncrementalViewSpec extends AnyFunSuite {
         s.where.contains("v > 0")))
     assert(parse("SELECT grp, COUNT(*) AS n FROM t GROUP BY grp")
       .exists(_.having.isEmpty))
+    // an aggregate-call HAVING (standard SQL) cannot filter stored
+    // output rows — the view must fall back to full rerun, not break
+    assert(parse("SELECT grp, COUNT(*) AS n FROM t GROUP BY grp " +
+      "HAVING COUNT(*) >= 2").isEmpty)
+    // multi-column COUNT(DISTINCT a, b) has no single aux value key
+    assert(parse("SELECT grp, COUNT(DISTINCT v, k) AS m FROM t GROUP BY grp").isEmpty)
+    // the no-space COUNT(DISTINCT(v)) form still maintains
+    assert(parse("SELECT grp, COUNT(DISTINCT(v)) AS m FROM t GROUP BY grp")
+      .exists(_.aggs.size == 1))
     assert(parse("SELECT grp, COUNT(*) AS n FROM t JOIN u ON t.k = u.k GROUP BY grp").isEmpty)
     assert(parse("SELECT COUNT(*) AS n FROM t").isEmpty) // no GROUP BY
     assert(parse("SELECT grp, other, COUNT(*) AS n FROM t GROUP BY grp").isEmpty)
@@ -324,13 +333,28 @@ class IncrementalViewSpec extends AnyFunSuite {
     e.sql("REFRESH MATERIALIZED VIEW hv INCREMENTALLY")
     assert(view() === fresh())
     assert(view() === Set("[b,2,35]"))
-    // HAVING typos fail the CREATE, not the first read
+    // HAVING typos fail the CREATE, not the first read. (A reference
+    // to a hidden __graft_* accumulator resolves THROUGH the
+    // hidden-column drop — Spark's missing-reference resolution — at
+    // both the CREATE check and the read, so it behaves consistently
+    // rather than deferring a failure.)
     val err = intercept[Exception] {
       e.sql("""CREATE MATERIALIZED VIEW hbad AS
               |SELECT grp, COUNT(*) AS n FROM t GROUP BY grp
               |HAVING nope > 1""".stripMargin)
     }
     assert(err.getMessage.toLowerCase.contains("nope"), err.getMessage)
+    // standard aggregate-call HAVING serves through the full-rerun
+    // path — correct results, full_rerun kind
+    e.sql("""CREATE MATERIALIZED VIEW hagg AS
+            |SELECT grp, COUNT(*) AS n FROM t GROUP BY grp
+            |HAVING COUNT(*) >= 2""".stripMargin)
+    assert(e.sql("SHOW MATERIALIZED VIEWS").collect()
+      .find(_.getString(0) == "hagg").exists(_.getString(2) == "full_rerun"))
+    assert(e.sql("SELECT grp, n FROM hagg").collect().map(_.toString).toSet
+      === e.sql("""SELECT grp, COUNT(*) AS n FROM t GROUP BY grp
+                  |HAVING COUNT(*) >= 2""".stripMargin)
+        .collect().map(_.toString).toSet)
     e.close()
   }
 
