@@ -1614,9 +1614,13 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           if (bases.isEmpty || bases.exists { case (t, r) =>
             catalog.get(t).isEmpty || catalog.lastSeq(t) < r })
             None
-          else Some(bases.map { case (t, r) => catalog.lastSeq(t) - r }.max))
+          else Some(bases.map { case (t, r) => catalog.lastSeq(t) - r }.max),
+          // muted = an AUTOREFRESH attempt failed and the view is
+          // waiting for an explicit REFRESH — the answer to "why is
+          // my always-fresh view stale?"
+          autoRefreshMuted.contains(n))
       }.toDF("name", "version", "kind", "autorefresh", "base_tables",
-        "horizons", "stale_events")
+        "horizons", "stale_events", "muted")
     case Statement.ShowSequences =>
       import spark.implicits._
       catalog.sequenceList.map(s => (s.name, s.start, s.increment,

@@ -751,13 +751,14 @@ object EngineSql {
     "q_show_matviews",
     """SELECT * FROM (VALUES
       |  ('fv2', CAST(0 AS BIGINT), 'full_rerun', FALSE,
-      |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)),
+      |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+      |   FALSE),
       |  ('jv2', CAST(1 AS BIGINT), 'incremental_join', TRUE,
-      |   'mv_item,mv_ord', 'mv_item@3,mv_ord@3', CAST(0 AS BIGINT)),
+      |   'mv_item,mv_ord', 'mv_item@3,mv_ord@3', CAST(0 AS BIGINT), FALSE),
       |  ('sv2', CAST(0 AS BIGINT), 'incremental', FALSE,
-      |   'mv_ord', 'mv_ord@2', CAST(1 AS BIGINT))
+      |   'mv_ord', 'mv_ord@2', CAST(1 AS BIGINT), FALSE)
       |) AS t(name, version, kind, autorefresh, base_tables, horizons,
-      |       stale_events)
+      |       stale_events, muted)
       |ORDER BY name""".stripMargin) { (s, _) =>
     val e = QueryEngine.scratch(s)
     e.sql("CREATE TABLE mv_ord (k BIGINT PRIMARY KEY, status STRING)")

@@ -337,7 +337,8 @@ final class HttpAdmin(engine: QueryEngine, port: Int = 0,
           s""""kind": ${jsonStr(r.getString(2))}, """ +
           s""""autorefresh": ${r.getBoolean(3)}, """ +
           s""""base_tables": ${optStr(4)}, """ +
-          s""""horizons": ${optStr(5)}, "stale_events": $stale}"""
+          s""""horizons": ${optStr(5)}, "stale_events": $stale, """ +
+          s""""muted": ${r.getBoolean(7)}}"""
       }.mkString("[", ", ", "]")
       respond(ex, 200, "application/json", json + "\n")
     } catch { case e: Exception =>

@@ -407,9 +407,13 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     e.sql("INSERT INTO t VALUES (3,'c',30)") // auto refresh fails -> muted
     val f1 = failedCount()
     assert(f1 >= 1L, "the vacuumed-horizon refresh must be counted as failed")
-    // muted: later statements do NOT re-attempt the doomed refresh
+    // muted: later statements do NOT re-attempt the doomed refresh,
+    // and the staleness dashboard says so
     e.sql("INSERT INTO t VALUES (4,'c',40)")
     assert(failedCount() === f1, "muted view must not re-fail per statement")
+    assert(e.sql("SHOW MATERIALIZED VIEWS").collect()
+      .find(_.getString(0) == "fv").exists(_.getBoolean(7)),
+      "SHOW must report the mute")
     // the documented recovery: explicit full REFRESH un-mutes
     e.sql("REFRESH MATERIALIZED VIEW fv")
     e.sql("INSERT INTO t VALUES (5,'d',50)")
