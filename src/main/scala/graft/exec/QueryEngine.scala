@@ -1558,6 +1558,38 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Statement.ShowIndexes =>
       import spark.implicits._
       catalog.indexList.toDF("index", "table", "column")
+    case Statement.RefreshAllMatViews(incremental) =>
+      if (txn.isDefined)
+        throw new IllegalStateException(
+          "REFRESH ALL MATERIALIZED VIEWS cannot run inside a transaction")
+      import spark.implicits._
+      // one reentrant refresh per view, alphabetical; with
+      // INCREMENTALLY, maintainable views merge their deltas and a
+      // refused merge (gate trip, vacuumed or recreated horizon)
+      // falls back to a FULL refresh — the operator asked for
+      // everything fresh, not for errors
+      val rows = catalog.matviewList.map(_._1).sorted.map { n =>
+        val viewSql = catalog.getView(n).get
+        val op =
+          if (incremental &&
+              (incShapeOf(viewSql).isDefined ||
+                joinShapeOf(viewSql).isDefined) &&
+              catalog.mviewBaseAll(n).nonEmpty)
+            try {
+              sqlCurrent(s"REFRESH MATERIALIZED VIEW $n INCREMENTALLY")
+              "refreshed_incremental"
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                sqlCurrent(s"REFRESH MATERIALIZED VIEW $n")
+                "refreshed_full_fallback"
+            }
+          else {
+            sqlCurrent(s"REFRESH MATERIALIZED VIEW $n")
+            "refreshed"
+          }
+        (n, op)
+      }
+      rows.toDF("name", "op")
     case Statement.AlterMatviewAutoRefresh(name, on) =>
       // authorization happens at FLAG time: the auto refresh itself
       // executes under a system session (a restricted writer's INSERT

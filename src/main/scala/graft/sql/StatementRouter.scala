@@ -39,6 +39,12 @@ object Statement {
     * served data version (views.rs refresh policy). */
   final case class RefreshMatView(name: String,
       incremental: Boolean = false) extends Statement
+  /** REFRESH ALL MATERIALIZED VIEWS [INCREMENTALLY] — refresh every
+    * matview; with INCREMENTALLY, maintainable views merge their
+    * deltas and full-rerun views re-run, returning one outcome row
+    * per view (alphabetical). */
+  final case class RefreshAllMatViews(incremental: Boolean)
+    extends Statement
   /** CREATE TRIGGER name BEFORE|AFTER INSERT|UPDATE|DELETE ON t
     * [FOR EACH ROW|STATEMENT] [WHEN (cond)] EXECUTE <stmt> — recorded
     * in the catalog and FIRED by the engine around DML
@@ -338,6 +344,8 @@ object StatementRouter {
     """(?is)^CREATE\s+(OR\s+REPLACE\s+)?(MATERIALIZED\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)$""".r
   private val RefreshMatViewR =
     """(?is)^REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)(\s+INCREMENTALLY)?\s*$""".r
+  private val RefreshAllMatViewsR =
+    """(?is)^REFRESH\s+ALL\s+MATERIALIZED\s+VIEWS(\s+INCREMENTALLY)?\s*$""".r
   private val CreateTriggerR =
     """(?is)^CREATE\s+TRIGGER\s+(\w+)\s+(BEFORE|AFTER)\s+(INSERT|UPDATE|DELETE)\s+ON\s+([\w.]+)\s*(.*)$""".r
   private val DropTriggerR = """(?is)^DROP\s+TRIGGER\s+(IF\s+EXISTS\s+)?(\w+)\s*$""".r
@@ -528,6 +536,7 @@ object StatementRouter {
       case DropIndexR(ifEx, idx) => DropIndex(idx, ifEx != null)
       case CreateViewR(orRepl, mat, name, sql) =>
         CreateView(name, sql.trim, mat != null, orRepl != null)
+      case RefreshAllMatViewsR(inc) => RefreshAllMatViews(inc != null)
       case RefreshMatViewR(name, inc) => RefreshMatView(name, inc != null)
       case CreateTriggerR(name, timing, event, table, body) =>
         CreateTrigger(name, timing, event, table, body.trim)

@@ -461,6 +461,38 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     e2.close()
   }
 
+  test("REFRESH ALL MATERIALIZED VIEWS refreshes every view, falling back per view") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    e.sql("INSERT INTO t VALUES (1,'a',10), (2,'b',20)")
+    e.sql("""CREATE MATERIALIZED VIEW r_inc AS
+            |SELECT grp, COUNT(*) AS n, SUM(v) AS sv FROM t GROUP BY grp""".stripMargin)
+    e.sql("""CREATE MATERIALIZED VIEW r_mm AS
+            |SELECT grp, MAX(v) AS m FROM t GROUP BY grp""".stripMargin)
+    e.sql("""CREATE MATERIALIZED VIEW r_full AS
+            |SELECT grp FROM t WHERE k = 1 GROUP BY grp, k""".stripMargin)
+    // churn incl. a PRE-horizon update, which trips r_mm's MIN/MAX
+    // gate — REFRESH ALL must fall back to a full refresh for it
+    e.sql("INSERT INTO t VALUES (3,'a',5)")
+    e.sql("UPDATE t SET v = 99 WHERE k = 1")
+    val ops = e.sql("REFRESH ALL MATERIALIZED VIEWS INCREMENTALLY")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ops === Map("r_inc" -> "refreshed_incremental",
+      "r_mm" -> "refreshed_full_fallback", "r_full" -> "refreshed"), ops)
+    assert(e.sql("SELECT grp, n, sv FROM r_inc ORDER BY grp")
+      .collect().map(_.toString).toSeq === Seq("[a,2,104]", "[b,1,20]"))
+    assert(e.sql("SELECT grp, m FROM r_mm ORDER BY grp")
+      .collect().map(_.toString).toSeq === Seq("[a,99]", "[b,20]"))
+    // the plain form full-refreshes everything
+    e.sql("DELETE FROM t WHERE k = 2")
+    val ops2 = e.sql("REFRESH ALL MATERIALIZED VIEWS")
+      .collect().map(_.getString(1)).toSet
+    assert(ops2 === Set("refreshed"))
+    assert(e.sql("SELECT grp, n FROM r_inc").collect().map(_.toString).toSeq
+      === Seq("[a,2]"))
+    e.close()
+  }
+
   test("a MIN/MAX join view refuses INCREMENTALLY but full-refreshes") {
     val e = QueryEngine.scratch(spark)
     mkTables(e)
