@@ -2174,8 +2174,42 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // statement's spec: views above already captured their own
     // resolutions, so this overwrites nothing they depend on
     for (t <- catalog.tableNames if referencesWord(masked, t))
-      resolveCached(t, st, cache).createOrReplaceTempView(t)
-    spark.sql(clean)
+      resolveCached(t, st, cache).createOrReplaceTempView(tempName(t))
+    spark.sql(rewriteDotted(clean))
+  }
+
+  /** Spark temp views are single-part names, but the engine's
+    * namespace is FLAT with dots legal inside a name — the reference
+    * flattens `ObjectName.to_string()`, so "app.t" IS the table name,
+    * dot included (sql_bridge.rs:3665, 678). A dotted catalog name
+    * therefore registers under a mangled single-part temp name and
+    * statement text rewrites references to it before `spark.sql`. */
+  private def tempName(n: String): String =
+    if (n.indexOf('.') < 0) n else "__graft_dn__" + n.replace('.', '_')
+
+  /** Rewrite every referenced dotted catalog name in `text` to its
+    * mangled temp-view name — CODE regions only (maskNonCode keeps a
+    * name inside a string literal or comment untouched), longest name
+    * first so overlapping names (`a.b.c` vs `a.b`) resolve to the
+    * most specific match. */
+  private def rewriteDotted(text: String): String = {
+    val dotted = (catalog.tableNames ++ catalog.viewNames)
+      .filter(_.indexOf('.') >= 0).distinct.sortBy(-_.length)
+    var out = text
+    for (n <- dotted) {
+      val masked = maskNonCode(out)
+      val re = ("""(?i)(?<![\w.])""" + java.util.regex.Pattern.quote(n) +
+        """(?![\w.])""").r
+      val ms = re.findAllMatchIn(masked).toSeq
+      if (ms.nonEmpty) {
+        val sb = new StringBuilder(out)
+        // right-to-left so earlier offsets stay valid
+        for (m <- ms.reverseIterator)
+          sb.replace(m.start, m.end, tempName(n))
+        out = sb.toString
+      }
+    }
+    out
   }
 
   /** Depth-first stored-view expansion into session temp views.
@@ -2226,7 +2260,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           val having = IncrementalView.parse(viewSql).flatMap(_.having)
             .orElse(IncrementalView.parseJoin(viewSql).flatMap(_.having))
           having.fold(visible)(h => visible.where(expr(h)))
-            .createOrReplaceTempView(v)
+            .createOrReplaceTempView(tempName(v))
         }
       } else {
       val (vClean, vSt) = TemporalPre.extract(catalog.getView(v).get)
@@ -2243,8 +2277,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         registerViews(vClean, effSt, depth + 1, bound, cache)
         val vMasked = maskNonCode(vClean)
         for (t <- catalog.tableNames if referencesWord(vMasked, t))
-          resolveCached(t, effSt, cache).createOrReplaceTempView(t)
-        spark.sql(vClean).createOrReplaceTempView(v)
+          resolveCached(t, effSt, cache).createOrReplaceTempView(tempName(t))
+        spark.sql(rewriteDotted(vClean)).createOrReplaceTempView(tempName(v))
       }
       }
     }

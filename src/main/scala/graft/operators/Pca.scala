@@ -233,6 +233,47 @@ object Pca {
         (x(lit(2)) - lit(mu(1))) * lit(v2), 1e6).as("proj_e6"))
   }
 
+  /** Blockwise (subspace) PCA projection — the rotation stage of an
+    * OPQ-style product-quantization pipeline: the embedding splits
+    * into k consecutive 2-D planes (dims 2p−1, 2p) and each plane
+    * projects onto ITS OWN top principal component by the closed-form
+    * symmetric-2x2 eigenvector (the [[projectTop2d]] arithmetic, once
+    * per plane). Output (vec_id, p1 .. pk) with each column the
+    * plane's projection floor-scaled to an exact e6 BIGINT.
+    *
+    * Unlike the full-rank [[project]] (whose power-iteration
+    * eigensolver is driver-side and not expressible in an external
+    * SQL oracle), EVERY step here — e9-grid decimal-sum covariance,
+    * IEEE sqrt, fixed op order, canonical sign, floor-scaled integer
+    * surface — mirrors into portable SQL, so the whole projection is
+    * oracle-exact end to end. Scale shape: ONE fused corpus pass for
+    * all plane moments (keyspace 2k + k(2k+1) groups, never
+    * corpus-scale), then the per-plane (mu, v) ride the projection
+    * scan as literals — zero corpus joins or shuffles. */
+  def projectPlanes(embeddings: DataFrame, d: Int, k: Int): DataFrame = {
+    require(2 * k <= d, s"$k planes need ${2 * k} dims, embedding has $d")
+    val (n, mu, entries) = momentStats(embeddings, 2 * k)
+    require(n > 0, "projectPlanes over an empty corpus")
+    val projs = (0 until k).map { p =>
+      val (i, j) = (2 * p, 2 * p + 1) // 0-based plane dims
+      val a = entries.getOrElse((i, i), 0.0)
+      val b = entries.getOrElse((i, j), 0.0)
+      val c = entries.getOrElse((j, j), 0.0)
+      // identical op order to projectTop2d (and the SQL oracle): the
+      // doubles that come out are bit-identical in any IEEE engine
+      val lam = (a + c) / 2 + math.sqrt((a - c) / 2 * ((a - c) / 2) + b * b)
+      val (r1, r2) = if (b != 0.0) (b, lam - a)
+        else if (a >= c) (1.0, 0.0) else (0.0, 1.0)
+      val norm = math.sqrt(r1 * r1 + r2 * r2)
+      var (v1, v2) = (r1 / norm, r2 / norm)
+      val flip = if (math.abs(v1) >= math.abs(v2)) v1 < 0 else v2 < 0
+      if (flip) { v1 = -v1; v2 = -v2 }
+      e((x(lit(i + 1)) - lit(mu(i))) * lit(v1) +
+        (x(lit(j + 1)) - lit(mu(j))) * lit(v2), 1e6).as(s"p${p + 1}")
+    }
+    embeddings.select((col("vec_id") +: projs).toIndexedSeq: _*)
+  }
+
   /** Project every embedding onto the top-k principal components:
     * (vec_id, p1 .. pk) — one SCALAR double column per component,
     * rounded to 6 decimals. Scalars, not an array<double>: downstream

@@ -980,17 +980,83 @@ object Pipeline {
     Pca.projectTop2d(t(s, dir, "embeddings")).orderBy("vec_id")
   }
 
-  /** PCA projection (Pca.project): top-8 principal components by
-    * driver-side power iteration over the ROUNDED covariance (the
-    * moment stats ride ONE fused corpus pass), then a scan-stage fold
-    * per row (components ride the plan as literals — zero corpus
-    * joins). Output is scalar columns p1..p8, never array<double>
-    * (row-sorting harnesses cannot sort array cells). Rows-only: the
-    * eigen iteration is not SQL-expressible; the distributed half is
-    * oracled by q_pca_cov and the driver half is unit-tested
-    * (PcaSpec). */
-  val qPcaProject = Q.rowsOnly("q_pca_project") { (s, dir) =>
-    Pca.project(t(s, dir, "embeddings"), 64, 8).orderBy("vec_id")
+  /** One plane's oracle CTE block — the q_pca_top2 closed-form
+    * arithmetic verbatim, suffixed per plane: means, e12 product
+    * sums, e9-grid covariance, analytic 2x2 eigenvector with
+    * canonical sign. */
+  private def pcaPlaneCtes(p: Int): String = {
+    val (di, dj) = (2 * p - 1, 2 * p)
+    s"""m$p AS (
+       |  SELECT
+       |    CAST(SUM(CAST(FLOOR(CAST(embedding[$di] AS DOUBLE) * 1e12 + 0.5)
+       |         AS DECIMAL(38,0))) AS DOUBLE) / 1e12 / (SELECT n FROM n) AS m1,
+       |    CAST(SUM(CAST(FLOOR(CAST(embedding[$dj] AS DOUBLE) * 1e12 + 0.5)
+       |         AS DECIMAL(38,0))) AS DOUBLE) / 1e12 / (SELECT n FROM n) AS m2
+       |  FROM embeddings),
+       |s$p AS (
+       |  SELECT
+       |    CAST(SUM(CAST(FLOOR(CAST(embedding[$di] AS DOUBLE) *
+       |         CAST(embedding[$di] AS DOUBLE) * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) AS s11,
+       |    CAST(SUM(CAST(FLOOR(CAST(embedding[$di] AS DOUBLE) *
+       |         CAST(embedding[$dj] AS DOUBLE) * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) AS s12,
+       |    CAST(SUM(CAST(FLOOR(CAST(embedding[$dj] AS DOUBLE) *
+       |         CAST(embedding[$dj] AS DOUBLE) * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) AS s22
+       |  FROM embeddings),
+       |cv$p AS (
+       |  SELECT CAST(FLOOR((s.s11 / 1e12 / (SELECT n FROM n) - m.m1 * m.m1) * 1e9 + 0.5) AS BIGINT) / 1e9 AS a,
+       |         CAST(FLOOR((s.s12 / 1e12 / (SELECT n FROM n) - m.m1 * m.m2) * 1e9 + 0.5) AS BIGINT) / 1e9 AS b,
+       |         CAST(FLOOR((s.s22 / 1e12 / (SELECT n FROM n) - m.m2 * m.m2) * 1e9 + 0.5) AS BIGINT) / 1e9 AS c
+       |  FROM s$p s, m$p m),
+       |eg$p AS (
+       |  SELECT a, b, c,
+       |         (a + c) / 2 + SQRT((a - c) / 2 * ((a - c) / 2) + b * b) AS lam
+       |  FROM cv$p),
+       |rv$p AS (
+       |  SELECT CASE WHEN b <> 0 THEN b WHEN a >= c THEN 1.0 ELSE 0.0 END AS r1,
+       |         CASE WHEN b <> 0 THEN lam - a WHEN a >= c THEN 0.0 ELSE 1.0 END AS r2
+       |  FROM eg$p),
+       |vv$p AS (
+       |  SELECT r1 / SQRT(r1 * r1 + r2 * r2) AS v1,
+       |         r2 / SQRT(r1 * r1 + r2 * r2) AS v2 FROM rv$p),
+       |vs$p AS (
+       |  SELECT CASE WHEN (CASE WHEN ABS(v1) >= ABS(v2) THEN v1 < 0
+       |                         ELSE v2 < 0 END) THEN -v1 ELSE v1 END AS v1,
+       |         CASE WHEN (CASE WHEN ABS(v1) >= ABS(v2) THEN v1 < 0
+       |                         ELSE v2 < 0 END) THEN -v2 ELSE v2 END AS v2
+       |  FROM vv$p)""".stripMargin
+  }
+
+  private def pcaProjectOracle(k: Int): String = {
+    val ctes = (1 to k).map(pcaPlaneCtes).mkString(",\n")
+    val cols = (1 to k).map { p =>
+      val (di, dj) = (2 * p - 1, 2 * p)
+      s"""       CAST(FLOOR(((CAST(e.embedding[$di] AS DOUBLE) - m$p.m1) * vs$p.v1 +
+         |             (CAST(e.embedding[$dj] AS DOUBLE) - m$p.m2) * vs$p.v2) * 1e6 + 0.5)
+         |            AS BIGINT) AS p$p""".stripMargin
+    }.mkString(",\n")
+    val from = (1 to k).map(p => s"m$p, vs$p").mkString(", ")
+    s"""WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+       |$ctes
+       |SELECT e.vec_id,
+       |$cols
+       |FROM embeddings e, $from
+       |ORDER BY e.vec_id""".stripMargin
+  }
+
+  /** Blockwise PCA projection (Pca.projectPlanes — the OPQ-style
+    * subspace rotation): 8 consecutive 2-D planes, each projected
+    * onto its own closed-form top eigenvector, surfaced as exact e6
+    * BIGINT scalars p1..p8. Fully oracled: the per-plane arithmetic
+    * is the q_pca_top2 chain (e9-grid decimal-sum covariance, IEEE
+    * sqrt, identical op order, canonical sign, floor-scaled integer
+    * output) replicated per plane by [[pcaProjectOracle]] — unlike
+    * the full-rank power-iteration path (Pca.project), whose
+    * driver-side eigensolver is not expressible in the oracle's SQL
+    * and stays unit-pinned in PcaSpec. One fused moment pass + one
+    * literal-fed projection scan: 2 corpus passes, zero corpus
+    * joins. */
+  val qPcaProject = Q("q_pca_project", pcaProjectOracle(8)) { (s, dir) =>
+    Pca.projectPlanes(t(s, dir, "embeddings"), 64, 8).orderBy("vec_id")
   }
 
   /** Multinomial Naive Bayes classifier (NaiveBayes.classify): train

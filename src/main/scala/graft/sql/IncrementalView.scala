@@ -187,6 +187,18 @@ object IncrementalView {
   private val GroupItemRe = """(?is)^(.+?)\s+AS\s+(\w+)$""".r
   private val AggCallRe =
     """(?i)\b(COUNT|SUM|AVG|MIN|MAX|APPROX_COUNT_DISTINCT)\s*\(""".r
+  // ShapeRe's optional HAVING group is the LAST capture before end of
+  // statement, so a trailing ORDER BY / LIMIT / OFFSET lands inside it
+  // ("HAVING n > 1 ORDER BY g" captures having = "n > 1 ORDER BY g").
+  // Such text is not a row predicate — expr() would throw at CREATE
+  // analysis or at read-time registration — so the shape rejects it
+  // and the view falls back to full rerun, which executes the clause
+  // through Spark SQL correctly. (A false positive on a string
+  // literal containing the keyword also just falls back — safe.)
+  private val TrailingClauseRe = """(?is)\b(ORDER\s+BY|LIMIT|OFFSET)\b""".r
+  private def havingUnsupported(having: String): Boolean =
+    AggCallRe.findFirstIn(having).isDefined ||
+      TrailingClauseRe.findFirstIn(having).isDefined
 
   /** Classify select items into aggregates and group keys (bare
     * columns or `expr AS alias` row expressions with no aggregate
@@ -246,8 +258,7 @@ object IncrementalView {
       // aggregate-call predicate (HAVING COUNT(*) >= 2, standard SQL)
       // cannot run over stored output rows, so the view falls back to
       // full rerun, which serves it correctly
-      if (Option(having).exists(h => AggCallRe.findFirstIn(h).isDefined))
-        return None
+      if (Option(having).exists(havingUnsupported)) return None
       classify(items, gcols, retractableOnly = false).map {
         case (keys, aggs) =>
           Shape(table, Option(where).map(_.trim), keys, aggs,
@@ -303,8 +314,7 @@ object IncrementalView {
       if (gcols.isEmpty || !gcols.forall(BareRe.matches(_))) return None
       if (items.exists(i => NonCdDistinctRe.findFirstIn(i).isDefined))
         return None
-      if (Option(having).exists(h => AggCallRe.findFirstIn(h).isDefined))
-        return None
+      if (Option(having).exists(havingUnsupported)) return None
       classify(items, gcols, retractableOnly = true).map {
         case (keys, aggs) =>
           JoinShape(tables, onExprs, links,

@@ -371,7 +371,7 @@ object StatementRouter {
   private val ShowMatviewsR =
     """(?is)^SHOW\s+MATERIALIZED\s+VIEWS\s*$""".r
   private val AlterMvAutoR =
-    """(?is)^ALTER\s+MATERIALIZED\s+VIEW\s+(\w+)\s+SET\s+AUTOREFRESH\s+(ON|OFF)\s*$""".r
+    """(?is)^ALTER\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+SET\s+AUTOREFRESH\s+(ON|OFF)\s*$""".r
   private val ShowIndexesR = """(?is)^SHOW\s+INDEXES\s*$""".r
   private val ShowCreateR =
     """(?is)^SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*$""".r

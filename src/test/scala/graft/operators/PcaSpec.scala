@@ -126,4 +126,27 @@ class PcaSpec extends AnyFunSuite {
     val m0 = proj.map(_(0)).sum / proj.length
     assert(math.abs(m0) < 1e-3)
   }
+
+  test("projectPlanes plane 1 equals the closed-form projectTop2d") {
+    // plane 1 of the blockwise projection IS the (dims 1,2) 2-D PCA —
+    // same moments, same analytic eigenvector, same e6 surface — so
+    // the two code paths must agree bit-for-bit on every row
+    val embeddings = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planes = Pca.projectPlanes(embeddings, 64, 4)
+      .select("vec_id", "p1").as[(Long, Long)].collect().toMap
+    val top2 = Pca.projectTop2d(embeddings)
+      .as[(Long, Long)].collect().toMap
+    assert(planes.keySet === top2.keySet)
+    for ((id, p) <- planes) assert(p === top2(id), s"vec $id")
+    // and the plane projections center on ~0 at e6 scale
+    val p4 = Pca.projectPlanes(embeddings, 64, 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    for (k <- 1 to 4) {
+      val vs = p4.map(r => k match {
+        case 1 => r._2; case 2 => r._3; case 3 => r._4; case _ => r._5 })
+      val m = vs.map(_.toDouble).sum / vs.length
+      assert(math.abs(m) < 2e3, s"plane $k mean ${m}")
+    }
+  }
 }
