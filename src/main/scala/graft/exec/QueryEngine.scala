@@ -5,10 +5,10 @@ import graft.log.EventLog
 import graft.sql.{IncrementalView, SqlText, Statement, StatementRouter, SystemTime, TemporalPre}
 import graft.state.{Snapshots, StateView}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.execution.ExplainMode
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, StructField, StructType}
 
 /** The engine shell: `engine.sql(query): DataFrame` — the single entry
   * point the reference exposes as `execute_sql` (sql_bridge.rs:234-237).
@@ -1212,7 +1212,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             encrypted(agged.write)
               .mode("overwrite").parquet(catalog.mviewDataPath(name, 0L))
             writeAuxes(sh.filtered(st0),
-              sh.groupKeys, IncrementalView.cdAggs(sh.aggs),
+              sh.groupKeys, IncrementalView.auxAggs(sh.aggs),
               catalog.mviewDataPath(name, 0L))
             catalog.createMaterializedView(name, viewSql)
             catalog.setMviewRefreshed(name, 0L, Map(sh.table -> r))
@@ -1233,7 +1233,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               encrypted(agged.write)
                 .mode("overwrite").parquet(catalog.mviewDataPath(name, 0L))
               writeAuxes(js.joined(frames0), js.groupKeys,
-                IncrementalView.cdAggs(js.aggs),
+                IncrementalView.auxAggs(js.aggs),
                 catalog.mviewDataPath(name, 0L))
               catalog.createMaterializedView(name, viewSql)
               catalog.setMviewRefreshed(name, 0L, hs)
@@ -1286,30 +1286,30 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             val restrict = touchedRestrictor(t, r, horizon)
             val stored = spark.read.parquet(catalog.mviewDataPath(name, prev))
             val oldSide = restrict(stateAt(baseT, Some(r)))
-            // MIN/MAX merge as least/greatest(stored, new-state agg),
-            // which is exact ONLY when no touched pk CONTRIBUTED to
-            // the view at the old horizon (a contributing row's
-            // update/delete could retract the stored extreme — the
-            // classic IVM limit). The probe applies the view's own
-            // WHERE: a touched pre-horizon row the predicate excluded
-            // contributed nothing, so its change lands like a fresh
-            // insert. One pruned limit-1 job, paid only by MIN/MAX
-            // views; tail-local churn (insert-then-update/delete
-            // since the horizon) passes, because only surviving
-            // new-state rows contribute.
+            // An HLL sketch unions but cannot retract, so an
+            // APPROX_COUNT_DISTINCT merge is exact ONLY when no
+            // touched pk CONTRIBUTED to the view at the old horizon.
+            // The probe applies the view's own WHERE: a touched
+            // pre-horizon row the predicate excluded contributed
+            // nothing, so its change lands like a fresh insert. One
+            // pruned limit-1 job, paid only by sketch-bearing views;
+            // tail-local churn (insert-then-update/delete since the
+            // horizon) passes, because only surviving new-state rows
+            // contribute. MIN/MAX no longer gate: they retract
+            // exactly through their aux frames (round 15).
             if (sh.needsAppendGate &&
                 sh.where.fold(oldSide)(w => oldSide.where(expr(w)))
                   .limit(1).count() > 0)
               throw new IllegalStateException(
-                s"$name has MIN/MAX or APPROX_COUNT_DISTINCT " +
-                  "aggregates, which maintain " +
+                s"$name has APPROX_COUNT_DISTINCT aggregates, whose " +
+                  "sketch maintains " +
                   "incrementally only while no row touched since the " +
                   s"last refresh horizon @SEQ:$r was contributing to " +
                   "the view then — such a row's update or delete can " +
-                  "retract the stored extreme or sketched value. Run " +
+                  "retract the sketched value. Run " +
                   "a full (non-incremental) REFRESH")
             val newSide = restrict(stateAt(baseT, Some(horizon)))
-            val cds = IncrementalView.cdAggs(sh.aggs)
+            val cds = IncrementalView.auxAggs(sh.aggs)
             // the delta frame feeds the main merge, every aux merge
             // and every overlay's touched set — persist it across
             // those consumers instead of re-running the touched state
@@ -1321,7 +1321,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               else {
                 val sd = IncrementalView.signedDelta(stored, oldSide, newSide, sh)
                   .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-                val (m, w) = mergeWithDistinct(name, prev,
+                val (m, w) = mergeWithAux(name, prev,
                   IncrementalView.mergeSigned(stored, sd, sh.groupCols, sh.aggs),
                   sd, sh.groupCols, cds)
                 (m, w, Some(sd))
@@ -1424,7 +1424,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               val delta = IncrementalView.joinSignedDelta(js, stored,
                 sides.indices.map(i =>
                   (deltas(i)._1, deltas(i)._2, fulls(i))))
-              val cds = IncrementalView.cdAggs(js.aggs)
+              val cds = IncrementalView.auxAggs(js.aggs)
               // persist the 2^n−1-term delta across its consumers
               // (main merge, aux merges, overlays), like the
               // single-table path
@@ -1436,7 +1436,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                 else {
                   val sd = delta.persist(
                     org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-                  val (m, w) = mergeWithDistinct(name, prev,
+                  val (m, w) = mergeWithAux(name, prev,
                     IncrementalView.mergeSigned(stored, sd,
                       js.groupCols, js.aggs),
                     sd, js.groupCols, cds)
@@ -1474,7 +1474,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               encrypted(IncrementalView.aggregate(st0, sh).write)
                 .mode("overwrite").parquet(catalog.mviewDataPath(name, prev + 1))
               writeAuxes(sh.filtered(st0),
-                sh.groupKeys, IncrementalView.cdAggs(sh.aggs),
+                sh.groupKeys, IncrementalView.auxAggs(sh.aggs),
                 catalog.mviewDataPath(name, prev + 1))
               catalog.setMviewRefreshed(name, prev + 1, Map(sh.table -> horizon))
             case None => joinShapeOf(viewSql) match {
@@ -1485,7 +1485,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                 encrypted(IncrementalView.aggregateJoin(frames0, js).write)
                   .mode("overwrite").parquet(catalog.mviewDataPath(name, prev + 1))
                 writeAuxes(js.joined(frames0), js.groupKeys,
-                  IncrementalView.cdAggs(js.aggs),
+                  IncrementalView.auxAggs(js.aggs),
                   catalog.mviewDataPath(name, prev + 1))
                 catalog.setMviewRefreshed(name, prev + 1, hs)
               case None =>
@@ -1598,19 +1598,19 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       if (!catalog.isMaterialized(name))
         throw new IllegalArgumentException(s"materialized view not found: $name")
       if (on) {
-        // only fully-RETRACTABLE shapes qualify: a MIN/MAX or sketch
-        // view's gate can refuse mid-DML, and an auto refresh must
-        // never be able to fail a statement that already committed
+        // only fully-RETRACTABLE shapes qualify: a sketch view's gate
+        // can refuse mid-DML, and an auto refresh must never be able
+        // to fail a statement that already committed
         val viewSql = catalog.getView(name).get
         val retractable = incShapeOf(viewSql).exists(!_.needsAppendGate) ||
           joinShapeOf(viewSql).isDefined
         if (!retractable)
           throw new IllegalArgumentException(
             s"$name cannot AUTOREFRESH: only incrementally maintainable " +
-              "views whose aggregates all retract (COUNT/SUM/AVG, " +
-              "single-table or join shape) qualify — MIN/MAX and " +
-              "APPROX_COUNT_DISTINCT views need a gated explicit " +
-              "REFRESH INCREMENTALLY")
+              "views whose aggregates all retract (COUNT/SUM/AVG/" +
+              "COUNT(DISTINCT)/MIN/MAX, single-table or join shape) " +
+              "qualify — APPROX_COUNT_DISTINCT views need a gated " +
+              "explicit REFRESH INCREMENTALLY")
         // without recorded horizons the due check can never fire and
         // the flag would be silently inert (e.g. a view stored by an
         // older engine as full-rerun)
@@ -4205,55 +4205,109 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   /** Some(shape) iff the SQL is incrementally maintainable
     * (IncrementalView.parse) over a (non-attached) engine table of
     * this catalog — attached event logs have no sequence bookkeeping
-    * to anchor a refresh horizon to. */
+    * to anchor a refresh horizon to — and no SUM/AVG reads a
+    * FLOAT/DOUBLE expression (see floatSumAvg). */
   private def incShapeOf(sql: String): Option[IncrementalView.Shape] =
     IncrementalView.parse(sql)
       .filter(sh => catalog.get(sh.table).exists(_.attached.isEmpty))
+      .filterNot(sh => floatSumAvg(sh.aggs,
+        emptyLogicalFrame(catalog.require(sh.table))))
 
   /** Some(shape) iff the SQL is an incrementally maintainable
     * two-table equi-join view (IncrementalView.parseJoin) whose sides
-    * are both non-attached engine tables of this catalog. */
+    * are both non-attached engine tables of this catalog, with the
+    * same FLOAT/DOUBLE SUM/AVG rejection as incShapeOf (types resolve
+    * against the aliased empty join chain). */
   private def joinShapeOf(sql: String): Option[IncrementalView.JoinShape] =
     IncrementalView.parseJoin(sql)
       .filter(_.tables.forall(tn =>
         catalog.get(tn).exists(_.attached.isEmpty)))
+      .filterNot(js => floatSumAvg(js.aggs,
+        js.joined(js.tables.map(tn => emptyLogicalFrame(catalog.require(tn))))))
 
-  /** COUNT(DISTINCT) maintenance around a merged main frame: merge
-    * each alias's aux (per-(group, value) live counts) from the SAME
-    * signed frame the main merge consumed, overlay the touched
-    * groups' distinct counts onto the main, and return the final main
-    * plus the aux frames to materialize into the NEW version dir
-    * (written AFTER the main lands — its overwrite truncates the
-    * dir). The signed frame is delta-sized, so its re-evaluation
-    * across the aux merges stays O(touched). */
-  private def mergeWithDistinct(name: String, prev: Long,
+  /** An empty local frame with `t`'s logical schema — for driver-side
+    * expression-type resolution only (analysis, never a job). */
+  private def emptyLogicalFrame(t: TableDef): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[Row](),
+      StructType(t.columns.map(c => StructField(c.logical, c.dataType))))
+
+  /** True when any SUM/AVG aggregate reads a FLOAT/DOUBLE-typed
+    * expression — such views must NOT enter the maintainable shape:
+    * the stored accumulator would be a double, and signed-delta
+    * subtract-then-add over doubles is order-dependent and drifts
+    * cumulatively across refreshes, so incremental and full refresh
+    * would silently diverge (the shape's contract is bit-parity).
+    * Integer and DECIMAL sums are exact; MIN/MAX/COUNT over doubles
+    * stay maintainable (value identity, no accumulation). A cast
+    * inside the aggregate (`SUM(CAST(x AS DECIMAL(38,6)))`) resolves
+    * to its exact target type and passes. Unresolvable expressions
+    * gate out too — full rerun serves (and error-reports) them. */
+  private def floatSumAvg(aggs: Seq[IncrementalView.Agg],
+      base: => DataFrame): Boolean = {
+    val sumAvgExprs = aggs.collect {
+      case IncrementalView.SumExpr(e, _) => e
+      case IncrementalView.AvgExpr(e, _) => e
+    }
+    sumAvgExprs.nonEmpty && {
+      val frame = scala.util.Try(base)
+      sumAvgExprs.exists { e =>
+        frame.flatMap(f => scala.util.Try(
+          f.select(expr(e)).schema.head.dataType)).toOption match {
+          case Some(FloatType | DoubleType) => true
+          case Some(_) => false
+          case None => true
+        }
+      }
+    }
+  }
+
+  /** Aux-backed-aggregate maintenance (COUNT(DISTINCT), MIN, MAX)
+    * around a merged main frame: merge each alias's aux (per-(group,
+    * value) live counts) from the SAME signed frame the main merge
+    * consumed, overlay the touched groups' exact values onto the
+    * main, and return the final main plus the aux frames to
+    * materialize into the NEW version dir (written AFTER the main
+    * lands — its overwrite truncates the dir). The signed frame is
+    * delta-sized, so its re-evaluation across the aux merges stays
+    * O(touched). A missing aux dir means the view version was stored
+    * by an engine that gated MIN/MAX instead of aux-backing it — one
+    * full REFRESH (re)writes every aux. */
+  private def mergeWithAux(name: String, prev: Long,
       merged0: DataFrame, sd: DataFrame, groupCols: Seq[String],
-      cds: Seq[IncrementalView.CountDistinctExpr])
+      auxes: Seq[IncrementalView.Agg])
       : (DataFrame, Seq[(String, DataFrame)]) = {
     var main = merged0
-    val writes = cds.map { cd =>
-      val auxStored = spark.read.parquet(
-        catalog.mviewDataPath(name, prev) + "/" +
-          IncrementalView.auxDir(cd.alias))
+    val writes = auxes.map { a =>
+      val auxPath = catalog.mviewDataPath(name, prev) + "/" +
+        IncrementalView.auxDir(a.alias)
+      val auxStored =
+        try spark.read.parquet(auxPath)
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            throw new IllegalStateException(
+              s"$name's aux frame for ${a.alias} is missing (view " +
+                "stored by an older engine version) — run a full " +
+                "(non-incremental) REFRESH once to rebuild it")
+        }
       val auxMerged =
-        IncrementalView.auxMerge(auxStored, sd, groupCols, cd.alias)
-      main = IncrementalView.overlayDistinct(
-        main, auxMerged, sd, groupCols, cd.alias)
-      (IncrementalView.auxDir(cd.alias), auxMerged)
+        IncrementalView.auxMerge(auxStored, sd, groupCols, a.alias)
+      main = IncrementalView.overlayAux(
+        main, auxMerged, sd, groupCols, a)
+      (IncrementalView.auxDir(a.alias), auxMerged)
     }
     (main, writes)
   }
 
-  /** Populate the COUNT(DISTINCT) aux frames for a freshly aggregated
-    * view version — `base` is the where-filtered state (or joined
-    * relation) the main aggregation consumed. */
+  /** Populate the aux frames (COUNT(DISTINCT), MIN, MAX) for a freshly
+    * aggregated view version — `base` is the where-filtered state (or
+    * joined relation) the main aggregation consumed. */
   private def writeAuxes(base: DataFrame,
       keys: Seq[IncrementalView.GroupKey],
-      cds: Seq[IncrementalView.CountDistinctExpr], path: String): Unit =
-    cds.foreach { cd =>
-      encrypted(IncrementalView.auxAggregate(base, keys, cd).write)
+      auxes: Seq[IncrementalView.Agg], path: String): Unit =
+    auxes.foreach { a =>
+      encrypted(IncrementalView.auxAggregate(base, keys, a).write)
         .mode("overwrite")
-        .parquet(path + "/" + IncrementalView.auxDir(cd.alias))
+        .parquet(path + "/" + IncrementalView.auxDir(a.alias))
     }
 
   /** A filter restricting a state read to the pks touched in

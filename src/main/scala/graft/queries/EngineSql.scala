@@ -321,17 +321,19 @@ object EngineSql {
             |FROM inc_stats ORDER BY status""".stripMargin)
   }
 
-  /** MIN/MAX incremental maintenance under a tail-insert workload
-    * (round 14; the insert-only relaxation of the classic IVM
-    * non-maintainability result): the refresh merges
-    * least/greatest(stored, new-state extremes) after a batch of NEW
-    * rows that was then partially updated AND partially deleted —
-    * tail-local churn the emptiness gate must allow, because only
-    * surviving new-state rows contribute. The oracle recomputes the
-    * final aggregate from scratch with the identical integer (cents)
-    * arithmetic; cents derive via `FLOOR(c_acctbal*100 + 0.5)` (exact IEEE
-    * ops — a bare double->BIGINT CAST rounds in DuckDB but truncates in
-    * Spark) and the BIGINT sums are engine-exact. */
+  /** MIN/MAX incremental maintenance under ARBITRARY churn (round 15:
+    * MIN/MAX ride the same hidden per-(group, value) aux frame as
+    * COUNT(DISTINCT), so retraction is exact and the round-14 append
+    * gate is gone): after the tail-insert batch with tail-local churn,
+    * the workload also updates and deletes PRE-horizon rows — the very
+    * rows that can hold a group's stored extreme — and the merged view
+    * must still equal the from-scratch aggregate (the overlay
+    * re-derives each touched group's extreme over its surviving aux
+    * values). The oracle recomputes the final state with the identical
+    * integer (cents) arithmetic; cents derive via
+    * `FLOOR(c_acctbal*100 + 0.5)` (exact IEEE ops — a bare
+    * double->BIGINT CAST rounds in DuckDB but truncates in Spark) and
+    * the BIGINT sums are engine-exact. */
   val qMatViewMinMax = Q(
     "q_matview_minmax",
     """WITH src AS (
@@ -342,8 +344,11 @@ object EngineSql {
       |  WHERE c_custkey < 400 OR c_custkey BETWEEN 1000 AND 1099),
       |post AS (
       |  SELECT k, grp,
-      |         CASE WHEN k >= 1000 AND k % 13 = 0 THEN v + 7 ELSE v END AS v
-      |  FROM src WHERE NOT (k >= 1000 AND k % 17 = 0))
+      |         CASE WHEN k >= 1000 AND k % 13 = 0 THEN v + 7
+      |              WHEN k < 400 AND k % 19 = 0 THEN v - 100000
+      |              ELSE v END AS v
+      |  FROM src WHERE NOT (k >= 1000 AND k % 17 = 0)
+      |             AND NOT (k < 400 AND k % 23 = 0))
       |SELECT grp, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n,
       |       CAST(SUM(v) AS BIGINT) AS sv
       |FROM post GROUP BY grp ORDER BY grp""".stripMargin) { (s, dir) =>
@@ -364,6 +369,11 @@ object EngineSql {
             |FROM customer WHERE c_custkey BETWEEN 1000 AND 1099""".stripMargin)
     e.sql("UPDATE mtab SET v = v + 7 WHERE k >= 1000 AND k % 13 = 0")
     e.sql("DELETE FROM mtab WHERE k >= 1000 AND k % 17 = 0")
+    // pre-horizon retraction: push touched groups' extremes DOWN (the
+    // new values set fresh MINs) and delete rows behind the horizon —
+    // both were gate-refused before round 15
+    e.sql("UPDATE mtab SET v = v - 100000 WHERE k < 400 AND k % 19 = 0")
+    e.sql("DELETE FROM mtab WHERE k < 400 AND k % 23 = 0")
     e.sql("REFRESH MATERIALIZED VIEW mm INCREMENTALLY")
     e.sql("SELECT grp, lo, hi, n, sv FROM mm ORDER BY grp")
   }
@@ -421,8 +431,10 @@ object EngineSql {
     * view stores a hidden mergeable DataSketches HLL sketch and
     * surfaces its estimate; refresh unions only the touched rows'
     * new-state sketch (max-per-register — order-free, so the estimate
-    * equals a full refresh exactly) under the same append-mostly gate
-    * as MIN/MAX. The fixture bounds each group's cardinality well
+    * equals a full refresh exactly) under the append-mostly gate (a
+    * sketch cannot retract a value — since round 15 the ONE gated
+    * aggregate, MIN/MAX having moved to exact aux-frame retraction).
+    * The fixture bounds each group's cardinality well
     * inside the sketch's exact sparse mode, so the estimate equals
     * COUNT(DISTINCT) — which is what the oracle states (DuckDB has no
     * DataSketches HLL; the in-engine full-vs-incremental equality is

@@ -32,16 +32,19 @@ import org.apache.spark.sql.functions._
   * agree bit-for-bit (integer/decimal sums are exact; the division is
   * a single deterministic op — never Spark's order-dependent running
   * double average).
-  * MIN/MAX are not maintainable from the view output alone under
+  * MIN/MAX are not maintainable from the view OUTPUT alone under
   * retractions (the classic IVM result; cf. the view-maintenance
-  * literature, e.g. Gupta & Mumick's survey) — but they ARE
-  * maintainable while every touched pk is NEW since the last horizon
-  * (the append-mostly shape of an accreting corpus): the merge is then
-  * `least`/`greatest(stored, agg over the touched rows' new state)`.
-  * The engine enforces that precondition per refresh with an
-  * emptiness probe on the old-horizon side and falls back to asking
-  * for a full REFRESH when a pre-horizon row was updated or deleted.
-  * APPROX_COUNT_DISTINCT shares that gate: the view stores a hidden
+  * literature, e.g. Gupta & Mumick's survey) — so they ride the same
+  * hidden per-(group, value) aux frame as COUNT(DISTINCT) (round 15):
+  * the aux records every value's live support, a delete that retracts
+  * the stored extreme just removes its aux entry, and the overlay
+  * re-derives the extreme over the group's SURVIVING values — exact
+  * under arbitrary updates and deletes, O(touched) per refresh, no
+  * append precondition. (Rounds 13–14 instead gated MIN/MAX behind an
+  * every-touched-pk-is-new probe; the aux frame deleted that gate and
+  * its per-refresh probe job, and made MIN/MAX views AUTOREFRESH-able.)
+  * APPROX_COUNT_DISTINCT is the one aggregate still gated: the view
+  * stores a hidden
   * mergeable DataSketches HLL sketch (`__graft_hll_<alias>`) and the
   * visible column is its estimate; inserts union into the sketch
   * (max-per-register — commutative and order-free, so the ESTIMATE of
@@ -106,10 +109,12 @@ object IncrementalView {
       * consume (hand-rolled copies could drift). */
     def filtered(state: DataFrame): DataFrame =
       where.fold(state)(w => state.where(expr(w)))
-    /** MIN/MAX and APPROX_COUNT_DISTINCT carry the extra maintenance
-      * precondition (non-retractable state; see merge). */
+    /** Only APPROX_COUNT_DISTINCT carries the extra maintenance
+      * precondition (a sketch cannot retract a value; see merge).
+      * MIN/MAX retract exactly through their aux frames (round 15),
+      * like COUNT(DISTINCT). */
     def needsAppendGate: Boolean = aggs.exists {
-      case _: MinExpr | _: MaxExpr | _: AcdExpr => true
+      case _: AcdExpr => true
       case _ => false
     }
   }
@@ -124,9 +129,12 @@ object IncrementalView {
     * joined table to one earlier table. Only the RETRACTABLE
     * aggregates: the inclusion-exclusion signed delta (see
     * joinSignedDelta) subtracts as well as adds, so it is exact under
-    * arbitrary updates/deletes on ANY side — but MIN/MAX and sketches
-    * cannot retract a joined row, so they do not parse into this
-    * shape. Table names double as the join aliases; group columns are
+    * arbitrary updates/deletes on ANY side. COUNT/SUM/AVG retract from
+    * the stored accumulators; COUNT(DISTINCT) and (round 15) MIN/MAX
+    * retract through their aux frames, which the same signed delta
+    * maintains. APPROX_COUNT_DISTINCT's sketch cannot retract a joined
+    * row, so it alone does not parse into this shape.
+    * Table names double as the join aliases; group columns are
     * bare identifiers that must be unambiguous in the joined relation
     * (the stored view exposes them unqualified). */
   final case class JoinShape(tables: Seq[String], onExprs: Seq[String],
@@ -167,8 +175,27 @@ object IncrementalView {
     * file index from reading aux files into the main view. */
   val CdValCol = "__graft_cd_val"
   def auxDir(alias: String): String = s"_graft_aux_$alias"
-  def cdAggs(aggs: Seq[Agg]): Seq[CountDistinctExpr] =
-    aggs.collect { case cd: CountDistinctExpr => cd }
+  /** Aggregates maintained through a hidden per-(group, value) aux
+    * frame: COUNT(DISTINCT) counts the aux's surviving values; MIN and
+    * MAX (round 15) re-derive the extreme over them. All three are
+    * exactly retractable under arbitrary updates and deletes — the
+    * aux frame built for COUNT(DISTINCT) is precisely the live-support
+    * state that makes MIN/MAX maintainable under deletes (the classic
+    * two-level IVM reduction), which deleted the old MIN/MAX append
+    * gate and its per-refresh probe job. */
+  def auxAggs(aggs: Seq[Agg]): Seq[Agg] = aggs.collect {
+    case a: CountDistinctExpr => a
+    case a: MinExpr => a
+    case a: MaxExpr => a
+  }
+  /** The value expression an aux-backed aggregate keys its frame on. */
+  def auxExpr(a: Agg): String = a match {
+    case CountDistinctExpr(e, _) => e
+    case MinExpr(e, _) => e
+    case MaxExpr(e, _) => e
+    case other => throw new IllegalArgumentException(
+      s"not an aux-backed aggregate: $other")
+  }
 
   private val ShapeRe =
     ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+?))?""" +
@@ -221,8 +248,10 @@ object IncrementalView {
       case SumRe(e, a) => aggs += SumExpr(e.trim, a)
       case AvgRe(e, a) => aggs += AvgExpr(e.trim, a)
       case AcdRe(e, a) if !retractableOnly => aggs += AcdExpr(e.trim, a)
-      case MinRe(e, a) if !retractableOnly => aggs += MinExpr(e.trim, a)
-      case MaxRe(e, a) if !retractableOnly => aggs += MaxExpr(e.trim, a)
+      // aux-frame-backed since round 15, hence retractable — admitted
+      // into join shapes alongside COUNT(DISTINCT)
+      case MinRe(e, a) => aggs += MinExpr(e.trim, a)
+      case MaxRe(e, a) => aggs += MaxExpr(e.trim, a)
       case CountRe(e, a) if e.trim != "*" => aggs += CountExpr(e.trim, a)
       case b if BareRe.matches(b) => keys += GroupKey(b, b)
       case GroupItemRe(e, a) if AggCallRe.findFirstIn(e).isEmpty =>
@@ -241,10 +270,10 @@ object IncrementalView {
   /** Some(shape) iff `sql` is the maintainable form above: one table,
     * bare-identifier group columns (select list and GROUP BY must
     * agree), every aggregate a COUNT/SUM/AVG/APPROX_COUNT_DISTINCT/
-    * MIN/MAX with an alias. MIN/MAX and APPROX_COUNT_DISTINCT parse
-    * into the shape here; their extra refresh-time precondition (no
-    * touched pk was contributing at the old horizon) is the ENGINE's
-    * gate, not the parser's. */
+    * MIN/MAX with an alias. APPROX_COUNT_DISTINCT parses into the
+    * shape here; its extra refresh-time precondition (no touched pk
+    * was contributing at the old horizon) is the ENGINE's gate, not
+    * the parser's. */
   def parse(sql: String): Option[Shape] = sql match {
     case ShapeRe(selectList, table, where, groupBy, having) =>
       val items = SqlText.splitTopLevel(selectList).map(_.trim)
@@ -284,9 +313,10 @@ object IncrementalView {
     * MaxJoinTables distinct tables, each ON an equality linking the
     * newly joined table to ONE earlier table (qualifiers are table
     * names, either order), bare unqualified group columns matching
-    * the select list, and only COUNT/SUM/AVG aggregates (MIN/MAX and
-    * APPROX_COUNT_DISTINCT cannot retract a joined row — a join view
-    * holding one falls back to full REFRESH). */
+    * the select list, and only retractable aggregates — COUNT/SUM/AVG
+    * plus the aux-frame-backed COUNT(DISTINCT) and MIN/MAX
+    * (APPROX_COUNT_DISTINCT's sketch cannot retract a joined row — a
+    * join view holding one falls back to full REFRESH). */
   def parseJoin(sql: String): Option[JoinShape] = sql match {
     case JoinShapeRe(selectList, fromChain, where, groupBy, having) =>
       val first =
@@ -398,16 +428,12 @@ object IncrementalView {
     * vanish; SUMs whose non-null support reaches zero return to NULL.
     * One aggregation over O(touched) rows + one join on the view key.
     *
-    * MIN/MAX merge as `least`/`greatest(stored, agg over newRows)` —
-    * exact ONLY under the precondition that `oldRows` is EMPTY (no
-    * touched pk existed at the old horizon): a pre-horizon row's
-    * update or delete could retract the stored extreme, which the
-    * view output cannot undo (the classic IVM non-maintainability of
-    * MIN/MAX under deletes). Tail-local churn is fine — a row
-    * inserted after the horizon and then updated/deleted contributes
-    * only its surviving new-state value. The ENGINE enforces the
-    * precondition with an emptiness probe on `oldRows` before calling
-    * this merge (RefreshMatView INCREMENTALLY). */
+    * MIN/MAX pass through here as `least`/`greatest(stored, new-side
+    * agg)` — a sound value only under pure appends — and the ENGINE
+    * then overlays every TOUCHED group's exact extreme from the
+    * merged aux frame (overlayAux), which is what makes them correct
+    * under arbitrary updates/deletes; only untouched groups keep the
+    * pass-through value, and for those it equals the stored extreme. */
   def merge(stored: DataFrame, oldRows: DataFrame, newRows: DataFrame,
       shape: Shape): DataFrame =
     mergeSigned(stored, signedDelta(stored, oldRows, newRows, shape),
@@ -459,9 +485,10 @@ object IncrementalView {
           case AcdExpr(_, a) => Seq(
             hll_sketch_agg(when(col("__sign") === 1, col(s"__val_$a")))
               .as(s"__d_${sketchCol(a)}"))
-          // new-state side only: the emptiness precondition makes the
-          // −1 side vacuous, and guarding on the sign keeps the delta
-          // well-defined even if a caller ever violates it
+          // new-state side only — a provisional value: the engine's
+          // aux overlay (overlayAux) replaces every TOUCHED group's
+          // extreme with the exact value over surviving aux entries,
+          // so retractions never surface this column's optimism
           case MinExpr(_, a) => Seq(
             min(when(col("__sign") === 1, col(s"__val_$a"))).as(s"__d_$a"))
           case MaxExpr(_, a) => Seq(
@@ -607,13 +634,13 @@ object IncrementalView {
 
   /** Aux population at CREATE / full REFRESH: per-(group keys, value)
     * live row counts over the already-WHERE-filtered base relation
-    * (NULL values never count toward a distinct count). Stored under
-    * `auxDir(alias)` inside the view's version dir. */
+    * (NULL values never count toward a distinct count or an extreme).
+    * Stored under `auxDir(alias)` inside the view's version dir. */
   def auxAggregate(base: DataFrame, keys: Seq[GroupKey],
-      cd: CountDistinctExpr): DataFrame =
-    base.where(expr(cd.e).isNotNull)
+      a: Agg): DataFrame =
+    base.where(expr(auxExpr(a)).isNotNull)
       .groupBy((keys.map(k => expr(k.e).as(k.alias)) :+
-        expr(cd.e).as(CdValCol)): _*)
+        expr(auxExpr(a)).as(CdValCol)): _*)
       .agg(count(lit(1)).as(RowsCol))
 
   /** The aux's signed delta, derived from the SAME signed frame the
@@ -634,29 +661,42 @@ object IncrementalView {
     mergeSigned(auxStored, auxSigned(signedRows, groupCols, alias),
       groupCols :+ CdValCol, Nil)
 
-  /** Overlay the merged aux's per-group distinct counts onto the
+  /** Overlay an aux-backed aggregate's exact per-group value onto the
     * merged main frame — TOUCHED groups only (the delta's group keys):
-    * an untouched group keeps its stored count, so the overlay is
-    * O(touched), never a full aux re-aggregation. A touched group
-    * absent from the aux (every value retracted or NULL) counts 0. */
-  def overlayDistinct(main: DataFrame, auxMerged: DataFrame,
+    * an untouched group keeps its stored value, so the overlay is
+    * O(touched), never a full aux re-aggregation. Per aggregate, the
+    * value re-derives from the group's SURVIVING aux values:
+    * COUNT(DISTINCT) counts them (absent → 0 — every value retracted
+    * or NULL), MIN/MAX take the extreme (absent → NULL — the SQL
+    * extreme of zero non-null values), which is exactly what makes
+    * these aggregates retract correctly under arbitrary deletes. */
+  def overlayAux(main: DataFrame, auxMerged: DataFrame,
       signedRows: DataFrame, groupCols: Seq[String],
-      alias: String): DataFrame = {
+      agg: Agg): DataFrame = {
+    val alias = agg.alias
+    val storedT = main.schema(alias).dataType
     val touched = signedRows.select(groupCols.map(col): _*).distinct()
     def keyCond(l: String, r: String) = groupCols
       .map(g => col(s"$l.$g") <=> col(s"$r.$g")).reduce(_ && _)
+    val (valueAgg, absent) = agg match {
+      case _: CountDistinctExpr => (count(lit(1)), lit(0L))
+      case _: MinExpr => (min(col(CdValCol)), lit(null))
+      case _: MaxExpr => (max(col(CdValCol)), lit(null))
+      case other => throw new IllegalArgumentException(
+        s"not an aux-backed aggregate: $other")
+    }
     val counts = auxMerged.alias("x")
       .join(touched.alias("t"), keyCond("x", "t"), "left_semi")
       .groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("__cdc"))
+      .agg(valueAgg.as("__cdc"))
     val flagged = touched.withColumn("__cdt", lit(true))
     main.alias("m")
       .join(flagged.alias("f"), keyCond("m", "f"), "left_outer")
       .join(counts.alias("c"), keyCond("m", "c"), "left_outer")
       .select(main.columns.toSeq.map {
         case `alias` =>
-          when(col("__cdt"), coalesce(col("__cdc"), lit(0L)))
-            .otherwise(col(s"m.$alias")).cast("long").as(alias)
+          when(col("__cdt"), coalesce(col("__cdc"), absent))
+            .otherwise(col(s"m.$alias")).cast(storedT).as(alias)
         case other => col(s"m.$other")
       }: _*)
   }

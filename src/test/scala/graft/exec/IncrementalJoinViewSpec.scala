@@ -172,9 +172,10 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     assert(parseJoin(
       "SELECT s, AVG(v) AS av FROM a INNER JOIN b ON a.x = b.y GROUP BY s")
       .isDefined)
-    // non-retractable aggregates do not parse into the join shape
+    // MIN/MAX are aux-frame-backed (round 15), hence retractable and
+    // admitted; the sketch-backed APPROX_COUNT_DISTINCT still is not
     assert(parseJoin(
-      "SELECT s, MAX(v) AS m FROM a JOIN b ON a.x = b.y GROUP BY s").isEmpty)
+      "SELECT s, MAX(v) AS m FROM a JOIN b ON a.x = b.y GROUP BY s").isDefined)
     assert(parseJoin("SELECT s, APPROX_COUNT_DISTINCT(v) AS d FROM a " +
       "JOIN b ON a.x = b.y GROUP BY s").isEmpty)
     // self-joins, qualified group cols, foreign ON qualifiers, DISTINCT
@@ -325,12 +326,21 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     e.sql("INSERT INTO item VALUES (14,2,1)")
     assert(stale()("jv") === 1L)
     assert(stale()("sv") === 0L)
-    // a non-retractable view cannot be flagged
+    // a MIN/MAX join view is retractable since round 15 — flaggable
     e.sql("""CREATE MATERIALIZED VIEW mm AS
             |SELECT status, MAX(qty) AS m
             |FROM item JOIN ord ON ord.k = item.ok GROUP BY status""".stripMargin)
+    e.sql("ALTER MATERIALIZED VIEW mm SET AUTOREFRESH ON")
+    e.sql("INSERT INTO item VALUES (15,2,999)")
+    assert(e.sql("SELECT m FROM mm ORDER BY m DESC").collect().head.getLong(0)
+      === 999L, "MIN/MAX join view must autorefresh")
+    // the sketch-gated APPROX_COUNT_DISTINCT view still cannot be
+    // flagged: its gate can refuse mid-DML
+    e.sql("""CREATE MATERIALIZED VIEW acdv AS
+            |SELECT ok, APPROX_COUNT_DISTINCT(qty) AS d
+            |FROM item GROUP BY ok""".stripMargin)
     val err = intercept[IllegalArgumentException] {
-      e.sql("ALTER MATERIALIZED VIEW mm SET AUTOREFRESH ON")
+      e.sql("ALTER MATERIALIZED VIEW acdv SET AUTOREFRESH ON")
     }
     assert(err.getMessage.contains("AUTOREFRESH"), err.getMessage)
     e.close()
@@ -471,14 +481,19 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
             |SELECT grp, MAX(v) AS m FROM t GROUP BY grp""".stripMargin)
     e.sql("""CREATE MATERIALIZED VIEW r_full AS
             |SELECT grp FROM t WHERE k = 1 GROUP BY grp, k""".stripMargin)
-    // churn incl. a PRE-horizon update, which trips r_mm's MIN/MAX
-    // gate — REFRESH ALL must fall back to a full refresh for it
+    e.sql("""CREATE MATERIALIZED VIEW r_acd AS
+            |SELECT grp, APPROX_COUNT_DISTINCT(v) AS d FROM t GROUP BY grp""".stripMargin)
+    // churn incl. a PRE-horizon update: since round 15 r_mm's MIN/MAX
+    // retract through the aux frame and merge incrementally; the
+    // sketch-gated r_acd trips its gate — REFRESH ALL must fall back
+    // to a full refresh for it alone
     e.sql("INSERT INTO t VALUES (3,'a',5)")
     e.sql("UPDATE t SET v = 99 WHERE k = 1")
     val ops = e.sql("REFRESH ALL MATERIALIZED VIEWS INCREMENTALLY")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(ops === Map("r_inc" -> "refreshed_incremental",
-      "r_mm" -> "refreshed_full_fallback", "r_full" -> "refreshed"), ops)
+      "r_mm" -> "refreshed_incremental",
+      "r_acd" -> "refreshed_full_fallback", "r_full" -> "refreshed"), ops)
     assert(e.sql("SELECT grp, n, sv FROM r_inc ORDER BY grp")
       .collect().map(_.toString).toSeq === Seq("[a,2,104]", "[b,1,20]"))
     assert(e.sql("SELECT grp, m FROM r_mm ORDER BY grp")
@@ -493,23 +508,38 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     e.close()
   }
 
-  test("a MIN/MAX join view refuses INCREMENTALLY but full-refreshes") {
+  test("a MIN/MAX join view maintains incrementally under retraction") {
     val e = QueryEngine.scratch(spark)
     mkTables(e)
-    e.sql("INSERT INTO ord VALUES (1,'a')")
-    e.sql("INSERT INTO item VALUES (10,1,5)")
+    e.sql("INSERT INTO ord VALUES (1,'a'), (2,'b')")
+    e.sql("INSERT INTO item VALUES (10,1,5), (11,1,9), (12,2,3)")
     e.sql("""CREATE MATERIALIZED VIEW jm AS
-            |SELECT status, MAX(qty) AS mq
+            |SELECT status, MIN(qty) AS lo, MAX(qty) AS mq
             |FROM ord JOIN item ON ord.k = item.ok
             |GROUP BY status""".stripMargin)
-    e.sql("INSERT INTO item VALUES (11,1,9)")
-    val err = intercept[IllegalArgumentException] {
-      e.sql("REFRESH MATERIALIZED VIEW jm INCREMENTALLY")
-    }
-    assert(err.getMessage.contains("not incrementally maintainable"))
-    e.sql("REFRESH MATERIALIZED VIEW jm")
-    assert(e.sql("SELECT status, mq FROM jm").collect().map(_.toString).toSeq
-      === Seq("[a,9]"))
+    def fresh(): Set[String] =
+      e.sql("""SELECT status, MIN(qty) AS lo, MAX(qty) AS mq
+              |FROM ord JOIN item ON ord.k = item.ok
+              |GROUP BY status""".stripMargin)
+        .collect().map(_.toString).toSet
+    def view(): Set[String] =
+      e.sql("SELECT status, lo, mq FROM jm").collect().map(_.toString).toSet
+    // append a new extreme
+    e.sql("INSERT INTO item VALUES (13,1,100)")
+    val r = e.sql("REFRESH MATERIALIZED VIEW jm INCREMENTALLY").collect().head
+    assert(r.getString(0) === "refreshed_incremental")
+    assert(view() === fresh())
+    // retract the stored MAX (pre-horizon row) — the aux overlay must
+    // re-derive the group extreme over the surviving joined values
+    e.sql("DELETE FROM item WHERE i = 13")
+    e.sql("REFRESH MATERIALIZED VIEW jm INCREMENTALLY")
+    assert(view() === fresh())
+    assert(view().contains("[a,5,9]"), view())
+    // a dim-side regroup moves every joined pair's extreme
+    e.sql("UPDATE ord SET status = 'b' WHERE k = 1")
+    e.sql("REFRESH MATERIALIZED VIEW jm INCREMENTALLY")
+    assert(view() === fresh())
+    assert(!view().exists(_.startsWith("[a,")), "emptied group must vanish")
     e.close()
   }
 }

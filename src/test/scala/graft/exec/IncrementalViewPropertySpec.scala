@@ -19,7 +19,8 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
     e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
     e.sql("""CREATE MATERIALIZED VIEW mv AS
             |SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv,
-            |       AVG(v) AS av, COUNT(DISTINCT v) AS dv
+            |       AVG(v) AS av, COUNT(DISTINCT v) AS dv,
+            |       MIN(v) AS lo, MAX(v) AS hi
             |FROM t WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
 
     val rnd = new scala.util.Random(0xC0FFEE) // deterministic workload
@@ -32,11 +33,13 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
     // merged refresh must reproduce bit-for-bit
     def freshView(): Set[String] =
       e.sql("""SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv,
-              |       SUM(v) / COUNT(v) AS av, COUNT(DISTINCT v) AS dv
+              |       SUM(v) / COUNT(v) AS av, COUNT(DISTINCT v) AS dv,
+              |       MIN(v) AS lo, MAX(v) AS hi
               |FROM t WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
         .collect().map(_.toString).toSet
     def mv(): Set[String] =
-      e.sql("SELECT grp, n, nv, sv, av, dv FROM mv").collect().map(_.toString).toSet
+      e.sql("SELECT grp, n, nv, sv, av, dv, lo, hi FROM mv")
+        .collect().map(_.toString).toSet
 
     for (batch <- 1 to 12) {
       // 2-5 random statements per batch
@@ -82,7 +85,8 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
     e.sql("CREATE TABLE fct (i BIGINT PRIMARY KEY, dk BIGINT, v BIGINT)")
     e.sql("""CREATE MATERIALIZED VIEW jmv AS
             |SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv,
-            |       AVG(v) AS av, COUNT(DISTINCT v) AS dv
+            |       AVG(v) AS av, COUNT(DISTINCT v) AS dv,
+            |       MIN(v) AS lo, MAX(v) AS hi
             |FROM dim JOIN fct ON dim.k = fct.dk
             |WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
 
@@ -95,12 +99,14 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
 
     def freshView(): Set[String] =
       e.sql("""SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv,
-              |       SUM(v) / COUNT(v) AS av, COUNT(DISTINCT v) AS dv
+              |       SUM(v) / COUNT(v) AS av, COUNT(DISTINCT v) AS dv,
+              |       MIN(v) AS lo, MAX(v) AS hi
               |FROM dim JOIN fct ON dim.k = fct.dk
               |WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
         .collect().map(_.toString).toSet
     def jmv(): Set[String] =
-      e.sql("SELECT grp, n, nv, sv, av, dv FROM jmv").collect().map(_.toString).toSet
+      e.sql("SELECT grp, n, nv, sv, av, dv, lo, hi FROM jmv")
+        .collect().map(_.toString).toSet
 
     for (batch <- 1 to 10) {
       for (_ <- 0 until (2 + rnd.nextInt(4))) rnd.nextInt(6) match {
@@ -222,7 +228,66 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
     e.close()
   }
 
-  test("random tail-insert workload: MIN/MAX incremental equals full recompute") {
+  test("random arbitrary-churn workload: aux-backed MIN/MAX incremental equals full recompute") {
+    // NO sketch in the view, so NO gate: every batch — including ones
+    // that update/delete pre-horizon rows holding the group extreme —
+    // must merge INCREMENTALLY and still equal the full recompute
+    // (the round-15 aux-frame retraction)
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    e.sql("""CREATE MATERIALIZED VIEW xmm AS
+            |SELECT grp, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n
+            |FROM t WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
+
+    val rnd = new scala.util.Random(0xABBA) // deterministic workload
+    val live = scala.collection.mutable.Set.empty[Long]
+    var nextKey = 0L
+    val groups = Vector("a", "b", "c")
+
+    def freshView(): Set[String] =
+      e.sql("""SELECT grp, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n
+              |FROM t WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
+        .collect().map(_.toString).toSet
+    def xmm(): Set[String] =
+      e.sql("SELECT grp, lo, hi, n FROM xmm").collect().map(_.toString).toSet
+
+    for (batch <- 1 to 12) {
+      for (_ <- 0 until (2 + rnd.nextInt(4))) rnd.nextInt(4) match {
+        case 0 => // insert rows including fresh extremes / NULLs / excluded
+          val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            nextKey += 1; live += nextKey
+            val v = rnd.nextInt(5) match {
+              case 0 => "NULL"
+              case 1 => (900 + rnd.nextInt(100)).toString
+              case 2 => (-rnd.nextInt(500)).toString
+              case _ => rnd.nextInt(899).toString
+            }
+            s"($nextKey, '${groups(rnd.nextInt(groups.size))}', $v)"
+          }
+          e.sql(s"INSERT INTO t VALUES ${rows.mkString(", ")}")
+        case 1 if live.nonEmpty => // update ANY live row (pre-horizon too)
+          val k = live.toSeq(rnd.nextInt(live.size))
+          val v = rnd.nextInt(5) match {
+            case 0 => "NULL"
+            case 1 => (900 + rnd.nextInt(100)).toString
+            case 2 => (-rnd.nextInt(500)).toString
+            case _ => rnd.nextInt(899).toString
+          }
+          val g = groups(rnd.nextInt(groups.size))
+          e.sql(s"UPDATE t SET grp = '$g', v = $v WHERE k = $k")
+        case 2 if live.nonEmpty => // delete ANY live row — the one most
+          // likely to hold a stored extreme is fair game
+          val k = live.toSeq(rnd.nextInt(live.size)); live -= k
+          e.sql(s"DELETE FROM t WHERE k = $k")
+        case _ => ()
+      }
+      e.sql("REFRESH MATERIALIZED VIEW xmm INCREMENTALLY")
+      assert(xmm() === freshView(), s"diverged after batch $batch")
+    }
+    e.close()
+  }
+
+  test("random tail-insert workload: sketch-gated incremental equals full recompute") {
     val e = QueryEngine.scratch(spark)
     e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
     e.sql("""CREATE MATERIALIZED VIEW mm AS
@@ -286,7 +351,8 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
         val err = intercept[IllegalStateException] {
           e.sql("REFRESH MATERIALIZED VIEW mm INCREMENTALLY")
         }
-        assert(err.getMessage.contains("MIN/MAX"), s"batch $batch: $err")
+        assert(err.getMessage.contains("APPROX_COUNT_DISTINCT"),
+          s"batch $batch: $err")
         e.sql("REFRESH MATERIALIZED VIEW mm")
       } else {
         e.sql("REFRESH MATERIALIZED VIEW mm INCREMENTALLY")

@@ -85,6 +85,56 @@ class IncrementalViewSpec extends AnyFunSuite {
     e2.close()
   }
 
+  test("FLOAT/DOUBLE SUM/AVG views gate out of the maintainable shape") {
+    // signed-delta add/subtract over doubles is order-dependent and
+    // drifts across refreshes, so such views must be full_rerun — the
+    // shape's contract is incremental == full, bit for bit
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE ft (k BIGINT PRIMARY KEY, grp STRING, d DOUBLE, v BIGINT)")
+    e.sql("INSERT INTO ft VALUES (1,'a',1.5,10), (2,'a',2.5,20), (3,'b',0.25,5)")
+    for ((name, aggs) <- Seq(
+        ("fsum", "SUM(d) AS sd"), ("favg", "AVG(d) AS ad"),
+        ("fexpr", "SUM(d * 2) AS sd"))) {
+      e.sql(s"CREATE MATERIALIZED VIEW $name AS " +
+        s"SELECT grp, $aggs FROM ft GROUP BY grp")
+      val err = intercept[IllegalArgumentException] {
+        e.sql(s"REFRESH MATERIALIZED VIEW $name INCREMENTALLY")
+      }
+      assert(err.getMessage.contains("not incrementally maintainable"), name)
+    }
+    val kinds = e.sql("SHOW MATERIALIZED VIEWS")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(kinds("fsum") === "full_rerun")
+    assert(kinds("favg") === "full_rerun")
+    // double MIN/MAX/COUNT stay maintainable (value identity, no
+    // accumulation), as does an exact-typed cast inside the SUM
+    e.sql("""CREATE MATERIALIZED VIEW fmm AS
+            |SELECT grp, MIN(d) AS lo, MAX(d) AS hi, COUNT(d) AS n,
+            |       SUM(CAST(d AS DECIMAL(20,6))) AS sd, SUM(v) AS sv
+            |FROM ft GROUP BY grp""".stripMargin)
+    val kind2 = e.sql("SHOW MATERIALIZED VIEWS").collect()
+      .find(_.getString(0) == "fmm").get.getString(2)
+    assert(kind2 === "incremental")
+    e.sql("INSERT INTO ft VALUES (4,'a',9.75,7)")
+    e.sql("UPDATE ft SET d = 0.125 WHERE k = 2")
+    e.sql("DELETE FROM ft WHERE k = 3")
+    e.sql("REFRESH MATERIALIZED VIEW fmm INCREMENTALLY")
+    def fresh(): Set[String] =
+      e.sql("""SELECT grp, MIN(d) AS lo, MAX(d) AS hi, COUNT(d) AS n,
+              |       SUM(CAST(d AS DECIMAL(20,6))) AS sd, SUM(v) AS sv
+              |FROM ft GROUP BY grp""".stripMargin)
+        .collect().map(_.toString).toSet
+    assert(e.sql("SELECT grp, lo, hi, n, sd, sv FROM fmm")
+      .collect().map(_.toString).toSet === fresh())
+    // full refresh serves the gated views correctly
+    e.sql("REFRESH MATERIALIZED VIEW fsum")
+    assert(e.sql("SELECT grp, sd FROM fsum ORDER BY grp").collect()
+      .map(_.toString).toSeq
+      === e.sql("SELECT grp, SUM(d) AS sd FROM ft GROUP BY grp ORDER BY grp")
+        .collect().map(_.toString).toSeq)
+    e.close()
+  }
+
   test("non-maintainable views reject INCREMENTALLY; vacuum past the horizon raises") {
     val e = QueryEngine.scratch(spark)
     e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
@@ -126,12 +176,12 @@ class IncrementalViewSpec extends AnyFunSuite {
         s.groupCols == Seq("grp") && s.aggs.size == 2))
     assert(parse("SELECT a, b, COUNT(c) AS n FROM t GROUP BY a, b")
       .exists(_.groupCols == Seq("a", "b")))
-    // MIN/MAX parse into the shape (the engine gates their refresh on
-    // the insert-only-touched precondition at refresh time)
+    // MIN/MAX parse into the shape, aux-frame-backed and fully
+    // retractable since round 15 — no append gate
     assert(parse("SELECT grp, MAX(v) AS m FROM t GROUP BY grp")
-      .exists(s => s.needsAppendGate && s.aggs.size == 1))
+      .exists(s => !s.needsAppendGate && s.aggs.size == 1))
     assert(parse("SELECT grp, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n " +
-      "FROM t GROUP BY grp").exists(s => s.needsAppendGate && s.aggs.size == 3))
+      "FROM t GROUP BY grp").exists(s => !s.needsAppendGate && s.aggs.size == 3))
     // AVG maintains through the hidden SUM/COUNT rewrite
     assert(parse("SELECT grp, AVG(v) AS m FROM t GROUP BY grp")
       .exists(s => !s.needsAppendGate && s.aggs.size == 1))
@@ -141,9 +191,9 @@ class IncrementalViewSpec extends AnyFunSuite {
     // retractable, so no append gate
     assert(parse("SELECT grp, COUNT(DISTINCT v) AS m FROM t GROUP BY grp")
       .exists(s => !s.needsAppendGate && s.aggs.size == 1))
-    // APPROX_COUNT_DISTINCT is the mergeable-sketch path: gated like
-    // MIN/MAX (a sketch cannot retract), and NOT caught by the
-    // DISTINCT-keyword rejection (that targets `(DISTINCT ...` only)
+    // APPROX_COUNT_DISTINCT is the mergeable-sketch path: the ONE
+    // still-gated aggregate (a sketch cannot retract), and NOT caught
+    // by the DISTINCT-keyword rejection (targets `(DISTINCT ...` only)
     assert(parse("SELECT grp, APPROX_COUNT_DISTINCT(v) AS dv FROM t GROUP BY grp")
       .exists(s => s.needsAppendGate && s.aggs.size == 1))
     // computed group keys: a row expression with an alias, stated by
@@ -405,7 +455,7 @@ class IncrementalViewSpec extends AnyFunSuite {
     e.close()
   }
 
-  test("MIN/MAX maintain under tail inserts; a pre-horizon touch raises") {
+  test("MIN/MAX maintain under tail inserts AND pre-horizon retraction") {
     val e = QueryEngine.scratch(spark)
     e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
     e.sql("INSERT INTO t VALUES (1,'a',10), (2,'a',50), (3,'b',30)")
@@ -436,27 +486,30 @@ class IncrementalViewSpec extends AnyFunSuite {
     e.sql("REFRESH MATERIALIZED VIEW mm INCREMENTALLY")
     assert(view() === fresh())
 
-    // a pre-horizon row's update can retract the stored extreme —
-    // INCREMENTALLY must refuse, and the view must stay at its last
-    // refreshed (still-correct-for-then) content
-    val before = view()
+    // a pre-horizon row's update RETRACTS the stored extreme — since
+    // round 15 the aux frame makes that exact: k=5 held MAX(v)=99 for
+    // group a, and after the update the merged view must re-derive the
+    // group's true extreme from the surviving values, incrementally
     e.sql("UPDATE t SET v = 0 WHERE k = 5") // k=5 is behind the horizon now
-    val err = intercept[IllegalStateException] {
-      e.sql("REFRESH MATERIALIZED VIEW mm INCREMENTALLY")
-    }
-    assert(err.getMessage.contains("MIN/MAX"), err.getMessage)
-    assert(view() === before)
-    // the documented recovery: full refresh re-anchors, and tail-insert
-    // maintenance resumes from the new horizon
-    e.sql("REFRESH MATERIALIZED VIEW mm")
+    val r2 = e.sql("REFRESH MATERIALIZED VIEW mm INCREMENTALLY").collect().head
+    assert(r2.getString(0) === "refreshed_incremental")
     assert(view() === fresh())
+    // deleting the row holding a group's MIN retracts the other end
+    e.sql("DELETE FROM t WHERE k = 4") // group a's MIN(v)=5
+    e.sql("REFRESH MATERIALIZED VIEW mm INCREMENTALLY")
+    assert(view() === fresh())
+    // emptying a whole group must vanish it, aux included
+    e.sql("DELETE FROM t WHERE grp = 'c'")
+    e.sql("REFRESH MATERIALIZED VIEW mm INCREMENTALLY")
+    assert(view() === fresh())
+    assert(!view().exists(_.startsWith("[c,")), "emptied group must vanish")
     e.sql("INSERT INTO t VALUES (10,'a',-3)")
     e.sql("REFRESH MATERIALIZED VIEW mm INCREMENTALLY")
     assert(view() === fresh())
     e.close()
   }
 
-  test("MIN/MAX gate applies the view's WHERE: excluded-row touches maintain") {
+  test("MIN/MAX retraction honors the view's WHERE across the boundary") {
     val e = QueryEngine.scratch(spark)
     e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
     // k=2 is excluded by the view's WHERE at creation time
@@ -474,19 +527,19 @@ class IncrementalViewSpec extends AnyFunSuite {
     e.sql("REFRESH MATERIALIZED VIEW mw INCREMENTALLY")
     assert(view() === fresh())
     // update a PRE-horizon row the WHERE excluded THEN: it contributed
-    // nothing, so its move INTO the view lands like a fresh insert —
-    // the gate must let this maintain incrementally
+    // nothing, so its move INTO the view lands like a fresh insert
     e.sql("UPDATE t SET v = 5 WHERE k = 2")
     val r = e.sql("REFRESH MATERIALIZED VIEW mw INCREMENTALLY").collect().head
     assert(r.getString(0) === "refreshed_incremental")
     assert(view() === fresh())
     assert(view().exists(_.startsWith("[a,5,")), "moved-in row must set the new MIN")
-    // but a pre-horizon row that WAS contributing still trips the gate
-    e.sql("UPDATE t SET v = 11 WHERE k = 1")
-    val err = intercept[IllegalStateException] {
-      e.sql("REFRESH MATERIALIZED VIEW mw INCREMENTALLY")
-    }
-    assert(err.getMessage.contains("MIN/MAX"), err.getMessage)
+    // a contributing pre-horizon row moving OUT across the WHERE
+    // boundary retracts its value — the aux overlay re-derives the
+    // group extreme from what survives inside the predicate
+    e.sql("UPDATE t SET v = 901 WHERE k = 2") // was group a's MIN(v)=5
+    e.sql("REFRESH MATERIALIZED VIEW mw INCREMENTALLY")
+    assert(view() === fresh())
+    assert(view().exists(_.startsWith("[a,10,")), "retracted MIN must fall back")
     e.close()
   }
 
