@@ -1390,35 +1390,91 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                     restrict(stateAt(tn, Some(horizons(tn)))))
                 }
               val deltas = sides.map(deltaSides)
-              // full-side pruning (two-table views): a term joins the
-              // FULL new state of one side against the other's delta,
-              // so only rows whose join key appears in that delta can
-              // contribute — when the delta's key set inlines, the
-              // full scan prunes by pushdown; an empty key set blanks
-              // the side entirely. Deeper chains pass unpruned fulls:
-              // transitive key sets are unknowable without executing
-              // the intermediate joins.
-              def prunedFull(full: DataFrame, key: String,
-                  dOld: DataFrame, dNew: DataFrame, dKey: String): DataFrame =
-                tracer.span("join-keys") {
-                  val ks = collectInlineKeys(
-                    dNew.select(col(dKey)).unionByName(dOld.select(col(dKey))),
-                    dKey)
-                  if (ks.isEmpty) full.where(lit(false))
-                  else if (ks.length <= InlineKeyCap)
-                    full.where(col(key).isin(ks: _*))
-                  else full
+              // Full-side pruning, any chain length (round 15,
+              // generalizing the round-14 two-table case): every
+              // inclusion-exclusion term joins a full side against at
+              // least one delta somewhere along the chain, so a full
+              // side only contributes rows that REACH some touched
+              // table's delta through the links. From each touched
+              // table, cascade its delta's join-key values outward:
+              // restrict the neighbor to those keys (a pruned scan by
+              // pushdown), collect the neighbor's outgoing link keys
+              // from that restricted frame, continue to ITS neighbors.
+              // Reachability passes through full NEW state unioned
+              // with each hop table's OLD delta rows — a term's Δ side
+              // can carry old-state rows (deleted since the horizon)
+              // that a new-state-only cascade would miss. A hop whose
+              // key set exceeds InlineKeyCap stops bounding that path
+              // (the sides beyond stay full — correct, just unpruned).
+              // A full side is pruned to the OR of its per-source key
+              // predicates: a row reaching NO delta can contribute to
+              // no term (for the singleton term {j} it would have to
+              // reach Δj through full state — exactly the cascade's
+              // reach relation). At 100 TB this is the difference
+              // between a one-row refresh of a 4-table view reading
+              // matching row groups of each partner vs scanning every
+              // partner up to 2^n−1 times.
+              val fullNew = sides.map(tn => stateAt(tn, Some(horizons(tn))))
+              val idxOf = sides.zipWithIndex
+                .map { case (t, i) => t.toLowerCase -> i }.toMap
+              // the chain's links as an adjacency list (a tree: each
+              // link joins the new table to one earlier table)
+              val adj = Array.fill(sides.size)(
+                List.empty[(Int, String, String)])
+              for ((q1, c1, q2, c2) <- js.links) {
+                val (i1, i2) = (idxOf(q1.toLowerCase), idxOf(q2.toLowerCase))
+                adj(i1) ::= ((i2, c1, c2))
+                adj(i2) ::= ((i1, c2, c1))
+              }
+              val touchedIdx = sides.indices
+                .filter(i => horizons(sides(i)) > bases(sides(i)))
+              // preds(i): one entry per touched source — Some(pred)
+              // when the cascade bounded table i's keys, None when a
+              // hop overflowed the cap (unbounded ⇒ no pruning for i)
+              val preds = Array.fill(sides.size)(List.empty[Option[Column]])
+              for (s <- touchedIdx) {
+                val visited = scala.collection.mutable.Set(s)
+                // frontier: (table, Some(frame to collect keys from) —
+                // None once a hop overflowed and the path is unbounded)
+                var frontier: List[(Int, Option[DataFrame])] =
+                  List(s -> Some(deltas(s)._1.unionByName(deltas(s)._2)))
+                while (frontier.nonEmpty) {
+                  val next = List.newBuilder[(Int, Option[DataFrame])]
+                  for ((t, frameOpt) <- frontier;
+                       (u, ct, cu) <- adj(t) if !visited(u)) {
+                    visited += u
+                    frameOpt match {
+                      case None =>
+                        preds(u) ::= None
+                        next += ((u, None))
+                      case Some(frame) =>
+                        val ks = tracer.span("join-keys") {
+                          collectInlineKeys(frame.select(col(ct)), ct)
+                        }
+                        if (ks.length > InlineKeyCap) {
+                          preds(u) ::= None
+                          next += ((u, None))
+                        } else {
+                          val pred =
+                            if (ks.isEmpty) lit(false)
+                            else col(cu).isin(ks: _*)
+                          preds(u) ::= Some(pred)
+                          next += ((u, Some(fullNew(u)
+                            .unionByName(deltas(u)._1).where(pred))))
+                        }
+                    }
+                  }
+                  frontier = next.result()
                 }
-              val fulls: Seq[DataFrame] = js.twoTableKeys match {
-                case Some((lk, rk)) =>
-                  val Seq((aOld, aNew), (bOld, bNew)) = deltas
-                  Seq(
-                    prunedFull(stateAt(sides(0), Some(horizons(sides(0)))),
-                      lk, bOld, bNew, rk),
-                    prunedFull(stateAt(sides(1), Some(horizons(sides(1)))),
-                      rk, aOld, aNew, lk))
-                case None =>
-                  sides.map(tn => stateAt(tn, Some(horizons(tn))))
+              }
+              val fulls: Seq[DataFrame] = sides.indices.map { i =>
+                val ps = preds(i)
+                if (ps.isEmpty)
+                  // the only touched table is i itself: no term uses
+                  // full_i (i sits in every nonvanishing S as a delta)
+                  fullNew(i).where(lit(false))
+                else if (ps.contains(None)) fullNew(i)
+                else fullNew(i).where(ps.flatten.reduce(_ || _))
               }
               val stored = spark.read.parquet(catalog.mviewDataPath(name, prev))
               val delta = IncrementalView.joinSignedDelta(js, stored,

@@ -508,6 +508,70 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("3-way refresh prunes full sides transitively (cascaded key pushdown)") {
+    // a one-row delta on the chain's FIRST table must restrict BOTH
+    // downstream full sides: the cascade pushes the delta's keys one
+    // hop (nation pruned to the touched region's key), collects the
+    // restricted frame's keys, and pushes them a second hop (customer
+    // pruned to those nations) — at 100 TB the difference between a
+    // point refresh and re-scanning every partner per term. Snapshots
+    // flatten the state reads, so the In(...) restrictions surface as
+    // parquet pushdown in the executed plan.
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE rg (r BIGINT PRIMARY KEY, zone STRING)")
+    e.sql("CREATE TABLE nt (n BIGINT PRIMARY KEY, rk BIGINT, seg STRING)")
+    e.sql("CREATE TABLE cs (c BIGINT PRIMARY KEY, nk BIGINT, v BIGINT)")
+    e.sql("INSERT INTO rg VALUES (1,'e'), (2,'w')")
+    e.sql("INSERT INTO nt VALUES (10,1,'a'), (11,1,'b'), (12,2,'a')")
+    e.sql("INSERT INTO cs VALUES (100,10,5), (101,11,7), (102,12,9), (103,10,2)")
+    Seq("rg", "nt", "cs").foreach(t => e.sql(s"SNAPSHOT $t"))
+    e.sql("""CREATE MATERIALIZED VIEW pv AS
+            |SELECT zone, seg, COUNT(*) AS n, SUM(v) AS sv
+            |FROM rg JOIN nt ON rg.r = nt.rk JOIN cs ON nt.n = cs.nk
+            |GROUP BY zone, seg""".stripMargin)
+    e.sql("UPDATE rg SET zone = 'n' WHERE r = 1") // touch ONLY the head
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      e.sql("REFRESH MATERIALIZED VIEW pv INCREMENTALLY")
+      // the listener fires asynchronously — poll for the write plan
+      val deadline = System.nanoTime() + 15_000_000_000L
+      def joined(): String = {
+        import scala.jdk.CollectionConverters._
+        plans.asScala.mkString("\n===\n")
+      }
+      // hop 1: the touched region's key pins nation (single key →
+      // EqualTo); hop 2: the restricted nations' keys pin customer
+      // (two keys → In, collect order unspecified)
+      val hop2 = """In\(payload\.nk, \[1[01],\s*1[01]\]\)""".r
+      def pruned(p: String): Boolean =
+        p.contains("EqualTo(payload.rk,1)") && hop2.findFirstIn(p).isDefined
+      while (!pruned(joined()) && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(pruned(joined()),
+        "expected transitive EqualTo(payload.rk,1) and In(payload.nk," +
+          "[10,11]) pushdown in the refresh plans; pushed filters seen:\n" +
+          """PushedFilters: \[[^\]]*\]""".r.findAllIn(joined())
+            .toSeq.distinct.mkString("\n"))
+    } finally spark.listenerManager.unregister(listener)
+    // and the merged content matches a from-scratch recompute
+    assert(e.sql("SELECT zone, seg, n, sv FROM pv").collect()
+      .map(_.toString).toSet ===
+      e.sql("""SELECT zone, seg, COUNT(*) AS n, SUM(v) AS sv
+              |FROM rg JOIN nt ON rg.r = nt.rk JOIN cs ON nt.n = cs.nk
+              |GROUP BY zone, seg""".stripMargin)
+        .collect().map(_.toString).toSet)
+    e.close()
+  }
+
   test("a MIN/MAX join view maintains incrementally under retraction") {
     val e = QueryEngine.scratch(spark)
     mkTables(e)
