@@ -115,7 +115,9 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   private val mviewBases = mutable.HashMap.empty[String, Map[String, Long]]
   // views that refresh themselves incrementally at the end of any
   // statement that advanced a base table past their horizon
-  private val mviewAuto = mutable.LinkedHashSet.empty[String]
+  // view -> AUTOREFRESH debounce threshold in stale events (1 = every
+  // mutating statement)
+  private val mviewAuto = mutable.LinkedHashMap.empty[String, Long]
   private val indexes = mutable.LinkedHashMap.empty[String, (String, String)] // idx -> (table, col)
   private val nextSeqs = mutable.HashMap.empty[String, Long] // last assigned sequence
   private val nextColIds = mutable.HashMap.empty[String, Long] // ALTER ADD physical-name counter
@@ -497,14 +499,23 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   def mviewBaseAll(name: String): Map[String, Long] =
     mviewBases.getOrElse(name, Map.empty)
 
-  def setMviewAutoRefresh(name: String, on: Boolean): Unit = {
-    if (on) mviewAuto += name else mviewAuto -= name
+  /** Flag a view for post-statement auto refresh. `every` is the
+    * debounce threshold in stale EVENTS (ALTER ... SET AUTOREFRESH ON
+    * EVERY n EVENTS): the due check fires only once at least `every`
+    * events have landed on some base since the last refresh horizon.
+    * 1 (the default) = after every mutating statement. */
+  def setMviewAutoRefresh(name: String, on: Boolean,
+      every: Long = 1L): Unit = {
+    if (on) mviewAuto(name) = every else mviewAuto -= name
     save()
   }
 
   def isMviewAutoRefresh(name: String): Boolean = mviewAuto.contains(name)
 
-  def autoRefreshViews: Seq[String] = mviewAuto.toSeq
+  /** The view's debounce threshold, when flagged. */
+  def mviewAutoEvery(name: String): Option[Long] = mviewAuto.get(name)
+
+  def autoRefreshViews: Seq[(String, Long)] = mviewAuto.toSeq
 
   def dropView(name: String, ifExists: Boolean = false): Unit = {
     val wasView = views.remove(name).isDefined
@@ -1031,8 +1042,8 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       sb.append(s"mview\t${enc(name)}\t${enc(sql)}\t$ver\n")
     for ((name, m) <- mviewBases; (t, seq) <- m)
       sb.append(s"mviewbase\t${enc(name)}\t${enc(t)}\t$seq\n")
-    for (name <- mviewAuto)
-      sb.append(s"mviewauto\t${enc(name)}\n")
+    for ((name, every) <- mviewAuto)
+      sb.append(s"mviewauto\t${enc(name)}\t$every\n")
     for ((idx, (t, c)) <- indexes)
       sb.append(s"index\t${enc(idx)}\t${enc(t)}\t${enc(c)}\n")
     for ((id, b) <- streamBatches)
@@ -1139,7 +1150,8 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
       case Array("mview", n, sql, ver) => mviews(dec(n)) = (dec(sql), ver.toLong)
       case Array("mviewbase", n, t, seq) => mviewBases(dec(n)) =
         mviewBases.getOrElse(dec(n), Map.empty) + (dec(t) -> seq.toLong)
-      case Array("mviewauto", n) => mviewAuto += dec(n)
+      case Array("mviewauto", n) => mviewAuto(dec(n)) = 1L // pre-round-15
+      case Array("mviewauto", n, every) => mviewAuto(dec(n)) = every.toLong
       case Array("index", i, t, c) => indexes(dec(i)) = (dec(t), dec(c))
       case Array("stream", id, b) => streamBatches(dec(id)) = b.toLong
       case Array("wmark", t, v) => watermarks(dec(t)) = v.toLong

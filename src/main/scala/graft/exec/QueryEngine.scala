@@ -940,17 +940,21 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   private lazy val autoRefreshSession = new Session()
   private def maybeAutoRefresh(): Unit =
     if (!inAutoRefresh && txn.isEmpty) {
-      val due = catalog.autoRefreshViews.filter { n =>
-        !autoRefreshMuted.contains(n) && catalog.isMaterialized(n) && {
-          val bases = catalog.mviewBaseAll(n)
-          // every base must exist with its counter AT OR PAST the
-          // horizon (a drop-and-recreate resets the counter below it —
-          // the view is unmaintainable until a full REFRESH), and at
-          // least one must have advanced
-          bases.nonEmpty && bases.forall { case (t, r) =>
-            catalog.get(t).isDefined && catalog.lastSeq(t) >= r } &&
-            bases.exists { case (t, r) => catalog.lastSeq(t) > r }
-        }
+      val due = catalog.autoRefreshViews.collect {
+        case (n, every)
+          if !autoRefreshMuted.contains(n) && catalog.isMaterialized(n) && {
+            val bases = catalog.mviewBaseAll(n)
+            // every base must exist with its counter AT OR PAST the
+            // horizon (a drop-and-recreate resets the counter below it —
+            // the view is unmaintainable until a full REFRESH), and the
+            // staleness must have reached the view's debounce threshold
+            // (EVERY n EVENTS; 1 = refresh after every statement) — a
+            // hot single-row ingest loop pays the warm refresh once per
+            // n events, not per statement
+            bases.nonEmpty && bases.forall { case (t, r) =>
+              catalog.get(t).isDefined && catalog.lastSeq(t) >= r } &&
+              bases.map { case (t, r) => catalog.lastSeq(t) - r }.max >= every
+          } => n
       }
       if (due.nonEmpty) {
         inAutoRefresh = true
@@ -1646,13 +1650,19 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         (n, op)
       }
       rows.toDF("name", "op")
-    case Statement.AlterMatviewAutoRefresh(name, on) =>
+    case Statement.AlterMatviewAutoRefresh(name, on, every) =>
       // authorization happens at FLAG time: the auto refresh itself
       // executes under a system session (a restricted writer's INSERT
       // must neither starve the view nor persist an RLS-filtered one)
       requireSuperuser("ALTER MATERIALIZED VIEW ... SET AUTOREFRESH")
       if (!catalog.isMaterialized(name))
         throw new IllegalArgumentException(s"materialized view not found: $name")
+      if (!on && every.isDefined)
+        throw new IllegalArgumentException(
+          "EVERY n EVENTS applies to AUTOREFRESH ON, not OFF")
+      if (every.exists(_ < 1))
+        throw new IllegalArgumentException(
+          "AUTOREFRESH EVERY must be at least 1 event")
       if (on) {
         // only fully-RETRACTABLE shapes qualify: a sketch view's gate
         // can refuse mid-DML, and an auto refresh must never be able
@@ -1676,7 +1686,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               "REFRESH first, then enable AUTOREFRESH")
       }
       autoRefreshMuted -= name
-      catalog.setMviewAutoRefresh(name, on)
+      catalog.setMviewAutoRefresh(name, on, every.getOrElse(1L))
       summary(if (on) "autorefresh_enabled" else "autorefresh_disabled", 0L, 0L)
     case Statement.ShowMatviews =>
       // driver-side catalog walk, zero Spark jobs: kind re-derives from
@@ -1706,9 +1716,13 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           // muted = an AUTOREFRESH attempt failed and the view is
           // waiting for an explicit REFRESH — the answer to "why is
           // my always-fresh view stale?"
-          autoRefreshMuted.contains(n))
+          autoRefreshMuted.contains(n),
+          // the debounce threshold (EVERY n EVENTS), NULL when not
+          // flagged — appended last so no index-addressed consumer
+          // shifts
+          catalog.mviewAutoEvery(n))
       }.toDF("name", "version", "kind", "autorefresh", "base_tables",
-        "horizons", "stale_events", "muted")
+        "horizons", "stale_events", "muted", "autorefresh_every")
     case Statement.ShowSequences =>
       import spark.implicits._
       catalog.sequenceList.map(s => (s.name, s.start, s.increment,

@@ -764,13 +764,15 @@ object EngineSql {
     """SELECT * FROM (VALUES
       |  ('fv2', CAST(0 AS BIGINT), 'full_rerun', FALSE,
       |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
-      |   FALSE),
+      |   FALSE, CAST(NULL AS BIGINT)),
       |  ('jv2', CAST(1 AS BIGINT), 'incremental_join', TRUE,
-      |   'mv_item,mv_ord', 'mv_item@3,mv_ord@3', CAST(0 AS BIGINT), FALSE),
+      |   'mv_item,mv_ord', 'mv_item@3,mv_ord@3', CAST(0 AS BIGINT), FALSE,
+      |   CAST(3 AS BIGINT)),
       |  ('sv2', CAST(0 AS BIGINT), 'incremental', FALSE,
-      |   'mv_ord', 'mv_ord@2', CAST(1 AS BIGINT), FALSE)
+      |   'mv_ord', 'mv_ord@2', CAST(1 AS BIGINT), FALSE,
+      |   CAST(NULL AS BIGINT))
       |) AS t(name, version, kind, autorefresh, base_tables, horizons,
-      |       stale_events, muted)
+      |       stale_events, muted, autorefresh_every)
       |ORDER BY name""".stripMargin) { (s, _) =>
     val e = QueryEngine.scratch(s)
     e.sql("CREATE TABLE mv_ord (k BIGINT PRIMARY KEY, status STRING)")
@@ -788,7 +790,7 @@ object EngineSql {
     e.sql("INSERT INTO mv_ord VALUES (3,'a')")
     e.sql("INSERT INTO mv_item VALUES (11,3,2), (12,1,4)")
     e.sql("REFRESH MATERIALIZED VIEW jv2 INCREMENTALLY")
-    e.sql("ALTER MATERIALIZED VIEW jv2 SET AUTOREFRESH ON")
+    e.sql("ALTER MATERIALIZED VIEW jv2 SET AUTOREFRESH ON EVERY 3 EVENTS")
     e.sql("SHOW MATERIALIZED VIEWS").orderBy("name")
   }
 

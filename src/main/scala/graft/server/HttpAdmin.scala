@@ -333,12 +333,13 @@ final class HttpAdmin(engine: QueryEngine, port: Int = 0,
         def optStr(i: Int) =
           if (r.isNullAt(i)) "null" else jsonStr(r.getString(i))
         val stale = if (r.isNullAt(6)) "null" else r.getLong(6).toString
+        val every = if (r.isNullAt(8)) "null" else r.getLong(8).toString
         s"""{"name": ${jsonStr(r.getString(0))}, "version": ${r.getLong(1)}, """ +
           s""""kind": ${jsonStr(r.getString(2))}, """ +
           s""""autorefresh": ${r.getBoolean(3)}, """ +
           s""""base_tables": ${optStr(4)}, """ +
           s""""horizons": ${optStr(5)}, "stale_events": $stale, """ +
-          s""""muted": ${r.getBoolean(7)}}"""
+          s""""muted": ${r.getBoolean(7)}, "autorefresh_every": $every}"""
       }.mkString("[", ", ", "]")
       respond(ex, 200, "application/json", json + "\n")
     } catch { case e: Exception =>

@@ -81,11 +81,16 @@ object Statement {
     * base tables with refresh horizons, and staleness (events appended
     * to any base since the last refresh). */
   case object ShowMatviews extends Statement
-  /** ALTER MATERIALIZED VIEW name SET AUTOREFRESH ON|OFF — when ON,
-    * any statement that advances a base table past the view's horizon
-    * runs the incremental refresh before returning (always-fresh
-    * views; only fully-retractable shapes qualify). */
-  final case class AlterMatviewAutoRefresh(name: String, on: Boolean)
+  /** ALTER MATERIALIZED VIEW name SET AUTOREFRESH ON [EVERY n EVENTS]
+    * | OFF — when ON, any statement that leaves at least `every`
+    * events past the view's horizon on some base runs the incremental
+    * refresh before returning (always-fresh views; only
+    * fully-retractable shapes qualify). EVERY n EVENTS debounces a
+    * hot single-row ingest loop: the refresh is paid once per n
+    * events, not per statement; 1 (the default) keeps the always-
+    * fresh contract. */
+  final case class AlterMatviewAutoRefresh(name: String, on: Boolean,
+      every: Option[Long] = None)
     extends Statement
   /** SET RATE_LIMIT <qps> [BURST <n>] | OFF — per-session token-bucket
     * statement limiting for non-superusers (rate_limit/mod.rs:
@@ -371,7 +376,8 @@ object StatementRouter {
   private val ShowMatviewsR =
     """(?is)^SHOW\s+MATERIALIZED\s+VIEWS\s*$""".r
   private val AlterMvAutoR =
-    """(?is)^ALTER\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+SET\s+AUTOREFRESH\s+(ON|OFF)\s*$""".r
+    ("""(?is)^ALTER\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+SET\s+AUTOREFRESH""" +
+      """\s+(ON|OFF)(?:\s+EVERY\s+(\d+)\s+EVENTS)?\s*$""").r
   private val ShowIndexesR = """(?is)^SHOW\s+INDEXES\s*$""".r
   private val ShowCreateR =
     """(?is)^SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*$""".r
@@ -561,8 +567,9 @@ object StatementRouter {
         AlterSequenceRestart(name, Option(withV).map(_.toLong))
       case ShowSeqsR() => ShowSequences
       case ShowMatviewsR() => ShowMatviews
-      case AlterMvAutoR(name, mode) =>
-        AlterMatviewAutoRefresh(name, mode.equalsIgnoreCase("ON"))
+      case AlterMvAutoR(name, mode, every) =>
+        AlterMatviewAutoRefresh(name, mode.equalsIgnoreCase("ON"),
+          Option(every).map(_.toLong))
       case ShowIndexesR() => ShowIndexes
       case ShowCreateR(t) => ShowCreateTable(t)
       case AlterRlsR(table, mode) =>

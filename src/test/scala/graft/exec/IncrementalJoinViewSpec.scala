@@ -346,6 +346,58 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("AUTOREFRESH EVERY n EVENTS debounces the due check") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    e.sql("INSERT INTO t VALUES (1,'a',10)")
+    e.sql("""CREATE MATERIALIZED VIEW dv AS
+            |SELECT grp, COUNT(*) AS n, SUM(v) AS sv FROM t GROUP BY grp""".stripMargin)
+    e.sql("ALTER MATERIALIZED VIEW dv SET AUTOREFRESH ON EVERY 3 EVENTS")
+    def stale(): Long = {
+      val r = e.sql("SHOW MATERIALIZED VIEWS").collect()
+        .find(_.getString(0) == "dv").get
+      if (r.isNullAt(6)) -1L else r.getLong(6)
+    }
+    def n(): Long =
+      e.sql("SELECT SUM(n) AS s FROM dv").collect().head.getLong(0)
+    // a hot single-row loop: events 1 and 2 accrue staleness without
+    // paying the refresh; event 3 crosses the threshold and refreshes
+    e.sql("INSERT INTO t VALUES (2,'a',20)")
+    assert(stale() === 1L, "below threshold: no refresh")
+    assert(n() === 1L)
+    e.sql("INSERT INTO t VALUES (3,'b',5)")
+    assert(stale() === 2L, "still below threshold")
+    e.sql("INSERT INTO t VALUES (4,'b',6)")
+    assert(stale() === 0L, "threshold reached: refreshed")
+    assert(n() === 4L)
+    // a single statement landing >= n events crosses immediately
+    e.sql("INSERT INTO t VALUES (5,'a',1), (6,'a',2), (7,'a',3)")
+    assert(stale() === 0L)
+    assert(n() === 7L)
+    // SHOW surfaces the threshold; OFF clears it; EVERY with OFF and
+    // EVERY 0 are rejected
+    val row = e.sql("SHOW MATERIALIZED VIEWS").collect()
+      .find(_.getString(0) == "dv").get
+    assert(row.getLong(8) === 3L)
+    e.sql("ALTER MATERIALIZED VIEW dv SET AUTOREFRESH OFF")
+    assert(e.sql("SHOW MATERIALIZED VIEWS").collect()
+      .find(_.getString(0) == "dv").get.isNullAt(8))
+    intercept[IllegalArgumentException] {
+      e.sql("ALTER MATERIALIZED VIEW dv SET AUTOREFRESH OFF EVERY 2 EVENTS")
+    }
+    intercept[IllegalArgumentException] {
+      e.sql("ALTER MATERIALIZED VIEW dv SET AUTOREFRESH ON EVERY 0 EVENTS")
+    }
+    // the threshold persists across reopen
+    e.sql("ALTER MATERIALIZED VIEW dv SET AUTOREFRESH ON EVERY 5 EVENTS")
+    val base = e.baseDir
+    e.close()
+    val e2 = new QueryEngine(spark, base)
+    assert(e2.sql("SHOW MATERIALIZED VIEWS").collect()
+      .find(_.getString(0) == "dv").get.getLong(8) === 5L)
+    e2.close()
+  }
+
   test("AUTOREFRESH runs as a system session under the privilege gate") {
     val e = QueryEngine.scratch(spark)
     e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
