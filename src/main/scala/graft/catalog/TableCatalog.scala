@@ -535,16 +535,23 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
 
   /** CREATE INDEX records metadata only: parquet min/max pruning and
     * predicate pushdown subsume the reference's BTreeMap secondary
-    * indexes (index.rs:9-36) — SURVEY §1.4. */
-  def createIndex(idx: String, table: String, column: String): Unit = {
+    * indexes (index.rs:9-36) — SURVEY §1.4. A COMPOSITE index stores
+    * its column list comma-joined in the single column slot (the
+    * persisted line format is unchanged, so old catalogs load as
+    * single-column indexes); every listed column gets bloom-stamped
+    * (index_strategies.rs's composite strategies, lakehouse form). */
+  def createIndex(idx: String, table: String,
+      columns: Seq[String]): Unit = {
     require(table)
-    indexes(idx) = (table, column)
+    if (columns.isEmpty)
+      throw new IllegalArgumentException("an index needs at least one column")
+    indexes(idx) = (table, columns.mkString(","))
     save()
   }
 
   def indexNames: Seq[String] = indexes.keys.toSeq
 
-  /** (index, table, column) triples for SHOW INDEXES. */
+  /** (index, table, columns-csv) triples for SHOW INDEXES. */
   def indexList: Seq[(String, String, String)] =
     indexes.toSeq.map { case (i, (t, c)) => (i, t, c) }
 
@@ -555,9 +562,22 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   }
 
   /** Logical columns with a declared index on `table` (bloom-filter
-    * write options derive from this). */
+    * write options derive from this) — composite indexes contribute
+    * every listed column. */
   def indexedColumns(table: String): Seq[String] =
-    indexes.values.collect { case (t, c) if t == table => c }.toSeq
+    indexes.values.collect { case (t, c) if t == table => c }
+      .flatMap(_.split(",")).map(_.trim).toSeq.distinct
+
+  /** The clustering hint a bare OPTIMIZE uses: the first declared
+    * MULTI-column index's columns (a composite declaration says "my
+    * point probes arrive on these columns together" — Z-ordering the
+    * rewrite by them makes every listed column's min/max and bloom
+    * selective at once). */
+  def compositeIndexColumns(table: String): Seq[String] =
+    indexes.values.collectFirst {
+      case (t, c) if t == table && c.contains(",") =>
+        c.split(",").toIndexedSeq.map(_.trim)
+    }.getOrElse(Nil)
 
   // -------------------------------------------------------- triggers
 

@@ -1166,13 +1166,19 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         catalog.createSequence(s"${name}_${c}_seq", 1L, 1L, None, None,
           cycle = false, ownedBy = Some((name, c)))
       summary("created", 0L, catalog.lastSeq(name))
-    case Statement.CreateIndex(idx, table, colName) =>
+    case Statement.CreateIndex(idx, table, colNames) =>
       requirePerm("CREATE INDEX", "CREATE_INDEX")
       // catalog metadata + physical effect: subsequent log/snapshot
-      // writes stamp a parquet bloom filter on the indexed column
+      // writes stamp a parquet bloom filter on EVERY indexed column
       // (bloomOptions) — range predicates were already served by
-      // min/max pruning and pushdown (SURVEY §1.4)
-      catalog.createIndex(idx, table, colName)
+      // min/max pruning and pushdown (SURVEY §1.4). A composite
+      // index also becomes the bare-OPTIMIZE Z-order hint.
+      val t = catalog.require(table)
+      for (cn <- colNames)
+        if (!t.columns.exists(_.logical.equalsIgnoreCase(cn)))
+          throw new IllegalArgumentException(
+            s"column $cn not found in $table")
+      catalog.createIndex(idx, table, colNames)
       summary("indexed", 0L, catalog.lastSeq(table))
     case Statement.DropIndex(idx, ifEx) =>
       requirePerm("DROP INDEX", "DROP_INDEX")
@@ -1981,7 +1987,11 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     case Statement.Optimize(table, zcols) =>
       if (txn.isDefined)
         throw new IllegalStateException("OPTIMIZE cannot run inside a transaction")
-      optimize(table, zcols)
+      // a bare OPTIMIZE adopts the composite index declaration as its
+      // Z-order hint: the operator already said which columns arrive
+      // together in point probes
+      optimize(table,
+        if (zcols.nonEmpty) zcols else catalog.compositeIndexColumns(table))
     case Statement.VacuumRetain(table, retainSeq) =>
       if (txn.isDefined)
         throw new IllegalStateException("VACUUM RETAIN cannot run inside a transaction")

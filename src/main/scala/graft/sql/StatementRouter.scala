@@ -29,7 +29,14 @@ object Statement {
   final case class CreateTable(name: String, cols: Seq[(String, String)], pk: String,
       fks: Seq[FkDef] = Nil,
       constraints: Seq[ConstraintDef] = Nil) extends Statement
-  final case class CreateIndex(index: String, table: String, column: String) extends Statement
+  /** CREATE INDEX i ON t(a[, b, ...]) — one or more columns. A
+    * composite index stamps a bloom filter on EVERY listed column
+    * (each answers equality point probes independently) and doubles
+    * as the table's physical-clustering hint: a bare OPTIMIZE t
+    * Z-orders by the composite's columns (index_strategies.rs's
+    * covering-index analogue in lakehouse form). */
+  final case class CreateIndex(index: String, table: String,
+      columns: Seq[String]) extends Statement
   final case class DropIndex(index: String, ifExists: Boolean) extends Statement
   /** CREATE [OR REPLACE] [MATERIALIZED] VIEW (views.rs:40-123 —
     * is_materialized). */
@@ -342,7 +349,8 @@ object StatementRouter {
   private val CreateTableR =
     """(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)\)\s*$""".r
   private val CreateIndexR =
-    """(?is)^CREATE\s+(?:UNIQUE\s+)?INDEX\s+(\w+)\s+ON\s+([\w.]+)\s*\(\s*(\w+)\s*\)\s*$""".r
+    ("""(?is)^CREATE\s+(?:UNIQUE\s+)?INDEX\s+(\w+)\s+ON\s+([\w.]+)""" +
+      """\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)\s*$""").r
   private val DropIndexR =
     """(?is)^DROP\s+INDEX\s+(IF\s+EXISTS\s+)?(\w+)\s*$""".r
   private val CreateViewR =
@@ -538,7 +546,9 @@ object StatementRouter {
       case CreateTableR(name, body) =>
         val (cols, pk, fks, cons) = parseCreateBody(body)
         CreateTable(name, cols, pk, fks, cons)
-      case CreateIndexR(idx, table, colName) => CreateIndex(idx, table, colName)
+      case CreateIndexR(idx, table, colNames) =>
+        CreateIndex(idx, table,
+          colNames.split(",").toIndexedSeq.map(_.trim))
       case DropIndexR(ifEx, idx) => DropIndex(idx, ifEx != null)
       case CreateViewR(orRepl, mat, name, sql) =>
         CreateView(name, sql.trim, mat != null, orRepl != null)

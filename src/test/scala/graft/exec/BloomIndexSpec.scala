@@ -68,6 +68,55 @@ class BloomIndexSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("composite index stamps blooms on every listed column and hints OPTIMIZE") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, a STRING, b STRING, c STRING)")
+    e.sql("CREATE INDEX ic ON t (a, b)")
+    // high-cardinality values: parquet drops the bloom when a chunk
+    // stays fully dictionary-encoded (the dictionary already answers
+    // point probes exactly), so low-cardinality columns would show no
+    // bloom regardless of the index
+    e.sql("""INSERT INTO t
+            |SELECT id, CONCAT('a', id), CONCAT('b', id),
+            |       CONCAT('c', id) FROM range(500)""".stripMargin)
+    e.sql("SNAPSHOT t")
+    // every listed column carries a bloom; the unlisted one does not —
+    // equality probes on EITHER column skip row groups independently
+    // (index_strategies.rs composite strategies, lakehouse form)
+    for (f <- parts(s"${e.baseDir}/tables/t/log") ++
+         parts(s"${e.baseDir}/tables/t/snapshots")) {
+      val blooms = bloomCols(f)
+      assert(blooms.getOrElse("payload.a", false), s"no bloom on payload.a in $f")
+      assert(blooms.getOrElse("payload.b", false), s"no bloom on payload.b in $f")
+      assert(!blooms.getOrElse("payload.c", true), s"unexpected bloom on payload.c in $f")
+    }
+    // point probes on either column answer through the collapse
+    assert(e.sql("SELECT COUNT(*) AS n FROM t WHERE a = 'a3'")
+      .collect().head.getLong(0) === 1L)
+    assert(e.sql("SELECT COUNT(*) AS n FROM t WHERE b = 'b7'")
+      .collect().head.getLong(0) === 1L)
+    // SHOW INDEXES round-trips the composite column list
+    assert(e.sql("SHOW INDEXES").collect().map(_.toString).toSet
+      === Set("[ic,t,a,b]"))
+    // the composite declaration is the bare-OPTIMIZE Z-order hint:
+    // the rewrite clusters by (a, b) and rows stay intact
+    e.sql("OPTIMIZE t")
+    assert(e.sql("SELECT COUNT(*) AS n FROM t").collect().head.getLong(0) === 500L)
+    assert(e.sql("SELECT c FROM t WHERE a = 'a3' AND b = 'b3'")
+      .collect().map(_.getString(0)).toSeq === Seq("c3"))
+    // an unknown column in the composite is rejected at CREATE
+    intercept[IllegalArgumentException] {
+      e.sql("CREATE INDEX bad ON t (a, nope)")
+    }
+    // persistence: the composite survives reopen
+    val base = e.baseDir
+    e.close()
+    val e2 = new QueryEngine(spark, base)
+    assert(e2.sql("SHOW INDEXES").collect().map(_.toString).toSet
+      === Set("[ic,t,a,b]"))
+    e2.close()
+  }
+
   test("SHOW INDEXES lists the registry; DROP INDEX removes the row") {
     val e = QueryEngine.scratch(spark)
     e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, v STRING)")
