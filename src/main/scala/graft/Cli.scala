@@ -263,7 +263,7 @@ object Cli {
           val http = o.get("http-port").map(p =>
             new graft.server.HttpAdmin(e, p.toInt,
               bind = o.get("b").getOrElse("127.0.0.1"),
-              connStats = Some(() => srv.poolStats)).start())
+              connStats = Some(() => srv.poolTelemetry)).start())
           http.foreach(h => out(s"http health/metrics on ${h.boundPort}"))
           try { stdin().foreach(_ => ()); 0 }
           finally { http.foreach(_.close()); srv.close(); e.close() }

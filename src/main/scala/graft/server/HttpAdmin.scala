@@ -35,7 +35,7 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 final class HttpAdmin(engine: QueryEngine, port: Int = 0,
     bind: String = "127.0.0.1",
-    connStats: Option[() => (Int, Long, Long)] = None) {
+    connStats: Option[() => PgServer.PoolTelemetry] = None) {
 
   private val server = com.sun.net.httpserver.HttpServer.create(
     new java.net.InetSocketAddress(bind, port), 0)
@@ -292,14 +292,28 @@ final class HttpAdmin(engine: QueryEngine, port: Int = 0,
         s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}\n""")
     })
 
+  // live/accepted/rejected plus the advanced-pool telemetry
+  // (advanced_pool.rs parity): idle-reap counts, reaper health sweeps
+  // with recency, and accept-to-session-ready admission wait times
   server.createContext("/performance/connections", ex =>
     connStats match {
       case Some(f) =>
-        val (live, accepted, rejected) = f()
+        val p = f()
+        def ms(v: Double): String =
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
         respond(ex, 200, "application/json", numJson(Seq(
-          "live" -> live.toString,
-          "accepted" -> accepted.toString,
-          "rejected" -> rejected.toString)) + "\n")
+          "live" -> p.live.toString,
+          "accepted" -> p.accepted.toString,
+          "rejected" -> p.rejected.toString,
+          "reaped" -> p.reaped.toString,
+          "health_sweeps" -> p.healthSweeps.toString,
+          "last_sweep_ms_ago" ->
+            p.lastSweepMsAgo.map(_.toString).getOrElse("null"),
+          "admissions" -> p.admissions.toString,
+          "avg_admission_wait_ms" -> ms(p.avgAdmitWaitMs),
+          "max_admission_wait_ms" -> ms(p.maxAdmitWaitMs),
+          "max_connections" -> p.maxConnections.toString,
+          "idle_timeout_ms" -> p.idleTimeoutMs.toString)) + "\n")
       case None => respond(ex, 404, "application/json",
         """{"error": "no wire server attached"}""" + "\n")
     })

@@ -83,24 +83,64 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
     new java.util.concurrent.ConcurrentHashMap[ConnState, ConnInfo]()
   private val statRejected = new java.util.concurrent.atomic.AtomicLong
   private val statAccepted = new java.util.concurrent.atomic.AtomicLong
+  // advanced-pool telemetry (advanced_pool.rs:1-1197 keeps wait-time
+  // and health-check bookkeeping; this is its observable slice):
+  // idle-reap counts, reaper health sweeps, and the accept-to-ready
+  // admission wait (negotiation + pool gate + auth) per connection
+  private val statReaped = new java.util.concurrent.atomic.AtomicLong
+  private val statSweeps = new java.util.concurrent.atomic.AtomicLong
+  @volatile private var lastSweepMs = 0L
+  private val statAdmissions = new java.util.concurrent.atomic.AtomicLong
+  private val statAdmitWaitNs = new java.util.concurrent.atomic.AtomicLong
+  private val statAdmitWaitNsMax = new java.util.concurrent.atomic.AtomicLong
+
+  private def recordAdmission(waitNs: Long): Unit = {
+    statAdmissions.incrementAndGet()
+    statAdmitWaitNs.addAndGet(waitNs)
+    var prev = statAdmitWaitNsMax.get
+    while (waitNs > prev && !statAdmitWaitNsMax.compareAndSet(prev, waitNs))
+      prev = statAdmitWaitNsMax.get
+  }
 
   /** (live, accepted, rejected) — the observable PoolStats slice
     * (connection.rs:539-548). */
   def poolStats: (Int, Long, Long) =
     (liveConns.size, statAccepted.get, statRejected.get)
 
+  /** The full pool-telemetry snapshot (advanced_pool.rs parity):
+    * admission wait times are accept-to-session-ready nanoseconds;
+    * health sweeps count reaper passes over the live set. */
+  def poolTelemetry: PgServer.PoolTelemetry = PgServer.PoolTelemetry(
+    live = liveConns.size,
+    accepted = statAccepted.get,
+    rejected = statRejected.get,
+    reaped = statReaped.get,
+    healthSweeps = statSweeps.get,
+    lastSweepMsAgo =
+      if (lastSweepMs == 0L) None
+      else Some(math.max(0L, System.currentTimeMillis() - lastSweepMs)),
+    admissions = statAdmissions.get,
+    admitWaitNsTotal = statAdmitWaitNs.get,
+    admitWaitNsMax = statAdmitWaitNsMax.get,
+    maxConnections = maxConnections,
+    idleTimeoutMs = idleTimeoutMs)
+
   private val reaper = new Thread(() => {
     while (running) {
       Thread.sleep(math.max(50L, idleTimeoutMs / 4))
       if (idleTimeoutMs > 0) {
+        statSweeps.incrementAndGet()
+        lastSweepMs = System.currentTimeMillis()
         val cutoff = System.currentTimeMillis() - idleTimeoutMs
         liveConns.forEach { (st, info) =>
           // a connection with a statement in flight is BUSY, not idle:
           // lastActivityMs only moves on client->server reads, so a
           // long-running query (routine at this engine's data scale)
           // or a large COPY upload would otherwise be reaped mid-work
-          if (info.lastActivityMs < cutoff && st.activeGroup.isEmpty)
+          if (info.lastActivityMs < cutoff && st.activeGroup.isEmpty) {
+            statReaped.incrementAndGet()
             try info.sock.close() catch { case _: Exception => () }
+          }
           // handle()'s finally deregisters once its read loop breaks
         }
       }
@@ -181,6 +221,7 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
     var out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
     val st = new ConnState
     var info: ConnInfo = null
+    val acceptNs = System.nanoTime() // admission-wait telemetry anchor
     try {
       val source = Option(sock.getInetAddress)
         .map(_.getHostAddress).getOrElse("unknown")
@@ -220,6 +261,7 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
       cancelRegistry.put((st.pid, st.secret), st)
       info = new ConnInfo(source, sock)
       liveConns.put(st, info)
+      recordAdmission(System.nanoTime() - acceptNs)
       val session = engine.newSession()
       // the wire never inherits the embedded default (root/superuser):
       // the authenticated startup user is a plain user unless the
@@ -997,5 +1039,22 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
       inTxn: Boolean = false): Unit = {
     out.write('Z'); out.writeInt(5); out.write(if (inTxn) 'T' else 'I')
     out.flush()
+  }
+}
+
+object PgServer {
+  /** The advanced-pool telemetry snapshot /performance/connections
+    * serves (advanced_pool.rs:1-1197 parity): admission wait =
+    * accept-to-session-ready (negotiation + pool gate + auth); health
+    * sweeps = reaper passes; reaped = idle connections closed. */
+  final case class PoolTelemetry(live: Int, accepted: Long,
+      rejected: Long, reaped: Long, healthSweeps: Long,
+      lastSweepMsAgo: Option[Long], admissions: Long,
+      admitWaitNsTotal: Long, admitWaitNsMax: Long,
+      maxConnections: Int, idleTimeoutMs: Long) {
+    def avgAdmitWaitMs: Double =
+      if (admissions == 0) 0.0
+      else admitWaitNsTotal.toDouble / admissions / 1e6
+    def maxAdmitWaitMs: Double = admitWaitNsMax.toDouble / 1e6
   }
 }

@@ -93,7 +93,11 @@ class HttpAdminSpec extends AnyFunSuite {
   test("/performance family serves latency, slow log, cache, pool stats") {
     val e = QueryEngine.scratch(spark)
     val srv = new HttpAdmin(e, 0,
-      connStats = Some(() => (3, 7L, 1L))).start()
+      connStats = Some(() => graft.server.PgServer.PoolTelemetry(
+        live = 3, accepted = 7L, rejected = 1L, reaped = 2L,
+        healthSweeps = 5L, lastSweepMsAgo = Some(40L), admissions = 7L,
+        admitWaitNsTotal = 14_000_000L, admitWaitNsMax = 4_000_000L,
+        maxConnections = 100, idleTimeoutMs = 300000L))).start()
     try {
       e.sql("CREATE TABLE p (k BIGINT PRIMARY KEY)")
       e.sql("SET SLOW_LOG 0") // threshold 0 logs nothing; set real one
@@ -124,6 +128,16 @@ class HttpAdminSpec extends AnyFunSuite {
       assert(pool.contains("\"live\": 3"), pool)
       assert(pool.contains("\"accepted\": 7"), pool)
       assert(pool.contains("\"rejected\": 1"), pool)
+      // advanced-pool telemetry: reap counts, health-check sweeps with
+      // recency, and admission wait-time aggregates
+      assert(pool.contains("\"reaped\": 2"), pool)
+      assert(pool.contains("\"health_sweeps\": 5"), pool)
+      assert(pool.contains("\"last_sweep_ms_ago\": 40"), pool)
+      assert(pool.contains("\"admissions\": 7"), pool)
+      assert(pool.contains("\"avg_admission_wait_ms\": 2.000"), pool)
+      assert(pool.contains("\"max_admission_wait_ms\": 4.000"), pool)
+      assert(pool.contains("\"max_connections\": 100"), pool)
+      assert(pool.contains("\"idle_timeout_ms\": 300000"), pool)
 
       val (mc2, mem, _) = get(srv.boundPort, "/performance/memory")
       assert(mc2 === 200, mem)

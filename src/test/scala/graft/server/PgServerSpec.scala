@@ -498,6 +498,14 @@ class PgServerSpec extends AnyFunSuite {
         assert(c1 != 0 && err.contains("too many connections"), err)
         val (_, accepted, rejected) = srv.poolStats
         assert(accepted >= 1L && rejected >= 1L, srv.poolStats)
+        // advanced-pool telemetry under real load: every accepted
+        // connection recorded an accept-to-ready admission wait
+        val pt = srv.poolTelemetry
+        assert(pt.admissions >= 1L, pt)
+        assert(pt.admitWaitNsTotal > 0L && pt.admitWaitNsMax > 0L, pt)
+        assert(pt.avgAdmitWaitMs > 0.0 &&
+          pt.maxAdmitWaitMs >= pt.avgAdmitWaitMs, pt)
+        assert(pt.rejected >= 1L && pt.maxConnections === 100, pt)
       } finally held.close()
       // the slot frees once the holder disconnects
       val deadline = System.nanoTime() + 10e9.toLong
