@@ -1400,6 +1400,18 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                     restrict(stateAt(tn, Some(horizons(tn)))))
                 }
               val deltas = sides.map(deltaSides)
+              // Pin the touched delta sides NOW (lazy — the cascade's
+              // hop-0 key collect is the first materialization): the
+              // 2^n−1 inclusion-exclusion terms each re-reference
+              // these frames, and without the cache every term would
+              // re-plan the touched-pk state reads — up to 7×3 pruned
+              // collapse scans for a 3-table refresh. O(touched)
+              // rows, so the pin is bounded.
+              val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+              val deltaPins = sides.indices.collect {
+                case i if horizons(sides(i)) > bases(sides(i)) =>
+                  Seq(deltas(i)._1.persist(lvl), deltas(i)._2.persist(lvl))
+              }.flatten
               // Full-side pruning, any chain length (round 15,
               // generalizing the round-14 two-table case): every
               // inclusion-exclusion term joins a full side against at
@@ -1477,15 +1489,27 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                   frontier = next.result()
                 }
               }
-              val fulls: Seq[DataFrame] = sides.indices.map { i =>
-                val ps = preds(i)
-                if (ps.isEmpty)
-                  // the only touched table is i itself: no term uses
-                  // full_i (i sits in every nonvanishing S as a delta)
-                  fullNew(i).where(lit(false))
-                else if (ps.contains(None)) fullNew(i)
-                else fullNew(i).where(ps.flatten.reduce(_ || _))
-              }
+              // Key-pruned fulls pin too when the chain has 3+ tables
+              // (each full side then appears in 2^(n-1)−1 ≥ 3 terms;
+              // at n=2 a full sits in exactly ONE term, so a pin only
+              // costs). UNPRUNED fulls are never pinned — unbounded
+              // at 100 TB, the scan itself is the right plan there.
+              // Empty frames optimize to local relations, no pin.
+              val fullsPinned: Seq[(DataFrame, Boolean)] =
+                sides.indices.map { i =>
+                  val ps = preds(i)
+                  if (ps.isEmpty)
+                    // the only touched table is i itself: no term uses
+                    // full_i (i sits in every nonvanishing S as a delta)
+                    (fullNew(i).where(lit(false)), false)
+                  else if (ps.contains(None)) (fullNew(i), false)
+                  else {
+                    val pruned = fullNew(i).where(ps.flatten.reduce(_ || _))
+                    if (sides.size >= 3) (pruned.persist(lvl), true)
+                    else (pruned, false)
+                  }
+                }
+              val fulls = fullsPinned.map(_._1)
               val stored = spark.read.parquet(catalog.mviewDataPath(name, prev))
               val delta = IncrementalView.joinSignedDelta(js, stored,
                 sides.indices.map(i =>
@@ -1516,6 +1540,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                     .parquet(catalog.mviewDataPath(name, prev + 1) + "/" + dir)
               }
               sdPin.foreach(_.unpersist(false))
+              deltaPins.foreach(_.unpersist(false))
+              fullsPinned.collect { case (f, true) => f }
+                .foreach(_.unpersist(false))
               catalog.setMviewRefreshed(name, prev + 1, horizons)
             }
             "refreshed_incremental"
