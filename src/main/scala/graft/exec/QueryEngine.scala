@@ -4384,37 +4384,42 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       auxes: Seq[IncrementalView.Agg])
       : (DataFrame, Seq[(String, DataFrame)]) = {
     var main = merged0
-    val writes = auxes.map { a =>
+    // aggregates over the SAME value expression share one physical
+    // frame (MIN(v) + MAX(v) + COUNT(DISTINCT v) = one merge, one
+    // dir, one overlay pass) — auxGroups derives the grouping
+    // identically at CREATE/REFRESH/read so the dir name is stable
+    val writes = IncrementalView.auxGroups(auxes).map { case (rep, members) =>
       val auxPath = catalog.mviewDataPath(name, prev) + "/" +
-        IncrementalView.auxDir(a.alias)
+        IncrementalView.auxDir(rep.alias)
       val auxStored =
         try spark.read.parquet(auxPath)
         catch {
           case scala.util.control.NonFatal(_) =>
             throw new IllegalStateException(
-              s"$name's aux frame for ${a.alias} is missing (view " +
+              s"$name's aux frame for ${rep.alias} is missing (view " +
                 "stored by an older engine version) — run a full " +
                 "(non-incremental) REFRESH once to rebuild it")
         }
       val auxMerged =
-        IncrementalView.auxMerge(auxStored, sd, groupCols, a.alias)
+        IncrementalView.auxMerge(auxStored, sd, groupCols, rep.alias)
       main = IncrementalView.overlayAux(
-        main, auxMerged, sd, groupCols, a)
-      (IncrementalView.auxDir(a.alias), auxMerged)
+        main, auxMerged, sd, groupCols, members)
+      (IncrementalView.auxDir(rep.alias), auxMerged)
     }
     (main, writes)
   }
 
   /** Populate the aux frames (COUNT(DISTINCT), MIN, MAX) for a freshly
     * aggregated view version — `base` is the where-filtered state (or
-    * joined relation) the main aggregation consumed. */
+    * joined relation) the main aggregation consumed; one frame per
+    * distinct value expression (auxGroups). */
   private def writeAuxes(base: DataFrame,
       keys: Seq[IncrementalView.GroupKey],
       auxes: Seq[IncrementalView.Agg], path: String): Unit =
-    auxes.foreach { a =>
-      encrypted(IncrementalView.auxAggregate(base, keys, a).write)
+    IncrementalView.auxGroups(auxes).foreach { case (rep, _) =>
+      encrypted(IncrementalView.auxAggregate(base, keys, rep).write)
         .mode("overwrite")
-        .parquet(path + "/" + IncrementalView.auxDir(a.alias))
+        .parquet(path + "/" + IncrementalView.auxDir(rep.alias))
     }
 
   /** A filter restricting a state read to the pks touched in

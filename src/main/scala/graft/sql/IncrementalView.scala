@@ -197,6 +197,26 @@ object IncrementalView {
       s"not an aux-backed aggregate: $other")
   }
 
+  /** Aux-backed aggregates grouped by their value EXPRESSION: members
+    * of a group share one physical frame — `MIN(v), MAX(v),
+    * COUNT(DISTINCT v)` all key the identical per-(group, v) live
+    * counts, so one build, one merge, one stored dir and one overlay
+    * pass serve all of them (the common MIN+MAX pair halves its aux
+    * cost). The group's first aggregate names the stored dir; the
+    * grouping is derived identically at CREATE, REFRESH and read, so
+    * the dir name is stable across refreshes. Textual expression
+    * match only — `MIN(v)` and `MIN(v )` would get separate frames,
+    * which is correct, just unshared. */
+  def auxGroups(aggs: Seq[Agg]): Seq[(Agg, Seq[Agg])] = {
+    val grouped = scala.collection.mutable.LinkedHashMap
+      .empty[String, Vector[Agg]]
+    for (a <- auxAggs(aggs)) {
+      val k = auxExpr(a).trim
+      grouped(k) = grouped.getOrElse(k, Vector.empty) :+ a
+    }
+    grouped.values.map(ms => (ms.head, ms.toSeq)).toSeq
+  }
+
   private val ShapeRe =
     ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+?))?""" +
       """\s+GROUP\s+BY\s+(.+?)(?:\s+HAVING\s+(.+?))?\s*;?\s*$""").r
@@ -661,10 +681,12 @@ object IncrementalView {
     mergeSigned(auxStored, auxSigned(signedRows, groupCols, alias),
       groupCols :+ CdValCol, Nil)
 
-  /** Overlay an aux-backed aggregate's exact per-group value onto the
+  /** Overlay aux-backed aggregates' exact per-group values onto the
     * merged main frame — TOUCHED groups only (the delta's group keys):
     * an untouched group keeps its stored value, so the overlay is
-    * O(touched), never a full aux re-aggregation. Per aggregate, the
+    * O(touched), never a full aux re-aggregation. All `aggs` share
+    * ONE merged aux frame (same value expression — auxGroups) and
+    * overlay in ONE aggregation + join pass. Per aggregate, the
     * value re-derives from the group's SURVIVING aux values:
     * COUNT(DISTINCT) counts them (absent → 0 — every value retracted
     * or NULL), MIN/MAX take the extreme (absent → NULL — the SQL
@@ -672,32 +694,39 @@ object IncrementalView {
     * these aggregates retract correctly under arbitrary deletes. */
   def overlayAux(main: DataFrame, auxMerged: DataFrame,
       signedRows: DataFrame, groupCols: Seq[String],
-      agg: Agg): DataFrame = {
-    val alias = agg.alias
-    val storedT = main.schema(alias).dataType
+      aggs: Seq[Agg]): DataFrame = {
+    require(aggs.nonEmpty, "overlayAux needs at least one aggregate")
     val touched = signedRows.select(groupCols.map(col): _*).distinct()
     def keyCond(l: String, r: String) = groupCols
       .map(g => col(s"$l.$g") <=> col(s"$r.$g")).reduce(_ && _)
-    val (valueAgg, absent) = agg match {
-      case _: CountDistinctExpr => (count(lit(1)), lit(0L))
-      case _: MinExpr => (min(col(CdValCol)), lit(null))
-      case _: MaxExpr => (max(col(CdValCol)), lit(null))
+    def valueCol(a: Agg): String = s"__cdc_${a.alias}"
+    val valueAggs: Seq[Column] = aggs.map {
+      case a: CountDistinctExpr => count(lit(1)).as(valueCol(a))
+      case a: MinExpr => min(col(CdValCol)).as(valueCol(a))
+      case a: MaxExpr => max(col(CdValCol)).as(valueCol(a))
       case other => throw new IllegalArgumentException(
         s"not an aux-backed aggregate: $other")
     }
+    def absent(a: Agg): Column = a match {
+      case _: CountDistinctExpr => lit(0L)
+      case _ => lit(null)
+    }
+    val byAlias = aggs.map(a => a.alias -> a).toMap
     val counts = auxMerged.alias("x")
       .join(touched.alias("t"), keyCond("x", "t"), "left_semi")
       .groupBy(groupCols.map(col): _*)
-      .agg(valueAgg.as("__cdc"))
+      .agg(valueAggs.head, valueAggs.tail: _*)
     val flagged = touched.withColumn("__cdt", lit(true))
     main.alias("m")
       .join(flagged.alias("f"), keyCond("m", "f"), "left_outer")
       .join(counts.alias("c"), keyCond("m", "c"), "left_outer")
-      .select(main.columns.toSeq.map {
-        case `alias` =>
-          when(col("__cdt"), coalesce(col("__cdc"), absent))
-            .otherwise(col(s"m.$alias")).cast(storedT).as(alias)
-        case other => col(s"m.$other")
+      .select(main.columns.toSeq.map { c =>
+        byAlias.get(c) match {
+          case Some(a) =>
+            when(col("__cdt"), coalesce(col(valueCol(a)), absent(a)))
+              .otherwise(col(s"m.$c")).cast(main.schema(c).dataType).as(c)
+          case None => col(s"m.$c")
+        }
       }: _*)
   }
 }
