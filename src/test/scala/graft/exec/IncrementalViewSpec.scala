@@ -509,6 +509,38 @@ class IncrementalViewSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("aggregates over one value expression share one aux frame") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT, w BIGINT)")
+    e.sql("INSERT INTO t VALUES (1,'a',10,1), (2,'a',50,2), (3,'b',30,3)")
+    e.sql("""CREATE MATERIALIZED VIEW sx AS
+            |SELECT grp, MIN(v) AS lo, MAX(v) AS hi, COUNT(DISTINCT v) AS dv,
+            |       MIN(w) AS lw, COUNT(*) AS n
+            |FROM t GROUP BY grp""".stripMargin)
+    // MIN(v)/MAX(v)/COUNT(DISTINCT v) share one frame; MIN(w) gets its
+    // own: exactly TWO aux dirs, named by each group's first alias
+    def auxDirs(): Set[String] = {
+      val ver = new java.io.File(s"${e.baseDir}/matviews/sx")
+        .listFiles.filter(_.getName.startsWith("v=")).maxBy(_.getName)
+      ver.listFiles.map(_.getName).filter(_.startsWith("_graft_aux_")).toSet
+    }
+    assert(auxDirs() === Set("_graft_aux_lo", "_graft_aux_lw"))
+    // churn including retraction of both extremes and a distinct value
+    e.sql("INSERT INTO t VALUES (4,'a',99,0), (5,'b',-7,9)")
+    e.sql("REFRESH MATERIALIZED VIEW sx INCREMENTALLY")
+    e.sql("DELETE FROM t WHERE k = 2") // group a's MAX(v)=50 and a dv value
+    e.sql("UPDATE t SET w = 8 WHERE k = 3") // group b's MIN(w)
+    e.sql("REFRESH MATERIALIZED VIEW sx INCREMENTALLY")
+    assert(auxDirs() === Set("_graft_aux_lo", "_graft_aux_lw"))
+    assert(e.sql("SELECT grp, lo, hi, dv, lw, n FROM sx").collect()
+      .map(_.toString).toSet ===
+      e.sql("""SELECT grp, MIN(v) AS lo, MAX(v) AS hi,
+              |       COUNT(DISTINCT v) AS dv, MIN(w) AS lw, COUNT(*) AS n
+              |FROM t GROUP BY grp""".stripMargin)
+        .collect().map(_.toString).toSet)
+    e.close()
+  }
+
   test("MIN/MAX retraction honors the view's WHERE across the boundary") {
     val e = QueryEngine.scratch(spark)
     e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
