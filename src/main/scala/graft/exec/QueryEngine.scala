@@ -172,8 +172,16 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   private def pinCheckpointCounted(df: DataFrame): (DataFrame, Array[Long]) =
     tracer.span("pin-batch") {
       pinRegistry.removeIf(_.get() == null)
-      val (pinned, counts, rdd) = org.apache.spark.sql.GraftBridge.pinCounted(df)
-      pinRegistry.add(new java.lang.ref.WeakReference(rdd))
+      // small batches come back as a driver LocalRelation from the
+      // same job (pinCountedOrLocal) and ride the literal fast path
+      // end to end — driver probe folding, job-free sequencing, and
+      // the driver-side staging write. The caps are the literalize
+      // ones: strings bound bytes poorly, binary never collects.
+      val cap = if (literalizableSchema(df)) literalizeRowCap(df) else -1L
+      val (pinned, counts, rddOpt) =
+        org.apache.spark.sql.GraftBridge.pinCountedOrLocal(df, cap)
+      rddOpt.foreach(r =>
+        pinRegistry.add(new java.lang.ref.WeakReference(r)))
       (pinned, counts)
     }
 
@@ -655,11 +663,37 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         // Snapshots keep the default committer: their _SUCCESS IS the
         // version-dir completeness marker.
         tracer.span("stage-write", table) {
-          encrypted(ev.write)
-            .options(catalog.get(table).map(bloomOptions).getOrElse(Map.empty))
-            .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
-            .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
-            .parquet(dir.toString)
+          val opts = catalog.get(table).map(bloomOptions).getOrElse(Map.empty)
+          // literal batches (LocalRelation — VALUES rows and
+          // literalized small query batches) stage with a DRIVER-side
+          // parquet write: the rows never left the driver, so a Spark
+          // job would pay scheduling + task launch + committer
+          // protocol to produce the identical file. Encrypted writes
+          // keep the job path (the modular-encryption factory wiring
+          // rides the DataFrameWriter); ANY driver-write failure
+          // falls back to the job path after clearing partial output.
+          val droveIt =
+            !encryptionOn && (
+              try org.apache.spark.sql.GraftBridge.writeLocalParquet(ev,
+                // publish renames files into the shared log dir by
+                // NAME — carry a uuid exactly like Spark part files
+                new Path(dir, s"part-00000-${java.util.UUID.randomUUID}" +
+                  ".c000.snappy.parquet").toString,
+                opts)
+              catch {
+                case scala.util.control.NonFatal(e) =>
+                  scala.util.Try(fs.delete(dir, true))
+                  System.err.println(
+                    s"[graft] driver-side staging of $table fell back " +
+                      s"to the job write: ${e.getMessage}")
+                  false
+              })
+          if (!droveIt)
+            encrypted(ev.write)
+              .options(opts)
+              .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+              .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+              .parquet(dir.toString)
         }
         for (f <- fs.listStatus(dir) if f.getPath.getName.startsWith("part-"))
           lines.append(s"file\tbatch-$i/${f.getPath.getName}\t${enc(table)}\n")
@@ -2715,10 +2749,18 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // skips the second materialization.
     val pinned = if (prePinned) physical else pinUnlessLiteral(physical)
     // a caller that pinned through pinCheckpointCounted already knows
-    // the layout: sequence assignment is job-free
+    // the layout: sequence assignment is job-free. A batch that came
+    // back LITERALIZED from the pin (small matched set → LocalRelation)
+    // must NOT take the offsets path — assignWithOffsets goes through
+    // .rdd, re-launching the job the literalization exists to skip;
+    // assignSequencesCounted's LocalRelation branch sequences it
+    // driver-side instead.
+    def isLocal(df: DataFrame) = df.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
     val (withSeq, n) = pinnedCounts match {
-      case Some(cs) => (EventLog.assignWithOffsets(pinned, base, cs), cs.sum)
-      case None => EventLog.assignSequencesCounted(pinned, base)
+      case Some(cs) if !isLocal(pinned) =>
+        (EventLog.assignWithOffsets(pinned, base, cs), cs.sum)
+      case _ => EventLog.assignSequencesCounted(pinned, base)
     }
     // the flat-log certificate survives this batch only when it is an
     // INSERT whose pk uniqueness was actually established — by the

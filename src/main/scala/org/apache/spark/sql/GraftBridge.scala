@@ -35,6 +35,122 @@ object GraftBridge {
     (classic.Dataset.ofRows(cds.sparkSession, plan), counts, rdd)
   }
 
+  /** pinCounted with small-batch LITERALIZATION folded into the SAME
+    * job: each partition reports its row count and carries up to
+    * rowCap+1 rows back with it. When the batch proves to be at or
+    * under `rowCap` rows (so every partition's rows came back whole),
+    * the result is a driver-resident LocalRelation — the whole
+    * downstream statement then rides the literal fast path (driver
+    * probe folding, job-free sequence assignment, driver-side staging
+    * write) and NO pin blocks exist to track (returned RDD is None,
+    * the cache is dropped immediately). Past the cap — or with
+    * rowCap < 0 — behaves exactly like pinCounted. This is the floor
+    * under OLTP-shaped UPDATE/DELETE statements, whose matched
+    * batches are usually a handful of rows that previously paid a
+    * distributed staging write each. */
+  def pinCountedOrLocal(df: DataFrame, rowCap: Long)
+      : (DataFrame, Array[Long], Option[org.apache.spark.rdd.RDD[_]]) = {
+    val cds = df.asInstanceOf[classic.Dataset[Row]]
+    val rdd = cds.queryExecution.toRdd.map(_.copy())
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keep = if (rowCap < 0) 0 else rowCap.toInt + 1
+    val capped = rdd.mapPartitions({ it =>
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[catalyst.InternalRow]
+      var n = 0L
+      it.foreach { r => n += 1; if (buf.length < keep) buf += r }
+      Iterator.single((n, buf.toArray))
+    }, preservesPartitioning = true).collect()
+    val counts = capped.map(_._1)
+    // total <= cap ==> every partition held < keep rows, so the
+    // carried arrays are complete — safe to become the batch itself
+    if (rowCap >= 0 && counts.sum <= rowCap) {
+      rdd.unpersist(false)
+      val attrs = catalyst.types.DataTypeUtils.toAttributes(df.schema)
+      val rows = capped.iterator.flatMap(_._2).toIndexedSeq
+      (classic.Dataset.ofRows(cds.sparkSession,
+        catalyst.plans.logical.LocalRelation(attrs, rows)), counts, None)
+    } else {
+      val plan = execution.LogicalRDD.fromDataset(rdd, cds, isStreaming = false)
+      (classic.Dataset.ofRows(cds.sparkSession, plan), counts, Some(rdd))
+    }
+  }
+
+  /** Driver-side single-file parquet write of a LITERAL batch — the
+    * floor under OLTP-shaped statement streams. A DML batch whose
+    * optimized plan is a LocalRelation lives on the driver already;
+    * staging it through a Spark job pays scheduling, task launch and
+    * the output-committer protocol (~100-140 ms warm) to move rows
+    * that never left the driver. This writes the same parquet
+    * directly with Spark's own ParquetWriteSupport under the same
+    * session conf (schema, legacy format, timestamp type, rebase
+    * modes, field ids), the session codec, and any per-column bloom
+    * options — so readers, blooms and dtypes are indistinguishable
+    * from the job path's output. Returns false (nothing written)
+    * when the plan is NOT a LocalRelation; callers fall back to the
+    * job write. */
+  def writeLocalParquet(df: DataFrame, file: String,
+      options: Map[String, String]): Boolean = {
+    val cds = df.asInstanceOf[classic.Dataset[Row]]
+    // a coalesce(1) over a literal batch (the small-batch single-file
+    // discipline) is a no-op for a single driver-written file — see
+    // through it; anything else is not driver-resident
+    def localOf(p: catalyst.plans.logical.LogicalPlan)
+        : Option[catalyst.plans.logical.LocalRelation] = p match {
+      case lr: catalyst.plans.logical.LocalRelation => Some(lr)
+      case r: catalyst.plans.logical.Repartition if !r.shuffle =>
+        localOf(r.child)
+      case _ => None
+    }
+    localOf(cds.queryExecution.optimizedPlan) match {
+      case Some(lr) =>
+        val spark = cds.sparkSession
+        val sqlConf = spark.sessionState.conf
+        val conf = spark.sessionState.newHadoopConfWithOptions(options)
+        execution.datasources.parquet.ParquetWriteSupport
+          .setSchema(df.schema, conf)
+        conf.set(internal.SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
+          sqlConf.writeLegacyParquetFormat.toString)
+        conf.set(internal.SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+          sqlConf.parquetOutputTimestampType.toString)
+        conf.set(internal.SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+          sqlConf.parquetFieldIdWriteEnabled.toString)
+        conf.set(internal.SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
+          sqlConf.getConf(internal.SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString)
+        conf.set(internal.SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
+          sqlConf.getConf(internal.SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
+        conf.set(internal.SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+          sqlConf.legacyParquetNanosAsLong.toString)
+        conf.set(internal.SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+          sqlConf.parquetAnnotateVariantLogicalType.toString)
+        conf.set(internal.SQLConf.VARIANT_WRITE_SHREDDING_ENABLED.key,
+          sqlConf.getConf(internal.SQLConf.VARIANT_WRITE_SHREDDING_ENABLED).toString)
+        val p = new org.apache.hadoop.fs.Path(file)
+        final class B(out: org.apache.parquet.io.OutputFile)
+            extends org.apache.parquet.hadoop.ParquetWriter.Builder[
+              catalyst.InternalRow, B](out) {
+          override def self(): B = this
+          override def getWriteSupport(c: org.apache.hadoop.conf.Configuration)
+              : org.apache.parquet.hadoop.api.WriteSupport[catalyst.InternalRow] =
+            new execution.datasources.parquet.ParquetWriteSupport
+        }
+        val codec = org.apache.parquet.hadoop.metadata.CompressionCodecName
+          .fromConf(sqlConf.parquetCompressionCodec)
+        var b = new B(org.apache.parquet.hadoop.util.HadoopOutputFile
+            .fromPath(p, conf))
+          .withConf(conf)
+          .withCompressionCodec(codec)
+        val bloomPrefix = "parquet.bloom.filter.enabled#"
+        for ((k, v) <- options if k.startsWith(bloomPrefix))
+          b = b.withBloomFilterEnabled(k.substring(bloomPrefix.length),
+            v.toBoolean)
+        val w = b.build()
+        try lr.data.foreach(w.write) finally w.close()
+        true
+      case None => false
+    }
+  }
+
   /** Register a SQL function on an ALREADY-RUNNING session (notebooks,
     * tests). `spark.sql.extensions` is a static conf applied only at
     * session construction; this is the runtime path to the same
