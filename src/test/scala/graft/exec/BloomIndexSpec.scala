@@ -117,6 +117,30 @@ class BloomIndexSpec extends AnyFunSuite {
     e2.close()
   }
 
+  test("driver-staged literal inserts stamp blooms like the job path") {
+    // VALUES batches stage with the driver-side parquet write (round
+    // 15) whose bloom options are parsed by hand — a literal INSERT
+    // into an indexed table must still stamp the filter, and the file
+    // must read back identically. High-cardinality strings: parquet
+    // drops blooms on fully dictionary-encoded chunks.
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, v STRING, w STRING)")
+    e.sql("CREATE INDEX iv ON t (v)")
+    val rows = (1 to 300).map(i => s"($i, 'val$i', 'w$i')").mkString(", ")
+    e.sql(s"INSERT INTO t VALUES $rows")
+    val logParts = parts(s"${e.baseDir}/tables/t/log")
+    assert(logParts.nonEmpty)
+    for (f <- logParts) {
+      val blooms = bloomCols(f)
+      assert(blooms.getOrElse("payload.v", false), s"no bloom on payload.v in $f")
+      assert(!blooms.getOrElse("payload.w", true), s"unexpected bloom on payload.w in $f")
+    }
+    assert(e.sql("SELECT k FROM t WHERE v = 'val123'")
+      .collect().map(_.getLong(0)).toSeq === Seq(123L))
+    assert(e.sql("SELECT COUNT(*) AS n FROM t").collect().head.getLong(0) === 300L)
+    e.close()
+  }
+
   test("SHOW INDEXES lists the registry; DROP INDEX removes the row") {
     val e = QueryEngine.scratch(spark)
     e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, v STRING)")
