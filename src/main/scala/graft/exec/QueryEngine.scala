@@ -675,11 +675,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           val droveIt =
             !encryptionOn && (
               try org.apache.spark.sql.GraftBridge.writeLocalParquet(ev,
-                // publish renames files into the shared log dir by
-                // NAME — carry a uuid exactly like Spark part files
-                new Path(dir, s"part-00000-${java.util.UUID.randomUUID}" +
-                  ".c000.snappy.parquet").toString,
-                opts)
+                dir.toString, opts)
               catch {
                 case scala.util.control.NonFatal(e) =>
                   scala.util.Try(fs.delete(dir, true))
@@ -1358,30 +1354,35 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             // and every overlay's touched set — persist it across
             // those consumers instead of re-running the touched state
             // reads per plan, then release it with the writes done
-            val (merged, auxWrites, sdPin) =
-              if (cds.isEmpty)
-                (IncrementalView.merge(stored, oldSide, newSide, sh),
-                  Seq.empty[(String, DataFrame)], None)
-              else {
-                val sd = IncrementalView.signedDelta(stored, oldSide, newSide, sh)
-                  .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-                val (m, w) = mergeWithAux(name, prev,
-                  IncrementalView.mergeSigned(stored, sd, sh.groupCols, sh.aggs),
-                  sd, sh.groupCols, cds)
-                (m, w, Some(sd))
+            val sdPin =
+              if (cds.isEmpty) None
+              else Some(
+                IncrementalView.signedDelta(stored, oldSide, newSide, sh)
+                  .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+            // released in the finally: a refresh that throws mid-way
+            // (job failure, missing aux frame) must not leak the pin
+            try {
+              val (merged, auxWrites) = sdPin match {
+                case None =>
+                  (IncrementalView.merge(stored, oldSide, newSide, sh),
+                    Seq.empty[(String, DataFrame)])
+                case Some(sd) =>
+                  mergeWithAux(name, prev,
+                    IncrementalView.mergeSigned(stored, sd, sh.groupCols, sh.aggs),
+                    sd, sh.groupCols, cds)
               }
-            tracer.span("mview-write") {
-              encrypted(merged.write).mode("overwrite")
-                .parquet(catalog.mviewDataPath(name, prev + 1))
-              for ((dir, df) <- auxWrites)
-                encrypted(df.write).mode("overwrite")
-                  .parquet(catalog.mviewDataPath(name, prev + 1) + "/" + dir)
-            }
-            sdPin.foreach(_.unpersist(false))
-            // ONE atomic catalog save: a version bump without the
-            // horizon re-anchor would double-apply this delta on the
-            // next refresh
-            catalog.setMviewRefreshed(name, prev + 1, Map(baseT -> horizon))
+              tracer.span("mview-write") {
+                encrypted(merged.write).mode("overwrite")
+                  .parquet(catalog.mviewDataPath(name, prev + 1))
+                for ((dir, df) <- auxWrites)
+                  encrypted(df.write).mode("overwrite")
+                    .parquet(catalog.mviewDataPath(name, prev + 1) + "/" + dir)
+              }
+              // ONE atomic catalog save: a version bump without the
+              // horizon re-anchor would double-apply this delta on the
+              // next refresh
+              catalog.setMviewRefreshed(name, prev + 1, Map(baseT -> horizon))
+            } finally sdPin.foreach(_.unpersist(false))
           }
           "refreshed_incremental"
         case (None, true) => joinShapeOf(viewSql) match {
@@ -1442,10 +1443,21 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               // collapse scans for a 3-table refresh. O(touched)
               // rows, so the pin is bounded.
               val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-              val deltaPins = sides.indices.collect {
-                case i if horizons(sides(i)) > bases(sides(i)) =>
-                  Seq(deltas(i)._1.persist(lvl), deltas(i)._2.persist(lvl))
-              }.flatten
+              // every pin registers here and is released in the
+              // finally below — a refresh that throws mid-way (job
+              // failure, missing aux frame) must not leak cache
+              // entries into the engine's lifetime
+              val refreshPins =
+                scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+              def pin(df: DataFrame): DataFrame = {
+                refreshPins += df.persist(lvl); df
+              }
+              try {
+              sides.indices.foreach { i =>
+                if (horizons(sides(i)) > bases(sides(i))) {
+                  pin(deltas(i)._1); pin(deltas(i)._2)
+                }
+              }
               // Full-side pruning, any chain length (round 15,
               // generalizing the round-14 two-table case): every
               // inclusion-exclusion term joins a full side against at
@@ -1529,21 +1541,19 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               // costs). UNPRUNED fulls are never pinned — unbounded
               // at 100 TB, the scan itself is the right plan there.
               // Empty frames optimize to local relations, no pin.
-              val fullsPinned: Seq[(DataFrame, Boolean)] =
+              val fulls: Seq[DataFrame] =
                 sides.indices.map { i =>
                   val ps = preds(i)
                   if (ps.isEmpty)
                     // the only touched table is i itself: no term uses
                     // full_i (i sits in every nonvanishing S as a delta)
-                    (fullNew(i).where(lit(false)), false)
-                  else if (ps.contains(None)) (fullNew(i), false)
+                    fullNew(i).where(lit(false))
+                  else if (ps.contains(None)) fullNew(i)
                   else {
                     val pruned = fullNew(i).where(ps.flatten.reduce(_ || _))
-                    if (sides.size >= 3) (pruned.persist(lvl), true)
-                    else (pruned, false)
+                    if (sides.size >= 3) pin(pruned) else pruned
                   }
                 }
-              val fulls = fullsPinned.map(_._1)
               val stored = spark.read.parquet(catalog.mviewDataPath(name, prev))
               val delta = IncrementalView.joinSignedDelta(js, stored,
                 sides.indices.map(i =>
@@ -1552,19 +1562,17 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               // persist the 2^n−1-term delta across its consumers
               // (main merge, aux merges, overlays), like the
               // single-table path
-              val (merged, auxWrites, sdPin) =
+              val (merged, auxWrites) =
                 if (cds.isEmpty)
                   (IncrementalView.mergeSigned(stored, delta,
                     js.groupCols, js.aggs),
-                    Seq.empty[(String, DataFrame)], None)
+                    Seq.empty[(String, DataFrame)])
                 else {
-                  val sd = delta.persist(
-                    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-                  val (m, w) = mergeWithAux(name, prev,
+                  val sd = pin(delta)
+                  mergeWithAux(name, prev,
                     IncrementalView.mergeSigned(stored, sd,
                       js.groupCols, js.aggs),
                     sd, js.groupCols, cds)
-                  (m, w, Some(sd))
                 }
               tracer.span("mview-write") {
                 encrypted(merged.write).mode("overwrite")
@@ -1573,11 +1581,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                   encrypted(df.write).mode("overwrite")
                     .parquet(catalog.mviewDataPath(name, prev + 1) + "/" + dir)
               }
-              sdPin.foreach(_.unpersist(false))
-              deltaPins.foreach(_.unpersist(false))
-              fullsPinned.collect { case (f, true) => f }
-                .foreach(_.unpersist(false))
               catalog.setMviewRefreshed(name, prev + 1, horizons)
+              } finally refreshPins.foreach(_.unpersist(false))
             }
             "refreshed_incremental"
           case None =>
@@ -1751,6 +1756,27 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           throw new IllegalStateException(
             s"$name has no recorded refresh horizon — run a full " +
               "REFRESH first, then enable AUTOREFRESH")
+        // an aux-backed view whose stored version predates its aux
+        // frames (e.g. a MIN/MAX view from before exact retraction)
+        // would pass the shape check, then the FIRST auto refresh
+        // would fail and mute — fail the ALTER now with the fix
+        // instead of turning "always fresh" into "silently stale"
+        val auxAliases = incShapeOf(viewSql).map(_.aggs)
+          .orElse(joinShapeOf(viewSql).map(_.aggs))
+          .map(IncrementalView.auxGroups).getOrElse(Nil).map(_._1.alias)
+        if (auxAliases.nonEmpty) {
+          val ver = catalog.mviewVersion(name)
+          val fs = new Path(catalog.mviewDataPath(name, ver))
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val missing = auxAliases.filterNot(a => fs.exists(new Path(
+            catalog.mviewDataPath(name, ver) + "/" +
+              IncrementalView.auxDir(a))))
+          if (missing.nonEmpty)
+            throw new IllegalStateException(
+              s"$name's stored version predates its aux frames " +
+                s"(${missing.mkString(", ")}) — run a full REFRESH " +
+                "once to build them, then enable AUTOREFRESH")
+        }
       }
       autoRefreshMuted -= name
       catalog.setMviewAutoRefresh(name, on, every.getOrElse(1L))
@@ -2326,7 +2352,17 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * therefore registers under a mangled single-part temp name and
     * statement text rewrites references to it before `spark.sql`. */
   private def tempName(n: String): String =
-    if (n.indexOf('.') < 0) n else "__graft_dn__" + n.replace('.', '_')
+    if (n.indexOf('.') < 0) n
+    else {
+      // injective mangling: a plain dot→underscore map would collide
+      // "a.b_c" with "a_b.c" on one temp-view name (the second
+      // registration silently shadowing the first) — a short digest
+      // of the ORIGINAL name keeps distinct names distinct
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(n.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map("%02x".format(_)).mkString
+      s"__graft_dn__${n.replace('.', '_')}_$digest"
+    }
 
   /** Rewrite every referenced dotted catalog name in `text` to its
     * mangled temp-view name — CODE regions only (maskNonCode keeps a
@@ -4436,11 +4472,15 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       val auxStored =
         try spark.read.parquet(auxPath)
         catch {
-          case scala.util.control.NonFatal(_) =>
+          // ONLY the missing-path analysis error maps to the
+          // "older engine version" prescription — a transient
+          // filesystem fault must surface as itself, not as advice
+          // to re-run a (100 TB-scale) full refresh
+          case e: org.apache.spark.sql.AnalysisException =>
             throw new IllegalStateException(
               s"$name's aux frame for ${rep.alias} is missing (view " +
                 "stored by an older engine version) — run a full " +
-                "(non-incremental) REFRESH once to rebuild it")
+                "(non-incremental) REFRESH once to rebuild it", e)
         }
       val auxMerged =
         IncrementalView.auxMerge(auxStored, sd, groupCols, rep.alias)

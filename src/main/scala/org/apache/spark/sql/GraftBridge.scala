@@ -54,20 +54,37 @@ object GraftBridge {
     val rdd = cds.queryExecution.toRdd.map(_.copy())
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keep = if (rowCap < 0) 0 else rowCap.toInt + 1
+    // row counts bound rows, not BYTES: a fixed-width-but-wide schema
+    // (array<double> embeddings) at the 1024-row cap could ship
+    // multi-GB to the driver only to be discarded. Per-partition byte
+    // budget caps the carry; a partition that stops buffering reports
+    // itself incomplete and the batch stays distributed.
+    val byteBudget = 1L << 20
     val capped = rdd.mapPartitions({ it =>
       val buf = scala.collection.mutable.ArrayBuffer
         .empty[catalyst.InternalRow]
       var n = 0L
-      it.foreach { r => n += 1; if (buf.length < keep) buf += r }
-      Iterator.single((n, buf.toArray))
+      var bytes = 0L
+      var complete = true
+      it.foreach { r =>
+        n += 1
+        if (buf.length < keep && bytes <= byteBudget) {
+          bytes += (r match {
+            case u: catalyst.expressions.UnsafeRow => u.getSizeInBytes.toLong
+            case _ => 64L // non-unsafe rows are driver-built and small
+          })
+          if (bytes <= byteBudget) buf += r else complete = false
+        } else if (n > buf.length) complete = false
+      }
+      Iterator.single((n, complete, buf.toArray))
     }, preservesPartitioning = true).collect()
     val counts = capped.map(_._1)
-    // total <= cap ==> every partition held < keep rows, so the
-    // carried arrays are complete — safe to become the batch itself
-    if (rowCap >= 0 && counts.sum <= rowCap) {
+    // total <= cap AND every partition carried ALL its rows ==> the
+    // carried arrays are the whole batch — safe to become the batch
+    if (rowCap >= 0 && counts.sum <= rowCap && capped.forall(_._2)) {
       rdd.unpersist(false)
       val attrs = catalyst.types.DataTypeUtils.toAttributes(df.schema)
-      val rows = capped.iterator.flatMap(_._2).toIndexedSeq
+      val rows = capped.iterator.flatMap(_._3).toIndexedSeq
       (classic.Dataset.ofRows(cds.sparkSession,
         catalyst.plans.logical.LocalRelation(attrs, rows)), counts, None)
     } else {
@@ -86,10 +103,12 @@ object GraftBridge {
     * session conf (schema, legacy format, timestamp type, rebase
     * modes, field ids), the session codec, and any per-column bloom
     * options — so readers, blooms and dtypes are indistinguishable
-    * from the job path's output. Returns false (nothing written)
-    * when the plan is NOT a LocalRelation; callers fall back to the
-    * job write. */
-  def writeLocalParquet(df: DataFrame, file: String,
+    * from the job path's output. The file lands in `dir` under a
+    * Spark-shaped part name carrying a fresh uuid (publish renames by
+    * NAME into a shared log dir) and the CODEC's true extension.
+    * Returns false (nothing written) when the plan is NOT a
+    * LocalRelation; callers fall back to the job write. */
+  def writeLocalParquet(df: DataFrame, dir: String,
       options: Map[String, String]): Boolean = {
     val cds = df.asInstanceOf[classic.Dataset[Row]]
     // a coalesce(1) over a literal batch (the small-batch single-file
@@ -125,7 +144,6 @@ object GraftBridge {
           sqlConf.parquetAnnotateVariantLogicalType.toString)
         conf.set(internal.SQLConf.VARIANT_WRITE_SHREDDING_ENABLED.key,
           sqlConf.getConf(internal.SQLConf.VARIANT_WRITE_SHREDDING_ENABLED).toString)
-        val p = new org.apache.hadoop.fs.Path(file)
         final class B(out: org.apache.parquet.io.OutputFile)
             extends org.apache.parquet.hadoop.ParquetWriter.Builder[
               catalyst.InternalRow, B](out) {
@@ -136,6 +154,9 @@ object GraftBridge {
         }
         val codec = org.apache.parquet.hadoop.metadata.CompressionCodecName
           .fromConf(sqlConf.parquetCompressionCodec)
+        val p = new org.apache.hadoop.fs.Path(dir,
+          s"part-00000-${java.util.UUID.randomUUID}.c000" +
+            s"${codec.getExtension}.parquet")
         var b = new B(org.apache.parquet.hadoop.util.HadoopOutputFile
             .fromPath(p, conf))
           .withConf(conf)

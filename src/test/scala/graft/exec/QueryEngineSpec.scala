@@ -765,6 +765,53 @@ class QueryEngineSpec extends AnyFunSuite {
     assert(rows(e, "SELECT n FROM app.mv WHERE g = 3") === Seq(Row(1L)))
   }
 
+  test("dotted names that collide under dot->underscore stay distinct") {
+    // "a.b_c" and "a_b.c" both mangle to a_b_c under a naive
+    // dot->underscore map — the injective temp-name digest keeps each
+    // registration reading its own data
+    val e = fresh()
+    e.sql("CREATE TABLE a.b_c (pk BIGINT PRIMARY KEY, v BIGINT)")
+    e.sql("CREATE TABLE a_b.c (pk BIGINT PRIMARY KEY, v BIGINT)")
+    e.sql("INSERT INTO a.b_c VALUES (1, 100)")
+    e.sql("INSERT INTO a_b.c VALUES (1, 200)")
+    assert(rows(e, "SELECT v FROM a.b_c") === Seq(Row(100L)))
+    assert(rows(e, "SELECT v FROM a_b.c") === Seq(Row(200L)))
+    assert(rows(e,
+      "SELECT x.v AS xv, y.v AS yv FROM a.b_c x JOIN a_b.c y ON x.pk = y.pk")
+      === Seq(Row(100L, 200L)))
+    e.close()
+  }
+
+  test("AUTOREFRESH ON refuses an aux-backed view whose aux frames are absent") {
+    // a stored MIN/MAX view from before exact retraction has no
+    // _graft_aux_* dirs: flagging it would let the FIRST auto refresh
+    // fail and mute — the ALTER must fail fast with the prescription
+    val e = fresh()
+    e.sql("CREATE TABLE at (pk BIGINT PRIMARY KEY, g BIGINT, v BIGINT)")
+    e.sql("INSERT INTO at VALUES (1, 1, 10)")
+    e.sql("CREATE MATERIALIZED VIEW amv AS " +
+      "SELECT g, MIN(v) AS lo, COUNT(*) AS n FROM at GROUP BY g")
+    // simulate the older stored layout: drop the aux dir on disk
+    val ver = new java.io.File(s"${e.baseDir}/matviews/amv")
+      .listFiles.filter(_.getName.startsWith("v=")).maxBy(_.getName)
+    val aux = new java.io.File(ver, "_graft_aux_lo")
+    assert(aux.exists)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+    }
+    rm(aux)
+    val err = intercept[IllegalStateException] {
+      e.sql("ALTER MATERIALIZED VIEW amv SET AUTOREFRESH ON")
+    }
+    assert(err.getMessage.contains("aux frames"), err.getMessage)
+    // the prescription works: full REFRESH rebuilds, ALTER passes
+    e.sql("REFRESH MATERIALIZED VIEW amv")
+    e.sql("ALTER MATERIALIZED VIEW amv SET AUTOREFRESH ON")
+    e.sql("INSERT INTO at VALUES (2, 1, 3)")
+    assert(rows(e, "SELECT lo FROM amv WHERE g = 1") === Seq(Row(3L)))
+    e.close()
+  }
+
   test("matview HAVING with trailing ORDER BY falls back to full rerun") {
     // ShapeRe's optional HAVING capture runs to end-of-statement, so
     // "HAVING sv > 15 ORDER BY g" is not a parseable predicate — the
