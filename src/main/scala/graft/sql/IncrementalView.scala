@@ -655,7 +655,20 @@ object IncrementalView {
   /** Aux population at CREATE / full REFRESH: per-(group keys, value)
     * live row counts over the already-WHERE-filtered base relation
     * (NULL values never count toward a distinct count or an extreme).
-    * Stored under `auxDir(alias)` inside the view's version dir. */
+    * Stored under `auxDir(alias)` inside the view's version dir.
+    *
+    * Cost model, stated honestly: the aux MERGE is O(touched) (the
+    * signed delta joins the stored aux on the view key), but the aux
+    * WRITE re-materializes the whole frame each refresh — the price
+    * of the versioned-dir swap that makes refresh crash-atomic (a new
+    * version must be self-contained; object stores cannot hard-link
+    * unchanged parts across versions). The frame's size is bounded by
+    * DISTINCT (group, value) pairs — typically orders of magnitude
+    * under the base table — and aggregates sharing a value expression
+    * share one frame. If a workload ever carries a near-unique value
+    * column under COUNT(DISTINCT)/MIN/MAX, the right escape is a
+    * bucketed manifest layout (rewrite touched hash-buckets, reference
+    * the rest) — noted as future work, not built. */
   def auxAggregate(base: DataFrame, keys: Seq[GroupKey],
       a: Agg): DataFrame =
     base.where(expr(auxExpr(a)).isNotNull)
