@@ -949,9 +949,11 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * serialized as part of the statement). A refresh failure must not
     * fail the statement whose write already committed: it is counted
     * (SHOW METRICS autorefresh_failed) and the view stays stale for
-    * the next statement or an explicit REFRESH. Only fully-retractable
-    * shapes can be flagged AUTOREFRESH, so the MIN/MAX/sketch gate can
-    * never fire here; the residual failure class is vacuumed horizons.
+    * the next statement or an explicit REFRESH. Only incrementally
+    * maintainable shapes can be flagged AUTOREFRESH, and every
+    * aggregate in them maintains under retraction (the sketch's
+    * touched-group recompute included), so no shape precondition can
+    * fire here; the residual failure class is vacuumed horizons.
     * Inside BEGIN..COMMIT, DML is buffered (horizons unchanged) and
     * the refresh lands after the COMMIT statement publishes. */
   private var inAutoRefresh = false
@@ -1326,51 +1328,64 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             val restrict = touchedRestrictor(t, r, horizon)
             val stored = spark.read.parquet(catalog.mviewDataPath(name, prev))
             val oldSide = restrict(stateAt(baseT, Some(r)))
-            // An HLL sketch unions but cannot retract, so an
-            // APPROX_COUNT_DISTINCT merge is exact ONLY when no
-            // touched pk CONTRIBUTED to the view at the old horizon.
-            // The probe applies the view's own WHERE: a touched
-            // pre-horizon row the predicate excluded contributed
-            // nothing, so its change lands like a fresh insert. One
-            // pruned limit-1 job, paid only by sketch-bearing views;
-            // tail-local churn (insert-then-update/delete since the
-            // horizon) passes, because only surviving new-state rows
-            // contribute. MIN/MAX no longer gate: they retract
-            // exactly through their aux frames (round 15).
-            if (sh.needsAppendGate &&
-                sh.where.fold(oldSide)(w => oldSide.where(expr(w)))
-                  .limit(1).count() > 0)
-              throw new IllegalStateException(
-                s"$name has APPROX_COUNT_DISTINCT aggregates, whose " +
-                  "sketch maintains " +
-                  "incrementally only while no row touched since the " +
-                  s"last refresh horizon @SEQ:$r was contributing to " +
-                  "the view then — such a row's update or delete can " +
-                  "retract the sketched value. Run " +
-                  "a full (non-incremental) REFRESH")
+            // An HLL sketch unions but cannot retract, so the
+            // APPROX_COUNT_DISTINCT merge is a plain sketch union ONLY
+            // when no touched pk CONTRIBUTED to the view at the old
+            // horizon. The probe applies the view's own WHERE: a
+            // touched pre-horizon row the predicate excluded
+            // contributed nothing, so its change lands like a fresh
+            // insert. One pruned limit-1 job, paid only by
+            // sketch-bearing views; tail-local churn (insert-then-
+            // update/delete since the horizon) stays on the union
+            // path, because only surviving new-state rows contribute.
+            // When the probe DOES find a contributing row (round 15 —
+            // previously a refusal gate), only the TOUCHED groups'
+            // sketches recompute from group-key-pruned current state
+            // (full-refresh semantics per touched group, O(touched
+            // groups' live rows)); untouched groups keep their stored
+            // sketch, so the refresh never re-aggregates the table.
+            // MIN/MAX never probe: they retract exactly through their
+            // aux frames.
+            val acds = IncrementalView.acdAggs(sh.aggs)
+            val acdRetracts = sh.hasAcd &&
+              sh.where.fold(oldSide)(w => oldSide.where(expr(w)))
+                .limit(1).count() > 0
             val newSide = restrict(stateAt(baseT, Some(horizon)))
             val cds = IncrementalView.auxAggs(sh.aggs)
-            // the delta frame feeds the main merge, every aux merge
-            // and every overlay's touched set — persist it across
-            // those consumers instead of re-running the touched state
-            // reads per plan, then release it with the writes done
+            // the delta frame feeds the main merge, every aux merge,
+            // every overlay's touched set and the ACD recompute's
+            // touched-group prune — persist it across those consumers
+            // instead of re-running the touched state reads per plan,
+            // then release it with the writes done
             val sdPin =
-              if (cds.isEmpty) None
+              if (cds.isEmpty && !acdRetracts) None
               else Some(
                 IncrementalView.signedDelta(stored, oldSide, newSide, sh)
                   .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
             // released in the finally: a refresh that throws mid-way
             // (job failure, missing aux frame) must not leak the pin
             try {
-              val (merged, auxWrites) = sdPin match {
+              val (merged0, auxWrites) = sdPin match {
                 case None =>
                   (IncrementalView.merge(stored, oldSide, newSide, sh),
                     Seq.empty[(String, DataFrame)])
+                case Some(sd) if cds.isEmpty =>
+                  (IncrementalView.mergeSigned(stored, sd, sh.groupCols,
+                    sh.aggs), Seq.empty[(String, DataFrame)])
                 case Some(sd) =>
                   mergeWithAux(name, prev,
                     IncrementalView.mergeSigned(stored, sd, sh.groupCols, sh.aggs),
                     sd, sh.groupCols, cds)
               }
+              val merged =
+                if (!acdRetracts) merged0
+                else IncrementalView.overlayAcd(merged0,
+                  IncrementalView.recomputeAcd(
+                    pruneToTouchedGroups(
+                      sh.filtered(stateAt(baseT, Some(horizon))),
+                      sdPin.get, sh),
+                    sh.groupKeys, acds),
+                  sdPin.get, sh.groupCols, acds)
               tracer.span("mview-write") {
                 encrypted(merged.write).mode("overwrite")
                   .parquet(catalog.mviewDataPath(name, prev + 1))
@@ -1392,7 +1407,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             //   ΔA⋈B_new + A_new⋈ΔB − ΔA⋈ΔB)
             // over the touched rows of each side — exact under
             // ARBITRARY updates/deletes (join views carry only
-            // retractable aggregates), so no append gate applies.
+            // retractable aggregates; ACD never parses into the
+            // join shape), so no old-side probe applies.
             // Each Δ side is touched-pk-restricted like the
             // single-table path; every delta term carries at least
             // one Δ side, and for two-table views each FULL side
@@ -1697,7 +1713,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       import spark.implicits._
       // one reentrant refresh per view, alphabetical; with
       // INCREMENTALLY, maintainable views merge their deltas and a
-      // refused merge (gate trip, vacuumed or recreated horizon)
+      // refused merge (vacuumed or recreated horizon)
       // falls back to a FULL refresh — the operator asked for
       // everything fresh, not for errors
       val rows = catalog.matviewList.map(_._1).sorted.map { n =>
@@ -1736,19 +1752,20 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         throw new IllegalArgumentException(
           "AUTOREFRESH EVERY must be at least 1 event")
       if (on) {
-        // only fully-RETRACTABLE shapes qualify: a sketch view's gate
-        // can refuse mid-DML, and an auto refresh must never be able
-        // to fail a statement that already committed
+        // only incrementally MAINTAINABLE shapes qualify — since round
+        // 15 that includes APPROX_COUNT_DISTINCT views (a retraction
+        // dispatches to the touched-group sketch recompute instead of
+        // refusing), so an auto refresh can never fail a statement
+        // that already committed
         val viewSql = catalog.getView(name).get
-        val retractable = incShapeOf(viewSql).exists(!_.needsAppendGate) ||
+        val retractable = incShapeOf(viewSql).isDefined ||
           joinShapeOf(viewSql).isDefined
         if (!retractable)
           throw new IllegalArgumentException(
             s"$name cannot AUTOREFRESH: only incrementally maintainable " +
-              "views whose aggregates all retract (COUNT/SUM/AVG/" +
-              "COUNT(DISTINCT)/MIN/MAX, single-table or join shape) " +
-              "qualify — APPROX_COUNT_DISTINCT views need a gated " +
-              "explicit REFRESH INCREMENTALLY")
+              "views (COUNT/SUM/AVG/COUNT(DISTINCT)/MIN/MAX/" +
+              "APPROX_COUNT_DISTINCT, single-table or join shape) " +
+              "qualify — this view refreshes by full rerun")
         // without recorded horizons the due check can never fire and
         // the flag would be silently inert (e.g. a view stored by an
         // older engine as full-rerun)
@@ -4529,6 +4546,45 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       case Some(ks) => state.where(col(t.pk).isin(ks: _*))
       case None => state.join(touched,
         col(t.pk).cast("string") === touched("pk"), "left_semi")
+    }
+  }
+
+  /** Restrict a view's WHERE-filtered base state to (a superset of)
+    * the rows of the GROUPS the signed delta touches — the ACD
+    * retraction recompute's input. A single-key view inlines the
+    * touched key VALUES (≤ InlineKeyCap) so a bare-column key prunes
+    * the scan's row groups by pushdown; `isin` never matches NULL, so
+    * a NULL touched key adds the isNull arm. Multi-key, computed-key
+    * and past-the-cap views take a null-safe left-semi join on the
+    * evaluated key expressions — exact and never collecting. Either
+    * way the overlay's touched flag decides which groups actually
+    * rewrite, so a superset here costs compute, never correctness. */
+  private def pruneToTouchedGroups(state: DataFrame, sd: DataFrame,
+      sh: IncrementalView.Shape): DataFrame = {
+    val touched = sd.select(sh.groupCols.map(col): _*).distinct()
+    val inlined: Option[DataFrame] = sh.groupKeys match {
+      case Seq(k) =>
+        val vals = tracer.span("acd-touched-groups") {
+          touched.limit(InlineKeyCap + 1).collect().map(_.get(0)).toIndexedSeq
+        }
+        if (vals.length > InlineKeyCap) None
+        else {
+          val (nulls, nonNull) = vals.partition(_ == null)
+          val e = expr(k.e)
+          val base = if (nonNull.nonEmpty) e.isin(nonNull: _*) else lit(false)
+          Some(state.where(if (nulls.nonEmpty) base || e.isNull else base))
+        }
+      case _ => None
+    }
+    inlined.getOrElse {
+      // rename the touched keys out of the state's namespace so the
+      // key EXPRESSIONS (which may be the same bare identifiers)
+      // resolve against the state side only
+      val tg = touched.select(sh.groupCols.map(c =>
+        col(c).as(s"__tg_$c")): _*)
+      val cond = sh.groupKeys.map(k =>
+        expr(k.e) <=> col(s"__tg_${k.alias}")).reduce(_ && _)
+      state.join(tg, cond, "left_semi")
     }
   }
 

@@ -427,20 +427,22 @@ object EngineSql {
     e.sql("SELECT grp, n, nv, av FROM va ORDER BY grp")
   }
 
-  /** APPROX_COUNT_DISTINCT incremental maintenance (round 14): the
+  /** APPROX_COUNT_DISTINCT incremental maintenance (round 14; fully
+    * retractable since round 15): the
     * view stores a hidden mergeable DataSketches HLL sketch and
-    * surfaces its estimate; refresh unions only the touched rows'
-    * new-state sketch (max-per-register — order-free, so the estimate
-    * equals a full refresh exactly) under the append-mostly gate (a
-    * sketch cannot retract a value — since round 15 the ONE gated
-    * aggregate, MIN/MAX having moved to exact aux-frame retraction).
+    * surfaces its estimate. An append-shaped refresh unions only the
+    * touched rows' new-state sketch (max-per-register — order-free, so
+    * the estimate equals a full refresh exactly); when a touched row
+    * WAS contributing at the old horizon — this workload updates and
+    * deletes PRE-horizon rows — the sketch cannot retract it, so the
+    * refresh recomputes only the TOUCHED groups' sketches from
+    * group-key-pruned current state (full-refresh semantics per
+    * touched group; until round 15 such a refresh refused outright).
     * The fixture bounds each group's cardinality well
     * inside the sketch's exact sparse mode, so the estimate equals
     * COUNT(DISTINCT) — which is what the oracle states (DuckDB has no
     * DataSketches HLL; the in-engine full-vs-incremental equality is
-    * spec-asserted separately). Tail churn only (update/delete of
-    * rows inserted after the horizon) — a pre-horizon touch would
-    * trip the gate. */
+    * spec-asserted separately). */
   val qMatViewAcd = Q(
     "q_matview_acd",
     """WITH src AS (
@@ -453,8 +455,8 @@ object EngineSql {
       |  WHERE c_custkey < 400 OR c_custkey BETWEEN 1000 AND 1099),
       |post AS (
       |  SELECT k, grp,
-      |         CASE WHEN k >= 1000 AND k % 13 = 0 THEN v + 7 ELSE v END AS v
-      |  FROM src WHERE NOT (k >= 1000 AND k % 17 = 0))
+      |         CASE WHEN k % 13 = 0 THEN v + 7 ELSE v END AS v
+      |  FROM src WHERE k % 17 <> 0)
       |SELECT grp, CAST(COUNT(DISTINCT v) AS BIGINT) AS dv,
       |       CAST(COUNT(*) AS BIGINT) AS n
       |FROM post GROUP BY grp ORDER BY grp""".stripMargin) { (s, dir) =>
@@ -476,8 +478,11 @@ object EngineSql {
             |            ELSE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) % 500
             |       END
             |FROM customer WHERE c_custkey BETWEEN 1000 AND 1099""".stripMargin)
-    e.sql("UPDATE ctab SET v = v + 7 WHERE k >= 1000 AND k % 13 = 0")
-    e.sql("DELETE FROM ctab WHERE k >= 1000 AND k % 17 = 0")
+    // PRE-horizon churn: k % 13 / k % 17 touch rows of the FIRST batch
+    // too, so this refresh exercises the retraction recompute, not
+    // just the sketch union
+    e.sql("UPDATE ctab SET v = v + 7 WHERE k % 13 = 0")
+    e.sql("DELETE FROM ctab WHERE k % 17 = 0")
     e.sql("REFRESH MATERIALIZED VIEW vcd INCREMENTALLY")
     e.sql("SELECT grp, dv, n FROM vcd ORDER BY grp")
   }

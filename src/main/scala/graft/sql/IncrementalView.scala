@@ -43,15 +43,22 @@ import org.apache.spark.sql.functions._
   * append precondition. (Rounds 13–14 instead gated MIN/MAX behind an
   * every-touched-pk-is-new probe; the aux frame deleted that gate and
   * its per-refresh probe job, and made MIN/MAX views AUTOREFRESH-able.)
-  * APPROX_COUNT_DISTINCT is the one aggregate still gated: the view
-  * stores a hidden
+  * APPROX_COUNT_DISTINCT stores a hidden
   * mergeable DataSketches HLL sketch (`__graft_hll_<alias>`) and the
   * visible column is its estimate; inserts union into the sketch
   * (max-per-register — commutative and order-free, so the ESTIMATE of
   * an incremental union equals the full-refresh estimate exactly,
-  * even though serialized sketch BYTES are partition-order-dependent),
-  * but a sketch cannot retract a value, hence the append-mostly
-  * precondition. This is the one aggregate here whose maintainable
+  * even though serialized sketch BYTES are partition-order-dependent).
+  * A sketch cannot RETRACT a value, so the engine probes the refresh's
+  * old side: when no touched row was contributing at the old horizon
+  * (the common append path) the cheap union stands, and when one was,
+  * only the TOUCHED groups' sketches recompute from group-key-pruned
+  * current state (recomputeAcd/overlayAcd — full-refresh semantics per
+  * touched group, O(touched groups' live rows), untouched groups never
+  * re-scan). Until round 15 that probe was a refusal gate; the
+  * recompute dispatch deleted the gate, so every aggregate in the
+  * shape now maintains under arbitrary updates and deletes. This is
+  * the one aggregate here whose maintainable
   * form differs from the full-rerun form: non-maintainable views
   * evaluate APPROX_COUNT_DISTINCT with Spark's HLL++ while this shape
   * uses the DataSketches HLL (the mergeable-state requirement);
@@ -109,11 +116,13 @@ object IncrementalView {
       * consume (hand-rolled copies could drift). */
     def filtered(state: DataFrame): DataFrame =
       where.fold(state)(w => state.where(expr(w)))
-    /** Only APPROX_COUNT_DISTINCT carries the extra maintenance
-      * precondition (a sketch cannot retract a value; see merge).
-      * MIN/MAX retract exactly through their aux frames (round 15),
-      * like COUNT(DISTINCT). */
-    def needsAppendGate: Boolean = aggs.exists {
+    /** Only APPROX_COUNT_DISTINCT pays the refresh-time old-side
+      * probe (a sketch cannot retract a value, so a refresh that
+      * touches a contributing pre-horizon row dispatches to the
+      * touched-group recompute instead of the sketch union; see
+      * recomputeAcd). MIN/MAX retract exactly through their aux
+      * frames (round 15), like COUNT(DISTINCT). */
+    def hasAcd: Boolean = aggs.exists {
       case _: AcdExpr => true
       case _ => false
     }
@@ -739,6 +748,69 @@ object IncrementalView {
             when(col("__cdt"), coalesce(col(valueCol(a)), absent(a)))
               .otherwise(col(s"m.$c")).cast(main.schema(c).dataType).as(c)
           case None => col(s"m.$c")
+        }
+      }: _*)
+  }
+
+  // --------------------------- APPROX_COUNT_DISTINCT retraction path
+
+  /** The shape's APPROX_COUNT_DISTINCT aggregates. */
+  def acdAggs(aggs: Seq[Agg]): Seq[AcdExpr] =
+    aggs.collect { case a: AcdExpr => a }
+
+  private def acdSketchCol(alias: String): String = s"__acd_sk_$alias"
+
+  /** Re-aggregate the ACD sketches of the TOUCHED groups from current
+    * state: `prunedState` is the view's WHERE-filtered base relation,
+    * engine-restricted to (a superset of) the touched groups' rows —
+    * the identical `hll_sketch_agg` the full aggregation runs, so an
+    * overlaid group's sketch and estimate equal a full refresh's by
+    * construction (a group whose values are all NULL re-derives the
+    * empty sketch / estimate 0, same as CREATE). Extra untouched
+    * groups in the superset are computed and then ignored by the
+    * overlay's touched flag. */
+  def recomputeAcd(prunedState: DataFrame, keys: Seq[GroupKey],
+      acds: Seq[AcdExpr]): DataFrame = {
+    require(acds.nonEmpty, "recomputeAcd needs at least one aggregate")
+    val aggCols = acds.map(a =>
+      hll_sketch_agg(expr(a.e)).as(acdSketchCol(a.alias)))
+    prunedState
+      .groupBy(keys.map(k => expr(k.e).as(k.alias)): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Overlay the recomputed ACD sketches and estimates onto the merged
+    * main frame — TOUCHED groups only (the signed delta's group keys):
+    * a retraction invalidates only the groups the delta touches, so
+    * untouched groups keep their stored sketch and estimate and the
+    * overlay is O(touched). A touched group absent from `recomputed`
+    * has zero surviving rows and already vanished from the merge
+    * (live-row count 0), so the left join's NULL arm never surfaces. */
+  def overlayAcd(main: DataFrame, recomputed: DataFrame,
+      signedRows: DataFrame, groupCols: Seq[String],
+      acds: Seq[AcdExpr]): DataFrame = {
+    require(acds.nonEmpty, "overlayAcd needs at least one aggregate")
+    val touched = signedRows.select(groupCols.map(col): _*).distinct()
+    def keyCond(l: String, r: String) = groupCols
+      .map(g => col(s"$l.$g") <=> col(s"$r.$g")).reduce(_ && _)
+    val byVisible = acds.map(a => a.alias -> a).toMap
+    val bySketch = acds.map(a => sketchCol(a.alias) -> a).toMap
+    val flagged = touched.withColumn("__acdt", lit(true))
+    main.alias("m")
+      .join(flagged.alias("f"), keyCond("m", "f"), "left_outer")
+      .join(recomputed.alias("c"), keyCond("m", "c"), "left_outer")
+      .select(main.columns.toSeq.map { c =>
+        byVisible.get(c) match {
+          case Some(a) =>
+            when(col("__acdt"),
+              hll_sketch_estimate(col(s"c.${acdSketchCol(a.alias)}")))
+              .otherwise(col(s"m.$c")).cast(main.schema(c).dataType).as(c)
+          case None => bySketch.get(c) match {
+            case Some(a) =>
+              when(col("__acdt"), col(s"c.${acdSketchCol(a.alias)}"))
+                .otherwise(col(s"m.$c")).as(c)
+            case None => col(s"m.$c")
+          }
         }
       }: _*)
   }

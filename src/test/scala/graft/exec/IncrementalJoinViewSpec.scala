@@ -334,13 +334,25 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     e.sql("INSERT INTO item VALUES (15,2,999)")
     assert(e.sql("SELECT m FROM mm ORDER BY m DESC").collect().head.getLong(0)
       === 999L, "MIN/MAX join view must autorefresh")
-    // the sketch-gated APPROX_COUNT_DISTINCT view still cannot be
-    // flagged: its gate can refuse mid-DML
+    // an APPROX_COUNT_DISTINCT view is flaggable since round 15 (a
+    // retraction dispatches to the touched-group sketch recompute
+    // instead of refusing); a full-rerun view still is not
     e.sql("""CREATE MATERIALIZED VIEW acdv AS
             |SELECT ok, APPROX_COUNT_DISTINCT(qty) AS d
             |FROM item GROUP BY ok""".stripMargin)
+    e.sql("ALTER MATERIALIZED VIEW acdv SET AUTOREFRESH ON")
+    e.sql("INSERT INTO item VALUES (16,2,7), (17,2,7)")
+    assert(e.sql("SELECT d FROM acdv WHERE ok = 2").collect().head.getLong(0)
+      === e.sql(
+        """SELECT CAST(hll_sketch_estimate(hll_sketch_agg(qty)) AS BIGINT)
+          |FROM item WHERE ok = 2""".stripMargin).collect().head.getLong(0),
+      "ACD view must autorefresh")
+    e.sql("""CREATE MATERIALIZED VIEW fr AS
+            |SELECT status, COUNT(*) AS n
+            |FROM item JOIN ord ON ord.k = item.ok GROUP BY status
+            |HAVING COUNT(*) >= 1""".stripMargin)
     val err = intercept[IllegalArgumentException] {
-      e.sql("ALTER MATERIALIZED VIEW acdv SET AUTOREFRESH ON")
+      e.sql("ALTER MATERIALIZED VIEW fr SET AUTOREFRESH ON")
     }
     assert(err.getMessage.contains("AUTOREFRESH"), err.getMessage)
     e.close()
@@ -536,16 +548,19 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     e.sql("""CREATE MATERIALIZED VIEW r_acd AS
             |SELECT grp, APPROX_COUNT_DISTINCT(v) AS d FROM t GROUP BY grp""".stripMargin)
     // churn incl. a PRE-horizon update: since round 15 r_mm's MIN/MAX
-    // retract through the aux frame and merge incrementally; the
-    // sketch-gated r_acd trips its gate — REFRESH ALL must fall back
-    // to a full refresh for it alone
+    // retract through the aux frame, and r_acd's retraction dispatches
+    // to the touched-group sketch recompute — every maintainable view
+    // merges incrementally; only the full-rerun shape reruns
     e.sql("INSERT INTO t VALUES (3,'a',5)")
     e.sql("UPDATE t SET v = 99 WHERE k = 1")
     val ops = e.sql("REFRESH ALL MATERIALIZED VIEWS INCREMENTALLY")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(ops === Map("r_inc" -> "refreshed_incremental",
       "r_mm" -> "refreshed_incremental",
-      "r_acd" -> "refreshed_full_fallback", "r_full" -> "refreshed"), ops)
+      "r_acd" -> "refreshed_incremental", "r_full" -> "refreshed"), ops)
+    assert(e.sql("SELECT grp, d FROM r_acd ORDER BY grp")
+      .collect().map(_.toString).toSeq === Seq("[a,2]", "[b,1]"),
+      "retracted 10 must leave {99,5} for a")
     assert(e.sql("SELECT grp, n, sv FROM r_inc ORDER BY grp")
       .collect().map(_.toString).toSeq === Seq("[a,2,104]", "[b,1,20]"))
     assert(e.sql("SELECT grp, m FROM r_mm ORDER BY grp")

@@ -287,7 +287,16 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
     e.close()
   }
 
-  test("random tail-insert workload: sketch-gated incremental equals full recompute") {
+  test("random arbitrary-churn workload: sketch view incremental equals full recompute") {
+    // APPROX_COUNT_DISTINCT rides alongside MIN/MAX/COUNT/SUM under
+    // fully random DML — pre-horizon updates and deletes included.
+    // Each refresh dispatches on the old-side probe: sketch union when
+    // nothing retracted, touched-group sketch recompute when something
+    // did (round 15 — previously a retracting batch REFUSED and needed
+    // a full refresh). Every batch must merge INCREMENTALLY (asserted
+    // on the op string — no silent full-refresh fallback) and the
+    // estimate must equal the from-scratch mergeable-sketch
+    // expression's.
     val e = QueryEngine.scratch(spark)
     e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
     e.sql("""CREATE MATERIALIZED VIEW mm AS
@@ -297,19 +306,12 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
 
     val rnd = new scala.util.Random(0xBEEF) // deterministic workload
     var nextKey = 0L
-    // keys inserted since the LAST refresh — the only rows a tail-safe
-    // workload may update or delete before the next refresh
-    val tail = scala.collection.mutable.Set.empty[Long]
-    // live keys behind the horizon that CONTRIBUTE to the view there
-    // (touching one must trip the gate — a 0-row UPDATE of a deleted
-    // key emits no event, and the gate deliberately passes keys the
-    // view's WHERE excluded at the horizon: those maintain like fresh
-    // inserts)
-    var preContributing = Set.empty[Long]
+    val live = scala.collection.mutable.Set.empty[Long]
     val groups = Vector("a", "b", "c")
 
     // dv is stated as the SAME mergeable-sketch expression the view
-    // stores — union order must never change the estimate
+    // stores — union order must never change the estimate, and a
+    // recomputed touched group re-derives this exact value
     def freshView(): Set[String] =
       e.sql("""SELECT grp, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n,
               |       SUM(v) AS sv,
@@ -319,11 +321,11 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
     def mm(): Set[String] =
       e.sql("SELECT grp, lo, hi, n, sv, dv FROM mm").collect().map(_.toString).toSet
 
-    for (batch <- 1 to 10) {
+    for (batch <- 1 to 12) {
       for (_ <- 0 until (2 + rnd.nextInt(3))) rnd.nextInt(4) match {
         case 0 | 3 => // insert 1-3 rows: extremes, NULLs, WHERE-excluded
           val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
-            nextKey += 1; tail += nextKey
+            nextKey += 1; live += nextKey
             val v = rnd.nextInt(5) match {
               case 0 => "NULL"
               case 1 => (900 + rnd.nextInt(100)).toString
@@ -333,36 +335,22 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
             s"($nextKey, '${groups(rnd.nextInt(groups.size))}', $v)"
           }
           e.sql(s"INSERT INTO t VALUES ${rows.mkString(", ")}")
-        case 1 if tail.nonEmpty => // tail-local update (allowed)
-          val k = tail.toSeq(rnd.nextInt(tail.size))
+        case 1 if live.nonEmpty => // update ANY live row — a pre-horizon
+          // contributing one retracts its sketched value
+          val k = live.toSeq(rnd.nextInt(live.size))
           val v = if (rnd.nextBoolean()) "NULL" else rnd.nextInt(1000).toString
-          e.sql(s"UPDATE t SET v = $v WHERE k = $k")
-        case 2 if tail.nonEmpty => // tail-local delete (allowed)
-          val k = tail.toSeq(rnd.nextInt(tail.size)); tail -= k
+          val g = groups(rnd.nextInt(groups.size))
+          e.sql(s"UPDATE t SET grp = '$g', v = $v WHERE k = $k")
+        case 2 if live.nonEmpty => // delete ANY live row — the last
+          // holder of a value must drop it from the distinct estimate
+          val k = live.toSeq(rnd.nextInt(live.size)); live -= k
           e.sql(s"DELETE FROM t WHERE k = $k")
         case _ => ()
       }
-      // every third batch, also touch a pre-horizon CONTRIBUTING key
-      // first: the incremental refresh must refuse and a full refresh
-      // recover
-      if (batch % 3 == 0 && preContributing.nonEmpty) {
-        val k = preContributing.toSeq(rnd.nextInt(preContributing.size))
-        e.sql(s"UPDATE t SET v = ${rnd.nextInt(899)} WHERE k = $k")
-        val err = intercept[IllegalStateException] {
-          e.sql("REFRESH MATERIALIZED VIEW mm INCREMENTALLY")
-        }
-        assert(err.getMessage.contains("APPROX_COUNT_DISTINCT"),
-          s"batch $batch: $err")
-        e.sql("REFRESH MATERIALIZED VIEW mm")
-      } else {
-        e.sql("REFRESH MATERIALIZED VIEW mm INCREMENTALLY")
-      }
+      val op = e.sql("REFRESH MATERIALIZED VIEW mm INCREMENTALLY")
+        .collect().head.getString(0)
+      assert(op === "refreshed_incremental", s"batch $batch fell back: $op")
       assert(mm() === freshView(), s"diverged after batch $batch")
-      // re-snapshot the contributing set AT the new horizon
-      preContributing = e.sql(
-          "SELECT k FROM t WHERE v IS NULL OR v < 900")
-        .collect().map(_.getLong(0)).toSet
-      tail.clear()
     }
     e.close()
   }

@@ -177,25 +177,26 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(parse("SELECT a, b, COUNT(c) AS n FROM t GROUP BY a, b")
       .exists(_.groupCols == Seq("a", "b")))
     // MIN/MAX parse into the shape, aux-frame-backed and fully
-    // retractable since round 15 — no append gate
+    // retractable since round 15 — no retraction probe
     assert(parse("SELECT grp, MAX(v) AS m FROM t GROUP BY grp")
-      .exists(s => !s.needsAppendGate && s.aggs.size == 1))
+      .exists(s => !s.hasAcd && s.aggs.size == 1))
     assert(parse("SELECT grp, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n " +
-      "FROM t GROUP BY grp").exists(s => !s.needsAppendGate && s.aggs.size == 3))
+      "FROM t GROUP BY grp").exists(s => !s.hasAcd && s.aggs.size == 3))
     // AVG maintains through the hidden SUM/COUNT rewrite
     assert(parse("SELECT grp, AVG(v) AS m FROM t GROUP BY grp")
-      .exists(s => !s.needsAppendGate && s.aggs.size == 1))
+      .exists(s => !s.hasAcd && s.aggs.size == 1))
     assert(parse("SELECT grp, AVG(DISTINCT v) AS m FROM t GROUP BY grp").isEmpty)
     assert(parse("SELECT grp, SUM(DISTINCT v) AS m FROM t GROUP BY grp").isEmpty)
     // COUNT(DISTINCT) maintains exactly via the hidden aux frame —
-    // retractable, so no append gate
+    // retractable, no probe
     assert(parse("SELECT grp, COUNT(DISTINCT v) AS m FROM t GROUP BY grp")
-      .exists(s => !s.needsAppendGate && s.aggs.size == 1))
+      .exists(s => !s.hasAcd && s.aggs.size == 1))
     // APPROX_COUNT_DISTINCT is the mergeable-sketch path: the ONE
-    // still-gated aggregate (a sketch cannot retract), and NOT caught
+    // aggregate whose refresh probes the old side (union vs
+    // touched-group recompute dispatch), and NOT caught
     // by the DISTINCT-keyword rejection (targets `(DISTINCT ...` only)
     assert(parse("SELECT grp, APPROX_COUNT_DISTINCT(v) AS dv FROM t GROUP BY grp")
-      .exists(s => s.needsAppendGate && s.aggs.size == 1))
+      .exists(s => s.hasAcd && s.aggs.size == 1))
     // computed group keys: a row expression with an alias, stated by
     // ALIAS in GROUP BY; aggregate calls cannot be group keys
     assert(parse("SELECT v % 5 AS bucket, COUNT(*) AS n FROM t GROUP BY bucket")
@@ -408,7 +409,7 @@ class IncrementalViewSpec extends AnyFunSuite {
     e.close()
   }
 
-  test("APPROX_COUNT_DISTINCT maintains via sketch union under tail inserts") {
+  test("APPROX_COUNT_DISTINCT maintains under tail inserts AND retraction") {
     val e = QueryEngine.scratch(spark)
     e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
     e.sql("INSERT INTO t VALUES (1,'a',10), (2,'a',10), (3,'a',20), (4,'b',NULL)")
@@ -439,18 +440,68 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(view() === fresh())
     assert(view().exists(_.startsWith("[a,3,")), "cross-horizon dup counted once")
 
-    // a pre-horizon contributing row's touch must trip the gate (the
-    // sketch cannot retract its value)
+    // a pre-horizon contributing row's touch RETRACTS a sketched
+    // value — since round 15 the refresh recomputes the touched
+    // groups' sketches from group-pruned current state instead of
+    // refusing: k=1,2 both held v=10, the update leaves one 10 and a
+    // fresh 99, so group a's count must NOT drop
     e.sql("UPDATE t SET v = 99 WHERE k = 1")
-    val err = intercept[IllegalStateException] {
-      e.sql("REFRESH MATERIALIZED VIEW vc INCREMENTALLY")
-    }
-    assert(err.getMessage.contains("APPROX_COUNT_DISTINCT"), err.getMessage)
-    // recovery: full refresh re-anchors, maintenance resumes
-    e.sql("REFRESH MATERIALIZED VIEW vc")
+    val r2 = e.sql("REFRESH MATERIALIZED VIEW vc INCREMENTALLY").collect().head
+    assert(r2.getString(0) === "refreshed_incremental")
     assert(view() === fresh())
-    e.sql("INSERT INTO t VALUES (9,'b',7)")
+    assert(view().exists(_.startsWith("[a,4,")), "10,30,99 + the other 10 dup")
+    // deleting the LAST row holding a value retracts it for real
+    e.sql("DELETE FROM t WHERE k = 6") // group a's only v=30
     e.sql("REFRESH MATERIALIZED VIEW vc INCREMENTALLY")
+    assert(view() === fresh())
+    assert(view().exists(_.startsWith("[a,3,")), "30 retracted")
+    // untouched groups keep their stored sketch; a touched group whose
+    // rows all go away vanishes entirely
+    e.sql("INSERT INTO t VALUES (10,'c',1)")
+    e.sql("REFRESH MATERIALIZED VIEW vc INCREMENTALLY")
+    e.sql("DELETE FROM t WHERE grp = 'c'")
+    e.sql("REFRESH MATERIALIZED VIEW vc INCREMENTALLY")
+    assert(view() === fresh())
+    assert(!view().exists(_.startsWith("[c,")), "emptied group must vanish")
+    // a retracted-to-all-NULL group re-derives the empty sketch
+    e.sql("UPDATE t SET v = NULL WHERE grp = 'b'")
+    e.sql("REFRESH MATERIALIZED VIEW vc INCREMENTALLY")
+    assert(view() === fresh())
+    assert(view().exists(_.startsWith("[b,0,")), "all-NULL group estimates 0")
+    // maintenance keeps going after a retraction refresh (horizons
+    // re-anchored correctly — no double-applied delta)
+    e.sql("INSERT INTO t VALUES (11,'b',7)")
+    e.sql("REFRESH MATERIALIZED VIEW vc INCREMENTALLY")
+    assert(view() === fresh())
+    e.close()
+  }
+
+  test("ACD retraction recompute prunes its scan and AUTOREFRESHes") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    e.sql("INSERT INTO t VALUES (1,'a',10), (2,'a',20), (3,'b',30), (4,'b',40)")
+    // WHERE + computed group key: the semi-join prune path (no single
+    // bare key to inline) and the WHERE must apply before recompute
+    e.sql("""CREATE MATERIALIZED VIEW vp AS
+            |SELECT grp, k % 2 AS par, APPROX_COUNT_DISTINCT(v) AS dv
+            |FROM t WHERE v < 1000 GROUP BY grp, par""".stripMargin)
+    def fresh(): Set[String] =
+      e.sql("""SELECT grp, k % 2 AS par,
+              |hll_sketch_estimate(hll_sketch_agg(v)) AS dv
+              |FROM t WHERE v < 1000 GROUP BY grp, par""".stripMargin)
+        .collect().map(_.toString).toSet
+    def view(): Set[String] =
+      e.sql("SELECT grp, par, dv FROM vp").collect().map(_.toString).toSet
+    // ACD views AUTOREFRESH since round 15 (a retraction can no longer
+    // fail the refresh)
+    e.sql("ALTER MATERIALIZED VIEW vp SET AUTOREFRESH ON")
+    e.sql("UPDATE t SET v = 11 WHERE k = 1") // pre-horizon retraction
+    assert(view() === fresh(), "autorefresh applied the retraction")
+    // a row leaving the WHERE retracts like a delete; one entering
+    // lands like an insert
+    e.sql("UPDATE t SET v = 5000 WHERE k = 3")
+    assert(view() === fresh())
+    e.sql("UPDATE t SET v = 40 WHERE k = 3") // duplicate of k=4's value
     assert(view() === fresh())
     e.close()
   }
