@@ -4449,6 +4449,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     val sumAvgExprs = aggs.collect {
       case IncrementalView.SumExpr(e, _) => e
       case IncrementalView.AvgExpr(e, _) => e
+      // a set-sum over doubles is just as order-dependent as a bag-sum
+      case IncrementalView.SumDistinctExpr(e, _) => e
+      case IncrementalView.AvgDistinctExpr(e, _) => e
     }
     sumAvgExprs.nonEmpty && {
       val frame = scala.util.Try(base)

@@ -715,14 +715,20 @@ object EngineSql {
     e.sql("SELECT b, n, sv FROM emv ORDER BY b")
   }
 
-  /** Exact COUNT(DISTINCT) maintenance (round 14): the view carries a
+  /** Exact COUNT(DISTINCT) + SUM/AVG(DISTINCT) maintenance (round 14;
+    * SUM/AVG(DISTINCT) round 15): the view carries a
     * hidden per-(group, value) aux frame — the two-level IVM
-    * reduction — so distinct counts RETRACT exactly under deletes and
-    * updates (the case the gated sketch cannot maintain): deleting
-    * one of two rows sharing a value must not drop the count. The
+    * reduction — so distinct counts AND distinct sums RETRACT exactly
+    * under deletes and
+    * updates (the case a sketch cannot maintain): deleting
+    * one of two rows sharing a value must drop neither the count nor
+    * the sum contribution. The
     * fixture's cents%50 values guarantee heavy duplication, updates
     * shift values within groups, and deletes remove both last-copies
-    * and redundant copies. Oracle recomputes from scratch. */
+    * and redundant copies. AVG(DISTINCT) surfaces as ONE division of
+    * the exact distinct sum over the exact distinct count (the
+    * q_matview_avg discipline — deterministic IEEE over exact
+    * integers). Oracle recomputes from scratch. */
   val qMatViewCd = Q(
     "q_matview_cd",
     """WITH src AS (
@@ -734,6 +740,8 @@ object EngineSql {
       |  SELECT k, g, CASE WHEN k % 11 = 0 THEN v + 3 ELSE v END AS v
       |  FROM src WHERE k % 7 <> 0)
       |SELECT g, CAST(COUNT(DISTINCT v) AS BIGINT) AS d,
+      |       CAST(SUM(DISTINCT v) AS BIGINT) AS sd,
+      |       CAST(SUM(DISTINCT v) AS DOUBLE) / COUNT(DISTINCT v) AS ad,
       |       CAST(COUNT(*) AS BIGINT) AS n
       |FROM post GROUP BY g ORDER BY g""".stripMargin) { (s, dir) =>
     val e = QueryEngine.scratch(s)
@@ -744,7 +752,8 @@ object EngineSql {
             |       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) % 50
             |FROM customer WHERE c_custkey < 400""".stripMargin)
     e.sql("""CREATE MATERIALIZED VIEW cdv AS
-            |SELECT g, COUNT(DISTINCT v) AS d, COUNT(*) AS n
+            |SELECT g, COUNT(DISTINCT v) AS d, SUM(DISTINCT v) AS sd,
+            |       AVG(DISTINCT v) AS ad, COUNT(*) AS n
             |FROM cdt GROUP BY g""".stripMargin)
     e.sql("""INSERT INTO cdt
             |SELECT c_custkey, c_nationkey % 5,
@@ -753,7 +762,7 @@ object EngineSql {
     e.sql("UPDATE cdt SET v = v + 3 WHERE k % 11 = 0")
     e.sql("DELETE FROM cdt WHERE k % 7 = 0")
     e.sql("REFRESH MATERIALIZED VIEW cdv INCREMENTALLY")
-    e.sql("SELECT g, d, n FROM cdv ORDER BY g")
+    e.sql("SELECT g, d, sd, ad, n FROM cdv ORDER BY g")
   }
 
   /** SHOW MATERIALIZED VIEWS (round 14): the operator's staleness

@@ -91,9 +91,19 @@ object IncrementalView {
     * reduction. The aux is itself a self-maintainable COUNT(*) view
     * (a value's per-group support can be subtracted as well as
     * added), and the visible column is the aux's per-group row count.
-    * Fully retractable — no append gate — unlike the sketch-backed
-    * APPROX_COUNT_DISTINCT. */
+    * Fully retractable, like every aux-backed aggregate. */
   final case class CountDistinctExpr(e: String, alias: String) extends Agg
+  /** Exact SUM(DISTINCT e) / AVG(DISTINCT e) (round 15): aux-backed
+    * like COUNT(DISTINCT) — the aux's per-(group, value) rows ARE the
+    * group's surviving distinct-value set, so the overlay re-derives
+    * the sum (or the single sum/count division) over them. Exactly
+    * retractable: a delete that removes a value's last live row drops
+    * its aux entry and the recomputed sum no longer includes it.
+    * Integer/DECIMAL inputs only (the engine's float gate routes
+    * FLOAT/DOUBLE to full rerun, same as plain SUM/AVG — a set-sum
+    * over doubles is still order-dependent). */
+  final case class SumDistinctExpr(e: String, alias: String) extends Agg
+  final case class AvgDistinctExpr(e: String, alias: String) extends Agg
   final case class MinExpr(e: String, alias: String) extends Agg
   final case class MaxExpr(e: String, alias: String) extends Agg
   final case class AcdExpr(e: String, alias: String) extends Agg
@@ -139,7 +149,8 @@ object IncrementalView {
     * aggregates: the inclusion-exclusion signed delta (see
     * joinSignedDelta) subtracts as well as adds, so it is exact under
     * arbitrary updates/deletes on ANY side. COUNT/SUM/AVG retract from
-    * the stored accumulators; COUNT(DISTINCT) and (round 15) MIN/MAX
+    * the stored accumulators; COUNT(DISTINCT), SUM/AVG(DISTINCT) and
+    * MIN/MAX (round 15)
     * retract through their aux frames, which the same signed delta
     * maintains. APPROX_COUNT_DISTINCT's sketch cannot retract a joined
     * row, so it alone does not parse into this shape.
@@ -194,12 +205,16 @@ object IncrementalView {
     * gate and its per-refresh probe job. */
   def auxAggs(aggs: Seq[Agg]): Seq[Agg] = aggs.collect {
     case a: CountDistinctExpr => a
+    case a: SumDistinctExpr => a
+    case a: AvgDistinctExpr => a
     case a: MinExpr => a
     case a: MaxExpr => a
   }
   /** The value expression an aux-backed aggregate keys its frame on. */
   def auxExpr(a: Agg): String = a match {
     case CountDistinctExpr(e, _) => e
+    case SumDistinctExpr(e, _) => e
+    case AvgDistinctExpr(e, _) => e
     case MinExpr(e, _) => e
     case MaxExpr(e, _) => e
     case other => throw new IllegalArgumentException(
@@ -232,6 +247,10 @@ object IncrementalView {
   private val CountStarRe = """(?is)^COUNT\s*\(\s*\*\s*\)\s+AS\s+(\w+)$""".r
   private val CdRe =
     """(?is)^COUNT\s*\(\s*DISTINCT\b\s*(.+)\)\s+AS\s+(\w+)$""".r
+  private val SumDistinctRe =
+    """(?is)^SUM\s*\(\s*DISTINCT\b\s*(.+)\)\s+AS\s+(\w+)$""".r
+  private val AvgDistinctRe =
+    """(?is)^AVG\s*\(\s*DISTINCT\b\s*(.+)\)\s+AS\s+(\w+)$""".r
   private val CountRe = """(?is)^COUNT\s*\((.+)\)\s+AS\s+(\w+)$""".r
   private val SumRe = """(?is)^SUM\s*\((.+)\)\s+AS\s+(\w+)$""".r
   private val AvgRe = """(?is)^AVG\s*\((.+)\)\s+AS\s+(\w+)$""".r
@@ -274,6 +293,14 @@ object IncrementalView {
       case CdRe(e, a) =>
         if (SqlText.splitTopLevel(e).size != 1) return None
         aggs += CountDistinctExpr(e.trim, a)
+      // before SumRe/AvgRe, which would swallow the DISTINCT keyword
+      // into their expression — aux-frame-backed, exactly retractable
+      case SumDistinctRe(e, a) =>
+        if (SqlText.splitTopLevel(e).size != 1) return None
+        aggs += SumDistinctExpr(e.trim, a)
+      case AvgDistinctRe(e, a) =>
+        if (SqlText.splitTopLevel(e).size != 1) return None
+        aggs += AvgDistinctExpr(e.trim, a)
       case SumRe(e, a) => aggs += SumExpr(e.trim, a)
       case AvgRe(e, a) => aggs += AvgExpr(e.trim, a)
       case AcdRe(e, a) if !retractableOnly => aggs += AcdExpr(e.trim, a)
@@ -308,8 +335,8 @@ object IncrementalView {
       val items = SqlText.splitTopLevel(selectList).map(_.trim)
       val gcols = SqlText.splitTopLevel(groupBy).map(_.trim)
       if (gcols.isEmpty || !gcols.forall(BareRe.matches(_))) return None
-      // DISTINCT inside SUM/AVG/MIN/MAX/APPROX_COUNT_DISTINCT is not
-      // self-maintainable (COUNT(DISTINCT) IS, via the aux frame)
+      // COUNT/SUM/AVG(DISTINCT) maintain via the aux frame; the other
+      // DISTINCT-qualified aggregates fall back to full rerun
       if (items.exists(i => NonCdDistinctRe.findFirstIn(i).isDefined))
         return None
       // a read-time HAVING filters the view's OUTPUT columns — an
@@ -325,8 +352,11 @@ object IncrementalView {
     case _ => None
   }
 
+  // SUM/AVG(DISTINCT) maintain via the aux frame since round 15;
+  // MIN/MAX(DISTINCT) (a legal no-op spelling) and
+  // APPROX_COUNT_DISTINCT(DISTINCT) stay full-rerun
   private val NonCdDistinctRe =
-    """(?is)\b(?:SUM|AVG|MIN|MAX|APPROX_COUNT_DISTINCT)\s*\(\s*DISTINCT\b""".r
+    """(?is)\b(?:MIN|MAX|APPROX_COUNT_DISTINCT)\s*\(\s*DISTINCT\b""".r
 
   private val JoinShapeRe =
     ("""(?is)^\s*SELECT\s+(.+?)\s+FROM\s+(\w+(?:\s+(?:INNER\s+)?JOIN\s+""" +
@@ -417,6 +447,12 @@ object IncrementalView {
         // aux frame rather than merging it
         case CountDistinctExpr(e, a) =>
           countDistinct(expr(e)).cast("long").as(a)
+        // one division of exact distinct-sum/distinct-count — the
+        // identical expression the aux overlay re-derives, so
+        // incremental equals full bit-for-bit (cf. AvgExpr)
+        case SumDistinctExpr(e, a) => sum_distinct(expr(e)).as(a)
+        case AvgDistinctExpr(e, a) =>
+          (sum_distinct(expr(e)) / countDistinct(expr(e))).as(a)
         case MinExpr(e, a) => min(expr(e)).as(a)
         case MaxExpr(e, a) => max(expr(e)).as(a)
       } ++ Seq(count(lit(1)).as(RowsCol)) ++
@@ -446,6 +482,8 @@ object IncrementalView {
       case AcdExpr(e, a) => expr(e).as(s"__val_$a")
       // raw value, uncast: the aux frame groups by it
       case CountDistinctExpr(e, a) => expr(e).as(s"__val_$a")
+      case SumDistinctExpr(e, a) => expr(e).as(s"__val_$a")
+      case AvgDistinctExpr(e, a) => expr(e).as(s"__val_$a")
       case MinExpr(e, a) => expr(e).cast(storedType(a)).as(s"__val_$a")
       case MaxExpr(e, a) => expr(e).cast(storedType(a)).as(s"__val_$a")
     }
@@ -578,6 +616,10 @@ object IncrementalView {
           // touched groups' counts from the merged aux frame (new
           // groups arrive NULL here and the overlay fills them)
           case CountDistinctExpr(_, a) => col(s"s.$a").cast("long").as(a)
+          case SumDistinctExpr(_, a) =>
+            col(s"s.$a").cast(storedType(a)).as(a)
+          case AvgDistinctExpr(_, a) =>
+            col(s"s.$a").cast(storedType(a)).as(a)
           // least/greatest skip NULLs in both Spark and the stored
           // parquet's NULL-for-all-NULL-group convention, so an
           // all-NULL stored extreme adopts the delta and vice versa
@@ -724,11 +766,20 @@ object IncrementalView {
     def valueCol(a: Agg): String = s"__cdc_${a.alias}"
     val valueAggs: Seq[Column] = aggs.map {
       case a: CountDistinctExpr => count(lit(1)).as(valueCol(a))
+      // the aux holds one row per surviving distinct value, so a plain
+      // sum/count over it IS the distinct sum / the exact
+      // distinct-sum-over-distinct-count division `aggregate` states
+      case a: SumDistinctExpr => sum(col(CdValCol)).as(valueCol(a))
+      case a: AvgDistinctExpr =>
+        (sum(col(CdValCol)) / count(lit(1))).as(valueCol(a))
       case a: MinExpr => min(col(CdValCol)).as(valueCol(a))
       case a: MaxExpr => max(col(CdValCol)).as(valueCol(a))
       case other => throw new IllegalArgumentException(
         s"not an aux-backed aggregate: $other")
     }
+    // a touched group with no surviving aux values: zero distinct
+    // values → COUNT(DISTINCT) 0, SUM/AVG(DISTINCT)/MIN/MAX NULL —
+    // the SQL aggregate over zero non-null inputs
     def absent(a: Agg): Column = a match {
       case _: CountDistinctExpr => lit(0L)
       case _ => lit(null)

@@ -185,9 +185,12 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
       "SELECT a.s, COUNT(*) AS n FROM a JOIN b ON a.x = b.y GROUP BY a.s").isEmpty)
     assert(parseJoin(
       "SELECT s, COUNT(*) AS n FROM a JOIN b ON a.x = c.y GROUP BY s").isEmpty)
+    // COUNT/SUM/AVG(DISTINCT) are retractable (aux frame) — allowed
+    // in joins; the MIN/MAX(DISTINCT) spellings are not
     assert(parseJoin("SELECT s, SUM(DISTINCT v) AS n FROM a JOIN b " +
+      "ON a.x = b.y GROUP BY s").isDefined)
+    assert(parseJoin("SELECT s, MIN(DISTINCT v) AS n FROM a JOIN b " +
       "ON a.x = b.y GROUP BY s").isEmpty)
-    // COUNT(DISTINCT) is retractable (aux frame) — allowed in joins
     assert(parseJoin("SELECT s, COUNT(DISTINCT v) AS n FROM a JOIN b " +
       "ON a.x = b.y GROUP BY s").isDefined)
     // a LEFT JOIN is not the maintainable inner-join shape

@@ -20,6 +20,7 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
     e.sql("""CREATE MATERIALIZED VIEW mv AS
             |SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv,
             |       AVG(v) AS av, COUNT(DISTINCT v) AS dv,
+            |       SUM(DISTINCT v) AS sd, AVG(DISTINCT v) AS ad,
             |       MIN(v) AS lo, MAX(v) AS hi
             |FROM t WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
 
@@ -34,11 +35,13 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
     def freshView(): Set[String] =
       e.sql("""SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv,
               |       SUM(v) / COUNT(v) AS av, COUNT(DISTINCT v) AS dv,
+              |       SUM(DISTINCT v) AS sd,
+              |       SUM(DISTINCT v) / COUNT(DISTINCT v) AS ad,
               |       MIN(v) AS lo, MAX(v) AS hi
               |FROM t WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
         .collect().map(_.toString).toSet
     def mv(): Set[String] =
-      e.sql("SELECT grp, n, nv, sv, av, dv, lo, hi FROM mv")
+      e.sql("SELECT grp, n, nv, sv, av, dv, sd, ad, lo, hi FROM mv")
         .collect().map(_.toString).toSet
 
     for (batch <- 1 to 12) {
@@ -86,6 +89,7 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
     e.sql("""CREATE MATERIALIZED VIEW jmv AS
             |SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv,
             |       AVG(v) AS av, COUNT(DISTINCT v) AS dv,
+            |       SUM(DISTINCT v) AS sd,
             |       MIN(v) AS lo, MAX(v) AS hi
             |FROM dim JOIN fct ON dim.k = fct.dk
             |WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
@@ -100,12 +104,13 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
     def freshView(): Set[String] =
       e.sql("""SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv,
               |       SUM(v) / COUNT(v) AS av, COUNT(DISTINCT v) AS dv,
+              |       SUM(DISTINCT v) AS sd,
               |       MIN(v) AS lo, MAX(v) AS hi
               |FROM dim JOIN fct ON dim.k = fct.dk
               |WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
         .collect().map(_.toString).toSet
     def jmv(): Set[String] =
-      e.sql("SELECT grp, n, nv, sv, av, dv, lo, hi FROM jmv")
+      e.sql("SELECT grp, n, nv, sv, av, dv, sd, lo, hi FROM jmv")
         .collect().map(_.toString).toSet
 
     for (batch <- 1 to 10) {

@@ -139,12 +139,11 @@ class IncrementalViewSpec extends AnyFunSuite {
     val e = QueryEngine.scratch(spark)
     e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
     e.sql("INSERT INTO t VALUES (1,'a',10)")
-    // DISTINCT inside SUM/AVG/MIN/MAX is not self-maintainable (a
-    // retracted value may or may not still be contributed by another
-    // live row, which the view output cannot tell; COUNT(DISTINCT)
-    // alone maintains, via its aux frame)
+    // COUNT/SUM/AVG(DISTINCT) maintain via their aux frames; the
+    // MIN/MAX(DISTINCT) spellings stay out of the shape (legal SQL,
+    // served by full rerun)
     e.sql("""CREATE MATERIALIZED VIEW mvdist AS
-            |SELECT grp, SUM(DISTINCT v) AS dv FROM t GROUP BY grp""".stripMargin)
+            |SELECT grp, MAX(DISTINCT v) AS dv FROM t GROUP BY grp""".stripMargin)
     val err = intercept[IllegalArgumentException] {
       e.sql("REFRESH MATERIALIZED VIEW mvdist INCREMENTALLY")
     }
@@ -185,8 +184,14 @@ class IncrementalViewSpec extends AnyFunSuite {
     // AVG maintains through the hidden SUM/COUNT rewrite
     assert(parse("SELECT grp, AVG(v) AS m FROM t GROUP BY grp")
       .exists(s => !s.hasAcd && s.aggs.size == 1))
-    assert(parse("SELECT grp, AVG(DISTINCT v) AS m FROM t GROUP BY grp").isEmpty)
-    assert(parse("SELECT grp, SUM(DISTINCT v) AS m FROM t GROUP BY grp").isEmpty)
+    // SUM/AVG(DISTINCT) maintain via the aux frame (round 15);
+    // MIN/MAX(DISTINCT) spellings stay full-rerun
+    assert(parse("SELECT grp, SUM(DISTINCT v) AS m FROM t GROUP BY grp")
+      .exists(s => s.aggs == Seq(IncrementalView.SumDistinctExpr("v", "m"))))
+    assert(parse("SELECT grp, AVG(DISTINCT v) AS m FROM t GROUP BY grp")
+      .exists(s => s.aggs == Seq(IncrementalView.AvgDistinctExpr("v", "m"))))
+    assert(parse("SELECT grp, MAX(DISTINCT v) AS m FROM t GROUP BY grp").isEmpty)
+    assert(parse("SELECT grp, SUM(DISTINCT v, k) AS m FROM t GROUP BY grp").isEmpty)
     // COUNT(DISTINCT) maintains exactly via the hidden aux frame —
     // retractable, no probe
     assert(parse("SELECT grp, COUNT(DISTINCT v) AS m FROM t GROUP BY grp")
@@ -566,9 +571,11 @@ class IncrementalViewSpec extends AnyFunSuite {
     e.sql("INSERT INTO t VALUES (1,'a',10,1), (2,'a',50,2), (3,'b',30,3)")
     e.sql("""CREATE MATERIALIZED VIEW sx AS
             |SELECT grp, MIN(v) AS lo, MAX(v) AS hi, COUNT(DISTINCT v) AS dv,
+            |       SUM(DISTINCT v) AS sd, AVG(DISTINCT v) AS ad,
             |       MIN(w) AS lw, COUNT(*) AS n
             |FROM t GROUP BY grp""".stripMargin)
-    // MIN(v)/MAX(v)/COUNT(DISTINCT v) share one frame; MIN(w) gets its
+    // MIN(v)/MAX(v)/COUNT(DISTINCT v)/SUM(DISTINCT v)/AVG(DISTINCT v)
+    // share one frame; MIN(w) gets its
     // own: exactly TWO aux dirs, named by each group's first alias
     def auxDirs(): Set[String] = {
       val ver = new java.io.File(s"${e.baseDir}/matviews/sx")
@@ -583,10 +590,12 @@ class IncrementalViewSpec extends AnyFunSuite {
     e.sql("UPDATE t SET w = 8 WHERE k = 3") // group b's MIN(w)
     e.sql("REFRESH MATERIALIZED VIEW sx INCREMENTALLY")
     assert(auxDirs() === Set("_graft_aux_lo", "_graft_aux_lw"))
-    assert(e.sql("SELECT grp, lo, hi, dv, lw, n FROM sx").collect()
+    assert(e.sql("SELECT grp, lo, hi, dv, sd, ad, lw, n FROM sx").collect()
       .map(_.toString).toSet ===
       e.sql("""SELECT grp, MIN(v) AS lo, MAX(v) AS hi,
-              |       COUNT(DISTINCT v) AS dv, MIN(w) AS lw, COUNT(*) AS n
+              |       COUNT(DISTINCT v) AS dv, SUM(DISTINCT v) AS sd,
+              |       SUM(DISTINCT v) / COUNT(DISTINCT v) AS ad,
+              |       MIN(w) AS lw, COUNT(*) AS n
               |FROM t GROUP BY grp""".stripMargin)
         .collect().map(_.toString).toSet)
     e.close()
