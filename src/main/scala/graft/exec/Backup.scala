@@ -341,6 +341,58 @@ object Backup {
       .sortBy(i => (-i.created.getOrElse(-1L), i.path))
   }
 
+  /** Retention pruning over a backup catalog dir (the reference's
+    * apply_retention_policy, backup_enhanced.rs:736-793: age cutoff +
+    * keep-count) — with one deliberate improvement: the reference
+    * deletes matching backups blindly, which can orphan an
+    * incremental's parent and silently break every descendant's
+    * RESTORE; here any backup a KEPT backup's ancestor chain
+    * references is retained (`kept_parent`) no matter what the rules
+    * say, so every kept backup stays fully restorable. `keep` retains
+    * the n youngest (by created, unknown-created last); `olderThanMs`
+    * deletes backups created before `nowMs - olderThanMs` (backups
+    * without created metadata never age out — deleting what cannot be
+    * dated would be a guess). The catalog dir itself is never deleted
+    * (it contains the siblings). Returns one (path, action) row per
+    * catalog entry, action ∈ deleted | would_delete (dryRun) | kept |
+    * kept_parent, youngest first. */
+  def prune(spark: SparkSession, dir: String, keep: Option[Int],
+      olderThanMs: Option[Long], dryRun: Boolean,
+      nowMs: Long = System.currentTimeMillis()): Seq[(String, String)] = {
+    val infos = list(spark, dir) // youngest-created first
+    def norm(s: String): String = {
+      val u = new Path(s).toUri
+      if (u.getScheme == null || u.getScheme == "file") u.getPath else s
+    }
+    val rootNorm = norm(dir)
+    val overCount: Set[String] = keep match {
+      case Some(n) => infos.drop(n).map(_.path).toSet
+      case None => Set.empty
+    }
+    val cutoff = olderThanMs.map(nowMs - _)
+    val tooOld: Set[String] = cutoff match {
+      case Some(c) => infos.filter(_.created.exists(_ < c)).map(_.path).toSet
+      case None => Set.empty
+    }
+    val candidates = (overCount ++ tooOld) - dir
+    // pin every ancestor of every kept backup — chains are linear, so
+    // a kept backup's full chain covers everything its restore reads
+    val pinned = scala.collection.mutable.Set.empty[String]
+    for (i <- infos if !candidates(i.path);
+         a <- chainOf(spark, i.path).drop(1)) pinned += norm(a)
+    infos.map { i =>
+      if (norm(i.path) == rootNorm && candidates(i.path)) (i.path, "kept")
+      else if (!candidates(i.path)) (i.path, "kept")
+      else if (pinned(norm(i.path))) (i.path, "kept_parent")
+      else if (dryRun) (i.path, "would_delete")
+      else {
+        val p = new Path(i.path)
+        fsFor(spark, p).delete(p, true)
+        (i.path, "deleted")
+      }
+    }
+  }
+
   /** Point-in-time restore by sequence: cut the ancestor chain of
     * `backupDir` at the YOUNGEST manifest whose recorded high-water
     * sequence is <= `seq` and restore that backup (the reference's

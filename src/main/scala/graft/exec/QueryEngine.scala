@@ -1340,9 +1340,10 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             // path, because only surviving new-state rows contribute.
             // When the probe DOES find a contributing row (round 15 —
             // previously a refusal gate), only the TOUCHED groups'
-            // sketches recompute from group-key-pruned current state
-            // (full-refresh semantics per touched group, O(touched
-            // groups' live rows)); untouched groups keep their stored
+            // sketches recompute from current state filtered to those
+            // groups (full-refresh semantics per touched group;
+            // see pruneToTouchedGroups for the honest cost model);
+            // untouched groups keep their stored
             // sketch, so the refresh never re-aggregates the table.
             // MIN/MAX never probe: they retract exactly through their
             // aux frames.
@@ -1975,6 +1976,15 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           b.seq, b.tables, b.files, b.copied, b.bytes))
         .toDF("path", "parent", "created", "seq", "tables", "files",
           "copied", "bytes")
+    case Statement.PruneBackups(dir, keep, olderDays, dryRun) =>
+      requireSuperuser("PRUNE BACKUPS") // deletes restore points
+      if (txn.isDefined)
+        throw new IllegalStateException(
+          "PRUNE BACKUPS cannot run inside a transaction")
+      import spark.implicits._
+      Backup.prune(spark, dir, keep,
+          olderDays.map(_.toLong * 24L * 60L * 60L * 1000L), dryRun)
+        .toDF("path", "action")
     case Statement.RestoreDb(dir, asOfSeq) =>
       requireSuperuser("RESTORE") // replaces the whole database
       if (txn.isDefined)
@@ -4554,10 +4564,19 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
 
   /** Restrict a view's WHERE-filtered base state to (a superset of)
     * the rows of the GROUPS the signed delta touches — the ACD
-    * retraction recompute's input. A single-key view inlines the
-    * touched key VALUES (≤ InlineKeyCap) so a bare-column key prunes
-    * the scan's row groups by pushdown; `isin` never matches NULL, so
-    * a NULL touched key adds the isNull arm. Multi-key, computed-key
+    * retraction recompute's input. The filter necessarily applies
+    * POST-collapse: a non-pk predicate cannot soundly cross the keyed
+    * collapse window (dropping a non-matching NEWER event would
+    * promote a stale event to "latest"), so a retracting refresh pays
+    * one state read — snapshot-accelerated like any state read — and
+    * the filter bounds the RE-AGGREGATION to the touched groups'
+    * rows, not the scan. (Still strictly cheaper than the full
+    * refresh it replaces, which pays the same read plus a full
+    * re-aggregation and a full view + aux rewrite; and the common
+    * append-shaped refresh never comes here at all.) A single-key
+    * view inlines the touched key VALUES (≤ InlineKeyCap) as an
+    * in-list — `isin` never matches NULL, so a NULL touched key adds
+    * the isNull arm; multi-key, computed-key
     * and past-the-cap views take a null-safe left-semi join on the
     * evaluated key expressions — exact and never collecting. Either
     * way the overlay's touched flag decides which groups actually

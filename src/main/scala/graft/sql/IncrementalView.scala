@@ -52,10 +52,13 @@ import org.apache.spark.sql.functions._
   * A sketch cannot RETRACT a value, so the engine probes the refresh's
   * old side: when no touched row was contributing at the old horizon
   * (the common append path) the cheap union stands, and when one was,
-  * only the TOUCHED groups' sketches recompute from group-key-pruned
-  * current state (recomputeAcd/overlayAcd — full-refresh semantics per
-  * touched group, O(touched groups' live rows), untouched groups never
-  * re-scan). Until round 15 that probe was a refusal gate; the
+  * only the TOUCHED groups' sketches recompute from current state
+  * filtered to those groups (recomputeAcd/overlayAcd — full-refresh
+  * semantics per touched group; the filter bounds the re-aggregation
+  * to O(touched groups' live rows), while the read itself is one
+  * snapshot-accelerated state scan — a non-pk filter cannot soundly
+  * cross the keyed collapse. Untouched groups keep their stored
+  * sketch). Until round 15 that probe was a refusal gate; the
   * recompute dispatch deleted the gate, so every aggregate in the
   * shape now maintains under arbitrary updates and deletes. This is
   * the one aggregate here whose maintainable

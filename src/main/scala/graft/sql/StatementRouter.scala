@@ -205,6 +205,12 @@ object Statement {
   /** SHOW BACKUPS IN 'dir' — the queryable backup catalog over a
     * directory of backups (backup_enhanced.rs:260-300 list). */
   final case class ShowBackups(dir: String) extends Statement
+  /** PRUNE BACKUPS IN 'dir' [KEEP n] [OLDER THAN n DAYS] [DRY RUN] —
+    * retention over the catalog (backup_enhanced.rs:736-793
+    * apply_retention_policy: age cutoff + keep-count), chain-safe: a
+    * kept backup's incremental ancestors are retained regardless. */
+  final case class PruneBackups(dir: String, keep: Option[Int],
+      olderThanDays: Option[Int], dryRun: Boolean) extends Statement
   /** SHOW CLUSTER — replication links (per-table primary/replica
     * sequence high-water marks and lag) plus leadership lease state
     * (distributed_coordinator.rs:24-30 tracks per-peer health/lag;
@@ -459,6 +465,9 @@ object StatementRouter {
   private val RestoreR =
     """(?is)^RESTORE\s+DATABASE\s+FROM\s+'([^']+)'(?:\s+AS\s+OF\s+@SEQ:(\d+))?\s*$""".r
   private val ShowBackupsR = """(?is)^SHOW\s+BACKUPS\s+IN\s+'([^']+)'\s*$""".r
+  private val PruneBackupsR =
+    ("""(?is)^PRUNE\s+BACKUPS\s+IN\s+'([^']+)'(?:\s+KEEP\s+(\d+))?""" +
+      """(?:\s+OLDER\s+THAN\s+(\d+)\s+DAYS?)?(\s+DRY\s+RUN)?\s*$""").r
   private val ShowClusterR = """(?is)^SHOW\s+CLUSTER\s*$""".r
   private val VerifyBackupR = """(?is)^VERIFY\s+BACKUP\s+'([^']+)'\s*$""".r
   private val SetAuditR = """(?is)^SET\s+AUDIT\s+(ON|OFF)\s*$""".r
@@ -644,6 +653,13 @@ object StatementRouter {
       case BackupR(dir, parent) => BackupDb(dir, Option(parent))
       case RestoreR(dir, seq) => RestoreDb(dir, Option(seq).map(_.toLong))
       case ShowBackupsR(dir) => ShowBackups(dir)
+      case PruneBackupsR(dir, keep, days, dry) =>
+        if (keep == null && days == null)
+          throw new IllegalArgumentException(
+            "PRUNE BACKUPS needs a retention rule: KEEP n and/or " +
+              "OLDER THAN n DAYS")
+        PruneBackups(dir, Option(keep).map(_.toInt),
+          Option(days).map(_.toInt), dry != null)
       case ShowClusterR() => ShowCluster
       case VerifyBackupR(dir) => VerifyBackup(dir)
       case DropTableR(ifEx, name) => DropTable(name, ifEx != null)

@@ -215,4 +215,71 @@ class BackupSpec extends AnyFunSuite {
       Row(4L, "d")))
     e.close()
   }
+
+  test("PRUNE BACKUPS retains by count, chain-pins parents, dry-runs") {
+    val base = tmp("graft-bk-base-")
+    val root = tmp("graft-bk-prune-")
+    val e = engineWith(base)
+    def act(sql: String): Map[String, String] =
+      e.sql(sql).collect()
+        .map(r => (r.getString(0).split('/').last, r.getString(1))).toMap
+    e.sql(s"BACKUP DATABASE TO '$root/b1'")
+    Thread.sleep(5) // distinct created-ms so youngest-first is stable
+    e.sql("INSERT INTO t VALUES (4, 'd')")
+    e.sql(s"BACKUP DATABASE TO '$root/b2' INCREMENTAL FROM '$root/b1'")
+    Thread.sleep(5)
+    e.sql("INSERT INTO t VALUES (5, 'e')")
+    e.sql(s"BACKUP DATABASE TO '$root/b3'") // independent full, youngest
+    // DRY RUN deletes nothing and reports the would-be actions: b1/b2
+    // are not in kept b3's chain, so both would go
+    assert(act(s"PRUNE BACKUPS IN '$root' KEEP 1 DRY RUN") ===
+      Map("b3" -> "kept", "b2" -> "would_delete", "b1" -> "would_delete"))
+    assert(e.sql(s"SHOW BACKUPS IN '$root'").count() === 3L)
+    // KEEP 2: b2 is kept, so its parent b1 must survive the rules —
+    // the reference's blind retention would delete it and break b2
+    assert(act(s"PRUNE BACKUPS IN '$root' KEEP 2") ===
+      Map("b3" -> "kept", "b2" -> "kept", "b1" -> "kept_parent"))
+    assert(e.sql(s"SHOW BACKUPS IN '$root'").count() === 3L)
+    // the pinned chain stays restorable end to end
+    e.sql("DELETE FROM t")
+    e.sql(s"RESTORE DATABASE FROM '$root/b2'")
+    assert(rows(e) === Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c"),
+      Row(4L, "d")))
+    // KEEP 1 for real: nothing pins b1/b2 anymore — both delete
+    assert(act(s"PRUNE BACKUPS IN '$root' KEEP 1") ===
+      Map("b3" -> "kept", "b2" -> "deleted", "b1" -> "deleted"))
+    assert(e.sql(s"SHOW BACKUPS IN '$root'").count() === 1L)
+    e.sql(s"RESTORE DATABASE FROM '$root/b3'")
+    assert(rows(e) === Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c"),
+      Row(4L, "d"), Row(5L, "e")))
+    // a rule is required
+    val err = intercept[IllegalArgumentException] {
+      e.sql(s"PRUNE BACKUPS IN '$root'")
+    }
+    assert(err.getMessage.contains("retention rule"), err.getMessage)
+    e.close()
+  }
+
+  test("age-based retention skips undatable backups and pinned parents") {
+    val base = tmp("graft-bk-base-")
+    val root = tmp("graft-bk-age-")
+    val e = engineWith(base)
+    // synthetic created times through the API (SQL stamps wall-clock)
+    Backup.create(spark, base, s"$root/old", None,
+      Map("t" -> 3L), createdMs = 1_000L)
+    Backup.create(spark, base, s"$root/young", Some(s"$root/old"),
+      Map("t" -> 3L), createdMs = 2_000_000L)
+    // old is past the cutoff but young's chain pins it
+    assert(Backup.prune(spark, root, None, Some(1_500_000L),
+        dryRun = false, nowMs = 3_000_000L).toMap
+      .map { case (p, a) => p.split('/').last -> a } ===
+      Map("young" -> "kept", "old" -> "kept_parent"))
+    // with young past the cutoff too, the whole chain ages out
+    assert(Backup.prune(spark, root, None, Some(500_000L),
+        dryRun = false, nowMs = 3_000_000L).toMap
+      .map { case (p, a) => p.split('/').last -> a } ===
+      Map("young" -> "deleted", "old" -> "deleted"))
+    assert(Backup.list(spark, root).isEmpty)
+    e.close()
+  }
 }

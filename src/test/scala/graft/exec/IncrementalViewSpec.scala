@@ -511,6 +511,41 @@ class IncrementalViewSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("ACD retraction rewrites ONLY the touched groups' sketches") {
+    // the O(touched) claim at the storage level: a retracting refresh
+    // that touches group a must pass group b's and c's stored sketch
+    // BYTES through unchanged (the overlay rewrites flagged groups
+    // only) — a hidden full re-aggregation would re-serialize every
+    // sketch with different partition orders and betray itself here
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    e.sql("INSERT INTO t VALUES (1,'a',10), (2,'a',20), (3,'b',30), " +
+      "(4,'b',35), (5,'c',40)")
+    e.sql("""CREATE MATERIALIZED VIEW vs AS
+            |SELECT grp, APPROX_COUNT_DISTINCT(v) AS dv, COUNT(*) AS n
+            |FROM t GROUP BY grp""".stripMargin)
+    def storedSketches(): Map[String, Seq[Byte]] = {
+      val ver = new java.io.File(s"${e.baseDir}/matviews/vs")
+        .listFiles.filter(_.getName.startsWith("v=")).maxBy(_.getName)
+      spark.read.parquet(ver.getPath).collect()
+        .map(r => r.getString(r.fieldIndex("grp")) ->
+          r.getAs[Array[Byte]]("__graft_hll_dv").toSeq).toMap
+    }
+    val before = storedSketches()
+    e.sql("UPDATE t SET v = 11 WHERE k = 1") // retracts group a only
+    val r = e.sql("REFRESH MATERIALIZED VIEW vs INCREMENTALLY").collect().head
+    assert(r.getString(0) === "refreshed_incremental")
+    val after = storedSketches()
+    assert(after("b") === before("b") && after("c") === before("c"),
+      "untouched groups' stored sketches must pass through byte-identical")
+    assert(after("a") !== before("a"), "touched group must recompute")
+    assert(e.sql("SELECT grp, dv, n FROM vs").collect().map(_.toString).toSet
+      === e.sql("""SELECT grp, hll_sketch_estimate(hll_sketch_agg(v)) AS dv,
+                  |COUNT(*) AS n FROM t GROUP BY grp""".stripMargin)
+        .collect().map(_.toString).toSet)
+    e.close()
+  }
+
   test("MIN/MAX maintain under tail inserts AND pre-horizon retraction") {
     val e = QueryEngine.scratch(spark)
     e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
