@@ -1384,7 +1384,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                   IncrementalView.recomputeAcd(
                     pruneToTouchedGroups(
                       sh.filtered(stateAt(baseT, Some(horizon))),
-                      sdPin.get, sh),
+                      sdPin.get, sh.groupKeys),
                     sh.groupKeys, acds),
                   sdPin.get, sh.groupCols, acds)
               tracer.span("mview-write") {
@@ -1576,21 +1576,50 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                 sides.indices.map(i =>
                   (deltas(i)._1, deltas(i)._2, fulls(i))))
               val cds = IncrementalView.auxAggs(js.aggs)
+              val acds = IncrementalView.acdAggs(js.aggs)
               // persist the 2^n−1-term delta across its consumers
-              // (main merge, aux merges, overlays), like the
-              // single-table path
-              val (merged, auxWrites) =
+              // (main merge, aux merges, overlays, the ACD probe),
+              // like the single-table path
+              val sdOpt =
+                if (cds.isEmpty && acds.isEmpty) None else Some(pin(delta))
+              // A sketch cannot retract a joined row. The union merge
+              // is sound unless some (group, value) LOST support: probe
+              // the pinned delta for any net-negative signed support —
+              // none (appends, fan-outs, value moves that keep support)
+              // keeps the cheap union; any dispatches to a touched-group
+              // recompute over the joined current state, exactly like
+              // the single-table path. Net aggregation, not raw signs:
+              // inclusion-exclusion terms cancel by construction, and a
+              // false positive only costs the recompute, never
+              // correctness.
+              val acdRetracts = acds.nonEmpty && {
+                val d = sdOpt.get
+                acds.exists(a =>
+                  d.where(col(s"__val_${a.alias}").isNotNull)
+                    .groupBy((js.groupCols.map(col) :+
+                      col(s"__val_${a.alias}")): _*)
+                    .agg(sum(col("__sign")).as("__net"))
+                    .where(col("__net") < 0).limit(1).count() > 0)
+              }
+              val (merged0, auxWrites) =
                 if (cds.isEmpty)
-                  (IncrementalView.mergeSigned(stored, delta,
-                    js.groupCols, js.aggs),
+                  (IncrementalView.mergeSigned(stored,
+                    sdOpt.getOrElse(delta), js.groupCols, js.aggs),
                     Seq.empty[(String, DataFrame)])
-                else {
-                  val sd = pin(delta)
+                else
                   mergeWithAux(name, prev,
-                    IncrementalView.mergeSigned(stored, sd,
+                    IncrementalView.mergeSigned(stored, sdOpt.get,
                       js.groupCols, js.aggs),
-                    sd, js.groupCols, cds)
-                }
+                    sdOpt.get, js.groupCols, cds)
+              val merged =
+                if (!acdRetracts) merged0
+                else IncrementalView.overlayAcd(merged0,
+                  IncrementalView.recomputeAcd(
+                    pruneToTouchedGroups(
+                      js.joined(sides.indices.map(i => fullNew(i))),
+                      sdOpt.get, js.groupKeys),
+                    js.groupKeys, acds),
+                  sdOpt.get, js.groupCols, acds)
               tracer.span("mview-write") {
                 encrypted(merged.write).mode("overwrite")
                   .parquet(catalog.mviewDataPath(name, prev + 1))
@@ -1605,10 +1634,11 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           case None =>
             throw new IllegalArgumentException(
               s"$name is not incrementally maintainable: the view must be " +
-                "SELECT <group cols>, COUNT/SUM/AVG/APPROX_COUNT_DISTINCT/" +
+                "SELECT <group cols>, COUNT/SUM/AVG/COUNT(DISTINCT)/" +
+                "SUM(DISTINCT)/AVG(DISTINCT)/APPROX_COUNT_DISTINCT/" +
                 "MIN/MAX aggregates FROM " +
-                "<engine table> [WHERE ...] GROUP BY <group cols>, or " +
-                "COUNT/SUM/AVG aggregates FROM <table> JOIN <table> ON " +
+                "<engine table> [WHERE ...] GROUP BY <group cols>, or the " +
+                "same aggregates FROM <table> JOIN <table> ON " +
                 "<t1>.<col> = <t2>.<col> [WHERE ...] GROUP BY ... — run " +
                 "a full REFRESH instead")
         }
@@ -4582,9 +4612,10 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * way the overlay's touched flag decides which groups actually
     * rewrite, so a superset here costs compute, never correctness. */
   private def pruneToTouchedGroups(state: DataFrame, sd: DataFrame,
-      sh: IncrementalView.Shape): DataFrame = {
-    val touched = sd.select(sh.groupCols.map(col): _*).distinct()
-    val inlined: Option[DataFrame] = sh.groupKeys match {
+      groupKeys: Seq[IncrementalView.GroupKey]): DataFrame = {
+    val groupCols = groupKeys.map(_.alias)
+    val touched = sd.select(groupCols.map(col): _*).distinct()
+    val inlined: Option[DataFrame] = groupKeys match {
       case Seq(k) =>
         val vals = tracer.span("acd-touched-groups") {
           touched.limit(InlineKeyCap + 1).collect().map(_.get(0)).toIndexedSeq
@@ -4602,9 +4633,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       // rename the touched keys out of the state's namespace so the
       // key EXPRESSIONS (which may be the same bare identifiers)
       // resolve against the state side only
-      val tg = touched.select(sh.groupCols.map(c =>
+      val tg = touched.select(groupCols.map(c =>
         col(c).as(s"__tg_$c")): _*)
-      val cond = sh.groupKeys.map(k =>
+      val cond = groupKeys.map(k =>
         expr(k.e) <=> col(s"__tg_${k.alias}")).reduce(_ && _)
       state.join(tg, cond, "left_semi")
     }

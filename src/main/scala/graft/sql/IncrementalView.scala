@@ -148,15 +148,20 @@ object IncrementalView {
     *   [WHERE p] GROUP BY g1..gk
     *
     * A linear chain of inner equi-joins, each ON linking the newly
-    * joined table to one earlier table. Only the RETRACTABLE
-    * aggregates: the inclusion-exclusion signed delta (see
+    * joined table to one earlier table. The inclusion-exclusion signed
+    * delta (see
     * joinSignedDelta) subtracts as well as adds, so it is exact under
     * arbitrary updates/deletes on ANY side. COUNT/SUM/AVG retract from
     * the stored accumulators; COUNT(DISTINCT), SUM/AVG(DISTINCT) and
     * MIN/MAX (round 15)
     * retract through their aux frames, which the same signed delta
     * maintains. APPROX_COUNT_DISTINCT's sketch cannot retract a joined
-    * row, so it alone does not parse into this shape.
+    * row, so the engine probes the signed delta for any NET-NEGATIVE
+    * (group, value) support — none (the append/fan-out path) means the
+    * sketch union stands; any means only the touched groups' sketches
+    * recompute from the joined current state (round 15; the probe is
+    * conservative — a false positive costs a recompute, never
+    * correctness).
     * Table names double as the join aliases; group columns are
     * bare identifiers that must be unambiguous in the joined relation
     * (the stored view exposes them unqualified). */
@@ -173,6 +178,12 @@ object IncrementalView {
         case (acc, (f, on)) => acc.join(f, expr(on))
       }
       where.fold(j)(p => j.where(expr(p)))
+    }
+    /** See Shape.hasAcd: ACD join refreshes probe the signed delta's
+      * net (group, value) support to dispatch union vs recompute. */
+    def hasAcd: Boolean = aggs.exists {
+      case _: AcdExpr => true
+      case _ => false
     }
     /** For the 2-table shape: the single link's key column on each
       * side, in `tables` order — the engine's full-side pruning. */
@@ -280,11 +291,10 @@ object IncrementalView {
 
   /** Classify select items into aggregates and group keys (bare
     * columns or `expr AS alias` row expressions with no aggregate
-    * call). None when an item fits neither, GROUP BY does not state
-    * exactly the key aliases, or (retractableOnly) a non-retractable
-    * aggregate appears. */
-  private def classify(items: Seq[String], gcols: Seq[String],
-      retractableOnly: Boolean): Option[(Seq[GroupKey], Seq[Agg])] = {
+    * call). None when an item fits neither or GROUP BY does not state
+    * exactly the key aliases. */
+  private def classify(items: Seq[String], gcols: Seq[String])
+      : Option[(Seq[GroupKey], Seq[Agg])] = {
     val aggs = Vector.newBuilder[Agg]
     val keys = Vector.newBuilder[GroupKey]
     for (i <- items) i match {
@@ -306,7 +316,9 @@ object IncrementalView {
         aggs += AvgDistinctExpr(e.trim, a)
       case SumRe(e, a) => aggs += SumExpr(e.trim, a)
       case AvgRe(e, a) => aggs += AvgExpr(e.trim, a)
-      case AcdRe(e, a) if !retractableOnly => aggs += AcdExpr(e.trim, a)
+      // admitted into BOTH shapes: single-table and join refreshes
+      // each probe for retraction and dispatch union vs recompute
+      case AcdRe(e, a) => aggs += AcdExpr(e.trim, a)
       // aux-frame-backed since round 15, hence retractable — admitted
       // into join shapes alongside COUNT(DISTINCT)
       case MinRe(e, a) => aggs += MinExpr(e.trim, a)
@@ -347,7 +359,7 @@ object IncrementalView {
       // cannot run over stored output rows, so the view falls back to
       // full rerun, which serves it correctly
       if (Option(having).exists(havingUnsupported)) return None
-      classify(items, gcols, retractableOnly = false).map {
+      classify(items, gcols).map {
         case (keys, aggs) =>
           Shape(table, Option(where).map(_.trim), keys, aggs,
             Option(having).map(_.trim))
@@ -407,7 +419,7 @@ object IncrementalView {
       if (items.exists(i => NonCdDistinctRe.findFirstIn(i).isDefined))
         return None
       if (Option(having).exists(havingUnsupported)) return None
-      classify(items, gcols, retractableOnly = true).map {
+      classify(items, gcols).map {
         case (keys, aggs) =>
           JoinShape(tables, onExprs, links,
             Option(where).map(_.trim), keys, aggs,
@@ -669,8 +681,10 @@ object IncrementalView {
     * MULTIPLY (for n=2 the familiar ΔA⋈B_new + A_new⋈ΔB − ΔA⋈ΔB).
     * Every term carries at least one Δ side, so every term is
     * O(touched)-restricted on at least one input. Exact under
-    * ARBITRARY updates and deletes (every aggregate in the join shape
-    * is retractable), so no append-only gate applies. Each term
+    * ARBITRARY updates and deletes for the retractable aggregates;
+    * a sketch-bearing view additionally probes this frame's net
+    * (group, value) support to decide union vs touched-group
+    * recompute (see JoinShape). Each term
     * applies the view's WHERE after the join and projects straight to
     * the signed-contribution columns, so nothing wider than groupCols
     * + sign + values ever unions. `sides(i)` = (oldᵢ, newᵢ, fullᵢ)

@@ -173,11 +173,12 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
       "SELECT s, AVG(v) AS av FROM a INNER JOIN b ON a.x = b.y GROUP BY s")
       .isDefined)
     // MIN/MAX are aux-frame-backed (round 15), hence retractable and
-    // admitted; the sketch-backed APPROX_COUNT_DISTINCT still is not
+    // admitted; APPROX_COUNT_DISTINCT is admitted too — the refresh
+    // probes the delta's net support to dispatch union vs recompute
     assert(parseJoin(
       "SELECT s, MAX(v) AS m FROM a JOIN b ON a.x = b.y GROUP BY s").isDefined)
     assert(parseJoin("SELECT s, APPROX_COUNT_DISTINCT(v) AS d FROM a " +
-      "JOIN b ON a.x = b.y GROUP BY s").isEmpty)
+      "JOIN b ON a.x = b.y GROUP BY s").exists(_.hasAcd))
     // self-joins, qualified group cols, foreign ON qualifiers, DISTINCT
     assert(parseJoin(
       "SELECT s, COUNT(*) AS n FROM a JOIN a ON a.x = a.y GROUP BY s").isEmpty)
@@ -674,6 +675,49 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     e.sql("REFRESH MATERIALIZED VIEW jm INCREMENTALLY")
     assert(view() === fresh())
     assert(!view().exists(_.startsWith("[a,")), "emptied group must vanish")
+    e.close()
+  }
+
+  test("an ACD join view maintains under appends AND retraction") {
+    val e = QueryEngine.scratch(spark)
+    mkTables(e)
+    e.sql("INSERT INTO ord VALUES (1,'a'), (2,'b')")
+    e.sql("INSERT INTO item VALUES (10,1,5), (11,1,5), (12,1,9), (13,2,3)")
+    e.sql("""CREATE MATERIALIZED VIEW ja AS
+            |SELECT status, APPROX_COUNT_DISTINCT(qty) AS dq, COUNT(*) AS n
+            |FROM ord JOIN item ON ord.k = item.ok
+            |GROUP BY status""".stripMargin)
+    def fresh(): Set[String] =
+      e.sql("""SELECT status, hll_sketch_estimate(hll_sketch_agg(qty)) AS dq,
+              |COUNT(*) AS n FROM ord JOIN item ON ord.k = item.ok
+              |GROUP BY status""".stripMargin)
+        .collect().map(_.toString).toSet
+    def view(): Set[String] =
+      e.sql("SELECT status, dq, n FROM ja").collect().map(_.toString).toSet
+    assert(view() === fresh())
+    // pure appends on both sides union sketches — no recompute needed
+    e.sql("INSERT INTO ord VALUES (3,'a')")
+    e.sql("INSERT INTO item VALUES (14,3,7), (15,2,3)")
+    val r = e.sql("REFRESH MATERIALIZED VIEW ja INCREMENTALLY").collect().head
+    assert(r.getString(0) === "refreshed_incremental")
+    assert(view() === fresh())
+    // deleting the LAST holder of a joined value retracts it: qty=9
+    // leaves group a, and the refresh must still merge incrementally
+    e.sql("DELETE FROM item WHERE i = 12")
+    val r2 = e.sql("REFRESH MATERIALIZED VIEW ja INCREMENTALLY").collect().head
+    assert(r2.getString(0) === "refreshed_incremental")
+    assert(view() === fresh())
+    assert(view().exists(_.startsWith("[a,2,")), "9 retracted, {5,7} remain")
+    // a dim regroup retracts every pair from the old group
+    e.sql("UPDATE ord SET status = 'b' WHERE k = 3")
+    e.sql("REFRESH MATERIALIZED VIEW ja INCREMENTALLY")
+    assert(view() === fresh())
+    // a fact deletion that does NOT retract (duplicate value remains):
+    // qty=3 still held by i=15 after i=13 goes
+    e.sql("DELETE FROM item WHERE i = 13")
+    e.sql("REFRESH MATERIALIZED VIEW ja INCREMENTALLY")
+    assert(view() === fresh())
+    assert(view().exists(_.startsWith("[b,2,")), "b keeps {3,7}")
     e.close()
   }
 }

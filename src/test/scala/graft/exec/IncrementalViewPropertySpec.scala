@@ -90,7 +90,8 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
             |SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv,
             |       AVG(v) AS av, COUNT(DISTINCT v) AS dv,
             |       SUM(DISTINCT v) AS sd,
-            |       MIN(v) AS lo, MAX(v) AS hi
+            |       MIN(v) AS lo, MAX(v) AS hi,
+            |       APPROX_COUNT_DISTINCT(v) AS adv
             |FROM dim JOIN fct ON dim.k = fct.dk
             |WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
 
@@ -105,12 +106,13 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
       e.sql("""SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv,
               |       SUM(v) / COUNT(v) AS av, COUNT(DISTINCT v) AS dv,
               |       SUM(DISTINCT v) AS sd,
-              |       MIN(v) AS lo, MAX(v) AS hi
+              |       MIN(v) AS lo, MAX(v) AS hi,
+              |       hll_sketch_estimate(hll_sketch_agg(v)) AS adv
               |FROM dim JOIN fct ON dim.k = fct.dk
               |WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
         .collect().map(_.toString).toSet
     def jmv(): Set[String] =
-      e.sql("SELECT grp, n, nv, sv, av, dv, sd, lo, hi FROM jmv")
+      e.sql("SELECT grp, n, nv, sv, av, dv, sd, lo, hi, adv FROM jmv")
         .collect().map(_.toString).toSet
 
     for (batch <- 1 to 10) {
