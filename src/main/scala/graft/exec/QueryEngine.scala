@@ -1244,12 +1244,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             val st0 = stateAt(sh.table, Some(r).filter(_ > 0))
             val agged = IncrementalView.aggregate(st0, sh)
             // HAVING resolves against the view's VISIBLE output
-            // columns — analysis-check it against the hidden-stripped
-            // frame NOW so a typo (or a reference to a __graft_*
-            // accumulator the read path strips) fails the CREATE, not
-            // the first read (the filter itself applies at read time)
+            // columns plus the rewrite-minted __graft_h_* having
+            // accumulators — analysis-check it against that frame NOW
+            // so a typo (or a reference to a __graft_* support column
+            // the read path strips) fails the CREATE, not the first
+            // read (the filter itself applies at read time)
             sh.having.foreach(h => agged
-              .drop(agged.columns.filter(IncrementalView.hidden).toIndexedSeq: _*)
+              .drop(agged.columns.filter(c => IncrementalView.hidden(c) &&
+                !c.startsWith(IncrementalView.HavingAggPrefix)).toIndexedSeq: _*)
               .where(expr(h)).queryExecution.analyzed)
             encrypted(agged.write)
               .mode("overwrite").parquet(catalog.mviewDataPath(name, 0L))
@@ -1270,7 +1272,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                 stateAt(tn, Some(hs(tn)).filter(_ > 0)))
               val agged = IncrementalView.aggregateJoin(frames0, js)
               js.having.foreach(h => agged
-                .drop(agged.columns.filter(IncrementalView.hidden).toIndexedSeq: _*)
+                .drop(agged.columns.filter(c => IncrementalView.hidden(c) &&
+                  !c.startsWith(IncrementalView.HavingAggPrefix)).toIndexedSeq: _*)
                 .where(expr(h)).queryExecution.analyzed)
               encrypted(agged.write)
                 .mode("overwrite").parquet(catalog.mviewDataPath(name, 0L))
@@ -2478,10 +2481,6 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         if (!bound.contains(v)) {
           bound(v) = SystemTime.Current
           val mv = spark.read.parquet(catalog.mviewDataPath(v, catalog.mviewVersion(v)))
-          // maintainable views carry hidden IVM support columns
-          // (__graft_*) — internal bookkeeping, not part of the view
-          val visible =
-            mv.drop(mv.columns.filter(IncrementalView.hidden).toIndexedSeq: _*)
           // a maintainable view's HAVING applies at READ time: storage
           // keeps every group so deltas can move groups across the
           // predicate boundary (IncrementalView scaladoc). The filter
@@ -2489,11 +2488,22 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           // tests — a dropped or re-attached base must not silently
           // drop the predicate (the stored layout is what matters;
           // re-applying it to a full-rerun store whose rows already
-          // satisfy it is a no-op)
+          // satisfy it is a no-op). It applies BEFORE the hidden-column
+          // strip: an aggregate-call predicate rewrote to hidden
+          // `__graft_h_*` accumulators (rewriteHaving). A store written
+          // BEFORE a view's SQL parsed into the maintainable shape
+          // lacks those columns — its rows were filtered at population,
+          // so the predicate is skipped rather than failed.
           val viewSql = catalog.getView(v).get
           val having = IncrementalView.parse(viewSql).flatMap(_.having)
             .orElse(IncrementalView.parseJoin(viewSql).flatMap(_.having))
-          having.fold(visible)(h => visible.where(expr(h)))
+            .filter(h => IncrementalView.HavingAggRefRe.findAllIn(h)
+              .forall(mv.columns.contains))
+          val filtered = having.fold(mv)(h => mv.where(expr(h)))
+          // maintainable views carry hidden IVM support columns
+          // (__graft_*) — internal bookkeeping, not part of the view
+          filtered
+            .drop(mv.columns.filter(IncrementalView.hidden).toIndexedSeq: _*)
             .createOrReplaceTempView(tempName(v))
         }
       } else {

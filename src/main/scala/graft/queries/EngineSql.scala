@@ -636,10 +636,15 @@ object EngineSql {
     e.sql("SELECT zone, seg, n, sv, av FROM j3v ORDER BY zone, seg")
   }
 
-  /** Read-time HAVING on an incrementally maintained view (round 14):
+  /** Read-time HAVING on an incrementally maintained view (round 14;
+    * aggregate-call predicates round 15):
     * storage keeps every group (a group outside the predicate today
     * can cross into it after any delta), the read applies the
-    * predicate over the view's output aliases. The workload moves
+    * predicate over the view's output aliases AND over aggregate
+    * CALLS not in the select list — `MIN(v)` here rewrites to a
+    * hidden aux-frame-backed accumulator maintained like a visible
+    * one (until round 15 such views fell back to full rerun). The
+    * workload moves
     * groups across the HAVING boundary in BOTH directions through one
     * incremental refresh; the oracle restates the HAVING over the
     * aggregate calls. */
@@ -655,7 +660,7 @@ object EngineSql {
       |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
       |       CAST(SUM(v) AS BIGINT) AS sv
       |FROM post GROUP BY grp
-      |HAVING COUNT(*) >= 40 AND SUM(v) > 0
+      |HAVING COUNT(*) >= 40 AND MIN(v) > -95000
       |ORDER BY grp""".stripMargin) { (s, dir) =>
     val e = QueryEngine.scratch(s)
     e.attachExternal("customer", s"$dir/customer.parquet")
@@ -666,7 +671,8 @@ object EngineSql {
             |FROM customer WHERE c_custkey < 300""".stripMargin)
     e.sql("""CREATE MATERIALIZED VIEW hmv AS
             |SELECT grp, COUNT(*) AS n, SUM(v) AS sv
-            |FROM htab GROUP BY grp HAVING n >= 40 AND sv > 0""".stripMargin)
+            |FROM htab GROUP BY grp
+            |HAVING n >= 40 AND MIN(v) > -95000""".stripMargin)
     e.sql("""INSERT INTO htab
             |SELECT c_custkey, 'g' || CAST(c_nationkey % 6 AS STRING),
             |       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)

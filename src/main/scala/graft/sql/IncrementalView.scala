@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   * (plus the hidden accumulators), because a group outside the
   * predicate today can cross into it after any delta — filtering at
   * storage would lose the state needed to re-admit it. The predicate
-  * references the view's output columns (the aggregate ALIASES, not
-  * re-stated aggregate calls — the stored view has no raw rows to
-  * re-aggregate).
+  * may reference the view's output columns (the aggregate ALIASES)
+  * or state aggregate CALLS directly (`HAVING COUNT(*) >= 2`,
+  * standard SQL, round 15) — calls rewrite to hidden maintained
+  * accumulators (rewriteHaving) that merge like visible aggregates
+  * and strip from the read output.
   *
   * COUNT and SUM are the self-maintainable aggregates: a row's
   * contribution can be subtracted as well as added, so the view merges
@@ -285,9 +287,112 @@ object IncrementalView {
   // through Spark SQL correctly. (A false positive on a string
   // literal containing the keyword also just falls back — safe.)
   private val TrailingClauseRe = """(?is)\b(ORDER\s+BY|LIMIT|OFFSET)\b""".r
-  private def havingUnsupported(having: String): Boolean =
-    AggCallRe.findFirstIn(having).isDefined ||
-      TrailingClauseRe.findFirstIn(having).isDefined
+
+  /** Aliases of the hidden aggregates a HAVING rewrite mints — the
+    * `__graft_` prefix keeps them stripped from the view's read
+    * output like every other IVM accumulator. */
+  private[graft] val HavingAggPrefix = "__graft_h_"
+  private[graft] val HavingAggRefRe = """__graft_h_\d+""".r
+
+  /** Rewrite aggregate CALLS inside a HAVING into references to
+    * MAINTAINED accumulators, making standard `HAVING COUNT(*) >= 2`
+    * incrementally maintainable (round 15): each distinct call
+    * becomes a hidden aggregate (`__graft_h_<i>`) carried in the
+    * shape's agg list — populated, merged and (for the DISTINCT
+    * family / MIN / MAX / ACD) aux-backed exactly like a visible
+    * aggregate — and the read-time filter references it before the
+    * hidden columns strip. A call textually identical to a select
+    * item reuses that item's alias (no duplicate accumulator). None
+    * when any call is not a maintainable aggregate, when parens don't
+    * balance, or when the text carries a string literal (a quoted
+    * "COUNT(" lookalike must not be rewritten) — the view then falls
+    * back to full rerun, which serves the clause through Spark SQL.
+    * Returns (rewritten predicate, hidden aggs to append). */
+  private[sql] def rewriteHaving(having: String, selectAggs: Seq[Agg])
+      : Option[(String, Seq[Agg])] = {
+    if (AggCallRe.findFirstIn(having).isEmpty) return Some((having, Nil))
+    if (having.contains("'")) return None
+    val sb = new StringBuilder
+    val minted = scala.collection.mutable.LinkedHashMap.empty[String, Agg]
+    var pos = 0
+    for (m <- AggCallRe.findAllMatchIn(having) if m.start >= pos) {
+      sb.append(having.substring(pos, m.start))
+      var depth = 1
+      var i = m.end // AggCallRe consumes through the opening paren
+      while (i < having.length && depth > 0) {
+        val c = having.charAt(i)
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        i += 1
+      }
+      if (depth != 0) return None
+      val call = having.substring(m.start, i)
+      if (NonCdDistinctRe.findFirstIn(call).isDefined) return None
+      val canon = call.replaceAll("\\s+", " ").trim
+      val alias = minted.get(canon).map(_.alias).orElse {
+        parseAgg(s"$canon AS __probe").flatMap(probe => selectAggs.find(a =>
+          a.getClass == probe.getClass && aggInput(a) == aggInput(probe))
+          .map(_.alias))
+      }.getOrElse {
+        val a = s"$HavingAggPrefix${minted.size}"
+        parseAgg(s"$call AS $a") match {
+          case Some(agg) => minted(canon) = agg; a
+          case None => return None
+        }
+      }
+      sb.append(alias)
+      pos = i
+    }
+    sb.append(having.substring(pos))
+    Some((sb.toString, minted.values.toSeq))
+  }
+
+  /** Parse one `AGG(args) AS alias` item into its maintainable Agg,
+    * None when the call is not one the engine maintains. Shared by
+    * the select-list classifier and the HAVING rewrite. */
+  private def parseAgg(item: String): Option[Agg] = item match {
+    case CountStarRe(a) => Some(CountStar(a))
+    // before CountRe, which would otherwise swallow the DISTINCT
+    // keyword into its expression; multi-column COUNT(DISTINCT a, b)
+    // has no single aux value key — the view falls back to full
+    // rerun, which serves it fine
+    case CdRe(e, a) =>
+      if (SqlText.splitTopLevel(e).size != 1) None
+      else Some(CountDistinctExpr(e.trim, a))
+    // before SumRe/AvgRe, which would swallow the DISTINCT keyword
+    // into their expression — aux-frame-backed, exactly retractable
+    case SumDistinctRe(e, a) =>
+      if (SqlText.splitTopLevel(e).size != 1) None
+      else Some(SumDistinctExpr(e.trim, a))
+    case AvgDistinctRe(e, a) =>
+      if (SqlText.splitTopLevel(e).size != 1) None
+      else Some(AvgDistinctExpr(e.trim, a))
+    case SumRe(e, a) => Some(SumExpr(e.trim, a))
+    case AvgRe(e, a) => Some(AvgExpr(e.trim, a))
+    // admitted into BOTH shapes: single-table and join refreshes
+    // each probe for retraction and dispatch union vs recompute
+    case AcdRe(e, a) => Some(AcdExpr(e.trim, a))
+    // aux-frame-backed since round 15, hence retractable — admitted
+    // into join shapes alongside COUNT(DISTINCT)
+    case MinRe(e, a) => Some(MinExpr(e.trim, a))
+    case MaxRe(e, a) => Some(MaxExpr(e.trim, a))
+    case CountRe(e, a) if e.trim != "*" => Some(CountExpr(e.trim, a))
+    case _ => None
+  }
+
+  /** The input expression of an aggregate, None for COUNT(*) — the
+    * identity the HAVING rewrite reuses select-list aliases by. */
+  private def aggInput(a: Agg): Option[String] = a match {
+    case CountStar(_) => None
+    case CountExpr(e, _) => Some(e.trim)
+    case SumExpr(e, _) => Some(e.trim)
+    case AvgExpr(e, _) => Some(e.trim)
+    case CountDistinctExpr(e, _) => Some(e.trim)
+    case SumDistinctExpr(e, _) => Some(e.trim)
+    case AvgDistinctExpr(e, _) => Some(e.trim)
+    case MinExpr(e, _) => Some(e.trim)
+    case MaxExpr(e, _) => Some(e.trim)
+    case AcdExpr(e, _) => Some(e.trim)
+  }
 
   /** Classify select items into aggregates and group keys (bare
     * columns or `expr AS alias` row expressions with no aggregate
@@ -297,37 +402,17 @@ object IncrementalView {
       : Option[(Seq[GroupKey], Seq[Agg])] = {
     val aggs = Vector.newBuilder[Agg]
     val keys = Vector.newBuilder[GroupKey]
-    for (i <- items) i match {
-      case CountStarRe(a) => aggs += CountStar(a)
-      // before CountRe, which would otherwise swallow the DISTINCT
-      // keyword into its expression; multi-column COUNT(DISTINCT a, b)
-      // has no single aux value key — the view falls back to full
-      // rerun, which serves it fine
-      case CdRe(e, a) =>
-        if (SqlText.splitTopLevel(e).size != 1) return None
-        aggs += CountDistinctExpr(e.trim, a)
-      // before SumRe/AvgRe, which would swallow the DISTINCT keyword
-      // into their expression — aux-frame-backed, exactly retractable
-      case SumDistinctRe(e, a) =>
-        if (SqlText.splitTopLevel(e).size != 1) return None
-        aggs += SumDistinctExpr(e.trim, a)
-      case AvgDistinctRe(e, a) =>
-        if (SqlText.splitTopLevel(e).size != 1) return None
-        aggs += AvgDistinctExpr(e.trim, a)
-      case SumRe(e, a) => aggs += SumExpr(e.trim, a)
-      case AvgRe(e, a) => aggs += AvgExpr(e.trim, a)
-      // admitted into BOTH shapes: single-table and join refreshes
-      // each probe for retraction and dispatch union vs recompute
-      case AcdRe(e, a) => aggs += AcdExpr(e.trim, a)
-      // aux-frame-backed since round 15, hence retractable — admitted
-      // into join shapes alongside COUNT(DISTINCT)
-      case MinRe(e, a) => aggs += MinExpr(e.trim, a)
-      case MaxRe(e, a) => aggs += MaxExpr(e.trim, a)
-      case CountRe(e, a) if e.trim != "*" => aggs += CountExpr(e.trim, a)
-      case b if BareRe.matches(b) => keys += GroupKey(b, b)
-      case GroupItemRe(e, a) if AggCallRe.findFirstIn(e).isEmpty =>
-        keys += GroupKey(e.trim, a)
-      case _ => return None
+    for (i <- items) parseAgg(i) match {
+      case Some(a) => aggs += a
+      case None => i match {
+        // an agg-shaped item parseAgg rejected (COUNT(DISTINCT a,b),
+        // SUM(DISTINCT …) over multiple exprs) must fail the shape,
+        // not fall through into the group keys
+        case b if BareRe.matches(b) => keys += GroupKey(b, b)
+        case GroupItemRe(e, a) if AggCallRe.findFirstIn(e).isEmpty =>
+          keys += GroupKey(e.trim, a)
+        case _ => return None
+      }
     }
     val ks = keys.result()
     val as = aggs.result()
@@ -354,15 +439,24 @@ object IncrementalView {
       // DISTINCT-qualified aggregates fall back to full rerun
       if (items.exists(i => NonCdDistinctRe.findFirstIn(i).isDefined))
         return None
-      // a read-time HAVING filters the view's OUTPUT columns — an
-      // aggregate-call predicate (HAVING COUNT(*) >= 2, standard SQL)
-      // cannot run over stored output rows, so the view falls back to
-      // full rerun, which serves it correctly
-      if (Option(having).exists(havingUnsupported)) return None
-      classify(items, gcols).map {
+      // a read-time HAVING filters the view's stored rows; aggregate
+      // calls in it (HAVING COUNT(*) >= 2, standard SQL) rewrite to
+      // hidden maintained accumulators (rewriteHaving) — only a
+      // trailing ORDER BY/LIMIT (not a predicate at all) or an
+      // unmaintainable call falls back to full rerun
+      if (Option(having).exists(h =>
+          TrailingClauseRe.findFirstIn(h).isDefined)) return None
+      classify(items, gcols).flatMap {
         case (keys, aggs) =>
-          Shape(table, Option(where).map(_.trim), keys, aggs,
-            Option(having).map(_.trim))
+          Option(having).map(_.trim) match {
+            case None => Some(Shape(table, Option(where).map(_.trim),
+              keys, aggs, None))
+            case Some(h) => rewriteHaving(h, aggs).map {
+              case (rewritten, extra) =>
+                Shape(table, Option(where).map(_.trim),
+                  keys, aggs ++ extra, Some(rewritten))
+            }
+          }
       }
     case _ => None
   }
@@ -418,12 +512,20 @@ object IncrementalView {
       if (gcols.isEmpty || !gcols.forall(BareRe.matches(_))) return None
       if (items.exists(i => NonCdDistinctRe.findFirstIn(i).isDefined))
         return None
-      if (Option(having).exists(havingUnsupported)) return None
-      classify(items, gcols).map {
+      if (Option(having).exists(h =>
+          TrailingClauseRe.findFirstIn(h).isDefined)) return None
+      classify(items, gcols).flatMap {
         case (keys, aggs) =>
-          JoinShape(tables, onExprs, links,
-            Option(where).map(_.trim), keys, aggs,
-            Option(having).map(_.trim))
+          Option(having).map(_.trim) match {
+            case None => Some(JoinShape(tables, onExprs, links,
+              Option(where).map(_.trim), keys, aggs, None))
+            case Some(h) => rewriteHaving(h, aggs).map {
+              case (rewritten, extra) =>
+                JoinShape(tables, onExprs, links,
+                  Option(where).map(_.trim), keys, aggs ++ extra,
+                  Some(rewritten))
+            }
+          }
       }
     case _ => None
   }

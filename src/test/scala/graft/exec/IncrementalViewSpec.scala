@@ -217,10 +217,22 @@ class IncrementalViewSpec extends AnyFunSuite {
         s.where.contains("v > 0")))
     assert(parse("SELECT grp, COUNT(*) AS n FROM t GROUP BY grp")
       .exists(_.having.isEmpty))
-    // an aggregate-call HAVING (standard SQL) cannot filter stored
-    // output rows — the view must fall back to full rerun, not break
+    // an aggregate-call HAVING (standard SQL) rewrites to a hidden
+    // maintained accumulator (round 15); a non-maintainable call or a
+    // string literal (could hide a fake call) still falls back
+    // a call matching a select item reuses its alias — no hidden agg
     assert(parse("SELECT grp, COUNT(*) AS n FROM t GROUP BY grp " +
-      "HAVING COUNT(*) >= 2").isEmpty)
+      "HAVING COUNT(*) >= 2").exists(s =>
+        s.having.contains("n >= 2") && s.aggs.size == 1))
+    // a call NOT in the select list mints a hidden accumulator
+    assert(parse("SELECT grp, COUNT(*) AS n FROM t GROUP BY grp " +
+      "HAVING SUM(v) >= 2").exists(s =>
+        s.having.contains("__graft_h_0 >= 2") &&
+          s.aggs.contains(IncrementalView.SumExpr("v", "__graft_h_0"))))
+    assert(parse("SELECT grp, COUNT(*) AS n FROM t GROUP BY grp " +
+      "HAVING MAX(DISTINCT v) > 2").isEmpty)
+    assert(parse("SELECT grp, COUNT(*) AS n FROM t GROUP BY grp " +
+      "HAVING SUM(v) > 2 AND grp <> 'COUNT(x'").isEmpty)
     // multi-column COUNT(DISTINCT a, b) has no single aux value key
     assert(parse("SELECT grp, COUNT(DISTINCT v, k) AS m FROM t GROUP BY grp").isEmpty)
     // the no-space COUNT(DISTINCT(v)) form still maintains
@@ -400,17 +412,56 @@ class IncrementalViewSpec extends AnyFunSuite {
               |HAVING nope > 1""".stripMargin)
     }
     assert(err.getMessage.toLowerCase.contains("nope"), err.getMessage)
-    // standard aggregate-call HAVING serves through the full-rerun
-    // path — correct results, full_rerun kind
+    e.close()
+  }
+
+  test("aggregate-call HAVING maintains via hidden accumulators") {
+    // `HAVING SUM(v) > 20 AND COUNT(DISTINCT w) >= 2` (standard SQL,
+    // aggregates NOT in the select list) rewrites to hidden maintained
+    // accumulators (round 15 — until then such views fell back to full
+    // rerun): the view is kind=incremental, every group is stored, the
+    // predicate applies at read over the hidden columns, and deltas —
+    // including aux-backed COUNT(DISTINCT) retraction — move groups
+    // across the boundary exactly
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT, w BIGINT)")
+    e.sql("INSERT INTO t VALUES (1,'a',10,1), (2,'a',20,2), (3,'b',30,7)")
     e.sql("""CREATE MATERIALIZED VIEW hagg AS
             |SELECT grp, COUNT(*) AS n FROM t GROUP BY grp
-            |HAVING COUNT(*) >= 2""".stripMargin)
+            |HAVING SUM(v) > 20 AND COUNT(DISTINCT w) >= 2""".stripMargin)
     assert(e.sql("SHOW MATERIALIZED VIEWS").collect()
-      .find(_.getString(0) == "hagg").exists(_.getString(2) == "full_rerun"))
-    assert(e.sql("SELECT grp, n FROM hagg").collect().map(_.toString).toSet
-      === e.sql("""SELECT grp, COUNT(*) AS n FROM t GROUP BY grp
-                  |HAVING COUNT(*) >= 2""".stripMargin)
+      .find(_.getString(0) == "hagg").exists(_.getString(2) == "incremental"))
+    def view(): Set[String] =
+      e.sql("SELECT grp, n FROM hagg").collect().map(_.toString).toSet
+    def fresh(): Set[String] =
+      e.sql("""SELECT grp, COUNT(*) AS n FROM t GROUP BY grp
+              |HAVING SUM(v) > 20 AND COUNT(DISTINCT w) >= 2""".stripMargin)
+        .collect().map(_.toString).toSet
+    assert(view() === fresh())
+    assert(view() === Set("[a,2]"), "b has one distinct w")
+    // hidden accumulators never surface
+    assert(e.sql("SELECT * FROM hagg").columns.toSet === Set("grp", "n"))
+    // b crosses INTO the predicate; a's distinct-w support collapses
+    // OUT of it (both w values become 1 — an aux retraction)
+    e.sql("INSERT INTO t VALUES (4,'b',40,8)")
+    e.sql("UPDATE t SET w = 1 WHERE grp = 'a'")
+    e.sql("REFRESH MATERIALIZED VIEW hagg INCREMENTALLY")
+    assert(view() === fresh())
+    assert(view() === Set("[b,2]"))
+    // a call textually matching a select item reuses its accumulator —
+    // and the alias-form and call-form predicates agree
+    e.sql("""CREATE MATERIALIZED VIEW hmix AS
+            |SELECT grp, SUM(v) AS sv FROM t GROUP BY grp
+            |HAVING SUM(v) > 20""".stripMargin)
+    assert(e.sql("SELECT grp, sv FROM hmix").collect().map(_.toString).toSet
+      === e.sql("""SELECT grp, SUM(v) AS sv FROM t GROUP BY grp
+                  |HAVING SUM(v) > 20""".stripMargin)
         .collect().map(_.toString).toSet)
+    // reuse means NO extra hidden accumulator was minted
+    import IncrementalView._
+    val sh = parse("SELECT grp, SUM(v) AS sv FROM t GROUP BY grp " +
+      "HAVING SUM(v) > 20").get
+    assert(sh.aggs === Seq(SumExpr("v", "sv")) && sh.having.contains("sv > 20"))
     e.close()
   }
 
