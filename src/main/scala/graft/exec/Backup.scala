@@ -365,6 +365,10 @@ object Backup {
       if (u.getScheme == null || u.getScheme == "file") u.getPath else s
     }
     val rootNorm = norm(dir)
+    // the catalog dir itself is never deletable (it CONTAINS the
+    // siblings) — normalized compare, so a trailing slash or file:
+    // spelling of `dir` cannot sneak it into the candidate set
+    def isRoot(p: String): Boolean = norm(p) == rootNorm
     val overCount: Set[String] = keep match {
       case Some(n) => infos.drop(n).map(_.path).toSet
       case None => Set.empty
@@ -374,15 +378,25 @@ object Backup {
       case Some(c) => infos.filter(_.created.exists(_ < c)).map(_.path).toSet
       case None => Set.empty
     }
-    val candidates = (overCount ++ tooOld) - dir
-    // pin every ancestor of every kept backup — chains are linear, so
-    // a kept backup's full chain covers everything its restore reads
+    val candidates = (overCount ++ tooOld).filterNot(isRoot)
+    // pin every ancestor of every kept backup (the force-kept root
+    // included) — chains are linear, so a kept backup's full chain
+    // covers everything its restore reads. Parent pointers come from
+    // the manifests list() already parsed; only a parent OUTSIDE the
+    // catalog (not deletable here anyway) would need another read,
+    // and the walk just stops there.
+    val byNorm = infos.map(i => norm(i.path) -> i).toMap
     val pinned = scala.collection.mutable.Set.empty[String]
-    for (i <- infos if !candidates(i.path);
-         a <- chainOf(spark, i.path).drop(1)) pinned += norm(a)
+    for (i <- infos if !candidates(i.path)) {
+      var cur = i.parent
+      val guard = scala.collection.mutable.Set(norm(i.path))
+      while (cur.exists(p => guard.add(norm(p)))) {
+        pinned += norm(cur.get)
+        cur = byNorm.get(norm(cur.get)).flatMap(_.parent)
+      }
+    }
     infos.map { i =>
-      if (norm(i.path) == rootNorm && candidates(i.path)) (i.path, "kept")
-      else if (!candidates(i.path)) (i.path, "kept")
+      if (!candidates(i.path)) (i.path, "kept")
       else if (pinned(norm(i.path))) (i.path, "kept_parent")
       else if (dryRun) (i.path, "would_delete")
       else {

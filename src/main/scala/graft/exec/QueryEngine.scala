@@ -1411,8 +1411,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             //   ΔA⋈B_new + A_new⋈ΔB − ΔA⋈ΔB)
             // over the touched rows of each side — exact under
             // ARBITRARY updates/deletes (join views carry only
-            // retractable aggregates; ACD never parses into the
-            // join shape), so no old-side probe applies.
+            // retractable aggregates; a sketch-bearing join view
+            // additionally probes the delta for negative-signed
+            // sketch values — see the dispatch below).
             // Each Δ side is touched-pk-restricted like the
             // single-table path; every delta term carries at least
             // one Δ side, and for two-table views each FULL side
@@ -1585,24 +1586,30 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               // like the single-table path
               val sdOpt =
                 if (cds.isEmpty && acds.isEmpty) None else Some(pin(delta))
-              // A sketch cannot retract a joined row. The union merge
-              // is sound unless some (group, value) LOST support: probe
-              // the pinned delta for any net-negative signed support —
-              // none (appends, fan-outs, value moves that keep support)
-              // keeps the cheap union; any dispatches to a touched-group
-              // recompute over the joined current state, exactly like
-              // the single-table path. Net aggregation, not raw signs:
-              // inclusion-exclusion terms cancel by construction, and a
-              // false positive only costs the recompute, never
-              // correctness.
+              // A sketch cannot retract a joined row, and the union
+              // merge folds EVERY +1 row's value in — so it is sound
+              // only when every +1 (group, value) pair truly exists in
+              // the new joined state. That holds exactly when the delta
+              // carries NO negative-signed sketch-value rows at all:
+              // with only touched-side inserts, every nonvanishing
+              // inclusion-exclusion term has positive parity and joins
+              // genuinely-new rows. Any negative row means a retraction
+              // OR a cancelling cross-term pair — and a cancelled pair
+              // (old-side × new-side, e.g. DELETE dim + INSERT fact in
+              // one window) is a +1 PHANTOM that never existed in
+              // either state, which a net-support probe would wave
+              // through into the sketch. So the probe is the strictest
+              // cheap condition: one limit-1 job over the pinned delta,
+              // no aggregation, all ACD value columns at once; a
+              // positive dispatches to the touched-group recompute over
+              // the joined current state, exactly like the single-table
+              // path. Conservative by design — a false positive costs
+              // a recompute, never correctness.
               val acdRetracts = acds.nonEmpty && {
-                val d = sdOpt.get
-                acds.exists(a =>
-                  d.where(col(s"__val_${a.alias}").isNotNull)
-                    .groupBy((js.groupCols.map(col) :+
-                      col(s"__val_${a.alias}")): _*)
-                    .agg(sum(col("__sign")).as("__net"))
-                    .where(col("__net") < 0).limit(1).count() > 0)
+                val anyVal = acds.map(a =>
+                  col(s"__val_${a.alias}").isNotNull).reduce(_ || _)
+                sdOpt.get.where(col("__sign") === -1 && anyVal)
+                  .limit(1).count() > 0
               }
               val (merged0, auxWrites) =
                 if (cds.isEmpty)

@@ -137,10 +137,7 @@ object IncrementalView {
       * touched-group recompute instead of the sketch union; see
       * recomputeAcd). MIN/MAX retract exactly through their aux
       * frames (round 15), like COUNT(DISTINCT). */
-    def hasAcd: Boolean = aggs.exists {
-      case _: AcdExpr => true
-      case _ => false
-    }
+    def hasAcd: Boolean = acdAggs(aggs).nonEmpty
   }
 
   /** N-way (2..MaxJoinTables) equi-join view shape (round 14):
@@ -158,12 +155,18 @@ object IncrementalView {
     * MIN/MAX (round 15)
     * retract through their aux frames, which the same signed delta
     * maintains. APPROX_COUNT_DISTINCT's sketch cannot retract a joined
-    * row, so the engine probes the signed delta for any NET-NEGATIVE
-    * (group, value) support — none (the append/fan-out path) means the
+    * row — and the union folds in EVERY +1 row, including a
+    * cancelling cross-term's +1 PHANTOM pair that never existed in
+    * either state — so the engine probes the signed delta for ANY
+    * negative-signed sketch-value row: none (the append/fan-out path,
+    * where every term joins genuinely-new rows at positive parity)
+    * means the
     * sketch union stands; any means only the touched groups' sketches
     * recompute from the joined current state (round 15; the probe is
     * conservative — a false positive costs a recompute, never
-    * correctness).
+    * correctness — and strict enough to exclude phantoms: a phantom's
+    * old-side row always also joins the partner's full-new state in
+    * its singleton term, emitting the negative row the probe sees).
     * Table names double as the join aliases; group columns are
     * bare identifiers that must be unambiguous in the joined relation
     * (the stored view exposes them unqualified). */
@@ -181,12 +184,10 @@ object IncrementalView {
       }
       where.fold(j)(p => j.where(expr(p)))
     }
-    /** See Shape.hasAcd: ACD join refreshes probe the signed delta's
-      * net (group, value) support to dispatch union vs recompute. */
-    def hasAcd: Boolean = aggs.exists {
-      case _: AcdExpr => true
-      case _ => false
-    }
+    /** See Shape.hasAcd: ACD join refreshes probe the signed delta
+      * for negative-signed sketch values to dispatch union vs
+      * recompute. */
+    def hasAcd: Boolean = acdAggs(aggs).nonEmpty
     /** For the 2-table shape: the single link's key column on each
       * side, in `tables` order — the engine's full-side pruning. */
     def twoTableKeys: Option[(String, String)] = links match {
@@ -304,14 +305,16 @@ object IncrementalView {
     * hidden columns strip. A call textually identical to a select
     * item reuses that item's alias (no duplicate accumulator). None
     * when any call is not a maintainable aggregate, when parens don't
-    * balance, or when the text carries a string literal (a quoted
-    * "COUNT(" lookalike must not be rewritten) — the view then falls
+    * balance, or when the text carries a string literal in either
+    * quoting style (a quoted "COUNT(" lookalike must not be rewritten;
+    * double quotes are string literals under Spark's default parser) —
+    * the view then falls
     * back to full rerun, which serves the clause through Spark SQL.
     * Returns (rewritten predicate, hidden aggs to append). */
   private[sql] def rewriteHaving(having: String, selectAggs: Seq[Agg])
       : Option[(String, Seq[Agg])] = {
     if (AggCallRe.findFirstIn(having).isEmpty) return Some((having, Nil))
-    if (having.contains("'")) return None
+    if (having.contains("'") || having.contains("\"")) return None
     val sb = new StringBuilder
     val minted = scala.collection.mutable.LinkedHashMap.empty[String, Agg]
     var pos = 0

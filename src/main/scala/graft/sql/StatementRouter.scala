@@ -658,8 +658,15 @@ object StatementRouter {
           throw new IllegalArgumentException(
             "PRUNE BACKUPS needs a retention rule: KEEP n and/or " +
               "OLDER THAN n DAYS")
-        PruneBackups(dir, Option(keep).map(_.toInt),
-          Option(days).map(_.toInt), dry != null)
+        // (\d+) admits any digit run — overflow must surface as the
+        // router's clean statement error, not a NumberFormatException
+        def int(s: String, what: String): Int =
+          try s.toInt catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"PRUNE BACKUPS $what is out of range: $s")
+          }
+        PruneBackups(dir, Option(keep).map(int(_, "KEEP")),
+          Option(days).map(int(_, "OLDER THAN")), dry != null)
       case ShowClusterR() => ShowCluster
       case VerifyBackupR(dir) => VerifyBackup(dir)
       case DropTableR(ifEx, name) => DropTable(name, ifEx != null)

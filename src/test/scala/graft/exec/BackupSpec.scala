@@ -260,6 +260,36 @@ class BackupSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("PRUNE pins the chain of a root-dir backup, under any dir spelling") {
+    // the catalog dir ITSELF can be a backup (list() supports it) and
+    // is force-kept; its incremental PARENT must be pinned like any
+    // kept backup's — and a trailing-slash or oddly-spelled dir
+    // argument must not unpin it (paths compare normalized)
+    val base = tmp("graft-bk-base-")
+    val root = tmp("graft-bk-rootbk-")
+    val e = engineWith(base)
+    e.sql(s"BACKUP DATABASE TO '$root/b1'")
+    Thread.sleep(5)
+    e.sql("INSERT INTO t VALUES (4, 'd')")
+    e.sql(s"BACKUP DATABASE TO '$root' INCREMENTAL FROM '$root/b1'")
+    Thread.sleep(5)
+    e.sql("INSERT INTO t VALUES (5, 'e')")
+    e.sql(s"BACKUP DATABASE TO '$root/b2'")
+    // trailing slash on purpose; KEEP 1 keeps only b2 by the rules,
+    // but the root is force-kept and b1 is its restore chain
+    val acts = e.sql(s"PRUNE BACKUPS IN '$root/' KEEP 1").collect()
+      .map(r => (r.getString(0).stripSuffix("/").split('/').last,
+        r.getString(1))).toMap
+    assert(acts("b2") === "kept" && acts("b1") === "kept_parent")
+    assert(acts(root.split('/').last) === "kept")
+    // the root backup stays fully restorable through its parent
+    e.sql("DELETE FROM t")
+    e.sql(s"RESTORE DATABASE FROM '$root'")
+    assert(rows(e) === Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c"),
+      Row(4L, "d")))
+    e.close()
+  }
+
   test("age-based retention skips undatable backups and pinned parents") {
     val base = tmp("graft-bk-base-")
     val root = tmp("graft-bk-age-")

@@ -680,6 +680,31 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("ACD join view: a cancelling cross-term phantom never enters the sketch") {
+    // DELETE dim + INSERT fact in one refresh window: the
+    // inclusion-exclusion cross term −Δdim⋈Δfct emits a +1 row for a
+    // (group, value) pair that existed in NEITHER state (old dim × new
+    // fact), and its net support is 0 — a net-based probe would keep
+    // the union path and the sketch would absorb the phantom forever.
+    // The any-negative probe must dispatch to the recompute instead.
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE dimt (k BIGINT PRIMARY KEY, grp STRING)")
+    e.sql("CREATE TABLE fctt (i BIGINT PRIMARY KEY, dk BIGINT, v BIGINT)")
+    e.sql("INSERT INTO dimt VALUES (1,'g'), (2,'g')")
+    e.sql("INSERT INTO fctt VALUES (10,2,1)") // only d2 has a fact
+    e.sql("""CREATE MATERIALIZED VIEW pj AS
+            |SELECT grp, APPROX_COUNT_DISTINCT(v) AS dv, COUNT(*) AS n
+            |FROM dimt JOIN fctt ON dimt.k = fctt.dk
+            |GROUP BY grp""".stripMargin)
+    e.sql("DELETE FROM dimt WHERE k = 1")
+    e.sql("INSERT INTO fctt VALUES (11,1,7)") // dangles: d1 is gone
+    val r = e.sql("REFRESH MATERIALIZED VIEW pj INCREMENTALLY").collect().head
+    assert(r.getString(0) === "refreshed_incremental")
+    assert(e.sql("SELECT grp, dv, n FROM pj").collect().map(_.toString).toSet
+      === Set("[g,1,1]"), "phantom (d1_old, f11_new) pair must not count")
+    e.close()
+  }
+
   test("an ACD join view maintains under appends AND retraction") {
     val e = QueryEngine.scratch(spark)
     mkTables(e)

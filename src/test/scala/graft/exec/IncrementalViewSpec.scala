@@ -233,6 +233,10 @@ class IncrementalViewSpec extends AnyFunSuite {
       "HAVING MAX(DISTINCT v) > 2").isEmpty)
     assert(parse("SELECT grp, COUNT(*) AS n FROM t GROUP BY grp " +
       "HAVING SUM(v) > 2 AND grp <> 'COUNT(x'").isEmpty)
+    // double quotes are string literals under Spark's default parser —
+    // a "COUNT(v)" lookalike must fall back, not rewrite
+    assert(parse("SELECT grp, COUNT(*) AS n FROM t GROUP BY grp " +
+      "HAVING SUM(v) > 2 AND grp <> \"COUNT(v)\"").isEmpty)
     // multi-column COUNT(DISTINCT a, b) has no single aux value key
     assert(parse("SELECT grp, COUNT(DISTINCT v, k) AS m FROM t GROUP BY grp").isEmpty)
     // the no-space COUNT(DISTINCT(v)) form still maintains
