@@ -1331,8 +1331,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             val restrict = touchedRestrictor(t, r, horizon)
             val stored = spark.read.parquet(catalog.mviewDataPath(name, prev))
             val oldSide = restrict(stateAt(baseT, Some(r)))
-            // An HLL sketch unions but cannot retract, so the
-            // APPROX_COUNT_DISTINCT merge is a plain sketch union ONLY
+            // A sketch (ACD's HLL, APPROX_PERCENTILE's KLL) unions but
+            // cannot retract, so the
+            // sketch merge is a plain union ONLY
             // when no touched pk CONTRIBUTED to the view at the old
             // horizon. The probe applies the view's own WHERE: a
             // touched pre-horizon row the predicate excluded
@@ -1350,8 +1351,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             // sketch, so the refresh never re-aggregates the table.
             // MIN/MAX never probe: they retract exactly through their
             // aux frames.
-            val acds = IncrementalView.acdAggs(sh.aggs)
-            val acdRetracts = sh.hasAcd &&
+            val acds = IncrementalView.sketchAggs(sh.aggs)
+            val acdRetracts = sh.hasSketch &&
               sh.where.fold(oldSide)(w => oldSide.where(expr(w)))
                 .limit(1).count() > 0
             val newSide = restrict(stateAt(baseT, Some(horizon)))
@@ -1383,8 +1384,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               }
               val merged =
                 if (!acdRetracts) merged0
-                else IncrementalView.overlayAcd(merged0,
-                  IncrementalView.recomputeAcd(
+                else IncrementalView.overlaySketches(merged0,
+                  IncrementalView.recomputeSketches(
                     pruneToTouchedGroups(
                       sh.filtered(stateAt(baseT, Some(horizon))),
                       sdPin.get, sh.groupKeys),
@@ -1580,7 +1581,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                 sides.indices.map(i =>
                   (deltas(i)._1, deltas(i)._2, fulls(i))))
               val cds = IncrementalView.auxAggs(js.aggs)
-              val acds = IncrementalView.acdAggs(js.aggs)
+              val acds = IncrementalView.sketchAggs(js.aggs)
               // persist the 2^n−1-term delta across its consumers
               // (main merge, aux merges, overlays, the ACD probe),
               // like the single-table path
@@ -1623,8 +1624,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                     sdOpt.get, js.groupCols, cds)
               val merged =
                 if (!acdRetracts) merged0
-                else IncrementalView.overlayAcd(merged0,
-                  IncrementalView.recomputeAcd(
+                else IncrementalView.overlaySketches(merged0,
+                  IncrementalView.recomputeSketches(
                     pruneToTouchedGroups(
                       js.joined(sides.indices.map(i => fullNew(i))),
                       sdOpt.get, js.groupKeys),
@@ -1646,6 +1647,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               s"$name is not incrementally maintainable: the view must be " +
                 "SELECT <group cols>, COUNT/SUM/AVG/COUNT(DISTINCT)/" +
                 "SUM(DISTINCT)/AVG(DISTINCT)/APPROX_COUNT_DISTINCT/" +
+                "APPROX_PERCENTILE(e, p)/" +
                 "MIN/MAX aggregates FROM " +
                 "<engine table> [WHERE ...] GROUP BY <group cols>, or the " +
                 "same aggregates FROM <table> JOIN <table> ON " +
@@ -1804,8 +1806,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         if (!retractable)
           throw new IllegalArgumentException(
             s"$name cannot AUTOREFRESH: only incrementally maintainable " +
-              "views (COUNT/SUM/AVG/COUNT(DISTINCT)/MIN/MAX/" +
-              "APPROX_COUNT_DISTINCT, single-table or join shape) " +
+              "views (COUNT/SUM/AVG/COUNT(DISTINCT)/SUM(DISTINCT)/" +
+              "AVG(DISTINCT)/MIN/MAX/APPROX_COUNT_DISTINCT/" +
+              "APPROX_PERCENTILE, single-table or join shape) " +
               "qualify — this view refreshes by full rerun")
         // without recorded horizons the due check can never fire and
         // the flag would be silently inert (e.g. a view stored by an

@@ -771,6 +771,59 @@ object EngineSql {
     e.sql("SELECT g, d, sd, ad, n FROM cdv ORDER BY g")
   }
 
+  /** APPROX_PERCENTILE incremental maintenance (round 15): the view
+    * carries a hidden mergeable DataSketches KLL sketch per group (the
+    * native approx_percentile has no mergeable state) plus a non-null
+    * support count; append-shaped refreshes union the touched rows'
+    * new-state sketch, and this workload's PRE-horizon updates and
+    * deletes dispatch to the touched-group recompute. Every fixture
+    * group holds well under KllK values, so the sketch sits in its
+    * exact regime: the quantile is the exact order statistic
+    * min{x : inclusive rank >= p}, which the oracle derives
+    * independently as the smallest value whose CUME_DIST reaches p —
+    * two different algorithms, identical output, hash-exact (the
+    * surfaced double IS a data value, cents are exact BIGINTs). */
+  val qMatViewPctl = Q(
+    "q_matview_pctl",
+    """WITH src AS (
+      |  SELECT c_custkey AS k, c_nationkey % 4 AS g,
+      |         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS v
+      |  FROM customer
+      |  WHERE c_custkey < 400 OR c_custkey BETWEEN 1000 AND 1099),
+      |post AS (
+      |  SELECT k, g, CASE WHEN k % 11 = 0 THEN v + 50000 ELSE v END AS v
+      |  FROM src WHERE k % 13 <> 0),
+      |ranked AS (
+      |  SELECT g, CAST(v AS DOUBLE) AS dv,
+      |         CUME_DIST() OVER (PARTITION BY g ORDER BY v) AS cd
+      |  FROM post)
+      |SELECT g,
+      |       MIN(dv) FILTER (WHERE cd >= 0.5) AS med,
+      |       MIN(dv) FILTER (WHERE cd >= 0.9) AS p90,
+      |       CAST(COUNT(*) AS BIGINT) AS n
+      |FROM ranked GROUP BY g ORDER BY g""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.sql("CREATE TABLE ptab (k BIGINT PRIMARY KEY, g BIGINT, v BIGINT)")
+    e.sql("""INSERT INTO ptab
+            |SELECT c_custkey, c_nationkey % 4,
+            |       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+            |FROM customer WHERE c_custkey < 400""".stripMargin)
+    e.sql("""CREATE MATERIALIZED VIEW pv AS
+            |SELECT g, APPROX_PERCENTILE(v, 0.5) AS med,
+            |       APPROX_PERCENTILE(v, 0.9) AS p90, COUNT(*) AS n
+            |FROM ptab GROUP BY g""".stripMargin)
+    e.sql("""INSERT INTO ptab
+            |SELECT c_custkey, c_nationkey % 4,
+            |       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+            |FROM customer WHERE c_custkey BETWEEN 1000 AND 1099""".stripMargin)
+    // PRE-horizon churn: retraction recompute, not just sketch union
+    e.sql("UPDATE ptab SET v = v + 50000 WHERE k % 11 = 0")
+    e.sql("DELETE FROM ptab WHERE k % 13 = 0")
+    e.sql("REFRESH MATERIALIZED VIEW pv INCREMENTALLY")
+    e.sql("SELECT g, med, p90, n FROM pv ORDER BY g")
+  }
+
   /** SHOW MATERIALIZED VIEWS (round 14): the operator's staleness
     * dashboard — maintenance kind (single-table incremental / join
     * incremental / full-rerun), per-side refresh horizons, and
@@ -1844,7 +1897,8 @@ object EngineSql {
     qLifecycleCurrent, qLifecycleAsOf, qTxnLifecycle, qFkLifecycle,
     qStreamIngest, qSqlPassthrough, qSqlView, qMatView, qMatViewInc,
     qMatViewMinMax, qMatViewAvg, qMatViewAcd, qMatViewJoin, qMatViewJoin3,
-    qMatViewHaving, qMatViewExpr, qMatViewCd, qShowMatviews, qTriggerAudit,
+    qMatViewHaving, qMatViewExpr, qMatViewCd, qMatViewPctl, qShowMatviews,
+    qTriggerAudit,
     qProcCall, qMvccSessions, qConstraints, qSequences, qAutoIncrement,
     qRls, qBackupRestore, qAuditLog, qGrants, qResultCache, qMigrations,
     qMetrics, qVacuumRetain, qDiffTable, qZOrder, qStreamDedup,

@@ -112,6 +112,28 @@ object IncrementalView {
   final case class MinExpr(e: String, alias: String) extends Agg
   final case class MaxExpr(e: String, alias: String) extends Agg
   final case class AcdExpr(e: String, alias: String) extends Agg
+  /** APPROX_PERCENTILE(e, p) with a LITERAL p (round 15): maintained
+    * through a hidden mergeable DataSketches KLL sketch
+    * (`__graft_kll_<alias>`, k = KllK) over the value cast to DOUBLE,
+    * plus a non-null support count (`get_quantile` on an empty sketch
+    * throws — the visible column is NULL at zero support, the SQL
+    * aggregate-over-nothing convention). Maintenance mirrors the HLL
+    * sketch exactly: append-shaped refreshes merge the touched rows'
+    * new-state sketch, anything that could retract or phantom a value
+    * dispatches to the touched-group recompute. CONTRACT, stated
+    * honestly: while a group holds ≤ KllK values the sketch is in its
+    * exact regime — quantiles are exact order statistics
+    * (min x with inclusive rank ≥ p, verified = SQL's min-over-
+    * CUME_DIST≥p) and incremental equals full refresh bit-for-bit;
+    * past KllK values, compaction makes both paths approximate within
+    * KLL's published rank error (~0.58% at k=800) and they may differ
+    * from each other within it (KLL compaction, unlike HLL's
+    * max-per-register union, is not merge-order-idempotent). The
+    * maintainable form differs from full rerun's (Spark's native
+    * approx_percentile, input-typed result) — this shape surfaces
+    * DOUBLE, like AVG. */
+  final case class PctlExpr(e: String, alias: String, pct: String)
+    extends Agg
 
   /** One grouping key: a row expression and its output alias (for a
     * bare column the two coincide). The expression is evaluated
@@ -131,13 +153,14 @@ object IncrementalView {
       * consume (hand-rolled copies could drift). */
     def filtered(state: DataFrame): DataFrame =
       where.fold(state)(w => state.where(expr(w)))
-    /** Only APPROX_COUNT_DISTINCT pays the refresh-time old-side
+    /** Only the SKETCH-backed aggregates (APPROX_COUNT_DISTINCT,
+      * APPROX_PERCENTILE) pay the refresh-time old-side
       * probe (a sketch cannot retract a value, so a refresh that
       * touches a contributing pre-horizon row dispatches to the
       * touched-group recompute instead of the sketch union; see
-      * recomputeAcd). MIN/MAX retract exactly through their aux
+      * recomputeSketches). MIN/MAX retract exactly through their aux
       * frames (round 15), like COUNT(DISTINCT). */
-    def hasAcd: Boolean = acdAggs(aggs).nonEmpty
+    def hasSketch: Boolean = sketchAggs(aggs).nonEmpty
   }
 
   /** N-way (2..MaxJoinTables) equi-join view shape (round 14):
@@ -184,10 +207,10 @@ object IncrementalView {
       }
       where.fold(j)(p => j.where(expr(p)))
     }
-    /** See Shape.hasAcd: ACD join refreshes probe the signed delta
-      * for negative-signed sketch values to dispatch union vs
-      * recompute. */
-    def hasAcd: Boolean = acdAggs(aggs).nonEmpty
+    /** See Shape.hasSketch: sketch-bearing join refreshes probe the
+      * signed delta for negative-signed sketch values to dispatch
+      * union vs recompute. */
+    def hasSketch: Boolean = sketchAggs(aggs).nonEmpty
     /** For the 2-table shape: the single link's key column on each
       * side, in `tables` order — the engine's full-side pruning. */
     def twoTableKeys: Option[(String, String)] = links match {
@@ -206,7 +229,20 @@ object IncrementalView {
   def supportCol(alias: String): String = s"__graft_n_$alias"
   def avgSumCol(alias: String): String = s"__graft_s_$alias"
   def sketchCol(alias: String): String = s"__graft_hll_$alias"
+  def kllCol(alias: String): String = s"__graft_kll_$alias"
   def hidden(c: String): Boolean = c.startsWith("__graft_")
+
+  /** KLL size parameter: exact quantiles while a group holds ≤ this
+    * many values, ~0.58% rank error past it, KB-scale state. Baked
+    * into every sketch build (create, delta, recompute) — merges
+    * require agreeing k. */
+  val KllK = 800
+  private def kllAgg(v: Column): Column =
+    call_function("kll_sketch_agg_double", v, lit(KllK))
+  private def kllQuantile(sk: Column, pct: String): Column =
+    call_function("kll_sketch_get_quantile_double", sk, lit(pct.toDouble))
+  private def kllMerge(a: Column, b: Column): Column =
+    call_function("kll_sketch_merge_double", a, b)
   /** The aux frame's value column, and the aux's subdirectory inside
     * the view's version dir — the leading underscore keeps Spark's
     * file index from reading aux files into the main view. */
@@ -278,7 +314,11 @@ object IncrementalView {
   private val IdentRe = """^[\w.]+$""".r
   private val GroupItemRe = """(?is)^(.+?)\s+AS\s+(\w+)$""".r
   private val AggCallRe =
-    """(?i)\b(COUNT|SUM|AVG|MIN|MAX|APPROX_COUNT_DISTINCT)\s*\(""".r
+    ("""(?i)\b(COUNT|SUM|AVG|MIN|MAX|APPROX_COUNT_DISTINCT""" +
+      """|APPROX_PERCENTILE)\s*\(""").r
+  private val PctlRe =
+    """(?is)^APPROX_PERCENTILE\s*\((.+)\)\s+AS\s+(\w+)$""".r
+  private val NumLitRe = """^(?:0|1|0?\.\d+|1\.0+)$""".r
   // ShapeRe's optional HAVING group is the LAST capture before end of
   // statement, so a trailing ORDER BY / LIMIT / OFFSET lands inside it
   // ("HAVING n > 1 ORDER BY g" captures having = "n > 1 ORDER BY g").
@@ -374,6 +414,14 @@ object IncrementalView {
     // admitted into BOTH shapes: single-table and join refreshes
     // each probe for retraction and dispatch union vs recompute
     case AcdRe(e, a) => Some(AcdExpr(e.trim, a))
+    // two args, LITERAL quantile in [0, 1] (a column-valued p has no
+    // maintainable sketch); the 3-arg accuracy form and non-literal
+    // quantiles fall back to full rerun through Spark's native
+    // approx_percentile
+    case PctlRe(args, a) => SqlText.splitTopLevel(args).map(_.trim) match {
+      case Seq(e, p) if NumLitRe.matches(p) => Some(PctlExpr(e, a, p))
+      case _ => None
+    }
     // aux-frame-backed since round 15, hence retractable — admitted
     // into join shapes alongside COUNT(DISTINCT)
     case MinRe(e, a) => Some(MinExpr(e.trim, a))
@@ -383,7 +431,8 @@ object IncrementalView {
   }
 
   /** The input expression of an aggregate, None for COUNT(*) — the
-    * identity the HAVING rewrite reuses select-list aliases by. */
+    * identity the HAVING rewrite reuses select-list aliases by
+    * (APPROX_PERCENTILE compares its quantile too). */
   private def aggInput(a: Agg): Option[String] = a match {
     case CountStar(_) => None
     case CountExpr(e, _) => Some(e.trim)
@@ -395,6 +444,7 @@ object IncrementalView {
     case MinExpr(e, _) => Some(e.trim)
     case MaxExpr(e, _) => Some(e.trim)
     case AcdExpr(e, _) => Some(e.trim)
+    case PctlExpr(e, _, p) => Some(s"${e.trim} @ ${p.toDouble}")
   }
 
   /** Classify select items into aggregates and group keys (bare
@@ -575,12 +625,21 @@ object IncrementalView {
           (sum_distinct(expr(e)) / countDistinct(expr(e))).as(a)
         case MinExpr(e, a) => min(expr(e)).as(a)
         case MaxExpr(e, a) => max(expr(e)).as(a)
+        // the quantile of the hidden mergeable KLL sketch; NULL at
+        // zero support — get_quantile on an EMPTY sketch throws, and
+        // CaseWhen only evaluates the taken branch
+        case PctlExpr(e, a, p) =>
+          val v = expr(e).cast("double")
+          when(count(v) > 0, kllQuantile(kllAgg(v), p)).as(a)
       } ++ Seq(count(lit(1)).as(RowsCol)) ++
         aggs.flatMap {
           case SumExpr(e, a) => Seq(count(expr(e)).as(supportCol(a)))
           case AvgExpr(e, a) => Seq(sum(expr(e)).as(avgSumCol(a)),
             count(expr(e)).as(supportCol(a)))
           case AcdExpr(e, a) => Seq(hll_sketch_agg(expr(e)).as(sketchCol(a)))
+          case PctlExpr(e, a, _) =>
+            val v = expr(e).cast("double")
+            Seq(kllAgg(v).as(kllCol(a)), count(v).as(supportCol(a)))
           case _ => Nil
         }
     base.groupBy(groupKeys.map(k => expr(k.e).as(k.alias)): _*)
@@ -600,6 +659,8 @@ object IncrementalView {
       // raw value, uncast: sketch identity hashes the input's own
       // type, which must match what `aggregate` hashed
       case AcdExpr(e, a) => expr(e).as(s"__val_$a")
+      // DOUBLE, matching every other KLL build of this alias
+      case PctlExpr(e, a, _) => expr(e).cast("double").as(s"__val_$a")
       // raw value, uncast: the aux frame groups by it
       case CountDistinctExpr(e, a) => expr(e).as(s"__val_$a")
       case SumDistinctExpr(e, a) => expr(e).as(s"__val_$a")
@@ -672,6 +733,11 @@ object IncrementalView {
           case AcdExpr(_, a) => Seq(
             hll_sketch_agg(when(col("__sign") === 1, col(s"__val_$a")))
               .as(s"__d_${sketchCol(a)}"))
+          case PctlExpr(_, a, _) => Seq(
+            sum(when(col(s"__val_$a").isNotNull, col("__sign")).otherwise(0))
+              .as(s"__d_${supportCol(a)}"),
+            kllAgg(when(col("__sign") === 1, col(s"__val_$a")))
+              .as(s"__d_${kllCol(a)}"))
           // new-state side only — a provisional value: the engine's
           // aux overlay (overlayAux) replaces every TOUCHED group's
           // extreme with the exact value over surviving aux entries,
@@ -693,6 +759,14 @@ object IncrementalView {
       val sc = col(s"s.${sketchCol(a)}")
       val dc = col(s"d.__d_${sketchCol(a)}")
       when(dc.isNull, sc).when(sc.isNull, dc).otherwise(hll_union(sc, dc))
+    }
+    // an untouched group has no delta row (dc null); a fresh group no
+    // stored sketch (sc null); an all-null touched delta contributes
+    // an EMPTY sketch, which merges as identity
+    def mergedKll(a: String): Column = {
+      val sc = col(s"s.${kllCol(a)}")
+      val dc = col(s"d.__d_${kllCol(a)}")
+      when(dc.isNull, sc).when(sc.isNull, dc).otherwise(kllMerge(sc, dc))
     }
     val joinCond = groupCols
       .map(c => col(s"s.$c") <=> col(s"d.$c")).reduce(_ && _)
@@ -747,6 +821,15 @@ object IncrementalView {
             least(col(s"s.$a"), col(s"d.__d_$a")).cast(storedType(a)).as(a)
           case MaxExpr(_, a) =>
             greatest(col(s"s.$a"), col(s"d.__d_$a")).cast(storedType(a)).as(a)
+          // the quantile of the merged sketch over the merged support —
+          // sound on the union path only (the engine's probe dispatches
+          // retractions/phantoms to the recompute overlay, which
+          // replaces every touched group's value)
+          case PctlExpr(_, a, p) =>
+            val support = coalesce(col(s"s.${supportCol(a)}"), lit(0L)) +
+              coalesce(col(s"d.__d_${supportCol(a)}"), lit(0L))
+            when(support > 0, kllQuantile(mergedKll(a), p))
+              .cast(storedType(a)).as(a)
         } ++
         Seq(newRowsCount.cast("long").as(RowsCol)) ++
         aggs.flatMap {
@@ -766,6 +849,11 @@ object IncrementalView {
                 .cast(st).as(avgSumCol(a)),
               support.cast("long").as(supportCol(a)))
           case AcdExpr(_, a) => Seq(mergedSketch(a).as(sketchCol(a)))
+          case PctlExpr(_, a, _) => Seq(
+            mergedKll(a).as(kllCol(a)),
+            (coalesce(col(s"s.${supportCol(a)}"), lit(0L)) +
+              coalesce(col(s"d.__d_${supportCol(a)}"), lit(0L)))
+              .cast("long").as(supportCol(a)))
           case _ => Nil
         }
     s.join(d, joinCond, "full_outer")
@@ -925,63 +1013,95 @@ object IncrementalView {
       }: _*)
   }
 
-  // --------------------------- APPROX_COUNT_DISTINCT retraction path
+  // ------------------------------------ sketch-agg retraction path
 
-  /** The shape's APPROX_COUNT_DISTINCT aggregates. */
-  def acdAggs(aggs: Seq[Agg]): Seq[AcdExpr] =
-    aggs.collect { case a: AcdExpr => a }
+  /** The shape's SKETCH-backed aggregates (APPROX_COUNT_DISTINCT's
+    * HLL, APPROX_PERCENTILE's KLL): the ones whose state cannot
+    * retract a value, so their refresh dispatches union vs
+    * touched-group recompute on the engine's probe. */
+  def sketchAggs(aggs: Seq[Agg]): Seq[Agg] = aggs.collect {
+    case a: AcdExpr => a
+    case a: PctlExpr => a
+  }
 
   private def acdSketchCol(alias: String): String = s"__acd_sk_$alias"
+  private def rcSupportCol(alias: String): String = s"__acd_n_$alias"
 
-  /** Re-aggregate the ACD sketches of the TOUCHED groups from current
+  /** Re-aggregate the SKETCHES of the TOUCHED groups from current
     * state: `prunedState` is the view's WHERE-filtered base relation,
     * engine-restricted to (a superset of) the touched groups' rows —
-    * the identical `hll_sketch_agg` the full aggregation runs, so an
-    * overlaid group's sketch and estimate equal a full refresh's by
-    * construction (a group whose values are all NULL re-derives the
-    * empty sketch / estimate 0, same as CREATE). Extra untouched
+    * the identical sketch aggregations the full aggregation runs, so
+    * an overlaid group's sketch and surfaced value equal a full
+    * refresh's by construction (a group whose values are all NULL
+    * re-derives the empty sketch — HLL estimate 0, KLL quantile NULL
+    * through the recomputed support — same as CREATE). Extra untouched
     * groups in the superset are computed and then ignored by the
     * overlay's touched flag. */
-  def recomputeAcd(prunedState: DataFrame, keys: Seq[GroupKey],
-      acds: Seq[AcdExpr]): DataFrame = {
-    require(acds.nonEmpty, "recomputeAcd needs at least one aggregate")
-    val aggCols = acds.map(a =>
-      hll_sketch_agg(expr(a.e)).as(acdSketchCol(a.alias)))
+  def recomputeSketches(prunedState: DataFrame, keys: Seq[GroupKey],
+      sketches: Seq[Agg]): DataFrame = {
+    require(sketches.nonEmpty, "recomputeSketches needs an aggregate")
+    val aggCols = sketches.flatMap {
+      case AcdExpr(e, a) => Seq(hll_sketch_agg(expr(e)).as(acdSketchCol(a)))
+      case PctlExpr(e, a, _) =>
+        val v = expr(e).cast("double")
+        Seq(kllAgg(v).as(acdSketchCol(a)), count(v).as(rcSupportCol(a)))
+      case other => throw new IllegalArgumentException(
+        s"not a sketch aggregate: $other")
+    }
     prunedState
       .groupBy(keys.map(k => expr(k.e).as(k.alias)): _*)
       .agg(aggCols.head, aggCols.tail: _*)
   }
 
-  /** Overlay the recomputed ACD sketches and estimates onto the merged
-    * main frame — TOUCHED groups only (the signed delta's group keys):
-    * a retraction invalidates only the groups the delta touches, so
-    * untouched groups keep their stored sketch and estimate and the
-    * overlay is O(touched). A touched group absent from `recomputed`
-    * has zero surviving rows and already vanished from the merge
-    * (live-row count 0), so the left join's NULL arm never surfaces. */
-  def overlayAcd(main: DataFrame, recomputed: DataFrame,
+  /** Overlay the recomputed sketches and surfaced values onto the
+    * merged main frame — TOUCHED groups only (the signed delta's group
+    * keys): a retraction invalidates only the groups the delta
+    * touches, so untouched groups keep their stored sketch and value
+    * and the overlay is O(touched). A touched group absent from
+    * `recomputed` has zero surviving rows and already vanished from
+    * the merge (live-row count 0), so the left join's NULL arm never
+    * surfaces. */
+  def overlaySketches(main: DataFrame, recomputed: DataFrame,
       signedRows: DataFrame, groupCols: Seq[String],
-      acds: Seq[AcdExpr]): DataFrame = {
-    require(acds.nonEmpty, "overlayAcd needs at least one aggregate")
+      sketches: Seq[Agg]): DataFrame = {
+    require(sketches.nonEmpty, "overlaySketches needs an aggregate")
     val touched = signedRows.select(groupCols.map(col): _*).distinct()
     def keyCond(l: String, r: String) = groupCols
       .map(g => col(s"$l.$g") <=> col(s"$r.$g")).reduce(_ && _)
-    val byVisible = acds.map(a => a.alias -> a).toMap
-    val bySketch = acds.map(a => sketchCol(a.alias) -> a).toMap
+    val byVisible = sketches.map(a => a.alias -> a).toMap
+    val byHidden: Map[String, Agg] = sketches.flatMap {
+      case a: AcdExpr => Seq(sketchCol(a.alias) -> a)
+      case a: PctlExpr => Seq(kllCol(a.alias) -> a,
+        supportCol(a.alias) -> a)
+      case other => throw new IllegalArgumentException(
+        s"not a sketch aggregate: $other")
+    }.toMap
     val flagged = touched.withColumn("__acdt", lit(true))
     main.alias("m")
       .join(flagged.alias("f"), keyCond("m", "f"), "left_outer")
       .join(recomputed.alias("c"), keyCond("m", "c"), "left_outer")
       .select(main.columns.toSeq.map { c =>
+        def touchedValue(a: Agg): Column = a match {
+          case AcdExpr(_, al) =>
+            hll_sketch_estimate(col(s"c.${acdSketchCol(al)}"))
+          case PctlExpr(_, al, p) =>
+            when(coalesce(col(s"c.${rcSupportCol(al)}"), lit(0L)) > 0,
+              kllQuantile(col(s"c.${acdSketchCol(al)}"), p))
+          case other => throw new IllegalArgumentException(
+            s"not a sketch aggregate: $other")
+        }
+        def touchedHidden(a: Agg): Column =
+          if (c == supportCol(a.alias))
+            coalesce(col(s"c.${rcSupportCol(a.alias)}"), lit(0L))
+          else col(s"c.${acdSketchCol(a.alias)}")
         byVisible.get(c) match {
           case Some(a) =>
-            when(col("__acdt"),
-              hll_sketch_estimate(col(s"c.${acdSketchCol(a.alias)}")))
+            when(col("__acdt"), touchedValue(a))
               .otherwise(col(s"m.$c")).cast(main.schema(c).dataType).as(c)
-          case None => bySketch.get(c) match {
+          case None => byHidden.get(c) match {
             case Some(a) =>
-              when(col("__acdt"), col(s"c.${acdSketchCol(a.alias)}"))
-                .otherwise(col(s"m.$c")).as(c)
+              when(col("__acdt"), touchedHidden(a))
+                .otherwise(col(s"m.$c")).cast(main.schema(c).dataType).as(c)
             case None => col(s"m.$c")
           }
         }

@@ -178,7 +178,7 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     assert(parseJoin(
       "SELECT s, MAX(v) AS m FROM a JOIN b ON a.x = b.y GROUP BY s").isDefined)
     assert(parseJoin("SELECT s, APPROX_COUNT_DISTINCT(v) AS d FROM a " +
-      "JOIN b ON a.x = b.y GROUP BY s").exists(_.hasAcd))
+      "JOIN b ON a.x = b.y GROUP BY s").exists(_.hasSketch))
     // self-joins, qualified group cols, foreign ON qualifiers, DISTINCT
     assert(parseJoin(
       "SELECT s, COUNT(*) AS n FROM a JOIN a ON a.x = a.y GROUP BY s").isEmpty)

@@ -21,7 +21,8 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
             |SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv,
             |       AVG(v) AS av, COUNT(DISTINCT v) AS dv,
             |       SUM(DISTINCT v) AS sd, AVG(DISTINCT v) AS ad,
-            |       MIN(v) AS lo, MAX(v) AS hi
+            |       MIN(v) AS lo, MAX(v) AS hi,
+            |       APPROX_PERCENTILE(v, 0.5) AS med
             |FROM t WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
 
     val rnd = new scala.util.Random(0xC0FFEE) // deterministic workload
@@ -33,15 +34,19 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
     // storage contract (one division of exact accumulators), which a
     // merged refresh must reproduce bit-for-bit
     def freshView(): Set[String] =
-      e.sql("""SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv,
+      e.sql(s"""SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv,
               |       SUM(v) / COUNT(v) AS av, COUNT(DISTINCT v) AS dv,
               |       SUM(DISTINCT v) AS sd,
               |       SUM(DISTINCT v) / COUNT(DISTINCT v) AS ad,
-              |       MIN(v) AS lo, MAX(v) AS hi
+              |       MIN(v) AS lo, MAX(v) AS hi,
+              |       CASE WHEN COUNT(v) > 0 THEN
+              |         kll_sketch_get_quantile_double(kll_sketch_agg_double(
+              |           CAST(v AS DOUBLE),
+              |           ${graft.sql.IncrementalView.KllK}), 0.5) END AS med
               |FROM t WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
         .collect().map(_.toString).toSet
     def mv(): Set[String] =
-      e.sql("SELECT grp, n, nv, sv, av, dv, sd, ad, lo, hi FROM mv")
+      e.sql("SELECT grp, n, nv, sv, av, dv, sd, ad, lo, hi, med FROM mv")
         .collect().map(_.toString).toSet
 
     for (batch <- 1 to 12) {
@@ -91,7 +96,8 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
             |       AVG(v) AS av, COUNT(DISTINCT v) AS dv,
             |       SUM(DISTINCT v) AS sd,
             |       MIN(v) AS lo, MAX(v) AS hi,
-            |       APPROX_COUNT_DISTINCT(v) AS adv
+            |       APPROX_COUNT_DISTINCT(v) AS adv,
+            |       APPROX_PERCENTILE(v, 0.5) AS med
             |FROM dim JOIN fct ON dim.k = fct.dk
             |WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
 
@@ -103,16 +109,20 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
     val groups = Vector("a", "b", "c")
 
     def freshView(): Set[String] =
-      e.sql("""SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv,
+      e.sql(s"""SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv,
               |       SUM(v) / COUNT(v) AS av, COUNT(DISTINCT v) AS dv,
               |       SUM(DISTINCT v) AS sd,
               |       MIN(v) AS lo, MAX(v) AS hi,
-              |       hll_sketch_estimate(hll_sketch_agg(v)) AS adv
+              |       hll_sketch_estimate(hll_sketch_agg(v)) AS adv,
+              |       CASE WHEN COUNT(v) > 0 THEN
+              |         kll_sketch_get_quantile_double(kll_sketch_agg_double(
+              |           CAST(v AS DOUBLE),
+              |           ${graft.sql.IncrementalView.KllK}), 0.5) END AS med
               |FROM dim JOIN fct ON dim.k = fct.dk
               |WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
         .collect().map(_.toString).toSet
     def jmv(): Set[String] =
-      e.sql("SELECT grp, n, nv, sv, av, dv, sd, lo, hi, adv FROM jmv")
+      e.sql("SELECT grp, n, nv, sv, av, dv, sd, lo, hi, adv, med FROM jmv")
         .collect().map(_.toString).toSet
 
     for (batch <- 1 to 10) {

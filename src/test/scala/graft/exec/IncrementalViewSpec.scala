@@ -178,12 +178,12 @@ class IncrementalViewSpec extends AnyFunSuite {
     // MIN/MAX parse into the shape, aux-frame-backed and fully
     // retractable since round 15 — no retraction probe
     assert(parse("SELECT grp, MAX(v) AS m FROM t GROUP BY grp")
-      .exists(s => !s.hasAcd && s.aggs.size == 1))
+      .exists(s => !s.hasSketch && s.aggs.size == 1))
     assert(parse("SELECT grp, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n " +
-      "FROM t GROUP BY grp").exists(s => !s.hasAcd && s.aggs.size == 3))
+      "FROM t GROUP BY grp").exists(s => !s.hasSketch && s.aggs.size == 3))
     // AVG maintains through the hidden SUM/COUNT rewrite
     assert(parse("SELECT grp, AVG(v) AS m FROM t GROUP BY grp")
-      .exists(s => !s.hasAcd && s.aggs.size == 1))
+      .exists(s => !s.hasSketch && s.aggs.size == 1))
     // SUM/AVG(DISTINCT) maintain via the aux frame (round 15);
     // MIN/MAX(DISTINCT) spellings stay full-rerun
     assert(parse("SELECT grp, SUM(DISTINCT v) AS m FROM t GROUP BY grp")
@@ -195,13 +195,23 @@ class IncrementalViewSpec extends AnyFunSuite {
     // COUNT(DISTINCT) maintains exactly via the hidden aux frame —
     // retractable, no probe
     assert(parse("SELECT grp, COUNT(DISTINCT v) AS m FROM t GROUP BY grp")
-      .exists(s => !s.hasAcd && s.aggs.size == 1))
+      .exists(s => !s.hasSketch && s.aggs.size == 1))
     // APPROX_COUNT_DISTINCT is the mergeable-sketch path: the ONE
     // aggregate whose refresh probes the old side (union vs
     // touched-group recompute dispatch), and NOT caught
     // by the DISTINCT-keyword rejection (targets `(DISTINCT ...` only)
     assert(parse("SELECT grp, APPROX_COUNT_DISTINCT(v) AS dv FROM t GROUP BY grp")
-      .exists(s => s.hasAcd && s.aggs.size == 1))
+      .exists(s => s.hasSketch && s.aggs.size == 1))
+    // APPROX_PERCENTILE with a LITERAL quantile rides the KLL sketch;
+    // a column-valued or 3-arg (accuracy) form falls back
+    assert(parse("SELECT grp, APPROX_PERCENTILE(v, 0.5) AS med FROM t " +
+      "GROUP BY grp").exists(s =>
+        s.aggs == Seq(IncrementalView.PctlExpr("v", "med", "0.5")) &&
+          s.hasSketch))
+    assert(parse("SELECT grp, APPROX_PERCENTILE(v, p) AS med FROM t " +
+      "GROUP BY grp").isEmpty)
+    assert(parse("SELECT grp, APPROX_PERCENTILE(v, 0.5, 100) AS med FROM t " +
+      "GROUP BY grp").isEmpty)
     // computed group keys: a row expression with an alias, stated by
     // ALIAS in GROUP BY; aggregate calls cannot be group keys
     assert(parse("SELECT v % 5 AS bucket, COUNT(*) AS n FROM t GROUP BY bucket")
@@ -598,6 +608,61 @@ class IncrementalViewSpec extends AnyFunSuite {
       === e.sql("""SELECT grp, hll_sketch_estimate(hll_sketch_agg(v)) AS dv,
                   |COUNT(*) AS n FROM t GROUP BY grp""".stripMargin)
         .collect().map(_.toString).toSet)
+    e.close()
+  }
+
+  test("APPROX_PERCENTILE maintains via KLL union AND retraction recompute") {
+    // the maintainable APPROX_PERCENTILE substitutes a mergeable KLL
+    // sketch (the native approx_percentile has no mergeable state); in
+    // the exact regime (≤ KllK values per group) its quantile is the
+    // exact order statistic min{x : inclusive rank ≥ p} — stated here
+    // as the same KLL expression, and pinned against the CUME_DIST
+    // derivation once below
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    e.sql("INSERT INTO t VALUES (1,'a',10), (2,'a',20), (3,'a',30), " +
+      "(4,'b',5), (5,'b',NULL)")
+    e.sql("""CREATE MATERIALIZED VIEW vp AS
+            |SELECT grp, APPROX_PERCENTILE(v, 0.5) AS med, COUNT(*) AS n
+            |FROM t GROUP BY grp""".stripMargin)
+    def fresh(): Set[String] =
+      e.sql(s"""SELECT grp, CASE WHEN COUNT(v) > 0 THEN
+              |kll_sketch_get_quantile_double(
+              |  kll_sketch_agg_double(CAST(v AS DOUBLE),
+              |    ${IncrementalView.KllK}), 0.5) END AS med,
+              |COUNT(*) AS n FROM t GROUP BY grp""".stripMargin)
+        .collect().map(_.toString).toSet
+    def view(): Set[String] =
+      e.sql("SELECT grp, med, n FROM vp").collect().map(_.toString).toSet
+    assert(view() === fresh())
+    assert(view().exists(_.startsWith("[a,20.0,")), "median of 10,20,30")
+    // exact-regime semantics pinned against the SQL derivation
+    assert(e.sql("""SELECT MIN(dv) FROM (SELECT CAST(v AS DOUBLE) AS dv,
+        |CUME_DIST() OVER (ORDER BY v) AS cd FROM t WHERE grp = 'a')
+        |WHERE cd >= 0.5""".stripMargin).collect().head.getDouble(0) === 20.0)
+
+    // tail inserts union sketches; an all-NULL group stays NULL; a
+    // fresh group starts its own sketch
+    e.sql("INSERT INTO t VALUES (6,'a',40), (7,'c',1)")
+    val r = e.sql("REFRESH MATERIALIZED VIEW vp INCREMENTALLY").collect().head
+    assert(r.getString(0) === "refreshed_incremental")
+    assert(view() === fresh())
+    assert(view().exists(_.startsWith("[b,5.0,")), "NULL ignored in rank")
+    // pre-horizon retraction: delete the current median's row — the
+    // touched group's sketch recomputes from surviving state
+    e.sql("DELETE FROM t WHERE k = 2")
+    e.sql("REFRESH MATERIALIZED VIEW vp INCREMENTALLY")
+    assert(view() === fresh())
+    // a group retracted to all-NULL must surface NULL (the guard the
+    // empty KLL sketch needs — get_quantile on it would throw)
+    e.sql("UPDATE t SET v = NULL WHERE grp = 'c'")
+    e.sql("REFRESH MATERIALIZED VIEW vp INCREMENTALLY")
+    assert(view() === fresh())
+    assert(view().exists(_.startsWith("[c,null,")), view().toString)
+    // refill and keep maintaining
+    e.sql("INSERT INTO t VALUES (8,'c',9)")
+    e.sql("REFRESH MATERIALIZED VIEW vp INCREMENTALLY")
+    assert(view() === fresh())
     e.close()
   }
 
