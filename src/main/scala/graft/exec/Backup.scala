@@ -382,9 +382,13 @@ object Backup {
     // pin every ancestor of every kept backup (the force-kept root
     // included) — chains are linear, so a kept backup's full chain
     // covers everything its restore reads. Parent pointers come from
-    // the manifests list() already parsed; only a parent OUTSIDE the
-    // catalog (not deletable here anyway) would need another read,
-    // and the walk just stops there.
+    // the manifests list() already parsed; a parent OUTSIDE the
+    // catalog is not deletable here, but the chain can RE-ENTER the
+    // catalog through it (b2 in /cat → mid in /other → b1 in /cat),
+    // so an out-of-catalog hop reads that one manifest from disk and
+    // keeps walking — stopping there would unpin b1 and break b2's
+    // restore. An unreadable outside manifest ends the walk: nothing
+    // past a broken link is provably referenced.
     val byNorm = infos.map(i => norm(i.path) -> i).toMap
     val pinned = scala.collection.mutable.Set.empty[String]
     for (i <- infos if !candidates(i.path)) {
@@ -392,7 +396,9 @@ object Backup {
       val guard = scala.collection.mutable.Set(norm(i.path))
       while (cur.exists(p => guard.add(norm(p)))) {
         pinned += norm(cur.get)
-        cur = byNorm.get(norm(cur.get)).flatMap(_.parent)
+        cur = byNorm.get(norm(cur.get)).map(_.parent).getOrElse(
+          scala.util.Try(readManifest(spark, cur.get).parent)
+            .getOrElse(None))
       }
     }
     infos.map { i =>

@@ -1590,11 +1590,15 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               // A sketch cannot retract a joined row, and the union
               // merge folds EVERY +1 row's value in — so it is sound
               // only when every +1 (group, value) pair truly exists in
-              // the new joined state. That holds exactly when the delta
-              // carries NO negative-signed sketch-value rows at all:
-              // with only touched-side inserts, every nonvanishing
-              // inclusion-exclusion term has positive parity and joins
-              // genuinely-new rows. Any negative row means a retraction
+              // the new joined state, EXACTLY ONCE. That holds when the
+              // delta carries NO negative-signed sketch-value rows at
+              // all: appends whose new rows join only pre-existing
+              // partner rows (facts landing against stable dims — the
+              // common shape) produce positive singleton terms only,
+              // while correlated cross-side appends surface the
+              // all-delta term's negative parity and correctly take
+              // the recompute (the union would fold their +1/+1/−1
+              // triple in twice). Any negative row means a retraction
               // OR a cancelling cross-term pair — and a cancelled pair
               // (old-side × new-side, e.g. DELETE dim + INSERT fact in
               // one window) is a +1 PHANTOM that never existed in

@@ -55,7 +55,8 @@ import org.apache.spark.sql.functions._
   * old side: when no touched row was contributing at the old horizon
   * (the common append path) the cheap union stands, and when one was,
   * only the TOUCHED groups' sketches recompute from current state
-  * filtered to those groups (recomputeAcd/overlayAcd — full-refresh
+  * filtered to those groups (recomputeSketches/overlaySketches —
+  * full-refresh
   * semantics per touched group; the filter bounds the re-aggregation
   * to O(touched groups' live rows), while the read itself is one
   * snapshot-accelerated state scan — a non-pk filter cannot soundly
@@ -181,15 +182,20 @@ object IncrementalView {
     * row — and the union folds in EVERY +1 row, including a
     * cancelling cross-term's +1 PHANTOM pair that never existed in
     * either state — so the engine probes the signed delta for ANY
-    * negative-signed sketch-value row: none (the append/fan-out path,
-    * where every term joins genuinely-new rows at positive parity)
-    * means the
+    * negative-signed sketch-value row: none — appends whose new rows
+    * join only PRE-EXISTING partner rows, the common facts-landing-
+    * against-stable-dims shape — means the
     * sketch union stands; any means only the touched groups' sketches
     * recompute from the joined current state (round 15; the probe is
     * conservative — a false positive costs a recompute, never
     * correctness — and strict enough to exclude phantoms: a phantom's
-    * old-side row always also joins the partner's full-new state in
-    * its singleton term, emitting the negative row the probe sees).
+    * old-side rows always also join the rest of their tuple through
+    * full-new state in a lower term, emitting the negative row the
+    * probe sees). Note the all-delta term's NEGATIVE parity means
+    * correlated cross-side appends (a new dim row joined by a new
+    * fact row in the same window) do carry negative rows and take the
+    * recompute — which for KLL is also load-bearing: the union would
+    * fold that pair's +1/+1/−1 triple in twice.
     * Table names double as the join aliases; group columns are
     * bare identifiers that must be unambiguous in the joined relation
     * (the stored view exposes them unqualified). */
@@ -355,6 +361,10 @@ object IncrementalView {
       : Option[(String, Seq[Agg])] = {
     if (AggCallRe.findFirstIn(having).isEmpty) return Some((having, Nil))
     if (having.contains("'") || having.contains("\"")) return None
+    // a FILTER (WHERE ...) clause binds to the agg call SYNTACTICALLY
+    // — replacing the call alone would leave it dangling on a bare
+    // column reference; full rerun serves the filtered form
+    if ("""(?i)\bFILTER\b""".r.findFirstIn(having).isDefined) return None
     val sb = new StringBuilder
     val minted = scala.collection.mutable.LinkedHashMap.empty[String, Agg]
     var pos = 0
@@ -409,11 +419,20 @@ object IncrementalView {
     case AvgDistinctRe(e, a) =>
       if (SqlText.splitTopLevel(e).size != 1) None
       else Some(AvgDistinctExpr(e.trim, a))
-    case SumRe(e, a) => Some(SumExpr(e.trim, a))
-    case AvgRe(e, a) => Some(AvgExpr(e.trim, a))
+    // every remaining aggregate takes exactly ONE argument here —
+    // Spark's multi-column COUNT(a, b) (and any stray comma form) is
+    // legal SQL but not a maintainable accumulator, so it must fall
+    // out of the shape, never surface as expr("a, b") at CREATE
+    case SumRe(e, a) if SqlText.splitTopLevel(e).size == 1 =>
+      Some(SumExpr(e.trim, a))
+    case AvgRe(e, a) if SqlText.splitTopLevel(e).size == 1 =>
+      Some(AvgExpr(e.trim, a))
     // admitted into BOTH shapes: single-table and join refreshes
-    // each probe for retraction and dispatch union vs recompute
-    case AcdRe(e, a) => Some(AcdExpr(e.trim, a))
+    // each probe for retraction and dispatch union vs recompute; the
+    // 2-arg relative-error form has no fixed-k mergeable sketch and
+    // falls back
+    case AcdRe(e, a) if SqlText.splitTopLevel(e).size == 1 =>
+      Some(AcdExpr(e.trim, a))
     // two args, LITERAL quantile in [0, 1] (a column-valued p has no
     // maintainable sketch); the 3-arg accuracy form and non-literal
     // quantiles fall back to full rerun through Spark's native
@@ -424,9 +443,13 @@ object IncrementalView {
     }
     // aux-frame-backed since round 15, hence retractable — admitted
     // into join shapes alongside COUNT(DISTINCT)
-    case MinRe(e, a) => Some(MinExpr(e.trim, a))
-    case MaxRe(e, a) => Some(MaxExpr(e.trim, a))
-    case CountRe(e, a) if e.trim != "*" => Some(CountExpr(e.trim, a))
+    case MinRe(e, a) if SqlText.splitTopLevel(e).size == 1 =>
+      Some(MinExpr(e.trim, a))
+    case MaxRe(e, a) if SqlText.splitTopLevel(e).size == 1 =>
+      Some(MaxExpr(e.trim, a))
+    case CountRe(e, a)
+        if e.trim != "*" && SqlText.splitTopLevel(e).size == 1 =>
+      Some(CountExpr(e.trim, a))
     case _ => None
   }
 

@@ -290,6 +290,31 @@ class BackupSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("PRUNE pins a chain that re-enters the catalog via an outside parent") {
+    // b2 (in the catalog) -> mid (OUTSIDE the catalog dir) -> b1 (in
+    // the catalog): the pin walk must follow mid's on-disk manifest
+    // and keep b1, or b2's restore chain silently breaks
+    val base = tmp("graft-bk-base-")
+    val cat = tmp("graft-bk-reenter-")
+    val other = tmp("graft-bk-outside-")
+    val e = engineWith(base)
+    e.sql(s"BACKUP DATABASE TO '$cat/b1'")
+    Thread.sleep(5)
+    e.sql("INSERT INTO t VALUES (4, 'd')")
+    e.sql(s"BACKUP DATABASE TO '$other/mid' INCREMENTAL FROM '$cat/b1'")
+    Thread.sleep(5)
+    e.sql("INSERT INTO t VALUES (5, 'e')")
+    e.sql(s"BACKUP DATABASE TO '$cat/b2' INCREMENTAL FROM '$other/mid'")
+    val acts = e.sql(s"PRUNE BACKUPS IN '$cat' KEEP 1").collect()
+      .map(r => (r.getString(0).split('/').last, r.getString(1))).toMap
+    assert(acts === Map("b2" -> "kept", "b1" -> "kept_parent"), acts)
+    e.sql("DELETE FROM t")
+    e.sql(s"RESTORE DATABASE FROM '$cat/b2'")
+    assert(rows(e) === Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c"),
+      Row(4L, "d"), Row(5L, "e")))
+    e.close()
+  }
+
   test("age-based retention skips undatable backups and pinned parents") {
     val base = tmp("graft-bk-base-")
     val root = tmp("graft-bk-age-")

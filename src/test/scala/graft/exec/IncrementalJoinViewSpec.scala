@@ -722,7 +722,11 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     def view(): Set[String] =
       e.sql("SELECT status, dq, n FROM ja").collect().map(_.toString).toSet
     assert(view() === fresh())
-    // pure appends on both sides union sketches — no recompute needed
+    // appends on both sides: the new ord row (3,'a') is joined by the
+    // new item row in the SAME window, so the all-delta term's
+    // negative parity routes this refresh through the recompute — the
+    // union path is reserved for new rows joining only pre-existing
+    // partners. Either way the result matches the from-scratch sketch.
     e.sql("INSERT INTO ord VALUES (3,'a')")
     e.sql("INSERT INTO item VALUES (14,3,7), (15,2,3)")
     val r = e.sql("REFRESH MATERIALIZED VIEW ja INCREMENTALLY").collect().head

@@ -247,6 +247,17 @@ class IncrementalViewSpec extends AnyFunSuite {
     // a "COUNT(v)" lookalike must fall back, not rewrite
     assert(parse("SELECT grp, COUNT(*) AS n FROM t GROUP BY grp " +
       "HAVING SUM(v) > 2 AND grp <> \"COUNT(v)\"").isEmpty)
+    // Spark's multi-column COUNT(a, b) / 2-arg approx_count_distinct
+    // are legal SQL but not maintainable accumulators — full rerun, in
+    // the select list and in HAVING alike; same for FILTER clauses,
+    // which bind to the call the rewrite would otherwise strip
+    assert(parse("SELECT grp, COUNT(v, k) AS n FROM t GROUP BY grp").isEmpty)
+    assert(parse("SELECT grp, APPROX_COUNT_DISTINCT(v, 0.05) AS d " +
+      "FROM t GROUP BY grp").isEmpty)
+    assert(parse("SELECT grp, SUM(v) AS sv FROM t GROUP BY grp " +
+      "HAVING COUNT(v, k) >= 1").isEmpty)
+    assert(parse("SELECT grp, SUM(v) AS sv FROM t GROUP BY grp " +
+      "HAVING COUNT(*) FILTER (WHERE v > 0) >= 2").isEmpty)
     // multi-column COUNT(DISTINCT a, b) has no single aux value key
     assert(parse("SELECT grp, COUNT(DISTINCT v, k) AS m FROM t GROUP BY grp").isEmpty)
     // the no-space COUNT(DISTINCT(v)) form still maintains
