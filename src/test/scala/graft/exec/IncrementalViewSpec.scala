@@ -677,6 +677,35 @@ class IncrementalViewSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("percentile retraction rewrites ONLY the touched groups' KLL sketches") {
+    // same storage-level O(touched) pin as the ACD test: a retracting
+    // refresh that touches group a must pass group b's stored KLL
+    // bytes through unchanged — a hidden full re-aggregation would
+    // re-serialize them with different item orders
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    e.sql("INSERT INTO t VALUES (1,'a',10), (2,'a',20), (3,'b',30), (4,'b',40)")
+    e.sql("""CREATE MATERIALIZED VIEW vq AS
+            |SELECT grp, APPROX_PERCENTILE(v, 0.5) AS med, COUNT(*) AS n
+            |FROM t GROUP BY grp""".stripMargin)
+    def stored(): Map[String, Seq[Byte]] = {
+      val ver = new java.io.File(s"${e.baseDir}/matviews/vq")
+        .listFiles.filter(_.getName.startsWith("v=")).maxBy(_.getName)
+      spark.read.parquet(ver.getPath).collect()
+        .map(r => r.getString(r.fieldIndex("grp")) ->
+          r.getAs[Array[Byte]]("__graft_kll_med").toSeq).toMap
+    }
+    val before = stored()
+    e.sql("UPDATE t SET v = 15 WHERE k = 1") // retracts group a only
+    val r = e.sql("REFRESH MATERIALIZED VIEW vq INCREMENTALLY").collect().head
+    assert(r.getString(0) === "refreshed_incremental")
+    val after = stored()
+    assert(after("b") === before("b"),
+      "untouched group's stored KLL bytes must pass through identical")
+    assert(after("a") !== before("a"), "touched group must recompute")
+    e.close()
+  }
+
   test("MIN/MAX maintain under tail inserts AND pre-horizon retraction") {
     val e = QueryEngine.scratch(spark)
     e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
