@@ -349,8 +349,11 @@ object Backup {
     * RESTORE; here any backup a KEPT backup's ancestor chain
     * references is retained (`kept_parent`) no matter what the rules
     * say, so every kept backup stays fully restorable. `keep` retains
-    * the n youngest (by created, unknown-created last); `olderThanMs`
-    * deletes backups created before `nowMs - olderThanMs` (backups
+    * the n youngest (by created, unknown-created last) and PROTECTS
+    * them from the age rule — the standard retention composition, so
+    * `KEEP 3 OLDER THAN 30 DAYS` over an all-old catalog leaves three
+    * restore points, never zero; `olderThanMs`
+    * deletes the rest created before `nowMs - olderThanMs` (backups
     * without created metadata never age out — deleting what cannot be
     * dated would be a guess). The catalog dir itself is never deleted
     * (it contains the siblings). Returns one (path, action) row per
@@ -373,12 +376,18 @@ object Backup {
       case Some(n) => infos.drop(n).map(_.path).toSet
       case None => Set.empty
     }
+    // the n youngest are immune to the age rule (keep composes as a
+    // floor under OLDER THAN, not as an independent delete rule)
+    val keptByCount: Set[String] = keep match {
+      case Some(n) => infos.take(n).map(_.path).toSet
+      case None => Set.empty
+    }
     val cutoff = olderThanMs.map(nowMs - _)
     val tooOld: Set[String] = cutoff match {
       case Some(c) => infos.filter(_.created.exists(_ < c)).map(_.path).toSet
       case None => Set.empty
     }
-    val candidates = (overCount ++ tooOld).filterNot(isRoot)
+    val candidates = (overCount ++ (tooOld -- keptByCount)).filterNot(isRoot)
     // pin every ancestor of every kept backup (the force-kept root
     // included) — chains are linear, so a kept backup's full chain
     // covers everything its restore reads. Parent pointers come from

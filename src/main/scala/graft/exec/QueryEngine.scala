@@ -4627,10 +4627,12 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * rows, not the scan. (Still strictly cheaper than the full
     * refresh it replaces, which pays the same read plus a full
     * re-aggregation and a full view + aux rewrite; and the common
-    * append-shaped refresh never comes here at all.) A single-key
-    * view inlines the touched key VALUES (≤ InlineKeyCap) as an
-    * in-list — `isin` never matches NULL, so a NULL touched key adds
-    * the isNull arm; multi-key, computed-key
+    * append-shaped refresh never comes here at all.) ANY single-key
+    * view — bare column and computed expression alike — inlines the
+    * touched key VALUES (≤ InlineKeyCap) as an
+    * in-list over the evaluated key expression; `isin` never matches
+    * NULL, so a NULL touched key adds
+    * the isNull arm. Multi-key
     * and past-the-cap views take a null-safe left-semi join on the
     * evaluated key expressions — exact and never collecting. Either
     * way the overlay's touched flag decides which groups actually

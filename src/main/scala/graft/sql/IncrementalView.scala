@@ -365,6 +365,11 @@ object IncrementalView {
     // — replacing the call alone would leave it dangling on a bare
     // column reference; full rerun serves the filtered form
     if ("""(?i)\bFILTER\b""".r.findFirstIn(having).isDefined) return None
+    // a scalar subquery's aggregates range over the SUBQUERY's
+    // relation — minting them against the view's base table would
+    // silently change the predicate's meaning; full rerun executes
+    // the subquery correctly
+    if ("""(?i)\bSELECT\b""".r.findFirstIn(having).isDefined) return None
     val sb = new StringBuilder
     val minted = scala.collection.mutable.LinkedHashMap.empty[String, Agg]
     var pos = 0
@@ -380,18 +385,26 @@ object IncrementalView {
       if (depth != 0) return None
       val call = having.substring(m.start, i)
       if (NonCdDistinctRe.findFirstIn(call).isDefined) return None
-      val canon = call.replaceAll("\\s+", " ").trim
-      val alias = minted.get(canon).map(_.alias).orElse {
-        parseAgg(s"$canon AS __probe").flatMap(probe => selectAggs.find(a =>
-          a.getClass == probe.getClass && aggInput(a) == aggInput(probe))
-          .map(_.alias))
-      }.getOrElse {
-        val a = s"$HavingAggPrefix${minted.size}"
-        parseAgg(s"$call AS $a") match {
-          case Some(agg) => minted(canon) = agg; a
-          case None => return None
-        }
+      // identity = (aggregate kind, input expression[, quantile]) via
+      // the case-insensitive parse — `COUNT(*)` and `count( * )` are
+      // the same accumulator, whether it lives in the select list or
+      // was minted by an earlier call in this same predicate
+      val probe = parseAgg(
+        s"${call.replaceAll("\\s+", " ").trim} AS __probe") match {
+        case Some(p) => p
+        case None => return None
       }
+      def same(a: Agg): Boolean =
+        a.getClass == probe.getClass && aggInput(a) == aggInput(probe)
+      val alias = selectAggs.find(same).map(_.alias)
+        .orElse(minted.values.find(same).map(_.alias))
+        .getOrElse {
+          val a = s"$HavingAggPrefix${minted.size}"
+          parseAgg(s"$call AS $a") match {
+            case Some(agg) => minted(a) = agg; a
+            case None => return None
+          }
+        }
       sb.append(alias)
       pos = i
     }

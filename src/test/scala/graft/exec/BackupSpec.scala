@@ -329,6 +329,13 @@ class BackupSpec extends AnyFunSuite {
         dryRun = false, nowMs = 3_000_000L).toMap
       .map { case (p, a) => p.split('/').last -> a } ===
       Map("young" -> "kept", "old" -> "kept_parent"))
+    // KEEP composes as a FLOOR under the age rule: with every backup
+    // past the cutoff, KEEP 1 still protects the youngest (and its
+    // chain) — retention must never leave zero restore points
+    assert(Backup.prune(spark, root, Some(1), Some(500_000L),
+        dryRun = true, nowMs = 3_000_000L).toMap
+      .map { case (p, a) => p.split('/').last -> a } ===
+      Map("young" -> "kept", "old" -> "kept_parent"))
     // with young past the cutoff too, the whole chain ages out
     assert(Backup.prune(spark, root, None, Some(500_000L),
         dryRun = false, nowMs = 3_000_000L).toMap

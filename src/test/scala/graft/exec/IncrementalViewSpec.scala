@@ -258,6 +258,16 @@ class IncrementalViewSpec extends AnyFunSuite {
       "HAVING COUNT(v, k) >= 1").isEmpty)
     assert(parse("SELECT grp, SUM(v) AS sv FROM t GROUP BY grp " +
       "HAVING COUNT(*) FILTER (WHERE v > 0) >= 2").isEmpty)
+    // a scalar subquery's aggregates range over the SUBQUERY's
+    // relation — rewriting them against the base table would corrupt
+    // the predicate; full rerun executes it correctly
+    assert(parse("SELECT grp, COUNT(*) AS n FROM t GROUP BY grp " +
+      "HAVING SUM(v) > (SELECT MAX(x) FROM s)").isEmpty)
+    // case/spacing variants of one call are ONE accumulator
+    assert(parse("SELECT grp, SUM(v) AS sv FROM t GROUP BY grp " +
+      "HAVING COUNT(*) >= 2 AND count( * ) <= 10").exists(s =>
+        s.aggs.size == 2 &&
+          s.having.contains("__graft_h_0 >= 2 AND __graft_h_0 <= 10")))
     // multi-column COUNT(DISTINCT a, b) has no single aux value key
     assert(parse("SELECT grp, COUNT(DISTINCT v, k) AS m FROM t GROUP BY grp").isEmpty)
     // the no-space COUNT(DISTINCT(v)) form still maintains
@@ -584,6 +594,19 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(view() === fresh())
     e.sql("UPDATE t SET v = 40 WHERE k = 3") // duplicate of k=4's value
     assert(view() === fresh())
+    // a SINGLE computed key takes the inline-values arm of the prune
+    // (the evaluated expression against collected key values), not
+    // the semi-join — retraction must still recompute exactly
+    e.sql("""CREATE MATERIALIZED VIEW vs1 AS
+            |SELECT k % 2 AS par, APPROX_COUNT_DISTINCT(v) AS dv
+            |FROM t GROUP BY par""".stripMargin)
+    e.sql("UPDATE t SET v = 77 WHERE k = 2") // pre-horizon retraction
+    e.sql("REFRESH MATERIALIZED VIEW vs1 INCREMENTALLY")
+    assert(e.sql("SELECT par, dv FROM vs1").collect().map(_.toString).toSet
+      === e.sql("""SELECT k % 2 AS par,
+                  |hll_sketch_estimate(hll_sketch_agg(v)) AS dv
+                  |FROM t GROUP BY par""".stripMargin)
+        .collect().map(_.toString).toSet)
     e.close()
   }
 
