@@ -1488,22 +1488,25 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               // table's delta through the links. From each touched
               // table, cascade its delta's join-key values outward:
               // restrict the neighbor to those keys (a pruned scan by
-              // pushdown), collect the neighbor's outgoing link keys
-              // from that restricted frame, continue to ITS neighbors.
-              // Reachability passes through full NEW state unioned
-              // with each hop table's OLD delta rows — a term's Δ side
-              // can carry old-state rows (deleted since the horizon)
-              // that a new-state-only cascade would miss. A hop whose
-              // key set exceeds InlineKeyCap stops bounding that path
-              // (the sides beyond stay full — correct, just unpruned).
-              // A full side is pruned to the OR of its per-source key
-              // predicates: a row reaching NO delta can contribute to
-              // no term (for the singleton term {j} it would have to
-              // reach Δj through full state — exactly the cascade's
-              // reach relation). At 100 TB this is the difference
-              // between a one-row refresh of a 4-table view reading
-              // matching row groups of each partner vs scanning every
-              // partner up to 2^n−1 times.
+              // pushdown below the cap, a left-semi against the
+              // distributed distinct-key frame past it — round 16, no
+              // hop ever abandons the path), derive the neighbor's
+              // outgoing link keys from that restricted frame,
+              // continue to ITS neighbors. Reachability passes through
+              // full NEW state unioned with each hop table's OLD delta
+              // rows — a term's Δ side can carry old-state rows
+              // (deleted since the horizon) that a new-state-only
+              // cascade would miss. A full side is pruned to the OR of
+              // its per-source restrictions: a row reaching NO delta
+              // can contribute to no term (for the singleton term {j}
+              // it would have to reach Δj through full state — exactly
+              // the cascade's reach relation). At 100 TB this is the
+              // difference between a one-row refresh of a 4-table view
+              // reading matching row groups of each partner vs
+              // scanning every partner up to 2^n−1 times — and a bulk
+              // backfill touching thousands of keys now degrades to
+              // semi-joins on O(touched reach) key frames, never to
+              // raw full partner scans.
               val fullNew = sides.map(tn => stateAt(tn, Some(horizons(tn))))
               val idxOf = sides.zipWithIndex
                 .map { case (t, i) => t.toLowerCase -> i }.toMap
@@ -1518,41 +1521,25 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               }
               val touchedIdx = sides.indices
                 .filter(i => horizons(sides(i)) > bases(sides(i)))
-              // preds(i): one entry per touched source — Some(pred)
-              // when the cascade bounded table i's keys, None when a
-              // hop overflowed the cap (unbounded ⇒ no pruning for i)
-              val preds = Array.fill(sides.size)(List.empty[Option[Column]])
+              // preds(i): one restriction per touched source whose
+              // cascade reached table i — inline predicate or
+              // distributed key frame, always bounding
+              val preds = Array.fill(sides.size)(List.empty[CascRestrict])
+              var hopTag = 0
               for (s <- touchedIdx) {
                 val visited = scala.collection.mutable.Set(s)
-                // frontier: (table, Some(frame to collect keys from) —
-                // None once a hop overflowed and the path is unbounded)
-                var frontier: List[(Int, Option[DataFrame])] =
-                  List(s -> Some(deltas(s)._1.unionByName(deltas(s)._2)))
+                var frontier: List[(Int, DataFrame)] =
+                  List(s -> deltas(s)._1.unionByName(deltas(s)._2))
                 while (frontier.nonEmpty) {
-                  val next = List.newBuilder[(Int, Option[DataFrame])]
-                  for ((t, frameOpt) <- frontier;
+                  val next = List.newBuilder[(Int, DataFrame)]
+                  for ((t, frame) <- frontier;
                        (u, ct, cu) <- adj(t) if !visited(u)) {
                     visited += u
-                    frameOpt match {
-                      case None =>
-                        preds(u) ::= None
-                        next += ((u, None))
-                      case Some(frame) =>
-                        val ks = tracer.span("join-keys") {
-                          collectInlineKeys(frame.select(col(ct)), ct)
-                        }
-                        if (ks.length > InlineKeyCap) {
-                          preds(u) ::= None
-                          next += ((u, None))
-                        } else {
-                          val pred =
-                            if (ks.isEmpty) lit(false)
-                            else col(cu).isin(ks: _*)
-                          preds(u) ::= Some(pred)
-                          next += ((u, Some(fullNew(u)
-                            .unionByName(deltas(u)._1).where(pred))))
-                        }
-                    }
+                    val (r, restricted) = cascadeHop(frame, ct,
+                      fullNew(u).unionByName(deltas(u)._1), cu, pin, hopTag)
+                    hopTag += 1
+                    preds(u) ::= r
+                    next += ((u, restricted))
                   }
                   frontier = next.result()
                 }
@@ -1560,8 +1547,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               // Key-pruned fulls pin too when the chain has 3+ tables
               // (each full side then appears in 2^(n-1)−1 ≥ 3 terms;
               // at n=2 a full sits in exactly ONE term, so a pin only
-              // costs). UNPRUNED fulls are never pinned — unbounded
-              // at 100 TB, the scan itself is the right plan there.
+              // costs). Every full with a restriction is O(touched
+              // reach) after pruning — bounded, so the pin is too.
               // Empty frames optimize to local relations, no pin.
               val fulls: Seq[DataFrame] =
                 sides.indices.map { i =>
@@ -1570,9 +1557,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                     // the only touched table is i itself: no term uses
                     // full_i (i sits in every nonvanishing S as a delta)
                     fullNew(i).where(lit(false))
-                  else if (ps.contains(None)) fullNew(i)
                   else {
-                    val pruned = fullNew(i).where(ps.flatten.reduce(_ || _))
+                    val pruned = applyCascade(fullNew(i), ps)
                     if (sides.size >= 3) pin(pruned) else pruned
                   }
                 }
@@ -4069,6 +4055,74 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     batch.select(col(keyCol)).where(col(keyCol).isNotNull)
       .distinct().limit(InlineKeyCap + 1).collect()
       .map(_.get(0)).toIndexedSeq
+
+  /** One restriction the join-view cascade derived for one full side,
+    * from one touched source: an inline IN-list predicate below
+    * `InlineKeyCap` (parquet pushdown prunes the scan to matching row
+    * groups), or a DISTRIBUTED distinct-key frame to semi-join against
+    * past it (round 16 — a cap overflow no longer abandons pruning;
+    * only the driver-side literalization is capped, the key frame
+    * itself stays on the executors at any cardinality). `keyAlias` is
+    * the frame's single column, minted unique per hop so several
+    * restrictions can join the same side without name clashes. */
+  private sealed trait CascRestrict
+  private final case class CascInline(pred: Column) extends CascRestrict
+  private final case class CascKeys(keys: DataFrame, keyAlias: String,
+      stateCol: String) extends CascRestrict
+
+  /** One cascade hop: from the restricted frame of the PREVIOUS table
+    * (link column `ct`), build the restriction on the neighbor's `cu`
+    * column plus the neighbor's restricted continuation frame over
+    * `base`. Below the cap the keys inline (scan pushdown); past it
+    * the distinct key frame — O(touched reach), never collected —
+    * restricts via left-semi, and the cascade CONTINUES bounded from
+    * the semi-joined frame instead of giving up the path. NULL link
+    * values drop from the key frame: they can satisfy no equi-join ON,
+    * so no term can use the rows they would match. */
+  private def cascadeHop(frame: DataFrame, ct: String, base: DataFrame,
+      cu: String, pin: DataFrame => DataFrame, tag: Int)
+      : (CascRestrict, DataFrame) = {
+    val ks = tracer.span("join-keys") {
+      collectInlineKeys(frame.select(col(ct)), ct)
+    }
+    if (ks.length <= InlineKeyCap) {
+      val pred = if (ks.isEmpty) lit(false) else col(cu).isin(ks: _*)
+      (CascInline(pred), base.where(pred))
+    } else {
+      val ka = s"__graft_ck$tag"
+      val keys = pin(frame.select(col(ct).as(ka))
+        .where(col(ka).isNotNull).distinct())
+      (CascKeys(keys, ka, cu),
+        base.join(keys, col(cu) === col(ka), "left_semi"))
+    }
+  }
+
+  /** Restrict full side `df` to rows satisfying ANY of the per-source
+    * cascade restrictions (a row reaching NO touched delta contributes
+    * to no delta term). All-inline keeps the single pushdown
+    * disjunction; a lone key frame takes a plain left-semi; the mixed
+    * case marks each key-frame match through a left join against the
+    * DISTINCT keys (cardinality-preserving) and filters on the OR of
+    * markers and inline predicates — one pass over the big side in
+    * every shape. */
+  private def applyCascade(df: DataFrame, rs: Seq[CascRestrict])
+      : DataFrame = {
+    val inline = rs.collect { case CascInline(p) => p }
+    val keyed = rs.collect { case k: CascKeys => k }
+    val inlinePred = inline.reduceOption(_ || _)
+    if (keyed.isEmpty) df.where(inlinePred.getOrElse(lit(false)))
+    else if (keyed.lengthIs == 1 && inline.isEmpty) {
+      val k = keyed.head
+      df.join(k.keys, col(k.stateCol) === col(k.keyAlias), "left_semi")
+    } else {
+      val marked = keyed.foldLeft(df) { (acc, k) =>
+        acc.join(k.keys, col(k.stateCol) === col(k.keyAlias), "left")
+      }
+      val flags = keyed.map(k => col(k.keyAlias).isNotNull)
+      marked.where((inlinePred.toSeq ++ flags).reduce(_ || _))
+        .drop(keyed.map(_.keyAlias): _*)
+    }
+  }
 
   /** Restrict `df` to rows whose `column` is among the (pinned,
     * small) batch's distinct `keyCol` values — semantics-preserving

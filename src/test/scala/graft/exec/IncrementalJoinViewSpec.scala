@@ -751,4 +751,72 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     assert(view().exists(_.startsWith("[b,2,")), "b keeps {3,7}")
     e.close()
   }
+
+  test("past-the-cap churn keeps pruning through a distributed semi-join") {
+    // Round 16: a bulk update touching MORE keys than InlineKeyCap
+    // (256) used to abandon full-side pruning for every table past
+    // the overflowing hop — up to 2^n−1 raw partner scans. Now the
+    // hop keeps a DISTRIBUTED distinct-key frame (aliased
+    // __graft_ck<tag>) and left-semi-joins the partner instead; only
+    // the driver-side IN-list literalization is capped. The alias is
+    // unique to the semi-join path (touchedRestrictor's own overflow
+    // semi joins on "pk"), so its presence in the executed plans
+    // proves the overflow took the restriction, not the give-up —
+    // and the hop PAST the overflow re-enters the inline regime
+    // (nation is small), so In(payload.nk, ...) must still push into
+    // the customer scan.
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE rgx (r BIGINT PRIMARY KEY, zone STRING)")
+    e.sql("CREATE TABLE ntx (n BIGINT PRIMARY KEY, rk BIGINT, seg STRING)")
+    e.sql("CREATE TABLE csx (c BIGINT PRIMARY KEY, nk BIGINT, v BIGINT)")
+    val regions = (1L to 300L).map(i => s"($i, 'z${i % 7}')")
+    e.sql(s"INSERT INTO rgx VALUES ${regions.mkString(", ")}")
+    // nations spread across ALL 300 regions so the overflowed key
+    // frame actually restricts something real
+    val nations = (1L to 12L).map(i => s"(${i * 100}, ${i * 25 - 1}, 's${i % 3}')")
+    e.sql(s"INSERT INTO ntx VALUES ${nations.mkString(", ")}")
+    val custs = (1L to 40L).map(i => s"($i, ${(i % 12 + 1) * 100}, ${i % 17})")
+    e.sql(s"INSERT INTO csx VALUES ${custs.mkString(", ")}")
+    Seq("rgx", "ntx", "csx").foreach(t => e.sql(s"SNAPSHOT $t"))
+    e.sql("""CREATE MATERIALIZED VIEW pvx AS
+            |SELECT zone, seg, COUNT(*) AS n, SUM(v) AS sv
+            |FROM rgx JOIN ntx ON rgx.r = ntx.rk JOIN csx ON ntx.n = csx.nk
+            |GROUP BY zone, seg""".stripMargin)
+    e.sql("UPDATE rgx SET zone = 'moved'") // touch ALL 300 head keys
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val op = e.sql("REFRESH MATERIALIZED VIEW pvx INCREMENTALLY")
+        .collect().head.getString(0)
+      assert(op === "refreshed_incremental")
+      val deadline = System.nanoTime() + 15_000_000_000L
+      def joined(): String = {
+        import scala.jdk.CollectionConverters._
+        plans.asScala.mkString("\n===\n")
+      }
+      def pruned(p: String): Boolean =
+        p.contains("__graft_ck") && p.contains("In(payload.nk")
+      while (!pruned(joined()) && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(pruned(joined()),
+        "expected a __graft_ck semi-join key frame (hop 1 overflow) and " +
+          "an In(payload.nk, ...) pushdown (hop 2 back under the cap) " +
+          "in the refresh plans")
+    } finally spark.listenerManager.unregister(listener)
+    assert(e.sql("SELECT zone, seg, n, sv FROM pvx").collect()
+      .map(_.toString).toSet ===
+      e.sql("""SELECT zone, seg, COUNT(*) AS n, SUM(v) AS sv
+              |FROM rgx JOIN ntx ON rgx.r = ntx.rk JOIN csx ON ntx.n = csx.nk
+              |GROUP BY zone, seg""".stripMargin)
+        .collect().map(_.toString).toSet)
+    e.close()
+  }
 }

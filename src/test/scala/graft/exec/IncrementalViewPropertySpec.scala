@@ -371,4 +371,66 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
     }
     e.close()
   }
+
+  test("adversarial cap-crossing churn: chain-join incremental equals full recompute") {
+    // Round 16: bulk statements touching MORE keys than the 256-key
+    // inline cap, interleaved with ordinary point churn. The middle
+    // table holds 320 rows, so a WHERE-less UPDATE forces every
+    // cascade hop out of it past the cap — the refresh must keep its
+    // pruning through the distributed semi-join restriction and stay
+    // exactly equal to the from-scratch aggregate, batch after batch.
+    // Bulk deletes + re-inserts of the same key range stress the
+    // signed-delta cancellation at the same scale.
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE rb (r BIGINT PRIMARY KEY, zone STRING)")
+    e.sql("CREATE TABLE cb (c BIGINT PRIMARY KEY, rk BIGINT, seg STRING)")
+    e.sql("CREATE TABLE sb (s BIGINT PRIMARY KEY, ck BIGINT, v BIGINT)")
+    e.sql(s"INSERT INTO rb VALUES ${(1L to 6L)
+      .map(i => s"($i, 'z$i')").mkString(", ")}")
+    e.sql(s"INSERT INTO cb VALUES ${(1L to 320L)
+      .map(i => s"($i, ${i % 6 + 1}, 's${i % 2}')").mkString(", ")}")
+    e.sql(s"INSERT INTO sb VALUES ${(1L to 500L)
+      .map(i => s"($i, ${i % 320 + 1}, ${i % 97})").mkString(", ")}")
+    e.sql("""CREATE MATERIALIZED VIEW pb AS
+            |SELECT zone, seg, COUNT(*) AS n, SUM(v) AS sv,
+            |       COUNT(DISTINCT v) AS dv
+            |FROM rb JOIN cb ON rb.r = cb.rk JOIN sb ON cb.c = sb.ck
+            |WHERE v < 90 GROUP BY zone, seg""".stripMargin)
+
+    val rnd = new scala.util.Random(0x5CA1E) // deterministic workload
+    def freshView(): Set[String] =
+      e.sql("""SELECT zone, seg, COUNT(*) AS n, SUM(v) AS sv,
+              |       COUNT(DISTINCT v) AS dv
+              |FROM rb JOIN cb ON rb.r = cb.rk JOIN sb ON cb.c = sb.ck
+              |WHERE v < 90 GROUP BY zone, seg""".stripMargin)
+        .collect().map(_.toString).toSet
+    def pb(): Set[String] =
+      e.sql("SELECT zone, seg, n, sv, dv FROM pb").collect().map(_.toString).toSet
+
+    for (batch <- 1 to 6) {
+      batch % 3 match {
+        case 1 => // bulk re-segment EVERY middle row (320 keys > cap)
+          e.sql(s"UPDATE cb SET seg = 's${rnd.nextInt(3)}'")
+        case 2 => // bulk delete + re-insert a 300-key fact range with
+          // shifted values — touched set crosses the cap and the
+          // delete/insert pairs must cancel exactly per key
+          e.sql("DELETE FROM sb WHERE s <= 300")
+          e.sql(s"INSERT INTO sb VALUES ${(1L to 300L)
+            .map(i => s"($i, ${(i + batch) % 320 + 1}, ${(i + batch) % 97})")
+            .mkString(", ")}")
+        case _ => // bulk zone flip on the head (inline regime) plus a
+          // >cap touched middle through re-parenting
+          e.sql(s"UPDATE rb SET zone = 'w$batch' WHERE r <= 3")
+          e.sql(s"UPDATE cb SET rk = ${rnd.nextInt(6) + 1} WHERE c <= 280")
+      }
+      // a little point churn on top
+      e.sql(s"UPDATE sb SET v = ${rnd.nextInt(97)} " +
+        s"WHERE s = ${rnd.nextInt(500) + 1}")
+      val op = e.sql("REFRESH MATERIALIZED VIEW pb INCREMENTALLY")
+        .collect().head.getString(0)
+      assert(op === "refreshed_incremental", s"batch $batch fell back: $op")
+      assert(pb() === freshView(), s"diverged after batch $batch")
+    }
+    e.close()
+  }
 }
