@@ -1617,7 +1617,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                 else IncrementalView.overlaySketches(merged0,
                   IncrementalView.recomputeSketches(
                     pruneToTouchedGroups(
-                      js.joined(sides.indices.map(i => fullNew(i))),
+                      recomputeJoinInput(js, sides, adj, fullNew,
+                        sdOpt.get, pin),
                       sdOpt.get, js.groupKeys),
                     js.groupKeys, acds),
                   sdOpt.get, js.groupCols, acds)
@@ -4690,35 +4691,147 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * and past-the-cap views take a null-safe left-semi join on the
     * evaluated key expressions — exact and never collecting. Either
     * way the overlay's touched flag decides which groups actually
-    * rewrite, so a superset here costs compute, never correctness. */
+    * rewrite, so a superset here costs compute, never correctness.
+    * Multi-key views (round 16) no longer semi-join the RAW state:
+    * under the cap each key column's touched values push into the
+    * scan as a conjunction of per-column in-lists — a sound SUPERSET
+    * of the touched tuple set (its per-column projection product) —
+    * and the null-safe left-semi stays on top as the exact tuple
+    * filter, so a small composite-key retraction reads matching row
+    * groups instead of the table. */
   private def pruneToTouchedGroups(state: DataFrame, sd: DataFrame,
       groupKeys: Seq[IncrementalView.GroupKey]): DataFrame = {
     val groupCols = groupKeys.map(_.alias)
     val touched = sd.select(groupCols.map(col): _*).distinct()
-    val inlined: Option[DataFrame] = groupKeys match {
+    def colPred(k: IncrementalView.GroupKey,
+        vals: IndexedSeq[Any]): Option[Column] =
+      if (vals.length > InlineKeyCap) None
+      else {
+        val (nulls, nonNull) = vals.partition(_ == null)
+        val e = expr(k.e)
+        val base = if (nonNull.nonEmpty) e.isin(nonNull: _*) else lit(false)
+        Some(if (nulls.nonEmpty) base || e.isNull else base)
+      }
+    groupKeys match {
       case Seq(k) =>
         val vals = tracer.span("acd-touched-groups") {
           touched.limit(InlineKeyCap + 1).collect().map(_.get(0)).toIndexedSeq
         }
-        if (vals.length > InlineKeyCap) None
-        else {
-          val (nulls, nonNull) = vals.partition(_ == null)
-          val e = expr(k.e)
-          val base = if (nonNull.nonEmpty) e.isin(nonNull: _*) else lit(false)
-          Some(state.where(if (nulls.nonEmpty) base || e.isNull else base))
+        colPred(k, vals).map(state.where)
+          .getOrElse(semiOnTouched(state, touched, groupKeys))
+      case _ =>
+        val preds = groupKeys.map { k =>
+          val vals = tracer.span("acd-touched-groups") {
+            sd.select(col(k.alias)).distinct()
+              .limit(InlineKeyCap + 1).collect().map(_.get(0)).toIndexedSeq
+          }
+          colPred(k, vals)
         }
-      case _ => None
+        val pre =
+          if (preds.forall(_.isDefined))
+            state.where(preds.flatten.reduce(_ && _))
+          else state
+        semiOnTouched(pre, touched, groupKeys)
     }
-    inlined.getOrElse {
-      // rename the touched keys out of the state's namespace so the
-      // key EXPRESSIONS (which may be the same bare identifiers)
-      // resolve against the state side only
-      val tg = touched.select(groupCols.map(c =>
-        col(c).as(s"__tg_$c")): _*)
-      val cond = groupKeys.map(k =>
-        expr(k.e) <=> col(s"__tg_${k.alias}")).reduce(_ && _)
-      state.join(tg, cond, "left_semi")
+  }
+
+  /** The exact touched-tuple filter: a null-safe left-semi of `state`
+    * against the distinct touched group tuples, with the touched keys
+    * renamed out of the state's namespace so the key EXPRESSIONS
+    * (which may be the same bare identifiers) resolve against the
+    * state side only. */
+  private def semiOnTouched(state: DataFrame, touched: DataFrame,
+      groupKeys: Seq[IncrementalView.GroupKey]): DataFrame = {
+    val tg = touched.select(groupKeys.map(k =>
+      col(k.alias).as(s"__tg_${k.alias}")): _*)
+    val cond = groupKeys.map(k =>
+      expr(k.e) <=> col(s"__tg_${k.alias}")).reduce(_ && _)
+    state.join(tg, cond, "left_semi")
+  }
+
+  /** Restrict ONE side's state to rows whose `column` is among the
+    * signed delta's distinct touched values of group alias `alias` —
+    * a per-column SUPERSET of the touched group tuples (callers
+    * post-filter with pruneToTouchedGroups for exactness). Inline
+    * in-list with an isNull arm under the cap; a pinned distributed
+    * null-safe left-semi past it. */
+  private def touchedValueRestrict(state: DataFrame, column: String,
+      sd: DataFrame, alias: String, pin: DataFrame => DataFrame,
+      tag: Int): DataFrame = {
+    val touched = sd.select(col(alias)).distinct()
+    val vals = tracer.span("recompute-root-keys") {
+      touched.limit(InlineKeyCap + 1).collect().map(_.get(0)).toIndexedSeq
     }
+    if (vals.length <= InlineKeyCap) {
+      val (nulls, nonNull) = vals.partition(_ == null)
+      val c = col(column)
+      val base = if (nonNull.nonEmpty) c.isin(nonNull: _*) else lit(false)
+      state.where(if (nulls.nonEmpty) base || c.isNull else base)
+    } else {
+      val ka = s"__graft_tv$tag"
+      state.join(pin(touched.select(col(alias).as(ka)).distinct()),
+        col(column) <=> col(ka), "left_semi")
+    }
+  }
+
+  /** The join-shape sketch recompute's input (round 16): the
+    * new-state join restricted — as a SUPERSET — to the touched
+    * groups' rows, instead of joining raw full sides. Every group key
+    * that is a bare (or table-qualified) column of exactly one side
+    * restricts that side to the delta's touched values for it; from
+    * one such restricted side, the cascade pushes key restrictions
+    * outward along the join tree, so partner sides prune to the rows
+    * that can reach a touched group's row at all — at 100 TB the
+    * retraction recompute reads matching row groups of each partner,
+    * not the partner tables. Soundness: a joined row of a touched
+    * group g contains the root side's row carrying g's key value
+    * (kept by the value restriction), and each partner row along the
+    * tree joins it hop by hop (kept by the cascade) — so every row
+    * pruneToTouchedGroups would keep survives. With no owned key
+    * (computed/cross-side expressions) the join stays unrestricted
+    * and the post-filter alone bounds the re-aggregation, as before. */
+  private def recomputeJoinInput(js: IncrementalView.JoinShape,
+      sides: Seq[String], adj: Array[List[(Int, String, String)]],
+      fullNew: Seq[DataFrame], sd: DataFrame,
+      pin: DataFrame => DataFrame): DataFrame = {
+    val Qualified = """(\w+)\.(\w+)""".r
+    val Bare = """(\w+)""".r
+    def owner(k: IncrementalView.GroupKey): Option[(Int, String)] =
+      k.e.trim match {
+        case Qualified(q, c) =>
+          val i = sides.indexWhere(_.equalsIgnoreCase(q))
+          if (i < 0) None
+          else fullNew(i).columns.find(_.equalsIgnoreCase(c)).map((i, _))
+        case Bare(c) =>
+          val owners = sides.indices.flatMap(i =>
+            fullNew(i).columns.find(_.equalsIgnoreCase(c)).map((i, _)))
+          if (owners.sizeIs == 1) Some(owners.head) else None
+        case _ => None
+      }
+    val owned: Seq[(Int, String, String)] =
+      js.groupKeys.flatMap(k => owner(k).map { case (i, c) => (i, c, k.alias) })
+    if (owned.isEmpty) return js.joined(fullNew)
+    val frames = fullNew.toArray
+    var tag = 0
+    for ((i, c, a) <- owned) {
+      frames(i) = touchedValueRestrict(frames(i), c, sd, a, pin, tag)
+      tag += 1
+    }
+    val root = owned.map(_._1).min
+    val visited = scala.collection.mutable.Set(root)
+    var frontier: List[(Int, DataFrame)] = List(root -> frames(root))
+    while (frontier.nonEmpty) {
+      val next = List.newBuilder[(Int, DataFrame)]
+      for ((t, frame) <- frontier; (u, ct, cu) <- adj(t) if !visited(u)) {
+        visited += u
+        val (_, restricted) = cascadeHop(frame, ct, frames(u), cu, pin, tag)
+        tag += 1
+        frames(u) = restricted
+        next += ((u, restricted))
+      }
+      frontier = next.result()
+    }
+    js.joined(frames.toIndexedSeq)
   }
 
   /** SNAPSHOT/VACUUM/CHECKPOINT TABLE: materialize collapsed state at

@@ -752,6 +752,70 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("a retracting ACD join recompute prunes its partner scans") {
+    // Round 16: the sketch retraction recompute used to join RAW full
+    // sides (only the joined frame was group-filtered afterwards).
+    // Now the side owning the bare group key restricts to the delta's
+    // touched group VALUES, and the cascade pushes that restriction
+    // across the join tree: the UNTOUCHED partner (fact) side is a
+    // flat snapshot scan, so the cascaded key restriction must land
+    // as In(payload.dk, ...) parquet pushdown — excluding the dim of
+    // the untouched group. No other refresh path filters the fact
+    // scan on dk, so its presence pins the recompute's pruning.
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE dmr (k BIGINT PRIMARY KEY, grp STRING)")
+    e.sql("CREATE TABLE fcr (i BIGINT PRIMARY KEY, dk BIGINT, v BIGINT)")
+    e.sql("INSERT INTO dmr VALUES (1,'g'), (2,'g'), (3,'h'), (4,'x')")
+    e.sql("INSERT INTO fcr VALUES (10,1,5), (11,2,7), (12,3,9), (13,4,11)")
+    Seq("dmr", "fcr").foreach(t => e.sql(s"SNAPSHOT $t"))
+    e.sql("""CREATE MATERIALIZED VIEW pvr AS
+            |SELECT grp, APPROX_COUNT_DISTINCT(v) AS dv, COUNT(*) AS n
+            |FROM dmr JOIN fcr ON dmr.k = fcr.dk
+            |GROUP BY grp""".stripMargin)
+    // a pre-horizon dim regroup retracts its joined (g,5) pair → the
+    // sketch recompute fires for groups {g,h}; 'x' stays untouched
+    e.sql("UPDATE dmr SET grp = 'h' WHERE k = 1")
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val op = e.sql("REFRESH MATERIALIZED VIEW pvr INCREMENTALLY")
+        .collect().head.getString(0)
+      assert(op === "refreshed_incremental")
+      val deadline = System.nanoTime() + 15_000_000_000L
+      def joined(): String = {
+        import scala.jdk.CollectionConverters._
+        plans.asScala.mkString("\n===\n")
+      }
+      // dims of the touched groups {g,h} are {1,2,3} — dim 4 ('x')
+      // must NOT reach the fact scan (collect order unspecified)
+      val hop = """In\(payload\.dk, \[[123],\s*[123],\s*[123]\]\)""".r
+      def pruned(p: String): Boolean = hop.findFirstIn(p).isDefined
+      while (!pruned(joined()) && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(pruned(joined()),
+        "expected the recompute's cascaded In(payload.dk, [1,2,3]) " +
+          "pushdown on the untouched fact partner scan; pushed " +
+          "filters seen:\n" +
+          """PushedFilters: \[[^\]]*\]""".r.findAllIn(joined())
+            .toSeq.distinct.mkString("\n"))
+    } finally spark.listenerManager.unregister(listener)
+    // content: the recomputed groups must equal a from-scratch sketch
+    assert(e.sql("SELECT grp, dv, n FROM pvr").collect()
+      .map(_.toString).toSet ===
+      e.sql("""SELECT grp, hll_sketch_estimate(hll_sketch_agg(v)) AS dv,
+              |COUNT(*) AS n FROM dmr JOIN fcr ON dmr.k = fcr.dk
+              |GROUP BY grp""".stripMargin).collect().map(_.toString).toSet)
+    e.close()
+  }
+
   test("past-the-cap churn keeps pruning through a distributed semi-join") {
     // Round 16: a bulk update touching MORE keys than InlineKeyCap
     // (256) used to abandon full-side pruning for every table past

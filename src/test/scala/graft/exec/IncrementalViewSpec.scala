@@ -895,4 +895,63 @@ class IncrementalViewSpec extends AnyFunSuite {
       === Seq("[a,1,10]", "[b,2,60]"))
     e.close()
   }
+
+  test("a two-key retracting recompute pushes per-column in-lists into the scan") {
+    // Round 16: composite group keys used to take ONLY the null-safe
+    // semi-join (no scan pruning). Under the cap each key column's
+    // touched values now push into the state read as a conjunction of
+    // per-column in-lists — a sound superset of the touched tuples —
+    // with the semi-join kept on top as the exact filter. A snapshot
+    // after the churn makes the recompute's state read a flat scan,
+    // so the restriction must surface as parquet PushedFilters on
+    // payload.a AND payload.b; no other refresh path filters those
+    // columns (the delta reads restrict by pk).
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t2k (k BIGINT PRIMARY KEY, a STRING, b STRING, v BIGINT)")
+    e.sql("INSERT INTO t2k VALUES (1,'a1','b1',5), (2,'a1','b2',7), " +
+      "(3,'a2','b1',9), (4,'a3','b3',11)")
+    e.sql("""CREATE MATERIALIZED VIEW mv2k AS
+            |SELECT a, b, APPROX_COUNT_DISTINCT(v) AS dv, COUNT(*) AS n
+            |FROM t2k GROUP BY a, b""".stripMargin)
+    // pre-horizon value change in group (a1,b1) → sketch retraction
+    e.sql("UPDATE t2k SET v = 6 WHERE k = 1")
+    e.sql("SNAPSHOT t2k") // flatten the recompute's state read
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val op = e.sql("REFRESH MATERIALIZED VIEW mv2k INCREMENTALLY")
+        .collect().head.getString(0)
+      assert(op === "refreshed_incremental")
+      val deadline = System.nanoTime() + 15_000_000_000L
+      def joined(): String = {
+        import scala.jdk.CollectionConverters._
+        plans.asScala.mkString("\n===\n")
+      }
+      def pruned(p: String): Boolean =
+        p.contains("EqualTo(payload.a,a1)") &&
+          p.contains("EqualTo(payload.b,b1)")
+      while (!pruned(joined()) && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(pruned(joined()),
+        "expected EqualTo(payload.a,a1) AND EqualTo(payload.b,b1) " +
+          "pushed into the recompute's flat state scan; pushed " +
+          "filters seen:\n" +
+          """PushedFilters: \[[^\]]*\]""".r.findAllIn(joined())
+            .toSeq.distinct.mkString("\n"))
+    } finally spark.listenerManager.unregister(listener)
+    assert(e.sql("SELECT a, b, dv, n FROM mv2k").collect()
+      .map(_.toString).toSet ===
+      e.sql("""SELECT a, b, hll_sketch_estimate(hll_sketch_agg(v)) AS dv,
+              |COUNT(*) AS n FROM t2k GROUP BY a, b""".stripMargin)
+        .collect().map(_.toString).toSet)
+    e.close()
+  }
 }
