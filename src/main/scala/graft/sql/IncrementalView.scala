@@ -492,13 +492,23 @@ object IncrementalView {
     val aggs = Vector.newBuilder[Agg]
     val keys = Vector.newBuilder[GroupKey]
     for (i <- items) parseAgg(i) match {
+      // __graft_* is the engine's hidden-column namespace (HAVING
+      // accumulators, aux/sketch columns — `hidden`): a user alias
+      // inside it would collide with a minted accumulator mid-CREATE
+      // (duplicate columns in the parquet write) or vanish from read
+      // output. Fail the SHAPE cleanly instead — the view falls back
+      // to a correct full-rerun surface.
+      case Some(a) if hidden(a.alias) => return None
       case Some(a) => aggs += a
       case None => i match {
         // an agg-shaped item parseAgg rejected (COUNT(DISTINCT a,b),
         // SUM(DISTINCT …) over multiple exprs) must fail the shape,
         // not fall through into the group keys
-        case b if BareRe.matches(b) => keys += GroupKey(b, b)
+        case b if BareRe.matches(b) =>
+          if (hidden(b)) return None
+          keys += GroupKey(b, b)
         case GroupItemRe(e, a) if AggCallRe.findFirstIn(e).isEmpty =>
+          if (hidden(a)) return None
           keys += GroupKey(e.trim, a)
         case _ => return None
       }
@@ -911,9 +921,11 @@ object IncrementalView {
     * Every term carries at least one Δ side, so every term is
     * O(touched)-restricted on at least one input. Exact under
     * ARBITRARY updates and deletes for the retractable aggregates;
-    * a sketch-bearing view additionally probes this frame's net
-    * (group, value) support to decide union vs touched-group
-    * recompute (see JoinShape). Each term
+    * a sketch-bearing view additionally probes this frame for ANY
+    * negative-signed sketch-value row to decide union vs
+    * touched-group recompute — deliberately NOT net support, which
+    * would wave a cancelling cross-term's +1 phantom pair into the
+    * sketch (see JoinShape). Each term
     * applies the view's WHERE after the join and projects straight to
     * the signed-contribution columns, so nothing wider than groupCols
     * + sign + values ever unions. `sides(i)` = (oldᵢ, newᵢ, fullᵢ)

@@ -465,9 +465,11 @@ object StatementRouter {
   private val RestoreR =
     """(?is)^RESTORE\s+DATABASE\s+FROM\s+'([^']+)'(?:\s+AS\s+OF\s+@SEQ:(\d+))?\s*$""".r
   private val ShowBackupsR = """(?is)^SHOW\s+BACKUPS\s+IN\s+'([^']+)'\s*$""".r
+  // the retention clauses are independent options: accept them in ANY
+  // order (post-parsed in the router case), not just KEEP-then-OLDER
   private val PruneBackupsR =
-    ("""(?is)^PRUNE\s+BACKUPS\s+IN\s+'([^']+)'(?:\s+KEEP\s+(\d+))?""" +
-      """(?:\s+OLDER\s+THAN\s+(\d+)\s+DAYS?)?(\s+DRY\s+RUN)?\s*$""").r
+    ("""(?is)^PRUNE\s+BACKUPS\s+IN\s+'([^']+)'""" +
+      """((?:\s+(?:KEEP\s+\d+|OLDER\s+THAN\s+\d+\s+DAYS?|DRY\s+RUN))*)\s*$""").r
   private val ShowClusterR = """(?is)^SHOW\s+CLUSTER\s*$""".r
   private val VerifyBackupR = """(?is)^VERIFY\s+BACKUP\s+'([^']+)'\s*$""".r
   private val SetAuditR = """(?is)^SET\s+AUDIT\s+(ON|OFF)\s*$""".r
@@ -653,8 +655,17 @@ object StatementRouter {
       case BackupR(dir, parent) => BackupDb(dir, Option(parent))
       case RestoreR(dir, seq) => RestoreDb(dir, Option(seq).map(_.toLong))
       case ShowBackupsR(dir) => ShowBackups(dir)
-      case PruneBackupsR(dir, keep, days, dry) =>
-        if (keep == null && days == null)
+      case PruneBackupsR(dir, tail) =>
+        val KeepR = """(?is)KEEP\s+(\d+)""".r
+        val OlderR = """(?is)OLDER\s+THAN\s+(\d+)\s+DAYS?""".r
+        val keeps = KeepR.findAllMatchIn(tail).map(_.group(1)).toSeq
+        val olds = OlderR.findAllMatchIn(tail).map(_.group(1)).toSeq
+        val dries = """(?is)DRY\s+RUN""".r.findAllMatchIn(tail).size
+        if (keeps.sizeIs > 1 || olds.sizeIs > 1 || dries > 1)
+          throw new IllegalArgumentException(
+            "PRUNE BACKUPS: each of KEEP / OLDER THAN / DRY RUN may " +
+              "appear at most once")
+        if (keeps.isEmpty && olds.isEmpty)
           throw new IllegalArgumentException(
             "PRUNE BACKUPS needs a retention rule: KEEP n and/or " +
               "OLDER THAN n DAYS")
@@ -665,8 +676,15 @@ object StatementRouter {
             case _: NumberFormatException => throw new IllegalArgumentException(
               s"PRUNE BACKUPS $what is out of range: $s")
           }
-        PruneBackups(dir, Option(keep).map(int(_, "KEEP")),
-          Option(days).map(int(_, "OLDER THAN")), dry != null)
+        val keepN = keeps.headOption.map(int(_, "KEEP"))
+        // KEEP 0 would leave nothing chain-pinned and delete every
+        // restore point — the retention floor is 1
+        if (keepN.contains(0))
+          throw new IllegalArgumentException(
+            "PRUNE BACKUPS KEEP 0 would delete every restore point — " +
+              "KEEP must be at least 1")
+        PruneBackups(dir, keepN,
+          olds.headOption.map(int(_, "OLDER THAN")), dries == 1)
       case ShowClusterR() => ShowCluster
       case VerifyBackupR(dir) => VerifyBackup(dir)
       case DropTableR(ifEx, name) => DropTable(name, ifEx != null)

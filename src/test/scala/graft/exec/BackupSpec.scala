@@ -257,6 +257,23 @@ class BackupSpec extends AnyFunSuite {
       e.sql(s"PRUNE BACKUPS IN '$root'")
     }
     assert(err.getMessage.contains("retention rule"), err.getMessage)
+    // KEEP 0 would delete every restore point — rejected (round 16)
+    val err0 = intercept[IllegalArgumentException] {
+      e.sql(s"PRUNE BACKUPS IN '$root' KEEP 0")
+    }
+    assert(err0.getMessage.contains("KEEP must be at least 1"),
+      err0.getMessage)
+    assert(e.sql(s"SHOW BACKUPS IN '$root'").count() === 1L)
+    // the independent clauses parse in EITHER order (round 16)
+    assert(act(s"PRUNE BACKUPS IN '$root' OLDER THAN 7 DAYS KEEP 1") ===
+      Map("b3" -> "kept"))
+    assert(act(s"PRUNE BACKUPS IN '$root' DRY RUN KEEP 1") ===
+      Map("b3" -> "kept"))
+    // a duplicated clause is a statement error, not a silent override
+    val errDup = intercept[IllegalArgumentException] {
+      e.sql(s"PRUNE BACKUPS IN '$root' KEEP 1 KEEP 2")
+    }
+    assert(errDup.getMessage.contains("at most once"), errDup.getMessage)
     e.close()
   }
 

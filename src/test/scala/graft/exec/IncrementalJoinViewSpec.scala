@@ -174,7 +174,9 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
       .isDefined)
     // MIN/MAX are aux-frame-backed (round 15), hence retractable and
     // admitted; APPROX_COUNT_DISTINCT is admitted too — the refresh
-    // probes the delta's net support to dispatch union vs recompute
+    // probes the delta for any negative-signed sketch value (NOT net
+    // support, which would admit phantoms) to dispatch union vs
+    // recompute
     assert(parseJoin(
       "SELECT s, MAX(v) AS m FROM a JOIN b ON a.x = b.y GROUP BY s").isDefined)
     assert(parseJoin("SELECT s, APPROX_COUNT_DISTINCT(v) AS d FROM a " +

@@ -896,6 +896,28 @@ class IncrementalViewSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("a user alias in the hidden __graft_ namespace fails the shape, not the CREATE") {
+    // __graft_h_<i> is the HAVING rewrite's minted-accumulator
+    // namespace: a user select alias inside it used to collide with
+    // the first hidden accumulator and fail the parquet write
+    // mid-CREATE. The shape now rejects the alias up front, so the
+    // view CREATEs as a plain full-rerun view and only the
+    // INCREMENTALLY refresh refuses.
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE thv (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    e.sql("INSERT INTO thv VALUES (1,'a',5), (2,'b',7)")
+    e.sql("""CREATE MATERIALIZED VIEW hv AS
+            |SELECT grp, SUM(v) AS __graft_h_0
+            |FROM thv GROUP BY grp HAVING MIN(v) > 0""".stripMargin)
+    assert(e.sql("SELECT grp FROM hv").count() === 2L)
+    val err = intercept[IllegalArgumentException] {
+      e.sql("REFRESH MATERIALIZED VIEW hv INCREMENTALLY")
+    }
+    assert(err.getMessage.contains("not incrementally maintainable"),
+      err.getMessage)
+    e.close()
+  }
+
   test("a two-key retracting recompute pushes per-column in-lists into the scan") {
     // Round 16: composite group keys used to take ONLY the null-safe
     // semi-join (no scan pruning). Under the cap each key column's
