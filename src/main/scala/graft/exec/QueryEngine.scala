@@ -1330,7 +1330,18 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           if (horizon > r) {
             val restrict = touchedRestrictor(t, r, horizon)
             val stored = spark.read.parquet(catalog.mviewDataPath(name, prev))
-            val oldSide = restrict(stateAt(baseT, Some(r)))
+            // both horizon states from ONE pruned scan where the
+            // bounds share a checkpoint source (round 16) — the pin
+            // makes the single scan + Exchange serve the old side,
+            // the new side, the retraction probe and the delta
+            val fusedPin = fusedHorizonStates(t, r, horizon).map(f =>
+              restrict(f).persist(
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+            val (oldSide, newSide) = fusedPin match {
+              case Some(p) => fusedSides(p)
+              case None => (restrict(stateAt(baseT, Some(r))),
+                restrict(stateAt(baseT, Some(horizon))))
+            }
             // A sketch (ACD's HLL, APPROX_PERCENTILE's KLL) unions but
             // cannot retract, so the
             // sketch merge is a plain union ONLY
@@ -1355,7 +1366,6 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             val acdRetracts = sh.hasSketch &&
               sh.where.fold(oldSide)(w => oldSide.where(expr(w)))
                 .limit(1).count() > 0
-            val newSide = restrict(stateAt(baseT, Some(horizon)))
             val cds = IncrementalView.auxAggs(sh.aggs)
             // the delta frame feeds the main merge, every aux merge,
             // every overlay's touched set and the ACD recompute's
@@ -1402,7 +1412,10 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               // horizon re-anchor would double-apply this delta on the
               // next refresh
               catalog.setMviewRefreshed(name, prev + 1, Map(baseT -> horizon))
-            } finally sdPin.foreach(_.unpersist(false))
+            } finally {
+              sdPin.foreach(_.unpersist(false))
+              fusedPin.foreach(_.unpersist(false))
+            }
           }
           "refreshed_incremental"
         case (None, true) => joinShapeOf(viewSql) match {
@@ -1444,20 +1457,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             }
             val horizons = sides.map(tn => tn -> catalog.lastSeq(tn)).toMap
             if (sides.exists(tn => horizons(tn) > bases(tn))) {
-              // old/new state of the touched pks; an untouched side
-              // contributes an empty delta (its terms vanish)
-              def deltaSides(tn: String): (DataFrame, DataFrame) =
-                if (horizons(tn) <= bases(tn)) {
-                  val empty = stateAt(tn, Some(horizons(tn))).where(lit(false))
-                  (empty, empty)
-                } else {
-                  val restrict =
-                    touchedRestrictor(catalog.require(tn), bases(tn), horizons(tn))
-                  (restrict(stateAt(tn, Some(bases(tn)))),
-                    restrict(stateAt(tn, Some(horizons(tn)))))
-                }
-              val deltas = sides.map(deltaSides)
-              // Pin the touched delta sides NOW (lazy — the cascade's
+              // Pin the touched delta sides (lazy — the cascade's
               // hop-0 key collect is the first materialization): the
               // 2^n−1 inclusion-exclusion terms each re-reference
               // these frames, and without the cache every term would
@@ -1474,12 +1474,28 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               def pin(df: DataFrame): DataFrame = {
                 refreshPins += df.persist(lvl); df
               }
-              try {
-              sides.indices.foreach { i =>
-                if (horizons(sides(i)) > bases(sides(i))) {
-                  pin(deltas(i)._1); pin(deltas(i)._2)
+              // old/new state of the touched pks; an untouched side
+              // contributes an empty delta (its terms vanish). Where
+              // the two bounds share a checkpoint source, BOTH sides
+              // come off one pinned two-bound collapse (round 16 —
+              // one scan + one Exchange per table instead of two).
+              def deltaSides(tn: String): (DataFrame, DataFrame) =
+                if (horizons(tn) <= bases(tn)) {
+                  val empty = stateAt(tn, Some(horizons(tn))).where(lit(false))
+                  (empty, empty)
+                } else {
+                  val td = catalog.require(tn)
+                  val restrict =
+                    touchedRestrictor(td, bases(tn), horizons(tn))
+                  fusedHorizonStates(td, bases(tn), horizons(tn)) match {
+                    case Some(f) => fusedSides(pin(restrict(f)))
+                    case None =>
+                      (pin(restrict(stateAt(tn, Some(bases(tn))))),
+                        pin(restrict(stateAt(tn, Some(horizons(tn))))))
+                  }
                 }
-              }
+              try {
+              val deltas = sides.map(deltaSides)
               // Full-side pruning, any chain length (round 15,
               // generalizing the round-14 two-table case): every
               // inclusion-exclusion term joins a full side against at
@@ -1841,10 +1857,22 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       // whether REFRESH INCREMENTALLY is due
       import spark.implicits._
       catalog.matviewList.map { case (n, viewSql, ver) =>
+        val single = incShapeOf(viewSql)
+        val join = if (single.isEmpty) joinShapeOf(viewSql) else None
         val kind =
-          if (incShapeOf(viewSql).isDefined) "incremental"
-          else if (joinShapeOf(viewSql).isDefined) "incremental_join"
+          if (single.isDefined) "incremental"
+          else if (join.isDefined) "incremental_join"
           else "full_rerun"
+        // APPROX_PERCENTILE's maintainable form has a conditional
+        // exactness contract (see PctlExpr) — surface it where the
+        // operator looks, not only in scaladoc
+        val notes: Option[String] =
+          single.map(_.aggs).orElse(join.map(_.aggs))
+            .filter(_.exists(_.isInstanceOf[IncrementalView.PctlExpr]))
+            .map(_ => "approx_percentile surfaces DOUBLE; exact " +
+              s"quantile while a group holds <= ${IncrementalView.KllK} " +
+              "values, ~0.58% KLL rank error past it (incremental and " +
+              "full refresh may differ within that bound)")
         val bases = catalog.mviewBaseAll(n).toSeq.sortBy(_._1)
         (n, ver, kind, catalog.isMviewAutoRefresh(n),
           if (bases.isEmpty) None else Some(bases.map(_._1).mkString(",")),
@@ -1863,11 +1891,11 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           // my always-fresh view stale?"
           autoRefreshMuted.contains(n),
           // the debounce threshold (EVERY n EVENTS), NULL when not
-          // flagged — appended last so no index-addressed consumer
-          // shifts
-          catalog.mviewAutoEvery(n))
+          // flagged, then the exactness-contract note — appended last
+          // so no index-addressed consumer shifts
+          catalog.mviewAutoEvery(n), notes)
       }.toDF("name", "version", "kind", "autorefresh", "base_tables",
-        "horizons", "stale_events", "muted", "autorefresh_every")
+        "horizons", "stale_events", "muted", "autorefresh_every", "notes")
     case Statement.ShowSequences =>
       import spark.implicits._
       catalog.sequenceList.map(s => (s.name, s.start, s.increment,
@@ -4670,6 +4698,59 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         col(t.pk).cast("string") === touched("pk"), "left_semi")
     }
   }
+
+  /** Both horizon states of an incremental refresh from ONE pruned
+    * scan (round 16): when the old and new bounds collapse over the
+    * SAME checkpoint-plus-tail source — out of transaction,
+    * non-attached, same nearest snapshot for both bounds — the
+    * two-bound collapse emits each pk's old- and new-horizon winner
+    * rows in a single window pass (one scan, one pk Exchange) flagged
+    * `StateView.OldWinCol` / `NewWinCol`, instead of two scans and
+    * two shuffles of the same touched rows. Flat logs skip the window
+    * entirely: the old side is the sequence <= r prefix of the flat
+    * scan. Columns map physical -> logical exactly like stateAt.
+    * Returns None whenever any stateAt special case could apply —
+    * callers fall back to two independent stateAt reads. */
+  private def fusedHorizonStates(t: TableDef, r: Long, h: Long)
+      : Option[DataFrame] = {
+    if (txn.isDefined || dmlReadScope || t.attached.isDefined) return None
+    val snapDir = catalog.snapshotPath(t.name)
+    val baseR = Snapshots.nearest(spark, snapDir, Some(r))
+    if (baseR != Snapshots.nearest(spark, snapDir, Some(h))) return None
+    val ev = events(t)
+    val source = baseR match {
+      case Some(b) =>
+        Snapshots.read(spark, snapDir, b, Some(EventLog.schema(t.payloadSchema)))
+          .unionByName(
+            ev.where(col("sequence") > b && col("sequence") <= h),
+            allowMissingColumns = true)
+      case None => ev.where(col("sequence") <= h)
+    }
+    val flagged =
+      if (catalog.isFlatLog(t.name)) {
+        // INSERT-only distinct pks (plus a disjoint checkpoint): every
+        // row is its own winner; membership in the old state is just
+        // the sequence bound
+        val fields = t.payloadSchema.fieldNames.toIndexedSeq
+        source
+          .withColumn(StateView.OldWinCol, col("sequence") <= r)
+          .withColumn(StateView.NewWinCol, lit(true))
+          .select(fields.map(f => col(s"payload.`$f`").as(f))
+            :+ col(StateView.OldWinCol) :+ col(StateView.NewWinCol): _*)
+      } else StateView.twoBoundKeyed(source, r, t.pkPhysical)
+    val have = flagged.columns.toSet
+    Some(flagged.select(t.columns.map(c =>
+      (if (have(c.physical)) col(c.physical)
+       else lit(null).cast(c.dataType)).as(c.logical))
+      :+ col(StateView.OldWinCol) :+ col(StateView.NewWinCol): _*))
+  }
+
+  /** Split a pinned fused two-bound frame into its old/new sides. */
+  private def fusedSides(pinned: DataFrame): (DataFrame, DataFrame) =
+    (pinned.where(col(StateView.OldWinCol))
+       .drop(StateView.OldWinCol, StateView.NewWinCol),
+     pinned.where(col(StateView.NewWinCol))
+       .drop(StateView.OldWinCol, StateView.NewWinCol))
 
   /** Restrict a view's WHERE-filtered base state to (a superset of)
     * the rows of the GROUPS the signed delta touches — the ACD

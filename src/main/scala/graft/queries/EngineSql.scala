@@ -837,15 +837,15 @@ object EngineSql {
     """SELECT * FROM (VALUES
       |  ('fv2', CAST(0 AS BIGINT), 'full_rerun', FALSE,
       |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
-      |   FALSE, CAST(NULL AS BIGINT)),
+      |   FALSE, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)),
       |  ('jv2', CAST(1 AS BIGINT), 'incremental_join', TRUE,
       |   'mv_item,mv_ord', 'mv_item@3,mv_ord@3', CAST(0 AS BIGINT), FALSE,
-      |   CAST(3 AS BIGINT)),
+      |   CAST(3 AS BIGINT), CAST(NULL AS VARCHAR)),
       |  ('sv2', CAST(0 AS BIGINT), 'incremental', FALSE,
       |   'mv_ord', 'mv_ord@2', CAST(1 AS BIGINT), FALSE,
-      |   CAST(NULL AS BIGINT))
+      |   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR))
       |) AS t(name, version, kind, autorefresh, base_tables, horizons,
-      |       stale_events, muted, autorefresh_every)
+      |       stale_events, muted, autorefresh_every, notes)
       |ORDER BY name""".stripMargin) { (s, _) =>
     val e = QueryEngine.scratch(s)
     e.sql("CREATE TABLE mv_ord (k BIGINT PRIMARY KEY, status STRING)")

@@ -45,6 +45,57 @@ object StateView {
         col("sequence") >= col("_li"))
   }
 
+  /** Flag columns of the two-bound collapse: which horizon(s) a
+    * winner row serves. In graft's hidden-column namespace so no user
+    * payload field can collide. */
+  val OldWinCol = "__graft_ow"
+  val NewWinCol = "__graft_nw"
+
+  /** TWO-BOUND keyed collapse (round 16): the winning event per live
+    * pk at BOTH an old bound `r` and the new bound (the frame's own
+    * upper edge — callers pre-filter `events` to sequence <= h) from
+    * ONE scan and ONE pk Exchange, flagged `OldWinCol` / `NewWinCol`.
+    * An incremental refresh reads the old- and new-horizon states of
+    * the same touched pks; as separate collapses that is two scans
+    * and two shuffles of the same rows. Here every live-epoch bound
+    * (last INSERT / last SOFT_DELETE / max sequence, each also
+    * conditioned on <= r) comes from plain MAX aggregates over one
+    * unbounded pk window — no sort, unlike the row_number collapse —
+    * and a row wins a bound iff it IS that bound's max-sequence event
+    * of a live epoch. Winner payloads are full documents (the SQL
+    * layer emits full-row patches), so semantics match two
+    * `stateAtKeyed` calls exactly; a pk absent at a bound (inserted
+    * later, or deleted before it) simply flags no row for it. */
+  def twoBoundKeyed(events: DataFrame, r: Long,
+      pkPhysical: String): DataFrame = {
+    val fields = events.schema("payload").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+    val withK = events.withColumn("__pkv", col(s"payload.`$pkPhysical`"))
+    val byPk = Window.partitionBy("__pkv")
+    def pkMax(c: Column): Column = max(c).over(byPk)
+    val isIns = col("event_type") === EventLog.INSERT
+    val isDel = col("event_type") === EventLog.SOFT_DELETE
+    val atOld = col("sequence") <= r
+    val liNew = pkMax(when(isIns, col("sequence")))
+    val ldNew = coalesce(pkMax(when(isDel, col("sequence"))),
+      lit(Long.MinValue))
+    val liOld = pkMax(when(isIns && atOld, col("sequence")))
+    val ldOld = coalesce(pkMax(when(isDel && atOld, col("sequence"))),
+      lit(Long.MinValue))
+    val mxNew = pkMax(col("sequence"))
+    val mxOld = pkMax(when(atOld, col("sequence")))
+    withK
+      .withColumn(OldWinCol,
+        liOld.isNotNull && liOld > ldOld && col("sequence") === mxOld)
+      .withColumn(NewWinCol,
+        liNew.isNotNull && liNew > ldNew && col("sequence") === mxNew)
+      .where(col(OldWinCol) || col(NewWinCol))
+      .select(fields.toIndexedSeq.map(f =>
+        if (f == pkPhysical) col("__pkv").as(f)
+        else col(s"payload.`$f`").as(f))
+        :+ col(OldWinCol) :+ col(NewWinCol): _*)
+  }
+
   /** Winning event per live key (all windows share `key`'s hash
     * partitioning — one Exchange). */
   private def collapsedBy(events: DataFrame, asOfSeq: Option[Long],

@@ -896,6 +896,27 @@ class IncrementalViewSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("SHOW MATERIALIZED VIEWS carries the KLL exactness note for percentile views") {
+    // the one maintainable aggregate with a CONDITIONAL bit-parity
+    // contract surfaces it where the operator looks (round 16)
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE tnv (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    e.sql("INSERT INTO tnv VALUES (1,'a',5)")
+    e.sql("""CREATE MATERIALIZED VIEW pnote AS
+            |SELECT grp, APPROX_PERCENTILE(v, 0.5) AS med
+            |FROM tnv GROUP BY grp""".stripMargin)
+    e.sql("""CREATE MATERIALIZED VIEW cnote AS
+            |SELECT grp, COUNT(*) AS n FROM tnv GROUP BY grp""".stripMargin)
+    val byName = e.sql("SHOW MATERIALIZED VIEWS").collect()
+      .map(r => r.getString(0) ->
+        Option(r.getString(r.fieldIndex("notes")))).toMap
+    assert(byName("pnote").exists(n =>
+      n.contains("DOUBLE") && n.contains("<= 800") &&
+        n.contains("rank error")), byName("pnote"))
+    assert(byName("cnote").isEmpty, "non-percentile views carry no note")
+    e.close()
+  }
+
   test("a user alias in the hidden __graft_ namespace fails the shape, not the CREATE") {
     // __graft_h_<i> is the HAVING rewrite's minted-accumulator
     // namespace: a user select alias inside it used to collide with

@@ -830,4 +830,73 @@ class QueryEngineSpec extends AnyFunSuite {
       .where("name = 'hv'").collect().head.getString(2)
     assert(kind === "full_rerun")
   }
+
+  test("driver-side parquet staging is indistinguishable from the job write") {
+    // writeLocalParquet hand-mirrors the session's parquet confs into
+    // a driver-side writer; this round-trip pins the two write paths
+    // byte-equivalent at every level a reader can observe — footer
+    // schema, spark row metadata, per-column codec and bloom-filter
+    // presence, and the decoded rows — so a future Spark conf that
+    // changes parquet encoding breaks THIS test, not read parity in
+    // production.
+    import org.apache.spark.sql.functions.{col, struct}
+    import scala.jdk.CollectionConverters._
+    val sqlc = spark.implicits
+    import sqlc._
+    val df = Seq(
+      (1L, "INSERT", 1L, "alpha", 10.5),
+      (2L, "INSERT", 2L, "beta", 20.25),
+      (3L, "INSERT", 3L, null.asInstanceOf[String], 30.125))
+      .toDF("sequence", "event_type", "k", "name", "v")
+      .select(col("sequence"), col("event_type"),
+        struct(col("k"), col("name"), col("v")).as("payload"))
+    val opts = Map("parquet.bloom.filter.enabled#payload.k" -> "true")
+    val dirA = java.nio.file.Files.createTempDirectory("graft-drvw-").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-jobw-").toString
+    assert(org.apache.spark.sql.GraftBridge.writeLocalParquet(df, dirA, opts),
+      "the literal batch must take the driver write")
+    df.coalesce(1).write.options(opts).mode("overwrite").parquet(dirB)
+    def part(d: String): org.apache.hadoop.fs.Path = {
+      val f = new java.io.File(d).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+      assert(f.length === 1, s"expected one part file in $d")
+      new org.apache.hadoop.fs.Path(f.head.getPath)
+    }
+    // observable footer state: schema, spark row metadata, and each
+    // column chunk's codec / encodings / bloom presence
+    def footer(p: org.apache.hadoop.fs.Path)
+        : (String, Option[String], Seq[(String, String, String, Boolean)]) = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        p, spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val md = r.getFooter.getFileMetaData
+        val cols = r.getFooter.getBlocks.asScala.toSeq.flatMap(
+          _.getColumns.asScala.toSeq.map(c =>
+            (c.getPath.toDotString, c.getCodec.toString,
+              c.getEncodings.asScala.map(_.toString).toSeq.sorted
+                .mkString(","),
+              c.getBloomFilterOffset >= 0)))
+        (md.getSchema.toString,
+          Option(md.getKeyValueMetaData
+            .get("org.apache.spark.sql.parquet.row.metadata")),
+          cols)
+      } finally r.close()
+    }
+    val (schemaA, metaA, colsA) = footer(part(dirA))
+    val (schemaB, metaB, colsB) = footer(part(dirB))
+    assert(schemaA === schemaB)
+    assert(metaA.isDefined && metaA === metaB)
+    assert(colsA === colsB)
+    // the bloom actually exists on the stamped column in BOTH files
+    assert(colsA.exists { case (path, _, _, bloom) =>
+      path == "payload.k" && bloom })
+    // decoded rows and read schema agree
+    val a = spark.read.parquet(dirA)
+    val b = spark.read.parquet(dirB)
+    assert(a.schema === b.schema)
+    assert(a.collect().map(_.toString).sorted.toSeq ===
+      b.collect().map(_.toString).sorted.toSeq)
+  }
 }
