@@ -171,6 +171,30 @@ class StateViewSpec extends AnyFunSuite {
     })
   }
 
+  test("property: two-bound collapse equals two independent keyed collapses") {
+    // the fused refresh read (round 16): for ANY log and ANY r < h,
+    // twoBoundKeyed over events <= h must flag exactly the rows the
+    // separate stateAtKeyed collapses at r and at h would return
+    val fullLog = genLog.map(_.map(e => e.copy(_4 = e._4.orElse(Some(0)),
+      _5 = e._5.orElse(Some(0)))))
+    val gen = for {
+      log <- fullLog
+      r <- Gen.choose(0L, log.size.toLong)
+      h <- Gen.choose(r, log.size.toLong)
+    } yield (log, r, h)
+    def side(df: DataFrame): Set[String] =
+      df.select("id", "a", "b").collect().map(_.toString).toSet
+    check(Prop.forAll(gen) { case (log, r, h) =>
+      val bounded = toLog(log).where(col("sequence") <= h)
+      val fused = StateView.twoBoundKeyed(bounded, r, "id")
+      val oldGot = side(fused.where(col(StateView.OldWinCol)))
+      val newGot = side(fused.where(col(StateView.NewWinCol)))
+      val oldWant = side(StateView.stateAtKeyed(toLog(log), Some(r), "id"))
+      val newWant = side(StateView.stateAtKeyed(toLog(log), Some(h), "id"))
+      oldGot == oldWant && newGot == newWant
+    })
+  }
+
   test("property: collapse is idempotent (collapse of a collapsed log is itself)") {
     check(Prop.forAll(genLog) { log =>
       val once = Snapshots.collapsedAsInserts(toLog(log), None)
