@@ -4078,12 +4078,23 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * non-null `keyCol` values, collected through limit(cap+1) so a
     * result LONGER than the cap means "does not inline". NULLs drop
     * BEFORE the limit — filtered after it, a NULL in the sample would
-    * mask the (cap+1)-th key and silently truncate the key set. */
+    * mask the (cap+1)-th key and silently truncate the key set.
+    *
+    * Two-phase (round 16): a RAW limit probe first — CollectLimit
+    * over the pruned scan, no exchange — which is exact whenever the
+    * batch itself has at most cap+1 non-null rows (the 1-row refresh,
+    * the OLTP DML probe: the overwhelmingly common case, measured
+    * ~230 ms -> ~80 ms on a warm refresh's touched-keys job). Only a
+    * batch with MORE rows than the cap pays the distinct exchange,
+    * where the shuffle is amortized by the work that follows. */
   private def collectInlineKeys(batch: DataFrame,
-      keyCol: String): IndexedSeq[Any] =
-    batch.select(col(keyCol)).where(col(keyCol).isNotNull)
-      .distinct().limit(InlineKeyCap + 1).collect()
+      keyCol: String): IndexedSeq[Any] = {
+    val proj = batch.select(col(keyCol)).where(col(keyCol).isNotNull)
+    val raw = proj.limit(InlineKeyCap + 1).collect().map(_.get(0))
+    if (raw.length <= InlineKeyCap) raw.distinct.toIndexedSeq
+    else proj.distinct().limit(InlineKeyCap + 1).collect()
       .map(_.get(0)).toIndexedSeq
+  }
 
   /** One restriction the join-view cascade derived for one full side,
     * from one touched source: an inline IN-list predicate below
@@ -4715,7 +4726,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       : Option[DataFrame] = {
     if (txn.isDefined || dmlReadScope || t.attached.isDefined) return None
     val snapDir = catalog.snapshotPath(t.name)
-    val baseR = Snapshots.nearest(spark, snapDir, Some(r))
+    val baseR = tracer.span("fused-plan", t.name) {
+      Snapshots.nearest(spark, snapDir, Some(r))
+    }
     if (baseR != Snapshots.nearest(spark, snapDir, Some(h))) return None
     val ev = events(t)
     val source = baseR match {
