@@ -1337,6 +1337,11 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             val fusedPin = fusedHorizonStates(t, r, horizon).map(f =>
               restrict(f).persist(
                 org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+            // everything from here on — including the retraction
+            // probe, a real action — runs under the finally that
+            // releases the pin: a refresh that throws mid-way must
+            // not leak cache entries into the engine's lifetime
+            try {
             val (oldSide, newSide) = fusedPin match {
               case Some(p) => fusedSides(p)
               case None => (restrict(stateAt(baseT, Some(r))),
@@ -1412,10 +1417,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               // horizon re-anchor would double-apply this delta on the
               // next refresh
               catalog.setMviewRefreshed(name, prev + 1, Map(baseT -> horizon))
-            } finally {
-              sdPin.foreach(_.unpersist(false))
-              fusedPin.foreach(_.unpersist(false))
-            }
+            } finally sdPin.foreach(_.unpersist(false))
+            } finally fusedPin.foreach(_.unpersist(false))
           }
           "refreshed_incremental"
         case (None, true) => joinShapeOf(viewSql) match {
@@ -1563,8 +1566,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               // Key-pruned fulls pin too when the chain has 3+ tables
               // (each full side then appears in 2^(n-1)−1 ≥ 3 terms;
               // at n=2 a full sits in exactly ONE term, so a pin only
-              // costs). Every full with a restriction is O(touched
-              // reach) after pruning — bounded, so the pin is too.
+              // costs) — but ONLY when every restriction is inline
+              // (≤ cap keys per source): a semi-join restriction's
+              // reach is unbounded relative to cache capacity (a bulk
+              // backfill can make the "pruned" partner ≈ the partner
+              // table), and caching ~a 100 TB table to executor disk
+              // is worse than rescanning it — there the pinned KEY
+              // frames keep the semi-join rebuild cheap and the plain
+              // scan is the right plan, as before round 16.
               // Empty frames optimize to local relations, no pin.
               val fulls: Seq[DataFrame] =
                 sides.indices.map { i =>
@@ -1575,7 +1584,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                     fullNew(i).where(lit(false))
                   else {
                     val pruned = applyCascade(fullNew(i), ps)
-                    if (sides.size >= 3) pin(pruned) else pruned
+                    val bounded = ps.forall(_.isInstanceOf[CascInline])
+                    if (sides.size >= 3 && bounded) pin(pruned) else pruned
                   }
                 }
               val stored = spark.read.parquet(catalog.mviewDataPath(name, prev))
@@ -4725,6 +4735,12 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   private def fusedHorizonStates(t: TableDef, r: Long, h: Long)
       : Option[DataFrame] = {
     if (txn.isDefined || dmlReadScope || t.attached.isDefined) return None
+    // a user column inside the engine's hidden namespace would
+    // collide with the appended flag columns (duplicate names →
+    // ambiguous-reference at the fusedSides filters) — such tables
+    // keep the two independent stateAt reads, which never mint names
+    if (t.columns.exists(c => IncrementalView.hidden(c.logical) ||
+        IncrementalView.hidden(c.physical))) return None
     val snapDir = catalog.snapshotPath(t.name)
     val baseR = tracer.span("fused-plan", t.name) {
       Snapshots.nearest(spark, snapDir, Some(r))
@@ -4821,10 +4837,11 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           }
           colPred(k, vals)
         }
-        val pre =
-          if (preds.forall(_.isDefined))
-            state.where(preds.flatten.reduce(_ && _))
-          else state
+        // each defined per-column in-list is independently a sound
+        // superset restriction — apply whichever columns stayed under
+        // the cap even when another overflowed
+        val pre = preds.flatten.reduceOption(_ && _)
+          .map(state.where).getOrElse(state)
         semiOnTouched(pre, touched, groupKeys)
     }
   }
@@ -4863,7 +4880,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       state.where(if (nulls.nonEmpty) base || c.isNull else base)
     } else {
       val ka = s"__graft_tv$tag"
-      state.join(pin(touched.select(col(alias).as(ka)).distinct()),
+      // touched is already distinct — the rename alone suffices
+      state.join(pin(touched.select(col(alias).as(ka))),
         col(column) <=> col(ka), "left_semi")
     }
   }
