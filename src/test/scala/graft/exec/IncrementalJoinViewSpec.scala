@@ -818,6 +818,56 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("a 3-table ACD view recomputes exactly with group keys on two sides") {
+    // the recompute restriction's multi-owner path: zone lives on the
+    // chain head, seg on the middle table — both sides restrict to
+    // their touched group values, the cascade prunes from the head,
+    // and the result must still equal a from-scratch sketch through
+    // churn at every level (value retraction, head regroup, middle
+    // delete orphaning a subtree)
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE rg3 (r BIGINT PRIMARY KEY, zone STRING)")
+    e.sql("CREATE TABLE nt3 (n BIGINT PRIMARY KEY, rk BIGINT, seg STRING)")
+    e.sql("CREATE TABLE cs3 (c BIGINT PRIMARY KEY, nk BIGINT, v BIGINT)")
+    e.sql("INSERT INTO rg3 VALUES (1,'e'), (2,'w')")
+    e.sql("INSERT INTO nt3 VALUES (10,1,'a'), (11,1,'b'), (12,2,'a')")
+    e.sql("INSERT INTO cs3 VALUES (100,10,5), (101,10,5), (102,11,7), " +
+      "(103,12,9), (104,12,3)")
+    e.sql("""CREATE MATERIALIZED VIEW av3 AS
+            |SELECT zone, seg, APPROX_COUNT_DISTINCT(v) AS dv, COUNT(*) AS n
+            |FROM rg3 JOIN nt3 ON rg3.r = nt3.rk JOIN cs3 ON nt3.n = cs3.nk
+            |GROUP BY zone, seg""".stripMargin)
+    def fresh(): Set[String] =
+      e.sql("""SELECT zone, seg, hll_sketch_estimate(hll_sketch_agg(v)) AS dv,
+              |COUNT(*) AS n
+              |FROM rg3 JOIN nt3 ON rg3.r = nt3.rk JOIN cs3 ON nt3.n = cs3.nk
+              |GROUP BY zone, seg""".stripMargin)
+        .collect().map(_.toString).toSet
+    def view(): Set[String] =
+      e.sql("SELECT zone, seg, dv, n FROM av3").collect().map(_.toString).toSet
+    // pre-horizon value retraction (last holder of 5 in (e,a) changes)
+    e.sql("UPDATE cs3 SET v = 6 WHERE c = 100")
+    e.sql("UPDATE cs3 SET v = 8 WHERE c = 101")
+    var op = e.sql("REFRESH MATERIALIZED VIEW av3 INCREMENTALLY")
+      .collect().head.getString(0)
+    assert(op === "refreshed_incremental")
+    assert(view() === fresh())
+    // head regroup moves every transitive pair across zones
+    e.sql("UPDATE rg3 SET zone = 'n' WHERE r = 1")
+    op = e.sql("REFRESH MATERIALIZED VIEW av3 INCREMENTALLY")
+      .collect().head.getString(0)
+    assert(op === "refreshed_incremental")
+    assert(view() === fresh())
+    // middle delete orphans its subtree (inner join drops it)
+    e.sql("DELETE FROM nt3 WHERE n = 12")
+    op = e.sql("REFRESH MATERIALIZED VIEW av3 INCREMENTALLY")
+      .collect().head.getString(0)
+    assert(op === "refreshed_incremental")
+    assert(view() === fresh())
+    assert(!view().exists(_.contains("[w,")), "zone w emptied")
+    e.close()
+  }
+
   test("past-the-cap churn keeps pruning through a distributed semi-join") {
     // Round 16: a bulk update touching MORE keys than InlineKeyCap
     // (256) used to abandon full-side pruning for every table past
