@@ -868,6 +868,36 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("a sketch recompute over MORE touched groups than the inline cap stays exact") {
+    // 400 distinct group values all retract in one refresh window —
+    // past the 256-key cap, so the recompute's root restriction takes
+    // the null-safe distributed semi-join (touchedValueRestrict's
+    // overflow branch) and the touched-group post-filter takes
+    // semiOnTouched; the merged view must still equal a from-scratch
+    // sketch for every group
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE dmg (k BIGINT PRIMARY KEY, grp STRING)")
+    e.sql("CREATE TABLE fcg (i BIGINT PRIMARY KEY, dk BIGINT, v BIGINT)")
+    e.sql(s"INSERT INTO dmg VALUES ${(1L to 400L)
+      .map(i => s"($i, 'g$i')").mkString(", ")}")
+    e.sql(s"INSERT INTO fcg VALUES ${(1L to 400L)
+      .map(i => s"($i, $i, ${i % 13})").mkString(", ")}")
+    e.sql("""CREATE MATERIALIZED VIEW avg400 AS
+            |SELECT grp, APPROX_COUNT_DISTINCT(v) AS dv, COUNT(*) AS n
+            |FROM dmg JOIN fcg ON dmg.k = fcg.dk
+            |GROUP BY grp""".stripMargin)
+    e.sql("UPDATE fcg SET v = v + 1") // every group retracts its value
+    val op = e.sql("REFRESH MATERIALIZED VIEW avg400 INCREMENTALLY")
+      .collect().head.getString(0)
+    assert(op === "refreshed_incremental")
+    assert(e.sql("SELECT grp, dv, n FROM avg400").collect()
+      .map(_.toString).toSet ===
+      e.sql("""SELECT grp, hll_sketch_estimate(hll_sketch_agg(v)) AS dv,
+              |COUNT(*) AS n FROM dmg JOIN fcg ON dmg.k = fcg.dk
+              |GROUP BY grp""".stripMargin).collect().map(_.toString).toSet)
+    e.close()
+  }
+
   test("past-the-cap churn keeps pruning through a distributed semi-join") {
     // Round 16: a bulk update touching MORE keys than InlineKeyCap
     // (256) used to abandon full-side pruning for every table past
