@@ -1152,6 +1152,16 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   private def dispatch(statement: Statement): DataFrame = statement match {
     case Statement.CreateTable(name, cols, pk, fkDefs, conDefs) =>
       requirePerm("CREATE TABLE", "CREATE_TABLE")
+      // __graft_* is the engine's hidden-column namespace (IVM
+      // accumulators, fused-read flags, minted join keys): a user
+      // column inside it would ambiguously capture a minted column in
+      // some later plan — reject at declaration, where the error is
+      // actionable (legacy catalogs that predate this check still
+      // load; read paths fall back defensively)
+      for ((c, _) <- cols)
+        require(!IncrementalView.hidden(c),
+          s"column name $c is reserved: __graft_ is the engine's " +
+            "hidden-column namespace")
       // FK declarations are validated up front: child column must be
       // declared, parent table (self-reference allowed) and parent
       // column must exist (fk.rs:44-66; inline form sql_bridge.rs:5738)
@@ -2128,10 +2138,16 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       truncate(table)
     case Statement.AlterAdd(table, c, ddl) =>
       requirePerm("ALTER TABLE", "ALTER_TABLE")
+      require(!IncrementalView.hidden(c),
+        s"column name $c is reserved: __graft_ is the engine's " +
+          "hidden-column namespace")
       catalog.addColumn(table, c, DataType.fromDDL(ddl))
       summary("altered", 0L, catalog.lastSeq(table))
     case Statement.AlterRename(table, from, to) =>
       requirePerm("ALTER TABLE", "ALTER_TABLE")
+      require(!IncrementalView.hidden(to),
+        s"column name $to is reserved: __graft_ is the engine's " +
+          "hidden-column namespace")
       catalog.renameColumn(table, from, to)
       summary("altered", 0L, catalog.lastSeq(table))
     case Statement.AlterDrop(table, c) =>
@@ -4816,12 +4832,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     def colPred(k: IncrementalView.GroupKey,
         vals: IndexedSeq[Any]): Option[Column] =
       if (vals.length > InlineKeyCap) None
-      else {
-        val (nulls, nonNull) = vals.partition(_ == null)
-        val e = expr(k.e)
-        val base = if (nonNull.nonEmpty) e.isin(nonNull: _*) else lit(false)
-        Some(if (nulls.nonEmpty) base || e.isNull else base)
-      }
+      else Some(touchedInList(expr(k.e), vals))
     groupKeys match {
       case Seq(k) =>
         val vals = tracer.span("acd-touched-groups") {
@@ -4853,11 +4864,23 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * state side only. */
   private def semiOnTouched(state: DataFrame, touched: DataFrame,
       groupKeys: Seq[IncrementalView.GroupKey]): DataFrame = {
+    // minted names live in the reserved __graft_ namespace so a user
+    // column can never capture them (CREATE TABLE rejects the prefix)
     val tg = touched.select(groupKeys.map(k =>
-      col(k.alias).as(s"__tg_${k.alias}")): _*)
+      col(k.alias).as(s"__graft_tg_${k.alias}")): _*)
     val cond = groupKeys.map(k =>
-      expr(k.e) <=> col(s"__tg_${k.alias}")).reduce(_ && _)
+      expr(k.e) <=> col(s"__graft_tg_${k.alias}")).reduce(_ && _)
     state.join(tg, cond, "left_semi")
+  }
+
+  /** In-list predicate over possibly-NULL touched values: `isin` over
+    * the non-null values (lit(false) when there are none) plus an
+    * isNull arm when NULL itself is touched — `isin` never matches
+    * NULL. Shared by every touched-value scan restriction. */
+  private def touchedInList(e: Column, vals: IndexedSeq[Any]): Column = {
+    val (nulls, nonNull) = vals.partition(_ == null)
+    val base = if (nonNull.nonEmpty) e.isin(nonNull: _*) else lit(false)
+    if (nulls.nonEmpty) base || e.isNull else base
   }
 
   /** Restrict ONE side's state to rows whose `column` is among the
@@ -4874,10 +4897,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       touched.limit(InlineKeyCap + 1).collect().map(_.get(0)).toIndexedSeq
     }
     if (vals.length <= InlineKeyCap) {
-      val (nulls, nonNull) = vals.partition(_ == null)
-      val c = col(column)
-      val base = if (nonNull.nonEmpty) c.isin(nonNull: _*) else lit(false)
-      state.where(if (nulls.nonEmpty) base || c.isNull else base)
+      state.where(touchedInList(col(column), vals))
     } else {
       val ka = s"__graft_tv$tag"
       // touched is already distinct — the rename alone suffices
