@@ -16,6 +16,11 @@ object Bench {
     Tables.sessionConfs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def loadavg: String =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ").take(3).mkString("[", ",", "]")
+      catch { case _: Throwable => "[]" }
+    val loadAtStart = loadavg
     // one untimed pass of the flagship query absorbs session warmup
     // (codegen compiler, parquet footer cache, shuffle service) so the
     // first timed query measures itself, not JVM startup
@@ -93,11 +98,18 @@ object Bench {
     val failed = retimed.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = retimed.map(_._2).sum
+    // 1/5/15-min host load at run start + end: a loaded-host sample
+    // (co-tenant build, driver harness) self-identifies in the record
+    // instead of reading as a code regression — r16's driver file
+    // carried a 3.58× phantom on q_matview_pctl that a quiet-host
+    // re-run couldn't reproduce, and nothing in the JSON said the host
+    // was busy
+    val load = s"""{"start":$loadAtStart,"end":$loadavg}"""
     def record(qs: Seq[(String, Double, Boolean)], extra: String) =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":""" +
         qs.map { case (k, v, _) => "\"" + k + "\":" + sec(v) }
           .mkString("{", ",", "}") +
-        s"""$extra,"failed":$failed,"sf":"$sfDir"}"""
+        s"""$extra,"loadavg":$load,"failed":$failed,"sf":"$sfDir"}"""
     // the full per-query record lands in a file; stdout carries a
     // COMPACT record instead — the driver captures only the last
     // ~2000 bytes of output, and the full 100+-query map (2.6 KB by
@@ -114,7 +126,7 @@ object Bench {
     val budget = 1500
     val bySlow = retimed.sortBy(-_._2)
     var kept = 0
-    var size = 200 + failed.length // fixed fields + headroom
+    var size = 200 + load.length + failed.length // fixed fields + headroom
     while (kept < bySlow.length && size + bySlow(kept)._1.length + 9 < budget) {
       size += bySlow(kept)._1.length + 9; kept += 1
     }

@@ -22,12 +22,29 @@ import org.apache.spark.sql.functions._
   *     larger corpus, instead of quadratically like naive row cloning
   *     (10 verbatim copies of each doc would make every doc a 10-way
   *     near-dup cluster and any pairwise stage blow up 45×);
-  *   - embeddings translate each copy by a deterministic per-copy
-  *     offset vector: intra-copy geometry (cosine neighborhoods,
-  *     cluster structure) is preserved, cross-copy similarity is
-  *     decorrelated — again linear growth in near-neighbor pairs.
+  *   - embeddings apply a deterministic per-copy SIGNED PERMUTATION of
+  *     the dimensions (new[j] = sign_i[j] * old[perm_i[j]]). A signed
+  *     permutation matrix is orthogonal, so intra-copy inner products,
+  *     norms, and hence cosine similarities are preserved EXACTLY —
+  *     every copy's neighbor structure is the source's. Cross-copy
+  *     similarity is decorrelated (for ~isotropic unit vectors the
+  *     expected cosine under a random signed permutation is 0), so
+  *     near-neighbor pairs grow linearly with copies. (A translation,
+  *     used before round 17, preserves Euclidean distance but NOT
+  *     cosine: an offset of norm ~0.35·√d dominates unit vectors.)
   */
 object ScaleGen {
+  /** Deterministic signed permutation for copy `seed`: a Fisher–Yates
+    * shuffle of 1..d (1-based, for `element_at`) plus ±1 signs, both
+    * from a seeded PRNG — the matrix it encodes is orthogonal, so the
+    * transform preserves inner products exactly. */
+  def signedPermutation(d: Int, seed: Int): (Array[Int], Array[Float]) = {
+    val rng = new scala.util.Random(0x5ca1e9e0L + seed)
+    val perm = rng.shuffle((1 to d).toVector).toArray
+    val signs = Array.fill(d)(if (rng.nextBoolean()) 1.0f else -1.0f)
+    (perm, signs)
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft-sf1"
@@ -79,14 +96,17 @@ object ScaleGen {
           transform(split(col("text"), " "),
             w => concat(lit(s"c${i}_"), w)), " "))
         .withColumn("n_chars", length(col("text"))))
+    val embDim = read("embeddings").selectExpr("size(embedding)")
+      .head().getInt(0)
     replicated("embeddings")((df, i) =>
       if (i == 0) df
-      else df
-        .withColumn("vec_id", off("vec_id", i))
-        .withColumn("embedding", transform(col("embedding"),
-          (x, j) => (x + lit(0.5f) *
-            sin(lit(i.toDouble * 7) + j.cast("double")).cast("float"))
-            .cast("float"))))
+      else {
+        val (perm, signs) = signedPermutation(embDim, seed = i)
+        df.withColumn("vec_id", off("vec_id", i))
+          .withColumn("embedding",
+            zip_with(lit(perm), lit(signs), (p, s) =>
+              (element_at(col("embedding"), p) * s).cast("float")))
+      })
     println(s"[scalegen] wrote ${copies}x of $src to $out")
     spark.stop()
   }

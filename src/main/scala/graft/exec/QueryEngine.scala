@@ -1550,12 +1550,18 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               }
               val touchedIdx = sides.indices
                 .filter(i => horizons(sides(i)) > bases(sides(i)))
+              // legacy pre-r16 tables carrying __graft_ user columns
+              // would collide with the cascade's minted key frames —
+              // they skip pruning (unpruned full sides are correct,
+              // just slower); see carriesHiddenCols
+              val legacyHidden =
+                sides.exists(tn => carriesHiddenCols(catalog.require(tn)))
               // preds(i): one restriction per touched source whose
               // cascade reached table i — inline predicate or
               // distributed key frame, always bounding
               val preds = Array.fill(sides.size)(List.empty[CascRestrict])
               var hopTag = 0
-              for (s <- touchedIdx) {
+              for (s <- touchedIdx if !legacyHidden) {
                 val visited = scala.collection.mutable.Set(s)
                 var frontier: List[(Int, DataFrame)] =
                   List(s -> deltas(s)._1.unionByName(deltas(s)._2))
@@ -1588,10 +1594,11 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               val fulls: Seq[DataFrame] =
                 sides.indices.map { i =>
                   val ps = preds(i)
-                  if (ps.isEmpty)
+                  if (!touchedIdx.exists(_ != i))
                     // the only touched table is i itself: no term uses
                     // full_i (i sits in every nonvanishing S as a delta)
                     fullNew(i).where(lit(false))
+                  else if (legacyHidden) fullNew(i)
                   else {
                     val pruned = applyCascade(fullNew(i), ps)
                     val bounded = ps.forall(_.isInstanceOf[CascInline])
@@ -4110,9 +4117,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * over the pruned scan, no exchange — which is exact whenever the
     * batch itself has at most cap+1 non-null rows (the 1-row refresh,
     * the OLTP DML probe: the overwhelmingly common case, measured
-    * ~230 ms -> ~80 ms on a warm refresh's touched-keys job). Only a
-    * batch with MORE rows than the cap pays the distinct exchange,
-    * where the shuffle is amortized by the work that follows. */
+    * ~230 ms -> ~80 ms on a warm refresh's touched-keys job). The
+    * trade: a batch with MORE non-null rows than the cap now pays TWO
+    * actions (the raw probe, wasted, plus the distinct collect) where
+    * the single-phase shape paid one — acceptable because the raw
+    * probe is a pushdown-pruned CollectLimit (no exchange, first
+    * cap+1 rows), its cost is noise next to the bulk work that always
+    * follows an over-cap batch, and the common small batch saves a
+    * full distinct exchange. */
   private def collectInlineKeys(batch: DataFrame,
       keyCol: String): IndexedSeq[Any] = {
     val proj = batch.select(col(keyCol)).where(col(keyCol).isNotNull)
@@ -4748,6 +4760,19 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * scan. Columns map physical -> logical exactly like stateAt.
     * Returns None whenever any stateAt special case could apply —
     * callers fall back to two independent stateAt reads. */
+  /** A table whose USER columns sit inside the engine's hidden
+    * `__graft_` namespace. CREATE/ALTER reject the prefix since round
+    * 16, so only a table attached or restored from a pre-r16 layout
+    * can carry one — but every refresh path that mints `__graft_*`
+    * working columns (fused two-bound flags, cascade key frames,
+    * recompute value frames, touched-group semi keys) would then hit
+    * an ambiguous-reference AnalysisException mid-refresh. Such legacy
+    * tables take the mint-free fallbacks instead: two independent
+    * stateAt reads, unpruned full sides, the plain semi-join prune. */
+  private def carriesHiddenCols(t: TableDef): Boolean =
+    t.columns.exists(c => IncrementalView.hidden(c.logical) ||
+      IncrementalView.hidden(c.physical))
+
   private def fusedHorizonStates(t: TableDef, r: Long, h: Long)
       : Option[DataFrame] = {
     if (txn.isDefined || dmlReadScope || t.attached.isDefined) return None
@@ -4755,8 +4780,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // collide with the appended flag columns (duplicate names →
     // ambiguous-reference at the fusedSides filters) — such tables
     // keep the two independent stateAt reads, which never mint names
-    if (t.columns.exists(c => IncrementalView.hidden(c.logical) ||
-        IncrementalView.hidden(c.physical))) return None
+    if (carriesHiddenCols(t)) return None
     val snapDir = catalog.snapshotPath(t.name)
     val baseR = tracer.span("fused-plan", t.name) {
       Snapshots.nearest(spark, snapDir, Some(r))
@@ -4865,7 +4889,11 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
   private def semiOnTouched(state: DataFrame, touched: DataFrame,
       groupKeys: Seq[IncrementalView.GroupKey]): DataFrame = {
     // minted names live in the reserved __graft_ namespace so a user
-    // column can never capture them (CREATE TABLE rejects the prefix)
+    // column can never capture them (CREATE TABLE rejects the prefix);
+    // a LEGACY pre-r16 table could still carry one — its unfiltered
+    // state is a sound superset (the caller's overlay decides which
+    // groups rewrite), so skip the semi rather than join ambiguously
+    if (state.columns.exists(IncrementalView.hidden)) return state
     val tg = touched.select(groupKeys.map(k =>
       col(k.alias).as(s"__graft_tg_${k.alias}")): _*)
     val cond = groupKeys.map(k =>
@@ -4926,6 +4954,12 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       sides: Seq[String], adj: Array[List[(Int, String, String)]],
       fullNew: Seq[DataFrame], sd: DataFrame,
       pin: DataFrame => DataFrame): DataFrame = {
+    // legacy __graft_-columned base tables skip the value/cascade
+    // restrictions (which mint __graft_tv*/__graft_ck* frames) — the
+    // unrestricted join is the pre-r16 fallback, still exact after
+    // pruneToTouchedGroups' post-filter
+    if (sides.exists(tn => carriesHiddenCols(catalog.require(tn))))
+      return js.joined(fullNew)
     val Qualified = """(\w+)\.(\w+)""".r
     val Bare = """(\w+)""".r
     def owner(k: IncrementalView.GroupKey): Option[(Int, String)] =
