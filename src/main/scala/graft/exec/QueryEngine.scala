@@ -1877,11 +1877,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       catalog.setMviewAutoRefresh(name, on, every.getOrElse(1L))
       summary(if (on) "autorefresh_enabled" else "autorefresh_disabled", 0L, 0L)
     case Statement.ShowMatviews =>
-      // driver-side catalog walk, zero Spark jobs: kind re-derives from
-      // the stored SQL (the same shape tests the refresh dispatch
-      // uses), staleness = events appended to any base table since its
-      // recorded horizon — the number the operator needs to decide
-      // whether REFRESH INCREMENTALLY is due
+      // driver-side catalog walk: kind re-derives from the stored SQL
+      // (the same shape tests the refresh dispatch uses), staleness =
+      // events appended to any base table since its recorded horizon —
+      // the number the operator needs to decide whether REFRESH
+      // INCREMENTALLY is due. Zero Spark jobs EXCEPT for views carrying
+      // APPROX_PERCENTILE, which pay one bounded aggregation over the
+      // stored view (group-cardinality rows, not base-table rows) to
+      // report the per-group exactness regime
       import spark.implicits._
       catalog.matviewList.map { case (n, viewSql, ver) =>
         val single = incShapeOf(viewSql)
@@ -1893,13 +1896,36 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         // APPROX_PERCENTILE's maintainable form has a conditional
         // exactness contract (see PctlExpr) — surface it where the
         // operator looks, not only in scaladoc
+        val pctlSupports: Seq[String] =
+          single.map(_.aggs).orElse(join.map(_.aggs)).getOrElse(Nil)
+            .collect { case p: IncrementalView.PctlExpr =>
+              IncrementalView.supportCol(p.alias) }
         val notes: Option[String] =
-          single.map(_.aggs).orElse(join.map(_.aggs))
-            .filter(_.exists(_.isInstanceOf[IncrementalView.PctlExpr]))
-            .map(_ => "approx_percentile surfaces DOUBLE; exact " +
-              s"quantile while a group holds <= ${IncrementalView.KllK} " +
-              "values, ~0.58% KLL rank error past it (incremental and " +
-              "full refresh may differ within that bound)")
+          if (pctlSupports.isEmpty) None
+          else Some("approx_percentile surfaces DOUBLE; exact " +
+            s"quantile while a group holds <= ${IncrementalView.KllK} " +
+            "values, ~0.58% KLL rank error past it (incremental and " +
+            "full refresh may differ within that bound)")
+        // quantile_exact: 'all' while EVERY group's sketch is still in
+        // its exact (uncompacted) regime, 'partial' once any group has
+        // folded more than KllK values. Sound because every refresh
+        // leaves each sketch fed with exactly the group's live values
+        // (append merges add them; any retraction dispatches the
+        // touched-group recompute, which rebuilds from live state), so
+        // the hidden per-group support count IS the sketch's n.
+        val quantileExact: Option[String] =
+          if (pctlSupports.isEmpty) None
+          else Some {
+            val maxN = spark.read.parquet(catalog.mviewDataPath(n, ver))
+              .agg(max(greatest(
+                pctlSupports.map(c => coalesce(col(c), lit(0L)))
+                  :+ lit(0L): _*)))
+              .head().get(0)
+            // an empty view aggregates to NULL — vacuously all-exact
+            if (maxN == null ||
+                maxN.asInstanceOf[Long] <= IncrementalView.KllK) "all"
+            else "partial"
+          }
         val bases = catalog.mviewBaseAll(n).toSeq.sortBy(_._1)
         (n, ver, kind, catalog.isMviewAutoRefresh(n),
           if (bases.isEmpty) None else Some(bases.map(_._1).mkString(",")),
@@ -1918,11 +1944,13 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           // my always-fresh view stale?"
           autoRefreshMuted.contains(n),
           // the debounce threshold (EVERY n EVENTS), NULL when not
-          // flagged, then the exactness-contract note — appended last
-          // so no index-addressed consumer shifts
-          catalog.mviewAutoEvery(n), notes)
+          // flagged, then the exactness-contract note and the live
+          // regime — appended last so no index-addressed consumer
+          // shifts
+          catalog.mviewAutoEvery(n), notes, quantileExact)
       }.toDF("name", "version", "kind", "autorefresh", "base_tables",
-        "horizons", "stale_events", "muted", "autorefresh_every", "notes")
+        "horizons", "stale_events", "muted", "autorefresh_every", "notes",
+        "quantile_exact")
     case Statement.ShowSequences =>
       import spark.implicits._
       catalog.sequenceList.map(s => (s.name, s.start, s.increment,

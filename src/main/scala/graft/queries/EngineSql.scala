@@ -828,24 +828,35 @@ object EngineSql {
     * dashboard — maintenance kind (single-table incremental / join
     * incremental / full-rerun), per-side refresh horizons, and
     * stale_events = events appended to any base since the horizon.
-    * Sequences are deterministic from the fixture, so the oracle
-    * states the table literally: a wrong kind classification, a
-    * missed horizon bump, or staleness counted on the wrong side
+    * Round 17 adds quantile_exact: for APPROX_PERCENTILE views the
+    * per-group KLL regime ('all' while every group's sketch is still
+    * exact/uncompacted, 'partial' once any group folded > KllK
+    * values), derived from the hidden per-group support counts with
+    * one bounded aggregation over the stored view. Sequences are
+    * deterministic from the fixture, so the oracle states the table
+    * literally: a wrong kind classification, a missed horizon bump,
+    * staleness counted on the wrong side, or a wrong regime verdict
     * diverges rows or hash. */
   val qShowMatviews = Q(
     "q_show_matviews",
     """SELECT * FROM (VALUES
       |  ('fv2', CAST(0 AS BIGINT), 'full_rerun', FALSE,
       |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
-      |   FALSE, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)),
+      |   FALSE, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+      |   CAST(NULL AS VARCHAR)),
       |  ('jv2', CAST(1 AS BIGINT), 'incremental_join', TRUE,
       |   'mv_item,mv_ord', 'mv_item@3,mv_ord@3', CAST(0 AS BIGINT), FALSE,
-      |   CAST(3 AS BIGINT), CAST(NULL AS VARCHAR)),
+      |   CAST(3 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+      |  ('qv2', CAST(0 AS BIGINT), 'incremental', FALSE,
+      |   'mv_item', 'mv_item@3', CAST(0 AS BIGINT), FALSE,
+      |   CAST(NULL AS BIGINT),
+      |   'approx_percentile surfaces DOUBLE; exact quantile while a group holds <= 800 values, ~0.58% KLL rank error past it (incremental and full refresh may differ within that bound)',
+      |   'all'),
       |  ('sv2', CAST(0 AS BIGINT), 'incremental', FALSE,
       |   'mv_ord', 'mv_ord@2', CAST(1 AS BIGINT), FALSE,
-      |   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR))
+      |   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
       |) AS t(name, version, kind, autorefresh, base_tables, horizons,
-      |       stale_events, muted, autorefresh_every, notes)
+      |       stale_events, muted, autorefresh_every, notes, quantile_exact)
       |ORDER BY name""".stripMargin) { (s, _) =>
     val e = QueryEngine.scratch(s)
     e.sql("CREATE TABLE mv_ord (k BIGINT PRIMARY KEY, status STRING)")
@@ -864,6 +875,11 @@ object EngineSql {
     e.sql("INSERT INTO mv_item VALUES (11,3,2), (12,1,4)")
     e.sql("REFRESH MATERIALIZED VIEW jv2 INCREMENTALLY")
     e.sql("ALTER MATERIALIZED VIEW jv2 SET AUTOREFRESH ON EVERY 3 EVENTS")
+    // a percentile view: notes carries the static contract and
+    // quantile_exact the LIVE regime (3 values max per group << 800)
+    e.sql("""CREATE MATERIALIZED VIEW qv2 AS
+            |SELECT ok, APPROX_PERCENTILE(qty, 0.5) AS med
+            |FROM mv_item GROUP BY ok""".stripMargin)
     e.sql("SHOW MATERIALIZED VIEWS").orderBy("name")
   }
 

@@ -353,7 +353,8 @@ final class HttpAdmin(engine: QueryEngine, port: Int = 0,
           s""""autorefresh": ${r.getBoolean(3)}, """ +
           s""""base_tables": ${optStr(4)}, """ +
           s""""horizons": ${optStr(5)}, "stale_events": $stale, """ +
-          s""""muted": ${r.getBoolean(7)}, "autorefresh_every": $every}"""
+          s""""muted": ${r.getBoolean(7)}, "autorefresh_every": $every, """ +
+          s""""quantile_exact": ${optStr(10)}}"""
       }.mkString("[", ", ", "]")
       respond(ex, 200, "application/json", json + "\n")
     } catch { case e: Exception =>

@@ -898,7 +898,9 @@ class IncrementalViewSpec extends AnyFunSuite {
 
   test("SHOW MATERIALIZED VIEWS carries the KLL exactness note for percentile views") {
     // the one maintainable aggregate with a CONDITIONAL bit-parity
-    // contract surfaces it where the operator looks (round 16)
+    // contract surfaces it where the operator looks (round 16), plus —
+    // round 17 — WHICH regime the view is actually in, derived from
+    // the hidden per-group support counts
     val e = QueryEngine.scratch(spark)
     e.sql("CREATE TABLE tnv (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
     e.sql("INSERT INTO tnv VALUES (1,'a',5)")
@@ -907,13 +909,26 @@ class IncrementalViewSpec extends AnyFunSuite {
             |FROM tnv GROUP BY grp""".stripMargin)
     e.sql("""CREATE MATERIALIZED VIEW cnote AS
             |SELECT grp, COUNT(*) AS n FROM tnv GROUP BY grp""".stripMargin)
-    val byName = e.sql("SHOW MATERIALIZED VIEWS").collect()
+    def show() = e.sql("SHOW MATERIALIZED VIEWS").collect()
       .map(r => r.getString(0) ->
-        Option(r.getString(r.fieldIndex("notes")))).toMap
-    assert(byName("pnote").exists(n =>
+        (Option(r.getString(r.fieldIndex("notes"))),
+          Option(r.getString(r.fieldIndex("quantile_exact"))))).toMap
+    val byName = show()
+    assert(byName("pnote")._1.exists(n =>
       n.contains("DOUBLE") && n.contains("<= 800") &&
         n.contains("rank error")), byName("pnote"))
-    assert(byName("cnote").isEmpty, "non-percentile views carry no note")
+    assert(byName("cnote")._1.isEmpty, "non-percentile views carry no note")
+    assert(byName("pnote")._2.contains("all"),
+      "1 value per group is inside the exact regime")
+    assert(byName("cnote")._2.isEmpty,
+      "non-percentile views report no quantile regime")
+    // push one group past KllK=800 live values: its sketch compacts
+    // and the view must report the partial regime
+    e.sql("INSERT INTO tnv VALUES " +
+      (2 to 850).map(i => s"($i,'a',$i)").mkString(","))
+    e.sql("REFRESH MATERIALIZED VIEW pnote INCREMENTALLY")
+    assert(show()("pnote")._2.contains("partial"),
+      "850 values in one group is past the exact regime")
     e.close()
   }
 
