@@ -4939,13 +4939,16 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     if (nulls.nonEmpty) base || e.isNull else base
   }
 
-  /** Restrict ONE side's state to rows whose `column` is among the
-    * signed delta's distinct touched values of group alias `alias` —
-    * a per-column SUPERSET of the touched group tuples (callers
-    * post-filter with pruneToTouchedGroups for exactness). Inline
-    * in-list with an isNull arm under the cap; a pinned distributed
-    * null-safe left-semi past it. */
-  private def touchedValueRestrict(state: DataFrame, column: String,
+  /** Restrict ONE side's state to rows whose `keyExpr` (a bare column
+    * or a computed expression over that side's columns — round 17)
+    * evaluates to one of the signed delta's distinct touched values of
+    * group alias `alias` — a per-key SUPERSET of the touched group
+    * tuples (callers post-filter with pruneToTouchedGroups for
+    * exactness). Inline in-list with an isNull arm under the cap (a
+    * bare-column in-list pushes into the scan; a computed one
+    * evaluates scan-stage, still before any join); a pinned
+    * distributed null-safe left-semi past it. */
+  private def touchedValueRestrict(state: DataFrame, keyExpr: Column,
       sd: DataFrame, alias: String, pin: DataFrame => DataFrame,
       tag: Int): DataFrame = {
     val touched = sd.select(col(alias)).distinct()
@@ -4953,12 +4956,12 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       touched.limit(InlineKeyCap + 1).collect().map(_.get(0)).toIndexedSeq
     }
     if (vals.length <= InlineKeyCap) {
-      state.where(touchedInList(col(column), vals))
+      state.where(touchedInList(keyExpr, vals))
     } else {
       val ka = s"__graft_tv$tag"
       // touched is already distinct — the rename alone suffices
       state.join(pin(touched.select(col(alias).as(ka))),
-        col(column) <=> col(ka), "left_semi")
+        keyExpr <=> col(ka), "left_semi")
     }
   }
 
@@ -4975,9 +4978,14 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * group g contains the root side's row carrying g's key value
     * (kept by the value restriction), and each partner row along the
     * tree joins it hop by hop (kept by the cascade) — so every row
-    * pruneToTouchedGroups would keep survives. With no owned key
-    * (computed/cross-side expressions) the join stays unrestricted
-    * and the post-filter alone bounds the re-aggregation, as before. */
+    * pruneToTouchedGroups would keep survives. A group key owned by
+    * exactly one side — a bare column, a qualified column, or (round
+    * 17) a computed expression whose every column reference resolves
+    * to that side (`t1.v % 5`) — restricts its side by the evaluated
+    * expression; only a key whose references span sides (or none)
+    * restricts nothing. With no owned key at all the join stays
+    * unrestricted and the post-filter alone bounds the
+    * re-aggregation, as before. */
   private def recomputeJoinInput(js: IncrementalView.JoinShape,
       sides: Seq[String], adj: Array[List[(Int, String, String)]],
       fullNew: Seq[DataFrame], sd: DataFrame,
@@ -4988,27 +4996,46 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // pruneToTouchedGroups' post-filter
     if (sides.exists(tn => carriesHiddenCols(catalog.require(tn))))
       return js.joined(fullNew)
-    val Qualified = """(\w+)\.(\w+)""".r
-    val Bare = """(\w+)""".r
-    def owner(k: IncrementalView.GroupKey): Option[(Int, String)] =
-      k.e.trim match {
-        case Qualified(q, c) =>
-          val i = sides.indexWhere(_.equalsIgnoreCase(q))
-          if (i < 0) None
-          else fullNew(i).columns.find(_.equalsIgnoreCase(c)).map((i, _))
-        case Bare(c) =>
-          val owners = sides.indices.flatMap(i =>
-            fullNew(i).columns.find(_.equalsIgnoreCase(c)).map((i, _)))
-          if (owners.sizeIs == 1) Some(owners.head) else None
-        case _ => None
-      }
-    val owned: Seq[(Int, String, String)] =
-      js.groupKeys.flatMap(k => owner(k).map { case (i, c) => (i, c, k.alias) })
+    // the side owning a key expression: every column reference in it
+    // resolves to the same single side. Qualifiers are the join
+    // aliases (= table names); a bare reference must be a column of
+    // exactly one side (the shape already requires group columns be
+    // unambiguous in the joined relation).
+    def sideOf(parts: Seq[String]): Option[Int] = parts match {
+      case Seq(q, c) =>
+        val i = sides.indexWhere(_.equalsIgnoreCase(q))
+        if (i >= 0 && fullNew(i).columns.exists(_.equalsIgnoreCase(c)))
+          Some(i)
+        else None
+      case Seq(c) =>
+        val owners = sides.indices.filter(i =>
+          fullNew(i).columns.exists(_.equalsIgnoreCase(c)))
+        if (owners.sizeIs == 1) Some(owners.head) else None
+      case _ => None
+    }
+    def owner(k: IncrementalView.GroupKey): Option[Int] = {
+      val refs =
+        try spark.sessionState.sqlParser.parseExpression(k.e).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts
+        }
+        catch { case _: Exception => return None }
+      val owners = refs.map(sideOf)
+      // a constant key restricts nothing; any unresolvable or
+      // cross-side reference disqualifies the key
+      if (owners.nonEmpty && owners.forall(_ == owners.head)) owners.head
+      else None
+    }
+    val owned: Seq[(Int, IncrementalView.GroupKey)] =
+      js.groupKeys.flatMap(k => owner(k).map(i => (i, k)))
     if (owned.isEmpty) return js.joined(fullNew)
     val frames = fullNew.toArray
     var tag = 0
-    for ((i, c, a) <- owned) {
-      frames(i) = touchedValueRestrict(frames(i), c, sd, a, pin, tag)
+    for ((i, k) <- owned) {
+      // alias the side with its join-alias so a QUALIFIED reference in
+      // the key expression resolves against this single frame
+      frames(i) = touchedValueRestrict(frames(i).alias(sides(i)),
+        expr(k.e), sd, k.alias, pin, tag)
       tag += 1
     }
     val root = owned.map(_._1).min

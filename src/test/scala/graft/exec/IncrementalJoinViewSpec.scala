@@ -965,4 +965,72 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
         .collect().map(_.toString).toSet)
     e.close()
   }
+
+  test("a computed single-side group key restricts its side in the sketch recompute") {
+    // Round 17: a COMPUTED group key whose column references all
+    // resolve to ONE side (dmr.k % 5) restricts that side to the
+    // delta's touched key values, exactly like a bare column — before,
+    // any computed key meant owner = None and the recompute joined raw
+    // full sides. The pinnable artifact is downstream: the cascade
+    // from the restricted dim pushes the surviving dims' keys into the
+    // UNTOUCHED fact partner's flat snapshot scan as In(payload.dk,
+    // ...) — touched bucket {1} keeps dims {1, 6} (k % 5 = 1) and
+    // must exclude dims 2..5.
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE dmc (k BIGINT PRIMARY KEY, grp STRING)")
+    e.sql("CREATE TABLE fcc (i BIGINT PRIMARY KEY, dk BIGINT, v BIGINT)")
+    e.sql("INSERT INTO dmc VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d'), " +
+      "(5,'e'), (6,'f')")
+    e.sql("INSERT INTO fcc VALUES (10,1,5), (11,2,7), (12,3,9), " +
+      "(13,4,11), (14,5,13), (15,6,17)")
+    Seq("dmc", "fcc").foreach(t => e.sql(s"SNAPSHOT $t"))
+    e.sql("""CREATE MATERIALIZED VIEW cbv AS
+            |SELECT dmc.k % 5 AS bucket, APPROX_COUNT_DISTINCT(v) AS dv,
+            |COUNT(*) AS n
+            |FROM dmc JOIN fcc ON dmc.k = fcc.dk
+            |GROUP BY bucket""".stripMargin)
+    // pre-horizon dim churn: the old-side joined rows retract, so the
+    // sketch recompute fires; only bucket 1 (dims {1, 6}) is touched
+    e.sql("UPDATE dmc SET grp = 'z' WHERE k = 1")
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val op = e.sql("REFRESH MATERIALIZED VIEW cbv INCREMENTALLY")
+        .collect().head.getString(0)
+      assert(op === "refreshed_incremental")
+      val deadline = System.nanoTime() + 15_000_000_000L
+      def joined(): String = {
+        import scala.jdk.CollectionConverters._
+        plans.asScala.mkString("\n===\n")
+      }
+      // dims surviving k % 5 IN (touched bucket 1) are {1, 6}; dims
+      // 2..5 must not reach the fact scan (collect order unspecified)
+      val hop = """In\(payload\.dk, \[[16],\s*[16]\]\)""".r
+      def pruned(p: String): Boolean = hop.findFirstIn(p).isDefined
+      while (!pruned(joined()) && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(pruned(joined()),
+        "expected the computed-key recompute's cascaded " +
+          "In(payload.dk, [1, 6]) pushdown on the untouched fact " +
+          "partner scan; pushed filters seen:\n" +
+          """PushedFilters: \[[^\]]*\]""".r.findAllIn(joined())
+            .toSeq.distinct.mkString("\n"))
+    } finally spark.listenerManager.unregister(listener)
+    // content: the recomputed groups must equal a from-scratch sketch
+    assert(e.sql("SELECT bucket, dv, n FROM cbv").collect()
+      .map(_.toString).toSet ===
+      e.sql("""SELECT dmc.k % 5 AS bucket,
+              |hll_sketch_estimate(hll_sketch_agg(v)) AS dv, COUNT(*) AS n
+              |FROM dmc JOIN fcc ON dmc.k = fcc.dk
+              |GROUP BY bucket""".stripMargin).collect().map(_.toString).toSet)
+    e.close()
+  }
 }
