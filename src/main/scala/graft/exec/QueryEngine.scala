@@ -4801,8 +4801,18 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     t.columns.exists(c => IncrementalView.hidden(c.logical) ||
       IncrementalView.hidden(c.physical))
 
+  /** Test hook: force every fused-read eligibility check to decline,
+    * as the txn / attached / differing-checkpoint / hidden-column
+    * special cases do. The decline path is correct-but-slower by
+    * contract; the property suite churns the same workload with and
+    * without fusion and asserts byte-identical stored views, so a
+    * future decline-condition bug surfaces as a test diff rather than
+    * a silent slow path (or worse, a fused-only divergence). */
+  private[graft] var disableFusedReads = false
+
   private def fusedHorizonStates(t: TableDef, r: Long, h: Long)
       : Option[DataFrame] = {
+    if (disableFusedReads) return None
     if (txn.isDefined || dmlReadScope || t.attached.isDefined) return None
     // a user column inside the engine's hidden namespace would
     // collide with the appended flag columns (duplicate names →

@@ -433,4 +433,99 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
     }
     e.close()
   }
+
+  test("fused two-bound reads equal forced-decline reads under random churn") {
+    // fusedHorizonStates silently declines for txn / attached /
+    // differing-checkpoint / hidden-column refreshes — a
+    // correct-but-slower path by contract. Run the SAME seeded
+    // workload through two engines, one with fusion forcibly declined
+    // (the test hook models every decline condition at once), and
+    // assert the stored views stay identical after every refresh: a
+    // future decline-condition bug surfaces as a diff here, not as a
+    // silent slow path or a fused-only divergence. Comparison covers
+    // every stored column including the hidden accumulators and aux
+    // frames; sketch BYTES are insertion-order-sensitive by
+    // serialization, so the two binary columns compare through their
+    // readout contract (quantile / estimate) instead.
+    import org.apache.spark.sql.functions._
+    val eF = QueryEngine.scratch(spark) // fusion eligible
+    val eD = QueryEngine.scratch(spark) // fusion forcibly declined
+    eD.disableFusedReads = true
+    val engines = Seq(eF, eD)
+    def both(sql: String): Unit = engines.foreach(_.sql(sql))
+    both("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    both("CREATE TABLE fx (i BIGINT PRIMARY KEY, tk BIGINT, w BIGINT)")
+    both("""CREATE MATERIALIZED VIEW fmv AS
+           |SELECT grp, COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv,
+           |       AVG(v) AS av, COUNT(DISTINCT v) AS dv,
+           |       MIN(v) AS lo, MAX(v) AS hi,
+           |       APPROX_PERCENTILE(v, 0.5) AS med,
+           |       APPROX_COUNT_DISTINCT(v) AS ad
+           |FROM t WHERE v IS NULL OR v < 900 GROUP BY grp""".stripMargin)
+    both("""CREATE MATERIALIZED VIEW fjv AS
+           |SELECT grp, COUNT(*) AS n, SUM(w) AS sw,
+           |       COUNT(DISTINCT w) AS dw, MIN(w) AS lw
+           |FROM t JOIN fx ON t.k = fx.tk GROUP BY grp""".stripMargin)
+
+    def storedRows(e: QueryEngine, name: String): Map[String, Set[String]] = {
+      val ver = new java.io.File(s"${e.baseDir}/matviews/$name")
+        .listFiles.filter(_.getName.startsWith("v=")).maxBy(_.getName)
+      val main = spark.read.parquet(ver.getPath)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select(df.columns.sorted.toIndexedSeq.map { c =>
+          df.schema(c).dataType match {
+            case org.apache.spark.sql.types.BinaryType
+                if c.startsWith("__graft_kll_") =>
+              val support = s"__graft_n_${c.stripPrefix("__graft_kll_")}"
+              when(col(support) > 0, call_function(
+                "kll_sketch_get_quantile_double", col(c), lit(0.5))).as(c)
+            case org.apache.spark.sql.types.BinaryType =>
+              call_function("hll_sketch_estimate", col(c)).as(c)
+            case _ => col(c)
+          }
+        }: _*).collect().map(_.toString).toSet
+      val auxes = ver.listFiles.filter(_.isDirectory).sortBy(_.getName)
+        .map(d => d.getName ->
+          canon(spark.read.parquet(d.getPath))).toMap
+      auxes + ("" -> canon(main))
+    }
+
+    val rnd = new scala.util.Random(0xF05ED) // deterministic workload
+    var nextK = 0L; var nextI = 0L
+    val live = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val groups = Vector("a", "b", "c")
+    for (batch <- 1 to 8) {
+      for (_ <- 0 until (2 + rnd.nextInt(3))) rnd.nextInt(5) match {
+        case 0 => // insert dims, sometimes NULL v
+          val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            nextK += 1; live += nextK
+            val v = if (rnd.nextInt(4) == 0) "NULL" else rnd.nextInt(500).toString
+            s"($nextK, '${groups(rnd.nextInt(groups.size))}', $v)"
+          }
+          both(s"INSERT INTO t VALUES ${rows.mkString(", ")}")
+        case 1 if live.nonEmpty => // facts against existing dims
+          val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            nextI += 1
+            s"($nextI, ${live(rnd.nextInt(live.size))}, ${rnd.nextInt(80)})"
+          }
+          both(s"INSERT INTO fx VALUES ${rows.mkString(", ")}")
+        case 2 if live.nonEmpty => // group/value churn (retractions)
+          val k = live(rnd.nextInt(live.size))
+          val v = if (rnd.nextBoolean()) "NULL" else rnd.nextInt(1000).toString
+          both(s"UPDATE t SET grp = '${groups(rnd.nextInt(groups.size))}', " +
+            s"v = $v WHERE k = $k")
+        case 3 if live.nonEmpty => // deletes (join orphans too)
+          val k = live.remove(rnd.nextInt(live.size))
+          both(s"DELETE FROM t WHERE k = $k")
+        case _ => // checkpoint: moves the fused read's shared base
+          both(if (rnd.nextBoolean()) "SNAPSHOT t" else "SNAPSHOT fx")
+      }
+      both("REFRESH MATERIALIZED VIEW fmv INCREMENTALLY")
+      both("REFRESH MATERIALIZED VIEW fjv INCREMENTALLY")
+      for (view <- Seq("fmv", "fjv"))
+        assert(storedRows(eF, view) === storedRows(eD, view),
+          s"$view diverged between fused and declined reads after batch $batch")
+    }
+    engines.foreach(_.close())
+  }
 }
