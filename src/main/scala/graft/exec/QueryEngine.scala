@@ -1606,9 +1606,13 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                   }
                 }
               val stored = spark.read.parquet(catalog.mviewDataPath(name, prev))
+              // statically-empty deltas drop their terms at
+              // construction: 2^k−1 terms for k TOUCHED tables, so a
+              // one-fact refresh of a 6-table view plans one term
               val delta = IncrementalView.joinSignedDelta(js, stored,
                 sides.indices.map(i =>
-                  (deltas(i)._1, deltas(i)._2, fulls(i))))
+                  (deltas(i)._1, deltas(i)._2, fulls(i))),
+                untouched = sides.indices.filterNot(touchedIdx.contains).toSet)
               val cds = IncrementalView.auxAggs(js.aggs)
               val acds = IncrementalView.sketchAggs(js.aggs)
               // persist the 2^n−1-term delta across its consumers

@@ -636,6 +636,108 @@ object EngineSql {
     e.sql("SELECT zone, seg, n, sv, av FROM j3v ORDER BY zone, seg")
   }
 
+  /** 5-way chain-join incremental maintenance (round 17): the
+    * inclusion-exclusion delta over a region→nation→customer→orders→
+    * lineitem hierarchy, churned at ALL FIVE levels in one refresh
+    * window — a zone rename, a nation re-parent + re-segment,
+    * customer deletes AND a late customer+orders backfill, an order
+    * delete orphaning its lineitems, leaf value updates and deletes.
+    * Every side touched is the WORST case for the term construction
+    * (2^5−1 = 31 terms); the common one-side refresh plans one. The
+    * oracle recomputes the 5-way join aggregate from scratch with
+    * CASE-encoded churn; cents are exact BIGINTs. */
+  val qMatViewJoin5 = Q(
+    "q_matview_join5",
+    """WITH rt AS (
+      |  SELECT r_regionkey AS r,
+      |         CASE WHEN r_regionkey = 2 THEN 'zz' ELSE r_name END AS zone
+      |  FROM region),
+      |nt AS (
+      |  SELECT n_nationkey AS n,
+      |         CASE WHEN n_nationkey % 5 = 0 THEN (n_regionkey + 1) % 5
+      |              ELSE n_regionkey END AS rk,
+      |         CASE WHEN n_nationkey % 5 = 0 THEN 'gx'
+      |              ELSE 'g' || CAST(n_nationkey % 3 AS VARCHAR) END AS seg
+      |  FROM nation),
+      |ct AS (
+      |  SELECT c_custkey AS c, c_nationkey AS nk
+      |  FROM customer
+      |  WHERE (c_custkey < 300 OR c_custkey BETWEEN 1000 AND 1099)
+      |    AND c_custkey % 13 <> 0),
+      |ot AS (
+      |  SELECT o_orderkey AS o, o_custkey AS ck
+      |  FROM orders
+      |  WHERE o_orderkey < 2000
+      |    AND (o_custkey < 300 OR o_custkey BETWEEN 1000 AND 1099)
+      |    AND o_orderkey % 17 <> 0),
+      |lt0 AS (
+      |  SELECT l_orderkey * 10 + l_linenumber AS l, l_orderkey AS ok,
+      |         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS v0
+      |  FROM lineitem WHERE l_orderkey < 2000
+      |  GROUP BY l_orderkey, l_linenumber),
+      |lt AS (
+      |  SELECT l, ok,
+      |         v0 + CASE WHEN l % 11 = 0 THEN 7 ELSE 0 END AS v
+      |  FROM lt0 WHERE l % 19 <> 0)
+      |SELECT zone, seg, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(v) AS BIGINT) AS sv
+      |FROM rt JOIN nt ON rt.r = nt.rk JOIN ct ON nt.n = ct.nk
+      |JOIN ot ON ct.c = ot.ck JOIN lt ON ot.o = lt.ok
+      |GROUP BY zone, seg ORDER BY zone, seg""".stripMargin) { (s, dir) =>
+    val e = QueryEngine.scratch(s)
+    e.attachExternal("region", s"$dir/region.parquet")
+    e.attachExternal("nation", s"$dir/nation.parquet")
+    e.attachExternal("customer", s"$dir/customer.parquet")
+    e.attachExternal("orders", s"$dir/orders.parquet")
+    e.attachExternal("lineitem", s"$dir/lineitem.parquet")
+    e.sql("CREATE TABLE r5 (r BIGINT PRIMARY KEY, zone STRING)")
+    e.sql("CREATE TABLE n5 (n BIGINT PRIMARY KEY, rk BIGINT, seg STRING)")
+    e.sql("CREATE TABLE c5 (c BIGINT PRIMARY KEY, nk BIGINT)")
+    e.sql("CREATE TABLE o5 (o BIGINT PRIMARY KEY, ck BIGINT)")
+    e.sql("CREATE TABLE l5 (l BIGINT PRIMARY KEY, ok BIGINT, v BIGINT)")
+    e.sql("INSERT INTO r5 SELECT r_regionkey, r_name FROM region")
+    e.sql("""INSERT INTO n5
+            |SELECT n_nationkey, n_regionkey,
+            |       'g' || CAST(n_nationkey % 3 AS STRING)
+            |FROM nation""".stripMargin)
+    e.sql("""INSERT INTO c5
+            |SELECT c_custkey, c_nationkey FROM customer
+            |WHERE c_custkey < 300""".stripMargin)
+    e.sql("""INSERT INTO o5
+            |SELECT o_orderkey, o_custkey FROM orders
+            |WHERE o_orderkey < 2000 AND o_custkey < 300""".stripMargin)
+    // the synthetic lineitem carries duplicate (orderkey, linenumber)
+    // pairs — aggregate to one leaf row per pair so the PK holds
+    e.sql("""INSERT INTO l5
+            |SELECT l_orderkey * 10 + l_linenumber, l_orderkey,
+            |       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+            |FROM lineitem WHERE l_orderkey < 2000
+            |GROUP BY l_orderkey, l_linenumber""".stripMargin)
+    e.sql("""CREATE MATERIALIZED VIEW j5v AS
+            |SELECT zone, seg, COUNT(*) AS n, SUM(v) AS sv
+            |FROM r5 JOIN n5 ON r5.r = n5.rk
+            |JOIN c5 ON n5.n = c5.nk
+            |JOIN o5 ON c5.c = o5.ck
+            |JOIN l5 ON o5.o = l5.ok
+            |GROUP BY zone, seg""".stripMargin)
+    // churn at every level: worst-case 31-term refresh
+    e.sql("""INSERT INTO c5
+            |SELECT c_custkey, c_nationkey FROM customer
+            |WHERE c_custkey BETWEEN 1000 AND 1099""".stripMargin)
+    e.sql("""INSERT INTO o5
+            |SELECT o_orderkey, o_custkey FROM orders
+            |WHERE o_orderkey < 2000
+            |  AND o_custkey BETWEEN 1000 AND 1099""".stripMargin)
+    e.sql("UPDATE r5 SET zone = 'zz' WHERE r = 2")
+    e.sql("UPDATE n5 SET rk = (rk + 1) % 5, seg = 'gx' WHERE n % 5 = 0")
+    e.sql("DELETE FROM c5 WHERE c % 13 = 0")
+    e.sql("DELETE FROM o5 WHERE o % 17 = 0")
+    e.sql("UPDATE l5 SET v = v + 7 WHERE l % 11 = 0")
+    e.sql("DELETE FROM l5 WHERE l % 19 = 0")
+    e.sql("REFRESH MATERIALIZED VIEW j5v INCREMENTALLY")
+    e.sql("SELECT zone, seg, n, sv FROM j5v ORDER BY zone, seg")
+  }
+
   /** Read-time HAVING on an incrementally maintained view (round 14;
     * aggregate-call predicates round 15):
     * storage keeps every group (a group outside the predicate today
@@ -1913,6 +2015,7 @@ object EngineSql {
     qLifecycleCurrent, qLifecycleAsOf, qTxnLifecycle, qFkLifecycle,
     qStreamIngest, qSqlPassthrough, qSqlView, qMatView, qMatViewInc,
     qMatViewMinMax, qMatViewAvg, qMatViewAcd, qMatViewJoin, qMatViewJoin3,
+    qMatViewJoin5,
     qMatViewHaving, qMatViewExpr, qMatViewCd, qMatViewPctl, qShowMatviews,
     qTriggerAudit,
     qProcCall, qMvccSessions, qConstraints, qSequences, qAutoIncrement,

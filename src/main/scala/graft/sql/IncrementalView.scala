@@ -226,10 +226,17 @@ object IncrementalView {
     }
   }
 
-  /** Join chains cap: 2^n − 1 delta terms, each an n-way join — 15
-    * joins at the cap, past it the plan (and the refresh's full-side
-    * scans) stop paying for themselves vs a full refresh. */
-  val MaxJoinTables = 4
+  /** Join chains cap. The inclusion-exclusion delta emits terms only
+    * for subsets of the TOUCHED tables (round 17 — an untouched
+    * side's delta is statically empty, so its terms are dropped at
+    * construction instead of after 2^n−1 analyses), so refresh cost
+    * scales with 2^k−1 for k touched tables, not with chain length:
+    * the star-schema shape — one touched fact against five stable
+    * dims — pays ONE term at any n. The cap guards the worst case
+    * (every side churned in one window: 63 six-way terms, each
+    * cascade-bounded but each a planned join); past it the plan
+    * compile time alone stops paying for itself vs a full refresh. */
+  val MaxJoinTables = 6
 
   val RowsCol = "__graft_rows"
   def supportCol(alias: String): String = s"__graft_n_$alias"
@@ -930,9 +937,15 @@ object IncrementalView {
     * the signed-contribution columns, so nothing wider than groupCols
     * + sign + values ever unions. `sides(i)` = (oldᵢ, newᵢ, fullᵢ)
     * in `shape.tables` order; the engine pre-prunes full sides where
-    * the adjacent delta's join keys inline. */
+    * the adjacent delta's join keys inline. `untouched` (round 17)
+    * names side indices whose delta is STATICALLY empty (no events in
+    * the window): any term selecting such a delta is identically
+    * zero, so it is dropped here — 2^k−1 terms for k touched tables
+    * instead of 2^n−1 analyzed plans the optimizer prunes late. A
+    * 6-table view with one churned fact pays ONE term. */
   def joinSignedDelta(shape: JoinShape, stored: DataFrame,
-      sides: Seq[(DataFrame, DataFrame, DataFrame)]): DataFrame = {
+      sides: Seq[(DataFrame, DataFrame, DataFrame)],
+      untouched: Set[Int] = Set.empty): DataFrame = {
     require(sides.size == shape.tables.size,
       s"${shape.tables.size} tables, ${sides.size} sides")
     val storedType = stored.schema.map(f => f.name -> f.dataType).toMap
@@ -946,16 +959,21 @@ object IncrementalView {
     val fulls = sides.zipWithIndex.map { case ((_, _, full), i) =>
       withSign(full, signCol(i), 1)
     }
-    val terms = (1 until (1 << n)).map { mask =>
-      val frames = (0 until n).map(i =>
-        if ((mask & (1 << i)) != 0) deltas(i) else fulls(i))
-      val parity = if (java.lang.Integer.bitCount(mask) % 2 == 1) 1 else -1
-      val sign = signCol.map(col).reduce(_ * _) * lit(parity)
-      shape.joined(frames).select(
-        shape.groupKeys.map(k => expr(k.e).as(k.alias)) ++
-          Seq(sign.as("__sign")) ++
-          signedVals(shape.aggs, storedType): _*)
-    }
+    val untouchedMask = untouched.foldLeft(0)((m, i) => m | (1 << i))
+    val terms = (1 until (1 << n))
+      .filter(mask => (mask & untouchedMask) == 0)
+      .map { mask =>
+        val frames = (0 until n).map(i =>
+          if ((mask & (1 << i)) != 0) deltas(i) else fulls(i))
+        val parity = if (java.lang.Integer.bitCount(mask) % 2 == 1) 1 else -1
+        val sign = signCol.map(col).reduce(_ * _) * lit(parity)
+        shape.joined(frames).select(
+          shape.groupKeys.map(k => expr(k.e).as(k.alias)) ++
+            Seq(sign.as("__sign")) ++
+            signedVals(shape.aggs, storedType): _*)
+      }
+    require(terms.nonEmpty,
+      "joinSignedDelta called with every side untouched")
     terms.reduce(_ unionByName _)
   }
 

@@ -245,6 +245,102 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
     e.close()
   }
 
+  test("random five-table DML workload: chain-join incremental equals full recompute") {
+    // Round 17: chains past 4 tables maintain incrementally. The term
+    // construction drops untouched sides' terms, so most batches plan
+    // far fewer than 2^5−1 = 31 terms — single-level batches plan one
+    // — while batches churning several levels at once exercise the
+    // multi-term inclusion-exclusion over a 5-deep hierarchy
+    // (zone→seg→customer→order→line), including subtree orphaning at
+    // two middle levels.
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE r5p (r BIGINT PRIMARY KEY, zone STRING)")
+    e.sql("CREATE TABLE n5p (n BIGINT PRIMARY KEY, rk BIGINT, seg STRING)")
+    e.sql("CREATE TABLE c5p (c BIGINT PRIMARY KEY, nk BIGINT)")
+    e.sql("CREATE TABLE o5p (o BIGINT PRIMARY KEY, ck BIGINT)")
+    e.sql("CREATE TABLE l5p (l BIGINT PRIMARY KEY, ok BIGINT, v BIGINT)")
+    e.sql("""CREATE MATERIALIZED VIEW p5 AS
+            |SELECT zone, seg, COUNT(*) AS n, SUM(v) AS sv,
+            |       COUNT(DISTINCT v) AS dv
+            |FROM r5p JOIN n5p ON r5p.r = n5p.rk
+            |JOIN c5p ON n5p.n = c5p.nk
+            |JOIN o5p ON c5p.c = o5p.ck
+            |JOIN l5p ON o5p.o = l5p.ok
+            |WHERE v IS NULL OR v < 900 GROUP BY zone, seg""".stripMargin)
+
+    val rnd = new scala.util.Random(0x5AB1E) // deterministic workload
+    val regs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val nats = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val custs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ords = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val lines = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var id = 0L
+    def nid(): Long = { id += 1; id }
+    def pick(b: scala.collection.mutable.ArrayBuffer[Long]): Long =
+      if (b.nonEmpty) b(rnd.nextInt(b.size)) else 9999L
+    val zones = Vector("e", "w")
+    val segs = Vector("a", "b")
+
+    def freshView(): Set[String] =
+      e.sql("""SELECT zone, seg, COUNT(*) AS n, SUM(v) AS sv,
+              |       COUNT(DISTINCT v) AS dv
+              |FROM r5p JOIN n5p ON r5p.r = n5p.rk
+              |JOIN c5p ON n5p.n = c5p.nk
+              |JOIN o5p ON c5p.c = o5p.ck
+              |JOIN l5p ON o5p.o = l5p.ok
+              |WHERE v IS NULL OR v < 900 GROUP BY zone, seg""".stripMargin)
+        .collect().map(_.toString).toSet
+    def p5(): Set[String] =
+      e.sql("SELECT zone, seg, n, sv, dv FROM p5").collect().map(_.toString).toSet
+
+    for (batch <- 1 to 8) {
+      for (_ <- 0 until (3 + rnd.nextInt(4))) rnd.nextInt(11) match {
+        case 0 =>
+          val k = nid(); regs += k
+          e.sql(s"INSERT INTO r5p VALUES ($k, '${zones(rnd.nextInt(2))}')")
+        case 1 =>
+          val k = nid(); nats += k
+          e.sql(s"INSERT INTO n5p VALUES ($k, ${pick(regs)}, " +
+            s"'${segs(rnd.nextInt(2))}')")
+        case 2 =>
+          val k = nid(); custs += k
+          e.sql(s"INSERT INTO c5p VALUES ($k, ${pick(nats)})")
+        case 3 =>
+          val k = nid(); ords += k
+          e.sql(s"INSERT INTO o5p VALUES ($k, ${pick(custs)})")
+        case 4 =>
+          val k = nid(); lines += k
+          val v = rnd.nextInt(4) match {
+            case 0 => "NULL"
+            case 1 => (900 + rnd.nextInt(50)).toString
+            case _ => rnd.nextInt(400).toString
+          }
+          e.sql(s"INSERT INTO l5p VALUES ($k, ${pick(ords)}, $v)")
+        case 5 if regs.nonEmpty => // head rename re-groups 4 levels down
+          e.sql(s"UPDATE r5p SET zone = '${zones(rnd.nextInt(2))}' " +
+            s"WHERE r = ${pick(regs)}")
+        case 6 if nats.nonEmpty && regs.nonEmpty => // re-parent + re-segment
+          e.sql(s"UPDATE n5p SET rk = ${pick(regs)}, " +
+            s"seg = '${segs(rnd.nextInt(2))}' WHERE n = ${pick(nats)}")
+        case 7 if custs.nonEmpty && nats.nonEmpty => // mid re-parent
+          e.sql(s"UPDATE c5p SET nk = ${pick(nats)} WHERE c = ${pick(custs)}")
+        case 8 if lines.nonEmpty => // leaf value churn across the WHERE
+          val v = if (rnd.nextBoolean()) "NULL" else rnd.nextInt(1000).toString
+          e.sql(s"UPDATE l5p SET v = $v WHERE l = ${pick(lines)}")
+        case 9 if custs.nonEmpty && rnd.nextInt(3) == 0 => // orphan a subtree
+          val k = custs.remove(rnd.nextInt(custs.size))
+          e.sql(s"DELETE FROM c5p WHERE c = $k")
+        case 10 if ords.nonEmpty && rnd.nextInt(2) == 0 => // orphan leaves
+          val k = ords.remove(rnd.nextInt(ords.size))
+          e.sql(s"DELETE FROM o5p WHERE o = $k")
+        case _ =>
+      }
+      e.sql("REFRESH MATERIALIZED VIEW p5 INCREMENTALLY")
+      assert(p5() === freshView(), s"diverged after batch $batch")
+    }
+    e.close()
+  }
+
   test("random arbitrary-churn workload: aux-backed MIN/MAX incremental equals full recompute") {
     // NO sketch in the view, so NO gate: every batch — including ones
     // that update/delete pre-horizon rows holding the group extreme —
