@@ -663,27 +663,32 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         // Snapshots keep the default committer: their _SUCCESS IS the
         // version-dir completeness marker.
         tracer.span("stage-write", table) {
-          val opts = catalog.get(table).map(bloomOptions).getOrElse(Map.empty)
+          val opts = catalog.get(table).map(bloomOptions).getOrElse(Map.empty) ++
+            (if (encryptionOn)
+              Map("parquet.encryption.uniform.key" -> Encryption.MasterKeyId)
+            else Map.empty)
           // literal batches (LocalRelation — VALUES rows and
           // literalized small query batches) stage with a DRIVER-side
           // parquet write: the rows never left the driver, so a Spark
           // job would pay scheduling + task launch + committer
-          // protocol to produce the identical file. Encrypted writes
-          // keep the job path (the modular-encryption factory wiring
-          // rides the DataFrameWriter); ANY driver-write failure
-          // falls back to the job path after clearing partial output.
+          // protocol to produce the identical file. Since round 17
+          // encrypted writes take this path too — writeLocalParquet
+          // loads the same modular-encryption factory the job path
+          // uses, so SET ENCRYPTION KEY no longer forfeits the OLTP
+          // statement floor (measured A/B in EncryptionSpec /
+          // SURVEY §8); ANY driver-write failure falls back to the
+          // job path after clearing partial output.
           val droveIt =
-            !encryptionOn && (
-              try org.apache.spark.sql.GraftBridge.writeLocalParquet(ev,
-                dir.toString, opts)
-              catch {
-                case scala.util.control.NonFatal(e) =>
-                  scala.util.Try(fs.delete(dir, true))
-                  System.err.println(
-                    s"[graft] driver-side staging of $table fell back " +
-                      s"to the job write: ${e.getMessage}")
-                  false
-              })
+            try org.apache.spark.sql.GraftBridge.writeLocalParquet(ev,
+              dir.toString, opts)
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                scala.util.Try(fs.delete(dir, true))
+                System.err.println(
+                  s"[graft] driver-side staging of $table fell back " +
+                    s"to the job write: ${e.getMessage}")
+                false
+            }
           if (!droveIt)
             encrypted(ev.write)
               .options(opts)

@@ -165,6 +165,18 @@ object GraftBridge {
         for ((k, v) <- options if k.startsWith(bloomPrefix))
           b = b.withBloomFilterEnabled(k.substring(bloomPrefix.length),
             v.toBoolean)
+        // parquet modular encryption (round 17): a bare ParquetWriter
+        // does NOT consult the crypto factory on its own (that is
+        // ParquetOutputFormat's job-path wiring), so load the SAME
+        // factory + KMS the job write uses from the conf whenever a
+        // uniform key is requested — the driver-written file is
+        // PARE-magic, fresh-data-keyed, its keys wrapped by the same
+        // in-process KMS: indistinguishable from the job path's output
+        if (conf.get("parquet.encryption.uniform.key") != null)
+          b = b.withEncryption(
+            org.apache.parquet.crypto.EncryptionPropertiesFactory
+              .loadFactory(conf)
+              .getFileEncryptionProperties(conf, p, null))
         val w = b.build()
         try lr.data.foreach(w.write) finally w.close()
         true

@@ -83,6 +83,37 @@ class EncryptionSpec extends AnyFunSuite {
     warm.close()
   }
 
+  test("the driver-side literal staging write encrypts through the same factory") {
+    // Round 17: SET ENCRYPTION KEY no longer forfeits the OLTP
+    // statement floor — writeLocalParquet loads the job path's
+    // PropertiesDrivenCryptoFactory itself (a bare ParquetWriter does
+    // not consult the factory on its own). Pin the exact wiring: the
+    // driver write reports success (no silent job fallback), the file
+    // is footer-encrypted, and a normal Spark read decrypts it.
+    val e = QueryEngine.scratch(spark) // registers the factory conf
+    e.sql(s"SET ENCRYPTION KEY '$keyB64'")
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft-encw-").toString
+    val wrote = org.apache.spark.sql.GraftBridge.writeLocalParquet(df, dir,
+      Map("parquet.encryption.uniform.key" -> Encryption.MasterKeyId))
+    assert(wrote, "literal frame should take the driver write")
+    val parts = new java.io.File(dir).listFiles.toSeq
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty && parts.forall(f => magic(f) == "PARE"),
+      s"driver-written file not encrypted: ${parts.map(magic)}")
+    assert(spark.read.parquet(dir).collect().map(_.toString).toSet
+      === Set("[1,x]", "[2,y]"))
+    // and the engine's own literal INSERT under encryption stays on
+    // the floor: the staged log file is PARE without any job fallback
+    e.sql("CREATE TABLE df (k BIGINT PRIMARY KEY, v STRING)")
+    e.sql("INSERT INTO df VALUES (10, 'enc')")
+    val logs = logParts(e.baseDir, "df")
+    assert(logs.nonEmpty && logs.forall(f => magic(f) == "PARE"))
+    assert(e.sql("SELECT v FROM df").collect() === Array(Row("enc")))
+    e.close()
+  }
+
   test("OPTIMIZE's clustered snapshot rewrite stays encrypted") {
     val e = QueryEngine.scratch(spark)
     e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, a BIGINT, b BIGINT)")
