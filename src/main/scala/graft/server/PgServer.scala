@@ -641,12 +641,31 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
       val r = new Reader(body)
       val kind = r.byte(); val name = r.cstring()
       if (kind == 'S') {
-        val (_, oids) = st.prepared.getOrElse(name,
+        val (sql, oids) = st.prepared.getOrElse(name,
           throw new IllegalArgumentException(s"unknown prepared statement: $name"))
         out.write('t'); out.writeInt(4 + 2 + 4 * oids.length) // ParameterDescription
         out.writeShort(oids.length)
         oids.foreach(out.writeInt)
-        out.write('n'); out.writeInt(4) // NoData (row shape known after Bind)
+        // PG answers RowDescription at statement-Describe for
+        // row-returning statements — pgjdbc's getMetaData() and
+        // describe-before-execute paths read it (round 17; NoData here
+        // made a prepared SELECT look resultless). The row SHAPE never
+        // depends on parameter values in graft's SQL, so plan once
+        // with NULL-bound parameters — plan-only, no job. Anything
+        // that fails the NULL-bound plan degrades to NoData, the
+        // pre-r17 answer.
+        val rowDesc =
+          if (isRowless(headWords(sql)._1)) None
+          else scala.util.Try {
+            val bound = if (oids.isEmpty) sql
+              else graft.sql.Params.bind(sql,
+                IndexedSeq.fill[Any](oids.length)(null))
+            cancellable(st)(session.sql(bound)).schema
+          }.toOption
+        rowDesc match {
+          case Some(schema) => sendRowDescription(schema, out)
+          case None => out.write('n'); out.writeInt(4) // NoData
+        }
       } else {
         val p = st.portals.getOrElse(name,
           throw new IllegalArgumentException(s"unknown portal: $name"))

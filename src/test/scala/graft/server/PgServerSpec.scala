@@ -163,6 +163,27 @@ class PgServerSpec extends AnyFunSuite {
           else { val a = new Array[Byte](len); bb.get(a); new String(a, "UTF-8") }
         }
       }
+    // ---- named statements/portals, pgjdbc-shaped (round 17) ----
+    def sendParseNamed(stmt: String, sql: String, oids: Seq[Int]): Unit =
+      send('P', cstr(stmt) ++ cstr(sql) ++ i16(oids.size) ++
+        oids.flatMap(i32(_)).toArray)
+    /** Bind a NAMED portal to a NAMED statement with binary-format
+      * params (format codes stated per parameter, as pgjdbc does). */
+    def sendBindNamed(portal: String, stmt: String,
+        binParams: Seq[Array[Byte]]): Unit =
+      send('B', cstr(portal) ++ cstr(stmt) ++
+        i16(binParams.size) ++ binParams.flatMap(_ => i16(1)).toArray ++
+        i16(binParams.size) ++
+        binParams.flatMap(p => i32(p.length) ++ p).toArray ++ i16(0))
+    def sendDescribe(kind: Char, name: String): Unit =
+      send('D', Array(kind.toByte) ++ cstr(name))
+    def executeNamed(portal: String, maxRows: Int): Seq[(Char, Array[Byte])] = {
+      send('E', cstr(portal) ++ i32(maxRows))
+      send('H', Array.empty); out.flush()
+      readUntil(Set('s', 'C', 'E'))
+    }
+    def closePortal(name: String): Unit =
+      send('C', Array('P'.toByte) ++ cstr(name))
     def close(): Unit = { send('X', Array.empty); out.flush(); sock.close() }
   }
 
@@ -285,6 +306,59 @@ class PgServerSpec extends AnyFunSuite {
         val r4 = c.execute(2)
         assert(r4.count(_._1 == 'D') === 0 && r4.last._1 === 'C')
         assert(c.sync().last._1 === 'Z')
+      } finally c.close()
+    }
+  }
+
+  test("pgjdbc's wire sequence: named statement, named-portal fetch loop, re-execute") {
+    // The exact message flow pgjdbc's QueryExecutorImpl emits for a
+    // PreparedStatement with fetchSize under autocommit=false (the
+    // shape real dashboards drive): BEGIN via simple query; Parse a
+    // NAMED statement (S_1, the prepareThreshold promotion); Describe
+    // the STATEMENT (ParameterDescription + RowDescription); Bind a
+    // NAMED portal (C_1) with a BINARY int8 param; Execute(C_1,
+    // fetchSize) / Sync per batch — the portal must survive each Sync
+    // — ending in CommandComplete; Close the portal; then re-Bind a
+    // new portal to the SAME named statement with a new param and NO
+    // re-Parse (server-side prepared-statement reuse). pgjdbc itself
+    // is not resolvable in this zero-egress build, so the sequence is
+    // replicated byte-for-byte from the public protocol docs instead
+    // (test-scope client only; the server is what's under test).
+    withServer { (_, port) =>
+      assert(psql(port, "CREATE TABLE jd (k BIGINT PRIMARY KEY, v STRING); " +
+        "INSERT INTO jd VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d'), (5,'e')")._1 === 0)
+      val c = new ExtClient(port)
+      try {
+        assert(c.simpleQuery("BEGIN").last._1 === 'Z')
+        def int8(v: Long): Array[Byte] =
+          java.nio.ByteBuffer.allocate(8).putLong(v).array()
+        c.sendParseNamed("S_1",
+          "SELECT k, v FROM jd WHERE k > $1 ORDER BY k", Seq(20))
+        c.sendDescribe('S', "S_1")
+        c.sendBindNamed("C_1", "S_1", Seq(int8(0L)))
+        // first batch: ParseComplete, ParameterDescription,
+        // RowDescription, BindComplete, 2 rows, PortalSuspended
+        val b1 = c.executeNamed("C_1", 2)
+        assert(b1.map(_._1).containsSlice(Seq('1', 't', 'T', '2')),
+          b1.map(_._1))
+        assert(b1.count(_._1 == 'D') === 2 && b1.last._1 === 's', b1.map(_._1))
+        // pgjdbc Syncs between fetches; the open portal must survive
+        assert(c.sync().last._1 === 'Z')
+        val b2 = c.executeNamed("C_1", 2)
+        assert(b2.count(_._1 == 'D') === 2 && b2.last._1 === 's', b2.map(_._1))
+        assert(c.sync().last._1 === 'Z')
+        val b3 = c.executeNamed("C_1", 2)
+        assert(b3.count(_._1 == 'D') === 1 && b3.last._1 === 'C', b3.map(_._1))
+        assert(c.rows(b1 ++ b2 ++ b3).map(_.head) ===
+          Seq("1", "2", "3", "4", "5"))
+        c.closePortal("C_1")
+        assert(c.sync().exists(_._1 == '3'), "expected CloseComplete")
+        // re-execute the prepared statement without re-Parse
+        c.sendBindNamed("C_2", "S_1", Seq(int8(3L)))
+        val b4 = c.executeNamed("C_2", 0)
+        assert(c.rows(b4) === Seq(Seq("4", "d"), Seq("5", "e")), c.rows(b4))
+        assert(c.sync().last._1 === 'Z')
+        assert(c.simpleQuery("COMMIT").last._1 === 'Z')
       } finally c.close()
     }
   }
