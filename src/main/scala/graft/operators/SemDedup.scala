@@ -77,7 +77,17 @@ object SemDedup {
     * membership semi-join plus its own kmeans (broadcast-argmax
     * rounds over cap-bounded members). Hot clusters are few by
     * construction — k is chosen so the EXPECTED cluster is far under
-    * cap — so the driver loop is short. */
+    * cap — so the driver loop is short. Stated honestly (round 17,
+    * measured): the loop is SEQUENTIAL per hot cluster, so it is a
+    * skew BACKSTOP, not a substitute for sizing k — running it with
+    * every cluster hot (fixed small k on a grown corpus) costs
+    * several Spark job rounds per cluster and dominated the sf1
+    * semdedup sample at ~6× the uncapped time. Size k ∝ corpus so the
+    * cap only catches genuine skew tails; a cluster still above cap
+    * after the depth bound keeps its size (pairwise for that cluster
+    * is then unbounded — the all-identical-vectors mass where finer
+    * centroids cannot separate anything and near-dup pruning is the
+    * point anyway). */
   private[graft] def resplitOversized(embeddings: DataFrame,
       assign0: DataFrame, cap: Int, iters: Int): DataFrame = {
     require(cap > 1, s"need maxClusterSize > 1 (got $cap)")

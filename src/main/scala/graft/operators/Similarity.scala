@@ -194,6 +194,81 @@ object Similarity {
     assign(cents).select(col("pid").as("vec_id"), col("cluster"))
   }
 
+  /** Two-level deterministic k-means: a coarse √k-means over the
+    * corpus, then √k fine centroids WITHIN each coarse cell —
+    * vectorized across cells, never a per-cell driver loop. Returns
+    * the same (vec_id, cluster) shape as `kmeans`, labels again seed
+    * vec_ids (fine seeds are distinct corpus rows, so labels are
+    * globally unique).
+    *
+    * Why it exists (round 17, measured in SCALE.md): flat k-means
+    * assignment is N·k cosine evaluations — with k ∝ N (the
+    * bounded-cluster requirement that keeps any pairwise consumer
+    * linear) that is N²/c, and the second scaling decade measured
+    * exactly that quadratic (q_semdedup kmeans 5.9 s at 20k×40 →
+    * ~370 s at 200k×400). Two-level costs N·(√k coarse + k/√k fine)
+    * = N·2√k per pass: with k ∝ N that is Θ(N^1.5) — stated
+    * honestly, still super-linear asymptotically; the 100 TB
+    * asymptote is a log-depth quantization tree (N·log N), of which
+    * this is the depth-2 instance. At the measured decades the √k
+    * factor is what turns a 100× blowup into ~10×.
+    *
+    * Fine assignment is one broadcast join of all k fine seeds
+    * filtered by cell equality — each point meets only ITS cell's
+    * fine seeds (N·√k intermediate rows, map-side max_by, no corpus
+    * shuffle) — then the standard (cluster, dim) mean aggregation per
+    * Lloyd round. The coarse partition is FROZEN while fine centroids
+    * iterate (the IVF discipline); a fine cluster that loses every
+    * member keeps its seed centroid. */
+  def kmeansTwoLevel(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0 (got $k, $iters)")
+    val kc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val kf = math.max(1, math.ceil(k.toDouble / kc).toInt)
+    if (kf <= 1) return kmeans(embeddings, kc, iters)
+    val coarse = kmeans(embeddings, kc, iters)
+      .select(col("vec_id").as("pid"), col("cluster").as("cell"))
+    val pts = embeddings
+      .select(col("vec_id").as("pid"), col("embedding").as("pv"))
+      .join(coarse, "pid").localCheckpoint()
+    // fine seeds: the kf lowest-id members of each cell (deterministic,
+    // mirrors kmeans' lowest-id seeding); one corpus window, once
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy("pid")
+    var cents = pts
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") <= kf)
+      .select(col("cell"), col("pid").as("scid"),
+        transform(col("pv"), _.cast("double")).as("cent"))
+      .localCheckpoint()
+    def assign(c: DataFrame): DataFrame = pts
+      .join(broadcast(c), "cell") // k rows total; each point × its cell's seeds
+      .groupBy("pid")
+      .agg(max_by(col("scid"),
+        struct(round(cosine(col("pv"), col("cent")), 9).as("s"),
+          (-col("scid")).as("tie"))).as("cluster"))
+    for (_ <- 0 until iters) {
+      val members = assign(cents)
+        .join(pts, "pid")
+        .select(col("cell"), col("cluster"),
+          posexplode(col("pv")).as(Seq("pos", "x")))
+      val dims = members
+        .groupBy("cell", "cluster", "pos")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cell", "cluster")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          _.getField("m")).as("cent"))
+      val next = cents.select(col("cell"), col("scid"), col("cent").as("_prev"))
+        .join(dims.withColumnRenamed("cluster", "scid"),
+          Seq("cell", "scid"), "left")
+        .select(col("cell"), col("scid"),
+          coalesce(col("cent"), col("_prev")).as("cent"))
+        .localCheckpoint()
+      graft.Pins.free(cents)
+      cents = next
+    }
+    val out = assign(cents).select(col("pid").as("vec_id"), col("cluster"))
+    out
+  }
+
   /** LSH-bucketed ANN: exact cosine re-scoring within same-bucket
     * candidates only. Recall < 1 by construction; at scale the bucket
     * join replaces the quadratic cross product. */

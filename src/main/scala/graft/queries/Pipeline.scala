@@ -460,17 +460,41 @@ object Pipeline {
     * set: every dropped vector must have a lower-id clustermate
     * at/over the threshold, no survivor may have one, survivor labels
     * must match the (deterministic) assignment, and the fixture must
-    * actually drop something. */
+    * actually drop something.
+    *
+    * Round 17: the second scaling decade (sf1→sf10, SCALE.md)
+    * measured THIS query super-linear (α ≈ 1.5). Two quadratics
+    * stacked: fixed k=16 let per-cluster membership grow linearly
+    * (pairwise stage N²/k), and the naive counter-move — k ∝ N with
+    * FLAT k-means — just moves the N² into the assignment (N·k
+    * cosine evaluations; stage-profiled as the dominant cost). The
+    * fix matches the operator contract on both axes: k scales with
+    * the corpus (expected cluster ≈ 500 members, pairwise ≈ N·500),
+    * assignment goes through kmeansTwoLevel (N·2√k per pass — the
+    * depth-2 quantization tree; Θ(N^1.5) stated honestly, with the
+    * log-depth tree as the 100 TB asymptote), maxClusterSize = 2048
+    * stands as the SKEW backstop only, and the frames feeding
+    * multiple invariant branches pin. At the fixture scales (≤ 8k
+    * vectors) k stays 16 and no cluster nears the cap, so
+    * small-scale behavior — and the oracle — are unchanged.
+    * Invariants verify against the RE-SPLIT assignment (the one the
+    * drops were computed under). */
   val qSemDedup = Q(
     "q_semdedup",
     emptyViolationsSql("why" -> "VARCHAR", "vec_id" -> "BIGINT")) { (s, dir) =>
     val emb = t(s, dir, "embeddings")
-    // pinned: the assignment feeds the dedup AND every invariant branch
-    val assign = Similarity.kmeans(emb, k = 16, iters = 2).localCheckpoint()
-    val surv = SemDedup.dedup(emb, k = 16, iters = 2, minCos = 0.4,
-      precomputed = Some(assign))
+    val k = math.max(16, (emb.count() / 500).toInt)
+    // pinned: the assignment feeds the dedup AND every invariant
+    // branch; surv and the witness set feed FOUR branches each, so
+    // they pin too (unpinned, each branch re-ran the pairwise join)
+    val assign0 = Similarity.kmeansTwoLevel(emb, k, iters = 2)
+      .localCheckpoint()
+    val assign = SemDedup.resplitOversized(emb, assign0, cap = 2048,
+      iters = 2).localCheckpoint()
+    val surv = SemDedup.dedup(emb, k, iters = 2, minCos = 0.4,
+      precomputed = Some(assign)).localCheckpoint()
     val m = emb.select(col("vec_id"), col("embedding")).join(assign, "vec_id")
-    val shouldDrop = SemDedup.candidateDrops(m, 0.4)
+    val shouldDrop = SemDedup.candidateDrops(m, 0.4).localCheckpoint()
     val droppedActual = emb.select("vec_id")
       .join(surv.select("vec_id"), Seq("vec_id"), "left_anti")
     val orphanDrop = droppedActual

@@ -121,4 +121,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full.join(own, "vec_id")
       .where(col("cluster") =!= col("expect")).count() === 0)
   }
+
+  test("two-level kmeans is a total deterministic partition with in-cell labels") {
+    import org.apache.spark.sql.functions._
+    val n = emb.count()
+    val res = Similarity.kmeansTwoLevel(emb, k = 9, iters = 2)
+      .localCheckpoint()
+    // total: every vector assigned exactly once
+    assert(res.count() === n)
+    assert(res.select("vec_id").distinct().count() === n)
+    // labels are real corpus vec_ids (fine seeds)
+    assert(res.join(emb.select(col("vec_id").as("cluster")),
+      Seq("cluster"), "left_anti").count() === 0)
+    assert(res.select("cluster").distinct().count() > 1)
+    // every point's label belongs to its OWN coarse cell: the fine
+    // assignment never crosses the frozen coarse partition
+    val kc = 3 // ceil(sqrt(9))
+    val coarse = Similarity.kmeans(emb, k = kc, iters = 2)
+      .withColumnRenamed("cluster", "cell")
+    val ptCell = res.join(coarse, "vec_id")
+    val seedCell = coarse.select(col("vec_id").as("cluster"),
+      col("cell").as("__seedCell"))
+    assert(ptCell.join(seedCell, "cluster")
+      .where(col("cell") =!= col("__seedCell")).count() === 0)
+    // deterministic across runs
+    val res2 = Similarity.kmeansTwoLevel(emb, k = 9, iters = 2)
+    assert(res.exceptAll(res2).count() === 0)
+    // degenerate k: falls back to flat kmeans shapes without error
+    assert(Similarity.kmeansTwoLevel(emb, k = 1, iters = 1)
+      .select("cluster").distinct().count() === 1)
+  }
 }
