@@ -1439,8 +1439,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         case (None, true) => joinShapeOf(viewSql) match {
           case Some(js) =>
             // INCREMENTAL join view: the counting-algorithm
-            // inclusion-exclusion delta (for two tables,
-            //   ΔA⋈B_new + A_new⋈ΔB − ΔA⋈ΔB)
+            // TELESCOPING delta (round 17; for two tables,
+            //   ΔA⋈B_new + A_old⋈ΔB)
             // over the touched rows of each side — exact under
             // ARBITRARY updates/deletes (join views carry only
             // retractable aggregates; a sketch-bearing join view
@@ -1477,11 +1477,10 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             if (sides.exists(tn => horizons(tn) > bases(tn))) {
               // Pin the touched delta sides (lazy — the cascade's
               // hop-0 key collect is the first materialization): the
-              // 2^n−1 inclusion-exclusion terms each re-reference
-              // these frames, and without the cache every term would
-              // re-plan the touched-pk state reads — up to 7×3 pruned
-              // collapse scans for a 3-table refresh. O(touched)
-              // rows, so the pin is bounded.
+              // k telescoping terms and the cascade sources each
+              // re-reference these frames, and without the cache
+              // every consumer would re-plan the touched-pk state
+              // reads. O(touched) rows, so the pin is bounded.
               val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
               // every pin registers here and is released in the
               // finally below — a refresh that throws mid-way (job
@@ -1516,8 +1515,8 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               val deltas = sides.map(deltaSides)
               // Full-side pruning, any chain length (round 15,
               // generalizing the round-14 two-table case): every
-              // inclusion-exclusion term joins a full side against at
-              // least one delta somewhere along the chain, so a full
+              // telescoping term joins its full sides against exactly
+              // one delta somewhere along the chain, so a full
               // side only contributes rows that REACH some touched
               // table's delta through the links. From each touched
               // table, cascade its delta's join-key values outward:
@@ -1537,7 +1536,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               // the cascade's reach relation). At 100 TB this is the
               // difference between a one-row refresh of a 4-table view
               // reading matching row groups of each partner vs
-              // scanning every partner up to 2^n−1 times — and a bulk
+              // scanning every partner per term — and a bulk
               // backfill touching thousands of keys now degrades to
               // semi-joins on O(touched reach) key frames, never to
               // raw full partner scans.
@@ -1611,16 +1610,37 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                   }
                 }
               val stored = spark.read.parquet(catalog.mviewDataPath(name, prev))
+              // The telescoping delta's term for touched side i joins
+              // OLD state for every side before i — for an untouched
+              // side old equals new (reuse the pruned full), and only
+              // a TOUCHED side that precedes another touched side
+              // needs a genuine old-horizon state read (at most k−1
+              // extra pruned scans, which is what buys k terms
+              // instead of 2^k−1). The same cascade restrictions
+              // apply: reachability already passes through full-new ∪
+              // old-delta state, a superset of the old state.
+              val fullOlds: Seq[DataFrame] = sides.indices.map { j =>
+                if (touchedIdx.contains(j) && touchedIdx.exists(_ > j)) {
+                  val raw = stateAt(sides(j), Some(bases(sides(j))))
+                  val ps = preds(j)
+                  if (legacyHidden || ps.isEmpty) raw
+                  else {
+                    val pruned = applyCascade(raw, ps)
+                    val bounded = ps.forall(_.isInstanceOf[CascInline])
+                    if (sides.size >= 3 && bounded) pin(pruned) else pruned
+                  }
+                } else fulls(j)
+              }
               // statically-empty deltas drop their terms at
-              // construction: 2^k−1 terms for k TOUCHED tables, so a
+              // construction: k terms for k TOUCHED tables, so a
               // one-fact refresh of a 6-table view plans one term
               val delta = IncrementalView.joinSignedDelta(js, stored,
                 sides.indices.map(i =>
-                  (deltas(i)._1, deltas(i)._2, fulls(i))),
+                  (deltas(i)._1, deltas(i)._2, fullOlds(i), fulls(i))),
                 untouched = sides.indices.filterNot(touchedIdx.contains).toSet)
               val cds = IncrementalView.auxAggs(js.aggs)
               val acds = IncrementalView.sketchAggs(js.aggs)
-              // persist the 2^n−1-term delta across its consumers
+              // persist the k-term delta across its consumers
               // (main merge, aux merges, overlays, the ACD probe),
               // like the single-table path
               val sdOpt =
@@ -1633,15 +1653,16 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               // all: appends whose new rows join only pre-existing
               // partner rows (facts landing against stable dims — the
               // common shape) produce positive singleton terms only,
-              // while correlated cross-side appends surface the
-              // all-delta term's negative parity and correctly take
-              // the recompute (the union would fold their +1/+1/−1
-              // triple in twice). Any negative row means a retraction
-              // OR a cancelling cross-term pair — and a cancelled pair
-              // (old-side × new-side, e.g. DELETE dim + INSERT fact in
-              // one window) is a +1 PHANTOM that never existed in
-              // either state, which a net-support probe would wave
-              // through into the sketch. So the probe is the strictest
+              // while telescoping's partition property (a joined row
+              // enters the term of the FIRST side whose row is new)
+              // keeps each pair to exactly once. Any negative row
+              // means a retraction OR a cancelling cross-term pair —
+              // a DELETE dim + INSERT fact in one window puts a −1 in
+              // the dim's term (Δdim_old × fact_new) cancelled by a
+              // +1 in the fact's term (dim_old × Δfact_new), and that
+              // +1 is a PHANTOM that never existed in either state,
+              // which a net-support probe would wave through into the
+              // sketch. So the probe is the strictest
               // cheap condition: one limit-1 job over the pinned delta,
               // no aggregation, all ACD value columns at once; a
               // positive dispatches to the touched-group recompute over

@@ -565,7 +565,7 @@ object EngineSql {
   }
 
   /** 3-way chain-join incremental maintenance (round 14): the
-    * inclusion-exclusion delta with 7 terms over a
+    * telescoping delta (3 terms since round 17) over a
     * region→nation→customer hierarchy, churned at ALL THREE levels in
     * one refresh window — a zone rename re-groups every transitive
     * customer, a nation re-parents AND re-segments, leaf rows
@@ -637,7 +637,7 @@ object EngineSql {
   }
 
   /** 5-way chain-join incremental maintenance (round 17): the
-    * inclusion-exclusion delta over a region→nation→customer→orders→
+    * telescoping delta over a region→nation→customer→orders→
     * lineitem hierarchy, churned at ALL FIVE levels in one refresh
     * window — a zone rename, a nation re-parent + re-segment,
     * customer deletes AND a late customer+orders backfill, an order

@@ -171,8 +171,8 @@ object IncrementalView {
     *   [WHERE p] GROUP BY g1..gk
     *
     * A linear chain of inner equi-joins, each ON linking the newly
-    * joined table to one earlier table. The inclusion-exclusion signed
-    * delta (see
+    * joined table to one earlier table. The telescoping signed delta
+    * (see
     * joinSignedDelta) subtracts as well as adds, so it is exact under
     * arbitrary updates/deletes on ANY side. COUNT/SUM/AVG retract from
     * the stored accumulators; COUNT(DISTINCT), SUM/AVG(DISTINCT) and
@@ -188,14 +188,13 @@ object IncrementalView {
     * sketch union stands; any means only the touched groups' sketches
     * recompute from the joined current state (round 15; the probe is
     * conservative — a false positive costs a recompute, never
-    * correctness — and strict enough to exclude phantoms: a phantom's
-    * old-side rows always also join the rest of their tuple through
-    * full-new state in a lower term, emitting the negative row the
-    * probe sees). Note the all-delta term's NEGATIVE parity means
-    * correlated cross-side appends (a new dim row joined by a new
-    * fact row in the same window) do carry negative rows and take the
-    * recompute — which for KLL is also load-bearing: the union would
-    * fold that pair's +1/+1/−1 triple in twice.
+    * correctness — and strict enough to exclude phantoms: a
+    * cancelling old×new cross-pair always emits its matching NEGATIVE
+    * row in the earlier touched side's term, which the probe sees —
+    * joinSignedDelta's phantom note). Telescoping's partition
+    * property (a joined row enters the term of the FIRST side whose
+    * row is new) is what makes the pure-append union fold every
+    * (group, value) pair in exactly once.
     * Table names double as the join aliases; group columns are
     * bare identifiers that must be unambiguous in the joined relation
     * (the stored view exposes them unqualified). */
@@ -226,16 +225,17 @@ object IncrementalView {
     }
   }
 
-  /** Join chains cap. The inclusion-exclusion delta emits terms only
-    * for subsets of the TOUCHED tables (round 17 — an untouched
-    * side's delta is statically empty, so its terms are dropped at
-    * construction instead of after 2^n−1 analyses), so refresh cost
-    * scales with 2^k−1 for k touched tables, not with chain length:
-    * the star-schema shape — one touched fact against five stable
-    * dims — pays ONE term at any n. The cap guards the worst case
-    * (every side churned in one window: 63 six-way terms, each
-    * cascade-bounded but each a planned join); past it the plan
-    * compile time alone stops paying for itself vs a full refresh. */
+  /** Join chains cap. The telescoping delta (round 17) emits ONE
+    * term per TOUCHED table — an untouched side's delta is
+    * statically empty and its term is dropped at construction — so
+    * refresh cost scales with k, not with chain length or 2^k: the
+    * star-schema shape (one touched fact against five stable dims)
+    * pays one term at any n, and even the all-churned 6-table window
+    * pays six cascade-bounded terms. The cap now guards only the
+    * join WIDTH (each term is an n-way join over pruned frames) and
+    * the per-refresh statement floor (k terms × n-way plans plus up
+    * to k−1 extra old-horizon reads); past it a full refresh is
+    * simpler than the wider plans buy. */
   val MaxJoinTables = 6
 
   val RowsCol = "__graft_rows"
@@ -914,64 +914,69 @@ object IncrementalView {
       .where(col(RowsCol) > 0)
   }
 
-  /** Signed contribution frame of a join view's refresh. With
-    * ΔAᵢ = Aᵢ_new[touchedᵢ] − Aᵢ_old[touchedᵢ] (signed multisets),
-    * expanding ⋈ᵢAᵢ_old = ⋈ᵢ(Aᵢ_new − ΔAᵢ) gives
+  /** Signed contribution frame of a join view's refresh — the
+    * TELESCOPING delta (round 17, replacing the 2ⁿ−1-term
+    * inclusion-exclusion): with ΔAᵢ = Aᵢ_new[touchedᵢ] −
+    * Aᵢ_old[touchedᵢ] (signed multisets),
     *
     *   ⋈ᵢAᵢ_new − ⋈ᵢAᵢ_old
-    *     = Σ over nonempty S ⊆ tables of
-    *       (−1)^(|S|+1) · ⋈ ( ΔAᵢ for i∈S, Aᵢ_new for i∉S )
+    *     = Σᵢ ( A₁_old ⋈ … ⋈ Aᵢ₋₁_old ⋈ ΔAᵢ ⋈ Aᵢ₊₁_new ⋈ … ⋈ Aₙ_new )
     *
-    * — the counting-algorithm delta (cf. Gupta & Mumick's
-    * view-maintenance survey), 2ⁿ−1 equi-join terms whose row signs
-    * MULTIPLY (for n=2 the familiar ΔA⋈B_new + A_new⋈ΔB − ΔA⋈ΔB).
-    * Every term carries at least one Δ side, so every term is
-    * O(touched)-restricted on at least one input. Exact under
-    * ARBITRARY updates and deletes for the retractable aggregates;
-    * a sketch-bearing view additionally probes this frame for ANY
-    * negative-signed sketch-value row to decide union vs
-    * touched-group recompute — deliberately NOT net support, which
-    * would wave a cancelling cross-term's +1 phantom pair into the
-    * sketch (see JoinShape). Each term
-    * applies the view's WHERE after the join and projects straight to
-    * the signed-contribution columns, so nothing wider than groupCols
-    * + sign + values ever unions. `sides(i)` = (oldᵢ, newᵢ, fullᵢ)
-    * in `shape.tables` order; the engine pre-prunes full sides where
-    * the adjacent delta's join keys inline. `untouched` (round 17)
-    * names side indices whose delta is STATICALLY empty (no events in
-    * the window): any term selecting such a delta is identically
-    * zero, so it is dropped here — 2^k−1 terms for k touched tables
-    * instead of 2^n−1 analyzed plans the optimizer prunes late. A
-    * 6-table view with one churned fact pays ONE term. */
+    * (check n=2: ΔA⋈B_new + A_old⋈ΔB — the sum telescopes exactly).
+    * ONE term per TOUCHED side — k terms, not 2^k−1 — and each term's
+    * row sign is simply its Δ row's own sign, no products. An
+    * untouched side's delta is statically empty, so its term is
+    * dropped at construction (`untouched`); for such sides old state
+    * equals new state and the engine passes the same frame for both.
+    * Every term still carries exactly one O(touched)-restricted Δ
+    * side, and every full side (old-prefix or new-suffix) is
+    * cascade-pruned to rows that can reach some touched delta. Exact
+    * under ARBITRARY updates and deletes for the retractable
+    * aggregates (cf. Gupta & Mumick's view-maintenance survey; the
+    * prefix-old/suffix-new decomposition is the standard sequential
+    * form of the counting algorithm).
+    *
+    * The sketch probe's contract is unchanged: a sketch-bearing view
+    * probes this frame for ANY negative-signed sketch-value row to
+    * decide union vs touched-group recompute. Union-soundness under
+    * pure appends holds because telescoping PARTITIONS the new joined
+    * rows: a joined row enters the term of the FIRST side whose row
+    * is new (earlier sides take OLD state), so every +1 (group,
+    * value) pair exists in the new joined state exactly once. A
+    * cancelling old×new cross-pair (DELETE dim + INSERT fact in one
+    * window) surfaces as a −1 in the dim's term (Δdim_old × fact_new)
+    * cancelled by a +1 in the fact's term (dim_old × Δfact_new) — the
+    * +1 is a phantom that exists in NEITHER state, and exactly as
+    * with inclusion-exclusion the raw-negative-sign probe (never net
+    * support) is what keeps it out of the sketch.
+    *
+    * Each term applies the view's WHERE after the join and projects
+    * straight to the signed-contribution columns, so nothing wider
+    * than groupCols + sign + values ever unions. `sides(i)` =
+    * (oldᵢ, newᵢ, fullOldᵢ, fullNewᵢ) in `shape.tables` order; the
+    * engine pre-prunes the full frames and passes fullNew for
+    * fullOld on untouched sides. */
   def joinSignedDelta(shape: JoinShape, stored: DataFrame,
-      sides: Seq[(DataFrame, DataFrame, DataFrame)],
+      sides: Seq[(DataFrame, DataFrame, DataFrame, DataFrame)],
       untouched: Set[Int] = Set.empty): DataFrame = {
     require(sides.size == shape.tables.size,
       s"${shape.tables.size} tables, ${sides.size} sides")
     val storedType = stored.schema.map(f => f.name -> f.dataType).toMap
     val n = sides.size
-    val signCol = shape.tables.map(t => s"__graft_sgn_$t")
-    def withSign(df: DataFrame, c: String, v: Int): DataFrame =
-      df.withColumn(c, lit(v))
-    val deltas = sides.zipWithIndex.map { case ((old, nw, _), i) =>
-      withSign(nw, signCol(i), 1).unionByName(withSign(old, signCol(i), -1))
-    }
-    val fulls = sides.zipWithIndex.map { case ((_, _, full), i) =>
-      withSign(full, signCol(i), 1)
-    }
-    val untouchedMask = untouched.foldLeft(0)((m, i) => m | (1 << i))
-    val terms = (1 until (1 << n))
-      .filter(mask => (mask & untouchedMask) == 0)
-      .map { mask =>
-        val frames = (0 until n).map(i =>
-          if ((mask & (1 << i)) != 0) deltas(i) else fulls(i))
-        val parity = if (java.lang.Integer.bitCount(mask) % 2 == 1) 1 else -1
-        val sign = signCol.map(col).reduce(_ * _) * lit(parity)
-        shape.joined(frames).select(
-          shape.groupKeys.map(k => expr(k.e).as(k.alias)) ++
-            Seq(sign.as("__sign")) ++
-            signedVals(shape.aggs, storedType): _*)
+    val sgn = "__graft_sgn"
+    val terms = (0 until n).filterNot(untouched).map { i =>
+      val delta = sides(i)._2.withColumn(sgn, lit(1))
+        .unionByName(sides(i)._1.withColumn(sgn, lit(-1)))
+      val frames = (0 until n).map { j =>
+        if (j < i) sides(j)._3 // old-prefix
+        else if (j == i) delta
+        else sides(j)._4 // new-suffix
       }
+      shape.joined(frames).select(
+        shape.groupKeys.map(k => expr(k.e).as(k.alias)) ++
+          Seq(col(sgn).as("__sign")) ++
+          signedVals(shape.aggs, storedType): _*)
+    }
     require(terms.nonEmpty,
       "joinSignedDelta called with every side untouched")
     terms.reduce(_ unionByName _)

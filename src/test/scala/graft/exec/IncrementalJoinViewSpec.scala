@@ -279,7 +279,7 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     // churn ALL THREE levels in one window: a zone rename re-groups
     // every transitive pair (reg Δ term), a customer re-segments and
     // re-parents (middle Δ), sales churn (leaf Δ), plus inserts — the
-    // inclusion-exclusion terms up to Δreg⋈Δcust⋈Δsale all fire
+    // telescoping terms (Δreg, reg_old⋈Δcust, …⋈Δsale) all fire
     e.sql("INSERT INTO reg VALUES (3,'north')")
     e.sql("INSERT INTO cust VALUES (13,3,'c')")
     e.sql("INSERT INTO sale VALUES (104,13,9), (105,12,950)")
@@ -692,7 +692,7 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
 
   test("ACD join view: a cancelling cross-term phantom never enters the sketch") {
     // DELETE dim + INSERT fact in one refresh window: the
-    // inclusion-exclusion cross term −Δdim⋈Δfct emits a +1 row for a
+    // telescoping fact term dim_old⋈Δfct emits a +1 row for a
     // (group, value) pair that existed in NEITHER state (old dim × new
     // fact), and its net support is 0 — a net-based probe would keep
     // the union path and the sketch would absorb the phantom forever.

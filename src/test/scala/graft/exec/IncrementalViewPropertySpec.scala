@@ -250,7 +250,7 @@ class IncrementalViewPropertySpec extends AnyFunSuite {
     // construction drops untouched sides' terms, so most batches plan
     // far fewer than 2^5−1 = 31 terms — single-level batches plan one
     // — while batches churning several levels at once exercise the
-    // multi-term inclusion-exclusion over a 5-deep hierarchy
+    // multi-term telescoping delta over a 5-deep hierarchy
     // (zone→seg→customer→order→line), including subtree orphaning at
     // two middle levels.
     val e = QueryEngine.scratch(spark)
