@@ -43,7 +43,14 @@ object SemDedup {
     * again — `Similarity.kmeans` is deterministic, so the result is
     * identical either way. `maxClusterSize` re-splits oversized
     * clusters before the pairwise stage (see `resplitOversized`);
-    * None = the paper's plain configuration. */
+    * None = the paper's plain configuration.
+    *
+    * At scale (round 17, SCALE.md): size k ∝ corpus so the pairwise
+    * stage stays N·(N/k), and pass a `Similarity.kmeansTwoLevel`
+    * assignment as `precomputed` — the internal default here is FLAT
+    * k-means, whose N·k assignment is itself quadratic once k grows
+    * with the corpus (the exact trap the second scaling decade
+    * caught in q_semdedup). */
   def dedup(embeddings: DataFrame, k: Int, iters: Int, minCos: Double,
       precomputed: Option[DataFrame] = None,
       maxClusterSize: Option[Int] = None): DataFrame = {
