@@ -974,6 +974,65 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("a 6-table chain (the cap) maintains incrementally under multi-level churn") {
+    // the cap boundary at runtime, not just in the parser: a 6-deep
+    // hierarchy with churn at the head, a middle re-parent, and leaf
+    // value churn in ONE window — three touched sides, so the
+    // telescoping delta plans three terms with old-prefix reads — must
+    // equal the from-scratch aggregate
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE a6 (a BIGINT PRIMARY KEY, zone STRING)")
+    e.sql("CREATE TABLE b6 (b BIGINT PRIMARY KEY, ak BIGINT)")
+    e.sql("CREATE TABLE c6 (c BIGINT PRIMARY KEY, bk BIGINT, seg STRING)")
+    e.sql("CREATE TABLE d6 (d BIGINT PRIMARY KEY, ck BIGINT)")
+    e.sql("CREATE TABLE e6 (e BIGINT PRIMARY KEY, dk BIGINT)")
+    e.sql("CREATE TABLE f6 (f BIGINT PRIMARY KEY, ek BIGINT, v BIGINT)")
+    e.sql("INSERT INTO a6 VALUES (1,'e'), (2,'w')")
+    e.sql("INSERT INTO b6 VALUES (10,1), (11,2)")
+    e.sql("INSERT INTO c6 VALUES (20,10,'x'), (21,11,'y'), (22,10,'y')")
+    e.sql("INSERT INTO d6 VALUES (30,20), (31,21), (32,22)")
+    e.sql("INSERT INTO e6 VALUES (40,30), (41,31), (42,32), (43,30)")
+    e.sql("INSERT INTO f6 VALUES (50,40,5), (51,41,7), (52,42,9), " +
+      "(53,43,11), (54,40,13)")
+    e.sql("""CREATE MATERIALIZED VIEW v6 AS
+            |SELECT zone, seg, COUNT(*) AS n, SUM(v) AS sv
+            |FROM a6 JOIN b6 ON a6.a = b6.ak
+            |JOIN c6 ON b6.b = c6.bk
+            |JOIN d6 ON c6.c = d6.ck
+            |JOIN e6 ON d6.d = e6.dk
+            |JOIN f6 ON e6.e = f6.ek
+            |GROUP BY zone, seg""".stripMargin)
+    assert(e.sql("SHOW MATERIALIZED VIEWS").collect()
+      .head.getString(2) === "incremental_join")
+    def fresh(): Set[String] =
+      e.sql("""SELECT zone, seg, COUNT(*) AS n, SUM(v) AS sv
+              |FROM a6 JOIN b6 ON a6.a = b6.ak
+              |JOIN c6 ON b6.b = c6.bk
+              |JOIN d6 ON c6.c = d6.ck
+              |JOIN e6 ON d6.d = e6.dk
+              |JOIN f6 ON e6.e = f6.ek
+              |GROUP BY zone, seg""".stripMargin)
+        .collect().map(_.toString).toSet
+    def view(): Set[String] =
+      e.sql("SELECT zone, seg, n, sv FROM v6").collect().map(_.toString).toSet
+    // three levels churn in one window
+    e.sql("UPDATE a6 SET zone = 'n' WHERE a = 1")
+    e.sql("UPDATE c6 SET bk = 11 WHERE c = 22") // middle re-parent
+    e.sql("UPDATE f6 SET v = v + 100 WHERE f = 50")
+    e.sql("DELETE FROM f6 WHERE f = 53")
+    var op = e.sql("REFRESH MATERIALIZED VIEW v6 INCREMENTALLY")
+      .collect().head.getString(0)
+    assert(op === "refreshed_incremental")
+    assert(view() === fresh())
+    // then a single-leaf window (one term)
+    e.sql("INSERT INTO f6 VALUES (55,41,17)")
+    op = e.sql("REFRESH MATERIALIZED VIEW v6 INCREMENTALLY")
+      .collect().head.getString(0)
+    assert(op === "refreshed_incremental")
+    assert(view() === fresh())
+    e.close()
+  }
+
   test("a computed single-side group key restricts its side in the sketch recompute") {
     // Round 17: a COMPUTED group key whose column references all
     // resolve to ONE side (dmr.k % 5) restricts that side to the
