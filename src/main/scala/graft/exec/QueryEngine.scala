@@ -4840,20 +4840,33 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * a silent slow path (or worse, a fused-only divergence). */
   private[graft] var disableFusedReads = false
 
+  /** The decline is correct-but-slower (two independent stateAt reads
+    * instead of one fused scan) and used to be INVISIBLE — a zero-cost
+    * trace span names the reason so an operator reading SHOW TRACE can
+    * tell a fused refresh from a declined one without source-diving. */
+  private def fusedDecline(t: TableDef, reason: String): Option[DataFrame] = {
+    tracer.span("fused-read-declined", s"${t.name}: $reason")(())
+    None
+  }
+
   private def fusedHorizonStates(t: TableDef, r: Long, h: Long)
       : Option[DataFrame] = {
-    if (disableFusedReads) return None
-    if (txn.isDefined || dmlReadScope || t.attached.isDefined) return None
+    if (disableFusedReads) return fusedDecline(t, "forced by test hook")
+    if (txn.isDefined || dmlReadScope)
+      return fusedDecline(t, "transaction-scoped read")
+    if (t.attached.isDefined) return fusedDecline(t, "attached event log")
     // a user column inside the engine's hidden namespace would
     // collide with the appended flag columns (duplicate names →
     // ambiguous-reference at the fusedSides filters) — such tables
     // keep the two independent stateAt reads, which never mint names
-    if (carriesHiddenCols(t)) return None
+    if (carriesHiddenCols(t))
+      return fusedDecline(t, "legacy __graft_ user column")
     val snapDir = catalog.snapshotPath(t.name)
     val baseR = tracer.span("fused-plan", t.name) {
       Snapshots.nearest(spark, snapDir, Some(r))
     }
-    if (baseR != Snapshots.nearest(spark, snapDir, Some(h))) return None
+    if (baseR != Snapshots.nearest(spark, snapDir, Some(h)))
+      return fusedDecline(t, "bounds straddle a checkpoint")
     val ev = events(t)
     val source = baseR match {
       case Some(b) =>

@@ -50,6 +50,39 @@ class TracingSpec extends AnyFunSuite {
     assert(spans.forall(_._5), "all spans of a successful statement are ok")
   }
 
+  test("a declined fused horizon read names its reason in the trace") {
+    // the decline is correct-but-slower (two stateAt reads instead of
+    // one fused scan); round 17 makes it OBSERVABLE — a zero-duration
+    // span carries the reason, so a slow refresh is diagnosable from
+    // SHOW TRACE instead of source-diving
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE tf (k BIGINT PRIMARY KEY, g STRING, v BIGINT)")
+    e.sql("INSERT INTO tf VALUES (1,'a',5)")
+    e.sql("""CREATE MATERIALIZED VIEW tfv AS
+            |SELECT g, COUNT(*) AS n, SUM(v) AS sv
+            |FROM tf GROUP BY g""".stripMargin)
+    e.sql("INSERT INTO tf VALUES (2,'b',7)")
+    e.disableFusedReads = true
+    try {
+      e.sql("SET TRACE ON")
+      e.sql("REFRESH MATERIALIZED VIEW tfv INCREMENTALLY")
+      val traces = e.sql("SHOW TRACES").collect()
+      val refresh = traces.find(_.getString(1).startsWith("REFRESH")).get
+      val spans = spansOf(e, refresh.getLong(0))
+      val decline = spans.filter(_._3 == "fused-read-declined")
+      assert(decline.nonEmpty, s"no decline span among ${spans.map(_._3)}")
+      assert(decline.exists(_._4.contains("forced by test hook")),
+        decline.map(_._4))
+    } finally e.disableFusedReads = false
+    // and a normal refresh records NO decline span
+    e.sql("INSERT INTO tf VALUES (3,'a',9)")
+    e.sql("REFRESH MATERIALIZED VIEW tfv INCREMENTALLY")
+    val t2 = e.sql("SHOW TRACES").collect()
+      .find(_.getString(1).startsWith("REFRESH")).get
+    assert(!spansOf(e, t2.getLong(0)).exists(_._3 == "fused-read-declined"))
+    e.close()
+  }
+
   test("trigger body statements nest under the firing statement") {
     val e = QueryEngine.scratch(spark)
     e.sql("CREATE TABLE src (k BIGINT PRIMARY KEY)")
