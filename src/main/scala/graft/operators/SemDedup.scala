@@ -70,34 +70,36 @@ object SemDedup {
     m.join(dropped, Seq("vec_id"), "left_anti").select("vec_id", "cluster")
   }
 
-  /** Recursively split every cluster above `cap` with a sub-k-means
-    * over its own members until none remains (or a bounded depth, for
-    * the pathological all-identical-vectors mass that no centroid can
+  /** Split every cluster above `cap` with a sub-k-means over its own
+    * members until none remains (or a bounded depth, for the
+    * pathological all-identical-vectors mass that no centroid can
     * separate). Returns a full (vec_id, cluster) re-assignment;
-    * sub-cluster labels are FRESH longs from a driver-side counter —
-    * k-means labels are seed vec_ids, and a seed of one top-level
-    * cluster can be a MEMBER of another, so reusing sub-seed ids as
-    * labels could collide with a surviving top-level label.
+    * sub-cluster labels are FRESH longs past every vec_id — k-means
+    * labels are seed vec_ids, and a seed of one top-level cluster can
+    * be a MEMBER of another, so reusing sub-seed ids as labels could
+    * collide with a surviving top-level label.
     *
-    * Scale shape: the oversized set is at most (current cluster
-    * count) rows, collected driver-side; each hot cluster costs one
-    * membership semi-join plus its own kmeans (broadcast-argmax
-    * rounds over cap-bounded members). Hot clusters are few by
-    * construction — k is chosen so the EXPECTED cluster is far under
-    * cap — so the driver loop is short. Stated honestly (round 17,
-    * measured): the loop is SEQUENTIAL per hot cluster, so it is a
-    * skew BACKSTOP, not a substitute for sizing k — running it with
-    * every cluster hot (fixed small k on a grown corpus) costs
-    * several Spark job rounds per cluster and dominated the sf1
-    * semdedup sample at ~6× the uncapped time. Size k ∝ corpus so the
-    * cap only catches genuine skew tails; a cluster still above cap
-    * after the depth bound keeps its size (pairwise for that cluster
-    * is then unbounded — the all-identical-vectors mass where finer
-    * centroids cannot separate anything and near-dup pruning is the
-    * point anyway). */
+    * Scale shape (vectorized round 17 — the earlier version ran one
+    * sub-k-means PER hot cluster from a sequential driver loop, which
+    * made the backstop itself the bottleneck when many clusters ran
+    * hot): every round handles ALL hot clusters in one pass, exactly
+    * like kmeansTwoLevel's fine stage — per-cluster seeds come from
+    * one row_number window over the hot members, per-round Lloyd
+    * iterations are one broadcast join on the cluster key (each
+    * member meets only its own cluster's sub-centroids) plus one
+    * (cluster, label, dim) mean aggregation. Per-cluster fan-out is
+    * clamped to 64 sub-clusters per round, so the seed broadcast is
+    * bounded by 64 × hot clusters per round and EXTREME skew resolves
+    * through recursion depth (64^d fan-out across d ≤ 16 rounds)
+    * rather than through an unbounded broadcast. A cluster still
+    * above cap after the depth bound keeps its size (the
+    * all-identical-vectors mass, where finer centroids cannot
+    * separate anything and near-dup pruning is the point anyway). */
   private[graft] def resplitOversized(embeddings: DataFrame,
       assign0: DataFrame, cap: Int, iters: Int): DataFrame = {
     require(cap > 1, s"need maxClusterSize > 1 (got $cap)")
+    val spark = embeddings.sparkSession
+    import scala.jdk.CollectionConverters._
     val points = embeddings.select(col("vec_id"), col("embedding"))
     var assign = assign0
     // fresh labels start past every possible seed label (= vec_id);
@@ -121,40 +123,84 @@ object SemDedup {
         val m = points.agg(max(col("vec_id")).cast("long")).head()
         nextLabel = (if (m.isNullAt(0)) 0L else m.getLong(0)) + 1
       }
-      val spark = embeddings.sparkSession
-      import scala.jdk.CollectionConverters._
-      val keep = assign
-        .where(!col("cluster").isInCollection(hot.map(_._1)))
-      val pieces = hot.map { case (c, n) =>
-        val subK = math.max(2, ((n + cap - 1) / cap).toInt)
-        val members = points.join(
-          assign.where(col("cluster") === c).select("vec_id"), "vec_id")
-        val sub = Similarity.kmeans(members, subK, iters).localCheckpoint()
-        // relabel: distinct sub labels are <= subK rows (bounded)
-        val labels = sub.select(col("cluster").cast("long")).distinct()
-          .collect().map(_.getLong(0)).sorted
-        val mapping = labels.map { l => val f = nextLabel; nextLabel += 1
-          (l, f) }.toMap
-        val mapDf = broadcast(spark.createDataFrame(
-          mapping.toSeq.sortBy(_._1).map(p =>
-            org.apache.spark.sql.Row(p._1, p._2)).asJava,
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("__old",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("__new",
-              org.apache.spark.sql.types.LongType)))))
-        val out = sub.join(mapDf, col("cluster").cast("long") === col("__old"))
-          .select(col("vec_id"), col("__new").as("cluster"))
-        (sub, out)
+      // driver-side per-cluster plan: fan-out (clamped) and a disjoint
+      // fresh-label base per hot cluster — `hot` is at most the
+      // current cluster count, already collected by oversized()
+      val plan = hot.zipWithIndex.map { case ((c, n), ord) =>
+        val subK = math.max(2L, math.min(64L, (n + cap - 1) / cap))
+        (c, subK, nextLabel + ord.toLong * 64L)
       }
-      val next = (keep.select(col("vec_id"), col("cluster").cast("long")
-          .as("cluster")) +: pieces.map(_._2))
-        .reduce(_ unionByName _).localCheckpoint()
-      pieces.foreach(p => graft.Pins.free(p._1))
+      nextLabel += hot.size.toLong * 64L
+      val planDf = broadcast(spark.createDataFrame(
+        plan.map(p => org.apache.spark.sql.Row(p._1, p._2, p._3)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cluster",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("__subk",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("__lbase",
+            org.apache.spark.sql.types.LongType)))))
+      val assignL = assign.select(col("vec_id"),
+        col("cluster").cast("long").as("cluster"))
+      val keep = assignL.join(broadcast(planDf.select("cluster")),
+        Seq("cluster"), "left_anti")
+        .select(col("vec_id"), col("cluster"))
+      // hot members, pinned once per round: feed the seed window, every
+      // Lloyd pass, and the mean recompute
+      val members = points.join(assignL, "vec_id")
+        .join(broadcast(planDf.select("cluster")), "cluster")
+        .localCheckpoint()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster").orderBy("vec_id")
+      var cents = members.withColumn("__rn", row_number().over(w))
+        .join(planDf, "cluster")
+        .where(col("__rn") <= col("__subk"))
+        .select(col("cluster"),
+          (col("__lbase") + col("__rn") - 1).as("label"),
+          transform(col("embedding"), _.cast("double")).as("cent"))
+        .localCheckpoint()
+      def assignF(c: DataFrame): DataFrame = members
+        .join(broadcast(c), "cluster") // each member × its own sub-seeds
+        .groupBy("vec_id")
+        .agg(max_by(col("label"),
+          struct(round(Similarity.cosine(col("embedding"), col("cent")), 9)
+            .as("s"), (-col("label")).as("tie"))).as("label"),
+          first(col("cluster")).as("cluster"))
+      for (_ <- 0 until iters) {
+        val dims = assignF(cents)
+          .join(members.select(col("vec_id"), col("embedding")), "vec_id")
+          .select(col("cluster"), col("label"),
+            posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy("cluster", "label", "pos")
+          .agg(avg(col("x").cast("double")).as("m"))
+          .groupBy("cluster", "label")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            _.getField("m")).as("cent"))
+        // a sub-centroid that lost every member keeps its seed vector
+        val next = cents.select(col("cluster"), col("label"),
+            col("cent").as("_prev"))
+          .join(dims, Seq("cluster", "label"), "left")
+          .select(col("cluster"), col("label"),
+            coalesce(col("cent"), col("_prev")).as("cent"))
+          .localCheckpoint()
+        graft.Pins.free(cents)
+        cents = next
+      }
+      val sub = assignF(cents).select(col("vec_id"),
+        col("label").as("cluster"))
+      val next = keep.unionByName(sub).localCheckpoint()
+      graft.Pins.free(cents)
+      graft.Pins.free(members)
       if (owned) graft.Pins.free(assign)
       owned = true
       assign = next
+      val prevSizes = hot.map(_._2).sorted
       hot = oversized()
+      // an unseparable mass (identical vectors) reproduces the same
+      // oversized multiset every round — stop at the first round that
+      // made no progress instead of burning the whole depth budget on
+      // clusters no centroid can split
+      if (hot.map(_._2).sorted == prevSizes) hot = Nil
     }
     assign
   }
