@@ -630,6 +630,55 @@ object Pipeline {
       .orderBy("why", "vec_id")
   }
 
+  /** Two-level k-means (round 17 — the scalable assignment shape:
+    * coarse √k, then √k fine centroids per cell, N·2√k cosine
+    * evaluations per pass where flat k-means pays N·k; see SCALE.md's
+    * second-decade finding). Structural invariants as an
+    * empty-violations oracle: every vector assigned exactly once,
+    * every label is a REAL corpus vec_id belonging to the SAME coarse
+    * cell as the vector it labels (the fine assignment never crosses
+    * the frozen coarse partition — recomputed independently here),
+    * the run is deterministic, and the clustering separates the
+    * corpus. */
+  val qKmeansTwoLevel = Q(
+    "q_kmeans_twolevel",
+    emptyViolationsSql("why" -> "VARCHAR", "vec_id" -> "BIGINT")) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val res = Similarity.kmeansTwoLevel(emb, k = 16, iters = 2)
+      .localCheckpoint()
+    // the frozen coarse partition, re-derived independently (kmeans is
+    // deterministic): kc = ceil(sqrt(16)) = 4
+    val coarse = Similarity.kmeans(emb, k = 4, iters = 2)
+      .withColumnRenamed("cluster", "cell").localCheckpoint()
+    val missing = emb.select("vec_id")
+      .join(res.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select(lit("vector_unassigned").as("why"), col("vec_id"))
+    val dup = res.groupBy("vec_id").agg(count(lit(1)).as("_n"))
+      .where(col("_n") > 1)
+      .select(lit("assigned_twice").as("why"), col("vec_id"))
+    val badLabel = res.join(
+        emb.select(col("vec_id").as("cluster")), Seq("cluster"), "left_anti")
+      .select(lit("label_not_a_corpus_id").as("why"), col("vec_id"))
+    // cross-cell label: the vector's cell must equal its label's cell
+    val crossCell = res.join(coarse, "vec_id")
+      .join(coarse.select(col("vec_id").as("cluster"),
+        col("cell").as("__labelCell")), "cluster")
+      .where(col("cell") =!= col("__labelCell"))
+      .select(lit("label_crosses_coarse_cell").as("why"), col("vec_id"))
+    val nondet = res.join(
+        Similarity.kmeansTwoLevel(emb, k = 16, iters = 2)
+          .withColumnRenamed("cluster", "__c2"), "vec_id")
+      .where(col("cluster") =!= col("__c2"))
+      .select(lit("nondeterministic").as("why"), col("vec_id"))
+    val degenerate = res.agg(countDistinct(col("cluster")).as("_k"))
+      .where(col("_k") <= 1)
+      .select(lit("degenerate_single_cluster").as("why"),
+        lit(-1L).as("vec_id"))
+    missing.unionByName(dup).unionByName(badLabel).unionByName(crossCell)
+      .unionByName(nondet).unionByName(degenerate)
+      .orderBy("why", "vec_id")
+  }
+
   // --------------------------------------------------- text analysis
 
   /** Token/quality metrics per document — all engine-exact ratios. */
@@ -2055,6 +2104,7 @@ object Pipeline {
     qSimHash, qSimHashSuperset, qEmbedNearDup, qEmbedNearDupLsh, qSemDedup,
     qDiversitySample,
     qAnnCosine, qAnnLsh, qAnnIvfFull, qAnnIvf, qKmeansFull, qKmeans,
+    qKmeansTwoLevel,
     qTextQuality, qLangId, qTokenStats, qVocabOov, qTfidfKeywords,
     qPerplexity, qSubstringDedup, qDsir, qNbClassify, qNbModel,
     qPcaCov, qPcaProject, qPcaTop2, qHtmlExtract, qUrlNormalize, qFingerprint,
