@@ -49,6 +49,14 @@ object ScaleGen {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft-sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    // Always build from the ORIGINAL fixture dir, never stage on an
+    // already-synthesized corpus: a second-stage build would collide
+    // keys (offsets past the first stage's span) AND word namespaces
+    // (stage-2 copy j's prefix of stage-1 copy 0's plain words equals
+    // stage-1 copy j's words — "c5_" + "the" == "c5_the"), quietly
+    // re-coupling the dup structure the prefixes exist to separate.
+    // A 1000-copy single-stage union (the third scaling decade) plans
+    // and writes fine.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -230,6 +230,9 @@ object Similarity {
     val pts = embeddings
       .select(col("vec_id").as("pid"), col("embedding").as("pv"))
       .join(coarse, "pid").localCheckpoint()
+    // pts (eager) was coarse's last consumer; freeing it also unpins
+    // the inner kmeans' final centroid checkpoint riding in its plan
+    graft.Pins.free(coarse)
     // fine seeds: the kf lowest-id members of each cell (deterministic,
     // mirrors kmeans' lowest-id seeding); one corpus window, once
     val w = org.apache.spark.sql.expressions.Window
@@ -265,7 +268,16 @@ object Similarity {
       graft.Pins.free(cents)
       cents = next
     }
+    // Materialize the (vec_id, cluster) result — 2 narrow columns —
+    // then free the corpus-sized pts pin and the seed frame: the
+    // caller's frame must not keep (vec_id + embedding + cell) pinned
+    // in block storage through whatever heavy stage follows (Pins
+    // documents exactly this failure mode; pts is the one
+    // corpus-sized checkpoint this operator takes).
     val out = assign(cents).select(col("pid").as("vec_id"), col("cluster"))
+      .localCheckpoint()
+    graft.Pins.free(pts)
+    graft.Pins.free(cents)
     out
   }
 

@@ -643,7 +643,9 @@ object EngineSql {
     * customer deletes AND a late customer+orders backfill, an order
     * delete orphaning its lineitems, leaf value updates and deletes.
     * Every side touched is the WORST case for the term construction
-    * (2^5−1 = 31 terms); the common one-side refresh plans one. The
+    * (the telescoping delta plans one term per TOUCHED side — five
+    * here, plus four old-horizon pruned reads; a one-side refresh
+    * plans one term). The
     * oracle recomputes the 5-way join aggregate from scratch with
     * CASE-encoded churn; cents are exact BIGINTs. */
   val qMatViewJoin5 = Q(
@@ -720,7 +722,8 @@ object EngineSql {
             |JOIN o5 ON c5.c = o5.ck
             |JOIN l5 ON o5.o = l5.ok
             |GROUP BY zone, seg""".stripMargin)
-    // churn at every level: worst-case 31-term refresh
+    // churn at every level: the worst-case all-five-touched refresh
+    // (five telescoping terms)
     e.sql("""INSERT INTO c5
             |SELECT c_custkey, c_nationkey FROM customer
             |WHERE c_custkey BETWEEN 1000 AND 1099""".stripMargin)

@@ -651,11 +651,17 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
         // describe-before-execute paths read it (round 17; NoData here
         // made a prepared SELECT look resultless). The row SHAPE never
         // depends on parameter values in graft's SQL, so plan once
-        // with NULL-bound parameters — plan-only, no job. Anything
-        // that fails the NULL-bound plan degrades to NoData, the
-        // pre-r17 answer.
+        // with NULL-bound parameters. That plan is safe ONLY for pure
+        // READ heads (a lazy frame — plan-only, no job): the engine
+        // dispatches statements like CALL / REFRESH / VACUUM / BACKUP
+        // eagerly inside session.sql, so NULL-bind-planning one would
+        // RUN its side effects at Describe time (with NULL arguments!)
+        // and again at Execute with the real ones. Those answer
+        // NoData, the pre-r17 answer — a metadata miss, never a
+        // phantom execution. Anything that fails the NULL-bound plan
+        // also degrades to NoData.
         val rowDesc =
-          if (isRowless(headWords(sql)._1)) None
+          if (!pureHeads(headWords(sql)._1)) None
           else scala.util.Try {
             val bound = if (oids.isEmpty) sql
               else graft.sql.Params.bind(sql,
@@ -670,7 +676,14 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
         val p = st.portals.getOrElse(name,
           throw new IllegalArgumentException(s"unknown portal: $name"))
         // rowless statements answer NoData WITHOUT executing — PG runs
-        // DML at Execute, never at Describe
+        // DML at Execute, never at Describe. A row-returning statement
+        // builds the portal's frame here: pure reads plan lazily (no
+        // job), while an eager head (CALL, REFRESH, …) does run at
+        // this point — its frame is CACHED on the portal, so the
+        // Execute that pgjdbc sends in the same batch streams the one
+        // result and the statement never runs twice. NoData is not an
+        // option for these: the client must see RowDescription before
+        // the DataRows Execute will stream.
         if (isRowless(headWords(p.sql)._1)) { out.write('n'); out.writeInt(4) }
         else sendRowDescription(cancellable(st)(portalFrame(session, p)).schema, out)
       }
@@ -728,6 +741,15 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
     "BEGIN", "COMMIT", "ROLLBACK", "SAVEPOINT", "RELEASE", "SET", "RESET",
     "CREATE", "DROP", "ALTER", "TRUNCATE", "GRANT", "REVOKE")
   private def isRowless(w1: String): Boolean = rowlessHeads.contains(w1)
+
+  /** Heads whose frame construction is a pure read — the engine hands
+    * back a lazy plan (or a bounded catalog listing) with no side
+    * effects, so statement-Describe may NULL-bind-plan them for the
+    * row shape. Everything else (CALL, REFRESH, VACUUM, BACKUP,
+    * OPTIMIZE, ANALYZE, CHECK, REPAIR, MIGRATE, …) executes eagerly
+    * inside session.sql and must NOT run at Describe. */
+  private val pureHeads = Set("SELECT", "WITH", "VALUES", "SHOW",
+    "EXPLAIN", "DESCRIBE", "DIFF")
 
   /** The affected-row count from the engine's DML summary frame
     * ((op, n_affected, last_sequence) — a literal one-row frame; the

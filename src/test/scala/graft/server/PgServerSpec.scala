@@ -363,6 +363,46 @@ class PgServerSpec extends AnyFunSuite {
     }
   }
 
+  test("statement-Describe never executes an eager statement (CALL)") {
+    // PG defines Describe as metadata-only. graft's session.sql runs
+    // CALL/REFRESH-class statements eagerly, so the server must answer
+    // NoData for them instead of NULL-bind-planning (which would run
+    // the procedure with NULL arguments at Describe time, then again
+    // at Execute with the real ones).
+    withServer { (_, port) =>
+      assert(psql(port,
+        "CREATE TABLE side (k BIGINT PRIMARY KEY, v BIGINT); " +
+          "CREATE PROCEDURE bump(kk BIGINT) AS INSERT INTO side VALUES ($kk, 1)")._1 === 0)
+      val c = new ExtClient(port)
+      try {
+        def int8(v: Long): Array[Byte] =
+          java.nio.ByteBuffer.allocate(8).putLong(v).array()
+        // pgjdbc's getMetaData() shape: Parse + Describe(statement) + Sync
+        c.sendParseNamed("S_c", "CALL bump($1)", Seq(20))
+        c.sendDescribe('S', "S_c")
+        val d = c.sync()
+        // ParameterDescription then NoData — and, critically, the
+        // procedure did NOT run
+        assert(d.map(_._1).containsSlice(Seq('1', 't', 'n')), d.map(_._1))
+        val (_, n0, _) = psql(port, "SELECT COUNT(*) AS n FROM side")
+        assert(n0.trim === "0", s"Describe executed the procedure: $n0")
+        // the real Execute runs it exactly once, with the bound param
+        c.sendBindNamed("P_c", "S_c", Seq(int8(7L)))
+        val ex = c.executeNamed("P_c", 0)
+        assert(ex.last._1 === 'C', ex.map(_._1))
+        assert(c.sync().last._1 === 'Z')
+        val (_, k1, _) = psql(port, "SELECT k FROM side")
+        assert(k1.trim === "7", s"expected exactly one row keyed 7: $k1")
+        // a prepared SELECT still gets its RowDescription at
+        // statement-Describe (the round-17 pgjdbc fix stays intact)
+        c.sendParseNamed("S_s", "SELECT k FROM side WHERE k > $1", Seq(20))
+        c.sendDescribe('S', "S_s")
+        val ds = c.sync()
+        assert(ds.map(_._1).containsSlice(Seq('1', 't', 'T')), ds.map(_._1))
+      } finally c.close()
+    }
+  }
+
   test("wire sessions are plain users: trust list, superuser gate, passwords") {
     val e = QueryEngine.scratch(spark)
     val srv = new PgServer(e, 0, superusers = Set("root"),
