@@ -9,9 +9,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle parallelism defaults to the thread count — right for the
+    // driver fixtures, where per-partition state is kilobytes. The
+    // scale-audit corpora need it raised (SPARK_GRAFT_SHUFFLE): at
+    // 1000× fixture scale a corpus-sized exchange (the dedup shingle
+    // frame is ~1.5B rows) lands ~50M rows per task at 32 partitions,
+    // and 32 concurrent sort+unroll buffers of that size exhaust any
+    // single-host heap — the third-decade audit OOMed exactly there.
+    // On a real cluster this knob is just "thousands of shuffle
+    // partitions for terabyte exchanges"; AQE coalesces small
+    // exchanges back down, so oversizing is safe where undersizing
+    // is fatal.
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
     Tables.sessionConfs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()

@@ -152,134 +152,189 @@ object Similarity {
     *
     * Deterministic by construction, like ivfTopK's quantizer: the k
     * lowest-id vectors seed the centroids, assignment ties break on
-    * the centroid id, iteration count is FIXED (no data-dependent
-    * convergence probe), and cluster labels are the seed vectors' ids
-    * throughout. Per iteration: one broadcast of k centroids + a
-    * map-side argmax for assignment (no shuffle of the corpus), then
-    * one (cluster, dim)-keyed aggregation to recompute means — both
-    * shapes scale to 10⁹ vectors; k and dim stay driver-side tiny.
-    * A cluster that loses every member keeps its previous centroid. */
+    * the lowest centroid id, iteration count is FIXED (no
+    * data-dependent convergence probe), and cluster labels are the
+    * seed vectors' ids throughout. A cluster that loses every member
+    * keeps its previous centroid.
+    *
+    * Scale shape (rewritten after the third scaling decade, SCALE.md):
+    * centroids are MODEL state — k×d doubles, megabytes at any k this
+    * engine clusters with — so they live on the DRIVER (the MLlib
+    * KMeans discipline) and each Lloyd pass is (1) assignment as a
+    * pure PROJECTION through the codegen'd NearestCentroid expression
+    * (one output row per input row — no N×k join product, no corpus
+    * shuffle; the old broadcast-join + max_by form materialized ~1 KB
+    * per candidate row, which at 2M×4000 meant ~128 GB per pass and
+    * was measured as 95% of the q_semdedup third-decade blowup) and
+    * (2) one k-group aggregation of per-dimension means (d avg
+    * columns over try_element_at — partial aggregation map-side, a
+    * k-row exchange) collected back to the driver. Work per pass is
+    * N·k cosine kernels inside whole-stage codegen and N·d doubles of
+    * aggregation input; nothing wider than the input row ever
+    * materializes. Seeds or recomputed means carrying a null element
+    * (possible only for ragged/null-element embeddings) are skipped —
+    * the label keeps its previous centroid, matching the old form
+    * where a null-element centroid scored null and was unpickable. */
   def kmeans(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0 (got $k, $iters)")
+    require(k <= 65536,
+      s"flat k-means keeps its k×d model driver-side; k = $k exceeds " +
+        "65536 — use kmeansTwoLevel, whose per-level model is √k")
     val points = embeddings
       .select(col("vec_id").as("pid"), col("embedding").as("pv"))
-    var cents = embeddings.orderBy("vec_id").limit(k)
-      .select(col("vec_id").as("cid"),
-        transform(col("embedding"), _.cast("double")).as("cent"))
-      .localCheckpoint()
-    def assign(c: DataFrame): DataFrame = points
-      .crossJoin(broadcast(c))
-      .groupBy("pid")
-      .agg(max_by(col("cid"),
-        struct(round(cosine(col("pv"), col("cent")), 9).as("s"),
-          (-col("cid")).as("tie"))).as("cluster"))
+    val model = lloydModel(points, seedModel(points, k), iters)
+    if (model.isEmpty)
+      return points.select(col("pid").as("vec_id"),
+        lit(null).cast("long").as("cluster"))
+    points.select(col("pid").as("vec_id"),
+      graft.functions.NearestCentroid(col("pv"), model).as("cluster"))
+  }
+
+  /** The k lowest-id vectors as the deterministic seed model
+    * (label = seed vec_id), collected driver-side. Seeds with a null
+    * element are skipped (see kmeans scaladoc). */
+  private def seedModel(points: DataFrame, k: Int): Seq[(Long, Array[Double])] =
+    points.orderBy("pid").limit(k)
+      .select(col("pid"), col("pv"))
+      .collect().flatMap { r =>
+        val s = r.getSeq[Any](1)
+        if (s == null || s.contains(null)) None
+        else Some(r.getLong(0) -> s.map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray)
+      }.toIndexedSeq
+
+  /** `iters` Lloyd rounds over a driver-side model: assignment via
+    * NearestCentroid projection, means via one k-group aggregation of
+    * d per-dimension avg columns, collected and folded into the next
+    * model. Empty clusters (and null-element means) keep the previous
+    * centroid. */
+  private def lloydModel(points: DataFrame,
+      seed: Seq[(Long, Array[Double])], iters: Int)
+      : Seq[(Long, Array[Double])] = {
+    var model = seed
+    if (model.isEmpty) return model
+    val d = model.iterator.map(_._2.length).max
     for (_ <- 0 until iters) {
-      val members = assign(cents)
-        .join(points, "pid")
-        .select(col("cluster"), posexplode(col("pv")).as(Seq("pos", "x")))
-      val dims = members
-        .groupBy("cluster", "pos")
-        .agg(avg(col("x").cast("double")).as("m"))
-        .groupBy("cluster")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          _.getField("m")).as("cent"))
-      // empty clusters keep their previous centroid (standard Lloyd's)
-      val next = cents.select(col("cid"), col("cent").as("_prev"))
-        .join(dims.withColumnRenamed("cluster", "cid"), Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("cent"), col("_prev")).as("cent"))
-        .localCheckpoint()
-      graft.Pins.free(cents) // superseded iteration, next is materialized
-      cents = next
+      val means = points
+        .withColumn("__c", graft.functions.NearestCentroid(col("pv"), model))
+        .where(col("__c").isNotNull)
+        .groupBy("__c")
+        .agg(avgDims(d).head, avgDims(d).tail: _*)
+        .collect()
+        .flatMap(r => meanOf(r, 1, d).map(r.getLong(0) -> _))
+        .toMap
+      model = model.map { case (l, prev) => l -> means.getOrElse(l, prev) }
     }
-    assign(cents).select(col("pid").as("vec_id"), col("cluster"))
+    model
+  }
+
+  /** d per-dimension mean columns (1-based try_element_at — null past
+    * a ragged row's end, and avg skips nulls, exactly like the old
+    * posexplode form). */
+  private def avgDims(d: Int): Seq[Column] =
+    (0 until d).map(i =>
+      avg(try_element_at(col("pv"), lit(i + 1)).cast("double")).as(s"__m$i"))
+
+  /** The d means starting at `off` in a collected row, or None when
+    * any is null (keep the previous centroid). */
+  private def meanOf(r: org.apache.spark.sql.Row, off: Int, d: Int)
+      : Option[Array[Double]] = {
+    val a = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      if (r.isNullAt(off + i)) return None
+      a(i) = r.getDouble(off + i)
+      i += 1
+    }
+    Some(a)
   }
 
   /** Two-level deterministic k-means: a coarse √k-means over the
-    * corpus, then √k fine centroids WITHIN each coarse cell —
-    * vectorized across cells, never a per-cell driver loop. Returns
+    * corpus, then √k fine centroids WITHIN each coarse cell. Returns
     * the same (vec_id, cluster) shape as `kmeans`, labels again seed
     * vec_ids (fine seeds are distinct corpus rows, so labels are
     * globally unique).
     *
     * Why it exists (round 17, measured in SCALE.md): flat k-means
-    * assignment is N·k cosine evaluations — with k ∝ N (the
+    * assignment is N·k cosine kernels per pass — with k ∝ N (the
     * bounded-cluster requirement that keeps any pairwise consumer
-    * linear) that is N²/c, and the second scaling decade measured
-    * exactly that quadratic (q_semdedup kmeans 5.9 s at 20k×40 →
-    * ~370 s at 200k×400). Two-level costs N·(√k coarse + k/√k fine)
-    * = N·2√k per pass: with k ∝ N that is Θ(N^1.5) — stated
-    * honestly, still super-linear asymptotically; the 100 TB
-    * asymptote is a log-depth quantization tree (N·log N), of which
-    * this is the depth-2 instance. At the measured decades the √k
-    * factor is what turns a 100× blowup into ~10×.
+    * linear) that is N²/c. Two-level costs N·2√k per pass: with
+    * k ∝ N that is Θ(N^1.5) — stated honestly, still super-linear
+    * asymptotically; the 100 TB asymptote is a log-depth quantization
+    * tree (N·log N), of which this is the depth-2 instance.
     *
-    * Fine assignment is one broadcast join of all k fine seeds
-    * filtered by cell equality — each point meets only ITS cell's
-    * fine seeds (N·√k intermediate rows, map-side max_by, no corpus
-    * shuffle) — then the standard (cluster, dim) mean aggregation per
-    * Lloyd round. The coarse partition is FROZEN while fine centroids
-    * iterate (the IVF discipline); a fine cluster that loses every
-    * member keeps its seed centroid. */
+    * Like `kmeans` (and rewritten with it after the third-decade
+    * audit), all centroid state is a driver-side model: the coarse
+    * model feeds a NearestCentroid cell projection, fine seeds are
+    * the kf lowest-id members per cell (one corpus window), and fine
+    * Lloyd rounds assign through the per-cell NearestCentroidIn
+    * projection + one (cell, cluster)-group mean aggregation. ZERO
+    * corpus shuffles per pass, zero cached frames, no join products —
+    * the third decade measured the old broadcast-join form at 1634 s
+    * of q_semdedup's 1713 s (α ≈ 1.9); this form re-measures at
+    * SCALE.md's updated table. The coarse partition is FROZEN while
+    * fine centroids iterate (the IVF discipline); a fine cluster that
+    * loses every member keeps its seed centroid. Coarse cells are
+    * bit-identical to `kmeans(embeddings, kc, iters)` — both run the
+    * same seed + Lloyd model fold — which the q_kmeans_twolevel
+    * cross-cell invariant recomputes and checks. */
   def kmeansTwoLevel(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0 (got $k, $iters)")
     val kc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
     val kf = math.max(1, math.ceil(k.toDouble / kc).toInt)
     if (kf <= 1) return kmeans(embeddings, kc, iters)
-    val coarse = kmeans(embeddings, kc, iters)
-      .select(col("vec_id").as("pid"), col("cluster").as("cell"))
-    val pts = embeddings
+    val points = embeddings
       .select(col("vec_id").as("pid"), col("embedding").as("pv"))
-      .join(coarse, "pid").localCheckpoint()
-    // pts (eager) was coarse's last consumer; freeing it also unpins
-    // the inner kmeans' final centroid checkpoint riding in its plan
-    graft.Pins.free(coarse)
+    val cmodel = lloydModel(points, seedModel(points, kc), iters)
+    if (cmodel.isEmpty)
+      return points.select(col("pid").as("vec_id"),
+        lit(null).cast("long").as("cluster"))
+    def cell: Column = graft.functions.NearestCentroid(col("pv"), cmodel)
     // fine seeds: the kf lowest-id members of each cell (deterministic,
     // mirrors kmeans' lowest-id seeding); one corpus window, once
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("cell").orderBy("pid")
-    var cents = pts
+      .partitionBy("__cell").orderBy("pid")
+    val seedRows = points.withColumn("__cell", cell)
+      .where(col("__cell").isNotNull)
       .withColumn("__rn", row_number().over(w)).where(col("__rn") <= kf)
-      .select(col("cell"), col("pid").as("scid"),
-        transform(col("pv"), _.cast("double")).as("cent"))
-      .localCheckpoint()
-    def assign(c: DataFrame): DataFrame = pts
-      .join(broadcast(c), "cell") // k rows total; each point × its cell's seeds
-      .groupBy("pid")
-      .agg(max_by(col("scid"),
-        struct(round(cosine(col("pv"), col("cent")), 9).as("s"),
-          (-col("scid")).as("tie"))).as("cluster"))
+      .select(col("__cell"), col("pid"), col("pv"))
+      .collect()
+    var fmodel: Map[Long, Seq[(Long, Array[Double])]] = seedRows
+      .flatMap { r =>
+        val s = r.getSeq[Any](2)
+        if (s == null || s.contains(null)) None
+        else Some((r.getLong(0), r.getLong(1), s.map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray))
+      }
+      .groupBy(_._1)
+      .map { case (c, rows) => c -> rows.map(t => (t._2, t._3)).toSeq }
+    if (fmodel.isEmpty)
+      return points.select(col("pid").as("vec_id"),
+        lit(null).cast("long").as("cluster"))
+    val d = fmodel.valuesIterator.flatMap(_.iterator.map(_._2.length)).max
     for (_ <- 0 until iters) {
-      val members = assign(cents)
-        .join(pts, "pid")
-        .select(col("cell"), col("cluster"),
-          posexplode(col("pv")).as(Seq("pos", "x")))
-      val dims = members
-        .groupBy("cell", "cluster", "pos")
-        .agg(avg(col("x").cast("double")).as("m"))
-        .groupBy("cell", "cluster")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          _.getField("m")).as("cent"))
-      val next = cents.select(col("cell"), col("scid"), col("cent").as("_prev"))
-        .join(dims.withColumnRenamed("cluster", "scid"),
-          Seq("cell", "scid"), "left")
-        .select(col("cell"), col("scid"),
-          coalesce(col("cent"), col("_prev")).as("cent"))
-        .localCheckpoint()
-      graft.Pins.free(cents)
-      cents = next
+      val means = points.withColumn("__cell", cell)
+        .withColumn("__c",
+          graft.functions.NearestCentroidIn(col("__cell"), col("pv"), fmodel))
+        .where(col("__c").isNotNull)
+        .groupBy("__cell", "__c")
+        .agg(avgDims(d).head, avgDims(d).tail: _*)
+        .collect()
+        .flatMap(r => meanOf(r, 2, d).map((r.getLong(0), r.getLong(1)) -> _))
+        .toMap
+      fmodel = fmodel.map { case (c, cl) =>
+        c -> cl.map { case (l, prev) => l -> means.getOrElse((c, l), prev) }
+      }
     }
-    // Materialize the (vec_id, cluster) result — 2 narrow columns —
-    // then free the corpus-sized pts pin and the seed frame: the
-    // caller's frame must not keep (vec_id + embedding + cell) pinned
-    // in block storage through whatever heavy stage follows (Pins
-    // documents exactly this failure mode; pts is the one
-    // corpus-sized checkpoint this operator takes).
-    val out = assign(cents).select(col("pid").as("vec_id"), col("cluster"))
-      .localCheckpoint()
-    graft.Pins.free(pts)
-    graft.Pins.free(cents)
-    out
+    points.select(col("pid").as("vec_id"),
+      graft.functions.NearestCentroidIn(cell, col("pv"), fmodel)
+        .as("cluster"))
   }
+
 
   /** LSH-bucketed ANN: exact cosine re-scoring within same-bucket
     * candidates only. Recall < 1 by construction; at scale the bucket

@@ -122,6 +122,53 @@ class SimilaritySpec extends AnyFunSuite {
       .where(col("cluster") =!= col("expect")).count() === 0)
   }
 
+  test("NearestCentroid equals the join-product argmax it replaced") {
+    import org.apache.spark.sql.functions._
+    // the old assignment shape: cross-join every point with every
+    // centroid, max_by(struct(cosine, -label)) — kept here as the
+    // independent reference; the expression must agree on every point
+    // of the fixture for an arbitrary centroid model (first 7 vectors)
+    val model = emb.orderBy("vec_id").limit(7)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toSeq
+    val cents = emb.orderBy("vec_id").limit(7)
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), _.cast("double")).as("cent"))
+    val ref = emb.select(col("vec_id").as("pid"), col("embedding").as("pv"))
+      .crossJoin(broadcast(cents))
+      .groupBy("pid")
+      .agg(max_by(col("cid"),
+        struct(Similarity.cosine(col("pv"), col("cent")).as("s"),
+          (-col("cid")).as("tie"))).as("expect"))
+    val got = emb.select(col("vec_id").as("pid"),
+      graft.functions.NearestCentroid(col("embedding"), model).as("cluster"))
+    assert(got.join(ref, "pid")
+      .where(!(col("cluster") <=> col("expect"))).count() === 0)
+    // per-key variant: split the model across two keys and key each
+    // point by parity — each point must argmax within ITS key's half
+    val byKey: Map[Long, Seq[(Long, Array[Double])]] =
+      Map(0L -> model.take(4), 1L -> model.drop(4))
+    val refIn = emb.select(col("vec_id").as("pid"), col("embedding").as("pv"),
+        (col("vec_id") % 2).as("key"))
+      .crossJoin(broadcast(cents))
+      .where((col("key") === 0 && col("cid") < model(4)._1) ||
+        (col("key") === 1 && col("cid") >= model(4)._1))
+      .groupBy("pid")
+      .agg(max_by(col("cid"),
+        struct(Similarity.cosine(col("pv"), col("cent")).as("s"),
+          (-col("cid")).as("tie"))).as("expect"))
+    val gotIn = emb.select(col("vec_id").as("pid"),
+      graft.functions.NearestCentroidIn(col("vec_id") % 2,
+        col("embedding"), byKey).as("cluster"))
+    assert(gotIn.join(refIn, "pid")
+      .where(!(col("cluster") <=> col("expect"))).count() === 0)
+    // a key with no centroids yields null, not an error
+    val gotNone = emb.select(graft.functions.NearestCentroidIn(
+      lit(7L), col("embedding"), byKey).as("c"))
+    assert(gotNone.where(col("c").isNotNull).count() === 0)
+  }
+
   test("two-level kmeans is a total deterministic partition with in-cell labels") {
     import org.apache.spark.sql.functions._
     val n = emb.count()
