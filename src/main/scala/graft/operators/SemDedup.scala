@@ -45,12 +45,14 @@ object SemDedup {
     * clusters before the pairwise stage (see `resplitOversized`);
     * None = the paper's plain configuration.
     *
-    * At scale (round 17, SCALE.md): size k ∝ corpus so the pairwise
-    * stage stays N·(N/k), and pass a `Similarity.kmeansTwoLevel`
-    * assignment as `precomputed` — the internal default here is FLAT
-    * k-means, whose N·k assignment is itself quadratic once k grows
-    * with the corpus (the exact trap the second scaling decade
-    * caught in q_semdedup). */
+    * At scale (rounds 17–18, SCALE.md): size k ∝ corpus so the
+    * pairwise stage stays N·(N/k); the internal default routes
+    * through `Similarity.kmeansAuto`, which picks flat k-means below
+    * the measured N·k crossover and the log-depth `kmeansTree`
+    * (N·O(log k) assignment kernels, no driver-model k cap) above it
+    * — so corpus-proportional k neither re-creates the quadratic
+    * assignment the second scaling decade caught here nor trips
+    * flat's k ≤ 65536 model gate. */
   def dedup(embeddings: DataFrame, k: Int, iters: Int, minCos: Double,
       precomputed: Option[DataFrame] = None,
       maxClusterSize: Option[Int] = None): DataFrame = {
@@ -59,7 +61,7 @@ object SemDedup {
     // pin each branch would re-run the corpus-wide argmax pass (the
     // Components/kmeans pin pattern; harnesses sweep pins per query)
     val assign0 = precomputed.getOrElse(
-      Similarity.kmeans(embeddings, k, iters).localCheckpoint())
+      Similarity.kmeansAuto(embeddings, k, iters).localCheckpoint())
     val assign = maxClusterSize match {
       case Some(cap) => resplitOversized(embeddings, assign0, cap, iters)
       case None => assign0

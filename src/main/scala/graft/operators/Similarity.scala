@@ -174,7 +174,16 @@ object Similarity {
     * materializes. Seeds or recomputed means carrying a null element
     * (possible only for ragged/null-element embeddings) are skipped —
     * the label keeps its previous centroid, matching the old form
-    * where a null-element centroid scored null and was unpickable. */
+    * where a null-element centroid scored null and was unpickable.
+    *
+    * Output contract on degenerate POINTS (not just centroids): a
+    * vector with a null element, or whose length matches no
+    * centroid's (ragged corpora), gets a NULL cluster — it has no
+    * well-defined cosine to any centroid. Well-formed corpora (every
+    * embedding same length, no null elements — all the engine's
+    * fixtures) are a total partition; downstream cluster-key
+    * consumers over ragged corpora must filter or coalesce the null
+    * label (spec-pinned in SimilaritySpec). */
   def kmeans(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0 (got $k, $iters)")
     require(k <= 65536,
@@ -209,13 +218,19 @@ object Similarity {
     * NearestCentroid projection, means via one k-group aggregation of
     * d per-dimension avg columns, collected and folded into the next
     * model. Empty clusters (and null-element means) keep the previous
-    * centroid. */
+    * centroid. `d` is the max SEED length: an all-empty-seed model is
+    * returned unchanged (nothing to recompute), and a corpus vector
+    * LONGER than every seed contributes only its first d dims to mean
+    * recomputation — assignment already nulls length-mismatched
+    * vectors, so the truncation can only touch rows no centroid
+    * scores anyway. */
   private def lloydModel(points: DataFrame,
       seed: Seq[(Long, Array[Double])], iters: Int)
       : Seq[(Long, Array[Double])] = {
     var model = seed
     if (model.isEmpty) return model
     val d = model.iterator.map(_._2.length).max
+    if (d == 0 || iters == 0) return model
     for (_ <- 0 until iters) {
       val means = points
         .withColumn("__c", graft.functions.NearestCentroid(col("pv"), model))
@@ -291,14 +306,34 @@ object Similarity {
     if (cmodel.isEmpty)
       return points.select(col("pid").as("vec_id"),
         lit(null).cast("long").as("cluster"))
-    def cell: Column = graft.functions.NearestCentroid(col("pv"), cmodel)
-    // fine seeds: the kf lowest-id members of each cell (deterministic,
-    // mirrors kmeans' lowest-id seeding); one corpus window, once
+    val cell = graft.functions.NearestCentroid(col("pv"), cmodel)
+    fineStage(points, cell, kf, iters) match {
+      case Some(fmodel) => points.select(col("pid").as("vec_id"),
+        graft.functions.NearestCentroidIn(cell, col("pv"), fmodel)
+          .as("cluster"))
+      case None => points.select(col("pid").as("vec_id"),
+        lit(null).cast("long").as("cluster"))
+    }
+  }
+
+  /** One per-cell fine k-means stage — the building block both
+    * kmeansTwoLevel (one instance) and kmeansTree (depth−1 chained
+    * instances) assemble. Seeds are the `fan` lowest-id members of
+    * each cell of `cellOf` (one corpus window, collected — ≤
+    * cells·fan model rows), then `iters` Lloyd rounds with the cell
+    * partition FROZEN: assignment is the NearestCentroidIn projection
+    * keyed by `cellOf`, means one (cell, label)-group aggregation of
+    * per-dimension avgs folded into the driver model. A fine cluster
+    * that loses every member (or recomputes a null-element mean)
+    * keeps its seed centroid. None when no cell yields a clean seed
+    * (every candidate has a null element — degenerate corpus). */
+  private def fineStage(points: DataFrame, cellOf: Column, fan: Int,
+      iters: Int): Option[Map[Long, Seq[(Long, Array[Double])]]] = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__cell").orderBy("pid")
-    val seedRows = points.withColumn("__cell", cell)
+    val seedRows = points.withColumn("__cell", cellOf)
       .where(col("__cell").isNotNull)
-      .withColumn("__rn", row_number().over(w)).where(col("__rn") <= kf)
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") <= fan)
       .select(col("__cell"), col("pid"), col("pv"))
       .collect()
     var fmodel: Map[Long, Seq[(Long, Array[Double])]] = seedRows
@@ -312,12 +347,11 @@ object Similarity {
       }
       .groupBy(_._1)
       .map { case (c, rows) => c -> rows.map(t => (t._2, t._3)).toSeq }
-    if (fmodel.isEmpty)
-      return points.select(col("pid").as("vec_id"),
-        lit(null).cast("long").as("cluster"))
+    if (fmodel.isEmpty) return None
     val d = fmodel.valuesIterator.flatMap(_.iterator.map(_._2.length)).max
+    if (d == 0) return Some(fmodel)
     for (_ <- 0 until iters) {
-      val means = points.withColumn("__cell", cell)
+      val means = points.withColumn("__cell", cellOf)
         .withColumn("__c",
           graft.functions.NearestCentroidIn(col("__cell"), col("pv"), fmodel))
         .where(col("__c").isNotNull)
@@ -330,10 +364,97 @@ object Similarity {
         c -> cl.map { case (l, prev) => l -> means.getOrElse((c, l), prev) }
       }
     }
-    points.select(col("pid").as("vec_id"),
-      graft.functions.NearestCentroidIn(cell, col("pv"), fmodel)
-        .as("cluster"))
+    Some(fmodel)
   }
+
+  /** Log-depth k-means quantization tree — the 100 TB assignment
+    * shape SCALE.md's third decade named: where flat k-means pays N·k
+    * cosine kernels per pass and two-level N·2√k, the tree splits
+    * `fan`-way per level to depth ⌈log_branch k⌉, so assignment is
+    * N·fan·depth = N·O(log k) kernels under ANY k — the Θ(N^1.5)
+    * asymptote of k ∝ N two-level clustering drops to N·log N.
+    *
+    * Construction is kmeansTwoLevel's discipline applied recursively:
+    * level 1 is the flat driver-model Lloyd over `fan` seeds; each
+    * further level runs `fineStage` keyed by the COMPOSED assignment
+    * expression of all frozen outer levels (labels are corpus
+    * vec_ids, globally unique, so the running cell id needs no path
+    * encoding), and the final assignment is one codegen'd projection
+    * chain — zero corpus shuffles and zero cached frames at any
+    * depth, exactly like the depth-2 instance. `fan` is the smallest
+    * per-level split with fan^depth ≥ k, so the leaf count overshoots
+    * k the same bounded way two-level's kc·kf does. Driver model
+    * state totals ≤ ~k·fan/(fan−1) centroids across levels — the
+    * same order as any k-cluster model.
+    *
+    * Determinism contract is kmeans'/kmeansTwoLevel's: lowest-id
+    * seeding per cell, ascending-label strict-compare tie-break,
+    * fixed iteration count, frozen outer partitions; a vector whose
+    * level assignment is null (null element / no length-matched
+    * centroid) stays null through the chain. At depth 2 with k a
+    * perfect square this is BIT-IDENTICAL to kmeansTwoLevel (same
+    * fan arithmetic — spec-pinned); at depth 1 (k ≤ branch) it IS
+    * flat kmeans. */
+  def kmeansTree(embeddings: DataFrame, k: Int, iters: Int,
+      branch: Int = 64): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0 (got $k, $iters)")
+    require(branch >= 2 && branch <= 65536,
+      s"need 2 <= branch <= 65536 (got $branch)")
+    var depth = 1
+    var leaves = branch.toLong
+    while (leaves < k) { depth += 1; leaves *= branch }
+    if (depth <= 1) return kmeans(embeddings, k, iters)
+    // the smallest balanced per-level fan with fan^depth >= k
+    // (integer search around the fp root, immune to pow() ulp error)
+    var fan = math.max(2, math.ceil(math.pow(k.toDouble, 1.0 / depth)).toInt)
+    while (BigInt(fan).pow(depth) < k) fan += 1
+    while (fan > 2 && BigInt(fan - 1).pow(depth) >= k) fan -= 1
+    val points = embeddings
+      .select(col("vec_id").as("pid"), col("embedding").as("pv"))
+    val cmodel = lloydModel(points, seedModel(points, fan), iters)
+    if (cmodel.isEmpty)
+      return points.select(col("pid").as("vec_id"),
+        lit(null).cast("long").as("cluster"))
+    var cell: Column = graft.functions.NearestCentroid(col("pv"), cmodel)
+    for (_ <- 2 to depth) {
+      fineStage(points, cell, fan, iters) match {
+        case Some(fmodel) =>
+          cell = graft.functions.NearestCentroidIn(cell, col("pv"), fmodel)
+        case None =>
+          return points.select(col("pid").as("vec_id"),
+            lit(null).cast("long").as("cluster"))
+      }
+    }
+    points.select(col("pid").as("vec_id"), cell.as("cluster"))
+  }
+
+  /** The kernel budget below which FLAT k-means wins: one model, no
+    * window/seed passes, and at ≲ 2^27 total point×centroid kernels
+    * the whole assignment is sub-second on a 32-thread host — the
+    * regime SCALE.md measured two-level costing MORE than flat (extra
+    * Lloyd loops + the seed window) at fixture scale. Above it the
+    * kernel count itself is the cost and the log-depth tree wins. */
+  private[graft] val FlatKernelBudget: Long = 1L << 27
+
+  /** Which assignment shape kmeansAuto picks for a corpus of n
+    * vectors and k clusters — exposed for the dispatch-boundary
+    * spec. Flat requires its whole model driver-side (k ≤ 65536) AND
+    * an n·k kernel bill under FlatKernelBudget; everything else goes
+    * to the log-depth tree. */
+  private[graft] def kmeansPlanFor(n: Long, k: Int): String =
+    if (k <= 65536 && n * k.toLong <= FlatKernelBudget) "flat" else "tree"
+
+  /** Auto-dispatched k-means: flat below the measured N·k crossover
+    * (SCALE.md — tree rounds cost more than flat's single model at
+    * toy scale), the log-depth kmeansTree above it (or whenever k
+    * exceeds flat's driver-model cap). Same output shape and
+    * determinism contract either way; the LABELS differ between
+    * shapes (flat seeds corpus-wide, the tree per cell), so callers
+    * needing a pinned shape call one directly. */
+  def kmeansAuto(embeddings: DataFrame, k: Int, iters: Int): DataFrame =
+    if (kmeansPlanFor(embeddings.count(), k) == "flat")
+      kmeans(embeddings, k, iters)
+    else kmeansTree(embeddings, k, iters)
 
 
   /** LSH-bucketed ANN: exact cosine re-scoring within same-bucket

@@ -470,13 +470,14 @@ object Pipeline {
     * cosine evaluations; stage-profiled as the dominant cost). The
     * fix matches the operator contract on both axes: k scales with
     * the corpus (expected cluster ≈ 500 members, pairwise ≈ N·500),
-    * assignment goes through kmeansTwoLevel (N·2√k per pass — the
-    * depth-2 quantization tree; Θ(N^1.5) stated honestly, with the
-    * log-depth tree as the 100 TB asymptote), maxClusterSize = 2048
-    * stands as the SKEW backstop only, and the frames feeding
-    * multiple invariant branches pin. At the fixture scales (≤ 8k
-    * vectors) k stays 16 and no cluster nears the cap, so
-    * small-scale behavior — and the oracle — are unchanged.
+    * assignment goes through kmeansAuto (round 18: flat below the
+    * measured N·k crossover — reclaiming the fixture-scale cost the
+    * r17 always-two-level form paid — and the log-depth kmeansTree
+    * above it, N·O(log k) kernels per pass at any k),
+    * maxClusterSize = 2048 stands as the SKEW backstop only, and the
+    * frames feeding multiple invariant branches pin. At the fixture
+    * scales (≤ 8k vectors) k stays 16 and no cluster nears the cap,
+    * so small-scale behavior — and the oracle — are unchanged.
     * Invariants verify against the RE-SPLIT assignment (the one the
     * drops were computed under). */
   val qSemDedup = Q(
@@ -487,7 +488,7 @@ object Pipeline {
     // pinned: the assignment feeds the dedup AND every invariant
     // branch; surv and the witness set feed FOUR branches each, so
     // they pin too (unpinned, each branch re-ran the pairwise join)
-    val assign0 = Similarity.kmeansTwoLevel(emb, k, iters = 2)
+    val assign0 = Similarity.kmeansAuto(emb, k, iters = 2)
       .localCheckpoint()
     val assign = SemDedup.resplitOversized(emb, assign0, cap = 2048,
       iters = 2).localCheckpoint()
@@ -667,6 +668,54 @@ object Pipeline {
       .select(lit("label_crosses_coarse_cell").as("why"), col("vec_id"))
     val nondet = res.join(
         Similarity.kmeansTwoLevel(emb, k = 16, iters = 2)
+          .withColumnRenamed("cluster", "__c2"), "vec_id")
+      .where(col("cluster") =!= col("__c2"))
+      .select(lit("nondeterministic").as("why"), col("vec_id"))
+    val degenerate = res.agg(countDistinct(col("cluster")).as("_k"))
+      .where(col("_k") <= 1)
+      .select(lit("degenerate_single_cluster").as("why"),
+        lit(-1L).as("vec_id"))
+    missing.unionByName(dup).unionByName(badLabel).unionByName(crossCell)
+      .unionByName(nondet).unionByName(degenerate)
+      .orderBy("why", "vec_id")
+  }
+
+  /** Log-depth k-means quantization tree (round 18 — the 100 TB
+    * assignment shape SCALE.md named: N·fan·depth = N·O(log k)
+    * cosine kernels where flat pays N·k and two-level N·2√k). Run at
+    * branch = 3, k = 27 → a genuine depth-3 tree (fan 3) on the
+    * fixture. Structural invariants as an empty-violations oracle:
+    * every vector assigned exactly once, every label a REAL corpus
+    * vec_id in the SAME level-1 cell as the vector it labels (the
+    * root partition is frozen while deeper levels refine, and the
+    * tree's level 1 is bit-identical to flat kmeans at k = fan —
+    * recomputed independently here), deterministic across runs, and
+    * the clustering separates the corpus. */
+  val qKmeansTree = Q(
+    "q_kmeans_tree",
+    emptyViolationsSql("why" -> "VARCHAR", "vec_id" -> "BIGINT")) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val res = Similarity.kmeansTree(emb, k = 27, iters = 2, branch = 3)
+      .localCheckpoint()
+    // the frozen root partition, re-derived independently: fan = 3
+    val coarse = Similarity.kmeans(emb, k = 3, iters = 2)
+      .withColumnRenamed("cluster", "cell").localCheckpoint()
+    val missing = emb.select("vec_id")
+      .join(res.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select(lit("vector_unassigned").as("why"), col("vec_id"))
+    val dup = res.groupBy("vec_id").agg(count(lit(1)).as("_n"))
+      .where(col("_n") > 1)
+      .select(lit("assigned_twice").as("why"), col("vec_id"))
+    val badLabel = res.join(
+        emb.select(col("vec_id").as("cluster")), Seq("cluster"), "left_anti")
+      .select(lit("label_not_a_corpus_id").as("why"), col("vec_id"))
+    val crossCell = res.join(coarse, "vec_id")
+      .join(coarse.select(col("vec_id").as("cluster"),
+        col("cell").as("__labelCell")), "cluster")
+      .where(col("cell") =!= col("__labelCell"))
+      .select(lit("label_crosses_root_cell").as("why"), col("vec_id"))
+    val nondet = res.join(
+        Similarity.kmeansTree(emb, k = 27, iters = 2, branch = 3)
           .withColumnRenamed("cluster", "__c2"), "vec_id")
       .where(col("cluster") =!= col("__c2"))
       .select(lit("nondeterministic").as("why"), col("vec_id"))
@@ -2104,7 +2153,7 @@ object Pipeline {
     qSimHash, qSimHashSuperset, qEmbedNearDup, qEmbedNearDupLsh, qSemDedup,
     qDiversitySample,
     qAnnCosine, qAnnLsh, qAnnIvfFull, qAnnIvf, qKmeansFull, qKmeans,
-    qKmeansTwoLevel,
+    qKmeansTwoLevel, qKmeansTree,
     qTextQuality, qLangId, qTokenStats, qVocabOov, qTfidfKeywords,
     qPerplexity, qSubstringDedup, qDsir, qNbClassify, qNbModel,
     qPcaCov, qPcaProject, qPcaTop2, qHtmlExtract, qUrlNormalize, qFingerprint,

@@ -198,4 +198,97 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.kmeansTwoLevel(emb, k = 1, iters = 1)
       .select("cluster").distinct().count() === 1)
   }
+
+  test("kmeansTree at depth 2 is bit-identical to kmeansTwoLevel") {
+    import org.apache.spark.sql.functions._
+    // k = 9, branch = 8 -> depth 2, fan = 3; kmeansTwoLevel's
+    // kc = ceil(sqrt(9)) = 3, kf = 3 — identical arithmetic, so the
+    // tree must reproduce the two-level assignment exactly
+    val tree = Similarity.kmeansTree(emb, k = 9, iters = 2, branch = 8)
+    val two = Similarity.kmeansTwoLevel(emb, k = 9, iters = 2)
+    assert(tree.exceptAll(two).count() === 0)
+    assert(two.exceptAll(tree).count() === 0)
+    // depth 1 (k <= branch) IS flat kmeans
+    val d1 = Similarity.kmeansTree(emb, k = 8, iters = 1, branch = 16)
+    val flat = Similarity.kmeans(emb, k = 8, iters = 1)
+    assert(d1.exceptAll(flat).count() === 0)
+  }
+
+  test("kmeansTree at depth 3 is a total deterministic partition under the frozen root") {
+    import org.apache.spark.sql.functions._
+    val n = emb.count()
+    // k = 8, branch = 2 -> a genuine depth-3 tree (fan = 2)
+    val res = Similarity.kmeansTree(emb, k = 8, iters = 2, branch = 2)
+      .localCheckpoint()
+    assert(res.count() === n)
+    assert(res.select("vec_id").distinct().count() === n)
+    assert(res.join(emb.select(col("vec_id").as("cluster")),
+      Seq("cluster"), "left_anti").count() === 0)
+    assert(res.select("cluster").distinct().count() > 1)
+    // the root partition is frozen: a leaf label lives in the same
+    // level-1 cell as the vector it labels (level 1 == flat kmeans at
+    // k = fan = 2, re-derived independently)
+    val coarse = Similarity.kmeans(emb, k = 2, iters = 2)
+      .withColumnRenamed("cluster", "cell")
+    val seedCell = coarse.select(col("vec_id").as("cluster"),
+      col("cell").as("__seedCell"))
+    assert(res.join(coarse, "vec_id").join(seedCell, "cluster")
+      .where(col("cell") =!= col("__seedCell")).count() === 0)
+    // deterministic across runs
+    val res2 = Similarity.kmeansTree(emb, k = 8, iters = 2, branch = 2)
+    assert(res.exceptAll(res2).count() === 0)
+  }
+
+  test("kmeansAuto dispatches flat under the kernel budget, tree above it") {
+    // the spec-pinned boundary: flat needs k <= 65536 AND
+    // n * k <= FlatKernelBudget
+    val b = Similarity.FlatKernelBudget
+    assert(Similarity.kmeansPlanFor(1000L, 16) === "flat")
+    assert(Similarity.kmeansPlanFor(b / 16, 16) === "flat")
+    assert(Similarity.kmeansPlanFor(b / 16 + 1, 16) === "tree")
+    assert(Similarity.kmeansPlanFor(2_000_000L, 4000) === "tree")
+    // above flat's driver-model cap the tree takes over at ANY n —
+    // the SemDedup default path can size k with the corpus without
+    // tripping flat's require (the r17 advice finding)
+    assert(Similarity.kmeansPlanFor(10L, 65537) === "tree")
+    // end-to-end: the fixture sits under the budget, so auto == flat
+    val auto = Similarity.kmeansAuto(emb, k = 8, iters = 1)
+    val flat = Similarity.kmeans(emb, k = 8, iters = 1)
+    assert(auto.exceptAll(flat).count() === 0)
+    // and a k past the flat cap still runs (routed to the tree):
+    // total partition over the tiny fixture, no require failure
+    val big = Similarity.kmeansAuto(emb, k = 70000, iters = 0)
+    assert(big.count() === emb.count())
+  }
+
+  test("degenerate point vectors get a null cluster, clean rows still partition") {
+    // the output contract the kmeans scaladoc states (r17 advice):
+    // a null-element or length-mismatched vector has no well-defined
+    // cosine to any centroid -> NULL cluster; clean rows are
+    // unaffected. Seeds here are the two lowest ids (clean rows 1, 2).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rag = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.1f)),
+      (4L, Array(1.0f, 2.0f, 3.0f)), // ragged: no length-2 centroid
+      (5L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+      .withColumn("embedding",
+        when(col("vec_id") === 5L,
+          array(lit(1.0f), lit(null).cast("float")))
+          .otherwise(col("embedding")))
+    val res = Similarity.kmeans(rag, k = 2, iters = 1)
+    val got = res.orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got(1L) === Some(1L) && got(2L) === Some(2L))
+    assert(got(3L) === Some(1L)) // nearest to (1,0)
+    assert(got(4L) === None && got(5L) === None)
+    // the tree honors the same contract through its chain
+    val tres = Similarity.kmeansTree(rag, k = 2, iters = 1, branch = 2)
+    assert(tres.where(col("vec_id").isin(4L, 5L))
+      .where(col("cluster").isNotNull).count() === 0)
+  }
 }
