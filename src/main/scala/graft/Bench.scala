@@ -10,16 +10,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Shuffle parallelism defaults to the thread count — right for the
-    // driver fixtures, where per-partition state is kilobytes. The
-    // scale-audit corpora need it raised (SPARK_GRAFT_SHUFFLE): at
-    // 1000× fixture scale a corpus-sized exchange (the dedup shingle
-    // frame is ~1.5B rows) lands ~50M rows per task at 32 partitions,
-    // and 32 concurrent sort+unroll buffers of that size exhaust any
-    // single-host heap — the third-decade audit OOMed exactly there.
-    // On a real cluster this knob is just "thousands of shuffle
-    // partitions for terabyte exchanges"; AQE coalesces small
-    // exchanges back down, so oversizing is safe where undersizing
-    // is fatal.
+    // driver fixtures, where per-partition state is kilobytes. Since
+    // round 18 the ENGINE sizes corpus-scale exchanges itself
+    // (graft.ShuffleSizing: heavy operators and engine.sql raise AQE's
+    // initialPartitionNum from the bytes they scan — the third-decade
+    // OOM cannot recur with no env set); SPARK_GRAFT_SHUFFLE remains
+    // as an explicit harness override of the SESSION default, which
+    // still governs streaming paths where AQE does not apply.
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")

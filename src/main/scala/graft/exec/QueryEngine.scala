@@ -2522,7 +2522,17 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     // resolutions, so this overwrites nothing they depend on
     for (t <- catalog.tableNames if referencesWord(masked, t))
       resolveCached(t, st, cache).createOrReplaceTempView(tempName(t))
-    spark.sql(rewriteDotted(clean))
+    val out = spark.sql(rewriteDotted(clean))
+    // engine-side exchange sizing (round 18 — the SCALE.md harness
+    // finding moved into the engine): a SELECT over a 1000×-scale
+    // table must not inherit a fixture-sized shuffle-partition count;
+    // size AQE's initial partition number from the bytes this
+    // statement actually scans (4× covers typical join/agg exchange
+    // expansion; explode-heavy operators size their own call sites).
+    // Raise-only and driver-side — zero Spark jobs, and the optimized
+    // plan it forces is the one execution reuses.
+    graft.ShuffleSizing.ensureForScan(out, expansion = 4.0)
+    out
   }
 
   /** Spark temp views are single-part names, but the engine's

@@ -91,6 +91,13 @@ object Dedup {
       minJaccard: Double,
       maxDfFrac: Double,
       maxDf: Long): DataFrame = {
+    // the exploded (doc_id, tok) frame shuffles corpus-scale (the
+    // sf100 OOM site, SCALE.md): size the exchange from the docs scan
+    // bytes — exploded token/shingle rows run a small multiple of raw
+    // text bytes, and the window's in-memory sort buffers a larger
+    // one, so 8× on-disk is the conservative raise (oversize is
+    // AQE-coalesced, undersize is fatal)
+    graft.ShuffleSizing.ensureForScan(docs, expansion = 8.0)
     val nDocs = docs.agg(count(lit(1)).as("_ndocs"))
     // document-frequency cap via ONE window over the token
     // partitioning instead of a (groupBy tok → join back) pair, then

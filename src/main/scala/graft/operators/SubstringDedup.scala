@@ -58,6 +58,11 @@ object SubstringDedup {
   /** Maximal cut spans per document: every token interval covered by
     * duplicated n-grams whose occurrence is not the global first. */
   def duplicatedSpans(docs: DataFrame, n: Int): DataFrame = {
+    // the per-position n-gram explode multiplies text bytes ~n-fold
+    // before the gram-partitioned window shuffle — size the exchange
+    // from the docs scan (see ShuffleSizing: undersize is fatal at
+    // corpus scale, oversize is AQE-coalesced)
+    graft.ShuffleSizing.ensureForScan(docs, expansion = 4.0 * math.max(1, n))
     val occ = docs.select(col("doc_id"),
         posexplode(QualityFilters.ngrams(col("text"), n)).as(Seq("p0", "gram")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("gram"))
