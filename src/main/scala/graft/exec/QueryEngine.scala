@@ -1496,14 +1496,21 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               // the two bounds share a checkpoint source, BOTH sides
               // come off one pinned two-bound collapse (round 16 —
               // one scan + one Exchange per table instead of two).
+              // one touched-key collection per table, shared between
+              // the delta restrictors (semi) and the derived
+              // old-prefix anti filters below
+              val touchedFiltersFor = scala.collection.mutable
+                .Map.empty[String, (DataFrame => DataFrame, DataFrame => DataFrame)]
+              def touchedFor(tn: String) =
+                touchedFiltersFor.getOrElseUpdate(tn,
+                  touchedFilters(catalog.require(tn), bases(tn), horizons(tn)))
               def deltaSides(tn: String): (DataFrame, DataFrame) =
                 if (horizons(tn) <= bases(tn)) {
                   val empty = stateAt(tn, Some(horizons(tn))).where(lit(false))
                   (empty, empty)
                 } else {
                   val td = catalog.require(tn)
-                  val restrict =
-                    touchedRestrictor(td, bases(tn), horizons(tn))
+                  val restrict = touchedFor(tn)._1
                   fusedHorizonStates(td, bases(tn), horizons(tn)) match {
                     case Some(f) => fusedSides(pin(restrict(f)))
                     case None =>
@@ -1612,23 +1619,28 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               val stored = spark.read.parquet(catalog.mviewDataPath(name, prev))
               // The telescoping delta's term for touched side i joins
               // OLD state for every side before i — for an untouched
-              // side old equals new (reuse the pruned full), and only
-              // a TOUCHED side that precedes another touched side
-              // needs a genuine old-horizon state read (at most k−1
-              // extra pruned scans, which is what buys k terms
-              // instead of 2^k−1). The same cascade restrictions
-              // apply: reachability already passes through full-new ∪
-              // old-delta state, a superset of the old state.
+              // side old equals new (reuse the pruned full), and a
+              // TOUCHED side that precedes another touched side
+              // DERIVES its old prefix from frames already in hand
+              // (round 18, retiring the k−1 extra old-horizon scans
+              // this branch used to pay): old state is exactly
+              // (new state − touched pks) ∪ old rows of touched pks,
+              // so the pruned-and-pinned full-new frame anti-filtered
+              // by the same touched-key set, unioned with the pinned
+              // old-delta side, IS the (pruned) old state — zero new
+              // scans, one broadcast-able anti filter over a pinned
+              // frame plus a churn-bounded union. Pruning stays sound:
+              // rows the cascade dropped from full-new can reach no
+              // delta in any term, and the delta-old rows ride in
+              // unpruned (bounded by churn; over-inclusion never
+              // changes a term's value, only its cost). Legacy
+              // hidden-column tables keep the raw two-scan fallback —
+              // their refresh path minted no touched-key frames.
               val fullOlds: Seq[DataFrame] = sides.indices.map { j =>
                 if (touchedIdx.contains(j) && touchedIdx.exists(_ > j)) {
-                  val raw = stateAt(sides(j), Some(bases(sides(j))))
-                  val ps = preds(j)
-                  if (legacyHidden || ps.isEmpty) raw
-                  else {
-                    val pruned = applyCascade(raw, ps)
-                    val bounded = ps.forall(_.isInstanceOf[CascInline])
-                    if (sides.size >= 3 && bounded) pin(pruned) else pruned
-                  }
+                  if (legacyHidden) stateAt(sides(j), Some(bases(sides(j))))
+                  else touchedFor(sides(j))._2(fulls(j))
+                    .unionByName(deltas(j)._1)
                 } else fulls(j)
               }
               // statically-empty deltas drop their terms at
@@ -4796,7 +4808,17 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * the cap, the semi join stands: O(touched) keys at 100 TB can be
     * millions of rows, which must never collect. */
   private def touchedRestrictor(t: TableDef, r: Long, horizon: Long)
-      : DataFrame => DataFrame = {
+      : DataFrame => DataFrame = touchedFilters(t, r, horizon)._1
+
+  /** Semi AND anti restrictors over ONE touched-key collection: the
+    * semi side keeps state rows whose pk saw an event in (r, horizon]
+    * (the delta frames), the anti side drops exactly those rows — the
+    * join-view refresh derives each OLD-horizon prefix as
+    * (new state − touched pks) ∪ old touched rows instead of a second
+    * horizon scan, so both filters must come from the same key set
+    * (and the inline-key job must run once, not per filter). */
+  private def touchedFilters(t: TableDef, r: Long, horizon: Long)
+      : (DataFrame => DataFrame, DataFrame => DataFrame) = {
     val touched = events(t)
       .where(col("sequence") > r && col("sequence") <= horizon)
       .select(col("pk")).distinct()
@@ -4809,11 +4831,16 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           "__k")
         if (ks.nonEmpty && ks.length <= InlineKeyCap) Some(ks) else None
       }
-    state => touchedTyped match {
+    (state => touchedTyped match {
       case Some(ks) => state.where(col(t.pk).isin(ks: _*))
       case None => state.join(touched,
         col(t.pk).cast("string") === touched("pk"), "left_semi")
-    }
+    },
+    state => touchedTyped match {
+      case Some(ks) => state.where(!col(t.pk).isin(ks: _*))
+      case None => state.join(touched,
+        col(t.pk).cast("string") === touched("pk"), "left_anti")
+    })
   }
 
   /** Both horizon states of an incremental refresh from ONE pruned
