@@ -630,8 +630,17 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
         st.skipToSync = true
     }
 
+  /** Engine dispatch with the pg_catalog introspection detour: a
+    * statement referencing the pg_catalog surface answers from the
+    * read-only catalog slice (PgCatalog — psql `\dt` and driver
+    * metadata probes), everything else routes through session.sql
+    * unchanged. */
+  private def runSql(session: QueryEngine#Session, sql: String): DataFrame =
+    if (PgCatalog.isCatalogQuery(sql)) PgCatalog.run(engine, sql)
+    else session.sql(sql)
+
   private def portalFrame(session: QueryEngine#Session, p: Portal): DataFrame = {
-    if (p.df.isEmpty) p.df = Some(session.sql(p.sql))
+    if (p.df.isEmpty) p.df = Some(runSql(session, p.sql))
     p.df.get
   }
 
@@ -666,7 +675,7 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
             val bound = if (oids.isEmpty) sql
               else graft.sql.Params.bind(sql,
                 IndexedSeq.fill[Any](oids.length)(null))
-            cancellable(st)(session.sql(bound)).schema
+            cancellable(st)(runSql(session, bound)).schema
           }.toOption
         rowDesc match {
           case Some(schema) => sendRowDescription(schema, out)
@@ -728,7 +737,12 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
 
   /** Leading keyword pair of a statement, literal/comment-blind. */
   private def headWords(sql: String): (String, String) = {
-    val toks = graft.sql.SqlText.maskNonCode(sql).trim.split("\\s+")
+    // strip leading parens: "(SELECT ...) ORDER BY 1" heads as SELECT
+    // — without this, statement-Describe missed a parenthesized
+    // select's RowDescription (r17 advice; no rowless head can start
+    // with a paren, so the strip can't misclassify DML)
+    val toks = graft.sql.SqlText.maskNonCode(sql).trim
+      .dropWhile(c => c == '(' || c.isWhitespace).split("\\s+")
     (toks.headOption.getOrElse("").toUpperCase,
       toks.lift(1).getOrElse("").toUpperCase)
   }
@@ -784,7 +798,7 @@ final class PgServer(engine: QueryEngine, port: Int = 0,
             copyOutStdout(session, Option(table), Option(cols),
               Option(query), fmtName(fmt), out)
           case _ =>
-            val df = session.sql(stmt)
+            val df = runSql(session, stmt)
             val (w1, w2) = headWords(stmt)
             if (isRowless(w1))
               sendCommandComplete(out, commandTag(w1, w2, affectedRows(df)))

@@ -653,4 +653,61 @@ class PgServerSpec extends AnyFunSuite {
       assert(c2 != 0 && err2.contains("blocked"), err2)
     } finally { srv.close(); e.close() }
   }
+
+  test("psql \\dt and \\dv answer from the pg_catalog slice") {
+    withServer { (e, port) =>
+      e.sql("CREATE TABLE accounts (id BIGINT PRIMARY KEY, name STRING)")
+      e.sql("CREATE TABLE ledger (id BIGINT PRIMARY KEY, amt DOUBLE)")
+      e.sql("CREATE VIEW big_ledger AS SELECT * FROM ledger WHERE amt > 10")
+      // \dt sends the real pg_class ⋈ pg_namespace query (regex
+      // filters, OPERATOR syntax, pg_get_userbyid) — the catalog
+      // slice must answer it with the engine's tables
+      val (c1, out1, err1) = psql(port, "\\dt")
+      assert(c1 === 0, s"\\dt failed: $err1")
+      val lines1 = out1.linesIterator.filter(_.nonEmpty).toSeq
+      assert(lines1.exists(l => l.contains("accounts") && l.contains("table")),
+        s"missing accounts in: $out1")
+      assert(lines1.exists(_.contains("ledger")), s"missing ledger in: $out1")
+      assert(!lines1.exists(_.contains("big_ledger")),
+        s"\\dt must not list views: $out1")
+      // \dv lists views through the same machinery
+      val (c2, out2, err2) = psql(port, "\\dv")
+      assert(c2 === 0, s"\\dv failed: $err2")
+      assert(out2.contains("big_ledger"), s"missing view in: $out2")
+      // driver-shaped column metadata: pg_attribute joined to
+      // pg_class by oid, format_type for the type name
+      val (c3, out3, err3) = psql(port,
+        """SELECT a.attname, pg_catalog.format_type(a.atttypid, a.atttypmod)
+          |FROM pg_catalog.pg_attribute a
+          |JOIN pg_catalog.pg_class c ON a.attrelid = c.oid
+          |WHERE c.relname = 'accounts' ORDER BY a.attnum""".stripMargin)
+      assert(c3 === 0, s"attribute query failed: $err3")
+      assert(out3.contains("id|bigint") && out3.contains("name|text"), out3)
+      // pg_tables view for simpler clients
+      val (c4, out4, _) =
+        psql(port, "SELECT tablename FROM pg_tables ORDER BY tablename")
+      assert(c4 === 0 && out4.contains("accounts") && out4.contains("ledger"))
+    }
+  }
+
+  test("statement-Describe keeps RowDescription for a parenthesized select") {
+    // r17 advice: '(SELECT ...' tokenized as an unknown head and
+    // degraded statement-Describe to NoData; the paren strip keeps
+    // the metadata path
+    withServer { (e, port) =>
+      e.sql("CREATE TABLE pt (k BIGINT PRIMARY KEY, v STRING)")
+      e.sql("INSERT INTO pt VALUES (1, 'x'), (2, 'y')")
+      val c = new ExtClient(port)
+      try {
+        c.sendParseNamed("S_p", "(SELECT k, v FROM pt ORDER BY k LIMIT 1)",
+          Seq.empty)
+        c.sendDescribe('S', "S_p")
+        val msgs = c.sync()
+        // RowDescription ('T'), not NoData ('n')
+        assert(msgs.exists(_._1 == 'T'),
+          s"expected RowDescription, got: ${msgs.map(_._1).mkString(",")}")
+        assert(!msgs.exists(_._1 == 'n'), "got NoData for a parenthesized select")
+      } finally c.close()
+    }
+  }
 }
