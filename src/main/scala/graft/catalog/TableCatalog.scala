@@ -207,6 +207,14 @@ final class TableCatalog(spark: SparkSession, val baseDir: String) {
   /** Data directory of a materialized view at a given version. */
   def mviewDataPath(name: String, version: Long): String =
     s"$baseDir/matviews/$name/v=$version"
+  /** Root of one alias's bucketed aux store (round 18): bucket data
+    * lives OUTSIDE the view version dirs so an untouched bucket's
+    * files survive version swaps by reference (manifest pointer),
+    * never by rewrite. */
+  def mviewAuxStoreRoot(name: String, alias: String): String =
+    s"$baseDir/matviews/$name/auxstore_$alias"
+  def mviewAuxStorePath(name: String, alias: String, version: Long): String =
+    s"${mviewAuxStoreRoot(name, alias)}/v=$version"
   private def metaPath = new Path(s"$baseDir/catalog.meta")
   private def metaTmpPath = new Path(s"$baseDir/catalog.meta.tmp")
 

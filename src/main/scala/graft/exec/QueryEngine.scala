@@ -1271,8 +1271,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
             encrypted(agged.write)
               .mode("overwrite").parquet(catalog.mviewDataPath(name, 0L))
             writeAuxes(sh.filtered(st0),
-              sh.groupKeys, IncrementalView.auxAggs(sh.aggs),
-              catalog.mviewDataPath(name, 0L))
+              sh.groupKeys, IncrementalView.auxAggs(sh.aggs), name, 0L)
             catalog.createMaterializedView(name, viewSql)
             catalog.setMviewRefreshed(name, 0L, Map(sh.table -> r))
           case None => joinShapeOf(viewSql) match {
@@ -1293,8 +1292,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               encrypted(agged.write)
                 .mode("overwrite").parquet(catalog.mviewDataPath(name, 0L))
               writeAuxes(js.joined(frames0), js.groupKeys,
-                IncrementalView.auxAggs(js.aggs),
-                catalog.mviewDataPath(name, 0L))
+                IncrementalView.auxAggs(js.aggs), name, 0L)
               catalog.createMaterializedView(name, viewSql)
               catalog.setMviewRefreshed(name, 0L, hs)
             case None =>
@@ -1403,10 +1401,10 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               val (merged0, auxWrites) = sdPin match {
                 case None =>
                   (IncrementalView.merge(stored, oldSide, newSide, sh),
-                    Seq.empty[(String, DataFrame)])
+                    Seq.empty[Long => Unit])
                 case Some(sd) if cds.isEmpty =>
                   (IncrementalView.mergeSigned(stored, sd, sh.groupCols,
-                    sh.aggs), Seq.empty[(String, DataFrame)])
+                    sh.aggs), Seq.empty[Long => Unit])
                 case Some(sd) =>
                   mergeWithAux(name, prev,
                     IncrementalView.mergeSigned(stored, sd, sh.groupCols, sh.aggs),
@@ -1424,9 +1422,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               tracer.span("mview-write") {
                 encrypted(merged.write).mode("overwrite")
                   .parquet(catalog.mviewDataPath(name, prev + 1))
-                for ((dir, df) <- auxWrites)
-                  encrypted(df.write).mode("overwrite")
-                    .parquet(catalog.mviewDataPath(name, prev + 1) + "/" + dir)
+                // bucketed aux store + manifests, after the main
+                // overwrite truncated the version dir
+                auxWrites.foreach(_(prev + 1))
               }
               // ONE atomic catalog save: a version bump without the
               // horizon re-anchor would double-apply this delta on the
@@ -1691,7 +1689,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                 if (cds.isEmpty)
                   (IncrementalView.mergeSigned(stored,
                     sdOpt.getOrElse(delta), js.groupCols, js.aggs),
-                    Seq.empty[(String, DataFrame)])
+                    Seq.empty[Long => Unit])
                 else
                   mergeWithAux(name, prev,
                     IncrementalView.mergeSigned(stored, sdOpt.get,
@@ -1710,9 +1708,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               tracer.span("mview-write") {
                 encrypted(merged.write).mode("overwrite")
                   .parquet(catalog.mviewDataPath(name, prev + 1))
-                for ((dir, df) <- auxWrites)
-                  encrypted(df.write).mode("overwrite")
-                    .parquet(catalog.mviewDataPath(name, prev + 1) + "/" + dir)
+                auxWrites.foreach(_(prev + 1))
               }
               catalog.setMviewRefreshed(name, prev + 1, horizons)
               } finally refreshPins.foreach(_.unpersist(false))
@@ -1742,7 +1738,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                 .mode("overwrite").parquet(catalog.mviewDataPath(name, prev + 1))
               writeAuxes(sh.filtered(st0),
                 sh.groupKeys, IncrementalView.auxAggs(sh.aggs),
-                catalog.mviewDataPath(name, prev + 1))
+                name, prev + 1)
               catalog.setMviewRefreshed(name, prev + 1, Map(sh.table -> horizon))
             case None => joinShapeOf(viewSql) match {
               case Some(js) =>
@@ -1752,8 +1748,7 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                 encrypted(IncrementalView.aggregateJoin(frames0, js).write)
                   .mode("overwrite").parquet(catalog.mviewDataPath(name, prev + 1))
                 writeAuxes(js.joined(frames0), js.groupKeys,
-                  IncrementalView.auxAggs(js.aggs),
-                  catalog.mviewDataPath(name, prev + 1))
+                  IncrementalView.auxAggs(js.aggs), name, prev + 1)
                 catalog.setMviewRefreshed(name, prev + 1, hs)
               case None =>
                 encrypted(select(viewSql).write).mode("overwrite")
@@ -1774,6 +1769,27 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         val p = new Path(catalog.mviewDataPath(name, prev - 1))
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         scala.util.Try(fs.delete(p, true))
+        // bucketed aux stores (round 18): a store version stays alive
+        // exactly as long as a RETAINED manifest (versions prev and
+        // prev+1) points at one of its buckets; everything else —
+        // including versions orphaned by a crash between bucket write
+        // and catalog publish — reclaims here
+        val auxAliases = (incShapeOf(viewSql).map(_.aggs)
+          .orElse(joinShapeOf(viewSql).map(_.aggs)))
+          .map(IncrementalView.auxGroups).getOrElse(Nil).map(_._1.alias)
+        for (alias <- auxAliases) {
+          val referenced = Seq(prev, prev + 1).flatMap(v =>
+            readAuxManifest(catalog.mviewDataPath(name, v), alias)
+              .toSeq.flatten).toSet
+          val root = new Path(catalog.mviewAuxStoreRoot(name, alias))
+          if (referenced.nonEmpty && fs.exists(root))
+            scala.util.Try(fs.listStatus(root).foreach { st =>
+              val n = st.getPath.getName
+              if (n.startsWith("v=") &&
+                  !referenced.contains(n.stripPrefix("v=").toLong))
+                fs.delete(st.getPath, true)
+            })
+        }
       }
       summary(op, 0L, 0L)
     case Statement.CreateTrigger(name, timing, event, table, body) =>
@@ -1905,8 +1921,12 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           val ver = catalog.mviewVersion(name)
           val fs = new Path(catalog.mviewDataPath(name, ver))
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val missing = auxAliases.filterNot(a => fs.exists(new Path(
-            catalog.mviewDataPath(name, ver) + "/" +
+          // a bucketed manifest (round 18) or a legacy monolithic
+          // dir both count as "aux present"
+          val missing = auxAliases.filterNot(a =>
+            fs.exists(new Path(catalog.mviewDataPath(name, ver) + "/" +
+              IncrementalView.auxManifestFile(a))) ||
+            fs.exists(new Path(catalog.mviewDataPath(name, ver) + "/" +
               IncrementalView.auxDir(a))))
           if (missing.nonEmpty)
             throw new IllegalStateException(
@@ -4742,62 +4762,154 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     }
   }
 
+  // ------------------------------------------- bucketed aux store IO
+
+  private def hadoopFs(path: String) = new Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Write one alias's bucket → store-version manifest into a view
+    * VERSION dir. Plain JSON array of AuxBuckets longs — pointer
+    * metadata, not data, so it bypasses parquet encryption like the
+    * catalog meta does. */
+  private def writeAuxManifest(versionPath: String, alias: String,
+      pointers: Array[Long]): Unit = {
+    val p = new Path(versionPath + "/" +
+      IncrementalView.auxManifestFile(alias))
+    val out = hadoopFs(versionPath).create(p, true)
+    try out.write(pointers.mkString("[", ",", "]").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readAuxManifest(versionPath: String, alias: String)
+      : Option[Array[Long]] = {
+    val p = new Path(versionPath + "/" +
+      IncrementalView.auxManifestFile(alias))
+    val fs = hadoopFs(versionPath)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      Some(s.trim.stripPrefix("[").stripSuffix("]")
+        .split(",").map(_.trim.toLong))
+    }
+  }
+
+  /** The existing bucket-partition paths for the pointed-at buckets —
+    * an empty bucket writes no partition dir, so resolution filters
+    * to paths that exist. */
+  private def auxBucketPaths(name: String, alias: String,
+      pointers: Array[Long], buckets: Seq[Int]): Seq[String] = {
+    val fs = hadoopFs(catalog.mviewAuxStoreRoot(name, alias))
+    buckets.map(b =>
+      catalog.mviewAuxStorePath(name, alias, pointers(b)) +
+        s"/${IncrementalView.AuxBucketCol}=$b")
+      .filter(p => fs.exists(new Path(p)))
+  }
+
+  /** Write aux rows (bucket-partitioned) under one store version. */
+  private def writeAuxBuckets(df: DataFrame, name: String, alias: String,
+      groupAliases: Seq[String], storeVersion: Long): Unit =
+    encrypted(df.withColumn(IncrementalView.AuxBucketCol,
+        IncrementalView.auxBucket(groupAliases)).write)
+      .mode("overwrite").partitionBy(IncrementalView.AuxBucketCol)
+      .parquet(catalog.mviewAuxStorePath(name, alias, storeVersion))
+
   /** Aux-backed-aggregate maintenance (COUNT(DISTINCT), MIN, MAX)
     * around a merged main frame: merge each alias's aux (per-(group,
     * value) live counts) from the SAME signed frame the main merge
     * consumed, overlay the touched groups' exact values onto the
-    * main, and return the final main plus the aux frames to
-    * materialize into the NEW version dir (written AFTER the main
-    * lands — its overwrite truncates the dir). The signed frame is
-    * delta-sized, so its re-evaluation across the aux merges stays
-    * O(touched). A missing aux dir means the view version was stored
-    * by an engine that gated MIN/MAX instead of aux-backing it — one
-    * full REFRESH (re)writes every aux. */
+    * main, and return the final main plus write closures to run once
+    * the new version number is fixed (after the main lands). Round
+    * 18: the aux store is BUCKETED — the merge reads only the
+    * buckets the delta's group keys hash into, rewrites exactly
+    * those under the new store version, and carries every other
+    * manifest pointer forward, so refresh write cost is O(touched
+    * buckets), never O(frame). A monolithic pre-r18 aux dir upgrades
+    * in place: its whole frame merges once and lands bucketed. A
+    * version with NEITHER manifest nor legacy dir was stored by an
+    * engine that gated MIN/MAX instead of aux-backing it — one full
+    * REFRESH (re)writes every aux. */
   private def mergeWithAux(name: String, prev: Long,
       merged0: DataFrame, sd: DataFrame, groupCols: Seq[String],
       auxes: Seq[IncrementalView.Agg])
-      : (DataFrame, Seq[(String, DataFrame)]) = {
+      : (DataFrame, Seq[Long => Unit]) = {
     var main = merged0
+    val prevPath = catalog.mviewDataPath(name, prev)
     // aggregates over the SAME value expression share one physical
     // frame (MIN(v) + MAX(v) + COUNT(DISTINCT v) = one merge, one
-    // dir, one overlay pass) — auxGroups derives the grouping
-    // identically at CREATE/REFRESH/read so the dir name is stable
+    // store, one overlay pass) — auxGroups derives the grouping
+    // identically at CREATE/REFRESH/read so the layout is stable
     val writes = IncrementalView.auxGroups(auxes).map { case (rep, members) =>
-      val auxPath = catalog.mviewDataPath(name, prev) + "/" +
-        IncrementalView.auxDir(rep.alias)
-      val auxStored =
-        try spark.read.parquet(auxPath)
-        catch {
-          // ONLY the missing-path analysis error maps to the
-          // "older engine version" prescription — a transient
-          // filesystem fault must surface as itself, not as advice
-          // to re-run a (100 TB-scale) full refresh
-          case e: org.apache.spark.sql.AnalysisException =>
-            throw new IllegalStateException(
-              s"$name's aux frame for ${rep.alias} is missing (view " +
-                "stored by an older engine version) — run a full " +
-                "(non-incremental) REFRESH once to rebuild it", e)
-        }
-      val auxMerged =
-        IncrementalView.auxMerge(auxStored, sd, groupCols, rep.alias)
-      main = IncrementalView.overlayAux(
-        main, auxMerged, sd, groupCols, members)
-      (IncrementalView.auxDir(rep.alias), auxMerged)
+      readAuxManifest(prevPath, rep.alias) match {
+        case Some(pointers) =>
+          // touched buckets from the pinned delta's group keys — a
+          // ≤ AuxBuckets-row collect
+          val touched = sd
+            .select(IncrementalView.auxBucket(groupCols).as("__b"))
+            .distinct().collect().map(_.getInt(0)).toSeq.sorted
+          val paths = auxBucketPaths(name, rep.alias, pointers, touched)
+          val auxStored =
+            if (paths.nonEmpty) spark.read.parquet(paths: _*)
+            else IncrementalView
+              .auxSigned(sd, groupCols, rep.alias).where(lit(false))
+              .drop("__sign")
+              .withColumn(IncrementalView.RowsCol, lit(0L))
+          val auxMerged = IncrementalView
+            .auxMerge(auxStored, sd, groupCols, rep.alias)
+          main = IncrementalView.overlayAux(
+            main, auxMerged, sd, groupCols, members)
+          (newVer: Long) => {
+            writeAuxBuckets(auxMerged, name, rep.alias, groupCols, newVer)
+            writeAuxManifest(catalog.mviewDataPath(name, newVer),
+              rep.alias, touched.foldLeft(pointers.clone()) {
+                (ps, b) => ps(b) = newVer; ps })
+          }
+        case None =>
+          // legacy monolithic dir: read whole, merge, land bucketed
+          val auxPath = prevPath + "/" + IncrementalView.auxDir(rep.alias)
+          val auxStored =
+            try spark.read.parquet(auxPath)
+            catch {
+              // ONLY the missing-path analysis error maps to the
+              // "older engine version" prescription — a transient
+              // filesystem fault must surface as itself, not as
+              // advice to re-run a (100 TB-scale) full refresh
+              case e: org.apache.spark.sql.AnalysisException =>
+                throw new IllegalStateException(
+                  s"$name's aux frame for ${rep.alias} is missing (view " +
+                    "stored by an older engine version) — run a full " +
+                    "(non-incremental) REFRESH once to rebuild it", e)
+            }
+          val auxMerged = IncrementalView
+            .auxMerge(auxStored, sd, groupCols, rep.alias)
+          main = IncrementalView.overlayAux(
+            main, auxMerged, sd, groupCols, members)
+          (newVer: Long) => {
+            writeAuxBuckets(auxMerged, name, rep.alias, groupCols, newVer)
+            writeAuxManifest(catalog.mviewDataPath(name, newVer),
+              rep.alias,
+              Array.fill(IncrementalView.AuxBuckets)(newVer))
+          }
+      }
     }
     (main, writes)
   }
 
   /** Populate the aux frames (COUNT(DISTINCT), MIN, MAX) for a freshly
     * aggregated view version — `base` is the where-filtered state (or
-    * joined relation) the main aggregation consumed; one frame per
-    * distinct value expression (auxGroups). */
+    * joined relation) the main aggregation consumed; one bucketed
+    * store version + manifest per distinct value expression
+    * (auxGroups), every pointer at `version`. */
   private def writeAuxes(base: DataFrame,
       keys: Seq[IncrementalView.GroupKey],
-      auxes: Seq[IncrementalView.Agg], path: String): Unit =
+      auxes: Seq[IncrementalView.Agg], name: String, version: Long): Unit =
     IncrementalView.auxGroups(auxes).foreach { case (rep, _) =>
-      encrypted(IncrementalView.auxAggregate(base, keys, rep).write)
-        .mode("overwrite")
-        .parquet(path + "/" + IncrementalView.auxDir(rep.alias))
+      writeAuxBuckets(IncrementalView.auxAggregate(base, keys, rep),
+        name, rep.alias, keys.map(_.alias), version)
+      writeAuxManifest(catalog.mviewDataPath(name, version), rep.alias,
+        Array.fill(IncrementalView.AuxBuckets)(version))
     }
 
   /** A filter restricting a state read to the pks touched in

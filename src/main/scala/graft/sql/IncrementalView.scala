@@ -229,14 +229,20 @@ object IncrementalView {
     * term per TOUCHED table — an untouched side's delta is
     * statically empty and its term is dropped at construction — so
     * refresh cost scales with k, not with chain length or 2^k: the
-    * star-schema shape (one touched fact against five stable dims)
-    * pays one term at any n, and even the all-churned 6-table window
-    * pays six cascade-bounded terms. The cap now guards only the
-    * join WIDTH (each term is an n-way join over pruned frames) and
-    * the per-refresh statement floor (k terms × n-way plans plus up
-    * to k−1 extra old-horizon reads); past it a full refresh is
-    * simpler than the wider plans buy. */
-  val MaxJoinTables = 6
+    * star-schema shape (one touched fact against seven stable dims)
+    * pays one term at any n, and even an all-churned window pays n
+    * cascade-bounded terms. Round 18 raised the cap 6 → 8 after the
+    * old-prefix derivation removed the last per-term scans (a touched
+    * side's old prefix now comes from the pinned pruned-new frame +
+    * delta, zero extra reads — QueryEngine fullOlds) and an 8-table
+    * measurement showed the incremental path beating full rerun on a
+    * churned window (SURVEY §8). The cap still guards join WIDTH
+    * (each term is an n-way join over pruned frames — planner cost
+    * grows with n per term) and the per-refresh statement floor;
+    * an 8-level snowflake is already past every schema in the
+    * reference's tests, and a deeper chain falls back to the
+    * always-correct full REFRESH. */
+  val MaxJoinTables = 8
 
   val RowsCol = "__graft_rows"
   def supportCol(alias: String): String = s"__graft_n_$alias"
@@ -261,6 +267,42 @@ object IncrementalView {
     * file index from reading aux files into the main view. */
   val CdValCol = "__graft_cd_val"
   def auxDir(alias: String): String = s"_graft_aux_$alias"
+
+  // --------------------------------------------- bucketed aux store
+  // Round 18 (the aux scaladoc's named future work, built): the aux
+  // frame no longer re-materializes wholesale each refresh. Rows
+  // hash-bucket on the view's GROUP KEYS into a fixed number of
+  // buckets stored OUTSIDE the version dirs
+  // (`matviews/<name>/auxstore_<alias>/v=<j>/<bucket>=<b>/`), each
+  // bucket independently versioned; a per-version MANIFEST (a
+  // `_`-prefixed JSON file inside the view's version dir, invisible
+  // to the main parquet read) maps bucket → store version. A refresh
+  // reads and rewrites ONLY the buckets its signed delta's group
+  // keys hash into — write cost O(touched buckets · frame/B), not
+  // O(frame) — and carries the rest of the pointers forward.
+  // Crash-atomic like the main swap: bucket data and the new
+  // manifest land under the NEW version before the single catalog
+  // save publishes, and the version reclamation deletes store
+  // versions no retained manifest references.
+
+  /** Bucket count: 64 keeps the touched-bucket manifest and its
+    * collect trivially bounded while making a one-group refresh
+    * rewrite 1/64th of a near-unique aux frame. Baked into the
+    * layout; the manifest records it for forward compatibility. */
+  val AuxBuckets = 64
+  val AuxBucketCol = "__graft_aux_bucket"
+
+  /** The bucket of a row's group keys — Murmur3 `hash` over the key
+    * columns, stable across refreshes because both the delta and the
+    * store bucket through this one definition. */
+  def auxBucket(groupCols: Seq[String]): Column =
+    if (groupCols.isEmpty) lit(0)
+    else pmod(hash(groupCols.map(col): _*), lit(AuxBuckets))
+
+  /** Manifest file name inside a view VERSION dir ( `_`-prefixed →
+    * ignored by the main parquet read, like the aux dirs). */
+  def auxManifestFile(alias: String): String =
+    s"_graft_aux_${alias}.manifest.json"
   /** Aggregates maintained through a hidden per-(group, value) aux
     * frame: COUNT(DISTINCT) counts the aux's surviving values; MIN and
     * MAX (round 15) re-derive the extreme over them. All three are

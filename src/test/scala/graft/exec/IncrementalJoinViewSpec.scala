@@ -162,9 +162,10 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     // a link to an UNKNOWN table does not
     assert(parseJoin("SELECT s, COUNT(*) AS n FROM a JOIN b ON a.x = b.y " +
       "JOIN c ON c.w = d.z GROUP BY s").isEmpty)
-    // five and six tables are maintainable since round 17 (term
-    // construction scales with TOUCHED tables, not chain length);
-    // seven exceed the cap
+    // five to eight tables are maintainable (round 17 made term
+    // construction scale with TOUCHED tables, round 18 raised the
+    // cap to 8 after retiring the per-term old-horizon scans); nine
+    // exceed the cap
     assert(parseJoin("SELECT s, COUNT(*) AS n FROM a JOIN b ON a.x = b.y " +
       "JOIN c ON c.u = b.z JOIN d ON d.u = c.z JOIN e ON e.u = d.z " +
       "GROUP BY s").exists(_.tables.size == 5))
@@ -173,7 +174,12 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
       "JOIN f ON f.u = e.z GROUP BY s").exists(_.tables.size == 6))
     assert(parseJoin("SELECT s, COUNT(*) AS n FROM a JOIN b ON a.x = b.y " +
       "JOIN c ON c.u = b.z JOIN d ON d.u = c.z JOIN e ON e.u = d.z " +
-      "JOIN f ON f.u = e.z JOIN g ON g.u = f.z GROUP BY s").isEmpty)
+      "JOIN f ON f.u = e.z JOIN g ON g.u = f.z JOIN h ON h.u = g.z " +
+      "GROUP BY s").exists(_.tables.size == 8))
+    assert(parseJoin("SELECT s, COUNT(*) AS n FROM a JOIN b ON a.x = b.y " +
+      "JOIN c ON c.u = b.z JOIN d ON d.u = c.z JOIN e ON e.u = d.z " +
+      "JOIN f ON f.u = e.z JOIN g ON g.u = f.z JOIN h ON h.u = g.z " +
+      "JOIN i ON i.u = h.z GROUP BY s").isEmpty)
     assert(parseJoin("SELECT s, COUNT(*) AS n FROM a JOIN b ON a.x = b.y " +
       "JOIN c ON c.u = b.z JOIN d ON d.u = c.z GROUP BY s").isDefined)
     // INNER JOIN keyword form
@@ -1030,6 +1036,85 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
       .collect().head.getString(0)
     assert(op === "refreshed_incremental")
     assert(view() === fresh())
+    e.close()
+  }
+
+  test("an 8-table chain (the raised cap) maintains incrementally under churn at four levels") {
+    // round 18 raised MaxJoinTables 6 -> 8 after the old-prefix
+    // derivation removed the per-term scans; exercise the new cap at
+    // runtime with churn spread over four levels (four telescoping
+    // terms with derived old prefixes) and verify against the
+    // from-scratch aggregate
+    assert(graft.sql.IncrementalView.MaxJoinTables === 8)
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE a8 (a BIGINT PRIMARY KEY, zone STRING)")
+    e.sql("CREATE TABLE b8 (b BIGINT PRIMARY KEY, ak BIGINT)")
+    e.sql("CREATE TABLE c8 (c BIGINT PRIMARY KEY, bk BIGINT, seg STRING)")
+    e.sql("CREATE TABLE d8 (d BIGINT PRIMARY KEY, ck BIGINT)")
+    e.sql("CREATE TABLE e8 (e BIGINT PRIMARY KEY, dk BIGINT)")
+    e.sql("CREATE TABLE f8 (f BIGINT PRIMARY KEY, ek BIGINT)")
+    e.sql("CREATE TABLE g8 (g BIGINT PRIMARY KEY, fk BIGINT)")
+    e.sql("CREATE TABLE h8 (h BIGINT PRIMARY KEY, gk BIGINT, v BIGINT)")
+    e.sql("INSERT INTO a8 VALUES (1,'e'), (2,'w')")
+    e.sql("INSERT INTO b8 VALUES (10,1), (11,2)")
+    e.sql("INSERT INTO c8 VALUES (20,10,'x'), (21,11,'y')")
+    e.sql("INSERT INTO d8 VALUES (30,20), (31,21)")
+    e.sql("INSERT INTO e8 VALUES (40,30), (41,31)")
+    e.sql("INSERT INTO f8 VALUES (50,40), (51,41)")
+    e.sql("INSERT INTO g8 VALUES (60,50), (61,51), (62,50)")
+    e.sql("INSERT INTO h8 VALUES (70,60,5), (71,61,7), (72,62,9), (73,60,11)")
+    val chain =
+      """FROM a8 JOIN b8 ON a8.a = b8.ak
+        |JOIN c8 ON b8.b = c8.bk
+        |JOIN d8 ON c8.c = d8.ck
+        |JOIN e8 ON d8.d = e8.dk
+        |JOIN f8 ON e8.e = f8.ek
+        |JOIN g8 ON f8.f = g8.fk
+        |JOIN h8 ON g8.g = h8.gk
+        |GROUP BY zone, seg""".stripMargin
+    e.sql("CREATE MATERIALIZED VIEW v8 AS\n" +
+      s"SELECT zone, seg, COUNT(*) AS n, SUM(v) AS sv\n$chain")
+    assert(e.sql("SHOW MATERIALIZED VIEWS").collect()
+      .head.getString(2) === "incremental_join")
+    def fresh(): Set[String] =
+      e.sql(s"SELECT zone, seg, COUNT(*) AS n, SUM(v) AS sv\n$chain")
+        .collect().map(_.toString).toSet
+    def view(): Set[String] =
+      e.sql("SELECT zone, seg, n, sv FROM v8").collect().map(_.toString).toSet
+    // churn at head, two middles, and leaf in one window
+    e.sql("UPDATE a8 SET zone = 'n' WHERE a = 1")
+    e.sql("UPDATE d8 SET ck = 21 WHERE d = 30") // re-parent level 4
+    e.sql("UPDATE g8 SET fk = 51 WHERE g = 62") // re-parent level 7
+    e.sql("UPDATE h8 SET v = v + 100 WHERE h = 70")
+    e.sql("DELETE FROM h8 WHERE h = 73")
+    var op = e.sql("REFRESH MATERIALIZED VIEW v8 INCREMENTALLY")
+      .collect().head.getString(0)
+    assert(op === "refreshed_incremental")
+    assert(view() === fresh())
+    // single-leaf window stays one term
+    e.sql("INSERT INTO h8 VALUES (74,61,17)")
+    op = e.sql("REFRESH MATERIALIZED VIEW v8 INCREMENTALLY")
+      .collect().head.getString(0)
+    assert(op === "refreshed_incremental")
+    assert(view() === fresh())
+    // a 9-table chain stays past the cap: CREATE falls back to a
+    // plain (full-refresh) materialized view, never an error
+    e.sql("CREATE TABLE i9 (i BIGINT PRIMARY KEY, hk BIGINT)")
+    e.sql("INSERT INTO i9 VALUES (80,70)")
+    e.sql("""CREATE MATERIALIZED VIEW v9 AS
+            |SELECT zone, COUNT(*) AS n
+            |FROM a8 JOIN b8 ON a8.a = b8.ak
+            |JOIN c8 ON b8.b = c8.bk
+            |JOIN d8 ON c8.c = d8.ck
+            |JOIN e8 ON d8.d = e8.dk
+            |JOIN f8 ON e8.e = f8.ek
+            |JOIN g8 ON f8.f = g8.fk
+            |JOIN h8 ON g8.g = h8.gk
+            |JOIN i9 ON h8.h = i9.hk
+            |GROUP BY zone""".stripMargin)
+    val kinds = e.sql("SHOW MATERIALIZED VIEWS").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(kinds("v9") !== "incremental_join")
     e.close()
   }
 

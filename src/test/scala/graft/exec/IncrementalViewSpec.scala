@@ -793,21 +793,29 @@ class IncrementalViewSpec extends AnyFunSuite {
             |       MIN(w) AS lw, COUNT(*) AS n
             |FROM t GROUP BY grp""".stripMargin)
     // MIN(v)/MAX(v)/COUNT(DISTINCT v)/SUM(DISTINCT v)/AVG(DISTINCT v)
-    // share one frame; MIN(w) gets its
-    // own: exactly TWO aux dirs, named by each group's first alias
-    def auxDirs(): Set[String] = {
+    // share one frame; MIN(w) gets its own: exactly TWO aux stores
+    // (round 18: a bucketed store root per alias group + a manifest
+    // per version dir, in place of the old per-version aux dirs)
+    def auxManifests(): Set[String] = {
       val ver = new java.io.File(s"${e.baseDir}/matviews/sx")
         .listFiles.filter(_.getName.startsWith("v=")).maxBy(_.getName)
       ver.listFiles.map(_.getName).filter(_.startsWith("_graft_aux_")).toSet
     }
-    assert(auxDirs() === Set("_graft_aux_lo", "_graft_aux_lw"))
+    def auxStores(): Set[String] =
+      new java.io.File(s"${e.baseDir}/matviews/sx")
+        .listFiles.map(_.getName).filter(_.startsWith("auxstore_")).toSet
+    assert(auxManifests() === Set("_graft_aux_lo.manifest.json",
+      "_graft_aux_lw.manifest.json"))
+    assert(auxStores() === Set("auxstore_lo", "auxstore_lw"))
     // churn including retraction of both extremes and a distinct value
     e.sql("INSERT INTO t VALUES (4,'a',99,0), (5,'b',-7,9)")
     e.sql("REFRESH MATERIALIZED VIEW sx INCREMENTALLY")
     e.sql("DELETE FROM t WHERE k = 2") // group a's MAX(v)=50 and a dv value
     e.sql("UPDATE t SET w = 8 WHERE k = 3") // group b's MIN(w)
     e.sql("REFRESH MATERIALIZED VIEW sx INCREMENTALLY")
-    assert(auxDirs() === Set("_graft_aux_lo", "_graft_aux_lw"))
+    assert(auxManifests() === Set("_graft_aux_lo.manifest.json",
+      "_graft_aux_lw.manifest.json"))
+    assert(auxStores() === Set("auxstore_lo", "auxstore_lw"))
     assert(e.sql("SELECT grp, lo, hi, dv, sd, ad, lw, n FROM sx").collect()
       .map(_.toString).toSet ===
       e.sql("""SELECT grp, MIN(v) AS lo, MAX(v) AS hi,
@@ -817,6 +825,104 @@ class IncrementalViewSpec extends AnyFunSuite {
               |FROM t GROUP BY grp""".stripMargin)
         .collect().map(_.toString).toSet)
     e.close()
+  }
+
+  test("bucketed aux store: untouched buckets are referenced, never rewritten") {
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    e.sql("INSERT INTO t VALUES " +
+      (0 until 200).map(i => s"($i, 'g${i % 50}', ${i % 13})").mkString(", "))
+    e.sql("""CREATE MATERIALIZED VIEW bx AS
+            |SELECT grp, COUNT(DISTINCT v) AS dv, MIN(v) AS lo
+            |FROM t GROUP BY grp""".stripMargin)
+    val store = new java.io.File(s"${e.baseDir}/matviews/bx/auxstore_dv")
+    def files(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(store).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified).toMap
+    }
+    val before = files()
+    assert(before.nonEmpty)
+    // touch ONE group: the refresh must rewrite only that group's
+    // bucket under a NEW store version and leave every v=0 file
+    // byte-untouched (same path, same mtime)
+    e.sql("UPDATE t SET v = v + 100 WHERE k = 7")
+    e.sql("REFRESH MATERIALIZED VIEW bx INCREMENTALLY")
+    val after = files()
+    for ((p, m) <- before) {
+      assert(after.contains(p), s"v=0 bucket file deleted: $p")
+      assert(after(p) === m, s"v=0 bucket file rewritten: $p")
+    }
+    val v1 = new java.io.File(store, "v=1")
+    assert(v1.isDirectory, "expected a new store version for the touched bucket")
+    val v1Buckets = v1.listFiles.map(_.getName)
+      .filter(_.startsWith(graft.sql.IncrementalView.AuxBucketCol + "="))
+    assert(v1Buckets.length === 1,
+      s"one touched group must rewrite exactly one bucket, got: ${v1Buckets.toSeq}")
+    // the manifest in the new view version points exactly one bucket
+    // at v=1 and the rest at v=0
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"${e.baseDir}/matviews/bx/v=1/" +
+        graft.sql.IncrementalView.auxManifestFile("dv"))), "UTF-8")
+    val pointers = manifest.trim.stripPrefix("[").stripSuffix("]")
+      .split(",").map(_.trim.toLong)
+    assert(pointers.length === graft.sql.IncrementalView.AuxBuckets)
+    assert(pointers.count(_ == 1L) === 1)
+    assert(pointers.count(_ == 0L) === graft.sql.IncrementalView.AuxBuckets - 1)
+    // values stay exact through the bucketed path
+    assert(e.sql("SELECT grp, dv, lo FROM bx").collect()
+      .map(_.toString).toSet ===
+      e.sql("SELECT grp, COUNT(DISTINCT v) AS dv, MIN(v) AS lo " +
+        "FROM t GROUP BY grp").collect().map(_.toString).toSet)
+    e.close()
+  }
+
+  test("bucketed aux store equals a from-scratch aggregation under random churn") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-auxb-").toString
+    val e = new QueryEngine(spark, dir)
+    e.sql("CREATE TABLE t (k BIGINT PRIMARY KEY, grp STRING, v BIGINT)")
+    e.sql("INSERT INTO t VALUES " +
+      (0 until 120).map(i => s"($i, 'g${i % 24}', ${i % 7})").mkString(", "))
+    e.sql("""CREATE MATERIALIZED VIEW rx AS
+            |SELECT grp, COUNT(DISTINCT v) AS dv, MIN(v) AS lo,
+            |       MAX(v) AS hi, COUNT(*) AS n
+            |FROM t GROUP BY grp""".stripMargin)
+    val rnd = new scala.util.Random(42)
+    var nextK = 120
+    def fresh(): Set[String] =
+      e.sql("""SELECT grp, COUNT(DISTINCT v) AS dv, MIN(v) AS lo,
+              |       MAX(v) AS hi, COUNT(*) AS n
+              |FROM t GROUP BY grp""".stripMargin)
+        .collect().map(_.toString).toSet
+    for (round <- 0 until 8) {
+      for (_ <- 0 until 4) rnd.nextInt(3) match {
+        case 0 =>
+          e.sql(s"INSERT INTO t VALUES ($nextK, 'g${rnd.nextInt(26)}', " +
+            s"${rnd.nextInt(9)})")
+          nextK += 1
+        case 1 =>
+          e.sql(s"UPDATE t SET v = ${rnd.nextInt(9)} WHERE k = " +
+            s"${rnd.nextInt(nextK)}")
+        case 2 =>
+          e.sql(s"DELETE FROM t WHERE k = ${rnd.nextInt(nextK)}")
+      }
+      e.sql("REFRESH MATERIALIZED VIEW rx INCREMENTALLY")
+      assert(e.sql("SELECT grp, dv, lo, hi, n FROM rx").collect()
+        .map(_.toString).toSet === fresh(), s"diverged at round $round")
+    }
+    // reopen: manifests and store survive an engine restart
+    e.close()
+    val e2 = new QueryEngine(spark, dir)
+    e2.sql("INSERT INTO t VALUES (9999, 'g1', 6)")
+    e2.sql("REFRESH MATERIALIZED VIEW rx INCREMENTALLY")
+    assert(e2.sql("SELECT grp, dv, lo, hi, n FROM rx").collect()
+      .map(_.toString).toSet ===
+      e2.sql("""SELECT grp, COUNT(DISTINCT v) AS dv, MIN(v) AS lo,
+               |       MAX(v) AS hi, COUNT(*) AS n
+               |FROM t GROUP BY grp""".stripMargin)
+        .collect().map(_.toString).toSet)
+    e2.close()
   }
 
   test("MIN/MAX retraction honors the view's WHERE across the boundary") {
