@@ -53,12 +53,17 @@ object ShuffleSizing {
     ((inputBytes + TargetBytesPerTask - 1) / TargetBytesPerTask)
       .min(MaxPartitions).max(math.max(1, floor)).toInt
 
-  /** Measured on-disk bytes feeding `df`: the sum of its optimized
-    * plan's leaf-scan sizes, unknown-size leaves excluded. Forcing
-    * the optimized plan here costs nothing extra on frames that later
-    * execute — the same QueryExecution instance serves the action. */
+  /** Measured on-disk bytes feeding `df`: the sum of its ANALYZED
+    * plan's leaf-scan sizes, unknown-size leaves excluded. The
+    * analyzed plan is already computed eagerly by spark.sql/DataFrame
+    * construction, so this forces NO optimizer pass — engine paths
+    * that derive a further frame from this one (DML sources) would
+    * otherwise pay a wasted optimization per statement. Leaf stats
+    * pre-optimization are the raw scan sizes (no pruning applied) —
+    * an overestimate, which is the safe direction for a raise-only
+    * heuristic whose oversize case AQE coalesces. */
   def scanBytes(df: DataFrame): BigInt =
-    df.queryExecution.optimizedPlan.collectLeaves()
+    df.queryExecution.analyzed.collectLeaves()
       .map(_.stats.sizeInBytes).filter(_ < UnknownBytes)
       .foldLeft(BigInt(0))(_ + _)
 

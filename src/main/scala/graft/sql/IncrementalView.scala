@@ -1031,18 +1031,17 @@ object IncrementalView {
     * (NULL values never count toward a distinct count or an extreme).
     * Stored under `auxDir(alias)` inside the view's version dir.
     *
-    * Cost model, stated honestly: the aux MERGE is O(touched) (the
-    * signed delta joins the stored aux on the view key), but the aux
-    * WRITE re-materializes the whole frame each refresh — the price
-    * of the versioned-dir swap that makes refresh crash-atomic (a new
-    * version must be self-contained; object stores cannot hard-link
-    * unchanged parts across versions). The frame's size is bounded by
-    * DISTINCT (group, value) pairs — typically orders of magnitude
-    * under the base table — and aggregates sharing a value expression
-    * share one frame. If a workload ever carries a near-unique value
-    * column under COUNT(DISTINCT)/MIN/MAX, the right escape is a
-    * bucketed manifest layout (rewrite touched hash-buckets, reference
-    * the rest) — noted as future work, not built. */
+    * Cost model: the aux MERGE is O(touched) (the signed delta joins
+    * the stored aux on the view key), and since round 18 the aux
+    * WRITE is O(touched buckets) too — the bucketed manifest layout
+    * this paragraph used to name as future work (see the bucketed
+    * aux store section above): a refresh rewrites only the buckets
+    * its delta's group keys hash into and references the rest from
+    * the previous store versions, so even a near-unique value column
+    * under COUNT(DISTINCT)/MIN/MAX pays frame/64-scale writes per
+    * touched bucket, never O(frame). The frame's size stays bounded
+    * by DISTINCT (group, value) pairs, and aggregates sharing a
+    * value expression share one frame. */
   def auxAggregate(base: DataFrame, keys: Seq[GroupKey],
       a: Agg): DataFrame =
     base.where(expr(auxExpr(a)).isNotNull)

@@ -791,15 +791,20 @@ class QueryEngineSpec extends AnyFunSuite {
     e.sql("INSERT INTO at VALUES (1, 1, 10)")
     e.sql("CREATE MATERIALIZED VIEW amv AS " +
       "SELECT g, MIN(v) AS lo, COUNT(*) AS n FROM at GROUP BY g")
-    // simulate the older stored layout: drop the aux dir on disk
+    // simulate the older stored layout: drop the bucketed-store
+    // manifest (round 18 layout) AND the store itself on disk — a
+    // legacy monolithic _graft_aux_ dir would also satisfy the gate,
+    // so none may remain either
     val ver = new java.io.File(s"${e.baseDir}/matviews/amv")
       .listFiles.filter(_.getName.startsWith("v=")).maxBy(_.getName)
-    val aux = new java.io.File(ver, "_graft_aux_lo")
-    assert(aux.exists)
+    val manifest = new java.io.File(ver,
+      graft.sql.IncrementalView.auxManifestFile("lo"))
+    assert(manifest.exists)
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
     }
-    rm(aux)
+    rm(manifest)
+    rm(new java.io.File(s"${e.baseDir}/matviews/amv/auxstore_lo"))
     val err = intercept[IllegalStateException] {
       e.sql("ALTER MATERIALIZED VIEW amv SET AUTOREFRESH ON")
     }
