@@ -1486,8 +1486,10 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               // entries into the engine's lifetime
               val refreshPins =
                 scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+              // synchronized: cascade hops pin from probe-pool threads
               def pin(df: DataFrame): DataFrame = {
-                refreshPins += df.persist(lvl); df
+                refreshPins.synchronized { refreshPins += df.persist(lvl) }
+                df
               }
               // old/new state of the touched pks; an untouched side
               // contributes an empty delta (its terms vanish). Where
@@ -1517,6 +1519,19 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                   }
                 }
               try {
+              // pre-warm the per-table touched-key collections in
+              // parallel: each is an independent pruned inline-key
+              // collect (span-profiled ~0.1–0.3 s apiece, serial in
+              // sides.map(deltaSides) otherwise); results land in the
+              // share map on the statement thread, so deltaSides below
+              // reads them back single-threaded
+              tracer.span("touched-keys-warm", s"${sides.size} sides") {
+                val touchedNames = sides.filter(tn => horizons(tn) > bases(tn))
+                for ((tn, f) <- joinParallel(touchedNames)(tn =>
+                    tn -> touchedFilters(catalog.require(tn), bases(tn),
+                      horizons(tn))))
+                  touchedFiltersFor(tn) = f
+              }
               val deltas = sides.map(deltaSides)
               // Full-side pruning, any chain length (round 15,
               // generalizing the round-14 two-table case): every
@@ -1569,8 +1584,21 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               // cascade reached table i — inline predicate or
               // distributed key frame, always bounding
               val preds = Array.fill(sides.size)(List.empty[CascRestrict])
-              var hopTag = 0
-              for (s <- touchedIdx if !legacyHidden) {
+              // Each touched source's BFS is independent — it reads
+              // only the pinned deltas, the full-new frames and the
+              // adjacency, and every hop blocks on a driver-side key
+              // collect. Serially that is k sources × up to (k−1)
+              // hops of job latency back to back (span-profiled at
+              // ~6 s of the all-five-churned refresh, 20 join-keys
+              // collects); on the probe pool the refresh pays the
+              // LONGEST source chain, not the sum. Results merge in
+              // source order so the plan (the OR order of preds) is
+              // identical to the sequential construction; hop tags
+              // come off an atomic so minted key-frame columns stay
+              // unique. pin() synchronizes on the pin registry.
+              val hopTag = new java.util.concurrent.atomic.AtomicInteger(0)
+              def cascadeOf(s: Int): List[(Int, CascRestrict)] = {
+                val out = List.newBuilder[(Int, CascRestrict)]
                 val visited = scala.collection.mutable.Set(s)
                 var frontier: List[(Int, DataFrame)] =
                   List(s -> deltas(s)._1.unionByName(deltas(s)._2))
@@ -1580,14 +1608,21 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                        (u, ct, cu) <- adj(t) if !visited(u)) {
                     visited += u
                     val (r, restricted) = cascadeHop(frame, ct,
-                      fullNew(u).unionByName(deltas(u)._1), cu, pin, hopTag)
-                    hopTag += 1
-                    preds(u) ::= r
+                      fullNew(u).unionByName(deltas(u)._1), cu, pin,
+                      hopTag.getAndIncrement())
+                    out += ((u, r))
                     next += ((u, restricted))
                   }
                   frontier = next.result()
                 }
+                out.result()
               }
+              if (!legacyHidden)
+                tracer.span("cascade-join", s"${touchedIdx.size} sources") {
+                  for (rs <- joinParallel(touchedIdx)(cascadeOf);
+                       (u, r) <- rs)
+                    preds(u) ::= r
+                }
               // Key-pruned fulls pin too when the chain has 3+ tables
               // (each full side then appears in 2^(n-1)−1 ≥ 3 terms;
               // at n=2 a full sits in exactly ONE term, so a pin only
@@ -4177,6 +4212,45 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * thread — [[append]] overlaps the probes with the sequence-count
     * job and the staging write this way, joining at the
     * manifest-rename commit point. */
+  /** Run independent driver-blocking Spark work items concurrently on
+    * the shared probe pool, propagating this statement's job group (so
+    * a statement-timeout cancel reaches every item's jobs) and joining
+    * them ALL before returning — results in ITEM order, never
+    * completion order, so plan construction stays deterministic. The
+    * first failure rethrows on the caller's thread after every task
+    * has settled (a refresh that throws must not leave sibling jobs
+    * racing a teardown). Single-item lists run inline: the common
+    * one-table refresh pays zero handoff. Tracer spans no-op off the
+    * statement thread by design — callers wrap the join in one
+    * statement-thread span that accounts the whole batch's wall. */
+  private def joinParallel[A, B](items: Seq[A])(f: A => B): Seq[B] =
+    if (items.lengthIs <= 1) items.map(f)
+    else {
+      val sc = spark.sparkContext
+      val group = sc.getLocalProperty("spark.jobGroup.id")
+      val desc = sc.getLocalProperty("spark.job.description")
+      val interrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
+      val tasks = items.map { a =>
+        val t = new java.util.concurrent.FutureTask[B](() => {
+          if (group != null)
+            sc.setJobGroup(group, if (desc == null) "" else desc,
+              interrupt == "true")
+          try f(a)
+          finally if (group != null) sc.clearJobGroup()
+        })
+        QueryEngine.probePool.execute(t)
+        t
+      }
+      // settle every task before surfacing the first failure
+      val settled = tasks.map(t => scala.util.Try(t.get()))
+      settled.collectFirst {
+        case scala.util.Failure(e: java.util.concurrent.ExecutionException) =>
+          throw e.getCause
+        case scala.util.Failure(e) => throw e
+      }
+      settled.map(_.get)
+    }
+
   private def backgroundViolationCheck(probes: () => Seq[DataFrame]): () => Unit = {
     val sc = spark.sparkContext
     val group = sc.getLocalProperty("spark.jobGroup.id")
