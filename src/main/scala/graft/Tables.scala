@@ -19,7 +19,20 @@ object Tables {
     * inside `load` would mutate shared session state per call. */
   val sessionConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-    "spark.sql.session.timeZone" -> "UTC")
+    "spark.sql.session.timeZone" -> "UTC",
+    // Round 18 (optimization): let AQE re-plan the partitioning of
+    // CACHED plans. The engine pins delta/key frames per refresh
+    // (persist) and those materialized with the STATIC session
+    // shuffle-partition count — 32 near-empty cached partitions per
+    // pinned frame at fixture scale, and every consumer then pays one
+    // task per cached partition (span-profiled: the all-churned
+    // 5-table refresh ran 2675 tasks; with AQE sizing cached
+    // exchanges by bytes it runs ~180 — 15×). Scale-adaptive in both
+    // directions: at 100 TB a pinned corpus-scale frame gets
+    // byte-sized partitions (advisory size) instead of the session
+    // constant, exactly the §2.2 "fewer, larger partitions" rule.
+    // Values are unchanged — only cached-plan partitioning moves.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")

@@ -56,29 +56,35 @@ object Pca {
     * and the whole chain is deterministic IEEE arithmetic in a fixed
     * op order — bit-identical across engines. */
   def covariance(embeddings: DataFrame, d: Int): DataFrame = {
-    val n = embeddings.agg(count(lit(1)).as("_n"))
-    // per-row upper-triangle products, floor-scaled then decimal-summed
-    val prods = embeddings.select(explode(flatten(
-      transform(dims(d), i => transform(sequence(i, lit(d)), j =>
-        struct(i.as("i"), j.as("j"),
-          e(x(i) * x(j), 1e12).cast("decimal(38,0)").as("p")))))).as("e"))
-      .select(col("e.i"), col("e.j"), col("e.p"))
-      .groupBy("i", "j").agg(sum(col("p")).as("sxy"))
-    val means = embeddings.select(explode(
-      transform(dims(d), i => struct(i.as("i"),
-        e(x(i), 1e12).cast("decimal(38,0)").as("v")))).as("e"))
-      .select(col("e.i"), col("e.v"))
-      .groupBy("i").agg(sum(col("v")).as("s"))
-      .crossJoin(broadcast(n))
-      .select(col("i"),
-        (col("s").cast("double") / lit(1e12) / col("_n")).as("m"))
-    prods
-      .join(broadcast(means.select(col("i"), col("m").as("mi"))), "i")
-      .join(broadcast(means.select(col("i").as("j"), col("m").as("mj"))), "j")
-      .crossJoin(broadcast(n))
-      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-        e(col("sxy").cast("double") / lit(1e12) / col("_n")
-          - col("mi") * col("mj"), 1e9).as("cov_e9"))
+    // ONE corpus pass (round 18): the pre-r18 plan ran FIVE scans of
+    // the corpus — the pair-product explode, the mean explode TWICE
+    // (the mi and mj join sides plan as separate subtrees: the
+    // explode's lambda-bound transform defeats plan canonicalization,
+    // so exchange reuse cannot dedupe them) and the count twice. The
+    // mean terms ride the same exploded aggregation as the products
+    // (momentStatsE9, the driver half's discipline), the collected
+    // result is d + d(d+1)/2 rows — bounded by the embedding width,
+    // never corpus-scale — and the final cov_e9 derivation replays
+    // the EXACT double op order of the old plan (decimal→double,
+    // /1e12, /n, − mi·mj, floor(·1e9 + 0.5)), all correctly-rounded
+    // IEEE ops, so every value is bit-identical to the five-scan
+    // plan's (oracle unchanged, spec-pinned vs the in-memory model).
+    val (n, _, entries) = momentStatsE9(embeddings, d)
+    val out = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cov_e9",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      if (n == 0) java.util.Collections.emptyList()
+      else java.util.Arrays.asList((for {
+        i <- 0 until d
+        j <- i until d
+      } yield org.apache.spark.sql.Row(
+        (i + 1).toLong, (j + 1).toLong, entries((i, j)))): _*)
+    embeddings.sparkSession.createDataFrame(rows, out)
   }
 
   /** (mean vector, top-k orthonormal principal components) via power
@@ -169,6 +175,16 @@ object Pca {
     * `cov_e9 / 1e9`. */
   private[operators] def momentStats(embeddings: DataFrame, d: Int)
       : (Long, Array[Double], Map[(Int, Int), Double]) = {
+    val (n, mu, e9) = momentStatsE9(embeddings, d)
+    (n, mu, e9.map { case (k, v) => k -> v / 1e9 })
+  }
+
+  /** [[momentStats]] with the covariance entries kept on the RAW e9
+    * integer grid (exact longs) — [[covariance]]'s output surface is
+    * the e9 BIGINT itself, and a double round-trip through `/1e9`
+    * would not reproduce it bit-exactly. */
+  private[operators] def momentStatsE9(embeddings: DataFrame, d: Int)
+      : (Long, Array[Double], Map[(Int, Int), Long]) = {
     val rows = embeddings.select(explode(concat(
         transform(dims(d), i => struct(i.as("i"), lit(0).as("j"),
           e(x(i), 1e12).cast("decimal(38,0)").as("p"))),
@@ -187,22 +203,9 @@ object Pca {
       val (i, j) = (row.getInt(0) - 1, row.getInt(1) - 1)
       val covE9 = math.floor(
         (row.getDecimal(2).doubleValue / 1e12 / n - mu(i) * mu(j)) * 1e9 + 0.5)
-      (i, j) -> covE9 / 1e9
+      (i, j) -> covE9.toLong
     }.toMap
     (n, mu, entries)
-  }
-
-  private def meanVector(embeddings: DataFrame, d: Int): Array[Double] = {
-    val n = embeddings.agg(count(lit(1)).as("_n"))
-    embeddings.select(explode(
-      transform(dims(d), i => struct(i.as("i"),
-        e(x(i), 1e12).cast("decimal(38,0)").as("v")))).as("e"))
-      .select(col("e.i"), col("e.v"))
-      .groupBy("i").agg(sum(col("v")).as("s"))
-      .crossJoin(broadcast(n))
-      .select(col("i"),
-        (col("s").cast("double") / lit(1e12) / col("_n")).as("m"))
-      .orderBy("i").collect().map(_.getDouble(1))
   }
 
   /** Projection onto the top principal component of the FIRST TWO
@@ -217,10 +220,16 @@ object Pca {
     * with proj_e6 = (x - mu) . v floor-scaled to an exact e6
     * BIGINT. */
   def projectTop2d(embeddings: DataFrame): DataFrame = {
-    val cov = covariance(embeddings, 2).collect()
-      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2) / 1e9)).toMap
-    val (a, b, c) = (cov((1L, 1L)), cov((1L, 2L)), cov((2L, 2L)))
-    val mu = meanVector(embeddings, 2)
+    // one fused stats pass (round 18): covariance + means off the
+    // same momentStatsE9 collect — this path used to run covariance's
+    // scans AND meanVector's (count + mean explode) back to back.
+    // momentStatsE9's mu replays meanVector's exact op order
+    // (decimal→double, /1e12, /n), so the projection literals are
+    // bit-identical to the old two-pass derivation.
+    val (n, mu, cov) = momentStatsE9(embeddings, 2)
+    require(n > 0, "projectTop2d over an empty corpus")
+    val (a, b, c) =
+      (cov((0, 0)) / 1e9, cov((0, 1)) / 1e9, cov((1, 1)) / 1e9)
     val lam = (a + c) / 2 + math.sqrt((a - c) / 2 * ((a - c) / 2) + b * b)
     val (r1, r2) = if (b != 0.0) (b, lam - a)
       else if (a >= c) (1.0, 0.0) else (0.0, 1.0)
