@@ -175,9 +175,16 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       // small batches come back as a driver LocalRelation from the
       // same job (pinCountedOrLocal) and ride the literal fast path
       // end to end — driver probe folding, job-free sequencing, and
-      // the driver-side staging write. The caps are the literalize
-      // ones: strings bound bytes poorly, binary never collects.
-      val cap = if (literalizableSchema(df)) literalizeRowCap(df) else -1L
+      // the driver-side staging write. Unlike the PRE-collect
+      // plan-proven path (pinUnlessLiteralCounted, where only row
+      // bounds are provable), this job SEES the materialized bytes:
+      // pinCountedOrLocal's total-byte gate (round 18) bounds what
+      // may literalize, so the row cap no longer needs to assume
+      // worst-case strings — ~1000-row short-string DML batches (the
+      // OLTP scenario shape) now ride the driver write instead of a
+      // distributed staging write. Binary stays distributed: blobs
+      // do not belong in driver plans even under the byte gate.
+      val cap = if (literalizableSchema(df)) PinLiteralizeMaxRows else -1L
       val (pinned, counts, rddOpt) =
         org.apache.spark.sql.GraftBridge.pinCountedOrLocal(df, cap)
       rddOpt.foreach(r =>
@@ -191,6 +198,15 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
     * small LIMIT proves its bound) while keeping worst-case driver
     * memory trivial even for wide payload rows. */
   private val LiteralizeMaxRows = 1024L
+
+  /** Row cap for the PIN-JOB literalization (pinCheckpointCounted →
+    * pinCountedOrLocal), which — unlike the plan-proven pre-collect
+    * path — measures the batch's actual bytes inside the job and
+    * gates on GraftBridge.LiteralizeByteBudget (1 MB total), so the
+    * row bound is a plan-size guard, not a memory guard. 8192 rows of
+    * any literalizable schema under 1 MB embed safely in a driver
+    * plan. */
+  private val PinLiteralizeMaxRows = 8192L
 
   /** Tighter cap when the schema carries any STRING column. Row-count
     * bounds don't bound BYTES, and strings are unbounded exactly like

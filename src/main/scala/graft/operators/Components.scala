@@ -69,17 +69,26 @@ object Components {
           least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
       // pointer jumping: comp := comp(comp). Labels are always vertex
       // ids, so the lookup is a self-join; label(label) <= label keeps
-      // the map monotone while halving chains
-      val jumped = prop.join(
-          prop.select(col("id").as("comp"), col("comp").as("comp2")),
-          Seq("comp"), "left")
-        .select(col("id"), col("prev"),
-          coalesce(col("comp2"), col("comp")).as("comp"))
-        .localCheckpoint()
-      changed = jumped.where(col("comp") =!= col("prev")).limit(1).count()
-      // the new round's pin is materialized (localCheckpoint is eager),
-      // so the superseded round's blocks are dead — free them now
-      // instead of stranding ~rounds pins per invocation until a GC
+      // the map monotone while halving chains.
+      // The convergence probe rides the SAME job as the round's pin
+      // (round 18, pinCountedFlagged): each round used to pay an eager
+      // checkpoint job plus a limit-1 probe job — the changed tally is
+      // computable during the materialization pass itself, halving the
+      // per-round job count of the closure.
+      val (jumped, _, chg, _) = org.apache.spark.sql.GraftBridge
+        .pinCountedFlagged(
+          prop.join(
+              prop.select(col("id").as("comp"), col("comp").as("comp2")),
+              Seq("comp"), "left")
+            .select(col("id"),
+              coalesce(col("comp2"), col("comp")).as("comp"),
+              (coalesce(col("comp2"), col("comp")) =!= col("prev"))
+                .as("__chg")),
+          flagOrdinal = 2)
+      changed = chg
+      // the new round's pin is materialized, so the superseded round's
+      // blocks are dead — free them now instead of stranding ~rounds
+      // pins per invocation until a GC
       graft.Pins.free(labels)
       labels = jumped.select(col("id"), col("comp"))
       round += 1

@@ -41,17 +41,25 @@ object RecursiveCTE {
       maxIter: Int = 1000,
       repinEvery: Int = 16): DataFrame = {
     require(repinEvery > 0, s"repinEvery must be positive (got $repinEvery)")
-    var acc = (if (distinct) anchor.distinct() else anchor).localCheckpoint()
+    // each pin rides GraftBridge.pinCounted so the row count — the
+    // fixpoint's termination probe — comes out of the SAME job as the
+    // materialization (round 18): the loop used to pay an isEmpty job
+    // per iteration on top of each eager checkpoint job
+    val (acc0, anchorCounts, _) = org.apache.spark.sql.GraftBridge
+      .pinCounted(if (distinct) anchor.distinct() else anchor)
+    var acc = acc0
     var frontier = acc
+    var frontierRows = anchorCounts.sum
     // pins the CURRENT acc union tree still references — freed at each
     // re-pin, once the repinned copy has materialized their rows
     var live = List(acc)
     var i = 0
-    while (i < maxIter && !frontier.isEmpty) {
+    while (i < maxIter && frontierRows > 0) {
       val produced = step(frontier)
-      val delta =
-        (if (distinct) produced.distinct().except(acc) else produced)
-          .localCheckpoint()
+      val (delta, deltaCounts, _) = org.apache.spark.sql.GraftBridge
+        .pinCounted(
+          if (distinct) produced.distinct().except(acc) else produced)
+      frontierRows = deltaCounts.sum
       live ::= delta
       acc = acc.union(delta) // lazy: both sides are pinned already
       i += 1

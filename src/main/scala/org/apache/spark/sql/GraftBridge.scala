@@ -35,6 +35,32 @@ object GraftBridge {
     (classic.Dataset.ofRows(cds.sparkSession, plan), counts, rdd)
   }
 
+  /** pinCounted with a BOOLEAN-column tally folded into the same job:
+    * returns (pinned frame, per-partition row counts, number of rows
+    * whose `flagOrdinal` column is true, pinned RDD). Iterative
+    * fixpoint loops (connected components, recursive CTEs) pay one
+    * eager checkpoint job PLUS one convergence-probe job per round —
+    * the probe answer is computable during the materialization pass,
+    * so this folds the two into one job per round. */
+  def pinCountedFlagged(df: DataFrame, flagOrdinal: Int)
+      : (DataFrame, Array[Long], Long, org.apache.spark.rdd.RDD[_]) = {
+    val cds = df.asInstanceOf[classic.Dataset[Row]]
+    val rdd = cds.queryExecution.toRdd.map(_.copy())
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = rdd.mapPartitions({ it =>
+      var n = 0L
+      var f = 0L
+      it.foreach { r =>
+        n += 1
+        if (!r.isNullAt(flagOrdinal) && r.getBoolean(flagOrdinal)) f += 1
+      }
+      Iterator.single((n, f))
+    }, preservesPartitioning = true).collect()
+    val plan = execution.LogicalRDD.fromDataset(rdd, cds, isStreaming = false)
+    (classic.Dataset.ofRows(cds.sparkSession, plan),
+      stats.map(_._1), stats.map(_._2).sum, rdd)
+  }
+
   /** pinCounted with small-batch LITERALIZATION folded into the SAME
     * job: each partition reports its row count and carries up to
     * rowCap+1 rows back with it. When the batch proves to be at or
@@ -48,6 +74,12 @@ object GraftBridge {
     * under OLTP-shaped UPDATE/DELETE statements, whose matched
     * batches are usually a handful of rows that previously paid a
     * distributed staging write each. */
+  /** Total/per-partition byte ceiling for a batch that may become a
+    * driver-resident LocalRelation: 1 MB embeds safely in any plan
+    * (far under broadcast/task-size limits) and bounds the collect
+    * regardless of per-row width. */
+  val LiteralizeByteBudget: Long = 1L << 20
+
   def pinCountedOrLocal(df: DataFrame, rowCap: Long)
       : (DataFrame, Array[Long], Option[org.apache.spark.rdd.RDD[_]]) = {
     val cds = df.asInstanceOf[classic.Dataset[Row]]
@@ -55,11 +87,16 @@ object GraftBridge {
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keep = if (rowCap < 0) 0 else rowCap.toInt + 1
     // row counts bound rows, not BYTES: a fixed-width-but-wide schema
-    // (array<double> embeddings) at the 1024-row cap could ship
+    // (array<double> embeddings) at the row cap could ship
     // multi-GB to the driver only to be discarded. Per-partition byte
     // budget caps the carry; a partition that stops buffering reports
-    // itself incomplete and the batch stays distributed.
-    val byteBudget = 1L << 20
+    // itself incomplete and the batch stays distributed. The TOTAL
+    // byte gate below (round 18) additionally bounds what may become
+    // a plan-embedded LocalRelation — with it, the row caps no longer
+    // need to assume worst-case per-row strings, so ~1000-row short-
+    // string DML batches (the OLTP scenario shape) literalize instead
+    // of paying the distributed staging write.
+    val byteBudget = LiteralizeByteBudget
     val capped = rdd.mapPartitions({ it =>
       val buf = scala.collection.mutable.ArrayBuffer
         .empty[catalyst.InternalRow]
@@ -76,15 +113,19 @@ object GraftBridge {
           if (bytes <= byteBudget) buf += r else complete = false
         } else if (n > buf.length) complete = false
       }
-      Iterator.single((n, complete, buf.toArray))
+      Iterator.single((n, complete, bytes, buf.toArray))
     }, preservesPartitioning = true).collect()
     val counts = capped.map(_._1)
-    // total <= cap AND every partition carried ALL its rows ==> the
-    // carried arrays are the whole batch — safe to become the batch
-    if (rowCap >= 0 && counts.sum <= rowCap && capped.forall(_._2)) {
+    // total rows <= cap AND total bytes within ONE budget AND every
+    // partition carried ALL its rows ==> the carried arrays are the
+    // whole batch and small enough to live in a driver plan — safe to
+    // become the batch
+    if (rowCap >= 0 && counts.sum <= rowCap &&
+        capped.map(_._3).sum <= LiteralizeByteBudget &&
+        capped.forall(_._2)) {
       rdd.unpersist(false)
       val attrs = catalyst.types.DataTypeUtils.toAttributes(df.schema)
-      val rows = capped.iterator.flatMap(_._3).toIndexedSeq
+      val rows = capped.iterator.flatMap(_._4).toIndexedSeq
       (classic.Dataset.ofRows(cds.sparkSession,
         catalyst.plans.logical.LocalRelation(attrs, rows)), counts, None)
     } else {
