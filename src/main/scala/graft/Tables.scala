@@ -32,7 +32,10 @@ object Tables {
     // byte-sized partitions (advisory size) instead of the session
     // constant, exactly the §2.2 "fewer, larger partitions" rule.
     // Values are unchanged — only cached-plan partitioning moves.
-    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true")
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" ->
+      // measurement kill-switch (A/B only, default on)
+      (if (sys.env.get("SPARK_GRAFT_NOCACHEDAQE").contains("1")) "false"
+       else "true"))
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")

@@ -192,6 +192,33 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       (pinned, counts)
     }
 
+  /** pinCheckpointCounted's siblings for the streaming ingest paths:
+    * same one-job pin discipline, but the fold-in is the measurement
+    * the batch's probe gating needs — total row count
+    * (pinCheckpointRows: rows bound the distinct-key probe exactly
+    * when the frame is one-row-per-key) or Σ array lengths of one
+    * column (pinCheckpointSized: postings bound the distinct-token
+    * probe from above). No literalization: streaming batches publish
+    * through the staged-manifest path regardless of size. */
+  private def pinCheckpointRows(df: DataFrame): (DataFrame, Long) =
+    tracer.span("pin-batch") {
+      pinRegistry.removeIf(_.get() == null)
+      val (pinned, counts, rdd) =
+        org.apache.spark.sql.GraftBridge.pinCounted(df)
+      pinRegistry.add(new java.lang.ref.WeakReference(rdd))
+      (pinned, counts.sum)
+    }
+
+  private def pinCheckpointSized(df: DataFrame, arrayOrdinal: Int)
+      : (DataFrame, Long) =
+    tracer.span("pin-batch") {
+      pinRegistry.removeIf(_.get() == null)
+      val (pinned, _, elems, rdd) =
+        org.apache.spark.sql.GraftBridge.pinCountedSized(df, arrayOrdinal)
+      pinRegistry.add(new java.lang.ref.WeakReference(rdd))
+      (pinned, elems)
+    }
+
   /** Row-count cap for collecting a BOUNDED batch source to a driver
     * LocalRelation instead of checkpoint-pinning it. Conservative:
     * covers the shapes that matter (a global aggregate proves 1 row, a
@@ -1694,11 +1721,34 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
               }
               // statically-empty deltas drop their terms at
               // construction: k terms for k TOUCHED tables, so a
-              // one-fact refresh of a 6-table view plans one term
-              val delta = IncrementalView.joinSignedDelta(js, stored,
-                sides.indices.map(i =>
-                  (deltas(i)._1, deltas(i)._2, fullOlds(i), fulls(i))),
-                untouched = sides.indices.filterNot(touchedIdx.contains).toSet)
+              // one-fact refresh of a 6-table view plans one term.
+              // MULTI-touched refreshes (round 19, guide §2.6) build,
+              // analyze and MATERIALIZE each term concurrently on the
+              // probe pool: the merge consumes every term, so the
+              // serial form executed one ~k·n-join action whose AQE
+              // stage-jobs ran back to back — per-term pin jobs
+              // overlap instead, and the merge then reads k pinned
+              // O(touched-reach) frames (the same bound as every
+              // other refresh pin; a pinned term is the term's
+              // grouped-contribution rows, never a partner scan).
+              // Item order through joinParallel keeps the union order
+              // identical to the sequential construction.
+              val sideFrames = sides.indices.map(i =>
+                (deltas(i)._1, deltas(i)._2, fullOlds(i), fulls(i)))
+              val untouchedSet =
+                sides.indices.filterNot(touchedIdx.contains).toSet
+              val delta =
+                if (touchedIdx.size <= 1)
+                  IncrementalView.joinSignedDelta(js, stored, sideFrames,
+                    untouched = untouchedSet)
+                else tracer.span("delta-terms", s"${touchedIdx.size} terms") {
+                  joinParallel(sides.indices.filterNot(untouchedSet)) { i =>
+                    val p = pin(IncrementalView.joinSignedDeltaTerm(
+                      js, stored, sideFrames, i))
+                    p.count() // materialize the pinned blocks
+                    p
+                  }.reduce(_ unionByName _)
+                }
               val cds = IncrementalView.auxAggs(js.aggs)
               val acds = IncrementalView.sketchAggs(js.aggs)
               // persist the k-term delta across its consumers
@@ -4248,11 +4298,17 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       val interrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
       val tasks = items.map { a =>
         val t = new java.util.concurrent.FutureTask[B](() => {
+          // ALWAYS reset the pool thread's job group: cached pool
+          // threads inherit localProperties from whichever thread
+          // created them, so a group-less caller would otherwise
+          // submit jobs under a stale inherited group and be
+          // collaterally cancelled by a later cancelJobGroup
           if (group != null)
             sc.setJobGroup(group, if (desc == null) "" else desc,
               interrupt == "true")
+          else sc.clearJobGroup()
           try f(a)
-          finally if (group != null) sc.clearJobGroup()
+          finally sc.clearJobGroup()
         })
         QueryEngine.probePool.execute(t)
         t
@@ -4267,16 +4323,24 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       settled.map(_.get)
     }
 
-  private def backgroundViolationCheck(probes: () => Seq[DataFrame]): () => Unit = {
+  /** Run one driver-blocking Spark work item on the probe pool with
+    * this statement's job group propagated; the returned join function
+    * rethrows the item's failure on the caller's thread. Single-item
+    * form of [[joinParallel]] — callers overlap an independent guard
+    * job with the statement's main materialization and join before
+    * the commit point. */
+  private def asyncTask[T](f: => T): () => T = {
     val sc = spark.sparkContext
     val group = sc.getLocalProperty("spark.jobGroup.id")
     val desc = sc.getLocalProperty("spark.job.description")
     val interrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
-    val task = new java.util.concurrent.FutureTask[Unit](() => {
+    val task = new java.util.concurrent.FutureTask[T](() => {
+      // ALWAYS reset the pool thread's job group (see joinParallel)
       if (group != null)
         sc.setJobGroup(group, if (desc == null) "" else desc, interrupt == "true")
-      try raiseFirstViolation(probes())
-      finally if (group != null) sc.clearJobGroup()
+      else sc.clearJobGroup()
+      try f
+      finally sc.clearJobGroup()
     })
     QueryEngine.probePool.execute(task)
     () =>
@@ -4285,6 +4349,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         case e: java.util.concurrent.ExecutionException => throw e.getCause
       }
   }
+
+  private def backgroundViolationCheck(probes: () => Seq[DataFrame]): () => Unit =
+    asyncTask(raiseFirstViolation(probes()))
 
   // ------------------------------------------------------ foreign keys
 
@@ -5713,9 +5780,15 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
         .withColumn("__fp", fingerprint)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("__fp")).orderBy(col(t.pk))
-      val firsts = pinCheckpoint(full.withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1).drop("__rn"))
-      val seen = inlineKeyFilter(stateAt(r.name, None), r.pk, firsts, "__fp")
+      // firsts is one row per DISTINCT fingerprint, so its pin-job row
+      // count bounds the probe's key set EXACTLY: past InlineKeyCap
+      // the inline collect MUST overflow — skip its two probe jobs
+      // and take the unfiltered registry anti-join directly (round 19)
+      val (firsts, nFirsts) = pinCheckpointRows(
+        full.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn"))
+      val seen = (if (nFirsts > InlineKeyCap) stateAt(r.name, None)
+          else inlineKeyFilter(stateAt(r.name, None), r.pk, firsts, "__fp"))
         .select(col(r.pk).cast("string").as("__seen_fp"))
       val admitted = pinCheckpoint(firsts
         .join(seen, col("__fp") === col("__seen_fp"), "left_anti"))
@@ -5792,12 +5865,19 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       tracer.statement(s"INGEST NEARDUP $table batch=$batchId") {
       val t = catalog.require(table)
       val r = catalog.require(registry)
-      val full = pinCheckpoint(batch.select(t.columns.map(c =>
+      val shaped = batch.select(t.columns.map(c =>
           if (batch.columns.contains(c.logical))
             col(c.logical).cast(c.dataType).as(c.logical)
           else lit(null).cast(c.dataType).as(c.logical)): _*)
         .withColumn("__sh",
-          graft.operators.Dedup.shingleSet(textCol, shingleN)))
+          graft.operators.Dedup.shingleSet(textCol, shingleN))
+      // total posting count rides the pin job (round 19): it bounds
+      // the batch's distinct-token count from above, which decides
+      // below whether the registry probe's inline-key collect can
+      // possibly fit the cap — past it, the two probe jobs ALWAYS
+      // overflowed and were pure waste on every realistic batch
+      val (full, postings) = pinCheckpointSized(shaped,
+        shaped.schema.fieldIndex("__sh"))
       // the seen-before-wins policy equals the SQL "no smaller-id doc
       // clears the threshold" semantics ONLY when batches arrive in
       // ascending pk ranges — cross-batch drops are temporal (registry
@@ -5825,15 +5905,18 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       // total-vs-distinct pk counts certify within-batch uniqueness
       // (above-watermark + distinct-in-batch = the whole log stays
       // unique-pk INSERTs, so both tables keep their flat-log
-      // certificate and reads skip the keyed collapse)
-      var batchPkUnique = false
-      val batchMax: Option[Long] =
-        if (!pkIntegral) None
-        else {
+      // certificate and reads skip the keyed collapse).
+      // ASYNC on the probe pool (round 19, guide §2.6): nothing before
+      // publishAtomic has a side effect, so the guard aggregate need
+      // not serialize ahead of the batch's dedup-join materialization
+      // — it overlaps the admitted-pin job and joins (surfacing any
+      // ordering violation) before the event frames are built.
+      val guardJoin: () => (Boolean, Option[Long]) = asyncTask {
+        if (pkIntegral) {
           val bounds = full.agg(min(col(t.pk)).cast("long"),
             max(col(t.pk)).cast("long"),
             count(lit(1)), countDistinct(col(t.pk))).head()
-          batchPkUnique = bounds.getLong(2) == bounds.getLong(3)
+          val unique = bounds.getLong(2) == bounds.getLong(3)
           val batchMin =
             if (bounds.isNullAt(0)) None else Some(bounds.getLong(0))
           if (requireOrdered) {
@@ -5855,18 +5938,21 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
                   "ascending pk ranges for id-order semantics, or pass " +
                   "requireOrdered = false for arrival-order semantics")
           }
-          if (bounds.isNullAt(1)) None else Some(bounds.getLong(1))
+          (unique, if (bounds.isNullAt(1)) None else Some(bounds.getLong(1)))
+        } else {
+          if (requireOrdered) {
+            // content-derived guard for non-integral pks (native ordering)
+            val regMax = stateAt(r.name, None).agg(max(col("doc_id"))).head()
+            if (!regMax.isNullAt(0) &&
+                full.where(col(t.pk) <= lit(regMax.get(0))).limit(1).count() > 0)
+              throw new IllegalArgumentException(
+                s"ingestStreamNearDedup: batch contains pk <= the registry's " +
+                  s"max doc_id (${regMax.get(0)}) — batches must arrive in " +
+                  "ascending pk ranges for id-order semantics, or pass " +
+                  "requireOrdered = false for arrival-order semantics")
+          }
+          (false, None)
         }
-      if (!pkIntegral && requireOrdered) {
-        // content-derived guard for non-integral pks (native ordering)
-        val regMax = stateAt(r.name, None).agg(max(col("doc_id"))).head()
-        if (!regMax.isNullAt(0) &&
-            full.where(col(t.pk) <= lit(regMax.get(0))).limit(1).count() > 0)
-          throw new IllegalArgumentException(
-            s"ingestStreamNearDedup: batch contains pk <= the registry's " +
-              s"max doc_id (${regMax.get(0)}) — batches must arrive in " +
-              "ascending pk ranges for id-order semantics, or pass " +
-              "requireOrdered = false for arrival-order semantics")
       }
       // shingle-set size rides every posting row (scan-stage, computed
       // before the explode) so no edge aggregation ever joins back to a
@@ -5887,8 +5973,18 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
           max(col("b.__n")).as("__dn"))
         .where(jacc(col("__i"), col("__en"), col("__dn")) >= minJaccard)
         .select(col("__d"))
-      // cross edges: probe the registry's postings for batch tokens
-      val probed0 = inlineKeyFilter(stateAt(r.name, None), "tok", toks, "__tok")
+      // cross edges: probe the registry's postings for batch tokens.
+      // The inline probe only applies when the batch's distinct-token
+      // count fits InlineKeyCap; `postings` (measured in the pin job)
+      // bounds it from above, so a batch past the cap skips the probe
+      // jobs outright instead of paying two guaranteed overflows. A
+      // batch whose >cap postings collapse to <=cap distinct tokens
+      // (an all-duplicates shard) loses only the scan pruning, never
+      // correctness — the unfiltered registry join is the same
+      // fallback an overflowed probe took.
+      val probed0 =
+        if (postings > InlineKeyCap) stateAt(r.name, None)
+        else inlineKeyFilter(stateAt(r.name, None), "tok", toks, "__tok")
       val probed =
         if (maxDf == Long.MaxValue) probed0
         else probed0.join(
@@ -5906,6 +6002,9 @@ final class QueryEngine(val spark: SparkSession, val baseDir: String) {
       val admitted = pinCheckpoint(full
         .join(dropped, col(t.pk) === col("__dropped"), "left_anti")
         .drop("__sh"))
+      // join the overlapped guard before any event frame exists — an
+      // ordering violation must surface exactly as it did serially
+      val (batchPkUnique, batchMax) = guardJoin()
       val (evT, hiT) = insertEventFrame(t, admitted, catalog.lastSeq(t.name),
         prePinned = true)
       // ALL batch docs' postings land in the registry (seen semantics);

@@ -22,11 +22,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale design (100 TB corpus, 10⁹+ vertices):
   *  - every round is two hash joins + one aggregation — no driver
-  *    state, no per-vertex driver loop; the driver only counts whether
-  *    anything changed (one limit-1 probe per round);
-  *  - each round's labels are `localCheckpoint`-pinned, truncating
-  *    lineage so round k's plan does not replay rounds 1..k-1 (same
-  *    discipline as RecursiveCTE.scala);
+  *    state, no per-vertex driver loop;
+  *  - each round's labels pin through GraftBridge.pinCountedFlagged:
+  *    ONE job materializes the round's persisted blocks AND tallies
+  *    the changed-flag column during the same pass, so the driver
+  *    learns convergence without a separate probe job, and lineage
+  *    truncates so round k's plan does not replay rounds 1..k-1
+  *    (same discipline as RecursiveCTE.scala);
   *  - near-dup graphs have tiny components (LSH buckets are cliques,
   *    chains are short), so rounds ≈ 3-5 in practice; the cap is a
   *    convergence GUARD that raises instead of silently returning

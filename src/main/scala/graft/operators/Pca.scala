@@ -54,7 +54,14 @@ object Pca {
     * Per-term products scale to e12 integers (floor, not ROUND) and
     * sum as DECIMAL(38,0), so the aggregation is addition-order-free
     * and the whole chain is deterministic IEEE arithmetic in a fixed
-    * op order — bit-identical across engines. */
+    * op order — bit-identical across engines.
+    *
+    * EAGER since round 18: the one corpus aggregation job runs at
+    * CALL time (momentStatsE9 collects its d(d+1)/2-row result) and
+    * the returned frame is a driver-local relation over the derived
+    * grid — callers must not compose this into plans they expect to
+    * stay lazy, and the inputs must be fully materialized before the
+    * call. */
   def covariance(embeddings: DataFrame, d: Int): DataFrame = {
     // ONE corpus pass (round 18): the pre-r18 plan ran FIVE scans of
     // the corpus — the pair-product explode, the mean explode TWICE

@@ -1001,27 +1001,40 @@ object IncrementalView {
   def joinSignedDelta(shape: JoinShape, stored: DataFrame,
       sides: Seq[(DataFrame, DataFrame, DataFrame, DataFrame)],
       untouched: Set[Int] = Set.empty): DataFrame = {
+    val terms = sides.indices.filterNot(untouched)
+      .map(joinSignedDeltaTerm(shape, stored, sides, _))
+    require(terms.nonEmpty,
+      "joinSignedDelta called with every side untouched")
+    terms.reduce(_ unionByName _)
+  }
+
+  /** One telescoping term — touched side `i`'s
+    * old-prefix ⋈ Δᵢ ⋈ new-suffix contribution, exactly as
+    * [[joinSignedDelta]] would build it (which delegates here).
+    * Exposed so the engine can CONSTRUCT AND MATERIALIZE the k terms
+    * of a multi-touched refresh concurrently on its probe pool
+    * (guide §2.6): the union's value is order-independent term
+    * algebra, so per-term pinning changes execution overlap, never
+    * the merged delta. */
+  def joinSignedDeltaTerm(shape: JoinShape, stored: DataFrame,
+      sides: Seq[(DataFrame, DataFrame, DataFrame, DataFrame)],
+      i: Int): DataFrame = {
     require(sides.size == shape.tables.size,
       s"${shape.tables.size} tables, ${sides.size} sides")
     val storedType = stored.schema.map(f => f.name -> f.dataType).toMap
     val n = sides.size
     val sgn = "__graft_sgn"
-    val terms = (0 until n).filterNot(untouched).map { i =>
-      val delta = sides(i)._2.withColumn(sgn, lit(1))
-        .unionByName(sides(i)._1.withColumn(sgn, lit(-1)))
-      val frames = (0 until n).map { j =>
-        if (j < i) sides(j)._3 // old-prefix
-        else if (j == i) delta
-        else sides(j)._4 // new-suffix
-      }
-      shape.joined(frames).select(
-        shape.groupKeys.map(k => expr(k.e).as(k.alias)) ++
-          Seq(col(sgn).as("__sign")) ++
-          signedVals(shape.aggs, storedType): _*)
+    val delta = sides(i)._2.withColumn(sgn, lit(1))
+      .unionByName(sides(i)._1.withColumn(sgn, lit(-1)))
+    val frames = (0 until n).map { j =>
+      if (j < i) sides(j)._3 // old-prefix
+      else if (j == i) delta
+      else sides(j)._4 // new-suffix
     }
-    require(terms.nonEmpty,
-      "joinSignedDelta called with every side untouched")
-    terms.reduce(_ unionByName _)
+    shape.joined(frames).select(
+      shape.groupKeys.map(k => expr(k.e).as(k.alias)) ++
+        Seq(col(sgn).as("__sign")) ++
+        signedVals(shape.aggs, storedType): _*)
   }
 
   // ------------------------------------- COUNT(DISTINCT) aux frames

@@ -61,6 +61,34 @@ object GraftBridge {
       stats.map(_._1), stats.map(_._2).sum, rdd)
   }
 
+  /** pinCounted with a per-row ARRAY-LENGTH tally folded into the same
+    * job: returns (pinned frame, per-partition row counts, Σ
+    * numElements of the `arrayOrdinal` column across all rows (null
+    * arrays count 0), pinned RDD). The streaming near-dup ingest pins
+    * its shingled batch anyway; the total posting count decides —
+    * inside the SAME materialization pass — whether the registry
+    * probe's inline-key collect can possibly succeed, instead of
+    * paying two always-overflowing probe jobs per batch. */
+  def pinCountedSized(df: DataFrame, arrayOrdinal: Int)
+      : (DataFrame, Array[Long], Long, org.apache.spark.rdd.RDD[_]) = {
+    val cds = df.asInstanceOf[classic.Dataset[Row]]
+    val rdd = cds.queryExecution.toRdd.map(_.copy())
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = rdd.mapPartitions({ it =>
+      var n = 0L
+      var elems = 0L
+      it.foreach { r =>
+        n += 1
+        if (!r.isNullAt(arrayOrdinal))
+          elems += r.getArray(arrayOrdinal).numElements().toLong
+      }
+      Iterator.single((n, elems))
+    }, preservesPartitioning = true).collect()
+    val plan = execution.LogicalRDD.fromDataset(rdd, cds, isStreaming = false)
+    (classic.Dataset.ofRows(cds.sparkSession, plan),
+      stats.map(_._1), stats.map(_._2).sum, rdd)
+  }
+
   /** pinCounted with small-batch LITERALIZATION folded into the SAME
     * job: each partition reports its row count and carries up to
     * rowCap+1 rows back with it. When the batch proves to be at or
@@ -97,20 +125,29 @@ object GraftBridge {
     // string DML batches (the OLTP scenario shape) literalize instead
     // of paying the distributed staging write.
     val byteBudget = LiteralizeByteBudget
+    val fieldTypes = df.schema.fields.map(_.dataType)
     val capped = rdd.mapPartitions({ it =>
       val buf = scala.collection.mutable.ArrayBuffer
         .empty[catalyst.InternalRow]
+      // non-unsafe rows (driver-built RDD sources) carry no size; a
+      // flat per-row guess could undercount wide rows past the byte
+      // budget, so MEASURE them through an UnsafeProjection — the
+      // converted copy is what buffers, so the budget gates the exact
+      // bytes that would embed in the driver plan
+      lazy val toUnsafe =
+        catalyst.expressions.UnsafeProjection.create(fieldTypes)
       var n = 0L
       var bytes = 0L
       var complete = true
       it.foreach { r =>
         n += 1
         if (buf.length < keep && bytes <= byteBudget) {
-          bytes += (r match {
-            case u: catalyst.expressions.UnsafeRow => u.getSizeInBytes.toLong
-            case _ => 64L // non-unsafe rows are driver-built and small
-          })
-          if (bytes <= byteBudget) buf += r else complete = false
+          val u = r match {
+            case u: catalyst.expressions.UnsafeRow => u
+            case other => toUnsafe(other).copy()
+          }
+          bytes += u.getSizeInBytes.toLong
+          if (bytes <= byteBudget) buf += u else complete = false
         } else if (n > buf.length) complete = false
       }
       Iterator.single((n, complete, bytes, buf.toArray))
