@@ -309,6 +309,61 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     e.close()
   }
 
+  test("a mid-refresh source failure tears down the concurrent cascade cleanly") {
+    // The multi-touched refresh runs its per-source cascades, its
+    // touched-key collects AND its per-term materializations
+    // concurrently on the probe pool; this drives one source's
+    // collect into a read failure MID-refresh (the other sources'
+    // jobs are in flight) and proves the teardown: the failure
+    // surfaces on the statement thread, sibling tasks settle, no
+    // stale state wedges the engine, and after repairing the file
+    // the SAME refresh retries to the exact recomputed content.
+    val e = QueryEngine.scratch(spark)
+    e.sql("CREATE TABLE reg (r BIGINT PRIMARY KEY, zone STRING)")
+    e.sql("CREATE TABLE cust (c BIGINT PRIMARY KEY, rk BIGINT, seg STRING)")
+    e.sql("CREATE TABLE sale (s BIGINT PRIMARY KEY, ck BIGINT, v BIGINT)")
+    e.sql("INSERT INTO reg VALUES (1,'east'), (2,'west')")
+    e.sql("INSERT INTO cust VALUES (10,1,'a'), (11,1,'b'), (12,2,'a')")
+    e.sql("INSERT INTO sale VALUES (100,10,5), (101,11,7), (102,12,3)")
+    e.sql("""CREATE MATERIALIZED VIEW jf AS
+            |SELECT zone, seg, COUNT(*) AS n, SUM(v) AS sv
+            |FROM reg JOIN cust ON reg.r = cust.rk
+            |JOIN sale ON cust.c = sale.ck
+            |GROUP BY zone, seg""".stripMargin)
+    // churn ALL THREE sides so every parallel path engages
+    e.sql("INSERT INTO reg VALUES (3,'north')")
+    e.sql("UPDATE cust SET seg = 'b' WHERE c = 12")
+    e.sql("INSERT INTO sale VALUES (103,12,9)")
+    e.sql("DELETE FROM sale WHERE s = 101")
+    // corrupt one MIDDLE source's log mid-byte (the q_repair scenario's
+    // corruption): its probe-pool reads now throw while siblings run
+    import scala.jdk.CollectionConverters._
+    val log = java.nio.file.Paths.get(e.baseDir, "tables", "cust", "log")
+    val part = java.nio.file.Files.list(log).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq.sorted.head
+    val orig = java.nio.file.Files.readAllBytes(part)
+    java.nio.file.Files.write(part, orig.take(orig.length / 2))
+    intercept[Throwable] {
+      e.sql("REFRESH MATERIALIZED VIEW jf INCREMENTALLY").collect()
+    }
+    // the engine is not wedged: other tables still serve
+    assert(e.sql("SELECT COUNT(*) AS n FROM reg").collect()
+      .head.getLong(0) === 3L)
+    // repair, retry the SAME refresh (horizons never advanced), and
+    // the view must equal a from-scratch recompute
+    java.nio.file.Files.write(part, orig)
+    val r = e.sql("REFRESH MATERIALIZED VIEW jf INCREMENTALLY").collect().head
+    assert(r.getString(0) === "refreshed_incremental")
+    assert(e.sql("SELECT zone, seg, n, sv FROM jf").collect()
+      .map(_.toString).toSet ===
+      e.sql("""SELECT zone, seg, COUNT(*) AS n, SUM(v) AS sv
+              |FROM reg JOIN cust ON reg.r = cust.rk
+              |JOIN sale ON cust.c = sale.ck
+              |GROUP BY zone, seg""".stripMargin)
+        .collect().map(_.toString).toSet)
+    e.close()
+  }
+
   test("AUTOREFRESH keeps views fresh after every mutating statement") {
     val e = QueryEngine.scratch(spark)
     mkTables(e)
