@@ -77,6 +77,14 @@ object Components {
       // checkpoint job plus a limit-1 probe job — the changed tally is
       // computable during the materialization pass itself, halving the
       // per-round job count of the closure.
+      // A TWO-hop variant (comp := j1(j1(comp)) inside one round job,
+      // quartering chains to halve the round count) was implemented
+      // and MEASURED a net loss in round 19 — the un-pinned
+      // neighbor-min subtree re-executes 4x inside the doubled
+      // self-join and exchange reuse does not recover it
+      // (q_dup_clusters 4.0-4.6 s -> 6.6-7.3 s, q_dedup_keep
+      // 4.0-5.1 -> 6.8-7.1 interleaved A/B at sf0.1); reverted, the
+      // one-hop round below stands.
       val (jumped, _, chg, _) = org.apache.spark.sql.GraftBridge
         .pinCountedFlagged(
           prop.join(

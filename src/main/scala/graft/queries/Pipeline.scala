@@ -19,6 +19,29 @@ object Pipeline {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Run independent EAGER construction phases of a query body
+    * concurrently (guide §2.6 — overlap independent jobs). The
+    * k-means invariant queries build two independent clusterings plus
+    * an independent coarse re-derivation, each a serial chain of
+    * driver-blocking Lloyd collects; the phases share nothing and are
+    * deterministic, so overlap changes wall clock, never a value.
+    * Results return in item order; the first failure rethrows. */
+  private def inParallel(fs: (() => DataFrame)*): Seq[DataFrame] = {
+    val ts = fs.map(f => new java.util.concurrent.FutureTask[DataFrame](
+      () => f()))
+    ts.foreach { t =>
+      val th = new Thread(t, "graft-query-phase")
+      th.setDaemon(true)
+      th.start()
+    }
+    ts.map { t =>
+      try t.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
+    }
+  }
+
   // ----------------------------------------------------------- dedup
 
   /** Exact dedup groups on a normalized key (first 10 tokens). */
@@ -645,12 +668,19 @@ object Pipeline {
     "q_kmeans_twolevel",
     emptyViolationsSql("why" -> "VARCHAR", "vec_id" -> "BIGINT")) { (s, dir) =>
     val emb = t(s, dir, "embeddings")
-    val res = Similarity.kmeansTwoLevel(emb, k = 16, iters = 2)
-      .localCheckpoint()
-    // the frozen coarse partition, re-derived independently (kmeans is
-    // deterministic): kc = ceil(sqrt(16)) = 4
-    val coarse = Similarity.kmeans(emb, k = 4, iters = 2)
-      .withColumnRenamed("cluster", "cell").localCheckpoint()
+    // the three model constructions (result clustering, the
+    // determinism re-run below, the frozen coarse partition
+    // re-derived independently: kc = ceil(sqrt(16)) = 4) are
+    // independent serial chains of driver-blocking Lloyd collects —
+    // build them concurrently (§2.6); each is deterministic, so the
+    // overlap cannot change any value
+    val Seq(res, coarse, res2) = inParallel(
+      () => Similarity.kmeansTwoLevel(emb, k = 16, iters = 2)
+        .localCheckpoint(),
+      () => Similarity.kmeans(emb, k = 4, iters = 2)
+        .withColumnRenamed("cluster", "cell").localCheckpoint(),
+      () => Similarity.kmeansTwoLevel(emb, k = 16, iters = 2)
+        .withColumnRenamed("cluster", "__c2"))
     val missing = emb.select("vec_id")
       .join(res.select("vec_id"), Seq("vec_id"), "left_anti")
       .select(lit("vector_unassigned").as("why"), col("vec_id"))
@@ -666,9 +696,7 @@ object Pipeline {
         col("cell").as("__labelCell")), "cluster")
       .where(col("cell") =!= col("__labelCell"))
       .select(lit("label_crosses_coarse_cell").as("why"), col("vec_id"))
-    val nondet = res.join(
-        Similarity.kmeansTwoLevel(emb, k = 16, iters = 2)
-          .withColumnRenamed("cluster", "__c2"), "vec_id")
+    val nondet = res.join(res2, "vec_id")
       .where(col("cluster") =!= col("__c2"))
       .select(lit("nondeterministic").as("why"), col("vec_id"))
     val degenerate = res.agg(countDistinct(col("cluster")).as("_k"))
@@ -695,11 +723,16 @@ object Pipeline {
     "q_kmeans_tree",
     emptyViolationsSql("why" -> "VARCHAR", "vec_id" -> "BIGINT")) { (s, dir) =>
     val emb = t(s, dir, "embeddings")
-    val res = Similarity.kmeansTree(emb, k = 27, iters = 2, branch = 3)
-      .localCheckpoint()
-    // the frozen root partition, re-derived independently: fan = 3
-    val coarse = Similarity.kmeans(emb, k = 3, iters = 2)
-      .withColumnRenamed("cluster", "cell").localCheckpoint()
+    // same §2.6 overlap as q_kmeans_twolevel: result tree, the
+    // determinism re-run, and the independently re-derived frozen
+    // root partition (fan = 3) are independent Lloyd-collect chains
+    val Seq(res, coarse, res2) = inParallel(
+      () => Similarity.kmeansTree(emb, k = 27, iters = 2, branch = 3)
+        .localCheckpoint(),
+      () => Similarity.kmeans(emb, k = 3, iters = 2)
+        .withColumnRenamed("cluster", "cell").localCheckpoint(),
+      () => Similarity.kmeansTree(emb, k = 27, iters = 2, branch = 3)
+        .withColumnRenamed("cluster", "__c2"))
     val missing = emb.select("vec_id")
       .join(res.select("vec_id"), Seq("vec_id"), "left_anti")
       .select(lit("vector_unassigned").as("why"), col("vec_id"))
@@ -714,9 +747,7 @@ object Pipeline {
         col("cell").as("__labelCell")), "cluster")
       .where(col("cell") =!= col("__labelCell"))
       .select(lit("label_crosses_root_cell").as("why"), col("vec_id"))
-    val nondet = res.join(
-        Similarity.kmeansTree(emb, k = 27, iters = 2, branch = 3)
-          .withColumnRenamed("cluster", "__c2"), "vec_id")
+    val nondet = res.join(res2, "vec_id")
       .where(col("cluster") =!= col("__c2"))
       .select(lit("nondeterministic").as("why"), col("vec_id"))
     val degenerate = res.agg(countDistinct(col("cluster")).as("_k"))
